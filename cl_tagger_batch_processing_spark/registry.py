@@ -1,0 +1,55 @@
+"""Registry of named queries: name → callable(spark, sf_dir) → DataFrame.
+
+One entry per implemented operator from SURVEY.md §2 (plus the LLM-pipeline
+extensions). Each SQL-expressible entry has a same-named DuckDB oracle in
+``oracles.ORACLE_SQL``; entries without an oracle get the driver's weaker
+rows-only check and are listed in ``NO_ORACLE`` with a reason.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import tagging
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+NO_ORACLE: dict[str, str] = {}  # name -> why there is no SQL oracle
+
+
+def register(name: str, fn: QueryFn, no_oracle: str | None = None) -> None:
+    QUERIES[name] = fn
+    if no_oracle:
+        NO_ORACLE[name] = no_oracle
+
+
+# --- tagging (reference core, appV2.py:74-101) -----------------------------
+
+register("tag_select", tagging.flagship_tag_select)
+
+
+def _tag_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    scores = tagging.scores_from_embeddings(spark, sf_dir)
+    dim = tagging.demo_tag_dim(spark)
+    return (
+        scores.join(F.broadcast(dim), "tag_idx", "inner")
+        .withColumn("tag", tagging.clean_tag_name(F.col("tag_name")))
+        .select("image_id", "category", "tag_idx", "prob", "tag")
+    )
+
+
+def _tag_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tagging.top1_per_category(_tag_scored(spark, sf_dir))
+
+
+def _tag_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tagging.threshold_select(_tag_scored(spark, sf_dir))
+
+
+register("tag_top1_rating_quality", _tag_top1)
+register("tag_threshold_filter", _tag_threshold)

@@ -1,0 +1,43 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is the test bed (one JVM, N threads); the configs are chosen so
+the same code scales to a multi-executor cluster: AQE for runtime re-planning
+(skew joins, partition coalescing), Arrow for the pandas-UDF boundary, and a
+shuffle-partition count sized to the parallelism rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "cl_tagger_batch_processing_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    ui: bool = False,
+) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", str(ui).lower())
+        # The driver-generated fixtures carry parquet TIMESTAMP(NANOS), which
+        # Spark only reads via this legacy flag (as epoch-nanos LongType);
+        # sources.tables normalizes those columns back to TimestampType.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

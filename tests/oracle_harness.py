@@ -1,0 +1,88 @@
+"""Local mirror of the driver's DuckDB-oracle comparison.
+
+For each registry query: run the Spark DataFrame and the same-named oracle
+SQL on DuckDB over the same parquet fixtures, then compare
+
+* sorted column names,
+* row count,
+* the multiset of rows (columns sorted by name, values canonicalized:
+  floats rounded to 9 significant digits, dates/timestamps stringified).
+
+Strict canonicalization (no tolerance) on purpose: it flags any query whose
+output could hash-differently across engines so the query gets fixed (e.g.
+by rounding explicitly on both sides) before the driver sees it.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+from collections import Counter
+
+from cl_tagger_batch_processing_spark.sources.tables import FIXTURE_TABLES
+
+
+def duckdb_connection(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return str(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(_canon(x) for x in v)
+    return v
+
+
+def _rows_multiset(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return Counter(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+def compare_query(spark, name: str, sf_dir: str, query_fn=None, sql: str | None = None):
+    """Returns (ok, message)."""
+    from cl_tagger_batch_processing_spark.oracles import ORACLE_SQL
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    query_fn = query_fn or QUERIES[name]
+    sql = sql or ORACLE_SQL[name]
+
+    sdf = query_fn(spark, sf_dir)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb_connection(sf_dir)
+    cur = con.execute(sql)
+    duck_cols = [d[0].lower() for d in cur.description]
+    duck_rows = cur.fetchall()
+    con.close()
+
+    if sorted(spark_cols) != sorted(duck_cols):
+        return False, f"schema mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    if len(spark_rows) != len(duck_rows):
+        return False, f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
+    sm = _rows_multiset(spark_cols, spark_rows)
+    dm = _rows_multiset(duck_cols, duck_rows)
+    if sm != dm:
+        only_spark = list((sm - dm).items())[:5]
+        only_duck = list((dm - sm).items())[:5]
+        return False, (
+            f"value mismatch ({sum((sm - dm).values())} rows differ); "
+            f"spark-only sample={only_spark}; duck-only sample={only_duck}"
+        )
+    return True, f"ok ({len(spark_rows)} rows)"
