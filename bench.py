@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Benchmark runner: times every registry query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line. Each query is materialized with a noop write (full execution, no
+driver-side collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from cl_tagger_batch_processing_spark.session import get_spark
+
+    from __spark_entry__ import queries
+
+    spark = get_spark(app_name="bench", cpus=cpus)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    times: dict[str, float] = {}
+    for name, fn in sorted(queries().items()):
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # a failing query must not sink the whole bench
+            times[name] = -1.0
+            print(f"# bench error in {name}: {e}", file=sys.stderr)
+
+    total = round(sum(t for t in times.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "sum_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

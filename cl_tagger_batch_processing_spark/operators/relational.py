@@ -1,0 +1,292 @@
+"""Relational operator surface over the star-schema fixtures.
+
+The reference has no general joins/aggregations (SURVEY.md §2.5: its only
+"joins" are two broadcast dimension lookups, appV2.py:62-71); this module is
+the generic relational surface the engine exposes on top of Catalyst —
+multi-way joins, grouped aggregation, rollup, semi/anti joins, window
+functions, top-k per group, set operations, pivot, JSON extraction, and an
+as-of join (which Spark lacks natively; implemented shuffle-once via
+union + window).
+
+Determinism/oracle notes: every monetary aggregate is computed in exact
+DECIMAL and cast to DOUBLE at the end — the fixture values are exact
+2-decimal, so the decimal sums are bit-identical between Spark and DuckDB
+(double sums would drift in the last ulps with partition-order association).
+Every LIMIT/top-k carries a unique tie-break column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+# Exact-decimal casts for the 2-decimal fixture money columns.
+_DEC_PRICE = "decimal(12,2)"
+_DEC_RATE = "decimal(8,4)"
+
+
+def _dec(col: str, t: str = _DEC_PRICE):
+    return F.col(col).cast(t)
+
+
+def _one_minus(col: str):
+    return F.lit(1).cast(_DEC_RATE) - _dec(col, _DEC_RATE)
+
+
+def _one_plus(col: str):
+    return F.lit(1).cast(_DEC_RATE) + _dec(col, _DEC_RATE)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with 8 aggregates.
+
+    The shipdate predicate and 6-column projection push down to the parquet
+    scan; the groupBy is a 6-group hash aggregate with map-side partials.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * _one_minus("l_discount")
+    charge = disc_price * _one_plus("l_tax")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("_sq"),
+            F.sum(_dec("l_extendedprice")).alias("_sbp"),
+            F.sum(disc_price).alias("_sdp"),
+            F.sum(charge).alias("_sc"),
+            F.sum(_dec("l_discount", _DEC_RATE)).alias("_sd"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_sq").cast("double").alias("sum_qty"),
+            F.col("_sbp").cast("double").alias("sum_base_price"),
+            F.col("_sdp").cast("double").alias("sum_disc_price"),
+            F.col("_sc").cast("double").alias("sum_charge"),
+            (F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
+            (F.col("_sbp").cast("double") / F.col("count_order")).alias("avg_price"),
+            (F.col("_sd").cast("double") / F.col("count_order")).alias("avg_disc"),
+            "count_order",
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + aggregate + deterministic top-10.
+
+    customer is small → explicit broadcast; orders⋈lineitem shuffles on the
+    order key. Tie-break on the unique l_orderkey keeps the LIMIT stable.
+    """
+    cutoff = F.lit("1997-09-01").cast("date")
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "AUTOMOBILE")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    revenue = F.sum(_dec("l_extendedprice") * _one_minus("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with small-dim broadcasts, grouped sum."""
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.sum(_dec("l_extendedprice") * _one_minus("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(revenue.cast("double").alias("revenue"))
+    )
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (grand total + per-flag subtotals)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi (EXISTS) and left-anti (NOT EXISTS) against filtered orders,
+    labeled and unioned: customers per segment with / without an 'F' order."""
+    cust = load_table(spark, sf_dir, "customer")
+    f_orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    semi = (
+        cust.join(f_orders, cust.c_custkey == f_orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("kind", F.lit("with_f_order"))
+    )
+    anti = (
+        cust.join(f_orders, cust.c_custkey == f_orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("kind", F.lit("without_f_order"))
+    )
+    return semi.unionByName(anti).select("c_mktsegment", "kind", "n")
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by total price per customer — the window form with a
+    unique tie-break (o_orderkey), one shuffle on the partition key."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per supplier: exact-decimal cumulative sum over a
+    total order (shipdate, orderkey, linenumber is unique)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.asc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rev = _dec("l_extendedprice") * _one_minus("l_discount")
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(rev).over(w).cast("double").alias("running_revenue"),
+    )
+
+
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION over nation keys of two customer segments."""
+    cust = load_table(spark, sf_dir, "customer")
+    auto = cust.where(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    mach = cust.where(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
+    both = auto.intersect(mach).withColumn("op", F.lit("intersect"))
+    only_auto = auto.subtract(mach).withColumn("op", F.lit("except"))
+    union = auto.union(mach).distinct().withColumn("op", F.lit("union"))
+    return both.unionByName(only_auto).unionByName(union)
+
+
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status into columns per priority (conditional-agg shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_fulfilled"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
+    )
+
+
+def distinct_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group plus min/max projections."""
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.countDistinct("p_size").alias("n_sizes"),
+        F.countDistinct("p_type").alias("n_types"),
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events props column + grouped aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one — SURVEY.md §2.5 'not present'):
+    for each purchase event, the most recent click by the same user at or
+    before the purchase time.
+
+    Scale-first implementation: instead of a per-key range join (quadratic
+    per user) or ``pd.merge_asof`` per group (Python boundary), union the two
+    event streams, sort within a single shuffle partition-by-user, and carry
+    the last-seen click forward with ``last(..., ignorenulls=True)``. One
+    shuffle, linear work, no skew beyond the user key itself.
+
+    Tie policy: a click at exactly the purchase timestamp counts (<=); among
+    equal-timestamp clicks the highest event_id wins. Encoded in the sort
+    order (ts asc, clicks-before-purchases, event_id asc).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id"), F.lit(0).alias("kind")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_event_id"), F.lit(1).alias("kind")
+    )
+    merged = clicks.withColumn("purchase_event_id", F.lit(None).cast("bigint")).unionByName(
+        purchases.withColumn("click_event_id", F.lit(None).cast("bigint"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("kind"), F.asc("click_event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn("last_click_id", F.last("click_event_id", ignorenulls=True).over(w))
+        .withColumn("last_click_ts", F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w))
+        .where(F.col("kind") == 1)
+        .select(
+            "user_id",
+            F.col("purchase_event_id").alias("event_id"),
+            F.col("last_click_id").alias("click_event_id"),
+            (F.unix_timestamp("ts") - F.unix_timestamp("last_click_ts")).alias("gap_seconds"),
+        )
+    )
+
+
+def scan_extension_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — the reference's extension predicate (appV2.py:17,135) over a
+    synthesized path column: keep paths whose lower-cased suffix is an image
+    extension. At a real scan this is ``pathGlobFilter`` (applied at file
+    listing); here it is the equivalent Column predicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    ext = F.element_at(F.split(F.lit(".jpg,.JPEG,.png,.webp,.bmp,.GIF,.txt,.mp4"), ","), (F.col("doc_id") % 8 + 1).cast("int"))
+    path = F.concat(F.col("source"), F.lit("/doc_"), F.col("doc_id").cast("string"), ext)
+    image_exts = ["jpg", "jpeg", "png", "webp", "bmp", "gif"]  # appV2.py:17
+    with_path = docs.select("doc_id", path.alias("path"))
+    suffix = F.lower(F.element_at(F.split(F.col("path"), "\\."), -1))
+    return with_path.where(suffix.isin(image_exts))

@@ -111,3 +111,169 @@ ORACLE_SQL["tag_threshold_filter"] = f"""
 {THRESH_CTE.strip()}
 SELECT image_id, category, tag_idx, tag FROM thresh
 """
+
+# --- relational surface -----------------------------------------------------
+# Monetary aggregates are computed in exact DECIMAL on both sides (the
+# fixture money columns are exact 2-decimal doubles) and cast to DOUBLE at
+# the end, so the values are bit-identical regardless of partition order.
+
+_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))"
+)
+_CHARGE = f"{_DISC_PRICE} * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))"
+
+ORACLE_SQL["q1_pricing_summary"] = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM({_CHARGE}) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLE_SQL["q3_shipping_priority"] = f"""
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'AUTOMOBILE'
+  AND o_orderdate < TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-09-01 00:00:00'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+ORACLE_SQL["q5_local_supplier"] = f"""
+SELECT n_name, CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+ORACLE_SQL["agg_rollup"] = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+ORACLE_SQL["join_semi_anti"] = """
+SELECT c_mktsegment, 'with_f_order' AS kind, COUNT(*) AS n
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+GROUP BY c_mktsegment
+UNION ALL
+SELECT c_mktsegment, 'without_f_order' AS kind, COUNT(*) AS n
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+GROUP BY c_mktsegment
+"""
+
+ORACLE_SQL["topk_per_group"] = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+ORACLE_SQL["window_running"] = f"""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(SUM({_DISC_PRICE}) OVER (
+              PARTITION BY l_suppkey
+              ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_revenue
+FROM lineitem
+"""
+
+ORACLE_SQL["set_ops"] = """
+WITH auto AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+     mach AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+SELECT c_nationkey, 'intersect' AS op FROM (SELECT * FROM auto INTERSECT SELECT * FROM mach)
+UNION ALL
+SELECT c_nationkey, 'except' AS op FROM (SELECT * FROM auto EXCEPT SELECT * FROM mach)
+UNION ALL
+SELECT c_nationkey, 'union' AS op FROM (SELECT * FROM auto UNION SELECT * FROM mach)
+"""
+
+ORACLE_SQL["pivot_status"] = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_fulfilled,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+ORACLE_SQL["distinct_brand_stats"] = """
+SELECT p_brand,
+       COUNT(DISTINCT p_size) AS n_sizes,
+       COUNT(DISTINCT p_type) AS n_types,
+       MIN(p_retailprice) AS min_price,
+       MAX(p_retailprice) AS max_price,
+       COUNT(*) AS n_parts
+FROM part
+GROUP BY p_brand
+"""
+
+ORACLE_SQL["events_json_extract"] = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+# Tie policy mirrors the Spark union+window implementation: clicks at the
+# purchase timestamp count (<=); among equal-ts clicks the highest event_id
+# wins. gap uses per-timestamp floor-to-seconds like Spark's unix_timestamp.
+ORACLE_SQL["asof_join_purchase_click"] = """
+WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+     best AS (
+       SELECT p.user_id, p.event_id, p.ts AS p_ts,
+              c.event_id AS click_event_id, c.ts AS c_ts,
+              row_number() OVER (PARTITION BY p.event_id
+                                 ORDER BY c.ts DESC, c.event_id DESC) AS rn
+       FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+     )
+SELECT user_id, event_id, click_event_id,
+       CAST(floor(epoch(p_ts)) AS BIGINT) - CAST(floor(epoch(c_ts)) AS BIGINT)
+         AS gap_seconds
+FROM best WHERE rn = 1
+"""
+
+ORACLE_SQL["scan_extension_filter"] = """
+WITH with_path AS (
+  SELECT doc_id,
+         source || '/doc_' || doc_id ||
+         (['.jpg','.JPEG','.png','.webp','.bmp','.GIF','.txt','.mp4'])[CAST(doc_id % 8 + 1 AS INTEGER)]
+           AS path
+  FROM documents
+)
+SELECT doc_id, path
+FROM with_path
+WHERE lower(regexp_extract(path, '\\.([^.]*)$', 1))
+      IN ('jpg','jpeg','png','webp','bmp','gif')
+"""

@@ -53,3 +53,21 @@ def _tag_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("tag_top1_rating_quality", _tag_top1)
 register("tag_threshold_filter", _tag_threshold)
+
+# --- relational surface -----------------------------------------------------
+
+from .operators import relational  # noqa: E402
+
+register("q1_pricing_summary", relational.q1_pricing_summary)
+register("q3_shipping_priority", relational.q3_shipping_priority)
+register("q5_local_supplier", relational.q5_local_supplier)
+register("agg_rollup", relational.agg_rollup)
+register("join_semi_anti", relational.join_semi_anti)
+register("topk_per_group", relational.topk_per_group)
+register("window_running", relational.window_running)
+register("set_ops", relational.set_ops)
+register("pivot_status", relational.pivot_status)
+register("distinct_brand_stats", relational.distinct_brand_stats)
+register("events_json_extract", relational.events_json_extract)
+register("asof_join_purchase_click", relational.asof_join_purchase_click)
+register("scan_extension_filter", relational.scan_extension_filter)
