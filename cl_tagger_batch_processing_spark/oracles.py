@@ -188,7 +188,7 @@ GROUP BY c_mktsegment
 """
 
 ORACLE_SQL["topk_per_group"] = """
-SELECT o_custkey, o_orderkey, o_totalprice, rn
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
 FROM (SELECT o_custkey, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
@@ -238,7 +238,7 @@ GROUP BY p_brand
 
 ORACLE_SQL["events_json_extract"] = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
@@ -262,6 +262,233 @@ SELECT user_id, event_id, click_event_id,
        CAST(floor(epoch(p_ts)) AS BIGINT) - CAST(floor(epoch(c_ts)) AS BIGINT)
          AS gap_seconds
 FROM best WHERE rn = 1
+"""
+
+# --- dedup ------------------------------------------------------------------
+
+
+def _shingle_ctes(k: int) -> str:
+    """Distinct k-word shingles per doc — mirrors dedup.word_shingles."""
+    terms = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(k))
+    return f"""
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= {k}
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - {k - 2}), i -> {terms})) AS shingle
+  FROM toks
+)
+""".strip()
+
+
+ORACLE_SQL["dedup_exact"] = """
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+ORACLE_SQL["dedup_ngram_jaccard"] = f"""
+WITH {_shingle_ctes(3)},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.08
+"""
+
+_MINHASH_N = 16
+_MINHASH_COLS = ", ".join(
+    f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(_MINHASH_N)
+)
+_MINHASH_BANDS_SQL = "\nUNION ALL\n".join(
+    "SELECT doc_id, {b} AS band, {key} AS bkey FROM sig".format(
+        b=b, key=" || '|' || ".join(f"h{4 * b + j}" for j in range(4))
+    )
+    for b in range(4)
+)
+_MINHASH_MATCHES = " + ".join(
+    f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(_MINHASH_N)
+)
+
+ORACLE_SQL["dedup_minhash_lsh"] = f"""
+WITH {_shingle_ctes(3)},
+sig AS (SELECT doc_id, {_MINHASH_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_MINHASH_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, ({_MINHASH_MATCHES}) / 16.0 AS est_jaccard
+FROM cand
+JOIN sig sa ON doc_a = sa.doc_id
+JOIN sig sb ON doc_b = sb.doc_id
+"""
+
+_SIMHASH_BITS = 32
+_SIMHASH_SUMS = ", ".join(
+    f"SUM(((h >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(_SIMHASH_BITS)
+)
+_SIMHASH_VALUE = " + ".join(
+    f"CASE WHEN b{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END"
+    for j in range(_SIMHASH_BITS)
+)
+
+_SIMHASH_CTES = f"""
+tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+th AS (SELECT doc_id, CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h FROM tok),
+bits AS (SELECT doc_id, {_SIMHASH_SUMS} FROM th GROUP BY doc_id),
+sim AS (SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM bits)
+""".strip()
+
+ORACLE_SQL["dedup_simhash"] = f"""
+WITH {_SIMHASH_CTES}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+ORACLE_SQL["text_simhash"] = f"""
+WITH {_SIMHASH_CTES}
+SELECT doc_id, simhash FROM sim
+"""
+
+# Quantized-embedding CTEs shared by the cosine queries. Integer dot
+# products are exact in any summation order → cosine is bit-identical.
+_QEMB_CTES = """
+q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, qv,
+         list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS nrm
+  FROM q
+)
+""".strip()
+
+ORACLE_SQL["dedup_embedding_cosine"] = f"""
+WITH {_QEMB_CTES}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[]))
+         / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[]))
+        / (sqrt(a.nrm) * sqrt(b.nrm)) >= 0.3
+"""
+
+# --- similarity search -------------------------------------------------------
+
+ORACLE_SQL["sim_topk_cosine"] = f"""
+WITH {_QEMB_CTES},
+queries AS (SELECT vec_id AS query_id, qv AS qq, nrm AS nq FROM n WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, a.vec_id AS neighbor_id,
+         list_dot_product(CAST(qq AS DOUBLE[]), CAST(a.qv AS DOUBLE[]))
+           / (sqrt(nq) * sqrt(a.nrm)) AS cosine
+  FROM n a CROSS JOIN queries
+  WHERE a.vec_id != query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 10
+"""
+
+# --- text analysis -----------------------------------------------------------
+
+ORACLE_SQL["text_stats"] = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         / len(string_split(text, ' ')) AS avg_token_len
+FROM documents
+"""
+
+ORACLE_SQL["text_quality_score"] = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE) AS nosp
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(list_filter(toks, x -> x IN ('a','the','of','and','in','to'))) AS DOUBLE)
+           / len(toks) AS stopword_ratio,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+         nosp / len(toks) AS avg_token_len
+  FROM t
+)
+SELECT doc_id, stopword_ratio, uniq_ratio, avg_token_len,
+       0.5 * stopword_ratio + 0.25 * uniq_ratio
+         + 0.25 * (least(avg_token_len, 8.0) / 8.0) AS quality_score
+FROM m
+"""
+
+ORACLE_SQL["text_langid"] = """
+WITH markers AS (
+  SELECT * FROM (VALUES
+    ('de', ['der','die','das','und','nicht']),
+    ('en', ['the','a','of','and','to']),
+    ('es', ['el','la','los','que','y']),
+    ('fr', ['le','la','les','et','une']),
+    ('zh', ['de','shi','bu','le','wo'])
+  ) AS v(cand_lang, marker_list)
+),
+scored AS (
+  SELECT doc_id, lang, cand_lang,
+         len(list_filter(string_split(text, ' '),
+                         x -> list_contains(marker_list, x))) AS score
+  FROM documents CROSS JOIN markers
+)
+SELECT doc_id, cand_lang AS predicted_lang, lang AS labeled_lang,
+       cand_lang = lang AS is_match
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, cand_lang ASC) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+ORACLE_SQL["text_fingerprint"] = f"""
+WITH {_shingle_ctes(5)}
+SELECT doc_id, MIN(md5(shingle)) AS fingerprint, COUNT(*) AS n_shingles
+FROM sh GROUP BY doc_id
+"""
+
+# --- multimodal --------------------------------------------------------------
+
+ORACLE_SQL["mm_metadata"] = """
+WITH payload AS (
+  SELECT doc_id, encode(text) AS content FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(octet_length(content) AS BIGINT) AS n_bytes,
+         substr(lower(hex(content)), 1, 8) AS magic_hex
+  FROM payload
+)
+SELECT doc_id, n_bytes, magic_hex,
+       CASE WHEN magic_hex LIKE 'ffd8%' THEN 'jpeg'
+            WHEN magic_hex = '89504e47' THEN 'png'
+            WHEN magic_hex LIKE '47494638%' THEN 'gif'
+            ELSE 'other' END AS kind
+FROM m
 """
 
 ORACLE_SQL["scan_extension_filter"] = """

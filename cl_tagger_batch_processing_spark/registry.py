@@ -71,3 +71,35 @@ register("distinct_brand_stats", relational.distinct_brand_stats)
 register("events_json_extract", relational.events_json_extract)
 register("asof_join_purchase_click", relational.asof_join_purchase_click)
 register("scan_extension_filter", relational.scan_extension_filter)
+
+# --- dedup / similarity / text / multimodal ---------------------------------
+
+from .operators import dedup, multimodal, similarity, text  # noqa: E402
+
+register("dedup_exact", dedup.dedup_exact)
+register("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard)
+register("dedup_minhash_lsh", dedup.dedup_minhash_lsh)
+register("dedup_simhash", dedup.dedup_simhash)
+register("dedup_embedding_cosine", dedup.dedup_embedding_cosine)
+register("text_simhash", dedup.simhash_signatures)
+
+register("sim_topk_cosine", similarity.sim_topk_cosine)
+register(
+    "sim_ann_lsh",
+    similarity.sim_ann_lsh,
+    no_oracle="approximate by construction (LSH bucketing); exact baseline "
+    "sim_topk_cosine carries the value oracle",
+)
+
+register("text_stats", text.text_stats)
+register("text_quality_score", text.text_quality_score)
+register("text_langid", text.text_langid)
+register("text_fingerprint", text.text_fingerprint)
+
+register("mm_metadata", multimodal.mm_metadata)
+register(
+    "mm_byte_histogram",
+    multimodal.mm_byte_histogram,
+    no_oracle="Arrow-batched mapInPandas feature extraction over binary "
+    "payloads; not SQL-expressible in DuckDB",
+)

@@ -1,0 +1,76 @@
+"""Unit tests for the dedup / similarity / text / multimodal operators —
+semantics the DuckDB parity check can't localize (edge cases, no-oracle ops)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cl_tagger_batch_processing_spark.operators import dedup, multimodal, similarity
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_word_shingles_short_docs_dropped(spark):
+    docs = _docs(spark, [(1, "a b"), (2, "a b c d")])
+    got = {(r.doc_id, r.shingle) for r in dedup.word_shingles(docs, k=3).collect()}
+    assert got == {(2, "a b c"), (2, "b c d")}
+
+
+def test_word_shingles_max_df_drops_hot(spark):
+    docs = _docs(spark, [(1, "x y z"), (2, "x y z"), (3, "x y z"), (4, "p q r")])
+    got = {(r.doc_id, r.shingle) for r in dedup.word_shingles(docs, k=3, max_df=2).collect()}
+    assert got == {(4, "p q r")}  # 'x y z' has df=3 > 2 → dropped
+
+
+def test_minhash_identical_docs_estimate_one(spark):
+    docs = _docs(spark, [(1, "a b c d e f"), (2, "a b c d e f"), (3, "q r s t u v")])
+    sh = dedup.word_shingles(docs, k=3)
+    sig = dedup.minhash_signatures(sh)
+    rows = {r.doc_id: [r[f"h{i}"] for i in range(16)] for r in sig.collect()}
+    assert rows[1] == rows[2]  # identical shingle sets → identical signatures
+    assert rows[1] != rows[3]
+
+
+def test_quantized_cosine_self_similarity(spark, sf_dir):
+    base = dedup.quantized_embeddings(spark, sf_dir).limit(5)
+    a = base.select(F.col("qv").alias("qa"), F.col("nrm").alias("na"))
+    cos = dedup.int_dot(F.col("qa"), F.col("qa")).cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("na").cast("double"))
+    )
+    vals = [r[0] for r in a.select(cos.alias("c")).collect()]
+    assert all(v == pytest.approx(1.0) for v in vals)
+
+
+def test_ann_lsh_subset_of_bruteforce_universe(spark, sf_dir):
+    ann = similarity.sim_ann_lsh(spark, sf_dir, top_k=5)
+    rows = ann.collect()
+    assert {r.query_id for r in rows} <= {0, 1, 2, 3, 4}
+    assert all(r.rank <= 5 for r in rows)
+    assert all(-1.0 <= r.cosine <= 1.0 for r in rows)
+    # LSH bucket mates of the query must rank identically to brute force on
+    # the same candidate set — spot-check monotone rank ordering per query.
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_binary_payload_roundtrip(spark):
+    docs = _docs(spark, [(1, "aaaa")])
+    rows = multimodal.with_binary_payload(docs).collect()
+    assert bytes(rows[0]["content"]) == b"aaaa"
+
+
+def test_byte_histogram_on_fixture(spark, sf_dir):
+    out = multimodal.mm_byte_histogram(spark, sf_dir)
+    rows = out.limit(3).collect()
+    for r in rows:
+        assert len(r.hist) == 16
+        assert sum(r.hist) > 0
+        assert 0.0 <= r.entropy <= 4.0  # 16 bins → max log2(16)=4 bits
