@@ -73,6 +73,24 @@ def tensorize_array(rgb_hwc_uint8: np.ndarray) -> np.ndarray:
     return ((arr - mean) / std).astype(np.float32)
 
 
+def fake_decode_bytes(content: bytes, size: int = 64) -> np.ndarray:
+    """DETERMINISTIC FAKE decode for containers without PIL: tiles the raw
+    bytes into a (size×size×3) uint8 "image" and runs the real tensorize
+    tail. Not a real image decode — it exists so the full pipeline
+    (binary column → mapInPandas → tensor → scores → tags) is exercised
+    end-to-end with reproducible values. Swap in ``preprocess_bytes`` when
+    PIL is available; nothing else changes."""
+    if len(content) < 4:
+        # models a truncated/corrupt image; also: Spark's file partitioner
+        # skips zero-length files entirely, so they never even reach here
+        raise ValueError("truncated payload")
+    raw = np.frombuffer(content, dtype=np.uint8)
+    need = size * size * 3
+    reps = -(-need // len(raw))  # ceil
+    tiled = np.tile(raw, reps)[:need].reshape(size, size, 3)
+    return tensorize_array(tiled)
+
+
 def preprocess_bytes(content: bytes, target_size=TARGET_SIZE) -> np.ndarray:
     """M1-M4 end-to-end: bytes → float32 CHW tensor. Requires PIL."""
     if not HAS_PIL:  # pragma: no cover

