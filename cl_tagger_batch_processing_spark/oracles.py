@@ -471,6 +471,46 @@ SELECT doc_id, MIN(md5(shingle)) AS fingerprint, COUNT(*) AS n_shingles
 FROM sh GROUP BY doc_id
 """
 
+# --- streaming ---------------------------------------------------------------
+
+ORACLE_SQL["stream_tumbling_counts"] = """
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_epoch,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+# Gap sessionization with exact-microsecond arithmetic; a 30-minute silence
+# (>= 1800s) closes the session — matches Spark session_window merge rules
+# (windows are [start, last+gap), merged while next.ts < current end).
+ORACLE_SQL["sessionize"] = """
+WITH o AS (
+  SELECT user_id, ts, value, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+m AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN prev IS NULL
+                OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM m
+)
+SELECT user_id,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM s
+GROUP BY user_id, sid
+"""
+
 # --- multimodal --------------------------------------------------------------
 
 ORACLE_SQL["mm_metadata"] = """

@@ -96,6 +96,19 @@ register("text_quality_score", text.text_quality_score)
 register("text_langid", text.text_langid)
 register("text_fingerprint", text.text_fingerprint)
 
+# --- streaming ---------------------------------------------------------------
+
+from .streaming import windows as streaming_windows  # noqa: E402
+
+register("stream_tumbling_counts", streaming_windows.stream_tumbling_counts)
+register(
+    "stream_session_counts",
+    streaming_windows.stream_session_counts,
+    no_oracle="append-mode watermark emits only finalized sessions; the "
+    "batch-equivalent 'sessionize' carries the value oracle",
+)
+register("sessionize", streaming_windows.sessionize)
+
 register("mm_metadata", multimodal.mm_metadata)
 register(
     "mm_byte_histogram",

@@ -1,0 +1,122 @@
+"""Streaming operators over the ``events`` fixture.
+
+The reference is strictly batch (SURVEY.md §2.8: no streaming at any line);
+this is the driver-mandated Structured Streaming extension. Three surfaces:
+
+* ``stream_tumbling_counts`` — a REAL ``readStream`` → windowed aggregation
+  → memory sink, driven to completion synchronously. Complete output mode
+  makes the result equal to the batch group-by, so it carries a value
+  oracle.
+* ``stream_session_counts`` — watermarked session windows in append mode:
+  the late-data path. Append emits only watermark-finalized sessions, so it
+  gets the rows-only check (the withheld tail is watermark policy, not a
+  bug).
+* ``sessionize`` — the same session semantics as a batch ``session_window``
+  aggregation (oracle: lag/cumsum gap sessionization with exact-microsecond
+  arithmetic).
+
+All sums run in exact DECIMAL (2-decimal fixture values) and cast to DOUBLE
+at the end; window starts are emitted as epoch seconds (timezone-proof).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+_EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+_counter = itertools.count()
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (parquet TIMESTAMP(NANOS)
+    read as epoch-nanos long per the legacy flag, then normalized)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(agg: DataFrame, output_mode: str) -> DataFrame:
+    name = f"stream_out_{next(_counter)}"
+    spark = agg.sparkSession
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type over a live stream; complete
+    mode ⇒ result set equals the batch aggregation (oracle-checked)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # epoch-aligned windows
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("sv"),
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.unix_timestamp("w.start").alias("window_start_epoch"),
+        "event_type",
+        "n",
+        F.col("sv").cast("double").alias("sum_value"),
+    )
+
+
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked session windows (30-min gap) per user in append mode —
+    the late-data policy surface. Only watermark-finalized sessions are
+    emitted (hence rows-only check, no value oracle)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        "user_id",
+        F.unix_timestamp("w.start").alias("session_start_epoch"),
+        "n_events",
+    )
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-sessionization via Spark's first-class ``session_window``:
+    sessions close after a 30-minute silence. One shuffle on (window, user).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("sv"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start_epoch"),
+            "n_events",
+            F.col("sv").cast("double").alias("sum_value"),
+        )
+    )

@@ -1,0 +1,58 @@
+"""Streaming semantics tests: batch/stream parity and watermark behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cl_tagger_batch_processing_spark.sources.tables import load_table
+from cl_tagger_batch_processing_spark.streaming import windows as sw
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    # Complete-mode streaming aggregation over a bounded source must equal
+    # the batch group-by — the batch/stream parity check (SURVEY.md §7 P4).
+    got = {
+        (r.window_start_epoch, r.event_type): (r.n, r.sum_value)
+        for r in sw.stream_tumbling_counts(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exp = {
+        (r.w, r.event_type): (r.n, r.sv)
+        for r in ev.groupBy(
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("bigint").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sv"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+def test_stream_session_counts_subset_of_batch(spark, sf_dir):
+    # Append mode withholds sessions not yet finalized by the watermark →
+    # emitted sessions must be a subset of the batch sessionization.
+    streamed = {
+        (r.user_id, r.session_start_epoch, r.n_events)
+        for r in sw.stream_session_counts(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.user_id, r.session_start_epoch, r.n_events)
+        for r in sw.sessionize(spark, sf_dir).collect()
+    }
+    assert streamed <= batch
+    assert len(streamed) > 0  # the watermark does finalize most of a month
+
+
+def test_sessionize_gap_semantics(spark, sf_dir):
+    # No two sessions of one user may start within the 30-min gap of the
+    # previous session's span; sessions are disjoint per user.
+    rows = sw.sessionize(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.session_start_epoch)
+    for starts in by_user.values():
+        starts.sort()
+        assert all(b - a >= 1800 for a, b in zip(starts, starts[1:]))
