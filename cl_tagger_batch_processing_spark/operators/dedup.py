@@ -127,13 +127,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(word_shingles(docs, k=3))
-    bands = []
-    for band in range(MINHASH_BANDS):
-        cols = [F.col(f"h{band * MINHASH_ROWS_PER_BAND + j}") for j in range(MINHASH_ROWS_PER_BAND)]
-        bands.append(
-            sig.select("doc_id", F.lit(band).alias("band"), F.concat_ws("|", *cols).alias("bkey"))
-        )
-    banded = reduce(lambda x, y: x.unionByName(y), bands)
+    # One scan of sig → 4 band rows per doc via explode (a union of 4
+    # selects would re-derive the whole signature subtree per branch).
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{band * MINHASH_ROWS_PER_BAND + j}")
+                        for j in range(MINHASH_ROWS_PER_BAND)
+                    ],
+                ).alias("bkey"),
+            )
+            for band in range(MINHASH_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, ["band", "bkey"])

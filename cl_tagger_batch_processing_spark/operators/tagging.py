@@ -202,10 +202,7 @@ def select_tags(
         .withColumn("tag", clean_tag_name(F.col("tag_name")))
         .select("image_id", "category", "tag_idx", "prob", "tag")
     )
-    top1 = top1_per_category(scored)
-    thresh = threshold_select(scored, gen_threshold, char_threshold)
-    selected = top1.unionByName(thresh)
-    out = ordered_tag_string(selected)
+    out = _select_tags_single_pass(scored, gen_threshold, char_threshold)
     if images is not None:
         out = (
             images.select("image_id")
@@ -214,6 +211,84 @@ def select_tags(
             .withColumn("tags_text", F.coalesce(F.col("tags_text"), F.lit("")))
         )
     return out
+
+
+def _select_tags_single_pass(
+    scored: DataFrame, gen_threshold: float, char_threshold: float
+) -> DataFrame:
+    """A1+F2+F3+A2 in ONE scan of the scores relation and two shuffles.
+
+    The naive plan (separate top-1 and threshold branches unioned before the
+    final aggregation) recomputes the exploded/joined scores relation per
+    branch — at 100 TB that relation (rows × num_tags) is the dominant cost,
+    so halving its materializations matters more than any small-side trick.
+    Here both selections are aggregate expressions of one
+    groupBy(image_id, category):
+
+    * ``best``  — conditional max(struct(prob, -tag_idx, …)) over the top-1
+      categories (argmax first-max tie-break, appV2.py:80);
+    * ``kept``  — collect_list of threshold-surviving (tag_idx, tag) structs
+      (collect_list drops the NULLs the `when` produces for rejected rows).
+
+    Both shuffles benefit from map-side partial aggregation; the final
+    groupBy(image_id) merges per-category arrays, sorts once, joins once.
+    """
+    threshold = F.when(
+        F.col("category").isin(GEN_THRESHOLD_CATEGORIES), F.lit(float(gen_threshold))
+    ).otherwise(F.lit(float(char_threshold)))
+    is_top1_cat = F.col("category").isin(TOP1_CATEGORIES)
+    keeps = (
+        ~is_top1_cat
+        & (F.col("prob") >= threshold)
+        & ~meta_blacklisted(F.col("category"), F.col("tag"))
+    )
+    per_cat = scored.groupBy("image_id", "category").agg(
+        F.max(
+            F.when(
+                is_top1_cat,
+                F.struct(
+                    F.col("prob").alias("prob"),
+                    (-F.col("tag_idx")).alias("neg_idx"),
+                    F.col("tag_idx").alias("tag_idx"),
+                    F.col("tag").alias("tag"),
+                ),
+            )
+        ).alias("best"),
+        F.collect_list(
+            F.when(keeps, F.struct(F.col("tag_idx").alias("tag_idx"), F.col("tag").alias("tag")))
+        ).alias("kept"),
+    )
+    rank = category_rank(F.col("category"))
+    items = F.concat(
+        F.when(
+            F.col("best").isNotNull(),
+            F.array(
+                F.struct(
+                    rank.alias("cat_rank"),
+                    F.col("best.tag_idx").alias("tag_idx"),
+                    F.col("best.tag").alias("tag"),
+                )
+            ),
+        ).otherwise(F.array().cast("array<struct<cat_rank:int,tag_idx:int,tag:string>>")),
+        F.transform(
+            F.col("kept"),
+            lambda s: F.struct(
+                rank.alias("cat_rank"), s["tag_idx"].alias("tag_idx"), s["tag"].alias("tag")
+            ),
+        ),
+    )
+    return (
+        per_cat.select("image_id", items.alias("items"))
+        .groupBy("image_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.flatten(F.collect_list("items"))), lambda s: s["tag"]
+                ),
+                ", ",
+            ).alias("tags_text")
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
