@@ -278,6 +278,53 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — all four combinations of the two keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+def above_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-aggregate join (the scalar-subquery shape): parts priced above
+    their brand's average. The brand average is a tiny aggregate → broadcast
+    back against the full table; no correlated re-execution."""
+    part = load_table(spark, sf_dir, "part")
+    brand_avg = part.groupBy("p_brand").agg(
+        (F.sum(_dec("p_retailprice")).cast("double") / F.count(F.lit(1))).alias("brand_avg")
+    )
+    return (
+        part.join(F.broadcast(brand_avg), "p_brand")
+        .where(F.col("p_retailprice") > F.col("brand_avg"))
+        .select("p_partkey", "p_brand", "p_retailprice", "brand_avg")
+    )
+
+
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide measures to long (measure, value) pairs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts beside the exact answer.
+    No value oracle: DuckDB's approx_count_distinct uses a different sketch,
+    so only the exact column would match — the rows-only check applies."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
 def scan_extension_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 — the reference's extension predicate (appV2.py:17,135) over a
     synthesized path column: keep paths whose lower-cased suffix is an image

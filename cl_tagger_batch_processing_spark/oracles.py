@@ -264,6 +264,88 @@ SELECT user_id, event_id, click_event_id,
 FROM best WHERE rn = 1
 """
 
+ORACLE_SQL["cube_agg"] = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+ORACLE_SQL["above_avg_parts"] = """
+WITH brand_avg AS (
+  SELECT p_brand,
+         CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+           AS brand_avg
+  FROM part GROUP BY p_brand
+)
+SELECT p_partkey, part.p_brand AS p_brand, p_retailprice, brand_avg
+FROM part JOIN brand_avg ON part.p_brand = brand_avg.p_brand
+WHERE p_retailprice > brand_avg
+"""
+
+ORACLE_SQL["unpivot_measures"] = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+"""
+
+# --- scalar-function surface (SURVEY.md §2.7) -------------------------------
+
+ORACLE_SQL["string_functions"] = """
+SELECT p_partkey,
+       lower(p_name) AS lower_name,
+       upper(p_name) AS upper_name,
+       substring(p_name, 1, 5) AS prefix5,
+       replace(p_name, ' ', '_') AS snake_name,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+       p_brand || '/' || p_type AS brand_type,
+       regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS brand_num,
+       string_split(p_type, ' ')[1] AS type_head,
+       contains(p_name, 'a') AS has_a
+FROM part
+"""
+
+ORACLE_SQL["date_functions"] = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mon,
+       CAST(day(o_orderdate) AS BIGINT) AS dom,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(o_orderdate AS DATE) + 30 AS due_date,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS BIGINT)
+         AS days_to_1999,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s
+FROM orders
+"""
+
+ORACLE_SQL["math_functions"] = """
+SELECT l_orderkey, l_linenumber,
+       abs(l_extendedprice - 30000.0) AS abs_dev,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+       CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+       l_extendedprice / 1000.0 AS kprice,
+       sqrt(l_extendedprice) AS sqrt_price,
+       CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+       l_orderkey % 7 AS key_mod7,
+       l_extendedprice * l_extendedprice AS price_sq,
+       greatest(l_quantity, 10.0) AS qty_floor10,
+       least(l_tax, l_discount) AS tax_disc_min
+FROM lineitem
+"""
+
+ORACLE_SQL["percentiles_by_priority"] = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+FROM orders
+GROUP BY o_orderpriority
+"""
+
 # --- dedup ------------------------------------------------------------------
 
 

@@ -107,9 +107,16 @@ def tag_images(
     scorer=None,
     decode: Callable[[bytes], np.ndarray] | None = None,
     batch_size: int = 32,
+    fail_on_empty: bool = False,
 ) -> DataFrame:
-    """The full reference pipeline → (path, tags_text, status, error)."""
+    """The full reference pipeline → (path, tags_text, status, error).
+
+    ``fail_on_empty`` reproduces the reference's empty-input abort (F5,
+    appV2.py:139-141); it costs one listing-only job, so it is opt-in.
+    """
     images = scan_images(spark, folder, recursive=recursive)
+    if fail_on_empty and images.isEmpty():
+        raise ValueError(f"no supported images found under {folder!r} (F5)")
     scored = score_images(images, scorer=scorer, decode=decode, batch_size=batch_size)
     ok = scored.where(F.col("status") == "ok")
     long_scores = ok.select(

@@ -72,6 +72,25 @@ register("events_json_extract", relational.events_json_extract)
 register("asof_join_purchase_click", relational.asof_join_purchase_click)
 register("scan_extension_filter", relational.scan_extension_filter)
 
+register("cube_agg", relational.cube_agg)
+register("above_avg_parts", relational.above_avg_parts)
+register("unpivot_measures", relational.unpivot_measures)
+register(
+    "approx_distinct",
+    relational.approx_distinct,
+    no_oracle="HyperLogLog++ sketch values are engine-specific; the exact "
+    "companion column is covered by distinct_brand_stats' oracle",
+)
+
+# --- scalar-function surface -------------------------------------------------
+
+from .functions import scalar  # noqa: E402
+
+register("string_functions", scalar.string_functions)
+register("date_functions", scalar.date_functions)
+register("math_functions", scalar.math_functions)
+register("percentiles_by_priority", scalar.percentiles_by_priority)
+
 # --- dedup / similarity / text / multimodal ---------------------------------
 
 from .operators import dedup, multimodal, similarity, text  # noqa: E402
