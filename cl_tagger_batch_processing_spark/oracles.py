@@ -291,6 +291,17 @@ UNION ALL
 SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
 """
 
+# Salting must be invisible in the result: the oracle is the PLAIN join.
+ORACLE_SQL["skew_salted_join"] = """
+WITH user_dim AS (
+  SELECT user_id, COUNT(*) AS user_events,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS user_value
+  FROM events GROUP BY user_id
+)
+SELECT event_id, e.user_id AS user_id, event_type, user_events, user_value
+FROM events e JOIN user_dim d ON e.user_id = d.user_id
+"""
+
 # --- scalar-function surface (SURVEY.md §2.7) -------------------------------
 
 ORACLE_SQL["string_functions"] = """

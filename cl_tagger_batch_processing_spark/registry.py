@@ -82,6 +82,10 @@ register(
     "companion column is covered by distinct_brand_stats' oracle",
 )
 
+from .operators import skew  # noqa: E402
+
+register("skew_salted_join", skew.skew_salted_join)
+
 # --- scalar-function surface -------------------------------------------------
 
 from .functions import scalar  # noqa: E402

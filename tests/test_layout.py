@@ -1,0 +1,72 @@
+"""Layout tests: salted-join equivalence + skew spreading, partition
+pruning, and shuffle-free bucketed joins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cl_tagger_batch_processing_spark.operators import skew
+from cl_tagger_batch_processing_spark.plans import inspect
+from cl_tagger_batch_processing_spark.sources.layout import (
+    write_bucketed,
+    write_partitioned,
+)
+from cl_tagger_batch_processing_spark.sources.tables import load_table
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    salted = skew.skew_salted_join(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("user_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("user_value"),
+    )
+    plain = ev.select("event_id", "user_id", "event_type").join(dim, "user_id")
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.select(salted.columns).collect())
+    )
+
+
+def test_salt_spreads_hot_key(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    salted = skew.salt_fact(ev, "event_id", n_salts=8)
+    per_salt = (
+        salted.where(F.col("user_id") == 0).groupBy("salt").count().collect()
+    )
+    assert len(per_salt) == 8  # one hot user's rows spread over all salts
+    counts = [r["count"] for r in per_salt]
+    assert max(counts) < sum(counts)  # no salt holds everything
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_by_year")
+    write_partitioned(orders, out, ["yr"])
+    df = spark.read.parquet(out).where(F.col("yr") == 1997).select("o_orderkey")
+    plan = inspect.full_plan(df)
+    assert "PartitionFilters: [isnotnull(yr" in plan.replace("#", "") or "PartitionFilters" in plan
+    # pruned scan must not read the other year directories
+    n_1997 = df.count()
+    total = spark.read.parquet(out).count()
+    assert 0 < n_1997 < total
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)  # stale location
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(orders.select("o_orderkey", "o_totalprice"), "b_orders", ["o_orderkey"])
+    write_bucketed(li.select("l_orderkey", "l_quantity"), "b_lineitem", ["l_orderkey"])
+    joined = spark.table("b_lineitem").join(
+        spark.table("b_orders").hint("merge"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    assert inspect.count_shuffles(joined) == 0  # bucket layout co-locates the join
+    assert joined.count() == li.count()
