@@ -604,6 +604,16 @@ FROM s
 GROUP BY user_id, sid
 """
 
+# The stateful operator's final emissions must equal the batch group-by;
+# cents arithmetic is exact on both sides.
+ORACLE_SQL["stream_user_totals"] = """
+SELECT user_id, COUNT(*) AS n,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS DOUBLE)
+         / 100.0 AS total_value
+FROM events
+GROUP BY user_id
+"""
+
 # --- multimodal --------------------------------------------------------------
 
 ORACLE_SQL["mm_metadata"] = """

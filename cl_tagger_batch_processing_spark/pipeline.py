@@ -145,3 +145,84 @@ def tag_images(
 def summarize(result: DataFrame) -> DataFrame:
     """A3 — success/failure counters (appV2.py:162,181-185,190)."""
     return result.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+def observe_status(result: DataFrame, name: str = "tagging_metrics"):
+    """A3 without a second pass: attach an Observation that accumulates the
+    success/failure counters during whatever action consumes ``result``.
+    Returns (df, observation); read ``observation.get`` after the action.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = result.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("n_ok"),
+        F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias("n_error"),
+    )
+    return observed, obs
+
+
+def score_images_predict_udf(
+    images: DataFrame,
+    scorer=None,
+    decode: Callable[[bytes], np.ndarray] | None = None,
+    batch_size: int = 32,
+    tensor_shape: tuple[int, int, int] = (3, 64, 64),
+) -> DataFrame:
+    """Alternative M5 using ``pyspark.ml.functions.predict_batch_udf`` —
+    the idiomatic Spark ML-serving path (SURVEY.md §2.3 M5): tensors flow as
+    a flat array column, the UDF reshapes per ``input_tensor_shapes``, and
+    the model object is constructed once per Python worker by
+    ``make_predict_fn``. Results are identical to ``score_images``.
+    """
+    from pyspark.ml.functions import predict_batch_udf
+    from pyspark.sql.types import ArrayType, FloatType
+
+    scorer = scorer or StubScorer()
+    decode_fn = decode or default_decode()
+
+    def decode_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            tensors, errors = [], []
+            for content in pdf["content"]:
+                try:
+                    tensors.append(decode_fn(bytes(content)).ravel().tolist())
+                    errors.append(None)
+                except Exception as e:  # noqa: BLE001 — per-row isolation
+                    tensors.append(None)
+                    errors.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "tensor": tensors,
+                    "status": ["error" if e else "ok" for e in errors],
+                    "error": errors,
+                }
+            )
+
+    decoded = images.select("path", "content").mapInPandas(
+        decode_stage, schema="path string, tensor array<float>, status string, error string"
+    )
+
+    def make_predict_fn():
+        # runs once per Python worker — the per-executor model init point
+        def predict(t: np.ndarray) -> np.ndarray:
+            return sigmoid_clip_np(scorer.score_batch(t.astype(np.float32)))
+
+        return predict
+
+    score_udf = predict_batch_udf(
+        make_predict_fn,
+        return_type=ArrayType(FloatType()),
+        batch_size=batch_size,
+        input_tensor_shapes=[list(tensor_shape)],
+    )
+    ok = decoded.where(F.col("status") == "ok").select(
+        "path", score_udf(F.col("tensor")).alias("probs"), "status", "error"
+    )
+    err = decoded.where(F.col("status") == "error").select(
+        "path", F.lit(None).cast("array<float>").alias("probs"), "status", "error"
+    )
+    return ok.unionByName(err)

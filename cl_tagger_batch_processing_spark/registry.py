@@ -132,6 +132,10 @@ register(
 )
 register("sessionize", streaming_windows.sessionize)
 
+from .streaming import stateful as streaming_stateful  # noqa: E402
+
+register("stream_user_totals", streaming_stateful.stream_user_totals)
+
 register("mm_metadata", multimodal.mm_metadata)
 register(
     "mm_byte_histogram",

@@ -67,6 +67,31 @@ def test_summarize_counters(spark, image_dir):
     assert counts == {"ok": 6, "error": 1}
 
 
+def test_predict_batch_udf_path_matches_mapinpandas(spark, image_dir):
+    from cl_tagger_batch_processing_spark.sources.images import scan_images
+
+    scorer = StubScorer(num_tags=64)
+    images = scan_images(spark, image_dir)
+    a = {r.path: r.probs for r in pipeline.score_images(images, scorer=scorer).collect()}
+    b = {
+        r.path: r.probs
+        for r in pipeline.score_images_predict_udf(images, scorer=scorer).collect()
+    }
+    assert a.keys() == b.keys()
+    for path in a:
+        if a[path] is None:
+            assert b[path] is None
+        else:
+            assert a[path] == pytest.approx(b[path], abs=1e-6)
+
+
+def test_observe_status_counters(spark, image_dir):
+    result = pipeline.tag_images(spark, image_dir, demo_tag_dim(spark))
+    observed, obs = pipeline.observe_status(result)
+    observed.write.format("noop").mode("overwrite").save()
+    assert obs.get == {"n_total": 7, "n_ok": 6, "n_error": 1}
+
+
 def test_score_images_prob_range_and_width(spark, image_dir):
     from cl_tagger_batch_processing_spark.sources.images import scan_images
 
