@@ -220,6 +220,62 @@ def dedup_simhash(
     )
 
 
+CLUSTER_EST_THRESHOLD = 0.5
+CLUSTER_MAX_ITERATIONS = 15
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = CLUSTER_MAX_ITERATIONS) -> DataFrame:
+    """Min-label propagation connected components (the dedup-cluster step).
+
+    ``nodes``: (doc_id); ``edges``: (a, b) undirected pairs. Each node starts
+    labeled with itself; every iteration pushes labels across edges and
+    keeps the minimum; convergence when no label changes. The loop is
+    driver-controlled but all data stays distributed; ``localCheckpoint``
+    truncates the lineage each round so plan size stays constant — the
+    standard shape for iterative algorithms on Spark (GraphX/GraphFrames do
+    the same under the hood).
+
+    Result: (doc_id, cluster_id) with cluster_id = min doc_id of the
+    component — deterministic.
+    """
+    both = edges.selectExpr("a", "b").union(edges.selectExpr("b AS a", "a AS b"))
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(max_iter):
+        prop = (
+            labels.join(both, labels.doc_id == both.a)
+            .select(F.col("b").alias("doc_id"), "cluster_id")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: MinHash-LSH candidate pairs with estimated
+    Jaccard ≥ 0.5 become edges; connected components give each doc a
+    cluster_id (singletons cluster with themselves)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .where(F.col("est_jaccard") >= CLUSTER_EST_THRESHOLD)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    return connected_components(docs.select("doc_id"), pairs)
+
+
 def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, qv, nrm): embeddings quantized to integers (×1000).
 

@@ -457,6 +457,37 @@ WITH {_SIMHASH_CTES}
 SELECT doc_id, simhash FROM sim
 """
 
+# Connected components as a recursive CTE: reach(a,b) is the transitive
+# closure over LSH candidate edges (est_jaccard >= 0.5); cluster_id is the
+# minimum reachable node. UNION (not UNION ALL) dedupes paths, so the
+# recursion terminates.
+ORACLE_SQL["dedup_clusters"] = f"""
+WITH RECURSIVE {_shingle_ctes(3)},
+sig AS (SELECT doc_id, {_MINHASH_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_MINHASH_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
+  WHERE ({_MINHASH_MATCHES}) / 16.0 >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+"""
+
 # Quantized-embedding CTEs shared by the cosine queries. Integer dot
 # products are exact in any summation order → cosine is bit-identical.
 _QEMB_CTES = """

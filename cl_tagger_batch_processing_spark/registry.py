@@ -105,6 +105,7 @@ register("dedup_minhash_lsh", dedup.dedup_minhash_lsh)
 register("dedup_simhash", dedup.dedup_simhash)
 register("dedup_embedding_cosine", dedup.dedup_embedding_cosine)
 register("text_simhash", dedup.simhash_signatures)
+register("dedup_clusters", dedup.dedup_clusters)
 
 register("sim_topk_cosine", similarity.sim_topk_cosine)
 register(

@@ -34,6 +34,14 @@ def test_minhash_identical_docs_estimate_one(spark):
     assert rows[1] != rows[3]
 
 
+def test_connected_components_known_graph(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "doc_id bigint")
+    # components: {0,1,2,3} (chain), {4,5}, {6} singleton
+    edges = spark.createDataFrame([(1, 2), (2, 3), (0, 3), (4, 5)], "a bigint, b bigint")
+    got = {r.doc_id: r.cluster_id for r in dedup.connected_components(nodes, edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}
+
+
 def test_quantized_cosine_self_similarity(spark, sf_dir):
     base = dedup.quantized_embeddings(spark, sf_dir).limit(5)
     a = base.select(F.col("qv").alias("qa"), F.col("nrm").alias("na"))
