@@ -42,16 +42,24 @@ DEFAULT_HAMMING_THRESHOLD = 6
 EMBED_QUANT_SCALE = 1000
 
 
-def word_shingles(docs: DataFrame, k: int = 3, max_df: int | None = None) -> DataFrame:
-    """Distinct k-word shingles per document: (doc_id, shingle).
+def word_shingles(
+    docs: DataFrame, k: int = 3, max_df: int | None = None, distinct: bool = True
+) -> DataFrame:
+    """k-word shingles per document: (doc_id, shingle).
 
     ``max_df`` drops shingles appearing in more than that many documents —
     the standard guard against quadratic blowup of hot shingles in the
-    posting-list join at scale.
+    posting-list join at scale. ``distinct=False`` skips the set-semantics
+    shuffle for consumers where duplicates don't change the answer
+    (MinHash: the min over a multiset equals the min over its set) —
+    per-partition dedup would only shrink shuffle bytes, but dropping the
+    exchange entirely is the bigger win.
     """
     toks = docs.select("doc_id", F.split("text", " ").alias("t")).where(F.size("t") >= k)
     gen = f"transform(sequence(0, size(t)-{k}), i -> concat_ws(' ', slice(t, i+1, {k})))"
-    sh = toks.select("doc_id", F.explode(F.expr(gen)).alias("shingle")).distinct()
+    sh = toks.select("doc_id", F.explode(F.expr(gen)).alias("shingle"))
+    if distinct:
+        sh = sh.distinct()
     if max_df is not None:
         hot = sh.groupBy("shingle").count().where(F.col("count") > max_df).select("shingle")
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
@@ -126,44 +134,46 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     join touches only bucket collisions; no all-pairs work.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(word_shingles(docs, k=3))
+    sig = minhash_signatures(word_shingles(docs, k=3, distinct=False)).select(
+        "doc_id",
+        F.array(*[F.col(f"h{i}") for i in range(MINHASH_NUM_HASHES)]).alias("sig"),
+    )
     # One scan of sig → 4 band rows per doc via explode (a union of 4
-    # selects would re-derive the whole signature subtree per branch).
+    # selects would re-derive the whole signature subtree per branch). The
+    # full signature ARRAY rides along with each band row so the estimated
+    # Jaccard can be computed directly on the join output — re-joining the
+    # signature table per pair side would execute the signature subtree two
+    # more times and add two shuffles.
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(band).alias("band"),
                 F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"h{band * MINHASH_ROWS_PER_BAND + j}")
-                        for j in range(MINHASH_ROWS_PER_BAND)
-                    ],
+                    "|", F.slice("sig", band * MINHASH_ROWS_PER_BAND + 1, MINHASH_ROWS_PER_BAND)
                 ).alias("bkey"),
             )
             for band in range(MINHASH_BANDS)
         ]
     )
-    banded = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    banded = sig.select("doc_id", "sig", F.explode(band_structs).alias("b")).select(
+        "doc_id", "sig", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
     )
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    est = F.size(
+        F.filter(F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y), lambda m: m)
+    ) / F.lit(float(MINHASH_NUM_HASHES))
+    # A pair colliding in several bands produces duplicate rows with an
+    # IDENTICAL estimate — max() is just the dedup.
+    return (
         a.join(b, ["band", "bkey"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(MINHASH_NUM_HASHES)])
-    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(MINHASH_NUM_HASHES)])
-    matches = reduce(
-        lambda x, y: x + y,
-        [F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(MINHASH_NUM_HASHES)],
-    )
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", (matches / F.lit(float(MINHASH_NUM_HASHES))).alias("est_jaccard"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            est.alias("est"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("est").alias("est_jaccard"))
     )
 
 
@@ -238,7 +248,15 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = CLU
     Result: (doc_id, cluster_id) with cluster_id = min doc_id of the
     component — deterministic.
     """
-    both = edges.selectExpr("a", "b").union(edges.selectExpr("b AS a", "a AS b"))
+    # Materialize the edge list ONCE, BEFORE mirroring: a union of the raw
+    # and swapped branches would execute the upstream pipeline that produced
+    # the edges twice (Spark does not dedupe common subtrees across a union),
+    # and without any checkpoint every label-propagation iteration would
+    # re-execute it again (for dedup_clusters that pipeline is the full
+    # MinHash-LSH candidate generation — at 100 TB that would be
+    # catastrophic; even at sf0.1 it dominated the runtime).
+    e = edges.selectExpr("a", "b").localCheckpoint(eager=True)
+    both = e.union(e.selectExpr("b AS a", "a AS b"))
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
     for _ in range(max_iter):
         prop = (

@@ -48,19 +48,38 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
 def _run_to_memory(agg: DataFrame, output_mode: str) -> DataFrame:
+    """Drive a bounded stream to completion into a memory sink.
+
+    Stateful streaming parallelism = shuffle partitions, fixed at query
+    start: every micro-batch pays one state-store instance (and, for
+    applyInPandasWithState, one Python worker) PER partition. The batch
+    default (32 here, thousands on a real cluster) is sized for data
+    volume, not for state-op fan-out, so we pin a smaller explicit value
+    for the streaming stages and restore the session conf afterwards. On a
+    real deployment this is the knob to size to state volume ÷ executor
+    memory, not to input bytes.
+    """
     name = f"stream_out_{next(_counter)}"
     spark = agg.sparkSession
-    q = (
-        agg.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
     try:
-        q.processAllAvailable()
+        q = (
+            agg.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
