@@ -85,3 +85,53 @@ def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload.mapInPandas(
         extract, schema="doc_id bigint, hist array<bigint>, entropy double"
     )
+
+
+FRAME_CHARS = 64
+FRAME_STRIDE = 4
+
+
+def decode_video_frames(content: bytes) -> list[bytes]:
+    """Real video decode would go here (no codec libs in this environment).
+
+    The Spark-side plumbing (schema, batch shape, sampling, hashing) is
+    exercised by the deterministic fake in ``mm_frame_sample``; swap this in
+    behind the same signature when a codec is available.
+    """
+    raise NotImplementedError("video codecs are not available in this environment")
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over "video" payloads via Arrow-batched mapInPandas:
+    split each payload into fixed-size frames, keep every FRAME_STRIDE-th,
+    emit (doc_id, frame_idx, frame_md5, n_frames) — one row per kept frame.
+
+    The decode step is a deterministic fake (fixed-width slices of the
+    payload text; see ``decode_video_frames`` for where a real codec plugs
+    in), which keeps the operator value-oracle-checkable: DuckDB reproduces
+    the slicing with substring arithmetic. The plan is the real thing —
+    binary column in, Arrow batches through Python, long-form feature rows
+    out, fully partition-parallel with no driver involvement.
+    """
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_idx, out_md5, out_n = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n_frames = (len(text) + FRAME_CHARS - 1) // FRAME_CHARS
+                for frame_idx in range(0, n_frames, FRAME_STRIDE):
+                    frame = text[frame_idx * FRAME_CHARS : (frame_idx + 1) * FRAME_CHARS]
+                    out_id.append(doc_id)
+                    out_idx.append(frame_idx)
+                    out_md5.append(hashlib.md5(frame.encode("utf-8")).hexdigest())
+                    out_n.append(n_frames)
+            yield pd.DataFrame(
+                {"doc_id": out_id, "frame_idx": out_idx, "frame_md5": out_md5, "n_frames": out_n}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        sample, schema="doc_id bigint, frame_idx bigint, frame_md5 string, n_frames bigint"
+    )

@@ -337,3 +337,130 @@ def scan_extension_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_path = docs.select("doc_id", path.alias("path"))
     suffix = F.lower(F.element_at(F.split(F.col("path"), "\\."), -1))
     return with_path.where(suffix.isin(image_exts))
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution via a left outer
+    join (customers with zero orders must appear) and two aggregations.
+
+    The first groupBy rides the join's own hash partitioning on the customer
+    key; the second is a tiny shuffle over the distinct counts.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose lineitem quantity total exceeds a
+    threshold (HAVING over a grouped sum), joined back to orders + customer.
+
+    The big-side aggregate runs FIRST and only qualifying order keys join
+    onward — the filter-early plan; customer is a broadcast dim.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_sq"))
+        .where(F.col("_sq") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+            F.col("_sq").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame surface: lag delta, 3-row moving sum/avg (ROWS BETWEEN 2
+    PRECEDING AND CURRENT ROW), and ntile(4) per customer's order history.
+
+    One shuffle on o_custkey serves all four functions (same window spec
+    family). The moving average divides an exact-decimal moving sum by the
+    frame row count so the doubles are bit-identical to the oracle's.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    order_spec = (F.asc("o_orderdate"), F.asc("o_orderkey"))  # unique tie-break
+    w = Window.partitionBy("o_custkey").orderBy(*order_spec)
+    frame = w.rowsBetween(-2, Window.currentRow)
+    mov_sum = F.sum(_dec("o_totalprice")).over(frame)
+    mov_n = F.count(F.lit(1)).over(frame)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        (_dec("o_totalprice") - F.lag(_dec("o_totalprice"), 1).over(w))
+        .cast("double")
+        .alias("delta_prev"),
+        mov_sum.cast("double").alias("moving_sum3"),
+        (mov_sum.cast("double") / mov_n).alias("moving_avg3"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS beyond rollup/cube: per-flag, per-status, and
+    grand-total groups in one pass, with grouping_id to disambiguate the
+    NULLs that mark "all" (SQL expression — the DataFrame API exposes only
+    rollup/cube)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+                 AS grp_id,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: for each purchase, the count and value of the
+    same user's clicks in the preceding 30 minutes.
+
+    The equi component (user_id) carries the shuffle; the range predicate is
+    evaluated inside the join. At scale the refinement is time-bucketing both
+    sides to bound the per-key pair space (join on (user, bucket) for the
+    buckets a 30-min window can span) — same shape as the LSH banding used in
+    dedup; unnecessary here because per-user event counts are small.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("pts")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("cts"), F.col("value").alias("cval")
+    )
+    cond = (
+        (purchases.user_id == clicks.c_user)
+        & (clicks.cts >= purchases.pts - F.expr("INTERVAL 30 MINUTES"))
+        & (clicks.cts < purchases.pts)
+    )
+    return (
+        purchases.join(clicks, cond, "left")
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.count("cts").alias("n_prior_clicks"),
+            F.sum(F.col("cval").cast("decimal(12,2)")).cast("double").alias("click_value"),
+        )
+    )

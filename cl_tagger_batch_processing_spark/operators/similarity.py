@@ -116,3 +116,83 @@ def sim_ann_lsh(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= top_k)
     )
+
+
+IVF_NUM_CELLS = 8
+IVF_NPROBE = 2
+
+
+def ivf_assign(base: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine, cell-id
+    tie-break): the IVF coarse quantizer. Centroids are a broadcast literal
+    dim; the argmax is a window over (vector × centroid) — linear in corpus
+    size times the (small, fixed) cell count, never corpus × corpus."""
+    cos = int_dot(F.col("cv"), F.col("qv")).cast("double") / (
+        F.sqrt(F.col("cn").cast("double")) * F.sqrt(F.col("nrm").cast("double"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell_id"))
+    return (
+        base.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "label", "qv", "nrm", "cell_id", cos.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "qv", "nrm", "cell_id")
+    )
+
+
+def sim_topk_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    top_k: int = DEFAULT_TOP_K,
+    num_queries: int = DEFAULT_NUM_QUERIES,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into cells,
+    probe only each query's ``nprobe`` closest cells, exact re-rank inside.
+
+    The scale path beside ``sim_ann_lsh``: candidate generation is an
+    equi-join on cell_id, so a 100× corpus grows the probed set linearly,
+    not quadratically. Centroids here are the first IVF_NUM_CELLS corpus
+    vectors (a deterministic stand-in for a k-means "training" step — the
+    partitioning plumbing, not the codebook quality, is what this operator
+    exercises); approximate by construction → rows-only check.
+    """
+    base = quantized_embeddings(spark, sf_dir)
+    centroids = base.where(F.col("vec_id") < IVF_NUM_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("qv").alias("cv"), F.col("nrm").alias("cn")
+    )
+    assigned = ivf_assign(base, centroids)
+
+    # Queries probe their nprobe nearest cells.
+    queries = base.where(F.col("vec_id") < num_queries)
+    qcos = int_dot(F.col("cv"), F.col("qv")).cast("double") / (
+        F.sqrt(F.col("cn").cast("double")) * F.sqrt(F.col("nrm").cast("double"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell_id"))
+    probed = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qv").alias("qq"),
+            F.col("nrm").alias("nq"),
+            "cell_id",
+            qcos.alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "qq", "nq", "cell_id")
+    )
+
+    cos = int_dot(F.col("qq"), F.col("qv")).cast("double") / (
+        F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("nrm").cast("double"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probed), "cell_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= top_k)
+    )

@@ -678,3 +678,88 @@ FROM with_path
 WHERE lower(regexp_extract(path, '\\.([^.]*)$', 1))
       IN ('jpg','jpeg','png','webp','bmp','gif')
 """
+
+# --- relational breadth (round-1 widening) ----------------------------------
+
+# Predicate lives in the join's ON clause: zero-order customers must survive.
+ORACLE_SQL["q13_customer_distribution"] = """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count
+"""
+
+ORACLE_SQL["q18_large_orders"] = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS _sq
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_totalprice,
+       CAST(b._sq AS DOUBLE) AS sum_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+ORACLE_SQL["window_frames"] = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2))
+            - lag(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER w AS DOUBLE)
+         AS delta_prev,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w3 AS DOUBLE)
+         AS moving_sum3,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w3 AS DOUBLE)
+         / COUNT(*) OVER w3 AS moving_avg3,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM orders
+WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLE_SQL["grouping_sets_agg"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+         AS grp_id,
+       count(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+ORACLE_SQL["range_join_events"] = """
+WITH p AS (SELECT event_id, user_id, ts AS pts FROM events
+           WHERE event_type = 'purchase'),
+     c AS (SELECT user_id AS c_user, ts AS cts, value AS cval FROM events
+           WHERE event_type = 'click')
+SELECT p.event_id, p.user_id,
+       count(c.cts) AS n_prior_clicks,
+       CAST(SUM(CAST(c.cval AS DECIMAL(12,2))) AS DOUBLE) AS click_value
+FROM p LEFT JOIN c
+  ON p.user_id = c.c_user
+ AND c.cts >= p.pts - INTERVAL 30 MINUTE
+ AND c.cts < p.pts
+GROUP BY p.event_id, p.user_id
+"""
+
+# Deterministic fake "frame decode": fixed-width char slices — DuckDB
+# reproduces the Python slicing with substring arithmetic, so this
+# mapInPandas operator still carries a full value oracle.
+ORACLE_SQL["mm_frame_sample"] = """
+WITH framed AS (
+  SELECT doc_id, text,
+         (length(text) + 63) // 64 AS n_frames,
+         unnest(range(0, (length(text) + 63) // 64, 4)) AS frame_idx
+  FROM documents
+)
+SELECT doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       md5(substring(text, CAST(frame_idx AS INTEGER) * 64 + 1, 64)) AS frame_md5,
+       CAST(n_frames AS BIGINT) AS n_frames
+FROM framed
+"""

@@ -73,6 +73,11 @@ register("asof_join_purchase_click", relational.asof_join_purchase_click)
 register("scan_extension_filter", relational.scan_extension_filter)
 
 register("cube_agg", relational.cube_agg)
+register("q13_customer_distribution", relational.q13_customer_distribution)
+register("q18_large_orders", relational.q18_large_orders)
+register("window_frames", relational.window_frames)
+register("grouping_sets_agg", relational.grouping_sets_agg)
+register("range_join_events", relational.range_join_events)
 register("above_avg_parts", relational.above_avg_parts)
 register("unpivot_measures", relational.unpivot_measures)
 register(
@@ -115,6 +120,13 @@ register(
     "sim_topk_cosine carries the value oracle",
 )
 
+register(
+    "sim_topk_ivf",
+    similarity.sim_topk_ivf,
+    no_oracle="approximate by construction (IVF cell probing); exact baseline "
+    "sim_topk_cosine carries the value oracle",
+)
+
 register("text_stats", text.text_stats)
 register("text_quality_score", text.text_quality_score)
 register("text_langid", text.text_langid)
@@ -138,6 +150,7 @@ from .streaming import stateful as streaming_stateful  # noqa: E402
 register("stream_user_totals", streaming_stateful.stream_user_totals)
 
 register("mm_metadata", multimodal.mm_metadata)
+register("mm_frame_sample", multimodal.mm_frame_sample)
 register(
     "mm_byte_histogram",
     multimodal.mm_byte_histogram,

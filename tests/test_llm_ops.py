@@ -82,3 +82,65 @@ def test_byte_histogram_on_fixture(spark, sf_dir):
         assert len(r.hist) == 16
         assert sum(r.hist) > 0
         assert 0.0 <= r.entropy <= 4.0  # 16 bins → max log2(16)=4 bits
+
+
+def test_ivf_recall_against_bruteforce(spark, sf_dir):
+    exact = similarity.sim_topk_cosine(spark, sf_dir, top_k=5)
+    ivf = similarity.sim_topk_ivf(spark, sf_dir, top_k=5)
+    rows = ivf.collect()
+    assert {r.query_id for r in rows} <= {0, 1, 2, 3, 4}
+    assert all(r.rank <= 5 for r in rows)
+    # cosine ordering must be monotone in rank within each query
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r.rank)
+        cs = [r.cosine for r in rs]
+        assert cs == sorted(cs, reverse=True)
+    # probed-cell search must find at least some of the true neighbors
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ivf_pairs = {(r.query_id, r.neighbor_id) for r in rows}
+    assert ivf_pairs & exact_pairs
+
+
+def test_ivf_assignment_covers_corpus(spark, sf_dir):
+    from cl_tagger_batch_processing_spark.operators.dedup import quantized_embeddings
+    from pyspark.sql import functions as F
+
+    base = quantized_embeddings(spark, sf_dir)
+    centroids = base.where(F.col("vec_id") < similarity.IVF_NUM_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("qv").alias("cv"), F.col("nrm").alias("cn")
+    )
+    assigned = similarity.ivf_assign(base, centroids)
+    n_base = base.count()
+    assert assigned.count() == n_base  # every vector lands in exactly one cell
+    cells = {r.cell_id for r in assigned.select("cell_id").distinct().collect()}
+    assert cells <= set(range(similarity.IVF_NUM_CELLS))
+    # a centroid's own vector must sit in its own cell (cosine 1 with itself)
+    own = {r.vec_id: r.cell_id for r in assigned.where(F.col("vec_id") < similarity.IVF_NUM_CELLS).collect()}
+    assert all(vec == cell for vec, cell in own.items())
+
+
+def test_frame_sample_matches_python(spark, sf_dir):
+    import hashlib
+
+    from cl_tagger_batch_processing_spark.operators.multimodal import (
+        FRAME_CHARS,
+        FRAME_STRIDE,
+        mm_frame_sample,
+    )
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+
+    out = {(r.doc_id, r.frame_idx): (r.frame_md5, r.n_frames) for r in mm_frame_sample(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(20).collect()
+    checked = 0
+    for row in docs:
+        text = row.text
+        n_frames = (len(text) + FRAME_CHARS - 1) // FRAME_CHARS
+        for idx in range(0, n_frames, FRAME_STRIDE):
+            frame = text[idx * FRAME_CHARS : (idx + 1) * FRAME_CHARS]
+            md5 = hashlib.md5(frame.encode()).hexdigest()
+            assert out[(row.doc_id, idx)] == (md5, n_frames)
+            checked += 1
+    assert checked > 0
