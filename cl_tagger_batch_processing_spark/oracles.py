@@ -763,3 +763,12 @@ SELECT doc_id,
        CAST(n_frames AS BIGINT) AS n_frames
 FROM framed
 """
+
+# The stream doubles every event (union with itself) before deduplicating on
+# event_id — so COUNT(DISTINCT event_id) is the oracle; a dedup regression
+# would double every count.
+ORACLE_SQL["stream_dedup_counts"] = """
+SELECT event_type, count(DISTINCT event_id) AS n
+FROM events
+GROUP BY event_type
+"""

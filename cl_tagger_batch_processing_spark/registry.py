@@ -144,6 +144,7 @@ register(
     "batch-equivalent 'sessionize' carries the value oracle",
 )
 register("sessionize", streaming_windows.sessionize)
+register("stream_dedup_counts", streaming_windows.stream_dedup_counts)
 
 from .streaming import stateful as streaming_stateful  # noqa: E402
 

@@ -139,3 +139,25 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sv").cast("double").alias("sum_value"),
         )
     )
+
+
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: the event stream unioned
+    with itself (every event arrives twice — the at-least-once delivery
+    model), deduplicated on event_id via ``dropDuplicatesWithinWatermark``,
+    then counted per type in complete mode.
+
+    ``dropDuplicatesWithinWatermark`` is the scale-correct choice over plain
+    ``dropDuplicates``: state for an event_id is dropped once the watermark
+    passes it, so state size tracks the watermark window, not the whole
+    stream history. Oracle: the batch COUNT(DISTINCT event_id) per type —
+    if dedup ever regressed, every count would double.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = events_stream(spark, sf_dir).select("event_id", "ts", "event_type")
+    doubled = ev.unionByName(ev)
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return _run_to_memory(agg, "complete")

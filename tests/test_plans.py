@@ -50,3 +50,39 @@ def test_scan_extension_filter_prunes_columns(spark, sf_dir):
     df = QUERIES["scan_extension_filter"](spark, sf_dir)
     schemas = inspect.read_schemas(df)
     assert schemas and all("text" not in s for s in schemas)  # text column not read
+
+
+def test_q18_aggregates_before_join(spark, sf_dir):
+    df = QUERIES["q18_large_orders"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    # the quantity aggregate must run below the joins (filter-early), and the
+    # customer dim must broadcast
+    assert inspect.count_operator(df, "BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+    schemas = inspect.read_schemas(df)
+    # lineitem scan reads only the two needed columns
+    assert any("l_orderkey" in s and "l_quantity" in s and "l_shipdate" not in s for s in schemas)
+
+
+def test_range_join_uses_equi_key_not_cartesian(spark, sf_dir):
+    df = QUERIES["range_join_events"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    # the user_id equi component must carry the join — the range predicate
+    # rides inside it, never a nested-loop over the full pair space
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_window_frames_single_shuffle(spark, sf_dir):
+    df = QUERIES["window_frames"](spark, sf_dir)
+    # all four window functions share one partitioning: exactly one exchange
+    assert inspect.count_shuffles(df) == 1
+
+
+def test_ivf_no_corpus_cross_join(spark, sf_dir):
+    df = QUERIES["sim_topk_ivf"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    # corpus never self-joins: the only nested-loop work is against the tiny
+    # broadcast centroid/query dims
+    assert "CartesianProduct" not in plan
+    assert inspect.count_operator(df, "SortMergeJoin") == 0

@@ -56,3 +56,16 @@ def test_sessionize_gap_semantics(spark, sf_dir):
     for starts in by_user.values():
         starts.sort()
         assert all(b - a >= 1800 for a, b in zip(starts, starts[1:]))
+
+
+def test_stream_dedup_counts_collapses_duplicates(spark, sf_dir):
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+    from cl_tagger_batch_processing_spark.streaming.windows import stream_dedup_counts
+
+    got = {(r.event_type, r.n) for r in stream_dedup_counts(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r.event_type, r.n)
+        for r in ev.groupBy("event_type").agg(F.count_distinct("event_id").alias("n")).collect()
+    }
+    assert got == want  # doubled input collapsed back to distinct counts
