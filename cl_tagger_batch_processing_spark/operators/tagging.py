@@ -216,22 +216,26 @@ def select_tags(
 def _select_tags_single_pass(
     scored: DataFrame, gen_threshold: float, char_threshold: float
 ) -> DataFrame:
-    """A1+F2+F3+A2 in ONE scan of the scores relation and two shuffles.
+    """A1+F2+F3+A2 in ONE scan of the scores relation and ONE shuffle.
 
     The naive plan (separate top-1 and threshold branches unioned before the
     final aggregation) recomputes the exploded/joined scores relation per
     branch — at 100 TB that relation (rows × num_tags) is the dominant cost,
     so halving its materializations matters more than any small-side trick.
-    Here both selections are aggregate expressions of one
-    groupBy(image_id, category):
+    Here everything is an aggregate expression of one groupBy(image_id):
 
-    * ``best``  — conditional max(struct(prob, -tag_idx, …)) over the top-1
-      categories (argmax first-max tie-break, appV2.py:80);
-    * ``kept``  — collect_list of threshold-surviving (tag_idx, tag) structs
-      (collect_list drops the NULLs the `when` produces for rejected rows).
+    * per top-1 category (rating, quality — a FIXED two-element set,
+      appV2.py:77): a conditional max(struct(prob, -tag_idx, …)) whose
+      struct comparison reproduces the argmax first-max tie-break
+      (appV2.py:80);
+    * ``kept`` — collect_list of threshold-surviving (cat_rank, tag_idx,
+      tag) structs; the `when` emits NULL for rejected rows and
+      collect_list drops NULLs, so the shuffle carries only SELECTED tags.
 
-    Both shuffles benefit from map-side partial aggregation; the final
-    groupBy(image_id) merges per-category arrays, sorts once, joins once.
+    The single exchange partitions by image_id; map-side partial
+    aggregation compacts each partition's contribution first. The final
+    array_sort on (cat_rank, tag_idx) makes the output order deterministic
+    (A2) — collect_list order alone is shuffle-dependent.
     """
     threshold = F.when(
         F.col("category").isin(GEN_THRESHOLD_CATEGORIES), F.lit(float(gen_threshold))
@@ -242,10 +246,11 @@ def _select_tags_single_pass(
         & (F.col("prob") >= threshold)
         & ~meta_blacklisted(F.col("category"), F.col("tag"))
     )
-    per_cat = scored.groupBy("image_id", "category").agg(
+    rank = category_rank(F.col("category"))
+    best_aggs = [
         F.max(
             F.when(
-                is_top1_cat,
+                F.col("category") == cat,
                 F.struct(
                     F.col("prob").alias("prob"),
                     (-F.col("tag_idx")).alias("neg_idx"),
@@ -253,41 +258,42 @@ def _select_tags_single_pass(
                     F.col("tag").alias("tag"),
                 ),
             )
-        ).alias("best"),
+        ).alias(f"best_{cat}")
+        for cat in TOP1_CATEGORIES
+    ]
+    per_image = scored.groupBy("image_id").agg(
+        *best_aggs,
         F.collect_list(
-            F.when(keeps, F.struct(F.col("tag_idx").alias("tag_idx"), F.col("tag").alias("tag")))
-        ).alias("kept"),
-    )
-    rank = category_rank(F.col("category"))
-    items = F.concat(
-        F.when(
-            F.col("best").isNotNull(),
-            F.array(
+            F.when(
+                keeps,
                 F.struct(
                     rank.alias("cat_rank"),
-                    F.col("best.tag_idx").alias("tag_idx"),
-                    F.col("best.tag").alias("tag"),
+                    F.col("tag_idx").alias("tag_idx"),
+                    F.col("tag").alias("tag"),
+                ),
+            )
+        ).alias("kept"),
+    )
+    empty = F.array().cast("array<struct<cat_rank:int,tag_idx:int,tag:string>>")
+    top1_arrays = [
+        F.when(
+            F.col(f"best_{cat}").isNotNull(),
+            F.array(
+                F.struct(
+                    F.lit(OUTPUT_CATEGORY_RANK[cat]).alias("cat_rank"),
+                    F.col(f"best_{cat}.tag_idx").alias("tag_idx"),
+                    F.col(f"best_{cat}.tag").alias("tag"),
                 )
             ),
-        ).otherwise(F.array().cast("array<struct<cat_rank:int,tag_idx:int,tag:string>>")),
-        F.transform(
-            F.col("kept"),
-            lambda s: F.struct(
-                rank.alias("cat_rank"), s["tag_idx"].alias("tag_idx"), s["tag"].alias("tag")
-            ),
-        ),
-    )
-    return (
-        per_cat.select("image_id", items.alias("items"))
-        .groupBy("image_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.flatten(F.collect_list("items"))), lambda s: s["tag"]
-                ),
-                ", ",
-            ).alias("tags_text")
-        )
+        ).otherwise(empty)
+        for cat in TOP1_CATEGORIES
+    ]
+    items = F.concat(*top1_arrays, F.col("kept"))
+    return per_image.select(
+        "image_id",
+        F.array_join(
+            F.transform(F.array_sort(items), lambda s: s["tag"]), ", "
+        ).alias("tags_text"),
     )
 
 
@@ -305,16 +311,23 @@ DEMO_LOGIT_SCALE = 100.0  # spreads sigmoid over (0,1) and exercises the ±30 cl
 
 def demo_tag_dim(spark: SparkSession) -> DataFrame:
     """Literal tag dimension: tag_idx 0..61, category = mod-8 bucket, names
-    with ``_`` (exercises P1) and some blacklisted meta names (exercises F3)."""
-    rows = []
-    for i in range(DEMO_TAG_COUNT):
-        cat = _CATEGORY_BY_MOD[i % 8]
-        if cat == "meta":
-            name = f"meta_id_{i}" if i % 16 == 5 else f"meta_plain_{i}"
-        else:
-            name = f"tag_{i}"
-        rows.append((i, name, cat))
-    return spark.createDataFrame(rows, "tag_idx int, tag_name string, category string")
+    with ``_`` (exercises P1) and some blacklisted meta names (exercises F3).
+
+    Derived JVM-side from ``spark.range`` — a driver ``createDataFrame``
+    would serialize Python rows through an RDD for every query invocation;
+    range + expressions is pure Catalyst (and constant-foldable)."""
+    i = F.col("id")
+    category = F.element_at(
+        F.array(*[F.lit(c) for c in _CATEGORY_BY_MOD]), (i % 8 + 1).cast("int")
+    )
+    name = (
+        F.when(i % 16 == 5, F.concat(F.lit("meta_id_"), i))
+        .when(i % 8 == 5, F.concat(F.lit("meta_plain_"), i))
+        .otherwise(F.concat(F.lit("tag_"), i))
+    )
+    return spark.range(DEMO_TAG_COUNT).select(
+        i.cast("int").alias("tag_idx"), name.alias("tag_name"), category.alias("category")
+    )
 
 
 def scores_from_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,8 +28,8 @@ def test_tag_select_broadcasts_dimension(spark, sf_dir):
     df = QUERIES["tag_select"](spark, sf_dir)
     assert inspect.count_operator(df, "BroadcastHashJoin") >= 1
     assert inspect.count_operator(df, "SortMergeJoin") == 0
-    # single-pass plan: exactly two aggregation shuffles and no join shuffle
-    assert inspect.count_shuffles(df) == 2
+    # single-pass plan: exactly one aggregation shuffle and no join shuffle
+    assert inspect.count_shuffles(df) == 1
 
 
 def test_asof_join_single_shuffle(spark, sf_dir):
