@@ -78,37 +78,30 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language ID: score each candidate language by marker
-    hits, pick the argmax (ties → alphabetically first language). Long-form
-    scoring (doc × candidate-language) + window, so the plan is one
-    broadcast join and one shuffle on doc_id."""
+    hits, pick the argmax (ties → alphabetically first language).
+
+    The candidate-language set is small and FIXED, so the scores are plain
+    columns and the argmax a row-local struct sort — ZERO shuffles, fully
+    whole-stage-codegen (the long-form alternative — explode doc × language
+    and window per doc — pays a crossJoin plus a doc_id exchange for
+    nothing). struct sort ascending on (-score, lang) ≡ score DESC,
+    lang ASC."""
     docs = load_table(spark, sf_dir, "documents")
-    markers = spark.createDataFrame(
-        [(lang, words) for lang, words in sorted(LANG_MARKERS.items())],
-        "cand_lang string, markers array<string>",
-    )
     tokens = F.split(F.col("text"), " ")
-    scored = (
-        docs.select("doc_id", "lang", tokens.alias("t"))
-        .crossJoin(F.broadcast(markers))
-        .select(
-            "doc_id",
-            "lang",
-            "cand_lang",
-            F.size(
-                F.filter(F.col("t"), lambda t: F.array_contains(F.col("markers"), t))
-            ).alias("score"),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand_lang"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            F.col("cand_lang").alias("predicted_lang"),
-            F.col("lang").alias("labeled_lang"),
-            (F.col("cand_lang") == F.col("lang")).alias("is_match"),
-        )
+    def marker_hits(words: list[str]):
+        marker_arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(tokens, lambda t: F.array_contains(marker_arr, t)))
+
+    entries = [
+        F.struct((-marker_hits(words)).alias("neg_score"), F.lit(lang).alias("cand_lang"))
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    predicted = F.array_sort(F.array(*entries))[0]["cand_lang"]
+    return docs.select(
+        "doc_id",
+        predicted.alias("predicted_lang"),
+        F.col("lang").alias("labeled_lang"),
+        (predicted == F.col("lang")).alias("is_match"),
     )
 
 
