@@ -111,18 +111,28 @@ def dedup_ngram_jaccard(
     )
 
 
-def minhash_signatures(sh: DataFrame, num_hashes: int = MINHASH_NUM_HASHES) -> DataFrame:
-    """MinHash signature per doc, one column per hash function.
+MINHASH_MOD = 2147483647  # 2^31 - 1 (prime)
 
-    Hash family i = md5("{i}:" + shingle); the minimum of the hex string is
-    taken lexicographically — deterministic and engine-portable. All
-    ``num_hashes`` minima are computed in a single grouped pass (agg columns,
-    not a row explosion)."""
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = MINHASH_NUM_HASHES) -> DataFrame:
+    """MinHash signature per doc, one bigint column per hash function.
+
+    Kirsch-Mitzenmacher construction: ONE md5 per shingle, split into two
+    32-bit halves (h1, h2); hash family i = (h1 + i*h2) mod (2^31-1). At
+    scale the hashing is the dominant MinHash cost — one digest per shingle
+    instead of ``num_hashes`` digests is a 16× cut with equivalent
+    collision behavior (Kirsch & Mitzenmacher 2006). All integer math,
+    bit-identical in any engine. All ``num_hashes`` minima come from a
+    single grouped pass (agg columns, not a row explosion)."""
+    m = F.md5("shingle")
+    h1 = F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(m, 9, 8), 16, 10).cast("bigint")
+    hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(MINHASH_MOD)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,7 +159,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(
                 F.lit(band).alias("band"),
                 F.concat_ws(
-                    "|", F.slice("sig", band * MINHASH_ROWS_PER_BAND + 1, MINHASH_ROWS_PER_BAND)
+                    "|",
+                    F.transform(
+                        F.slice("sig", band * MINHASH_ROWS_PER_BAND + 1, MINHASH_ROWS_PER_BAND),
+                        lambda x: x.cast("string"),
+                    ),
                 ).alias("bkey"),
             )
             for band in range(MINHASH_BANDS)

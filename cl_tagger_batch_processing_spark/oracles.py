@@ -400,12 +400,23 @@ WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.08
 """
 
 _MINHASH_N = 16
+# Kirsch-Mitzenmacher: one md5 per shingle split into two 32-bit halves,
+# hash family i = (h1 + i*h2) mod (2^31-1) — mirrors dedup.minhash_signatures.
+_MINHASH_HALVES = """
+mh AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) AS h2
+  FROM sh
+)
+""".strip()
 _MINHASH_COLS = ", ".join(
-    f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(_MINHASH_N)
+    f"min((h1 + {i} * h2) % 2147483647) AS h{i}" for i in range(_MINHASH_N)
 )
 _MINHASH_BANDS_SQL = "\nUNION ALL\n".join(
     "SELECT doc_id, {b} AS band, {key} AS bkey FROM sig".format(
-        b=b, key=" || '|' || ".join(f"h{4 * b + j}" for j in range(4))
+        b=b,
+        key=" || '|' || ".join(f"CAST(h{4 * b + j} AS VARCHAR)" for j in range(4)),
     )
     for b in range(4)
 )
@@ -415,7 +426,8 @@ _MINHASH_MATCHES = " + ".join(
 
 ORACLE_SQL["dedup_minhash_lsh"] = f"""
 WITH {_shingle_ctes(3)},
-sig AS (SELECT doc_id, {_MINHASH_COLS} FROM sh GROUP BY doc_id),
+{_MINHASH_HALVES},
+sig AS (SELECT doc_id, {_MINHASH_COLS} FROM mh GROUP BY doc_id),
 bands AS ({_MINHASH_BANDS_SQL}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -463,7 +475,8 @@ SELECT doc_id, simhash FROM sim
 # recursion terminates.
 ORACLE_SQL["dedup_clusters"] = f"""
 WITH RECURSIVE {_shingle_ctes(3)},
-sig AS (SELECT doc_id, {_MINHASH_COLS} FROM sh GROUP BY doc_id),
+{_MINHASH_HALVES},
+sig AS (SELECT doc_id, {_MINHASH_COLS} FROM mh GROUP BY doc_id),
 bands AS ({_MINHASH_BANDS_SQL}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
