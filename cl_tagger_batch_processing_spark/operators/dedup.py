@@ -91,7 +91,11 @@ def dedup_ngram_jaccard(
     integers, so the double division is bit-identical across engines.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, k=k)
+    # The shingle relation feeds three consumers (both self-join sides and
+    # the per-doc sizes); materialize it once instead of re-running the
+    # explode+distinct per consumer. At larger scale this would be a staged
+    # parquet write rather than executor-local checkpoint blocks.
+    sh = word_shingles(docs, k=k).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

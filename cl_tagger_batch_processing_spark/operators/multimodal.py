@@ -14,7 +14,6 @@ actual image decode lives in ``kernels.preprocess`` (PIL-gated).
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -66,17 +65,21 @@ def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = with_binary_payload(docs)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             hists = []
             entropies = []
             for content in pdf["content"]:
-                b = bytes(content)
-                hist = [0] * HIST_BINS
-                for byte in b:
-                    hist[byte * HIST_BINS // 256] += 1
-                n = len(b) or 1
-                ent = -sum((c / n) * math.log2(c / n) for c in hist if c)
-                hists.append(hist)
+                # NumPy, not a Python byte loop: the UDF cost must be
+                # O(bytes) in vectorized C, or the Python boundary becomes
+                # the pipeline bottleneck exactly as SURVEY §2.9 warns.
+                arr = np.frombuffer(bytes(content), dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=HIST_BINS)  # 256/16 bins
+                n = arr.size or 1
+                p = hist[hist > 0] / n
+                ent = float(-(p * np.log2(p)).sum())
+                hists.append(hist.tolist())
                 entropies.append(round(ent, 6))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "hist": hists, "entropy": entropies}
