@@ -117,7 +117,13 @@ def tag_images(
     images = scan_images(spark, folder, recursive=recursive)
     if fail_on_empty and images.isEmpty():
         raise ValueError(f"no supported images found under {folder!r} (F5)")
-    scored = score_images(images, scorer=scorer, decode=decode, batch_size=batch_size)
+    # Materialize the kernel output ONCE: it feeds three consumers (the ok
+    # branch, the error branch, and the zero-tag image list) and decode+
+    # score is the most expensive stage of the whole pipeline — without a
+    # checkpoint each consumer would re-execute the Python kernel.
+    scored = score_images(
+        images, scorer=scorer, decode=decode, batch_size=batch_size
+    ).localCheckpoint(eager=True)
     ok = scored.where(F.col("status") == "ok")
     long_scores = ok.select(
         F.col("path").alias("image_id"),
@@ -226,3 +232,51 @@ def score_images_predict_udf(
         "path", F.lit(None).cast("array<float>").alias("probs"), "status", "error"
     )
     return ok.unionByName(err)
+
+
+def pipeline_score_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL main() flow (appV2.py:103-191) as one registry
+    query over the fixtures: binary payloads (documents.text bytes standing
+    in for image files) → mapInPandas decode+score (fake decode +
+    StubScorer — deterministic, no PIL/onnxruntime needed) → posexplode →
+    broadcast-join tag selection → (path, tags_text, status, error).
+
+    Rows-only check: the kernel is float32 matmul whose accumulation order
+    is not SQL-expressible; the relational tail it feeds (select_tags) is
+    value-oracle-checked separately via tag_select, and the kernel itself
+    is golden-tested in test_kernels/test_pipeline.
+    """
+    from .operators.multimodal import with_binary_payload
+    from .operators.tagging import demo_tag_dim
+    from .sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    images = with_binary_payload(docs).select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".png")).alias("path"),
+        "content",
+    )
+    # One execution of the Python kernel for all three downstream consumers
+    # (same rationale as tag_images).
+    scored = score_images(
+        images, scorer=StubScorer(), decode=fake_decode_bytes
+    ).localCheckpoint(eager=True)
+    ok = scored.where(F.col("status") == "ok")
+    long_scores = ok.select(
+        F.col("path").alias("image_id"),
+        F.posexplode("probs").alias("tag_idx", "prob"),
+    ).select("image_id", "tag_idx", F.col("prob").cast("double").alias("prob"))
+    tagged = select_tags(
+        long_scores,
+        demo_tag_dim(spark),
+        images=ok.select(F.col("path").alias("image_id")),
+    )
+    result_ok = tagged.select(
+        F.col("image_id").alias("path"),
+        "tags_text",
+        F.lit("ok").alias("status"),
+        F.lit(None).cast("string").alias("error"),
+    )
+    result_err = scored.where(F.col("status") == "error").select(
+        "path", F.lit(None).cast("string").alias("tags_text"), "status", "error"
+    )
+    return result_ok.unionByName(result_err)

@@ -54,6 +54,21 @@ def _tag_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("tag_top1_rating_quality", _tag_top1)
 register("tag_threshold_filter", _tag_threshold)
 
+
+def _pipeline_score_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import pipeline_score_tag
+
+    return pipeline_score_tag(spark, sf_dir)
+
+
+register(
+    "pipeline_score_tag",
+    _pipeline_score_tag,
+    no_oracle="the float32 ML kernel (mean-pool + matmul) has no "
+    "SQL-expressible twin; the relational tail is value-checked via "
+    "tag_select and the kernel is golden-tested in pytest",
+)
+
 # --- relational surface -----------------------------------------------------
 
 from .operators import relational  # noqa: E402
