@@ -276,6 +276,11 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = CLU
     e = edges.selectExpr("a", "b").localCheckpoint(eager=True)
     both = e.union(e.selectExpr("b AS a", "a AS b"))
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    # Convergence check: labels only ever DECREASE (min-propagation), so the
+    # total label sum strictly decreases until the fixpoint — comparing sums
+    # between rounds detects change with one cheap agg over the checkpointed
+    # result instead of a per-round self-join + count.
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     for _ in range(max_iter):
         prop = (
             labels.join(both, labels.doc_id == both.a)
@@ -287,15 +292,11 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = CLU
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 
