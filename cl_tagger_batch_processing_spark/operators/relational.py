@@ -278,6 +278,204 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: priority counts of orders with a late-shipped line.
+
+    The fixtures carry no commit/receipt dates, so "late" = some lineitem
+    shipped more than 60 days after the order date. Physically a LEFT SEMI
+    join on the order key with the lateness predicate as join condition —
+    no lineitem duplication reaches the aggregate, and the orders-side
+    date filter pushes to the parquet scan.
+    """
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    return (
+        orders.join(li, (orders.o_orderkey == li.l_orderkey) & late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-scan filtered aggregate.
+
+    Every predicate and the 2-column projection push down to the parquet
+    scan; the single-group aggregate is one partial-agg + one 1-row
+    exchange. The canonical 'is pushdown working' probe.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.sum(_dec("l_extendedprice") * _dec("l_discount", _DEC_RATE))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            revenue.cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue flow between two nations by ship year.
+
+    Two broadcast-joined copies of the nation dim (supplier side and
+    customer side); only the big lineitem⋈orders join shuffles. The pair
+    filter keeps both directions (N1→N2 and N2→N1).
+    """
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n_s = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n_c = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.sum(_dec("l_extendedprice") * _one_minus("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_s), supp.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(n_c), cust.c_nationkey == F.col("cn_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(revenue.cast("double").alias("revenue"))
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue on returned items.
+
+    lineitem⋈orders shuffles on the order key; customer and nation
+    broadcast. Deterministic LIMIT via the unique c_custkey tie-break.
+    """
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.sum(_dec("l_extendedprice") * _one_minus("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share by ship month (conditional agg
+    over a broadcast part join). Numerator and denominator are exact
+    decimals; the single double division at the end is engine-portable."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc_price = _dec("l_extendedprice") * _one_minus("l_discount")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0).cast(_DEC_PRICE)))
+    total = F.sum(disc_price)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(promo.alias("_p"), total.alias("_t"))
+        .select(
+            "ship_month",
+            (F.lit(100.0) * F.col("_p").cast("double") / F.col("_t").cast("double")).alias(
+                "promo_pct"
+            ),
+            F.col("_t").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from unusually small orders of one brand.
+
+    The correlated AVG subquery becomes a per-part aggregate joined back to
+    the lineitems of the same parts. The comparison ``l_quantity <
+    0.2 * avg(l_quantity)`` is rewritten exactly in integers:
+    ``5 * qty * n_lines < sum_qty`` (all exact decimals) so no double
+    division can flip a boundary row between engines. Aggregating BEFORE
+    the join-back keeps the shuffled side small (filter-early, same trick
+    as Q18).
+    """
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    li = load_table(spark, sf_dir, "lineitem")
+    branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    per_part = branded.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_dec("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    small = (
+        F.lit(5).cast(_DEC_PRICE) * _dec("l_quantity") * F.col("n_lines")
+        < F.col("sum_qty")
+    )
+    return (
+        branded.join(F.broadcast(per_part), branded.l_partkey == F.col("pk"))
+        .where(small)
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich customers with no RECENT order, by nation.
+
+    The scalar AVG subquery is a 1-row broadcast cross join (stays a
+    BroadcastNestedLoopJoin over one row — no shuffle); the NOT EXISTS is a
+    LEFT ANTI join on the customer key. The threshold double is derived
+    from an exact decimal sum, so both engines compare against the same
+    value. "Idle" = no order since 2001-01-01 (the fixtures give every
+    customer at least one lifetime order, so the literal TPC-H NOT EXISTS
+    would be a 0-row degenerate query); the date filter pushes to the
+    orders scan, shrinking the anti join's build side.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("date")
+    )
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
 def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets — all four combinations of the two keys."""
     li = load_table(spark, sf_dir, "lineitem")

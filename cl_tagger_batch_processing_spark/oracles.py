@@ -785,3 +785,106 @@ SELECT event_type, count(DISTINCT event_id) AS n
 FROM events
 GROUP BY event_type
 """
+
+# --- TPC-H shapes q4/q6/q7/q10/q14/q17/q22 (fixture-adapted) ----------------
+# Same determinism discipline as q1-q18: money in exact DECIMAL, one final
+# cast to DOUBLE; quantity-vs-average comparisons rewritten in exact integer
+# form; year()/month() cast to INTEGER to match Spark's int.
+
+ORACLE_SQL["q4_order_priority"] = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+ORACLE_SQL["q6_forecast_revenue"] = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+              * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.02 AND l_discount <= 0.04
+  AND l_quantity < 24
+"""
+
+ORACLE_SQL["q7_volume_shipping"] = f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS ship_year,
+       CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE ns.n_name IN ('NATION_1','NATION_2')
+  AND nc.n_name IN ('NATION_1','NATION_2')
+  AND ns.n_name <> nc.n_name
+GROUP BY ns.n_name, nc.n_name, CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER)
+"""
+
+ORACLE_SQL["q10_returned_items"] = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+ORACLE_SQL["q14_promo_revenue"] = f"""
+SELECT CAST(EXTRACT(MONTH FROM l_shipdate) AS INTEGER) AS ship_month,
+       100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE}
+                             ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS promo_pct,
+       CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY CAST(EXTRACT(MONTH FROM l_shipdate) AS INTEGER)
+"""
+
+ORACLE_SQL["q17_small_quantity"] = """
+WITH branded AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'
+),
+per_part AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+         COUNT(*) AS n_lines
+  FROM branded GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_small_lines
+FROM branded JOIN per_part ON l_partkey = pk
+WHERE CAST(5 AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * n_lines < sum_qty
+"""
+
+ORACLE_SQL["q22_idle_customers"] = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+GROUP BY c_nationkey
+"""

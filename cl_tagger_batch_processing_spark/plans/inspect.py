@@ -26,10 +26,19 @@ def full_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().toString()
 
 
+def formatted_plan(df: DataFrame) -> str:
+    """`explain("formatted")` text — unlike plan toString(), scan details
+    (PushedFilters / ReadSchema) are printed in full, never truncated to
+    the maxFields line-length cap."""
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """Filter predicates that reached the parquet scan."""
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", full_plan(df)):
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df)):
         body = m.group(1).strip()
         if body:
             out.extend(p.strip() for p in body.split(","))
@@ -38,7 +47,7 @@ def pushed_filters(df: DataFrame) -> list[str]:
 
 def read_schemas(df: DataFrame) -> list[str]:
     """ReadSchema of each file scan — column pruning evidence."""
-    return re.findall(r"ReadSchema: (struct<[^\n]*)", full_plan(df))
+    return re.findall(r"ReadSchema: (struct<[^\n]*)", formatted_plan(df))
 
 
 def count_operator(df: DataFrame, operator: str) -> int:

@@ -88,6 +88,13 @@ register("asof_join_purchase_click", relational.asof_join_purchase_click)
 register("scan_extension_filter", relational.scan_extension_filter)
 
 register("cube_agg", relational.cube_agg)
+register("q4_order_priority", relational.q4_order_priority)
+register("q6_forecast_revenue", relational.q6_forecast_revenue)
+register("q7_volume_shipping", relational.q7_volume_shipping)
+register("q10_returned_items", relational.q10_returned_items)
+register("q14_promo_revenue", relational.q14_promo_revenue)
+register("q17_small_quantity", relational.q17_small_quantity)
+register("q22_idle_customers", relational.q22_idle_customers)
 register("q13_customer_distribution", relational.q13_customer_distribution)
 register("q18_large_orders", relational.q18_large_orders)
 register("window_frames", relational.window_frames)

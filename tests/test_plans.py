@@ -86,3 +86,42 @@ def test_ivf_no_corpus_cross_join(spark, sf_dir):
     # broadcast centroid/query dims
     assert "CartesianProduct" not in plan
     assert inspect.count_operator(df, "SortMergeJoin") == 0
+
+
+def test_q6_full_pushdown_single_scan(spark, sf_dir):
+    df = QUERIES["q6_forecast_revenue"](spark, sf_dir)
+    pushed = " ".join(inspect.pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    schemas = inspect.read_schemas(df)
+    # projection pruned to the needed columns — no full-schema scan
+    assert schemas and all("l_orderkey" not in s and "l_tax" not in s for s in schemas)
+    # single-group agg: one partial agg + one 1-row exchange, no joins
+    assert inspect.count_operator(df, "Join") == 0
+
+
+def test_q7_only_fact_join_shuffles(spark, sf_dir):
+    df = QUERIES["q7_volume_shipping"](spark, sf_dir)
+    # supplier/customer/nation all broadcast; no sort-merge join anywhere
+    assert inspect.count_operator(df, "BroadcastHashJoin") >= 4
+    assert inspect.count_operator(df, "SortMergeJoin") == 0
+
+
+def test_q4_semi_join_no_duplication(spark, sf_dir):
+    df = QUERIES["q4_order_priority"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert "LeftSemi" in plan
+    pushed = " ".join(inspect.pushed_filters(df))
+    assert "o_orderdate" in pushed  # date window reached the orders scan
+
+
+def test_q17_aggregates_before_joinback(spark, sf_dir):
+    df = QUERIES["q17_small_quantity"](spark, sf_dir)
+    assert inspect.count_operator(df, "BroadcastHashJoin") >= 2
+    assert inspect.count_operator(df, "SortMergeJoin") == 0
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    df = QUERIES["q22_idle_customers"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert "LeftAnti" in plan
+    assert inspect.count_operator(df, "SortMergeJoin") == 0
