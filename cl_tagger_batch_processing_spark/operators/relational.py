@@ -278,6 +278,50 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part minimum-cost supplier (correlated MIN).
+
+    The fixtures have no partsupp, so the offer relation is derived from
+    lineitem: cost(part, supp) = MIN(l_extendedprice) observed — exact
+    2-decimal, so the min-equality join-back cannot be split by float
+    noise. One shuffle builds the (part, supp) aggregate; the per-part min
+    is a window over the SAME partitioning (no second exchange), then the
+    supplier/nation dims broadcast. All tied minimum suppliers are kept,
+    exactly like TPC-H Q2's correlated subquery.
+    """
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "SMALL")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    # One shuffle for BOTH the (part,supp) aggregate and the per-part window:
+    # hash-partitioning on l_partkey alone satisfies the clustered
+    # distribution of groupBy(l_partkey, l_suppkey) AND of the window, so
+    # neither inserts its own exchange. (groupBy first would shuffle on the
+    # pair, which the partkey-only window can NOT reuse → two exchanges.)
+    offers = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(_dec("l_extendedprice")).alias("cost"))
+    )
+    min_cost = F.min("cost").over(Window.partitionBy("l_partkey"))
+    return (
+        offers.withColumn("min_cost", min_cost)
+        .where(F.col("cost") == F.col("min_cost"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.col("cost").cast("double").alias("min_cost"),
+            "s_name",
+            "n_name",
+        )
+    )
+
+
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: priority counts of orders with a late-shipped line.
 
@@ -473,6 +517,277 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_custs"),
             F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
         )
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market by year.
+
+    Share of NATION_1 suppliers in ECONOMY-part revenue bought by
+    ASIA-region customers. Five dimension joins all broadcast; only
+    lineitem⋈orders shuffles. Numerator/denominator in exact decimal, one
+    double division at the end.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n_c = nation.select("n_nationkey", "n_regionkey")
+    n_s = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    disc_price = _dec("l_extendedprice") * _one_minus("l_discount")
+    zero = F.lit(0).cast(_DEC_PRICE)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_c), cust.c_nationkey == n_c.n_nationkey)
+        .join(F.broadcast(region), n_c.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_s), supp.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", disc_price).otherwise(zero)).alias("_n"),
+            F.sum(disc_price).alias("_d"),
+        )
+        .select(
+            "order_year",
+            (F.col("_n").cast("double") / F.col("_d").cast("double")).alias("mkt_share"),
+            F.col("_d").cast("double").alias("region_revenue"),
+        )
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for a part
+    name pattern. No partsupp/supplycost in the fixtures, so profit =
+    discounted revenue. The `contains` filter prunes part BEFORE the
+    broadcast; supplier/nation broadcast too — only lineitem⋈orders
+    shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").contains("widget"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = F.sum(_dec("l_extendedprice") * _one_minus("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("order_year"))
+        .agg(profit.cast("double").alias("profit"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional priority counts over late lines.
+
+    The fixtures have no shipmode/commit/receipt dates: the group key is
+    l_linestatus and "late" = shipped >60 days after order date. The
+    priority CASE collapses to two conditional sums computed in one pass —
+    the same one-join one-agg plan as the original."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with maximum quarterly revenue.
+
+    The CTE-with-MAX becomes: per-supplier decimal aggregate → 1-row MAX →
+    broadcast equality join-back (exact decimal compare, so ties are real
+    ties, not float accidents). The supplier dim broadcasts onto the
+    winners."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_dec("l_extendedprice") * _one_minus("l_discount")).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per part attribute class,
+    excluding a supplier blocklist.
+
+    The partsupp stand-in is the DISTINCT (l_partkey, l_suppkey) pairs of
+    lineitem (one shuffle, map-side partial distinct). The NOT IN becomes
+    a LEFT ANTI against the blocklisted suppliers (name ending in '7');
+    part filters prune the broadcast side before the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_name").endswith("7")
+    ).select("s_suppkey")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), pairs.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate across both join sides.
+
+    The classic CNF-conversion test: Catalyst extracts the common
+    join key and pushes the derivable single-side conjuncts
+    (brand/size disjunction to the part scan, quantity range to the
+    lineitem scan) while keeping the cross-side residual on the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    clause = (
+        ((b == "Brand#1") & s.between(1, 10) & q.between(1, 11))
+        | ((b == "Brand#2") & s.between(11, 20) & q.between(10, 20))
+        | ((b == "Brand#3") & s.between(21, 30) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(clause)
+        .agg(
+            F.sum(_dec("l_extendedprice") * _one_minus("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers qualified by an aggregate-filtered
+    subquery, restricted to nations.
+
+    "Shipped >50 units of some red part during 1997" — the HAVING aggregate
+    runs on the (supp, part) grain first, then collapses to a distinct
+    supplier set that LEFT SEMI-prunes the supplier dim. Nation filter
+    broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    red = load_table(spark, sf_dir, "part").where(F.col("p_name").startswith("red"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_6")
+    )
+    bulk = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(bulk, supp.s_suppkey == bulk.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the double-correlated EXISTS/NOT EXISTS self-join.
+
+    Suppliers in NATION_1 who were the ONLY late supplier on a finished
+    multi-supplier order ("late" = shipped >60 days after order date).
+    The EXISTS (another supplier touched the order) is a LEFT SEMI on the
+    order key with a supplier-inequality residual; the NOT EXISTS (no
+    other supplier was late) is a LEFT ANTI with the lateness predicate
+    folded into the join condition. Both self-joins reuse the lineitem
+    shuffle on l_orderkey."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("o3_key"),
+        F.col("l_suppkey").alias("s3_key"),
+        F.col("l_shipdate").alias("ship3"),
+    )
+    late1 = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    late3 = F.col("ship3") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    return (
+        l1.join(orders, l1.l_orderkey == orders.o_orderkey)
+        .where(late1)
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2_key"))
+            & (F.col("l_suppkey") != F.col("s2_key")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3_key"))
+            & (F.col("l_suppkey") != F.col("s3_key"))
+            & late3,
+            "left_anti",
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups exceeding a fraction of the global total.
+
+    Per-part revenue vs a scalar threshold derived from the SAME aggregate
+    (1.2× the mean part share — SF-invariant, unlike Q11's hardcoded
+    0.0001/SF). The total+count is a second 1-row aggregate over the
+    per-part relation, broadcast back; both sides compute the threshold
+    identically in double from exact decimal inputs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pp = li.groupBy("l_partkey").agg(
+        F.sum(_dec("l_extendedprice") * _one_minus("l_discount")).alias("_v")
+    )
+    tot = pp.agg(F.sum("_v").alias("_t"), F.count(F.lit(1)).alias("_np"))
+    return (
+        pp.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("_v").cast("double")
+            > F.lit(1.2) * F.col("_t").cast("double") / F.col("_np")
+        )
+        .select("l_partkey", F.col("_v").cast("double").alias("part_value"))
     )
 
 

@@ -888,3 +888,140 @@ WHERE c_acctbal > avg_bal
                   AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
 GROUP BY c_nationkey
 """
+
+# --- TPC-H shapes q2/q8/q9/q11/q12/q15/q16/q19/q20/q21 (fixture-adapted:
+# no partsupp table, no shipmode/commit/receipt dates — see the operator
+# docstrings for the mapping; the physical shapes are preserved).
+
+ORACLE_SQL["q2_min_cost_supplier"] = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size <= 15 AND p_type = 'SMALL'
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+       CAST(cost AS DOUBLE) AS min_cost, s_name, n_name
+FROM offers o
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE cost = (SELECT MIN(cost) FROM offers o2 WHERE o2.l_partkey = o.l_partkey)
+"""
+
+ORACLE_SQL["q8_market_share"] = f"""
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+       CAST(SUM(CASE WHEN ns.n_name = 'NATION_1' THEN {_DISC_PRICE}
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         / CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS mkt_share,
+       CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS region_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region ON nc.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+GROUP BY CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER)
+"""
+
+ORACLE_SQL["q9_product_profit"] = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+       CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS profit,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER)
+"""
+
+ORACLE_SQL["q12_late_priority"] = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus
+"""
+
+ORACLE_SQL["q15_top_supplier"] = f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({_DISC_PRICE}) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT l_suppkey AS s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+ORACLE_SQL["q16_supplier_counts"] = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1,4,9,16,25,36,49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+GROUP BY p_brand, p_type, p_size
+"""
+
+ORACLE_SQL["q19_disjunctive_revenue"] = f"""
+SELECT CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 21 AND 30 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+ORACLE_SQL["q20_bulk_suppliers"] = """
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_1','NATION_6')
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'red%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 50)
+"""
+
+ORACLE_SQL["q21_waiting_suppliers"] = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F' AND n_name = 'NATION_1'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+"""
+
+ORACLE_SQL["q11_important_parts"] = f"""
+WITH pp AS (
+  SELECT l_partkey, SUM({_DISC_PRICE}) AS v
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT SUM(v) AS t, COUNT(*) AS np FROM pp)
+SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+FROM pp, tot
+WHERE CAST(v AS DOUBLE) > 1.2 * CAST(t AS DOUBLE) / np
+"""

@@ -88,7 +88,17 @@ register("asof_join_purchase_click", relational.asof_join_purchase_click)
 register("scan_extension_filter", relational.scan_extension_filter)
 
 register("cube_agg", relational.cube_agg)
+register("q2_min_cost_supplier", relational.q2_min_cost_supplier)
 register("q4_order_priority", relational.q4_order_priority)
+register("q8_market_share", relational.q8_market_share)
+register("q9_product_profit", relational.q9_product_profit)
+register("q11_important_parts", relational.q11_important_parts)
+register("q12_late_priority", relational.q12_late_priority)
+register("q15_top_supplier", relational.q15_top_supplier)
+register("q16_supplier_counts", relational.q16_supplier_counts)
+register("q19_disjunctive_revenue", relational.q19_disjunctive_revenue)
+register("q20_bulk_suppliers", relational.q20_bulk_suppliers)
+register("q21_waiting_suppliers", relational.q21_waiting_suppliers)
 register("q6_forecast_revenue", relational.q6_forecast_revenue)
 register("q7_volume_shipping", relational.q7_volume_shipping)
 register("q10_returned_items", relational.q10_returned_items)

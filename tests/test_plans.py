@@ -125,3 +125,37 @@ def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
     plan = inspect.executed_plan(df)
     assert "LeftAnti" in plan
     assert inspect.count_operator(df, "SortMergeJoin") == 0
+
+
+def test_q2_window_reuses_agg_partitioning(spark, sf_dir):
+    df = QUERIES["q2_min_cost_supplier"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    # one exchange builds the (part,supp) agg; the per-part window min must
+    # NOT add a second shuffle (hashpartitioning on l_partkey is a subset)
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert inspect.count_operator(df, "SortMergeJoin") == 0
+
+
+def test_q15_max_joinback_no_sortmerge(spark, sf_dir):
+    df = QUERIES["q15_top_supplier"](spark, sf_dir)
+    assert inspect.count_operator(df, "SortMergeJoin") == 0
+
+
+def test_q16_anti_join_blocklist(spark, sf_dir):
+    df = QUERIES["q16_supplier_counts"](spark, sf_dir)
+    assert "LeftAnti" in inspect.executed_plan(df)
+
+
+def test_q19_pushes_derivable_conjuncts(spark, sf_dir):
+    df = QUERIES["q19_disjunctive_revenue"](spark, sf_dir)
+    pushed = " ".join(inspect.pushed_filters(df))
+    # the quantity bound derivable from the OR-of-ANDs reaches the lineitem
+    # scan, and the brand/size disjunction reaches the part scan
+    assert "l_quantity" in pushed
+    assert "p_brand" in pushed or "p_size" in pushed
+
+
+def test_q21_semi_and_anti_self_joins(spark, sf_dir):
+    df = QUERIES["q21_waiting_suppliers"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
