@@ -159,3 +159,20 @@ def test_q21_semi_and_anti_self_joins(spark, sf_dir):
     df = QUERIES["q21_waiting_suppliers"](spark, sf_dir)
     plan = inspect.executed_plan(df)
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_jvm_only_hot_paths(spark, sf_dir):
+    # the claimed JVM-side operators must stay whole-stage-codegen'able:
+    # no row-at-a-time or Arrow Python evaluation node anywhere in the plan
+    for name in [
+        "tag_select",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "text_langid",
+        "text_quality_score",
+        "text_fingerprint",
+        "sim_topk_cosine",
+    ]:
+        plan = inspect.executed_plan(QUERIES[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
