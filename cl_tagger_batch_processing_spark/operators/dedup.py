@@ -275,7 +275,14 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = CLU
     # catastrophic; even at sf0.1 it dominated the runtime).
     e = edges.selectExpr("a", "b").localCheckpoint(eager=True)
     both = e.union(e.selectExpr("b AS a", "a AS b"))
-    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    # Only edge-incident nodes can ever change label: a node in no edge IS
+    # its own singleton cluster by construction. Iterating over just the
+    # edge endpoints makes each round's relation scale with the number of
+    # NEAR-DUP nodes (tiny, even when the corpus is 100 TB) instead of the
+    # corpus; singletons are welded back on with one anti join at the end.
+    labels = both.select(F.col("a").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    ).localCheckpoint(eager=True)
     # Convergence check: labels only ever DECREASE (min-propagation), so the
     # total label sum strictly decreases until the fixpoint — comparing sums
     # between rounds detects change with one cheap agg over the checkpointed
@@ -297,7 +304,12 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = CLU
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    return labels
+    singletons = (
+        nodes.select("doc_id")
+        .join(labels, "doc_id", "left_anti")
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    return labels.unionByName(singletons)
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
