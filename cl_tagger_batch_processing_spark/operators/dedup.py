@@ -40,6 +40,14 @@ DEFAULT_JACCARD_THRESHOLD = 0.08
 DEFAULT_COSINE_THRESHOLD = 0.3
 DEFAULT_HAMMING_THRESHOLD = 6
 EMBED_QUANT_SCALE = 1000
+# Hot-shingle cap (document frequency). A shingle shared by n docs yields
+# n² candidate pairs in the posting-list join, so one viral shingle melts
+# the shuffle at corpus scale. 1000 is far above any real near-dup cluster
+# (those share MANY shingles at df ≈ cluster size, tens not thousands) and
+# far below boilerplate blast radius, so recall is unaffected while the
+# worst posting list is bounded at 10⁶ pairs. Absolute, not a corpus
+# fraction: keeps the query deterministic and SF-independent.
+DEFAULT_MAX_DF = 1000
 
 
 def word_shingles(
@@ -47,9 +55,11 @@ def word_shingles(
 ) -> DataFrame:
     """k-word shingles per document: (doc_id, shingle).
 
-    ``max_df`` drops shingles appearing in more than that many documents —
-    the standard guard against quadratic blowup of hot shingles in the
-    posting-list join at scale. ``distinct=False`` skips the set-semantics
+    ``max_df`` drops shingles whose DOCUMENT frequency (countDistinct of
+    doc_id, regardless of ``distinct``) exceeds the cap — the standard
+    guard against quadratic blowup of hot shingles in the posting-list
+    join at scale: a single shingle shared by n documents contributes
+    n² candidate pairs. ``distinct=False`` skips the set-semantics
     shuffle for consumers where duplicates don't change the answer
     (MinHash: the min over a multiset equals the min over its set) —
     per-partition dedup would only shrink shuffle bytes, but dropping the
@@ -61,8 +71,20 @@ def word_shingles(
     if distinct:
         sh = sh.distinct()
     if max_df is not None:
-        hot = sh.groupBy("shingle").count().where(F.col("count") > max_df).select("shingle")
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        # Document frequency, not occurrence count: countDistinct keeps the
+        # cap's semantics identical whether or not the relation was deduped.
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+        )
+        # No explicit broadcast: ``hot`` is fact-derived, so its size is not
+        # bounded by a dimension's — a pathological corpus (tiny max_df,
+        # boilerplate-heavy text) could make it large. Left-anti shuffle
+        # join is the safe default; AQE converts it to broadcast at runtime
+        # whenever the relation really is small (the normal case).
+        sh = sh.join(hot, "shingle", "left_anti")
     return sh
 
 
@@ -84,18 +106,22 @@ def dedup_ngram_jaccard(
     sf_dir: str,
     threshold: float = DEFAULT_JACCARD_THRESHOLD,
     k: int = 3,
+    max_df: int | None = DEFAULT_MAX_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via a shingle inverted-index join.
 
     jaccard = |A∩B| / (|A| + |B| - |A∩B|) with all three terms exact
     integers, so the double division is bit-identical across engines.
+    Hot shingles above ``max_df`` are dropped BEFORE the self-join (and
+    before the size agg, so |A| and the intersection agree on the shingle
+    universe) — the quadratic-blowup guard that matters at corpus scale.
     """
     docs = load_table(spark, sf_dir, "documents")
     # The shingle relation feeds three consumers (both self-join sides and
     # the per-doc sizes); materialize it once instead of re-running the
     # explode+distinct per consumer. At larger scale this would be a staged
     # parquet write rather than executor-local checkpoint blocks.
-    sh = word_shingles(docs, k=k).localCheckpoint(eager=True)
+    sh = word_shingles(docs, k=k, max_df=max_df).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -139,7 +165,9 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = MINHASH_NUM_HASHES) -> D
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, max_df: int | None = DEFAULT_MAX_DF
+) -> DataFrame:
     """MinHash + LSH banding: candidate pairs from shared (band, band-key)
     buckets, scored by estimated Jaccard (fraction of equal signature slots).
 
@@ -148,7 +176,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     join touches only bucket collisions; no all-pairs work.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(word_shingles(docs, k=3, distinct=False)).select(
+    sig = minhash_signatures(word_shingles(docs, k=3, max_df=max_df, distinct=False)).select(
         "doc_id",
         F.array(*[F.col(f"h{i}") for i in range(MINHASH_NUM_HASHES)]).alias("sig"),
     )
@@ -230,21 +258,49 @@ def dedup_simhash(
 ) -> DataFrame:
     """SimHash near-dup pairs: Hamming distance ≤ threshold.
 
-    The pair stage here is a compact signature self-join (one bigint per
-    doc); at 100 TB the signatures would additionally be banded on bit
-    sub-blocks (pigeonhole: distance ≤ 6 over 4 blocks ⇒ one block equal)
-    to avoid the quadratic candidate set — same pattern as the MinHash
-    bands above.
+    Candidate generation is a pigeonhole-banded equi-join, never an
+    all-pairs product: the 32-bit signature is split into
+    ``hamming_threshold + 1`` bit blocks — a pair within distance d has at
+    most d differing blocks, so at least one of the d+1 blocks is equal
+    (d ≤ 6 needs 7 blocks; 4 would not suffice, since 6 flipped bits can
+    touch all 4). Each doc explodes into d+1 (block_idx, block_bits) rows,
+    candidates come from the equi-join on both, and survivors are verified
+    on the full signature. Linear in bucket collisions at any corpus size —
+    the same shape as the MinHash bands above.
     """
     sig = simhash_signatures(spark, sf_dir)
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    n_blocks = hamming_threshold + 1
+    base, rem = divmod(SIMHASH_BITS, n_blocks)
+    widths = [base + 1] * rem + [base] * (n_blocks - rem)
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("simhash"), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("bits"),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    banded = sig.select("doc_id", "simhash", F.explode(blocks).alias("b")).select(
+        "doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.bits").alias("bits")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.crossJoin(b)
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        a.join(b, ["blk", "bits"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
         .where(F.col("hamming") <= hamming_threshold)
+        # A pair sharing several equal blocks appears once per shared block
+        # with an identical hamming value — distinct() is just the dedup.
+        .distinct()
     )
 
 
@@ -286,8 +342,12 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = CLU
     # Convergence check: labels only ever DECREASE (min-propagation), so the
     # total label sum strictly decreases until the fixpoint — comparing sums
     # between rounds detects change with one cheap agg over the checkpointed
-    # result instead of a per-round self-join + count.
-    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    # result instead of a per-round self-join + count. Summed as
+    # decimal(38,0): at 100 TB, node-count × 64-bit labels can exceed the
+    # bigint range, and a silent non-ANSI wraparound could fake equality and
+    # stop the loop early.
+    label_sum = F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+    prev_sum = labels.agg(label_sum).collect()[0][0]
     for _ in range(max_iter):
         prop = (
             labels.join(both, labels.doc_id == both.a)
@@ -299,7 +359,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = CLU
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint(eager=True)
         )
-        new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
+        new_sum = new_labels.agg(label_sum).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
             break

@@ -75,7 +75,12 @@ def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # O(bytes) in vectorized C, or the Python boundary becomes
                 # the pipeline bottleneck exactly as SURVEY §2.9 warns.
                 arr = np.frombuffer(bytes(content), dtype=np.uint8)
-                hist = np.bincount(arr >> 4, minlength=HIST_BINS)  # 256/16 bins
+                # bin = byte >> shift, where shift keeps exactly HIST_BINS
+                # bins over the 0..255 range (HIST_BINS must stay a power
+                # of two for the shift to tile the range evenly).
+                assert HIST_BINS & (HIST_BINS - 1) == 0, "HIST_BINS must be a power of two"
+                shift = 8 - (HIST_BINS.bit_length() - 1)
+                hist = np.bincount(arr >> shift, minlength=HIST_BINS)
                 n = arr.size or 1
                 p = hist[hist > 0] / n
                 ent = float(-(p * np.log2(p)).sum())

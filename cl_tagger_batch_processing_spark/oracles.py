@@ -360,20 +360,34 @@ GROUP BY o_orderpriority
 # --- dedup ------------------------------------------------------------------
 
 
-def _shingle_ctes(k: int) -> str:
-    """Distinct k-word shingles per doc — mirrors dedup.word_shingles."""
+def _shingle_ctes(k: int, max_df: int | None = None) -> str:
+    """Distinct k-word shingles per doc — mirrors dedup.word_shingles,
+    including the hot-shingle document-frequency cap when ``max_df`` is
+    given (count(DISTINCT doc_id) > max_df ⇒ shingle dropped)."""
     terms = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(k))
-    return f"""
+    raw = f"""
 toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
   WHERE len(string_split(text, ' ')) >= {k}
 ),
-sh AS (
+sh{"0" if max_df is not None else ""} AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(1, len(t) - {k - 2}), i -> {terms})) AS shingle
   FROM toks
 )
 """.strip()
+    if max_df is None:
+        return raw
+    return (
+        raw
+        + f""",
+hot AS (
+  SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(DISTINCT doc_id) > {max_df}
+),
+sh AS (
+  SELECT doc_id, shingle FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)
+)"""
+    )
 
 
 ORACLE_SQL["dedup_exact"] = """
@@ -384,8 +398,17 @@ FROM documents
 GROUP BY md5(text)
 """
 
-ORACLE_SQL["dedup_ngram_jaccard"] = f"""
-WITH {_shingle_ctes(3)},
+# Keep in sync with operators.dedup.DEFAULT_MAX_DF (imported would drag the
+# pyspark dependency into oracle-only consumers; the parity test asserts the
+# two constants are equal).
+DEDUP_MAX_DF = 1000
+
+def jaccard_sql(max_df: int | None) -> str:
+    """dedup_ngram_jaccard oracle, parameterized on the hot-shingle cap so
+    the drop path itself can be parity-tested with a cap small enough to
+    engage on fixture data."""
+    return f"""
+WITH {_shingle_ctes(3, max_df=max_df)},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
@@ -398,6 +421,9 @@ JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.08
 """
+
+
+ORACLE_SQL["dedup_ngram_jaccard"] = jaccard_sql(DEDUP_MAX_DF)
 
 _MINHASH_N = 16
 # Kirsch-Mitzenmacher: one md5 per shingle split into two 32-bit halves,
@@ -425,7 +451,7 @@ _MINHASH_MATCHES = " + ".join(
 )
 
 ORACLE_SQL["dedup_minhash_lsh"] = f"""
-WITH {_shingle_ctes(3)},
+WITH {_shingle_ctes(3, max_df=DEDUP_MAX_DF)},
 {_MINHASH_HALVES},
 sig AS (SELECT doc_id, {_MINHASH_COLS} FROM mh GROUP BY doc_id),
 bands AS ({_MINHASH_BANDS_SQL}),
@@ -474,7 +500,7 @@ SELECT doc_id, simhash FROM sim
 # minimum reachable node. UNION (not UNION ALL) dedupes paths, so the
 # recursion terminates.
 ORACLE_SQL["dedup_clusters"] = f"""
-WITH RECURSIVE {_shingle_ctes(3)},
+WITH RECURSIVE {_shingle_ctes(3, max_df=DEDUP_MAX_DF)},
 {_MINHASH_HALVES},
 sig AS (SELECT doc_id, {_MINHASH_COLS} FROM mh GROUP BY doc_id),
 bands AS ({_MINHASH_BANDS_SQL}),
@@ -942,10 +968,10 @@ GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER)
 
 ORACLE_SQL["q12_late_priority"] = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
-         AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+         AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+         AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'

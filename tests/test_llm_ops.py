@@ -25,6 +25,38 @@ def test_word_shingles_max_df_drops_hot(spark):
     assert got == {(4, "p q r")}  # 'x y z' has df=3 > 2 → dropped
 
 
+def test_max_df_constants_in_sync():
+    from cl_tagger_batch_processing_spark import oracles
+
+    assert dedup.DEFAULT_MAX_DF == oracles.DEDUP_MAX_DF
+
+
+def test_jaccard_max_df_drop_path_parity(spark, sf_dir):
+    """The hot-shingle guard with a cap small enough to ENGAGE on fixture
+    data must still hash-match a DuckDB oracle carrying the same cap —
+    proving both sides implement the df filter identically (the registered
+    default of 1000 drops nothing at fixture scale by design)."""
+    from cl_tagger_batch_processing_spark.oracles import jaccard_sql
+
+    from .oracle_harness import compare_query
+
+    ok, msg = compare_query(
+        spark,
+        "dedup_ngram_jaccard[max_df=5]",
+        sf_dir,
+        query_fn=lambda s, d: dedup.dedup_ngram_jaccard(s, d, max_df=5),
+        sql=jaccard_sql(5),
+    )
+    assert ok, msg
+    # and the cap really engaged: hot shingles were dropped from the relation
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_capped = dedup.word_shingles(docs, k=3, max_df=5).count()
+    n_uncapped = dedup.word_shingles(docs, k=3).count()
+    assert n_capped < n_uncapped
+
+
 def test_minhash_identical_docs_estimate_one(spark):
     docs = _docs(spark, [(1, "a b c d e f"), (2, "a b c d e f"), (3, "q r s t u v")])
     sh = dedup.word_shingles(docs, k=3)

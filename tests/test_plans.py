@@ -46,6 +46,15 @@ def test_jaccard_never_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_simhash_banded_never_cartesian(spark, sf_dir):
+    # pigeonhole banding must hold: candidates come from the (blk, bits)
+    # equi-join, never an all-pairs product over the signature table
+    df = QUERIES["dedup_simhash"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_scan_extension_filter_prunes_columns(spark, sf_dir):
     df = QUERIES["scan_extension_filter"](spark, sf_dir)
     schemas = inspect.read_schemas(df)
