@@ -24,6 +24,12 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 
 HIST_BINS = 16
+# bin = byte >> HIST_SHIFT tiles 0..255 evenly over exactly HIST_BINS bins —
+# only valid when HIST_BINS is a power of two, so check once at import time
+# (a per-row assert would vanish under `python -O`).
+if HIST_BINS & (HIST_BINS - 1) != 0:
+    raise ValueError("HIST_BINS must be a power of two")
+HIST_SHIFT = 8 - (HIST_BINS.bit_length() - 1)
 
 
 def with_binary_payload(docs: DataFrame) -> DataFrame:
@@ -75,12 +81,7 @@ def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # O(bytes) in vectorized C, or the Python boundary becomes
                 # the pipeline bottleneck exactly as SURVEY §2.9 warns.
                 arr = np.frombuffer(bytes(content), dtype=np.uint8)
-                # bin = byte >> shift, where shift keeps exactly HIST_BINS
-                # bins over the 0..255 range (HIST_BINS must stay a power
-                # of two for the shift to tile the range evenly).
-                assert HIST_BINS & (HIST_BINS - 1) == 0, "HIST_BINS must be a power of two"
-                shift = 8 - (HIST_BINS.bit_length() - 1)
-                hist = np.bincount(arr >> shift, minlength=HIST_BINS)
+                hist = np.bincount(arr >> HIST_SHIFT, minlength=HIST_BINS)
                 n = arr.size or 1
                 p = hist[hist > 0] / n
                 ent = float(-(p * np.log2(p)).sum())

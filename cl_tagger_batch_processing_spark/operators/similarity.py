@@ -86,16 +86,12 @@ def lsh_buckets(base: DataFrame) -> DataFrame:
     return base.withColumn("bucket", bucket)
 
 
-def sim_ann_lsh(
-    spark: SparkSession,
-    sf_dir: str,
-    top_k: int = DEFAULT_TOP_K,
-    num_queries: int = DEFAULT_NUM_QUERIES,
+def ann_candidates(
+    spark: SparkSession, sf_dir: str, num_queries: int = DEFAULT_NUM_QUERIES
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket,
-    exact cosine re-rank inside the bucket. The equi-join on bucket replaces
-    the brute-force cross join — this is the plan shape that survives a
-    100× corpus scale-up (add multi-probe / more tables for recall)."""
+    """In-bucket candidate relation (query_id, neighbor_id, cosine) BEFORE
+    the top-k window — the quantity that must stay far below
+    num_queries × corpus; tests pin a bound on it."""
     base = lsh_buckets(quantized_embeddings(spark, sf_dir))
     queries = base.where(F.col("vec_id") < num_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -106,11 +102,24 @@ def sim_ann_lsh(
     cos = int_dot(F.col("qq"), F.col("qv")).cast("double") / (
         F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("nrm").cast("double"))
     )
-    scored = (
+    return (
         base.join(F.broadcast(queries), "bucket")
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
     )
+
+
+def sim_ann_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    top_k: int = DEFAULT_TOP_K,
+    num_queries: int = DEFAULT_NUM_QUERIES,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket,
+    exact cosine re-rank inside the bucket. The equi-join on bucket replaces
+    the brute-force cross join — this is the plan shape that survives a
+    100× corpus scale-up (add multi-probe / more tables for recall)."""
+    scored = ann_candidates(spark, sf_dir, num_queries=num_queries)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))

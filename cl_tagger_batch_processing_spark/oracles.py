@@ -466,7 +466,9 @@ JOIN sig sa ON doc_a = sa.doc_id
 JOIN sig sb ON doc_b = sb.doc_id
 """
 
-_SIMHASH_BITS = 32
+# 60 bits (15 md5 hex chars) — mirrors dedup.SIMHASH_BITS; 64 would overflow
+# the signed-BIGINT hex cast in both engines.
+_SIMHASH_BITS = 60
 _SIMHASH_SUMS = ", ".join(
     f"SUM(((h >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(_SIMHASH_BITS)
 )
@@ -477,7 +479,7 @@ _SIMHASH_VALUE = " + ".join(
 
 _SIMHASH_CTES = f"""
 tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-th AS (SELECT doc_id, CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h FROM tok),
+th AS (SELECT doc_id, CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h FROM tok),
 bits AS (SELECT doc_id, {_SIMHASH_SUMS} FROM th GROUP BY doc_id),
 sim AS (SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM bits)
 """.strip()

@@ -47,9 +47,12 @@ def test_jaccard_never_cartesian(spark, sf_dir):
 
 
 def test_simhash_banded_never_cartesian(spark, sf_dir):
-    # pigeonhole banding must hold: candidates come from the (blk, bits)
-    # equi-join, never an all-pairs product over the signature table
-    df = QUERIES["dedup_simhash"](spark, sf_dir)
+    # the scale path's pigeonhole banding must hold: candidates come from the
+    # (blk, bits) equi-join, never an all-pairs product over the signatures
+    # (the auto strategy's small-corpus broadcast path is tested separately)
+    from cl_tagger_batch_processing_spark.operators import dedup
+
+    df = dedup.dedup_simhash(spark, sf_dir, strategy="banded")
     plan = inspect.executed_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -168,6 +171,71 @@ def test_q21_semi_and_anti_self_joins(spark, sf_dir):
     df = QUERIES["q21_waiting_suppliers"](spark, sf_dir)
     plan = inspect.executed_plan(df)
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_candidate_volume_bounds(spark, sf_dir):
+    # Round-2 lesson: dedup_simhash passed the no-cartesian-NODE check while
+    # materializing near-quadratic DATA (32-bit sigs → 4-5-bit block keys).
+    # Guard the data, not just the plan. Caveat discovered while fixing it:
+    # the documents fixture is extremely self-similar (31-word vocabulary;
+    # at sf0.001 the TRUE d≤6 pair count is 15k ≈ 31×n), so an absolute
+    # O(n) candidate bound is unachievable for ANY correct pair enumerator —
+    # the honest banding metric here is candidate volume relative to the
+    # true output (precision), pinned well below all-pairs.
+    from cl_tagger_batch_processing_spark.operators import dedup, similarity
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    all_pairs = n_docs * (n_docs - 1) // 2
+
+    true_pairs = dedup.dedup_simhash(spark, sf_dir, strategy="broadcast").count()
+    sim_cand = dedup.simhash_candidates(spark, sf_dir).count()
+    # 9.9× at fixture; a 32-bit/7-block regression yields ~7× ALL-pairs,
+    # i.e. >50× true output here — caught by a wide margin
+    assert sim_cand < 15 * max(true_pairs, n_docs), (
+        f"simhash banded candidates {sim_cand} vs true pairs {true_pairs} (n={n_docs})"
+    )
+
+    mh_cand = dedup.minhash_candidates(spark, sf_dir).count()
+    assert mh_cand < 20 * n_docs, f"minhash candidates {mh_cand} vs n={n_docs}"
+
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    vec_pairs = n_vecs * (n_vecs - 1) // 2
+    emb_cand = dedup.embedding_candidates(spark, sf_dir).count()
+    # label blocking: quadratic only within a block ⇒ ~1/n_labels of all-pairs
+    assert emb_cand < vec_pairs / 3, f"embedding candidates {emb_cand} vs all-pairs {vec_pairs}"
+
+    ann_cand = similarity.ann_candidates(spark, sf_dir).count()
+    # 8-bit LSH buckets: each query probes ~1/256 of the corpus; allow slack
+    # for clustered buckets but stay far below queries × corpus
+    assert ann_cand < similarity.DEFAULT_NUM_QUERIES * n_vecs / 3, (
+        f"ann candidates {ann_cand} vs brute-force {similarity.DEFAULT_NUM_QUERIES * n_vecs}"
+    )
+    assert all_pairs > 0  # fixture sanity
+
+
+def test_simhash_strategies_agree(spark, sf_dir):
+    # the adaptive physical strategies are different PLANS for one answer
+    from cl_tagger_batch_processing_spark.operators import dedup
+
+    bc = dedup.dedup_simhash(spark, sf_dir, strategy="broadcast")
+    bd = dedup.dedup_simhash(spark, sf_dir, strategy="banded")
+    assert bc.count() == bd.count()
+    assert bc.exceptAll(bd).count() == 0 and bd.exceptAll(bc).count() == 0
+    # auto picks broadcast at fixture scale (corpus far under the crossover)
+    plan = inspect.executed_plan(dedup.dedup_simhash(spark, sf_dir, strategy="auto"))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_simhash_rejects_degenerate_banding(spark, sf_dir):
+    import pytest as _pytest
+
+    from cl_tagger_batch_processing_spark.operators import dedup
+
+    with _pytest.raises(ValueError, match="blocks"):
+        dedup.dedup_simhash(
+            spark, sf_dir, hamming_threshold=dedup.SIMHASH_BITS, strategy="banded"
+        )
 
 
 def test_jvm_only_hot_paths(spark, sf_dir):
