@@ -272,63 +272,54 @@ def dedup_minhash_lsh(
     )
 
 
-# Packed bit-counter layout for simhash_signatures: 3 counters of 20 bits per
-# bigint aggregate column (60 bits → 20 columns instead of 60). Field width 20
-# bounds distinct tokens per document at 2^20-1 ≈ 1M — far beyond any sane
-# document; chunk pathological inputs upstream.
-_SIMHASH_PACK = 3
-_SIMHASH_FIELD_BITS = 20
-_SIMHASH_FIELD_MASK = (1 << _SIMHASH_FIELD_BITS) - 1
-
-
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document over distinct tokens.
 
     Token hash = first 15 hex chars of md5 as an unsigned 60-bit integer
     (portable across engines — fits signed bigint everywhere); each bit
-    contributes ±1; signature bit j is 1 iff the signed sum is > 0.
+    contributes ±1; signature bit j is 1 iff the signed sum is > 0 —
+    equivalently iff 2*cnt_j > n_tok where cnt_j counts set bits.
 
-    The per-bit ±1 sums are equivalent to per-bit set-counts compared to
-    half the token count (2*cnt_j - n_tok > 0), which lets three 20-bit
-    counters pack into each bigint aggregation column: 21 aggregate columns
-    instead of 60. The narrow aggregation buffer is an ~8× wall-clock win at
-    sf0.1 — per-row expression work is the same, but HashAggregate buffer
-    width dominates this shape. Values are bit-identical to the unpacked
-    form (pytest + DuckDB oracle pin this).
+    SimHash is per-document math, so the whole computation is ROW-LOCAL:
+    tokenize, hash, and fold the per-bit counters with higher-order array
+    functions (``transform`` + ``aggregate`` + ``zip_with``) inside one
+    projection. No explode (no tokens×docs row blowup), no groupBy — a pure
+    map stage with ZERO shuffle that scales embarrassingly parallel with
+    input partitions. The former explode+groupBy form shuffled one row per
+    (doc, distinct token) — at 100 TB that exchange dwarfs the map work this
+    replaces it with. Values are bit-identical (pytest + DuckDB oracle pin
+    this).
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    hs = F.transform(
+        F.array_distinct(F.split("text", " ")),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
     )
-    h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint")
-    tok = tok.select("doc_id", h.alias("h"))
-    n_cols = SIMHASH_BITS // _SIMHASH_PACK
-    packs = []
-    for c in range(n_cols):
-        expr = None
-        for s in range(_SIMHASH_PACK):
-            j = c * _SIMHASH_PACK + s
-            e = F.shiftleft(
-                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)), _SIMHASH_FIELD_BITS * s
-            )
-            expr = e if expr is None else expr + e
-        packs.append(F.sum(expr).alias(f"p{c}"))
-    packs.append(F.count(F.lit(1)).alias("ntok"))
-    agg = tok.groupBy("doc_id").agg(*packs)
-    terms = []
-    for c in range(n_cols):
-        for s in range(_SIMHASH_PACK):
-            j = c * _SIMHASH_PACK + s
-            cnt = F.shiftright(F.col(f"p{c}"), _SIMHASH_FIELD_BITS * s).bitwiseAND(
-                F.lit(_SIMHASH_FIELD_MASK)
-            )
-            terms.append(
-                F.when(cnt * 2 > F.col("ntok"), F.lit(2**j).cast("bigint")).otherwise(
-                    F.lit(0).cast("bigint")
-                )
-            )
+    base = docs.select("doc_id", hs.alias("hs"))
+    cnts = F.aggregate(
+        F.col("hs"),
+        F.array_repeat(F.lit(0).cast("bigint"), SIMHASH_BITS),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftright(x, j).bitwiseAND(F.lit(1)).cast("bigint")
+                    for j in range(SIMHASH_BITS)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    n = F.size(F.col("hs")).cast("bigint")
+    withc = base.withColumn("cnts", cnts).withColumn("ntok", n)
+    terms = [
+        F.when(
+            F.element_at("cnts", j + 1) * 2 > F.col("ntok"), F.lit(2**j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        for j in range(SIMHASH_BITS)
+    ]
     value = reduce(lambda x, y: x + y, terms)
-    return agg.select("doc_id", value.alias("simhash"))
+    return withc.select("doc_id", value.alias("simhash"))
 
 
 def simhash_candidates(
@@ -357,7 +348,12 @@ def simhash_candidates(
             f"narrower than 6 bits degenerate the banded join toward "
             f"all-pairs. Widen SIMHASH_BITS or lower the threshold."
         )
-    sig = simhash_signatures(spark, sf_dir)
+    # Spread the zero-shuffle signature stage (partitioned as the input
+    # files) over the cluster, and give the self-join below an exchange to
+    # reuse — without it each side re-evaluates the whole signature subtree.
+    sig = simhash_signatures(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     n_blocks = hamming_threshold + 1
     base, rem = divmod(SIMHASH_BITS, n_blocks)
     widths = [base + 1] * rem + [base] * (n_blocks - rem)
@@ -424,8 +420,14 @@ def dedup_simhash(
         n = load_table(spark, sf_dir, "documents").count()
         strategy = "broadcast" if n <= SIMHASH_BROADCAST_MAX_DOCS else "banded"
     if strategy == "broadcast":
+        # The signature stage is a zero-shuffle map, so its partitioning is
+        # the INPUT file layout — possibly one small parquet split. The O(n²)
+        # Hamming scan must parallelize regardless, so spread the probe side
+        # over the cluster first: a shuffle of n signature rows (16 bytes
+        # each), always negligible next to the n² compute it parallelizes.
         sig = simhash_signatures(spark, sf_dir)
-        a, b = sig.alias("a"), sig.alias("b")
+        probe = sig.repartition(spark.sparkContext.defaultParallelism)
+        a, b = probe.alias("a"), sig.alias("b")
         hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
         return (
             a.join(

@@ -112,6 +112,54 @@ ORACLE_SQL["tag_threshold_filter"] = f"""
 SELECT image_id, category, tag_idx, tag FROM thresh
 """
 
+# PARTIAL oracle for the full pipeline: the float32 kernel's output is
+# handed off through pipeline.PIPELINE_SCORED_PATH (written eagerly when the
+# Spark query is built — always before this SQL runs), and the ENTIRE
+# relational tail (posexplode → dim join → top-1/threshold/blacklist →
+# ordered string agg → ok/error union, appV2.py:74-101,178-190) is replayed
+# here from those exact float32 probs. Casting FLOAT→DOUBLE is exact in both
+# engines, so every threshold comparison and tie-break is bit-identical.
+_PIPELINE_SCORED_GLOB = "/tmp/cl_tagger_pipeline_scored.parquet/*.parquet"
+
+ORACLE_SQL["pipeline_score_tag"] = f"""
+WITH raw AS (
+  SELECT path, probs, status, error
+  FROM read_parquet('{_PIPELINE_SCORED_GLOB}')
+),
+scores AS (
+  SELECT path AS image_id,
+         generate_subscripts(probs, 1) - 1 AS tag_idx,
+         CAST(unnest(probs) AS DOUBLE) AS prob
+  FROM raw WHERE status = 'ok'
+),
+{TAG_DIM_CTE.strip()},
+{SCORED_CTE.strip()},
+{TOP1_CTE.strip()},
+{THRESH_CTE.strip()},
+selected AS (
+  SELECT image_id,
+         CASE category WHEN 'rating' THEN 0 WHEN 'quality' THEN 1
+                       WHEN 'general' THEN 2 WHEN 'meta' THEN 3
+                       WHEN 'model' THEN 4 WHEN 'character' THEN 5
+                       WHEN 'copyright' THEN 6 ELSE 7 END AS cat_rank,
+         tag_idx, tag
+  FROM (SELECT * FROM top1 UNION ALL SELECT * FROM thresh)
+),
+agg AS (
+  SELECT image_id, string_agg(tag, ', ' ORDER BY cat_rank, tag_idx) AS tags_text
+  FROM selected GROUP BY image_id
+)
+SELECT r.path,
+       COALESCE(a.tags_text, '') AS tags_text,
+       'ok' AS status,
+       CAST(NULL AS VARCHAR) AS error
+FROM (SELECT DISTINCT path FROM raw WHERE status = 'ok') r
+LEFT JOIN agg a ON a.image_id = r.path
+UNION ALL
+SELECT path, CAST(NULL AS VARCHAR) AS tags_text, status, error
+FROM raw WHERE status = 'error'
+"""
+
 # --- relational surface -----------------------------------------------------
 # Monetary aggregates are computed in exact DECIMAL on both sides (the
 # fixture money columns are exact 2-decimal doubles) and cast to DOUBLE at

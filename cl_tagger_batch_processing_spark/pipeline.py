@@ -234,6 +234,17 @@ def score_images_predict_udf(
     return ok.unionByName(err)
 
 
+# Handoff point for pipeline_score_tag's PARTIAL oracle: the float32 ML
+# kernel has no SQL twin (matmul accumulation order), but its output is a
+# deterministic relation — so the query persists the checkpointed
+# (path, probs, status, error) here and the DuckDB oracle replays the
+# relational tail (posexplode → dim join → select_tags → union) from the
+# SAME float32 values. Fixed path, overwritten per build: the oracle always
+# sees exactly the probs of the most recently constructed query (the
+# correctness harness builds the Spark side first, then runs the SQL).
+PIPELINE_SCORED_PATH = "/tmp/cl_tagger_pipeline_scored.parquet"
+
+
 def pipeline_score_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's FULL main() flow (appV2.py:103-191) as one registry
     query over the fixtures: binary payloads (documents.text bytes standing
@@ -241,10 +252,9 @@ def pipeline_score_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     StubScorer — deterministic, no PIL/onnxruntime needed) → posexplode →
     broadcast-join tag selection → (path, tags_text, status, error).
 
-    Rows-only check: the kernel is float32 matmul whose accumulation order
-    is not SQL-expressible; the relational tail it feeds (select_tags) is
-    value-oracle-checked separately via tag_select, and the kernel itself
-    is golden-tested in test_kernels/test_pipeline.
+    Value-checked via the PIPELINE_SCORED_PATH handoff (above): the kernel
+    itself is golden-tested in test_kernels/test_pipeline, and the oracle
+    verifies the full relational tail from the kernel's actual output.
     """
     from .operators.multimodal import with_binary_payload
     from .operators.tagging import demo_tag_dim
@@ -260,6 +270,7 @@ def pipeline_score_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = score_images(
         images, scorer=StubScorer(), decode=fake_decode_bytes
     ).localCheckpoint(eager=True)
+    scored.write.mode("overwrite").parquet(PIPELINE_SCORED_PATH)
     ok = scored.where(F.col("status") == "ok")
     long_scores = ok.select(
         F.col("path").alias("image_id"),

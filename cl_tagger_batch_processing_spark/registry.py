@@ -61,13 +61,10 @@ def _pipeline_score_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline_score_tag(spark, sf_dir)
 
 
-register(
-    "pipeline_score_tag",
-    _pipeline_score_tag,
-    no_oracle="the float32 ML kernel (mean-pool + matmul) has no "
-    "SQL-expressible twin; the relational tail is value-checked via "
-    "tag_select and the kernel is golden-tested in pytest",
-)
+# Value-checked via a PARTIAL oracle: the float32 kernel's probs are handed
+# off through pipeline.PIPELINE_SCORED_PATH and the oracle replays the whole
+# relational tail from them (see oracles.py).
+register("pipeline_score_tag", _pipeline_score_tag)
 
 # ---------------------------------------------------------------------------
 # REGISTRATION ORDER IS LOAD-BEARING. The correctness driver value-checks the

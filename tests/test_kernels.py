@@ -60,6 +60,82 @@ def test_fake_decode_deterministic_and_tiled():
         fake_decode_bytes(b"xy")  # truncated payloads rejected
 
 
+# --- real-PIL pixel-path goldens (skip cleanly where PIL is absent) ---------
+#
+# The container this repo is developed in has no PIL, so the bicubic+BGR
+# pixel path (appV2.py:20-49 semantics) would otherwise first execute on
+# deployment day. These goldens are ANALYTICALLY exact, not snapshot-based:
+# constant images are fixed points of any correct resample kernel, and a
+# 448-wide input makes the final resize an identity, so expected tensors are
+# derivable by hand while still driving the real decode → ensure_rgb →
+# pad_square → resize → tensorize chain.
+
+
+def _png_bytes(img) -> bytes:
+    import io as _io
+
+    buf = _io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_pil_solid_rgb_square_golden():
+    PIL_Image = pytest.importorskip("PIL.Image")
+    from cl_tagger_batch_processing_spark.kernels.preprocess import preprocess_bytes
+
+    # solid red, already square: no padding, constant under bicubic
+    out = preprocess_bytes(_png_bytes(PIL_Image.new("RGB", (8, 8), (255, 0, 0))))
+    assert out.shape == (3, 448, 448) and out.dtype == np.float32
+    assert np.allclose(out[0], -1.0)  # B plane (flip: appV2.py:44)
+    assert np.allclose(out[1], -1.0)  # G plane
+    assert np.allclose(out[2], 1.0)  # R plane
+
+
+def test_pil_rgba_transparent_composites_to_white():
+    PIL_Image = pytest.importorskip("PIL.Image")
+    from cl_tagger_batch_processing_spark.kernels.preprocess import preprocess_bytes
+
+    # fully transparent: ensure_rgb must composite onto WHITE (appV2.py:23-26)
+    out = preprocess_bytes(_png_bytes(PIL_Image.new("RGBA", (5, 5), (12, 34, 56, 0))))
+    assert np.allclose(out, 1.0)
+
+
+def test_pil_palette_with_transparency_probe():
+    PIL_Image = pytest.importorskip("PIL.Image")
+    from cl_tagger_batch_processing_spark.kernels.preprocess import preprocess_bytes
+
+    # palette image carrying a transparency entry takes the RGBA branch of
+    # ensure_rgb (the `"transparency" in info` probe, appV2.py:21-22)
+    pal = PIL_Image.new("P", (4, 4), 0)
+    pal.info["transparency"] = 0
+    buf_img = pal.convert("P")
+    buf_img.info["transparency"] = 0
+    out = preprocess_bytes(_png_bytes(buf_img))
+    assert np.allclose(out, 1.0)  # transparent palette slot → white
+
+
+def test_pil_grayscale_l_mode_golden():
+    PIL_Image = pytest.importorskip("PIL.Image")
+    from cl_tagger_batch_processing_spark.kernels.preprocess import preprocess_bytes
+
+    out = preprocess_bytes(_png_bytes(PIL_Image.new("L", (6, 6), 128)))
+    assert np.allclose(out, (128 / 255 - 0.5) / 0.5, atol=1e-6)
+
+
+def test_pil_nonsquare_pad_offsets_exact():
+    PIL_Image = pytest.importorskip("PIL.Image")
+    from cl_tagger_batch_processing_spark.kernels.preprocess import preprocess_bytes
+
+    # 448×224 → pad_square pastes at y=112 on white; resize 448→448 is an
+    # identity, so the band edges land EXACTLY (appV2.py:29-36 centering)
+    out = preprocess_bytes(_png_bytes(PIL_Image.new("RGB", (448, 224), (0, 0, 255))))
+    assert np.allclose(out[:, :112, :], 1.0)  # top white band
+    assert np.allclose(out[:, 336:, :], 1.0)  # bottom white band
+    assert np.allclose(out[0, 112:336, :], 1.0)  # B plane of pure blue
+    assert np.allclose(out[1, 112:336, :], -1.0)
+    assert np.allclose(out[2, 112:336, :], -1.0)
+
+
 def test_stub_scorer_deterministic_batched():
     scorer = StubScorer(num_tags=16)
     t = fake_decode_bytes(b"payload-a")
