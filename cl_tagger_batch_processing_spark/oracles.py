@@ -754,6 +754,40 @@ SELECT doc_id, n_bytes, magic_hex,
 FROM m
 """
 
+# Byte semantics via per-CHARACTER ord(): exact because the documents
+# fixture is pure ASCII at every SF (verified: octet_length(encode(text)) ==
+# length(text) for all rows) — on non-ASCII corpora this oracle would need a
+# BLOB byte-iterator instead. Entropy rounds to 6dp on BOTH sides, far above
+# double summation-order noise over <=16 bins.
+ORACLE_SQL["mm_byte_histogram"] = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+counts AS (
+  SELECT doc_id, ord(ch) >> 4 AS bin, count(*) AS c
+  FROM chars GROUP BY doc_id, bin
+),
+tot AS (SELECT doc_id, length(text) AS n FROM documents),
+grid AS (
+  SELECT d.doc_id, g.bin, COALESCE(c.c, 0) AS c
+  FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN (SELECT unnest(range(16)) AS bin) g
+  LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bin = g.bin
+),
+hist AS (
+  SELECT doc_id, list(c ORDER BY bin) AS hist FROM grid GROUP BY doc_id
+),
+ent AS (
+  SELECT c.doc_id,
+         round(-sum((CAST(c.c AS DOUBLE) / t.n) * log2(CAST(c.c AS DOUBLE) / t.n)), 6)
+           AS entropy
+  FROM counts c JOIN tot t USING (doc_id)
+  GROUP BY c.doc_id
+)
+SELECT h.doc_id, h.hist, e.entropy
+FROM hist h JOIN ent e USING (doc_id)
+"""
+
 ORACLE_SQL["scan_extension_filter"] = """
 WITH with_path AS (
   SELECT doc_id,

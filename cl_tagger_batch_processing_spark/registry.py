@@ -195,9 +195,7 @@ register(
     no_oracle="append-mode watermark emits only finalized sessions; the "
     "batch-equivalent 'sessionize' carries the value oracle",
 )
-register(
-    "mm_byte_histogram",
-    multimodal.mm_byte_histogram,
-    no_oracle="Arrow-batched mapInPandas feature extraction over binary "
-    "payloads; not SQL-expressible in DuckDB",
-)
+# Value-checked: the payload bytes are the UTF-8 encoding of pure-ASCII
+# fixture text, so the DuckDB oracle mirrors the byte histogram per
+# CHARACTER (see oracles.py for the ASCII precondition).
+register("mm_byte_histogram", multimodal.mm_byte_histogram)
