@@ -105,6 +105,47 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: the classic pre-tokenizer classes (letter
+    runs, digit runs, single punctuation marks) counted per document — the
+    standard cheap estimate of LLM token cost when the real tokenizer is
+    too expensive to run over a whole corpus. Pure regexp Column work:
+    zero shuffles, whole-stage codegen, and the patterns are dialect-neutral
+    (identical under Java regex and RE2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_word = F.size(F.regexp_extract_all(text, F.lit("[a-z]+"), 0))
+    n_digit = F.size(F.regexp_extract_all(text, F.lit("[0-9]+"), 0))
+    n_punct = F.size(F.regexp_extract_all(text, F.lit("[^a-z0-9 ]"), 0))
+    return docs.select(
+        "doc_id",
+        n_word.cast("bigint").alias("n_word_tokens"),
+        n_digit.cast("bigint").alias("n_digit_tokens"),
+        n_punct.cast("bigint").alias("n_punct_tokens"),
+        (n_word + n_digit + n_punct).cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-cluster dedup: documents sharing a winnowing fingerprint
+    (min-md5 over 5-token shingles, see text_fingerprint) grouped into
+    duplicate clusters — the cheapest near-dup grouping (one agg on doc_id,
+    one on fingerprint; no pair enumeration at all). ``keep_doc_id`` is the
+    canonical survivor (min doc_id). The full member list is fine at any
+    realistic cluster size; a corpus with pathological mega-clusters
+    (boilerplate) should cap it with ``slice`` after the sort."""
+    fp = text_fingerprint(spark, sf_dir)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: minimum md5 over 5-token shingles (winnowing's
     min-hash selection, window = whole doc) plus the distinct-shingle count.

@@ -684,6 +684,27 @@ SELECT doc_id, MIN(md5(shingle)) AS fingerprint, COUNT(*) AS n_shingles
 FROM sh GROUP BY doc_id
 """
 
+ORACLE_SQL["text_token_count"] = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_tokens,
+       CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_punct_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+'))
+            + len(regexp_extract_all(text, '[0-9]+'))
+            + len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+ORACLE_SQL["dedup_fingerprint"] = f"""
+WITH {_shingle_ctes(5)},
+fp AS (
+  SELECT doc_id, MIN(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id
+)
+SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id,
+       list_sort(list(doc_id)) AS doc_ids
+FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1
+"""
+
 # --- streaming ---------------------------------------------------------------
 
 ORACLE_SQL["stream_tumbling_counts"] = """

@@ -177,6 +177,9 @@ register("date_functions", scalar.date_functions)
 register("math_functions", scalar.math_functions)
 register("percentiles_by_priority", scalar.percentiles_by_priority)
 
+register("text_token_count", text.text_token_count)
+register("dedup_fingerprint", text.dedup_fingerprint)
+
 register(
     "sim_ann_lsh",
     similarity.sim_ann_lsh,
