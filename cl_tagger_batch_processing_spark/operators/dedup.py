@@ -323,7 +323,10 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_candidates(
-    spark: SparkSession, sf_dir: str, hamming_threshold: int = DEFAULT_HAMMING_THRESHOLD
+    spark: SparkSession,
+    sf_dir: str,
+    hamming_threshold: int = DEFAULT_HAMMING_THRESHOLD,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Pigeonhole-banded candidate pairs (doc_a, doc_b, hamming) BEFORE the
     Hamming filter — the relation whose row count must stay O(n); tests pin
@@ -351,9 +354,11 @@ def simhash_candidates(
     # Spread the zero-shuffle signature stage (partitioned as the input
     # files) over the cluster, and give the self-join below an exchange to
     # reuse — without it each side re-evaluates the whole signature subtree.
-    sig = simhash_signatures(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # Callers that already materialized signatures pass them via ``sig``.
+    if sig is None:
+        sig = simhash_signatures(spark, sf_dir).repartition(
+            spark.sparkContext.defaultParallelism
+        )
     n_blocks = hamming_threshold + 1
     base, rem = divmod(SIMHASH_BITS, n_blocks)
     widths = [base + 1] * rem + [base] * (n_blocks - rem)
@@ -416,36 +421,44 @@ def dedup_simhash(
       not a pair list.
     * ``auto`` — broadcast iff the corpus row count is under the crossover.
     """
-    if strategy == "auto":
-        n = load_table(spark, sf_dir, "documents").count()
-        strategy = "broadcast" if n <= SIMHASH_BROADCAST_MAX_DOCS else "banded"
-    if strategy == "broadcast":
-        # The signature stage is a zero-shuffle map, so its partitioning is
-        # the INPUT file layout — possibly one small parquet split. The O(n²)
-        # Hamming scan must parallelize regardless, so spread the probe side
-        # over the cluster first: a shuffle of n signature rows (16 bytes
-        # each), always negligible next to the n² compute it parallelizes.
-        sig = simhash_signatures(spark, sf_dir)
-        probe = sig.repartition(spark.sparkContext.defaultParallelism)
-        a, b = probe.alias("a"), sig.alias("b")
-        hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    if strategy == "banded":
+        # A pair sharing several equal blocks appears once per shared block
+        # with an identical hamming value — distinct() is just the dedup.
         return (
-            a.join(
-                F.broadcast(b),
-                (F.col("a.doc_id") < F.col("b.doc_id")) & (hamming <= hamming_threshold),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                hamming.alias("hamming"),
-            )
+            simhash_candidates(spark, sf_dir, hamming_threshold=hamming_threshold)
+            .where(F.col("hamming") <= hamming_threshold)
+            .distinct()
         )
-    # banded: a pair sharing several equal blocks appears once per shared
-    # block with an identical hamming value — distinct() is just the dedup.
+    # auto / broadcast: materialize the signature stage ONCE. The zero-
+    # shuffle map is partitioned as the input files (possibly one small
+    # split), the O(n²) Hamming scan must parallelize regardless, and the
+    # broadcast self-join would otherwise evaluate the signature subtree
+    # twice (probe + build exchanges don't reuse). One repartition +
+    # localCheckpoint of n 16-byte rows fixes all three, and makes the
+    # ``auto`` row count a metadata read of the materialized result.
+    sig = (
+        simhash_signatures(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
+    if strategy == "auto" and sig.count() > SIMHASH_BROADCAST_MAX_DOCS:
+        return (
+            simhash_candidates(spark, sf_dir, hamming_threshold=hamming_threshold, sig=sig)
+            .where(F.col("hamming") <= hamming_threshold)
+            .distinct()
+        )
+    a, b = sig.alias("a"), sig.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        simhash_candidates(spark, sf_dir, hamming_threshold=hamming_threshold)
-        .where(F.col("hamming") <= hamming_threshold)
-        .distinct()
+        a.join(
+            F.broadcast(b),
+            (F.col("a.doc_id") < F.col("b.doc_id")) & (hamming <= hamming_threshold),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
     )
 
 
