@@ -205,3 +205,28 @@ def sim_topk_ivf(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= top_k)
     )
+
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the IVF coarse-quantizer
+    initialization (sim_topk_ivf) as a first-class query.
+
+    Exactness: element-wise sums run over the ×1000 integer quantization
+    (order-independent in any engine), with ONE double division at the end —
+    so the centroids are bit-identical across engines despite being means of
+    floats. Plan shape: one groupBy(label) shuffle carrying 64 bigint
+    partial sums (map-side combined); the assembled array is built after
+    aggregation, driver never involved.
+    """
+    base = quantized_embeddings(spark, sf_dir)
+    sums = base.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(EMBED_DIM)],
+    )
+    centroid = F.array(
+        *[
+            (F.col(f"s{i}").cast("double") / (F.col("n_vecs") * F.lit(1000.0)))
+            for i in range(EMBED_DIM)
+        ]
+    )
+    return sums.select("label", "n_vecs", centroid.alias("centroid"))

@@ -105,6 +105,54 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (the Gopher-style quality rule): fraction
+    of word-bigram occurrences that are repeats of an earlier bigram in the
+    SAME document. Entirely row-local array math — build the bigram list
+    with ``transform`` over an index ``sequence``, count distincts, one
+    division — so the operator is a zero-shuffle map at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    n_tok = F.size(tokens)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n_tok - 1),
+        lambda i: F.concat_ws(" ", F.element_at(tokens, i), F.element_at(tokens, i + 1)),
+    )
+    n_bi = F.size(bigrams)
+    n_uniq = F.size(F.array_distinct(bigrams))
+    frac = F.when(
+        n_bi > 0, (n_bi - n_uniq).cast("double") / n_bi.cast("double")
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n_bi.cast("bigint").alias("n_bigrams"),
+        n_uniq.cast("bigint").alias("n_distinct_bigrams"),
+        frac.alias("dup_bigram_frac"),
+    )
+
+
+def text_vocab_topk(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """Corpus-level vocabulary heavy hitters: top-k tokens by occurrence
+    count with a deterministic (count DESC, token ASC) tie-break.
+
+    Scale shape: one groupBy(token) shuffle with map-side partial counts,
+    then ``orderBy(...).limit(k)`` — Spark plans a distributed TakeOrdered
+    (per-partition top-k merged on the driver), NOT a single-partition
+    global sort; the final rank window runs over at most k rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return top.select(
+        "token", "n_occurrences", F.row_number().over(w).cast("bigint").alias("rank")
+    )
+
+
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting: the classic pre-tokenizer classes (letter
     runs, digit runs, single punctuation marks) counted per document — the

@@ -684,6 +684,55 @@ SELECT doc_id, MIN(md5(shingle)) AS fingerprint, COUNT(*) AS n_shingles
 FROM sh GROUP BY doc_id
 """
 
+ORACLE_SQL["text_repetition"] = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+b AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+       CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams,
+       CASE WHEN len(bigrams) > 0
+            THEN CAST(len(bigrams) - len(list_distinct(bigrams)) AS DOUBLE)
+                 / len(bigrams)
+            ELSE 0.0 END AS dup_bigram_frac
+FROM b
+"""
+
+ORACLE_SQL["text_vocab_topk"] = """
+WITH counts AS (
+  SELECT token, COUNT(*) AS n_occurrences
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+  ORDER BY n_occurrences DESC, token ASC
+  LIMIT 100
+)
+SELECT token, n_occurrences,
+       row_number() OVER (ORDER BY n_occurrences DESC, token ASC) AS rank
+FROM counts
+"""
+
+ORACLE_SQL["embedding_label_centroids"] = """
+WITH q AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000, 0) AS BIGINT) AS qx
+  FROM embeddings
+),
+sums AS (
+  SELECT label, pos, SUM(qx) AS s, COUNT(*) AS n
+  FROM q GROUP BY label, pos
+)
+SELECT label, MIN(n) AS n_vecs,
+       list(CAST(s AS DOUBLE) / (n * 1000.0) ORDER BY pos) AS centroid
+FROM sums GROUP BY label
+"""
+
 ORACLE_SQL["text_token_count"] = """
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,

@@ -179,6 +179,9 @@ register("percentiles_by_priority", scalar.percentiles_by_priority)
 
 register("text_token_count", text.text_token_count)
 register("dedup_fingerprint", text.dedup_fingerprint)
+register("text_repetition", text.text_repetition)
+register("text_vocab_topk", text.text_vocab_topk)
+register("embedding_label_centroids", similarity.embedding_label_centroids)
 
 register(
     "sim_ann_lsh",

@@ -238,6 +238,22 @@ def test_simhash_rejects_degenerate_banding(spark, sf_dir):
         )
 
 
+def test_rowlocal_text_ops_zero_shuffle(spark, sf_dir):
+    # per-document text math (stats, repetition, token classes) must stay a
+    # pure map stage: no exchange of any kind in the plan
+    for name in ["text_stats", "text_repetition", "text_token_count"]:
+        plan = inspect.executed_plan(QUERIES[name](spark, sf_dir))
+        assert "Exchange" not in plan, name
+
+
+def test_vocab_topk_is_take_ordered(spark, sf_dir):
+    # global top-k must plan a distributed TakeOrdered (per-partition top-k,
+    # driver merge of k rows), never a single-partition global sort of the
+    # full vocabulary
+    plan = inspect.executed_plan(QUERIES["text_vocab_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_jvm_only_hot_paths(spark, sf_dir):
     # the claimed JVM-side operators must stay whole-stage-codegen'able:
     # no row-at-a-time or Arrow Python evaluation node anywhere in the plan
@@ -248,6 +264,11 @@ def test_jvm_only_hot_paths(spark, sf_dir):
         "text_langid",
         "text_quality_score",
         "text_fingerprint",
+        "text_token_count",
+        "text_repetition",
+        "text_vocab_topk",
+        "dedup_fingerprint",
+        "embedding_label_centroids",
         "sim_topk_cosine",
     ]:
         plan = inspect.executed_plan(QUERIES[name](spark, sf_dir))
