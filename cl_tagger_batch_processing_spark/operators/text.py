@@ -113,22 +113,34 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     division — so the operator is a zero-shuffle map at any corpus size.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tokens = F.split(F.col("text"), " ")
-    n_tok = F.size(tokens)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n_tok - 1),
-        lambda i: F.concat_ws(" ", F.element_at(tokens, i), F.element_at(tokens, i + 1)),
-    )
-    n_bi = F.size(bigrams)
-    n_uniq = F.size(F.array_distinct(bigrams))
-    frac = F.when(
-        n_bi > 0, (n_bi - n_uniq).cast("double") / n_bi.cast("double")
-    ).otherwise(F.lit(0.0))
-    return docs.select(
+    # Materialize tokens and bigrams as their OWN projection attributes.
+    # Inlining `split(text)` into the transform lambda re-evaluates the
+    # split per array ELEMENT (no common-subexpression elimination inside
+    # higher-order functions) — O(n_tok²) per document; the same applies to
+    # the bigram array reused by size/array_distinct. Catalyst keeps these
+    # projections separate because each attribute is referenced repeatedly.
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    bi = toks.select(
         "doc_id",
-        n_bi.cast("bigint").alias("n_bigrams"),
-        n_uniq.cast("bigint").alias("n_distinct_bigrams"),
-        frac.alias("dup_bigram_frac"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+            ),
+        ).alias("bigrams"),
+    )
+    counts = bi.select(
+        "doc_id",
+        F.size("bigrams").cast("bigint").alias("n_bigrams"),
+        F.size(F.array_distinct("bigrams")).cast("bigint").alias("n_distinct_bigrams"),
+    )
+    frac = F.when(
+        F.col("n_bigrams") > 0,
+        (F.col("n_bigrams") - F.col("n_distinct_bigrams")).cast("double")
+        / F.col("n_bigrams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return counts.select(
+        "doc_id", "n_bigrams", "n_distinct_bigrams", frac.alias("dup_bigram_frac")
     )
 
 
