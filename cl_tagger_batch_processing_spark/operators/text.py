@@ -34,13 +34,17 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     token length. The whitespace count models the reference's simple splits;
     the regex count is the BPE-ish token proxy."""
     docs = load_table(spark, sf_dir, "documents")
-    tokens = F.split(F.col("text"), " ")
-    n_tokens = F.size(tokens)
+    # tokens as their own attribute: each consumer evaluates the split once
+    # per row instead of once per use (see text_repetition for the rationale)
+    base = docs.select(
+        "doc_id", F.col("text"), F.split(F.col("text"), " ").alias("toks")
+    )
+    n_tokens = F.size("toks")
     n_alpha = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), 0))
     nospace_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
     # bigint casts: DuckDB len()/length() are BIGINT, Spark size()/length()
     # are INT — align so the oracle schema matches.
-    return docs.select(
+    return base.select(
         "doc_id",
         F.length("text").cast("bigint").alias("n_chars"),
         n_tokens.cast("bigint").alias("n_tokens"),
@@ -54,7 +58,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     token length — the standard cheap pre-filter for LLM training corpora.
     Weights are exact binary fractions so the score is engine-portable."""
     docs = load_table(spark, sf_dir, "documents")
-    tokens = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id", F.col("text"), F.split(F.col("text"), " ").alias("toks")
+    )
+    tokens = F.col("toks")
     n_tokens = F.size(tokens)
     n_stop = F.size(F.filter(tokens, lambda t: t.isin(STOPWORDS)))
     n_uniq = F.size(F.array_distinct(tokens))
@@ -67,7 +74,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.25) * uniq_ratio
         + F.lit(0.25) * (F.least(avg_len, F.lit(8.0)) / F.lit(8.0))
     )
-    return docs.select(
+    return base.select(
         "doc_id",
         stop_ratio.alias("stopword_ratio"),
         uniq_ratio.alias("uniq_ratio"),
@@ -87,7 +94,10 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing). struct sort ascending on (-score, lang) ≡ score DESC,
     lang ASC."""
     docs = load_table(spark, sf_dir, "documents")
-    tokens = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id", F.col("lang"), F.split(F.col("text"), " ").alias("toks")
+    )
+    tokens = F.col("toks")
     def marker_hits(words: list[str]):
         marker_arr = F.array(*[F.lit(w) for w in words])
         return F.size(F.filter(tokens, lambda t: F.array_contains(marker_arr, t)))
@@ -97,7 +107,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         for lang, words in sorted(LANG_MARKERS.items())
     ]
     predicted = F.array_sort(F.array(*entries))[0]["cand_lang"]
-    return docs.select(
+    return base.select(
         "doc_id",
         predicted.alias("predicted_lang"),
         F.col("lang").alias("labeled_lang"),
