@@ -226,3 +226,37 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5("shingle")).alias("fingerprint"),
         F.count(F.lit(1)).alias("n_shingles"),
     )
+
+
+def text_unigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average unigram log-likelihood under the corpus's own
+    unigram LM — the perplexity-style quality filter (low loglik = unusual
+    token mix). Two shuffles: one groupBy(token) builds the LM (map-side
+    combined), one groupBy(doc_id) averages the per-token scores. The LM
+    joins back by token WITHOUT a broadcast hint: real vocabularies are
+    heavy-tailed but can reach 10⁷⁺ rows at corpus scale — dimension-sized
+    is not guaranteed, so let AQE pick broadcast when stats allow.
+
+    Determinism: counts are exact integers and each log evaluates on an
+    exact rational; only the final mean is order-sensitive, so it rounds to
+    6dp on both engines (the mm_byte_histogram entropy pattern), far above
+    double summation-order noise.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    lm = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_tok"))
+    total = lm.agg(F.sum("n_tok").alias("n_total"))
+    scored = (
+        tok.join(lm, "token")
+        .crossJoin(F.broadcast(total))  # 1-row scalar, the sanctioned shape
+        .select(
+            "doc_id",
+            F.log(F.col("n_tok").cast("double") / F.col("n_total").cast("double")).alias(
+                "ll"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(F.avg("ll"), 6).alias("avg_loglik"),
+    )

@@ -733,6 +733,19 @@ SELECT label, MIN(n) AS n_vecs,
 FROM sums GROUP BY label
 """
 
+ORACLE_SQL["text_unigram_loglik"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+lm AS (SELECT token, COUNT(*) AS n_tok FROM tok GROUP BY token),
+total AS (SELECT SUM(n_tok) AS n_total FROM lm)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(AVG(ln(CAST(n_tok AS DOUBLE) / n_total)), 6) AS avg_loglik
+FROM tok JOIN lm USING (token) CROSS JOIN total
+GROUP BY doc_id
+"""
+
 ORACLE_SQL["text_token_count"] = """
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,

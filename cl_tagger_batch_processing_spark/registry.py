@@ -182,6 +182,7 @@ register("dedup_fingerprint", text.dedup_fingerprint)
 register("text_repetition", text.text_repetition)
 register("text_vocab_topk", text.text_vocab_topk)
 register("embedding_label_centroids", similarity.embedding_label_centroids)
+register("text_unigram_loglik", text.text_unigram_loglik)
 
 register(
     "sim_ann_lsh",

@@ -269,6 +269,7 @@ def test_jvm_only_hot_paths(spark, sf_dir):
         "text_vocab_topk",
         "dedup_fingerprint",
         "embedding_label_centroids",
+        "text_unigram_loglik",
         "sim_topk_cosine",
     ]:
         plan = inspect.executed_plan(QUERIES[name](spark, sf_dir))
