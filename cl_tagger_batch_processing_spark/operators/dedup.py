@@ -496,28 +496,35 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = CLU
     # corpus; singletons are welded back on with one anti join at the end.
     labels = both.select(F.col("a").alias("doc_id")).distinct().withColumn(
         "cluster_id", F.col("doc_id")
-    ).localCheckpoint(eager=True)
+    )
     # Convergence check: labels only ever DECREASE (min-propagation), so the
     # total label sum strictly decreases until the fixpoint — comparing sums
-    # between rounds detects change with one cheap agg over the checkpointed
-    # result instead of a per-round self-join + count. Summed as
-    # decimal(38,0): at 100 TB, node-count × 64-bit labels can exceed the
-    # bigint range, and a silent non-ANSI wraparound could fake equality and
-    # stop the loop early.
-    label_sum = F.sum(F.col("cluster_id").cast("decimal(38,0)"))
-    prev_sum = labels.agg(label_sum).collect()[0][0]
+    # between rounds detects change. The sum rides as an Observation on the
+    # SAME job that materializes each round's checkpoint, so convergence
+    # costs zero extra passes (the previous shape ran a separate agg job per
+    # round). Summed as decimal(38,0): at 100 TB, node-count × 64-bit labels
+    # can exceed the bigint range, and a silent non-ANSI wraparound could
+    # fake equality and stop the loop early.
+    from pyspark.sql import Observation
+
+    label_sum = F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("label_sum")
+
+    def _checkpoint_with_sum(df: DataFrame):
+        obs = Observation()
+        ck = df.observe(obs, label_sum).localCheckpoint(eager=True)
+        return ck, obs.get["label_sum"]
+
+    labels, prev_sum = _checkpoint_with_sum(labels)
     for _ in range(max_iter):
         prop = (
             labels.join(both, labels.doc_id == both.a)
             .select(F.col("b").alias("doc_id"), "cluster_id")
         )
-        new_labels = (
+        new_labels, new_sum = _checkpoint_with_sum(
             labels.unionByName(prop)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint(eager=True)
         )
-        new_sum = new_labels.agg(label_sum).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
             break
