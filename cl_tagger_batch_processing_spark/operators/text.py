@@ -260,3 +260,44 @@ def text_unigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         F.round(F.avg("ll"), 6).alias("avg_loglik"),
     )
+
+
+def decontaminate_ngram_overlap(
+    spark: SparkSession, sf_dir: str, k: int = 8, bench_mod: int = 50
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any k-gram
+    with a benchmark set — the standard pre-training hygiene step (e.g.
+    13-gram overlap in GPT-3's cleanup; k=8 fits the fixture's doc lengths).
+    The fixture's "benchmark" is the deterministic doc_id % ``bench_mod``
+    sample standing in for an eval suite loaded from elsewhere.
+
+    Shape: shingle inverted-index semi-join — the corpus side explodes to
+    (doc_id, shingle) postings and probes the benchmark's DISTINCT shingle
+    set; never a doc×doc pair enumeration, so the cost is linear in corpus
+    postings. The benchmark shingle relation is dedup'd before the join
+    (an eval suite is small, but no broadcast hint — AQE decides).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bench_sh = (
+        word_shingles(docs.where(F.col("doc_id") % bench_mod == 0), k=k)
+        .select("shingle")
+        .distinct()
+    )
+    corpus_sh = word_shingles(docs.where(F.col("doc_id") % bench_mod != 0), k=k)
+    hits = (
+        corpus_sh.join(bench_sh, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap_ngrams"))
+    )
+    return (
+        docs.where(F.col("doc_id") % bench_mod != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap_ngrams", F.lit(0)).cast("bigint").alias(
+                "n_overlap_ngrams"
+            ),
+            (F.coalesce("n_overlap_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

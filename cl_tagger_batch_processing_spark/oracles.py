@@ -746,6 +746,30 @@ FROM tok JOIN lm USING (token) CROSS JOIN total
 GROUP BY doc_id
 """
 
+ORACLE_SQL["decontaminate_ngram_overlap"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 7),
+                               i -> array_to_string(t[i:i+7], ' '))) AS shingle
+  FROM toks WHERE len(t) >= 8
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+corpus AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_overlap_ngrams
+  FROM corpus SEMI JOIN bench USING (shingle)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_overlap_ngrams, 0) AS BIGINT) AS n_overlap_ngrams,
+       COALESCE(h.n_overlap_ngrams, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
 ORACLE_SQL["text_token_count"] = """
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,

@@ -183,6 +183,7 @@ register("text_repetition", text.text_repetition)
 register("text_vocab_topk", text.text_vocab_topk)
 register("embedding_label_centroids", similarity.embedding_label_centroids)
 register("text_unigram_loglik", text.text_unigram_loglik)
+register("decontaminate_ngram_overlap", text.decontaminate_ngram_overlap)
 
 register(
     "sim_ann_lsh",

@@ -270,6 +270,7 @@ def test_jvm_only_hot_paths(spark, sf_dir):
         "dedup_fingerprint",
         "embedding_label_centroids",
         "text_unigram_loglik",
+        "decontaminate_ngram_overlap",
         "sim_topk_cosine",
     ]:
         plan = inspect.executed_plan(QUERIES[name](spark, sf_dir))
