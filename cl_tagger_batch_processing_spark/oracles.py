@@ -605,6 +605,91 @@ WHERE list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[]))
 
 # --- similarity search -------------------------------------------------------
 
+# The ANN operators are APPROXIMATE relative to brute force but fully
+# DETERMINISTIC in construction (LSH planes from a fixed LCG; IVF centroids
+# = the first 8 corpus vectors), so their outputs admit exact oracles that
+# replay the same bucketing/probing. The LCG is duplicated here to keep this
+# module pyspark-free; a test pins it equal to similarity._lcg_plane_weights.
+_LSH_NUM_PLANES = 8
+_EMBED_DIM = 64
+
+
+def _lcg_planes(num_planes: int = _LSH_NUM_PLANES, dim: int = _EMBED_DIM) -> list[list[int]]:
+    planes = []
+    state = 123456789
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (2**31)
+            row.append(1 if (state >> 16) & 1 else -1)
+        planes.append(row)
+    return planes
+
+
+_BUCKET_EXPR = " + ".join(
+    f"(CASE WHEN list_dot_product(CAST(qv AS DOUBLE[]), "
+    f"CAST({plane} AS DOUBLE[])) > 0 THEN {2**p} ELSE 0 END)"
+    for p, plane in enumerate(_lcg_planes())
+)
+
+ORACLE_SQL["sim_ann_lsh"] = f"""
+WITH {_QEMB_CTES},
+b AS (SELECT vec_id, label, qv, nrm, {_BUCKET_EXPR} AS bucket FROM n),
+queries AS (
+  SELECT vec_id AS query_id, qv AS qq, nrm AS nq, bucket FROM b WHERE vec_id < 5
+),
+scored AS (
+  SELECT query_id, a.vec_id AS neighbor_id,
+         list_dot_product(CAST(qq AS DOUBLE[]), CAST(a.qv AS DOUBLE[]))
+           / (sqrt(nq) * sqrt(a.nrm)) AS cosine
+  FROM b a JOIN queries USING (bucket)
+  WHERE a.vec_id != query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 10
+"""
+
+ORACLE_SQL["sim_topk_ivf"] = f"""
+WITH {_QEMB_CTES},
+cent AS (SELECT vec_id AS cell_id, qv AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+assign_scored AS (
+  SELECT a.vec_id, a.qv, a.nrm, c.cell_id,
+         list_dot_product(CAST(c.cv AS DOUBLE[]), CAST(a.qv AS DOUBLE[]))
+           / (sqrt(c.cn) * sqrt(a.nrm)) AS sim
+  FROM n a CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, qv, nrm, cell_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cell_id ASC) AS rn
+        FROM assign_scored)
+  WHERE rn = 1
+),
+probed AS (
+  SELECT query_id, qq, nq, cell_id
+  FROM (SELECT vec_id AS query_id, qv AS qq, nrm AS nq, cell_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell_id ASC) AS rn
+        FROM assign_scored WHERE vec_id < 5)
+  WHERE rn <= 2
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(CAST(p.qq AS DOUBLE[]), CAST(a.qv AS DOUBLE[]))
+           / (sqrt(p.nq) * sqrt(a.nrm)) AS cosine
+  FROM assigned a JOIN probed p USING (cell_id)
+  WHERE a.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 10
+"""
+
 ORACLE_SQL["sim_topk_cosine"] = f"""
 WITH {_QEMB_CTES},
 queries AS (SELECT vec_id AS query_id, qv AS qq, nrm AS nq FROM n WHERE vec_id < 5),

@@ -185,18 +185,11 @@ register("embedding_label_centroids", similarity.embedding_label_centroids)
 register("text_unigram_loglik", text.text_unigram_loglik)
 register("decontaminate_ngram_overlap", text.decontaminate_ngram_overlap)
 
-register(
-    "sim_ann_lsh",
-    similarity.sim_ann_lsh,
-    no_oracle="approximate by construction (LSH bucketing); exact baseline "
-    "sim_topk_cosine carries the value oracle",
-)
-register(
-    "sim_topk_ivf",
-    similarity.sim_topk_ivf,
-    no_oracle="approximate by construction (IVF cell probing); exact baseline "
-    "sim_topk_cosine carries the value oracle",
-)
+# Approximate vs brute force but DETERMINISTIC in construction (fixed LCG
+# planes / first-8 centroids): their oracles replay the exact bucketing and
+# probing, so both are value-checked (see oracles.py).
+register("sim_ann_lsh", similarity.sim_ann_lsh)
+register("sim_topk_ivf", similarity.sim_topk_ivf)
 register(
     "stream_session_counts",
     streaming_windows.stream_session_counts,

@@ -31,6 +31,15 @@ def test_max_df_constants_in_sync():
     assert dedup.DEFAULT_MAX_DF == oracles.DEDUP_MAX_DF
 
 
+def test_lsh_planes_in_sync():
+    # oracles.py duplicates the LCG (to stay pyspark-free); the plane
+    # matrices must be identical or the sim_ann_lsh oracle silently drifts
+    from cl_tagger_batch_processing_spark import oracles
+    from cl_tagger_batch_processing_spark.operators import similarity
+
+    assert oracles._lcg_planes() == similarity._lcg_plane_weights()
+
+
 def test_jaccard_max_df_drop_path_parity(spark, sf_dir):
     """The hot-shingle guard with a cap small enough to ENGAGE on fixture
     data must still hash-match a DuckDB oracle carrying the same cap —
