@@ -112,6 +112,19 @@ register("stream_user_totals", streaming_stateful.stream_user_totals)
 
 register("mm_metadata", multimodal.mm_metadata)
 register("mm_frame_sample", multimodal.mm_frame_sample)
+# Value-checked: the payload bytes are the UTF-8 encoding of pure-ASCII
+# fixture text, so the DuckDB oracle mirrors the byte histogram per
+# CHARACTER (see oracles.py for the ASCII precondition).
+register("mm_byte_histogram", multimodal.mm_byte_histogram)
+
+# Approximate vs brute force but DETERMINISTIC in construction (fixed LCG
+# planes / first-8 centroids): their oracles replay the exact bucketing and
+# probing, so both are value-checked (see oracles.py).
+register("sim_ann_lsh", similarity.sim_ann_lsh)
+register("sim_topk_ivf", similarity.sim_topk_ivf)
+
+register("text_unigram_loglik", text.text_unigram_loglik)
+register("decontaminate_ngram_overlap", text.decontaminate_ngram_overlap)
 
 # --- flagship relational shapes (driver window) ------------------------------
 
@@ -127,14 +140,9 @@ register("q9_product_profit", relational.q9_product_profit)
 register("q10_returned_items", relational.q10_returned_items)
 register("q11_important_parts", relational.q11_important_parts)
 register("q12_late_priority", relational.q12_late_priority)
-register("q13_customer_distribution", relational.q13_customer_distribution)
-register("q14_promo_revenue", relational.q14_promo_revenue)
 register("q15_top_supplier", relational.q15_top_supplier)
-register("q16_supplier_counts", relational.q16_supplier_counts)
-register("q17_small_quantity", relational.q17_small_quantity)
 register("q18_large_orders", relational.q18_large_orders)
 register("q19_disjunctive_revenue", relational.q19_disjunctive_revenue)
-register("q20_bulk_suppliers", relational.q20_bulk_suppliers)
 register("q21_waiting_suppliers", relational.q21_waiting_suppliers)
 register("q22_idle_customers", relational.q22_idle_customers)
 
@@ -151,6 +159,15 @@ register("skew_salted_join", skew.skew_salted_join)
 # Everything below is OUTSIDE the driver's 50-entry window; each keeps its
 # local DuckDB oracle in tests/test_oracle_parity.py (or a documented
 # NO_ORACLE reason) as regression cover.
+
+# Mid-tier TPC-H shapes displaced from the window by the r3 extension
+# queries (the judge-graded LLM-pipeline family benefits more from driver
+# verification; these keep their local oracles).
+register("q13_customer_distribution", relational.q13_customer_distribution)
+register("q14_promo_revenue", relational.q14_promo_revenue)
+register("q16_supplier_counts", relational.q16_supplier_counts)
+register("q17_small_quantity", relational.q17_small_quantity)
+register("q20_bulk_suppliers", relational.q20_bulk_suppliers)
 
 register("agg_rollup", relational.agg_rollup)
 register("join_semi_anti", relational.join_semi_anti)
@@ -182,21 +199,9 @@ register("dedup_fingerprint", text.dedup_fingerprint)
 register("text_repetition", text.text_repetition)
 register("text_vocab_topk", text.text_vocab_topk)
 register("embedding_label_centroids", similarity.embedding_label_centroids)
-register("text_unigram_loglik", text.text_unigram_loglik)
-register("decontaminate_ngram_overlap", text.decontaminate_ngram_overlap)
-
-# Approximate vs brute force but DETERMINISTIC in construction (fixed LCG
-# planes / first-8 centroids): their oracles replay the exact bucketing and
-# probing, so both are value-checked (see oracles.py).
-register("sim_ann_lsh", similarity.sim_ann_lsh)
-register("sim_topk_ivf", similarity.sim_topk_ivf)
 register(
     "stream_session_counts",
     streaming_windows.stream_session_counts,
     no_oracle="append-mode watermark emits only finalized sessions; the "
     "batch-equivalent 'sessionize' carries the value oracle",
 )
-# Value-checked: the payload bytes are the UTF-8 encoding of pure-ASCII
-# fixture text, so the DuckDB oracle mirrors the byte histogram per
-# CHARACTER (see oracles.py for the ASCII precondition).
-register("mm_byte_histogram", multimodal.mm_byte_histogram)
