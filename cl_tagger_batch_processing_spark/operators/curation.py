@@ -1,0 +1,201 @@
+"""Corpus-curation operators: PII scrubbing, quality gating, split
+assignment, and source-mixing weights.
+
+Extension surface (BASELINE.json north-star; the reference has no corpus
+curation — SURVEY.md §2.4 "not present"). These are the remaining standard
+stages of a pre-training data pipeline that sit between raw text analysis
+(operators/text.py) and dedup (operators/dedup.py):
+
+* ``text_pii_scrub``      — regex PII detection + redaction (emails, phones)
+* ``text_gopher_flags``   — Gopher-style document quality gates
+* ``corpus_split_assign`` — deterministic hash-based train/val/test split
+* ``corpus_source_mix``   — per-source token shares (mixture-weight prep)
+
+All pure Column expressions — zero Python in the row path, whole-stage
+codegen throughout; the only shuffles are the two aggregations in
+``corpus_source_mix`` (map-side combined).
+
+Determinism: every ratio-threshold comparison is rewritten in exact integer
+form (cross-multiplied), hash bucketing is md5-based (identical across
+engines), and regex patterns use only syntax shared by Java regex and RE2 so
+the DuckDB oracles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .text import STOPWORDS
+
+# Shared by Java regex (Spark) and RE2 (DuckDB): char classes, +, {n},
+# alternation only — no lookaround, no backrefs.
+EMAIL_RE = r"[a-z0-9._]+@[a-z0-9-]+\.[a-z]+"
+PHONE_RE = r"555-[0-9]{4}"
+
+SPLIT_BUCKETS = 100
+TRAIN_BUCKETS = 80  # buckets [0,80) -> train
+VAL_BUCKETS = 90  # buckets [80,90) -> val; [90,100) -> test
+
+
+def _with_synthetic_pii(docs: DataFrame) -> DataFrame:
+    """Fixture documents carry no PII, so a scrubber over the raw text would
+    be vacuously green. Append one deterministic synthetic email and phone
+    per document (derived from doc_id/lang, identically in the oracle) so
+    the detect/redact path is exercised on real hits."""
+    full = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail-"),
+        F.col("lang"),
+        F.lit(".example or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return docs.select("doc_id", full.alias("full_text"))
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count and redact email addresses and phone numbers.
+
+    The standard pre-training hygiene step (emails/phones/IPs → placeholder
+    tokens). Pure ``regexp_extract_all`` + ``regexp_replace`` Column work:
+    zero shuffles, embarrassingly parallel at any corpus size, and the
+    patterns avoid every Java-vs-RE2 dialect divergence.
+    """
+    base = _with_synthetic_pii(load_table(spark, sf_dir, "documents"))
+    n_emails = F.size(F.regexp_extract_all("full_text", F.lit(EMAIL_RE), 0))
+    n_phones = F.size(F.regexp_extract_all("full_text", F.lit(PHONE_RE), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace("full_text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return base.select(
+        "doc_id",
+        n_emails.cast("bigint").alias("n_emails"),
+        n_phones.cast("bigint").alias("n_phones"),
+        redacted.alias("redacted_text"),
+    )
+
+
+# Gopher-style gate parameters (Rae et al. 2021 §A1.1, adapted to the
+# fixture's doc lengths — the real bounds are 50..100k words, 3..10 mean
+# chars/word, ≥2 distinct stopwords, duplicate-bigram fraction ≤ 0.2).
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_WORD_LEN = 3  # mean chars/word lower bound
+GOPHER_MAX_WORD_LEN = 10  # mean chars/word upper bound
+GOPHER_MIN_STOPWORDS = 2  # distinct stopword hits
+GOPHER_REP_NUM = 1  # dup-bigram fraction threshold = NUM/DEN = 0.2
+GOPHER_REP_DEN = 5
+
+
+def text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gates: per-document boolean flags plus the
+    combined ``keep`` decision.
+
+    Every threshold comparison is exact-integer (cross-multiplied) — e.g.
+    "mean word length < 3" becomes ``nospace_len < 3 * n_tokens`` — so the
+    booleans are bit-identical across engines with no float compare at all.
+    Entirely row-local array/length math: a zero-shuffle map stage.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.col("text"), F.split(F.col("text"), " ").alias("toks")
+    )
+    # bigrams as their own attribute (HOF lambdas get no CSE — see
+    # text.text_repetition)
+    bi = base.withColumn(
+        "bigrams",
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+            ),
+        ),
+    )
+    n_tokens = F.size("toks").cast("bigint")
+    nospace_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("bigint")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop_distinct = F.size(F.array_intersect(F.array_distinct("toks"), stop_arr)).cast(
+        "bigint"
+    )
+    n_bi = F.size("bigrams").cast("bigint")
+    n_bi_distinct = F.size(F.array_distinct("bigrams")).cast("bigint")
+
+    flag_short = n_tokens < GOPHER_MIN_TOKENS
+    flag_long = n_tokens > GOPHER_MAX_TOKENS
+    flag_word_len = (nospace_len < GOPHER_MIN_WORD_LEN * n_tokens) | (
+        nospace_len > GOPHER_MAX_WORD_LEN * n_tokens
+    )
+    flag_stopword = n_stop_distinct < GOPHER_MIN_STOPWORDS
+    # dup_frac > 0.2  ⇔  5*(n_bi - n_bi_distinct) > 1*n_bi, exactly
+    flag_repetition = GOPHER_REP_DEN * (n_bi - n_bi_distinct) > GOPHER_REP_NUM * n_bi
+    keep = ~(flag_short | flag_long | flag_word_len | flag_stopword | flag_repetition)
+    return bi.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        flag_short.alias("flag_too_short"),
+        flag_long.alias("flag_too_long"),
+        flag_word_len.alias("flag_word_len"),
+        flag_stopword.alias("flag_low_stopword"),
+        flag_repetition.alias("flag_repetition"),
+        keep.alias("keep"),
+    )
+
+
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: md5-bucket each doc_id into
+    100 buckets, 80/10/10. Hash-based (not random) so the split is stable
+    under re-runs, insertions, and engine changes — the property a training
+    pipeline actually needs from its split (new documents never reshuffle
+    old assignments). Zero shuffles; the bucket key is uniform by md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % SPLIT_BUCKETS
+    )
+    split = (
+        F.when(F.col("bucket") < TRAIN_BUCKETS, F.lit("train"))
+        .when(F.col("bucket") < VAL_BUCKETS, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(
+        "doc_id", "lang", "source", bucket.alias("bucket")
+    ).withColumn("split", split)
+
+
+def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus shares — the input to mixture-weight sampling
+    (Pile-style domain mixing): document, char, and whitespace-token counts
+    per source plus each source's fraction of total tokens.
+
+    One map-side-combined aggregation per source, then the grand total via
+    an UNPARTITIONED window over the per-source result — #sources rows, a
+    trivially small single-partition exchange. The scalar-subquery
+    alternative (agg + crossJoin(broadcast)) would re-execute the whole
+    per-source subtree for the total (Spark does not CSE across DAG
+    branches): two full corpus scans at 100 TB instead of one. Token counts
+    stay exact integers and the share divides once in double, so values are
+    engine-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.col("n_chars"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    per_source = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+    total = F.sum("sum_tokens").over(Window.partitionBy())
+    return per_source.select(
+        "source",
+        "n_docs",
+        "sum_chars",
+        "sum_tokens",
+        (F.col("sum_tokens").cast("double") / total.cast("double")).alias("token_share"),
+    )

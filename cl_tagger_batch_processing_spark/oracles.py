@@ -1327,3 +1327,109 @@ SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
 FROM pp, tot
 WHERE CAST(v AS DOUBLE) > 1.2 * CAST(t AS DOUBLE) / np
 """
+
+# --- corpus curation (operators/curation.py) ---------------------------------
+
+# Mirrors curation._with_synthetic_pii: fixture text carries no PII, so both
+# engines append the same deterministic email+phone before detect/redact.
+_PII_FULL_TEXT = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail-' || lang"
+    " || '.example or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+_PII_EMAIL_RE = r"[a-z0-9._]+@[a-z0-9-]+\.[a-z]+"
+_PII_PHONE_RE = r"555-[0-9]{4}"
+
+ORACLE_SQL["text_pii_scrub"] = f"""
+WITH pii AS (SELECT doc_id, {_PII_FULL_TEXT} AS full_text FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(full_text, '{_PII_EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(full_text, '{_PII_PHONE_RE}')) AS BIGINT)
+         AS n_phones,
+       regexp_replace(regexp_replace(full_text, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PII_PHONE_RE}', '<PHONE>', 'g') AS redacted_text
+FROM pii
+"""
+
+# Gopher-style gates, exact-integer comparisons only (mirrors
+# curation.text_gopher_flags; thresholds 50..100000 tokens, 3..10 mean
+# chars/word, >=2 distinct stopwords, dup-bigram fraction <= 1/5).
+ORACLE_SQL["text_gopher_flags"] = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+),
+b AS (
+  SELECT doc_id, text, toks,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+  FROM t
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(replace(text, ' ', '')) AS BIGINT) AS nospace_len,
+         CAST(len(list_intersect(list_distinct(toks),
+                                 ['a','the','of','and','in','to'])) AS BIGINT)
+           AS n_stop,
+         CAST(len(bigrams) AS BIGINT) AS n_bi,
+         CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_bi_distinct
+  FROM b
+)
+SELECT doc_id, n_tokens,
+       n_tokens < 50 AS flag_too_short,
+       n_tokens > 100000 AS flag_too_long,
+       (nospace_len < 3 * n_tokens OR nospace_len > 10 * n_tokens)
+         AS flag_word_len,
+       n_stop < 2 AS flag_low_stopword,
+       5 * (n_bi - n_bi_distinct) > n_bi AS flag_repetition,
+       NOT (n_tokens < 50 OR n_tokens > 100000
+            OR nospace_len < 3 * n_tokens OR nospace_len > 10 * n_tokens
+            OR n_stop < 2
+            OR 5 * (n_bi - n_bi_distinct) > n_bi) AS keep
+FROM m
+"""
+
+ORACLE_SQL["corpus_split_assign"] = """
+WITH h AS (
+  SELECT doc_id, lang, source,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+           AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, source, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+ORACLE_SQL["corpus_source_mix"] = """
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(sum_tokens) AS BIGINT) AS total_tokens FROM per_source)
+SELECT source, n_docs, sum_chars, sum_tokens,
+       CAST(sum_tokens AS DOUBLE) / total_tokens AS token_share
+FROM per_source CROSS JOIN tot
+"""
+
+# --- line-oriented source roundtrips (sources/textfiles.py) ------------------
+
+# The Spark side writes the documents fixture to JSONL/CSV and reads it back
+# through an explicit schema; the oracle computes the SAME fidelity aggregate
+# straight from the parquet fixture — a checksum mismatch means the format
+# encode/decode corrupted data.
+_ROUNDTRIP_AGG_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+         AS text_checksum,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM documents GROUP BY lang
+"""
+
+ORACLE_SQL["source_jsonl_roundtrip"] = _ROUNDTRIP_AGG_SQL
+ORACLE_SQL["source_csv_roundtrip"] = _ROUNDTRIP_AGG_SQL

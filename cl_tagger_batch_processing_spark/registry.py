@@ -194,6 +194,16 @@ register("date_functions", scalar.date_functions)
 register("math_functions", scalar.math_functions)
 register("percentiles_by_priority", scalar.percentiles_by_priority)
 
+from .operators import curation  # noqa: E402
+from .sources import textfiles  # noqa: E402
+
+register("text_pii_scrub", curation.text_pii_scrub)
+register("text_gopher_flags", curation.text_gopher_flags)
+register("corpus_split_assign", curation.corpus_split_assign)
+register("corpus_source_mix", curation.corpus_source_mix)
+register("source_jsonl_roundtrip", textfiles.source_jsonl_roundtrip)
+register("source_csv_roundtrip", textfiles.source_csv_roundtrip)
+
 register("text_token_count", text.text_token_count)
 register("dedup_fingerprint", text.dedup_fingerprint)
 register("text_repetition", text.text_repetition)

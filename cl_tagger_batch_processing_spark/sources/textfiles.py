@@ -1,0 +1,96 @@
+"""Line-oriented text sources: JSONL and CSV readers with explicit schemas.
+
+Source-format breadth beyond the fixture parquet (SURVEY.md §2.1 covers only
+the reference's filesystem scan + CSV tag mapping; real corpora arrive as
+JSONL/CSV dumps). Readers take an EXPLICIT schema — at 100 TB, schema
+inference is a full extra pass over the data and a correctness hazard
+(a column that is all-null in the sampled files infers as string), so the
+engine never infers.
+
+The ``source_*_roundtrip`` registry queries prove reader fidelity
+end-to-end: write the documents fixture to a local staging dir in the
+target format at plan-build time (the pipeline_score_tag handoff pattern),
+read it back through the declared schema, and aggregate per-language counts
+plus an md5-based content checksum that the DuckDB oracle recomputes
+directly from the parquet fixture. Any encode/decode corruption — quoting,
+escaping, unicode, integer widths — breaks the checksum match.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tables import load_table
+
+DOCUMENTS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+STAGING_ROOT = "/tmp/cl_tagger_textfiles"
+
+
+def write_documents_jsonl(df: DataFrame, path: str) -> None:
+    """One JSON object per line, one file per partition — the standard
+    corpus-dump layout (each executor writes its own split; no driver
+    funnel)."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """JSONL reader with a required schema. ``mode=FAILFAST`` surfaces
+    malformed lines as errors instead of silent nulls — at corpus scale a
+    permissive reader hides data loss."""
+    return spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+
+def write_documents_csv(df: DataFrame, path: str) -> None:
+    """CSV with header and full quoting of the text column."""
+    df.write.mode("overwrite").option("header", "true").option("quoteAll", "true").csv(
+        path
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )
+
+
+def _roundtrip_agg(docs: DataFrame) -> DataFrame:
+    """Per-language fidelity aggregate: counts plus an order-insensitive
+    integer checksum over the text bytes (sum of each row's first-8-hex-chars
+    of md5 as a bigint — exact integer math, identical in DuckDB)."""
+    checksum = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(checksum).alias("text_checksum"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+def _staged_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(STAGING_ROOT, f"{fmt}_{os.path.basename(os.path.normpath(sf_dir))}")
+    if fmt == "jsonl":
+        write_documents_jsonl(docs, path)
+        back = read_jsonl(spark, path, DOCUMENTS_SCHEMA)
+    else:
+        write_documents_csv(docs, path)
+        back = read_csv(spark, path, DOCUMENTS_SCHEMA)
+    return _roundtrip_agg(back)
+
+
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → JSONL → read with schema → fidelity aggregate."""
+    return _staged_roundtrip(spark, sf_dir, "jsonl")
+
+
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → quoted CSV → read with schema → fidelity aggregate."""
+    return _staged_roundtrip(spark, sf_dir, "csv")

@@ -241,9 +241,25 @@ def test_simhash_rejects_degenerate_banding(spark, sf_dir):
 def test_rowlocal_text_ops_zero_shuffle(spark, sf_dir):
     # per-document text math (stats, repetition, token classes) must stay a
     # pure map stage: no exchange of any kind in the plan
-    for name in ["text_stats", "text_repetition", "text_token_count"]:
+    for name in [
+        "text_stats",
+        "text_repetition",
+        "text_token_count",
+        "text_pii_scrub",
+        "text_gopher_flags",
+        "corpus_split_assign",
+    ]:
         plan = inspect.executed_plan(QUERIES[name](spark, sf_dir))
         assert "Exchange" not in plan, name
+
+
+def test_source_mix_single_corpus_pass(spark, sf_dir):
+    # per-source agg once (one hash exchange, one corpus scan), grand total
+    # via an unpartitioned window over the tiny per-source relation — the
+    # scalar-subquery form would rescan the corpus for the total
+    plan = inspect.executed_plan(QUERIES["corpus_source_mix"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FileScan parquet") == 1
 
 
 def test_vocab_topk_is_take_ordered(spark, sf_dir):
@@ -272,6 +288,10 @@ def test_jvm_only_hot_paths(spark, sf_dir):
         "text_unigram_loglik",
         "decontaminate_ngram_overlap",
         "sim_topk_cosine",
+        "text_pii_scrub",
+        "text_gopher_flags",
+        "corpus_split_assign",
+        "corpus_source_mix",
     ]:
         plan = inspect.executed_plan(QUERIES[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan, name
