@@ -1433,3 +1433,12 @@ FROM documents GROUP BY lang
 
 ORACLE_SQL["source_jsonl_roundtrip"] = _ROUNDTRIP_AGG_SQL
 ORACLE_SQL["source_csv_roundtrip"] = _ROUNDTRIP_AGG_SQL
+
+# Final emission of the stateful event-mix stream == batch distinct/total
+# counts per user (bounded source ⇒ the state fixpoint is the batch agg).
+ORACLE_SQL["stream_user_event_mix"] = """
+SELECT user_id,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""

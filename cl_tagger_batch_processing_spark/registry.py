@@ -209,6 +209,10 @@ register("dedup_fingerprint", text.dedup_fingerprint)
 register("text_repetition", text.text_repetition)
 register("text_vocab_topk", text.text_vocab_topk)
 register("embedding_label_centroids", similarity.embedding_label_centroids)
+# Arbitrary per-key state (MapState via transformWithState where the
+# protobuf runtime exists; applyInPandasWithState map-field fallback here) —
+# value-checked either way against the batch distinct/total counts.
+register("stream_user_event_mix", streaming_stateful.stream_user_event_mix)
 register(
     "stream_session_counts",
     streaming_windows.stream_session_counts,

@@ -55,6 +55,134 @@ def _update_user(
     )
 
 
+def _protobuf_available() -> bool:
+    """``transformWithState``'s state-server protocol needs google.protobuf;
+    this container ships pyspark without it (and installs are off-limits),
+    so the TWS path is import-gated like PIL/onnxruntime in kernels/."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_MIX_OUTPUT_SCHEMA = "user_id bigint, n_event_types bigint, n_events bigint, emit_seq bigint"
+# applyInPandasWithState state: per-type counts as a map column — arbitrary
+# per-key collections are legal struct fields in the state row.
+_MIX_STATE_SCHEMA = "counts map<string,bigint>, emit_seq bigint"
+
+
+def _mix_update(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        counts, emit_seq = state.get
+        counts = dict(counts)
+    else:
+        counts, emit_seq = {}, 0
+    for pdf in pdfs:
+        for etype, cnt in pdf.groupby("event_type").size().items():
+            counts[etype] = counts.get(etype, 0) + int(cnt)
+    emit_seq += 1
+    state.update((counts, emit_seq))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_event_types": [len(counts)],
+            "n_events": [sum(counts.values())],
+            "emit_seq": [emit_seq],
+        }
+    )
+
+
+def _make_mix_processor():
+    """Build the transformWithState StatefulProcessor lazily — the base class
+    imports fine without protobuf; only the runtime state client needs it."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class EventMixProcessor(StatefulProcessor):
+        """Per-user event-type mix with MAP state: one RocksDB map entry per
+        (user, event_type) instead of one monolithic row per user. At scale
+        this is the point of ``transformWithState`` over
+        ``applyInPandasWithState``: updating one of a user's 10⁴ counters
+        rewrites one map entry, not the whole serialized state row."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.counts = handle.getMapState("counts", "etype string", "n bigint")
+            self.seq = handle.getValueState("seq", "s bigint")
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            for pdf in rows:
+                for etype, cnt in pdf.groupby("event_type").size().items():
+                    prev = (
+                        self.counts.getValue((etype,))[0]
+                        if self.counts.containsKey((etype,))
+                        else 0
+                    )
+                    self.counts.updateValue((etype,), (int(prev) + int(cnt),))
+            seq = (self.seq.get()[0] + 1) if self.seq.exists() else 1
+            self.seq.update((seq,))
+            items = [(k[0], v[0]) for k, v in self.counts.iterator()]
+            (user_id,) = key
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_event_types": [len(items)],
+                    "n_events": [sum(v for _, v in items)],
+                    "emit_seq": [seq],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return EventMixProcessor()
+
+
+def stream_user_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type mix (distinct types + total events) as arbitrary
+    per-key state, emitted each time the user appears; the final emission
+    equals the batch COUNT(DISTINCT event_type)/COUNT(*) per user (the value
+    oracle).
+
+    Preferred path: ``transformWithState`` with MapState on the RocksDB
+    state store — per-entry updates, the 100-TB shape. This container lacks
+    the protobuf runtime the TWS state client requires, so the operator
+    falls back to ``applyInPandasWithState`` holding the same counts as a
+    map-typed struct field — identical semantics and output (the skip-marked
+    parity test runs both where protobuf exists)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = events_stream(spark, sf_dir).select("user_id", "event_type")
+    if _protobuf_available():
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        updated = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_make_mix_processor(),
+            outputStructType=_MIX_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    else:
+        updated = ev.groupBy("user_id").applyInPandasWithState(
+            _mix_update,
+            outputStructType=_MIX_OUTPUT_SCHEMA,
+            stateStructType=_MIX_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    out = _run_to_memory(updated, "update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("emit_seq"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_event_types", "n_events")
+    )
+
+
 def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running per-user totals over the event stream; returns each user's
     LAST emission (the fixpoint), as exact cents → double dollars."""

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from cl_tagger_batch_processing_spark.sources.tables import load_table
@@ -56,6 +57,69 @@ def test_sessionize_gap_semantics(spark, sf_dir):
     for starts in by_user.values():
         starts.sort()
         assert all(b - a >= 1800 for a, b in zip(starts, starts[1:]))
+
+
+def test_stream_user_event_mix_equals_batch(spark, sf_dir):
+    from cl_tagger_batch_processing_spark.streaming.stateful import stream_user_event_mix
+
+    got = {
+        (r.user_id, r.n_event_types, r.n_events)
+        for r in stream_user_event_mix(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r.user_id, r.t, r.n)
+        for r in ev.groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("t"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_tws_event_mix_agrees_with_fallback(spark, sf_dir):
+    # The preferred transformWithState (MapState) path needs the protobuf
+    # runtime for its state-server client — absent in this container, so
+    # this runs only on a real deployment (mirrors the real-PIL goldens).
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from cl_tagger_batch_processing_spark.streaming.stateful import (
+        _MIX_OUTPUT_SCHEMA,
+        _make_mix_processor,
+    )
+    from cl_tagger_batch_processing_spark.streaming.windows import (
+        _run_to_memory,
+        events_stream,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    ev = events_stream(spark, sf_dir).select("user_id", "event_type")
+    updated = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_mix_processor(),
+        outputStructType=_MIX_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    out = _run_to_memory(updated, "update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("emit_seq"))
+    got = {
+        (r.user_id, r.n_event_types, r.n_events)
+        for r in out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn", "emit_seq")
+        .collect()
+    }
+    ev_batch = load_table(spark, sf_dir, "events")
+    want = {
+        (r.user_id, r.t, r.n)
+        for r in ev_batch.groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("t"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
 
 
 def test_stream_dedup_counts_collapses_duplicates(spark, sf_dir):
