@@ -199,3 +199,53 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_tokens",
         (F.col("sum_tokens").cast("double") / total.cast("double")).alias("token_share"),
     )
+
+
+# CDC changeset derivation (deterministic, disjoint by doc_id % 10):
+# 0 -> update (recrawled text), 3 -> delete (takedown), 7 -> source doc for
+# an insert with a new id. Stands in for a real change feed.
+CDC_INSERT_ID_OFFSET = 1_000_000
+
+
+def _cdc_changes(docs: DataFrame) -> DataFrame:
+    last = F.col("doc_id") % 10
+    upd = docs.where(last == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" v2")).alias("new_text"),
+        F.lit("update").alias("op"),
+    )
+    dele = docs.where(last == 3).select(
+        "doc_id", F.lit(None).cast("string").alias("new_text"), F.lit("delete").alias("op")
+    )
+    ins = docs.where(last == 7).select(
+        (F.col("doc_id") + CDC_INSERT_ID_OFFSET).alias("doc_id"),
+        F.concat(F.lit("new "), F.col("text")).alias("new_text"),
+        F.lit("insert").alias("op"),
+    )
+    return upd.unionByName(dele).unionByName(ins)
+
+
+def cdc_merge_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics on plain Spark: apply a deterministic
+    changeset (updates, deletes, inserts — a recrawl/takedown feed) to the
+    documents table via ONE full-outer join on doc_id.
+
+    This is the kernel of incremental corpus refresh without a table
+    format: both sides shuffle once on the join key and every row is
+    decided row-locally (delete drops, update/insert take the new text,
+    unmatched keeps). On a real deployment the same plan runs under
+    Delta/Iceberg MERGE INTO; expressing it as a join keeps the engine
+    format-agnostic. Output is the post-merge corpus keyed by content hash
+    so the oracle value-checks every surviving row."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = _cdc_changes(docs)
+    merged = docs.join(ch, "doc_id", "full_outer")
+    return (
+        merged.where(F.col("op").isNull() | (F.col("op") != "delete"))
+        .select(
+            "doc_id",
+            F.coalesce("op", F.lit("keep")).alias("op"),
+            F.md5(F.coalesce("new_text", "text")).alias("content_hash"),
+            F.length(F.coalesce("new_text", "text")).cast("bigint").alias("n_chars"),
+        )
+    )

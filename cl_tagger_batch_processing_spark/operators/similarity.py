@@ -230,3 +230,32 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return sums.select("label", "n_vecs", centroid.alias("centroid"))
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance over the quantized embeddings — the
+    standard embedding-QA step (dead dimensions, scale drift, normalization
+    bugs show up here before any downstream similarity does).
+
+    One posexplode → groupBy(dim) with map-side partial sums; the exchange
+    carries one row per (partition, dim) — at 100 TB with dim=64 that is
+    thousands of rows, not billions. Sums and squared sums stay exact
+    integers (quantized ×1000 values), and mean/variance divide once in
+    double with the IDENTICAL expression in the DuckDB oracle:
+    var = (n·Σx² − (Σx)²) / (n² · scale²).
+    """
+    base = quantized_embeddings(spark, sf_dir)
+    per_dim = base.select(F.posexplode("qv").alias("pos0", "qx")).select(
+        (F.col("pos0") + 1).cast("bigint").alias("dim"), "qx"
+    )
+    agg = per_dim.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("qx").alias("s"),
+        F.sum(F.col("qx") * F.col("qx")).alias("ss"),
+    )
+    n, s, ss = F.col("n_vecs"), F.col("s"), F.col("ss")
+    mean = s.cast("double") / (n.cast("double") * 1000.0)
+    var = (n * ss - s * s).cast("double") / (
+        n.cast("double") * n.cast("double") * 1000000.0
+    )
+    return agg.select("dim", "n_vecs", mean.alias("mean"), var.alias("variance"))

@@ -1442,3 +1442,55 @@ SELECT user_id,
        COUNT(*) AS n_events
 FROM events GROUP BY user_id
 """
+
+# --- storage layout / embedding QA / CDC -------------------------------------
+
+# Pruned partitioned read == unpartitioned aggregate over the same 3 days.
+ORACLE_SQL["layout_partition_prune"] = """
+SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+GROUP BY 1, 2
+"""
+
+# Mean/variance from exact integer sums: var = (n*Σx² − (Σx)²)/(n²·1000²),
+# divided once in double with the identical expression as the Spark side.
+ORACLE_SQL["embedding_dim_stats"] = """
+WITH q AS (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000, 0) AS BIGINT) AS qx
+  FROM embeddings
+),
+a AS (
+  SELECT dim, COUNT(*) AS n_vecs,
+         CAST(SUM(qx) AS BIGINT) AS s,
+         CAST(SUM(qx * qx) AS BIGINT) AS ss
+  FROM q GROUP BY dim
+)
+SELECT CAST(dim AS BIGINT) AS dim, n_vecs,
+       CAST(s AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 1000.0) AS mean,
+       CAST(n_vecs * ss - s * s AS DOUBLE)
+         / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs AS DOUBLE) * 1000000.0) AS variance
+FROM a
+"""
+
+# Mirrors curation._cdc_changes (doc_id % 10: 0=update, 3=delete, 7=insert
+# source) applied through one full-outer merge.
+ORACLE_SQL["cdc_merge_documents"] = """
+WITH d AS (SELECT doc_id, text FROM documents),
+ch AS (
+  SELECT doc_id, text || ' v2' AS new_text, 'update' AS op
+  FROM d WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id, CAST(NULL AS VARCHAR), 'delete' FROM d WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT doc_id + 1000000, 'new ' || text, 'insert' FROM d WHERE doc_id % 10 = 7
+)
+SELECT COALESCE(d.doc_id, ch.doc_id) AS doc_id,
+       COALESCE(op, 'keep') AS op,
+       md5(COALESCE(new_text, text)) AS content_hash,
+       CAST(len(COALESCE(new_text, text)) AS BIGINT) AS n_chars
+FROM d FULL JOIN ch ON d.doc_id = ch.doc_id
+WHERE op IS NULL OR op <> 'delete'
+"""

@@ -203,6 +203,12 @@ register("corpus_split_assign", curation.corpus_split_assign)
 register("corpus_source_mix", curation.corpus_source_mix)
 register("source_jsonl_roundtrip", textfiles.source_jsonl_roundtrip)
 register("source_csv_roundtrip", textfiles.source_csv_roundtrip)
+register("cdc_merge_documents", curation.cdc_merge_documents)
+register("embedding_dim_stats", similarity.embedding_dim_stats)
+
+from .sources import layout as sources_layout  # noqa: E402
+
+register("layout_partition_prune", sources_layout.layout_partition_prune)
 
 register("text_token_count", text.text_token_count)
 register("dedup_fingerprint", text.dedup_fingerprint)

@@ -262,6 +262,15 @@ def test_source_mix_single_corpus_pass(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1
 
 
+def test_layout_partition_prune_prunes_directories(spark, sf_dir):
+    # the date range must resolve to directory-level PartitionFilters on the
+    # staged partitioned read — at 100 TB this is days-read vs history-read
+    plan = inspect.formatted_plan(QUERIES["layout_partition_prune"](spark, sf_dir))
+    assert "PartitionFilters" in plan
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("event_date" in ln for ln in m), m
+
+
 def test_vocab_topk_is_take_ordered(spark, sf_dir):
     # global top-k must plan a distributed TakeOrdered (per-partition top-k,
     # driver merge of k rows), never a single-partition global sort of the
