@@ -126,21 +126,31 @@ register("sim_topk_ivf", similarity.sim_topk_ivf)
 register("text_unigram_loglik", text.text_unigram_loglik)
 register("decontaminate_ngram_overlap", text.decontaminate_ngram_overlap)
 
+# --- curation / CDC / layout / sources / modern streaming (driver window) ----
+
+from .operators import curation  # noqa: E402
+from .sources import layout as sources_layout  # noqa: E402
+from .sources import textfiles  # noqa: E402
+
+register("text_pii_scrub", curation.text_pii_scrub)
+register("text_gopher_flags", curation.text_gopher_flags)
+register("corpus_split_assign", curation.corpus_split_assign)
+register("corpus_source_mix", curation.corpus_source_mix)
+register("cdc_merge_documents", curation.cdc_merge_documents)
+register("layout_partition_prune", sources_layout.layout_partition_prune)
+register("source_jsonl_roundtrip", textfiles.source_jsonl_roundtrip)
+# Arbitrary per-key state (MapState via transformWithState where the
+# protobuf runtime exists; applyInPandasWithState map-field fallback here) —
+# value-checked either way against the batch distinct/total counts.
+register("stream_user_event_mix", streaming_stateful.stream_user_event_mix)
+
 # --- flagship relational shapes (driver window) ------------------------------
 
 register("q1_pricing_summary", relational.q1_pricing_summary)
-register("q2_min_cost_supplier", relational.q2_min_cost_supplier)
 register("q3_shipping_priority", relational.q3_shipping_priority)
-register("q4_order_priority", relational.q4_order_priority)
 register("q5_local_supplier", relational.q5_local_supplier)
 register("q6_forecast_revenue", relational.q6_forecast_revenue)
-register("q7_volume_shipping", relational.q7_volume_shipping)
-register("q8_market_share", relational.q8_market_share)
-register("q9_product_profit", relational.q9_product_profit)
 register("q10_returned_items", relational.q10_returned_items)
-register("q11_important_parts", relational.q11_important_parts)
-register("q12_late_priority", relational.q12_late_priority)
-register("q15_top_supplier", relational.q15_top_supplier)
 register("q18_large_orders", relational.q18_large_orders)
 register("q19_disjunctive_revenue", relational.q19_disjunctive_revenue)
 register("q21_waiting_suppliers", relational.q21_waiting_suppliers)
@@ -160,11 +170,19 @@ register("skew_salted_join", skew.skew_salted_join)
 # local DuckDB oracle in tests/test_oracle_parity.py (or a documented
 # NO_ORACLE reason) as regression cover.
 
-# Mid-tier TPC-H shapes displaced from the window by the r3 extension
-# queries (the judge-graded LLM-pipeline family benefits more from driver
-# verification; these keep their local oracles).
+# Mid-tier TPC-H shapes displaced from the window by the r3 extension and
+# curation/CDC/layout queries (the judge-graded LLM-pipeline families
+# benefit more from driver verification; these keep their local oracles).
+register("q2_min_cost_supplier", relational.q2_min_cost_supplier)
+register("q4_order_priority", relational.q4_order_priority)
+register("q7_volume_shipping", relational.q7_volume_shipping)
+register("q8_market_share", relational.q8_market_share)
+register("q9_product_profit", relational.q9_product_profit)
+register("q11_important_parts", relational.q11_important_parts)
+register("q12_late_priority", relational.q12_late_priority)
 register("q13_customer_distribution", relational.q13_customer_distribution)
 register("q14_promo_revenue", relational.q14_promo_revenue)
+register("q15_top_supplier", relational.q15_top_supplier)
 register("q16_supplier_counts", relational.q16_supplier_counts)
 register("q17_small_quantity", relational.q17_small_quantity)
 register("q20_bulk_suppliers", relational.q20_bulk_suppliers)
@@ -194,31 +212,14 @@ register("date_functions", scalar.date_functions)
 register("math_functions", scalar.math_functions)
 register("percentiles_by_priority", scalar.percentiles_by_priority)
 
-from .operators import curation  # noqa: E402
-from .sources import textfiles  # noqa: E402
-
-register("text_pii_scrub", curation.text_pii_scrub)
-register("text_gopher_flags", curation.text_gopher_flags)
-register("corpus_split_assign", curation.corpus_split_assign)
-register("corpus_source_mix", curation.corpus_source_mix)
-register("source_jsonl_roundtrip", textfiles.source_jsonl_roundtrip)
 register("source_csv_roundtrip", textfiles.source_csv_roundtrip)
-register("cdc_merge_documents", curation.cdc_merge_documents)
 register("embedding_dim_stats", similarity.embedding_dim_stats)
-
-from .sources import layout as sources_layout  # noqa: E402
-
-register("layout_partition_prune", sources_layout.layout_partition_prune)
 
 register("text_token_count", text.text_token_count)
 register("dedup_fingerprint", text.dedup_fingerprint)
 register("text_repetition", text.text_repetition)
 register("text_vocab_topk", text.text_vocab_topk)
 register("embedding_label_centroids", similarity.embedding_label_centroids)
-# Arbitrary per-key state (MapState via transformWithState where the
-# protobuf runtime exists; applyInPandasWithState map-field fallback here) —
-# value-checked either way against the batch distinct/total counts.
-register("stream_user_event_mix", streaming_stateful.stream_user_event_mix)
 register(
     "stream_session_counts",
     streaming_windows.stream_session_counts,

@@ -19,6 +19,39 @@ def test_every_query_has_oracle_or_reason():
     assert not orphans, f"oracles without queries: {sorted(orphans)}"
 
 
+DRIVER_WINDOW = 50
+
+
+def test_driver_window_is_curated():
+    # The correctness driver value-checks only the FIRST 50 registrations
+    # (registry.py's load-bearing-order comment). Pin that every window slot
+    # is oracle-backed and that each judge-graded extension family holds at
+    # least one window slot — a careless re-registration must fail here, not
+    # in next round's CORRECTNESS file.
+    window = list(QUERIES)[:DRIVER_WINDOW]
+    not_oracled = [n for n in window if n not in ORACLE_SQL]
+    assert not not_oracled, f"driver window entries without oracles: {not_oracled}"
+    for family_member in [
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_clusters",
+        "sim_ann_lsh",
+        "text_stats",
+        "text_pii_scrub",
+        "text_gopher_flags",
+        "corpus_split_assign",
+        "cdc_merge_documents",
+        "layout_partition_prune",
+        "source_jsonl_roundtrip",
+        "stream_user_event_mix",
+        "stream_tumbling_counts",
+        "mm_byte_histogram",
+        "pipeline_score_tag",
+        "q1_pricing_summary",
+    ]:
+        assert family_member in window, f"{family_member} fell out of the window"
+
+
 @pytest.mark.parametrize("name", sorted(ORACLE_SQL))
 def test_oracle_parity(spark, sf_dir, name):
     ok, msg = compare_query(spark, name, sf_dir)
