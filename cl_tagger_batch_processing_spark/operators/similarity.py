@@ -18,6 +18,8 @@ All vector math uses the integer-quantized embeddings from
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -259,3 +261,79 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("double") * n.cast("double") * 1000000.0
     )
     return agg.select("dim", "n_vecs", mean.alias("mean"), var.alias("variance"))
+
+
+KMEANS_K = 8
+KMEANS_ITERATIONS = 2
+
+
+def embedding_kmeans(
+    spark: SparkSession, sf_dir: str, k: int = KMEANS_K, n_iter: int = KMEANS_ITERATIONS
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over quantized embeddings — the
+    clustering stage of semantic dedup (SemDeDup-style: cluster first, then
+    dedup within clusters) and of IVF index building.
+
+    Fully deterministic and engine-portable, so the DuckDB oracle replays it
+    exactly: init = the vectors of the k lowest vec_ids; distances are exact
+    integer Σ(x−c)²; argmin tie-breaks on the lower cluster id; refreshed
+    centroids are rounded back to integers (round-half-away-from-zero on an
+    IEEE-exact double s/n — identical in both engines).
+
+    Scale shape (the same as MLlib's KMeans): per iteration ONE
+    map-side-combined groupBy(cluster) over 64 sum columns (k×65 numbers
+    cross the wire), centroids collect to the driver (k rows — control
+    plane, like the CC convergence sums) and re-enter the next assignment
+    as broadcast literals, so assignment itself is a zero-shuffle map at
+    any corpus size. The input is materialized once and reused across the
+    n_iter+1 passes instead of re-scanning parquet."""
+    base = (
+        quantized_embeddings(spark, sf_dir)
+        .select("vec_id", "qv")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
+    cent = [
+        (j, [int(x) for x in r.qv])
+        for j, r in enumerate(base.orderBy("vec_id").limit(k).collect())
+    ]
+
+    def assignment(cent_rows):
+        entries = []
+        for j, cv in cent_rows:
+            lit_cv = F.array(*[F.lit(c).cast("bigint") for c in cv])
+            d2 = F.aggregate(
+                F.zip_with(F.col("qv"), lit_cv, lambda x, c: (x - c) * (x - c)),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            )
+            entries.append(
+                F.struct(d2.alias("d2"), F.lit(j).cast("bigint").alias("cluster_id"))
+            )
+        best = F.array_sort(F.array(*entries))[0]
+        return base.select(
+            "vec_id", best["cluster_id"].alias("cluster_id"), best["d2"].alias("d2"), "qv"
+        )
+
+    for _ in range(n_iter):
+        assigned = assignment(cent)
+        sums = assigned.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at("qv", i + 1)).alias(f"s{i}")
+                for i in range(EMBED_DIM)
+            ],
+        )
+        # round-half-away-from-zero on the IEEE double s/n — the semantics
+        # both Spark's round() and DuckDB's round() use, so the oracle's
+        # replayed centroids are bit-identical (Python's round() is
+        # half-to-even and must NOT be used here)
+        def _half_away(x: float) -> int:
+            return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+        cent = [
+            (int(r.cluster_id), [_half_away(float(r[f"s{i}"]) / r.n) for i in range(EMBED_DIM)])
+            for r in sums.collect()
+        ]
+        cent.sort()
+    return assignment(cent).select("vec_id", "cluster_id", "d2")

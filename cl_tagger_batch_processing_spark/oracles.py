@@ -1494,3 +1494,61 @@ SELECT COALESCE(d.doc_id, ch.doc_id) AS doc_id,
 FROM d FULL JOIN ch ON d.doc_id = ch.doc_id
 WHERE op IS NULL OR op <> 'delete'
 """
+
+# Deterministic Lloyd's k-means replayed exactly: init = k lowest vec_ids,
+# integer squared distances, (d2, cluster_id) argmin tie-break, centroids
+# refreshed as round-half-away-from-zero of the IEEE double s/n. Mirrors
+# similarity.embedding_kmeans (k=8, 2 refinement iterations + final assign).
+ORACLE_SQL["embedding_kmeans"] = """
+WITH q AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000, 0) AS BIGINT) AS qx
+  FROM embeddings
+),
+sel AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+c0 AS (
+  SELECT s.cluster_id, q.pos, q.qx AS cx FROM sel s JOIN q USING (vec_id)
+),
+d1 AS (
+  SELECT q.vec_id, c.cluster_id, CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS d2
+  FROM q JOIN c0 c ON q.pos = c.pos GROUP BY 1, 2
+),
+a1 AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster_id) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+c1 AS (
+  SELECT a.cluster_id, q.pos,
+         CAST(round(CAST(SUM(q.qx) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS cx
+  FROM a1 a JOIN q USING (vec_id) GROUP BY 1, 2
+),
+d2_ AS (
+  SELECT q.vec_id, c.cluster_id, CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS d2
+  FROM q JOIN c1 c ON q.pos = c.pos GROUP BY 1, 2
+),
+a2 AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster_id) AS rn
+    FROM d2_
+  ) WHERE rn = 1
+),
+c2 AS (
+  SELECT a.cluster_id, q.pos,
+         CAST(round(CAST(SUM(q.qx) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS cx
+  FROM a2 a JOIN q USING (vec_id) GROUP BY 1, 2
+),
+d3 AS (
+  SELECT q.vec_id, c.cluster_id, CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS d2
+  FROM q JOIN c2 c ON q.pos = c.pos GROUP BY 1, 2
+)
+SELECT vec_id, cluster_id, d2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster_id) AS rn
+  FROM d3
+) WHERE rn = 1
+"""

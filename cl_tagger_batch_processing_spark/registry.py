@@ -214,6 +214,9 @@ register("percentiles_by_priority", scalar.percentiles_by_priority)
 
 register("source_csv_roundtrip", textfiles.source_csv_roundtrip)
 register("embedding_dim_stats", similarity.embedding_dim_stats)
+# Deterministic Lloyd's k-means (SemDeDup-style clustering stage): exact
+# value oracle replaying both refinement iterations in SQL.
+register("embedding_kmeans", similarity.embedding_kmeans)
 
 register("text_token_count", text.text_token_count)
 register("dedup_fingerprint", text.dedup_fingerprint)
