@@ -337,3 +337,71 @@ def embedding_kmeans(
         ]
         cent.sort()
     return assignment(cent).select("vec_id", "cluster_id", "d2")
+
+
+SEMANTIC_COSINE_THRESHOLD = 0.3
+
+
+def dedup_semantic(
+    spark: SparkSession, sf_dir: str, threshold: float = SEMANTIC_COSINE_THRESHOLD
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings, then
+    enumerate near-duplicate pairs ONLY within each cluster — the learned
+    generalization of ``dedup_embedding_cosine``'s label blocking.
+
+    The cluster equi-join bounds pair work to Σ|cluster|² instead of n²; at
+    100 TB the cluster count scales with the corpus (k ≈ n/target_size)
+    so per-cluster work stays constant. Cosines are exact integer dot
+    products over quantized vectors — the oracle replays the clustering and
+    the pair scores bit-for-bit.
+
+    Pair scoring is one Arrow ``applyInPandas`` boundary per cluster: a
+    cluster's vectors become a single int64 matrix and ``Q @ Q.T`` yields
+    every pairwise dot product vectorized — a cluster_id self-join would
+    instead evaluate an interpreted 64-element HOF per pair and cap its
+    parallelism at the number of distinct join keys. Dots are exact int64;
+    cosine divides once in float64 with the identical expression order to
+    the DuckDB oracle (dot / (sqrt(na)·sqrt(nb))), so values hash-match.
+    At 100 TB k grows with the corpus (k ≈ n/target_cluster_size), so each
+    Arrow batch stays a small dense matrix and groups spread evenly."""
+    assigned = embedding_kmeans(spark, sf_dir).select("vec_id", "cluster_id")
+    base = quantized_embeddings(spark, sf_dir).join(assigned, "vec_id").select(
+        "cluster_id", "vec_id", "qv", "nrm"
+    )
+
+    def _score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "cluster_id": pd.Series(dtype="int64"),
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        q = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"].iloc[order]])
+        rn = np.sqrt(pdf["nrm"].to_numpy(dtype=np.int64)[order].astype(np.float64))
+        cos = (q @ q.T).astype(np.float64) / np.outer(rn, rn)
+        ia, ib = np.triu_indices(n, k=1)
+        keep = cos[ia, ib] >= threshold
+        ia, ib = ia[keep], ib[keep]
+        return pd.DataFrame(
+            {
+                "cluster_id": np.full(len(ia), int(pdf["cluster_id"].iloc[0]), dtype=np.int64),
+                "vec_a": ids[ia],
+                "vec_b": ids[ib],
+                "cosine": cos[ia, ib],
+            }
+        )
+
+    return base.groupBy("cluster_id").applyInPandas(
+        _score, "cluster_id bigint, vec_a bigint, vec_b bigint, cosine double"
+    )

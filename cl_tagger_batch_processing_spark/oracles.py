@@ -1499,8 +1499,8 @@ WHERE op IS NULL OR op <> 'delete'
 # integer squared distances, (d2, cluster_id) argmin tie-break, centroids
 # refreshed as round-half-away-from-zero of the IEEE double s/n. Mirrors
 # similarity.embedding_kmeans (k=8, 2 refinement iterations + final assign).
-ORACLE_SQL["embedding_kmeans"] = """
-WITH q AS (
+# Shared WITH body: dedup_semantic reuses the whole chain.
+_KMEANS_CTES = """q AS (
   SELECT vec_id,
          generate_subscripts(embedding, 1) AS pos,
          CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000, 0) AS BIGINT) AS qx
@@ -1546,9 +1546,43 @@ c2 AS (
 d3 AS (
   SELECT q.vec_id, c.cluster_id, CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS d2
   FROM q JOIN c2 c ON q.pos = c.pos GROUP BY 1, 2
+),
+a3 AS (
+  SELECT vec_id, cluster_id, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster_id) AS rn
+    FROM d3
+  ) WHERE rn = 1
+)"""
+
+ORACLE_SQL["embedding_kmeans"] = f"""
+WITH {_KMEANS_CTES}
+SELECT vec_id, cluster_id, d2 FROM a3
+"""
+
+# SemDeDup: near-dup pairs only within each final k-means cluster; cosine
+# from exact integer dot products, identical expression order to Spark.
+ORACLE_SQL["dedup_semantic"] = f"""
+WITH {_KMEANS_CTES},
+m AS (SELECT vec_id, cluster_id FROM a3),
+j AS (
+  SELECT x.cluster_id, x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM m x JOIN m y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+),
+dots AS (
+  SELECT j.cluster_id, j.vec_a, j.vec_b, CAST(SUM(qa.qx * qb.qx) AS BIGINT) AS dot
+  FROM j
+  JOIN q qa ON qa.vec_id = j.vec_a
+  JOIN q qb ON qb.vec_id = j.vec_b AND qa.pos = qb.pos
+  GROUP BY 1, 2, 3
+),
+nrm AS (SELECT vec_id, CAST(SUM(qx * qx) AS BIGINT) AS nrm FROM q GROUP BY 1)
+SELECT * FROM (
+  SELECT dots.cluster_id, vec_a, vec_b,
+         CAST(dot AS DOUBLE)
+           / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cosine
+  FROM dots
+  JOIN nrm na ON vec_a = na.vec_id
+  JOIN nrm nb ON vec_b = nb.vec_id
 )
-SELECT vec_id, cluster_id, d2 FROM (
-  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster_id) AS rn
-  FROM d3
-) WHERE rn = 1
+WHERE cosine >= 0.3
 """

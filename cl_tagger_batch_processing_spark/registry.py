@@ -125,6 +125,10 @@ register("sim_topk_ivf", similarity.sim_topk_ivf)
 
 register("text_unigram_loglik", text.text_unigram_loglik)
 register("decontaminate_ngram_overlap", text.decontaminate_ngram_overlap)
+# SemDeDup (cluster-then-pair): its oracle replays the FULL deterministic
+# k-means chain in SQL, so this driver row transitively value-checks
+# embedding_kmeans (registered outside the window) as well.
+register("dedup_semantic", similarity.dedup_semantic)
 
 # --- curation / CDC / layout / sources / modern streaming (driver window) ----
 
@@ -159,7 +163,6 @@ register("q22_idle_customers", relational.q22_idle_customers)
 register("asof_join_purchase_click", relational.asof_join_purchase_click)
 register("range_join_events", relational.range_join_events)
 register("topk_per_group", relational.topk_per_group)
-register("window_running", relational.window_running)
 
 from .operators import skew  # noqa: E402
 
@@ -169,6 +172,10 @@ register("skew_salted_join", skew.skew_salted_join)
 # Everything below is OUTSIDE the driver's 50-entry window; each keeps its
 # local DuckDB oracle in tests/test_oracle_parity.py (or a documented
 # NO_ORACLE reason) as regression cover.
+
+# Displaced from the window by dedup_semantic (plain running-sum window;
+# window_frames' local oracle covers the same frame machinery).
+register("window_running", relational.window_running)
 
 # Mid-tier TPC-H shapes displaced from the window by the r3 extension and
 # curation/CDC/layout queries (the judge-graded LLM-pipeline families
@@ -215,7 +222,8 @@ register("percentiles_by_priority", scalar.percentiles_by_priority)
 register("source_csv_roundtrip", textfiles.source_csv_roundtrip)
 register("embedding_dim_stats", similarity.embedding_dim_stats)
 # Deterministic Lloyd's k-means (SemDeDup-style clustering stage): exact
-# value oracle replaying both refinement iterations in SQL.
+# value oracle replaying both refinement iterations in SQL; also
+# transitively driver-verified through dedup_semantic's windowed oracle.
 register("embedding_kmeans", similarity.embedding_kmeans)
 
 register("text_token_count", text.text_token_count)

@@ -205,6 +205,11 @@ def test_candidate_volume_bounds(spark, sf_dir):
     # label blocking: quadratic only within a block ⇒ ~1/n_labels of all-pairs
     assert emb_cand < vec_pairs / 3, f"embedding candidates {emb_cand} vs all-pairs {vec_pairs}"
 
+    # SemDeDup within-cluster pairs: k-means blocking must keep the pair
+    # relation well under all-pairs (≈ all_pairs/k for balanced clusters)
+    sem_cand = similarity.dedup_semantic(spark, sf_dir, threshold=-1.0).count()
+    assert sem_cand < vec_pairs / 3, f"semantic pairs {sem_cand} vs all-pairs {vec_pairs}"
+
     ann_cand = similarity.ann_candidates(spark, sf_dir).count()
     # 8-bit LSH buckets: each query probes ~1/256 of the corpus; allow slack
     # for clustered buckets but stay far below queries × corpus
