@@ -28,24 +28,35 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 
-_EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, "
-    "event_type string, value double, props string"
+_EVENTS_SCHEMA_TAIL = (
+    "user_id bigint, event_type string, value double, props string"
 )
 _counter = itertools.count()
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events fixture (parquet TIMESTAMP(NANOS)
-    read as epoch-nanos long per the legacy flag, then normalized)."""
+    """File-source stream over the events fixture.
+
+    A stream read needs an explicit schema, but the fixture's ``ts``
+    physical type has varied across driver generations: parquet
+    TIMESTAMP(NANOS) (readable only as epoch-nanos long under the legacy
+    flag) vs TIMESTAMP(MICROS) (a native TimestampType). Probe with a
+    batch read of the same file — same detection rule as
+    ``sources.tables.load_table`` — and build the matching stream schema,
+    so both layouts produce identical TimestampType output."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)
+    ts_is_nanos_long = probe.get("ts") == "bigint"
+    ts_decl = "ts bigint" if ts_is_nanos_long else "ts timestamp"
     raw = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+        spark.readStream.schema(f"event_id bigint, {ts_decl}, {_EVENTS_SCHEMA_TAIL}")
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_nanos_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 STREAM_SHUFFLE_PARTITIONS = 8
