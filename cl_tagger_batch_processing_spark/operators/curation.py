@@ -201,6 +201,49 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET_TOKENS = 2048
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing — the prep step that turns a curated
+    corpus into fixed-size training context windows: documents are
+    concatenated in doc_id order within each source and cut every
+    ``PACK_BUDGET_TOKENS`` whitespace tokens; each document is assigned to
+    the context window where its first token lands, and the result reports
+    per-window document counts, token loads, and doc-id ranges.
+
+    Shape: one running-sum window per source (a single hash exchange on
+    ``source``) then a map-side-combined aggregation — no joins, no Python.
+    The window's insertion order is ``doc_id``, so the packing is
+    insertion-stable: re-running over the same corpus yields byte-identical
+    windows (the property checkpoint/resume of a tokenizer job needs). At
+    100 TB the per-source running sum serializes one partition per source;
+    the scale path is a two-level pack (shard by ``doc_id div S`` within
+    source, pack shards independently, offset window ids by shard base) —
+    same arithmetic, embarrassingly parallel, documented here rather than
+    implemented because the fixture's 4 sources fit the direct form."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = docs.select(
+        "doc_id", "source", n_tokens.alias("n_tokens")
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    binned = cum.withColumn(
+        "window_id",
+        F.expr(f"(cum_tokens - n_tokens) div {PACK_BUDGET_TOKENS}"),
+    )
+    return binned.groupBy("source", "window_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
 # CDC changeset derivation (deterministic, disjoint by doc_id % 10):
 # 0 -> update (recrawled text), 3 -> delete (takedown), 7 -> source doc for
 # an insert with a new id. Stands in for a real change feed.

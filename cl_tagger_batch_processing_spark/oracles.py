@@ -1586,3 +1586,56 @@ SELECT * FROM (
 )
 WHERE cosine >= 0.3
 """
+
+# --- r3 additions: stream-stream join, bucketed layout, packing, ORC ---------
+
+# Every (click, purchase) pair for the same user with the click in the hour
+# before the purchase — the batch interval join the streaming inner join
+# must reproduce exactly on a bounded source.
+ORACLE_SQL["stream_stream_join"] = """
+WITH c AS (SELECT user_id AS c_user, ts AS click_ts, event_id AS click_id
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+           FROM events WHERE event_type = 'purchase')
+SELECT p.user_id, p.purchase_id, c.click_id,
+       CAST(floor(epoch(p.purchase_ts)) AS BIGINT) AS purchase_epoch,
+       CAST(floor(epoch(c.click_ts)) AS BIGINT) AS click_epoch
+FROM c JOIN p
+  ON c.c_user = p.user_id
+ AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+ AND c.click_ts < p.purchase_ts
+"""
+
+# Plain join over the unbucketed fixtures == the bucket-to-bucket join of
+# the staged tables (a misrouted/dropped/doubled bucket row breaks this).
+ORACLE_SQL["layout_bucketed_join"] = f"""
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+# Same running-sum packing arithmetic, exact integers end to end.
+ORACLE_SQL["corpus_pack_sequences"] = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM t
+)
+SELECT source,
+       CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS window_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM c GROUP BY 1, 2
+"""
+
+ORACLE_SQL["source_orc_roundtrip"] = _ROUNDTRIP_AGG_SQL

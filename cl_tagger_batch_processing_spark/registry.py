@@ -142,7 +142,14 @@ register("corpus_split_assign", curation.corpus_split_assign)
 register("corpus_source_mix", curation.corpus_source_mix)
 register("cdc_merge_documents", curation.cdc_merge_documents)
 register("layout_partition_prune", sources_layout.layout_partition_prune)
+# Bucket-to-bucket co-located join (zero-exchange plan pinned by
+# test_layout.py); the oracle joins the unbucketed fixtures.
+register("layout_bucketed_join", sources_layout.layout_bucketed_join)
 register("source_jsonl_roundtrip", textfiles.source_jsonl_roundtrip)
+# Watermarked stream-stream interval join — the only stateful-join shape in
+# §2.8; on the bounded fixture its append-mode emissions equal the batch
+# interval join, so it is fully value-checked.
+register("stream_stream_join", streaming_windows.stream_stream_join)
 # Arbitrary per-key state (MapState via transformWithState where the
 # protobuf runtime exists; applyInPandasWithState map-field fallback here) —
 # value-checked either way against the batch distinct/total counts.
@@ -153,10 +160,8 @@ register("stream_user_event_mix", streaming_stateful.stream_user_event_mix)
 register("q1_pricing_summary", relational.q1_pricing_summary)
 register("q3_shipping_priority", relational.q3_shipping_priority)
 register("q5_local_supplier", relational.q5_local_supplier)
-register("q6_forecast_revenue", relational.q6_forecast_revenue)
 register("q10_returned_items", relational.q10_returned_items)
 register("q18_large_orders", relational.q18_large_orders)
-register("q19_disjunctive_revenue", relational.q19_disjunctive_revenue)
 register("q21_waiting_suppliers", relational.q21_waiting_suppliers)
 register("q22_idle_customers", relational.q22_idle_customers)
 
@@ -180,6 +185,10 @@ register("window_running", relational.window_running)
 # Mid-tier TPC-H shapes displaced from the window by the r3 extension and
 # curation/CDC/layout queries (the judge-graded LLM-pipeline families
 # benefit more from driver verification; these keep their local oracles).
+# q6/q19 displaced by stream_stream_join and layout_bucketed_join: their
+# predicate/pushdown machinery stays pinned by test_plans.py + local oracle.
+register("q6_forecast_revenue", relational.q6_forecast_revenue)
+register("q19_disjunctive_revenue", relational.q19_disjunctive_revenue)
 register("q2_min_cost_supplier", relational.q2_min_cost_supplier)
 register("q4_order_priority", relational.q4_order_priority)
 register("q7_volume_shipping", relational.q7_volume_shipping)
@@ -220,6 +229,8 @@ register("math_functions", scalar.math_functions)
 register("percentiles_by_priority", scalar.percentiles_by_priority)
 
 register("source_csv_roundtrip", textfiles.source_csv_roundtrip)
+register("source_orc_roundtrip", textfiles.source_orc_roundtrip)
+register("corpus_pack_sequences", curation.corpus_pack_sequences)
 register("embedding_dim_stats", similarity.embedding_dim_stats)
 # Deterministic Lloyd's k-means (SemDeDup-style clustering stage): exact
 # value oracle replaying both refinement iterations in SQL; also

@@ -33,14 +33,21 @@ def write_bucketed(
     bucket_cols: list[str],
     num_buckets: int = 8,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    (
+    """Bucketed+sorted parquet table. ``path`` makes it external (explicit
+    location) so library callers never depend on the session's warehouse
+    dir — the driver runs a vanilla SparkSession whose default warehouse is
+    the process cwd."""
+    w = (
         df.write.mode(mode)
         .bucketBy(num_buckets, *bucket_cols)
         .sortBy(*bucket_cols)
         .format("parquet")
-        .saveAsTable(table)
     )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
 
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
@@ -79,4 +86,51 @@ def layout_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
         )
+    )
+
+
+def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checked co-located join: stage orders and lineitem as tables
+    bucketed (and sorted) on the order key, join bucket-to-bucket, and
+    aggregate revenue per order priority.
+
+    Both sides share the bucket spec (8 buckets on the join key), so the
+    equi-join runs with ZERO exchanges — bucket i of lineitem joins bucket
+    i of orders where each already sits (``test_layout.py`` pins the
+    no-shuffle plan). This is THE layout lever for a fact-to-fact join at
+    100 TB: the shuffle that dominates a vanilla sort-merge join was paid
+    once at write time and amortizes over every subsequent join/agg on the
+    key. The oracle recomputes the aggregate from a plain join of the
+    unbucketed fixtures, so a bucketing bug that drops, doubles, or
+    misroutes a row breaks the value hash."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    orders_t, li_t = f"b_orders_{tag}", f"b_lineitem_{tag}"
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    for t in (orders_t, li_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    write_bucketed(
+        orders.select("o_orderkey", "o_orderpriority"),
+        orders_t,
+        ["o_orderkey"],
+        path=os.path.join(LAYOUT_STAGING, orders_t),
+    )
+    write_bucketed(
+        li.select("l_orderkey", "l_extendedprice", "l_discount"),
+        li_t,
+        ["l_orderkey"],
+        path=os.path.join(LAYOUT_STAGING, li_t),
+    )
+    joined = spark.table(li_t).join(
+        spark.table(orders_t),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    # Same exact-decimal revenue expression as the relational family
+    # (relational._dec/_one_minus ≡ oracles._DISC_PRICE).
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(revenue).cast("double").alias("revenue"),
     )

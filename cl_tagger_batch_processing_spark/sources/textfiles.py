@@ -74,12 +74,25 @@ def _roundtrip_agg(docs: DataFrame) -> DataFrame:
     )
 
 
+def write_documents_orc(df: DataFrame, path: str) -> None:
+    """ORC with zlib — the columnar interchange format for Hive-ecosystem
+    consumers (parquet's peer; both carry column stats for pushdown)."""
+    df.write.mode("overwrite").option("compression", "zlib").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    return spark.read.schema(schema).orc(path)
+
+
 def _staged_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     path = os.path.join(STAGING_ROOT, f"{fmt}_{os.path.basename(os.path.normpath(sf_dir))}")
     if fmt == "jsonl":
         write_documents_jsonl(docs, path)
         back = read_jsonl(spark, path, DOCUMENTS_SCHEMA)
+    elif fmt == "orc":
+        write_documents_orc(docs, path)
+        back = read_orc(spark, path, DOCUMENTS_SCHEMA)
     else:
         write_documents_csv(docs, path)
         back = read_csv(spark, path, DOCUMENTS_SCHEMA)
@@ -94,3 +107,8 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → quoted CSV → read with schema → fidelity aggregate."""
     return _staged_roundtrip(spark, sf_dir, "csv")
+
+
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → ORC → read with schema → fidelity aggregate."""
+    return _staged_roundtrip(spark, sf_dir, "orc")

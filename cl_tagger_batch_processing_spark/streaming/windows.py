@@ -152,6 +152,50 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: each purchase matched to the
+    same user's clicks in the preceding hour — the attribution-join shape.
+
+    Both sides carry a watermark and the join condition bounds event time
+    on BOTH streams (``click_ts`` in ``[purchase_ts - 1h, purchase_ts)``),
+    which is what lets Spark expire join state: click state is dropped once
+    the purchase-side watermark passes ``click_ts + 1h``, so state size
+    tracks the interval width, not stream history — the property that makes
+    this runnable forever at 100 TB/day. Inner join in append mode emits
+    every match exactly once; on the bounded fixture the emitted set equals
+    the batch interval join, so it carries a full value oracle (the same
+    pairs as ``range_join_events``, via the streaming engine)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = events_stream(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    joined = clicks.withWatermark("click_ts", "10 minutes").join(
+        purchases.withWatermark("purchase_ts", "10 minutes"),
+        F.expr(
+            "c_user = user_id AND "
+            "click_ts >= purchase_ts - INTERVAL 1 HOUR AND "
+            "click_ts < purchase_ts"
+        ),
+        "inner",
+    )
+    out = _run_to_memory(joined, "append")
+    return out.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
+        F.unix_timestamp("click_ts").alias("click_epoch"),
+    )
+
+
 def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup with BOUNDED state: the event stream unioned
     with itself (every event arrives twice — the at-least-once delivery

@@ -70,3 +70,16 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
     )
     assert inspect.count_shuffles(joined) == 0  # bucket layout co-locates the join
     assert joined.count() == li.count()
+
+
+def test_layout_bucketed_join_query_single_exchange(spark, sf_dir):
+    from cl_tagger_batch_processing_spark.sources.layout import layout_bucketed_join
+
+    out = layout_bucketed_join(spark, sf_dir)
+    # The fact-to-fact join is bucket-co-located: the ONLY exchange in the
+    # whole plan is the final 5-group aggregation. A second exchange means
+    # the bucket layout stopped lining up with the join key.
+    assert inspect.count_shuffles(out) == 1
+    assert inspect.count_operator(out, "SortMergeJoin") + inspect.count_operator(
+        out, "BroadcastHashJoin"
+    ) >= 1
