@@ -1639,3 +1639,29 @@ FROM c GROUP BY 1, 2
 """
 
 ORACLE_SQL["source_orc_roundtrip"] = _ROUNDTRIP_AGG_SQL
+
+# Each event expands to its 4 epoch-aligned sliding-window starts (integer
+# second arithmetic — no timezone in play).
+ORACLE_SQL["stream_sliding_counts"] = """
+WITH g AS (
+  SELECT event_type, value,
+         unnest(generate_series(
+           CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - 2700,
+           CAST(floor(epoch(ts) / 900) AS BIGINT) * 900,
+           900)) AS window_start_epoch
+  FROM events
+)
+SELECT window_start_epoch, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM g GROUP BY 1, 2
+"""
+
+# Fragment -> coalesce-compact -> read-back must preserve every row.
+ORACLE_SQL["layout_compact_small_files"] = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+       MIN(event_id) AS min_event_id,
+       MAX(event_id) AS max_event_id
+FROM events GROUP BY event_type
+"""

@@ -231,6 +231,8 @@ register("percentiles_by_priority", scalar.percentiles_by_priority)
 register("source_csv_roundtrip", textfiles.source_csv_roundtrip)
 register("source_orc_roundtrip", textfiles.source_orc_roundtrip)
 register("corpus_pack_sequences", curation.corpus_pack_sequences)
+register("stream_sliding_counts", streaming_windows.stream_sliding_counts)
+register("layout_compact_small_files", sources_layout.layout_compact_small_files)
 register("embedding_dim_stats", similarity.embedding_dim_stats)
 # Deterministic Lloyd's k-means (SemDeDup-style clustering stage): exact
 # value oracle replaying both refinement iterations in SQL; also

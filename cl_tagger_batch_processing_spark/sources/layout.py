@@ -89,6 +89,36 @@ def layout_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance op every long-lived
+    100-TB dataset needs: streaming sinks and incremental loads leave
+    thousands of KB-sized parquet files whose per-file open/footer cost
+    eventually dominates scans.
+
+    Stage the events fixture fragmented into 64 shards, then compact with
+    ``coalesce`` — NOT ``repartition``: coalesce merges existing partitions
+    without a shuffle (a pure scan→write job), which is the right tool when
+    the goal is fewer files rather than a new distribution. The returned
+    fidelity aggregate is recomputed by the oracle straight from the
+    fixture, so a compaction that drops or duplicates rows breaks the value
+    hash; test_layout.py pins the output file count and the no-shuffle
+    compaction plan."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    frag = os.path.join(LAYOUT_STAGING, f"events_frag_{tag}")
+    compact = os.path.join(LAYOUT_STAGING, f"events_compact_{tag}")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(compact)
+    back = spark.read.parquet(compact)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        F.sum("event_id").alias("id_checksum"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
 def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-checked co-located join: stage orders and lineitem as tables
     bucketed (and sorted) on the order key, join bucket-to-bucket, and

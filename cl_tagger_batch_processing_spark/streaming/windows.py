@@ -152,6 +152,31 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 15 minutes per event type — the
+    overlapping-window shape (each event lands in 4 windows). Complete mode
+    on the bounded source equals the batch expansion, so it carries a full
+    value oracle (the oracle expands each event to its 4 epoch-aligned
+    window starts with an integer generate_series). State is one row per
+    (window, type) — slide count × tumbling state, bounded by the
+    watermarkable window width, not stream history."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy(
+        F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("sv"),
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.unix_timestamp("w.start").alias("window_start_epoch"),
+        "event_type",
+        "n",
+        F.col("sv").cast("double").alias("sum_value"),
+    )
+
+
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join: each purchase matched to the
     same user's clicks in the preceding hour — the attribution-join shape.

@@ -83,3 +83,25 @@ def test_layout_bucketed_join_query_single_exchange(spark, sf_dir):
     assert inspect.count_operator(out, "SortMergeJoin") + inspect.count_operator(
         out, "BroadcastHashJoin"
     ) >= 1
+
+
+def test_compaction_reduces_files_without_shuffle(spark, sf_dir):
+    import glob
+
+    from cl_tagger_batch_processing_spark.sources.layout import (
+        LAYOUT_STAGING,
+        layout_compact_small_files,
+    )
+
+    layout_compact_small_files(spark, sf_dir).collect()
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    frag = glob.glob(f"{LAYOUT_STAGING}/events_frag_{tag}/*.parquet")
+    compact = glob.glob(f"{LAYOUT_STAGING}/events_compact_{tag}/*.parquet")
+    assert len(frag) == 64
+    assert 1 <= len(compact) <= 4
+    # coalesce-based compaction must not shuffle: the compact job is a pure
+    # scan -> write with no exchange.
+    from cl_tagger_batch_processing_spark.plans import inspect
+
+    recompact = spark.read.parquet(f"{LAYOUT_STAGING}/events_frag_{tag}").coalesce(4)
+    assert inspect.count_shuffles(recompact) == 0
