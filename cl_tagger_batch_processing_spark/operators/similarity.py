@@ -287,9 +287,20 @@ def embedding_kmeans(
     as broadcast literals, so assignment itself is a zero-shuffle map at
     any corpus size. The input is materialized once and reused across the
     n_iter+1 passes instead of re-scanning parquet."""
+    return _kmeans_assign_full(spark, sf_dir, k, n_iter).select(
+        "vec_id", "cluster_id", "d2"
+    )
+
+
+def _kmeans_assign_full(
+    spark: SparkSession, sf_dir: str, k: int = KMEANS_K, n_iter: int = KMEANS_ITERATIONS
+) -> DataFrame:
+    """Lloyd's iterations over the materialized quantized base; the final
+    assignment keeps ``qv``/``nrm`` so downstream consumers (dedup_semantic)
+    can continue from it with no second embeddings scan and no join."""
     base = (
         quantized_embeddings(spark, sf_dir)
-        .select("vec_id", "qv")
+        .select("vec_id", "qv", "nrm")
         .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager=True)
     )
@@ -312,7 +323,11 @@ def embedding_kmeans(
             )
         best = F.array_sort(F.array(*entries))[0]
         return base.select(
-            "vec_id", best["cluster_id"].alias("cluster_id"), best["d2"].alias("d2"), "qv"
+            "vec_id",
+            best["cluster_id"].alias("cluster_id"),
+            best["d2"].alias("d2"),
+            "qv",
+            "nrm",
         )
 
     for _ in range(n_iter):
@@ -336,7 +351,7 @@ def embedding_kmeans(
             for r in sums.collect()
         ]
         cent.sort()
-    return assignment(cent).select("vec_id", "cluster_id", "d2")
+    return assignment(cent)
 
 
 SEMANTIC_COSINE_THRESHOLD = 0.3
@@ -364,8 +379,9 @@ def dedup_semantic(
     the DuckDB oracle (dot / (sqrt(na)·sqrt(nb))), so values hash-match.
     At 100 TB k grows with the corpus (k ≈ n/target_cluster_size), so each
     Arrow batch stays a small dense matrix and groups spread evenly."""
-    assigned = embedding_kmeans(spark, sf_dir).select("vec_id", "cluster_id")
-    base = quantized_embeddings(spark, sf_dir).join(assigned, "vec_id").select(
+    # Continue straight from the k-means final assignment (qv/nrm ride
+    # along): no second embeddings scan, no vec_id join in the plan.
+    base = _kmeans_assign_full(spark, sf_dir).select(
         "cluster_id", "vec_id", "qv", "nrm"
     )
 
