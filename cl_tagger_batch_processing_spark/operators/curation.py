@@ -53,7 +53,7 @@ def _with_synthetic_pii(docs: DataFrame) -> DataFrame:
         F.lit(".example or call 555-"),
         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
     )
-    return docs.select("doc_id", full.alias("full_text"))
+    return docs.withColumn("full_text", full)
 
 
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,19 +90,15 @@ GOPHER_REP_NUM = 1  # dup-bigram fraction threshold = NUM/DEN = 0.2
 GOPHER_REP_DEN = 5
 
 
-def text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style quality gates: per-document boolean flags plus the
-    combined ``keep`` decision.
+def _gopher_flagged(docs: DataFrame) -> DataFrame:
+    """All input columns plus the Gopher flag columns and ``keep``.
 
     Every threshold comparison is exact-integer (cross-multiplied) — e.g.
     "mean word length < 3" becomes ``nospace_len < 3 * n_tokens`` — so the
     booleans are bit-identical across engines with no float compare at all.
     Entirely row-local array/length math: a zero-shuffle map stage.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", F.col("text"), F.split(F.col("text"), " ").alias("toks")
-    )
+    base = docs.withColumn("toks", F.split(F.col("text"), " "))
     # bigrams as their own attribute (HOF lambdas get no CSE — see
     # text.text_repetition)
     bi = base.withColumn(
@@ -133,7 +129,7 @@ def text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag_repetition = GOPHER_REP_DEN * (n_bi - n_bi_distinct) > GOPHER_REP_NUM * n_bi
     keep = ~(flag_short | flag_long | flag_word_len | flag_stopword | flag_repetition)
     return bi.select(
-        "doc_id",
+        *docs.columns,
         n_tokens.alias("n_tokens"),
         flag_short.alias("flag_too_short"),
         flag_long.alias("flag_too_long"),
@@ -141,6 +137,21 @@ def text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag_stopword.alias("flag_low_stopword"),
         flag_repetition.alias("flag_repetition"),
         keep.alias("keep"),
+    )
+
+
+def text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gates: per-document boolean flags plus the
+    combined ``keep`` decision (see ``_gopher_flagged``)."""
+    return _gopher_flagged(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_tokens",
+        "flag_too_short",
+        "flag_too_long",
+        "flag_word_len",
+        "flag_low_stopword",
+        "flag_repetition",
+        "keep",
     )
 
 
@@ -198,6 +209,68 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_chars",
         "sum_tokens",
         (F.col("sum_tokens").cast("double") / total.cast("double")).alias("token_share"),
+    )
+
+
+def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation in ONE composed plan — the query a corpus owner
+    actually runs: Gopher-gate → PII-scrub → exact-dedup → split-assign →
+    per-(split, source) report.
+
+    Composition shape: the gate, the scrub, and the split are all row-local
+    Column expressions, so they FUSE into a single scan/map stage under
+    whole-stage codegen — chaining the four operators adds zero passes over
+    the corpus. The whole pipeline costs exactly two shuffles at any scale:
+    the dedup window on the content hash and the final aggregation. That
+    fusion — declare stages independently, let Catalyst collapse them — is
+    the engine's core scale argument over the stage-per-pass reference
+    loop (appV2.py:165-185 runs one Python iteration per stage per row).
+
+    Report columns are exact integers; the oracle replays the identical
+    CTE chain (gate flags, scrub regexes, md5 content hash, md5 split
+    buckets are all engine-portable by construction of the pieces)."""
+    docs = load_table(spark, sf_dir, "documents")
+    gated = _gopher_flagged(docs).where(F.col("keep"))
+    scrubbed = _with_synthetic_pii(gated)
+    n_redactions = (
+        F.size(F.regexp_extract_all("full_text", F.lit(EMAIL_RE), 0))
+        + F.size(F.regexp_extract_all("full_text", F.lit(PHONE_RE), 0))
+    ).cast("bigint")
+    redacted = F.regexp_replace(
+        F.regexp_replace("full_text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    staged = scrubbed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        n_redactions.alias("n_redactions"),
+        F.md5(redacted).alias("content_hash"),
+    )
+    survivor = F.row_number().over(
+        Window.partitionBy("content_hash").orderBy("doc_id")
+    )
+    deduped = staged.withColumn("rn", survivor).where(F.col("rn") == 1)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % SPLIT_BUCKETS
+    )
+    split = (
+        F.when(bucket < TRAIN_BUCKETS, F.lit("train"))
+        .when(bucket < VAL_BUCKETS, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        deduped.withColumn("split", split)
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum("n_redactions").alias("sum_redactions"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
     )
 
 

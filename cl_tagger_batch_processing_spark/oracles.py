@@ -1665,3 +1665,69 @@ SELECT event_type, COUNT(*) AS n,
        MAX(event_id) AS max_event_id
 FROM events GROUP BY event_type
 """
+
+# End-to-end curation pipeline: the same CTE chain as the composed Spark
+# plan — Gopher gate, synthetic-PII scrub, exact content-hash dedup
+# (row_number survivor), md5 split buckets, per-(split, source) report.
+ORACLE_SQL["curation_pipeline_report"] = f"""
+WITH t AS (
+  SELECT doc_id, text, lang, source, string_split(text, ' ') AS toks
+  FROM documents
+),
+b AS (
+  SELECT doc_id, text, lang, source, toks,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+  FROM t
+),
+m AS (
+  SELECT doc_id, text, lang, source,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(replace(text, ' ', '')) AS BIGINT) AS nospace_len,
+         CAST(len(list_intersect(list_distinct(toks),
+                                 ['a','the','of','and','in','to'])) AS BIGINT)
+           AS n_stop,
+         CAST(len(bigrams) AS BIGINT) AS n_bi,
+         CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_bi_distinct
+  FROM b
+),
+kept AS (
+  SELECT doc_id, text, lang, source, n_tokens FROM m
+  WHERE NOT (n_tokens < 50 OR n_tokens > 100000
+             OR nospace_len < 3 * n_tokens OR nospace_len > 10 * n_tokens
+             OR n_stop < 2
+             OR 5 * (n_bi - n_bi_distinct) > n_bi)
+),
+pii AS (
+  SELECT doc_id, source, n_tokens, {_PII_FULL_TEXT} AS full_text FROM kept
+),
+scrubbed AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(len(regexp_extract_all(full_text, '{_PII_EMAIL_RE}'))
+              + len(regexp_extract_all(full_text, '{_PII_PHONE_RE}'))
+           AS BIGINT) AS n_redactions,
+         md5(regexp_replace(
+               regexp_replace(full_text, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PII_PHONE_RE}', '<PHONE>', 'g')) AS content_hash
+  FROM pii
+),
+ded AS (
+  SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+  FROM scrubbed
+),
+sp AS (
+  SELECT doc_id, source, n_tokens, n_redactions,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+           AS bucket
+  FROM ded WHERE rn = 1
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(n_redactions) AS BIGINT) AS sum_redactions,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM sp GROUP BY 1, 2
+"""

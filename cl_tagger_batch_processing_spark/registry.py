@@ -233,6 +233,9 @@ register("source_orc_roundtrip", textfiles.source_orc_roundtrip)
 register("corpus_pack_sequences", curation.corpus_pack_sequences)
 register("stream_sliding_counts", streaming_windows.stream_sliding_counts)
 register("layout_compact_small_files", sources_layout.layout_compact_small_files)
+# Composite gate→scrub→dedup→split pipeline: every map stage fuses into one
+# scan; exactly two shuffles (dedup window + report agg) at any scale.
+register("curation_pipeline_report", curation.curation_pipeline_report)
 register("embedding_dim_stats", similarity.embedding_dim_stats)
 # Deterministic Lloyd's k-means (SemDeDup-style clustering stage): exact
 # value oracle replaying both refinement iterations in SQL; also

@@ -310,3 +310,14 @@ def test_jvm_only_hot_paths(spark, sf_dir):
         plan = inspect.executed_plan(QUERIES[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_curation_pipeline_two_shuffles_no_python(spark, sf_dir):
+    # Gate, scrub, hash, and split are row-local Column work and must FUSE
+    # into the scan stages; the whole composed pipeline pays exactly two
+    # exchanges (dedup window + report agg) and never leaves the JVM.
+    df = QUERIES["curation_pipeline_report"](spark, sf_dir)
+    assert inspect.count_shuffles(df) == 2
+    plan = inspect.executed_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
