@@ -1731,3 +1731,13 @@ SELECT CASE WHEN bucket < 80 THEN 'train'
        MAX(doc_id) AS max_doc_id
 FROM sp GROUP BY 1, 2
 """
+
+# The checkpointed file sink must persist exactly the source rows.
+ORACLE_SQL["stream_sink_parquet"] = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+       MIN(user_id) AS min_user_id,
+       MAX(user_id) AS max_user_id
+FROM events GROUP BY event_type
+"""

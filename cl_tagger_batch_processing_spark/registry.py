@@ -236,6 +236,8 @@ register("layout_compact_small_files", sources_layout.layout_compact_small_files
 # Composite gate→scrub→dedup→split pipeline: every map stage fuses into one
 # scan; exactly two shuffles (dedup window + report agg) at any scale.
 register("curation_pipeline_report", curation.curation_pipeline_report)
+# Checkpointed exactly-once parquet file sink (availableNow trigger).
+register("stream_sink_parquet", streaming_windows.stream_sink_parquet)
 register("embedding_dim_stats", similarity.embedding_dim_stats)
 # Deterministic Lloyd's k-means (SemDeDup-style clustering stage): exact
 # value oracle replaying both refinement iterations in SQL; also

@@ -152,6 +152,54 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STREAM_SINK_STAGING = "/tmp/cl_tagger_stream_sink"
+
+
+def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parquet FILE sink with checkpointing — the persistent-sink
+    path (everything else in this module lands in a memory sink).
+
+    The file sink is Structured Streaming's exactly-once surface: each
+    micro-batch commits files atomically through the checkpoint's write-ahead
+    commit log, so a crashed-and-restarted query never double-writes a
+    batch (readers see only committed files via the sink's _spark_metadata
+    log). Restarting THIS query against the same checkpoint+output is a
+    no-op: the source offsets are already committed, which is the
+    idempotence a 100-TB/day ingest pipeline leans on. The fidelity
+    aggregate over the files read back is value-checked against the
+    fixture, so a dropped or duplicated micro-batch breaks the hash."""
+    import shutil
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = f"{STREAM_SINK_STAGING}/events_{tag}"
+    ckpt = f"{STREAM_SINK_STAGING}/ckpt_{tag}"
+    # Fresh staging per build: the oracle checks CONTENT equality with the
+    # fixture, so a stale prior run must not leak files in.
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    ev = events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        F.sum("event_id").alias("id_checksum"),
+        F.min("user_id").alias("min_user_id"),
+        F.max("user_id").alias("max_user_id"),
+    )
+
+
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1-hour windows every 15 minutes per event type — the
     overlapping-window shape (each event lands in 4 windows). Complete mode
