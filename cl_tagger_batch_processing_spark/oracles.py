@@ -1741,3 +1741,13 @@ SELECT event_type, COUNT(*) AS n,
        MAX(user_id) AS max_user_id
 FROM events GROUP BY event_type
 """
+
+# The range-sorted rewrite must preserve every row in the probed range.
+ORACLE_SQL["layout_sorted_skipping"] = """
+SELECT user_id, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum
+FROM events
+WHERE user_id BETWEEN 10 AND 20
+GROUP BY user_id
+"""

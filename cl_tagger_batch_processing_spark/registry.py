@@ -238,6 +238,8 @@ register("layout_compact_small_files", sources_layout.layout_compact_small_files
 register("curation_pipeline_report", curation.curation_pipeline_report)
 # Checkpointed exactly-once parquet file sink (availableNow trigger).
 register("stream_sink_parquet", streaming_windows.stream_sink_parquet)
+# Range-sorted write => tight per-row-group min/max => stats-based skipping.
+register("layout_sorted_skipping", sources_layout.layout_sorted_skipping)
 register("embedding_dim_stats", similarity.embedding_dim_stats)
 # Deterministic Lloyd's k-means (SemDeDup-style clustering stage): exact
 # value oracle replaying both refinement iterations in SQL; also

@@ -119,6 +119,43 @@ def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def layout_sorted_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-sorted write for min/max data skipping: stage events
+    range-partitioned AND sorted on ``user_id``, then read back a narrow
+    user range.
+
+    ``repartitionByRange`` clusters each key range into one output file and
+    ``sortWithinPartitions`` orders rows inside it, so every parquet
+    row-group's user_id min/max stats span a tight range — the point-range
+    read prunes whole files and row groups from statistics alone (z-order's
+    single-column special case). On an unsorted layout the same pushed
+    filter still scans every row group because each one's min/max spans the
+    whole domain. At 100 TB, sort-on-write is the cheapest data-skipping
+    index there is: one range shuffle at ingest, every selective read
+    after that skips. The oracle recomputes the aggregate from the
+    unsorted fixture, so the sorted rewrite must preserve every row."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(LAYOUT_STAGING, f"events_sorted_{tag}")
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.select("event_id", "user_id", "event_type", "value")
+        .repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.where(F.col("user_id").between(10, 20))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+            F.sum("event_id").alias("id_checksum"),
+        )
+    )
+
+
 def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-checked co-located join: stage orders and lineitem as tables
     bucketed (and sorted) on the order key, join bucket-to-bucket, and

@@ -105,3 +105,21 @@ def test_compaction_reduces_files_without_shuffle(spark, sf_dir):
 
     recompact = spark.read.parquet(f"{LAYOUT_STAGING}/events_frag_{tag}").coalesce(4)
     assert inspect.count_shuffles(recompact) == 0
+
+
+def test_sorted_layout_pushes_range_filter(spark, sf_dir):
+    from cl_tagger_batch_processing_spark.sources.layout import (
+        LAYOUT_STAGING,
+        layout_sorted_skipping,
+    )
+
+    layout_sorted_skipping(spark, sf_dir).collect()  # stages the sorted copy
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    back = spark.read.parquet(f"{LAYOUT_STAGING}/events_sorted_{tag}").where(
+        F.col("user_id").between(10, 20)
+    )
+    pushed = " ".join(inspect.pushed_filters(back))
+    # Both range bounds must reach the parquet scan — with the sorted
+    # layout those stats prune row groups; without pushdown nothing can.
+    assert "GreaterThanOrEqual(user_id 10)" in pushed.replace(",", " ")
+    assert "LessThanOrEqual(user_id 20)" in pushed.replace(",", " ")
