@@ -42,6 +42,8 @@ def test_driver_window_is_curated():
         "corpus_split_assign",
         "cdc_merge_documents",
         "layout_partition_prune",
+        "layout_bucketed_join",
+        "stream_stream_join",
         "source_jsonl_roundtrip",
         "stream_user_event_mix",
         "stream_tumbling_counts",
