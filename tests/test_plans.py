@@ -321,3 +321,11 @@ def test_curation_pipeline_two_shuffles_no_python(spark, sf_dir):
     plan = inspect.executed_plan(df)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir):
+    # The final (source, window_id) aggregation must REUSE the running-sum
+    # window's hash partitioning on source (same-key clustering) — one
+    # exchange for the whole packing query.
+    df = QUERIES["corpus_pack_sequences"](spark, sf_dir)
+    assert inspect.count_shuffles(df) == 1
