@@ -274,6 +274,99 @@ def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dq_checks_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: one row per check with checked/violation counts —
+    the contract a 100-TB ingest runs before promoting a batch (null rates,
+    key uniqueness, referential integrity, value domains).
+
+    Shapes chosen for scale: per-table checks collapse into ONE aggregate
+    pass per table (conditional counters share the scan); referential
+    checks are LEFT ANTI joins on projected key columns only (the shuffle
+    carries 8-byte keys, not rows), counted map-side. Nothing here is a
+    driver-side loop — the report is itself a DataFrame, so it can gate a
+    pipeline inside the cluster."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _report(name, checked, violations):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            checked.cast("bigint").alias("n_checked"),
+            violations.cast("bigint").alias("n_violations"),
+        )
+
+    o_checks = orders.agg(
+        F.array(
+            _report(
+                "orders_pk_unique",
+                F.count(F.lit(1)),
+                F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey")),
+            ),
+            _report(
+                "orders_totalprice_positive",
+                F.count(F.lit(1)),
+                F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)),
+            ),
+            _report(
+                "orders_custkey_nonnull",
+                F.count(F.lit(1)),
+                F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)),
+            ),
+        ).alias("checks")
+    )
+    l_checks = li.agg(
+        F.array(
+            _report(
+                "lineitem_discount_range",
+                F.count(F.lit(1)),
+                F.sum(
+                    F.when(
+                        (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+                    ).otherwise(0)
+                ),
+            ),
+            _report(
+                "lineitem_quantity_positive",
+                F.count(F.lit(1)),
+                F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)),
+            ),
+        ).alias("checks")
+    )
+    d_checks = docs.agg(
+        F.array(
+            _report(
+                "documents_text_nonempty",
+                F.count(F.lit(1)),
+                F.sum(
+                    F.when(
+                        F.col("text").isNull() | (F.length("text") == 0), 1
+                    ).otherwise(0)
+                ),
+            )
+        ).alias("checks")
+    )
+    fk_orders = (
+        orders.select("o_custkey")
+        .join(cust.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.array(_report("orders_custkey_fk", F.count(F.lit(1)), F.count(F.lit(1)))).alias("checks"))
+    )
+    # n_checked for FK rows is the violation count itself (rows that failed
+    # the join); the full denominators already appear in the per-table rows.
+    fk_li = (
+        li.select("l_orderkey")
+        .join(orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.array(_report("lineitem_orderkey_fk", F.count(F.lit(1)), F.count(F.lit(1)))).alias("checks"))
+    )
+    unioned = o_checks.unionByName(l_checks).unionByName(d_checks).unionByName(
+        fk_orders
+    ).unionByName(fk_li)
+    return unioned.select(F.explode("checks").alias("c")).select(
+        "c.check_name", "c.n_checked", "c.n_violations"
+    )
+
+
 PACK_BUDGET_TOKENS = 2048
 
 

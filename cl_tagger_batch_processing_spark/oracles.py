@@ -1751,3 +1751,39 @@ FROM events
 WHERE user_id BETWEEN 10 AND 20
 GROUP BY user_id
 """
+
+# One row per data-quality check; FK rows count anti-join survivors.
+ORACLE_SQL["dq_checks_report"] = """
+SELECT 'orders_pk_unique' AS check_name,
+       COUNT(*) AS n_checked,
+       COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'orders_totalprice_positive', COUNT(*),
+       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders_custkey_nonnull', COUNT(*),
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem_discount_range', COUNT(*),
+       CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+         AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_quantity_positive', COUNT(*),
+       CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'documents_text_nonempty', COUNT(*),
+       CAST(SUM(CASE WHEN text IS NULL OR len(text) = 0 THEN 1 ELSE 0 END)
+         AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'orders_custkey_fk', COUNT(*), COUNT(*)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'lineitem_orderkey_fk', COUNT(*), COUNT(*)
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+"""

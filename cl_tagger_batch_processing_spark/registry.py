@@ -240,6 +240,8 @@ register("curation_pipeline_report", curation.curation_pipeline_report)
 register("stream_sink_parquet", streaming_windows.stream_sink_parquet)
 # Range-sorted write => tight per-row-group min/max => stats-based skipping.
 register("layout_sorted_skipping", sources_layout.layout_sorted_skipping)
+# Per-batch data-quality gate: one agg pass per table + key-only anti joins.
+register("dq_checks_report", curation.dq_checks_report)
 register("embedding_dim_stats", similarity.embedding_dim_stats)
 # Deterministic Lloyd's k-means (SemDeDup-style clustering stage): exact
 # value oracle replaying both refinement iterations in SQL; also
