@@ -1787,3 +1787,14 @@ UNION ALL
 SELECT 'lineitem_orderkey_fk', COUNT(*), COUNT(*)
 FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
 """
+
+# Replays the generation split: even doc_ids lack source/n_chars.
+ORACLE_SQL["source_schema_evolution"] = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing_source,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS sum_chars_new,
+       CAST(SUM(len(text)) AS BIGINT) AS sum_text_len
+FROM documents GROUP BY lang
+"""

@@ -242,6 +242,8 @@ register("stream_sink_parquet", streaming_windows.stream_sink_parquet)
 register("layout_sorted_skipping", sources_layout.layout_sorted_skipping)
 # Per-batch data-quality gate: one agg pass per table + key-only anti joins.
 register("dq_checks_report", curation.dq_checks_report)
+# mergeSchema over heterogeneous parquet generations (nulls for old files).
+register("source_schema_evolution", textfiles.source_schema_evolution)
 register("embedding_dim_stats", similarity.embedding_dim_stats)
 # Deterministic Lloyd's k-means (SemDeDup-style clustering stage): exact
 # value oracle replaying both refinement iterations in SQL; also

@@ -112,3 +112,36 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → ORC → read with schema → fidelity aggregate."""
     return _staged_roundtrip(spark, sf_dir, "orc")
+
+
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet batches with DIFFERENT schemas
+    (an early crawl without ``source``/``n_chars``, a later one with them)
+    land in one dataset directory; ``mergeSchema`` unifies them at read
+    time, with nulls for columns absent in old files.
+
+    This is how a years-old 100-TB dataset actually looks — columns appear
+    over time and rewriting history is off the table. mergeSchema pays one
+    footer read per file AT PLANNING TIME (no data pass), which is why
+    it's an explicit opt-in; the per-lang aggregate counts the synthesized
+    nulls so the oracle (which replays the batch split by doc_id parity)
+    catches a merge that misaligns or drops either generation."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        STAGING_ROOT, f"evolve_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    old = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang")
+    new = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    old.write.mode("overwrite").parquet(os.path.join(path, "batch=old"))
+    new.write.mode("overwrite").parquet(os.path.join(path, "batch=new"))
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("source").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missing_source"),
+        F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("sum_chars_new"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+    )
