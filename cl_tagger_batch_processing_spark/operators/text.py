@@ -175,6 +175,42 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame
     )
 
 
+CHUNK_TOKENS = 16
+CHUNK_STRIDE = 8
+
+
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (chunk 16, stride 8) — the
+    RAG/embedding prep step that cuts long documents into model-window
+    pieces with overlap so no span straddles a boundary unseen.
+
+    Row-local Column math only: chunk starts come from a ``sequence`` over
+    the token count, each chunk slices the materialized token array —
+    zero shuffles, explode preserves partition locality, and chunk count
+    per doc is ceil((n−16)/8)+1 so output scales linearly with corpus
+    token count. Both engines compute the chunk count with the same
+    trunc-division expression (greatest(0, (n−9) div 8)), so the oracle
+    replays chunking exactly, chunk text included."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).withColumn("n_toks", F.size("toks").cast("bigint"))
+    last_idx = F.greatest(
+        F.lit(0).cast("bigint"), F.expr(f"(n_toks - {CHUNK_TOKENS - CHUNK_STRIDE + 1}) div {CHUNK_STRIDE}")
+    )
+    chunks = base.withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0).cast("bigint"), last_idx))
+    )
+    start = (F.col("chunk_idx") * CHUNK_STRIDE + 1).cast("int")
+    chunk_toks = F.slice("toks", start, CHUNK_TOKENS)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(chunk_toks).cast("bigint").alias("chunk_len"),
+        F.array_join(chunk_toks, " ").alias("chunk_text"),
+    )
+
+
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting: the classic pre-tokenizer classes (letter
     runs, digit runs, single punctuation marks) counted per document — the

@@ -1798,3 +1798,25 @@ SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(len(text)) AS BIGINT) AS sum_text_len
 FROM documents GROUP BY lang
 """
+
+# Same trunc-division chunk count and 1-based slices; both engines clamp
+# the final partial chunk the same way.
+ORACLE_SQL["text_chunk_windows"] = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, greatest(0, (n_toks - 9) // 8)))
+           AS chunk_idx
+  FROM t
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(toks[(chunk_idx*8 + 1):(chunk_idx*8 + 16)]) AS BIGINT)
+         AS chunk_len,
+       array_to_string(toks[(chunk_idx*8 + 1):(chunk_idx*8 + 16)], ' ')
+         AS chunk_text
+FROM c
+"""

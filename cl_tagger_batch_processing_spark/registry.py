@@ -244,6 +244,8 @@ register("layout_sorted_skipping", sources_layout.layout_sorted_skipping)
 register("dq_checks_report", curation.dq_checks_report)
 # mergeSchema over heterogeneous parquet generations (nulls for old files).
 register("source_schema_evolution", textfiles.source_schema_evolution)
+# RAG-style overlapping token chunking (chunk 16 / stride 8), zero-shuffle.
+register("text_chunk_windows", text.text_chunk_windows)
 register("embedding_dim_stats", similarity.embedding_dim_stats)
 # Deterministic Lloyd's k-means (SemDeDup-style clustering stage): exact
 # value oracle replaying both refinement iterations in SQL; also

@@ -329,3 +329,12 @@ def test_pack_sequences_single_shuffle(spark, sf_dir):
     # exchange for the whole packing query.
     df = QUERIES["corpus_pack_sequences"](spark, sf_dir)
     assert inspect.count_shuffles(df) == 1
+
+
+def test_chunk_windows_zero_shuffle(spark, sf_dir):
+    # Chunking is explode over row-local sequences — partition-local at any
+    # corpus size; a shuffle here would mean the plan lost locality.
+    df = QUERIES["text_chunk_windows"](spark, sf_dir)
+    assert inspect.count_shuffles(df) == 0
+    plan = inspect.executed_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
