@@ -235,6 +235,53 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type: ``parse_json``
+    once into the binary variant encoding, then typed ``variant_get`` path
+    extraction.
+
+    The scale argument over per-path ``get_json_object``
+    (events_json_extract): VARIANT parses each JSON string ONCE into a
+    shredded binary form; every subsequent typed path is a field get, not a
+    string re-parse — at 100 TB of event props with many extracted paths
+    that's one parse amortized over N paths instead of N parses."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.expr("variant_get(v, '$.k', 'bigint')")
+    return (
+        parsed.select("event_type", (k % 10).alias("k_bucket"), k.alias("k"))
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
+def lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through the SQL surface: for each nation,
+    its top-3 customers by account balance (unique custkey tie-break).
+
+    Exercises the engine's SQL-API parity for the LATERAL shape users write
+    directly; Catalyst decorrelates it into a join + per-key ranking rather
+    than executing the inner query once per outer row — the same plan the
+    DataFrame window form produces, which is exactly the point: the naive
+    SQL stays scale-safe."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, t.c_name AS customer,
+               t.c_acctbal AS acctbal
+        FROM nation_lat n,
+        LATERAL (
+          SELECT c_name, c_acctbal
+          FROM customer_lat c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey ASC
+          LIMIT 3
+        ) t
+        """
+    )
+
+
 def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (Spark has no native one — SURVEY.md §2.5 'not present'):
     for each purchase event, the most recent click by the same user at or

@@ -1820,3 +1820,28 @@ SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
          AS chunk_text
 FROM c
 """
+
+# Same typed path + bucket arithmetic, via DuckDB's native JSON extraction.
+ORACLE_SQL["events_variant_extract"] = """
+WITH v AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, k % 10 AS k_bucket, COUNT(*) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k
+FROM v GROUP BY 1, 2
+"""
+
+# DuckDB runs the identical LATERAL text.
+ORACLE_SQL["lateral_top_customers"] = """
+SELECT n.n_name AS nation, t.c_name AS customer, t.c_acctbal AS acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey ASC
+  LIMIT 3
+) t
+"""

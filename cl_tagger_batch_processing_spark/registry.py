@@ -246,6 +246,9 @@ register("dq_checks_report", curation.dq_checks_report)
 register("source_schema_evolution", textfiles.source_schema_evolution)
 # RAG-style overlapping token chunking (chunk 16 / stride 8), zero-shuffle.
 register("text_chunk_windows", text.text_chunk_windows)
+# Spark 4 VARIANT path (parse once, typed gets) and SQL-surface LATERAL.
+register("events_variant_extract", relational.events_variant_extract)
+register("lateral_top_customers", relational.lateral_top_customers)
 register("embedding_dim_stats", similarity.embedding_dim_stats)
 # Deterministic Lloyd's k-means (SemDeDup-style clustering stage): exact
 # value oracle replaying both refinement iterations in SQL; also
