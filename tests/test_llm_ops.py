@@ -185,3 +185,37 @@ def test_frame_sample_matches_python(spark, sf_dir):
             assert out[(row.doc_id, idx)] == (md5, n_frames)
             checked += 1
     assert checked > 0
+
+
+def test_chunk_windows_reconstructs_documents(spark, sf_dir):
+    from cl_tagger_batch_processing_spark.operators.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        text_chunk_windows,
+    )
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+
+    chunks = {}
+    for r in text_chunk_windows(spark, sf_dir).collect():
+        chunks.setdefault(r.doc_id, {})[r.chunk_idx] = (r.chunk_len, r.chunk_text)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert set(chunks) == {r.doc_id for r in docs}
+    for row in docs:
+        toks = row.text.split(" ")
+        doc_chunks = chunks[row.doc_id]
+        # contiguous chunk ids from 0; all full-size except possibly the last
+        assert sorted(doc_chunks) == list(range(len(doc_chunks)))
+        for idx, (clen, ctext) in doc_chunks.items():
+            expect = toks[idx * CHUNK_STRIDE : idx * CHUNK_STRIDE + CHUNK_TOKENS]
+            assert ctext == " ".join(expect)
+            assert clen == len(expect)
+        # stitching the non-overlapping prefixes reconstructs the document
+        stitched = []
+        for idx in range(len(doc_chunks)):
+            ctoks = doc_chunks[idx][1].split(" ")
+            stitched.extend(ctoks if idx == len(doc_chunks) - 1 else ctoks[:CHUNK_STRIDE])
+        # the final chunk overlaps the previous one; dedup the overlap
+        assert " ".join(stitched[: len(toks)]) == row.text
+        # every token index is covered by at least one chunk
+        covered = len(doc_chunks) * CHUNK_STRIDE - CHUNK_STRIDE + doc_chunks[len(doc_chunks) - 1][0]
+        assert covered >= len(toks)
