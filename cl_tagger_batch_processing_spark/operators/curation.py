@@ -274,6 +274,53 @@ def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-tier keep rates in basis points (tier = source number % 4): full,
+# half, quarter, eighth — the down-sampling schedule a mixture trainer
+# derives from corpus_source_mix's shares vs its target weights.
+MIX_TIER_RATES_BP = [10000, 5000, 2500, 1250]
+
+
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling — the sampler ``corpus_source_mix``
+    feeds: each source is down-sampled to its tier's keep-rate by an exact
+    integer hash-bucket threshold (keep iff md5 bucket < rate·10000).
+
+    Hash-based, not ``DataFrame.sample``: re-runs keep the SAME documents
+    (restartable jobs, reproducible corpora), and the sampling hash is
+    salted ('mix-') so it is INDEPENDENT of corpus_split_assign's buckets —
+    otherwise sampling would correlate with the train/val/test split and
+    bias every split differently. Row-local predicate, zero shuffles until
+    the one report aggregation; at 100 TB the sampler is a filter pushed
+    into the scan, not a pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    tier = F.expr("CAST(substring(source, 4) AS INT) % 4")
+    thr = F.element_at(
+        F.array(*[F.lit(r) for r in MIX_TIER_RATES_BP]), tier + 1
+    ).cast("bigint")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix-"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    n_tokens = F.size(F.split("text", " ")).cast("bigint")
+    per_doc = docs.select(
+        "source",
+        thr.alias("rate_bp"),
+        (bucket < thr).alias("kept"),
+        n_tokens.alias("n_tokens"),
+    )
+    return per_doc.groupBy("source", "rate_bp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )
+
+
 def dq_checks_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality gate: one row per check with checked/violation counts —
     the contract a 100-TB ingest runs before promoting a batch (null rates,

@@ -1845,3 +1845,22 @@ LATERAL (
   LIMIT 3
 ) t
 """
+
+# Same salted hash buckets and tier thresholds, exact integers throughout.
+ORACLE_SQL["corpus_mixture_sample"] = """
+WITH d AS (
+  SELECT source,
+         [10000, 5000, 2500, 1250]
+           [(CAST(substr(source, 4) AS INT) % 4) + 1] AS rate_bp,
+         CAST('0x' || substr(md5('mix-' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 10000 AS bucket,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT source, CAST(rate_bp AS BIGINT) AS rate_bp, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN bucket < rate_bp THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN bucket < rate_bp THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS kept_tokens
+FROM d GROUP BY 1, 2
+"""

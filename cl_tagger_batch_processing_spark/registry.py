@@ -249,6 +249,8 @@ register("text_chunk_windows", text.text_chunk_windows)
 # Spark 4 VARIANT path (parse once, typed gets) and SQL-surface LATERAL.
 register("events_variant_extract", relational.events_variant_extract)
 register("lateral_top_customers", relational.lateral_top_customers)
+# Hash-threshold mixture sampler (split-independent salt), scan-time filter.
+register("corpus_mixture_sample", curation.corpus_mixture_sample)
 register("embedding_dim_stats", similarity.embedding_dim_stats)
 # Deterministic Lloyd's k-means (SemDeDup-style clustering stage): exact
 # value oracle replaying both refinement iterations in SQL; also
