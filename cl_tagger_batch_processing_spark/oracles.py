@@ -1864,3 +1864,16 @@ SELECT source, CAST(rate_bp AS BIGINT) AS rate_bp, COUNT(*) AS n_docs,
          AS kept_tokens
 FROM d GROUP BY 1, 2
 """
+
+# 3 malformed + 1 type-mismatched line injected as constants; the good
+# side recomputes from the fixture (mirrors the injected list in
+# textfiles.source_jsonl_corrupt_quarantine).
+ORACLE_SQL["source_jsonl_corrupt_quarantine"] = """
+SELECT COUNT(*) + 4 AS n_rows,
+       CAST(4 AS BIGINT) AS n_damaged,
+       CAST(3 AS BIGINT) AS n_fully_null,
+       COUNT(*) AS n_good,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars_good,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents
+"""

@@ -251,6 +251,8 @@ register("events_variant_extract", relational.events_variant_extract)
 register("lateral_top_customers", relational.lateral_top_customers)
 # Hash-threshold mixture sampler (split-independent salt), scan-time filter.
 register("corpus_mixture_sample", curation.corpus_mixture_sample)
+# PERMISSIVE JSONL read with counted corrupt-record quarantine.
+register("source_jsonl_corrupt_quarantine", textfiles.source_jsonl_corrupt_quarantine)
 register("embedding_dim_stats", similarity.embedding_dim_stats)
 # Deterministic Lloyd's k-means (SemDeDup-style clustering stage): exact
 # value oracle replaying both refinement iterations in SQL; also

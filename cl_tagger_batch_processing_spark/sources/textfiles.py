@@ -114,6 +114,70 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _staged_roundtrip(spark, sf_dir, "orc")
 
 
+def source_jsonl_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode JSONL read with corrupt-record quarantine — the
+    other half of the ingest contract (``source_jsonl_roundtrip`` proves
+    FAILFAST; real crawl dumps also need the keep-going path).
+
+    The staged dump carries 3 syntactically malformed lines plus 1
+    well-formed line with an unconvertible field. PERMISSIVE handling
+    differs by class: malformed JSON lands whole in the
+    ``columnNameOfCorruptRecord`` column with every schema field null; the
+    well-formed line keeps its convertible fields (whether it ALSO sets
+    the quarantine column varies with parser minutiae across line
+    contents/versions). The report therefore classifies by OBSERVABLE
+    field state — fully-null rows vs rows with any required field null —
+    which is the robust contract downstream can rely on: at 100 TB a bad
+    line must cost one flagged row, not a failed 6-hour job, but every
+    damaged row must be COUNTED or permissive mode silently eats data
+    loss (why FAILFAST stays the default elsewhere). The oracle knows the
+    injected counts as constants and recomputes the good-side aggregate
+    from the fixture."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        STAGING_ROOT,
+        f"jsonl_corrupt_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    write_documents_jsonl(docs, path)
+    bad_lines = [
+        '{unquoted: true, "text": }',
+        "not json at all",
+        '{"doc_id": 1,, "lang": "en"}',
+        # well-formed, wrong types: doc_id/text/lang null, n_chars parses
+        '{"doc_id": "NaN", "text": 12, "lang": ["x"], "source": "bad", "n_chars": 7}',
+    ]
+    with open(os.path.join(path, "part-corrupt.json"), "w") as f:
+        f.write("\n".join(bad_lines) + "\n")
+    back = (
+        spark.read.schema(DOCUMENTS_SCHEMA + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    required_null = (
+        F.col("doc_id").isNull() | F.col("text").isNull() | F.col("lang").isNull()
+    )
+    damaged = F.col("_corrupt_record").isNotNull() | required_null
+    fully_null = (
+        F.col("doc_id").isNull()
+        & F.col("text").isNull()
+        & F.col("lang").isNull()
+        & F.col("source").isNull()
+        & F.col("n_chars").isNull()
+    )
+    good = ~damaged
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(damaged, 1).otherwise(0)).cast("bigint").alias("n_damaged"),
+        F.sum(F.when(fully_null, 1).otherwise(0)).cast("bigint").alias("n_fully_null"),
+        F.sum(F.when(good, 1).otherwise(0)).cast("bigint").alias("n_good"),
+        F.sum(F.when(good, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_chars_good"),
+        F.count_distinct(F.when(good, F.col("lang"))).cast("bigint").alias("n_langs"),
+    )
+
+
 def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolution read: two parquet batches with DIFFERENT schemas
     (an early crawl without ``source``/``n_chars``, a later one with them)
