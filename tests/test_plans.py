@@ -338,3 +338,12 @@ def test_chunk_windows_zero_shuffle(spark, sf_dir):
     assert inspect.count_shuffles(df) == 0
     plan = inspect.executed_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mixture_sample_single_shuffle(spark, sf_dir):
+    # The sampler is a row-local hash-threshold predicate — only the report
+    # aggregation may exchange.
+    df = QUERIES["corpus_mixture_sample"](spark, sf_dir)
+    assert inspect.count_shuffles(df) == 1
+    plan = inspect.executed_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
