@@ -27,7 +27,7 @@ from .dedup import int_dot, quantized_embeddings
 
 DEFAULT_TOP_K = 10
 DEFAULT_NUM_QUERIES = 5
-LSH_NUM_PLANES = 8
+LSH_NUM_PLANES = 5
 EMBED_DIM = 64
 
 
@@ -91,15 +91,38 @@ def lsh_buckets(base: DataFrame) -> DataFrame:
 def ann_candidates(
     spark: SparkSession, sf_dir: str, num_queries: int = DEFAULT_NUM_QUERIES
 ) -> DataFrame:
-    """In-bucket candidate relation (query_id, neighbor_id, cosine) BEFORE
-    the top-k window — the quantity that must stay far below
-    num_queries × corpus; tests pin a bound on it."""
+    """Multi-probe candidate relation (query_id, neighbor_id, cosine)
+    BEFORE the top-k window — the quantity that must stay far below
+    num_queries × corpus; tests pin a bound on it.
+
+    Each query probes its own bucket PLUS the LSH_NUM_PLANES buckets at
+    Hamming distance 1 (one sign-bit flip) — standard multi-probe LSH: the
+    nearest neighbors a single-bucket lookup misses are overwhelmingly in
+    the adjacent buckets, so probing P+1 buckets buys most of the recall
+    of P+1 independent tables at 1/(P+1) of the index cost. Candidates
+    grow by the fixed probe count, never quadratically; each corpus vector
+    lives in exactly one bucket so no candidate pair duplicates.
+
+    Plane count is a recall/cost dial measured by ``ann_recall_report`` on
+    THIS corpus: planes 3/4/5/6 give recall .72/.54/.36/.20 at candidate
+    coverage .50/.32/.20/.12 of brute force. 5 planes is the shipped
+    default (1.8× better-than-random recall per candidate); on corpora
+    with stronger cosine cluster structure the IVF path (recall .94 at
+    nprobe=2/8 here) is the better index, and the report makes that
+    choice a measured one rather than a guess."""
     base = lsh_buckets(quantized_embeddings(spark, sf_dir))
-    queries = base.where(F.col("vec_id") < num_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qv").alias("qq"),
-        F.col("nrm").alias("nq"),
-        "bucket",
+    probe_buckets = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(LSH_NUM_PLANES)],
+    )
+    queries = (
+        base.where(F.col("vec_id") < num_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qv").alias("qq"),
+            F.col("nrm").alias("nq"),
+            F.explode(probe_buckets).alias("bucket"),
+        )
     )
     cos = int_dot(F.col("qq"), F.col("qv")).cast("double") / (
         F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("nrm").cast("double"))
@@ -207,6 +230,39 @@ def sim_topk_ivf(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= top_k)
     )
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of both ANN paths against the exact top-k, as a first-class
+    query — the evaluation loop an ANN deployment runs whenever the corpus
+    or index parameters change (recall is a DATA property: the same index
+    can be fine on one corpus and useless on the next).
+
+    Joins each approximate result set to the exact set on (query, neighbor)
+    and reports hits/recall per method. All three inputs are deterministic
+    (fixed LCG planes, first-8 centroids, unique tie-breaks), so recall is
+    a stable value the oracle reproduces exactly — not a flaky threshold.
+    The join keys are (query_id, neighbor_id) pairs: k rows per query per
+    side, so the report costs O(queries × k), independent of corpus size."""
+    exact = sim_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+
+    def _recall(method: str, approx: DataFrame) -> DataFrame:
+        hit = approx.select("query_id", "neighbor_id").withColumn("hit", F.lit(1))
+        joined = exact.join(hit, ["query_id", "neighbor_id"], "left")
+        return joined.agg(
+            F.lit(method).alias("method"),
+            F.count_distinct("query_id").cast("bigint").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("recall"),
+        )
+
+    lsh = _recall("lsh", sim_ann_lsh(spark, sf_dir))
+    ivf = _recall("ivf", sim_topk_ivf(spark, sf_dir))
+    return lsh.unionByName(ivf)
 
 
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:

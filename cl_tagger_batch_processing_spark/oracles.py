@@ -610,7 +610,7 @@ WHERE list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[]))
 # = the first 8 corpus vectors), so their outputs admit exact oracles that
 # replay the same bucketing/probing. The LCG is duplicated here to keep this
 # module pyspark-free; a test pins it equal to similarity._lcg_plane_weights.
-_LSH_NUM_PLANES = 8
+_LSH_NUM_PLANES = 5
 _EMBED_DIM = 64
 
 
@@ -635,8 +635,13 @@ _BUCKET_EXPR = " + ".join(
 ORACLE_SQL["sim_ann_lsh"] = f"""
 WITH {_QEMB_CTES},
 b AS (SELECT vec_id, label, qv, nrm, {_BUCKET_EXPR} AS bucket FROM n),
+-- multi-probe: the query's own bucket plus the 5 buckets one sign-bit away
 queries AS (
-  SELECT vec_id AS query_id, qv AS qq, nrm AS nq, bucket FROM b WHERE vec_id < 5
+  SELECT query_id, qq, nq,
+         CASE WHEN p = 0 THEN bucket ELSE xor(bucket, 1 << (p - 1)) END AS bucket
+  FROM (SELECT vec_id AS query_id, qv AS qq, nrm AS nq, bucket
+        FROM b WHERE vec_id < 5)
+  CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS p)
 ),
 scored AS (
   SELECT query_id, a.vec_id AS neighbor_id,
@@ -1876,4 +1881,29 @@ SELECT COUNT(*) + 4 AS n_rows,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars_good,
        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
 FROM documents
+"""
+
+# Recall@k of each ANN path vs the exact top-k, composed from the three
+# deterministic result-set oracles above (nested WITHs are parenthesized).
+ORACLE_SQL["ann_recall_report"] = f"""
+WITH exact_r AS ({ORACLE_SQL["sim_topk_cosine"]}),
+     lsh_r AS ({ORACLE_SQL["sim_ann_lsh"]}),
+     ivf_r AS ({ORACLE_SQL["sim_topk_ivf"]})
+SELECT 'lsh' AS method,
+       CAST(COUNT(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+       COUNT(*) AS n_exact,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS recall
+FROM exact_r e LEFT JOIN lsh_r a USING (query_id, neighbor_id)
+UNION ALL
+SELECT 'ivf',
+       CAST(COUNT(DISTINCT e.query_id) AS BIGINT),
+       COUNT(*),
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*)
+FROM exact_r e LEFT JOIN ivf_r a USING (query_id, neighbor_id)
 """

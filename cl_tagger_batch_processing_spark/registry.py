@@ -253,6 +253,8 @@ register("lateral_top_customers", relational.lateral_top_customers)
 register("corpus_mixture_sample", curation.corpus_mixture_sample)
 # PERMISSIVE JSONL read with counted corrupt-record quarantine.
 register("source_jsonl_corrupt_quarantine", textfiles.source_jsonl_corrupt_quarantine)
+# Recall@k of both ANN paths vs exact top-k (deterministic, value-checked).
+register("ann_recall_report", similarity.ann_recall_report)
 register("embedding_dim_stats", similarity.embedding_dim_stats)
 # Deterministic Lloyd's k-means (SemDeDup-style clustering stage): exact
 # value oracle replaying both refinement iterations in SQL; also
