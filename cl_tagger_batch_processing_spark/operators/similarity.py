@@ -8,9 +8,11 @@ Two paths:
   oracle-checked. At 100 TB this is a broadcast-join scan — linear, no
   shuffle of the big side, but O(queries × corpus) compute.
 * ``sim_ann_lsh`` — the scale path: sign-random-projection LSH buckets
-  (deterministic ±1 hyperplanes), candidates only within the query's bucket,
-  exact re-rank inside. Approximate by construction, so it gets the driver's
-  rows-only check rather than a value oracle.
+  (deterministic ±1 hyperplanes), multi-probe candidates (own bucket +
+  Hamming-1 neighbors), exact re-rank inside. Deterministic in
+  construction, so its oracle replays the exact bucketing — value-checked
+  despite being approximate vs brute force; ``ann_recall_report``
+  measures that approximation (see ``ann_candidates`` for the dial).
 
 All vector math uses the integer-quantized embeddings from
 ``dedup.quantized_embeddings`` — exact dot products, engine-portable.
