@@ -144,3 +144,34 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         sample, schema="doc_id bigint, frame_idx bigint, frame_md5 string, n_frames bigint"
     )
+
+
+MM_DUP_ID_OFFSET = 1_000_000
+
+
+def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the BINARY payload column — content-addressed
+    storage's first question (same bytes, different paths/ids), asked of
+    the binary column directly rather than a text projection.
+
+    The fixture corpus has no byte-identical payloads, so a deterministic
+    duplicate set is synthesized (every doc_id % 5 == 0 payload re-enters
+    under id + 1e6 — the re-upload/re-crawl model). One md5 per payload,
+    one shuffle on the digest; at 100 TB this is the cheapest dedup that
+    exists (no shingling, no banding) and the reason binary stores hash on
+    ingest. The oracle replays the duplication and digests the same bytes
+    (UTF-8 of text), so a digest or grouping bug breaks the value hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = with_binary_payload(docs)
+    dups = payload.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + MM_DUP_ID_OFFSET).alias("doc_id"), F.col("content")
+    )
+    everything = payload.unionByName(dups)
+    return (
+        everything.groupBy(F.md5("content").alias("payload_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.max("doc_id").alias("latest_doc_id"),
+        )
+    )

@@ -1907,3 +1907,16 @@ SELECT 'ivf',
             AS DOUBLE) / COUNT(*)
 FROM exact_r e LEFT JOIN ivf_r a USING (query_id, neighbor_id)
 """
+
+# Replays the synthetic re-upload (doc_id % 5 == 0 re-enters at id + 1e6)
+# and digests the same UTF-8 bytes.
+ORACLE_SQL["mm_payload_dedup"] = """
+WITH e AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+)
+SELECT md5(text) AS payload_md5, COUNT(*) AS n_copies,
+       MIN(doc_id) AS canonical_doc_id, MAX(doc_id) AS latest_doc_id
+FROM e GROUP BY 1
+"""

@@ -255,6 +255,8 @@ register("corpus_mixture_sample", curation.corpus_mixture_sample)
 register("source_jsonl_corrupt_quarantine", textfiles.source_jsonl_corrupt_quarantine)
 # Recall@k of both ANN paths vs exact top-k (deterministic, value-checked).
 register("ann_recall_report", similarity.ann_recall_report)
+# Exact binary-payload dedup (content-addressing; synthetic re-uploads).
+register("mm_payload_dedup", multimodal.mm_payload_dedup)
 register("embedding_dim_stats", similarity.embedding_dim_stats)
 # Deterministic Lloyd's k-means (SemDeDup-style clustering stage): exact
 # value oracle replaying both refinement iterations in SQL; also
