@@ -1920,3 +1920,10 @@ SELECT md5(text) AS payload_md5, COUNT(*) AS n_copies,
        MIN(doc_id) AS canonical_doc_id, MAX(doc_id) AS latest_doc_id
 FROM e GROUP BY 1
 """
+
+# The two incremental runs merged must equal the one-shot recompute.
+ORACLE_SQL["incremental_daily_agg"] = """
+SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""

@@ -257,6 +257,8 @@ register("source_jsonl_corrupt_quarantine", textfiles.source_jsonl_corrupt_quara
 register("ann_recall_report", similarity.ann_recall_report)
 # Exact binary-payload dedup (content-addressing; synthetic re-uploads).
 register("mm_payload_dedup", multimodal.mm_payload_dedup)
+# Two partition-pruned incremental runs merged == one-shot recompute.
+register("incremental_daily_agg", sources_layout.incremental_daily_agg)
 register("embedding_dim_stats", similarity.embedding_dim_stats)
 # Deterministic Lloyd's k-means (SemDeDup-style clustering stage): exact
 # value oracle replaying both refinement iterations in SQL; also
