@@ -155,6 +155,28 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_SINK_STAGING = "/tmp/cl_tagger_stream_sink"
 
 
+def run_sink_to_parquet(spark: SparkSession, sf_dir: str, out: str, ckpt: str) -> None:
+    """One availableNow run of the events stream into a parquet file sink.
+
+    Restart-safe by construction: source offsets commit to the checkpoint's
+    write-ahead log AFTER the batch's files commit to the sink metadata
+    log, so re-invoking with the same checkpoint+output is a no-op (the
+    offsets are already committed) — tests/test_streaming.py drives a
+    second run and asserts zero new rows land."""
+    ev = events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming parquet FILE sink with checkpointing — the persistent-sink
     path (everything else in this module lands in a memory sink).
@@ -178,18 +200,7 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture, so a stale prior run must not leak files in.
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
-    ev = events_stream(spark, sf_dir).select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    q = (
-        ev.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_sink_to_parquet(spark, sf_dir, out, ckpt)
     back = spark.read.parquet(out)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),

@@ -133,3 +133,39 @@ def test_stream_dedup_counts_collapses_duplicates(spark, sf_dir):
         for r in ev.groupBy("event_type").agg(F.count_distinct("event_id").alias("n")).collect()
     }
     assert got == want  # doubled input collapsed back to distinct counts
+
+
+def test_stream_sink_restart_is_noop(spark, sf_dir, tmp_path):
+    # Exactly-once restart semantics: a second availableNow run against the
+    # SAME checkpoint+output must commit nothing — the source offsets are
+    # already in the checkpoint's write-ahead log.
+    from cl_tagger_batch_processing_spark.streaming.windows import run_sink_to_parquet
+
+    out, ckpt = str(tmp_path / "sink_out"), str(tmp_path / "sink_ckpt")
+    run_sink_to_parquet(spark, sf_dir, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    run_sink_to_parquet(spark, sf_dir, out, ckpt)
+    n2 = spark.read.parquet(out).count()
+    assert n1 > 0
+    assert n2 == n1  # restart added nothing: no duplicated micro-batch
+
+
+def test_python_udtf_extension_api(spark):
+    # SURVEY.md §2.9: the reference has no extension API; the engine's
+    # sanctioned user-extension points are pandas UDFs (kernels/) and, for
+    # table-valued shapes, Spark 4 Python UDTFs. This pins that the UDTF
+    # registration path works end-to-end — NOT a hot-path pattern (the
+    # chunking/tokenizing registry queries stay JVM-side by design).
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, piece string")
+    class SplitEvery:
+        def eval(self, s: str, n: int):
+            for i in range(0, len(s), n):
+                yield i // n, s[i : i + n]
+
+    spark.udtf.register("split_every", SplitEvery)
+    rows = spark.sql(
+        "SELECT * FROM split_every('abcdefgh', 3) ORDER BY chunk_idx"
+    ).collect()
+    assert [(r.chunk_idx, r.piece) for r in rows] == [(0, "abc"), (1, "def"), (2, "gh")]
