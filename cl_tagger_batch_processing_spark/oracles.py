@@ -1927,3 +1927,12 @@ SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """
+
+# Stream-static enrichment == batch join to the same derived dim.
+ORACLE_SQL["stream_enrich_static"] = """
+SELECT 'tier' || CAST(user_id % 5 AS VARCHAR) AS tier, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+WHERE user_id >= 0 AND user_id < 10000
+GROUP BY 1
+"""

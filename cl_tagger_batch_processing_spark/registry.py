@@ -259,6 +259,8 @@ register("ann_recall_report", similarity.ann_recall_report)
 register("mm_payload_dedup", multimodal.mm_payload_dedup)
 # Two partition-pruned incremental runs merged == one-shot recompute.
 register("incremental_daily_agg", sources_layout.incremental_daily_agg)
+# Stateless stream-static broadcast enrichment (per-micro-batch dim join).
+register("stream_enrich_static", streaming_windows.stream_enrich_static)
 register("embedding_dim_stats", similarity.embedding_dim_stats)
 # Deterministic Lloyd's k-means (SemDeDup-style clustering stage): exact
 # value oracle replaying both refinement iterations in SQL; also

@@ -211,6 +211,33 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment — the most common streaming join:
+    each micro-batch of events joins a small static dimension (per-user
+    tier) that is broadcast to every task, with NO streaming state at all.
+
+    Stream-static inner joins are stateless by definition (the static side
+    is re-planned per micro-batch, the stream side never waits), which is
+    why enrichment dims should be joined this way rather than as
+    stream-stream joins — no watermark, no state store, no cleanup. The
+    dimension here derives deterministically from user_id so the oracle
+    reproduces it; on a real deployment it is the slowly-changing dim
+    table the batch jobs also read."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tiers = spark.range(0, 10_000).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("tier"), (F.col("id") % 5).cast("string")).alias("tier"),
+    )
+    ev = events_stream(spark, sf_dir).select("user_id", "event_type", "value")
+    joined = ev.join(F.broadcast(tiers), "user_id", "inner")
+    agg = joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("sv"),
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select("tier", "n", F.col("sv").cast("double").alias("sum_value"))
+
+
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1-hour windows every 15 minutes per event type — the
     overlapping-window shape (each event lands in 4 windows). Complete mode
