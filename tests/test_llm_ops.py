@@ -219,3 +219,50 @@ def test_chunk_windows_reconstructs_documents(spark, sf_dir):
         # every token index is covered by at least one chunk
         covered = len(doc_chunks) * CHUNK_STRIDE - CHUNK_STRIDE + doc_chunks[len(doc_chunks) - 1][0]
         assert covered >= len(toks)
+
+
+def test_mixture_sample_rates_within_tolerance(spark, sf_dir):
+    from cl_tagger_batch_processing_spark.operators.curation import (
+        MIX_TIER_RATES_BP,
+        corpus_mixture_sample,
+    )
+
+    rows = corpus_mixture_sample(spark, sf_dir).collect()
+    assert rows, "sampler returned nothing"
+    for r in rows:
+        tier = int(r.source[3:]) % 4
+        assert r.rate_bp == MIX_TIER_RATES_BP[tier]
+        assert 0 <= r.n_kept <= r.n_docs
+        # md5 buckets are uniform: observed keep-rate within a loose
+        # binomial band of the target (small per-source n => wide band)
+        expected = r.n_docs * r.rate_bp / 10000
+        slack = 4 * (r.n_docs ** 0.5)
+        assert abs(r.n_kept - expected) <= slack, (r.source, r.n_kept, expected)
+    # full-rate tier keeps everything
+    for r in rows:
+        if r.rate_bp == 10000:
+            assert r.n_kept == r.n_docs
+
+
+def test_pack_sequences_window_budget_invariants(spark, sf_dir):
+    from cl_tagger_batch_processing_spark.operators.curation import (
+        PACK_BUDGET_TOKENS,
+        corpus_pack_sequences,
+    )
+
+    rows = corpus_pack_sequences(spark, sf_dir).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for source, ws in by_source.items():
+        ws.sort(key=lambda r: r.window_id)
+        # contiguous window ids from 0
+        assert [w.window_id for w in ws] == list(range(len(ws)))
+        # doc-id ranges never interleave across windows (insertion-stable)
+        for a, b in zip(ws, ws[1:]):
+            assert a.max_doc_id < b.min_doc_id
+        # every window except the last STARTS inside its budget slot, so a
+        # window's token load exceeds the budget only by its last doc's
+        # straddle; total tokens are preserved exactly
+        total = sum(w.sum_tokens for w in ws)
+        assert total >= PACK_BUDGET_TOKENS * (len(ws) - 1)
