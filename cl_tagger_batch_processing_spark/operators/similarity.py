@@ -479,3 +479,29 @@ def dedup_semantic(
     return base.groupBy("cluster_id").applyInPandas(
         _score, "cluster_id bigint, vec_a bigint, vec_b bigint, cosine double"
     )
+
+
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's final artifact: the keep/drop decision per vector.
+
+    Connected components over the semantic near-dup pairs (transitive:
+    a~b, b~c ⇒ one group even if a·c is below threshold — the same merge
+    rule as ``dedup_clusters``), representative = min vec_id per group.
+    Reuses the generic min-label-propagation CC from ``operators.dedup``
+    (edge-incident nodes only, checkpointed rounds), so the iterative cost
+    scales with the near-dup set, not the corpus. Output: every vector
+    with its dup_group and a keep flag — the frame a curation pipeline
+    joins against to drop semantic duplicates."""
+    from .dedup import connected_components
+
+    pairs = dedup_semantic(spark, sf_dir)
+    edges = pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    nodes = quantized_embeddings(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    cc = connected_components(nodes, edges)
+    return cc.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("cluster_id").alias("dup_group"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )

@@ -1936,3 +1936,20 @@ FROM events
 WHERE user_id >= 0 AND user_id < 10000
 GROUP BY 1
 """
+
+# Transitive closure over the semantic pairs; representative = min id.
+ORACLE_SQL["dedup_semantic_keep"] = f"""
+WITH RECURSIVE sem_pairs AS ({ORACLE_SQL["dedup_semantic"]}),
+sem_edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM sem_pairs
+  UNION
+  SELECT vec_b AS a, vec_a AS b FROM sem_pairs
+),
+sem_reach(a, b) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.a, e.b FROM sem_reach r JOIN sem_edges e ON r.b = e.a
+)
+SELECT a AS vec_id, MIN(b) AS dup_group, a = MIN(b) AS keep
+FROM sem_reach GROUP BY a
+"""

@@ -261,6 +261,8 @@ register("mm_payload_dedup", multimodal.mm_payload_dedup)
 register("incremental_daily_agg", sources_layout.incremental_daily_agg)
 # Stateless stream-static broadcast enrichment (per-micro-batch dim join).
 register("stream_enrich_static", streaming_windows.stream_enrich_static)
+# SemDeDup keep/drop artifact: CC over semantic pairs + min-id reps.
+register("dedup_semantic_keep", similarity.dedup_semantic_keep)
 register("embedding_dim_stats", similarity.embedding_dim_stats)
 # Deterministic Lloyd's k-means (SemDeDup-style clustering stage): exact
 # value oracle replaying both refinement iterations in SQL; also
