@@ -457,6 +457,43 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def crossmodal_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal final verdict: text-side Gopher gates AND embedding-side
+    semantic dedup combined into one keep decision per document — the join
+    where the two halves of a curation pipeline actually meet (quality
+    models look at text; near-dup structure lives in embedding space).
+
+    The embedding table covers only part of the corpus (2000 of 5000 docs
+    at sf0.1), so the semantic verdict joins LEFT with keep-by-default for
+    unembedded documents — the safe polarity: missing an embedding must
+    not silently drop a document. Join key volume is one row per doc id on
+    each side; the report aggregates per (lang, verdict)."""
+    from .similarity import dedup_semantic_keep
+
+    docs = load_table(spark, sf_dir, "documents")
+    text_side = _gopher_flagged(docs).select(
+        "doc_id", "lang", F.col("keep").alias("text_keep")
+    )
+    sem_side = dedup_semantic_keep(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("keep").alias("sem_keep_raw")
+    )
+    joined = text_side.join(sem_side, "doc_id", "left").withColumn(
+        "sem_keep", F.coalesce(F.col("sem_keep_raw"), F.lit(True))
+    )
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(~F.col("text_keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_text_reject"),
+        F.sum(F.when(F.col("text_keep") & ~F.col("sem_keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sem_reject"),
+        F.sum(F.when(F.col("text_keep") & F.col("sem_keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_keep"),
+    )
+
+
 # CDC changeset derivation (deterministic, disjoint by doc_id % 10):
 # 0 -> update (recrawled text), 3 -> delete (takedown), 7 -> source doc for
 # an insert with a new id. Stands in for a real change feed.

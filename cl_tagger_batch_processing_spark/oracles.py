@@ -1953,3 +1953,49 @@ sem_reach(a, b) AS (
 SELECT a AS vec_id, MIN(b) AS dup_group, a = MIN(b) AS keep
 FROM sem_reach GROUP BY a
 """
+
+# Text gates AND semantic dedup combined; unembedded docs keep by default.
+ORACLE_SQL["crossmodal_curation_verdict"] = f"""
+WITH t AS (
+  SELECT doc_id, text, lang, string_split(text, ' ') AS toks FROM documents
+),
+b AS (
+  SELECT doc_id, text, lang, toks,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+  FROM t
+),
+m AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(replace(text, ' ', '')) AS BIGINT) AS nospace_len,
+         CAST(len(list_intersect(list_distinct(toks),
+                                 ['a','the','of','and','in','to'])) AS BIGINT)
+           AS n_stop,
+         CAST(len(bigrams) AS BIGINT) AS n_bi,
+         CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_bi_distinct
+  FROM b
+),
+txt AS (
+  SELECT doc_id, lang,
+         NOT (n_tokens < 50 OR n_tokens > 100000
+              OR nospace_len < 3 * n_tokens OR nospace_len > 10 * n_tokens
+              OR n_stop < 2
+              OR 5 * (n_bi - n_bi_distinct) > n_bi) AS text_keep
+  FROM m
+),
+sk AS ({ORACLE_SQL["dedup_semantic_keep"]}),
+j AS (
+  SELECT txt.doc_id, txt.lang, txt.text_keep,
+         COALESCE(sk.keep, TRUE) AS sem_keep
+  FROM txt LEFT JOIN sk ON txt.doc_id = sk.vec_id
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN NOT text_keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_text_reject,
+       CAST(SUM(CASE WHEN text_keep AND NOT sem_keep THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sem_reject,
+       CAST(SUM(CASE WHEN text_keep AND sem_keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_keep
+FROM j GROUP BY lang
+"""

@@ -263,6 +263,8 @@ register("incremental_daily_agg", sources_layout.incremental_daily_agg)
 register("stream_enrich_static", streaming_windows.stream_enrich_static)
 # SemDeDup keep/drop artifact: CC over semantic pairs + min-id reps.
 register("dedup_semantic_keep", similarity.dedup_semantic_keep)
+# Text gates AND semantic dedup joined into the final per-doc verdict.
+register("crossmodal_curation_verdict", curation.crossmodal_curation_verdict)
 register("embedding_dim_stats", similarity.embedding_dim_stats)
 # Deterministic Lloyd's k-means (SemDeDup-style clustering stage): exact
 # value oracle replaying both refinement iterations in SQL; also
