@@ -100,3 +100,36 @@ def percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at("p", 3), 4).alias("p75"),
         )
     )
+
+
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array surface (§2.7 extension): per-order quantity
+    arrays through sort / filter / transform / aggregate / slice /
+    distinct — the Column-side API a user reaches for before ever writing
+    a UDF, exercised end-to-end against DuckDB's list_* equivalents.
+
+    ``collect_list`` order is shuffle-dependent, so the array is
+    ``array_sort``-ed immediately (the same determinism rule as the
+    reference's A2 ordered aggregation); everything downstream is
+    row-local HOF math on the sorted array."""
+    li = load_table(spark, sf_dir, "lineitem")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list(F.col("l_quantity").cast("bigint"))).alias("qtys")
+    )
+    total = F.aggregate("qtys", F.lit(0).cast("bigint"), lambda a, x: a + x)
+    n_big = F.size(F.filter("qtys", lambda x: x > 25)).cast("bigint")
+    spread = F.element_at("qtys", -1) - F.element_at("qtys", 1)
+    first3 = F.aggregate(
+        F.slice("qtys", 1, 3), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    doubled_max = F.element_at(F.transform("qtys", lambda x: x * 2), -1)
+    return grouped.select(
+        "l_orderkey",
+        F.size("qtys").cast("bigint").alias("n_items"),
+        total.alias("total_qty"),
+        n_big.alias("n_big_items"),
+        spread.alias("qty_spread"),
+        first3.alias("first3_sum"),
+        doubled_max.alias("doubled_max"),
+        F.size(F.array_distinct("qtys")).cast("bigint").alias("n_distinct_qty"),
+    )

@@ -1999,3 +1999,22 @@ SELECT lang, COUNT(*) AS n_docs,
          AS n_keep
 FROM j GROUP BY lang
 """
+
+# Same sorted array, same HOF chain via DuckDB's list_* functions.
+ORACLE_SQL["array_functions"] = """
+WITH g AS (
+  SELECT l_orderkey,
+         list_sort(list(CAST(l_quantity AS BIGINT))) AS qtys
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(qtys) AS BIGINT) AS n_items,
+       CAST(list_aggregate(qtys, 'sum') AS BIGINT) AS total_qty,
+       CAST(len(list_filter(qtys, x -> x > 25)) AS BIGINT) AS n_big_items,
+       qtys[-1] - qtys[1] AS qty_spread,
+       CAST(coalesce(list_aggregate(qtys[1:3], 'sum'), 0) AS BIGINT)
+         AS first3_sum,
+       list_transform(qtys, x -> x * 2)[-1] AS doubled_max,
+       CAST(len(list_distinct(qtys)) AS BIGINT) AS n_distinct_qty
+FROM g
+"""

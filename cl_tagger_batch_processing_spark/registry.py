@@ -227,6 +227,7 @@ register("string_functions", scalar.string_functions)
 register("date_functions", scalar.date_functions)
 register("math_functions", scalar.math_functions)
 register("percentiles_by_priority", scalar.percentiles_by_priority)
+register("array_functions", scalar.array_functions)
 
 register("source_csv_roundtrip", textfiles.source_csv_roundtrip)
 register("source_orc_roundtrip", textfiles.source_orc_roundtrip)
