@@ -133,3 +133,35 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         doubled_max.alias("doubled_max"),
         F.size(F.array_distinct("qtys")).cast("bigint").alias("n_distinct_qty"),
     )
+
+
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (§1.2: the reference's dict-shaped config/threshold
+    maps become MapType): per-order position→quantity maps through
+    map_from_arrays / element_at / map_keys / map_values, value-checked
+    against DuckDB's MAP functions. Keys are the 1-based positions of the
+    deterministically sorted entry list — unique by construction (the
+    fixture's l_linenumber is NOT unique per order, and Spark maps reject
+    duplicate keys at runtime)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    entry = F.struct(
+        F.col("l_linenumber").cast("bigint").alias("k"),
+        F.col("l_quantity").cast("bigint").alias("v"),
+    )
+    sorted_entries = F.array_sort(F.collect_list(entry))
+    grouped = li.groupBy("l_orderkey").agg(sorted_entries.alias("entries")).select(
+        "l_orderkey",
+        F.map_from_arrays(
+            F.sequence(F.lit(1).cast("bigint"), F.size("entries").cast("bigint")),
+            F.transform("entries", lambda e: e["v"]),
+        ).alias("m"),
+    )
+    vals = F.map_values("m")
+    return grouped.select(
+        "l_orderkey",
+        F.size("m").cast("bigint").alias("n_keys"),
+        F.element_at("m", F.lit(1)).alias("first_qty"),
+        F.array_max(F.map_keys("m")).alias("max_key"),
+        F.size(F.filter(vals, lambda x: x > 25)).cast("bigint").alias("n_big_vals"),
+        F.aggregate(vals, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("vals_sum"),
+    )

@@ -2018,3 +2018,24 @@ SELECT l_orderkey,
        CAST(len(list_distinct(qtys)) AS BIGINT) AS n_distinct_qty
 FROM g
 """
+
+# DuckDB MAP extraction yields a single-element list -> unwrap with [1].
+ORACLE_SQL["map_functions"] = """
+WITH g AS (
+  SELECT l_orderkey,
+         map(CAST(generate_series(1, len(entries)) AS BIGINT[]),
+             list_transform(entries, e -> e.v)) AS m
+  FROM (SELECT l_orderkey,
+               list_sort(list({'k': CAST(l_linenumber AS BIGINT),
+                               'v': CAST(l_quantity AS BIGINT)})) AS entries
+        FROM lineitem GROUP BY l_orderkey)
+)
+SELECT l_orderkey,
+       CAST(cardinality(m) AS BIGINT) AS n_keys,
+       m[1][1] AS first_qty,
+       list_max(map_keys(m)) AS max_key,
+       CAST(len(list_filter(map_values(m), x -> x > 25)) AS BIGINT)
+         AS n_big_vals,
+       CAST(list_aggregate(map_values(m), 'sum') AS BIGINT) AS vals_sum
+FROM g
+"""

@@ -228,6 +228,7 @@ register("date_functions", scalar.date_functions)
 register("math_functions", scalar.math_functions)
 register("percentiles_by_priority", scalar.percentiles_by_priority)
 register("array_functions", scalar.array_functions)
+register("map_functions", scalar.map_functions)
 
 register("source_csv_roundtrip", textfiles.source_csv_roundtrip)
 register("source_orc_roundtrip", textfiles.source_orc_roundtrip)
