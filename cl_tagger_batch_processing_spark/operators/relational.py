@@ -1024,3 +1024,61 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cval").cast("decimal(12,2)")).cast("double").alias("click_value"),
         )
     )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel analysis: per user, first view -> first click
+    AFTER that view -> first purchase AFTER that click, reported as stage
+    reach counts and exact dwell-time sums.
+
+    The Spark-first shape for sequence matching without MATCH_RECOGNIZE:
+    three chained window passes over the SAME user partitioning — Catalyst
+    reuses one exchange for all three (each stage's milestone is a window
+    min over a predicate referencing the previous stage's column), then
+    one tiny global aggregate. One shuffle on user_id at any event volume.
+    Dwell sums are exact integer microseconds; the averages divide once in
+    double."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "v_ts", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "c_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("v_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "p_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min("v_ts").alias("v_ts"), F.min("c_ts").alias("c_ts"), F.min("p_ts").alias("p_ts")
+    )
+    # fixture ts loads as TIMESTAMP_NTZ; session TZ is pinned UTC, so the
+    # cast to TIMESTAMP is exact and unix_micros accepts it
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("v_ts").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_viewed"),
+        F.sum(F.when(F.col("c_ts").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_clicked"),
+        F.sum(F.when(F.col("p_ts").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_purchased"),
+        F.sum(F.when(F.col("c_ts").isNotNull(), us("c_ts") - us("v_ts")).otherwise(0))
+        .cast("bigint")
+        .alias("view_click_us"),
+        F.sum(F.when(F.col("p_ts").isNotNull(), us("p_ts") - us("c_ts")).otherwise(0))
+        .cast("bigint")
+        .alias("click_purchase_us"),
+    )

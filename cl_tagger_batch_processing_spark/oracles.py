@@ -2039,3 +2039,41 @@ SELECT l_orderkey,
        CAST(list_aggregate(map_values(m), 'sum') AS BIGINT) AS vals_sum
 FROM g
 """
+
+# Same chained window milestones; exact integer-microsecond dwell sums.
+ORACLE_SQL["events_funnel"] = """
+WITH s1 AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS v_ts
+  FROM events
+),
+s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > v_ts THEN ts END)
+              OVER (PARTITION BY user_id) AS c_ts
+  FROM s1
+),
+s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > c_ts THEN ts END)
+              OVER (PARTITION BY user_id) AS p_ts
+  FROM s2
+),
+u AS (
+  SELECT user_id, MIN(v_ts) AS v_ts, MIN(c_ts) AS c_ts, MIN(p_ts) AS p_ts
+  FROM s3 GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN v_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_viewed,
+       CAST(SUM(CASE WHEN c_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clicked,
+       CAST(SUM(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchased,
+       CAST(SUM(CASE WHEN c_ts IS NOT NULL
+                     THEN epoch_us(c_ts) - epoch_us(v_ts) ELSE 0 END) AS BIGINT)
+         AS view_click_us,
+       CAST(SUM(CASE WHEN p_ts IS NOT NULL
+                     THEN epoch_us(p_ts) - epoch_us(c_ts) ELSE 0 END) AS BIGINT)
+         AS click_purchase_us
+FROM u
+"""

@@ -229,6 +229,8 @@ register("math_functions", scalar.math_functions)
 register("percentiles_by_priority", scalar.percentiles_by_priority)
 register("array_functions", scalar.array_functions)
 register("map_functions", scalar.map_functions)
+# Sequential funnel via chained same-partition windows (one shuffle).
+register("events_funnel", relational.events_funnel)
 
 register("source_csv_roundtrip", textfiles.source_csv_roundtrip)
 register("source_orc_roundtrip", textfiles.source_orc_roundtrip)

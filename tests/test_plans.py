@@ -347,3 +347,10 @@ def test_mixture_sample_single_shuffle(spark, sf_dir):
     assert inspect.count_shuffles(df) == 1
     plan = inspect.executed_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_funnel_single_user_shuffle(spark, sf_dir):
+    # Three chained window passes over the SAME user partitioning must
+    # reuse one exchange; plus the final 1-row aggregate's tiny exchange.
+    df = QUERIES["events_funnel"](spark, sf_dir)
+    assert inspect.count_shuffles(df) <= 2
