@@ -1082,3 +1082,32 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("click_purchase_us"),
     )
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen date, counted active
+    per day-offset for the first week — the day-N retention triangle every
+    growth dashboard is built on.
+
+    Two corpus aggregations (first-seen per user; distinct active
+    user-days) meet in one join on the user key, then a small (cohort,
+    offset) aggregate. COUNT(DISTINCT user) per cell is exact — at scale
+    the distinct state per (cohort, offset) cell is bounded by cohort
+    size, and the join side carries only (user, date) pairs."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    cohorts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    active = ev.distinct()
+    return (
+        active.join(cohorts, "user_id")
+        .select(
+            "user_id",
+            "cohort_date",
+            F.datediff(F.col("d"), F.col("cohort_date")).cast("bigint").alias("day_offset"),
+        )
+        .where(F.col("day_offset") <= 7)
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
+    )

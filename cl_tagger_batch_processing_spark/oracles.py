@@ -2077,3 +2077,16 @@ SELECT COUNT(*) AS n_users,
          AS click_purchase_us
 FROM u
 """
+
+# Same first-seen cohorts and distinct active user-days.
+ORACLE_SQL["events_retention"] = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+cohorts AS (SELECT user_id, MIN(d) AS cohort_date FROM ev GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, d FROM ev)
+SELECT c.cohort_date,
+       CAST(a.d - c.cohort_date AS BIGINT) AS day_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM active a JOIN cohorts c USING (user_id)
+WHERE a.d - c.cohort_date <= 7
+GROUP BY 1, 2
+"""

@@ -231,6 +231,8 @@ register("array_functions", scalar.array_functions)
 register("map_functions", scalar.map_functions)
 # Sequential funnel via chained same-partition windows (one shuffle).
 register("events_funnel", relational.events_funnel)
+# Day-N cohort retention triangle (exact distinct users per cell).
+register("events_retention", relational.events_retention)
 
 register("source_csv_roundtrip", textfiles.source_csv_roundtrip)
 register("source_orc_roundtrip", textfiles.source_orc_roundtrip)
