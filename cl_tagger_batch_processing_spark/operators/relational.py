@@ -1111,3 +1111,29 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_date", "day_offset")
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
     )
+
+
+def part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs ordered together,
+    with support counts — pairwise frequent itemsets, the base of
+    recommendation affinity.
+
+    The self-join on the order key is SAFE pair generation: baskets are
+    small (TPC-H orders hold ≤ 7 lines), so pairs per order are bounded by
+    a constant and the join output is linear in order count — the same
+    bounded-blocking argument as the dedup banding family, here enforced
+    by the data model rather than a guard. Distinct parts first (a part
+    twice in one order is one basket membership), pair key ordered
+    (a < b) so each pair counts once."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    basket = li.distinct()
+    a = basket.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = basket.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = a.join(b, "l_orderkey").where(F.col("part_a") < F.col("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(100)
+    )

@@ -2090,3 +2090,16 @@ FROM active a JOIN cohorts c USING (user_id)
 WHERE a.d - c.cohort_date <= 7
 GROUP BY 1, 2
 """
+
+# Same distinct-basket pair counts, same unique ordering.
+ORACLE_SQL["part_cooccurrence"] = """
+WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       COUNT(*) AS n_orders
+FROM basket a JOIN basket b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT 100
+"""

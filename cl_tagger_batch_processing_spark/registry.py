@@ -233,6 +233,8 @@ register("map_functions", scalar.map_functions)
 register("events_funnel", relational.events_funnel)
 # Day-N cohort retention triangle (exact distinct users per cell).
 register("events_retention", relational.events_retention)
+# Market-basket pair counts (bounded self-join: baskets are small).
+register("part_cooccurrence", relational.part_cooccurrence)
 
 register("source_csv_roundtrip", textfiles.source_csv_roundtrip)
 register("source_orc_roundtrip", textfiles.source_orc_roundtrip)
