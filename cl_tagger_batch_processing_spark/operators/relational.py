@@ -1137,3 +1137,32 @@ def part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
         .limit(100)
     )
+
+
+def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth per order priority: revenue aggregated to
+    (priority, year), then lag + ratio along each priority's series.
+
+    The two-level shape: a corpus-wide aggregation first (map-side
+    partials, one shuffle), THEN window analytics over the tiny aggregated
+    series — lag/growth never touches row-level data, so the window stage
+    costs nothing at any fact volume. Growth divides exact-decimal sums
+    once in double; first year of each series is NULL growth (no prior)."""
+    orders = load_table(spark, sf_dir, "orders")
+    yearly = (
+        orders.groupBy(
+            "o_orderpriority", F.year("o_orderdate").cast("bigint").alias("yr")
+        ).agg(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("_rev"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("yr")
+    prev = F.lag("_rev").over(w)
+    return yearly.select(
+        "o_orderpriority",
+        "yr",
+        F.col("_rev").cast("double").alias("revenue"),
+        "n_orders",
+        (F.col("_rev").cast("double") / prev.cast("double") - 1.0).alias("yoy_growth"),
+    )

@@ -2103,3 +2103,19 @@ HAVING COUNT(*) >= 2
 ORDER BY n_orders DESC, part_a ASC, part_b ASC
 LIMIT 100
 """
+
+# Same two-level shape; growth = rev / lag(rev) - 1 in double, once.
+ORACLE_SQL["yoy_revenue_growth"] = """
+WITH yearly AS (
+  SELECT o_orderpriority,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, yr, CAST(rev AS DOUBLE) AS revenue, n_orders,
+       CAST(rev AS DOUBLE)
+         / CAST(lag(rev) OVER (PARTITION BY o_orderpriority ORDER BY yr)
+                AS DOUBLE) - 1.0 AS yoy_growth
+FROM yearly
+"""

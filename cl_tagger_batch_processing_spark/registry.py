@@ -235,6 +235,8 @@ register("events_funnel", relational.events_funnel)
 register("events_retention", relational.events_retention)
 # Market-basket pair counts (bounded self-join: baskets are small).
 register("part_cooccurrence", relational.part_cooccurrence)
+# Lag analytics over the aggregated series, not the fact rows.
+register("yoy_revenue_growth", relational.yoy_revenue_growth)
 
 register("source_csv_roundtrip", textfiles.source_csv_roundtrip)
 register("source_orc_roundtrip", textfiles.source_orc_roundtrip)
