@@ -1166,3 +1166,42 @@ def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         (F.col("_rev").cast("double") / prev.cast("double") - 1.0).alias("yoy_growth"),
     )
+
+
+def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Affinity lift over the co-occurrence pairs: lift(a,b) =
+    P(ab) / (P(a)·P(b)) as exact integer counts divided once in double —
+    the normalization that separates "popular with everything" from
+    genuinely associated pairs.
+
+    Marginal basket counts are a part-keyed dimension (one row per part)
+    and broadcast to the pair relation — two broadcast joins, no extra
+    shuffle beyond the pair aggregation itself; the basket total rides as
+    a 1-row broadcast scalar. Unique (lift, part_a, part_b) ordering keeps
+    the top-100 stable."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    basket = li.distinct()
+    n_total = basket.select(F.count_distinct("l_orderkey").alias("n_baskets"))
+    marg = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a = basket.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = basket.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    ma = marg.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a"))
+    mb = marg.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b"))
+    lift = (F.col("n_ab").cast("double") * F.col("n_baskets")) / (
+        F.col("n_a").cast("double") * F.col("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ma), "part_a")
+        .join(F.broadcast(mb), "part_b")
+        .crossJoin(F.broadcast(n_total))
+        .select("part_a", "part_b", "n_ab", "n_a", "n_b", lift.alias("lift"))
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(100)
+    )

@@ -2119,3 +2119,25 @@ SELECT o_orderpriority, yr, CAST(rev AS DOUBLE) AS revenue, n_orders,
                 AS DOUBLE) - 1.0 AS yoy_growth
 FROM yearly
 """
+
+# Same exact counts; lift divides once in double, same unique ordering.
+ORACLE_SQL["part_affinity_lift"] = """
+WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM basket),
+marg AS (SELECT l_partkey, COUNT(*) AS n_part FROM basket GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT part_a, part_b, n_ab, ma.n_part AS n_a, mb.n_part AS n_b,
+       (CAST(n_ab AS DOUBLE) * n_baskets)
+         / (CAST(ma.n_part AS DOUBLE) * mb.n_part) AS lift
+FROM pairs
+JOIN marg ma ON ma.l_partkey = part_a
+JOIN marg mb ON mb.l_partkey = part_b
+CROSS JOIN tot
+ORDER BY lift DESC, part_a ASC, part_b ASC
+LIMIT 100
+"""

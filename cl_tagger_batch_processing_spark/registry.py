@@ -237,6 +237,8 @@ register("events_retention", relational.events_retention)
 register("part_cooccurrence", relational.part_cooccurrence)
 # Lag analytics over the aggregated series, not the fact rows.
 register("yoy_revenue_growth", relational.yoy_revenue_growth)
+# Lift-normalized affinity (broadcast marginals + 1-row scalar total).
+register("part_affinity_lift", relational.part_affinity_lift)
 
 register("source_csv_roundtrip", textfiles.source_csv_roundtrip)
 register("source_orc_roundtrip", textfiles.source_orc_roundtrip)
