@@ -1933,7 +1933,7 @@ ORACLE_SQL["stream_enrich_static"] = """
 SELECT 'tier' || CAST(user_id % 5 AS VARCHAR) AS tier, COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
 FROM events
-WHERE user_id >= 0 AND user_id < 10000
+WHERE user_id >= 0 AND user_id < 100000
 GROUP BY 1
 """
 

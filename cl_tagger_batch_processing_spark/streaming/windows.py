@@ -224,7 +224,9 @@ def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces it; on a real deployment it is the slowly-changing dim
     table the batch jobs also read."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    tiers = spark.range(0, 10_000).select(
+    # covers the user domain at any fixture SF (sf0.1: ids < 1500; sf1
+    # projects ~15k) while staying a ~2 MB broadcast
+    tiers = spark.range(0, 100_000).select(
         F.col("id").alias("user_id"),
         F.concat(F.lit("tier"), (F.col("id") % 5).cast("string")).alias("tier"),
     )
