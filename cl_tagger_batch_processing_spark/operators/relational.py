@@ -1205,3 +1205,30 @@ def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
         .limit(100)
     )
+
+
+def order_lead_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-SLA analytics: order→ship lead time in whole days per
+    priority, with exact min/avg/p90 — the operational latency report.
+
+    The orders⋈lineitem join shuffles once on the order key; lead times
+    are exact integer day differences, the average divides exact integer
+    sums once in double, and the p90 is the exact interpolated percentile
+    over integers (identical arithmetic in DuckDB's quantile_cont)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    lead = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("bigint")
+    return (
+        j.select("o_orderpriority", lead.alias("lead_days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min("lead_days").alias("min_days"),
+            F.max("lead_days").alias("max_days"),
+            (
+                F.sum("lead_days").cast("double") / F.count(F.lit(1))
+            ).alias("avg_days"),
+            F.expr("percentile(lead_days, 0.9)").alias("p90_days"),
+        )
+    )

@@ -2141,3 +2141,18 @@ CROSS JOIN tot
 ORDER BY lift DESC, part_a ASC, part_b ASC
 LIMIT 100
 """
+
+# Exact integer day diffs; p90 = exact interpolated percentile.
+ORACLE_SQL["order_lead_times"] = """
+WITH j AS (
+  SELECT o_orderpriority,
+         CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS BIGINT)
+           AS lead_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority, COUNT(*) AS n_lines,
+       MIN(lead_days) AS min_days, MAX(lead_days) AS max_days,
+       CAST(SUM(lead_days) AS DOUBLE) / COUNT(*) AS avg_days,
+       quantile_cont(lead_days, 0.9) AS p90_days
+FROM j GROUP BY o_orderpriority
+"""

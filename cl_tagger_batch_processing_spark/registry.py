@@ -239,6 +239,8 @@ register("part_cooccurrence", relational.part_cooccurrence)
 register("yoy_revenue_growth", relational.yoy_revenue_growth)
 # Lift-normalized affinity (broadcast marginals + 1-row scalar total).
 register("part_affinity_lift", relational.part_affinity_lift)
+# Operational latency report (exact interpolated p90 over integers).
+register("order_lead_times", relational.order_lead_times)
 
 register("source_csv_roundtrip", textfiles.source_csv_roundtrip)
 register("source_orc_roundtrip", textfiles.source_orc_roundtrip)
