@@ -1232,3 +1232,46 @@ def order_lead_times(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(lead_days, 0.9)").alias("p90_days"),
         )
     )
+
+
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer recency (days since last order),
+    frequency (order count), monetary (exact total spend), each scored
+    into ntile(4) quartiles, combined into the classic 3-digit segment.
+
+    One aggregation pass over orders, then three ntile windows over the
+    small per-customer relation — scoring never re-touches fact rows.
+    Every window carries the unique c_custkey tie-break, so quartile
+    boundaries are deterministic (bare ntile over ties is
+    engine-dependent — the same determinism discipline as every top-k
+    here). Recency anchors to the fixture's global max order date, not
+    wall clock, so results are stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = F.max(F.col("o_orderdate").cast("date")).over(Window.partitionBy())
+    per_cust = (
+        orders.withColumn("_anchor", anchor)
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.first("_anchor"), F.max(F.col("o_orderdate").cast("date"))
+            )
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r_w).cast("bigint").alias("r_score"),
+        F.ntile(4).over(f_w).cast("bigint").alias("f_score"),
+        F.ntile(4).over(m_w).cast("bigint").alias("m_score"),
+    )

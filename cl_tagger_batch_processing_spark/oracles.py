@@ -2156,3 +2156,25 @@ SELECT o_orderpriority, COUNT(*) AS n_lines,
        quantile_cont(lead_days, 0.9) AS p90_days
 FROM j GROUP BY o_orderpriority
 """
+
+# Same per-customer RFM and identical unique-tie-break ntile orderings.
+ORACLE_SQL["customer_rfm"] = """
+WITH a AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor FROM orders),
+pc AS (
+  SELECT o_custkey,
+         CAST(a.anchor - MAX(CAST(o_orderdate AS DATE)) AS BIGINT)
+           AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS monetary
+  FROM orders CROSS JOIN a
+  GROUP BY o_custkey, a.anchor
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       CAST(ntile(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS BIGINT)
+         AS r_score,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS BIGINT)
+         AS f_score,
+       CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS BIGINT)
+         AS m_score
+FROM pc
+"""

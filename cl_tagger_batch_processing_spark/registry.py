@@ -241,6 +241,8 @@ register("yoy_revenue_growth", relational.yoy_revenue_growth)
 register("part_affinity_lift", relational.part_affinity_lift)
 # Operational latency report (exact interpolated p90 over integers).
 register("order_lead_times", relational.order_lead_times)
+# RFM quartile scoring over the per-customer aggregate (unique tie-breaks).
+register("customer_rfm", relational.customer_rfm)
 
 register("source_csv_roundtrip", textfiles.source_csv_roundtrip)
 register("source_orc_roundtrip", textfiles.source_orc_roundtrip)
