@@ -337,3 +337,26 @@ def decontaminate_ngram_overlap(
             (F.coalesce("n_overlap_ngrams", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-QA artifact over the language-ID heuristic: the
+    (labeled, predicted) confusion matrix with per-cell counts and the
+    per-label share — how a model's systematic errors are read at corpus
+    scale (accuracy alone hides which languages bleed into which).
+
+    Composes the zero-shuffle langid prediction with one tiny aggregate;
+    the per-label total rides as a label-partitioned window over the
+    already-aggregated cells, so the matrix costs one corpus pass +
+    #cells of window work."""
+    pred = text_langid(spark, sf_dir).select("labeled_lang", "predicted_lang")
+    cells = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    label_total = F.sum("n").over(Window.partitionBy("labeled_lang"))
+    return cells.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n",
+        (F.col("n").cast("double") / label_total).alias("label_share"),
+    )

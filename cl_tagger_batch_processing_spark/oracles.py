@@ -2178,3 +2178,39 @@ SELECT o_custkey, recency_days, frequency, monetary,
          AS m_score
 FROM pc
 """
+
+
+# Confusion matrix over the replayed langid prediction.
+ORACLE_SQL["langid_confusion_matrix"] = """
+WITH pred AS (
+WITH markers AS (
+  SELECT * FROM (VALUES
+    ('de', ['der','die','das','und','nicht']),
+    ('en', ['the','a','of','and','to']),
+    ('es', ['el','la','los','que','y']),
+    ('fr', ['le','la','les','et','une']),
+    ('zh', ['de','shi','bu','le','wo'])
+  ) AS v(cand_lang, marker_list)
+),
+scored AS (
+  SELECT doc_id, lang, cand_lang,
+         len(list_filter(string_split(text, ' '),
+                         x -> list_contains(marker_list, x))) AS score
+  FROM documents CROSS JOIN markers
+)
+SELECT doc_id, cand_lang AS predicted_lang, lang AS labeled_lang,
+       cand_lang = lang AS is_match
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, cand_lang ASC) AS rn
+      FROM scored)
+WHERE rn = 1
+),
+cells AS (
+  SELECT labeled_lang, predicted_lang, COUNT(*) AS n
+  FROM pred GROUP BY 1, 2
+)
+SELECT labeled_lang, predicted_lang, n,
+       CAST(n AS DOUBLE)
+         / SUM(n) OVER (PARTITION BY labeled_lang) AS label_share
+FROM cells
+"""

@@ -243,6 +243,8 @@ register("part_affinity_lift", relational.part_affinity_lift)
 register("order_lead_times", relational.order_lead_times)
 # RFM quartile scoring over the per-customer aggregate (unique tie-breaks).
 register("customer_rfm", relational.customer_rfm)
+# Classifier-QA confusion matrix over the langid heuristic.
+register("langid_confusion_matrix", text.langid_confusion_matrix)
 
 register("source_csv_roundtrip", textfiles.source_csv_roundtrip)
 register("source_orc_roundtrip", textfiles.source_orc_roundtrip)
