@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -610,3 +610,38 @@ def dedup_embedding_cosine(
     (see similarity.sim_ann_lsh) rather than a label column.
     """
     return embedding_candidates(spark, sf_dir).where(F.col("cosine") >= threshold)
+
+
+def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: an incoming batch checked against the
+    existing corpus's content hashes — the form dedup takes in a RUNNING
+    pipeline (history is never re-deduped; each day's batch anti-joins the
+    hash store).
+
+    The existing side projects to hashes only (16 bytes/doc crosses the
+    shuffle, not documents); the incoming batch first dedups within itself
+    (min doc_id survives), then LEFT ANTI joins the store. Generations are
+    derived from doc_id parity so the oracle replays the split; the report
+    counts both rejection classes — within-batch and against-store."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5("text").alias("content_hash")
+    existing = docs.where(F.col("doc_id") % 2 == 0).select(h).distinct()
+    incoming = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "lang", h)
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    in_unique = (
+        incoming.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    )
+    accepted = in_unique.join(existing, "content_hash", "left_anti")
+    n_incoming = incoming.groupBy("lang").agg(F.count(F.lit(1)).alias("n_incoming"))
+    n_within = in_unique.groupBy("lang").agg(F.count(F.lit(1)).alias("n_after_batch_dedup"))
+    n_final = accepted.groupBy("lang").agg(F.count(F.lit(1)).alias("n_accepted"))
+    return (
+        n_incoming.join(n_within, "lang", "left")
+        .join(n_final, "lang", "left")
+        .select(
+            "lang",
+            "n_incoming",
+            F.coalesce("n_after_batch_dedup", F.lit(0)).alias("n_after_batch_dedup"),
+            F.coalesce("n_accepted", F.lit(0)).alias("n_accepted"),
+        )
+    )

@@ -2214,3 +2214,30 @@ SELECT labeled_lang, predicted_lang, n,
          / SUM(n) OVER (PARTITION BY labeled_lang) AS label_share
 FROM cells
 """
+
+# Same parity split, same within-batch-then-store rejection accounting.
+ORACLE_SQL["dedup_exact_incremental"] = """
+WITH existing AS (
+  SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id % 2 = 0
+),
+incoming AS (
+  SELECT doc_id, lang, md5(text) AS content_hash
+  FROM documents WHERE doc_id % 2 = 1
+),
+in_unique AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id)
+      AS rn FROM incoming) WHERE rn = 1
+),
+accepted AS (
+  SELECT * FROM in_unique
+  WHERE content_hash NOT IN (SELECT content_hash FROM existing)
+)
+SELECT i.lang,
+       COUNT(*) AS n_incoming,
+       CAST(coalesce((SELECT COUNT(*) FROM in_unique u WHERE u.lang = i.lang), 0)
+            AS BIGINT) AS n_after_batch_dedup,
+       CAST(coalesce((SELECT COUNT(*) FROM accepted a WHERE a.lang = i.lang), 0)
+            AS BIGINT) AS n_accepted
+FROM incoming i GROUP BY i.lang
+"""

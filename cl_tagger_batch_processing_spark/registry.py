@@ -245,6 +245,8 @@ register("order_lead_times", relational.order_lead_times)
 register("customer_rfm", relational.customer_rfm)
 # Classifier-QA confusion matrix over the langid heuristic.
 register("langid_confusion_matrix", text.langid_confusion_matrix)
+# Incremental dedup: incoming batch vs the corpus hash store (anti join).
+register("dedup_exact_incremental", dedup.dedup_exact_incremental)
 
 register("source_csv_roundtrip", textfiles.source_csv_roundtrip)
 register("source_orc_roundtrip", textfiles.source_orc_roundtrip)
