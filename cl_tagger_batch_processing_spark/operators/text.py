@@ -360,3 +360,44 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / label_total).alias("label_share"),
     )
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level source similarity: per source-pair shingle Jaccard —
+    the matrix a mixture designer reads to spot near-duplicate sources
+    (two crawls of the same site) before assigning sampling weights.
+
+    The source-distinct shingle relation is tiny relative to the corpus
+    (one row per distinct (source, shingle)); the pair join is an
+    inverted-index self-join on the shingle with the same hot-shingle
+    guard as the document-level dedup family — pair volume is bounded by
+    posting-list length, never #sources², and #sources is small anyway.
+    All three Jaccard terms are exact integers; one double division."""
+    from .dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        word_shingles(docs, k=3, max_df=None)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("source").alias("source_a"), "shingle")
+    b = sh.select(F.col("source").alias("source_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select("source_a", "source_b", "n_common", "n_a", "n_b", jac.alias("jaccard"))
+    )

@@ -2241,3 +2241,29 @@ SELECT i.lang,
             AS BIGINT) AS n_accepted
 FROM incoming i GROUP BY i.lang
 """
+
+# Same source-distinct shingle relation and exact-integer Jaccard.
+ORACLE_SQL["source_overlap_matrix"] = """
+WITH toks AS (
+  SELECT d.source, string_split(d.text, ' ') AS t FROM documents d
+  WHERE len(string_split(d.text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(generate_series(0, len(t) - 3),
+                i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingle
+  FROM toks
+),
+sizes AS (SELECT source, COUNT(*) AS n_shingles FROM sh GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_common, sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+       CAST(n_common AS DOUBLE)
+         / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+"""

@@ -247,6 +247,8 @@ register("customer_rfm", relational.customer_rfm)
 register("langid_confusion_matrix", text.langid_confusion_matrix)
 # Incremental dedup: incoming batch vs the corpus hash store (anti join).
 register("dedup_exact_incremental", dedup.dedup_exact_incremental)
+# Source-pair shingle Jaccard (mixture-design diagnostics).
+register("source_overlap_matrix", text.source_overlap_matrix)
 
 register("source_csv_roundtrip", textfiles.source_csv_roundtrip)
 register("source_orc_roundtrip", textfiles.source_orc_roundtrip)
