@@ -373,8 +373,6 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard as the document-level dedup family — pair volume is bounded by
     posting-list length, never #sources², and #sources is small anyway.
     All three Jaccard terms are exact integers; one double division."""
-    from .dedup import word_shingles
-
     docs = load_table(spark, sf_dir, "documents")
     sh = (
         word_shingles(docs, k=3, max_df=None)
