@@ -505,3 +505,36 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").alias("dup_group"),
         (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
     )
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA: vectors whose squared distance to their k-means
+    centroid is anomalously large for their cluster — the cheap detector
+    for corrupted/mislabeled embeddings (a bad decode or a wrong-modality
+    vector lands far from every real cluster).
+
+    Per-cluster mean and variance of d2 come from exact integer sums
+    (n·Σx²−(Σx)² — the embedding_dim_stats identity), the z-threshold
+    compares once in double, and the cluster moments broadcast back to
+    the assignment — no second corpus pass. Output: per cluster, counts
+    and the flagged outliers' max distance."""
+    assigned = embedding_kmeans(spark, sf_dir)  # vec_id, cluster_id, d2
+    stats = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("d2").alias("s"),
+        F.sum(F.col("d2") * F.col("d2")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_vecs")
+    var = (F.col("n_vecs") * F.col("ss") - F.col("s") * F.col("s")).cast("double") / (
+        F.col("n_vecs").cast("double") * F.col("n_vecs").cast("double")
+    )
+    enriched = assigned.join(
+        F.broadcast(stats.select("cluster_id", mean.alias("mean_d2"), F.sqrt(var).alias("std_d2"))),
+        "cluster_id",
+    )
+    is_outlier = F.col("d2").cast("double") > F.col("mean_d2") + 2.0 * F.col("std_d2")
+    return enriched.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.when(is_outlier, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+        F.max(F.when(is_outlier, F.col("d2"))).alias("max_outlier_d2"),
+    )

@@ -2267,3 +2267,29 @@ FROM inter
 JOIN sizes sa ON sa.source = source_a
 JOIN sizes sb ON sb.source = source_b
 """
+
+
+# Same exact-integer cluster moments; z-threshold compares once in double.
+ORACLE_SQL["embedding_outliers"] = f"""
+WITH {_KMEANS_CTES},
+asg AS (SELECT vec_id, cluster_id, d2 FROM a3),
+st AS (
+  SELECT cluster_id, COUNT(*) AS n_vecs,
+         CAST(SUM(d2) AS BIGINT) AS s,
+         CAST(SUM(d2 * d2) AS BIGINT) AS ss
+  FROM asg GROUP BY cluster_id
+),
+en AS (
+  SELECT asg.cluster_id, asg.d2,
+         CAST(st.s AS DOUBLE) / st.n_vecs AS mean_d2,
+         sqrt(CAST(st.n_vecs * st.ss - st.s * st.s AS DOUBLE)
+              / (CAST(st.n_vecs AS DOUBLE) * st.n_vecs)) AS std_d2
+  FROM asg JOIN st USING (cluster_id)
+)
+SELECT cluster_id, COUNT(*) AS n_vecs,
+       CAST(SUM(CASE WHEN CAST(d2 AS DOUBLE) > mean_d2 + 2.0 * std_d2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       MAX(CASE WHEN CAST(d2 AS DOUBLE) > mean_d2 + 2.0 * std_d2
+                THEN d2 END) AS max_outlier_d2
+FROM en GROUP BY cluster_id
+"""

@@ -249,6 +249,8 @@ register("langid_confusion_matrix", text.langid_confusion_matrix)
 register("dedup_exact_incremental", dedup.dedup_exact_incremental)
 # Source-pair shingle Jaccard (mixture-design diagnostics).
 register("source_overlap_matrix", text.source_overlap_matrix)
+# Per-cluster distance-outlier QA over the k-means assignment.
+register("embedding_outliers", similarity.embedding_outliers)
 
 register("source_csv_roundtrip", textfiles.source_csv_roundtrip)
 register("source_orc_roundtrip", textfiles.source_orc_roundtrip)
