@@ -399,3 +399,28 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sb), "source_b")
         .select("source_a", "source_b", "n_common", "n_a", "n_b", jac.alias("jaccard"))
     )
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling: documents per power-of-two token-length bucket,
+    per language — the length distribution every tokenizer-budget and
+    truncation decision is read off of. Bucket = floor(log2(n_tokens)),
+    computed as the bit length of the integer (exact — no float log),
+    zero-shuffle until the tiny aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("bigint")
+    # floor(log2(n)) == (number of binary digits of n) - 1 for n >= 1,
+    # computed exactly via conv(n, 10, 2) — no float log anywhere
+    log2_bucket = (
+        F.length(F.conv(F.col("n_tokens").cast("string"), 10, 2)) - 1
+    ).cast("bigint")
+    return (
+        docs.select("lang", n_tokens.alias("n_tokens"))
+        .select("lang", log2_bucket.alias("log2_bucket"), "n_tokens")
+        .groupBy("lang", "log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )

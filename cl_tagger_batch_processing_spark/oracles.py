@@ -2293,3 +2293,17 @@ SELECT cluster_id, COUNT(*) AS n_vecs,
                 THEN d2 END) AS max_outlier_d2
 FROM en GROUP BY cluster_id
 """
+
+# floor(log2(n)) via exact binary-digit count (bit_length), no float log.
+ORACLE_SQL["doc_length_histogram"] = """
+WITH t AS (
+  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT lang,
+       CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS log2_bucket,
+       COUNT(*) AS n_docs,
+       MIN(n_tokens) AS min_tokens,
+       MAX(n_tokens) AS max_tokens
+FROM t GROUP BY 1, 2
+"""

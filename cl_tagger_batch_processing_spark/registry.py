@@ -252,6 +252,8 @@ register("dedup_exact_incremental", dedup.dedup_exact_incremental)
 register("source_overlap_matrix", text.source_overlap_matrix)
 # Per-cluster distance-outlier QA over the k-means assignment.
 register("embedding_outliers", similarity.embedding_outliers)
+# Power-of-two token-length histogram (exact integer log2 buckets).
+register("doc_length_histogram", text.doc_length_histogram)
 
 register("source_csv_roundtrip", textfiles.source_csv_roundtrip)
 register("source_orc_roundtrip", textfiles.source_orc_roundtrip)
