@@ -60,7 +60,10 @@ def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via Arrow-batched
-    ``mapInPandas``: 16-bin byte histogram + Shannon entropy per payload.
+    ``mapInPandas``: 16-bin byte histogram + Shannon entropy per payload,
+    emitted in LONG form — one row per (doc_id, bin) with the per-doc
+    entropy repeated — so downstream relational consumers (and the driver's
+    scalar-column canonicalizer) never see an array column.
 
     This is the engine's one sanctioned Python boundary shape (SURVEY.md
     §2.9): batch-in/batch-out, per-partition, no driver collect. Swapping
@@ -91,8 +94,18 @@ def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "hist": hists, "entropy": entropies}
             )
 
-    return payload.mapInPandas(
+    wide = payload.mapInPandas(
         extract, schema="doc_id bigint, hist array<bigint>, entropy double"
+    )
+    # Explode JVM-side (codegen'd generator), not in the kernel: the Arrow
+    # transfer stays one row per payload and the 16x fan-out is free.
+    return wide.select(
+        "doc_id", F.posexplode("hist").alias("bin", "bin_count"), "entropy"
+    ).select(
+        "doc_id",
+        F.col("bin").cast("bigint").alias("bin"),
+        F.col("bin_count").alias("bin_count"),
+        "entropy",
     )
 
 

@@ -955,7 +955,9 @@ FROM m
 # fixture is pure ASCII at every SF (verified: octet_length(encode(text)) ==
 # length(text) for all rows) — on non-ASCII corpora this oracle would need a
 # BLOB byte-iterator instead. Entropy rounds to 6dp on BOTH sides, far above
-# double summation-order noise over <=16 bins.
+# double summation-order noise over <=16 bins. Long form (doc_id, bin,
+# bin_count, entropy): scalar columns only, so any canonicalizer can sort
+# and hash it.
 ORACLE_SQL["mm_byte_histogram"] = """
 WITH chars AS (
   SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
@@ -971,9 +973,6 @@ grid AS (
   CROSS JOIN (SELECT unnest(range(16)) AS bin) g
   LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bin = g.bin
 ),
-hist AS (
-  SELECT doc_id, list(c ORDER BY bin) AS hist FROM grid GROUP BY doc_id
-),
 ent AS (
   SELECT c.doc_id,
          round(-sum((CAST(c.c AS DOUBLE) / t.n) * log2(CAST(c.c AS DOUBLE) / t.n)), 6)
@@ -981,8 +980,11 @@ ent AS (
   FROM counts c JOIN tot t USING (doc_id)
   GROUP BY c.doc_id
 )
-SELECT h.doc_id, h.hist, e.entropy
-FROM hist h JOIN ent e USING (doc_id)
+SELECT g.doc_id,
+       CAST(g.bin AS BIGINT) AS bin,
+       CAST(g.c AS BIGINT) AS bin_count,
+       e.entropy
+FROM grid g JOIN ent e USING (doc_id)
 """
 
 ORACLE_SQL["scan_extension_filter"] = """

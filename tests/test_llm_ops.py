@@ -118,10 +118,12 @@ def test_binary_payload_roundtrip(spark):
 
 def test_byte_histogram_on_fixture(spark, sf_dir):
     out = multimodal.mm_byte_histogram(spark, sf_dir)
-    rows = out.limit(3).collect()
+    one_doc = out.where(out.doc_id == out.select(F.min("doc_id")).first()[0])
+    rows = one_doc.collect()
+    assert len(rows) == 16  # long form: one row per bin
+    assert {r.bin for r in rows} == set(range(16))
+    assert sum(r.bin_count for r in rows) > 0
     for r in rows:
-        assert len(r.hist) == 16
-        assert sum(r.hist) > 0
         assert 0.0 <= r.entropy <= 4.0  # 16 bins → max log2(16)=4 bits
 
 
