@@ -321,19 +321,45 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("dim", "n_vecs", mean.alias("mean"), var.alias("variance"))
 
 
-KMEANS_K = 8
+# k floor and the target vectors-per-cluster that k is derived from:
+# k = max(KMEANS_K_MIN, ceil(n / KMEANS_TARGET_CLUSTER_SIZE)). The derived k
+# is what keeps SemDeDup's per-cluster all-pairs bounded — with constant k,
+# cluster size grows linearly with the corpus and pair work quadratically
+# (round-3 verdict). The DuckDB oracle derives k with the IDENTICAL formula
+# (oracles._KMEANS_CTES), so the clustering stays engine-replayable at any
+# corpus size.
+KMEANS_K_MIN = 8
+KMEANS_TARGET_CLUSTER_SIZE = 2000
 KMEANS_ITERATIONS = 2
+# Above this k, per-centroid literal expressions stop being a sane plan
+# (k structs in one projection); switch to a broadcast-join argmin.
+KMEANS_LITERAL_MAX_K = 64
+
+# Session-scoped memo of the Lloyd's chain: (id(session), sf_dir, k, n_iter)
+# → (materialized base, final centroid list). Four registry consumers
+# (embedding_kmeans, dedup_semantic, dedup_semantic_keep via dedup_semantic,
+# embedding_outliers, crossmodal verdict) share one iteration cost while each
+# staying standalone-correct — the memo is a pure function of its key.
+_KMEANS_CACHE: dict[tuple, tuple[DataFrame, list]] = {}
+
+
+def derive_kmeans_k(n_vecs: int) -> int:
+    return max(KMEANS_K_MIN, -(-n_vecs // KMEANS_TARGET_CLUSTER_SIZE))
 
 
 def embedding_kmeans(
-    spark: SparkSession, sf_dir: str, k: int = KMEANS_K, n_iter: int = KMEANS_ITERATIONS
+    spark: SparkSession,
+    sf_dir: str,
+    k: int | None = None,
+    n_iter: int = KMEANS_ITERATIONS,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means over quantized embeddings — the
     clustering stage of semantic dedup (SemDeDup-style: cluster first, then
     dedup within clusters) and of IVF index building.
 
     Fully deterministic and engine-portable, so the DuckDB oracle replays it
-    exactly: init = the vectors of the k lowest vec_ids; distances are exact
+    exactly: k derives from the corpus count (``derive_kmeans_k`` — mirrored
+    in SQL); init = the vectors of the k lowest vec_ids; distances are exact
     integer Σ(x−c)²; argmin tie-breaks on the lower cluster id; refreshed
     centroids are rounded back to integers (round-half-away-from-zero on an
     IEEE-exact double s/n — identical in both engines).
@@ -342,32 +368,27 @@ def embedding_kmeans(
     map-side-combined groupBy(cluster) over 64 sum columns (k×65 numbers
     cross the wire), centroids collect to the driver (k rows — control
     plane, like the CC convergence sums) and re-enter the next assignment
-    as broadcast literals, so assignment itself is a zero-shuffle map at
-    any corpus size. The input is materialized once and reused across the
-    n_iter+1 passes instead of re-scanning parquet."""
+    as broadcast literals (small k) or a broadcast-joined centroid frame
+    (large k), so assignment is shuffle-free at any corpus size. The input
+    is materialized once and reused across the n_iter+1 passes instead of
+    re-scanning parquet."""
     return _kmeans_assign_full(spark, sf_dir, k, n_iter).select(
         "vec_id", "cluster_id", "d2"
     )
 
 
-def _kmeans_assign_full(
-    spark: SparkSession, sf_dir: str, k: int = KMEANS_K, n_iter: int = KMEANS_ITERATIONS
-) -> DataFrame:
-    """Lloyd's iterations over the materialized quantized base; the final
-    assignment keeps ``qv``/``nrm`` so downstream consumers (dedup_semantic)
-    can continue from it with no second embeddings scan and no join."""
-    base = (
-        quantized_embeddings(spark, sf_dir)
-        .select("vec_id", "qv", "nrm")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=True)
-    )
-    cent = [
-        (j, [int(x) for x in r.qv])
-        for j, r in enumerate(base.orderBy("vec_id").limit(k).collect())
-    ]
+def _kmeans_assignment(base: DataFrame, cent_rows: list) -> DataFrame:
+    """Nearest-centroid assignment with the (d2, cluster_id) argmin
+    tie-break — two physical strategies, identical values:
 
-    def assignment(cent_rows):
+    * literal (k ≤ KMEANS_LITERAL_MAX_K): centroids inlined as constant
+      arrays, argmin via array_sort of k structs — zero-shuffle map.
+    * join (large k): centroids broadcast as a k-row frame; one
+      map-side-combined min(struct) groupBy replaces a k-wide expression
+      the optimizer could not digest. Still no corpus shuffle beyond the
+      n-row combine.
+    """
+    if len(cent_rows) <= KMEANS_LITERAL_MAX_K:
         entries = []
         for j, cv in cent_rows:
             lit_cv = F.array(*[F.lit(c).cast("bigint") for c in cv])
@@ -387,9 +408,68 @@ def _kmeans_assign_full(
             "qv",
             "nrm",
         )
+    spark = base.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(j), [int(x) for x in cv]) for j, cv in cent_rows],
+        "cluster_id bigint, cv array<bigint>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = base.crossJoin(F.broadcast(cdf)).select(
+        "vec_id", "qv", "nrm", F.struct(d2.alias("d2"), F.col("cluster_id")).alias("cand")
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min("cand").alias("best"),
+            F.first("qv").alias("qv"),
+            F.first("nrm").alias("nrm"),
+        )
+        .select(
+            "vec_id",
+            F.col("best.cluster_id").alias("cluster_id"),
+            F.col("best.d2").alias("d2"),
+            "qv",
+            "nrm",
+        )
+    )
+
+
+def _kmeans_assign_full(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int | None = None,
+    n_iter: int = KMEANS_ITERATIONS,
+) -> DataFrame:
+    """Lloyd's iterations over the materialized quantized base; the final
+    assignment keeps ``qv``/``nrm`` so downstream consumers (dedup_semantic)
+    can continue from it with no second embeddings scan and no join."""
+    key = (id(spark), sf_dir, k, n_iter)
+    hit = _KMEANS_CACHE.get(key)
+    if hit is not None:
+        base, cent = hit
+        return _kmeans_assignment(base, cent)
+    base = (
+        quantized_embeddings(spark, sf_dir)
+        .select("vec_id", "qv", "nrm")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
+    if k is None:
+        # count() on the materialized checkpoint is a metadata-cheap pass;
+        # this is what makes k scale with the corpus instead of cluster
+        # sizes scaling with it.
+        k = derive_kmeans_k(base.count())
+    cent = [
+        (j, [int(x) for x in r.qv])
+        for j, r in enumerate(base.orderBy("vec_id").limit(k).collect())
+    ]
 
     for _ in range(n_iter):
-        assigned = assignment(cent)
+        assigned = _kmeans_assignment(base, cent)
         sums = assigned.groupBy("cluster_id").agg(
             F.count(F.lit(1)).alias("n"),
             *[
@@ -409,7 +489,8 @@ def _kmeans_assign_full(
             for r in sums.collect()
         ]
         cent.sort()
-    return assignment(cent)
+    _KMEANS_CACHE[key] = (base, cent)
+    return _kmeans_assignment(base, cent)
 
 
 SEMANTIC_COSINE_THRESHOLD = 0.3
@@ -463,18 +544,31 @@ def dedup_semantic(
         ids = ids[order]
         q = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"].iloc[order]])
         rn = np.sqrt(pdf["nrm"].to_numpy(dtype=np.int64)[order].astype(np.float64))
-        cos = (q @ q.T).astype(np.float64) / np.outer(rn, rn)
-        ia, ib = np.triu_indices(n, k=1)
-        keep = cos[ia, ib] >= threshold
-        ia, ib = ia[keep], ib[keep]
-        return pd.DataFrame(
-            {
-                "cluster_id": np.full(len(ia), int(pdf["cluster_id"].iloc[0]), dtype=np.int64),
-                "vec_a": ids[ia],
-                "vec_b": ids[ib],
-                "cosine": cos[ia, ib],
-            }
-        )
+        cid = int(pdf["cluster_id"].iloc[0])
+        # Row-block the pair matrix: memory is BLOCK×n, never n×n, so a
+        # pathologically large cluster (skewed data, k mis-derived) degrades
+        # to more blocks instead of an executor OOM. Values are unchanged —
+        # each (a, b) pair with a < b is scored exactly once.
+        BLOCK = 1024
+        outs = []
+        for lo in range(0, n - 1, BLOCK):
+            hi = min(lo + BLOCK, n)
+            cos = (q[lo:hi] @ q.T).astype(np.float64) / np.outer(rn[lo:hi], rn)
+            ia, ib = np.nonzero(cos >= threshold)
+            upper = lo + ia < ib  # strict upper triangle in global indices
+            ia, ib = ia[upper], ib[upper]
+            if len(ia):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "cluster_id": np.full(len(ia), cid, dtype=np.int64),
+                            "vec_a": ids[lo + ia],
+                            "vec_b": ids[ib],
+                            "cosine": cos[ia, ib],
+                        }
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     return base.groupBy("cluster_id").applyInPandas(
         _score, "cluster_id bigint, vec_a bigint, vec_b bigint, cosine double"

@@ -1502,20 +1502,28 @@ FROM d FULL JOIN ch ON d.doc_id = ch.doc_id
 WHERE op IS NULL OR op <> 'delete'
 """
 
-# Deterministic Lloyd's k-means replayed exactly: init = k lowest vec_ids,
-# integer squared distances, (d2, cluster_id) argmin tie-break, centroids
-# refreshed as round-half-away-from-zero of the IEEE double s/n. Mirrors
-# similarity.embedding_kmeans (k=8, 2 refinement iterations + final assign).
-# Shared WITH body: dedup_semantic reuses the whole chain.
+# Deterministic Lloyd's k-means replayed exactly: k derived from the corpus
+# count with the same formula as similarity.derive_kmeans_k
+# (max(8, ceil(n/2000)) — constants pinned in test_llm_ops), init = k lowest
+# vec_ids, integer squared distances, (d2, cluster_id) argmin tie-break,
+# centroids refreshed as round-half-away-from-zero of the IEEE double s/n.
+# Mirrors similarity.embedding_kmeans (2 refinement iterations + final
+# assign). Shared WITH body: dedup_semantic reuses the whole chain.
 _KMEANS_CTES = """q AS (
   SELECT vec_id,
          generate_subscripts(embedding, 1) AS pos,
          CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000, 0) AS BIGINT) AS qx
   FROM embeddings
 ),
+kk AS (
+  SELECT greatest(8, CAST(ceil(COUNT(*) / 2000.0) AS BIGINT)) AS k
+  FROM embeddings
+),
 sel AS (
-  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id
-  FROM embeddings ORDER BY vec_id LIMIT 8
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id
+    FROM embeddings
+  ) t, kk WHERE t.cluster_id < kk.k
 ),
 c0 AS (
   SELECT s.cluster_id, q.pos, q.qx AS cx FROM sel s JOIN q USING (vec_id)

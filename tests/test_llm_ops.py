@@ -31,6 +31,35 @@ def test_max_df_constants_in_sync():
     assert dedup.DEFAULT_MAX_DF == oracles.DEDUP_MAX_DF
 
 
+def test_kmeans_k_derivation_in_sync():
+    # The SQL oracle derives k with greatest(8, ceil(n/2000.0)); the Spark
+    # side must match or the replayed clustering silently diverges on the
+    # first fixture whose embedding count crosses a k boundary.
+    from cl_tagger_batch_processing_spark import oracles
+    from cl_tagger_batch_processing_spark.operators import similarity
+
+    assert similarity.KMEANS_K_MIN == 8
+    assert similarity.KMEANS_TARGET_CLUSTER_SIZE == 2000
+    assert "greatest(8," in oracles._KMEANS_CTES
+    assert "/ 2000.0" in oracles._KMEANS_CTES
+    assert similarity.derive_kmeans_k(1) == 8
+    assert similarity.derive_kmeans_k(16000) == 8
+    assert similarity.derive_kmeans_k(16001) == 9
+    assert similarity.derive_kmeans_k(10**9) == 500_000  # k scales, clusters don't
+
+
+def test_kmeans_assignment_strategies_agree(spark, sf_dir, monkeypatch):
+    # Same centroids, two physical assignment paths (inline literals vs
+    # broadcast-joined centroid frame) — values must be identical. The
+    # second call reuses the memoized (base, centroids) chain, so only the
+    # assignment strategy differs.
+    lit = similarity.embedding_kmeans(spark, sf_dir, k=12).collect()
+    monkeypatch.setattr(similarity, "KMEANS_LITERAL_MAX_K", 4)
+    joined = similarity.embedding_kmeans(spark, sf_dir, k=12).collect()
+    assert sorted(map(tuple, lit)) == sorted(map(tuple, joined))
+    assert len({r.cluster_id for r in lit}) > 8  # k=12 actually took effect
+
+
 def test_lsh_planes_in_sync():
     # oracles.py duplicates the LCG (to stay pyspark-free); the plane
     # matrices must be identical or the sim_ann_lsh oracle silently drifts
