@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from .dedup import word_shingles
+from .dedup import DEFAULT_MAX_DF, word_shingles
 
 STOPWORDS = ["a", "the", "of", "and", "in", "to"]
 
@@ -362,20 +362,45 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def source_overlap_candidates(
+    spark: SparkSession, sf_dir: str, max_df: int | None = DEFAULT_MAX_DF
+) -> DataFrame:
+    """Pre-aggregation source-pair relation (shingle, source_a, source_b) —
+    the quantity the hot-shingle guard bounds; tests count it with a cap
+    small enough to engage on fixture data."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        word_shingles(docs, k=3, max_df=max_df)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    a = sh.select(F.col("source").alias("source_a"), "shingle")
+    b = sh.select(F.col("source").alias("source_b"), "shingle")
+    return a.join(b, "shingle").where(F.col("source_a") < F.col("source_b"))
+
+
+def source_overlap_matrix(
+    spark: SparkSession, sf_dir: str, max_df: int | None = DEFAULT_MAX_DF
+) -> DataFrame:
     """Corpus-level source similarity: per source-pair shingle Jaccard —
     the matrix a mixture designer reads to spot near-duplicate sources
     (two crawls of the same site) before assigning sampling weights.
 
     The source-distinct shingle relation is tiny relative to the corpus
     (one row per distinct (source, shingle)); the pair join is an
-    inverted-index self-join on the shingle with the same hot-shingle
-    guard as the document-level dedup family — pair volume is bounded by
-    posting-list length, never #sources², and #sources is small anyway.
+    inverted-index self-join on the shingle with the SAME hot-shingle
+    document-frequency guard as the dedup family (``max_df``, default
+    ``DEFAULT_MAX_DF`` — a shingle in more than that many documents is
+    boilerplate, not signal, and its posting list would otherwise grow
+    the doc→source projection and the self-join unboundedly at corpus
+    scale). After the guard, pair volume per shingle is bounded by
+    #sources² — small — and the guard bounds the rest. The DuckDB oracle
+    replays the identical df filter, so the guarded values hash-match.
     All three Jaccard terms are exact integers; one double division."""
     docs = load_table(spark, sf_dir, "documents")
     sh = (
-        word_shingles(docs, k=3, max_df=None)
+        word_shingles(docs, k=3, max_df=max_df)
         .join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "shingle")
         .distinct()

@@ -2252,17 +2252,27 @@ SELECT i.lang,
 FROM incoming i GROUP BY i.lang
 """
 
-# Same source-distinct shingle relation and exact-integer Jaccard.
-ORACLE_SQL["source_overlap_matrix"] = """
+# Same source-distinct shingle relation (including the document-frequency
+# hot-shingle guard the Spark side applies via word_shingles) and
+# exact-integer Jaccard.
+ORACLE_SQL["source_overlap_matrix"] = f"""
 WITH toks AS (
-  SELECT d.source, string_split(d.text, ' ') AS t FROM documents d
+  SELECT d.doc_id, d.source, string_split(d.text, ' ') AS t FROM documents d
   WHERE len(string_split(d.text, ' ')) >= 3
 ),
-sh AS (
-  SELECT DISTINCT source,
+dsh AS (
+  SELECT DISTINCT doc_id, source,
          unnest(list_transform(generate_series(0, len(t) - 3),
                 i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingle
   FROM toks
+),
+hot AS (
+  SELECT shingle FROM dsh GROUP BY shingle
+  HAVING COUNT(DISTINCT doc_id) > {DEDUP_MAX_DF}
+),
+sh AS (
+  SELECT DISTINCT source, shingle FROM dsh
+  WHERE shingle NOT IN (SELECT shingle FROM hot)
 ),
 sizes AS (SELECT source, COUNT(*) AS n_shingles FROM sh GROUP BY source),
 inter AS (

@@ -210,6 +210,18 @@ def test_candidate_volume_bounds(spark, sf_dir):
     sem_cand = similarity.dedup_semantic(spark, sf_dir, threshold=-1.0).count()
     assert sem_cand < vec_pairs / 3, f"semantic pairs {sem_cand} vs all-pairs {vec_pairs}"
 
+    # source_overlap_matrix shares the dedup family's hot-shingle guard;
+    # with a cap small enough to engage on this self-similar fixture the
+    # posting-list self-join must shrink (df>cap shingles dropped).
+    from cl_tagger_batch_processing_spark.operators import text
+
+    sov_guarded = text.source_overlap_candidates(spark, sf_dir, max_df=5).count()
+    sov_unguarded = text.source_overlap_candidates(spark, sf_dir, max_df=None).count()
+    assert sov_guarded < sov_unguarded, (
+        f"hot-shingle guard did not prune source-overlap candidates "
+        f"({sov_guarded} vs {sov_unguarded})"
+    )
+
     ann_cand = similarity.ann_candidates(spark, sf_dir).count()
     # 8-bit LSH buckets: each query probes ~1/256 of the corpus; allow slack
     # for clustered buckets but stay far below queries × corpus
