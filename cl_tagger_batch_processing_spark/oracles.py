@@ -10,6 +10,8 @@ Shared fragments keep the synthetic relations (demo scores / tag dimension)
 textually identical across queries.
 """
 
+from .handoff import PIPELINE_SCORED_PATH as _PIPELINE_SCORED_PATH
+
 # Long-form deterministic scores derived from `embeddings` — the stand-in for
 # the reference's model output (appV2.py:171-174 with inference stubbed).
 # Mirrors operators.tagging.scores_from_embeddings.
@@ -119,7 +121,7 @@ SELECT image_id, category, tag_idx, tag FROM thresh
 # ordered string agg → ok/error union, appV2.py:74-101,178-190) is replayed
 # here from those exact float32 probs. Casting FLOAT→DOUBLE is exact in both
 # engines, so every threshold comparison and tie-break is bit-identical.
-_PIPELINE_SCORED_GLOB = "/tmp/cl_tagger_pipeline_scored.parquet/*.parquet"
+_PIPELINE_SCORED_GLOB = f"{_PIPELINE_SCORED_PATH}/*.parquet"
 
 ORACLE_SQL["pipeline_score_tag"] = f"""
 WITH raw AS (

@@ -239,10 +239,11 @@ def score_images_predict_udf(
 # deterministic relation — so the query persists the checkpointed
 # (path, probs, status, error) here and the DuckDB oracle replays the
 # relational tail (posexplode → dim join → select_tags → union) from the
-# SAME float32 values. Fixed path, overwritten per build: the oracle always
-# sees exactly the probs of the most recently constructed query (the
-# correctness harness builds the Spark side first, then runs the SQL).
-PIPELINE_SCORED_PATH = "/tmp/cl_tagger_pipeline_scored.parquet"
+# SAME float32 values. The path is per-(user, checkout) — see handoff.py —
+# and overwritten per build: the oracle always sees exactly the probs of
+# the most recently constructed query (the correctness harness builds the
+# Spark side first, then runs the SQL).
+from .handoff import PIPELINE_SCORED_PATH  # noqa: E402 — re-export
 
 
 def pipeline_score_tag(spark: SparkSession, sf_dir: str) -> DataFrame:

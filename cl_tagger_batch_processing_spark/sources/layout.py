@@ -54,7 +54,9 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
-LAYOUT_STAGING = "/tmp/cl_tagger_layout"
+from ..handoff import staging_path
+
+LAYOUT_STAGING = staging_path("layout")
 
 
 def layout_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,7 +27,9 @@ from .tables import load_table
 
 DOCUMENTS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
 
-STAGING_ROOT = "/tmp/cl_tagger_textfiles"
+from ..handoff import staging_path
+
+STAGING_ROOT = staging_path("textfiles")
 
 
 def write_documents_jsonl(df: DataFrame, path: str) -> None:

@@ -152,7 +152,9 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-STREAM_SINK_STAGING = "/tmp/cl_tagger_stream_sink"
+from ..handoff import staging_path
+
+STREAM_SINK_STAGING = staging_path("stream_sink")
 
 
 def run_sink_to_parquet(spark: SparkSession, sf_dir: str, out: str, ckpt: str) -> None:
