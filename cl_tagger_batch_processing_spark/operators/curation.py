@@ -293,7 +293,11 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one report aggregation; at 100 TB the sampler is a filter pushed
     into the scan, not a pass."""
     docs = load_table(spark, sf_dir, "documents")
-    tier = F.expr("CAST(substring(source, 4) AS INT) % 4")
+    # try_cast + tier-0 fallback: a source name outside the 'srcN' shape
+    # keeps FULL rate instead of silently vanishing (non-ANSI CAST yields
+    # NULL → row counted but never kept) — and the DuckDB oracle, whose
+    # strict CAST would instead error, mirrors the same try_cast.
+    tier = F.expr("COALESCE(TRY_CAST(substring(source, 4) AS INT), 0) % 4")
     thr = F.element_at(
         F.array(*[F.lit(r) for r in MIX_TIER_RATES_BP]), tier + 1
     ).cast("bigint")

@@ -613,15 +613,23 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the assignment — no second corpus pass. Output: per cluster, counts
     and the flagged outliers' max distance."""
     assigned = embedding_kmeans(spark, sf_dir)  # vec_id, cluster_id, d2
+    # Sums accumulate in DECIMAL: d2 ~ 64·(2·quant)² ≈ 2.6e8, so Σd2² wraps
+    # int64 around cluster size ~130 with ANSI off — silently, while the
+    # DuckDB oracle promotes to HUGEINT and diverges. DECIMAL(38,0) keeps
+    # both engines exact; the n·Σx²−(Σx)² combination then happens in
+    # double on BOTH sides (identical expression order, so the variance is
+    # bit-identical given identical integer sums).
+    d2d = F.col("d2").cast("decimal(19,0)")
     stats = assigned.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.sum("d2").alias("s"),
-        F.sum(F.col("d2") * F.col("d2")).alias("ss"),
+        F.sum(d2d).alias("s"),
+        F.sum(d2d * d2d).alias("ss"),
     )
     mean = F.col("s").cast("double") / F.col("n_vecs")
-    var = (F.col("n_vecs") * F.col("ss") - F.col("s") * F.col("s")).cast("double") / (
-        F.col("n_vecs").cast("double") * F.col("n_vecs").cast("double")
-    )
+    var = (
+        F.col("n_vecs").cast("double") * F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+    ) / (F.col("n_vecs").cast("double") * F.col("n_vecs").cast("double"))
     enriched = assigned.join(
         F.broadcast(stats.select("cluster_id", mean.alias("mean_d2"), F.sqrt(var).alias("std_d2"))),
         "cluster_id",

@@ -1868,7 +1868,7 @@ ORACLE_SQL["corpus_mixture_sample"] = """
 WITH d AS (
   SELECT source,
          [10000, 5000, 2500, 1250]
-           [(CAST(substr(source, 4) AS INT) % 4) + 1] AS rate_bp,
+           [(COALESCE(TRY_CAST(substr(source, 4) AS INT), 0) % 4) + 1] AS rate_bp,
          CAST('0x' || substr(md5('mix-' || CAST(doc_id AS VARCHAR)), 1, 8)
               AS BIGINT) % 10000 AS bucket,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -1941,11 +1941,13 @@ FROM events GROUP BY 1, 2
 """
 
 # Stream-static enrichment == batch join to the same derived dim.
+# The demo dim is sized from max(user_id), so the inner join keeps every
+# event with a non-negative user_id — no hidden coverage filter to mirror.
 ORACLE_SQL["stream_enrich_static"] = """
 SELECT 'tier' || CAST(user_id % 5 AS VARCHAR) AS tier, COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
 FROM events
-WHERE user_id >= 0 AND user_id < 100000
+WHERE user_id >= 0
 GROUP BY 1
 """
 
@@ -2291,20 +2293,23 @@ JOIN sizes sb ON sb.source = source_b
 """
 
 
-# Same exact-integer cluster moments; z-threshold compares once in double.
+# Same exact cluster moments (HUGEINT sums mirror Spark's DECIMAL(38,0) —
+# both exact integers, so the double combination below is bit-identical);
+# z-threshold compares once in double.
 ORACLE_SQL["embedding_outliers"] = f"""
 WITH {_KMEANS_CTES},
 asg AS (SELECT vec_id, cluster_id, d2 FROM a3),
 st AS (
   SELECT cluster_id, COUNT(*) AS n_vecs,
-         CAST(SUM(d2) AS BIGINT) AS s,
-         CAST(SUM(d2 * d2) AS BIGINT) AS ss
+         SUM(CAST(d2 AS HUGEINT)) AS s,
+         SUM(CAST(d2 AS HUGEINT) * d2) AS ss
   FROM asg GROUP BY cluster_id
 ),
 en AS (
   SELECT asg.cluster_id, asg.d2,
          CAST(st.s AS DOUBLE) / st.n_vecs AS mean_d2,
-         sqrt(CAST(st.n_vecs * st.ss - st.s * st.s AS DOUBLE)
+         sqrt((CAST(st.n_vecs AS DOUBLE) * CAST(st.ss AS DOUBLE)
+               - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE))
               / (CAST(st.n_vecs AS DOUBLE) * st.n_vecs)) AS std_d2
   FROM asg JOIN st USING (cluster_id)
 )

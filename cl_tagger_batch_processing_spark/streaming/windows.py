@@ -226,9 +226,17 @@ def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces it; on a real deployment it is the slowly-changing dim
     table the batch jobs also read."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # covers the user domain at any fixture SF (sf0.1: ids < 1500; sf1
-    # projects ~15k) while staying a ~2 MB broadcast
-    tiers = spark.range(0, 100_000).select(
+    # Size the demo dim from the data (one tiny batch max() probe of the
+    # same fixture the stream reads) so an inner join can never silently
+    # drop events whose user_id outgrew a hardcoded bound; a domain too
+    # large to broadcast fails loudly instead of dropping coverage.
+    max_uid = load_table(spark, sf_dir, "events").agg(F.max("user_id")).first()[0]
+    if max_uid is None or max_uid >= 10_000_000:
+        raise ValueError(
+            f"events user_id domain (max={max_uid}) is not broadcast-dim "
+            "sized; supply a real dimension table instead of the demo dim"
+        )
+    tiers = spark.range(0, max_uid + 1).select(
         F.col("id").alias("user_id"),
         F.concat(F.lit("tier"), (F.col("id") % 5).cast("string")).alias("tier"),
     )
