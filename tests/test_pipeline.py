@@ -67,6 +67,43 @@ def test_summarize_counters(spark, image_dir):
     assert counts == {"ok": 6, "error": 1}
 
 
+def test_cli_sidecars_match_library(spark, image_dir, tmp_path, capsys):
+    """The `python -m` CLI (reference main() surface) must produce sidecar
+    files identical to the library path write_sidecar_txt."""
+    from cl_tagger_batch_processing_spark.__main__ import main
+    from cl_tagger_batch_processing_spark.sources.sinks import write_sidecar_txt
+
+    cli_out = tmp_path / "cli_tags"
+    rc = main(["--folder", image_dir, "--out-dir", str(cli_out)])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "success: 6, failed: 1" in printed  # A3 counters, appV2.py:190
+
+    lib_out = tmp_path / "lib_tags"
+    result = pipeline.tag_images(spark, image_dir, demo_tag_dim(spark))
+    write_sidecar_txt(result, str(lib_out))
+
+    cli_files = {p.name: p.read_text() for p in cli_out.iterdir()}
+    lib_files = {p.name: p.read_text() for p in lib_out.iterdir()}
+    assert cli_files == lib_files
+    assert len(cli_files) == 7  # 6 ok + 1 error row (empty sidecar)
+
+
+def test_cli_requires_a_sink(capsys):
+    from cl_tagger_batch_processing_spark.__main__ import main
+
+    assert main(["--folder", "/nonexistent"]) == 2
+
+
+def test_cli_empty_folder_aborts(spark, tmp_path):
+    from cl_tagger_batch_processing_spark.__main__ import main
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    rc = main(["--folder", str(empty), "--out-dir", str(tmp_path / "out")])
+    assert rc == 1  # F5 empty-input abort, appV2.py:139-141
+
+
 def test_predict_batch_udf_path_matches_mapinpandas(spark, image_dir):
     from cl_tagger_batch_processing_spark.sources.images import scan_images
 
