@@ -57,14 +57,25 @@ def main() -> int:
             print(f"# bench error in {name}: {e}", file=sys.stderr)
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
+    # The driver records only the TAIL of stdout, so the giant per-query dict
+    # must NOT live on the final line (r3/r4 lost the artifact to head
+    # truncation). Emit one small JSON line per query — sorted ascending by
+    # time so the expensive queries sit nearest the end and survive any
+    # truncation — then END with one small self-contained summary line that
+    # always parses.
+    for name, t in sorted(times.items(), key=lambda kv: kv[1]):
+        print(json.dumps({"query": name, "sec": t}))
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:20])
     print(
         json.dumps(
             {
                 "metric": "sum_query_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
                 "sf": sf,
+                "n_queries": len(times),
+                "n_errors": sum(1 for t in times.values() if t < 0),
+                "queries": slowest,
             }
         )
     )

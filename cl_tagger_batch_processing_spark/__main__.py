@@ -81,12 +81,10 @@ def main(argv: list[str] | None = None) -> int:
     # and then do NOT stop it on exit; the CLI only tears down sessions it
     # itself created.
     owns_session = SparkSession.getActiveSession() is None
-    if args.master and owns_session:
-        spark = (
-            SparkSession.builder.master(args.master).appName("cl_tagger_cli").getOrCreate()
-        )
-    else:
-        spark = get_spark(app_name="cl_tagger_cli", cpus=args.cpus)
+    # --master threads through get_spark so both paths share one config
+    # surface (UTC timezone, Arrow, AQE, nanosAsLong, shuffle partitions);
+    # --cpus still sizes shuffle partitions under an explicit master.
+    spark = get_spark(app_name="cl_tagger_cli", cpus=args.cpus, master=args.master)
 
     scorer = None
     if args.model_dir:

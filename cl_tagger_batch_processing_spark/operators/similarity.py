@@ -335,12 +335,24 @@ KMEANS_ITERATIONS = 2
 # (k structs in one projection); switch to a broadcast-join argmin.
 KMEANS_LITERAL_MAX_K = 64
 
-# Session-scoped memo of the Lloyd's chain: (id(session), sf_dir, k, n_iter)
-# → (materialized base, final centroid list). Four registry consumers
-# (embedding_kmeans, dedup_semantic, dedup_semantic_keep via dedup_semantic,
-# embedding_outliers, crossmodal verdict) share one iteration cost while each
-# staying standalone-correct — the memo is a pure function of its key.
+# Session-scoped memo of the Lloyd's chain:
+# (applicationId, sf_dir, k, n_iter) → (materialized base, final centroid
+# list). Four registry consumers (embedding_kmeans, dedup_semantic,
+# dedup_semantic_keep via dedup_semantic, embedding_outliers, crossmodal
+# verdict) share one iteration cost while each staying standalone-correct —
+# the memo is a pure function of its key. Keyed on applicationId (unique
+# per SparkContext lifetime), NOT id(spark): CPython reuses object ids
+# after GC, so an id-keyed cache could hand a recreated session DataFrames
+# bound to a dead one. Entries from any other applicationId are evicted on
+# access, so a stop/recreate cycle frees the old session's localCheckpoint
+# blocks instead of pinning them for the process lifetime.
 _KMEANS_CACHE: dict[tuple, tuple[DataFrame, list]] = {}
+
+
+def _kmeans_cache_sweep(app_id: str) -> None:
+    """Drop cache entries owned by any session other than ``app_id``."""
+    for key in [k for k in _KMEANS_CACHE if k[0] != app_id]:
+        del _KMEANS_CACHE[key]
 
 
 def derive_kmeans_k(n_vecs: int) -> int:
@@ -447,7 +459,9 @@ def _kmeans_assign_full(
     """Lloyd's iterations over the materialized quantized base; the final
     assignment keeps ``qv``/``nrm`` so downstream consumers (dedup_semantic)
     can continue from it with no second embeddings scan and no join."""
-    key = (id(spark), sf_dir, k, n_iter)
+    app_id = spark.sparkContext.applicationId
+    _kmeans_cache_sweep(app_id)
+    key = (app_id, sf_dir, k, n_iter)
     hit = _KMEANS_CACHE.get(key)
     if hit is not None:
         base, cent = hit
@@ -615,15 +629,20 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = embedding_kmeans(spark, sf_dir)  # vec_id, cluster_id, d2
     # Sums accumulate in DECIMAL: d2 ~ 64·(2·quant)² ≈ 2.6e8, so Σd2² wraps
     # int64 around cluster size ~130 with ANSI off — silently, while the
-    # DuckDB oracle promotes to HUGEINT and diverges. DECIMAL(38,0) keeps
-    # both engines exact; the n·Σx²−(Σx)² combination then happens in
-    # double on BOTH sides (identical expression order, so the variance is
-    # bit-identical given identical integer sums).
+    # DuckDB oracle promotes to HUGEINT and diverges. The product is formed
+    # at decimal(38,0) EXPLICITLY (not via implicit promotion, which only
+    # reaches (38,0) on the product and (29,0) on the sum and — with ANSI
+    # off — would NULL silently rather than fail on a true overflow); 1e38
+    # headroom covers Σd2² for any cluster below ~1.5e20 rows. The
+    # n·Σx²−(Σx)² combination then happens in double on BOTH engines
+    # (identical expression order, so the variance is bit-identical given
+    # identical integer sums).
     d2d = F.col("d2").cast("decimal(19,0)")
+    d2sq = (d2d * d2d).cast("decimal(38,0)")
     stats = assigned.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum(d2d).alias("s"),
-        F.sum(d2d * d2d).alias("ss"),
+        F.sum(d2sq).alias("ss"),
     )
     mean = F.col("s").cast("double") / F.col("n_vecs")
     var = (

@@ -18,13 +18,19 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     ui: bool = False,
+    master: str | None = None,
 ) -> SparkSession:
+    """``master`` overrides the default ``local[cpus]`` URL (e.g. a real
+    cluster URL from the CLI's ``--master``) while keeping every config
+    below — one config surface for all entry points. ``cpus`` still sizes
+    ``spark.sql.shuffle.partitions`` unless ``shuffle_partitions`` is given.
+    """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = cpus
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

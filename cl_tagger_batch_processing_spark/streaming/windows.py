@@ -231,10 +231,20 @@ def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drop events whose user_id outgrew a hardcoded bound; a domain too
     # large to broadcast fails loudly instead of dropping coverage.
     max_uid = load_table(spark, sf_dir, "events").agg(F.max("user_id")).first()[0]
-    if max_uid is None or max_uid >= 10_000_000:
+    # Bound the demo dim to what actually broadcasts: each row is ~16 bytes
+    # (bigint + short string), so cap rows at autoBroadcastJoinThreshold/16.
+    # A 10M-row "guard" would admit a dim of hundreds of MB and fail later
+    # as an executor OOM instead of this intended loud ValueError.
+    try:
+        thresh_bytes = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    except Exception:
+        thresh_bytes = 10 * 1024 * 1024
+    max_dim_rows = max(1, thresh_bytes) // 16
+    if max_uid is None or max_uid >= max_dim_rows:
         raise ValueError(
             f"events user_id domain (max={max_uid}) is not broadcast-dim "
-            "sized; supply a real dimension table instead of the demo dim"
+            f"sized (cap {max_dim_rows} rows from autoBroadcastJoinThreshold="
+            f"{thresh_bytes}); supply a real dimension table instead of the demo dim"
         )
     tiers = spark.range(0, max_uid + 1).select(
         F.col("id").alias("user_id"),

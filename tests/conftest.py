@@ -1,7 +1,9 @@
 from __future__ import annotations
 
 import os
+import signal
 import sys
+import threading
 
 import pytest
 
@@ -9,6 +11,48 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_TEST_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_ORACLE_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+# Suite watchdog: one hung test must never eat the whole verification
+# budget (round 4 lost its pytest gate to a single Observation.get
+# deadlock that blocked forever). SIGALRM interrupts the main thread even
+# inside blocking C calls (socket recv to the JVM, lock waits), turning an
+# infinite hang into a normal test failure. No-op off the main thread or
+# on platforms without SIGALRM; pytest-timeout is not in the container.
+TEST_TIMEOUT_S = int(os.environ.get("SPARK_GRAFT_TEST_TIMEOUT", "600"))
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_call(item):
+    marker = item.get_closest_marker("timeout")
+    limit = int(marker.args[0]) if marker and marker.args else TEST_TIMEOUT_S
+    use_alarm = (
+        limit > 0
+        and hasattr(signal, "SIGALRM")
+        and threading.current_thread() is threading.main_thread()
+    )
+    if not use_alarm:
+        yield
+        return
+
+    def _on_timeout(signum, frame):
+        raise TimeoutError(
+            f"watchdog: test exceeded {limit}s "
+            "(SPARK_GRAFT_TEST_TIMEOUT / @pytest.mark.timeout override)"
+        )
+
+    old = signal.signal(signal.SIGALRM, _on_timeout)
+    signal.alarm(limit)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "timeout(seconds): per-test watchdog override (conftest SIGALRM)"
+    )
 
 
 @pytest.fixture(scope="session")
