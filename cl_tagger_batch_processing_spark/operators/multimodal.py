@@ -188,3 +188,64 @@ def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("latest_doc_id"),
         )
     )
+
+
+PHASH_BLOCKS = 16
+
+
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup grouping over payload bytes — the image-
+    dedup shape (block-mean hash, Yang et al.): split each payload into 16
+    positional blocks, set bit b when block b's mean byte value exceeds the
+    payload's overall mean, group payloads sharing the 16-bit hash.
+    Re-encodes of the same underlying signal (here: docs with the same
+    byte-value profile) collide; exact-dup md5 (mm_payload_dedup) never
+    catches those.
+
+    EXACT integer arithmetic throughout: "mean_block > mean_total" is
+    compared as block_sum·n > total·block_len (no float means), so the hash
+    is bit-identical in any engine — the DuckDB oracle replays it from the
+    same bytes. All per-payload work is row-local Column math (unrolled
+    16-way, whole-stage codegen, zero Python); the only shuffle is the
+    final groupBy(phash) — 2^16 well-spread buckets. On real image columns
+    the same hash computes from decoded pixels inside the byte-histogram
+    mapInPandas kernel; only the expression input changes, not the plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select(
+            "doc_id",
+            F.transform(
+                F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("bigint")
+            ).alias("vals"),
+        )
+        .withColumn("n", F.size("vals").cast("bigint"))
+        .withColumn(
+            "total",
+            F.aggregate("vals", F.lit(0).cast("bigint"), lambda a, x: a + x),
+        )
+    )
+    phash = F.lit(0).cast("bigint")
+    for b in range(PHASH_BLOCKS):
+        s0 = F.floor((F.lit(b) * F.col("n")) / PHASH_BLOCKS).cast("int")
+        s1 = F.floor((F.lit(b + 1) * F.col("n")) / PHASH_BLOCKS).cast("int")
+        blen = s1 - s0
+        bsum = F.aggregate(
+            F.slice("vals", s0 + 1, blen),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        )
+        bit = F.when(
+            bsum * F.col("n") > F.col("total") * blen.cast("bigint"), F.lit(1)
+        ).otherwise(F.lit(0))
+        phash = phash + bit.cast("bigint") * F.lit(1 << b).cast("bigint")
+    hashed = base.select("doc_id", phash.alias("phash"))
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )

@@ -349,10 +349,21 @@ KMEANS_LITERAL_MAX_K = 64
 _KMEANS_CACHE: dict[tuple, tuple[DataFrame, list]] = {}
 
 
-def _kmeans_cache_sweep(app_id: str) -> None:
+def _cache_sweep(cache: dict, app_id: str) -> None:
     """Drop cache entries owned by any session other than ``app_id``."""
-    for key in [k for k in _KMEANS_CACHE if k[0] != app_id]:
-        del _KMEANS_CACHE[key]
+    for key in [k for k in cache if k[0] != app_id]:
+        del cache[key]
+
+
+def _kmeans_cache_sweep(app_id: str) -> None:
+    _cache_sweep(_KMEANS_CACHE, app_id)
+
+
+# Same memo pattern for SemDeDup's keep/drop artifact: the CC iteration over
+# semantic pairs is the chain's second expensive stage and has two registry
+# consumers (dedup_semantic_keep itself and crossmodal_curation_verdict).
+# Key = (applicationId, sf_dir); same eviction rule as _KMEANS_CACHE.
+_SEMANTIC_KEEP_CACHE: dict[tuple, DataFrame] = {}
 
 
 def derive_kmeans_k(n_vecs: int) -> int:
@@ -602,17 +613,25 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins against to drop semantic duplicates."""
     from .dedup import connected_components
 
+    app_id = spark.sparkContext.applicationId
+    _cache_sweep(_SEMANTIC_KEEP_CACHE, app_id)
+    key = (app_id, sf_dir)
+    hit = _SEMANTIC_KEEP_CACHE.get(key)
+    if hit is not None:
+        return hit
     pairs = dedup_semantic(spark, sf_dir)
     edges = pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
     nodes = quantized_embeddings(spark, sf_dir).select(
         F.col("vec_id").alias("doc_id")
     )
     cc = connected_components(nodes, edges)
-    return cc.select(
+    out = cc.select(
         F.col("doc_id").alias("vec_id"),
         F.col("cluster_id").alias("dup_group"),
         (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
-    )
+    ).localCheckpoint(eager=True)
+    _SEMANTIC_KEEP_CACHE[key] = out
+    return out
 
 
 def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -449,3 +449,181 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").alias("max_tokens"),
         )
     )
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic keyword/feature
+    extraction pass (and the lexical half of hybrid retrieval).
+
+    tf is the exact in-doc count; idf = ln((N+1)/(df+1)) with both counts
+    exact integers, so each score is one float product of deterministic
+    inputs (no float accumulation anywhere). Ranking compares the score
+    ROUNDED to 6dp (ties then break on token ASC) so an ulp of libm
+    difference between engines can never flip an ordering the values
+    don't justify.
+
+    Scale shape: groupBy(doc_id, token) and groupBy(token) are both
+    map-side combined; N is a 1-row broadcast; the df join is left to AQE
+    (a real vocabulary is heavy-tailed and can exceed dimension size —
+    same reasoning as text_unigram_loglik); the final top-k window
+    partitions by doc_id — high cardinality, no skew."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            "tfidf",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+PARAGRAPH_BLOCK_TOKENS = 8
+
+
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style repeated-span removal, reported per document: cut each doc
+    into non-overlapping 8-token blocks (the fixtures' "paragraphs" — the
+    corpus has no newlines) and mark every block whose exact text already
+    occurred earlier in the corpus (first occurrence = lowest (doc_id,
+    block_idx)) as a duplicate. C4 drops any three-sentence span seen
+    before; this is the same global-first-occurrence rule at block
+    granularity.
+
+    Block slicing is row-local Column math (zero shuffle); global first-
+    occurrence is ONE row_number window partitioned by block_text — high
+    cardinality, well distributed, and the only corpus-wide exchange; the
+    per-doc rollup is a map-side-combinable groupBy. At 100 TB block_text
+    would be hashed (xxhash64) before the shuffle to cap key width — kept
+    as text here so the oracle compares the exact strings."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = PARAGRAPH_BLOCK_TOKENS
+    base = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).withColumn("n_blocks", (F.size("toks") / b).cast("bigint"))
+    blocks = base.where(F.col("n_blocks") >= 1).select(
+        "doc_id",
+        "n_blocks",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_blocks") - 1)).alias(
+            "block_idx"
+        ),
+        "toks",
+    )
+    block_text = F.array_join(
+        F.slice("toks", (F.col("block_idx") * b + 1).cast("int"), b), " "
+    )
+    w = Window.partitionBy("block_text").orderBy("doc_id", "block_idx")
+    marked = blocks.select(
+        "doc_id", "n_blocks", "block_idx", block_text.alias("block_text")
+    ).withColumn("is_dup", F.row_number().over(w) > 1)
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.first("n_blocks").alias("n_blocks"),
+            F.sum(F.col("is_dup").cast("bigint")).alias("n_dup_blocks"),
+        )
+        .select(
+            "doc_id",
+            "n_blocks",
+            "n_dup_blocks",
+            (F.col("n_dup_blocks").cast("double") / F.col("n_blocks")).alias(
+                "dup_block_frac"
+            ),
+        )
+    )
+
+
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the mean per-token log-ratio between a target-domain unigram LM (here
+    the ``lang='en'`` slice) and the raw-corpus unigram LM, with add-1
+    smoothing over the shared vocabulary. High weight = looks like the
+    target domain; resampling by these weights is the DSIR selection step.
+
+    Both LMs come from ONE map-side-combined groupBy(token) with a
+    conditional sum (no second corpus pass); vocabulary size and token
+    totals are a 1-row broadcast; per-token log-ratios are floats of exact
+    rationals and the per-doc mean rounds to 6dp (the unigram_loglik
+    determinism pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    lm = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_tgt"),
+    )
+    totals = lm.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("n_raw").alias("nr"),
+        F.sum("n_tgt").alias("nt"),
+    )
+    log_ratio = F.log(
+        (F.col("n_tgt") + 1).cast("double") / (F.col("nt") + F.col("v"))
+    ) - F.log((F.col("n_raw") + 1).cast("double") / (F.col("nr") + F.col("v")))
+    return (
+        tok.join(lm, "token")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(log_ratio), 6).alias("avg_log_ratio"),
+        )
+        .select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "avg_log_ratio")
+    )
+
+
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting step of one BPE merge iteration, lifted to word level:
+    frequency of every ADJACENT token pair across the corpus, top-100 with
+    dense ranking — what a distributed tokenizer trainer computes each
+    round to pick the next merge.
+
+    Pair construction is row-local (transform over an index sequence — no
+    self-join, no shuffle before the count); the global count is one
+    map-side-combined groupBy; top-100 orders by (count DESC, pair ASC) so
+    the cut is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(F.split(F.col("text"), " ").alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    pairs = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                ),
+            )
+        ).alias("pair")
+    )
+    counts = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(100)
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return counts.withColumn("rank", F.row_number().over(w).cast("bigint"))

@@ -2334,3 +2334,123 @@ SELECT lang,
        MAX(n_tokens) AS max_tokens
 FROM t GROUP BY 1, 2
 """
+
+ORACLE_SQL["text_tfidf_topk"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token, tf, df,
+         round(tf * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       tfidf, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+ORACLE_SQL["dedup_paragraphs"] = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+b AS (
+  SELECT doc_id, len(t) // 8 AS n_blocks, t FROM base WHERE len(t) // 8 >= 1
+),
+blocks AS (
+  SELECT doc_id, n_blocks,
+         unnest(generate_series(0, n_blocks - 1)) AS block_idx, t
+  FROM b
+),
+marked AS (
+  SELECT doc_id, n_blocks, block_idx,
+         array_to_string(t[block_idx * 8 + 1 : block_idx * 8 + 8], ' ') AS block_text
+  FROM blocks
+),
+rn AS (
+  SELECT doc_id, n_blocks,
+         row_number() OVER (PARTITION BY block_text
+                            ORDER BY doc_id, block_idx) > 1 AS is_dup
+  FROM marked
+),
+per_doc AS (
+  SELECT doc_id, MIN(n_blocks) AS n_blocks,
+         SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup_blocks
+  FROM rn GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_blocks AS BIGINT) AS n_blocks,
+       CAST(n_dup_blocks AS BIGINT) AS n_dup_blocks,
+       CAST(n_dup_blocks AS DOUBLE) / n_blocks AS dup_block_frac
+FROM per_doc
+"""
+
+ORACLE_SQL["corpus_dsir_weights"] = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+),
+lm AS (
+  SELECT token, COUNT(*) AS n_raw,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_tgt
+  FROM tok GROUP BY token
+),
+totals AS (SELECT COUNT(*) AS v, SUM(n_raw) AS nr, SUM(n_tgt) AS nt FROM lm)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(AVG(ln(CAST(n_tgt + 1 AS DOUBLE) / (nt + v))
+                 - ln(CAST(n_raw + 1 AS DOUBLE) / (nr + v))), 6) AS avg_log_ratio
+FROM tok JOIN lm USING (token) CROSS JOIN totals
+GROUP BY doc_id
+"""
+
+ORACLE_SQL["text_bpe_pair_counts"] = """
+WITH base AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS pair
+  FROM base
+),
+counts AS (
+  SELECT pair, COUNT(*) AS n_occurrences FROM pairs GROUP BY pair
+  ORDER BY n_occurrences DESC, pair ASC LIMIT 100
+)
+SELECT pair, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       row_number() OVER (ORDER BY n_occurrences DESC, pair ASC) AS rank
+FROM counts
+"""
+
+ORACLE_SQL["mm_phash_dedup"] = """
+WITH base AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS vals,
+         CAST(len(string_split(text, '')) AS BIGINT) AS n
+  FROM documents
+),
+t AS (
+  SELECT doc_id, vals, n,
+         CAST(COALESCE(list_sum(vals), 0) AS BIGINT) AS total
+  FROM base
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(COALESCE(list_sum(list_transform(generate_series(0, 15), b ->
+           CASE WHEN CAST(COALESCE(list_sum(
+                        vals[(b * n) // 16 + 1 : ((b + 1) * n) // 16]
+                      ), 0) AS BIGINT) * n
+                     > total * (((b + 1) * n) // 16 - (b * n) // 16)
+                THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)), 0) AS BIGINT) AS phash
+  FROM t
+)
+SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keep_doc_id,
+       list_sort(list(doc_id)) AS doc_ids
+FROM hashed GROUP BY phash HAVING COUNT(*) > 1
+"""

@@ -309,3 +309,11 @@ register(
     no_oracle="append-mode watermark emits only finalized sessions; the "
     "batch-equivalent 'sessionize' carries the value oracle",
 )
+
+# --- round-5 additions: lexical retrieval, C4-style span dedup, DSIR
+# selection, BPE merge counting, perceptual-hash payload dedup -------------
+register("text_tfidf_topk", text.text_tfidf_topk)
+register("dedup_paragraphs", text.dedup_paragraphs)
+register("corpus_dsir_weights", text.corpus_dsir_weights)
+register("text_bpe_pair_counts", text.text_bpe_pair_counts)
+register("mm_phash_dedup", multimodal.mm_phash_dedup)

@@ -366,3 +366,50 @@ def test_funnel_single_user_shuffle(spark, sf_dir):
     # reuse one exchange; plus the final 1-row aggregate's tiny exchange.
     df = QUERIES["events_funnel"](spark, sf_dir)
     assert inspect.count_shuffles(df) <= 2
+
+
+def test_phash_dedup_single_shuffle_no_python(spark, sf_dir):
+    # perceptual hash is row-local unrolled Column math: the ONLY exchange
+    # is the final groupBy(phash); no Python boundary, no join of any kind
+    plan = inspect.executed_plan(QUERIES["mm_phash_dedup"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    for op in ["SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+               "CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+               "FlatMapGroupsInPandas", "MapInPandas"]:
+        assert op not in plan, op
+
+
+def test_dedup_paragraphs_two_shuffles_no_join(spark, sf_dir):
+    # block slicing is row-local; global first-occurrence is ONE window
+    # exchange on block_text plus ONE per-doc rollup exchange — no join,
+    # no pair enumeration anywhere
+    plan = inspect.executed_plan(QUERIES["dedup_paragraphs"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2
+    for op in ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+               "BroadcastNestedLoopJoin"]:
+        assert op not in plan, op
+
+
+def test_bpe_pair_counts_take_ordered(spark, sf_dir):
+    # pair construction row-local (no self-join); one map-side-combined
+    # count exchange; global top-100 must be a distributed TakeOrdered,
+    # never a full sort of the pair vocabulary
+    plan = inspect.executed_plan(QUERIES["text_bpe_pair_counts"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_and_dsir_scalar_broadcast_no_cartesian(spark, sf_dir):
+    # the corpus-level scalars (doc count / LM totals) attach via a 1-row
+    # broadcast (BNLJ is the intended scalar-attach shape, bounded to one);
+    # the vocabulary join is left to AQE (broadcast here, SMJ at scale) —
+    # pin only what must hold at any scale: no unbroadcast cartesian and
+    # no Python boundary
+    for name in ["text_tfidf_topk", "corpus_dsir_weights"]:
+        plan = inspect.executed_plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("BroadcastNestedLoopJoin") <= 1, name
+        for op in ["BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
+            assert op not in plan, (name, op)
