@@ -546,3 +546,48 @@ def cdc_merge_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(F.coalesce("new_text", "text")).cast("bigint").alias("n_chars"),
         )
     )
+
+
+TOKEN_BUDGET = 10_000_000
+
+
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget planning report: per (source, lang) — document and
+    token counts, the stratum's share of the corpus, cumulative share when
+    strata are ranked largest-first (the "how many strata cover 90%?"
+    curve), and the epoch multiplier a 10M-token training budget implies
+    (epochs > 1 ⇒ the stratum must repeat; ≪ 1 ⇒ it will be subsampled).
+
+    One map-side-combinable groupBy over the corpus, then windows over the
+    tiny strata relation — fact rows are touched exactly once. Token
+    counts are exact whitespace-split integers (text_token_count's
+    convention); shares are single exact-int divisions; the cumulative
+    window carries (tokens DESC, source, lang) so equal-sized strata can
+    never reorder between engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    strata = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("n_tokens"),
+    )
+    total = Window.partitionBy()
+    cum = (
+        Window.partitionBy()
+        .orderBy(F.desc("n_tokens"), F.asc("source"), F.asc("lang"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return strata.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(total).cast("double")
+        ).alias("token_share"),
+        (
+            F.sum("n_tokens").over(cum).cast("double")
+            / F.sum("n_tokens").over(total).cast("double")
+        ).alias("cum_share"),
+        F.round(
+            F.lit(TOKEN_BUDGET).cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("budget_epochs"),
+    )

@@ -670,3 +670,50 @@ def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_accepted", F.lit(0)).alias("n_accepted"),
         )
     )
+
+
+DEFAULT_CONTAINMENT_THRESHOLD = 0.5
+
+
+def dedup_containment(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = DEFAULT_CONTAINMENT_THRESHOLD,
+    k: int = 3,
+    max_df: int | None = DEFAULT_MAX_DF,
+) -> DataFrame:
+    """Shingle CONTAINMENT near-dup pairs: |A∩B| / min(|A|, |B|) — the
+    asymmetric companion to Jaccard that catches partial duplication
+    (one document embedding another: quotes, concatenated crawls, a doc
+    plus boilerplate) which symmetric Jaccard dilutes below threshold
+    whenever the container is much larger than the contained.
+
+    Same inverted-index shape as dedup_ngram_jaccard — shingle postings
+    self-join, never doc×doc; the identical hot-shingle ``max_df`` guard
+    caps the quadratic term. All three quantities are exact integers; the
+    single double division is bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, k=k, max_df=max_df).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont = F.col("c").cast("double") / F.least("na", "nb").cast("double")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("c").cast("bigint").alias("n_common"),
+            F.least("na", "nb").cast("bigint").alias("n_smaller"),
+            cont.alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

@@ -249,3 +249,50 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+# STFT-style framing parameters in BYTES of the payload: a stand-in for
+# (frame_length, hop_length) in samples × bytes-per-sample on real PCM audio
+# (e.g. 25 ms / 10 ms windows at 16 kHz s16le = 800 / 320 bytes).
+AUDIO_FRAME_BYTES = 64
+AUDIO_HOP_BYTES = 32
+
+
+def mm_audio_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping analysis-frame index over "audio" payloads — the
+    windowing pass (frame/hop) every audio feature chain (STFT, MFCC,
+    VAD) starts from, here producing the frame map a downstream decoder
+    UDF would consume: (doc_id, frame_idx, byte_offset, frame_bytes,
+    n_frames). Only COMPLETE frames are emitted, per the usual truncating
+    convention.
+
+    Everything is row-local Column math — the frame count from the byte
+    length, the offsets via an exploded sequence — so the plan has zero
+    shuffles and zero Python; at 100 TB this is a map-only pass whose
+    output feeds a mapInPandas feature extractor exactly like
+    mm_frame_sample's. Payloads shorter than one frame yield no rows
+    (the same guard real framers apply)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = with_binary_payload(docs)
+    n_bytes = F.octet_length(F.col("content")).cast("bigint")
+    n_frames = F.floor(
+        (n_bytes - F.lit(AUDIO_FRAME_BYTES)) / F.lit(AUDIO_HOP_BYTES)
+    ).cast("bigint") + F.lit(1)
+    framed = payload.select(
+        "doc_id", n_bytes.alias("payload_bytes"), n_frames.alias("n_frames")
+    ).where(F.col("n_frames") >= 1)
+    return framed.select(
+        "doc_id",
+        "payload_bytes",
+        "n_frames",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.col("n_frames") - 1)
+        ).alias("frame_idx"),
+    ).select(
+        "doc_id",
+        "frame_idx",
+        (F.col("frame_idx") * AUDIO_HOP_BYTES).alias("byte_offset"),
+        F.lit(AUDIO_FRAME_BYTES).cast("bigint").alias("frame_bytes"),
+        "n_frames",
+        "payload_bytes",
+    )

@@ -1275,3 +1275,120 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(f_w).cast("bigint").alias("f_score"),
         F.ntile(4).over(m_w).cast("bigint").alias("m_score"),
     )
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix: P(next_type | type) over each user's
+    time-ordered event stream — the Markov-chain view behind session-flow
+    and next-action analyses.
+
+    One window shuffle partitioned by user_id (high cardinality, well
+    distributed) pairs each event with its successor via lead(); the
+    transition rollup is a map-side-combinable groupBy over a tiny
+    (type × type) key space. Counts are exact integers; the probability is
+    one exact-int division — bit-identical across engines. The window
+    orders by (ts, event_id): event_id is unique, so same-timestamp events
+    can never reorder between engines."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    pairs = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    w_src = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_src).cast("double")
+        ).alias("probability"),
+    )
+
+
+MAD_SIGMAS = 3.0
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: flag events whose value deviates from the
+    per-event-type median by more than 3× the MAD (median absolute
+    deviation) — the standard quantile-robust alternative to z-scores for
+    heavy-tailed telemetry.
+
+    Two grouped exact-percentile passes (median, then MAD over the
+    deviations) + one broadcast join of the per-type statistics back onto
+    the fact rows. The per-type stats frame is dimension-sized (one row
+    per event_type), so the join is an explicit broadcast — fact rows
+    never shuffle. At 100 TB swap F.percentile for approx_percentile
+    (t-digest, map-side combined) and keep the identical plan shape.
+
+    Determinism: exact interpolated percentile over doubles is the same
+    IEEE arithmetic in Spark and DuckDB (quantile_cont); the flag compares
+    deviations ROUNDED to 9dp so a boundary-sitting value can't flip on a
+    final-ulp difference."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "abs_dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.percentile("abs_dev", F.lit(0.5)).alias("mad"),
+    )
+    return (
+        events.join(F.broadcast(mad), "event_type")
+        .where(
+            F.round(F.abs(F.col("value") - F.col("med")), 9)
+            > F.round(F.lit(MAD_SIGMAS) * F.col("mad"), 9)
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+        )
+    )
+
+
+def scd2_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: compress each customer's
+    time-ordered order-status history into validity intervals
+    [valid_from, valid_to) with an is_current flag — the warehouse pattern
+    for tracking attribute history without overwriting it.
+
+    Change detection is lag() ≠ current (keep only rows where the status
+    actually changed); interval close-out is lead() on the kept rows. Both
+    windows partition by o_custkey — ONE shuffle on a high-cardinality key,
+    reused across the two window functions (same partitioning, Spark plans
+    a single exchange). Ordering carries the unique o_orderkey tie-break so
+    same-day orders can never reorder between engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_date"), F.asc("o_orderkey"))
+    changed = (
+        orders.select(
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("o_date"),
+            "o_orderkey",
+            "o_orderstatus",
+        )
+        .withColumn("prev_status", F.lag("o_orderstatus").over(w))
+        .where(
+            F.col("prev_status").isNull()
+            | (F.col("prev_status") != F.col("o_orderstatus"))
+        )
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy(F.asc("o_date"), F.asc("o_orderkey"))
+    return changed.select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_date").alias("valid_from"),
+        F.lead("o_date").over(w2).alias("valid_to"),
+        F.lead("o_date").over(w2).isNull().alias("is_current"),
+    )

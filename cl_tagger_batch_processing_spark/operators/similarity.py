@@ -678,3 +678,99 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_outlier, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
         F.max(F.when(is_outlier, F.col("d2"))).alias("max_outlier_d2"),
     )
+
+
+SQ_LEVELS = 255  # int8-style scalar quantization: codes in 0..255
+
+
+def scalar_quantized_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, codes): each embedding component scalar-quantized to an
+    integer code in 0..SQ_LEVELS using per-dimension corpus min/max — the
+    memory-compression trick (float32 → int8 ≈ 4× smaller vectors, integer
+    SIMD dot products) every production ANN store applies before indexing.
+
+    The per-dim min/max is ONE aggregate row (2×EMBED_DIM agg columns,
+    fully map-side combined — no extra shuffle, no per-dim explode) cross-
+    joined back as a broadcast; code assignment is then row-local Column
+    math. code = (x−mn)·SQ_LEVELS div (mx−mn): non-negative integer
+    division, identical truncation semantics in Spark and DuckDB."""
+    base = quantized_embeddings(spark, sf_dir)
+    minmax = base.agg(
+        F.array(*[F.min(F.col("qv")[i]) for i in range(EMBED_DIM)]).alias("mns"),
+        F.array(*[F.max(F.col("qv")[i]) for i in range(EMBED_DIM)]).alias("mxs"),
+    )
+    spread = F.zip_with(F.col("mxs"), F.col("mns"), lambda mx, mn: mx - mn)
+    shifted = F.zip_with(F.col("qv"), F.col("mns"), lambda x, mn: (x - mn) * SQ_LEVELS)
+    codes = F.zip_with(
+        shifted,
+        spread,
+        lambda num, rng: F.when(rng > 0, (num / rng).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        ),
+    )
+    return (
+        base.crossJoin(F.broadcast(minmax))
+        .select("vec_id", codes.alias("codes"))
+    )
+
+
+def sim_scalar_quant_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    top_k: int = DEFAULT_TOP_K,
+    num_queries: int = DEFAULT_NUM_QUERIES,
+) -> DataFrame:
+    """Per-query recall of scalar-quantized top-k against exact cosine
+    top-k — the accept/reject dial for trading 4× vector memory for
+    ranking fidelity (compare ann_recall_report, which measures the
+    candidate-pruning approximations).
+
+    The quantized path ranks by exact integer code dot products (codes ≤
+    255, so a 64-dim dot ≤ ~4.2e6 — far inside double-exact range in any
+    engine); the exact path is sim_topk_cosine's broadcast scan. Both
+    top-k windows carry the unique neighbor_id tie-break, so the compared
+    sets are deterministic; recall is one exact-int division."""
+    codes = scalar_quantized_codes(spark, sf_dir)
+    queries = codes.where(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("codes").alias("qc")
+    )
+    dot8 = int_dot(F.col("qc"), F.col("codes"))
+    scored = (
+        codes.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), dot8.alias("dot8"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot8"), F.asc("neighbor_id"))
+    sq_topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id")
+    )
+    exact = sim_topk_cosine(spark, sf_dir, top_k=top_k, num_queries=num_queries).select(
+        "query_id", "neighbor_id"
+    )
+    hits = F.sum(
+        F.when(F.col("hit").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    ).cast("bigint")
+    # ≤ top_k × num_queries rows by construction — dimension-sized, so the
+    # recall join broadcasts instead of shuffling the exact side.
+    return (
+        exact.join(
+            F.broadcast(sq_topk.withColumn("hit", F.lit(1))),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            hits.alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_exact").cast("double")).alias(
+                "recall"
+            ),
+        )
+    )

@@ -627,3 +627,41 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
     return counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy — the classic
+    gibberish/boilerplate detector (natural prose sits in a narrow entropy
+    band; repeated padding scores low, random noise scores high).
+
+    Shape: one explode to (doc_id, char) + one map-side-combinable
+    groupBy(doc_id, char) + one groupBy(doc_id) rollup — the same two-
+    shuffle profile as text_tfidf_topk, linear in corpus bytes.
+
+    Determinism: entropy = ln(n) − Σ c·ln(c) / n is a float SUM, and
+    double addition is order-sensitive — Spark's partial aggregation and
+    DuckDB's scan order would disagree in the last ulps. So each c·ln(c)
+    term rounds to 9dp and casts to DECIMAL(28,9) BEFORE the sum: decimal
+    addition is exact and order-independent, making the aggregate
+    bit-identical across engines; the final entropy rounds to 6dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).where(F.col("ch") != "")
+    per_char = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    term = F.round(F.col("c") * F.log(F.col("c").cast("double")), 9).cast(
+        "decimal(28,9)"
+    )
+    agg = per_char.withColumn("term", term).groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_chars"),
+        F.sum("term").alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_chars",
+        F.round(
+            F.log(F.col("n_chars").cast("double"))
+            - F.col("s").cast("double") / F.col("n_chars").cast("double"),
+            6,
+        ).alias("entropy"),
+    )

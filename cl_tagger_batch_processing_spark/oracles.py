@@ -2454,3 +2454,190 @@ SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_docs,
        list_sort(list(doc_id)) AS doc_ids
 FROM hashed GROUP BY phash HAVING COUNT(*) > 1
 """
+
+# --- round-5 batch-2 additions ----------------------------------------------
+
+# Mirrors relational.events_markov_transitions: lead() over (user_id; ts,
+# event_id) then an exact-int transition rollup.
+ORACLE_SQL["events_markov_transitions"] = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
+         AS probability
+FROM c
+"""
+
+# Mirrors relational.events_anomaly_mad: exact interpolated medians
+# (quantile_cont ≡ Spark percentile), flag on 9dp-rounded deviations.
+ORACLE_SQL["events_anomaly_mad"] = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, m.med, abs(e.value - m.med) AS abs_dev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, med, quantile_cont(abs_dev, 0.5) AS mad
+  FROM dev GROUP BY event_type, med
+)
+SELECT e.event_id, e.event_type, e.value,
+       round(m.med, 6) AS med, round(m.mad, 6) AS mad
+FROM events e JOIN mad m USING (event_type)
+WHERE round(abs(e.value - m.med), 9) > round(3.0 * m.mad, 9)
+"""
+
+# Mirrors relational.scd2_order_status: change rows via lag(), intervals via
+# lead(), both over (o_custkey; date, o_orderkey).
+ORACLE_SQL["scd2_order_status"] = """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_date, o_orderkey,
+         o_orderstatus,
+         lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey)
+           AS prev_status
+  FROM orders
+),
+ch AS (
+  SELECT * FROM o
+  WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+)
+SELECT o_custkey, o_orderstatus AS status, o_date AS valid_from,
+       lead(o_date) OVER w AS valid_to,
+       lead(o_date) OVER w IS NULL AS is_current
+FROM ch
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_date, o_orderkey)
+"""
+
+# Mirrors text.text_char_entropy: per-term 9dp round → DECIMAL(28,9) exact
+# sum (order-independent), entropy rounded at 6dp.
+ORACLE_SQL["text_char_entropy"] = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+pc AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars WHERE ch <> '' GROUP BY 1, 2
+),
+t AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+         SUM(CAST(round(c * ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(28,9))) AS s
+  FROM pc GROUP BY 1
+)
+SELECT doc_id, n_chars,
+       round(ln(CAST(n_chars AS DOUBLE)) - CAST(s AS DOUBLE) / n_chars, 6)
+         AS entropy
+FROM t
+"""
+
+# Mirrors curation.corpus_token_budget: exact-int strata sizes, largest-first
+# cumulative share with the (tokens DESC, source, lang) tie-break.
+ORACLE_SQL["corpus_token_budget"] = """
+WITH s AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, lang, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE)
+         AS token_share,
+       CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source, lang
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS DOUBLE)
+         / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS cum_share,
+       round(10000000.0 / n_tokens, 6) AS budget_epochs
+FROM s
+"""
+
+# Mirrors dedup.dedup_containment: the jaccard inverted-index shape with
+# |A∩B| / min(|A|,|B|) and the same hot-shingle cap.
+ORACLE_SQL["dedup_containment"] = f"""
+WITH {_shingle_ctes(3, max_df=DEDUP_MAX_DF)},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(c AS BIGINT) AS n_common,
+       CAST(least(sa.n, sb.n) AS BIGINT) AS n_smaller,
+       CAST(c AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) AS containment
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(c AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.5
+"""
+
+# Mirrors similarity.scalar_quantized_codes + sim_scalar_quant_recall:
+# per-dim min/max, integer code assignment, integer dot-product top-k,
+# recall vs the exact-cosine oracle (reused verbatim as a CTE).
+ORACLE_SQL["sim_scalar_quant_recall"] = f"""
+WITH {_QEMB_CTES},
+dims AS (SELECT generate_subscripts(qv, 1) AS dim, unnest(qv) AS qx FROM q),
+mm AS (SELECT dim, MIN(qx) AS mn, MAX(qx) AS mx FROM dims GROUP BY dim),
+pos AS (
+  SELECT vec_id, generate_subscripts(qv, 1) AS dim, unnest(qv) AS qx FROM q
+),
+codes AS (
+  SELECT vec_id,
+         list(CAST(CASE WHEN mx > mn THEN (qx - mn) * 255 // (mx - mn)
+                        ELSE 0 END AS BIGINT) ORDER BY dim) AS codes
+  FROM pos JOIN mm USING (dim) GROUP BY vec_id
+),
+qs AS (SELECT vec_id AS query_id, codes AS qc FROM codes WHERE vec_id < 5),
+sq AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         list_dot_product(CAST(qc AS DOUBLE[]), CAST(c.codes AS DOUBLE[]))
+           AS dot8
+  FROM codes c CROSS JOIN qs WHERE c.vec_id != query_id
+),
+sqk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dot8 DESC, neighbor_id ASC) AS rank
+    FROM sq
+  ) WHERE rank <= 10
+),
+exact_k AS ({ORACLE_SQL["sim_topk_cosine"]})
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM exact_k e LEFT JOIN sqk s USING (query_id, neighbor_id)
+GROUP BY e.query_id
+"""
+
+# Mirrors multimodal.mm_audio_framing: complete 64-byte frames at 32-byte
+# hop over the UTF-8 payload; offsets via an exploded series.
+ORACLE_SQL["mm_audio_framing"] = """
+WITH p AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+  FROM documents
+),
+f AS (
+  SELECT doc_id, payload_bytes,
+         (payload_bytes - 64) // 32 + 1 AS n_frames
+  FROM p WHERE payload_bytes >= 64
+),
+e AS (
+  SELECT doc_id, payload_bytes, CAST(n_frames AS BIGINT) AS n_frames,
+         unnest(generate_series(0, n_frames - 1)) AS frame_idx
+  FROM f
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(frame_idx * 32 AS BIGINT) AS byte_offset,
+       CAST(64 AS BIGINT) AS frame_bytes,
+       n_frames, payload_bytes
+FROM e
+"""

@@ -317,3 +317,15 @@ register("dedup_paragraphs", text.dedup_paragraphs)
 register("corpus_dsir_weights", text.corpus_dsir_weights)
 register("text_bpe_pair_counts", text.text_bpe_pair_counts)
 register("mm_phash_dedup", multimodal.mm_phash_dedup)
+
+# --- round-5 additions, batch 2: flow/robust-stats/SCD2 analytics, shingle
+# containment, scalar-quantized ANN, audio framing, entropy QA, budget
+# planning ----------------------------------------------------------------
+register("events_markov_transitions", relational.events_markov_transitions)
+register("events_anomaly_mad", relational.events_anomaly_mad)
+register("scd2_order_status", relational.scd2_order_status)
+register("text_char_entropy", text.text_char_entropy)
+register("corpus_token_budget", curation.corpus_token_budget)
+register("dedup_containment", dedup.dedup_containment)
+register("sim_scalar_quant_recall", similarity.sim_scalar_quant_recall)
+register("mm_audio_framing", multimodal.mm_audio_framing)

@@ -413,3 +413,90 @@ def test_tfidf_and_dsir_scalar_broadcast_no_cartesian(spark, sf_dir):
         assert plan.count("BroadcastNestedLoopJoin") <= 1, name
         for op in ["BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
             assert op not in plan, (name, op)
+
+
+def test_markov_transitions_no_join_bounded_shuffles(spark, sf_dir):
+    # lead() needs one user-partition exchange; the transition rollup is one
+    # map-side-combined exchange; the per-source probability window runs
+    # over the tiny (type × type) relation. No join anywhere.
+    plan = inspect.executed_plan(QUERIES["events_markov_transitions"](spark, sf_dir))
+    for op in ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+               "BroadcastNestedLoopJoin", "BatchEvalPython", "MapInPandas"]:
+        assert op not in plan, op
+    df = QUERIES["events_markov_transitions"](spark, sf_dir)
+    assert inspect.count_shuffles(df) <= 3
+
+
+def test_anomaly_mad_stats_broadcast_back(spark, sf_dir):
+    # the per-type stats frames are dimension-sized and must attach to fact
+    # rows via broadcast hash joins — a sort-merge join here would shuffle
+    # the full fact table twice at scale
+    plan = inspect.executed_plan(QUERIES["events_anomaly_mad"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_scd2_single_customer_shuffle(spark, sf_dir):
+    # change detection (lag) and interval close-out (lead) share the
+    # (o_custkey; o_date, o_orderkey) partitioning — Spark must plan ONE
+    # exchange, and there is no join to regress into
+    df = QUERIES["scd2_order_status"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert inspect.count_shuffles(df) == 1
+    for op in ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"]:
+        assert op not in plan, op
+
+
+def test_char_entropy_two_shuffles_no_python(spark, sf_dir):
+    # explode + groupBy(doc_id, ch) + groupBy(doc_id): exactly two
+    # map-side-combinable exchanges, everything else codegen'd Column math
+    df = QUERIES["text_char_entropy"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert inspect.count_shuffles(df) == 2
+    for op in ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+               "BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
+        assert op not in plan, op
+
+
+def test_token_budget_single_corpus_pass(spark, sf_dir):
+    # fact rows feed ONE map-side-combined groupBy; the share/cumulative
+    # windows run over the tiny strata relation (SinglePartition exchanges
+    # of dimension-sized data, not corpus data)
+    plan = inspect.executed_plan(QUERIES["corpus_token_budget"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    for op in ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+               "BatchEvalPython", "MapInPandas"]:
+        assert op not in plan, op
+
+
+def test_containment_never_cartesian(spark, sf_dir):
+    # the containment self-join must go through the shingle equi-key —
+    # an all-pairs doc×doc comparison can never appear
+    plan = inspect.executed_plan(QUERIES["dedup_containment"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scalar_quant_recall_broadcast_only_smallsides(spark, sf_dir):
+    # the corpus is scanned, never self-joined: the 1-row min/max and the
+    # 5-row query codes attach via broadcast nested loops (one per codes
+    # lineage: corpus codes, query codes, plus the exact path's query
+    # broadcast), the recall join broadcasts the k×queries top-k side —
+    # no unbroadcast cartesian, no Python, no corpus-side sort-merge join
+    plan = inspect.executed_plan(QUERIES["sim_scalar_quant_recall"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
+    for op in ["BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
+        assert op not in plan, op
+
+
+def test_audio_framing_zero_shuffle_no_python(spark, sf_dir):
+    # frame math + explode are row-local: a map-only plan end to end
+    df = QUERIES["mm_audio_framing"](spark, sf_dir)
+    assert inspect.count_shuffles(df) == 0
+    plan = inspect.executed_plan(df)
+    for op in ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+               "BroadcastNestedLoopJoin", "BatchEvalPython", "MapInPandas"]:
+        assert op not in plan, op
