@@ -1,0 +1,132 @@
+"""Graph analytics over relations the engine already produces.
+
+Extension surface (BASELINE.json north-star; the reference — appV2.py — has
+no graph operators). The graph is the part co-occurrence relation
+(part_cooccurrence's bounded basket self-join, support-filtered), the same
+"items bought together" structure recommendation and influence analyses run
+on. Two operators:
+
+* ``graph_pagerank``      — fixed-iteration PageRank, the canonical
+                            iterative message-passing algorithm (the same
+                            join → groupBy → re-join per-superstep shape as
+                            label propagation in ``dedup.dedup_clusters``).
+* ``graph_degree_stats``  — degree distribution, the first graph QA query.
+
+Determinism (the discipline everything cosine-shaped here follows): PageRank
+runs entirely in SCALED INTEGERS — ranks in units of 1e-15 ("femto-rank"),
+per-edge contributions via bigint floor division, damping as (×85 div 100).
+Every operation is exact and order-independent, so ten iterations are
+bit-identical between Spark and the DuckDB oracle with zero float-summation
+hazard; floats appear only in the final display division.
+
+Scale notes (100 TB): edges come from a bounded basket self-join (≤7 items
+per order ⇒ ≤21 pairs — linear in order count); each superstep is one
+equi-join pr⋈edges co-partitioned on src plus one map-side-combinable
+groupBy(dst); the rank frame is localCheckpoint'd per superstep to keep the
+plan linear (at cluster scale: a parquet stage per superstep, the classic
+Pregel-on-DataFrames layout). The only driver-side value is the node count —
+one scalar, the sanctioned control-plane shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+PR_SCALE = 10**15  # rank unit: 1e-15 (bigint-exact; total mass 1e15 ≪ 2^63)
+PR_DAMPING_NUM, PR_DAMPING_DEN = 85, 100  # 0.85 as an exact integer ratio
+PR_N_ITER = 10
+PR_MIN_SUPPORT = 2
+
+
+def cooccurrence_edges(
+    spark: SparkSession, sf_dir: str, min_support: int = PR_MIN_SUPPORT
+) -> DataFrame:
+    """Symmetric (src, dst) edge list: part pairs co-ordered in at least
+    ``min_support`` orders. The basket self-join is bounded by TPC-H's ≤7
+    lines per order (see part_cooccurrence), so edge generation is linear
+    in order count; the support filter prunes noise edges."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    basket = li.distinct()
+    a = basket.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = basket.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= min_support)
+    )
+    fwd = pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+    rev = pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    return fwd.unionByName(rev)
+
+
+def graph_pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    n_iter: int = PR_N_ITER,
+    min_support: int = PR_MIN_SUPPORT,
+) -> DataFrame:
+    """PageRank over the co-occurrence graph, ``n_iter`` synchronous
+    supersteps in exact scaled-integer arithmetic:
+
+        pr'(v) = (1−d)/N + d · Σ_{u→v} pr(u) div outdeg(u)
+
+    with pr carried as bigint multiples of 1e-15 and d = 85/100 applied as
+    integer multiply-then-divide. Floor-division mass loss is the standard
+    fixed-point concession; because BOTH engines floor identically, results
+    are bit-exact, not approximately equal. The symmetric graph has no
+    dangling nodes (every node has in- and out-edges), but the rank update
+    still left-joins from the node set so an isolated node would get the
+    teleport term rather than silently vanishing."""
+    edges = cooccurrence_edges(spark, sf_dir, min_support=min_support)
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # (src, dst, outdeg) — reused every superstep, so materialize once.
+    edges_deg = edges.join(outdeg, "src").localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    n = nodes.count()  # 1 scalar to the driver (control plane)
+    teleport = (PR_SCALE * (PR_DAMPING_DEN - PR_DAMPING_NUM)) // PR_DAMPING_DEN // n
+    pr = nodes.withColumn("pr", F.lit(PR_SCALE // n).cast("bigint"))
+    for _ in range(n_iter):
+        contrib = (
+            pr.join(edges_deg, pr.node == edges_deg.src)
+            .select(F.col("dst").alias("node"), F.expr("pr div outdeg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport).cast("bigint")
+                    + F.expr(
+                        f"(coalesce(s, 0L) * {PR_DAMPING_NUM}) div {PR_DAMPING_DEN}"
+                    )
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.select(
+        "node",
+        F.col("pr").alias("pr_scaled"),
+        (F.col("pr").cast("double") / F.lit(float(PR_SCALE))).alias("pagerank"),
+    )
+
+
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-occurrence graph: how many nodes have
+    each degree — the first skew/connectivity QA over any graph build (a
+    heavy-tailed degree histogram here predicts hot keys in every
+    downstream message-passing superstep). Two map-side-combinable
+    groupBys; all exact integers."""
+    edges = cooccurrence_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select("degree", "n_nodes")
+    )

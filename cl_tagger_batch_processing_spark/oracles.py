@@ -2641,3 +2641,63 @@ SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
        n_frames, payload_bytes
 FROM e
 """
+
+# Mirrors graph.cooccurrence_edges / graph_pagerank: ten supersteps of
+# exact scaled-integer PageRank (rank units of 1e-15, damping as ×85//100,
+# floor division everywhere), so the chain is bit-identical to Spark's.
+_PR_GRAPH_CTES = """
+bask AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+prs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM bask a JOIN bask b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+edges AS (
+  SELECT part_a AS src, part_b AS dst FROM prs
+  UNION ALL
+  SELECT part_b AS src, part_a AS dst FROM prs
+)
+""".strip()
+
+
+def _pagerank_sql(n_iter: int = 10) -> str:
+    ctes = [
+        _PR_GRAPH_CTES,
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src))",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "nn AS (SELECT COUNT(*) AS c FROM nodes)",
+        "pr0 AS (SELECT node, 1000000000000000 // (SELECT c FROM nn) AS pr FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""pr{i} AS (
+  SELECT n.node,
+         (1000000000000000 * 15) // 100 // (SELECT c FROM nn)
+           + (COALESCE(s.s, 0) * 85) // 100 AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.pr // e.outdeg) AS s
+    FROM pr{i - 1} p JOIN ed e ON p.node = e.src
+    GROUP BY e.dst
+  ) s USING (node)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, CAST(pr AS BIGINT) AS pr_scaled,
+       CAST(pr AS DOUBLE) / 1000000000000000.0 AS pagerank
+FROM pr{n_iter}
+"""
+    )
+
+
+ORACLE_SQL["graph_pagerank"] = _pagerank_sql(10)
+
+ORACLE_SQL["graph_degree_stats"] = f"""
+WITH {_PR_GRAPH_CTES},
+deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src)
+SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
+"""

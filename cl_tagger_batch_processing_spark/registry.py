@@ -329,3 +329,9 @@ register("corpus_token_budget", curation.corpus_token_budget)
 register("dedup_containment", dedup.dedup_containment)
 register("sim_scalar_quant_recall", similarity.sim_scalar_quant_recall)
 register("mm_audio_framing", multimodal.mm_audio_framing)
+
+# --- graph analytics over the co-occurrence relation ----------------------
+from .operators import graph  # noqa: E402
+
+register("graph_pagerank", graph.graph_pagerank)
+register("graph_degree_stats", graph.graph_degree_stats)

@@ -500,3 +500,22 @@ def test_audio_framing_zero_shuffle_no_python(spark, sf_dir):
     for op in ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
                "BroadcastNestedLoopJoin", "BatchEvalPython", "MapInPandas"]:
         assert op not in plan, op
+
+
+def test_pagerank_superstep_shape(spark, sf_dir):
+    # each superstep must be an equi-join pr⋈edges + a map-side-combined
+    # groupBy — never a cartesian, never a Python boundary; the edge build
+    # is the bounded basket self-join (equi-key on the order key)
+    plan = inspect.executed_plan(QUERIES["graph_pagerank"](spark, sf_dir))
+    for op in ["CartesianProduct", "BroadcastNestedLoopJoin",
+               "BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
+        assert op not in plan, op
+
+
+def test_degree_stats_two_groupbys_no_python(spark, sf_dir):
+    # degree then histogram: the only corpus-scale exchanges are the edge
+    # build's; the rollups are map-side combined, and there is no Python
+    plan = inspect.executed_plan(QUERIES["graph_degree_stats"](spark, sf_dir))
+    for op in ["CartesianProduct", "BroadcastNestedLoopJoin",
+               "BatchEvalPython", "MapInPandas"]:
+        assert op not in plan, op
