@@ -665,3 +665,53 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy"),
     )
+
+
+RAKE_TOP_K = 3
+
+
+def text_keyword_rake(spark: SparkSession, sf_dir: str, k: int = RAKE_TOP_K) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010), per document: candidate
+    phrases are maximal stopword-free token runs; a word's degree is the
+    summed length of the phrases containing it (multiplicity counted), its
+    score degree/freq; top-k words per doc. Unlike text_tfidf_topk this
+    needs NO corpus statistics — each document scores in isolation, which
+    is why RAKE variants survive in streaming/low-latency tagging.
+
+    Shape: one posexplode, then every aggregation keys on doc_id (+word /
+    +phrase) — high-cardinality, well-distributed, and all map-side
+    combinable; the phrase segmentation is a running stopword count over
+    (doc_id; pos), sharing the doc_id partitioning. Degree and freq are
+    exact integers; score is one exact-int division; ranking carries the
+    (score DESC, word ASC) tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
+    )
+    stop = F.col("word").isin(STOPWORDS)
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = toks.withColumn("phrase_id", F.sum(stop.cast("int")).over(w_run)).where(~stop)
+    phrase_len = seg.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("plen")
+    )
+    scored = (
+        seg.join(phrase_len, ["doc_id", "phrase_id"])
+        .groupBy("doc_id", "word")
+        .agg(
+            F.sum("plen").cast("bigint").alias("degree"),
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+        )
+        .withColumn(
+            "score", F.col("degree").cast("double") / F.col("freq").cast("double")
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "word", "degree", "freq", "score", "rank")
+    )

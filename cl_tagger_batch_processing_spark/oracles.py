@@ -2701,3 +2701,41 @@ WITH {_PR_GRAPH_CTES},
 deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src)
 SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
 """
+
+# Mirrors text.text_keyword_rake: running stopword count segments phrases;
+# degree/freq are exact integers; (score DESC, word) ranking.
+_RAKE_STOPS = "('a','the','of','and','in','to')"
+ORACLE_SQL["text_keyword_rake"] = f"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+seg AS (
+  SELECT doc_id, pos, word,
+         word IN {_RAKE_STOPS} AS is_stop,
+         SUM(CASE WHEN word IN {_RAKE_STOPS} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase_id
+  FROM toks
+),
+cw AS (SELECT doc_id, phrase_id, word FROM seg WHERE NOT is_stop),
+pl AS (SELECT doc_id, phrase_id, COUNT(*) AS plen FROM cw GROUP BY 1, 2),
+sc AS (
+  SELECT c.doc_id, c.word,
+         CAST(SUM(p.plen) AS BIGINT) AS degree,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM cw c JOIN pl p USING (doc_id, phrase_id)
+  GROUP BY 1, 2
+)
+SELECT doc_id, word, degree, freq,
+       CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE) AS score,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id
+    ORDER BY CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE) DESC, word ASC
+  ) AS rank
+  FROM sc
+)
+WHERE rank <= 3
+"""

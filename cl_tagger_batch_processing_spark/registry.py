@@ -335,3 +335,5 @@ from .operators import graph  # noqa: E402
 
 register("graph_pagerank", graph.graph_pagerank)
 register("graph_degree_stats", graph.graph_degree_stats)
+
+register("text_keyword_rake", text.text_keyword_rake)

@@ -519,3 +519,14 @@ def test_degree_stats_two_groupbys_no_python(spark, sf_dir):
     for op in ["CartesianProduct", "BroadcastNestedLoopJoin",
                "BatchEvalPython", "MapInPandas"]:
         assert op not in plan, op
+
+
+def test_rake_single_doc_partitioning_no_smj(spark, sf_dir):
+    # segmentation window, phrase-length groupBy, word rollup, and rank
+    # window ALL key on doc_id(+suffix) — the phrase-length join must stay
+    # on the (doc_id, phrase_id) equi-key (broadcast or shuffle-hash, or
+    # SMJ reusing the same partitioning), and never a cartesian or Python
+    plan = inspect.executed_plan(QUERIES["text_keyword_rake"](spark, sf_dir))
+    for op in ["CartesianProduct", "BroadcastNestedLoopJoin",
+               "BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
+        assert op not in plan, op
