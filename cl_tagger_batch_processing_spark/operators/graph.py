@@ -39,6 +39,7 @@ PR_SCALE = 10**15  # rank unit: 1e-15 (bigint-exact; total mass 1e15 ≪ 2^63)
 PR_DAMPING_NUM, PR_DAMPING_DEN = 85, 100  # 0.85 as an exact integer ratio
 PR_N_ITER = 10
 PR_MIN_SUPPORT = 2
+PR_CHECKPOINT_EVERY = 3
 
 
 def cooccurrence_edges(
@@ -90,26 +91,27 @@ def graph_pagerank(
     n = nodes.count()  # 1 scalar to the driver (control plane)
     teleport = (PR_SCALE * (PR_DAMPING_DEN - PR_DAMPING_NUM)) // PR_DAMPING_DEN // n
     pr = nodes.withColumn("pr", F.lit(PR_SCALE // n).cast("bigint"))
-    for _ in range(n_iter):
+    # Lineage is truncated every CHECKPOINT_EVERY supersteps, not every one:
+    # a 3-superstep chain is still a small plan, and each eager checkpoint is
+    # a blocking materialization — at 10 iterations the per-step checkpoint
+    # was the dominant cost, not the joins. The final iteration never
+    # checkpoints (the caller's action materializes it anyway).
+    for i in range(n_iter):
         contrib = (
             pr.join(edges_deg, pr.node == edges_deg.src)
             .select(F.col("dst").alias("node"), F.expr("pr div outdeg").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        pr = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport).cast("bigint")
-                    + F.expr(
-                        f"(coalesce(s, 0L) * {PR_DAMPING_NUM}) div {PR_DAMPING_DEN}"
-                    )
-                ).alias("pr"),
-            )
-            .localCheckpoint(eager=True)
+        pr = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport).cast("bigint")
+                + F.expr(f"(coalesce(s, 0L) * {PR_DAMPING_NUM}) div {PR_DAMPING_DEN}")
+            ).alias("pr"),
         )
+        if (i + 1) % PR_CHECKPOINT_EVERY == 0 and i < n_iter - 1:
+            pr = pr.localCheckpoint(eager=True)
     return pr.select(
         "node",
         F.col("pr").alias("pr_scaled"),
