@@ -2739,3 +2739,22 @@ FROM (
 )
 WHERE rank <= 3
 """
+
+# Mirrors streaming.windows.stream_trending_topk: the final complete-mode
+# epoch equals the batch windowed aggregation, ranked (n DESC, type ASC).
+ORACLE_SQL["stream_trending_topk"] = """
+WITH agg AS (
+  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_epoch,
+         event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT window_start_epoch, event_type, n, sum_value, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY window_start_epoch
+                               ORDER BY n DESC, event_type ASC) AS rank
+  FROM agg
+)
+WHERE rank <= 3
+"""

@@ -337,3 +337,5 @@ register("graph_pagerank", graph.graph_pagerank)
 register("graph_degree_stats", graph.graph_degree_stats)
 
 register("text_keyword_rake", text.text_keyword_rake)
+
+register("stream_trending_topk", streaming_windows.stream_trending_topk)

@@ -349,3 +349,72 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     return _run_to_memory(agg, "complete")
+
+
+TRENDING_TOP_K = 3
+STREAM_TRENDING_STAGING = staging_path("stream_trending")
+
+
+def stream_trending_topk(
+    spark: SparkSession, sf_dir: str, k: int = TRENDING_TOP_K
+) -> DataFrame:
+    """Trending top-k event types per tumbling hour, computed in a
+    ``foreachBatch`` sink — the standard pattern for ranking in Structured
+    Streaming, where window functions are not supported inside a streaming
+    aggregation: the stream maintains the windowed counts; each micro-batch
+    hands a BATCH DataFrame to foreachBatch, which ranks and OVERWRITES the
+    result table. Overwrite-per-epoch makes the sink idempotent under
+    micro-batch retries (same epoch rewrites the same content) — the
+    foreachBatch half of the exactly-once story, complementing
+    ``stream_sink_parquet``'s file-sink commit log.
+
+    Complete output mode means the final epoch carries the full windowed
+    aggregation, so the persisted ranking equals the batch equivalent —
+    fully value-checked. Ranking carries the (n DESC, event_type ASC)
+    tie-break; sums run in exact decimal."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = f"{STREAM_TRENDING_STAGING}/topk_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("sv"),
+    )
+
+    def rank_and_overwrite(batch_df: DataFrame, epoch_id: int) -> None:
+        w_rank = Window.partitionBy("window_start_epoch").orderBy(
+            F.desc("n"), F.asc("event_type")
+        )
+        (
+            batch_df.select(
+                F.unix_timestamp("w.start").alias("window_start_epoch"),
+                "event_type",
+                "n",
+                F.col("sv").cast("double").alias("sum_value"),
+            )
+            .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+            .where(F.col("rank") <= k)
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(rank_and_overwrite)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out)
