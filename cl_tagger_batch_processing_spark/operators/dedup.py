@@ -717,3 +717,56 @@ def dedup_containment(
         )
         .where(F.col("containment") >= threshold)
     )
+
+
+# Same marker list as text.STOPWORDS (not imported: text.py imports from
+# this module, and a cycle here would break registry load order).
+_KEEP_STOPS = ["a", "the", "of", "and", "in", "to"]
+
+
+def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a QUALITY keep policy: among identical-content
+    copies keep the highest-quality one, not the lowest id — what a real
+    curation pipeline wants when duplicates differ in metadata (e.g. the
+    copy from the cleaner source wins). "Quality" here is the same
+    stopword/uniqueness/length score text_quality_score exposes, computed
+    row-locally; identical text ⇒ identical score, so the policy decides
+    on the (quality DESC, doc_id ASC) composite and the id tie-break
+    actually bites — the keep choice is deterministic either way.
+
+    Same scale shape as dedup_exact (ONE shuffle on the uniform content
+    hash); the argmax rides the groupBy as max(struct(...)) — no window,
+    no second pass. The struct comparison needs an ordering-safe encoding
+    of quality: 6dp-rounded and scaled to bigint (exact), and doc_id
+    enters NEGATED so the struct max realizes (quality DESC, doc_id ASC).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*_KEEP_STOPS))).cast("double")
+        / F.size(toks).cast("double")
+    )
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast(
+        "double"
+    )
+    quality = F.round(F.lit(0.5) * stop_ratio + F.lit(0.5) * uniq_ratio, 6)
+    q_scaled = F.round(quality * 1000000, 0).cast("bigint")
+    scored = docs.select(
+        F.md5("text").alias("content_hash"),
+        "doc_id",
+        q_scaled.alias("q"),
+    )
+    best = F.max(F.struct(F.col("q"), (-F.col("doc_id")).alias("neg_id")))
+    return (
+        scored.groupBy("content_hash")
+        .agg(
+            best.alias("b"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            "content_hash",
+            (-F.col("b.neg_id")).cast("bigint").alias("keep_doc_id"),
+            (F.col("b.q").cast("double") / F.lit(1000000.0)).alias("keep_quality"),
+            "n_copies",
+        )
+    )

@@ -2758,3 +2758,33 @@ FROM (
 )
 WHERE rank <= 3
 """
+
+# Mirrors dedup.dedup_exact_keep_best: quality 6dp-rounded then scaled to
+# an exact bigint; keep = (quality DESC, doc_id ASC) per content hash.
+ORACLE_SQL["dedup_exact_keep_best"] = """
+WITH t AS (
+  SELECT doc_id, md5(text) AS content_hash, string_split(text, ' ') AS toks
+  FROM documents
+),
+q AS (
+  SELECT doc_id, content_hash,
+         CAST(round(round(
+           0.5 * (CAST(len(list_filter(toks,
+                    x -> x IN ('a','the','of','and','in','to'))) AS DOUBLE)
+                  / len(toks))
+           + 0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)),
+         6) * 1000000, 0) AS BIGINT) AS qs
+  FROM t
+),
+sel AS (
+  SELECT content_hash, doc_id AS keep_doc_id, qs,
+         row_number() OVER (PARTITION BY content_hash
+                            ORDER BY qs DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY content_hash) AS n_copies
+  FROM q
+)
+SELECT content_hash, keep_doc_id,
+       CAST(qs AS DOUBLE) / 1000000.0 AS keep_quality,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM sel WHERE rn = 1
+"""

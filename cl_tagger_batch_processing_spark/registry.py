@@ -339,3 +339,5 @@ register("graph_degree_stats", graph.graph_degree_stats)
 register("text_keyword_rake", text.text_keyword_rake)
 
 register("stream_trending_topk", streaming_windows.stream_trending_topk)
+
+register("dedup_exact_keep_best", dedup.dedup_exact_keep_best)

@@ -530,3 +530,16 @@ def test_rake_single_doc_partitioning_no_smj(spark, sf_dir):
     for op in ["CartesianProduct", "BroadcastNestedLoopJoin",
                "BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
         assert op not in plan, op
+
+
+def test_keep_best_single_shuffle_no_window(spark, sf_dir):
+    # the quality argmax must ride the ONE content-hash groupBy as
+    # max(struct(...)) — a window implementation would add a second
+    # full-width pass over the corpus
+    df = QUERIES["dedup_exact_keep_best"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert inspect.count_shuffles(df) == 1
+    assert "Window" not in plan
+    for op in ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+               "BatchEvalPython", "MapInPandas"]:
+        assert op not in plan, op
