@@ -774,3 +774,152 @@ def sim_scalar_quant_recall(
             ),
         )
     )
+
+
+PQ_SUBDIM = 32  # two subspaces of 32 dims each over the 64-dim embeddings
+PQ_CODEBOOK_SIZE = 16
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, c1, c2): product-quantization code assignment — each
+    vector's two 32-dim subvectors replaced by the id of the nearest of 16
+    codewords per subspace, compressing 64 floats to 2 bytes (the memory
+    trick IVF-PQ indexes stack on top of IVF's candidate pruning).
+
+    Codewords are the subvectors of the first PQ_CODEBOOK_SIZE corpus
+    vectors — the same deterministic stand-in for a trained codebook that
+    sim_topk_ivf uses for its coarse centroids (the operator exercises the
+    quantize/ADC plumbing, not codebook quality). Distances are exact
+    integer squared-L2 (expanded as s·s − 2·s·b + b·b over the quantized
+    ints), and BOTH subspace argmins ride one groupBy as min(struct(d,
+    code_id)) — a single corpus pass against a broadcast 16-row codebook,
+    no window, no second shuffle."""
+    base = quantized_embeddings(spark, sf_dir)
+    sub = base.select(
+        "vec_id",
+        F.slice("qv", 1, PQ_SUBDIM).alias("s1"),
+        F.slice("qv", PQ_SUBDIM + 1, PQ_SUBDIM).alias("s2"),
+    )
+    book = sub.where(F.col("vec_id") < PQ_CODEBOOK_SIZE).select(
+        F.col("vec_id").alias("code_id"),
+        F.col("s1").alias("b1"),
+        F.col("s2").alias("b2"),
+    )
+    d1 = (
+        int_dot(F.col("s1"), F.col("s1"))
+        - 2 * int_dot(F.col("s1"), F.col("b1"))
+        + int_dot(F.col("b1"), F.col("b1"))
+    )
+    d2 = (
+        int_dot(F.col("s2"), F.col("s2"))
+        - 2 * int_dot(F.col("s2"), F.col("b2"))
+        + int_dot(F.col("b2"), F.col("b2"))
+    )
+    return (
+        sub.crossJoin(F.broadcast(book))
+        .select("vec_id", "code_id", d1.alias("d1"), d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d1", "code_id")).alias("m1"),
+            F.min(F.struct("d2", "code_id")).alias("m2"),
+        )
+        .select(
+            "vec_id",
+            F.col("m1.code_id").alias("c1"),
+            F.col("m2.code_id").alias("c2"),
+        )
+    )
+
+
+def sim_pq_adc_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    top_k: int = DEFAULT_TOP_K,
+    num_queries: int = DEFAULT_NUM_QUERIES,
+) -> DataFrame:
+    """Per-query recall of PQ asymmetric-distance (ADC) top-k against the
+    exact cosine top-k — the fidelity dial for the 2-byte-per-vector
+    compression, completing the quantization ladder (LSH buckets → IVF
+    cells → int8 scalar quantization → PQ codes).
+
+    ADC: each query precomputes an exact-integer distance table to all 16
+    codewords per subspace (a 5×16-row broadcast); a vector's approximate
+    distance is then two table lookups + one add — the corpus is scanned
+    once with NO per-pair vector math, which is exactly why PQ wins at
+    scale. Every quantity is an exact integer, so ranking (adc ASC,
+    neighbor ASC) and recall are engine-portable."""
+    codes = pq_codes(spark, sf_dir)
+    base = quantized_embeddings(spark, sf_dir)
+    sub = base.select(
+        "vec_id",
+        F.slice("qv", 1, PQ_SUBDIM).alias("s1"),
+        F.slice("qv", PQ_SUBDIM + 1, PQ_SUBDIM).alias("s2"),
+    )
+    book = sub.where(F.col("vec_id") < PQ_CODEBOOK_SIZE).select(
+        F.col("vec_id").alias("code_id"),
+        F.col("s1").alias("b1"),
+        F.col("s2").alias("b2"),
+    )
+    queries = sub.where(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("s1").alias("q1"),
+        F.col("s2").alias("q2"),
+    )
+    dq1 = (
+        int_dot(F.col("q1"), F.col("q1"))
+        - 2 * int_dot(F.col("q1"), F.col("b1"))
+        + int_dot(F.col("b1"), F.col("b1"))
+    )
+    dq2 = (
+        int_dot(F.col("q2"), F.col("q2"))
+        - 2 * int_dot(F.col("q2"), F.col("b2"))
+        + int_dot(F.col("b2"), F.col("b2"))
+    )
+    dtab = (
+        queries.crossJoin(F.broadcast(book))
+        .select("query_id", "code_id", dq1.alias("dq1"), dq2.alias("dq2"))
+    )
+    t1 = dtab.select("query_id", F.col("code_id").alias("c1"), "dq1")
+    t2 = dtab.select("query_id", F.col("code_id").alias("c2"), "dq2")
+    scored = (
+        codes.crossJoin(F.broadcast(queries.select("query_id")))
+        .join(F.broadcast(t1), ["query_id", "c1"])
+        .join(F.broadcast(t2), ["query_id", "c2"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("dq1") + F.col("dq2")).alias("adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    pq_topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id")
+    )
+    exact = sim_topk_cosine(spark, sf_dir, top_k=top_k, num_queries=num_queries).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        exact.join(
+            F.broadcast(pq_topk.withColumn("hit", F.lit(1))),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.when(F.col("hit").isNotNull(), F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_exact").cast("double")).alias(
+                "recall"
+            ),
+        )
+    )

@@ -2788,3 +2788,66 @@ SELECT content_hash, keep_doc_id,
        CAST(n_copies AS BIGINT) AS n_copies
 FROM sel WHERE rn = 1
 """
+
+# Mirrors similarity.pq_codes + sim_pq_adc_recall: exact integer squared-L2
+# to the 16 first-vector codewords per 32-dim subspace, ADC = two table
+# lookups + add, recall vs the exact-cosine oracle.
+_PQ_L2 = (
+    "list_dot_product(CAST({s} AS DOUBLE[]), CAST({s} AS DOUBLE[]))"
+    " - 2 * list_dot_product(CAST({s} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " + list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+)
+ORACLE_SQL["sim_pq_adc_recall"] = f"""
+WITH {_QEMB_CTES},
+sub AS (SELECT vec_id, qv[1:32] AS s1, qv[33:64] AS s2 FROM n),
+book AS (SELECT vec_id AS code_id, s1 AS b1, s2 AS b2 FROM sub WHERE vec_id < 16),
+d AS (
+  SELECT s.vec_id, b.code_id,
+         {_PQ_L2.format(s="s.s1", b="b.b1")} AS d1,
+         {_PQ_L2.format(s="s.s2", b="b.b2")} AS d2
+  FROM sub s CROSS JOIN book b
+),
+a1 AS (
+  SELECT vec_id, code_id AS c1 FROM (
+    SELECT vec_id, code_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d1, code_id) AS rn
+    FROM d) WHERE rn = 1
+),
+a2 AS (
+  SELECT vec_id, code_id AS c2 FROM (
+    SELECT vec_id, code_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, code_id) AS rn
+    FROM d) WHERE rn = 1
+),
+codes AS (SELECT vec_id, c1, c2 FROM a1 JOIN a2 USING (vec_id)),
+qsub AS (SELECT vec_id AS query_id, s1 AS q1, s2 AS q2 FROM sub WHERE vec_id < 5),
+dt AS (
+  SELECT query_id, code_id,
+         {_PQ_L2.format(s="q1", b="b1")} AS dq1,
+         {_PQ_L2.format(s="q2", b="b2")} AS dq2
+  FROM qsub CROSS JOIN book
+),
+scored AS (
+  SELECT qq.query_id, c.vec_id AS neighbor_id, t1.dq1 + t2.dq2 AS adc
+  FROM codes c
+  CROSS JOIN (SELECT DISTINCT query_id FROM dt) qq
+  JOIN dt t1 ON t1.query_id = qq.query_id AND t1.code_id = c.c1
+  JOIN dt t2 ON t2.query_id = qq.query_id AND t2.code_id = c.c2
+  WHERE c.vec_id != qq.query_id
+),
+pqk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc ASC, neighbor_id ASC) AS rank
+    FROM scored) WHERE rank <= 10
+),
+exact_k AS ({ORACLE_SQL["sim_topk_cosine"]})
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM exact_k e LEFT JOIN pqk p USING (query_id, neighbor_id)
+GROUP BY e.query_id
+"""

@@ -341,3 +341,5 @@ register("text_keyword_rake", text.text_keyword_rake)
 register("stream_trending_topk", streaming_windows.stream_trending_topk)
 
 register("dedup_exact_keep_best", dedup.dedup_exact_keep_best)
+
+register("sim_pq_adc_recall", similarity.sim_pq_adc_recall)

@@ -543,3 +543,14 @@ def test_keep_best_single_shuffle_no_window(spark, sf_dir):
     for op in ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
                "BatchEvalPython", "MapInPandas"]:
         assert op not in plan, op
+
+
+def test_pq_adc_no_per_pair_vector_math(spark, sf_dir):
+    # PQ's point: the corpus scans once against 16-row/5-row broadcasts
+    # (codebook, queries, distance tables) — never a corpus self-join, no
+    # Python, and the corpus side never sort-merges
+    plan = inspect.executed_plan(QUERIES["sim_pq_adc_recall"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    for op in ["BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
+        assert op not in plan, op
