@@ -274,9 +274,13 @@ def text_unigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
     is not guaranteed, so let AQE pick broadcast when stats allow.
 
     Determinism: counts are exact integers and each log evaluates on an
-    exact rational; only the final mean is order-sensitive, so it rounds to
-    6dp on both engines (the mm_byte_histogram entropy pattern), far above
-    double summation-order noise.
+    exact rational, but a double MEAN is summation-order-sensitive and
+    Spark's partial-aggregation order varies run to run — a mean landing
+    on a 6dp rounding boundary can flip between runs (observed once on
+    corpus_dsir_weights at sf0.1). So each per-token term rounds to 9dp
+    and casts to DECIMAL(28,9) BEFORE the sum (the text_char_entropy
+    pattern): decimal addition is exact and order-independent, making the
+    mean bit-stable across runs AND engines; the final mean rounds at 6dp.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
@@ -287,14 +291,24 @@ def text_unigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))  # 1-row scalar, the sanctioned shape
         .select(
             "doc_id",
-            F.log(F.col("n_tok").cast("double") / F.col("n_total").cast("double")).alias(
-                "ll"
-            ),
+            F.round(
+                F.log(F.col("n_tok").cast("double") / F.col("n_total").cast("double")),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("ll"),
         )
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-        F.round(F.avg("ll"), 6).alias("avg_loglik"),
+        # + 0.0 canonicalizes IEEE negative zero (round of a tiny negative
+        # mean yields -0.0 in some engines, 0.0 in others).
+        (
+            F.round(
+                F.sum("ll").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            )
+            + F.lit(0.0)
+        ).alias("avg_loglik"),
     )
 
 
@@ -564,9 +578,10 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both LMs come from ONE map-side-combined groupBy(token) with a
     conditional sum (no second corpus pass); vocabulary size and token
-    totals are a 1-row broadcast; per-token log-ratios are floats of exact
-    rationals and the per-doc mean rounds to 6dp (the unigram_loglik
-    determinism pattern)."""
+    totals are a 1-row broadcast. Per-token log-ratios round to 9dp and
+    sum in DECIMAL(28,9) — exact, order-independent — because a double
+    mean flips on rounding boundaries under Spark's run-varying partial
+    aggregation order (observed once at sf0.1); the mean rounds at 6dp."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
@@ -580,16 +595,25 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_raw").alias("nr"),
         F.sum("n_tgt").alias("nt"),
     )
-    log_ratio = F.log(
-        (F.col("n_tgt") + 1).cast("double") / (F.col("nt") + F.col("v"))
-    ) - F.log((F.col("n_raw") + 1).cast("double") / (F.col("nr") + F.col("v")))
+    log_ratio = F.round(
+        F.log((F.col("n_tgt") + 1).cast("double") / (F.col("nt") + F.col("v")))
+        - F.log((F.col("n_raw") + 1).cast("double") / (F.col("nr") + F.col("v"))),
+        9,
+    ).cast("decimal(28,9)")
     return (
         tok.join(lm, "token")
         .crossJoin(F.broadcast(totals))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(log_ratio), 6).alias("avg_log_ratio"),
+            # + 0.0: negative-zero canonicalization (see text_unigram_loglik)
+            (
+                F.round(
+                    F.sum(log_ratio).cast("double") / F.count(F.lit(1)).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("avg_log_ratio"),
         )
         .select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "avg_log_ratio")
     )
@@ -714,4 +738,58 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str, k: int = RAKE_TOP_K) -> 
         scored.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
         .where(F.col("rank") <= k)
         .select("doc_id", "word", "degree", "freq", "score", "rank")
+    )
+
+
+CALIBRATION_BUCKETS = 10
+
+
+def text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-score calibration: decile buckets of
+    text_quality_score's score with per-decile document counts, score
+    bounds, and mean token count — the table you read before picking a
+    filter threshold (quality scores are not comparable ACROSS languages,
+    which is why the deciles partition by lang).
+
+    The ntile window partitions by lang — per-language sorts, not one
+    global sort; at 100 TB calibrate on a per-language sample or swap the
+    exact ntile for approx_percentile decile boundaries (same report
+    schema, sketch-merged map-side). Ordering carries the unique doc_id
+    tie-break; the score is exact-int-ratio arithmetic so both engines
+    sort identical doubles; the mean token count is an exact-int ratio
+    rounded at 6dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast(
+        "double"
+    ) / n_tokens
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    avg_len = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+        / n_tokens
+    )
+    score = (
+        F.lit(0.5) * stop_ratio
+        + F.lit(0.25) * uniq_ratio
+        + F.lit(0.25) * (F.least(avg_len, F.lit(8.0)) / F.lit(8.0))
+    )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        score.alias("q"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("q"), F.asc("doc_id"))
+    return (
+        scored.withColumn("decile", F.ntile(CALIBRATION_BUCKETS).over(w).cast("bigint"))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("q").alias("min_score"),
+            F.max("q").alias("max_score"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_tokens"),
+        )
     )

@@ -833,7 +833,9 @@ lm AS (SELECT token, COUNT(*) AS n_tok FROM tok GROUP BY token),
 total AS (SELECT SUM(n_tok) AS n_total FROM lm)
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       round(AVG(ln(CAST(n_tok AS DOUBLE) / n_total)), 6) AS avg_loglik
+       round(CAST(SUM(CAST(round(ln(CAST(n_tok AS DOUBLE) / n_total), 9)
+                          AS DECIMAL(28,9))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS avg_loglik
 FROM tok JOIN lm USING (token) CROSS JOIN total
 GROUP BY doc_id
 """
@@ -2402,8 +2404,10 @@ lm AS (
 ),
 totals AS (SELECT COUNT(*) AS v, SUM(n_raw) AS nr, SUM(n_tgt) AS nt FROM lm)
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       round(AVG(ln(CAST(n_tgt + 1 AS DOUBLE) / (nt + v))
-                 - ln(CAST(n_raw + 1 AS DOUBLE) / (nr + v))), 6) AS avg_log_ratio
+       round(CAST(SUM(CAST(round(ln(CAST(n_tgt + 1 AS DOUBLE) / (nt + v))
+                                 - ln(CAST(n_raw + 1 AS DOUBLE) / (nr + v)), 9)
+                          AS DECIMAL(28,9))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS avg_log_ratio
 FROM tok JOIN lm USING (token) CROSS JOIN totals
 GROUP BY doc_id
 """
@@ -2850,4 +2854,34 @@ SELECT e.query_id,
             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
 FROM exact_k e LEFT JOIN pqk p USING (query_id, neighbor_id)
 GROUP BY e.query_id
+"""
+
+# Mirrors text.text_quality_calibration: per-lang ntile(10) over
+# (score ASC, doc_id ASC), exact-int mean token count at 6dp.
+ORACLE_SQL["text_quality_calibration"] = """
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE) AS nosp
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         0.5 * (CAST(len(list_filter(toks,
+                  x -> x IN ('a','the','of','and','in','to'))) AS DOUBLE)
+                / len(toks))
+         + 0.25 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+         + 0.25 * (least(nosp / len(toks), 8.0) / 8.0) AS q
+  FROM t
+),
+d AS (
+  SELECT lang, n_tokens, q,
+         ntile(10) OVER (PARTITION BY lang ORDER BY q ASC, doc_id ASC) AS decile
+  FROM m
+)
+SELECT lang, CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_docs,
+       MIN(q) AS min_score, MAX(q) AS max_score,
+       round(CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS avg_tokens
+FROM d GROUP BY lang, decile
 """

@@ -343,3 +343,5 @@ register("stream_trending_topk", streaming_windows.stream_trending_topk)
 register("dedup_exact_keep_best", dedup.dedup_exact_keep_best)
 
 register("sim_pq_adc_recall", similarity.sim_pq_adc_recall)
+
+register("text_quality_calibration", text.text_quality_calibration)

@@ -39,6 +39,8 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:  # IEEE -0.0 and 0.0 are numerically equal; don't let
+            return "0"  # the sign of zero fail a comparison
         return f"{v:.9g}"
     if isinstance(v, (datetime.datetime, datetime.date)):
         return str(v)

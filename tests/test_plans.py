@@ -554,3 +554,15 @@ def test_pq_adc_no_per_pair_vector_math(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     for op in ["BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
         assert op not in plan, op
+
+
+def test_quality_calibration_lang_partitioned_sort(spark, sf_dir):
+    # the decile window partitions BY LANG (per-language sorts, never one
+    # global SinglePartition sort of the corpus); the rollup reuses the
+    # lang-prefixed partitioning; no join, no Python
+    df = QUERIES["text_quality_calibration"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert "Exchange SinglePartition" not in plan
+    for op in ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+               "BatchEvalPython", "MapInPandas"]:
+        assert op not in plan, op
