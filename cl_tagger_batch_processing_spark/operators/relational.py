@@ -1392,3 +1392,58 @@ def scd2_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_date").over(w2).alias("valid_to"),
         F.lead("o_date").over(w2).isNull().alias("is_current"),
     )
+
+
+ZSCORE_WINDOW = 10
+ZSCORE_MIN_HISTORY = 5
+ZSCORE_SIGMAS = 2.0
+
+
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags: each event compared against the mean
+    and standard deviation of ITS OWN user's previous ZSCORE_WINDOW events
+    — the self-calibrating per-entity detector (complementing
+    events_anomaly_mad's global per-type robust stats). Events with fewer
+    than ZSCORE_MIN_HISTORY predecessors are unscored (cold-start rule).
+
+    One shuffle: both rolling sums, the count, and the ordering share the
+    (user_id; ts, event_id) window. Determinism is the subtle part: a
+    sliding-frame SUM of doubles would associate additions differently
+    across engines (Spark buffers the frame; other engines use segment
+    trees), so the fixture's 2-decimal values are summed as exact pinned
+    DECIMALs — s1 in (18,2), s2 in (22,4) — making both rolling moments
+    exact rationals; z = (n·x − s1)/√(n·s2 − s1²) then evaluates on
+    identical doubles everywhere. The variance guard (> 0) drops
+    zero-variance windows instead of dividing by zero."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(12,2)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-ZSCORE_WINDOW, -1)
+    )
+    hist = events.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.sum(v).over(w).cast("decimal(18,2)").alias("s1"),
+        F.sum(v * v).over(w).cast("decimal(22,4)").alias("s2"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+    ).where(F.col("n_window") >= ZSCORE_MIN_HISTORY)
+    n = F.col("n_window")
+    var_num = (n * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+    z = (n * F.col("value").cast("decimal(12,2)") - F.col("s1")).cast(
+        "double"
+    ) / F.sqrt(var_num)
+    return (
+        hist.where(var_num > 0)
+        .withColumn("z", z)
+        .where(F.round(F.abs(F.col("z")), 9) > F.lit(ZSCORE_SIGMAS))
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.col("n_window").cast("bigint").alias("n_window"),
+            (F.round("z", 6) + F.lit(0.0)).alias("z"),
+        )
+    )

@@ -2885,3 +2885,30 @@ SELECT lang, CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_docs,
          AS avg_tokens
 FROM d GROUP BY lang, decile
 """
+
+# Mirrors relational.events_rolling_zscore: pinned-DECIMAL rolling moments
+# over the previous 10 events per user, z on exact rationals, 9dp-rounded
+# flag compare, 6dp + (-0 canonicalized) output.
+ORACLE_SQL["events_rolling_zscore"] = """
+WITH h AS (
+  SELECT event_id, user_id, value,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DECIMAL(18,2)) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+              OVER w AS DECIMAL(22,4)) AS s2,
+         COUNT(*) OVER w AS n_window
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+),
+f AS (
+  SELECT *,
+         CAST(n_window * s2 - s1 * s1 AS DOUBLE) AS var_num,
+         CAST(n_window * CAST(value AS DECIMAL(12,2)) - s1 AS DOUBLE) AS num
+  FROM h WHERE n_window >= 5
+)
+SELECT event_id, user_id, value,
+       CAST(n_window AS BIGINT) AS n_window,
+       round(num / sqrt(var_num), 6) + 0.0 AS z
+FROM f
+WHERE var_num > 0 AND round(abs(num / sqrt(var_num)), 9) > 2.0
+"""

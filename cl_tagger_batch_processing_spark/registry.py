@@ -345,3 +345,5 @@ register("dedup_exact_keep_best", dedup.dedup_exact_keep_best)
 register("sim_pq_adc_recall", similarity.sim_pq_adc_recall)
 
 register("text_quality_calibration", text.text_quality_calibration)
+
+register("events_rolling_zscore", relational.events_rolling_zscore)

@@ -566,3 +566,14 @@ def test_quality_calibration_lang_partitioned_sort(spark, sf_dir):
     for op in ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
                "BatchEvalPython", "MapInPandas"]:
         assert op not in plan, op
+
+
+def test_rolling_zscore_single_user_shuffle(spark, sf_dir):
+    # both rolling moments + count share ONE (user_id; ts, event_id)
+    # window — a second exchange or a join would double the fact pass
+    df = QUERIES["events_rolling_zscore"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert inspect.count_shuffles(df) == 1
+    for op in ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+               "BatchEvalPython", "MapInPandas"]:
+        assert op not in plan, op
