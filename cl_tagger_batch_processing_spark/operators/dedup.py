@@ -770,3 +770,52 @@ def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_copies",
         )
     )
+
+
+MINHASH_INCREMENTAL_THRESHOLD = 0.5
+
+
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup admission: an incoming batch (odd doc_ids)
+    checked against the existing corpus's MinHash store (even doc_ids) —
+    dedup_exact_incremental's running-pipeline form lifted from exact
+    hashes to banded signatures, so a lightly-edited re-crawl is caught,
+    not just byte-identical ones.
+
+    Candidates come from the SAME banded bucket join as dedup_minhash_lsh
+    (no all-pairs work; the store side ships 16 bigints per doc, never
+    text). Rejection rule is the standard single-pass greedy: reject an
+    incoming doc that estimates ≥ 0.5 Jaccard against ANY store doc
+    (store-rejection), else against any LOWER-id incoming doc
+    (within-batch rejection, first-id survives). Per-lang admission report;
+    all counts exact."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).where(
+        F.col("est_jaccard") >= MINHASH_INCREMENTAL_THRESHOLD
+    )
+    a_odd = F.col("doc_a") % 2 == 1
+    b_odd = F.col("doc_b") % 2 == 1
+    rej_store = (
+        pairs.where(a_odd != b_odd)
+        .select(F.when(a_odd, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_id"))
+        .distinct()
+        .withColumn("hit_store", F.lit(1))
+    )
+    rej_batch = (
+        pairs.where(a_odd & b_odd)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("hit_batch", F.lit(1))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    inc = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "lang")
+    joined = inc.join(rej_store, "doc_id", "left").join(rej_batch, "doc_id", "left")
+    store_hit = F.col("hit_store").isNotNull()
+    batch_hit = F.col("hit_batch").isNotNull()
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_incoming"),
+        F.sum(store_hit.cast("int")).cast("bigint").alias("n_rejected_store"),
+        F.sum((~store_hit & batch_hit).cast("int")).cast("bigint").alias(
+            "n_rejected_batch"
+        ),
+        F.sum((~store_hit & ~batch_hit).cast("int")).cast("bigint").alias("n_accepted"),
+    )

@@ -2912,3 +2912,43 @@ SELECT event_id, user_id, value,
 FROM f
 WHERE var_num > 0 AND round(abs(num / sqrt(var_num)), 9) > 2.0
 """
+
+# Mirrors dedup.dedup_minhash_incremental: the dedup_minhash_lsh candidate
+# machinery restricted to store(even)/incoming(odd) generations, greedy
+# single-pass rejection, per-lang admission counts.
+ORACLE_SQL["dedup_minhash_incremental"] = f"""
+WITH {_shingle_ctes(3, max_df=DEDUP_MAX_DF)},
+{_MINHASH_HALVES},
+sig AS (SELECT doc_id, {_MINHASH_COLS} FROM mh GROUP BY doc_id),
+bands AS ({_MINHASH_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
+  WHERE ({_MINHASH_MATCHES}) / 16.0 >= 0.5
+),
+rej_store AS (
+  SELECT DISTINCT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS doc_id
+  FROM pairs WHERE (doc_a % 2) != (doc_b % 2)
+),
+rej_batch AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM pairs WHERE doc_a % 2 = 1 AND doc_b % 2 = 1
+),
+inc AS (SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1)
+SELECT lang, COUNT(*) AS n_incoming,
+       CAST(SUM(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rejected_store,
+       CAST(SUM(CASE WHEN s.doc_id IS NULL AND b2.doc_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected_batch,
+       CAST(SUM(CASE WHEN s.doc_id IS NULL AND b2.doc_id IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted
+FROM inc
+LEFT JOIN rej_store s ON inc.doc_id = s.doc_id
+LEFT JOIN rej_batch b2 ON inc.doc_id = b2.doc_id
+GROUP BY lang
+"""

@@ -347,3 +347,5 @@ register("sim_pq_adc_recall", similarity.sim_pq_adc_recall)
 register("text_quality_calibration", text.text_quality_calibration)
 
 register("events_rolling_zscore", relational.events_rolling_zscore)
+
+register("dedup_minhash_incremental", dedup.dedup_minhash_incremental)

@@ -577,3 +577,13 @@ def test_rolling_zscore_single_user_shuffle(spark, sf_dir):
     for op in ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
                "BatchEvalPython", "MapInPandas"]:
         assert op not in plan, op
+
+
+def test_minhash_incremental_banded_only(spark, sf_dir):
+    # candidates must come from the banded bucket equi-join (the store
+    # side ships signatures, never text) — no cartesian, no Python
+    plan = inspect.executed_plan(QUERIES["dedup_minhash_incremental"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for op in ["BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
+        assert op not in plan, op
