@@ -1447,3 +1447,33 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round("z", 6) + F.lit(0.0)).alias("z"),
         )
     )
+
+
+PATH_TOP_K = 25
+
+
+def events_path_topk(spark: SparkSession, sf_dir: str, k: int = PATH_TOP_K) -> DataFrame:
+    """Top event-type paths: the most frequent 3-step type sequences across
+    user streams — the path-mining companion to events_markov_transitions
+    (transitions say where users go NEXT; paths say which multi-step flows
+    dominate).
+
+    One (user_id; ts, event_id) window shuffle builds both lead columns;
+    the path rollup is a map-side-combinable groupBy over a key space
+    bounded by #types³; the global top-k orders by (count DESC, path ASC)
+    through a distributed TakeOrdered, never a full sort."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    paths = (
+        events.select(
+            F.col("event_type").alias("t0"),
+            F.lead("event_type", 1).over(w).alias("t1"),
+            F.lead("event_type", 2).over(w).alias("t2"),
+        )
+        .where(F.col("t2").isNotNull())
+        .select(F.concat_ws(" > ", "t0", "t1", "t2").alias("path"))
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_paths"))
+    top = counts.orderBy(F.desc("n_paths"), F.asc("path")).limit(k)
+    w_rank = Window.orderBy(F.desc("n_paths"), F.asc("path"))
+    return top.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))

@@ -2952,3 +2952,23 @@ LEFT JOIN rej_store s ON inc.doc_id = s.doc_id
 LEFT JOIN rej_batch b2 ON inc.doc_id = b2.doc_id
 GROUP BY lang
 """
+
+# Mirrors relational.events_path_topk: two leads over (user_id; ts,
+# event_id), 3-step path counts, (count DESC, path ASC) top-25.
+ORACLE_SQL["events_path_topk"] = """
+WITH p AS (
+  SELECT event_type AS t0,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+c AS (
+  SELECT t0 || ' > ' || t1 || ' > ' || t2 AS path, COUNT(*) AS n_paths
+  FROM p WHERE t2 IS NOT NULL GROUP BY 1
+  ORDER BY n_paths DESC, path ASC LIMIT 25
+)
+SELECT path, n_paths,
+       row_number() OVER (ORDER BY n_paths DESC, path ASC) AS rank
+FROM c
+"""

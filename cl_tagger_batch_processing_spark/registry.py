@@ -349,3 +349,5 @@ register("text_quality_calibration", text.text_quality_calibration)
 register("events_rolling_zscore", relational.events_rolling_zscore)
 
 register("dedup_minhash_incremental", dedup.dedup_minhash_incremental)
+
+register("events_path_topk", relational.events_path_topk)

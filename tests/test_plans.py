@@ -587,3 +587,14 @@ def test_minhash_incremental_banded_only(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     for op in ["BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
         assert op not in plan, op
+
+
+def test_path_topk_take_ordered(spark, sf_dir):
+    # one user window exchange + one map-side-combined count exchange; the
+    # global cut must be a distributed TakeOrdered, never a full sort
+    df = QUERIES["events_path_topk"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    for op in ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+               "BatchEvalPython", "MapInPandas"]:
+        assert op not in plan, op
