@@ -297,3 +297,129 @@ def test_pack_sequences_window_budget_invariants(spark, sf_dir):
         # straddle; total tokens are preserved exactly
         total = sum(w.sum_tokens for w in ws)
         assert total >= PACK_BUDGET_TOKENS * (len(ws) - 1)
+
+
+# --- round-5 additions: invariants beyond oracle parity ---------------------
+
+
+def test_pagerank_mass_conserved_and_positive(spark, sf_dir):
+    from cl_tagger_batch_processing_spark.operators.graph import PR_SCALE, graph_pagerank
+
+    rows = graph_pagerank(spark, sf_dir).collect()
+    total = sum(r.pr_scaled for r in rows)
+    # floor divisions only ever LOSE femto-units, and only a vanishing
+    # fraction per superstep: total mass stays within 0.1% of 1.0
+    assert total <= PR_SCALE
+    assert total >= int(PR_SCALE * 0.999)
+    assert all(r.pr_scaled > 0 for r in rows)
+
+
+def test_scd2_intervals_partition_history(spark, sf_dir):
+    from collections import defaultdict
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = QUERIES["scd2_order_status"](spark, sf_dir).collect()
+    by_cust = defaultdict(list)
+    for r in rows:
+        by_cust[r.o_custkey].append(r)
+    for cust, ivs in by_cust.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        # exactly one open (current) interval, and it is the last one
+        currents = [r for r in ivs if r.is_current]
+        assert len(currents) == 1, cust
+        assert ivs[-1].is_current, cust
+        # intervals chain: each closed interval ends where the next starts
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from, cust
+        # consecutive intervals always change status (compression worked)
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.status != b.status, cust
+
+
+def test_markov_probabilities_sum_to_one(spark, sf_dir):
+    from collections import defaultdict
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = QUERIES["events_markov_transitions"](spark, sf_dir).collect()
+    sums = defaultdict(float)
+    for r in rows:
+        assert 0.0 < r.probability <= 1.0
+        sums[r.from_type] += r.probability
+    for ft, s in sums.items():
+        assert abs(s - 1.0) < 1e-9, ft
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    from cl_tagger_batch_processing_spark.operators.dedup import (
+        dedup_containment,
+        dedup_ngram_jaccard,
+    )
+
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in dedup_containment(spark, sf_dir, threshold=0.0).collect()
+    }
+    shared = set(jac) & set(cont)
+    assert shared, "fixtures should produce overlapping pairs"
+    # |A∩B|/min(|A|,|B|) >= |A∩B|/(|A|+|B|-|A∩B|) always
+    for pair in shared:
+        assert cont[pair] >= jac[pair] - 1e-12, pair
+
+
+def test_keep_best_consistent_with_exact_dedup(spark, sf_dir):
+    from cl_tagger_batch_processing_spark.operators.dedup import (
+        dedup_exact,
+        dedup_exact_keep_best,
+    )
+
+    exact = {r.content_hash: r.n_copies for r in dedup_exact(spark, sf_dir).collect()}
+    best = {
+        r.content_hash: r.n_copies
+        for r in dedup_exact_keep_best(spark, sf_dir).collect()
+    }
+    # same duplicate-group structure, only the keep POLICY differs
+    assert exact == best
+
+
+def test_rolling_zscore_flags_exceed_threshold(spark, sf_dir):
+    from cl_tagger_batch_processing_spark.operators.relational import (
+        ZSCORE_MIN_HISTORY,
+        ZSCORE_SIGMAS,
+        ZSCORE_WINDOW,
+        events_rolling_zscore,
+    )
+
+    rows = events_rolling_zscore(spark, sf_dir).collect()
+    assert rows, "fixtures should surface at least one anomaly"
+    for r in rows:
+        assert abs(r.z) > ZSCORE_SIGMAS - 1e-6
+        assert ZSCORE_MIN_HISTORY <= r.n_window <= ZSCORE_WINDOW
+
+
+def test_rake_degree_dominates_freq(spark, sf_dir):
+    from cl_tagger_batch_processing_spark.operators.text import text_keyword_rake
+
+    rows = text_keyword_rake(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.rank <= 3
+        assert r.degree >= r.freq  # each containing phrase has length >= 1
+        assert abs(r.score - r.degree / r.freq) < 1e-12
+
+
+def test_quantization_ladder_recalls_in_range(spark, sf_dir):
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    for name in ["sim_scalar_quant_recall", "sim_pq_adc_recall"]:
+        rows = QUERIES[name](spark, sf_dir).collect()
+        assert len(rows) == 5, name  # one row per query vector
+        for r in rows:
+            assert r.n_exact == 10, name
+            assert 0 <= r.n_hits <= r.n_exact, name
+            assert abs(r.recall - r.n_hits / r.n_exact) < 1e-12, name
