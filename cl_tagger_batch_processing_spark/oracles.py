@@ -2972,3 +2972,6 @@ SELECT path, n_paths,
        row_number() OVER (ORDER BY n_paths DESC, path ASC) AS rank
 FROM c
 """
+
+# XML roundtrip: same fidelity contract as the other interchange formats.
+ORACLE_SQL["source_xml_roundtrip"] = _ROUNDTRIP_AGG_SQL

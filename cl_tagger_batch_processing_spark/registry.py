@@ -351,3 +351,5 @@ register("events_rolling_zscore", relational.events_rolling_zscore)
 register("dedup_minhash_incremental", dedup.dedup_minhash_incremental)
 
 register("events_path_topk", relational.events_path_topk)
+
+register("source_xml_roundtrip", textfiles.source_xml_roundtrip)

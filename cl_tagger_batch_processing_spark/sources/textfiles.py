@@ -211,3 +211,32 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("sum_chars_new"),
         F.sum(F.length("text")).alias("sum_text_len"),
     )
+
+
+def write_documents_xml(df: DataFrame, path: str) -> None:
+    """XML with one <doc> element per row — Spark 4's built-in XML source
+    (the format crawl archives and feed dumps still arrive in)."""
+    df.write.mode("overwrite").format("xml").option("rowTag", "doc").save(path)
+
+
+def read_xml(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .format("xml")
+        .option("rowTag", "doc")
+        .load(path)
+    )
+
+
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → XML (rowTag=doc) → read with schema → fidelity
+    aggregate. Completes the interchange-format set (JSONL, CSV, ORC,
+    XML) on the same checksum contract; XML is the slow-parse format, so
+    at 100 TB it is an INGEST format only — convert to parquet at the
+    edge, never scan it twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        STAGING_ROOT, f"xml_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    write_documents_xml(docs, path)
+    return _roundtrip_agg(read_xml(spark, path, DOCUMENTS_SCHEMA))
