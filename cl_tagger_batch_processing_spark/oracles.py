@@ -2975,3 +2975,14 @@ FROM c
 
 # XML roundtrip: same fidelity contract as the other interchange formats.
 ORACLE_SQL["source_xml_roundtrip"] = _ROUNDTRIP_AGG_SQL
+
+# Z-order rewrite preserves every row; the rectangle aggregate recomputes
+# from the unclustered fixture.
+ORACLE_SQL["layout_zorder_skipping"] = """
+SELECT user_id, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum
+FROM events
+WHERE user_id BETWEEN 10 AND 40 AND value BETWEEN 20.0 AND 60.0
+GROUP BY user_id
+"""

@@ -353,3 +353,5 @@ register("dedup_minhash_incremental", dedup.dedup_minhash_incremental)
 register("events_path_topk", relational.events_path_topk)
 
 register("source_xml_roundtrip", textfiles.source_xml_roundtrip)
+
+register("layout_zorder_skipping", sources_layout.layout_zorder_skipping)

@@ -260,3 +260,64 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(revenue).cast("double").alias("revenue"),
     )
+
+
+ZORDER_BITS = 16
+
+
+def _zvalue(x: str, y: str):
+    """Interleave the low ZORDER_BITS bits of two non-negative bigint
+    Columns into a Morton (Z-order) key — pure Column bit math, zero
+    Python. Bit i of x lands at position 2i, bit i of y at 2i+1."""
+    z = F.lit(0).cast("bigint")
+    for i in range(ZORDER_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered write for MULTI-dimensional data skipping: stage
+    events range-partitioned and sorted on the Morton interleave of
+    (user_id, value-bucket), then read back a rectangle selective in BOTH
+    dimensions.
+
+    Sorting on one column (layout_sorted_skipping) makes min/max stats
+    tight in that column only — a filter on the OTHER column still scans
+    everything. The Z-order curve keeps points close in (x, y) close on
+    the 1-D sort key, so each parquet row-group spans a small rectangle
+    and a 2-D predicate prunes row groups from stats alone — the
+    Delta/Iceberg OPTIMIZE ZORDER technique, here as one
+    repartitionByRange + sortWithinPartitions on a Column-math key paid
+    once at ingest. The z key is layout-only (dropped before write
+    returns); the oracle recomputes the rectangle aggregate from the
+    unclustered fixture, so the rewrite must preserve every row."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(LAYOUT_STAGING, f"events_zorder_{tag}")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    staged = (
+        ev.withColumn("zx", F.col("user_id").cast("bigint"))
+        .withColumn("zy", F.floor(F.col("value")).cast("bigint"))
+        .withColumn("z", _zvalue("zx", "zy"))
+        .repartitionByRange(8, "z")
+        .sortWithinPartitions("z")
+        .drop("zx", "zy", "z")
+    )
+    staged.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.where(
+            F.col("user_id").between(10, 40) & F.col("value").between(20.0, 60.0)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+            F.sum("event_id").alias("id_checksum"),
+        )
+    )

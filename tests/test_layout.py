@@ -123,3 +123,49 @@ def test_sorted_layout_pushes_range_filter(spark, sf_dir):
     # layout those stats prune row groups; without pushdown nothing can.
     assert "GreaterThanOrEqual(user_id 10)" in pushed.replace(",", " ")
     assert "LessThanOrEqual(user_id 20)" in pushed.replace(",", " ")
+
+
+def test_zorder_clusters_both_dimensions(spark, sf_dir):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from cl_tagger_batch_processing_spark.sources.layout import (
+        LAYOUT_STAGING,
+        layout_zorder_skipping,
+    )
+
+    # stage (the query fn writes the clustered copy) and look at footers
+    layout_zorder_skipping(spark, sf_dir).collect()
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    files = sorted(glob.glob(f"{LAYOUT_STAGING}/events_zorder_{tag}/*.parquet"))
+    assert len(files) >= 2, "range partitioner should emit several files"
+
+    spans = []
+    dom = {"user_id": [float("inf"), -float("inf")],
+           "value": [float("inf"), -float("inf")]}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        cols = {md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.row_group(0).num_columns)}
+        for rg in range(md.num_row_groups):
+            stat = {}
+            for name in ("user_id", "value"):
+                s = md.row_group(rg).column(cols[name]).statistics
+                stat[name] = (float(s.min), float(s.max))
+                dom[name][0] = min(dom[name][0], float(s.min))
+                dom[name][1] = max(dom[name][1], float(s.max))
+            spans.append(stat)
+    assert len(spans) >= 2
+    full_area = (dom["user_id"][1] - dom["user_id"][0]) * (
+        dom["value"][1] - dom["value"][0]
+    )
+    avg_area = sum(
+        (s["user_id"][1] - s["user_id"][0]) * (s["value"][1] - s["value"][0])
+        for s in spans
+    ) / len(spans)
+    # the point of Z-order: each row group covers a small (user_id, value)
+    # rectangle, so 2-D predicates prune on stats alone. On a random layout
+    # every row group spans ~the whole domain (ratio ≈ 1).
+    assert avg_area < 0.5 * full_area, (avg_area, full_area)
