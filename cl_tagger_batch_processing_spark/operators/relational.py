@@ -1477,3 +1477,57 @@ def events_path_topk(spark: SparkSession, sf_dir: str, k: int = PATH_TOP_K) -> D
     top = counts.orderBy(F.desc("n_paths"), F.asc("path")).limit(k)
     w_rank = Window.orderBy(F.desc("n_paths"), F.asc("path"))
     return top.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+
+
+ABC_A_CUTOFF = 0.8
+ABC_B_CUTOFF = 0.95
+
+
+def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification: rank parts by discounted revenue and
+    split them into A (first 80% of cumulative revenue), B (next 15%),
+    C (tail) — the inventory-prioritization classic, and the same
+    largest-first cumulative-share shape corpus_token_budget applies to
+    token strata.
+
+    Revenue accumulates in exact DECIMAL (the money discipline everywhere
+    here), so the cumulative shares are exact-rational divisions and the
+    class boundaries cannot drift between engines. One map-side-combined
+    groupBy over lineitem; the ranking windows run over the per-part
+    relation with the (revenue DESC, partkey ASC) tie-break. At 100 TB
+    the per-part relation is parts-sized (dimension-scale), so the
+    unpartitioned windows stay cheap; the fact table is touched once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(14,2)")
+        * (F.lit(1).cast("decimal(14,2)") - F.col("l_discount").cast("decimal(14,2)"))
+    ).cast("decimal(18,4)")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(rev).cast("decimal(28,4)").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    total = Window.partitionBy()
+    cum = (
+        Window.partitionBy()
+        .orderBy(F.desc("revenue"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_share = (
+        F.sum("revenue").over(cum).cast("double")
+        / F.sum("revenue").over(total).cast("double")
+    )
+    cls = (
+        F.when(F.col("cum_share") <= ABC_A_CUTOFF, F.lit("A"))
+        .when(F.col("cum_share") <= ABC_B_CUTOFF, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return (
+        per_part.withColumn("cum_share", cum_share)
+        .select(
+            "l_partkey",
+            F.col("revenue").cast("double").alias("revenue"),
+            "n_lines",
+            "cum_share",
+            cls.alias("abc_class"),
+        )
+    )

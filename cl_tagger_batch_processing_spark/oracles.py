@@ -2986,3 +2986,30 @@ FROM events
 WHERE user_id BETWEEN 10 AND 40 AND value BETWEEN 20.0 AND 60.0
 GROUP BY user_id
 """
+
+# Mirrors relational.part_abc_classification: exact-decimal revenue,
+# largest-first cumulative share, 80/95 class boundaries.
+ORACLE_SQL["part_abc_classification"] = """
+WITH p AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                       * (CAST(1 AS DECIMAL(14,2))
+                          - CAST(l_discount AS DECIMAL(14,2)))
+                       AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue,
+         COUNT(*) AS n_lines
+  FROM lineitem GROUP BY l_partkey
+),
+c AS (
+  SELECT l_partkey, revenue, n_lines,
+         CAST(SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS DOUBLE)
+           / CAST(SUM(revenue) OVER () AS DOUBLE) AS cum_share
+  FROM p
+)
+SELECT l_partkey, CAST(revenue AS DOUBLE) AS revenue, n_lines, cum_share,
+       CASE WHEN cum_share <= 0.8 THEN 'A'
+            WHEN cum_share <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c
+"""

@@ -355,3 +355,5 @@ register("events_path_topk", relational.events_path_topk)
 register("source_xml_roundtrip", textfiles.source_xml_roundtrip)
 
 register("layout_zorder_skipping", sources_layout.layout_zorder_skipping)
+
+register("part_abc_classification", relational.part_abc_classification)
