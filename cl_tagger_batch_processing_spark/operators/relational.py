@@ -1531,3 +1531,38 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             cls.alias("abc_class"),
         )
     )
+
+
+TRAILING_DAYS = 30
+
+
+def customer_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-day revenue per customer at each order — the RANGE-frame
+    window (value-based bounds over a day ordinal), complementing
+    window_frames' ROWS frames. RANGE frames are the tie-safe form: all
+    orders sharing a day enter the frame together, so same-day ordering
+    can never change the sum — no tie-break column needed, by
+    construction.
+
+    One (o_custkey; day) window shuffle; revenue accumulates in exact
+    DECIMAL; the day ordinal is an exact integer datediff."""
+    orders = load_table(spark, sf_dir, "orders")
+    day_ord = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date"))
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        day_ord.cast("bigint").alias("day_ord"),
+        F.col("o_totalprice").cast("decimal(14,2)").alias("price"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_ord")
+        .rangeBetween(-TRAILING_DAYS, 0)
+    )
+    return base.select(
+        "o_orderkey",
+        "o_custkey",
+        "day_ord",
+        F.sum("price").over(w).cast("double").alias("trailing_revenue"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_orders_window"),
+    )

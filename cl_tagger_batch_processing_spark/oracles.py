@@ -3013,3 +3013,21 @@ SELECT l_partkey, CAST(revenue AS DOUBLE) AS revenue, n_lines, cum_share,
             ELSE 'C' END AS abc_class
 FROM c
 """
+
+# Mirrors relational.customer_trailing_revenue: RANGE frame over an exact
+# day ordinal, exact-decimal sums (range frames are tie-safe by definition).
+ORACLE_SQL["customer_trailing_revenue"] = """
+WITH b AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS day_ord,
+         CAST(o_totalprice AS DECIMAL(14,2)) AS price
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, day_ord,
+       CAST(SUM(price) OVER w AS DOUBLE) AS trailing_revenue,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_orders_window
+FROM b
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day_ord
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+"""

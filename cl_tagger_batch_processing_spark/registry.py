@@ -357,3 +357,5 @@ register("source_xml_roundtrip", textfiles.source_xml_roundtrip)
 register("layout_zorder_skipping", sources_layout.layout_zorder_skipping)
 
 register("part_abc_classification", relational.part_abc_classification)
+
+register("customer_trailing_revenue", relational.customer_trailing_revenue)
