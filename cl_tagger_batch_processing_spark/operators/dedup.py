@@ -742,14 +742,24 @@ def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks).cast("double")
     stop_ratio = (
         F.size(F.filter(toks, lambda t: t.isin(*_KEEP_STOPS))).cast("double")
-        / F.size(toks).cast("double")
+        / n_tokens
     )
-    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast(
-        "double"
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    avg_len = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+        / n_tokens
     )
-    quality = F.round(F.lit(0.5) * stop_ratio + F.lit(0.5) * uniq_ratio, 6)
+    # EXACTLY text_quality_score's formula (text.py), so keep_quality is
+    # directly comparable against that query's thresholds/deciles.
+    quality = F.round(
+        F.lit(0.5) * stop_ratio
+        + F.lit(0.25) * uniq_ratio
+        + F.lit(0.25) * (F.least(avg_len, F.lit(8.0)) / F.lit(8.0)),
+        6,
+    )
     q_scaled = F.round(quality * 1000000, 0).cast("bigint")
     scored = docs.select(
         F.md5("text").alias("content_hash"),
@@ -784,11 +794,15 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Candidates come from the SAME banded bucket join as dedup_minhash_lsh
     (no all-pairs work; the store side ships 16 bigints per doc, never
-    text). Rejection rule is the standard single-pass greedy: reject an
-    incoming doc that estimates ≥ 0.5 Jaccard against ANY store doc
-    (store-rejection), else against any LOWER-id incoming doc
-    (within-batch rejection, first-id survives). Per-lang admission report;
-    all counts exact."""
+    text). Rejection rule: reject an incoming doc that estimates ≥ 0.5
+    Jaccard against ANY store doc (store-rejection), else against any
+    LOWER-id incoming doc — whether or not that doc itself survived
+    (within-batch rejection). This is deliberately the CONSERVATIVE
+    one-join approximation of greedy admission: exact greedy (check only
+    against docs already admitted) has a sequential dependency chain and
+    needs the iterative CC machinery — over-strict for an admission gate,
+    where rejecting a member of a near-dup chain is the intent anyway.
+    Per-lang admission report; all counts exact."""
     pairs = dedup_minhash_lsh(spark, sf_dir).where(
         F.col("est_jaccard") >= MINHASH_INCREMENTAL_THRESHOLD
     )

@@ -89,6 +89,12 @@ def graph_pagerank(
     edges_deg = edges.join(outdeg, "src").localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
     n = nodes.count()  # 1 scalar to the driver (control plane)
+    if n == 0:
+        # No edges survive the support filter (tiny fixture or a high
+        # min_support): an empty ranking, not a ZeroDivisionError.
+        return spark.createDataFrame(
+            [], "node bigint, pr_scaled bigint, pagerank double"
+        )
     teleport = (PR_SCALE * (PR_DAMPING_DEN - PR_DAMPING_NUM)) // PR_DAMPING_DEN // n
     pr = nodes.withColumn("pr", F.lit(PR_SCALE // n).cast("bigint"))
     # Lineage is truncated every CHECKPOINT_EVERY supersteps, not every one:

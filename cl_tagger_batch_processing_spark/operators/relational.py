@@ -1384,13 +1384,12 @@ def scd2_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("prev_status") != F.col("o_orderstatus"))
         )
     )
-    w2 = Window.partitionBy("o_custkey").orderBy(F.asc("o_date"), F.asc("o_orderkey"))
     return changed.select(
         "o_custkey",
         F.col("o_orderstatus").alias("status"),
         F.col("o_date").alias("valid_from"),
-        F.lead("o_date").over(w2).alias("valid_to"),
-        F.lead("o_date").over(w2).isNull().alias("is_current"),
+        F.lead("o_date").over(w).alias("valid_to"),
+        F.lead("o_date").over(w).isNull().alias("is_current"),
     )
 
 

@@ -746,17 +746,30 @@ def sim_scalar_quant_recall(
         .where(F.col("rank") <= top_k)
         .select("query_id", "neighbor_id")
     )
+    return _per_query_recall(spark, sf_dir, sq_topk, top_k, num_queries)
+
+
+def _per_query_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    approx_topk: DataFrame,
+    top_k: int,
+    num_queries: int,
+) -> DataFrame:
+    """(query_id, n_exact, n_hits, recall): the shared recall contract of
+    the quantization ladder (scalar + PQ), against sim_topk_cosine's exact
+    set. ``approx_topk`` is ≤ top_k × num_queries rows by construction —
+    dimension-sized, so the recall join broadcasts instead of shuffling
+    the exact side."""
     exact = sim_topk_cosine(spark, sf_dir, top_k=top_k, num_queries=num_queries).select(
         "query_id", "neighbor_id"
     )
     hits = F.sum(
         F.when(F.col("hit").isNotNull(), F.lit(1)).otherwise(F.lit(0))
     ).cast("bigint")
-    # ≤ top_k × num_queries rows by construction — dimension-sized, so the
-    # recall join broadcasts instead of shuffling the exact side.
     return (
         exact.join(
-            F.broadcast(sq_topk.withColumn("hit", F.lit(1))),
+            F.broadcast(approx_topk.withColumn("hit", F.lit(1))),
             ["query_id", "neighbor_id"],
             "left",
         )
@@ -780,6 +793,35 @@ PQ_SUBDIM = 32  # two subspaces of 32 dims each over the 64-dim embeddings
 PQ_CODEBOOK_SIZE = 16
 
 
+def _pq_subvectors(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(sub, book): every vector's two PQ_SUBDIM-dim subvectors, and the
+    PQ_CODEBOOK_SIZE-row codebook (the subvectors of the lowest vec_ids) —
+    the one place the PQ layout (subspace split + codebook choice) is
+    defined."""
+    base = quantized_embeddings(spark, sf_dir)
+    sub = base.select(
+        "vec_id",
+        F.slice("qv", 1, PQ_SUBDIM).alias("s1"),
+        F.slice("qv", PQ_SUBDIM + 1, PQ_SUBDIM).alias("s2"),
+    )
+    book = sub.where(F.col("vec_id") < PQ_CODEBOOK_SIZE).select(
+        F.col("vec_id").alias("code_id"),
+        F.col("s1").alias("b1"),
+        F.col("s2").alias("b2"),
+    )
+    return sub, book
+
+
+def _pq_l2(s: str, b: str):
+    """Exact integer squared-L2 between two bigint-array columns, expanded
+    as s·s − 2·s·b + b·b so each term is an exact int_dot."""
+    return (
+        int_dot(F.col(s), F.col(s))
+        - 2 * int_dot(F.col(s), F.col(b))
+        + int_dot(F.col(b), F.col(b))
+    )
+
+
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, c1, c2): product-quantization code assignment — each
     vector's two 32-dim subvectors replaced by the id of the nearest of 16
@@ -794,27 +836,9 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ints), and BOTH subspace argmins ride one groupBy as min(struct(d,
     code_id)) — a single corpus pass against a broadcast 16-row codebook,
     no window, no second shuffle."""
-    base = quantized_embeddings(spark, sf_dir)
-    sub = base.select(
-        "vec_id",
-        F.slice("qv", 1, PQ_SUBDIM).alias("s1"),
-        F.slice("qv", PQ_SUBDIM + 1, PQ_SUBDIM).alias("s2"),
-    )
-    book = sub.where(F.col("vec_id") < PQ_CODEBOOK_SIZE).select(
-        F.col("vec_id").alias("code_id"),
-        F.col("s1").alias("b1"),
-        F.col("s2").alias("b2"),
-    )
-    d1 = (
-        int_dot(F.col("s1"), F.col("s1"))
-        - 2 * int_dot(F.col("s1"), F.col("b1"))
-        + int_dot(F.col("b1"), F.col("b1"))
-    )
-    d2 = (
-        int_dot(F.col("s2"), F.col("s2"))
-        - 2 * int_dot(F.col("s2"), F.col("b2"))
-        + int_dot(F.col("b2"), F.col("b2"))
-    )
+    sub, book = _pq_subvectors(spark, sf_dir)
+    d1 = _pq_l2("s1", "b1")
+    d2 = _pq_l2("s2", "b2")
     return (
         sub.crossJoin(F.broadcast(book))
         .select("vec_id", "code_id", d1.alias("d1"), d2.alias("d2"))
@@ -849,32 +873,14 @@ def sim_pq_adc_recall(
     scale. Every quantity is an exact integer, so ranking (adc ASC,
     neighbor ASC) and recall are engine-portable."""
     codes = pq_codes(spark, sf_dir)
-    base = quantized_embeddings(spark, sf_dir)
-    sub = base.select(
-        "vec_id",
-        F.slice("qv", 1, PQ_SUBDIM).alias("s1"),
-        F.slice("qv", PQ_SUBDIM + 1, PQ_SUBDIM).alias("s2"),
-    )
-    book = sub.where(F.col("vec_id") < PQ_CODEBOOK_SIZE).select(
-        F.col("vec_id").alias("code_id"),
-        F.col("s1").alias("b1"),
-        F.col("s2").alias("b2"),
-    )
+    sub, book = _pq_subvectors(spark, sf_dir)
     queries = sub.where(F.col("vec_id") < num_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("s1").alias("q1"),
         F.col("s2").alias("q2"),
     )
-    dq1 = (
-        int_dot(F.col("q1"), F.col("q1"))
-        - 2 * int_dot(F.col("q1"), F.col("b1"))
-        + int_dot(F.col("b1"), F.col("b1"))
-    )
-    dq2 = (
-        int_dot(F.col("q2"), F.col("q2"))
-        - 2 * int_dot(F.col("q2"), F.col("b2"))
-        + int_dot(F.col("b2"), F.col("b2"))
-    )
+    dq1 = _pq_l2("q1", "b1")
+    dq2 = _pq_l2("q2", "b2")
     dtab = (
         queries.crossJoin(F.broadcast(book))
         .select("query_id", "code_id", dq1.alias("dq1"), dq2.alias("dq2"))
@@ -898,28 +904,4 @@ def sim_pq_adc_recall(
         .where(F.col("rank") <= top_k)
         .select("query_id", "neighbor_id")
     )
-    exact = sim_topk_cosine(spark, sf_dir, top_k=top_k, num_queries=num_queries).select(
-        "query_id", "neighbor_id"
-    )
-    return (
-        exact.join(
-            F.broadcast(pq_topk.withColumn("hit", F.lit(1))),
-            ["query_id", "neighbor_id"],
-            "left",
-        )
-        .groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
-            F.sum(F.when(F.col("hit").isNotNull(), F.lit(1)).otherwise(F.lit(0)))
-            .cast("bigint")
-            .alias("n_hits"),
-        )
-        .select(
-            "query_id",
-            "n_exact",
-            "n_hits",
-            (F.col("n_hits").cast("double") / F.col("n_exact").cast("double")).alias(
-                "recall"
-            ),
-        )
-    )
+    return _per_query_recall(spark, sf_dir, pq_topk, top_k, num_queries)

@@ -2767,7 +2767,8 @@ WHERE rank <= 3
 # an exact bigint; keep = (quality DESC, doc_id ASC) per content hash.
 ORACLE_SQL["dedup_exact_keep_best"] = """
 WITH t AS (
-  SELECT doc_id, md5(text) AS content_hash, string_split(text, ' ') AS toks
+  SELECT doc_id, text, md5(text) AS content_hash,
+         string_split(text, ' ') AS toks
   FROM documents
 ),
 q AS (
@@ -2776,7 +2777,9 @@ q AS (
            0.5 * (CAST(len(list_filter(toks,
                     x -> x IN ('a','the','of','and','in','to'))) AS DOUBLE)
                   / len(toks))
-           + 0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)),
+           + 0.25 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+           + 0.25 * (least(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                           / len(toks), 8.0) / 8.0),
          6) * 1000000, 0) AS BIGINT) AS qs
   FROM t
 ),

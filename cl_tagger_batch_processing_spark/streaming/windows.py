@@ -62,6 +62,22 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_SHUFFLE_PARTITIONS = 8
 
 
+def _parse_byte_conf(raw: str) -> int | None:
+    """Spark size confs are byte STRINGS ('10485760b', '100MB', '1g', or a
+    bare int meaning bytes; '-1' disables). Mirror JavaUtils
+    byteStringAsBytes for the suffixes that occur in practice; None for
+    anything unparseable."""
+    import re
+
+    m = re.fullmatch(r"\s*(-?\d+)\s*([kmgtp]?b?)\s*", str(raw).lower())
+    if not m:
+        return None
+    mult = {"": 1, "b": 1, "k": 1024, "kb": 1024, "m": 1024**2, "mb": 1024**2,
+            "g": 1024**3, "gb": 1024**3, "t": 1024**4, "tb": 1024**4,
+            "p": 1024**5, "pb": 1024**5}[m.group(2)]
+    return int(m.group(1)) * mult
+
+
 def _run_to_memory(agg: DataFrame, output_mode: str) -> DataFrame:
     """Drive a bounded stream to completion into a memory sink.
 
@@ -234,12 +250,16 @@ def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bound the demo dim to what actually broadcasts: each row is ~16 bytes
     # (bigint + short string), so cap rows at autoBroadcastJoinThreshold/16.
     # A 10M-row "guard" would admit a dim of hundreds of MB and fail later
-    # as an executor OOM instead of this intended loud ValueError.
-    try:
-        thresh_bytes = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
-    except Exception:
+    # as an executor OOM instead of this intended loud ValueError. The conf
+    # value is a BYTE STRING ('10485760b', '100MB', ...) or '-1' (auto-
+    # broadcast disabled — we broadcast explicitly here, so fall back to
+    # the 10 MB default cap rather than a zero cap).
+    thresh_bytes = _parse_byte_conf(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    )
+    if thresh_bytes is None or thresh_bytes <= 0:
         thresh_bytes = 10 * 1024 * 1024
-    max_dim_rows = max(1, thresh_bytes) // 16
+    max_dim_rows = max(1, thresh_bytes // 16)
     if max_uid is None or max_uid >= max_dim_rows:
         raise ValueError(
             f"events user_id domain (max={max_uid}) is not broadcast-dim "

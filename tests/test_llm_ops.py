@@ -423,3 +423,25 @@ def test_quantization_ladder_recalls_in_range(spark, sf_dir):
             assert r.n_exact == 10, name
             assert 0 <= r.n_hits <= r.n_exact, name
             assert abs(r.recall - r.n_hits / r.n_exact) < 1e-12, name
+
+
+def test_pagerank_empty_graph_returns_empty(spark, sf_dir):
+    from cl_tagger_batch_processing_spark.operators.graph import graph_pagerank
+
+    # a min_support above any real pair support empties the edge set —
+    # must yield an empty ranking, not a driver ZeroDivisionError
+    out = graph_pagerank(spark, sf_dir, min_support=10**9)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["node", "pr_scaled", "pagerank"]
+
+
+def test_parse_byte_conf_spark_forms():
+    from cl_tagger_batch_processing_spark.streaming.windows import _parse_byte_conf
+
+    # the forms Spark actually returns/accepts for size confs
+    assert _parse_byte_conf("10485760b") == 10 * 1024 * 1024
+    assert _parse_byte_conf("10485760") == 10 * 1024 * 1024
+    assert _parse_byte_conf("100MB") == 100 * 1024 * 1024
+    assert _parse_byte_conf("1g") == 1024**3
+    assert _parse_byte_conf("-1") == -1  # broadcast disabled
+    assert _parse_byte_conf("garbage") is None
