@@ -833,3 +833,71 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum((~store_hit & ~batch_hit).cast("int")).cast("bigint").alias("n_accepted"),
     )
+
+
+def dedup_minhash_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality evaluation: for every banded candidate pair, compare
+    the MinHash Jaccard ESTIMATE (signature agreement / 16) against the
+    EXACT shingle Jaccard, bucketed by signature-match count — the
+    "measure, don't guess" loop for the 16-hash/4×4-band configuration
+    (ann_recall_report's counterpart for the dedup sketch). Reading the
+    report answers: how biased is the estimator at each agreement level,
+    and is 0.5 the right admission threshold?
+
+    The exact side reuses the inverted-index join (no threshold, same
+    hot-shingle guard); candidates that share no surviving shingle get
+    exact Jaccard 0 via the left join. Means use the 9dp-round →
+    DECIMAL(28,9) exact-sum pattern, so they are order-independent."""
+    est = dedup_minhash_lsh(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, k=3, max_df=DEFAULT_MAX_DF).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    exact = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))).alias(
+                "true_jac"
+            ),
+        )
+    )
+    joined = est.join(exact, ["doc_a", "doc_b"], "left").select(
+        F.round(F.col("est_jaccard") * 16, 0).cast("bigint").alias("n_matches"),
+        F.col("est_jaccard"),
+        F.coalesce("true_jac", F.lit(0.0)).alias("true_jac"),
+    )
+    dec = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    return (
+        joined.groupBy("n_matches")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (
+                F.round(
+                    F.sum(dec(F.col("true_jac"))).cast("double")
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("avg_true_jaccard"),
+            (
+                F.round(
+                    F.sum(dec(F.abs(F.col("est_jaccard") - F.col("true_jac"))))
+                    .cast("double")
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("mean_abs_error"),
+        )
+    )

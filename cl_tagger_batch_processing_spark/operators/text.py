@@ -793,3 +793,41 @@ def text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_tokens"),
         )
     )
+
+
+DSIR_SAMPLE_K = 100
+
+
+def corpus_dsir_sample(spark: SparkSession, sf_dir: str, k: int = DSIR_SAMPLE_K) -> DataFrame:
+    """The SELECTION step DSIR's weights exist for: draw k documents
+    weighted by importance via deterministic Gumbel-top-k (Vieira 2014) —
+    perturb each doc's log-weight with a Gumbel variate and take the top
+    k, which samples WITHOUT replacement proportionally to the weights in
+    one distributed pass (no sequential draws, no rejection loop).
+
+    Determinism: the "randomness" is a 52-bit uniform carved from
+    md5(doc_id) — u = (h + 0.5)/2^52, an exact rational both engines
+    compute identically — and the Gumbel key rounds to 6dp with a doc_id
+    tie-break before ranking, so a last-ulp libm difference in ln() can
+    never reorder the cut. The top-k is a distributed TakeOrdered.
+    Composes corpus_dsir_weights (one extra column pass, no new corpus
+    scan shape)."""
+    w = corpus_dsir_weights(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
+        "double"
+    )
+    u = (h + F.lit(0.5)) / F.lit(float(2**52))
+    gumbel = -F.log(-F.log(u))
+    key = F.round(F.col("avg_log_ratio") + gumbel, 6)
+    ranked = (
+        w.withColumn("gumbel_key", key)
+        .orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w_rank = Window.orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
+    return ranked.select(
+        "doc_id",
+        "avg_log_ratio",
+        "gumbel_key",
+        F.row_number().over(w_rank).cast("bigint").alias("rank"),
+    )

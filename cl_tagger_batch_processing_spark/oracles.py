@@ -3034,3 +3034,66 @@ FROM b
 WINDOW w AS (PARTITION BY o_custkey ORDER BY day_ord
              RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
 """
+
+# Mirrors text.corpus_dsir_sample: md5-derived 52-bit uniform, Gumbel
+# perturbation rounded at 6dp, (key DESC, doc_id) top-100.
+ORACLE_SQL["corpus_dsir_sample"] = f"""
+WITH w AS ({ORACLE_SQL["corpus_dsir_weights"]}),
+g AS (
+  SELECT doc_id, avg_log_ratio,
+         round(avg_log_ratio
+               - ln(-ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                              AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0)),
+               6) AS gumbel_key
+  FROM w
+),
+top AS (
+  SELECT * FROM g ORDER BY gumbel_key DESC, doc_id ASC LIMIT 100
+)
+SELECT doc_id, avg_log_ratio, gumbel_key,
+       row_number() OVER (ORDER BY gumbel_key DESC, doc_id ASC) AS rank
+FROM top
+"""
+
+# Mirrors dedup.dedup_minhash_error_report: banded candidates scored by
+# exact shingle Jaccard (no threshold, same max_df guard), bucketed by
+# signature-match count, 9dp-term decimal means.
+ORACLE_SQL["dedup_minhash_error_report"] = f"""
+WITH {_shingle_ctes(3, max_df=DEDUP_MAX_DF)},
+{_MINHASH_HALVES},
+sig AS (SELECT doc_id, {_MINHASH_COLS} FROM mh GROUP BY doc_id),
+bands AS ({_MINHASH_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT doc_a, doc_b, ({_MINHASH_MATCHES}) / 16.0 AS est_jaccard
+  FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS true_jac
+  FROM common
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+),
+j AS (
+  SELECT CAST(round(e.est_jaccard * 16, 0) AS BIGINT) AS n_matches,
+         e.est_jaccard, COALESCE(x.true_jac, 0.0) AS true_jac
+  FROM est e LEFT JOIN exact x USING (doc_a, doc_b)
+)
+SELECT n_matches, COUNT(*) AS n_pairs,
+       round(CAST(SUM(CAST(round(true_jac, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS avg_true_jaccard,
+       round(CAST(SUM(CAST(round(abs(est_jaccard - true_jac), 9)
+                           AS DECIMAL(28,9))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS mean_abs_error
+FROM j GROUP BY n_matches
+"""

@@ -359,3 +359,7 @@ register("layout_zorder_skipping", sources_layout.layout_zorder_skipping)
 register("part_abc_classification", relational.part_abc_classification)
 
 register("customer_trailing_revenue", relational.customer_trailing_revenue)
+
+register("corpus_dsir_sample", text.corpus_dsir_sample)
+
+register("dedup_minhash_error_report", dedup.dedup_minhash_error_report)
