@@ -161,14 +161,21 @@ register("stream_user_event_mix", streaming_stateful.stream_user_event_mix)
 register("q1_pricing_summary", relational.q1_pricing_summary)
 register("q3_shipping_priority", relational.q3_shipping_priority)
 register("q5_local_supplier", relational.q5_local_supplier)
-register("q10_returned_items", relational.q10_returned_items)
 register("q18_large_orders", relational.q18_large_orders)
-register("q21_waiting_suppliers", relational.q21_waiting_suppliers)
 register("q22_idle_customers", relational.q22_idle_customers)
 
 register("asof_join_purchase_click", relational.asof_join_purchase_click)
 register("range_join_events", relational.range_join_events)
-register("topk_per_group", relational.topk_per_group)
+
+# Round-5 flagships promoted INTO the driver window (r5 window refresh):
+# exact-integer PageRank, PQ/ADC recall, and shingle containment displace
+# q10/q21/topk_per_group (still fully covered by local parity below) so
+# the driver's own value-hash gate exercises the newest operator families.
+from .operators import graph  # noqa: E402
+
+register("graph_pagerank", graph.graph_pagerank)
+register("sim_pq_adc_recall", similarity.sim_pq_adc_recall)
+register("dedup_containment", dedup.dedup_containment)
 
 from .operators import skew  # noqa: E402
 
@@ -326,14 +333,14 @@ register("events_anomaly_mad", relational.events_anomaly_mad)
 register("scd2_order_status", relational.scd2_order_status)
 register("text_char_entropy", text.text_char_entropy)
 register("corpus_token_budget", curation.corpus_token_budget)
-register("dedup_containment", dedup.dedup_containment)
 register("sim_scalar_quant_recall", similarity.sim_scalar_quant_recall)
 register("mm_audio_framing", multimodal.mm_audio_framing)
 
-# --- graph analytics over the co-occurrence relation ----------------------
-from .operators import graph  # noqa: E402
+# displaced from the window by the r5 refresh (local parity still covers)
+register("q10_returned_items", relational.q10_returned_items)
+register("q21_waiting_suppliers", relational.q21_waiting_suppliers)
+register("topk_per_group", relational.topk_per_group)
 
-register("graph_pagerank", graph.graph_pagerank)
 register("graph_degree_stats", graph.graph_degree_stats)
 
 register("text_keyword_rake", text.text_keyword_rake)
@@ -341,8 +348,6 @@ register("text_keyword_rake", text.text_keyword_rake)
 register("stream_trending_topk", streaming_windows.stream_trending_topk)
 
 register("dedup_exact_keep_best", dedup.dedup_exact_keep_best)
-
-register("sim_pq_adc_recall", similarity.sim_pq_adc_recall)
 
 register("text_quality_calibration", text.text_quality_calibration)
 

@@ -50,6 +50,10 @@ def test_driver_window_is_curated():
         "mm_byte_histogram",
         "pipeline_score_tag",
         "q1_pricing_summary",
+        # r5 window refresh: the newest operator families must hold slots
+        "graph_pagerank",
+        "sim_pq_adc_recall",
+        "dedup_containment",
     ]:
         assert family_member in window, f"{family_member} fell out of the window"
 
