@@ -3097,3 +3097,43 @@ SELECT n_matches, COUNT(*) AS n_pairs,
              / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS mean_abs_error
 FROM j GROUP BY n_matches
 """
+
+# Mirrors graph.graph_triangle_count: degree-ordered orientation, wedge
+# join + closing-edge join, per-node rollup, exact-int coefficients.
+ORACLE_SQL["graph_triangle_count"] = f"""
+WITH {_PR_GRAPH_CTES},
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+und AS (SELECT src, dst FROM edges WHERE src < dst),
+e AS (
+  SELECT u.src, u.dst, ds.deg AS ds, dt.deg AS dt
+  FROM und u JOIN deg ds ON u.src = ds.src JOIN deg dt ON u.dst = dt.src
+),
+oriented AS (
+  SELECT CASE WHEN (ds, src) < (dt, dst) THEN src ELSE dst END AS lo,
+         CASE WHEN (ds, src) < (dt, dst) THEN dst ELSE src END AS hi,
+         CASE WHEN (ds, src) < (dt, dst) THEN dt ELSE ds END AS dhi
+  FROM e
+),
+wedges AS (
+  SELECT w1.lo AS a, w1.hi AS b, w2.hi AS c
+  FROM oriented w1 JOIN oriented w2 ON w1.lo = w2.lo
+  WHERE (w1.dhi, w1.hi) < (w2.dhi, w2.hi)
+),
+tri AS (
+  SELECT a, b, c FROM wedges JOIN oriented o ON b = o.lo AND c = o.hi
+),
+pn AS (
+  SELECT node, COUNT(*) AS n_triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT d.src AS node, CAST(d.deg AS BIGINT) AS degree,
+       CAST(COALESCE(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.deg >= 2
+            THEN 2.0 * CAST(COALESCE(pn.n_triangles, 0) AS DOUBLE)
+                 / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+            ELSE 0.0 END AS clustering_coeff
+FROM deg d LEFT JOIN pn ON d.src = pn.node
+"""

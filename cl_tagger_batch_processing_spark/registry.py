@@ -368,3 +368,5 @@ register("customer_trailing_revenue", relational.customer_trailing_revenue)
 register("corpus_dsir_sample", text.corpus_dsir_sample)
 
 register("dedup_minhash_error_report", dedup.dedup_minhash_error_report)
+
+register("graph_triangle_count", graph.graph_triangle_count)

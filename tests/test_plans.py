@@ -598,3 +598,12 @@ def test_path_topk_take_ordered(spark, sf_dir):
     for op in ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
                "BatchEvalPython", "MapInPandas"]:
         assert op not in plan, op
+
+
+def test_triangle_count_equi_joins_only(spark, sf_dir):
+    # wedge and closing-edge joins ride equi-keys under the degree-ordered
+    # orientation — never a cartesian, never Python
+    plan = inspect.executed_plan(QUERIES["graph_triangle_count"](spark, sf_dir))
+    for op in ["CartesianProduct", "BroadcastNestedLoopJoin",
+               "BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
+        assert op not in plan, op
