@@ -591,3 +591,51 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(TOKEN_BUDGET).cast("double") / F.col("n_tokens").cast("double"), 6
         ).alias("budget_epochs"),
     )
+
+
+LENGTH_SWEEP_THRESHOLDS = [8, 16, 32, 64, 128]
+
+
+def corpus_length_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sweep report for the minimum-length filter: for each
+    candidate cutoff, how many documents and tokens would survive — the
+    evidence table for choosing a cutoff instead of guessing one (the
+    sweep-then-pick discipline text_quality_calibration applies to
+    quality scores, here for the cheapest filter of all).
+
+    ONE corpus pass: per-doc token counts feed 2×|thresholds| conditional
+    aggregates into a single row, then a row-local unpivot to long form —
+    no explode-by-thresholds row multiplication, no second scan. All
+    counts exact integers; rates are single exact-int divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    aggs = [F.count(F.lit(1)).alias("n_total")]
+    for t in LENGTH_SWEEP_THRESHOLDS:
+        keep = n_tok >= t
+        aggs.append(F.sum(keep.cast("int")).cast("bigint").alias(f"d{t}"))
+        aggs.append(
+            F.sum(F.when(keep, n_tok).otherwise(0)).cast("bigint").alias(f"t{t}")
+        )
+    one = docs.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("bigint").alias("threshold"),
+                F.col(f"d{t}").alias("n_docs_surviving"),
+                F.col(f"t{t}").alias("n_tokens_surviving"),
+            )
+            for t in LENGTH_SWEEP_THRESHOLDS
+        ]
+    )
+    return (
+        one.select("n_total", F.explode(rows).alias("r"))
+        .select(
+            F.col("r.threshold").alias("threshold"),
+            F.col("r.n_docs_surviving").alias("n_docs_surviving"),
+            F.col("r.n_tokens_surviving").alias("n_tokens_surviving"),
+            (
+                F.col("r.n_docs_surviving").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("doc_survival_rate"),
+        )
+    )

@@ -3137,3 +3137,24 @@ SELECT d.src AS node, CAST(d.deg AS BIGINT) AS degree,
             ELSE 0.0 END AS clustering_coeff
 FROM deg d LEFT JOIN pn ON d.src = pn.node
 """
+
+# Mirrors curation.corpus_length_filter_sweep: one-row conditional
+# aggregates unioned to long form.
+ORACLE_SQL["corpus_length_filter_sweep"] = """
+WITH d AS (SELECT len(string_split(text, ' ')) AS n_tok FROM documents),
+one AS (
+  SELECT COUNT(*) AS n_total,
+         """ + ",\n         ".join(
+    f"CAST(SUM(CASE WHEN n_tok >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS d{t},\n"
+    f"         CAST(SUM(CASE WHEN n_tok >= {t} THEN n_tok ELSE 0 END) AS BIGINT) AS t{t}"
+    for t in [8, 16, 32, 64, 128]
+) + """
+  FROM d
+)
+""" + "\nUNION ALL\n".join(
+    f"SELECT CAST({t} AS BIGINT) AS threshold, d{t} AS n_docs_surviving,\n"
+    f"       t{t} AS n_tokens_surviving,\n"
+    f"       CAST(d{t} AS DOUBLE) / CAST(n_total AS DOUBLE) AS doc_survival_rate\n"
+    f"FROM one"
+    for t in [8, 16, 32, 64, 128]
+)

@@ -370,3 +370,5 @@ register("corpus_dsir_sample", text.corpus_dsir_sample)
 register("dedup_minhash_error_report", dedup.dedup_minhash_error_report)
 
 register("graph_triangle_count", graph.graph_triangle_count)
+
+register("corpus_length_filter_sweep", curation.corpus_length_filter_sweep)
