@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from .quality import quality_components
 
 MINHASH_NUM_HASHES = 16
 MINHASH_BANDS = 4
@@ -126,6 +127,34 @@ def word_shingles(
     return sh
 
 
+def shingle_pair_overlap(
+    sh: DataFrame, restrict_pairs: DataFrame | None = None
+) -> DataFrame:
+    """(doc_a, doc_b, c, na, nb) for every co-shingle pair of a
+    (doc_id, shingle)-unique relation — the ONE inverted-index core behind
+    dedup_ngram_jaccard, dedup_containment, and
+    dedup_minhash_error_report (any change to the overlap machinery lands
+    in all three at once). ``restrict_pairs`` left-semi-joins the posting
+    pair stream on (doc_a, doc_b) BEFORE the count aggregation, so a
+    consumer that only needs a known candidate set (the estimator report)
+    never aggregates the full pair space."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    stream = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    if restrict_pairs is not None:
+        stream = stream.join(
+            restrict_pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi"
+        )
+    common = stream.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("c"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return common.join(sa, "doc_a").join(sb, "doc_b")
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group by content hash, keep the lowest doc_id.
 
@@ -160,20 +189,9 @@ def dedup_ngram_jaccard(
     # explode+distinct per consumer. At larger scale this would be a staged
     # parquet write rather than executor-local checkpoint blocks.
     sh = word_shingles(docs, k=k, max_df=max_df).localCheckpoint(eager=True)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        shingle_pair_overlap(sh)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
@@ -694,20 +712,9 @@ def dedup_containment(
     single double division is bit-identical across engines."""
     docs = load_table(spark, sf_dir, "documents")
     sh = word_shingles(docs, k=k, max_df=max_df).localCheckpoint(eager=True)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     cont = F.col("c").cast("double") / F.least("na", "nb").cast("double")
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        shingle_pair_overlap(sh)
         .select(
             "doc_a",
             "doc_b",
@@ -717,11 +724,6 @@ def dedup_containment(
         )
         .where(F.col("containment") >= threshold)
     )
-
-
-# Same marker list as text.STOPWORDS (not imported: text.py imports from
-# this module, and a cycle here would break registry load order).
-_KEEP_STOPS = ["a", "the", "of", "and", "in", "to"]
 
 
 def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -741,27 +743,17 @@ def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     enters NEGATED so the struct max realizes (quality DESC, doc_id ASC).
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n_tokens = F.size(toks).cast("double")
-    stop_ratio = (
-        F.size(F.filter(toks, lambda t: t.isin(*_KEEP_STOPS))).cast("double")
-        / n_tokens
+    base = docs.select(
+        "doc_id", F.col("text"), F.split(F.col("text"), " ").alias("toks")
     )
-    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
-    avg_len = (
-        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
-        / n_tokens
-    )
-    # EXACTLY text_quality_score's formula (text.py), so keep_quality is
-    # directly comparable against that query's thresholds/deciles.
+    # THE quality formula (operators/quality.py — shared with
+    # text_quality_score / text_quality_calibration, so keep_quality is
+    # directly comparable against that query's thresholds/deciles).
     quality = F.round(
-        F.lit(0.5) * stop_ratio
-        + F.lit(0.25) * uniq_ratio
-        + F.lit(0.25) * (F.least(avg_len, F.lit(8.0)) / F.lit(8.0)),
-        6,
+        quality_components(F.col("text"), F.col("toks"))["score"], 6
     )
     q_scaled = F.round(quality * 1000000, 0).cast("bigint")
-    scored = docs.select(
+    scored = base.select(
         F.md5("text").alias("content_hash"),
         "doc_id",
         q_scaled.alias("q"),
@@ -844,33 +836,25 @@ def dedup_minhash_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     report answers: how biased is the estimator at each agreement level,
     and is 0.5 the right admission threshold?
 
-    The exact side reuses the inverted-index join (no threshold, same
-    hot-shingle guard); candidates that share no surviving shingle get
-    exact Jaccard 0 via the left join. Means use the 9dp-round →
-    DECIMAL(28,9) exact-sum pattern, so they are order-independent."""
-    est = dedup_minhash_lsh(spark, sf_dir)
+    The exact side reuses the SHARED inverted-index core
+    (shingle_pair_overlap — same hot-shingle guard as the dedup
+    operators it evaluates), RESTRICTED to the banded candidate set
+    before the pair aggregation: only candidates are ever counted, so
+    the exact pass costs candidates, not the full co-shingle pair space.
+    Candidates that share no surviving shingle get exact Jaccard 0 via
+    the left join. Means use the 9dp-round → DECIMAL(28,9) exact-sum
+    pattern, so they are order-independent."""
+    # materialize: the candidate keys feed BOTH the restriction semi-join
+    # and the final left join
+    est = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
     docs = load_table(spark, sf_dir, "documents")
     sh = word_shingles(docs, k=3, max_df=DEFAULT_MAX_DF).localCheckpoint(eager=True)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    exact = (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))).alias(
-                "true_jac"
-            ),
-        )
+    exact = shingle_pair_overlap(sh, restrict_pairs=est).select(
+        "doc_a",
+        "doc_b",
+        (F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))).alias(
+            "true_jac"
+        ),
     )
     joined = est.join(exact, ["doc_a", "doc_b"], "left").select(
         F.round(F.col("est_jaccard") * 16, 0).cast("bigint").alias("n_matches"),

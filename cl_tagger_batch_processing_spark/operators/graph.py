@@ -154,7 +154,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub wedge through the join). Two equi-joins + one exploded rollup; all
     counts exact integers; the clustering coefficient 2T/(d(d−1)) is one
     exact-int division."""
-    pairs = cooccurrence_edges(spark, sf_dir)  # symmetric (src, dst)
+    # the basket self-join feeds both the degree agg and the edge
+    # orientation — materialize once (the multi-consumer discipline of
+    # dedup_ngram_jaccard / graph_pagerank; ReuseExchange requires
+    # byte-identical subplans and these consumers differ)
+    pairs = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=True)
     deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # total order key (deg, node); orient each undirected edge low → high
     e = (
@@ -170,7 +174,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("hi"),
         F.when(fwd, F.col("ds")).otherwise(F.col("dt")).alias("dlo"),
         F.when(fwd, F.col("dt")).otherwise(F.col("ds")).alias("dhi"),
-    )
+    ).localCheckpoint(eager=True)  # three consumers: both wedge sides + closing edges
     # wedges at a: two out-neighbors (b, c) of a, ordered by the same
     # (deg, id) key so the closing edge, if present, is oriented b → c
     w1 = oriented.select(

@@ -15,8 +15,9 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .dedup import DEFAULT_MAX_DF, word_shingles
-
-STOPWORDS = ["a", "the", "of", "and", "in", "to"]
+# STOPWORDS' canonical home is operators/quality.py; re-exported here for
+# the existing importers (curation.py, tests).
+from .quality import STOPWORDS, quality_components  # noqa: F401
 
 # Marker-token lists per language for the n-gram/stopword language-ID
 # heuristic. Deterministic and tiny — a broadcast literal dimension.
@@ -56,30 +57,20 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score from stopword ratio, vocabulary diversity and
     token length — the standard cheap pre-filter for LLM training corpora.
-    Weights are exact binary fractions so the score is engine-portable."""
+    Weights are exact binary fractions so the score is engine-portable.
+    The formula lives ONCE in operators/quality.py (shared with
+    text_quality_calibration and dedup_exact_keep_best)."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", F.col("text"), F.split(F.col("text"), " ").alias("toks")
     )
-    tokens = F.col("toks")
-    n_tokens = F.size(tokens)
-    n_stop = F.size(F.filter(tokens, lambda t: t.isin(STOPWORDS)))
-    n_uniq = F.size(F.array_distinct(tokens))
-    nospace_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-    stop_ratio = n_stop.cast("double") / n_tokens
-    uniq_ratio = n_uniq.cast("double") / n_tokens
-    avg_len = nospace_len.cast("double") / n_tokens
-    score = (
-        F.lit(0.5) * stop_ratio
-        + F.lit(0.25) * uniq_ratio
-        + F.lit(0.25) * (F.least(avg_len, F.lit(8.0)) / F.lit(8.0))
-    )
+    q = quality_components(F.col("text"), F.col("toks"))
     return base.select(
         "doc_id",
-        stop_ratio.alias("stopword_ratio"),
-        uniq_ratio.alias("uniq_ratio"),
-        avg_len.alias("avg_token_len"),
-        score.alias("quality_score"),
+        q["stop_ratio"].alias("stopword_ratio"),
+        q["uniq_ratio"].alias("uniq_ratio"),
+        q["avg_len"].alias("avg_token_len"),
+        q["score"].alias("quality_score"),
     )
 
 
@@ -759,26 +750,14 @@ def text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort identical doubles; the mean token count is an exact-int ratio
     rounded at 6dp."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n_tokens = F.size(toks)
-    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast(
-        "double"
-    ) / n_tokens
-    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
-    avg_len = (
-        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
-        / n_tokens
+    base = docs.select(
+        "doc_id", "lang", F.col("text"), F.split(F.col("text"), " ").alias("toks")
     )
-    score = (
-        F.lit(0.5) * stop_ratio
-        + F.lit(0.25) * uniq_ratio
-        + F.lit(0.25) * (F.least(avg_len, F.lit(8.0)) / F.lit(8.0))
-    )
-    scored = docs.select(
+    scored = base.select(
         "doc_id",
         "lang",
-        n_tokens.cast("bigint").alias("n_tokens"),
-        score.alias("q"),
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        quality_components(F.col("text"), F.col("toks"))["score"].alias("q"),
     )
     w = Window.partitionBy("lang").orderBy(F.asc("q"), F.asc("doc_id"))
     return (
