@@ -810,3 +810,66 @@ def corpus_dsir_sample(spark: SparkSession, sf_dir: str, k: int = DSIR_SAMPLE_K)
         "gumbel_key",
         F.row_number().over(w_rank).cast("bigint").alias("rank"),
     )
+
+
+def source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between every pair of sources' unigram
+    distributions — the information-theoretic mixture diagnostic beside
+    source_overlap_matrix's lexical Jaccard (overlap says how much text
+    is shared; JSD says how differently the sources WRITE — 0 = identical
+    distributions, 1 bit = disjoint).
+
+    Shape: one groupBy(source, token) builds all distributions in a
+    single corpus pass; the pair space is #sources² (tiny); the per-pair
+    vocabulary union and probability lookups are token-keyed equi-joins
+    (never doc-level work). Probabilities are exact-int ratios; each JSD
+    term rounds to 9dp and sums in DECIMAL(28,9) (a float sum over a
+    vocabulary is summation-order-sensitive — the corpus_dsir_weights
+    lesson), and the final divergence rounds at 6dp with the −0.0
+    canonicalization."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+    counts = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("tot"))
+    t = counts.join(totals, "source").select(
+        "source", "token", (F.col("c").cast("double") / F.col("tot")).alias("p")
+    )
+    srcs = totals.select("source")
+    pairs = (
+        srcs.select(F.col("source").alias("sa"))
+        .crossJoin(srcs.select(F.col("source").alias("sb")))
+        .where(F.col("sa") < F.col("sb"))
+    )
+    ta = t.select(F.col("source").alias("sa"), "token", F.col("p").alias("pa"))
+    tb = t.select(F.col("source").alias("sb"), "token", F.col("p").alias("pb"))
+    vocab = (
+        pairs.join(ta.select("sa", "token"), "sa")
+        .select("sa", "sb", "token")
+        .unionByName(pairs.join(tb.select("sb", "token"), "sb").select("sa", "sb", "token"))
+        .distinct()
+    )
+    j = (
+        vocab.join(ta, ["sa", "token"], "left")
+        .join(tb, ["sb", "token"], "left")
+        .select(
+            "sa",
+            "sb",
+            F.coalesce("pa", F.lit(0.0)).alias("pa"),
+            F.coalesce("pb", F.lit(0.0)).alias("pb"),
+        )
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    term = (
+        F.when(F.col("pa") > 0, F.lit(0.5) * F.col("pa") * F.log2(F.col("pa") / m))
+        .otherwise(F.lit(0.0))
+        + F.when(F.col("pb") > 0, F.lit(0.5) * F.col("pb") * F.log2(F.col("pb") / m))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        j.withColumn("term", F.round(term, 9).cast("decimal(28,9)"))
+        .groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vocab_union"),
+            (F.round(F.sum("term").cast("double"), 6) + F.lit(0.0)).alias("jsd_bits"),
+        )
+    )

@@ -3158,3 +3158,48 @@ one AS (
     f"FROM one"
     for t in [8, 16, 32, 64, 128]
 )
+
+# Mirrors text.source_jsd_matrix: exact-int probabilities, 9dp-rounded
+# terms summed in DECIMAL(28,9), 6dp + (-0-canonicalized) divergence.
+ORACLE_SQL["source_jsd_matrix"] = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+totals AS (SELECT source, SUM(c) AS tot FROM counts GROUP BY source),
+t AS (
+  SELECT c.source, c.token, CAST(c.c AS DOUBLE) / tt.tot AS p
+  FROM counts c JOIN totals tt USING (source)
+),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM totals a CROSS JOIN totals b WHERE a.source < b.source
+),
+vocab AS (
+  SELECT DISTINCT sa, sb, token FROM (
+    SELECT p.sa, p.sb, t.token FROM pairs p JOIN t ON t.source = p.sa
+    UNION ALL
+    SELECT p.sa, p.sb, t.token FROM pairs p JOIN t ON t.source = p.sb
+  )
+),
+j AS (
+  SELECT v.sa, v.sb,
+         COALESCE(ta.p, 0.0) AS pa, COALESCE(tb.p, 0.0) AS pb
+  FROM vocab v
+  LEFT JOIN t ta ON ta.source = v.sa AND ta.token = v.token
+  LEFT JOIN t tb ON tb.source = v.sb AND tb.token = v.token
+),
+terms AS (
+  SELECT sa, sb,
+         CAST(round(
+           CASE WHEN pa > 0
+                THEN 0.5 * pa * log2(pa / ((pa + pb) / 2)) ELSE 0.0 END
+           + CASE WHEN pb > 0
+                  THEN 0.5 * pb * log2(pb / ((pa + pb) / 2)) ELSE 0.0 END,
+         9) AS DECIMAL(28,9)) AS term
+  FROM j
+)
+SELECT sa, sb, COUNT(*) AS n_vocab_union,
+       round(CAST(SUM(term) AS DOUBLE), 6) + 0.0 AS jsd_bits
+FROM terms GROUP BY sa, sb
+"""

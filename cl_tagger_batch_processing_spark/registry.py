@@ -372,3 +372,5 @@ register("dedup_minhash_error_report", dedup.dedup_minhash_error_report)
 register("graph_triangle_count", graph.graph_triangle_count)
 
 register("corpus_length_filter_sweep", curation.corpus_length_filter_sweep)
+
+register("source_jsd_matrix", text.source_jsd_matrix)
