@@ -1565,3 +1565,39 @@ def customer_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("price").over(w).cast("double").alias("trailing_revenue"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_orders_window"),
     )
+
+
+def events_daily_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p50/p90 of event values per type, with the day-over-day
+    median drift — the time-series quantile monitoring behind alerting
+    dashboards (a shifting median is the earliest robust signal of a
+    behavior change; events_anomaly_mad flags points, this tracks the
+    distribution itself).
+
+    One groupBy((type, day)) computes both exact percentiles map-side-
+    combinable-free (exact percentile needs the group's values — at
+    100 TB swap for approx_percentile's mergeable t-digest, same plan
+    shape); the drift lag window runs over the tiny (type × day)
+    relation. Percentiles round at 6dp (interpolated exact quantiles are
+    the same IEEE arithmetic in both engines; rounding removes the last
+    ulp of doubt), and day ordinals are exact integers."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts"))
+    per_day = events.groupBy(
+        F.col("event_type"), day.alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    return per_day.select(
+        "event_type",
+        "day",
+        "n_events",
+        "p50",
+        "p90",
+        (F.round(F.col("p50") - F.lag("p50").over(w), 6) + F.lit(0.0)).alias(
+            "p50_drift"
+        ),
+    )

@@ -3203,3 +3203,19 @@ SELECT sa, sb, COUNT(*) AS n_vocab_union,
        round(CAST(SUM(term) AS DOUBLE), 6) + 0.0 AS jsd_bits
 FROM terms GROUP BY sa, sb
 """
+
+# Mirrors relational.events_daily_percentiles: exact interpolated daily
+# quantiles (quantile_cont ≡ Spark percentile) at 6dp, lag drift.
+ORACLE_SQL["events_daily_percentiles"] = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         COUNT(*) AS n_events,
+         round(quantile_cont(value, 0.5), 6) AS p50,
+         round(quantile_cont(value, 0.9), 6) AS p90
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n_events, p50, p90,
+       round(p50 - lag(p50) OVER (PARTITION BY event_type ORDER BY day), 6)
+         + 0.0 AS p50_drift
+FROM d
+"""

@@ -374,3 +374,5 @@ register("graph_triangle_count", graph.graph_triangle_count)
 register("corpus_length_filter_sweep", curation.corpus_length_filter_sweep)
 
 register("source_jsd_matrix", text.source_jsd_matrix)
+
+register("events_daily_percentiles", relational.events_daily_percentiles)
