@@ -1,0 +1,66 @@
+"""Lineage truncation with a choice of durability (local vs reliable).
+
+Iterative operators (PageRank supersteps ``operators/graph.py``, the
+connected-components loop ``operators/dedup.py``, the k-means base in
+``operators/similarity.py``) and multi-consumer intermediates truncate
+lineage so plans stay small and the expensive upstream runs once. Two modes:
+
+* ``local`` (default) — ``DataFrame.localCheckpoint``: blocks are stored on
+  the executors that computed them. Fastest (no filesystem round-trip) and
+  correct in local mode, but on a real cluster an executor loss makes the
+  truncated lineage unrecoverable: the job FAILS instead of recomputing.
+* ``reliable`` — ``DataFrame.checkpoint`` against a fault-tolerant
+  checkpoint directory (HDFS/S3/shared mount): survives executor loss, so a
+  10-superstep PageRank on 1000 executors doesn't restart from scratch when
+  one machine dies. Costs one write+read of the checkpointed frame.
+
+Mode is read from the Spark conf so a cluster submit flips it without code
+changes::
+
+    spark-submit --conf spark.cl_tagger.checkpoint.mode=reliable \
+                 --conf spark.cl_tagger.checkpoint.dir=hdfs:///ckpt ...
+
+``spark.cl_tagger.checkpoint.dir`` seeds ``SparkContext.setCheckpointDir``
+once per session (an already-set checkpoint dir wins, so programmatic
+``setCheckpointDir`` calls are respected).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+CHECKPOINT_MODE_CONF = "spark.cl_tagger.checkpoint.mode"
+CHECKPOINT_DIR_CONF = "spark.cl_tagger.checkpoint.dir"
+_MODES = ("local", "reliable")
+
+
+def truncate_lineage(df: DataFrame, *, eager: bool = True) -> DataFrame:
+    """Checkpoint ``df`` per the session's configured durability mode.
+
+    Drop-in replacement for ``df.localCheckpoint(eager=True)`` at every
+    iterative/multi-consumer site; semantics (a materialized frame with
+    truncated lineage) are identical in both modes — proven by
+    ``tests/test_checkpointing.py`` running PageRank and the CC loop in
+    reliable mode against unchanged oracle hashes.
+    """
+    spark = df.sparkSession
+    mode = spark.conf.get(CHECKPOINT_MODE_CONF, "local")
+    if mode not in _MODES:
+        raise ValueError(
+            f"{CHECKPOINT_MODE_CONF}={mode!r}: expected one of {_MODES}"
+        )
+    if mode == "local":
+        return df.localCheckpoint(eager=eager)
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        ckpt_dir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
+        if not ckpt_dir:
+            raise ValueError(
+                f"{CHECKPOINT_MODE_CONF}=reliable needs a fault-tolerant "
+                f"checkpoint directory: set {CHECKPOINT_DIR_CONF} to an "
+                "HDFS/S3/shared-filesystem path (or call "
+                "SparkContext.setCheckpointDir). An executor-local path "
+                "would silently lose the durability the mode exists for."
+            )
+        sc.setCheckpointDir(ckpt_dir)
+    return df.checkpoint(eager=eager)

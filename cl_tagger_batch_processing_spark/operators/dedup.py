@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..checkpointing import truncate_lineage
 from ..sources.tables import load_table
 from .quality import quality_components
 
@@ -188,7 +189,7 @@ def dedup_ngram_jaccard(
     # the per-doc sizes); materialize it once instead of re-running the
     # explode+distinct per consumer. At larger scale this would be a staged
     # parquet write rather than executor-local checkpoint blocks.
-    sh = word_shingles(docs, k=k, max_df=max_df).localCheckpoint(eager=True)
+    sh = word_shingles(docs, k=k, max_df=max_df).transform(truncate_lineage)
     jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
         shingle_pair_overlap(sh)
@@ -477,12 +478,12 @@ def dedup_simhash(
     # split), the O(n²) Hamming scan must parallelize regardless, and the
     # broadcast self-join would otherwise evaluate the signature subtree
     # twice (probe + build exchanges don't reuse). One repartition +
-    # localCheckpoint of n 16-byte rows fixes all three, and makes the
+    # lineage-truncating checkpoint of n 16-byte rows fixes all three, and makes the
     # ``auto`` row count a metadata read of the materialized result.
     sig = (
         simhash_signatures(spark, sf_dir)
         .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     if strategy == "auto" and sig.count() > SIMHASH_BROADCAST_MAX_DOCS:
         return (
@@ -515,7 +516,8 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = CLU
     ``nodes``: (doc_id); ``edges``: (a, b) undirected pairs. Each node starts
     labeled with itself; every iteration pushes labels across edges and
     keeps the minimum; convergence when no label changes. The loop is
-    driver-controlled but all data stays distributed; ``localCheckpoint``
+    driver-controlled but all data stays distributed; ``truncate_lineage``
+    (local or reliable checkpoint per ``checkpointing.CHECKPOINT_MODE_CONF``)
     truncates the lineage each round so plan size stays constant — the
     standard shape for iterative algorithms on Spark (GraphX/GraphFrames do
     the same under the hood).
@@ -530,7 +532,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = CLU
     # re-execute it again (for dedup_clusters that pipeline is the full
     # MinHash-LSH candidate generation — at 100 TB that would be
     # catastrophic; even at sf0.1 it dominated the runtime).
-    e = edges.selectExpr("a", "b").localCheckpoint(eager=True)
+    e = edges.selectExpr("a", "b").transform(truncate_lineage)
     both = e.union(e.selectExpr("b AS a", "a AS b"))
     # Only edge-incident nodes can ever change label: a node in no edge IS
     # its own singleton cluster by construction. Iterating over just the
@@ -554,7 +556,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = CLU
 
     def _checkpoint_with_sum(df: DataFrame):
         obs = Observation()
-        ck = df.observe(obs, label_sum).localCheckpoint(eager=True)
+        ck = df.observe(obs, label_sum).transform(truncate_lineage)
         return ck, obs.get["label_sum"]
 
     labels, prev_sum = _checkpoint_with_sum(labels)
@@ -711,7 +713,7 @@ def dedup_containment(
     caps the quadratic term. All three quantities are exact integers; the
     single double division is bit-identical across engines."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, k=k, max_df=max_df).localCheckpoint(eager=True)
+    sh = word_shingles(docs, k=k, max_df=max_df).transform(truncate_lineage)
     cont = F.col("c").cast("double") / F.least("na", "nb").cast("double")
     return (
         shingle_pair_overlap(sh)
@@ -846,9 +848,9 @@ def dedup_minhash_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern, so they are order-independent."""
     # materialize: the candidate keys feed BOTH the restriction semi-join
     # and the final left join
-    est = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
+    est = dedup_minhash_lsh(spark, sf_dir).transform(truncate_lineage)
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, k=3, max_df=DEFAULT_MAX_DF).localCheckpoint(eager=True)
+    sh = word_shingles(docs, k=3, max_df=DEFAULT_MAX_DF).transform(truncate_lineage)
     exact = shingle_pair_overlap(sh, restrict_pairs=est).select(
         "doc_a",
         "doc_b",
@@ -883,5 +885,241 @@ def dedup_minhash_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 + F.lit(0.0)
             ).alias("mean_abs_error"),
+        )
+    )
+
+
+SPAN_K = 5  # tokens per matching shingle run (substring-span granularity)
+
+
+def dedup_substring_spans(
+    spark: SparkSession, sf_dir: str, k: int = SPAN_K
+) -> DataFrame:
+    """Exact SUBSTRING-level duplication map (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", approximated by k-gram run
+    merging): for every document, the maximal token spans whose every
+    k-shingle also appears in at least one OTHER document — the
+    cross-document repeated-span inventory that paragraph/doc-level dedup
+    misses (boilerplate sentences inside otherwise-unique documents are the
+    classic contamination vector; a downstream pass can cut these spans
+    instead of dropping whole documents).
+
+    Approximation contract: a span is reported iff every length-k window in
+    it is shared (df ≥ 2 distinct docs), and overlapping/adjacent shared
+    windows merge into one maximal span (start positions p, p' merge when
+    p' − p ≤ k). This is exactly the suffix-array answer restricted to
+    matches of length ≥ k, computed with two shuffles instead of a suffix
+    array: (1) shingle document frequency — a count over (doc, shingle)
+    distinct pairs, fully map-side combinable, NO posting-list self-join
+    anywhere so hot shingles cost nothing quadratic; (2) the per-doc
+    gaps-and-islands window (partition by doc_id — high cardinality, no
+    skew). Both scale linearly in corpus size. All arithmetic is integer
+    positions; determinism is structural.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= k
+    )
+    gen = (
+        f"transform(sequence(0, size(t)-{k}), "
+        f"i -> struct(i AS pos, md5(concat_ws(' ', slice(t, i+1, {k}))) AS sh))"
+    )
+    pos = toks.select("doc_id", F.explode(F.expr(gen)).alias("p")).select(
+        "doc_id",
+        F.col("p.pos").cast("bigint").alias("pos"),
+        F.col("p.sh").alias("shingle"),
+    )
+    shared = (
+        pos.select("doc_id", "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 2)
+        .select("shingle")
+    )
+    dup_starts = pos.join(shared, "shingle", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap_break = (
+        F.when(F.col("pos") - F.lag("pos").over(w) > k, F.lit(1))
+        .otherwise(F.lit(0))  # first row: lag is null → comparison null → 0
+    )
+    islands = dup_starts.withColumn("brk", gap_break).withColumn(
+        "island", F.sum("brk").over(run)
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("bigint").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def synthetic_urls(docs: DataFrame) -> DataFrame:
+    """(doc_id, url, text, toks): a deterministic synthetic URL per document
+    — the fixtures carry no URL column, so one is derived from (source,
+    doc_id) with the four canonicalization hazards a crawler sees: mixed
+    scheme case, optional ``www.``, optional trailing slash, optional
+    tracking query string. doc_id % 40 gives the path slug, so documents
+    from the same source sharing a slug are the same "page" fetched through
+    different URL spellings — the collision population dedup_url_canonical
+    exists to collapse."""
+    scheme = F.when(F.col("doc_id") % 7 == 0, F.lit("HTTPS://")).otherwise(
+        F.lit("https://")
+    )
+    www = F.when(F.col("doc_id") % 2 == 0, F.lit("www.")).otherwise(F.lit(""))
+    slash = F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit(""))
+    query = F.when(
+        F.col("doc_id") % 5 == 0, F.lit("?utm_source=feed&ref=abc")
+    ).otherwise(F.lit(""))
+    url = F.concat(
+        scheme,
+        www,
+        F.col("source"),
+        F.lit(".example.com/articles/"),
+        (F.col("doc_id") % 40).cast("string"),
+        slash,
+        query,
+    )
+    return docs.select(
+        "doc_id", url.alias("url"), "text", F.split("text", " ").alias("toks")
+    )
+
+
+def canonicalize_url(url):
+    """Canonical URL Column: lowercase, strip scheme, strip leading www.,
+    strip the query string, strip one trailing slash — the first-pass
+    normalization every web-corpus pipeline runs before URL dedup
+    (scheme/host case and tracking params never distinguish pages; a
+    trailing slash rarely does). Pure Column regex chain, zero Python."""
+    c = F.lower(url)
+    c = F.regexp_replace(c, r"^https?://", "")
+    c = F.regexp_replace(c, r"^www\.", "")
+    c = F.regexp_replace(c, r"\?.*$", "")
+    c = F.regexp_replace(c, r"/$", "")
+    return c
+
+
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup: group documents by canonical URL and
+    keep the highest-quality copy — the cheapest, highest-yield dedup pass
+    in a web pipeline (re-crawls of one page through different URL
+    spellings are exact or near-exact copies; collapsing them by key costs
+    one shuffle and no content comparison at all).
+
+    Keep policy and scale shape are dedup_exact_keep_best's verbatim
+    (quality argmax rides the groupBy as max(struct(q, −doc_id)) — one
+    shuffle on the canonical-URL key, no window, no second pass); only the
+    grouping key changes from content hash to canonical URL. The quality
+    score is the shared operators/quality.py formula, 6dp-scaled to exact
+    bigints inside the struct comparison."""
+    urls = synthetic_urls(load_table(spark, sf_dir, "documents"))
+    quality = F.round(quality_components(F.col("text"), F.col("toks"))["score"], 6)
+    q_scaled = F.round(quality * 1000000, 0).cast("bigint")
+    scored = urls.select(
+        canonicalize_url(F.col("url")).alias("canonical_url"),
+        "doc_id",
+        q_scaled.alias("q"),
+    )
+    best = F.max(F.struct(F.col("q"), (-F.col("doc_id")).alias("neg_id")))
+    return (
+        scored.groupBy("canonical_url")
+        .agg(best.alias("b"), F.count(F.lit(1)).alias("n_copies"))
+        .select(
+            "canonical_url",
+            (-F.col("b.neg_id")).cast("bigint").alias("keep_doc_id"),
+            (F.col("b.q").cast("double") / F.lit(1000000.0)).alias("keep_quality"),
+            "n_copies",
+        )
+    )
+
+
+BLOOM_BITS = 8192  # 2^13-bit filter: ~0.024 fill at 500 keys × 4 hashes
+BLOOM_HASHES = 4
+
+
+def _bloom_positions(hash_col):
+    """Four 32-bit slices of the md5 hex, each reduced mod BLOOM_BITS — the
+    standard build-k-hashes-from-one-digest trick, exactly reproducible in
+    SQL (conv/substr are engine-identical)."""
+    return F.array(
+        *[
+            F.conv(F.substring(hash_col, 1 + j * 8, 8), 16, 10)
+            .cast("bigint")
+            .__mod__(F.lit(BLOOM_BITS))
+            for j in range(BLOOM_HASHES)
+        ]
+    )
+
+
+def dedup_exact_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_exact_incremental with a Bloom-filter pre-filter on the store
+    side — the shape that survives a 100 TB hash store: the store is never
+    shuffled row-for-row against the batch. Instead ONE aggregation folds
+    the store's content hashes into ≤ BLOOM_BITS set-bit rows (map-side
+    combinable: each task emits its distinct bits, the exchange carries at
+    most 8192 rows per task), which broadcast-join against the incoming
+    batch's bit probes. Batch docs missing ANY bit are DEFINITELY new and
+    skip the expensive membership check entirely; only the "maybe" residue
+    (bloom false-positive rate ≈ 0.4% here) anti-joins the store.
+
+    Output extends dedup_exact_incremental's per-lang report with the
+    filter's work profile: n_bloom_maybe (docs that needed the exact
+    check). n_accepted is IDENTICAL to the unfiltered operator —
+    pinned by tests/test_llm_ops.py and by both queries' driver oracles."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5("text").alias("content_hash")
+    existing = docs.where(F.col("doc_id") % 2 == 0).select(h).distinct()
+    incoming = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "lang", h)
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    in_unique = (
+        incoming.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    )
+    store_bits = (
+        existing.select(
+            F.explode(_bloom_positions(F.col("content_hash"))).alias("bit")
+        )
+        .distinct()
+        .withColumn("in_store", F.lit(1))
+    )
+    probes = in_unique.select(
+        "doc_id", F.explode(_bloom_positions(F.col("content_hash"))).alias("bit")
+    )
+    hits = (
+        probes.join(F.broadcast(store_bits), "bit", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce("in_store", F.lit(0))).alias("n_hits"))
+    )
+    maybe_ids = hits.where(F.col("n_hits") == BLOOM_HASHES).select("doc_id")
+    maybe = in_unique.join(maybe_ids, "doc_id", "left_semi")
+    definite_new = in_unique.join(maybe_ids, "doc_id", "left_anti")
+    accepted = definite_new.unionByName(
+        maybe.join(existing, "content_hash", "left_anti")
+    )
+    n_incoming = incoming.groupBy("lang").agg(F.count(F.lit(1)).alias("n_incoming"))
+    n_within = in_unique.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_after_batch_dedup")
+    )
+    n_maybe = maybe.groupBy("lang").agg(F.count(F.lit(1)).alias("n_bloom_maybe"))
+    n_final = accepted.groupBy("lang").agg(F.count(F.lit(1)).alias("n_accepted"))
+    return (
+        n_incoming.join(n_within, "lang", "left")
+        .join(n_maybe, "lang", "left")
+        .join(n_final, "lang", "left")
+        .select(
+            "lang",
+            "n_incoming",
+            F.coalesce("n_after_batch_dedup", F.lit(0)).alias("n_after_batch_dedup"),
+            F.coalesce("n_bloom_maybe", F.lit(0)).alias("n_bloom_maybe"),
+            F.coalesce("n_accepted", F.lit(0)).alias("n_accepted"),
         )
     )

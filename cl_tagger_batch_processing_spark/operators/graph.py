@@ -22,7 +22,8 @@ hazard; floats appear only in the final display division.
 Scale notes (100 TB): edges come from a bounded basket self-join (≤7 items
 per order ⇒ ≤21 pairs — linear in order count); each superstep is one
 equi-join pr⋈edges co-partitioned on src plus one map-side-combinable
-groupBy(dst); the rank frame is localCheckpoint'd per superstep to keep the
+groupBy(dst); the rank frame is checkpointed per superstep (local or
+reliable mode via ``checkpointing.truncate_lineage``) to keep the
 plan linear (at cluster scale: a parquet stage per superstep, the classic
 Pregel-on-DataFrames layout). The only driver-side value is the node count —
 one scalar, the sanctioned control-plane shape.
@@ -33,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..checkpointing import truncate_lineage
 from ..sources.tables import load_table
 
 PR_SCALE = 10**15  # rank unit: 1e-15 (bigint-exact; total mass 1e15 ≪ 2^63)
@@ -86,8 +88,8 @@ def graph_pagerank(
     edges = cooccurrence_edges(spark, sf_dir, min_support=min_support)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # (src, dst, outdeg) — reused every superstep, so materialize once.
-    edges_deg = edges.join(outdeg, "src").localCheckpoint(eager=True)
-    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    edges_deg = edges.join(outdeg, "src").transform(truncate_lineage)
+    nodes = edges.select(F.col("src").alias("node")).distinct().transform(truncate_lineage)
     n = nodes.count()  # 1 scalar to the driver (control plane)
     if n == 0:
         # No edges survive the support filter (tiny fixture or a high
@@ -117,7 +119,7 @@ def graph_pagerank(
             ).alias("pr"),
         )
         if (i + 1) % PR_CHECKPOINT_EVERY == 0 and i < n_iter - 1:
-            pr = pr.localCheckpoint(eager=True)
+            pr = pr.transform(truncate_lineage)
     return pr.select(
         "node",
         F.col("pr").alias("pr_scaled"),
@@ -158,7 +160,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orientation — materialize once (the multi-consumer discipline of
     # dedup_ngram_jaccard / graph_pagerank; ReuseExchange requires
     # byte-identical subplans and these consumers differ)
-    pairs = cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = cooccurrence_edges(spark, sf_dir).transform(truncate_lineage)
     deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # total order key (deg, node); orient each undirected edge low → high
     e = (
@@ -174,7 +176,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("hi"),
         F.when(fwd, F.col("ds")).otherwise(F.col("dt")).alias("dlo"),
         F.when(fwd, F.col("dt")).otherwise(F.col("ds")).alias("dhi"),
-    ).localCheckpoint(eager=True)  # three consumers: both wedge sides + closing edges
+    ).transform(truncate_lineage)  # three consumers: both wedge sides + closing edges
     # wedges at a: two out-neighbors (b, c) of a, ordered by the same
     # (deg, id) key so the closing edge, if present, is oriented b → c
     w1 = oriented.select(

@@ -1368,7 +1368,17 @@ def scd2_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows partition by o_custkey — ONE shuffle on a high-cardinality key,
     reused across the two window functions (same partitioning, Spark plans
     a single exchange). Ordering carries the unique o_orderkey tie-break so
-    same-day orders can never reorder between engines."""
+    same-day orders can never reorder between engines.
+
+    Granularity contract (round-5 advice, pinned by
+    tests/test_llm_ops.py::test_scd2_interval_semantics): validity is DAY
+    grain while change detection is ORDER grain, so two same-day orders
+    with different statuses legitimately emit a zero-length segment
+    [d, d) — the half-open encoding of "held for part of day d", exactly
+    as Kimball SCD2 builds behave when the change feed is finer than the
+    validity grain. Intra-day flip ORDER is the deterministic
+    (o_orderdate, o_orderkey) sequence; consumers wanting one status per
+    day should pre-collapse to the day's last order before this build."""
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.asc("o_date"), F.asc("o_orderkey"))
     changed = (

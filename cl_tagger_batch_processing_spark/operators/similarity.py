@@ -25,6 +25,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..checkpointing import truncate_lineage
 from .dedup import int_dot, quantized_embeddings
 
 DEFAULT_TOP_K = 10
@@ -481,7 +482,7 @@ def _kmeans_assign_full(
         quantized_embeddings(spark, sf_dir)
         .select("vec_id", "qv", "nrm")
         .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     if k is None:
         # count() on the materialized checkpoint is a metadata-cheap pass;
@@ -629,7 +630,7 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("vec_id"),
         F.col("cluster_id").alias("dup_group"),
         (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_lineage)
     _SEMANTIC_KEEP_CACHE[key] = out
     return out
 
@@ -692,8 +693,14 @@ def scalar_quantized_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-dim min/max is ONE aggregate row (2×EMBED_DIM agg columns,
     fully map-side combined — no extra shuffle, no per-dim explode) cross-
     joined back as a broadcast; code assignment is then row-local Column
-    math. code = (x−mn)·SQ_LEVELS div (mx−mn): non-negative integer
-    division, identical truncation semantics in Spark and DuckDB."""
+    math. code = (x−mn)·SQ_LEVELS div (mx−mn): EXACT integer division on
+    both sides — num and rng are bigints, so ``(num - num % rng) / rng``
+    divides two exactly-divisible integers (the double quotient is the
+    exact integer k whenever k·rng < 2⁵³, far above any quantized
+    magnitude), matching DuckDB's ``//`` floor division bit-for-bit at any
+    EMBED_QUANT_SCALE / SQ_LEVELS — a plain double ``num / rng`` held
+    parity only because current magnitudes stay clear of half-ulp
+    boundaries (round-5 advice)."""
     base = quantized_embeddings(spark, sf_dir)
     minmax = base.agg(
         F.array(*[F.min(F.col("qv")[i]) for i in range(EMBED_DIM)]).alias("mns"),
@@ -704,9 +711,8 @@ def scalar_quantized_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = F.zip_with(
         shifted,
         spread,
-        lambda num, rng: F.when(rng > 0, (num / rng).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        ),
+        lambda num, rng: F.when(rng > 0, ((num - num % rng) / rng).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint")),
     )
     return (
         base.crossJoin(F.broadcast(minmax))

@@ -786,17 +786,24 @@ def corpus_dsir_sample(spark: SparkSession, sf_dir: str, k: int = DSIR_SAMPLE_K)
 
     Determinism: the "randomness" is a 52-bit uniform carved from
     md5(doc_id) — u = (h + 0.5)/2^52, an exact rational both engines
-    compute identically — and the Gumbel key rounds to 6dp with a doc_id
-    tie-break before ranking, so a last-ulp libm difference in ln() can
-    never reorder the cut. The top-k is a distributed TakeOrdered.
-    Composes corpus_dsir_weights (one extra column pass, no new corpus
-    scan shape)."""
+    compute identically. The Gumbel term −ln(−ln u) is rounded at 9dp
+    BEFORE entering the key (the round-terms-to-9dp pattern from
+    corpus_dsir_weights / source_jsd_matrix): the single double addition
+    avg + gumbel is then IEEE-exact on identical inputs, and a last-ulp
+    libm difference in ln() would have to straddle a 9dp half-boundary AND
+    the resulting 1e-9 shift straddle the 6dp key boundary — two
+    independent coincidences, vs one under direct 6dp rounding (round-5
+    advice; the accepted residual is the 9dp libm boundary itself, the
+    same residual every 9dp-rounded float op in this repo carries). The
+    6dp key carries a doc_id tie-break and the top-k is a distributed
+    TakeOrdered. Composes corpus_dsir_weights (one extra column pass, no
+    new corpus scan shape)."""
     w = corpus_dsir_weights(spark, sf_dir)
     h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
         "double"
     )
     u = (h + F.lit(0.5)) / F.lit(float(2**52))
-    gumbel = -F.log(-F.log(u))
+    gumbel = F.round(-F.log(-F.log(u)), 9)
     key = F.round(F.col("avg_log_ratio") + gumbel, 6)
     ranked = (
         w.withColumn("gumbel_key", key)

@@ -3035,15 +3035,16 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY day_ord
              RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
 """
 
-# Mirrors text.corpus_dsir_sample: md5-derived 52-bit uniform, Gumbel
-# perturbation rounded at 6dp, (key DESC, doc_id) top-100.
+# Mirrors text.corpus_dsir_sample: md5-derived 52-bit uniform, Gumbel term
+# −ln(−ln u) rounded at 9dp before the 6dp key (round-terms-to-9dp
+# determinism pattern), (key DESC, doc_id) top-100.
 ORACLE_SQL["corpus_dsir_sample"] = f"""
 WITH w AS ({ORACLE_SQL["corpus_dsir_weights"]}),
 g AS (
   SELECT doc_id, avg_log_ratio,
          round(avg_log_ratio
-               - ln(-ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
-                              AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0)),
+               + round(-ln(-ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                              AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0)), 9),
                6) AS gumbel_key
   FROM w
 ),

@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .checkpointing import truncate_lineage
 from .kernels.preprocess import HAS_PIL, fake_decode_bytes, preprocess_bytes
 from .kernels.scoring import StubScorer, sigmoid_clip_np
 from .operators.tagging import (
@@ -123,7 +124,7 @@ def tag_images(
     # checkpoint each consumer would re-execute the Python kernel.
     scored = score_images(
         images, scorer=scorer, decode=decode, batch_size=batch_size
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_lineage)
     ok = scored.where(F.col("status") == "ok")
     long_scores = ok.select(
         F.col("path").alias("image_id"),
@@ -270,7 +271,7 @@ def pipeline_score_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (same rationale as tag_images).
     scored = score_images(
         images, scorer=StubScorer(), decode=fake_decode_bytes
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_lineage)
     scored.write.mode("overwrite").parquet(PIPELINE_SCORED_PATH)
     ok = scored.where(F.col("status") == "ok")
     long_scores = ok.select(

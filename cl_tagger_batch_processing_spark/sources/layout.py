@@ -266,9 +266,20 @@ ZORDER_BITS = 16
 
 
 def _zvalue(x: str, y: str):
-    """Interleave the low ZORDER_BITS bits of two non-negative bigint
-    Columns into a Morton (Z-order) key — pure Column bit math, zero
-    Python. Bit i of x lands at position 2i, bit i of y at 2i+1."""
+    """Interleave the low ZORDER_BITS bits of two bigint Columns into a
+    Morton (Z-order) key — pure Column bit math, zero Python. Bit i of x
+    lands at position 2i, bit i of y at 2i+1.
+
+    Inputs are CLAMPED to [0, 2^ZORDER_BITS): values beyond 65535 would
+    alias onto the same key (and negatives sign-extend to all-ones),
+    silently degrading the clustering the key exists for (round-5 advice).
+    Saturation keeps out-of-domain values ordered at the curve's edge —
+    correctness is unaffected either way (the key is layout-only and
+    dropped before the write returns); widen ZORDER_BITS if a real domain
+    outgrows 16 bits."""
+    lo, hi = F.lit(0).cast("bigint"), F.lit((1 << ZORDER_BITS) - 1).cast("bigint")
+    x = F.least(F.greatest(F.col(x) if isinstance(x, str) else x, lo), hi)
+    y = F.least(F.greatest(F.col(y) if isinstance(y, str) else y, lo), hi)
     z = F.lit(0).cast("bigint")
     for i in range(ZORDER_BITS):
         z = (

@@ -337,6 +337,42 @@ def test_scd2_intervals_partition_history(spark, sf_dir):
             assert a.status != b.status, cust
 
 
+def test_scd2_interval_semantics(spark):
+    """Pin the documented granularity contract: two same-day orders with
+    different statuses emit a zero-length [d, d) segment ordered by the
+    o_orderkey tie-break, and the later order's status carries forward."""
+    import datetime
+
+    from cl_tagger_batch_processing_spark.operators.relational import scd2_order_status
+
+    d1 = datetime.date(2024, 1, 1)
+    d2 = datetime.date(2024, 1, 5)
+    src = spark.createDataFrame(
+        [
+            (7, 10, d1, "O"),  # same day, lower orderkey: flips first
+            (7, 11, d1, "F"),
+            (7, 12, d2, "P"),
+        ],
+        "o_custkey bigint, o_orderkey bigint, o_orderdate date, o_orderstatus string",
+    )
+    import cl_tagger_batch_processing_spark.operators.relational as rel
+
+    rel_orig = rel.load_table
+    rel.load_table = lambda spark_, sf_dir_, name: src
+    try:
+        rows = sorted(
+            scd2_order_status(spark, "unused").collect(),
+            key=lambda r: (r.valid_from, r.valid_to or datetime.date.max),
+        )
+    finally:
+        rel.load_table = rel_orig
+    assert [(r.status, r.valid_from, r.valid_to, r.is_current) for r in rows] == [
+        ("O", d1, d1, False),  # zero-length: held for part of day d1 only
+        ("F", d1, d2, False),
+        ("P", d2, None, True),
+    ]
+
+
 def test_markov_probabilities_sum_to_one(spark, sf_dir):
     from collections import defaultdict
 
