@@ -1043,7 +1043,11 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BLOOM_BITS = 8192  # 2^13-bit filter: ~0.024 fill at 500 keys × 4 hashes
+BLOOM_BITS = 65536  # 2^16-bit filter: ~14% fill at sf0.1's 2.5k store keys × 4
+# hashes → false-positive rate ≈ 0.04%; at a real 100 TB store this constant
+# scales with store cardinality (bits ≈ 10× keys keeps FP < 1%) — the bit
+# relation stays ≤ BLOOM_BITS rows regardless, which is what bounds the
+# broadcast.
 BLOOM_HASHES = 4
 
 
@@ -1070,7 +1074,8 @@ def dedup_exact_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame
     most 8192 rows per task), which broadcast-join against the incoming
     batch's bit probes. Batch docs missing ANY bit are DEFINITELY new and
     skip the expensive membership check entirely; only the "maybe" residue
-    (bloom false-positive rate ≈ 0.4% here) anti-joins the store.
+    (true duplicates plus the sub-0.1% false-positive rate) anti-joins the
+    store.
 
     Output extends dedup_exact_incremental's per-lang report with the
     filter's work profile: n_bloom_maybe (docs that needed the exact

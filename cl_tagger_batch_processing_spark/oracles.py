@@ -3220,3 +3220,147 @@ SELECT event_type, day, n_events, p50, p90,
          + 0.0 AS p50_drift
 FROM d
 """
+
+
+# Mirrors dedup.dedup_substring_spans (k = 5, in sync with dedup.SPAN_K —
+# asserted by tests/test_llm_ops.py): positional k-shingles, shared = df ≥ 2
+# distinct docs, gaps-and-islands run merge with break at gap > k.
+ORACLE_SQL["dedup_substring_spans"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 5
+),
+raw AS (
+  SELECT doc_id,
+         unnest(range(1, len(t) - 3)) AS i,
+         unnest(list_transform(range(1, len(t) - 3),
+                i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                         t[i+3] || ' ' || t[i+4]))) AS shingle
+  FROM toks
+),
+pos AS (SELECT doc_id, i - 1 AS pos, shingle FROM raw),
+shared AS (
+  SELECT shingle FROM (SELECT DISTINCT doc_id, shingle FROM pos)
+  GROUP BY shingle HAVING COUNT(*) >= 2
+),
+dup AS (
+  SELECT doc_id, pos FROM pos WHERE shingle IN (SELECT shingle FROM shared)
+),
+lagged AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_pos
+  FROM dup
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN pos - prev_pos > 5 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+           AS island
+  FROM lagged
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + 4 - MIN(pos) + 1 AS BIGINT) AS span_tokens
+FROM isl GROUP BY doc_id, island
+"""
+
+# Mirrors dedup.synthetic_urls + canonicalize_url + dedup_url_canonical:
+# deterministic URL spellings from (source, doc_id), canonical key via the
+# lowercase/scheme/www/query/trailing-slash strip chain, keep policy =
+# (quality DESC, doc_id ASC) — dedup_exact_keep_best's verbatim.
+ORACLE_SQL["dedup_url_canonical"] = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         (CASE WHEN doc_id % 7 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+         || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+         || source || '.example.com/articles/' || CAST(doc_id % 40 AS VARCHAR)
+         || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&ref=abc' ELSE '' END)
+           AS url
+  FROM documents
+),
+c AS (
+  SELECT doc_id, text, toks,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           lower(url), '^https?://', ''), '^www\\.', ''), '\\?.*$', ''),
+           '/$', '') AS canonical_url
+  FROM t
+),
+q AS (
+  SELECT doc_id, canonical_url,
+         CAST(round(round(
+           0.5 * (CAST(len(list_filter(toks,
+                    x -> x IN ('a','the','of','and','in','to'))) AS DOUBLE)
+                  / len(toks))
+           + 0.25 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+           + 0.25 * (least(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                           / len(toks), 8.0) / 8.0),
+         6) * 1000000, 0) AS BIGINT) AS qs
+  FROM c
+),
+sel AS (
+  SELECT canonical_url, doc_id AS keep_doc_id, qs,
+         row_number() OVER (PARTITION BY canonical_url
+                            ORDER BY qs DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY canonical_url) AS n_copies
+  FROM q
+)
+SELECT canonical_url, keep_doc_id,
+       CAST(qs AS DOUBLE) / 1000000.0 AS keep_quality,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM sel WHERE rn = 1
+"""
+
+# Mirrors dedup.dedup_exact_incremental_bloom: four 32-bit md5 slices mod
+# 65536 (in sync with dedup.BLOOM_BITS/BLOOM_HASHES — asserted by
+# tests/test_llm_ops.py); maybe = all four bits present in the store's
+# distinct-bit set; accepted = definite-new ∪ (maybe minus store).
+_BLOOM_PROBE_SLICES = " UNION ALL ".join(
+    f"SELECT doc_id, lang, content_hash, "
+    f"CAST('0x' || substr(content_hash, {1 + j * 8}, 8) AS BIGINT) % 65536 AS bit "
+    "FROM in_unique"
+    for j in range(4)
+)
+_BLOOM_STORE_SLICES = " UNION ALL ".join(
+    f"SELECT CAST('0x' || substr(content_hash, {1 + j * 8}, 8) AS BIGINT) % 65536"
+    f" AS bit FROM existing"
+    for j in range(4)
+)
+ORACLE_SQL["dedup_exact_incremental_bloom"] = f"""
+WITH existing AS (
+  SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id % 2 = 0
+),
+incoming AS (
+  SELECT doc_id, lang, md5(text) AS content_hash
+  FROM documents WHERE doc_id % 2 = 1
+),
+in_unique AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id)
+      AS rn FROM incoming) WHERE rn = 1
+),
+store_bits AS (SELECT DISTINCT bit FROM ({_BLOOM_STORE_SLICES})),
+probes AS ({_BLOOM_PROBE_SLICES}),
+maybe AS (
+  SELECT doc_id FROM probes JOIN store_bits USING (bit)
+  GROUP BY doc_id HAVING COUNT(*) = 4
+),
+accepted AS (
+  SELECT * FROM in_unique WHERE doc_id NOT IN (SELECT doc_id FROM maybe)
+  UNION ALL
+  SELECT * FROM in_unique WHERE doc_id IN (SELECT doc_id FROM maybe)
+    AND content_hash NOT IN (SELECT content_hash FROM existing)
+)
+SELECT i.lang,
+       COUNT(*) AS n_incoming,
+       CAST(coalesce((SELECT COUNT(*) FROM in_unique u WHERE u.lang = i.lang), 0)
+            AS BIGINT) AS n_after_batch_dedup,
+       CAST(coalesce((SELECT COUNT(*) FROM in_unique u
+                      JOIN maybe m ON u.doc_id = m.doc_id
+                      WHERE u.lang = i.lang), 0)
+            AS BIGINT) AS n_bloom_maybe,
+       CAST(coalesce((SELECT COUNT(*) FROM accepted a WHERE a.lang = i.lang), 0)
+            AS BIGINT) AS n_accepted
+FROM incoming i GROUP BY i.lang
+"""

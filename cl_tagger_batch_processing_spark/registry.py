@@ -376,3 +376,9 @@ register("corpus_length_filter_sweep", curation.corpus_length_filter_sweep)
 register("source_jsd_matrix", text.source_jsd_matrix)
 
 register("events_daily_percentiles", relational.events_daily_percentiles)
+
+# --- round-6 additions: substring-span dedup (Lee et al. run-merging),
+# canonical-URL dedup, Bloom-prefiltered incremental dedup ------------------
+register("dedup_substring_spans", dedup.dedup_substring_spans)
+register("dedup_url_canonical", dedup.dedup_url_canonical)
+register("dedup_exact_incremental_bloom", dedup.dedup_exact_incremental_bloom)

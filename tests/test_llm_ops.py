@@ -481,3 +481,86 @@ def test_parse_byte_conf_spark_forms():
     assert _parse_byte_conf("1g") == 1024**3
     assert _parse_byte_conf("-1") == -1  # broadcast disabled
     assert _parse_byte_conf("garbage") is None
+
+
+def test_substring_span_constants_in_sync():
+    from cl_tagger_batch_processing_spark import oracles
+
+    assert dedup.SPAN_K == 5
+    # the oracle hard-codes k=5: slice width t[i]..t[i+4], break gap > 5,
+    # span extension +4
+    sql = oracles.ORACLE_SQL["dedup_substring_spans"]
+    assert "t[i+4]" in sql and "> 5" in sql and "MAX(pos) + 4" in sql
+
+
+def test_bloom_constants_in_sync():
+    from cl_tagger_batch_processing_spark import oracles
+
+    assert dedup.BLOOM_BITS == 65536
+    assert dedup.BLOOM_HASHES == 4
+    sql = oracles.ORACLE_SQL["dedup_exact_incremental_bloom"]
+    assert "% 65536" in sql and "COUNT(*) = 4" in sql
+
+
+def test_substring_spans_merge_and_cross_doc(spark):
+    """Two docs sharing a 7-token run (three overlapping 5-shingles) must
+    each report ONE merged maximal span; a doc sharing nothing reports no
+    row; within-doc-only repetition (df = 1 distinct doc) doesn't count."""
+    run = "q w e r t y u"  # 7 shared tokens → starts 0,1,2 merge to [0, 6]
+    docs = _docs(
+        spark,
+        [
+            (1, run + " alpha beta gamma delta epsilon"),
+            (2, "zeta eta " + run + " theta iota kappa"),
+            (3, "solo words only here nothing shared at all"),
+            (4, "rep rep rep rep rep rep rep rep rep rep"),  # within-doc only
+        ],
+    )
+    import cl_tagger_batch_processing_spark.operators.dedup as dd
+
+    orig = dd.load_table
+    dd.load_table = lambda spark_, sf_dir_, name: docs
+    try:
+        rows = {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in dd.dedup_substring_spans(spark, "unused").collect()
+        }
+    finally:
+        dd.load_table = orig
+    # doc 4's 'rep'*10 shingle is identical at every start, but df=1 doc —
+    # excluded. doc 1: starts 0..2 → span [0, 6]; doc 2: starts 2..4 → [2, 8].
+    assert rows == {(1, 0, 6, 7), (2, 2, 8, 7)}
+
+
+def test_url_canonicalization_rules(spark):
+    from cl_tagger_batch_processing_spark.operators.dedup import canonicalize_url
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("HTTPS://WWW.Site.Example.com/Articles/7/?utm_source=x", "site.example.com/articles/7"),
+        ("https://site.example.com/articles/7", "site.example.com/articles/7"),
+        ("http://www.site.example.com/articles/7/", "site.example.com/articles/7"),
+        ("https://site.example.com/articles/7?ref=abc", "site.example.com/articles/7"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_bloom_incremental_matches_unfiltered(spark, sf_dir):
+    """The Bloom pre-filter is an OPTIMIZATION: accepted counts must be
+    bit-identical to dedup_exact_incremental's, and the maybe column must
+    never exceed the batch (sanity on the work profile)."""
+    from cl_tagger_batch_processing_spark.operators.dedup import (
+        dedup_exact_incremental,
+        dedup_exact_incremental_bloom,
+    )
+
+    base = {
+        (r.lang, r.n_incoming, r.n_after_batch_dedup, r.n_accepted)
+        for r in dedup_exact_incremental(spark, sf_dir).collect()
+    }
+    rows = dedup_exact_incremental_bloom(spark, sf_dir).collect()
+    got = {(r.lang, r.n_incoming, r.n_after_batch_dedup, r.n_accepted) for r in rows}
+    assert got == base
+    assert all(0 <= r.n_bloom_maybe <= r.n_after_batch_dedup for r in rows)

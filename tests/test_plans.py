@@ -607,3 +607,38 @@ def test_triangle_count_equi_joins_only(spark, sf_dir):
     for op in ["CartesianProduct", "BroadcastNestedLoopJoin",
                "BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
         assert op not in plan, op
+
+
+def test_substring_spans_no_posting_selfjoin(spark, sf_dir):
+    # two exchanges only — the shingle-df agg (map-side combinable) and the
+    # per-doc island window; crucially NO posting-list self-join anywhere,
+    # so hot shingles carry zero quadratic risk (unlike the pair operators)
+    df = QUERIES["dedup_substring_spans"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    for op in ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+               "ArrowEvalPython", "MapInPandas"]:
+        assert op not in plan, op
+    # the only join is the left-semi against the shared-shingle keys
+    assert plan.count("Join") <= plan.count("LeftSemi") + plan.count("LeftSemiJoin") + 1
+
+
+def test_url_canonical_single_shuffle_no_join(spark, sf_dir):
+    # URL synthesis + canonicalization + quality are all row-local Column
+    # math; the keep-policy argmax rides the ONE groupBy exchange
+    df = QUERIES["dedup_url_canonical"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert inspect.count_shuffles(df) == 1
+    for op in ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+               "BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
+        assert op not in plan, op
+
+
+def test_bloom_incremental_store_bits_broadcast(spark, sf_dir):
+    # the store-side pre-filter must reach the batch as a BROADCAST of the
+    # ≤ BLOOM_BITS distinct-bit rows (never a store-sized shuffle), and the
+    # bit aggregation must partial-aggregate map-side
+    df = QUERIES["dedup_exact_incremental_bloom"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
