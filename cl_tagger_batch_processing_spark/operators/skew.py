@@ -14,6 +14,19 @@ a hot key lands on one task). Two mitigations exist in the engine:
 
 ``skew_salted_join`` is the oracle-checked demonstration: it must produce
 exactly the rows of the plain join.
+
+Interplay of the two mechanisms (they compose, they don't conflict): AQE
+skew splitting operates on SHUFFLE PARTITION SIZES after the exchange — it
+subdivides oversized partitions into extra tasks reading sub-ranges of the
+same map output; it never rewrites join keys. Hand-salting rewrites the KEY
+SPACE before the exchange. With both enabled, AQE sees the post-salt
+partition sizes: if the salt spread a hot key well, no partition exceeds
+``spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes`` and AQE
+does nothing; if ``n_salts`` was too small for a pathological key, AQE
+still splits the residual oversized partition at runtime. The worst case is
+mild over-parallelism (extra tasks), never duplicated or lost rows —
+``tests/test_llm_ops.py::test_salted_join_identical_under_aqe_skew`` pins
+result identity with the AQE skew-join flag on and off.
 """
 
 from __future__ import annotations

@@ -74,7 +74,8 @@ register("pipeline_score_tag", _pipeline_score_tag)
 # The first 50 slots therefore hold the queries where driver verification
 # adds the most information: the reference-core tagging surface, every
 # oracle-backed dedup/similarity/text/streaming/multimodal extension, and
-# the flagship TPC-H shapes. Low-information relational/scalar variants
+# the newest not-yet-driver-verified families (rotated in each round).
+# Long-stable TPC-H shapes and low-information relational/scalar variants
 # (cube/rollup/string-functions etc.) are registered after slot 50.
 # ---------------------------------------------------------------------------
 
@@ -156,13 +157,15 @@ register("stream_stream_join", streaming_windows.stream_stream_join)
 # value-checked either way against the batch distinct/total counts.
 register("stream_user_event_mix", streaming_stateful.stream_user_event_mix)
 
-# --- flagship relational shapes (driver window) ------------------------------
-
-register("q1_pricing_summary", relational.q1_pricing_summary)
-register("q3_shipping_priority", relational.q3_shipping_priority)
-register("q5_local_supplier", relational.q5_local_supplier)
-register("q18_large_orders", relational.q18_large_orders)
-register("q22_idle_customers", relational.q22_idle_customers)
+# --- r6 window refresh: the five r5 families never driver-verified take the
+# TPC-H flagships' slots (q1/q3/q5/q18/q22 move below the window — they are
+# long-stable, plan-tested, and still locally parity-checked every run; the
+# driver's value-hash gate adds more information on the newest operators).
+register("events_markov_transitions", relational.events_markov_transitions)
+register("scd2_order_status", relational.scd2_order_status)
+register("mm_audio_framing", multimodal.mm_audio_framing)
+register("text_tfidf_topk", text.text_tfidf_topk)
+register("mm_phash_dedup", multimodal.mm_phash_dedup)
 
 register("asof_join_purchase_click", relational.asof_join_purchase_click)
 register("range_join_events", relational.range_join_events)
@@ -189,6 +192,14 @@ register("skew_salted_join", skew.skew_salted_join)
 # Displaced from the window by dedup_semantic (plain running-sum window;
 # window_frames' local oracle covers the same frame machinery).
 register("window_running", relational.window_running)
+
+# TPC-H flagships displaced by the r6 window refresh (see above): local
+# parity + plan tests keep their machinery pinned.
+register("q1_pricing_summary", relational.q1_pricing_summary)
+register("q3_shipping_priority", relational.q3_shipping_priority)
+register("q5_local_supplier", relational.q5_local_supplier)
+register("q18_large_orders", relational.q18_large_orders)
+register("q22_idle_customers", relational.q22_idle_customers)
 
 # Mid-tier TPC-H shapes displaced from the window by the r3 extension and
 # curation/CDC/layout queries (the judge-graded LLM-pipeline families
@@ -319,22 +330,17 @@ register(
 
 # --- round-5 additions: lexical retrieval, C4-style span dedup, DSIR
 # selection, BPE merge counting, perceptual-hash payload dedup -------------
-register("text_tfidf_topk", text.text_tfidf_topk)
 register("dedup_paragraphs", text.dedup_paragraphs)
 register("corpus_dsir_weights", text.corpus_dsir_weights)
 register("text_bpe_pair_counts", text.text_bpe_pair_counts)
-register("mm_phash_dedup", multimodal.mm_phash_dedup)
 
 # --- round-5 additions, batch 2: flow/robust-stats/SCD2 analytics, shingle
 # containment, scalar-quantized ANN, audio framing, entropy QA, budget
 # planning ----------------------------------------------------------------
-register("events_markov_transitions", relational.events_markov_transitions)
 register("events_anomaly_mad", relational.events_anomaly_mad)
-register("scd2_order_status", relational.scd2_order_status)
 register("text_char_entropy", text.text_char_entropy)
 register("corpus_token_budget", curation.corpus_token_budget)
 register("sim_scalar_quant_recall", similarity.sim_scalar_quant_recall)
-register("mm_audio_framing", multimodal.mm_audio_framing)
 
 # displaced from the window by the r5 refresh (local parity still covers)
 register("q10_returned_items", relational.q10_returned_items)

@@ -25,13 +25,46 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Path prefixes that are (or conventionally mount) a filesystem shared by
+# every executor — the precondition for per-row sidecar files written with
+# plain open() to land in ONE place on a multi-node cluster.
+SHARED_FS_PREFIXES = ("hdfs://", "s3://", "s3a://", "s3n://", "gs://",
+                      "abfs://", "abfss://", "wasbs://", "dbfs:/", "/mnt/",
+                      "/shared/", "/nfs/")
 
-def write_sidecar_txt(tagged: DataFrame, out_dir: str) -> int:
+
+def _require_shared_out_dir(tagged: DataFrame, out_dir: str, allow_executor_local: bool) -> None:
+    """On a non-local master, refuse an out_dir that doesn't look like a
+    shared mount: ``write_batches`` opens files with plain ``open()`` ON THE
+    EXECUTORS, so with a node-local path each machine gets its own partial
+    set of sidecars — silently, which is worse than failing. Local masters
+    (local[*], the test bed) have one filesystem and always pass;
+    ``allow_executor_local=True`` is the explicit escape hatch for clusters
+    where a node-local path really is a shared mount the prefix list can't
+    know about."""
+    master = tagged.sparkSession.conf.get("spark.master", "local")
+    if allow_executor_local or master.startswith("local"):
+        return
+    if not any(out_dir.startswith(p) for p in SHARED_FS_PREFIXES):
+        raise ValueError(
+            f"write_sidecar_txt: out_dir {out_dir!r} does not look like a "
+            f"shared filesystem (prefixes: {SHARED_FS_PREFIXES}) but master "
+            f"is {master!r} — each executor would write its own partial set "
+            "of sidecar files to its local disk. Point out_dir at a shared "
+            "mount, pass allow_executor_local=True if it is one, or use "
+            "write_tags_parquet (the scale-correct sink)."
+        )
+
+
+def write_sidecar_txt(tagged: DataFrame, out_dir: str, *, allow_executor_local: bool = False) -> int:
     """Write one ``<basename>.txt`` per row of (path, tags_text).
 
     Returns the number of sidecars written. Idempotent under task retry
     (same path → same bytes), so speculative/retried tasks are safe.
+    ``out_dir`` must be a shared filesystem when running against a
+    multi-node master (checked; see ``_require_shared_out_dir``).
     """
+    _require_shared_out_dir(tagged, out_dir, allow_executor_local)
 
     def write_batches(batches):
         import pandas as pd  # local import: runs on executors

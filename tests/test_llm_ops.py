@@ -564,3 +564,23 @@ def test_bloom_incremental_matches_unfiltered(spark, sf_dir):
     got = {(r.lang, r.n_incoming, r.n_after_batch_dedup, r.n_accepted) for r in rows}
     assert got == base
     assert all(0 <= r.n_bloom_maybe <= r.n_after_batch_dedup for r in rows)
+
+
+def test_salted_join_identical_under_aqe_skew(spark, sf_dir):
+    """Hand-salting and AQE skew splitting compose (see skew.py module
+    docstring): AQE subdivides oversized shuffle partitions, salting
+    rewrites the key space — flipping the AQE flag must never change the
+    salted join's rows."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    key = "spark.sql.adaptive.skewJoin.enabled"
+    orig = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "true")
+        with_aqe = sorted(tuple(r) for r in QUERIES["skew_salted_join"](spark, sf_dir).collect())
+        spark.conf.set(key, "false")
+        without = sorted(tuple(r) for r in QUERIES["skew_salted_join"](spark, sf_dir).collect())
+    finally:
+        spark.conf.set(key, orig)
+    assert with_aqe == without
+    assert len(with_aqe) > 0

@@ -76,3 +76,35 @@ def test_sidecar_sink(spark, tmp_path):
     assert sorted(os.listdir(out)) == ["img1.txt", "img2.txt"]
     assert open(os.path.join(out, "img1.txt")).read() == "tag a, tag b"
     assert open(os.path.join(out, "img2.txt")).read() == ""
+
+
+def test_sidecar_shared_fs_guard():
+    """On a non-local master the sink must refuse an executor-local out_dir
+    (each node would write its own partial sidecar set — silent data
+    fan-out); shared-FS prefixes and the explicit escape hatch pass."""
+    import pytest
+
+    from cl_tagger_batch_processing_spark.sources.sinks import _require_shared_out_dir
+
+    class _Conf:
+        def __init__(self, master):
+            self._m = master
+
+        def get(self, key, default=None):
+            return self._m if key == "spark.master" else default
+
+    class _Fake:
+        def __init__(self, master):
+            self.sparkSession = self
+            self.conf = _Conf(master)
+
+    # local master: any path is the one shared filesystem
+    _require_shared_out_dir(_Fake("local[32]"), "/tmp/out", False)
+    # cluster master + node-local path: refuse
+    with pytest.raises(ValueError, match="shared filesystem"):
+        _require_shared_out_dir(_Fake("spark://host:7077"), "/tmp/out", False)
+    # cluster master + shared prefixes: pass
+    for ok in ["hdfs:///ns/out", "s3a://bucket/out", "/mnt/shared/out", "dbfs:/out"]:
+        _require_shared_out_dir(_Fake("yarn"), ok, False)
+    # explicit escape hatch for unlisted shared mounts
+    _require_shared_out_dir(_Fake("yarn"), "/data/nfs-mount/out", True)
