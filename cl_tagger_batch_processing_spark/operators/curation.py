@@ -639,3 +639,53 @@ def corpus_length_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("doc_survival_rate"),
         )
     )
+
+
+MIX_TEMPERATURE = 0.7  # the UniMax/Gopher-style flattening exponent
+MIX_EPOCH_DOC_BUDGET = 10_000
+
+
+def corpus_temperature_mix(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = MIX_TEMPERATURE,
+    epoch_budget: int = MIX_EPOCH_DOC_BUDGET,
+) -> DataFrame:
+    """Temperature-scaled source mixture weights: w_s ∝ p_s^α with α < 1 —
+    the multilingual/multi-domain sampling standard (mT5/UniMax, Gopher)
+    that upsamples tail sources so a 100:1 corpus imbalance doesn't become
+    a 100:1 training imbalance. Extends corpus_source_mix (which reports
+    raw shares) with the reweighting step a sampler actually consumes.
+
+    Same scale shape as corpus_source_mix: one map-side-combined corpus
+    aggregation, then all mixture math over the #sources-row result via an
+    unpartitioned window (trivially small). Determinism: shares divide
+    once in double; p^α rounds at 9dp and sums in DECIMAL(28,9) (the
+    order-independent mean pattern); the final weight divides two
+    identical doubles and rounds at 6dp. boost = weight/share (how many ×
+    the source is over/under-sampled) and epoch_docs = the per-source doc
+    budget at ``epoch_budget`` total."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.select("source", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("sum_tokens"))
+    )
+    w_all = Window.partitionBy()
+    share = F.col("sum_tokens").cast("double") / F.sum("sum_tokens").over(w_all).cast(
+        "double"
+    )
+    shared = per_source.withColumn("token_share", share).withColumn(
+        "w_raw", F.round(F.pow(F.col("token_share"), F.lit(alpha)), 9).cast("decimal(28,9)")
+    )
+    w_total = F.sum("w_raw").over(w_all)
+    weight = F.round(F.col("w_raw").cast("double") / w_total.cast("double"), 6)
+    return shared.withColumn("temp_weight", weight).select(
+        "source",
+        "n_docs",
+        "sum_tokens",
+        F.round("token_share", 6).alias("token_share"),
+        "temp_weight",
+        F.round(F.col("temp_weight") / F.col("token_share"), 6).alias("boost"),
+        F.round(F.col("temp_weight") * epoch_budget, 0).cast("bigint").alias("epoch_docs"),
+    )

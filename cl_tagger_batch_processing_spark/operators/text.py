@@ -880,3 +880,123 @@ def source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.sum("term").cast("double"), 6) + F.lit(0.0)).alias("jsd_bits"),
         )
     )
+
+
+ZIPF_TOP_N = 200
+
+
+def token_zipf_fit(spark: SparkSession, sf_dir: str, top_n: int = ZIPF_TOP_N) -> DataFrame:
+    """Zipf's-law fit over the corpus token frequency distribution: OLS
+    slope/intercept of ln(count) against ln(rank) for the top ``top_n``
+    tokens — the one-row corpus-health QA every tokenizer/corpus change
+    should watch (natural text sits near slope −1; a slope collapsing
+    toward 0 means boilerplate/duplication flattened the distribution,
+    a cliff means template text).
+
+    Shape: one map-side-combined groupBy(token) builds the frequency
+    table; the top-n cut is a distributed TakeOrdered (count DESC, token
+    ASC tie-break — never a full vocabulary sort); the regression runs
+    over ``top_n`` rows. Determinism: ln terms round at 9dp; Σx, Σy, Σxy,
+    Σx² accumulate in DECIMAL(28,9)/(38,18) (order-independent); the
+    closed-form slope/intercept then evaluate on identical doubles and
+    round at 6dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("token"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("token"))
+    xy = counts.withColumn("rank", F.row_number().over(w)).select(
+        F.round(F.log(F.col("rank").cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("c").cast("double")), 9).alias("y"),
+    )
+    d9 = lambda c: c.cast("decimal(28,9)")  # noqa: E731
+    d18 = lambda c: F.round(c, 18).cast("decimal(38,18)")  # noqa: E731
+    sums = xy.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(d9(F.col("x"))).cast("double").alias("sx"),
+        F.sum(d9(F.col("y"))).cast("double").alias("sy"),
+        F.sum(d18(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum(d18(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+    )
+    n = F.col("n_terms").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "n_terms",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("zipf_intercept"),
+    )
+
+
+def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under an add-1-smoothed BIGRAM LM trained on
+    the even-doc_id half of the corpus and scored on the odd half — the
+    held-out form of the quality filter (text_unigram_loglik scores every
+    doc under its own corpus LM; a held-out bigram model is what flags
+    machine-generated or out-of-domain text that unigram stats miss).
+
+    Convention: P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V) with c(w1) the bigram-
+    PREFIX count (Σ_w2 c(w1,w2) — computed from the bigram relation, one
+    less corpus pass) and V the train vocabulary size; unseen prefixes
+    score 1/V. Scoring docs with < 2 tokens have no bigrams and are
+    excluded.
+
+    Shape: bigram/prefix counts are map-side-combined groupBys on token
+    keys; the score pass joins test bigrams to both count relations by
+    token-pair/token equi-joins WITHOUT broadcast hints (real vocabularies
+    can reach 10⁷⁺ rows — AQE may still broadcast when small); V rides as
+    a 1-row broadcast scalar. Determinism: each ln term evaluates on an
+    exact rational, rounds at 9dp, and sums in DECIMAL(28,9); perplexity
+    exponentiates the 6dp-rounded mean (exp of identical doubles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    gen = (
+        "transform(sequence(1, size(t)-1), "
+        "i -> struct(element_at(t, i) AS w1, element_at(t, i+1) AS w2))"
+    )
+    bigrams = toks.where(F.size("t") >= 2).select(
+        "doc_id", F.explode(F.expr(gen)).alias("b")
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    train = bigrams.where(F.col("doc_id") % 2 == 0)
+    test = bigrams.where(F.col("doc_id") % 2 == 1)
+    c2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = (
+        toks.where(F.col("doc_id") % 2 == 0)
+        .select(F.explode("t").alias("token"))
+        .agg(F.countDistinct("token").alias("v"))
+    )
+    scored = (
+        test.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.coalesce("c2", F.lit(0)) + 1).cast("double")
+                    / (F.coalesce("c1", F.lit(0)) + F.col("v")).cast("double")
+                ),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("ll"),
+        )
+    )
+    avg_nll = F.round(
+        -(F.sum("ll").cast("double")) / F.count(F.lit(1)).cast("double"), 6
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        avg_nll.alias("avg_neg_loglik"),
+    ).select(
+        "doc_id",
+        "n_bigrams",
+        "avg_neg_loglik",
+        F.round(F.exp(F.col("avg_neg_loglik")), 6).alias("perplexity"),
+    )

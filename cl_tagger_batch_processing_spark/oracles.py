@@ -3364,3 +3364,107 @@ SELECT i.lang,
             AS BIGINT) AS n_accepted
 FROM incoming i GROUP BY i.lang
 """
+
+
+# Mirrors curation.corpus_temperature_mix: p^0.7 rounded at 9dp summed in
+# DECIMAL(28,9); weight/boost/epoch_docs derived exactly as the Spark
+# column chain (boost divides the ROUNDED weight by the UNROUNDED share).
+ORACLE_SQL["corpus_temperature_mix"] = """
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS sum_tokens
+  FROM documents GROUP BY source
+),
+sh AS (
+  SELECT *,
+         CAST(sum_tokens AS DOUBLE) / CAST(SUM(sum_tokens) OVER () AS DOUBLE)
+           AS share_raw,
+         CAST(round(pow(CAST(sum_tokens AS DOUBLE)
+                        / CAST(SUM(sum_tokens) OVER () AS DOUBLE), 0.7), 9)
+              AS DECIMAL(28,9)) AS w_raw
+  FROM per_source
+),
+t AS (
+  SELECT *,
+         round(CAST(w_raw AS DOUBLE) / CAST(SUM(w_raw) OVER () AS DOUBLE), 6)
+           AS temp_weight
+  FROM sh
+)
+SELECT source, n_docs, sum_tokens,
+       round(share_raw, 6) AS token_share,
+       temp_weight,
+       round(temp_weight / share_raw, 6) AS boost,
+       CAST(round(temp_weight * 10000, 0) AS BIGINT) AS epoch_docs
+FROM t
+"""
+
+# Mirrors text.token_zipf_fit: top-200 (count DESC, token ASC) cut, ln
+# terms at 9dp, OLS sums in DECIMAL(28,9)/(38,18), closed-form slope.
+ORACLE_SQL["token_zipf_fit"] = """
+WITH counts AS (
+  SELECT token, COUNT(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token ORDER BY c DESC, token ASC LIMIT 200
+),
+xy AS (
+  SELECT round(ln(CAST(row_number() OVER (ORDER BY c DESC, token ASC)
+                       AS DOUBLE)), 9) AS x,
+         round(ln(CAST(c AS DOUBLE)), 9) AS y
+  FROM counts
+),
+s AS (
+  SELECT COUNT(*) AS n_terms,
+         CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(x * y, 18) AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(round(x * x, 18) AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+  FROM xy
+),
+d AS (SELECT *, CAST(n_terms AS DOUBLE) AS n FROM s)
+SELECT n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS zipf_intercept
+FROM d
+"""
+
+# Mirrors text.text_bigram_lm_perplexity: add-1 bigram LM trained on even
+# doc_ids (prefix counts from the bigram relation, V = train vocab), ln
+# terms at 9dp in DECIMAL(28,9), perplexity = exp of the 6dp mean.
+ORACLE_SQL["text_bigram_lm_perplexity"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+         unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+  FROM toks WHERE len(t) >= 2
+),
+c2 AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE doc_id % 2 = 0 GROUP BY w1, w2
+),
+c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+v AS (
+  SELECT COUNT(DISTINCT token) AS v
+  FROM (SELECT unnest(t) AS token FROM toks WHERE doc_id % 2 = 0)
+),
+sc AS (
+  SELECT te.doc_id,
+         CAST(round(ln(CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE)
+                       / CAST(coalesce(c1.c1, 0) + v.v AS DOUBLE)), 9)
+              AS DECIMAL(28,9)) AS ll
+  FROM bg te
+  LEFT JOIN c2 ON te.w1 = c2.w1 AND te.w2 = c2.w2
+  LEFT JOIN c1 ON te.w1 = c1.w1
+  CROSS JOIN v
+  WHERE te.doc_id % 2 = 1
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         round(-CAST(SUM(ll) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS avg_neg_loglik
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, avg_neg_loglik,
+       round(exp(avg_neg_loglik), 6) AS perplexity
+FROM agg
+"""

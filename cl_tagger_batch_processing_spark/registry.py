@@ -388,3 +388,9 @@ register("events_daily_percentiles", relational.events_daily_percentiles)
 register("dedup_substring_spans", dedup.dedup_substring_spans)
 register("dedup_url_canonical", dedup.dedup_url_canonical)
 register("dedup_exact_incremental_bloom", dedup.dedup_exact_incremental_bloom)
+
+# --- round-6 additions, batch 2: temperature mixture weights, Zipf fit,
+# held-out bigram-LM perplexity --------------------------------------------
+register("corpus_temperature_mix", curation.corpus_temperature_mix)
+register("token_zipf_fit", text.token_zipf_fit)
+register("text_bigram_lm_perplexity", text.text_bigram_lm_perplexity)

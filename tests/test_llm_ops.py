@@ -584,3 +584,58 @@ def test_salted_join_identical_under_aqe_skew(spark, sf_dir):
         spark.conf.set(key, orig)
     assert with_aqe == without
     assert len(with_aqe) > 0
+
+
+def test_temperature_alpha_one_recovers_shares(spark, sf_dir):
+    """α = 1 is the identity temperature: weights must equal raw shares
+    (up to the documented 6dp/9dp rounding ladder)."""
+    from cl_tagger_batch_processing_spark.operators.curation import corpus_temperature_mix
+
+    rows = corpus_temperature_mix(spark, sf_dir, alpha=1.0).collect()
+    for r in rows:
+        assert abs(r.temp_weight - r.token_share) < 1e-5, r
+        assert abs(r.boost - 1.0) < 1e-4, r
+    # and the weights form a distribution
+    assert abs(sum(r.temp_weight for r in rows) - 1.0) < 1e-4
+
+
+def test_temperature_flattens_distribution(spark, sf_dir):
+    """α < 1 must compress the spread: the largest source's weight falls,
+    the smallest source's weight rises (the reason the operator exists)."""
+    from cl_tagger_batch_processing_spark.operators.curation import corpus_temperature_mix
+
+    rows = corpus_temperature_mix(spark, sf_dir, alpha=0.5).collect()
+    hi = max(rows, key=lambda r: r.token_share)
+    lo = min(rows, key=lambda r: r.token_share)
+    assert hi.temp_weight < hi.token_share
+    assert lo.temp_weight > lo.token_share
+
+
+def test_bigram_perplexity_bounds(spark, sf_dir):
+    from cl_tagger_batch_processing_spark.operators.text import text_bigram_lm_perplexity
+
+    rows = text_bigram_lm_perplexity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id % 2 == 1  # only the held-out half is scored
+        assert r.n_bigrams > 0
+        assert r.perplexity >= 1.0
+        assert r.avg_neg_loglik > 0.0
+
+
+def test_zipf_slope_negative_on_skewed_toy(spark):
+    """A frequency distribution that decays must fit a negative slope."""
+    import cl_tagger_batch_processing_spark.operators.text as tx
+
+    docs = _docs(
+        spark,
+        [(1, "a a a a a a a a b b b b c c d"), (2, "a a a a b b c d e")],
+    )
+    orig = tx.load_table
+    tx.load_table = lambda spark_, sf_dir_, name: docs
+    try:
+        row = tx.token_zipf_fit(spark, "unused").collect()[0]
+    finally:
+        tx.load_table = orig
+    assert row.n_terms == 5
+    assert row.zipf_slope < -0.5

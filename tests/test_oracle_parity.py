@@ -49,11 +49,18 @@ def test_driver_window_is_curated():
         "stream_tumbling_counts",
         "mm_byte_histogram",
         "pipeline_score_tag",
-        "q1_pricing_summary",
         # r5 window refresh: the newest operator families must hold slots
         "graph_pagerank",
         "sim_pq_adc_recall",
         "dedup_containment",
+        # r6 window refresh: TPC-H flagships rotated OUT (long-stable, plan-
+        # tested, locally parity-checked); the never-driver-verified r5
+        # batch-2/3 families rotated IN
+        "events_markov_transitions",
+        "scd2_order_status",
+        "mm_audio_framing",
+        "text_tfidf_topk",
+        "mm_phash_dedup",
     ]:
         assert family_member in window, f"{family_member} fell out of the window"
 

@@ -642,3 +642,39 @@ def test_bloom_incremental_store_bits_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "partial_" in plan.lower() or "HashAggregate" in plan
+
+
+def test_temperature_mix_one_corpus_pass(spark, sf_dir):
+    # one map-side-combined corpus aggregation; all mixture math (shares,
+    # p^alpha, weights) runs over the #sources-row result via tiny window
+    # exchanges — never a second corpus scan, never Python
+    df = QUERIES["corpus_temperature_mix"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert plan.count("FileScan") == 1
+    assert inspect.count_shuffles(df) <= 2
+    for op in ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+               "ArrowEvalPython", "MapInPandas"]:
+        assert op not in plan, op
+
+
+def test_zipf_fit_takeordered_not_global_sort(spark, sf_dir):
+    # the top-n cut must plan as a distributed TakeOrdered (per-partition
+    # top-k merged on the driver), never a full-vocabulary global sort;
+    # one token-groupBy shuffle total
+    df = QUERIES["token_zipf_fit"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert inspect.count_shuffles(df) == 1
+    for op in ["SortMergeJoin", "CartesianProduct", "BatchEvalPython"]:
+        assert op not in plan, op
+
+
+def test_bigram_lm_token_keyed_joins_only(spark, sf_dir):
+    # LM counts attach by token-pair/token equi-joins; the only nested loop
+    # is the 1-row V scalar broadcast — no unbroadcast cartesian, no Python
+    df = QUERIES["text_bigram_lm_perplexity"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    for op in ["BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
+        assert op not in plan, op
