@@ -215,3 +215,35 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering_coeff"),
         )
     )
+
+
+def graph_components(
+    spark: SparkSession, sf_dir: str, min_support: int = PR_MIN_SUPPORT
+) -> DataFrame:
+    """Connected components of the co-occurrence graph with component
+    sizes — the fourth pillar of the graph QA family (pagerank = node
+    importance, degree_stats = connectivity skew, triangle_count = local
+    density, components = global reachability: a fragmenting graph means
+    the support threshold is cutting real structure).
+
+    Reuses dedup's min-label propagation core (``connected_components`` —
+    O(diameter) rounds, Observation-based convergence, checkpoint per
+    round in the configured durability mode) on the part graph instead of
+    the near-dup doc graph; the size rollup is one tiny groupBy over the
+    per-node result. The DuckDB oracle computes the same fixpoint via a
+    recursive transitive-closure CTE, so component ids (= min node id per
+    component) are value-checked, not just counted."""
+    from .dedup import connected_components
+
+    edges = cooccurrence_edges(spark, sf_dir, min_support=min_support)
+    und = edges.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    cc = connected_components(nodes, und)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("component_size"))
+    return cc.join(sizes, "cluster_id").select(
+        F.col("doc_id").alias("node"),
+        F.col("cluster_id").alias("component_id"),
+        "component_size",
+    )

@@ -3468,3 +3468,22 @@ SELECT doc_id, n_bigrams, avg_neg_loglik,
        round(exp(avg_neg_loglik), 6) AS perplexity
 FROM agg
 """
+
+
+# Mirrors graph.graph_components: same co-occurrence graph as PageRank
+# (support >= 2), min-node-id component labels via recursive transitive
+# closure over the symmetric edges, size rollup joined back.
+ORACLE_SQL["graph_components"] = f"""
+WITH RECURSIVE {_PR_GRAPH_CTES},
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(a, b) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+comp AS (SELECT a AS node, MIN(b) AS component_id FROM reach GROUP BY a),
+sizes AS (
+  SELECT component_id, COUNT(*) AS component_size FROM comp GROUP BY component_id
+)
+SELECT node, component_id, component_size FROM comp JOIN sizes USING (component_id)
+"""

@@ -394,3 +394,4 @@ register("dedup_exact_incremental_bloom", dedup.dedup_exact_incremental_bloom)
 register("corpus_temperature_mix", curation.corpus_temperature_mix)
 register("token_zipf_fit", text.token_zipf_fit)
 register("text_bigram_lm_perplexity", text.text_bigram_lm_perplexity)
+register("graph_components", graph.graph_components)

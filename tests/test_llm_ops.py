@@ -639,3 +639,23 @@ def test_zipf_slope_negative_on_skewed_toy(spark):
         tx.load_table = orig
     assert row.n_terms == 5
     assert row.zipf_slope < -0.5
+
+
+def test_graph_components_partition_nodes(spark, sf_dir):
+    """Component labels must be min-node-id, sizes must sum to the node
+    count, and every edge must stay inside one component (it's a
+    PARTITION of the reachability relation)."""
+    from cl_tagger_batch_processing_spark.operators.graph import (
+        cooccurrence_edges,
+        graph_components,
+    )
+
+    rows = graph_components(spark, sf_dir).collect()
+    label = {r.node: r.component_id for r in rows}
+    assert all(r.component_id <= r.node for r in rows)  # min-id labeling
+    from collections import Counter
+
+    sizes = Counter(r.component_id for r in rows)
+    assert all(r.component_size == sizes[r.component_id] for r in rows)
+    for e in cooccurrence_edges(spark, sf_dir).collect():
+        assert label[e.src] == label[e.dst], (e.src, e.dst)

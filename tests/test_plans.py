@@ -678,3 +678,13 @@ def test_bigram_lm_token_keyed_joins_only(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     for op in ["BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
         assert op not in plan, op
+
+
+def test_graph_components_rounds_are_equijoins(spark, sf_dir):
+    # the CC loop must stay equi-join + groupBy per round — no cartesian,
+    # no Python, no unbounded nested loop at any corpus size
+    df = QUERIES["graph_components"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    for op in ["CartesianProduct", "BroadcastNestedLoopJoin",
+               "BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
+        assert op not in plan, op
