@@ -911,3 +911,60 @@ def sim_pq_adc_recall(
         .select("query_id", "neighbor_id")
     )
     return _per_query_recall(spark, sf_dir, pq_topk, top_k, num_queries)
+
+
+IVF_PROBE_SWEEP = (1, 2, 4, 8)
+
+
+def sim_ivf_probe_sweep(
+    spark: SparkSession,
+    sf_dir: str,
+    top_k: int = DEFAULT_TOP_K,
+    num_queries: int = DEFAULT_NUM_QUERIES,
+    probes: tuple[int, ...] = IVF_PROBE_SWEEP,
+) -> DataFrame:
+    """Recall@k as a function of IVF nprobe — the tuning curve an ANN
+    deployment reads to pick its latency/recall point (ann_recall_report
+    grades the CONFIGURED index; this answers "what would more probes
+    buy"). nprobe = #cells means exhaustive search, so the curve must end
+    at recall 1.0 — pinned by the unit test.
+
+    Shape: one aggregate row per probe setting, each branch an independent
+    IVF plan over the same assignment structure (a diagnostic run-once
+    query; a production sweep would stage the assignment table — here
+    each branch is O(corpus/cells × nprobe × queries) like sim_topk_ivf).
+    The exact top-k is materialized ONCE and fans out to every branch.
+    Recall is one exact-int division, 6dp-rounded."""
+    from ..checkpointing import truncate_lineage
+
+    exact = (
+        sim_topk_cosine(spark, sf_dir, top_k=top_k, num_queries=num_queries)
+        .select("query_id", "neighbor_id")
+        .transform(truncate_lineage)
+    )
+    parts = []
+    for p in probes:
+        approx = (
+            sim_topk_ivf(spark, sf_dir, top_k=top_k, num_queries=num_queries, nprobe=p)
+            .select("query_id", "neighbor_id")
+            .withColumn("hit", F.lit(1))
+        )
+        # explicit broadcast: the probe side is ≤ top_k × num_queries rows by
+        # construction, but the checkpointed exact side carries no stats, so
+        # without the hint Spark falls back to a sort-merge join
+        joined = exact.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
+        hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+        parts.append(
+            joined.agg(
+                F.lit(p).cast("bigint").alias("nprobe"),
+                F.count(F.lit(1)).alias("n_exact"),
+                hits.cast("bigint").alias("n_hits"),
+                F.round(
+                    hits.cast("double") / F.count(F.lit(1)).cast("double"), 6
+                ).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for nxt in parts[1:]:
+        out = out.unionByName(nxt)
+    return out

@@ -3487,3 +3487,70 @@ sizes AS (
 )
 SELECT node, component_id, component_size FROM comp JOIN sizes USING (component_id)
 """
+
+
+# Mirrors similarity.sim_ivf_probe_sweep: shared assignment CTEs, one
+# probed/scored/topk chain per nprobe in (1,2,4,8), recall vs the exact
+# top-k (reused as a CTE), one aggregate row per setting.
+def _ivf_sweep_sql(probes=(1, 2, 4, 8)) -> str:
+    blocks = []
+    selects = []
+    for p in probes:
+        blocks.append(f"""
+probed_{p} AS (
+  SELECT query_id, qq, nq, cell_id
+  FROM (SELECT vec_id AS query_id, qv AS qq, nrm AS nq, cell_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell_id ASC) AS rn
+        FROM assign_scored WHERE vec_id < 5)
+  WHERE rn <= {p}
+),
+scored_{p} AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(CAST(p.qq AS DOUBLE[]), CAST(a.qv AS DOUBLE[]))
+           / (sqrt(p.nq) * sqrt(a.nrm)) AS cosine
+  FROM assigned a JOIN probed_{p} p USING (cell_id)
+  WHERE a.vec_id != p.query_id
+),
+topk_{p} AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC)
+                    AS rank
+        FROM scored_{p})
+  WHERE rank <= 10
+)""".strip())
+        selects.append(f"""
+SELECT CAST({p} AS BIGINT) AS nprobe,
+       COUNT(*) AS n_exact,
+       CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       round(CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+FROM exact_k e LEFT JOIN topk_{p} t USING (query_id, neighbor_id)""".strip())
+    return (
+        f"""
+WITH {_QEMB_CTES},
+cent AS (SELECT vec_id AS cell_id, qv AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+assign_scored AS (
+  SELECT a.vec_id, a.qv, a.nrm, c.cell_id,
+         list_dot_product(CAST(c.cv AS DOUBLE[]), CAST(a.qv AS DOUBLE[]))
+           / (sqrt(c.cn) * sqrt(a.nrm)) AS sim
+  FROM n a CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, qv, nrm, cell_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cell_id ASC) AS rn
+        FROM assign_scored)
+  WHERE rn = 1
+),
+exact_k AS ({ORACLE_SQL["sim_topk_cosine"]}),
+"""
+        + ",\n".join(blocks)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+ORACLE_SQL["sim_ivf_probe_sweep"] = _ivf_sweep_sql()

@@ -395,3 +395,4 @@ register("corpus_temperature_mix", curation.corpus_temperature_mix)
 register("token_zipf_fit", text.token_zipf_fit)
 register("text_bigram_lm_perplexity", text.text_bigram_lm_perplexity)
 register("graph_components", graph.graph_components)
+register("sim_ivf_probe_sweep", similarity.sim_ivf_probe_sweep)

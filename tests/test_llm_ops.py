@@ -659,3 +659,18 @@ def test_graph_components_partition_nodes(spark, sf_dir):
     assert all(r.component_size == sizes[r.component_id] for r in rows)
     for e in cooccurrence_edges(spark, sf_dir).collect():
         assert label[e.src] == label[e.dst], (e.src, e.dst)
+
+
+def test_ivf_probe_sweep_monotone_to_exhaustive(spark, sf_dir):
+    """Recall must be non-decreasing in nprobe (probing more cells can only
+    add candidates) and reach exactly 1.0 at nprobe = IVF_NUM_CELLS, where
+    the probe set is every cell — an exhaustive search."""
+    rows = sorted(
+        similarity.sim_ivf_probe_sweep(spark, sf_dir).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 4, 8]
+    recalls = [r.recall for r in rows]
+    assert recalls == sorted(recalls)
+    assert rows[-1].recall == 1.0
+    assert all(r.n_hits <= r.n_exact for r in rows)

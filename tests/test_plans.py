@@ -688,3 +688,14 @@ def test_graph_components_rounds_are_equijoins(spark, sf_dir):
     for op in ["CartesianProduct", "BroadcastNestedLoopJoin",
                "BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
         assert op not in plan, op
+
+
+def test_probe_sweep_broadcast_only(spark, sf_dir):
+    # every branch reuses the IVF shape (broadcast centroids/queries, cell
+    # equi-join); no unbroadcast cartesian, no corpus-side SMJ, no Python
+    df = QUERIES["sim_ivf_probe_sweep"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    for op in ["BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
+        assert op not in plan, op
