@@ -3554,3 +3554,9 @@ exact_k AS ({ORACLE_SQL["sim_topk_cosine"]}),
 
 
 ORACLE_SQL["sim_ivf_probe_sweep"] = _ivf_sweep_sql()
+
+
+# Mirrors sources/layout.dedup_exact_incremental_bucketed: the bucketed
+# store changes the PHYSICAL plan only — the report is bit-identical to
+# dedup_exact_incremental, so the oracle is the same SQL.
+ORACLE_SQL["dedup_exact_incremental_bucketed"] = ORACLE_SQL["dedup_exact_incremental"]

@@ -396,3 +396,4 @@ register("token_zipf_fit", text.token_zipf_fit)
 register("text_bigram_lm_perplexity", text.text_bigram_lm_perplexity)
 register("graph_components", graph.graph_components)
 register("sim_ivf_probe_sweep", similarity.sim_ivf_probe_sweep)
+register("dedup_exact_incremental_bucketed", sources_layout.dedup_exact_incremental_bucketed)

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .tables import load_table
@@ -330,5 +330,54 @@ def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
             F.sum("event_id").alias("id_checksum"),
+        )
+    )
+
+
+def dedup_exact_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_exact_incremental with the hash STORE staged as a table
+    bucketed (and sorted) on content_hash — the layout lever applied to
+    the dedup pipeline's running state: at 100 TB the store is the big
+    side of every day's anti-join, and bucketing it once at ingest means
+    the store is NEVER exchanged again — only the day-sized incoming
+    batch shuffles (to the bucket partitioning) per run. Complements
+    operators/dedup.dedup_exact_incremental_bloom, which shrinks the
+    PROBE work; this removes the store-side SHUFFLE (the two compose in a
+    production pipeline: bloom first, bucketed anti-join for the residue).
+
+    The report is bit-identical to dedup_exact_incremental's (same oracle
+    SQL under this query's name); test_layout.py pins that the bucketed
+    plan carries strictly fewer exchanges and that the store scan is
+    bucket-aware."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    store_t = f"b_hashstore_{tag}"
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5("text").alias("content_hash")
+    spark.sql(f"DROP TABLE IF EXISTS {store_t}")
+    write_bucketed(
+        docs.where(F.col("doc_id") % 2 == 0).select(h).distinct(),
+        store_t,
+        ["content_hash"],
+        path=os.path.join(LAYOUT_STAGING, store_t),
+    )
+    incoming = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "lang", h)
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    in_unique = (
+        incoming.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    )
+    accepted = in_unique.join(spark.table(store_t), "content_hash", "left_anti")
+    n_incoming = incoming.groupBy("lang").agg(F.count(F.lit(1)).alias("n_incoming"))
+    n_within = in_unique.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_after_batch_dedup")
+    )
+    n_final = accepted.groupBy("lang").agg(F.count(F.lit(1)).alias("n_accepted"))
+    return (
+        n_incoming.join(n_within, "lang", "left")
+        .join(n_final, "lang", "left")
+        .select(
+            "lang",
+            "n_incoming",
+            F.coalesce("n_after_batch_dedup", F.lit(0)).alias("n_after_batch_dedup"),
+            F.coalesce("n_accepted", F.lit(0)).alias("n_accepted"),
         )
     )

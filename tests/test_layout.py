@@ -169,3 +169,20 @@ def test_zorder_clusters_both_dimensions(spark, sf_dir):
     # rectangle, so 2-D predicates prune on stats alone. On a random layout
     # every row group spans ~the whole domain (ratio ≈ 1).
     assert avg_area < 0.5 * full_area, (avg_area, full_area)
+
+
+def test_bucketed_hash_store_no_store_exchange(spark, sf_dir):
+    """The store side of the incremental-dedup anti-join must read bucket-
+    aware (paid once at ingest) — strictly fewer exchanges than the plain
+    variant, and the store scan carries the bucket markers."""
+    from cl_tagger_batch_processing_spark.plans import inspect
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    bucketed = QUERIES["dedup_exact_incremental_bucketed"](spark, sf_dir)
+    plain = QUERIES["dedup_exact_incremental"](spark, sf_dir)
+    assert inspect.count_shuffles(bucketed) < inspect.count_shuffles(plain)
+    plan = inspect.executed_plan(bucketed)
+    assert "Bucketed: true" in plan
+    assert "SelectedBucketsCount" in plan
+    # and the report matches the plain operator row-for-row
+    assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, plain.collect()))
