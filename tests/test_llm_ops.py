@@ -674,3 +674,29 @@ def test_ivf_probe_sweep_monotone_to_exhaustive(spark, sf_dir):
     assert recalls == sorted(recalls)
     assert rows[-1].recall == 1.0
     assert all(r.n_hits <= r.n_exact for r in rows)
+
+
+def test_url_canonicalization_idempotent_grid(spark):
+    """Canonicalization must be IDEMPOTENT (canon(canon(u)) == canon(u))
+    and post-conditions must hold (no scheme, no leading www., no query,
+    no trailing slash) over the full combinatorial grid of spelling
+    hazards — one Spark job, 3×2×2×2×2 grid plus odd cases."""
+    from cl_tagger_batch_processing_spark.operators.dedup import canonicalize_url
+
+    urls = []
+    for scheme in ["http://", "HTTPS://", ""]:
+        for www in ["www.", ""]:
+            for q in ["?utm=1&b=2", ""]:
+                for slash in ["/", ""]:
+                    for host in ["Site.Example.com", "a-b.example.org"]:
+                        urls.append(f"{scheme}{www}{host}/Path/To/7{slash}{q}")
+    urls += ["www.only-www.example.com", "https://example.com/?x=1", "example.com"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(F.col("url"), canonicalize_url(F.col("url")).alias("c1"))
+    twice = once.select("url", "c1", canonicalize_url(F.col("c1")).alias("c2"))
+    for r in twice.collect():
+        assert r.c1 == r.c2, f"not idempotent: {r.url!r} -> {r.c1!r} -> {r.c2!r}"
+        assert not r.c1.startswith(("http://", "https://", "www.")), r
+        assert "?" not in r.c1, r
+        assert not r.c1.endswith("/"), r
+        assert r.c1 == r.c1.lower(), r
