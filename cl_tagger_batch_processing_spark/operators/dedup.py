@@ -1128,3 +1128,93 @@ def dedup_exact_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame
             F.coalesce("n_accepted", F.lit(0)).alias("n_accepted"),
         )
     )
+
+
+BAND_SWEEP = ((2, 8), (4, 4), (8, 2))  # (bands, rows/band) over 16 hashes
+
+
+def dedup_minhash_band_sweep(
+    spark: SparkSession, sf_dir: str, max_df: int | None = DEFAULT_MAX_DF
+) -> DataFrame:
+    """Candidate volume and admission profile per LSH banding configuration
+    — the S-curve tuning table for the 16-hash signature (the probe-count
+    sweep's sibling for the dedup sketch): 2×8 banding collides only
+    near-identical docs (high precision, low recall), 8×2 floods candidates
+    (high recall, low precision); the shipped 4×4 sits between. Reading
+    this answers "which banding fits THIS corpus's similarity profile"
+    with a measurement instead of the textbook curve 1−(1−s^r)^b.
+
+    The signature table materializes ONCE (it is the expensive pass) and
+    re-bands per config — banding is a row-local array slice, so each
+    branch costs one small self-join, never a new corpus scan. Per config:
+    distinct candidate pairs, pairs whose signature estimate clears the
+    0.5 admission threshold, and the 9dp-decimal mean estimate."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = (
+        minhash_signatures(word_shingles(docs, k=3, max_df=max_df, distinct=False))
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"h{i}") for i in range(MINHASH_NUM_HASHES)]).alias("sig"),
+        )
+        .transform(truncate_lineage)
+    )
+    parts = []
+    for n_bands, rows_per_band in BAND_SWEEP:
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(band).alias("band"),
+                    F.concat_ws(
+                        "|",
+                        F.transform(
+                            F.slice("sig", band * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    ).alias("bkey"),
+                )
+                for band in range(n_bands)
+            ]
+        )
+        banded = sig.select("doc_id", "sig", F.explode(band_structs).alias("b")).select(
+            "doc_id", "sig", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+        )
+        a, b = banded.alias("a"), banded.alias("b")
+        est = F.size(
+            F.filter(
+                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        ) / F.lit(float(MINHASH_NUM_HASHES))
+        cand = (
+            a.join(b, ["band", "bkey"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                est.alias("est"),
+            )
+            .distinct()
+        )
+        n = F.count(F.lit(1))
+        admitted = F.sum(F.when(F.col("est") >= 0.5, 1).otherwise(0))
+        mean_est = F.when(
+            n > 0,
+            F.round(
+                F.sum(F.round(F.col("est"), 9).cast("decimal(28,9)")).cast("double")
+                / n.cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0))
+        parts.append(
+            cand.agg(
+                F.lit(n_bands).cast("bigint").alias("n_bands"),
+                F.lit(rows_per_band).cast("bigint").alias("rows_per_band"),
+                n.alias("n_candidates"),
+                F.coalesce(admitted, F.lit(0)).cast("bigint").alias("n_admitted"),
+                mean_est.alias("mean_est"),
+            )
+        )
+    out = parts[0]
+    for nxt in parts[1:]:
+        out = out.unionByName(nxt)
+    return out

@@ -296,3 +296,49 @@ def mm_audio_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         "payload_bytes",
     )
+
+
+TILE_PX = 64
+
+
+def mm_tile_grid(spark: SparkSession, sf_dir: str, tile_px: int = TILE_PX) -> DataFrame:
+    """2-D tile index over "image" payloads — the spatial counterpart of
+    mm_audio_framing's 1-D frame map (video frames / audio frames / image
+    tiles are the three decode-plumbing shapes a multimodal pipeline
+    needs): one row per TILE_PX×TILE_PX tile with pixel offsets and the
+    clipped edge-tile dimensions a downstream crop UDF would consume.
+
+    Image dimensions are synthesized deterministically from doc_id (the
+    fixtures carry no real images — same convention as the payload fakes),
+    spread so exact-multiple and remainder edges both occur. The grid
+    explode is row-local Column math (two nested sequence explodes) —
+    zero shuffles, zero Python, map-only at any corpus volume."""
+    docs = load_table(spark, sf_dir, "documents")
+    width = (F.lit(64) + (F.col("doc_id") % 8) * 32).cast("bigint")
+    height = (F.lit(64) + (F.col("doc_id") % 5) * 48).cast("bigint")
+    t = F.lit(tile_px).cast("bigint")
+    dims = docs.select(
+        "doc_id",
+        width.alias("width"),
+        height.alias("height"),
+        F.ceil(width / t).cast("bigint").alias("n_tcols"),
+        F.ceil(height / t).cast("bigint").alias("n_trows"),
+    )
+    rows = dims.select(
+        "doc_id", "width", "height", "n_tcols", "n_trows",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_trows") - 1)).alias("tile_row"),
+    )
+    grid = rows.select(
+        "doc_id", "width", "height", "n_tcols", "n_trows", "tile_row",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_tcols") - 1)).alias("tile_col"),
+    )
+    return grid.select(
+        "doc_id",
+        "tile_row",
+        "tile_col",
+        (F.col("tile_col") * t).alias("x_off"),
+        (F.col("tile_row") * t).alias("y_off"),
+        F.least(t, F.col("width") - F.col("tile_col") * t).alias("tile_w"),
+        F.least(t, F.col("height") - F.col("tile_row") * t).alias("tile_h"),
+        (F.col("n_trows") * F.col("n_tcols")).alias("n_tiles"),
+    )

@@ -968,3 +968,41 @@ def sim_ivf_probe_sweep(
     for nxt in parts[1:]:
         out = out.unionByName(nxt)
     return out
+
+
+# Matches dedup's DEFAULT_COSINE_THRESHOLD: on the fixture's
+# quantized-random embeddings, neighbor cosines top out around 0.39, so
+# 0.3 yields a meaningful, SF-stable result set.
+RANGE_SEARCH_THRESHOLD = 0.3
+
+
+def sim_range_search(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = RANGE_SEARCH_THRESHOLD,
+    num_queries: int = DEFAULT_NUM_QUERIES,
+) -> DataFrame:
+    """Radius (range) search: ALL corpus vectors within cosine ≥ threshold
+    of each query — the similarity-search API's second verb beside top-k
+    (dedup wants "everything this close", not "the k closest"; a top-k cut
+    silently truncates dense neighborhoods and pads sparse ones).
+
+    Same broadcast-scan shape as sim_topk_cosine — the query side
+    broadcasts, the corpus is scanned once, the threshold filter is
+    row-local — but NO window at all: range search doesn't rank, so the
+    one top-k shuffle disappears and the operator is a pure map at any
+    corpus size. Cosine on integer-quantized vectors is bit-identical
+    across engines, so the ≥ cut is exact, not tolerance-fuzzy."""
+    base = quantized_embeddings(spark, sf_dir)
+    queries = base.where(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq"), F.col("nrm").alias("nq")
+    )
+    cos = int_dot(F.col("qq"), F.col("qv")).cast("double") / (
+        F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("nrm").cast("double"))
+    )
+    return (
+        base.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -3560,3 +3560,104 @@ ORACLE_SQL["sim_ivf_probe_sweep"] = _ivf_sweep_sql()
 # store changes the PHYSICAL plan only — the report is bit-identical to
 # dedup_exact_incremental, so the oracle is the same SQL.
 ORACLE_SQL["dedup_exact_incremental_bucketed"] = ORACLE_SQL["dedup_exact_incremental"]
+
+
+# Mirrors similarity.sim_range_search: exact cosine over the quantized
+# embeddings, plain >= threshold cut (no window/rank at all).
+ORACLE_SQL["sim_range_search"] = f"""
+WITH {_QEMB_CTES},
+queries AS (SELECT vec_id AS query_id, qv AS qq, nrm AS nq FROM n WHERE vec_id < 5)
+SELECT query_id, a.vec_id AS neighbor_id,
+       list_dot_product(CAST(qq AS DOUBLE[]), CAST(a.qv AS DOUBLE[]))
+         / (sqrt(nq) * sqrt(a.nrm)) AS cosine
+FROM n a CROSS JOIN queries
+WHERE a.vec_id != query_id
+  AND list_dot_product(CAST(qq AS DOUBLE[]), CAST(a.qv AS DOUBLE[]))
+        / (sqrt(nq) * sqrt(a.nrm)) >= 0.3
+"""
+
+# Mirrors multimodal.mm_tile_grid: synthetic dims from doc_id, 64-px tiles,
+# two-stage unnest for the row x col cross product, clipped edge tiles.
+ORACLE_SQL["mm_tile_grid"] = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(64 + (doc_id % 8) * 32 AS BIGINT) AS width,
+         CAST(64 + (doc_id % 5) * 48 AS BIGINT) AS height
+  FROM documents
+),
+g AS (
+  SELECT doc_id, width, height,
+         CAST(ceil(width / 64.0) AS BIGINT) AS n_tcols,
+         CAST(ceil(height / 64.0) AS BIGINT) AS n_trows
+  FROM d
+),
+r AS (
+  SELECT doc_id, width, height, n_tcols, n_trows,
+         unnest(generate_series(0, n_trows - 1)) AS tile_row
+  FROM g
+),
+rc AS (
+  SELECT doc_id, width, height, n_tcols, n_trows, tile_row,
+         unnest(generate_series(0, n_tcols - 1)) AS tile_col
+  FROM r
+)
+SELECT doc_id,
+       CAST(tile_row AS BIGINT) AS tile_row,
+       CAST(tile_col AS BIGINT) AS tile_col,
+       CAST(tile_col * 64 AS BIGINT) AS x_off,
+       CAST(tile_row * 64 AS BIGINT) AS y_off,
+       CAST(least(64, width - tile_col * 64) AS BIGINT) AS tile_w,
+       CAST(least(64, height - tile_row * 64) AS BIGINT) AS tile_h,
+       CAST(n_trows * n_tcols AS BIGINT) AS n_tiles
+FROM rc
+"""
+
+# Mirrors dedup.dedup_minhash_band_sweep: one banding chain per (bands,
+# rows/band) config over the SAME 16-hash signatures; distinct candidate
+# pairs, 0.5-threshold admissions, 9dp-decimal mean estimate.
+def _band_sweep_sql(configs=((2, 8), (4, 4), (8, 2))) -> str:
+    chains = []
+    selects = []
+    for n_bands, rpb in configs:
+        band_rows = " UNION ALL ".join(
+            "SELECT doc_id, {b} AS band, {key} AS bkey FROM sig".format(
+                b=b,
+                key=" || '|' || ".join(
+                    f"CAST(h{b * rpb + i} AS VARCHAR)" for i in range(rpb)
+                ),
+            )
+            for b in range(n_bands)
+        )
+        chains.append(f"""
+bands_{n_bands} AS ({band_rows}),
+cand_{n_bands} AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_{n_bands} a JOIN bands_{n_bands} b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+est_{n_bands} AS (
+  SELECT doc_a, doc_b, ({_MINHASH_MATCHES}) / 16.0 AS est
+  FROM cand_{n_bands}
+  JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
+)""".strip())
+        selects.append(f"""
+SELECT CAST({n_bands} AS BIGINT) AS n_bands,
+       CAST({rpb} AS BIGINT) AS rows_per_band,
+       COUNT(*) AS n_candidates,
+       CAST(coalesce(SUM(CASE WHEN est >= 0.5 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_admitted,
+       CASE WHEN COUNT(*) > 0
+            THEN round(CAST(SUM(CAST(round(est, 9) AS DECIMAL(28,9))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE), 6)
+            ELSE 0.0 END AS mean_est
+FROM est_{n_bands}""".strip())
+    return (
+        f"WITH {_shingle_ctes(3, max_df=DEDUP_MAX_DF)},\n{_MINHASH_HALVES},\n"
+        f"sig AS (SELECT doc_id, {_MINHASH_COLS} FROM mh GROUP BY doc_id),\n"
+        + ",\n".join(chains)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+ORACLE_SQL["dedup_minhash_band_sweep"] = _band_sweep_sql()

@@ -397,3 +397,9 @@ register("text_bigram_lm_perplexity", text.text_bigram_lm_perplexity)
 register("graph_components", graph.graph_components)
 register("sim_ivf_probe_sweep", similarity.sim_ivf_probe_sweep)
 register("dedup_exact_incremental_bucketed", sources_layout.dedup_exact_incremental_bucketed)
+
+# --- round-6 additions, batch 3: radius search, image-tile plumbing,
+# LSH banding sweep --------------------------------------------------------
+register("sim_range_search", similarity.sim_range_search)
+register("mm_tile_grid", multimodal.mm_tile_grid)
+register("dedup_minhash_band_sweep", dedup.dedup_minhash_band_sweep)

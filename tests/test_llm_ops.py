@@ -700,3 +700,50 @@ def test_url_canonicalization_idempotent_grid(spark):
         assert "?" not in r.c1, r
         assert not r.c1.endswith("/"), r
         assert r.c1 == r.c1.lower(), r
+
+
+def test_band_sweep_s_curve_ordering(spark, sf_dir):
+    """Fewer bands × more rows = stricter: candidate count must be
+    non-decreasing as bands increase (2×8 ⊆-ish 4×4 ⊆-ish 8×2 in volume),
+    mean estimate non-increasing, and every admitted pair is a candidate."""
+    rows = {r.n_bands: r for r in dedup.dedup_minhash_band_sweep(spark, sf_dir).collect()}
+    assert set(rows) == {2, 4, 8}
+    assert rows[2].n_candidates <= rows[4].n_candidates <= rows[8].n_candidates
+    assert rows[2].mean_est >= rows[4].mean_est >= rows[8].mean_est
+    for r in rows.values():
+        assert r.n_admitted <= r.n_candidates
+        assert r.n_bands * r.rows_per_band == 16
+
+
+def test_tile_grid_covers_image_exactly(spark, sf_dir):
+    """Tiles must partition each image: per-doc sum of tile areas equals
+    width×height (no gap, no overlap), offsets stay in bounds, edge tiles
+    clip instead of spilling."""
+    rows = multimodal.mm_tile_grid(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    area = defaultdict(int)
+    for r in rows:
+        assert 1 <= r.tile_w <= 64 and 1 <= r.tile_h <= 64, r
+        assert r.x_off + r.tile_w <= 64 + (r.doc_id % 8) * 32, r
+        assert r.y_off + r.tile_h <= 64 + (r.doc_id % 5) * 48, r
+        area[r.doc_id] += r.tile_w * r.tile_h
+    for doc_id, a in area.items():
+        assert a == (64 + (doc_id % 8) * 32) * (64 + (doc_id % 5) * 48), doc_id
+
+
+def test_range_search_consistent_with_topk(spark, sf_dir):
+    """Every top-k neighbor above the radius threshold must appear in the
+    range result, and every range row clears the threshold."""
+    from cl_tagger_batch_processing_spark.operators.similarity import (
+        RANGE_SEARCH_THRESHOLD,
+        sim_range_search,
+        sim_topk_cosine,
+    )
+
+    rng = {(r.query_id, r.neighbor_id): r.cosine for r in sim_range_search(spark, sf_dir).collect()}
+    assert rng
+    assert all(c >= RANGE_SEARCH_THRESHOLD for c in rng.values())
+    for r in sim_topk_cosine(spark, sf_dir).collect():
+        if r.cosine >= RANGE_SEARCH_THRESHOLD:
+            assert (r.query_id, r.neighbor_id) in rng

@@ -699,3 +699,35 @@ def test_probe_sweep_broadcast_only(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     for op in ["BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
         assert op not in plan, op
+
+
+def test_range_search_pure_map_no_window(spark, sf_dir):
+    # radius search ranks nothing: broadcast queries against one corpus
+    # scan, row-local threshold — zero shuffles, no Window, no Python
+    df = QUERIES["sim_range_search"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert inspect.count_shuffles(df) == 0
+    assert "Window" not in plan
+    for op in ["SortMergeJoin", "CartesianProduct", "BatchEvalPython"]:
+        assert op not in plan, op
+
+
+def test_tile_grid_zero_shuffle_no_python(spark, sf_dir):
+    df = QUERIES["mm_tile_grid"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert inspect.count_shuffles(df) == 0
+    for op in ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+               "BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
+        assert op not in plan, op
+
+
+def test_band_sweep_reuses_signature_no_corpus_rescan(spark, sf_dir):
+    # the signature table materializes once (checkpoint); each banding
+    # branch is an array-slice explode + self-join — no Python, no
+    # cartesian, and no FileScan of the corpus per branch
+    df = QUERIES["dedup_minhash_band_sweep"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    for op in ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+               "MapInPandas"]:
+        assert op not in plan, op
+    assert plan.count("FileScan") == 0  # all branches read the checkpoint
