@@ -1218,3 +1218,57 @@ def dedup_minhash_band_sweep(
     for nxt in parts[1:]:
         out = out.unionByName(nxt)
     return out
+
+
+def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup retention funnel: how many documents survive the
+    exact pass, then the near-dup pass — the report a corpus owner reads
+    after every re-crawl ("which sources are mostly copies?"), and the
+    composition proof that the dedup stages stack without double-dropping.
+
+    Stage semantics: exact keeps the min doc_id per content hash; the
+    near stage then keeps, among EXACT SURVIVORS, the min surviving doc
+    per MinHash-LSH cluster (dedup_clusters' components) — composing on
+    survivors rather than raw docs, exactly as a staged pipeline runs.
+    Counts are exact integers; retention divides once per rate.
+
+    Scale shape: one hash groupBy-window (exact), the banded cluster
+    machinery (bounded candidates), one cluster-keyed window, one
+    per-source rollup — every stage already individually plan-tested; the
+    funnel adds two tiny windows and an aggregation, no new corpus scan
+    beyond dedup_clusters' own."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("content_hash")
+    )
+    w_exact = Window.partitionBy("content_hash").orderBy("doc_id")
+    exact_surv = (
+        docs.withColumn("rn", F.row_number().over(w_exact))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "source")
+    )
+    clusters = dedup_clusters(spark, sf_dir)  # (doc_id, cluster_id), all docs
+    w_near = Window.partitionBy("cluster_id").orderBy("doc_id")
+    near_surv = (
+        exact_surv.join(clusters, "doc_id")
+        .withColumn("rn", F.row_number().over(w_near))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "source")
+    )
+    n_docs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_exact = exact_surv.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_exact"))
+    n_near = near_surv.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_near"))
+    return (
+        n_docs.join(n_exact, "source", "left")
+        .join(n_near, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_after_exact", F.lit(0)).alias("n_after_exact"),
+            F.coalesce("n_after_near", F.lit(0)).alias("n_after_near"),
+            F.round(
+                F.coalesce("n_after_near", F.lit(0)).cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("retention"),
+        )
+    )

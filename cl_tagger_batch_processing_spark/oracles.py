@@ -3661,3 +3661,34 @@ FROM est_{n_bands}""".strip())
 
 
 ORACLE_SQL["dedup_minhash_band_sweep"] = _band_sweep_sql()
+
+
+# Mirrors dedup.corpus_dedup_funnel: exact keep = min doc per md5, near
+# keep = min EXACT SURVIVOR per MinHash-LSH cluster (the dedup_clusters
+# fixpoint, nested as a CTE), per-source rollup.
+ORACLE_SQL["corpus_dedup_funnel"] = f"""
+WITH clusters AS ({ORACLE_SQL["dedup_clusters"]}),
+d AS (SELECT doc_id, source, md5(text) AS content_hash FROM documents),
+exact_surv AS (
+  SELECT doc_id, source FROM (
+    SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id)
+      AS rn FROM d) WHERE rn = 1
+),
+near_surv AS (
+  SELECT doc_id, source FROM (
+    SELECT e.doc_id, e.source,
+           row_number() OVER (PARTITION BY c.cluster_id ORDER BY e.doc_id)
+             AS rn
+    FROM exact_surv e JOIN clusters c USING (doc_id)) WHERE rn = 1
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(coalesce((SELECT COUNT(*) FROM exact_surv x
+                      WHERE x.source = d.source), 0) AS BIGINT) AS n_after_exact,
+       CAST(coalesce((SELECT COUNT(*) FROM near_surv nv
+                      WHERE nv.source = d.source), 0) AS BIGINT) AS n_after_near,
+       round(CAST(coalesce((SELECT COUNT(*) FROM near_surv nv
+                            WHERE nv.source = d.source), 0) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS retention
+FROM d GROUP BY d.source
+"""

@@ -403,3 +403,4 @@ register("dedup_exact_incremental_bucketed", sources_layout.dedup_exact_incremen
 register("sim_range_search", similarity.sim_range_search)
 register("mm_tile_grid", multimodal.mm_tile_grid)
 register("dedup_minhash_band_sweep", dedup.dedup_minhash_band_sweep)
+register("corpus_dedup_funnel", dedup.corpus_dedup_funnel)

@@ -747,3 +747,20 @@ def test_range_search_consistent_with_topk(spark, sf_dir):
     for r in sim_topk_cosine(spark, sf_dir).collect():
         if r.cosine >= RANGE_SEARCH_THRESHOLD:
             assert (r.query_id, r.neighbor_id) in rng
+
+
+def test_dedup_funnel_monotone_and_consistent(spark, sf_dir):
+    """Funnel invariant: n_docs >= n_after_exact >= n_after_near per
+    source, totals consistent with the standalone operators."""
+    from cl_tagger_batch_processing_spark.operators.dedup import (
+        corpus_dedup_funnel,
+        dedup_exact,
+    )
+
+    rows = corpus_dedup_funnel(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs >= r.n_after_exact >= r.n_after_near >= 0, r
+        assert 0.0 <= r.retention <= 1.0
+    total_exact = sum(r.n_after_exact for r in rows)
+    assert total_exact == dedup_exact(spark, sf_dir).count()
