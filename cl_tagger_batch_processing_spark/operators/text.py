@@ -1000,3 +1000,55 @@ def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_neg_loglik",
         F.round(F.exp(F.col("avg_neg_loglik")), 6).alias("perplexity"),
     )
+
+
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate removal — the first transform a web-crawl pipeline
+    applies before any quality/dedup stage: drop script/style blocks,
+    strip tags, decode entities, collapse whitespace. The fixtures carry
+    plain text, so each doc is first wrapped in a deterministic HTML
+    shell (head/title/script/style plus &amp;-style entities around the
+    body) and the stripper must recover EXACTLY the original text —
+    ``roundtrip_ok`` is the per-row self-check, and the unit test pins
+    all-true (a lossy or over-eager regex breaks it row by row).
+
+    Pure Column regexp chain (Spark regexp_replace replaces all matches;
+    the DuckDB mirror passes the 'g' flag) — zero shuffles, zero Python,
+    map-only at any crawl size."""
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><script>var x = 1 &amp;&amp; 2;</script>"
+              "<style>p { color: red; }</style></head><body>\n<p class=\"main\">"),
+        F.col("text"),
+        F.lit("</p>\n<div>&copy; src &nbsp;footer&lt;end&gt;</div></body></html>"),
+    )
+    wrapped = docs.select("doc_id", "text", html.alias("html"))
+    c = F.col("html")
+    c = F.regexp_replace(c, r"(?s)<script.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?s)<style.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<head.*?</head>", " ")
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    for ent, rep in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&nbsp;", " "), ("&copy;", "(c)")):
+        c = F.regexp_replace(c, ent, rep)
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    cleaned = wrapped.select(
+        "doc_id",
+        F.length("html").cast("bigint").alias("html_len"),
+        c.alias("clean_full"),
+        F.size(F.regexp_extract_all(F.col("html"), F.lit("<[^>]*>"), 0))
+        .cast("bigint")
+        .alias("n_tags"),
+        "text",
+    )
+    # the synthetic shell contributes a known suffix after the body text
+    body = F.regexp_replace(F.col("clean_full"), r"\s*\(c\) src\s+footer<end>$", "")
+    return cleaned.select(
+        "doc_id",
+        "html_len",
+        F.length("clean_full").cast("bigint").alias("clean_len"),
+        "n_tags",
+        (body == F.col("text")).alias("roundtrip_ok"),
+    )

@@ -3692,3 +3692,43 @@ SELECT d.source,
              / CAST(COUNT(*) AS DOUBLE), 6) AS retention
 FROM d GROUP BY d.source
 """
+
+
+# Mirrors text.text_html_strip: identical synthetic HTML shell, identical
+# strip chain (RE2 needs the 'g' flag where Spark's regexp_replace is
+# implicitly global), roundtrip check against the original text.
+ORACLE_SQL["text_html_strip"] = """
+WITH w AS (
+  SELECT doc_id, text,
+         '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+         || '</title><script>var x = 1 &amp;&amp; 2;</script>'
+         || '<style>p { color: red; }</style></head><body>' || chr(10)
+         || '<p class="main">' || text || '</p>' || chr(10)
+         || '<div>&copy; src &nbsp;footer&lt;end&gt;</div></body></html>'
+           AS html
+  FROM documents
+),
+s AS (
+  SELECT doc_id, text, html,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(html, '(?s)<script.*?</script>', ' ', 'g'),
+                   '(?s)<style.*?</style>', ' ', 'g'),
+                 '(?s)<head.*?</head>', ' ', 'g'),
+               '<[^>]*>', ' ', 'g'),
+             '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '),
+             '&copy;', '(c)'),
+           '\\s+', ' ', 'g')) AS clean_full
+  FROM w
+)
+SELECT doc_id,
+       CAST(length(html) AS BIGINT) AS html_len,
+       CAST(length(clean_full) AS BIGINT) AS clean_len,
+       CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
+       regexp_replace(clean_full, '\\s*\\(c\\) src\\s+footer<end>$', '') = text
+         AS roundtrip_ok
+FROM s
+"""

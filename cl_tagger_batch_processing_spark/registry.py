@@ -404,3 +404,4 @@ register("sim_range_search", similarity.sim_range_search)
 register("mm_tile_grid", multimodal.mm_tile_grid)
 register("dedup_minhash_band_sweep", dedup.dedup_minhash_band_sweep)
 register("corpus_dedup_funnel", dedup.corpus_dedup_funnel)
+register("text_html_strip", text.text_html_strip)

@@ -764,3 +764,16 @@ def test_dedup_funnel_monotone_and_consistent(spark, sf_dir):
         assert 0.0 <= r.retention <= 1.0
     total_exact = sum(r.n_after_exact for r in rows)
     assert total_exact == dedup_exact(spark, sf_dir).count()
+
+
+def test_html_strip_roundtrips_every_doc(spark, sf_dir):
+    """The stripper must recover the original body text exactly for every
+    document (lossy or over-eager regexes fail row by row)."""
+    from cl_tagger_batch_processing_spark.operators.text import text_html_strip
+
+    rows = text_html_strip(spark, sf_dir).collect()
+    assert rows
+    bad = [r.doc_id for r in rows if not r.roundtrip_ok]
+    assert not bad, f"lossy strip for docs {bad[:5]}"
+    assert all(r.n_tags == 16 for r in rows)  # fixed synthetic shell
+    assert all(r.clean_len < r.html_len for r in rows)

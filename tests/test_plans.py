@@ -731,3 +731,12 @@ def test_band_sweep_reuses_signature_no_corpus_rescan(spark, sf_dir):
                "MapInPandas"]:
         assert op not in plan, op
     assert plan.count("FileScan") == 0  # all branches read the checkpoint
+
+
+def test_html_strip_zero_shuffle_no_python(spark, sf_dir):
+    df = QUERIES["text_html_strip"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert inspect.count_shuffles(df) == 0
+    for op in ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+               "BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
+        assert op not in plan, op
