@@ -12,7 +12,13 @@ lineage so plans stay small and the expensive upstream runs once. Two modes:
 * ``reliable`` — ``DataFrame.checkpoint`` against a fault-tolerant
   checkpoint directory (HDFS/S3/shared mount): survives executor loss, so a
   10-superstep PageRank on 1000 executors doesn't restart from scratch when
-  one machine dies. Costs one write+read of the checkpointed frame.
+  one machine dies. The frame is persisted (memory-and-disk) for the
+  duration of the checkpoint: RDD checkpointing writes its files in a
+  SECOND job after the materializing action, and without the persist that
+  second job re-executes the entire upstream lineage — exactly the
+  recomputation the checkpoint exists to avoid (the standard
+  ``RDD.checkpoint`` caveat). Net cost: one cached materialization plus
+  one write+read of the checkpointed frame.
 
 Mode is read from the Spark conf so a cluster submit flips it without code
 changes::
@@ -63,4 +69,15 @@ def truncate_lineage(df: DataFrame, *, eager: bool = True) -> DataFrame:
                 "would silently lose the durability the mode exists for."
             )
         sc.setCheckpointDir(ckpt_dir)
-    return df.checkpoint(eager=eager)
+    # Persist before checkpointing: the checkpoint files are written by a
+    # second job AFTER the materializing action, and an unpersisted frame
+    # would re-execute its full upstream lineage for that write (the
+    # documented RDD.checkpoint caveat). With eager=True the data lives in
+    # the checkpoint files once written, so the cache is dropped again.
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    out = df.checkpoint(eager=eager)
+    if eager:
+        df.unpersist()
+    return out

@@ -560,6 +560,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = CLU
         return ck, obs.get["label_sum"]
 
     labels, prev_sum = _checkpoint_with_sum(labels)
+    converged = False
     for _ in range(max_iter):
         prop = (
             labels.join(both, labels.doc_id == both.a)
@@ -572,8 +573,21 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = CLU
         )
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # Min-label propagation advances one hop per round, so max_iter
+        # bounds the reachable graph DIAMETER. Silently returning here
+        # would emit non-minimal labels (split components) with no signal —
+        # at fixture SFs the parity gate would catch it, at cluster scale
+        # nothing would. Callers with deep graphs pass a bigger budget
+        # (graph_components does); this is a correctness guard, not a knob.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds — the graph's diameter exceeds the budget; "
+            "raise max_iter"
+        )
     singletons = (
         nodes.select("doc_id")
         .join(labels, "doc_id", "left_anti")
@@ -657,18 +671,13 @@ def dedup_embedding_cosine(
     return embedding_candidates(spark, sf_dir).where(F.col("cosine") >= threshold)
 
 
-def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental exact dedup: an incoming batch checked against the
-    existing corpus's content hashes — the form dedup takes in a RUNNING
-    pipeline (history is never re-deduped; each day's batch anti-joins the
-    hash store).
-
-    The existing side projects to hashes only (16 bytes/doc crosses the
-    shuffle, not documents); the incoming batch first dedups within itself
-    (min doc_id survives), then LEFT ANTI joins the store. Generations are
-    derived from doc_id parity so the oracle replays the split; the report
-    counts both rejection classes — within-batch and against-store."""
-    docs = load_table(spark, sf_dir, "documents")
+def incremental_split(docs: DataFrame):
+    """(existing_hashes, incoming, in_unique) — the shared scaffold of every
+    incremental-dedup variant (plain anti-join, Bloom-prefiltered, bucketed
+    store): generations from doc_id parity (so the oracle replays the
+    split), the store projected to DISTINCT hashes only (16 bytes/doc
+    crosses any shuffle, never documents), and the batch deduped within
+    itself first (min doc_id survives)."""
     h = F.md5("text").alias("content_hash")
     existing = docs.where(F.col("doc_id") % 2 == 0).select(h).distinct()
     incoming = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "lang", h)
@@ -676,19 +685,39 @@ def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_unique = (
         incoming.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
     )
-    accepted = in_unique.join(existing, "content_hash", "left_anti")
-    n_incoming = incoming.groupBy("lang").agg(F.count(F.lit(1)).alias("n_incoming"))
-    n_within = in_unique.groupBy("lang").agg(F.count(F.lit(1)).alias("n_after_batch_dedup"))
-    n_final = accepted.groupBy("lang").agg(F.count(F.lit(1)).alias("n_accepted"))
-    return (
-        n_incoming.join(n_within, "lang", "left")
-        .join(n_final, "lang", "left")
-        .select(
-            "lang",
-            "n_incoming",
-            F.coalesce("n_after_batch_dedup", F.lit(0)).alias("n_after_batch_dedup"),
-            F.coalesce("n_accepted", F.lit(0)).alias("n_accepted"),
+    return existing, incoming, in_unique
+
+
+def incremental_report(
+    incoming: DataFrame, counted: list[tuple[str, DataFrame]]
+) -> DataFrame:
+    """Per-lang admission report: n_incoming plus one count column per
+    (name, frame) in ``counted``, left-joined in order with 0-coalescing —
+    the single assembly every incremental variant shares (a convention
+    change lands in all of them at once)."""
+    out = incoming.groupBy("lang").agg(F.count(F.lit(1)).alias("n_incoming"))
+    for name, frame in counted:
+        out = out.join(
+            frame.groupBy("lang").agg(F.count(F.lit(1)).alias(name)), "lang", "left"
         )
+    return out.select(
+        "lang",
+        "n_incoming",
+        *[F.coalesce(name, F.lit(0)).alias(name) for name, _ in counted],
+    )
+
+
+def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: an incoming batch checked against the
+    existing corpus's content hashes — the form dedup takes in a RUNNING
+    pipeline (history is never re-deduped; each day's batch anti-joins the
+    hash store). Scaffold semantics in ``incremental_split``; the report
+    counts both rejection classes — within-batch and against-store."""
+    docs = load_table(spark, sf_dir, "documents")
+    existing, incoming, in_unique = incremental_split(docs)
+    accepted = in_unique.join(existing, "content_hash", "left_anti")
+    return incremental_report(
+        incoming, [("n_after_batch_dedup", in_unique), ("n_accepted", accepted)]
     )
 
 
@@ -904,11 +933,17 @@ def dedup_substring_spans(
     classic contamination vector; a downstream pass can cut these spans
     instead of dropping whole documents).
 
-    Approximation contract: a span is reported iff every length-k window in
-    it is shared (df ≥ 2 distinct docs), and overlapping/adjacent shared
-    windows merge into one maximal span (start positions p, p' merge when
-    p' − p ≤ k). This is exactly the suffix-array answer restricted to
-    matches of length ≥ k, computed with two shuffles instead of a suffix
+    Approximation contract (COVERAGE semantics): a reported span is a
+    maximal run of tokens in which EVERY TOKEN lies inside at least one
+    shared k-window (shared = the window's shingle has df ≥ 2 distinct
+    docs). Start positions p, p' merge when p' − p ≤ k — exactly the
+    condition under which their covered intervals [p, p+k−1], [p', p'+k−1]
+    touch or overlap, so the merged span has no uncovered gap. Note this is
+    weaker than "every length-k window STARTING in the span is shared":
+    two shared windows bridged at gap ≤ k can enclose interior windows
+    that are themselves unique — but every enclosed token still belongs to
+    some cross-document repeat, which is what makes cutting the span safe.
+    Computed with two shuffles instead of a suffix
     array: (1) shingle document frequency — a count over (doc, shingle)
     distinct pairs, fully map-side combinable, NO posting-list self-join
     anywhere so hot shingles cost nothing quadratic; (2) the per-doc
@@ -1082,13 +1117,7 @@ def dedup_exact_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame
     check). n_accepted is IDENTICAL to the unfiltered operator —
     pinned by tests/test_llm_ops.py and by both queries' driver oracles."""
     docs = load_table(spark, sf_dir, "documents")
-    h = F.md5("text").alias("content_hash")
-    existing = docs.where(F.col("doc_id") % 2 == 0).select(h).distinct()
-    incoming = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "lang", h)
-    w = Window.partitionBy("content_hash").orderBy("doc_id")
-    in_unique = (
-        incoming.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-    )
+    existing, incoming, in_unique = incremental_split(docs)
     store_bits = (
         existing.select(
             F.explode(_bloom_positions(F.col("content_hash"))).alias("bit")
@@ -1110,23 +1139,13 @@ def dedup_exact_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame
     accepted = definite_new.unionByName(
         maybe.join(existing, "content_hash", "left_anti")
     )
-    n_incoming = incoming.groupBy("lang").agg(F.count(F.lit(1)).alias("n_incoming"))
-    n_within = in_unique.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_after_batch_dedup")
-    )
-    n_maybe = maybe.groupBy("lang").agg(F.count(F.lit(1)).alias("n_bloom_maybe"))
-    n_final = accepted.groupBy("lang").agg(F.count(F.lit(1)).alias("n_accepted"))
-    return (
-        n_incoming.join(n_within, "lang", "left")
-        .join(n_maybe, "lang", "left")
-        .join(n_final, "lang", "left")
-        .select(
-            "lang",
-            "n_incoming",
-            F.coalesce("n_after_batch_dedup", F.lit(0)).alias("n_after_batch_dedup"),
-            F.coalesce("n_bloom_maybe", F.lit(0)).alias("n_bloom_maybe"),
-            F.coalesce("n_accepted", F.lit(0)).alias("n_accepted"),
-        )
+    return incremental_report(
+        incoming,
+        [
+            ("n_after_batch_dedup", in_unique),
+            ("n_bloom_maybe", maybe),
+            ("n_accepted", accepted),
+        ],
     )
 
 

@@ -240,7 +240,12 @@ def graph_components(
         F.col("src").alias("a"), F.col("dst").alias("b")
     )
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
-    cc = connected_components(nodes, und)
+    # max_iter bounds the component DIAMETER (one hop per round). The
+    # near-dup default of 15 suits tiny clusters; a support-pruned
+    # co-occurrence graph can be chain-shaped, so give it a deep budget —
+    # connected_components now RAISES instead of silently returning
+    # non-minimal labels if even this is exceeded.
+    cc = connected_components(nodes, und, max_iter=64)
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("component_size"))
     return cc.join(sizes, "cluster_id").select(
         F.col("doc_id").alias("node"),

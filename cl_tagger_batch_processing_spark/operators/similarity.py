@@ -935,8 +935,6 @@ def sim_ivf_probe_sweep(
     each branch is O(corpus/cells × nprobe × queries) like sim_topk_ivf).
     The exact top-k is materialized ONCE and fans out to every branch.
     Recall is one exact-int division, 6dp-rounded."""
-    from ..checkpointing import truncate_lineage
-
     exact = (
         sim_topk_cosine(spark, sf_dir, top_k=top_k, num_queries=num_queries)
         .select("query_id", "neighbor_id")

@@ -349,35 +349,20 @@ def dedup_exact_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFr
     SQL under this query's name); test_layout.py pins that the bucketed
     plan carries strictly fewer exchanges and that the store scan is
     bucket-aware."""
+    from ..operators.dedup import incremental_report, incremental_split
+
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     store_t = f"b_hashstore_{tag}"
     docs = load_table(spark, sf_dir, "documents")
-    h = F.md5("text").alias("content_hash")
+    existing, incoming, in_unique = incremental_split(docs)
     spark.sql(f"DROP TABLE IF EXISTS {store_t}")
     write_bucketed(
-        docs.where(F.col("doc_id") % 2 == 0).select(h).distinct(),
+        existing,
         store_t,
         ["content_hash"],
         path=os.path.join(LAYOUT_STAGING, store_t),
     )
-    incoming = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "lang", h)
-    w = Window.partitionBy("content_hash").orderBy("doc_id")
-    in_unique = (
-        incoming.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-    )
     accepted = in_unique.join(spark.table(store_t), "content_hash", "left_anti")
-    n_incoming = incoming.groupBy("lang").agg(F.count(F.lit(1)).alias("n_incoming"))
-    n_within = in_unique.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_after_batch_dedup")
-    )
-    n_final = accepted.groupBy("lang").agg(F.count(F.lit(1)).alias("n_accepted"))
-    return (
-        n_incoming.join(n_within, "lang", "left")
-        .join(n_final, "lang", "left")
-        .select(
-            "lang",
-            "n_incoming",
-            F.coalesce("n_after_batch_dedup", F.lit(0)).alias("n_after_batch_dedup"),
-            F.coalesce("n_accepted", F.lit(0)).alias("n_accepted"),
-        )
+    return incremental_report(
+        incoming, [("n_after_batch_dedup", in_unique), ("n_accepted", accepted)]
     )

@@ -25,34 +25,47 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Path prefixes that are (or conventionally mount) a filesystem shared by
-# every executor — the precondition for per-row sidecar files written with
-# plain open() to land in ONE place on a multi-node cluster.
-SHARED_FS_PREFIXES = ("hdfs://", "s3://", "s3a://", "s3n://", "gs://",
-                      "abfs://", "abfss://", "wasbs://", "dbfs:/", "/mnt/",
-                      "/shared/", "/nfs/")
+# POSIX mount-point prefixes that conventionally expose a filesystem shared
+# by every executor (NFS/FUSE mounts) — the ONLY kind of path this sink can
+# write on a multi-node cluster, because ``write_batches`` uses plain
+# ``open()``. URI-scheme paths (hdfs://, s3a://, ...) are NOT writable by
+# open() at all — those belong to ``write_tags_parquet``, which goes through
+# Hadoop's filesystem layer.
+SHARED_MOUNT_PREFIXES = ("/mnt/", "/nfs/", "/shared/", "/dbfs/", "/gcs/")
+_URI_SCHEMES = ("hdfs:", "s3:", "s3a:", "s3n:", "gs:", "abfs:", "abfss:",
+                "wasb:", "wasbs:", "dbfs:", "file:")
 
 
 def _require_shared_out_dir(tagged: DataFrame, out_dir: str, allow_executor_local: bool) -> None:
-    """On a non-local master, refuse an out_dir that doesn't look like a
-    shared mount: ``write_batches`` opens files with plain ``open()`` ON THE
-    EXECUTORS, so with a node-local path each machine gets its own partial
-    set of sidecars — silently, which is worse than failing. Local masters
-    (local[*], the test bed) have one filesystem and always pass;
-    ``allow_executor_local=True`` is the explicit escape hatch for clusters
-    where a node-local path really is a shared mount the prefix list can't
-    know about."""
+    """On a non-local master, refuse an out_dir the plain-``open()`` sidecar
+    writer cannot safely use: URI-scheme paths are never writable by open()
+    (they'd be treated as odd relative LOCAL directory names on each
+    executor), and a bare node-local path gives each machine its own
+    partial set of sidecars — silently, which is worse than failing. Only
+    POSIX shared-mount prefixes pass. Local masters (local[*], the test
+    bed) have one filesystem and always pass; ``allow_executor_local=True``
+    is the explicit escape hatch for clusters where an unlisted POSIX path
+    really is a shared mount (it does NOT unlock URI schemes — those are
+    wrong for this sink on any master)."""
+    if any(out_dir.startswith(s) for s in _URI_SCHEMES):
+        raise ValueError(
+            f"write_sidecar_txt: out_dir {out_dir!r} is a URI-scheme path, "
+            "which the per-file open()-based sidecar writer cannot write on "
+            "ANY master — use write_tags_parquet for object stores/HDFS "
+            "(it goes through Hadoop's filesystem layer), or mount the "
+            "store as a POSIX path (/mnt/..., /dbfs/...)."
+        )
     master = tagged.sparkSession.conf.get("spark.master", "local")
     if allow_executor_local or master.startswith("local"):
         return
-    if not any(out_dir.startswith(p) for p in SHARED_FS_PREFIXES):
+    if not out_dir.startswith(SHARED_MOUNT_PREFIXES):
         raise ValueError(
             f"write_sidecar_txt: out_dir {out_dir!r} does not look like a "
-            f"shared filesystem (prefixes: {SHARED_FS_PREFIXES}) but master "
-            f"is {master!r} — each executor would write its own partial set "
-            "of sidecar files to its local disk. Point out_dir at a shared "
-            "mount, pass allow_executor_local=True if it is one, or use "
-            "write_tags_parquet (the scale-correct sink)."
+            f"shared POSIX mount (prefixes: {SHARED_MOUNT_PREFIXES}) but "
+            f"master is {master!r} — each executor would write its own "
+            "partial set of sidecar files to its local disk. Point out_dir "
+            "at a shared mount, pass allow_executor_local=True if it is "
+            "one, or use write_tags_parquet (the scale-correct sink)."
         )
 
 

@@ -32,6 +32,11 @@ def reliable_mode(spark, tmp_path):
     ckpt_dir = str(tmp_path / "ckpt")
     spark.conf.set(CHECKPOINT_MODE_CONF, "reliable")
     spark.conf.set(CHECKPOINT_DIR_CONF, ckpt_dir)
+    # SparkContext's checkpoint dir is session-sticky and truncate_lineage
+    # only SEEDS it when unset — pin it explicitly so each test's files
+    # land in ITS OWN tmp dir regardless of which reliable test ran first
+    # (order-independence; the session fixture can't undo setCheckpointDir)
+    spark.sparkContext.setCheckpointDir(ckpt_dir)
     try:
         yield ckpt_dir
     finally:

@@ -98,13 +98,20 @@ def test_sidecar_shared_fs_guard():
             self.sparkSession = self
             self.conf = _Conf(master)
 
-    # local master: any path is the one shared filesystem
+    # local master: any POSIX path is the one shared filesystem
     _require_shared_out_dir(_Fake("local[32]"), "/tmp/out", False)
     # cluster master + node-local path: refuse
-    with pytest.raises(ValueError, match="shared filesystem"):
+    with pytest.raises(ValueError, match="shared POSIX mount"):
         _require_shared_out_dir(_Fake("spark://host:7077"), "/tmp/out", False)
-    # cluster master + shared prefixes: pass
-    for ok in ["hdfs:///ns/out", "s3a://bucket/out", "/mnt/shared/out", "dbfs:/out"]:
+    # URI schemes are unwritable by plain open() on ANY master — even with
+    # the escape hatch — because open() would treat them as weird relative
+    # local dirs on each executor (use write_tags_parquet instead)
+    for uri in ["hdfs:///ns/out", "s3a://bucket/out", "dbfs:/out"]:
+        for master, hatch in [("local[4]", False), ("yarn", False), ("yarn", True)]:
+            with pytest.raises(ValueError, match="URI-scheme"):
+                _require_shared_out_dir(_Fake(master), uri, hatch)
+    # cluster master + shared POSIX mounts: pass
+    for ok in ["/mnt/shared/out", "/dbfs/out", "/nfs/corpus/out"]:
         _require_shared_out_dir(_Fake("yarn"), ok, False)
     # explicit escape hatch for unlisted shared mounts
     _require_shared_out_dir(_Fake("yarn"), "/data/nfs-mount/out", True)
