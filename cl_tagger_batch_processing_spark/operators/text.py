@@ -1052,3 +1052,36 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tags",
         (body == F.col("text")).alias("roundtrip_ok"),
     )
+
+
+HASHING_TF_BUCKETS = 1024
+
+
+def text_hashing_tf(
+    spark: SparkSession, sf_dir: str, num_buckets: int = HASHING_TF_BUCKETS
+) -> DataFrame:
+    """Feature hashing (HashingTF): each token maps to one of
+    ``num_buckets`` buckets by hash and per-doc bucket counts form the
+    fixed-width sparse feature vector — the vocabulary-free vectorizer
+    (SURVEY §7 Phase-3 text list) that needs no fitted dictionary, so it
+    streams and scales embarrassingly. Emitted in LONG form (doc_id,
+    bucket, tf) like mm_byte_histogram — downstream relational consumers
+    and the oracle never see an array column; a dense assembler is one
+    groupBy(doc_id, collect+sort) away when an ML library wants vectors.
+
+    The bucket hash is md5-derived (mod 2^10) rather than MLlib's
+    murmur3 so the oracle reproduces it exactly; same explode + one
+    map-side-combinable groupBy((doc_id, bucket)) shape as
+    text_char_entropy — two-level integer keys, no skew (buckets spread
+    uniformly), linear at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    bucket = (
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint")
+        % num_buckets
+    )
+    return (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )

@@ -3732,3 +3732,16 @@ SELECT doc_id,
          AS roundtrip_ok
 FROM s
 """
+
+
+# Mirrors text.text_hashing_tf: md5-slice bucket (mod 1024), per-(doc,
+# bucket) term counts in long form.
+ORACLE_SQL["text_hashing_tf"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT doc_id,
+       CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 1024 AS bucket,
+       COUNT(*) AS tf
+FROM tok GROUP BY doc_id, bucket
+"""

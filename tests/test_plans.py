@@ -740,3 +740,14 @@ def test_html_strip_zero_shuffle_no_python(spark, sf_dir):
     for op in ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
                "BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
         assert op not in plan, op
+
+
+def test_hashing_tf_single_combinable_shuffle(spark, sf_dir):
+    # explode + one map-side-combinable groupBy((doc_id, bucket)) — the
+    # text_char_entropy shape minus the second rollup
+    df = QUERIES["text_hashing_tf"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert inspect.count_shuffles(df) == 1
+    for op in ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+               "BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
+        assert op not in plan, op
