@@ -18,7 +18,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -341,4 +341,59 @@ def mm_tile_grid(spark: SparkSession, sf_dir: str, tile_px: int = TILE_PX) -> Da
         F.least(t, F.col("width") - F.col("tile_col") * t).alias("tile_w"),
         F.least(t, F.col("height") - F.col("tile_row") * t).alias("tile_h"),
         (F.col("n_trows") * F.col("n_tcols")).alias("n_tiles"),
+    )
+
+
+SCENE_SIG_BUCKETS = 4
+
+
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene segmentation over "video" frames: consecutive frames whose
+    perceptual signature matches merge into one scene; a signature change
+    is a cut — the shot-boundary pass every video curation pipeline runs
+    before sampling one keyframe per scene (uniform sampling wastes budget
+    on static shots and misses short ones). Composes the frame machinery
+    of mm_frame_sample (same 64-char frames, stride 1 here) with the
+    gaps-and-islands run merge of dedup_substring_spans.
+
+    The "perceptual signature" is the frame hash folded to
+    SCENE_SIG_BUCKETS values — a deterministic stand-in for a coarse
+    visual descriptor (a real pHash plugs in at the same column), coarse
+    enough that the word-soup fixtures produce real multi-frame scenes.
+    Shape: frame explode is row-local; the cut detection (lag) and scene
+    numbering (running sum) share one (doc_id; frame_idx) window; the
+    scene rollup groups on (doc_id, scene) — all doc-keyed, linear at any
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_frames = F.ceil(F.length("text") / F.lit(64)).cast("bigint")
+    frames = docs.select(
+        "doc_id",
+        "text",
+        n_frames.alias("n_frames"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_frames - 1)).alias("frame_idx"),
+    )
+    frame_md5 = F.md5(
+        F.substring(F.col("text"), (F.col("frame_idx") * 64 + 1).cast("int"), 64)
+    )
+    sig = (
+        F.conv(F.substring(frame_md5, 1, 8), 16, 10).cast("bigint")
+        % SCENE_SIG_BUCKETS
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cuts = (
+        frames.select("doc_id", "n_frames", "frame_idx", sig.alias("sig"))
+        .withColumn(
+            "is_cut",
+            F.when(F.lag("sig").over(w).isNull(), F.lit(1))
+            .when(F.lag("sig").over(w) != F.col("sig"), F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        .withColumn("scene_idx", F.sum("is_cut").over(run) - 1)
+    )
+    return cuts.groupBy("doc_id", "scene_idx").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count(F.lit(1)).alias("scene_frames"),
+        F.first("sig").alias("sig"),
     )

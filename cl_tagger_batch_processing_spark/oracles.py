@@ -3745,3 +3745,41 @@ SELECT doc_id,
        COUNT(*) AS tf
 FROM tok GROUP BY doc_id, bucket
 """
+
+
+# Mirrors multimodal.mm_scene_cuts: stride-1 64-char frames, signature =
+# first-8-hex of the frame md5 mod 4, lag cut detection, running-sum scene
+# ids, per-scene rollup.
+ORACLE_SQL["mm_scene_cuts"] = """
+WITH f AS (
+  SELECT doc_id, text,
+         CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_frames,
+         unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS frame_idx
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_frames, CAST(frame_idx AS BIGINT) AS frame_idx,
+         CAST('0x' || substr(md5(substring(text,
+                CAST(frame_idx AS INTEGER) * 64 + 1, 64)), 1, 8) AS BIGINT)
+           % 4 AS sig
+  FROM f
+),
+c AS (
+  SELECT doc_id, frame_idx, sig,
+         CASE WHEN lag(sig) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+                   IS DISTINCT FROM sig THEN 1 ELSE 0 END AS is_cut
+  FROM s
+),
+i AS (
+  SELECT doc_id, frame_idx, sig,
+         SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                           ROWS UNBOUNDED PRECEDING) - 1 AS scene_idx
+  FROM c
+)
+SELECT doc_id, CAST(scene_idx AS BIGINT) AS scene_idx,
+       MIN(frame_idx) AS start_frame,
+       MAX(frame_idx) AS end_frame,
+       COUNT(*) AS scene_frames,
+       CAST(min(sig) AS BIGINT) AS sig
+FROM i GROUP BY doc_id, scene_idx
+"""

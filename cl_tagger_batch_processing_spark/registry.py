@@ -406,3 +406,4 @@ register("dedup_minhash_band_sweep", dedup.dedup_minhash_band_sweep)
 register("corpus_dedup_funnel", dedup.corpus_dedup_funnel)
 register("text_html_strip", text.text_html_strip)
 register("text_hashing_tf", text.text_hashing_tf)
+register("mm_scene_cuts", multimodal.mm_scene_cuts)

@@ -777,3 +777,25 @@ def test_html_strip_roundtrips_every_doc(spark, sf_dir):
     assert not bad, f"lossy strip for docs {bad[:5]}"
     assert all(r.n_tags == 16 for r in rows)  # fixed synthetic shell
     assert all(r.clean_len < r.html_len for r in rows)
+
+
+def test_scene_cuts_partition_frames(spark, sf_dir):
+    """Scenes must partition each doc's frame range: contiguous,
+    non-overlapping, ordered, with scene_frames == end-start+1 and the
+    full frame count covered; consecutive scenes carry different sigs
+    (otherwise they'd have merged)."""
+    rows = multimodal.mm_scene_cuts(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    by_doc = defaultdict(list)
+    for r in rows:
+        assert r.scene_frames == r.end_frame - r.start_frame + 1, r
+        by_doc[r.doc_id].append(r)
+    for doc_id, scenes in by_doc.items():
+        scenes.sort(key=lambda r: r.scene_idx)
+        assert scenes[0].start_frame == 0
+        for a, b in zip(scenes, scenes[1:]):
+            assert b.start_frame == a.end_frame + 1, (doc_id, a, b)
+            assert a.sig != b.sig, (doc_id, a.scene_idx)
+    # the coarse signature must actually produce multi-frame scenes
+    assert any(r.scene_frames > 1 for r in rows)

@@ -751,3 +751,15 @@ def test_hashing_tf_single_combinable_shuffle(spark, sf_dir):
     for op in ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
                "BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
         assert op not in plan, op
+
+
+def test_scene_cuts_doc_keyed_single_window(spark, sf_dir):
+    # cut detection + scene numbering share one (doc_id; frame_idx)
+    # window; the scene rollup reuses the doc-prefixed partitioning — no
+    # join, no Python, no corpus-wide key
+    df = QUERIES["mm_scene_cuts"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    for op in ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+               "BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
+        assert op not in plan, op
+    assert inspect.count_shuffles(df) <= 2
