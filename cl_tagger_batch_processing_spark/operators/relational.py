@@ -1611,3 +1611,60 @@ def events_daily_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p50_drift"
         ),
     )
+
+
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by FIRST-order month,
+    cumulative revenue tracked by month-offset from that first order — the
+    revenue companion of events_retention's activity triangle (retention
+    says who comes back; LTV says what coming back is worth), and the
+    query behind every "payback period" chart.
+
+    Shape: first-order month per customer is one orders aggregation; each
+    order then joins its customer's cohort (customer-keyed equi-join) and
+    rolls up to (cohort_month, month_offset) — a small matrix — where the
+    cumulative curve runs as a cohort-partitioned window over
+    months-count rows. Determinism: revenue sums in exact DECIMAL(12,2)
+    end to end (including the running cumulative — summing doubles across
+    offsets would be order-sensitive), one cast to double per output
+    column; month arithmetic is exact integers (year×12+month)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year(F.col("o_orderdate")) * 12 + F.month(F.col("o_orderdate")) - 1
+        ).alias("ym"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    first = orders.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    cells = (
+        orders.join(first, "o_custkey")
+        .groupBy(
+            "cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias("month_offset")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").alias("rev"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_ym")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cohort_sizes = first.groupBy("cohort_ym").agg(
+        F.count(F.lit(1)).alias("cohort_customers")
+    )
+    return (
+        cells.withColumn("cum_rev", F.sum("rev").over(w))
+        .join(cohort_sizes, "cohort_ym")
+        .select(
+            (F.col("cohort_ym") / 12).cast("int").alias("cohort_year"),
+            (F.col("cohort_ym") % 12 + 1).cast("int").alias("cohort_month"),
+            "month_offset",
+            "cohort_customers",
+            "n_orders",
+            F.col("rev").cast("double").alias("revenue"),
+            F.col("cum_rev").cast("double").alias("cumulative_revenue"),
+        )
+    )

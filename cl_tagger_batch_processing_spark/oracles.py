@@ -3783,3 +3783,36 @@ SELECT doc_id, CAST(scene_idx AS BIGINT) AS scene_idx,
        CAST(min(sig) AS BIGINT) AS sig
 FROM i GROUP BY doc_id, scene_idx
 """
+
+
+# Mirrors relational.orders_cohort_ltv: integer month ordinal (y*12+m-1),
+# exact DECIMAL revenue incl. the cohort-partitioned cumulative, one
+# double cast per output.
+ORACLE_SQL["orders_cohort_ltv"] = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS ym,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders
+),
+first AS (SELECT o_custkey, MIN(ym) AS cohort_ym FROM o GROUP BY o_custkey),
+cells AS (
+  SELECT cohort_ym, ym - cohort_ym AS month_offset,
+         COUNT(*) AS n_orders, SUM(price) AS rev
+  FROM o JOIN first USING (o_custkey)
+  GROUP BY cohort_ym, ym - cohort_ym
+),
+sizes AS (
+  SELECT cohort_ym, COUNT(*) AS cohort_customers FROM first GROUP BY cohort_ym
+)
+SELECT CAST(cohort_ym // 12 AS INTEGER) AS cohort_year,
+       CAST(cohort_ym % 12 + 1 AS INTEGER) AS cohort_month,
+       month_offset,
+       cohort_customers,
+       n_orders,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(SUM(rev) OVER (PARTITION BY cohort_ym ORDER BY month_offset
+                           ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         AS cumulative_revenue
+FROM cells JOIN sizes USING (cohort_ym)
+"""

@@ -407,3 +407,4 @@ register("corpus_dedup_funnel", dedup.corpus_dedup_funnel)
 register("text_html_strip", text.text_html_strip)
 register("text_hashing_tf", text.text_hashing_tf)
 register("mm_scene_cuts", multimodal.mm_scene_cuts)
+register("orders_cohort_ltv", relational.orders_cohort_ltv)

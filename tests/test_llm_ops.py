@@ -799,3 +799,25 @@ def test_scene_cuts_partition_frames(spark, sf_dir):
             assert a.sig != b.sig, (doc_id, a.scene_idx)
     # the coarse signature must actually produce multi-frame scenes
     assert any(r.scene_frames > 1 for r in rows)
+
+
+def test_cohort_ltv_monotone_cumulative(spark, sf_dir):
+    """Per cohort: offset 0 exists, offsets carry positive revenue, and the
+    cumulative curve is strictly the running sum (monotone non-decreasing)."""
+    from collections import defaultdict
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = QUERIES["orders_cohort_ltv"](spark, sf_dir).collect()
+    assert rows
+    by_cohort = defaultdict(list)
+    for r in rows:
+        assert r.revenue > 0 and r.n_orders > 0 and r.cohort_customers > 0
+        by_cohort[(r.cohort_year, r.cohort_month)].append(r)
+    for cohort, cs in by_cohort.items():
+        cs.sort(key=lambda r: r.month_offset)
+        assert cs[0].month_offset == 0, cohort  # first order defines the cohort
+        run = 0.0
+        for r in cs:
+            run += r.revenue
+            assert abs(r.cumulative_revenue - run) < 1e-6, (cohort, r.month_offset)

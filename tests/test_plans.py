@@ -763,3 +763,13 @@ def test_scene_cuts_doc_keyed_single_window(spark, sf_dir):
                "BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
         assert op not in plan, op
     assert inspect.count_shuffles(df) <= 2
+
+
+def test_cohort_ltv_customer_keyed(spark, sf_dir):
+    # one customer-keyed equi-join (first-order cohort), matrix-sized
+    # window + size join — no cartesian, no Python
+    df = QUERIES["orders_cohort_ltv"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    for op in ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+               "MapInPandas"]:
+        assert op not in plan, op
