@@ -40,14 +40,18 @@ CHECKPOINT_DIR_CONF = "spark.cl_tagger.checkpoint.dir"
 _MODES = ("local", "reliable")
 
 
-def truncate_lineage(df: DataFrame, *, eager: bool = True) -> DataFrame:
-    """Checkpoint ``df`` per the session's configured durability mode.
+def truncate_lineage(df: DataFrame) -> DataFrame:
+    """EAGERLY checkpoint ``df`` per the session's configured durability
+    mode.
 
     Drop-in replacement for ``df.localCheckpoint(eager=True)`` at every
     iterative/multi-consumer site; semantics (a materialized frame with
     truncated lineage) are identical in both modes — proven by
     ``tests/test_checkpointing.py`` running PageRank and the CC loop in
-    reliable mode against unchanged oracle hashes.
+    reliable mode against unchanged oracle hashes. Always eager by design:
+    a lazy variant would have to hold the reliable-mode persist alive until
+    some unknowable materialization point (a session-lifetime cache leak),
+    and every engine call site wants the blocking materialization anyway.
     """
     spark = df.sparkSession
     mode = spark.conf.get(CHECKPOINT_MODE_CONF, "local")
@@ -56,7 +60,7 @@ def truncate_lineage(df: DataFrame, *, eager: bool = True) -> DataFrame:
             f"{CHECKPOINT_MODE_CONF}={mode!r}: expected one of {_MODES}"
         )
     if mode == "local":
-        return df.localCheckpoint(eager=eager)
+        return df.localCheckpoint(eager=True)
     sc = spark.sparkContext
     if sc.getCheckpointDir() is None:
         ckpt_dir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
@@ -77,7 +81,6 @@ def truncate_lineage(df: DataFrame, *, eager: bool = True) -> DataFrame:
     from pyspark import StorageLevel
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    out = df.checkpoint(eager=eager)
-    if eager:
-        df.unpersist()
+    out = df.checkpoint(eager=True)
+    df.unpersist()
     return out

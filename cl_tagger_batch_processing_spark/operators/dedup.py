@@ -222,23 +222,23 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = MINHASH_NUM_HASHES) -> D
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_candidates(
-    spark: SparkSession, sf_dir: str, max_df: int | None = DEFAULT_MAX_DF
+def banded_signature_rows(
+    sig: DataFrame,
+    n_bands: int = MINHASH_BANDS,
+    rows_per_band: int = MINHASH_ROWS_PER_BAND,
 ) -> DataFrame:
-    """Banded-join candidate pairs (doc_a, doc_b, est) BEFORE deduplication —
-    the relation whose row count must stay O(n); tests pin a bound on it.
-    One row per shared (band, band-key) bucket collision."""
-    docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(word_shingles(docs, k=3, max_df=max_df, distinct=False)).select(
-        "doc_id",
-        F.array(*[F.col(f"h{i}") for i in range(MINHASH_NUM_HASHES)]).alias("sig"),
-    )
-    # One scan of sig → 4 band rows per doc via explode (a union of 4
-    # selects would re-derive the whole signature subtree per branch). The
-    # full signature ARRAY rides along with each band row so the estimated
-    # Jaccard can be computed directly on the join output — re-joining the
-    # signature table per pair side would execute the signature subtree two
-    # more times and add two shuffles.
+    """(doc_id, sig, band, bkey): one band row per doc from a (doc_id, sig
+    array) relation — THE one banding implementation (minhash_candidates
+    and dedup_minhash_band_sweep both call it, so the shipped 4×4 path and
+    the sweep that evaluates alternatives can never drift apart).
+
+    One scan of sig → ``n_bands`` rows per doc via a row-local array-slice
+    explode (a union of per-band selects would re-derive the whole
+    signature subtree per branch). The full signature ARRAY rides along
+    with each band row so the estimated Jaccard can be computed directly
+    on the join output — re-joining the signature table per pair side
+    would execute the signature subtree two more times and add two
+    shuffles."""
     band_structs = F.array(
         *[
             F.struct(
@@ -246,17 +246,24 @@ def minhash_candidates(
                 F.concat_ws(
                     "|",
                     F.transform(
-                        F.slice("sig", band * MINHASH_ROWS_PER_BAND + 1, MINHASH_ROWS_PER_BAND),
+                        F.slice("sig", band * rows_per_band + 1, rows_per_band),
                         lambda x: x.cast("string"),
                     ),
                 ).alias("bkey"),
             )
-            for band in range(MINHASH_BANDS)
+            for band in range(n_bands)
         ]
     )
-    banded = sig.select("doc_id", "sig", F.explode(band_structs).alias("b")).select(
+    return sig.select("doc_id", "sig", F.explode(band_structs).alias("b")).select(
         "doc_id", "sig", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
     )
+
+
+def banded_candidate_stream(banded: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, est) — one row per shared (band, band-key) bucket
+    collision (NOT deduplicated; a pair colliding in several bands repeats
+    with an identical estimate). The bucket equi-join is the LSH core:
+    candidate volume follows bucket occupancy, never all-pairs."""
     a, b = banded.alias("a"), banded.alias("b")
     est = F.size(
         F.filter(F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y), lambda m: m)
@@ -270,6 +277,20 @@ def minhash_candidates(
             est.alias("est"),
         )
     )
+
+
+def minhash_candidates(
+    spark: SparkSession, sf_dir: str, max_df: int | None = DEFAULT_MAX_DF
+) -> DataFrame:
+    """Banded-join candidate pairs (doc_a, doc_b, est) BEFORE deduplication —
+    the relation whose row count must stay O(n); tests pin a bound on it.
+    One row per shared (band, band-key) bucket collision."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(word_shingles(docs, k=3, max_df=max_df, distinct=False)).select(
+        "doc_id",
+        F.array(*[F.col(f"h{i}") for i in range(MINHASH_NUM_HASHES)]).alias("sig"),
+    )
+    return banded_candidate_stream(banded_signature_rows(sig))
 
 
 def dedup_minhash_lsh(
@@ -561,7 +582,11 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = CLU
 
     labels, prev_sum = _checkpoint_with_sum(labels)
     converged = False
-    for _ in range(max_iter):
+    # max_iter + 1 total rounds: convergence DETECTION needs one no-change
+    # round after the last change, so a graph needing exactly max_iter
+    # change-rounds (diameter == max_iter) still gets its confirming round
+    # instead of a false-positive "did not converge"
+    for _ in range(max_iter + 1):
         prop = (
             labels.join(both, labels.doc_id == both.a)
             .select(F.col("b").alias("doc_id"), "cluster_id")
@@ -1179,41 +1204,12 @@ def dedup_minhash_band_sweep(
     )
     parts = []
     for n_bands, rows_per_band in BAND_SWEEP:
-        band_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(band).alias("band"),
-                    F.concat_ws(
-                        "|",
-                        F.transform(
-                            F.slice("sig", band * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                    ).alias("bkey"),
-                )
-                for band in range(n_bands)
-            ]
-        )
-        banded = sig.select("doc_id", "sig", F.explode(band_structs).alias("b")).select(
-            "doc_id", "sig", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
-        )
-        a, b = banded.alias("a"), banded.alias("b")
-        est = F.size(
-            F.filter(
-                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
-                lambda m: m,
-            )
-        ) / F.lit(float(MINHASH_NUM_HASHES))
-        cand = (
-            a.join(b, ["band", "bkey"])
-            .where(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                est.alias("est"),
-            )
-            .distinct()
-        )
+        # the SAME banding/collision implementation minhash_candidates
+        # ships (banded_signature_rows/banded_candidate_stream) — the sweep
+        # measures the production algorithm, not a reimplementation
+        cand = banded_candidate_stream(
+            banded_signature_rows(sig, n_bands, rows_per_band)
+        ).distinct()
         n = F.count(F.lit(1))
         admitted = F.sum(F.when(F.col("est") >= 0.5, 1).otherwise(0))
         mean_est = F.when(

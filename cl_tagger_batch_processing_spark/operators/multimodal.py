@@ -366,7 +366,10 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     n_frames = F.ceil(F.length("text") / F.lit(64)).cast("bigint")
-    frames = docs.select(
+    # empty-text guard (mm_audio_framing's convention): without it,
+    # sequence(0, -1) emits the DESCENDING pair [0, -1] — two phantom
+    # frames with a negative index — where the oracle's range(0, 0) is empty
+    frames = docs.where(n_frames >= 1).select(
         "doc_id",
         "text",
         n_frames.alias("n_frames"),

@@ -1030,8 +1030,10 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = F.regexp_replace(c, r"(?s)<style.*?</style>", " ")
     c = F.regexp_replace(c, r"(?s)<head.*?</head>", " ")
     c = F.regexp_replace(c, r"<[^>]*>", " ")
-    for ent, rep in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-                     ("&nbsp;", " "), ("&copy;", "(c)")):
+    # &amp; decodes LAST: decoding it first double-decodes escaped entities
+    # ('&amp;lt;' must yield the literal '&lt;', not '<')
+    for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&nbsp;", " "),
+                     ("&copy;", "(c)"), ("&amp;", "&")):
         c = F.regexp_replace(c, ent, rep)
     c = F.trim(F.regexp_replace(c, r"\s+", " "))
     cleaned = wrapped.select(

@@ -3719,8 +3719,8 @@ s AS (
                    '(?s)<style.*?</style>', ' ', 'g'),
                  '(?s)<head.*?</head>', ' ', 'g'),
                '<[^>]*>', ' ', 'g'),
-             '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '),
-             '&copy;', '(c)'),
+             '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '), '&copy;', '(c)'),
+             '&amp;', '&'),
            '\\s+', ' ', 'g')) AS clean_full
   FROM w
 )

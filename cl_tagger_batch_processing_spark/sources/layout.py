@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .tables import load_table
@@ -57,6 +57,16 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
 from ..handoff import staging_path
 
 LAYOUT_STAGING = staging_path("layout")
+
+
+def _table_tag(sf_dir: str) -> str:
+    """SQL-identifier-safe tag from the fixture dir basename: staged table
+    names are interpolated UNQUOTED into ``spark.sql`` and ``saveAsTable``,
+    so every non-identifier character (dash, space, dot) must fold to '_'
+    or the DROP/CREATE statements throw ParseException before any work."""
+    import re
+
+    return re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
 
 
 def layout_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,7 +239,7 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     key. The oracle recomputes the aggregate from a plain join of the
     unbucketed fixtures, so a bucketing bug that drops, doubles, or
     misroutes a row breaks the value hash."""
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = _table_tag(sf_dir)
     orders_t, li_t = f"b_orders_{tag}", f"b_lineitem_{tag}"
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -351,7 +361,7 @@ def dedup_exact_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFr
     bucket-aware."""
     from ..operators.dedup import incremental_report, incremental_split
 
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = _table_tag(sf_dir)
     store_t = f"b_hashstore_{tag}"
     docs = load_table(spark, sf_dir, "documents")
     existing, incoming, in_unique = incremental_split(docs)

@@ -821,3 +821,17 @@ def test_cohort_ltv_monotone_cumulative(spark, sf_dir):
         for r in cs:
             run += r.revenue
             assert abs(r.cumulative_revenue - run) < 1e-6, (cohort, r.month_offset)
+
+
+def test_band_sweep_configs_in_sync():
+    """dedup.BAND_SWEEP and the oracle builder's default configs must match
+    (the repo's duplicated-constant convention, cf. max_df/k-means tests) —
+    and each config must tile the full 16-hash signature."""
+    import inspect as _inspect
+
+    from cl_tagger_batch_processing_spark import oracles
+
+    oracle_default = _inspect.signature(oracles._band_sweep_sql).parameters["configs"].default
+    assert tuple(oracle_default) == dedup.BAND_SWEEP
+    for n_bands, rpb in dedup.BAND_SWEEP:
+        assert n_bands * rpb == dedup.MINHASH_NUM_HASHES
