@@ -245,7 +245,13 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min("doc_id").alias("keep_doc_id"),
-            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("doc_ids"),
         )
         .where(F.col("n_docs") > 1)
     )

@@ -276,21 +276,31 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-independent in any engine), with ONE double division at the end —
     so the centroids are bit-identical across engines despite being means of
     floats. Plan shape: one groupBy(label) shuffle carrying 64 bigint
-    partial sums (map-side combined); the assembled array is built after
-    aggregation, driver never involved.
+    partial sums (map-side combined); the long (label, dim) output form
+    keeps every column scalar so any downstream canonicalizer (and the
+    driver's pandas sort) handles it — the IVF consumer re-assembles the
+    array with a collect_list over dim when it needs one.
     """
     base = quantized_embeddings(spark, sf_dir)
     sums = base.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(EMBED_DIM)],
     )
-    centroid = F.array(
-        *[
-            (F.col(f"s{i}").cast("double") / (F.col("n_vecs") * F.lit(1000.0)))
-            for i in range(EMBED_DIM)
-        ]
+    per_dim = sums.select(
+        "label",
+        "n_vecs",
+        F.posexplode(F.array(*[F.col(f"s{i}") for i in range(EMBED_DIM)])).alias(
+            "pos0", "s"
+        ),
     )
-    return sums.select("label", "n_vecs", centroid.alias("centroid"))
+    return per_dim.select(
+        "label",
+        "n_vecs",
+        (F.col("pos0") + 1).cast("bigint").alias("dim"),
+        (F.col("s").cast("double") / (F.col("n_vecs") * F.lit(1000.0))).alias(
+            "centroid_val"
+        ),
+    )
 
 
 def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

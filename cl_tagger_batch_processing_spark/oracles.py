@@ -820,9 +820,9 @@ sums AS (
   SELECT label, pos, SUM(qx) AS s, COUNT(*) AS n
   FROM q GROUP BY label, pos
 )
-SELECT label, MIN(n) AS n_vecs,
-       list(CAST(s AS DOUBLE) / (n * 1000.0) ORDER BY pos) AS centroid
-FROM sums GROUP BY label
+SELECT label, n AS n_vecs, CAST(pos AS BIGINT) AS dim,
+       CAST(s AS DOUBLE) / (n * 1000.0) AS centroid_val
+FROM sums
 """
 
 ORACLE_SQL["text_unigram_loglik"] = """
@@ -881,7 +881,7 @@ fp AS (
   SELECT doc_id, MIN(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id
 )
 SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id,
-       list_sort(list(doc_id)) AS doc_ids
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
 FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1
 """
 
@@ -2455,7 +2455,7 @@ hashed AS (
 )
 SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_docs,
        MIN(doc_id) AS keep_doc_id,
-       list_sort(list(doc_id)) AS doc_ids
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
 FROM hashed GROUP BY phash HAVING COUNT(*) > 1
 """
 

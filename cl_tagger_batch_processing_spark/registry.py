@@ -112,8 +112,6 @@ from .streaming import stateful as streaming_stateful  # noqa: E402
 
 register("stream_user_totals", streaming_stateful.stream_user_totals)
 
-register("mm_metadata", multimodal.mm_metadata)
-register("mm_frame_sample", multimodal.mm_frame_sample)
 # Value-checked: the payload bytes are the UTF-8 encoding of pure-ASCII
 # fixture text, so the DuckDB oracle mirrors the byte histogram per
 # CHARACTER (see oracles.py for the ASCII precondition).
@@ -125,8 +123,6 @@ register("mm_byte_histogram", multimodal.mm_byte_histogram)
 register("sim_ann_lsh", similarity.sim_ann_lsh)
 register("sim_topk_ivf", similarity.sim_topk_ivf)
 
-register("text_unigram_loglik", text.text_unigram_loglik)
-register("decontaminate_ngram_overlap", text.decontaminate_ngram_overlap)
 # SemDeDup (cluster-then-pair): its oracle replays the FULL deterministic
 # k-means chain in SQL, so this driver row transitively value-checks
 # embedding_kmeans (registered outside the window) as well.
@@ -167,27 +163,46 @@ register("mm_audio_framing", multimodal.mm_audio_framing)
 register("text_tfidf_topk", text.text_tfidf_topk)
 register("mm_phash_dedup", multimodal.mm_phash_dedup)
 
-register("asof_join_purchase_click", relational.asof_join_purchase_click)
-register("range_join_events", relational.range_join_events)
+# --- r7 window refresh: the ten r6 additions (none ever driver-verified)
+# take the slots of the r5 promotions that have now been driver-green twice
+# (graph_pagerank, sim_pq_adc_recall, dedup_containment), the long-stable
+# mid-tier join shapes (asof_join_purchase_click, range_join_events,
+# skew_salted_join), and four simple map-shape queries green since r3
+# (mm_metadata, mm_frame_sample, text_unigram_loglik,
+# decontaminate_ngram_overlap). All displaced queries keep their local
+# DuckDB oracles below.
 
-# Round-5 flagships promoted INTO the driver window (r5 window refresh):
-# exact-integer PageRank, PQ/ADC recall, and shingle containment displace
-# q10/q21/topk_per_group (still fully covered by local parity below) so
-# the driver's own value-hash gate exercises the newest operator families.
-from .operators import graph  # noqa: E402
-
-register("graph_pagerank", graph.graph_pagerank)
-register("sim_pq_adc_recall", similarity.sim_pq_adc_recall)
-register("dedup_containment", dedup.dedup_containment)
-
-from .operators import skew  # noqa: E402
-
-register("skew_salted_join", skew.skew_salted_join)
+register("dedup_substring_spans", dedup.dedup_substring_spans)
+register("dedup_url_canonical", dedup.dedup_url_canonical)
+register("dedup_exact_incremental_bloom", dedup.dedup_exact_incremental_bloom)
+register("corpus_dedup_funnel", dedup.corpus_dedup_funnel)
+register("dedup_minhash_band_sweep", dedup.dedup_minhash_band_sweep)
+register("sim_ivf_probe_sweep", similarity.sim_ivf_probe_sweep)
+register("sim_range_search", similarity.sim_range_search)
+register("text_bigram_lm_perplexity", text.text_bigram_lm_perplexity)
+register("mm_scene_cuts", multimodal.mm_scene_cuts)
+register("orders_cohort_ltv", relational.orders_cohort_ltv)
 
 # --------------------------- slot 51+ from here -----------------------------
 # Everything below is OUTSIDE the driver's 50-entry window; each keeps its
 # local DuckDB oracle in tests/test_oracle_parity.py (or a documented
 # NO_ORACLE reason) as regression cover.
+
+# Displaced by the r7 window refresh (see above): all ten remain fully
+# oracle-backed locally; the three graph/ANN families were driver-green in
+# both r5 and r6, the rest since r3 or earlier.
+from .operators import graph, skew  # noqa: E402
+
+register("asof_join_purchase_click", relational.asof_join_purchase_click)
+register("range_join_events", relational.range_join_events)
+register("graph_pagerank", graph.graph_pagerank)
+register("sim_pq_adc_recall", similarity.sim_pq_adc_recall)
+register("dedup_containment", dedup.dedup_containment)
+register("skew_salted_join", skew.skew_salted_join)
+register("mm_metadata", multimodal.mm_metadata)
+register("mm_frame_sample", multimodal.mm_frame_sample)
+register("text_unigram_loglik", text.text_unigram_loglik)
+register("decontaminate_ngram_overlap", text.decontaminate_ngram_overlap)
 
 # Displaced from the window by dedup_semantic (plain running-sum window;
 # window_frames' local oracle covers the same frame machinery).
@@ -383,28 +398,12 @@ register("source_jsd_matrix", text.source_jsd_matrix)
 
 register("events_daily_percentiles", relational.events_daily_percentiles)
 
-# --- round-6 additions: substring-span dedup (Lee et al. run-merging),
-# canonical-URL dedup, Bloom-prefiltered incremental dedup ------------------
-register("dedup_substring_spans", dedup.dedup_substring_spans)
-register("dedup_url_canonical", dedup.dedup_url_canonical)
-register("dedup_exact_incremental_bloom", dedup.dedup_exact_incremental_bloom)
-
-# --- round-6 additions, batch 2: temperature mixture weights, Zipf fit,
-# held-out bigram-LM perplexity --------------------------------------------
+# --- round-6 additions kept below the window (the other ten r6 additions
+# were promoted into the driver window by the r7 refresh above) -------------
 register("corpus_temperature_mix", curation.corpus_temperature_mix)
 register("token_zipf_fit", text.token_zipf_fit)
-register("text_bigram_lm_perplexity", text.text_bigram_lm_perplexity)
 register("graph_components", graph.graph_components)
-register("sim_ivf_probe_sweep", similarity.sim_ivf_probe_sweep)
 register("dedup_exact_incremental_bucketed", sources_layout.dedup_exact_incremental_bucketed)
-
-# --- round-6 additions, batch 3: radius search, image-tile plumbing,
-# LSH banding sweep --------------------------------------------------------
-register("sim_range_search", similarity.sim_range_search)
 register("mm_tile_grid", multimodal.mm_tile_grid)
-register("dedup_minhash_band_sweep", dedup.dedup_minhash_band_sweep)
-register("corpus_dedup_funnel", dedup.corpus_dedup_funnel)
 register("text_html_strip", text.text_html_strip)
 register("text_hashing_tf", text.text_hashing_tf)
-register("mm_scene_cuts", multimodal.mm_scene_cuts)
-register("orders_cohort_ltv", relational.orders_cohort_ltv)

@@ -49,10 +49,6 @@ def test_driver_window_is_curated():
         "stream_tumbling_counts",
         "mm_byte_histogram",
         "pipeline_score_tag",
-        # r5 window refresh: the newest operator families must hold slots
-        "graph_pagerank",
-        "sim_pq_adc_recall",
-        "dedup_containment",
         # r6 window refresh: TPC-H flagships rotated OUT (long-stable, plan-
         # tested, locally parity-checked); the never-driver-verified r5
         # batch-2/3 families rotated IN
@@ -61,6 +57,18 @@ def test_driver_window_is_curated():
         "mm_audio_framing",
         "text_tfidf_topk",
         "mm_phash_dedup",
+        # r7 window refresh: the ten r6 additions (never driver-verified)
+        # replace the twice-green r5 promotions and stable mid-tier shapes
+        "dedup_substring_spans",
+        "dedup_url_canonical",
+        "dedup_exact_incremental_bloom",
+        "corpus_dedup_funnel",
+        "dedup_minhash_band_sweep",
+        "sim_ivf_probe_sweep",
+        "sim_range_search",
+        "text_bigram_lm_perplexity",
+        "mm_scene_cuts",
+        "orders_cohort_ltv",
     ]:
         assert family_member in window, f"{family_member} fell out of the window"
 
@@ -69,3 +77,34 @@ def test_driver_window_is_curated():
 def test_oracle_parity(spark, sf_dir, name):
     ok, msg = compare_query(spark, name, sf_dir)
     assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_nested_output_columns(spark, sf_dir, name):
+    # The correctness driver canonicalizes results with a pandas
+    # sort_values over ALL columns; array/map/struct cells make that crash
+    # with "unhashable type: 'list'" (r6's one red row, mm_phash_dedup).
+    # Registry queries must therefore emit scalar columns only — flatten
+    # member lists to sorted joined strings, vectors to long (key, dim,
+    # value) form. Schema-only check: nothing executes.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    schema = QUERIES[name](spark, sf_dir).schema
+    nested = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not nested, (
+        f"{name} emits nested output columns {nested}; the driver's pandas "
+        "canonicalizer cannot sort them — flatten to scalars"
+    )
+
+
+@pytest.mark.parametrize("name", list(QUERIES)[:DRIVER_WINDOW])
+def test_driver_window_canonicalizes(spark, sf_dir, name):
+    # Round-trip every driver-window query through the DRIVER'S exact
+    # canonicalization recipe (pandas sort_values over all columns) so any
+    # schema regression fails at commit time, not at round grading.
+    pdf = QUERIES[name](spark, sf_dir).toPandas()
+    pdf.sort_values(by=list(pdf.columns))  # raises on unsortable cells
