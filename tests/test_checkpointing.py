@@ -44,12 +44,18 @@ def reliable_mode(spark, tmp_path):
         spark.conf.unset(CHECKPOINT_DIR_CONF)
 
 
-def test_reliable_mode_requires_checkpoint_dir(spark):
+def test_reliable_mode_requires_checkpoint_dir(spark, monkeypatch):
+    # setCheckpointDir is session-sticky, so if any reliable_mode test ran
+    # first the real getCheckpointDir() is non-None and the error path
+    # would silently not execute — monkeypatch it to None so the missing-
+    # dir ValueError is asserted DETERMINISTICALLY in any test order.
     spark.conf.set(CHECKPOINT_MODE_CONF, "reliable")
+    monkeypatch.setattr(
+        spark.sparkContext, "getCheckpointDir", lambda: None
+    )
     try:
-        if spark.sparkContext.getCheckpointDir() is None:
-            with pytest.raises(ValueError, match="checkpoint directory"):
-                truncate_lineage(spark.range(3))
+        with pytest.raises(ValueError, match="checkpoint directory"):
+            truncate_lineage(spark.range(3))
     finally:
         spark.conf.set(CHECKPOINT_MODE_CONF, "local")
 

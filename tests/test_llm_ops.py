@@ -817,10 +817,18 @@ def test_cohort_ltv_monotone_cumulative(spark, sf_dir):
     for cohort, cs in by_cohort.items():
         cs.sort(key=lambda r: r.month_offset)
         assert cs[0].month_offset == 0, cohort  # first order defines the cohort
-        run = 0.0
+        # exact-decimal running sum: the query's cumulative is DECIMAL-exact,
+        # so accumulate the expectation in Decimal too — a double running sum
+        # with an absolute tolerance goes flaky once cohort revenue ~1e9+
+        from decimal import Decimal
+
+        run = Decimal(0)
         for r in cs:
-            run += r.revenue
-            assert abs(r.cumulative_revenue - run) < 1e-6, (cohort, r.month_offset)
+            run += Decimal(str(r.revenue))
+            assert Decimal(str(r.cumulative_revenue)) == run, (
+                cohort,
+                r.month_offset,
+            )
 
 
 def test_band_sweep_configs_in_sync():
