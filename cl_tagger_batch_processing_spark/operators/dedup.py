@@ -531,17 +531,39 @@ CLUSTER_EST_THRESHOLD = 0.5
 CLUSTER_MAX_ITERATIONS = 15
 
 
-def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = CLUSTER_MAX_ITERATIONS) -> DataFrame:
-    """Min-label propagation connected components (the dedup-cluster step).
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = CLUSTER_MAX_ITERATIONS,
+    round_counter: list | None = None,
+) -> DataFrame:
+    """Min-label propagation + pointer-jumping connected components (the
+    dedup-cluster step).
 
     ``nodes``: (doc_id); ``edges``: (a, b) undirected pairs. Each node starts
-    labeled with itself; every iteration pushes labels across edges and
-    keeps the minimum; convergence when no label changes. The loop is
+    labeled with itself; every iteration takes
+    ``l(u) := min(l(u), min_{v in N(u)} l(v), l(l(u)))`` — edge propagation
+    PLUS the pointer-jumping shortcut ``l(l(u))`` (one self-join of the
+    label table). Propagation alone advances one hop per round
+    (O(diameter) rounds — slow on chain-shaped graphs); the shortcut halves
+    every label chain each round, giving the O(log diameter) round count of
+    the alternating large-star/small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") while keeping this
+    implementation's EXACT convergence argument: labels still only ever
+    decrease elementwise, so the Observation label-sum compare remains a
+    zero-extra-pass exact fixpoint test (star-contraction would need a
+    distributed edge-set equality check instead). The fixpoint is unchanged
+    — stability under min-propagation already forces the label constant on
+    each component — so results (and oracle hashes) are identical, just
+    reached in logarithmically fewer round barriers. The loop is
     driver-controlled but all data stays distributed; ``truncate_lineage``
     (local or reliable checkpoint per ``checkpointing.CHECKPOINT_MODE_CONF``)
     truncates the lineage each round so plan size stays constant — the
     standard shape for iterative algorithms on Spark (GraphX/GraphFrames do
     the same under the hood).
+
+    ``round_counter``: optional list; one element is appended per executed
+    round (diagnostics — tests pin the O(log d) round count with it).
 
     Result: (doc_id, cluster_id) with cluster_id = min doc_id of the
     component — deterministic.
@@ -587,12 +609,30 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = CLU
     # change-rounds (diameter == max_iter) still gets its confirming round
     # instead of a false-positive "did not converge"
     for _ in range(max_iter + 1):
+        if round_counter is not None:
+            round_counter.append(1)
         prop = (
             labels.join(both, labels.doc_id == both.a)
             .select(F.col("b").alias("doc_id"), "cluster_id")
         )
+        # Pointer jumping: l(l(u)). Label VALUES are themselves doc_ids of
+        # edge-incident nodes (they start as the node ids and only ever copy
+        # existing values), so the inner lookup always hits. The self-join
+        # reads the round's checkpointed label table twice — no recompute.
+        shortcut = (
+            labels.alias("lx")
+            .join(
+                labels.alias("ly"),
+                F.col("lx.cluster_id") == F.col("ly.doc_id"),
+            )
+            .select(
+                F.col("lx.doc_id").alias("doc_id"),
+                F.col("ly.cluster_id").alias("cluster_id"),
+            )
+        )
         new_labels, new_sum = _checkpoint_with_sum(
             labels.unionByName(prop)
+            .unionByName(shortcut)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
         )
@@ -602,16 +642,16 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = CLU
             break
         prev_sum = new_sum
     if not converged:
-        # Min-label propagation advances one hop per round, so max_iter
-        # bounds the reachable graph DIAMETER. Silently returning here
-        # would emit non-minimal labels (split components) with no signal —
-        # at fixture SFs the parity gate would catch it, at cluster scale
-        # nothing would. Callers with deep graphs pass a bigger budget
-        # (graph_components does); this is a correctness guard, not a knob.
+        # With pointer jumping, max_iter bounds LOG2 of the reachable graph
+        # diameter (label chains halve per round), so even the default
+        # budget covers any graph a real corpus can produce. Silently
+        # returning here would emit non-minimal labels (split components)
+        # with no signal — at fixture SFs the parity gate would catch it,
+        # at cluster scale nothing would. This is a correctness guard, not
+        # a knob.
         raise RuntimeError(
             f"connected_components did not converge within max_iter="
-            f"{max_iter} rounds — the graph's diameter exceeds the budget; "
-            "raise max_iter"
+            f"{max_iter} rounds — raise max_iter"
         )
     singletons = (
         nodes.select("doc_id")

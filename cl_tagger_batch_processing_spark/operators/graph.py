@@ -227,8 +227,9 @@ def graph_components(
     the support threshold is cutting real structure).
 
     Reuses dedup's min-label propagation core (``connected_components`` —
-    O(diameter) rounds, Observation-based convergence, checkpoint per
-    round in the configured durability mode) on the part graph instead of
+    O(log diameter) rounds via pointer jumping, Observation-based
+    convergence, checkpoint per round in the configured durability mode)
+    on the part graph instead of
     the near-dup doc graph; the size rollup is one tiny groupBy over the
     per-node result. The DuckDB oracle computes the same fixpoint via a
     recursive transitive-closure CTE, so component ids (= min node id per
@@ -240,10 +241,9 @@ def graph_components(
         F.col("src").alias("a"), F.col("dst").alias("b")
     )
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
-    # max_iter bounds the component DIAMETER (one hop per round). The
-    # near-dup default of 15 suits tiny clusters; a support-pruned
-    # co-occurrence graph can be chain-shaped, so give it a deep budget —
-    # connected_components now RAISES instead of silently returning
+    # max_iter bounds LOG2 of the component diameter now that the core
+    # pointer-jumps (r7): 64 rounds covers any physically possible chain —
+    # connected_components RAISES instead of silently returning
     # non-minimal labels if even this is exceeded.
     cc = connected_components(nodes, und, max_iter=64)
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("component_size"))

@@ -112,6 +112,27 @@ def test_connected_components_known_graph(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}
 
 
+def test_connected_components_chain_logarithmic_rounds(spark):
+    # A 32-hop chain: pure one-hop min-propagation needs 32 change-rounds;
+    # the pointer-jumping shortcut must collapse it in O(log d). Budget 8
+    # rounds (log2(32)=5 + slack + the confirming no-change round) — this
+    # FAILS on the propagation-only implementation, pinning the speedup.
+    n = 33
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a bigint, b bigint"
+    )
+    rounds: list = []
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(
+            nodes, edges, max_iter=10, round_counter=rounds
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    assert len(rounds) <= 8, f"took {len(rounds)} rounds for a 32-hop chain"
+
+
 def test_quantized_cosine_self_similarity(spark, sf_dir):
     base = dedup.quantized_embeddings(spark, sf_dir).limit(5)
     a = base.select(F.col("qv").alias("qa"), F.col("nrm").alias("na"))
