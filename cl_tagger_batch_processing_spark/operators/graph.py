@@ -252,3 +252,80 @@ def graph_components(
         F.col("cluster_id").alias("component_id"),
         "component_size",
     )
+
+
+KCORE_K = 3
+KCORE_MAX_ROUNDS = 64
+
+
+def graph_kcore(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KCORE_K,
+    min_support: int = PR_MIN_SUPPORT,
+    round_counter: list | None = None,
+) -> DataFrame:
+    """k-core of the co-occurrence graph: the maximal subgraph where every
+    node keeps at least ``k`` neighbors — the standard "dense backbone"
+    extraction (spam/boilerplate rings in near-dup graphs and influential
+    product clusters both live in high cores; low-core fringe is noise).
+    Completes the graph QA family: components say what is CONNECTED, the
+    k-core says what is densely connected.
+
+    Algorithm: synchronous peeling — each round drops every node whose
+    current degree is below k (and all its edges), until the edge set is
+    stable. All data stays distributed; the driver holds only the per-round
+    edge count, observed on the SAME job that checkpoints the round
+    (``truncate_lineage``, local or reliable per the session conf), so
+    convergence detection costs zero extra passes. The edge count
+    strictly decreases until the fixpoint (peeling only removes), making
+    the equal-count test an EXACT convergence proof, same discipline as
+    connected_components' label-sum. Rounds are bounded by the peel depth
+    (in practice a handful); the budget RAISES rather than returning a
+    non-maximal "core" silently.
+
+    Output: (node, core_degree) for k-core members — core_degree is the
+    degree within the core (>= k by construction), deterministic. The
+    DuckDB oracle replays the same peel as a chained-CTE fixpoint (extra
+    rounds past convergence are no-ops, so it chains a fixed budget).
+    """
+    edges = cooccurrence_edges(spark, sf_dir, min_support=min_support)
+    from pyspark.sql import Observation
+
+    n_edges = F.count(F.lit(1)).alias("n_edges")
+
+    def _checkpoint_with_count(df: DataFrame):
+        obs = Observation()
+        ck = df.observe(obs, n_edges).transform(truncate_lineage)
+        return ck, obs.get["n_edges"]
+
+    # symmetric edge list: degree(src) = row count per src
+    e, prev_count = _checkpoint_with_count(edges)
+    converged = False
+    for _ in range(KCORE_MAX_ROUNDS + 1):
+        if round_counter is not None:
+            round_counter.append(1)
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("src")
+        )
+        filtered = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+        )
+        e, new_count = _checkpoint_with_count(filtered)
+        if new_count == prev_count:
+            converged = True
+            break
+        prev_count = new_count
+    if not converged:
+        raise RuntimeError(
+            f"graph_kcore did not converge within {KCORE_MAX_ROUNDS} peel "
+            "rounds — raise KCORE_MAX_ROUNDS"
+        )
+    return e.groupBy("src").agg(F.count(F.lit(1)).alias("core_degree")).select(
+        F.col("src").alias("node"), "core_degree"
+    )

@@ -406,3 +406,73 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("scene_frames"),
         F.first("sig").alias("sig"),
     )
+
+
+ENERGY_FRAME_BYTES = 64
+
+
+def mm_audio_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based activity segmentation over "audio" payloads — the
+    VAD (voice-activity-detection) pass that turns a raw waveform into the
+    speech segments an ASR/captioning pipeline actually transcribes:
+    per-frame energy, an active/silent decision against the recording's
+    own mean energy, and a gaps-and-islands merge of consecutive active
+    frames into segments. Composes mm_audio_framing's framing convention
+    (complete ENERGY_FRAME_BYTES frames only) with the island merge of
+    mm_scene_cuts/dedup_substring_spans.
+
+    EXACT integer arithmetic end-to-end: frame "energy" is the sum of
+    squared byte values (on real PCM the same expression runs over decoded
+    samples), and "above mean" is the cross-multiplied integer comparison
+    energy·n_frames > total_energy (no float means) — bit-identical in any
+    engine, same discipline as mm_phash_dedup. Scale shape: the frame
+    explode and energy are row-local Column math; the lag/renumber pass
+    and the segment rollup share one (doc_id; frame_idx) partitioning —
+    doc-keyed, linear at any corpus volume, zero Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_frames = F.floor(F.length("text") / F.lit(ENERGY_FRAME_BYTES)).cast("bigint")
+    frames = docs.where(n_frames >= 1).select(
+        "doc_id",
+        "text",
+        n_frames.alias("n_frames"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_frames - 1)).alias("frame_idx"),
+    )
+    frame_vals = F.transform(
+        F.split(
+            F.substring(
+                F.col("text"),
+                (F.col("frame_idx") * ENERGY_FRAME_BYTES + 1).cast("int"),
+                ENERGY_FRAME_BYTES,
+            ),
+            "",
+        ),
+        lambda c: F.ascii(c).cast("bigint"),
+    )
+    energy = F.aggregate(
+        frame_vals, F.lit(0).cast("bigint"), lambda a, x: a + x * x
+    )
+    per_frame = frames.select(
+        "doc_id", "n_frames", "frame_idx", energy.alias("energy")
+    )
+    wdoc = Window.partitionBy("doc_id")
+    active = per_frame.withColumn(
+        "total_energy", F.sum("energy").over(wdoc)
+    ).where(F.col("energy") * F.col("n_frames") > F.col("total_energy"))
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = (
+        active.withColumn(
+            "is_start",
+            F.when(F.lag("frame_idx").over(w).isNull(), F.lit(1))
+            .when(F.lag("frame_idx").over(w) != F.col("frame_idx") - 1, F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        .withColumn("segment_idx", F.sum("is_start").over(run) - 1)
+    )
+    return islands.groupBy("doc_id", "segment_idx").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count(F.lit(1)).alias("n_active_frames"),
+        F.sum("energy").alias("segment_energy"),
+    )

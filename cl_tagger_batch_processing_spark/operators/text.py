@@ -1093,3 +1093,74 @@ def text_hashing_tf(
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+NOVELTY_BUCKETS = 16
+NOVELTY_SHINGLE_K = 3
+
+
+def text_ngram_novelty(
+    spark: SparkSession, sf_dir: str, n_buckets: int = NOVELTY_BUCKETS
+) -> DataFrame:
+    """Corpus diversity growth curve: docs are split into ``n_buckets``
+    equal-width doc_id ranges (the ingestion-order proxy) and each bucket
+    reports how many of its distinct k-gram shingles were never seen in any
+    earlier bucket — the "how much NEW text does each crawl increment add"
+    diagnostic that decides when further crawling stops paying (a flattening
+    novel-shingle curve means the corpus is saturating; scaling-law data
+    work tracks exactly this before buying more data).
+
+    Shape: one distinct (bucket, shingle) projection; novel counts come from
+    a groupBy(shingle).min(bucket) — shingle-keyed, map-side combined,
+    linear in corpus size — and the rollup joins three n_buckets-row frames.
+    The single scalar (max doc_id, for the bucket width) rides a broadcast
+    1-row cross join, the sanctioned control-plane shape. The cumulative
+    curve is a window over n_buckets rows — exact integers end to end; the
+    one double division (novelty_frac) happens once per output row."""
+    docs = load_table(spark, sf_dir, "documents")
+    bound = docs.agg(F.max("doc_id").alias("max_id"))
+    sh = word_shingles(docs, k=NOVELTY_SHINGLE_K)
+    # exact-INTEGER bucket arithmetic: `div` floor-division matches DuckDB's
+    # `//` for non-negative ints (a double ratio + floor could disagree at
+    # exact-multiple boundaries)
+    bucket_expr = F.expr(f"(doc_id * {n_buckets}) div (max_id + 1)").cast("bigint")
+    bucketed = (
+        sh.crossJoin(F.broadcast(bound))
+        .select(bucket_expr.alias("bucket"), "shingle")
+        .distinct()
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_distinct_shingles")
+    )
+    novel = (
+        bucketed.groupBy("shingle")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_novel_shingles"))
+    )
+    n_docs = (
+        docs.crossJoin(F.broadcast(bound))
+        .select(bucket_expr.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    cum = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_bucket.join(novel, "bucket", "left")
+        .join(n_docs, "bucket")
+        .select(
+            "bucket",
+            "n_docs",
+            "n_distinct_shingles",
+            F.coalesce("n_novel_shingles", F.lit(0)).alias("n_novel_shingles"),
+        )
+        .withColumn(
+            "novelty_frac",
+            F.col("n_novel_shingles").cast("double")
+            / F.col("n_distinct_shingles").cast("double"),
+        )
+        .withColumn("cum_novel_shingles", F.sum("n_novel_shingles").over(cum))
+    )

@@ -3816,3 +3816,125 @@ SELECT CAST(cohort_ym // 12 AS INTEGER) AS cohort_year,
          AS cumulative_revenue
 FROM cells JOIN sizes USING (cohort_ym)
 """
+
+
+# --- round-7 additions ------------------------------------------------------
+
+# Mirrors graph.graph_kcore: synchronous peel rounds chained as CTEs. Extra
+# rounds past the fixpoint are no-ops (the filter of a converged set is
+# itself), so a fixed budget of 24 chained rounds replays Spark's
+# converge-then-stop loop exactly as long as the true peel depth is smaller —
+# if data ever needed more, the value hashes would mismatch LOUDLY.
+def _kcore_sql(k: int = 3, rounds: int = 24) -> str:
+    # AS MATERIALIZED is load-bearing: each round references the previous
+    # round three times, so inlined CTEs would expand 3^rounds scans.
+    ctes = [_PR_GRAPH_CTES, "e0 AS MATERIALIZED (SELECT src, dst FROM edges)"]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{i - 1} e
+  SEMI JOIN (SELECT src FROM e{i - 1} GROUP BY src HAVING COUNT(*) >= {k}) ka
+    ON e.src = ka.src
+  SEMI JOIN (SELECT src FROM e{i - 1} GROUP BY src HAVING COUNT(*) >= {k}) kb
+    ON e.dst = kb.src
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT src AS node, COUNT(*) AS core_degree FROM e{rounds} GROUP BY src
+"""
+    )
+
+
+ORACLE_SQL["graph_kcore"] = _kcore_sql(3)
+
+# Mirrors text.text_ngram_novelty: integer `//` bucket arithmetic matches
+# Spark's `div`; one double division per output row (novelty_frac); the
+# cumulative is an exact-integer running sum over the 16 bucket rows.
+ORACLE_SQL["text_ngram_novelty"] = f"""
+WITH {{shingles}},
+mx AS (SELECT MAX(doc_id) AS max_id FROM documents),
+b AS (
+  SELECT DISTINCT CAST((doc_id * 16) // (max_id + 1) AS BIGINT) AS bucket,
+         shingle
+  FROM sh CROSS JOIN mx
+),
+per_bucket AS (
+  SELECT bucket, COUNT(*) AS n_distinct_shingles FROM b GROUP BY bucket
+),
+novel AS (
+  SELECT bucket, COUNT(*) AS n_novel_shingles FROM (
+    SELECT shingle, MIN(bucket) AS bucket FROM b GROUP BY shingle
+  ) GROUP BY bucket
+),
+nd AS (
+  SELECT CAST((doc_id * 16) // (max_id + 1) AS BIGINT) AS bucket,
+         COUNT(*) AS n_docs
+  FROM documents CROSS JOIN mx GROUP BY 1
+)
+SELECT p.bucket, nd.n_docs, p.n_distinct_shingles,
+       CAST(COALESCE(novel.n_novel_shingles, 0) AS BIGINT) AS n_novel_shingles,
+       CAST(COALESCE(novel.n_novel_shingles, 0) AS DOUBLE)
+         / CAST(p.n_distinct_shingles AS DOUBLE) AS novelty_frac,
+       CAST(SUM(COALESCE(novel.n_novel_shingles, 0))
+              OVER (ORDER BY p.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_novel_shingles
+FROM per_bucket p
+LEFT JOIN novel USING (bucket)
+JOIN nd USING (bucket)
+""".replace("{shingles}", _shingle_ctes(3))
+
+# Mirrors multimodal.mm_audio_energy_segments: complete 64-byte frames only,
+# exact-integer energy (sum of squared byte values), cross-multiplied
+# above-mean test (energy*n_frames > total), gaps-and-islands via the same
+# lag + running-sum pair as mm_scene_cuts.
+ORACLE_SQL["mm_audio_energy_segments"] = """
+WITH base AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS vals,
+         CAST(length(text) // 64 AS BIGINT) AS n_frames
+  FROM documents
+  WHERE length(text) // 64 >= 1
+),
+f AS (
+  SELECT doc_id, n_frames, vals,
+         CAST(unnest(range(0, n_frames)) AS BIGINT) AS frame_idx
+  FROM base
+),
+en AS (
+  SELECT doc_id, n_frames, frame_idx,
+         CAST(COALESCE(list_sum(list_transform(
+                vals[frame_idx * 64 + 1 : frame_idx * 64 + 64],
+                x -> x * x)), 0) AS BIGINT) AS energy
+  FROM f
+),
+tot AS (SELECT doc_id, SUM(energy) AS total_energy FROM en GROUP BY doc_id),
+act AS (
+  SELECT e.doc_id, e.frame_idx, e.energy
+  FROM en e JOIN tot t USING (doc_id)
+  WHERE e.energy * e.n_frames > t.total_energy
+),
+isl AS (
+  SELECT doc_id, frame_idx, energy,
+         CASE WHEN lag(frame_idx) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+                   IS NULL THEN 1
+              WHEN lag(frame_idx) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+                   <> frame_idx - 1 THEN 1
+              ELSE 0 END AS is_start
+  FROM act
+),
+seg AS (
+  SELECT doc_id, frame_idx, energy,
+         SUM(is_start) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                             ROWS UNBOUNDED PRECEDING) - 1 AS segment_idx
+  FROM isl
+)
+SELECT doc_id, CAST(segment_idx AS BIGINT) AS segment_idx,
+       MIN(frame_idx) AS start_frame,
+       MAX(frame_idx) AS end_frame,
+       COUNT(*) AS n_active_frames,
+       CAST(SUM(energy) AS BIGINT) AS segment_energy
+FROM seg GROUP BY doc_id, segment_idx
+"""

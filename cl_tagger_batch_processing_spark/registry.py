@@ -407,3 +407,9 @@ register("dedup_exact_incremental_bucketed", sources_layout.dedup_exact_incremen
 register("mm_tile_grid", multimodal.mm_tile_grid)
 register("text_html_strip", text.text_html_strip)
 register("text_hashing_tf", text.text_hashing_tf)
+
+# --- round-7 additions: k-core backbone, corpus novelty curve, VAD-style
+# energy segmentation ------------------------------------------------------
+register("graph_kcore", graph.graph_kcore)
+register("text_ngram_novelty", text.text_ngram_novelty)
+register("mm_audio_energy_segments", multimodal.mm_audio_energy_segments)

@@ -864,3 +864,81 @@ def test_band_sweep_configs_in_sync():
     assert tuple(oracle_default) == dedup.BAND_SWEEP
     for n_bands, rpb in dedup.BAND_SWEEP:
         assert n_bands * rpb == dedup.MINHASH_NUM_HASHES
+
+
+def test_kcore_matches_reference_peel(spark, sf_dir):
+    """graph_kcore vs an in-process reference peel over the collected edge
+    list (small at fixture SFs): same membership, same core degrees, and
+    every member keeps >= K neighbors inside the core (the k-core
+    invariant)."""
+    from cl_tagger_batch_processing_spark.operators import graph
+
+    edges = [
+        (r.src, r.dst)
+        for r in graph.cooccurrence_edges(spark, sf_dir).collect()
+    ]
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    # reference: repeatedly drop nodes with degree < K
+    alive = set(adj)
+    while True:
+        drop = {u for u in alive if len(adj[u] & alive) < graph.KCORE_K}
+        if not drop:
+            break
+        alive -= drop
+    expected = {u: len(adj[u] & alive) for u in alive}
+    got = {
+        r.node: r.core_degree
+        for r in graph.graph_kcore(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert all(d >= graph.KCORE_K for d in got.values())
+
+
+def test_ngram_novelty_invariants(spark, sf_dir):
+    from cl_tagger_batch_processing_spark.operators import text as text_ops
+
+    rows = sorted(
+        text_ops.text_ngram_novelty(spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert rows and rows[0].bucket == 0
+    # the first bucket has never seen anything: everything is novel
+    assert rows[0].n_novel_shingles == rows[0].n_distinct_shingles
+    assert rows[0].novelty_frac == 1.0
+    cum = 0
+    for r in rows:
+        assert 0 <= r.n_novel_shingles <= r.n_distinct_shingles
+        cum += r.n_novel_shingles
+        assert r.cum_novel_shingles == cum
+    # total novel across buckets == corpus-wide distinct shingle count
+    docs = text_ops.load_table(spark, sf_dir, "documents")
+    n_distinct = (
+        text_ops.word_shingles(docs, k=text_ops.NOVELTY_SHINGLE_K)
+        .select("shingle")
+        .distinct()
+        .count()
+    )
+    assert cum == n_distinct
+
+
+def test_energy_segments_invariants(spark, sf_dir):
+    from collections import defaultdict
+
+    from cl_tagger_batch_processing_spark.operators import multimodal as mm
+
+    rows = mm.mm_audio_energy_segments(spark, sf_dir).collect()
+    assert rows
+    by_doc = defaultdict(list)
+    for r in rows:
+        assert r.n_active_frames == r.end_frame - r.start_frame + 1
+        assert r.segment_energy > 0
+        by_doc[r.doc_id].append(r)
+    for segs in by_doc.values():
+        segs.sort(key=lambda r: r.segment_idx)
+        assert segs[0].segment_idx == 0
+        for prev, cur in zip(segs, segs[1:]):
+            assert cur.segment_idx == prev.segment_idx + 1
+            # islands are maximal: a silent gap separates consecutive ones
+            assert cur.start_frame > prev.end_frame + 1

@@ -318,6 +318,8 @@ def test_jvm_only_hot_paths(spark, sf_dir):
         "text_gopher_flags",
         "corpus_split_assign",
         "corpus_source_mix",
+        "text_ngram_novelty",
+        "mm_audio_energy_segments",
     ]:
         plan = inspect.executed_plan(QUERIES[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan, name
