@@ -84,3 +84,22 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
     out = df.checkpoint(eager=True)
     df.unpersist()
     return out
+
+
+def checkpoint_with_metric(df: DataFrame, metric):
+    """Checkpoint ``df`` (per the session durability mode) with ``metric``
+    observed on the SAME materializing job, and return
+    ``(checkpointed_df, metric_value)``.
+
+    This is the zero-extra-pass convergence pattern every iterative
+    operator shares (connected components' label sum, k-core's edge
+    count): the driver reads ONE scalar per round and it rides the job the
+    checkpoint runs anyway — a separate ``.agg().collect()`` per round
+    would re-execute or re-read the frame. ``metric`` must be a single
+    aggregate Column (e.g. ``F.sum(...).alias("s")``).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    ck = truncate_lineage(df.observe(obs, metric))
+    return ck, next(iter(obs.get.values()))

@@ -531,6 +531,21 @@ CLUSTER_EST_THRESHOLD = 0.5
 CLUSTER_MAX_ITERATIONS = 15
 
 
+def sorted_ids_csv(id_col) -> "F.Column":
+    """Aggregate expression: member ids → numerically sorted, comma-joined
+    STRING — the flat member-list shape every dedup-cluster query emits
+    (the driver's pandas canonicalizer sorts scalar columns only; nested
+    arrays crash it — see test_no_nested_output_columns). Oracle mirror:
+    ``string_agg(CAST(id AS VARCHAR), ',' ORDER BY id)``. Sort BEFORE the
+    string cast so order stays numeric ("2" before "10")."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(id_col)), lambda x: x.cast("string")
+        ),
+        ",",
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -593,16 +608,11 @@ def connected_components(
     # round). Summed as decimal(38,0): at 100 TB, node-count × 64-bit labels
     # can exceed the bigint range, and a silent non-ANSI wraparound could
     # fake equality and stop the loop early.
-    from pyspark.sql import Observation
+    from ..checkpointing import checkpoint_with_metric
 
     label_sum = F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("label_sum")
 
-    def _checkpoint_with_sum(df: DataFrame):
-        obs = Observation()
-        ck = df.observe(obs, label_sum).transform(truncate_lineage)
-        return ck, obs.get["label_sum"]
-
-    labels, prev_sum = _checkpoint_with_sum(labels)
+    labels, prev_sum = checkpoint_with_metric(labels, label_sum)
     converged = False
     # max_iter + 1 total rounds: convergence DETECTION needs one no-change
     # round after the last change, so a graph needing exactly max_iter
@@ -630,11 +640,12 @@ def connected_components(
                 F.col("ly.cluster_id").alias("cluster_id"),
             )
         )
-        new_labels, new_sum = _checkpoint_with_sum(
+        new_labels, new_sum = checkpoint_with_metric(
             labels.unionByName(prop)
             .unionByName(shortcut)
             .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
+            .agg(F.min("cluster_id").alias("cluster_id")),
+            label_sum,
         )
         labels = new_labels
         if new_sum == prev_sum:

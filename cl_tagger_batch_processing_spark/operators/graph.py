@@ -255,7 +255,12 @@ def graph_components(
 
 
 KCORE_K = 3
-KCORE_MAX_ROUNDS = 64
+# Must stay == the oracle's chained-CTE round budget (_kcore_sql default;
+# sync-pinned by test_kcore_budget_in_sync): with equal budgets a peel
+# deeper than the budget fails LOUDLY on the Spark side (RuntimeError)
+# instead of surfacing as an opaque value-hash mismatch against an
+# unconverged oracle.
+KCORE_MAX_ROUNDS = 24
 
 
 def graph_kcore(
@@ -290,22 +295,22 @@ def graph_kcore(
     rounds past convergence are no-ops, so it chains a fixed budget).
     """
     edges = cooccurrence_edges(spark, sf_dir, min_support=min_support)
-    from pyspark.sql import Observation
+    from ..checkpointing import checkpoint_with_metric
 
     n_edges = F.count(F.lit(1)).alias("n_edges")
 
-    def _checkpoint_with_count(df: DataFrame):
-        obs = Observation()
-        ck = df.observe(obs, n_edges).transform(truncate_lineage)
-        return ck, obs.get["n_edges"]
-
     # symmetric edge list: degree(src) = row count per src
-    e, prev_count = _checkpoint_with_count(edges)
+    e, prev_count = checkpoint_with_metric(edges, n_edges)
     converged = False
     for _ in range(KCORE_MAX_ROUNDS + 1):
         if round_counter is not None:
             round_counter.append(1)
-        keep = (
+        # Materialize the survivor set ONCE per round: it feeds BOTH semi
+        # joins, and an unmaterialized subplan would re-run the degree
+        # aggregation (the round's dominant shuffle) twice. Join strategy is
+        # left to AQE — at cluster scale the survivor list is node-count
+        # sized, so forcing a broadcast here could OOM.
+        keep = truncate_lineage(
             e.groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
             .where(F.col("deg") >= k)
@@ -316,7 +321,7 @@ def graph_kcore(
             .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
             .select("src", "dst")
         )
-        e, new_count = _checkpoint_with_count(filtered)
+        e, new_count = checkpoint_with_metric(filtered, n_edges)
         if new_count == prev_count:
             converged = True
             break

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from .dedup import sorted_ids_csv
 
 HIST_BINS = 16
 # bin = byte >> HIST_SHIFT tiles 0..255 evenly over exactly HIST_BINS bins —
@@ -245,13 +246,7 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min("doc_id").alias("keep_doc_id"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list("doc_id")),
-                    lambda x: x.cast("string"),
-                ),
-                ",",
-            ).alias("doc_ids"),
+            sorted_ids_csv(F.col("doc_id")).alias("doc_ids"),
         )
         .where(F.col("n_docs") > 1)
     )

@@ -277,9 +277,10 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the centroids are bit-identical across engines despite being means of
     floats. Plan shape: one groupBy(label) shuffle carrying 64 bigint
     partial sums (map-side combined); the long (label, dim) output form
-    keeps every column scalar so any downstream canonicalizer (and the
-    driver's pandas sort) handles it — the IVF consumer re-assembles the
-    array with a collect_list over dim when it needs one.
+    exists purely so every output column stays scalar for the driver's
+    pandas canonicalizer (no current consumer re-assembles the vector —
+    sim_topk_ivf derives its coarse centroids independently; a consumer
+    that wants arrays is one collect_list-over-dim away).
     """
     base = quantized_embeddings(spark, sf_dir)
     sums = base.groupBy("label").agg(

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from .dedup import DEFAULT_MAX_DF, word_shingles
+from .dedup import DEFAULT_MAX_DF, sorted_ids_csv, word_shingles
 # STOPWORDS' canonical home is operators/quality.py; re-exported here for
 # the existing importers (curation.py, tests).
 from .quality import STOPWORDS, quality_components  # noqa: F401
@@ -237,13 +237,7 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min("doc_id").alias("keep_doc_id"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list("doc_id")),
-                    lambda x: x.cast("string"),
-                ),
-                ",",
-            ).alias("doc_ids"),
+            sorted_ids_csv(F.col("doc_id")).alias("doc_ids"),
         )
         .where(F.col("n_docs") > 1)
     )

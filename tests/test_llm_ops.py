@@ -942,3 +942,19 @@ def test_energy_segments_invariants(spark, sf_dir):
             assert cur.segment_idx == prev.segment_idx + 1
             # islands are maximal: a silent gap separates consecutive ones
             assert cur.start_frame > prev.end_frame + 1
+
+
+def test_kcore_budget_in_sync():
+    """Spark's peel-round budget must equal the oracle's chained-CTE round
+    count (duplicated-constant convention): equal budgets turn a
+    too-deep peel into a LOUD Spark-side RuntimeError instead of an opaque
+    value-hash mismatch against an unconverged oracle."""
+    import inspect as _inspect
+
+    from cl_tagger_batch_processing_spark import oracles
+    from cl_tagger_batch_processing_spark.operators import graph
+
+    oracle_rounds = _inspect.signature(oracles._kcore_sql).parameters["rounds"].default
+    assert oracle_rounds == graph.KCORE_MAX_ROUNDS
+    oracle_k = _inspect.signature(oracles._kcore_sql).parameters["k"].default
+    assert oracle_k == graph.KCORE_K

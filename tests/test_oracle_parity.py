@@ -79,17 +79,26 @@ def test_oracle_parity(spark, sf_dir, name):
     assert ok, f"{name}: {msg}"
 
 
+# The two driver-canonicalizer guards below pin sf0.001 regardless of
+# SPARK_GRAFT_TEST_SF_DIR: output schemas and cell sortability do not
+# depend on the scale factor, and constructing a registry query is NOT
+# free (driver-loop operators and streaming entries execute jobs before
+# .schema is readable) — at the sf0.01 oracle scale the re-execution
+# would meaningfully inflate the suite.
+GUARD_SF_DIR = "/root/testdata/sf0.001"
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_no_nested_output_columns(spark, sf_dir, name):
+def test_no_nested_output_columns(spark, name):
     # The correctness driver canonicalizes results with a pandas
     # sort_values over ALL columns; array/map/struct cells make that crash
     # with "unhashable type: 'list'" (r6's one red row, mm_phash_dedup).
     # Registry queries must therefore emit scalar columns only — flatten
     # member lists to sorted joined strings, vectors to long (key, dim,
-    # value) form. Schema-only check: nothing executes.
+    # value) form.
     from pyspark.sql.types import ArrayType, MapType, StructType
 
-    schema = QUERIES[name](spark, sf_dir).schema
+    schema = QUERIES[name](spark, GUARD_SF_DIR).schema
     nested = [
         f.name
         for f in schema.fields
@@ -102,9 +111,9 @@ def test_no_nested_output_columns(spark, sf_dir, name):
 
 
 @pytest.mark.parametrize("name", list(QUERIES)[:DRIVER_WINDOW])
-def test_driver_window_canonicalizes(spark, sf_dir, name):
+def test_driver_window_canonicalizes(spark, name):
     # Round-trip every driver-window query through the DRIVER'S exact
     # canonicalization recipe (pandas sort_values over all columns) so any
     # schema regression fails at commit time, not at round grading.
-    pdf = QUERIES[name](spark, sf_dir).toPandas()
+    pdf = QUERIES[name](spark, GUARD_SF_DIR).toPandas()
     pdf.sort_values(by=list(pdf.columns))  # raises on unsortable cells
