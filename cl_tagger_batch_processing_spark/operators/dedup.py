@@ -1338,3 +1338,91 @@ def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+def dedup_simhash_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator QA for the SimHash sketch (dedup_minhash_error_report's
+    counterpart): for every Hamming-close candidate pair, compare against
+    the EXACT token-set Jaccard (the set SimHash actually sketches),
+    bucketed by Hamming distance — answering "what similarity does each
+    Hamming level really mean on THIS corpus, and is 6 the right
+    threshold?".
+
+    Scale shape: the exact side is CANDIDATE-BOUNDED — candidate pairs
+    join each side's token list and count matches per pair, so the cost is
+    Σ_candidates |tokens|, NEVER the co-token pair space (a stopword
+    shared by every document would make a posting-list self-join
+    quadratic; it contributes one row per candidate pair here). Means use
+    the 9dp-round → DECIMAL(28,9) exact-sum pattern (order-independent);
+    min/max are single-division doubles, deterministic as-is."""
+    pairs = dedup_simhash(spark, sf_dir).transform(truncate_lineage)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    ).transform(truncate_lineage)
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "token")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "token")
+    common = (
+        pairs.select("doc_a", "doc_b")
+        .join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    exact = common.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        (F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))).alias(
+            "true_jac"
+        ),
+    )
+    joined = pairs.join(exact, ["doc_a", "doc_b"], "left").select(
+        F.col("hamming").cast("bigint").alias("hamming"),
+        F.coalesce("true_jac", F.lit(0.0)).alias("true_jac"),
+    )
+    dec = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    return joined.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (
+            F.round(
+                F.sum(dec(F.col("true_jac"))).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("avg_true_jaccard"),
+        (F.min("true_jac") + F.lit(0.0)).alias("min_true_jaccard"),
+        (F.max("true_jac") + F.lit(0.0)).alias("max_true_jaccard"),
+    )
+
+
+def corpus_near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplication rate per source — the provenance diagnostic that
+    tells you WHICH feed is flooding the corpus with near-dups (a crawl
+    with a 40% dup rate gets a different crawl policy, not just a dedup
+    pass). Composes dedup_clusters' full machinery: a doc is "near-dup"
+    when its cluster has more than one member; the rollup is one
+    broadcast-scale join chain over the per-doc cluster assignment.
+
+    Exactness: counts are integers; the single double division per source
+    happens once (same expression in the oracle)."""
+    cc = dedup_clusters(spark, sf_dir)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    flags = cc.join(sizes, "cluster_id").select(
+        "doc_id", (F.col("sz") > 1).cast("int").alias("is_dup")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        docs.join(flags, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_dup").cast("bigint").alias("n_near_dup"),
+            (
+                F.sum("is_dup").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("near_dup_frac"),
+        )
+    )

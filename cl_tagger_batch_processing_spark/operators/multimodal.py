@@ -348,23 +348,14 @@ def mm_tile_grid(spark: SparkSession, sf_dir: str, tile_px: int = TILE_PX) -> Da
 SCENE_SIG_BUCKETS = 4
 
 
-def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scene segmentation over "video" frames: consecutive frames whose
-    perceptual signature matches merge into one scene; a signature change
-    is a cut — the shot-boundary pass every video curation pipeline runs
-    before sampling one keyframe per scene (uniform sampling wastes budget
-    on static shots and misses short ones). Composes the frame machinery
-    of mm_frame_sample (same 64-char frames, stride 1 here) with the
-    gaps-and-islands run merge of dedup_substring_spans.
-
-    The "perceptual signature" is the frame hash folded to
-    SCENE_SIG_BUCKETS values — a deterministic stand-in for a coarse
-    visual descriptor (a real pHash plugs in at the same column), coarse
-    enough that the word-soup fixtures produce real multi-frame scenes.
-    Shape: frame explode is row-local; the cut detection (lag) and scene
-    numbering (running sum) share one (doc_id; frame_idx) window; the
-    scene rollup groups on (doc_id, scene) — all doc-keyed, linear at any
-    corpus size."""
+def _scene_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame relation shared by mm_scene_cuts and mm_keyframe_select:
+    (doc_id, n_frames, frame_idx, sig, sharp, scene_idx). ``sig`` is the
+    coarse perceptual signature (frame hash folded to SCENE_SIG_BUCKETS);
+    ``sharp`` is the FULL 60-bit frame-hash value — the deterministic
+    stand-in for a sharpness/saliency score (a real Laplacian-variance
+    column plugs in at the same place). Cut detection (lag) and scene
+    numbering (running sum) share one (doc_id; frame_idx) window."""
     docs = load_table(spark, sf_dir, "documents")
     n_frames = F.ceil(F.length("text") / F.lit(64)).cast("bigint")
     # empty-text guard (mm_audio_framing's convention): without it,
@@ -383,10 +374,13 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(frame_md5, 1, 8), 16, 10).cast("bigint")
         % SCENE_SIG_BUCKETS
     )
+    sharp = F.conv(F.substring(frame_md5, 1, 15), 16, 10).cast("bigint")
     w = Window.partitionBy("doc_id").orderBy("frame_idx")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cuts = (
-        frames.select("doc_id", "n_frames", "frame_idx", sig.alias("sig"))
+    return (
+        frames.select(
+            "doc_id", "n_frames", "frame_idx", sig.alias("sig"), sharp.alias("sharp")
+        )
         .withColumn(
             "is_cut",
             F.when(F.lag("sig").over(w).isNull(), F.lit(1))
@@ -395,6 +389,26 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("scene_idx", F.sum("is_cut").over(run) - 1)
     )
+
+
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene segmentation over "video" frames: consecutive frames whose
+    perceptual signature matches merge into one scene; a signature change
+    is a cut — the shot-boundary pass every video curation pipeline runs
+    before sampling one keyframe per scene (uniform sampling wastes budget
+    on static shots and misses short ones). Composes the frame machinery
+    of mm_frame_sample (same 64-char frames, stride 1 here) with the
+    gaps-and-islands run merge of dedup_substring_spans.
+
+    The "perceptual signature" is the frame hash folded to
+    SCENE_SIG_BUCKETS values — a deterministic stand-in for a coarse
+    visual descriptor (a real pHash plugs in at the same column), coarse
+    enough that the word-soup fixtures produce real multi-frame scenes.
+    Shape: frame explode is row-local; the cut detection (lag) and scene
+    numbering (running sum) share one (doc_id; frame_idx) window; the
+    scene rollup groups on (doc_id, scene) — all doc-keyed, linear at any
+    corpus size."""
+    cuts = _scene_frames(spark, sf_dir)
     return cuts.groupBy("doc_id", "scene_idx").agg(
         F.min("frame_idx").alias("start_frame"),
         F.max("frame_idx").alias("end_frame"),
@@ -470,4 +484,36 @@ def mm_audio_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("frame_idx").alias("end_frame"),
         F.count(F.lit(1)).alias("n_active_frames"),
         F.sum("energy").alias("segment_energy"),
+    )
+
+
+def mm_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One keyframe per scene — the budgeted frame-sampling pass that
+    follows shot-boundary detection (mm_scene_cuts): within each scene,
+    keep the frame with the highest "sharpness" score (here the full
+    60-bit frame-hash stand-in from ``_scene_frames``; a real
+    Laplacian-variance column plugs in unchanged), tie-broken to the
+    EARLIEST such frame — the reference's first-max argmax discipline
+    (appV2.py:77-83 per-category top-1) applied per scene.
+
+    One hash aggregation over the shared per-frame relation:
+    max(struct(sharp, −frame_idx)) picks the first maximum without a sort
+    or window (same shape as tagging.top1_per_category) — doc-keyed,
+    map-side combined, linear at any corpus size."""
+    frames = _scene_frames(spark, sf_dir)
+    best = F.max(
+        F.struct(
+            F.col("sharp").alias("s"), (-F.col("frame_idx")).alias("nfi")
+        )
+    )
+    return (
+        frames.groupBy("doc_id", "scene_idx")
+        .agg(best.alias("b"), F.count(F.lit(1)).alias("scene_frames"))
+        .select(
+            "doc_id",
+            "scene_idx",
+            (-F.col("b.nfi")).cast("bigint").alias("keyframe_idx"),
+            F.col("b.s").alias("sharpness"),
+            "scene_frames",
+        )
     )

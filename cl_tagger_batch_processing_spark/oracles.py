@@ -3938,3 +3938,108 @@ SELECT doc_id, CAST(segment_idx AS BIGINT) AS segment_idx,
        CAST(SUM(energy) AS BIGINT) AS segment_energy
 FROM seg GROUP BY doc_id, segment_idx
 """
+
+
+# Mirrors dedup.dedup_simhash_error_report: Hamming-close candidate pairs
+# joined to the exact token-set Jaccard via the candidate-bounded common
+# count (pairs x per-side tokens, never a posting self-join), then the
+# 9dp-round -> DECIMAL exact-mean pattern per Hamming bucket.
+ORACLE_SQL["dedup_simhash_error_report"] = f"""
+WITH {_SIMHASH_CTES},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+common AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS c
+  FROM pairs p
+  JOIN tok a ON a.doc_id = p.doc_a
+  JOIN tok b ON b.doc_id = p.doc_b AND b.token = a.token
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(c.c AS DOUBLE) / (sa.n + sb.n - c.c) AS true_jac
+  FROM common c
+  JOIN sizes sa ON c.doc_a = sa.doc_id
+  JOIN sizes sb ON c.doc_b = sb.doc_id
+),
+j AS (
+  SELECT p.hamming, COALESCE(x.true_jac, 0.0) AS true_jac
+  FROM pairs p LEFT JOIN exact x USING (doc_a, doc_b)
+)
+SELECT hamming, COUNT(*) AS n_pairs,
+       round(CAST(SUM(CAST(round(true_jac, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS avg_true_jaccard,
+       MIN(true_jac) + 0.0 AS min_true_jaccard,
+       MAX(true_jac) + 0.0 AS max_true_jaccard
+FROM j GROUP BY hamming
+"""
+
+# Mirrors multimodal.mm_keyframe_select: the scene CTE chain of
+# mm_scene_cuts plus the full 60-bit frame hash as sharpness; first-max
+# argmax via (sharp DESC, frame_idx ASC) row_number.
+ORACLE_SQL["mm_keyframe_select"] = """
+WITH f AS (
+  SELECT doc_id, text,
+         CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_frames,
+         unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS frame_idx
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_frames, CAST(frame_idx AS BIGINT) AS frame_idx,
+         CAST('0x' || substr(md5(substring(text,
+                CAST(frame_idx AS INTEGER) * 64 + 1, 64)), 1, 8) AS BIGINT)
+           % 4 AS sig,
+         CAST('0x' || substr(md5(substring(text,
+                CAST(frame_idx AS INTEGER) * 64 + 1, 64)), 1, 15) AS BIGINT)
+           AS sharp
+  FROM f
+),
+c AS (
+  SELECT doc_id, frame_idx, sig, sharp,
+         CASE WHEN lag(sig) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+                   IS DISTINCT FROM sig THEN 1 ELSE 0 END AS is_cut
+  FROM s
+),
+i AS (
+  SELECT doc_id, frame_idx, sharp,
+         SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                           ROWS UNBOUNDED PRECEDING) - 1 AS scene_idx
+  FROM c
+),
+r AS (
+  SELECT doc_id, CAST(scene_idx AS BIGINT) AS scene_idx, frame_idx, sharp,
+         row_number() OVER (PARTITION BY doc_id, scene_idx
+                            ORDER BY sharp DESC, frame_idx ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY doc_id, scene_idx) AS scene_frames
+  FROM i
+)
+SELECT doc_id, scene_idx, frame_idx AS keyframe_idx, sharp AS sharpness,
+       scene_frames
+FROM r WHERE rn = 1
+"""
+
+
+# Mirrors dedup.corpus_near_dup_rate_by_source: the ENTIRE dedup_clusters
+# oracle (recursive transitive closure included) reused as a CTE — the
+# repo's oracle-composition convention — then a per-source rollup with one
+# double division.
+ORACLE_SQL["corpus_near_dup_rate_by_source"] = f"""
+WITH clusters AS (
+{ORACLE_SQL["dedup_clusters"].strip()}
+),
+sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM clusters GROUP BY cluster_id),
+flags AS (
+  SELECT c.doc_id, CASE WHEN s.sz > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM clusters c JOIN sizes s USING (cluster_id)
+)
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(f.is_dup) AS BIGINT) AS n_near_dup,
+       CAST(SUM(f.is_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS near_dup_frac
+FROM documents d JOIN flags f ON d.doc_id = f.doc_id
+GROUP BY d.source
+"""

@@ -413,3 +413,6 @@ register("text_hashing_tf", text.text_hashing_tf)
 register("graph_kcore", graph.graph_kcore)
 register("text_ngram_novelty", text.text_ngram_novelty)
 register("mm_audio_energy_segments", multimodal.mm_audio_energy_segments)
+register("dedup_simhash_error_report", dedup.dedup_simhash_error_report)
+register("mm_keyframe_select", multimodal.mm_keyframe_select)
+register("corpus_near_dup_rate_by_source", dedup.corpus_near_dup_rate_by_source)

@@ -958,3 +958,38 @@ def test_kcore_budget_in_sync():
     assert oracle_rounds == graph.KCORE_MAX_ROUNDS
     oracle_k = _inspect.signature(oracles._kcore_sql).parameters["k"].default
     assert oracle_k == graph.KCORE_K
+
+
+def test_keyframe_within_scene_bounds(spark, sf_dir):
+    scenes = {
+        (r.doc_id, r.scene_idx): r
+        for r in multimodal.mm_scene_cuts(spark, sf_dir).collect()
+    }
+    keys = multimodal.mm_keyframe_select(spark, sf_dir).collect()
+    assert {(r.doc_id, r.scene_idx) for r in keys} == set(scenes)
+    for r in keys:
+        sc = scenes[(r.doc_id, r.scene_idx)]
+        assert sc.start_frame <= r.keyframe_idx <= sc.end_frame
+        assert r.scene_frames == sc.scene_frames
+
+
+def test_simhash_error_report_invariants(spark, sf_dir):
+    rows = dedup.dedup_simhash_error_report(spark, sf_dir).collect()
+    assert rows
+    n_pairs_total = sum(r.n_pairs for r in rows)
+    assert n_pairs_total == dedup.dedup_simhash(spark, sf_dir).count()
+    for r in rows:
+        assert 0 <= r.hamming <= dedup.DEFAULT_HAMMING_THRESHOLD
+        assert 0.0 <= r.min_true_jaccard <= r.avg_true_jaccard <= r.max_true_jaccard <= 1.0
+
+
+def test_near_dup_rate_by_source_invariants(spark, sf_dir):
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+
+    rows = dedup.corpus_near_dup_rate_by_source(spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert 0 <= r.n_near_dup <= r.n_docs
+        assert abs(r.near_dup_frac - r.n_near_dup / r.n_docs) < 1e-12
