@@ -163,12 +163,26 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running revenue per supplier: exact-decimal cumulative sum over a
-    total order (shipdate, orderkey, linenumber is unique)."""
+    """Running revenue per supplier: exact-decimal cumulative sum.
+
+    The synthetic fixture does NOT honor TPC-H's (orderkey, linenumber)
+    primary key (duplicate pairs exist, some sharing shipdate+suppkey), so
+    the sort additionally carries the revenue inputs (extendedprice,
+    discount): rows that still tie then contribute IDENTICAL revenue, which
+    makes the prefix-sum multiset independent of their relative order — the
+    only flavor of tie the value-hash compare can tolerate. (Found as a
+    1-row sf0.1 hash flake in r7; any engine pair would disagree on a
+    revenue-distinct tie.)"""
     li = load_table(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy(F.asc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .orderBy(
+            F.asc("l_shipdate"),
+            F.asc("l_orderkey"),
+            F.asc("l_linenumber"),
+            F.asc("l_extendedprice"),
+            F.asc("l_discount"),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     rev = _dec("l_extendedprice") * _one_minus("l_discount")

@@ -250,7 +250,8 @@ ORACLE_SQL["window_running"] = f"""
 SELECT l_suppkey, l_orderkey, l_linenumber,
        CAST(SUM({_DISC_PRICE}) OVER (
               PARTITION BY l_suppkey
-              ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+              ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC,
+                       l_extendedprice ASC, l_discount ASC
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
          AS running_revenue
 FROM lineitem
