@@ -31,7 +31,7 @@ one scalar, the sanctioned control-plane shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..checkpointing import truncate_lineage
@@ -334,3 +334,64 @@ def graph_kcore(
     return e.groupBy("src").agg(F.count(F.lit(1)).alias("core_degree")).select(
         F.col("src").alias("node"), "core_degree"
     )
+
+
+CN_DEGREE_CAP = 128
+CN_TOP_K = 100
+
+
+def graph_common_neighbors(
+    spark: SparkSession, sf_dir: str, min_support: int = PR_MIN_SUPPORT
+) -> DataFrame:
+    """Common-neighbor link prediction over the co-occurrence graph: the
+    top CN_TOP_K NON-adjacent node pairs ranked by neighborhood Jaccard
+    |N(u)∩N(v)| / |N(u)∪N(v)| — "parts never co-ordered but bought by the
+    same baskets", the classic complement-recommendation query (and the
+    canonical link-prediction baseline, Liben-Nowell & Kleinberg).
+
+    Scale shape: the wedge join (e1 ⋈ e2 on the shared middle node) is the
+    triangle-count pattern; nodes above CN_DEGREE_CAP are excluded FIRST —
+    a hub of degree d contributes d² wedges, so the cap bounds wedge
+    volume at |E|·CAP regardless of skew (the same reasoning as
+    word_shingles' max_df). Degrees and the final Jaccard use the capped
+    subgraph consistently. The top-k is a distributed TakeOrdered
+    (orderBy+limit), never a full sort; the rank window runs over ≤ k
+    rows. Ties break on (u, v) — unique by construction."""
+    edges = cooccurrence_edges(spark, sf_dir, min_support=min_support)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    kept = deg.where(F.col("deg") <= CN_DEGREE_CAP).select("src")
+    e = (
+        edges.join(kept, "src", "left_semi")
+        .join(kept.select(F.col("src").alias("dst")), "dst", "left_semi")
+        .select("src", "dst")
+        .transform(truncate_lineage)
+    )
+    capped_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e1 = e.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+    e2 = e.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    cn = (
+        e1.join(e2, "w")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    und = e.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    cand = cn.join(und, ["u", "v"], "left_anti")
+    du = capped_deg.select(F.col("src").alias("u"), F.col("deg").alias("du"))
+    dv = capped_deg.select(F.col("src").alias("v"), F.col("deg").alias("dv"))
+    scored = cand.join(du, "u").join(dv, "v").select(
+        "u",
+        "v",
+        "n_common",
+        (
+            F.col("n_common").cast("double")
+            / (F.col("du") + F.col("dv") - F.col("n_common")).cast("double")
+        ).alias("nbr_jaccard"),
+    )
+    top = scored.orderBy(
+        F.desc("nbr_jaccard"), F.asc("u"), F.asc("v")
+    ).limit(CN_TOP_K)
+    w = Window.orderBy(F.desc("nbr_jaccard"), F.asc("u"), F.asc("v"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))

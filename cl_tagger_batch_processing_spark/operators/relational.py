@@ -1682,3 +1682,43 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_rev").cast("double").alias("cumulative_revenue"),
         )
     )
+
+
+DECAY_HALF_LIFE_DAYS = 7.0
+
+
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially time-decayed engagement score (half-life
+    DECAY_HALF_LIFE_DAYS): Σ value · 2^(−age_days / half_life), anchored at
+    the corpus max timestamp — the standard recency-weighted activity
+    feature (user churn scoring, freshness-weighted sampling of
+    interaction data).
+
+    Determinism: ages come from exact epoch-microsecond integers (one
+    double division per row, identical expression in the oracle); each
+    decayed term rounds to 9dp and sums in DECIMAL(28,9) — the repo's
+    order-independent float-mean pattern — with ONE final 6dp display
+    round. The anchor (max ts) rides a broadcast 1-row cross join; the
+    rollup is one map-side-combinable groupBy(user_id)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    # fixture ts can surface as TIMESTAMP_NTZ; with the session pinned to
+    # UTC the cast is wall-clock identity and epoch micros match DuckDB's
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    anchor = ev.agg(F.max(us).alias("max_us"))
+    age_days = (F.col("max_us") - us).cast("double") / F.lit(86400.0 * 1e6)
+    term = F.col("value").cast("double") * F.pow(
+        F.lit(0.5), age_days / F.lit(DECAY_HALF_LIFE_DAYS)
+    )
+    dec = F.round(term, 9).cast("decimal(28,9)")
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.round(F.sum(dec).cast("double"), 6) + F.lit(0.0)
+            ).alias("decayed_engagement"),
+            F.round(F.min(age_days), 6).alias("days_since_last_event"),
+        )
+    )

@@ -1015,3 +1015,85 @@ def sim_range_search(
         .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+MARGIN_INTER_BUCKETS = 32
+
+
+def embedding_margin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra- vs inter-label cosine margin per label — the embedding-QA
+    report behind contrastive/retrieval training data: a healthy embedding
+    space keeps same-label pairs far above cross-label pairs, and a label
+    whose margin collapses is mislabeled or under-trained.
+
+    Pair-space discipline (the report must never go all-pairs):
+    * intra pairs equi-join on ``label`` — quadratic only within a label,
+      the same blocking dedup_embedding_cosine uses;
+    * inter pairs equi-join on a deterministic hash bucket
+      (``vec_id % MARGIN_INTER_BUCKETS``) with different labels — an
+      exact 1/B sample of the cross pair space whose volume is n²/B,
+      tunable by B, never a cross join. Each inter pair reports to BOTH
+      endpoint labels.
+
+    Exactness: cosines from the quantized integer dot products (identical
+    in any engine); means via the 9dp-round → DECIMAL(28,9) exact-sum
+    pattern; the margin subtracts two already-rounded doubles."""
+    base = quantized_embeddings(spark, sf_dir)
+    a = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label_a"),
+        (F.col("vec_id") % MARGIN_INTER_BUCKETS).alias("bucket"),
+        F.col("qv").alias("qa"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        (F.col("vec_id") % MARGIN_INTER_BUCKETS).alias("bucket"),
+        F.col("qv").alias("qb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = int_dot(F.col("qa"), F.col("qb")).cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    intra = (
+        a.join(b.drop("bucket"), (F.col("label_a") == F.col("label_b")))
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(F.col("label_a").alias("label"), cos.alias("cosine"))
+    )
+    inter_pairs = (
+        a.join(b, "bucket")
+        .where((F.col("vec_a") < F.col("vec_b")) & (F.col("label_a") != F.col("label_b")))
+        .select("label_a", "label_b", cos.alias("cosine"))
+    )
+    inter = inter_pairs.select(F.col("label_a").alias("label"), "cosine").unionByName(
+        inter_pairs.select(F.col("label_b").alias("label"), "cosine")
+    )
+    dec = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    avg6 = lambda: (  # noqa: E731
+        F.round(
+            F.sum(dec(F.col("cosine"))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        )
+        + F.lit(0.0)
+    )
+    ia = intra.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_intra_pairs"), avg6().alias("avg_intra_cosine")
+    )
+    ie = inter.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_inter_pairs"), avg6().alias("avg_inter_cosine")
+    )
+    return (
+        ia.join(ie, "label", "full_outer")
+        .select(
+            "label",
+            F.coalesce("n_intra_pairs", F.lit(0)).cast("bigint").alias("n_intra_pairs"),
+            "avg_intra_cosine",
+            F.coalesce("n_inter_pairs", F.lit(0)).cast("bigint").alias("n_inter_pairs"),
+            "avg_inter_cosine",
+            (
+                F.col("avg_intra_cosine") - F.col("avg_inter_cosine") + F.lit(0.0)
+            ).alias("margin"),
+        )
+    )

@@ -1158,3 +1158,30 @@ def text_ngram_novelty(
         )
         .withColumn("cum_novel_shingles", F.sum("n_novel_shingles").over(cum))
     )
+
+
+def corpus_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility profile per language: tokens per doc and chars
+    per token — the first thing checked when sizing a multilingual token
+    budget (a language with high chars/token is under-served by the
+    tokenizer and its byte budget buys fewer tokens). Pure Column counts
+    into one map-side-combinable groupBy(lang); the two ratios divide
+    exact integer sums once per output row."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    return (
+        docs.select("lang", n_tok.alias("t"), n_chars.alias("c"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("t").alias("total_tokens"),
+            F.sum("c").alias("total_chars"),
+            (F.sum("t").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "avg_tokens_per_doc"
+            ),
+            (F.sum("c").cast("double") / F.sum("t").cast("double")).alias(
+                "chars_per_token"
+            ),
+        )
+    )

@@ -4044,3 +4044,119 @@ SELECT d.source, COUNT(*) AS n_docs,
 FROM documents d JOIN flags f ON d.doc_id = f.doc_id
 GROUP BY d.source
 """
+
+
+# Mirrors similarity.embedding_margin_report: intra pairs block on label,
+# inter pairs block on vec_id % 32 (exact 1/B cross-pair sample) and report
+# to both endpoint labels; 9dp-round -> DECIMAL exact means; margin
+# subtracts the two rounded doubles.
+ORACLE_SQL["embedding_margin_report"] = f"""
+WITH {_QEMB_CTES},
+intra AS (
+  SELECT a.label,
+         list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[]))
+           / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+),
+interp AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[]))
+           / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
+  FROM n a JOIN n b
+    ON (a.vec_id % 32) = (b.vec_id % 32)
+   AND a.vec_id < b.vec_id AND a.label <> b.label
+),
+inter AS (
+  SELECT label_a AS label, cosine FROM interp
+  UNION ALL
+  SELECT label_b AS label, cosine FROM interp
+),
+ia AS (
+  SELECT label, COUNT(*) AS n_intra_pairs,
+         round(CAST(SUM(CAST(round(cosine, 9) AS DECIMAL(28,9))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS avg_intra_cosine
+  FROM intra GROUP BY label
+),
+ie AS (
+  SELECT label, COUNT(*) AS n_inter_pairs,
+         round(CAST(SUM(CAST(round(cosine, 9) AS DECIMAL(28,9))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS avg_inter_cosine
+  FROM inter GROUP BY label
+)
+SELECT COALESCE(ia.label, ie.label) AS label,
+       CAST(COALESCE(n_intra_pairs, 0) AS BIGINT) AS n_intra_pairs,
+       avg_intra_cosine,
+       CAST(COALESCE(n_inter_pairs, 0) AS BIGINT) AS n_inter_pairs,
+       avg_inter_cosine,
+       avg_intra_cosine - avg_inter_cosine + 0.0 AS margin
+FROM ia FULL OUTER JOIN ie USING (label)
+"""
+
+# Mirrors graph.graph_common_neighbors: hub cap, wedge join, anti-join of
+# existing edges, capped-subgraph degrees, (jaccard DESC, u, v) top-100.
+ORACLE_SQL["graph_common_neighbors"] = f"""
+WITH {_PR_GRAPH_CTES},
+deg0 AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+kept AS (SELECT src FROM deg0 WHERE deg <= 128),
+e AS MATERIALIZED (
+  SELECT x.src, x.dst FROM edges x
+  SEMI JOIN kept ka ON x.src = ka.src
+  SEMI JOIN kept kb ON x.dst = kb.src
+),
+cdeg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+cn AS (
+  SELECT e1.dst AS u, e2.dst AS v, COUNT(*) AS n_common
+  FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT c.u, c.v, c.n_common FROM cn c
+  ANTI JOIN (SELECT src AS u, dst AS v FROM e WHERE src < dst) x
+    ON c.u = x.u AND c.v = x.v
+),
+scored AS (
+  SELECT c.u, c.v, c.n_common,
+         CAST(c.n_common AS DOUBLE)
+           / CAST(du.deg + dv.deg - c.n_common AS DOUBLE) AS nbr_jaccard
+  FROM cand c
+  JOIN cdeg du ON c.u = du.src
+  JOIN cdeg dv ON c.v = dv.src
+),
+top AS (
+  SELECT * FROM scored ORDER BY nbr_jaccard DESC, u ASC, v ASC LIMIT 100
+)
+SELECT u, v, n_common, nbr_jaccard,
+       row_number() OVER (ORDER BY nbr_jaccard DESC, u ASC, v ASC) AS rank
+FROM top
+"""
+
+# Mirrors relational.events_decayed_engagement: exact epoch-microsecond
+# ages, one double division + pow per row, 9dp-round -> DECIMAL(28,9)
+# order-independent sum, 6dp display round.
+ORACLE_SQL["events_decayed_engagement"] = """
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events),
+t AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS value,
+         CAST(mx.max_us - epoch_us(ts) AS DOUBLE) / (86400.0 * 1e6) AS age_days
+  FROM events CROSS JOIN mx
+)
+SELECT user_id, COUNT(*) AS n_events,
+       round(CAST(SUM(CAST(round(value * pow(0.5, age_days / 7.0), 9)
+                           AS DECIMAL(28,9))) AS DOUBLE), 6) + 0.0
+         AS decayed_engagement,
+       round(MIN(age_days), 6) AS days_since_last_event
+FROM t GROUP BY user_id
+"""
+
+# Mirrors text.corpus_fertility_by_lang: integer token/char sums, two
+# single double divisions per lang row.
+ORACLE_SQL["corpus_fertility_by_lang"] = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_tokens_per_doc,
+       CAST(SUM(length(text)) AS DOUBLE)
+         / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS chars_per_token
+FROM documents GROUP BY lang
+"""

@@ -416,3 +416,7 @@ register("mm_audio_energy_segments", multimodal.mm_audio_energy_segments)
 register("dedup_simhash_error_report", dedup.dedup_simhash_error_report)
 register("mm_keyframe_select", multimodal.mm_keyframe_select)
 register("corpus_near_dup_rate_by_source", dedup.corpus_near_dup_rate_by_source)
+register("embedding_margin_report", similarity.embedding_margin_report)
+register("graph_common_neighbors", graph.graph_common_neighbors)
+register("events_decayed_engagement", relational.events_decayed_engagement)
+register("corpus_fertility_by_lang", text.corpus_fertility_by_lang)

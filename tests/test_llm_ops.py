@@ -993,3 +993,62 @@ def test_near_dup_rate_by_source_invariants(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_near_dup <= r.n_docs
         assert abs(r.near_dup_frac - r.n_near_dup / r.n_docs) < 1e-12
+
+
+def test_embedding_margin_invariants(spark, sf_dir):
+    rows = similarity.embedding_margin_report(spark, sf_dir).collect()
+    assert rows
+    n_labels = dedup.quantized_embeddings(spark, sf_dir).select("label").distinct().count()
+    assert len(rows) == n_labels
+    for r in rows:
+        assert r.n_intra_pairs > 0  # fixture labels all have >= 2 members
+        assert -1.0 <= r.avg_intra_cosine <= 1.0
+        if r.n_inter_pairs:
+            assert -1.0 <= r.avg_inter_cosine <= 1.0
+            assert r.margin == pytest.approx(r.avg_intra_cosine - r.avg_inter_cosine)
+
+
+def test_common_neighbors_excludes_edges(spark, sf_dir):
+    from cl_tagger_batch_processing_spark.operators import graph
+
+    edges = {
+        (r.src, r.dst)
+        for r in graph.cooccurrence_edges(spark, sf_dir).collect()
+    }
+    rows = graph_rows = graph.graph_common_neighbors(spark, sf_dir).collect()
+    assert rows
+    ranks = sorted(r.rank for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    jacs = [r.nbr_jaccard for r in sorted(rows, key=lambda r: r.rank)]
+    assert jacs == sorted(jacs, reverse=True)
+    for r in rows:
+        assert r.u < r.v
+        assert (r.u, r.v) not in edges  # candidates are NON-adjacent pairs
+        assert 0.0 < r.nbr_jaccard <= 1.0
+
+
+def test_decayed_engagement_invariants(spark, sf_dir):
+    from cl_tagger_batch_processing_spark.operators import relational
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+
+    rows = relational.events_decayed_engagement(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    assert len(rows) == ev.select("user_id").distinct().count()
+    assert sum(r.n_events for r in rows) == ev.count()
+    for r in rows:
+        assert r.days_since_last_event >= 0.0
+    # at least one user has a zero-age (anchor) event
+    assert min(r.days_since_last_event for r in rows) == 0.0
+
+
+def test_fertility_by_lang_invariants(spark, sf_dir):
+    from cl_tagger_batch_processing_spark.operators import text as text_ops
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+
+    rows = text_ops.corpus_fertility_by_lang(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert r.total_tokens > 0 and r.total_chars > 0
+        assert r.avg_tokens_per_doc == pytest.approx(r.total_tokens / r.n_docs)
+        assert r.chars_per_token == pytest.approx(r.total_chars / r.total_tokens)
