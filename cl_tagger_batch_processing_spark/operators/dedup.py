@@ -1426,3 +1426,62 @@ def corpus_near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("near_dup_frac"),
         )
     )
+
+
+def dedup_cluster_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster cohesion QA over the near-dup clusters: size, how many
+    LSH-confirmed pairs (est_jaccard ≥ threshold) the cluster actually
+    contains, their mean estimate, and the edge density
+    n_pairs / C(size,2) — the report that separates tight duplicate
+    groups (density ≈ 1) from chains glued together by transitivity
+    (density ≪ 1, the classic over-merging symptom that argues for a
+    higher admission threshold or cluster splitting).
+
+    Composes dedup_clusters (assignments) with the SAME candidate pairs
+    that built it; both endpoints of every admitted pair share a cluster
+    by construction, so mapping pairs to clusters is one doc-keyed join.
+    Exactness: counts and the density numerator/denominator are integers
+    (one double division); the mean estimate uses the 9dp-round →
+    DECIMAL(28,9) pattern."""
+    # Materialize the admitted pairs ONCE: they feed both the CC edge list
+    # and the per-cluster rollup (recomputing MinHash-LSH twice would run
+    # the whole banding chain twice).
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .where(F.col("est_jaccard") >= CLUSTER_EST_THRESHOLD)
+        .transform(truncate_lineage)
+    )
+    cc = connected_components(
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
+    ).transform(truncate_lineage)
+    sizes = (
+        cc.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .where(F.col("cluster_size") > 1)
+    )
+    mapped = pairs.join(
+        cc.select(F.col("doc_id").alias("doc_a"), "cluster_id"), "doc_a"
+    )
+    dec = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    per_cluster = mapped.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (
+            F.round(
+                F.sum(dec(F.col("est_jaccard"))).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("avg_est_jaccard"),
+    )
+    return sizes.join(per_cluster, "cluster_id", "left").select(
+        "cluster_id",
+        "cluster_size",
+        F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+        "avg_est_jaccard",
+        (
+            (F.coalesce("n_pairs", F.lit(0)) * 2).cast("double")
+            / (F.col("cluster_size") * (F.col("cluster_size") - 1)).cast("double")
+        ).alias("edge_density"),
+    )

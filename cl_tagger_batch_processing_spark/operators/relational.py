@@ -1722,3 +1722,77 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min(age_days), 6).alias("days_since_last_event"),
         )
     )
+
+
+RULE_MIN_SUPPORT = 2
+RULE_MIN_CONFIDENCE = 0.2
+
+
+def orders_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules A→B over order baskets: support,
+    confidence P(B|A) and lift — the full market-basket triple that
+    part_cooccurrence (support only) and part_affinity_lift (lift only)
+    each show half of. Rules below RULE_MIN_CONFIDENCE are pruned, the
+    production convention that keeps the rule set human-sized.
+
+    Scale shape: pair generation is the bounded basket self-join (≤7
+    lines/order ⇒ ≤21 pairs — linear in order count); per-part order
+    counts broadcast back onto the pair relation; the total order count
+    rides a 1-row scalar broadcast. All counts exact integers; confidence
+    and lift are each ONE double division of integer products, identical
+    in the oracle."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    basket = li.distinct()
+    a = basket.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = basket.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= RULE_MIN_SUPPORT)
+    )
+    rules = pairs.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "n_both",
+    ).unionByName(
+        pairs.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "n_both",
+        )
+    )
+    part_orders = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    total = basket.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_total_orders")
+    )
+    na = part_orders.select(
+        F.col("l_partkey").alias("antecedent"), F.col("n_orders").alias("n_antecedent")
+    )
+    nc = part_orders.select(
+        F.col("l_partkey").alias("consequent"), F.col("n_orders").alias("n_consequent")
+    )
+    scored = (
+        rules.join(F.broadcast(na), "antecedent")
+        .join(F.broadcast(nc), "consequent")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            "n_antecedent",
+            "n_consequent",
+            (F.col("n_both").cast("double") / F.col("n_total_orders").cast("double")).alias(
+                "support"
+            ),
+            (F.col("n_both").cast("double") / F.col("n_antecedent").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("n_both") * F.col("n_total_orders")).cast("double")
+                / (F.col("n_antecedent") * F.col("n_consequent")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return scored.where(F.col("confidence") >= RULE_MIN_CONFIDENCE)

@@ -4160,3 +4160,82 @@ SELECT lang, COUNT(*) AS n_docs,
          / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS chars_per_token
 FROM documents GROUP BY lang
 """
+
+
+# Mirrors relational.orders_market_basket_rules: bounded basket self-join,
+# directional rules, exact-integer counts, one double division each for
+# support/confidence/lift.
+ORACLE_SQL["orders_market_basket_rules"] = """
+WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_both
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+rules AS (
+  SELECT part_a AS antecedent, part_b AS consequent, n_both FROM pairs
+  UNION ALL
+  SELECT part_b AS antecedent, part_a AS consequent, n_both FROM pairs
+),
+po AS (SELECT l_partkey, COUNT(*) AS n_orders FROM basket GROUP BY 1),
+tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_total_orders FROM basket)
+SELECT r.antecedent, r.consequent, CAST(r.n_both AS BIGINT) AS n_both,
+       CAST(na.n_orders AS BIGINT) AS n_antecedent,
+       CAST(nc.n_orders AS BIGINT) AS n_consequent,
+       CAST(r.n_both AS DOUBLE) / CAST(t.n_total_orders AS DOUBLE) AS support,
+       CAST(r.n_both AS DOUBLE) / CAST(na.n_orders AS DOUBLE) AS confidence,
+       CAST(r.n_both * t.n_total_orders AS DOUBLE)
+         / CAST(na.n_orders * nc.n_orders AS DOUBLE) AS lift
+FROM rules r
+JOIN po na ON r.antecedent = na.l_partkey
+JOIN po nc ON r.consequent = nc.l_partkey
+CROSS JOIN tot t
+WHERE CAST(r.n_both AS DOUBLE) / CAST(na.n_orders AS DOUBLE) >= 0.2
+"""
+
+# Mirrors dedup.dedup_cluster_quality_report: the full dedup_clusters
+# oracle nested as a CTE (assignments) plus the est-pair chain (the same
+# MinHash formula constants), one doc-keyed pair->cluster join, DECIMAL
+# exact mean, integer density ratio divided once.
+ORACLE_SQL["dedup_cluster_quality_report"] = f"""
+WITH clusters AS (
+{ORACLE_SQL["dedup_clusters"].strip()}
+),
+{_shingle_ctes(3, max_df=DEDUP_MAX_DF)},
+{_MINHASH_HALVES},
+sig AS (SELECT doc_id, {_MINHASH_COLS} FROM mh GROUP BY doc_id),
+bands AS ({_MINHASH_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT doc_a, doc_b, ({_MINHASH_MATCHES}) / 16.0 AS est_jaccard
+  FROM cand
+  JOIN sig sa ON doc_a = sa.doc_id
+  JOIN sig sb ON doc_b = sb.doc_id
+),
+admitted AS (SELECT * FROM est WHERE est_jaccard >= 0.5),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size
+  FROM clusters GROUP BY cluster_id HAVING COUNT(*) > 1
+),
+mapped AS (
+  SELECT c.cluster_id, a.est_jaccard
+  FROM admitted a JOIN clusters c ON a.doc_a = c.doc_id
+),
+per_cluster AS (
+  SELECT cluster_id, COUNT(*) AS n_pairs,
+         round(CAST(SUM(CAST(round(est_jaccard, 9) AS DECIMAL(28,9))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS avg_est_jaccard
+  FROM mapped GROUP BY cluster_id
+)
+SELECT s.cluster_id, s.cluster_size,
+       CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       p.avg_est_jaccard,
+       CAST(COALESCE(p.n_pairs, 0) * 2 AS DOUBLE)
+         / CAST(s.cluster_size * (s.cluster_size - 1) AS DOUBLE) AS edge_density
+FROM sizes s LEFT JOIN per_cluster p USING (cluster_id)
+"""

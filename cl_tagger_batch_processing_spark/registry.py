@@ -420,3 +420,5 @@ register("embedding_margin_report", similarity.embedding_margin_report)
 register("graph_common_neighbors", graph.graph_common_neighbors)
 register("events_decayed_engagement", relational.events_decayed_engagement)
 register("corpus_fertility_by_lang", text.corpus_fertility_by_lang)
+register("orders_market_basket_rules", relational.orders_market_basket_rules)
+register("dedup_cluster_quality_report", dedup.dedup_cluster_quality_report)

@@ -1052,3 +1052,34 @@ def test_fertility_by_lang_invariants(spark, sf_dir):
         assert r.total_tokens > 0 and r.total_chars > 0
         assert r.avg_tokens_per_doc == pytest.approx(r.total_tokens / r.n_docs)
         assert r.chars_per_token == pytest.approx(r.total_chars / r.total_tokens)
+
+
+def test_market_basket_rules_invariants(spark, sf_dir):
+    from cl_tagger_batch_processing_spark.operators import relational
+
+    rows = relational.orders_market_basket_rules(spark, sf_dir).collect()
+    assert rows
+    seen = {(r.antecedent, r.consequent) for r in rows}
+    assert len(seen) == len(rows)  # at most one rule per direction
+    for r in rows:
+        assert r.confidence >= relational.RULE_MIN_CONFIDENCE
+        assert 0.0 < r.support <= r.confidence <= 1.0
+        assert r.n_both <= min(r.n_antecedent, r.n_consequent)
+        assert r.confidence == pytest.approx(r.n_both / r.n_antecedent)
+
+
+def test_cluster_quality_report_invariants(spark, sf_dir):
+    rows = dedup.dedup_cluster_quality_report(spark, sf_dir).collect()
+    assert rows
+    clusters = dedup.dedup_clusters(spark, sf_dir).collect()
+    from collections import Counter
+
+    sz = Counter(r.cluster_id for r in clusters)
+    multi = {cid: n for cid, n in sz.items() if n > 1}
+    assert {r.cluster_id for r in rows} == set(multi)
+    for r in rows:
+        assert r.cluster_size == multi[r.cluster_id]
+        # a multi-member cluster exists only because of admitted pairs
+        assert r.n_pairs >= r.cluster_size - 1  # spanning connectivity
+        assert 0.0 < r.edge_density <= 1.0
+        assert 0.5 <= r.avg_est_jaccard <= 1.0
