@@ -103,3 +103,14 @@ def checkpoint_with_metric(df: DataFrame, metric):
     obs = Observation()
     ck = truncate_lineage(df.observe(obs, metric))
     return ck, next(iter(obs.get.values()))
+
+
+def session_cache_sweep(cache: dict, app_id: str) -> None:
+    """Evict entries belonging to any OTHER Spark application from an
+    applicationId-keyed DataFrame memo (the session-scoped cache pattern
+    shared by the k-means chain, the SemDeDup keep artifact, and the
+    near-dup cluster assignment): a cached plan is only valid inside the
+    application that built it, and the applicationId key makes staleness
+    structurally impossible rather than time-based."""
+    for key in [k for k in cache if k[0] != app_id]:
+        del cache[key]

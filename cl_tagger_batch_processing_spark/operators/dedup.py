@@ -672,17 +672,41 @@ def connected_components(
     return labels.unionByName(singletons)
 
 
+# Session-scoped memo of the per-doc cluster assignment — the SAME
+# applicationId-keyed pattern as similarity's k-means/SemDeDup caches: the
+# assignment is a pure function of (sf_dir, checkpoint mode), and FOUR
+# registry queries consume it (dedup_clusters, corpus_dedup_funnel,
+# corpus_near_dup_rate_by_source, dedup_cluster_quality_report) — without
+# the memo each one re-runs the full MinHash-LSH + CC chain. The checkpoint
+# mode is part of the key so tests/test_checkpointing.py's reliable-vs-local
+# equality check still computes BOTH variants for real.
+_CLUSTERS_CACHE: dict[tuple, DataFrame] = {}
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clusters: MinHash-LSH candidate pairs with estimated
     Jaccard ≥ 0.5 become edges; connected components give each doc a
-    cluster_id (singletons cluster with themselves)."""
+    cluster_id (singletons cluster with themselves). The materialized
+    assignment is memoized per (application, sf_dir, checkpoint-mode)."""
+    from ..checkpointing import CHECKPOINT_MODE_CONF, session_cache_sweep
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, spark.conf.get(CHECKPOINT_MODE_CONF, "local"))
+    session_cache_sweep(_CLUSTERS_CACHE, app_id)
+    hit = _CLUSTERS_CACHE.get(key)
+    if hit is not None:
+        return hit
     docs = load_table(spark, sf_dir, "documents")
     pairs = (
         dedup_minhash_lsh(spark, sf_dir)
         .where(F.col("est_jaccard") >= CLUSTER_EST_THRESHOLD)
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     )
-    return connected_components(docs.select("doc_id"), pairs)
+    out = connected_components(docs.select("doc_id"), pairs).transform(
+        truncate_lineage
+    )
+    _CLUSTERS_CACHE[key] = out
+    return out
 
 
 def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1443,18 +1467,14 @@ def dedup_cluster_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: counts and the density numerator/denominator are integers
     (one double division); the mean estimate uses the 9dp-round →
     DECIMAL(28,9) pattern."""
-    # Materialize the admitted pairs ONCE: they feed both the CC edge list
-    # and the per-cluster rollup (recomputing MinHash-LSH twice would run
-    # the whole banding chain twice).
-    pairs = (
-        dedup_minhash_lsh(spark, sf_dir)
-        .where(F.col("est_jaccard") >= CLUSTER_EST_THRESHOLD)
-        .transform(truncate_lineage)
+    # Assignments come from the memoized dedup_clusters frame (one chain
+    # per session); only the admitted-pair relation is recomputed here —
+    # the rollup needs the est_jaccard VALUES, which the assignment
+    # deliberately does not carry.
+    cc = dedup_clusters(spark, sf_dir)
+    pairs = dedup_minhash_lsh(spark, sf_dir).where(
+        F.col("est_jaccard") >= CLUSTER_EST_THRESHOLD
     )
-    cc = connected_components(
-        load_table(spark, sf_dir, "documents").select("doc_id"),
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
-    ).transform(truncate_lineage)
     sizes = (
         cc.groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("cluster_size"))

@@ -361,10 +361,7 @@ KMEANS_LITERAL_MAX_K = 64
 _KMEANS_CACHE: dict[tuple, tuple[DataFrame, list]] = {}
 
 
-def _cache_sweep(cache: dict, app_id: str) -> None:
-    """Drop cache entries owned by any session other than ``app_id``."""
-    for key in [k for k in cache if k[0] != app_id]:
-        del cache[key]
+from ..checkpointing import session_cache_sweep as _cache_sweep  # noqa: E402
 
 
 def _kmeans_cache_sweep(app_id: str) -> None:
