@@ -1083,3 +1083,78 @@ def test_cluster_quality_report_invariants(spark, sf_dir):
         assert r.n_pairs >= r.cluster_size - 1  # spanning connectivity
         assert 0.0 < r.edge_density <= 1.0
         assert 0.5 <= r.avg_est_jaccard <= 1.0
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_connected_components_random_graph_vs_union_find(spark, seed):
+    """Pointer-jumping CC vs an in-process union-find on seeded random
+    graphs — exercises shapes (forests, cycles, isolated nodes, dense
+    blobs) the fixture graph never produces."""
+    import random
+
+    rng = random.Random(seed)
+    n = 60
+    m = rng.randrange(20, 90)
+    edge_list = sorted(
+        {tuple(sorted(rng.sample(range(n), 2))) for _ in range(m)}
+    )
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in range(n)}
+    # canonicalize to min-id representative
+    rep_min: dict[int, int] = {}
+    for x, r in expected.items():
+        rep_min[r] = min(rep_min.get(r, x), x)
+    expected = {x: rep_min[find(x)] for x in range(n)}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    edges = spark.createDataFrame(edge_list, "a bigint, b bigint")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(nodes, edges).collect()
+    }
+    assert got == expected, f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_kcore_random_graph_vs_reference_peel(spark, seed, monkeypatch):
+    """graph_kcore's distributed peel vs the in-process reference on seeded
+    random graphs, injected through the edge builder."""
+    import random
+
+    from cl_tagger_batch_processing_spark.operators import graph
+
+    rng = random.Random(seed)
+    n = 40
+    pairs = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(120)})
+    sym = pairs + [(b, a) for a, b in pairs]
+    frame = spark.createDataFrame(sym, "src bigint, dst bigint")
+    monkeypatch.setattr(graph, "cooccurrence_edges", lambda *a, **k: frame)
+
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {u for u in alive if len(adj[u] & alive) < graph.KCORE_K}
+        if not drop:
+            break
+        alive -= drop
+    expected = {u: len(adj[u] & alive) for u in alive}
+
+    got = {
+        r.node: r.core_degree
+        for r in graph.graph_kcore(spark, "unused-sf-dir").collect()
+    }
+    assert got == expected, f"seed={seed}"
