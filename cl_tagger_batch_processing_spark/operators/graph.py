@@ -48,20 +48,12 @@ def cooccurrence_edges(
     spark: SparkSession, sf_dir: str, min_support: int = PR_MIN_SUPPORT
 ) -> DataFrame:
     """Symmetric (src, dst) edge list: part pairs co-ordered in at least
-    ``min_support`` orders. The basket self-join is bounded by TPC-H's ≤7
-    lines per order (see part_cooccurrence), so edge generation is linear
-    in order count; the support filter prunes noise edges."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    basket = li.distinct()
-    a = basket.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = basket.select("l_orderkey", F.col("l_partkey").alias("part_b"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .where(F.col("n_orders") >= min_support)
-    )
+    ``min_support`` orders — ``relational.counted_part_pairs`` (the shared
+    bounded basket self-join) symmetrized. Edge generation is linear in
+    order count; the support filter prunes noise edges."""
+    from .relational import counted_part_pairs
+
+    pairs = counted_part_pairs(spark, sf_dir, min_support=min_support)
     fwd = pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
     rev = pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
     return fwd.unionByName(rev)
@@ -357,9 +349,17 @@ def graph_common_neighbors(
     subgraph consistently. The top-k is a distributed TakeOrdered
     (orderBy+limit), never a full sort; the rank window runs over ≤ k
     rows. Ties break on (u, v) — unique by construction."""
-    edges = cooccurrence_edges(spark, sf_dir, min_support=min_support)
+    # Materialize edges (three consumers: deg, both semi-join probes) and
+    # the survivor set (two semi joins) — unmaterialized subplans would
+    # re-run the basket self-join and the degree aggregation per consumer,
+    # the exact waste graph_kcore's per-round keep materialization avoids.
+    edges = cooccurrence_edges(spark, sf_dir, min_support=min_support).transform(
+        truncate_lineage
+    )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    kept = deg.where(F.col("deg") <= CN_DEGREE_CAP).select("src")
+    kept = deg.where(F.col("deg") <= CN_DEGREE_CAP).select("src").transform(
+        truncate_lineage
+    )
     e = (
         edges.join(kept, "src", "left_semi")
         .join(kept.select(F.col("src").alias("dst")), "dst", "left_semi")

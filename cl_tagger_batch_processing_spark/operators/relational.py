@@ -1127,10 +1127,14 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket co-occurrence: the top part pairs ordered together,
-    with support counts — pairwise frequent itemsets, the base of
-    recommendation affinity.
+def counted_part_pairs(
+    spark: SparkSession, sf_dir: str, min_support: int = 2
+) -> DataFrame:
+    """(part_a, part_b, n_orders) with part_a < part_b: the ONE market-
+    basket pair generator behind part_cooccurrence, part_affinity_lift,
+    orders_market_basket_rules, and graph.cooccurrence_edges — any change
+    to basket semantics (distinctness, support definition) lands in all
+    four at once.
 
     The self-join on the order key is SAFE pair generation: baskets are
     small (TPC-H orders hold ≤ 7 lines), so pairs per order are bounded by
@@ -1143,11 +1147,22 @@ def part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket = li.distinct()
     a = basket.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
     b = basket.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
-    pairs = a.join(b, "l_orderkey").where(F.col("part_a") < F.col("part_b"))
     return (
-        pairs.groupBy("part_a", "part_b")
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
-        .where(F.col("n_orders") >= 2)
+        .where(F.col("n_orders") >= min_support)
+    )
+
+
+def part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs ordered together,
+    with support counts — pairwise frequent itemsets, the base of
+    recommendation affinity. One ``counted_part_pairs`` pass + a top-100
+    TakeOrdered with a unique tie-break."""
+    return (
+        counted_part_pairs(spark, sf_dir)
         .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
         .limit(100)
     )
@@ -1197,15 +1212,7 @@ def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket = li.distinct()
     n_total = basket.select(F.count_distinct("l_orderkey").alias("n_baskets"))
     marg = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
-    a = basket.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
-    b = basket.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .where(F.col("n_ab") >= 2)
-    )
+    pairs = counted_part_pairs(spark, sf_dir).withColumnRenamed("n_orders", "n_ab")
     ma = marg.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a"))
     mb = marg.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b"))
     lift = (F.col("n_ab").cast("double") * F.col("n_baskets")) / (
@@ -1743,15 +1750,9 @@ def orders_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the oracle."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     basket = li.distinct()
-    a = basket.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = basket.select("l_orderkey", F.col("l_partkey").alias("part_b"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_both"))
-        .where(F.col("n_both") >= RULE_MIN_SUPPORT)
-    )
+    pairs = counted_part_pairs(
+        spark, sf_dir, min_support=RULE_MIN_SUPPORT
+    ).withColumnRenamed("n_orders", "n_both")
     rules = pairs.select(
         F.col("part_a").alias("antecedent"),
         F.col("part_b").alias("consequent"),

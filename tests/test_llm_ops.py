@@ -980,7 +980,10 @@ def test_simhash_error_report_invariants(spark, sf_dir):
     assert n_pairs_total == dedup.dedup_simhash(spark, sf_dir).count()
     for r in rows:
         assert 0 <= r.hamming <= dedup.DEFAULT_HAMMING_THRESHOLD
-        assert 0.0 <= r.min_true_jaccard <= r.avg_true_jaccard <= r.max_true_jaccard <= 1.0
+        # avg is 6dp-rounded while min/max are raw doubles: rounding may
+        # cross an extreme in a tiny bucket, so compare with 5e-7 slack
+        assert 0.0 <= r.min_true_jaccard <= r.avg_true_jaccard + 5e-7
+        assert r.avg_true_jaccard - 5e-7 <= r.max_true_jaccard <= 1.0
 
 
 def test_near_dup_rate_by_source_invariants(spark, sf_dir):
@@ -1015,7 +1018,7 @@ def test_common_neighbors_excludes_edges(spark, sf_dir):
         (r.src, r.dst)
         for r in graph.cooccurrence_edges(spark, sf_dir).collect()
     }
-    rows = graph_rows = graph.graph_common_neighbors(spark, sf_dir).collect()
+    rows = graph.graph_common_neighbors(spark, sf_dir).collect()
     assert rows
     ranks = sorted(r.rank for r in rows)
     assert ranks == list(range(1, len(rows) + 1))
@@ -1158,3 +1161,35 @@ def test_kcore_random_graph_vs_reference_peel(spark, seed, monkeypatch):
         for r in graph.graph_kcore(spark, "unused-sf-dir").collect()
     }
     assert got == expected, f"seed={seed}"
+
+
+def test_r7_constants_in_sync_with_oracles():
+    """Every round-7 tuning constant must match the literal baked into its
+    oracle SQL (the duplicated-constant convention, cf. max_df / k-means /
+    kcore-budget tests): a non-default call or a drive-by constant change
+    would otherwise surface only as an opaque value-hash mismatch."""
+    from cl_tagger_batch_processing_spark import oracles
+    from cl_tagger_batch_processing_spark.operators import (
+        graph,
+        multimodal,
+        relational,
+        similarity,
+    )
+    from cl_tagger_batch_processing_spark.operators import text as text_ops
+
+    assert text_ops.NOVELTY_BUCKETS == 16
+    assert "(doc_id * 16)" in oracles.ORACLE_SQL["text_ngram_novelty"]
+    assert similarity.MARGIN_INTER_BUCKETS == 32
+    assert "% 32" in oracles.ORACLE_SQL["embedding_margin_report"]
+    assert graph.CN_DEGREE_CAP == 128
+    assert "deg <= 128" in oracles.ORACLE_SQL["graph_common_neighbors"]
+    assert graph.CN_TOP_K == 100
+    assert "LIMIT 100" in oracles.ORACLE_SQL["graph_common_neighbors"]
+    assert multimodal.ENERGY_FRAME_BYTES == 64
+    assert "frame_idx * 64" in oracles.ORACLE_SQL["mm_audio_energy_segments"]
+    assert relational.RULE_MIN_SUPPORT == 2
+    assert "COUNT(*) >= 2" in oracles.ORACLE_SQL["orders_market_basket_rules"]
+    assert relational.RULE_MIN_CONFIDENCE == 0.2
+    assert ">= 0.2" in oracles.ORACLE_SQL["orders_market_basket_rules"]
+    assert relational.DECAY_HALF_LIFE_DAYS == 7.0
+    assert "age_days / 7.0" in oracles.ORACLE_SQL["events_decayed_engagement"]
