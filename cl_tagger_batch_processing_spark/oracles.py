@@ -4239,3 +4239,30 @@ SELECT s.cluster_id, s.cluster_size,
          / CAST(s.cluster_size * (s.cluster_size - 1) AS DOUBLE) AS edge_density
 FROM sizes s LEFT JOIN per_cluster p USING (cluster_id)
 """
+
+
+# Mirrors streaming/windows.stream_first_touch_attribution: per-user argmin
+# on (epoch_us, event_id) — unique tie-break — with exact integer
+# floor-division to seconds; complete mode on the bounded fixture equals
+# this batch window.
+ORACLE_SQL["stream_first_touch_attribution"] = """
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+         CAST(value AS DECIMAL(12,2)) AS value
+  FROM events
+),
+r AS (
+  SELECT user_id, us, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY us ASC, event_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM t
+)
+SELECT user_id,
+       CAST(us // 1000000 AS BIGINT) AS first_epoch_s,
+       event_id AS first_event_id,
+       event_type AS first_event_type,
+       CAST(value AS DOUBLE) AS first_value,
+       CAST(n_events AS BIGINT) AS n_events
+FROM r WHERE rn = 1
+"""

@@ -422,3 +422,7 @@ register("events_decayed_engagement", relational.events_decayed_engagement)
 register("corpus_fertility_by_lang", text.corpus_fertility_by_lang)
 register("orders_market_basket_rules", relational.orders_market_basket_rules)
 register("dedup_cluster_quality_report", dedup.dedup_cluster_quality_report)
+register(
+    "stream_first_touch_attribution",
+    streaming_windows.stream_first_touch_attribution,
+)

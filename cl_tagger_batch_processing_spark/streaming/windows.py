@@ -438,3 +438,42 @@ def stream_trending_topk(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out)
+
+
+def stream_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user FIRST-touch attribution over the event stream: the earliest
+    event's type and value per user, maintained as streaming min-struct
+    state — the attribution primitive ("which channel acquired this
+    user?") every marketing/growth pipeline keeps as a continuously
+    updated table. State is ONE struct per user (the current minimum), so
+    state size tracks the user population, never stream history — the
+    property that lets this run forever.
+
+    The argmin rides min(struct(epoch_us, event_id, ...)): epoch
+    microseconds order first, the unique event_id breaks exact-timestamp
+    ties deterministically — the same first-max discipline as the
+    reference's per-category argmax (appV2.py:77-83). Complete mode on
+    the bounded fixture equals the batch groupBy, so the query carries a
+    FULL value oracle."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = events_stream(spark, sf_dir)
+    first = F.min(
+        F.struct(
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            F.col("event_id").alias("event_id"),
+            F.col("event_type").alias("event_type"),
+            F.col("value").cast("decimal(12,2)").alias("value"),
+        )
+    )
+    agg = ev.groupBy("user_id").agg(first.alias("f"), F.count(F.lit(1)).alias("n_events"))
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        "user_id",
+        # exact integer floor-division (a double quotient could round up
+        # across the second boundary before the cast truncates)
+        F.expr("f.us div 1000000").alias("first_epoch_s"),
+        F.col("f.event_id").alias("first_event_id"),
+        F.col("f.event_type").alias("first_event_type"),
+        F.col("f.value").cast("double").alias("first_value"),
+        "n_events",
+    )

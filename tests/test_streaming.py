@@ -169,3 +169,34 @@ def test_python_udtf_extension_api(spark):
         "SELECT * FROM split_every('abcdefgh', 3) ORDER BY chunk_idx"
     ).collect()
     assert [(r.chunk_idx, r.piece) for r in rows] == [(0, "abc"), (1, "def"), (2, "gh")]
+
+
+def test_first_touch_matches_batch(spark, sf_dir):
+    """Streaming first-touch state == the batch argmin per user."""
+    from pyspark.sql import functions as F
+
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+    from cl_tagger_batch_processing_spark.streaming.windows import (
+        stream_first_touch_attribution,
+    )
+
+    got = {
+        r.user_id: (r.first_event_id, r.first_event_type, r.n_events)
+        for r in stream_first_touch_attribution(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    w_rows = ev.select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    ).collect()
+    expected: dict = {}
+    counts: dict = {}
+    for r in w_rows:
+        counts[r.user_id] = counts.get(r.user_id, 0) + 1
+        cur = expected.get(r.user_id)
+        key = (r.us, r.event_id)
+        if cur is None or key < cur[0]:
+            expected[r.user_id] = (key, r.event_type)
+    assert got == {
+        u: (k[1], t, counts[u]) for u, (k, t) in expected.items()
+    }
