@@ -1797,3 +1797,78 @@ def orders_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.where(F.col("confidence") >= RULE_MIN_CONFIDENCE)
+
+
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic seasonality profile: event counts and share per (day-of-week,
+    hour-of-day) cell — the 7×24 heatmap behind capacity planning and
+    anomaly baselines ("is Tuesday 3am supposed to be this busy?").
+
+    Calendar math is PURE integer epoch arithmetic (hour = epoch%86400
+    div 3600; dow = (epoch div 86400 + 4) mod 7, anchored on 1970-01-01
+    being a Thursday) — no engine calendar/locale/timezone functions, so
+    the cells are bit-identical anywhere. One map-side-combinable groupBy;
+    the share divides by a 1-row broadcast total."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    s = "(unix_micros(cast(ts as timestamp)) div 1000000)"
+    cells = ev.select(
+        F.expr(f"({s} div 86400 + 4) % 7").cast("bigint").alias("dow"),
+        F.expr(f"({s} % 86400) div 3600").cast("bigint").alias("hour"),
+    )
+    total = cells.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        cells.groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "dow",
+            "hour",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("n_total").cast("double")).alias(
+                "share"
+            ),
+        )
+    )
+
+
+def customer_order_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence per market segment: exact percentiles of the
+    per-customer inter-order gap in days — the recurrence metric behind
+    replenishment-reminder timing and churn-window definitions
+    (order_lead_times measures fulfilment latency; this measures customer
+    rhythm).
+
+    Gaps come from one customer-keyed lag window over order dates (exact
+    integer day differences); the segment rollup uses the exact
+    interpolated percentile over integers — identical arithmetic to
+    DuckDB's quantile_cont, the order_lead_times convention."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    gaps = (
+        orders.withColumn("prev", F.lag("o_orderdate").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff(F.col("o_orderdate"), F.col("prev"))
+            .cast("bigint")
+            .alias("gap_days"),
+        )
+    )
+    return (
+        gaps.join(cust, "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_days").alias("min_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+            (F.sum("gap_days").cast("double") / F.count(F.lit(1))).alias(
+                "avg_gap_days"
+            ),
+            F.expr("percentile(gap_days, 0.5)").alias("p50_gap_days"),
+            F.expr("percentile(gap_days, 0.9)").alias("p90_gap_days"),
+        )
+    )

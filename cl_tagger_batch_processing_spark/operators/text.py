@@ -1185,3 +1185,68 @@ def corpus_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+PMI_MIN_PAIR_COUNT = 5
+PMI_TOP_K = 100
+
+
+def text_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information over adjacent word
+    pairs — the classic phrase-mining pass (PMI picks "new york" over "of
+    the" where raw bigram counts pick the reverse), the statistic behind
+    word2vec-era phrase merging and tokenizer-vocabulary candidates.
+
+    Exactness: all counts are integers; the PMI argument assembles as ONE
+    exact integer ratio (n_ab·T² / (P·n_a·n_b), both products < 2⁶³ at any
+    realistic vocabulary) divided once in double, then one ln, rounded to
+    6dp on BOTH sides before ranking — so the (pmi DESC, w1, w2) top-k
+    order is engine-identical. Pair/unigram counts are two map-side-
+    combinable groupBys; totals ride 1-row broadcast scalars; the top-k is
+    a distributed TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t")).where(F.size("t") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t)-2), "
+                "i -> struct(t[i] AS w1, t[i+1] AS w2))"
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    pair_counts = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= PMI_MIN_PAIR_COUNT)
+    )
+    totals = uni.agg(F.sum("n_w").alias("t_tokens"))
+    pair_total = pairs.agg(F.count(F.lit(1)).alias("t_pairs"))
+    na = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a"))
+    nb = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b"))
+    pmi = (
+        F.round(
+            F.log(
+                (F.col("n_ab") * F.col("t_tokens") * F.col("t_tokens")).cast(
+                    "double"
+                )
+                / (F.col("t_pairs") * F.col("n_a") * F.col("n_b")).cast("double")
+            ),
+            6,
+        )
+        + F.lit(0.0)
+    )
+    scored = (
+        pair_counts.join(F.broadcast(na), "w1")
+        .join(F.broadcast(nb), "w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(pair_total))
+        .select("w1", "w2", "n_ab", "n_a", "n_b", pmi.alias("pmi"))
+    )
+    top = scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(PMI_TOP_K)
+    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))

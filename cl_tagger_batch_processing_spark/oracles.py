@@ -4266,3 +4266,81 @@ SELECT user_id,
        CAST(n_events AS BIGINT) AS n_events
 FROM r WHERE rn = 1
 """
+
+
+# Mirrors text.text_word_pmi: one exact integer ratio per pair, one ln,
+# 6dp round BEFORE ranking so the (pmi DESC, w1, w2) top-100 is
+# engine-identical.
+ORACLE_SQL["text_word_pmi"] = """
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                               i -> {'w1': t[i], 'w2': t[i + 1]})) AS p
+  FROM toks
+),
+pc AS (
+  SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS n_ab
+  FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 5
+),
+uni AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+uc AS (SELECT w, COUNT(*) AS n_w FROM uni GROUP BY w),
+tt AS (SELECT SUM(n_w) AS t_tokens FROM uc),
+tp AS (SELECT COUNT(*) AS t_pairs FROM pairs),
+scored AS (
+  SELECT pc.w1, pc.w2, CAST(pc.n_ab AS BIGINT) AS n_ab,
+         CAST(na.n_w AS BIGINT) AS n_a, CAST(nb.n_w AS BIGINT) AS n_b,
+         round(ln(CAST(pc.n_ab * tt.t_tokens * tt.t_tokens AS DOUBLE)
+                  / CAST(tp.t_pairs * na.n_w * nb.n_w AS DOUBLE)), 6) + 0.0
+           AS pmi
+  FROM pc
+  JOIN uc na ON pc.w1 = na.w
+  JOIN uc nb ON pc.w2 = nb.w
+  CROSS JOIN tt CROSS JOIN tp
+),
+top AS (SELECT * FROM scored ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 100)
+SELECT w1, w2, n_ab, n_a, n_b, pmi,
+       row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rank
+FROM top
+"""
+
+# Mirrors relational.events_hourly_seasonality: pure integer epoch
+# arithmetic (Thursday anchor), no engine calendar functions.
+ORACLE_SQL["events_hourly_seasonality"] = """
+WITH c AS (
+  SELECT CAST(((epoch_us(ts) // 1000000) // 86400 + 4) % 7 AS BIGINT) AS dow,
+         CAST(((epoch_us(ts) // 1000000) % 86400) // 3600 AS BIGINT) AS hour
+  FROM events
+),
+tot AS (SELECT COUNT(*) AS n_total FROM c)
+SELECT dow, hour, COUNT(*) AS n_events,
+       CAST(COUNT(*) AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share
+FROM c CROSS JOIN tot t
+GROUP BY dow, hour, t.n_total
+"""
+
+# Mirrors relational.customer_order_gap_percentiles: gaps = diffs of each
+# customer's date-sorted order list (tie order irrelevant - equal dates
+# yield the same diff multiset); exact interpolated percentiles.
+ORACLE_SQL["customer_order_gap_percentiles"] = """
+WITH g AS (
+  SELECT o_custkey,
+         CAST(CAST(o_orderdate AS DATE)
+              - lag(CAST(o_orderdate AS DATE))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate)
+              AS BIGINT) AS gap_days
+  FROM orders
+),
+gg AS (SELECT o_custkey, gap_days FROM g WHERE gap_days IS NOT NULL)
+SELECT c.c_mktsegment, COUNT(*) AS n_gaps,
+       MIN(gap_days) AS min_gap_days, MAX(gap_days) AS max_gap_days,
+       CAST(SUM(gap_days) AS DOUBLE) / COUNT(*) AS avg_gap_days,
+       quantile_cont(gap_days, 0.5) AS p50_gap_days,
+       quantile_cont(gap_days, 0.9) AS p90_gap_days
+FROM gg JOIN customer c ON gg.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""

@@ -426,3 +426,9 @@ register(
     "stream_first_touch_attribution",
     streaming_windows.stream_first_touch_attribution,
 )
+register("text_word_pmi", text.text_word_pmi)
+register("events_hourly_seasonality", relational.events_hourly_seasonality)
+register(
+    "customer_order_gap_percentiles",
+    relational.customer_order_gap_percentiles,
+)

@@ -1193,3 +1193,45 @@ def test_r7_constants_in_sync_with_oracles():
     assert ">= 0.2" in oracles.ORACLE_SQL["orders_market_basket_rules"]
     assert relational.DECAY_HALF_LIFE_DAYS == 7.0
     assert "age_days / 7.0" in oracles.ORACLE_SQL["events_decayed_engagement"]
+
+
+def test_word_pmi_invariants(spark, sf_dir):
+    from cl_tagger_batch_processing_spark.operators import text as text_ops
+
+    rows = sorted(
+        text_ops.text_word_pmi(spark, sf_dir).collect(), key=lambda r: r.rank
+    )
+    assert rows
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    for r in rows:
+        assert r.n_ab >= text_ops.PMI_MIN_PAIR_COUNT
+        assert r.n_ab <= min(r.n_a, r.n_b)
+
+
+def test_hourly_seasonality_invariants(spark, sf_dir):
+    from cl_tagger_batch_processing_spark.operators import relational
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+
+    rows = relational.events_hourly_seasonality(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == n
+    assert sum(r.share for r in rows) == pytest.approx(1.0)
+    for r in rows:
+        assert 0 <= r.dow <= 6 and 0 <= r.hour <= 23
+
+
+def test_order_gap_invariants(spark, sf_dir):
+    from cl_tagger_batch_processing_spark.operators import relational
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+
+    rows = relational.customer_order_gap_percentiles(spark, sf_dir).collect()
+    assert rows
+    orders = load_table(spark, sf_dir, "orders")
+    n_orders = orders.count()
+    n_cust = orders.select("o_custkey").distinct().count()
+    # every non-first order of each customer contributes exactly one gap
+    assert sum(r.n_gaps for r in rows) == n_orders - n_cust
+    for r in rows:
+        assert 0 <= r.min_gap_days <= r.p50_gap_days <= r.p90_gap_days <= r.max_gap_days
