@@ -395,3 +395,81 @@ def graph_common_neighbors(
     ).limit(CN_TOP_K)
     w = Window.orderBy(F.desc("nbr_jaccard"), F.asc("u"), F.asc("v"))
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+# Multi-source BFS: seed count and round budget. The budget bounds the
+# graph DIAMETER (hop count), not log-diameter — BFS must walk each hop.
+# Mirrored literally in the DuckDB oracle's dist < 64 recursion guard.
+SP_N_SEEDS = 3
+SP_MAX_ROUNDS = 64
+
+
+def graph_shortest_paths(
+    spark: SparkSession,
+    sf_dir: str,
+    min_support: int = PR_MIN_SUPPORT,
+    round_counter: list | None = None,
+) -> DataFrame:
+    """Unweighted single/multi-source shortest paths (hop distance) from a
+    deterministic seed set — the SP_N_SEEDS smallest node ids — over the
+    co-occurrence graph. Completes the graph family with REACHABILITY
+    DEPTH: components say what is connected, k-core what is dense,
+    shortest-paths how FAR everything is from a reference set (the
+    "distance from the catalog's anchor products" feature).
+
+    Algorithm: frontier BFS — per round, join ONLY the current frontier
+    (not the full distance table) to the edge list, anti-join out nodes
+    already labeled, and union the fresh layer into the distance table.
+    Each node enters the frontier EXACTLY once, so total join work is
+    O(E) across ALL rounds — the textbook distributed-BFS bound — and
+    every per-round frame is checkpointed (local or reliable mode) with
+    the frontier size observed on the same job (zero-extra-pass
+    convergence, the kcore/components discipline). Frontier-empty is an
+    exact termination proof: BFS layers are disjoint, so an empty layer
+    means no unlabeled node is adjacent to any labeled node.
+
+    Output: (node, dist) for every node REACHABLE from the seed set
+    (unreached components are absent, documented). Distances are exact
+    integers — no float anywhere. The DuckDB oracle replays the same
+    fixpoint as a recursive CTE with MIN(dist) per node; its dist < 64
+    recursion guard equals SP_MAX_ROUNDS (sync-pinned), and the Spark
+    side RAISES if the budget is hit, so both engines cover the same
+    depth or fail loudly."""
+    from ..checkpointing import checkpoint_with_metric
+
+    edges = cooccurrence_edges(spark, sf_dir, min_support=min_support).transform(
+        truncate_lineage
+    )
+    nodes = edges.select("src").distinct()
+    seeds = nodes.orderBy("src").limit(SP_N_SEEDS)
+    n_rows = F.count(F.lit(1)).alias("n")
+
+    dist = seeds.select(F.col("src").alias("node"), F.lit(0).cast("bigint").alias("dist"))
+    dist, layer_size = checkpoint_with_metric(dist, n_rows)
+    frontier = dist
+    converged = False
+    for hop in range(1, SP_MAX_ROUNDS + 1):
+        if round_counter is not None:
+            round_counter.append(1)
+        if layer_size == 0:
+            converged = True
+            break
+        # frontier ⋈ edges on node=src: candidate next layer, min-dedup'd
+        # (a node can be adjacent to many frontier nodes), then anti-join
+        # against the labeled set so each node is labeled exactly once.
+        cand = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).cast("bigint").alias("dist"))
+        )
+        fresh, layer_size = checkpoint_with_metric(cand, n_rows)
+        dist = truncate_lineage(dist.unionByName(fresh))
+        frontier = fresh
+    if not converged:
+        raise RuntimeError(
+            f"graph_shortest_paths did not drain its frontier within "
+            f"{SP_MAX_ROUNDS} hops — raise SP_MAX_ROUNDS"
+        )
+    return dist

@@ -1872,3 +1872,123 @@ def customer_order_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
             F.expr("percentile(gap_days, 0.9)").alias("p90_gap_days"),
         )
     )
+
+
+def brand_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS of extended price on quantity — the price-curve fit
+    behind "does this brand price linearly in volume?" (slope = marginal
+    unit price, r² = how linear the book really is). The classic
+    distributed-regression shape: sufficient statistics (n, Σx, Σy, Σxx,
+    Σyy, Σxy) via ONE map-side-combinable hash aggregate, closed-form
+    coefficients from the six scalars — no iterative solver, no second
+    pass over the data.
+
+    Determinism: every sufficient statistic is an exact DECIMAL sum of
+    exact 2-decimal fixture values (the q1 convention); the closed-form
+    arithmetic is the IDENTICAL double expression tree on both engines,
+    so slope/intercept/r² are bit-identical with zero float-summation
+    hazard. r² uses the squared-covariance form (cov²/(varx·vary)) to
+    avoid a sqrt.
+
+    Scale: lineitem⋈part is a plain equi-join on partkey (part grows with
+    SF, so no forced broadcast; AQE picks broadcast when small), then one
+    hash aggregate over ~25 brand groups."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    x = _dec("l_quantity")
+    y = _dec("l_extendedprice")
+    stats = (
+        li.join(part, "l_partkey")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(x).alias("_sx"),
+            F.sum(y).alias("_sy"),
+            F.sum(x * x).alias("_sxx"),
+            F.sum(y * y).alias("_syy"),
+            F.sum(x * y).alias("_sxy"),
+        )
+    )
+    nd = F.col("n_rows").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    cov_n = nd * F.col("_sxy").cast("double") - sx * sy  # n²·cov
+    varx_n = nd * F.col("_sxx").cast("double") - sx * sx  # n²·var(x)
+    vary_n = nd * F.col("_syy").cast("double") - sy * sy  # n²·var(y)
+    return (
+        stats.withColumn("_num", cov_n)
+        .withColumn("_denx", varx_n)
+        .withColumn("_deny", vary_n)
+        .where((F.col("n_rows") >= F.lit(2)) & (F.col("_denx") != F.lit(0.0)))
+        .select(
+            "p_brand",
+            "n_rows",
+            (F.col("_num") / F.col("_denx")).alias("slope"),
+            ((sy - (F.col("_num") / F.col("_denx")) * sx) / nd).alias("intercept"),
+            ((F.col("_num") * F.col("_num")) / (F.col("_denx") * F.col("_deny"))).alias(
+                "r2"
+            ),
+        )
+    )
+
+
+# Normalized-EWMA window length and the power-of-two decay exponent cap.
+# 2^EWMA_SHIFT is the weight of the current day; each older day halves.
+# Mirrored literally in the DuckDB oracle (oracles.py) — sync-pinned.
+EWMA_WINDOW_DAYS = 30
+EWMA_SHIFT = EWMA_WINDOW_DAYS - 1
+
+
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted daily event volume (half-life = 1 day,
+    normalized weights, 30-day truncated window) — the smoothed traffic
+    baseline anomaly alerts compare against. pandas' ewm(adjust=True)
+    semantics, truncated at 30 lags where the dropped tail weight is
+    < 2⁻³⁰ of the total.
+
+    Determinism: weights are exact powers of two (2^(29−lag)), so the
+    weighted numerator and the weight denominator are EXACT BIGINT sums —
+    order-independent — and the smoothed value is one double division at
+    the end. No float accumulation anywhere.
+
+    Scale: daily counts are one map-side-combinable groupBy; the window
+    is expressed as explode(sequence(0,29)) + re-aggregate — an equi
+    groupBy, no range join, no per-row window state. The day spine is
+    calendar-bounded (~thousands of rows at ANY data scale), so the
+    single-partition row_number window over it is a constant-size frame,
+    not a data-scale hazard."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr("unix_micros(cast(ts as timestamp)) div 1000000 div 86400")
+            .cast("bigint")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    t = F.row_number().over(Window.orderBy("day")).cast("bigint")
+    indexed = daily.withColumn("t", t)
+    weight = F.expr(f"shiftleft(cast(1 as bigint), {EWMA_SHIFT} - lag)")
+    contrib = indexed.select(
+        "t",
+        "cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(EWMA_SHIFT))).alias("lag"),
+    ).select(
+        (F.col("t") + F.col("lag")).alias("tt"),
+        (F.col("cnt") * weight).alias("wcnt"),
+        weight.alias("w"),
+    )
+    smoothed = contrib.groupBy("tt").agg(
+        F.sum("wcnt").alias("_num"), F.sum("w").alias("_den")
+    )
+    return indexed.join(smoothed, indexed.t == smoothed.tt).select(
+        "day",
+        "cnt",
+        (F.col("_num").cast("double") / F.col("_den").cast("double")).alias("ewma"),
+    )

@@ -4344,3 +4344,88 @@ SELECT c.c_mktsegment, COUNT(*) AS n_gaps,
 FROM gg JOIN customer c ON gg.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 """
+
+
+# Mirrors relational.brand_price_regression: exact DECIMAL sufficient
+# statistics, then the IDENTICAL closed-form double expression tree
+# (n·Sxy−SxSy over n·Sxx−Sx², squared-covariance r²) — bit-identical.
+ORACLE_SQL["brand_price_regression"] = """
+WITH s AS (
+  SELECT p.p_brand,
+         COUNT(*) AS n_rows,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+),
+d AS (
+  SELECT p_brand, n_rows,
+         CAST(n_rows AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+         CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+         CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+  FROM s
+)
+SELECT p_brand, n_rows,
+       num / denx AS slope,
+       (syd - (num / denx) * sxd) / nd AS intercept,
+       (num * num) / (denx * deny) AS r2
+FROM d
+WHERE n_rows >= 2 AND denx <> 0
+"""
+
+# Mirrors relational.events_ewma_daily: exact power-of-two weights as
+# BIGINT sums (shift constants = EWMA_SHIFT/EWMA_WINDOW_DAYS, sync-pinned),
+# one double division at the end. Day/index arithmetic is pure integer.
+ORACLE_SQL["events_ewma_daily"] = """
+WITH daily AS (
+  SELECT CAST((epoch_us(ts) // 1000000) // 86400 AS BIGINT) AS day,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1
+),
+indexed AS (
+  SELECT day, cnt,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+  FROM daily
+),
+contrib AS (
+  SELECT i.t + u.lag AS tt,
+         i.cnt * (CAST(1 AS BIGINT) << CAST(29 - u.lag AS INTEGER)) AS wcnt,
+         CAST(1 AS BIGINT) << CAST(29 - u.lag AS INTEGER) AS w
+  FROM indexed i
+  CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS lag) u
+),
+sm AS (
+  SELECT tt, SUM(wcnt) AS num, SUM(w) AS den FROM contrib GROUP BY tt
+)
+SELECT i.day, i.cnt,
+       CAST(sm.num AS DOUBLE) / CAST(sm.den AS DOUBLE) AS ewma
+FROM indexed i JOIN sm ON i.t = sm.tt
+"""
+
+# Mirrors graph.graph_shortest_paths: same co-occurrence graph, seeds =
+# the 3 smallest node ids, min hop distance per reachable node via a
+# recursive CTE; the dist < 64 guard equals SP_MAX_ROUNDS (sync-pinned).
+ORACLE_SQL["graph_shortest_paths"] = f"""
+WITH RECURSIVE {_PR_GRAPH_CTES},
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+seeds AS (SELECT node FROM nodes ORDER BY node LIMIT 3),
+walk(node, dist) AS (
+  SELECT node, CAST(0 AS BIGINT) FROM seeds
+  UNION
+  SELECT e.dst, w.dist + 1
+  FROM walk w JOIN edges e ON w.node = e.src
+  WHERE w.dist < 64
+)
+SELECT node, MIN(dist) AS dist FROM walk GROUP BY node
+"""

@@ -432,3 +432,6 @@ register(
     "customer_order_gap_percentiles",
     relational.customer_order_gap_percentiles,
 )
+register("brand_price_regression", relational.brand_price_regression)
+register("events_ewma_daily", relational.events_ewma_daily)
+register("graph_shortest_paths", graph.graph_shortest_paths)

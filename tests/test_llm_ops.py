@@ -1193,6 +1193,13 @@ def test_r7_constants_in_sync_with_oracles():
     assert ">= 0.2" in oracles.ORACLE_SQL["orders_market_basket_rules"]
     assert relational.DECAY_HALF_LIFE_DAYS == 7.0
     assert "age_days / 7.0" in oracles.ORACLE_SQL["events_decayed_engagement"]
+    assert relational.EWMA_WINDOW_DAYS == 30 and relational.EWMA_SHIFT == 29
+    assert "generate_series(0, 29)" in oracles.ORACLE_SQL["events_ewma_daily"]
+    assert "<< CAST(29 - u.lag AS INTEGER)" in oracles.ORACLE_SQL["events_ewma_daily"]
+    assert graph.SP_N_SEEDS == 3
+    assert "LIMIT 3" in oracles.ORACLE_SQL["graph_shortest_paths"]
+    assert graph.SP_MAX_ROUNDS == 64
+    assert "w.dist < 64" in oracles.ORACLE_SQL["graph_shortest_paths"]
 
 
 def test_word_pmi_invariants(spark, sf_dir):
@@ -1235,3 +1242,81 @@ def test_order_gap_invariants(spark, sf_dir):
     assert sum(r.n_gaps for r in rows) == n_orders - n_cust
     for r in rows:
         assert 0 <= r.min_gap_days <= r.p50_gap_days <= r.p90_gap_days <= r.max_gap_days
+
+
+def test_brand_price_regression_invariants(spark, sf_dir):
+    """OLS sanity: r² in [0,1]; the fitted line at the brand's mean
+    quantity passes through the mean price (an exact OLS identity:
+    mean_y = slope·mean_x + intercept, up to double rounding)."""
+    from cl_tagger_batch_processing_spark.operators import relational
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = relational.brand_price_regression(spark, sf_dir).collect()
+    assert rows
+    means = {
+        r.p_brand: r
+        for r in load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "part").select(
+                F.col("p_partkey").alias("l_partkey"), "p_brand"
+            ),
+            "l_partkey",
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.avg("l_quantity").alias("mx"), F.avg("l_extendedprice").alias("my")
+        )
+        .collect()
+    }
+    for r in rows:
+        assert 0.0 <= r.r2 <= 1.0, r
+        m = means[r.p_brand]
+        fitted = r.slope * m.mx + r.intercept
+        assert abs(fitted - m.my) <= 1e-9 * max(1.0, abs(m.my)), (r, m)
+
+
+def test_events_ewma_daily_invariants(spark, sf_dir):
+    """The normalized EWMA is a convex combination of the trailing window,
+    so it must lie within [min, max] of the last 30 daily counts; the
+    first day's EWMA equals its own count (only weight present)."""
+    from cl_tagger_batch_processing_spark.operators import relational
+
+    rows = sorted(
+        relational.events_ewma_daily(spark, sf_dir).collect(), key=lambda r: r.day
+    )
+    assert rows
+    assert rows[0].ewma == float(rows[0].cnt)
+    cnts = [r.cnt for r in rows]
+    for i, r in enumerate(rows):
+        window = cnts[max(0, i - 29) : i + 1]
+        assert min(window) <= r.ewma <= max(window), (i, r)
+
+
+def test_graph_shortest_paths_layering(spark, sf_dir):
+    """BFS correctness invariants: the SP_N_SEEDS smallest nodes are at
+    dist 0; every non-seed labeled node has at least one neighbor exactly
+    one hop closer (the BFS parent property); and no edge spans more than
+    one BFS layer (|dist(u) − dist(v)| ≤ 1 for every edge u-v)."""
+    from cl_tagger_batch_processing_spark.operators import graph
+
+    dist = {
+        r.node: r.dist for r in graph.graph_shortest_paths(spark, sf_dir).collect()
+    }
+    assert dist
+    edges = [
+        (r.src, r.dst)
+        for r in graph.cooccurrence_edges(spark, sf_dir).collect()
+    ]
+    seeds = sorted({s for s, _ in edges})[: graph.SP_N_SEEDS]
+    assert all(dist[s] == 0 for s in seeds)
+    assert sorted(n for n, d in dist.items() if d == 0) == seeds
+    nbrs = {}
+    for s, d in edges:
+        nbrs.setdefault(s, []).append(d)
+    for n, d in dist.items():
+        if d > 0:
+            assert min(dist[m] for m in nbrs[n] if m in dist) == d - 1, (n, d)
+    for s, d in edges:
+        if s in dist:
+            assert d in dist and abs(dist[s] - dist[d]) <= 1, (s, d)
