@@ -689,3 +689,41 @@ def corpus_temperature_mix(
         F.round(F.col("temp_weight") / F.col("token_share"), 6).alias("boost"),
         F.round(F.col("temp_weight") * epoch_budget, 0).cast("bigint").alias("epoch_docs"),
     )
+
+
+# k-anonymity gate: minimum equivalence-class size and the account-balance
+# banding width. Mirrored in the DuckDB oracle — sync-pinned.
+KANON_K = 5
+KANON_BAND_WIDTH = 1000.0
+
+
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer quasi-identifiers — the privacy
+    gate a curation pipeline runs before releasing "anonymized" records:
+    if the (segment, nation, balance-band) combination identifies fewer
+    than KANON_K customers, those rows are re-identifiable by linkage and
+    must be suppressed or generalized before export.
+
+    One hash aggregate over the QI tuple; re-identification risk is the
+    textbook 1/class_size. The band is floor(acctbal/1000) — identical
+    integer floor on both engines (negative balances floor toward −∞
+    consistently). is_k_anonymous is emitted as 0/1 BIGINT (scalar-only
+    output schema per the driver canonicalizer contract)."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / F.lit(KANON_BAND_WIDTH)).cast("bigint")
+    return (
+        cust.select("c_mktsegment", "c_nationkey", band.alias("acctbal_band"))
+        .groupBy("c_mktsegment", "c_nationkey", "acctbal_band")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").cast("bigint").alias("nation_key"),
+            "acctbal_band",
+            "class_size",
+            F.when(F.col("class_size") >= F.lit(KANON_K), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("is_k_anonymous"),
+            (F.lit(1.0) / F.col("class_size").cast("double")).alias("reident_risk"),
+        )
+    )

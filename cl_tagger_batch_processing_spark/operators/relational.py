@@ -1992,3 +1992,86 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         (F.col("_num").cast("double") / F.col("_den").cast("double")).alias("ewma"),
     )
+
+
+# Manual HyperLogLog layout: 64 registers (6 index bits), 54 hash bits
+# for the rank, denominator summed as exact BIGINT at scale 2^56.
+# All four literals are mirrored in the DuckDB oracle — sync-pinned.
+HLL_M = 64
+HLL_RANK_BITS = 54  # bits left after the register index
+HLL_SCALE_SHIFT = 56  # 2^56 scaling makes Σ2^-M an exact integer sum
+HLL_SMALL_RANGE = 160.0  # 2.5·m: below this, linear counting applies
+
+
+def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog from first principles — the sketch behind
+    every "approximate COUNT DISTINCT at scale" (registers are max-merged,
+    so the sketch is embarrassingly partial-aggregatable and mergeable
+    across partitions/days, unlike the exact distinct which must shuffle
+    every key). The builtin approx_count_distinct (see approx_distinct)
+    is engine-specific and can't be value-checked; THIS implementation is
+    bit-reproducible on any engine, so the whole estimate is under the
+    DuckDB value-hash gate — estimator code with a cross-engine proof.
+
+    Mechanics: h = 60 bits of md5(user_id); register = h mod 64; rank =
+    leading-zeros-plus-one of the remaining 54 bits (computed EXACTLY via
+    55 − bitlength, no float log); per-type registers = max(rank) — one
+    map-side-combinable groupBy. The harmonic denominator Σ2^−M is summed
+    as exact BIGINTs at scale 2^56 (empty registers contribute 2^56 each),
+    so the only floats are the final α·m²/denom division, the identical
+    branch predicate, and linear counting's one ln — bit-identical trees
+    on both engines. Output: exact distinct (companion truth), the HLL
+    estimate, and the relative error, per event_type."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    with_h = ev.select("event_type", h.alias("h"))
+    w = F.expr(f"h div {HLL_M}")  # the 54 rank bits above the register index
+    hashed = with_h.select(
+        "event_type",
+        (F.col("h") % F.lit(HLL_M)).alias("register"),
+        F.when(w == F.lit(0), F.lit(HLL_RANK_BITS + 1))
+        .otherwise(F.lit(HLL_RANK_BITS + 1) - F.length(F.bin(w)))
+        .cast("bigint")
+        .alias("rank"),
+    )
+    regs = hashed.groupBy("event_type", "register").agg(F.max("rank").alias("m"))
+    per_type = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_SCALE_SHIFT} - m)")).alias(
+            "sum_pow"
+        ),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    v = F.lit(HLL_M) - F.col("n_regs")
+    denom = (
+        F.col("sum_pow")
+        + v * F.lit(1 << HLL_SCALE_SHIFT).cast("bigint")
+    ).cast("double")
+    raw = (
+        F.lit(0.7213)
+        / (F.lit(1.0) + F.lit(1.079) / F.lit(float(HLL_M)))
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(1 << HLL_SCALE_SHIFT))
+        / denom
+    )
+    est = F.when(
+        (v > F.lit(0)) & (raw <= F.lit(HLL_SMALL_RANGE)),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    return (
+        per_type.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.round(est, 6).alias("hll_estimate"),
+            F.round(
+                F.abs(est - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("rel_error"),
+        )
+    )

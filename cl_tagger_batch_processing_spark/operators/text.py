@@ -1250,3 +1250,72 @@ def text_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(PMI_TOP_K)
     w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+# Count-min sketch geometry + report size — mirrored in the oracle SQL.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOP_K = 50
+
+
+def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str, k: int = CMS_TOP_K) -> DataFrame:
+    """Count-min-sketch heavy hitters with a per-token error audit — the
+    fixed-memory frequency sketch behind "top terms over a stream/shard
+    without a full vocabulary shuffle". The sketch is CMS_DEPTH×CMS_WIDTH
+    counters (md5-derived row hashes); estimates are the row-wise MIN, so
+    they can only OVERcount (collision mass adds) — the report joins the
+    estimate against the exact count for the true top-k tokens and shows
+    the overestimate each one carries.
+
+    Scale: exact token counts are one map-side-combinable groupBy (needed
+    here as ground truth; a pure-sketch deployment would skip it); the
+    sketch itself aggregates the COUNTED vocabulary (distinct tokens ×
+    CMS_DEPTH rows), never the raw token stream, and the counter table is
+    ≤ CMS_DEPTH·CMS_WIDTH rows — broadcast-joined to the candidates. All
+    arithmetic is exact integers; determinism is total."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    depth = F.explode(
+        F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))
+    ).alias("j")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("token"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.lit(CMS_WIDTH)
+    ).alias("bucket")
+    cells = (
+        counts.select("token", "true_count", depth)
+        .select("true_count", "j", bucket)
+        .groupBy("j", "bucket")
+        .agg(F.sum("true_count").alias("cell_sum"))
+    )
+    top = (
+        counts.orderBy(F.desc("true_count"), F.asc("token"))
+        .limit(k)
+        .select("token", "true_count", depth)
+        .select("token", "true_count", "j", bucket)
+    )
+    est = (
+        top.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("token", "true_count")
+        .agg(F.min("cell_sum").alias("cms_estimate"))
+    )
+    w = Window.orderBy(F.desc("true_count"), F.asc("token"))
+    return est.select(
+        "token",
+        "true_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("true_count")).alias("overestimate"),
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )

@@ -4429,3 +4429,111 @@ walk(node, dist) AS (
 )
 SELECT node, MIN(dist) AS dist FROM walk GROUP BY node
 """
+
+
+# Mirrors relational.approx_distinct_hll: 60-bit md5 hash, register =
+# h mod 64, rank = 55 − bitlength of the upper 54 bits (exact, via bin()),
+# harmonic denominator as exact BIGINTs at scale 2^56, identical
+# alpha/branch/linear-counting double trees. Constants sync-pinned.
+ORACLE_SQL["approx_distinct_hll"] = """
+WITH h AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, h % 64 AS register,
+         CASE WHEN h // 64 = 0 THEN 55
+              ELSE 55 - length(bin(h // 64)) END AS rank
+  FROM h
+),
+regs AS (
+  SELECT event_type, register, MAX(rank) AS m
+  FROM r GROUP BY event_type, register
+),
+pt AS (
+  SELECT event_type, COUNT(*) AS n_regs,
+         SUM(CAST(1 AS BIGINT) << CAST(56 - m AS INTEGER)) AS sum_pow
+  FROM regs GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events
+  GROUP BY event_type
+),
+est AS (
+  SELECT pt.event_type, ex.n_exact,
+         CASE WHEN (64 - n_regs) > 0
+               AND (0.7213 / (1.0 + 1.079 / 64.0) * 4096.0
+                    * 72057594037927936.0
+                    / CAST(sum_pow + (64 - n_regs)
+                           * CAST(72057594037927936 AS BIGINT) AS DOUBLE))
+                   <= 160.0
+              THEN 64.0 * ln(64.0 / CAST(64 - n_regs AS DOUBLE))
+              ELSE 0.7213 / (1.0 + 1.079 / 64.0) * 4096.0
+                   * 72057594037927936.0
+                   / CAST(sum_pow + (64 - n_regs)
+                          * CAST(72057594037927936 AS BIGINT) AS DOUBLE)
+         END AS e
+  FROM pt JOIN ex ON pt.event_type = ex.event_type
+)
+SELECT event_type, n_exact,
+       round(e, 6) AS hll_estimate,
+       round(abs(e - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6)
+         AS rel_error
+FROM est
+"""
+
+# Mirrors text.text_heavy_hitters_cms: 4×256 counter table from the
+# counted vocabulary, row-wise MIN estimate for the exact top-50 tokens.
+# Pure integer arithmetic; geometry constants sync-pinned.
+ORACLE_SQL["text_heavy_hitters_cms"] = """
+WITH counts AS (
+  SELECT token, COUNT(*) AS true_count
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+),
+expanded AS (
+  SELECT token, true_count, u.j,
+         CAST('0x' || substr(md5(CAST(u.j AS VARCHAR) || ':' || token), 1, 15)
+              AS BIGINT) % 256 AS bucket
+  FROM counts
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) u
+),
+cells AS (
+  SELECT j, bucket, SUM(true_count) AS cell_sum
+  FROM expanded GROUP BY j, bucket
+),
+top AS (
+  SELECT token, true_count FROM counts
+  ORDER BY true_count DESC, token ASC LIMIT 50
+),
+est AS (
+  SELECT t.token, t.true_count, MIN(c.cell_sum) AS cms_estimate
+  FROM top t
+  JOIN (SELECT token, true_count, u.j,
+               CAST('0x' || substr(md5(CAST(u.j AS VARCHAR) || ':' || token),
+                                   1, 15) AS BIGINT) % 256 AS bucket
+        FROM top, (SELECT unnest(generate_series(0, 3)) AS j) u) q
+    ON t.token = q.token
+  JOIN cells c ON q.j = c.j AND q.bucket = c.bucket
+  GROUP BY t.token, t.true_count
+)
+SELECT token, true_count, cms_estimate,
+       cms_estimate - true_count AS overestimate,
+       row_number() OVER (ORDER BY true_count DESC, token ASC) AS rank
+FROM est
+"""
+
+# Mirrors curation.privacy_k_anonymity: QI tuple hash aggregate, band =
+# floor(acctbal/1000), k = 5 — sync-pinned.
+ORACLE_SQL["privacy_k_anonymity"] = """
+SELECT c_mktsegment,
+       CAST(c_nationkey AS BIGINT) AS nation_key,
+       CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band,
+       COUNT(*) AS class_size,
+       CAST(CASE WHEN COUNT(*) >= 5 THEN 1 ELSE 0 END AS BIGINT)
+         AS is_k_anonymous,
+       1.0 / CAST(COUNT(*) AS DOUBLE) AS reident_risk
+FROM customer
+GROUP BY c_mktsegment, c_nationkey, CAST(floor(c_acctbal / 1000.0) AS BIGINT)
+"""

@@ -435,3 +435,6 @@ register(
 register("brand_price_regression", relational.brand_price_regression)
 register("events_ewma_daily", relational.events_ewma_daily)
 register("graph_shortest_paths", graph.graph_shortest_paths)
+register("approx_distinct_hll", relational.approx_distinct_hll)
+register("text_heavy_hitters_cms", text.text_heavy_hitters_cms)
+register("privacy_k_anonymity", curation.privacy_k_anonymity)

@@ -1200,6 +1200,22 @@ def test_r7_constants_in_sync_with_oracles():
     assert "LIMIT 3" in oracles.ORACLE_SQL["graph_shortest_paths"]
     assert graph.SP_MAX_ROUNDS == 64
     assert "w.dist < 64" in oracles.ORACLE_SQL["graph_shortest_paths"]
+    assert (relational.HLL_M, relational.HLL_RANK_BITS) == (64, 54)
+    assert relational.HLL_SCALE_SHIFT == 56 and relational.HLL_SMALL_RANGE == 160.0
+    hll_sql = oracles.ORACLE_SQL["approx_distinct_hll"]
+    assert "h % 64" in hll_sql and "THEN 55" in hll_sql
+    assert "<< CAST(56 - m AS INTEGER)" in hll_sql and "<= 160.0" in hll_sql
+    assert str(1 << 56) in hll_sql  # the exact 2^56 scale literal
+    from cl_tagger_batch_processing_spark.operators import curation
+    from cl_tagger_batch_processing_spark.operators import text as _t
+
+    assert (_t.CMS_DEPTH, _t.CMS_WIDTH, _t.CMS_TOP_K) == (4, 256, 50)
+    cms_sql = oracles.ORACLE_SQL["text_heavy_hitters_cms"]
+    assert "generate_series(0, 3)" in cms_sql and "% 256" in cms_sql
+    assert "LIMIT 50" in cms_sql
+    assert (curation.KANON_K, curation.KANON_BAND_WIDTH) == (5, 1000.0)
+    kan_sql = oracles.ORACLE_SQL["privacy_k_anonymity"]
+    assert ">= 5" in kan_sql and "/ 1000.0" in kan_sql
 
 
 def test_word_pmi_invariants(spark, sf_dir):
@@ -1320,3 +1336,49 @@ def test_graph_shortest_paths_layering(spark, sf_dir):
     for s, d in edges:
         if s in dist:
             assert d in dist and abs(dist[s] - dist[d]) <= 1, (s, d)
+
+
+def test_hll_estimate_properties(spark, sf_dir):
+    """HLL sanity: estimates are positive; every event_type row is present;
+    and the relative error respects the theoretical envelope for m=64
+    (σ = 1.04/√64 = 13%; 5σ is a generous non-flaky bound)."""
+    from cl_tagger_batch_processing_spark.operators import relational
+
+    rows = relational.approx_distinct_hll(spark, sf_dir).collect()
+    assert len(rows) == 5  # fixture has 5 event types
+    for r in rows:
+        assert r.hll_estimate > 0
+        assert r.rel_error < 5 * 0.13, r
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    """The count-min estimate is a MIN over counters that each include the
+    token's own mass, so estimate >= true for every token; ranks are the
+    exact top-k ordering."""
+    from cl_tagger_batch_processing_spark.operators import text as text_ops
+
+    rows = sorted(
+        text_ops.text_heavy_hitters_cms(spark, sf_dir).collect(),
+        key=lambda r: r.rank,
+    )
+    assert rows
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r.true_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r.cms_estimate >= r.true_count, r
+        assert r.overestimate == r.cms_estimate - r.true_count
+
+
+def test_k_anonymity_partition(spark, sf_dir):
+    """Equivalence classes partition the customer table (sizes sum to the
+    row count), risk = 1/size, and the k flag matches the size."""
+    from cl_tagger_batch_processing_spark.operators import curation
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+
+    rows = curation.privacy_k_anonymity(spark, sf_dir).collect()
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(r.class_size for r in rows) == n_cust
+    for r in rows:
+        assert r.is_k_anonymous == (1 if r.class_size >= 5 else 0)
+        assert r.reident_risk == 1.0 / r.class_size
