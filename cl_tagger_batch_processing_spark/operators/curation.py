@@ -727,3 +727,39 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1.0) / F.col("class_size").cast("double")).alias("reident_risk"),
         )
     )
+
+
+# Efraimidis–Spirakis weighted reservoir: sample size and the 2^60 hash
+# domain the uniform draw is derived from. Mirrored in the oracle.
+ES_SAMPLE_K = 100
+ES_HASH_DOMAIN = float(1 << 60)
+
+
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str, k: int = ES_SAMPLE_K) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each doc draws u ∈ (0,1] from md5(doc_id) and keeps
+    key = −ln(u)/w with w = token count; the k smallest keys are the
+    sample. Inclusion probability is proportional to weight across the
+    whole corpus in ONE distributed top-k — no per-partition reservoirs
+    to merge, no sequential state — which is why A-ES is the standard
+    trick for "sample 10k docs ∝ length from 100 TB".
+
+    Unlike corpus_mixture_sample (per-tier hash thresholding with
+    per-source rates), this is a GLOBAL weight-proportional draw. The
+    hash uniform is u = (h+1)/2^60 over the 60-bit md5 prefix (never 0,
+    so ln is finite); both engines compute the identical ln/division
+    tree, and the top-k carries the doc_id tie-break (the repo top-k
+    convention, though md5-derived key ties are measure-zero)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.size(F.split("text", " ")).cast("bigint")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    u = (h + F.lit(1)).cast("double") / F.lit(ES_HASH_DOMAIN)
+    key = -F.log(u) / w.cast("double")
+    keyed = docs.select(
+        "doc_id", "source", w.alias("n_tokens"), F.round(key, 12).alias("es_key")
+    )
+    top = keyed.orderBy(F.asc("es_key"), F.asc("doc_id")).limit(k)
+    rw = Window.orderBy(F.asc("es_key"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(rw).cast("bigint"))

@@ -2075,3 +2075,66 @@ def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_error"),
         )
     )
+
+
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift detection on daily event volume — the
+    sequential change-point statistic behind "did traffic structurally
+    shift?" (a one-day spike barely moves it; a sustained level change
+    accumulates linearly until the alarm fires).
+
+    The textbook recurrence S_t = max(0, S_{t−1} + dev_t) is not a
+    window function, but it has the exact closed form
+    S_t = P_t − min_{j≤t} P_j (prefix sum minus its running minimum) —
+    two ordinary cumulative windows. Deviations are cross-multiplied to
+    stay integer (dev_t = n_days·c_t − C_total avoids the non-exact mean
+    c̄ = C/n): every prefix sum, running min/max, and CUSUM value is an
+    EXACT BIGINT — immune to window-sum association differences between
+    engines (DuckDB's segment-tree window aggregation vs Spark's running
+    accumulation) — and only the final rescale by 1/n_days and the
+    3·√c̄ alarm threshold are (identical) double expressions.
+
+    The day spine is calendar-bounded, so the single-partition cumulative
+    windows are constant-size frames at any data scale (the
+    events_ewma_daily argument)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr("unix_micros(cast(ts as timestamp)) div 1000000 div 86400")
+            .cast("bigint")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("daily_count"))
+    )
+    tot = daily.agg(
+        F.sum("daily_count").alias("c_total"), F.count(F.lit(1)).alias("n_days")
+    )
+    dev = F.col("n_days") * F.col("daily_count") - F.col("c_total")
+    with_dev = daily.crossJoin(F.broadcast(tot)).withColumn("dev", dev)
+    cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    p = F.sum("dev").over(cum)
+    prefixed = with_dev.withColumn("p", p).withColumn(
+        "pmin", F.min("p").over(cum)
+    ).withColumn("pmax", F.max("p").over(cum))
+    mean_daily = F.col("c_total").cast("double") / F.col("n_days").cast("double")
+    scale = F.col("n_days").cast("double")
+    # P₀ = 0 (empty prefix) participates in the running extrema — that is
+    # exactly the max(0, ·) reset in the textbook recurrence
+    zero = F.lit(0).cast("bigint")
+    cusum_up = (F.col("p") - F.least(zero, F.col("pmin"))).cast("double") / scale
+    cusum_down = (F.greatest(zero, F.col("pmax")) - F.col("p")).cast("double") / scale
+    threshold = F.lit(3.0) * F.sqrt(mean_daily)
+    return prefixed.select(
+        "day",
+        "daily_count",
+        cusum_up.alias("cusum_up"),
+        cusum_down.alias("cusum_down"),
+        F.when(
+            (cusum_up > threshold) | (cusum_down > threshold), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_drift"),
+    )

@@ -1094,3 +1094,57 @@ def embedding_margin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("margin"),
         )
     )
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full covariance/correlation matrix of the embedding space in long
+    form (dim_i ≤ dim_j) — the embedding-QA companion to
+    ``embedding_dim_stats``: off-diagonal structure exposes redundant /
+    entangled dimensions (ripe for PCA/quantization), and the diagonal
+    reproduces per-dim variance. Long scalar rows, not an array column —
+    the driver-canonicalizer-safe shape.
+
+    Computed as one pass of sufficient statistics: explode the quantized
+    vectors (exact ×1000 integers), self-join per vec_id on dim_i ≤ dim_j
+    (d²/2 terms per vector — bounded by the EMBEDDING dimension, which is
+    a model constant, not a data-scale variable), then a single
+    map-side-combinable groupBy(dim_i, dim_j) whose partials collapse to
+    d²/2 groups. All sums are exact BIGINTs; cov and corr divide/sqrt
+    once in double with identical expression trees on both engines
+    (cov = (n·Σxy − ΣxΣy)/(n²·scale²), corr = that over the sqrt'd
+    variance product)."""
+    from ..operators.dedup import quantized_embeddings
+
+    base = quantized_embeddings(spark, sf_dir).select("vec_id", "qv")
+    pe = base.select("vec_id", F.posexplode("qv").alias("p", "x")).select(
+        "vec_id", (F.col("p") + 1).cast("bigint").alias("dim"), F.col("x")
+    )
+    left = pe.select("vec_id", F.col("dim").alias("dim_i"), F.col("x").alias("xi"))
+    right = pe.select("vec_id", F.col("dim").alias("dim_j"), F.col("x").alias("xj"))
+    pairs = left.join(right, "vec_id").where(F.col("dim_i") <= F.col("dim_j"))
+    agg = pairs.groupBy("dim_i", "dim_j").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("xi").alias("sx"),
+        F.sum("xj").alias("sy"),
+        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
+        F.sum(F.col("xj") * F.col("xj")).alias("syy"),
+        F.sum(F.col("xi") * F.col("xj")).alias("sxy"),
+    )
+    n = F.col("n_vecs").cast("double")
+    # cross-products in DECIMAL(38,0) (oracle: HUGEINT): n·Σxy overflows
+    # BIGINT once n passes ~1e9 vectors, and both wide types stay EXACT
+    d = lambda c: F.col(c).cast("decimal(19,0)")
+    num = d("n_vecs") * d("sxy") - d("sx") * d("sy")
+    varx = d("n_vecs") * d("sxx") - d("sx") * d("sx")
+    vary = d("n_vecs") * d("syy") - d("sy") * d("sy")
+    cov = num.cast("double") / (n * n * 1000000.0)
+    corr = num.cast("double") / F.sqrt(
+        varx.cast("double") * vary.cast("double")
+    )
+    return agg.select(
+        "dim_i",
+        "dim_j",
+        "n_vecs",
+        cov.alias("cov"),
+        F.round(corr, 9).alias("corr"),
+    )

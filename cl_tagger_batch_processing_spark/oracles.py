@@ -4537,3 +4537,107 @@ SELECT c_mktsegment,
 FROM customer
 GROUP BY c_mktsegment, c_nationkey, CAST(floor(c_acctbal / 1000.0) AS BIGINT)
 """
+
+
+# Mirrors similarity.embedding_covariance: quantized integers, dim-pair
+# self-join (i ≤ j), exact HUGEINT cross-products (Spark: DECIMAL), one
+# double division / sqrt at the end; corr rounded 9dp on both sides.
+ORACLE_SQL["embedding_covariance"] = """
+WITH pe AS (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000, 0) AS BIGINT) AS x
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.dim AS dim_i, b.dim AS dim_j, a.x AS xi, b.x AS xj
+  FROM pe a JOIN pe b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+),
+agg AS (
+  SELECT dim_i, dim_j, COUNT(*) AS n_vecs,
+         SUM(xi) AS sx, SUM(xj) AS sy,
+         SUM(xi * xi) AS sxx, SUM(xj * xj) AS syy, SUM(xi * xj) AS sxy
+  FROM pairs GROUP BY dim_i, dim_j
+),
+wide AS (
+  SELECT dim_i, dim_j, n_vecs,
+         CAST(n_vecs AS HUGEINT) * CAST(sxy AS HUGEINT)
+           - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS num,
+         CAST(n_vecs AS HUGEINT) * CAST(sxx AS HUGEINT)
+           - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS varx,
+         CAST(n_vecs AS HUGEINT) * CAST(syy AS HUGEINT)
+           - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS vary
+  FROM agg
+)
+SELECT dim_i, dim_j, n_vecs,
+       CAST(num AS DOUBLE)
+         / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs AS DOUBLE) * 1000000.0) AS cov,
+       round(CAST(num AS DOUBLE)
+             / sqrt(CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)), 9) AS corr
+FROM wide
+"""
+
+# Mirrors curation.corpus_weighted_sample: Efraimidis–Spirakis keys from
+# the 60-bit md5 uniform, k smallest with doc_id tie-break. Constants
+# (k=100, 2^60 domain) sync-pinned.
+ORACLE_SQL["corpus_weighted_sample"] = """
+WITH keyed AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         round(
+           -ln(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                         AS BIGINT) + 1 AS DOUBLE) / 1152921504606846976.0)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE), 12) AS es_key
+  FROM documents
+),
+top AS (
+  SELECT * FROM keyed ORDER BY es_key ASC, doc_id ASC LIMIT 100
+)
+SELECT doc_id, source, n_tokens, es_key,
+       row_number() OVER (ORDER BY es_key ASC, doc_id ASC) AS rank
+FROM top
+"""
+
+# Mirrors relational.events_cusum_drift: integer cross-multiplied
+# deviations, exact BIGINT prefix sums and running extrema (with the
+# P0 = 0 empty-prefix term via least/greatest), identical final rescale
+# and 3·sqrt(mean) alarm threshold.
+ORACLE_SQL["events_cusum_drift"] = """
+WITH daily AS (
+  SELECT CAST((epoch_us(ts) // 1000000) // 86400 AS BIGINT) AS day,
+         COUNT(*) AS daily_count
+  FROM events GROUP BY 1
+),
+tot AS (SELECT SUM(daily_count) AS c_total, COUNT(*) AS n_days FROM daily),
+dev AS (
+  SELECT day, daily_count, t.c_total, t.n_days,
+         t.n_days * daily_count - t.c_total AS dev
+  FROM daily CROSS JOIN tot t
+),
+pre AS (
+  SELECT day, daily_count, c_total, n_days,
+         SUM(dev) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM dev
+),
+ext AS (
+  SELECT day, daily_count, c_total, n_days, p,
+         MIN(p) OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pmin,
+         MAX(p) OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pmax
+  FROM pre
+)
+SELECT day, daily_count,
+       CAST(p - least(CAST(0 AS BIGINT), pmin) AS DOUBLE)
+         / CAST(n_days AS DOUBLE) AS cusum_up,
+       CAST(greatest(CAST(0 AS BIGINT), pmax) - p AS DOUBLE)
+         / CAST(n_days AS DOUBLE) AS cusum_down,
+       CAST(CASE WHEN CAST(p - least(CAST(0 AS BIGINT), pmin) AS DOUBLE)
+                      / CAST(n_days AS DOUBLE)
+                    > 3.0 * sqrt(CAST(c_total AS DOUBLE) / CAST(n_days AS DOUBLE))
+                  OR CAST(greatest(CAST(0 AS BIGINT), pmax) - p AS DOUBLE)
+                      / CAST(n_days AS DOUBLE)
+                    > 3.0 * sqrt(CAST(c_total AS DOUBLE) / CAST(n_days AS DOUBLE))
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_drift
+FROM ext
+"""

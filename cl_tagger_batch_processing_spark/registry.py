@@ -438,3 +438,6 @@ register("graph_shortest_paths", graph.graph_shortest_paths)
 register("approx_distinct_hll", relational.approx_distinct_hll)
 register("text_heavy_hitters_cms", text.text_heavy_hitters_cms)
 register("privacy_k_anonymity", curation.privacy_k_anonymity)
+register("embedding_covariance", similarity.embedding_covariance)
+register("corpus_weighted_sample", curation.corpus_weighted_sample)
+register("events_cusum_drift", relational.events_cusum_drift)

@@ -1216,6 +1216,14 @@ def test_r7_constants_in_sync_with_oracles():
     assert (curation.KANON_K, curation.KANON_BAND_WIDTH) == (5, 1000.0)
     kan_sql = oracles.ORACLE_SQL["privacy_k_anonymity"]
     assert ">= 5" in kan_sql and "/ 1000.0" in kan_sql
+    assert curation.ES_SAMPLE_K == 100
+    assert curation.ES_HASH_DOMAIN == float(1 << 60)
+    es_sql = oracles.ORACLE_SQL["corpus_weighted_sample"]
+    assert "LIMIT 100" in es_sql and "1152921504606846976.0" in es_sql
+    cu_sql = oracles.ORACLE_SQL["events_cusum_drift"]
+    assert "3.0 * sqrt" in cu_sql  # alarm threshold mirrored
+    cov_sql = oracles.ORACLE_SQL["embedding_covariance"]
+    assert "* 1000, 0" in cov_sql and "1000000.0" in cov_sql  # quant scale
 
 
 def test_word_pmi_invariants(spark, sf_dir):
@@ -1382,3 +1390,70 @@ def test_k_anonymity_partition(spark, sf_dir):
     for r in rows:
         assert r.is_k_anonymous == (1 if r.class_size >= 5 else 0)
         assert r.reident_risk == 1.0 / r.class_size
+
+
+def test_embedding_covariance_structure(spark, sf_dir):
+    """Long-form upper triangle is complete (d·(d+1)/2 pairs); diagonal
+    reproduces embedding_dim_stats' variance; corr is 1 on the diagonal
+    and within [-1, 1] everywhere."""
+    from cl_tagger_batch_processing_spark.operators import similarity
+
+    rows = similarity.embedding_covariance(spark, sf_dir).collect()
+    d = max(r.dim_j for r in rows)
+    assert len(rows) == d * (d + 1) // 2
+    var = {
+        r.dim: r.variance
+        for r in similarity.embedding_dim_stats(spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert -1.0 <= r.corr <= 1.0 + 1e-12, r
+        if r.dim_i == r.dim_j:
+            assert r.corr == 1.0
+            assert abs(r.cov - var[r.dim_i]) < 1e-12 * max(1.0, abs(var[r.dim_i]))
+
+
+def test_weighted_sample_favors_weight(spark, sf_dir):
+    """A-ES keys are positive and ascending by rank; the sampled docs'
+    mean token count exceeds the corpus mean (length-proportional
+    inclusion must tilt the sample toward long docs)."""
+    from cl_tagger_batch_processing_spark.operators import curation
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = sorted(
+        curation.corpus_weighted_sample(spark, sf_dir).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    keys = [r.es_key for r in rows]
+    assert all(k > 0 for k in keys) and keys == sorted(keys)
+    corpus_mean = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.avg(F.size(F.split("text", " "))).alias("m"))
+        .first()
+        .m
+    )
+    sample_mean = sum(r.n_tokens for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
+
+
+def test_cusum_closed_form_matches_recurrence(spark, sf_dir):
+    """The prefix-sum/extrema closed form must equal the textbook
+    recurrence S_t = max(0, S_{t-1} + dev_t) replayed in exact Python
+    ints, for both directions."""
+    from cl_tagger_batch_processing_spark.operators import relational
+
+    rows = sorted(
+        relational.events_cusum_drift(spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    counts = [r.daily_count for r in rows]
+    n, total = len(counts), sum(counts)
+    s_up = s_dn = 0
+    for r, c in zip(rows, counts):
+        dev = n * c - total
+        s_up = max(0, s_up + dev)
+        s_dn = max(0, s_dn - dev)
+        assert r.cusum_up == s_up / n, r
+        assert r.cusum_down == s_dn / n, r
