@@ -2138,3 +2138,187 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("is_drift"),
     )
+
+
+def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of monthly order revenue
+    (trend = centered 2×12 moving average, seasonal = month-of-year mean
+    of the detrended series, residual = the rest) — the standard
+    pre-forecasting diagnostic for business time series.
+
+    Exactness: monthly revenue is a DECIMAL sum; the 2×12 MA numerator is
+    2·(13-term window sum) − the two endpoint terms — integer-weighted
+    DECIMAL arithmetic, exact in any order — and stays SCALED BY 24 until
+    the final division, so detrending (r·24 − num) and the month-of-year
+    means (exact-decimal sums / integer counts) never touch a float until
+    the one division per output column. Trend/seasonal/residual are
+    emitted only where the full ±6 window exists (the standard
+    edge-NaN-free convention).
+
+    Scale: the monthly spine is calendar-bounded, so the unpartitioned
+    windows are constant-size frames at any data volume; everything
+    upstream is one map-side-combinable groupBy(month)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.select(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("bigint")
+            .alias("ym"),
+            F.month("o_orderdate").cast("bigint").alias("month_of_year"),
+            _dec("o_totalprice").alias("p"),
+        )
+        .groupBy("ym", "month_of_year")
+        .agg(F.sum("p").alias("rev"))
+    )
+    wfull = Window.orderBy("ym").rowsBetween(-6, 6)
+    with_ma = monthly.withColumn("win_sum", F.sum("rev").over(wfull)).withColumn(
+        "win_n", F.count(F.lit(1)).over(wfull)
+    )
+    wlag = Window.orderBy("ym")
+    num24 = (
+        F.lit(2) * F.col("win_sum")
+        - F.lag("rev", 6).over(wlag)
+        - F.lead("rev", 6).over(wlag)
+    )
+    trended = (
+        with_ma.withColumn("num24", num24)
+        .where(F.col("win_n") == F.lit(13))
+        .withColumn("detr24", F.col("rev") * F.lit(24) - F.col("num24"))
+    )
+    seas = trended.groupBy("month_of_year").agg(
+        F.sum("detr24").alias("s_sum"), F.count(F.lit(1)).alias("s_n")
+    )
+    seasonal = F.col("s_sum").cast("double") / (
+        F.col("s_n").cast("double") * 24.0
+    )
+    joined = trended.join(F.broadcast(seas), "month_of_year")
+    rev_d = F.col("rev").cast("double")
+    trend_d = F.col("num24").cast("double") / 24.0
+    return joined.select(
+        "ym",
+        "month_of_year",
+        rev_d.alias("revenue"),
+        trend_d.alias("trend"),
+        seasonal.alias("seasonal"),
+        (rev_d - trend_d - seasonal).alias("residual"),
+    )
+
+
+# Bot-detection thresholds (events/hour peak, max distinct types, minimum
+# volume; a user tripping >= 2 of 3 flags is marked). Oracle-mirrored.
+BOT_PEAK_PER_HOUR = 20
+BOT_MAX_TYPES = 2
+BOT_MIN_EVENTS = 50
+BOT_MIN_FLAGS = 2
+
+
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user bot/abuse heuristics — the traffic-hygiene gate a
+    training-data pipeline runs before user-derived text enters a corpus
+    (scripted clients poison engagement signals and duplicate content).
+    Three integer-exact signals per user: peak events in any single hour
+    (burstiness), distinct event types (behavioral diversity), and total
+    volume; >= BOT_MIN_FLAGS tripped flags marks the user.
+
+    Two map-side-combinable aggregations (user×hour, then user) — no
+    windows, no floats except the final mean-gap diagnostic (one exact
+    integer ratio divided once). Hour bucketing is pure epoch integer
+    arithmetic, bit-identical anywhere."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+        .cast("bigint")
+        .alias("epoch_s"),
+    )
+    hourly = (
+        base.withColumn("hour_bucket", F.expr("epoch_s div 3600"))
+        .groupBy("user_id", "hour_bucket")
+        .agg(F.count(F.lit(1)).alias("n_in_hour"))
+        .groupBy("user_id")
+        .agg(F.max("n_in_hour").alias("peak_per_hour"))
+    )
+    per_user = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.min("epoch_s").alias("first_s"),
+        F.max("epoch_s").alias("last_s"),
+    )
+    j = per_user.join(hourly, "user_id")
+    flags = (
+        F.when(F.col("peak_per_hour") >= F.lit(BOT_PEAK_PER_HOUR), F.lit(1)).otherwise(F.lit(0))
+        + F.when(F.col("n_types") <= F.lit(BOT_MAX_TYPES), F.lit(1)).otherwise(F.lit(0))
+        + F.when(F.col("n_events") >= F.lit(BOT_MIN_EVENTS), F.lit(1)).otherwise(F.lit(0))
+    )
+    mean_gap = F.when(
+        F.col("n_events") > F.lit(1),
+        (F.col("last_s") - F.col("first_s")).cast("double")
+        / (F.col("n_events") - F.lit(1)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        "peak_per_hour",
+        mean_gap.alias("mean_gap_seconds"),
+        flags.cast("bigint").alias("bot_flags"),
+        F.when(flags >= F.lit(BOT_MIN_FLAGS), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_bot"),
+    )
+
+
+def supplier_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier market concentration per nation: the Herfindahl–Hirschman
+    index Σᵢ shareᵢ² over each nation's supplier revenue shares, plus the
+    effective competitor count 1/HHI — the antitrust-style "is this
+    supply base concentrated?" metric.
+
+    Determinism: HHI = Σrᵢ²/(Σrᵢ)² needs SQUARES of revenues; per-supplier
+    revenue is an exact DECIMAL(·,4), rescaled to an integral DECIMAL(19,0)
+    (×10⁴) so the squares and their sum are EXACT wide integers (Spark
+    DECIMAL(38,0) ≡ oracle HUGEINT, the embedding_covariance convention —
+    a double sum of squares would be association-sensitive). The scale
+    factor cancels in the ratio; one double division at the end.
+
+    Scale: lineitem⋈supplier equi-join, two hash aggregates
+    (supplier, then nation) — all map-side-combinable."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name"
+    )
+    rev = _dec("l_extendedprice") * _one_minus("l_discount")
+    per_sup = (
+        li.join(sup, "l_suppkey")
+        .groupBy("l_suppkey", "s_nationkey")
+        .agg(F.sum(rev).alias("r"))
+        .select(
+            "s_nationkey",
+            (F.col("r") * F.lit(10000)).cast("decimal(19,0)").alias("ri"),
+        )
+    )
+    per_nation = per_sup.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("ri").cast("decimal(19,0)") * F.col("ri").cast("decimal(19,0)")).alias(
+            "sum_sq"
+        ),
+        F.sum("ri").alias("total"),
+    )
+    hhi = F.col("sum_sq").cast("double") / (
+        F.col("total").cast("double") * F.col("total").cast("double")
+    )
+    return per_nation.join(F.broadcast(nat), "s_nationkey").select(
+        "n_name",
+        "n_suppliers",
+        hhi.alias("hhi"),
+        (F.lit(1.0) / hhi).alias("effective_suppliers"),
+    )

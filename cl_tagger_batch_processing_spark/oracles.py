@@ -4641,3 +4641,104 @@ SELECT day, daily_count,
                  THEN 1 ELSE 0 END AS BIGINT) AS is_drift
 FROM ext
 """
+
+
+# Mirrors relational.orders_seasonal_decompose: DECIMAL monthly sums, 2×12
+# MA numerator kept ×24 (2·window − endpoints), exact detrending, one
+# double division per output column.
+ORACLE_SQL["orders_seasonal_decompose"] = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS ym,
+         CAST(month(o_orderdate) AS BIGINT) AS month_of_year,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+  FROM orders GROUP BY 1, 2
+),
+ma AS (
+  SELECT ym, month_of_year, rev,
+         SUM(rev) OVER w13 AS win_sum,
+         COUNT(*) OVER w13 AS win_n,
+         lag(rev, 6) OVER (ORDER BY ym) AS rev_m6,
+         lead(rev, 6) OVER (ORDER BY ym) AS rev_p6
+  FROM monthly
+  WINDOW w13 AS (ORDER BY ym ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+),
+tr AS (
+  SELECT ym, month_of_year, rev,
+         2 * win_sum - rev_m6 - rev_p6 AS num24,
+         rev * 24 - (2 * win_sum - rev_m6 - rev_p6) AS detr24
+  FROM ma WHERE win_n = 13
+),
+seas AS (
+  SELECT month_of_year, SUM(detr24) AS s_sum, COUNT(*) AS s_n
+  FROM tr GROUP BY month_of_year
+)
+SELECT t.ym, t.month_of_year,
+       CAST(t.rev AS DOUBLE) AS revenue,
+       CAST(t.num24 AS DOUBLE) / 24.0 AS trend,
+       CAST(s.s_sum AS DOUBLE) / (CAST(s.s_n AS DOUBLE) * 24.0) AS seasonal,
+       CAST(t.rev AS DOUBLE)
+         - CAST(t.num24 AS DOUBLE) / 24.0
+         - CAST(s.s_sum AS DOUBLE) / (CAST(s.s_n AS DOUBLE) * 24.0) AS residual
+FROM tr t JOIN seas s ON t.month_of_year = s.month_of_year
+"""
+
+# Mirrors relational.events_bot_detection: integer epoch hour buckets,
+# two-level aggregation, threshold constants sync-pinned (20 / 2 / 50 / 2).
+ORACLE_SQL["events_bot_detection"] = """
+WITH base AS (
+  SELECT user_id, event_type,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS epoch_s
+  FROM events
+),
+hourly AS (
+  SELECT user_id, MAX(n_in_hour) AS peak_per_hour
+  FROM (SELECT user_id, epoch_s // 3600 AS hour_bucket, COUNT(*) AS n_in_hour
+        FROM base GROUP BY 1, 2)
+  GROUP BY user_id
+),
+pu AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         COUNT(DISTINCT event_type) AS n_types,
+         MIN(epoch_s) AS first_s, MAX(epoch_s) AS last_s
+  FROM base GROUP BY user_id
+),
+j AS (
+  SELECT pu.*, h.peak_per_hour,
+         (CASE WHEN h.peak_per_hour >= 20 THEN 1 ELSE 0 END
+          + CASE WHEN pu.n_types <= 2 THEN 1 ELSE 0 END
+          + CASE WHEN pu.n_events >= 50 THEN 1 ELSE 0 END) AS flags
+  FROM pu JOIN hourly h ON pu.user_id = h.user_id
+)
+SELECT user_id, n_events, n_types, peak_per_hour,
+       CASE WHEN n_events > 1
+            THEN CAST(last_s - first_s AS DOUBLE) / CAST(n_events - 1 AS DOUBLE)
+            ELSE 0.0 END AS mean_gap_seconds,
+       CAST(flags AS BIGINT) AS bot_flags,
+       CAST(CASE WHEN flags >= 2 THEN 1 ELSE 0 END AS BIGINT) AS is_bot
+FROM j
+"""
+
+# Mirrors relational.supplier_herfindahl: ×10⁴ integral rescale, exact
+# HUGEINT (Spark: DECIMAL(38,0)) squares, one double division.
+ORACLE_SQL["supplier_herfindahl"] = """
+WITH per_sup AS (
+  SELECT s.s_nationkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))))
+              * 10000 AS HUGEINT) AS ri
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY l.l_suppkey, s.s_nationkey
+),
+per_nation AS (
+  SELECT s_nationkey, COUNT(*) AS n_suppliers,
+         SUM(ri * ri) AS sum_sq, SUM(ri) AS total
+  FROM per_sup GROUP BY s_nationkey
+)
+SELECT n.n_name, p.n_suppliers,
+       CAST(sum_sq AS DOUBLE)
+         / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)) AS hhi,
+       1.0 / (CAST(sum_sq AS DOUBLE)
+              / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)))
+         AS effective_suppliers
+FROM per_nation p JOIN nation n ON p.s_nationkey = n.n_nationkey
+"""

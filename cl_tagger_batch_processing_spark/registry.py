@@ -441,3 +441,6 @@ register("privacy_k_anonymity", curation.privacy_k_anonymity)
 register("embedding_covariance", similarity.embedding_covariance)
 register("corpus_weighted_sample", curation.corpus_weighted_sample)
 register("events_cusum_drift", relational.events_cusum_drift)
+register("orders_seasonal_decompose", relational.orders_seasonal_decompose)
+register("events_bot_detection", relational.events_bot_detection)
+register("supplier_herfindahl", relational.supplier_herfindahl)

@@ -1224,6 +1224,11 @@ def test_r7_constants_in_sync_with_oracles():
     assert "3.0 * sqrt" in cu_sql  # alarm threshold mirrored
     cov_sql = oracles.ORACLE_SQL["embedding_covariance"]
     assert "* 1000, 0" in cov_sql and "1000000.0" in cov_sql  # quant scale
+    assert (relational.BOT_PEAK_PER_HOUR, relational.BOT_MAX_TYPES) == (20, 2)
+    assert (relational.BOT_MIN_EVENTS, relational.BOT_MIN_FLAGS) == (50, 2)
+    bot_sql = oracles.ORACLE_SQL["events_bot_detection"]
+    assert ">= 20" in bot_sql and "<= 2" in bot_sql
+    assert ">= 50" in bot_sql and "flags >= 2" in bot_sql
 
 
 def test_word_pmi_invariants(spark, sf_dir):
@@ -1457,3 +1462,53 @@ def test_cusum_closed_form_matches_recurrence(spark, sf_dir):
         s_dn = max(0, s_dn - dev)
         assert r.cusum_up == s_up / n, r
         assert r.cusum_down == s_dn / n, r
+
+
+def test_seasonal_decompose_identity(spark, sf_dir):
+    """revenue = trend + seasonal + residual exactly (the additive
+    decomposition identity, by construction); the monthly spine is the
+    full-window interior; seasonal depends only on month_of_year."""
+    from cl_tagger_batch_processing_spark.operators import relational
+
+    rows = sorted(
+        relational.orders_seasonal_decompose(spark, sf_dir).collect(),
+        key=lambda r: r.ym,
+    )
+    assert rows
+    yms = [r.ym for r in rows]
+    assert yms == list(range(yms[0], yms[0] + len(yms)))  # contiguous interior
+    seas = {}
+    for r in rows:
+        assert r.revenue == r.trend + r.seasonal + r.residual or (
+            abs(r.revenue - (r.trend + r.seasonal + r.residual)) < 1e-9
+        )
+        seas.setdefault(r.month_of_year, set()).add(r.seasonal)
+    assert all(len(v) == 1 for v in seas.values())
+
+
+def test_bot_detection_replay(spark, sf_dir):
+    """Flags replay exactly from the emitted stats; every user appears
+    exactly once; bot iff >= 2 flags."""
+    from cl_tagger_batch_processing_spark.operators import relational
+
+    rows = relational.events_bot_detection(spark, sf_dir).collect()
+    assert len(rows) == len({r.user_id for r in rows})
+    for r in rows:
+        f = (
+            (1 if r.peak_per_hour >= 20 else 0)
+            + (1 if r.n_types <= 2 else 0)
+            + (1 if r.n_events >= 50 else 0)
+        )
+        assert r.bot_flags == f and r.is_bot == (1 if f >= 2 else 0), r
+
+
+def test_herfindahl_bounds(spark, sf_dir):
+    """1/n ≤ HHI ≤ 1 per nation; effective supplier count between 1 and n;
+    HHI equals the share-squared sum replayed from per-supplier revenue."""
+    from cl_tagger_batch_processing_spark.operators import relational
+
+    rows = relational.supplier_herfindahl(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1.0 / r.n_suppliers - 1e-12 <= r.hhi <= 1.0 + 1e-12, r
+        assert 1.0 - 1e-9 <= r.effective_suppliers <= r.n_suppliers + 1e-9, r
