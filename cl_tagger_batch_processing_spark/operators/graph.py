@@ -435,20 +435,40 @@ def graph_shortest_paths(
     recursion guard equals SP_MAX_ROUNDS (sync-pinned), and the Spark
     side RAISES if the budget is hit, so both engines cover the same
     depth or fail loudly."""
-    from ..checkpointing import checkpoint_with_metric
-
     edges = cooccurrence_edges(spark, sf_dir, min_support=min_support).transform(
         truncate_lineage
     )
     nodes = edges.select("src").distinct()
     seeds = nodes.orderBy("src").limit(SP_N_SEEDS)
-    n_rows = F.count(F.lit(1)).alias("n")
+    return bfs_distances(
+        edges, seeds, max_rounds=SP_MAX_ROUNDS, round_counter=round_counter
+    )
 
-    dist = seeds.select(F.col("src").alias("node"), F.lit(0).cast("bigint").alias("dist"))
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_rounds: int = SP_MAX_ROUNDS,
+    round_counter: list | None = None,
+) -> DataFrame:
+    """Frontier BFS core over a symmetric (src, dst) edge frame and a
+    single-column seed frame — factored out so synthetic graphs (budget
+    edge cases, chain diameters) are unit-testable without the fixture
+    edge builder."""
+    from ..checkpointing import checkpoint_with_metric
+
+    n_rows = F.count(F.lit(1)).alias("n")
+    seed_col = seeds.columns[0]
+    dist = seeds.select(
+        F.col(seed_col).alias("node"), F.lit(0).cast("bigint").alias("dist")
+    )
     dist, layer_size = checkpoint_with_metric(dist, n_rows)
     frontier = dist
     converged = False
-    for hop in range(1, SP_MAX_ROUNDS + 1):
+    # range is budget+1: proving the layer at dist == max_rounds is the
+    # LAST requires one extra (empty) expansion; a non-empty probe layer
+    # at budget+1 falls through to the raise and its rows are discarded
+    for hop in range(1, max_rounds + 2):
         if round_counter is not None:
             round_counter.append(1)
         if layer_size == 0:
@@ -467,9 +487,15 @@ def graph_shortest_paths(
         fresh, layer_size = checkpoint_with_metric(cand, n_rows)
         dist = truncate_lineage(dist.unionByName(fresh))
         frontier = fresh
+    # the layer computed by the FINAL budgeted hop may itself be empty —
+    # that is convergence (kcore's `range(budget + 1)` convention), not a
+    # budget overrun; without this check a graph of diameter exactly
+    # max_rounds raises while the oracle (dist <= budget) completes
+    if layer_size == 0:
+        converged = True
     if not converged:
         raise RuntimeError(
-            f"graph_shortest_paths did not drain its frontier within "
-            f"{SP_MAX_ROUNDS} hops — raise SP_MAX_ROUNDS"
+            f"bfs_distances did not drain its frontier within "
+            f"{max_rounds} hops — raise the round budget"
         )
     return dist

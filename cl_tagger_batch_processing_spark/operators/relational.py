@@ -1923,7 +1923,11 @@ def brand_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.withColumn("_num", cov_n)
         .withColumn("_denx", varx_n)
         .withColumn("_deny", vary_n)
-        .where((F.col("n_rows") >= F.lit(2)) & (F.col("_denx") != F.lit(0.0)))
+        .where(
+            (F.col("n_rows") >= F.lit(2))
+            & (F.col("_denx") != F.lit(0.0))
+            & (F.col("_deny") != F.lit(0.0))  # zero price variance: r² is 0/0
+        )
         .select(
             "p_brand",
             "n_rows",
@@ -1933,6 +1937,23 @@ def brand_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "r2"
             ),
         )
+    )
+
+
+def _daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, daily_count) per UTC epoch day — the shared spine for the
+    daily time-series operators (EWMA baseline, CUSUM drift). Pure integer
+    epoch arithmetic, one map-side-combinable groupBy."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.expr("unix_micros(cast(ts as timestamp)) div 1000000 div 86400")
+            .cast("bigint")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("daily_count"))
     )
 
 
@@ -1955,39 +1976,36 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent — and the smoothed value is one double division at
     the end. No float accumulation anywhere.
 
-    Scale: daily counts are one map-side-combinable groupBy; the window
-    is expressed as explode(sequence(0,29)) + re-aggregate — an equi
-    groupBy, no range join, no per-row window state. The day spine is
-    calendar-bounded (~thousands of rows at ANY data scale), so the
-    single-partition row_number window over it is a constant-size frame,
-    not a data-scale hazard."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            F.expr("unix_micros(cast(ts as timestamp)) div 1000000 div 86400")
-            .cast("bigint")
-            .alias("day")
-        )
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    Decay is by CALENDAR day (each source day contributes to the 30
+    calendar days after it), so a zero-event gap day correctly costs a
+    halving — decaying by observed-row index would treat days across a
+    gap as consecutive. The weight denominator sums only the days that
+    exist, which is exactly pandas' adjust=True normalization over the
+    available observations.
+
+    Scale: daily counts are one map-side-combinable groupBy (shared with
+    events_cusum_drift); the window is expressed as explode(sequence) +
+    re-aggregate — an equi groupBy, no range join, no per-row window
+    state, no ordering spine at all."""
+    daily = _daily_event_counts(spark, sf_dir).withColumnRenamed(
+        "daily_count", "cnt"
     )
-    t = F.row_number().over(Window.orderBy("day")).cast("bigint")
-    indexed = daily.withColumn("t", t)
     weight = F.expr(f"shiftleft(cast(1 as bigint), {EWMA_SHIFT} - lag)")
-    contrib = indexed.select(
-        "t",
+    contrib = daily.select(
+        "day",
         "cnt",
         F.explode(F.sequence(F.lit(0), F.lit(EWMA_SHIFT))).alias("lag"),
     ).select(
-        (F.col("t") + F.col("lag")).alias("tt"),
+        (F.col("day") + F.col("lag")).alias("target_day"),
         (F.col("cnt") * weight).alias("wcnt"),
         weight.alias("w"),
     )
-    smoothed = contrib.groupBy("tt").agg(
+    smoothed = contrib.groupBy("target_day").agg(
         F.sum("wcnt").alias("_num"), F.sum("w").alias("_den")
     )
-    return indexed.join(smoothed, indexed.t == smoothed.tt).select(
+    return daily.join(
+        smoothed, daily.day == smoothed.target_day
+    ).select(
         "day",
         "cnt",
         (F.col("_num").cast("double") / F.col("_den").cast("double")).alias("ewma"),
@@ -2097,17 +2115,7 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     The day spine is calendar-bounded, so the single-partition cumulative
     windows are constant-size frames at any data scale (the
     events_ewma_daily argument)."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            F.expr("unix_micros(cast(ts as timestamp)) div 1000000 div 86400")
-            .cast("bigint")
-            .alias("day")
-        )
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).alias("daily_count"))
-    )
+    daily = _daily_event_counts(spark, sf_dir)
     tot = daily.agg(
         F.sum("daily_count").alias("c_total"), F.count(F.lit(1)).alias("n_days")
     )
@@ -2189,10 +2197,24 @@ def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     seas = trended.groupBy("month_of_year").agg(
         F.sum("detr24").alias("s_sum"), F.count(F.lit(1)).alias("s_n")
     )
-    seasonal = F.col("s_sum").cast("double") / (
+    raw_seasonal = F.col("s_sum").cast("double") / (
         F.col("s_n").cast("double") * 24.0
     )
-    joined = trended.join(F.broadcast(seas), "month_of_year")
+    # classical decomposition CENTERS the seasonal indices (they must sum
+    # to ~0 so trend keeps the level): subtract the mean of the month
+    # means. The 12-term mean uses the round-to-9dp → DECIMAL(28,9) exact
+    # sum (order-independent), the repo's float-mean convention.
+    grand = seas.agg(
+        (
+            F.sum(F.round(raw_seasonal, 9).cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("seasonal_mean")
+    )
+    seas_centered = seas.crossJoin(F.broadcast(grand)).select(
+        "month_of_year",
+        (raw_seasonal - F.col("seasonal_mean")).alias("seasonal"),
+    )
+    joined = trended.join(F.broadcast(seas_centered), "month_of_year")
     rev_d = F.col("rev").cast("double")
     trend_d = F.col("num24").cast("double") / 24.0
     return joined.select(
@@ -2200,8 +2222,8 @@ def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month_of_year",
         rev_d.alias("revenue"),
         trend_d.alias("trend"),
-        seasonal.alias("seasonal"),
-        (rev_d - trend_d - seasonal).alias("residual"),
+        F.col("seasonal"),
+        (rev_d - trend_d - F.col("seasonal")).alias("residual"),
     )
 
 
@@ -2308,9 +2330,7 @@ def supplier_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_nation = per_sup.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("n_suppliers"),
-        F.sum(F.col("ri").cast("decimal(19,0)") * F.col("ri").cast("decimal(19,0)")).alias(
-            "sum_sq"
-        ),
+        F.sum(F.col("ri") * F.col("ri")).alias("sum_sq"),
         F.sum("ri").alias("total"),
     )
     hhi = F.col("sum_sq").cast("double") / (

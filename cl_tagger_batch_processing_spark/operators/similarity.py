@@ -1138,9 +1138,12 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     varx = d("n_vecs") * d("sxx") - d("sx") * d("sx")
     vary = d("n_vecs") * d("syy") - d("sy") * d("sy")
     cov = num.cast("double") / (n * n * 1000000.0)
-    corr = num.cast("double") / F.sqrt(
-        varx.cast("double") * vary.cast("double")
-    )
+    # a constant (dead) dimension has zero variance: corr is 0/0 there —
+    # emit NULL explicitly on BOTH engines (Spark's non-ANSI division
+    # would give NULL vs DuckDB's IEEE NaN, a value-hash trap on exactly
+    # the pathology this QA operator exists to surface)
+    denom = varx.cast("double") * vary.cast("double")
+    corr = F.when(denom != F.lit(0.0), num.cast("double") / F.sqrt(denom))
     return agg.select(
         "dim_i",
         "dim_j",

@@ -4381,7 +4381,7 @@ SELECT p_brand, n_rows,
        (syd - (num / denx) * sxd) / nd AS intercept,
        (num * num) / (denx * deny) AS r2
 FROM d
-WHERE n_rows >= 2 AND denx <> 0
+WHERE n_rows >= 2 AND denx <> 0 AND deny <> 0
 """
 
 # Mirrors relational.events_ewma_daily: exact power-of-two weights as
@@ -4393,24 +4393,20 @@ WITH daily AS (
          COUNT(*) AS cnt
   FROM events GROUP BY 1
 ),
-indexed AS (
-  SELECT day, cnt,
-         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
-  FROM daily
-),
 contrib AS (
-  SELECT i.t + u.lag AS tt,
-         i.cnt * (CAST(1 AS BIGINT) << CAST(29 - u.lag AS INTEGER)) AS wcnt,
+  SELECT d.day + u.lag AS target_day,
+         d.cnt * (CAST(1 AS BIGINT) << CAST(29 - u.lag AS INTEGER)) AS wcnt,
          CAST(1 AS BIGINT) << CAST(29 - u.lag AS INTEGER) AS w
-  FROM indexed i
+  FROM daily d
   CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS lag) u
 ),
 sm AS (
-  SELECT tt, SUM(wcnt) AS num, SUM(w) AS den FROM contrib GROUP BY tt
+  SELECT target_day, SUM(wcnt) AS num, SUM(w) AS den
+  FROM contrib GROUP BY target_day
 )
-SELECT i.day, i.cnt,
+SELECT d.day, d.cnt,
        CAST(sm.num AS DOUBLE) / CAST(sm.den AS DOUBLE) AS ewma
-FROM indexed i JOIN sm ON i.t = sm.tt
+FROM daily d JOIN sm ON d.day = sm.target_day
 """
 
 # Mirrors graph.graph_shortest_paths: same co-occurrence graph, seeds =
@@ -4571,8 +4567,10 @@ wide AS (
 SELECT dim_i, dim_j, n_vecs,
        CAST(num AS DOUBLE)
          / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs AS DOUBLE) * 1000000.0) AS cov,
-       round(CAST(num AS DOUBLE)
-             / sqrt(CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)), 9) AS corr
+       CASE WHEN CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE) <> 0.0
+            THEN round(CAST(num AS DOUBLE)
+                       / sqrt(CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)), 9)
+            ELSE NULL END AS corr
 FROM wide
 """
 
@@ -4671,15 +4669,28 @@ tr AS (
 seas AS (
   SELECT month_of_year, SUM(detr24) AS s_sum, COUNT(*) AS s_n
   FROM tr GROUP BY month_of_year
+),
+grand AS (
+  SELECT CAST(SUM(CAST(round(CAST(s_sum AS DOUBLE)
+                             / (CAST(s_n AS DOUBLE) * 24.0), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS seasonal_mean
+  FROM seas
+),
+sc AS (
+  SELECT month_of_year,
+         CAST(s_sum AS DOUBLE) / (CAST(s_n AS DOUBLE) * 24.0)
+           - g.seasonal_mean AS seasonal
+  FROM seas CROSS JOIN grand g
 )
 SELECT t.ym, t.month_of_year,
        CAST(t.rev AS DOUBLE) AS revenue,
        CAST(t.num24 AS DOUBLE) / 24.0 AS trend,
-       CAST(s.s_sum AS DOUBLE) / (CAST(s.s_n AS DOUBLE) * 24.0) AS seasonal,
+       s.seasonal AS seasonal,
        CAST(t.rev AS DOUBLE)
          - CAST(t.num24 AS DOUBLE) / 24.0
-         - CAST(s.s_sum AS DOUBLE) / (CAST(s.s_n AS DOUBLE) * 24.0) AS residual
-FROM tr t JOIN seas s ON t.month_of_year = s.month_of_year
+         - s.seasonal AS residual
+FROM tr t JOIN sc s ON t.month_of_year = s.month_of_year
 """
 
 # Mirrors relational.events_bot_detection: integer epoch hour buckets,

@@ -1207,9 +1207,8 @@ def test_r7_constants_in_sync_with_oracles():
     assert "<< CAST(56 - m AS INTEGER)" in hll_sql and "<= 160.0" in hll_sql
     assert str(1 << 56) in hll_sql  # the exact 2^56 scale literal
     from cl_tagger_batch_processing_spark.operators import curation
-    from cl_tagger_batch_processing_spark.operators import text as _t
 
-    assert (_t.CMS_DEPTH, _t.CMS_WIDTH, _t.CMS_TOP_K) == (4, 256, 50)
+    assert (text_ops.CMS_DEPTH, text_ops.CMS_WIDTH, text_ops.CMS_TOP_K) == (4, 256, 50)
     cms_sql = oracles.ORACLE_SQL["text_heavy_hitters_cms"]
     assert "generate_series(0, 3)" in cms_sql and "% 256" in cms_sql
     assert "LIMIT 50" in cms_sql
@@ -1484,6 +1483,9 @@ def test_seasonal_decompose_identity(spark, sf_dir):
         )
         seas.setdefault(r.month_of_year, set()).add(r.seasonal)
     assert all(len(v) == 1 for v in seas.values())
+    # centered: the 12 seasonal indices average to ~0 (classical form)
+    idx = [next(iter(v)) for v in seas.values()]
+    assert abs(sum(idx) / len(idx)) < 1e-6 * max(abs(r.revenue) for r in rows)
 
 
 def test_bot_detection_replay(spark, sf_dir):
@@ -1512,3 +1514,27 @@ def test_herfindahl_bounds(spark, sf_dir):
     for r in rows:
         assert 1.0 / r.n_suppliers - 1e-12 <= r.hhi <= 1.0 + 1e-12, r
         assert 1.0 - 1e-9 <= r.effective_suppliers <= r.n_suppliers + 1e-9, r
+
+
+def test_bfs_exact_budget_diameter_converges(spark):
+    """A path graph whose farthest node is exactly max_rounds hops out must
+    COMPLETE (the final budgeted layer drains the frontier) — pins the
+    off-by-one where diameter == budget spuriously raised; one hop beyond
+    the budget must still raise."""
+    import pytest as _pytest
+
+    from cl_tagger_batch_processing_spark.operators.graph import bfs_distances
+
+    def chain(n):
+        fwd = [(i, i + 1) for i in range(n - 1)]
+        sym = fwd + [(b, a) for a, b in fwd]
+        return spark.createDataFrame(sym, "src bigint, dst bigint")
+
+    seeds = spark.createDataFrame([(0,)], "node bigint")
+    got = {
+        r.node: r.dist
+        for r in bfs_distances(chain(5), seeds, max_rounds=4).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}  # diameter == budget: ok
+    with _pytest.raises(RuntimeError, match="frontier"):
+        bfs_distances(chain(6), seeds, max_rounds=4).collect()
