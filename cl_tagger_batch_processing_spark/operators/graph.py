@@ -499,3 +499,58 @@ def bfs_distances(
             f"{max_rounds} hops — raise the round budget"
         )
     return dist
+
+
+# Synchronous label propagation: fixed round count (the deterministic LPA
+# variant — convergence of async LPA is order-dependent, so the engine
+# runs exactly LPA_ROUNDS synchronized supersteps with a (count DESC,
+# label ASC) tie-break). Mirrored in the oracle's chained CTEs.
+LPA_ROUNDS = 4
+
+
+def graph_lpa_communities(
+    spark: SparkSession,
+    sf_dir: str,
+    min_support: int = PR_MIN_SUPPORT,
+    rounds: int = LPA_ROUNDS,
+) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    co-occurrence graph — the cheap modularity-style clustering that
+    (unlike connected components) SPLITS a connected graph into dense
+    neighborhoods: each superstep every node adopts the most common label
+    among its neighbors (ties → smallest label), starting from
+    label = node id.
+
+    Determinism: asynchronous LPA (the textbook default) depends on visit
+    order, so this is the SYNCHRONOUS fixed-round variant with a total
+    tie-break — bit-identical output on any engine/partitioning. Each
+    superstep is one equi-join (labels ⋈ edges), one map-side-combinable
+    count aggregate, and one per-node top-1 window; the label frame is
+    checkpointed per round (local or reliable mode). Round count is fixed
+    (not converged): LPA on large graphs oscillates, and the standard
+    practice is a small fixed budget.
+
+    Output: (node, community, community_size); community ids are label
+    values (node ids), deterministic."""
+    edges = cooccurrence_edges(spark, sf_dir, min_support=min_support).transform(
+        truncate_lineage
+    )
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").cast("bigint").alias("label")
+    )
+    for _ in range(rounds):
+        votes = (
+            labels.join(edges, labels.node == edges.src)
+            .groupBy(F.col("dst").alias("n2"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("n2").orderBy(F.desc("c"), F.asc("label"))
+        labels = truncate_lineage(
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("n2").alias("node"), "label")
+        )
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
+    return labels.join(sizes, "label").select(
+        "node", F.col("label").alias("community"), "community_size"
+    )

@@ -2342,3 +2342,112 @@ def supplier_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
         hhi.alias("hhi"),
         (F.lit(1.0) / hhi).alias("effective_suppliers"),
     )
+
+
+# Entity-resolution blocking: block key = (first name word, p_size),
+# oversized-block guard, and the edit-distance match threshold. Mirrored
+# in the oracle — sync-pinned.
+ER_BLOCK_CAP = 64
+ER_LEV_MAX = 2
+
+
+def er_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate generation — blocking + within-block
+    edit-distance scoring, the classic scalable ER shape (Fellegi-Sunter
+    pipelines, dedupe.io, Splink all start here): never compare all
+    pairs; compare only within cheap blocking keys, and guard against
+    pathological blocks the same way dedup guards hot shingles (max_df).
+
+    Blocks are (first word of p_name, p_size); blocks larger than
+    ER_BLOCK_CAP are DROPPED (reported work stays linear — an oversized
+    block is a failed blocking key, not a license for an n² join).
+    Within a block, pairs (a < b) score levenshtein(name_a, name_b) —
+    identical integer edit distance on both engines — and survive at
+    <= ER_LEV_MAX. One bounded self-join co-partitioned on the block key;
+    everything else is map-side."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_size"
+    )
+    keyed = part.select(
+        F.split(F.col("p_name"), " ").getItem(0).alias("block_word"),
+        F.col("p_size").cast("bigint").alias("p_size"),
+        "p_partkey",
+        "p_name",
+    )
+    sizes = keyed.groupBy("block_word", "p_size").agg(
+        F.count(F.lit(1)).alias("block_size")
+    )
+    ok_blocks = sizes.where(F.col("block_size") <= F.lit(ER_BLOCK_CAP))
+    blocked = keyed.join(ok_blocks, ["block_word", "p_size"])
+    a = blocked.select(
+        "block_word",
+        "p_size",
+        "block_size",
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = blocked.select(
+        "block_word",
+        "p_size",
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    pairs = a.join(b, ["block_word", "p_size"]).where(
+        F.col("part_a") < F.col("part_b")
+    )
+    lev = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return pairs.withColumn("lev_dist", lev.cast("bigint")).where(
+        F.col("lev_dist") <= F.lit(ER_LEV_MAX)
+    ).select(
+        "block_word",
+        "p_size",
+        "block_size",
+        "part_a",
+        "part_b",
+        "name_a",
+        "name_b",
+        "lev_dist",
+    )
+
+
+def orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time open-order backlog — the interval-stabbing /
+    as-of-inventory pattern: an order opens at o_orderdate and closes
+    after its LAST lineitem ships; the backlog at any day is (openings so
+    far) − (closings so far). Computed as the classic +1/−1 event-delta
+    union with an exact integer running sum over the day spine — no
+    per-day interval join, no point-in-time snapshot explosion (the
+    technique that turns "how many open at time t, for all t" from O(n·t)
+    into one sort).
+
+    All counts and running sums are exact BIGINTs; the day spine is
+    calendar-bounded (constant-size window at any data volume). Orders
+    with no lineitems never close (the synthetic fixture has a small
+    tail of these, unlike strict TPC-H), so the series legitimately ends
+    at a positive standing backlog."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    closes = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("close_date")
+    )
+    opens = orders.select(
+        F.to_date("o_orderdate").alias("day"), F.lit(1).cast("bigint").alias("opened"),
+        F.lit(0).cast("bigint").alias("closed"),
+    )
+    closed = closes.select(
+        F.col("close_date").alias("day"), F.lit(0).cast("bigint").alias("opened"),
+        F.lit(1).cast("bigint").alias("closed"),
+    )
+    deltas = (
+        opens.unionByName(closed)
+        .groupBy("day")
+        .agg(F.sum("opened").alias("n_opened"), F.sum("closed").alias("n_closed"))
+    )
+    cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return deltas.select(
+        "day",
+        "n_opened",
+        "n_closed",
+        (F.sum("n_opened").over(cum) - F.sum("n_closed").over(cum)).alias("backlog"),
+    )

@@ -4753,3 +4753,98 @@ SELECT n.n_name, p.n_suppliers,
          AS effective_suppliers
 FROM per_nation p JOIN nation n ON p.s_nationkey = n.n_nationkey
 """
+
+
+# Mirrors relational.er_blocking_pairs: (first word, size) blocks, cap 64,
+# levenshtein <= 2 — identical integer edit distance. Sync-pinned.
+ORACLE_SQL["er_blocking_pairs"] = """
+WITH keyed AS (
+  SELECT string_split(p_name, ' ')[1] AS block_word,
+         CAST(p_size AS BIGINT) AS p_size, p_partkey, p_name
+  FROM part
+),
+sizes AS (
+  SELECT block_word, p_size, COUNT(*) AS block_size
+  FROM keyed GROUP BY block_word, p_size
+),
+blocked AS (
+  SELECT k.*, s.block_size
+  FROM keyed k JOIN sizes s USING (block_word, p_size)
+  WHERE s.block_size <= 64
+)
+SELECT a.block_word, a.p_size, a.block_size,
+       a.p_partkey AS part_a, b.p_partkey AS part_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev_dist
+FROM blocked a
+JOIN blocked b
+  ON a.block_word = b.block_word AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+# Mirrors relational.orders_backlog_timeseries: +1/-1 event deltas on the
+# day spine, exact BIGINT running sums.
+ORACLE_SQL["orders_backlog_timeseries"] = """
+WITH closes AS (
+  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close_date
+  FROM lineitem GROUP BY l_orderkey
+),
+deltas AS (
+  SELECT day, SUM(opened) AS n_opened, SUM(closed) AS n_closed
+  FROM (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(1 AS BIGINT) AS opened, CAST(0 AS BIGINT) AS closed
+    FROM orders
+    UNION ALL
+    SELECT close_date AS day,
+           CAST(0 AS BIGINT) AS opened, CAST(1 AS BIGINT) AS closed
+    FROM closes
+  )
+  GROUP BY day
+)
+SELECT day, n_opened, n_closed,
+       SUM(n_opened) OVER w - SUM(n_closed) OVER w AS backlog
+FROM deltas
+WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+# Mirrors graph.graph_lpa_communities: fixed synchronous supersteps with
+# (count DESC, label ASC) tie-break; AS MATERIALIZED is load-bearing
+# (edges and each round are referenced downstream — without it DuckDB
+# inlines the chain exponentially).
+def _lpa_sql(rounds: int = 4) -> str:
+    ctes = [
+        _PR_GRAPH_CTES,
+        "e0 AS MATERIALIZED (SELECT src, dst FROM edges)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node,"
+        " CAST(src AS BIGINT) AS label FROM e0)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT e.dst AS node, l.label, COUNT(*) AS c,
+           row_number() OVER (PARTITION BY e.dst
+                              ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+    FROM e0 e JOIN l{i - 1} l ON e.src = l.node
+    GROUP BY e.dst, l.label
+  ) WHERE rn = 1
+)""".strip()
+        )
+    ctes.append(
+        f"sizes AS (SELECT label, COUNT(*) AS community_size"
+        f" FROM l{rounds} GROUP BY label)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT l.node, l.label AS community, s.community_size
+FROM l{rounds} l JOIN sizes s USING (label)
+"""
+    )
+
+
+ORACLE_SQL["graph_lpa_communities"] = _lpa_sql()

@@ -444,3 +444,6 @@ register("events_cusum_drift", relational.events_cusum_drift)
 register("orders_seasonal_decompose", relational.orders_seasonal_decompose)
 register("events_bot_detection", relational.events_bot_detection)
 register("supplier_herfindahl", relational.supplier_herfindahl)
+register("er_blocking_pairs", relational.er_blocking_pairs)
+register("orders_backlog_timeseries", relational.orders_backlog_timeseries)
+register("graph_lpa_communities", graph.graph_lpa_communities)

@@ -1228,6 +1228,15 @@ def test_r7_constants_in_sync_with_oracles():
     bot_sql = oracles.ORACLE_SQL["events_bot_detection"]
     assert ">= 20" in bot_sql and "<= 2" in bot_sql
     assert ">= 50" in bot_sql and "flags >= 2" in bot_sql
+    assert (relational.ER_BLOCK_CAP, relational.ER_LEV_MAX) == (64, 2)
+    er_sql = oracles.ORACLE_SQL["er_blocking_pairs"]
+    assert "block_size <= 64" in er_sql
+    assert "levenshtein(a.p_name, b.p_name) <= 2" in er_sql
+    assert graph.LPA_ROUNDS == 4
+    import inspect as _inspect
+
+    assert _inspect.signature(oracles._lpa_sql).parameters["rounds"].default == 4
+    assert "l4 l JOIN sizes" in oracles.ORACLE_SQL["graph_lpa_communities"]
 
 
 def test_word_pmi_invariants(spark, sf_dir):
@@ -1538,3 +1547,76 @@ def test_bfs_exact_budget_diameter_converges(spark):
     assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}  # diameter == budget: ok
     with _pytest.raises(RuntimeError, match="frontier"):
         bfs_distances(chain(6), seeds, max_rounds=4).collect()
+
+
+def test_er_blocking_guard_and_symmetry(spark, sf_dir):
+    """Every emitted pair shares its block key, respects the cap, carries
+    a <= threshold distance, and appears once with part_a < part_b."""
+    from cl_tagger_batch_processing_spark.operators import relational
+
+    rows = relational.er_blocking_pairs(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert (r.part_a, r.part_b) not in seen
+        seen.add((r.part_a, r.part_b))
+        assert r.block_size <= relational.ER_BLOCK_CAP
+        assert r.lev_dist <= relational.ER_LEV_MAX
+        assert r.name_a.split(" ")[0] == r.block_word
+        assert r.name_b.split(" ")[0] == r.block_word
+
+
+def test_backlog_conservation(spark, sf_dir):
+    """Every order opens; exactly the orders WITH lineitems close (the
+    fixture has a small no-lineitem tail that stays open); backlog is the
+    exact delta prefix sum, never negative, ending at the standing
+    open-forever count."""
+    from pyspark.sql import functions as F
+
+    from cl_tagger_batch_processing_spark.operators import relational
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+
+    rows = sorted(
+        relational.orders_backlog_timeseries(spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    n_orders = orders.count()
+    n_shipped = (
+        orders.join(
+            load_table(spark, sf_dir, "lineitem").select(
+                F.col("l_orderkey").alias("o_orderkey")
+            ),
+            "o_orderkey",
+            "left_semi",
+        ).count()
+    )
+    assert sum(r.n_opened for r in rows) == n_orders
+    assert sum(r.n_closed for r in rows) == n_shipped
+    run = 0
+    for r in rows:
+        run += r.n_opened - r.n_closed
+        assert r.backlog == run
+        assert r.backlog >= 0, r
+    assert rows[-1].backlog == n_orders - n_shipped
+
+
+def test_lpa_communities_refine_components(spark, sf_dir):
+    """Every LPA community lies inside one connected component (labels
+    propagate only along edges), every node is labeled exactly once, and
+    sizes roll up correctly."""
+    from collections import Counter
+
+    from cl_tagger_batch_processing_spark.operators import graph
+
+    lpa = graph.graph_lpa_communities(spark, sf_dir).collect()
+    comp = {r.node: r.component_id for r in graph.graph_components(spark, sf_dir).collect()}
+    assert len(lpa) == len({r.node for r in lpa}) == len(comp)
+    by_comm = {}
+    for r in lpa:
+        by_comm.setdefault(r.community, set()).add(comp[r.node])
+    assert all(len(v) == 1 for v in by_comm.values())
+    sizes = Counter(r.community for r in lpa)
+    for r in lpa:
+        assert r.community_size == sizes[r.community]
