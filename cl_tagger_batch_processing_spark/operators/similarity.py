@@ -1151,3 +1151,156 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         cov.alias("cov"),
         F.round(corr, 9).alias("corr"),
     )
+
+
+# Spectral iteration: number of SQUARINGS (effective matrix power
+# 2^PI_SQUARINGS = 4096) and the entry scale (1e6). The rescale uses the
+# nonneg-shifted floor division. Mirrored in the oracle's chained CTEs.
+PI_SQUARINGS = 12
+PI_SCALE = 1_000_000
+
+
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding space by REPEATED
+    MATRIX SQUARING — PCA's first axis with PageRank-grade determinism:
+    all arithmetic in scaled integers, so every superstep is bit-identical
+    on any engine/partition order. Squaring is the right iteration here:
+    the embedding spectrum is nearly flat (λ₂/λ₁ ≈ 0.99 on the fixture),
+    where plain power iteration needs hundreds of data-independent rounds
+    but 12 squarings reach the effective power N^4096 ((λ₂/λ₁)^4096 ≈ 0)
+    in 12 constant-size d×d joins.
+
+    Layout: the corpus is touched ONCE (the covariance sufficient
+    statistics — the same single-pass groupBy as embedding_covariance);
+    the iteration runs on d×d integer matrices whose entries are clamped
+    to ±1e6 per round by the nonneg-shifted floor rescale
+    ((x+m)·S div m − S, m = max|x|), which floors identically on both
+    engines (Spark `div` ≡ DuckDB `//` for non-negative operands — the
+    negative-operand divergence is designed away by the +m shift).
+    Mid-squaring products are ≤ d·S² ≈ 2^46: BIGINT-safe; only the
+    initial covariance numerators need wide integers.
+
+    After the last squaring M ≈ c·vvᵀ, so the column with the largest
+    absolute-value mass IS the eigenvector (deterministic smallest-index
+    tie-break); sign fixes the smallest nonzero dim positive; the
+    Rayleigh quotient on the ORIGINAL exact numerators divides once in
+    double. Output: (dim, loading ∈ [−1,1] ∞-normalized, eigenvalue
+    constant across rows)."""
+    from ..operators.dedup import quantized_embeddings
+
+    base = quantized_embeddings(spark, sf_dir).select("vec_id", "qv")
+    pe = base.select("vec_id", F.posexplode("qv").alias("p", "x")).select(
+        "vec_id", (F.col("p") + 1).cast("bigint").alias("dim"), F.col("x")
+    )
+    left = pe.select("vec_id", F.col("dim").alias("dim_i"), F.col("x").alias("xi"))
+    right = pe.select("vec_id", F.col("dim").alias("dim_j"), F.col("x").alias("xj"))
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")
+    nmat = truncate_lineage(
+        left.join(right, "vec_id")
+        .groupBy("dim_i", "dim_j")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("xi").alias("sx"),
+            F.sum("xj").alias("sy"),
+            F.sum(F.col("xi") * F.col("xj")).alias("sxy"),
+        )
+        .select(
+            "dim_i",
+            "dim_j",
+            "n_vecs",
+            (d19("n_vecs") * d19("sxy") - d19("sx") * d19("sy")).alias("num"),
+        )
+    )
+
+    def rescale(frame: DataFrame, col: str) -> DataFrame:
+        """Clamp entries to ±PI_SCALE via the nonneg-shifted floor (exact,
+        engine-portable); the m=0 matrix is kept as-is (degenerate)."""
+        m = frame.agg(F.max(F.abs(F.col(col))).alias("m"))
+        return frame.crossJoin(F.broadcast(m)).select(
+            "dim_i",
+            "dim_j",
+            F.when(F.col("m") == F.lit(0), F.col(col).cast("decimal(38,0)"))
+            .otherwise(
+                # widen BEFORE the ×scale shift: (p+m)·1e6 overflows BIGINT
+                F.expr(
+                    f"((CAST({col} AS DECIMAL(38,0))"
+                    f" + CAST(m AS DECIMAL(38,0))) * {PI_SCALE}) div m"
+                )
+                - F.lit(PI_SCALE)
+            )
+            .cast("bigint")
+            .alias("v"),
+        )
+
+    mat = truncate_lineage(rescale(nmat, "num"))
+    for _ in range(PI_SQUARINGS):
+        a = mat.select(
+            F.col("dim_i"), F.col("dim_j").alias("k"), F.col("v").alias("va")
+        )
+        b = mat.select(
+            F.col("dim_i").alias("k"), F.col("dim_j"), F.col("v").alias("vb")
+        )
+        prod = (
+            a.join(b, "k")
+            .groupBy("dim_i", "dim_j")
+            .agg(F.sum(F.col("va") * F.col("vb")).alias("p"))
+        )
+        mat = truncate_lineage(rescale(prod, "p"))
+    # the heaviest column of M ≈ c·vvᵀ is the eigenvector; smallest-index
+    # tie-break makes the choice total
+    colmass = mat.groupBy("dim_j").agg(F.sum(F.abs(F.col("v"))).alias("mass"))
+    best = colmass.orderBy(F.desc("mass"), F.asc("dim_j")).limit(1).select("dim_j")
+    v = mat.join(F.broadcast(best), "dim_j").select(
+        F.col("dim_i").alias("dim"), F.col("v").alias("u")
+    )
+    vm = v.agg(F.max(F.abs(F.col("u"))).alias("m"))
+    v = v.crossJoin(F.broadcast(vm)).select(
+        "dim",
+        F.when(F.col("m") == F.lit(0), F.lit(PI_SCALE))
+        .otherwise(F.expr(f"((u + m) * {PI_SCALE}) div m") - F.lit(PI_SCALE))
+        .cast("bigint")
+        .alias("v"),
+    )
+    sign_row = v.where(F.col("v") != 0).orderBy("dim").limit(1)
+    sgn = sign_row.select(
+        F.when(F.col("v") < 0, F.lit(-1)).otherwise(F.lit(1)).alias("sgn")
+    )
+    signed = v.crossJoin(F.broadcast(sgn)).select(
+        "dim", (F.col("v") * F.col("sgn")).alias("v")
+    )
+    # Rayleigh quotient of the true covariance: (vᵀNv / vᵀv) / (n²·10⁶)
+    uv = (
+        nmat.join(
+            F.broadcast(
+                signed.select(F.col("dim").alias("dim_j"), F.col("v").alias("vj"))
+            ),
+            "dim_j",
+        )
+        .join(
+            F.broadcast(
+                signed.select(F.col("dim").alias("dim_i"), F.col("v").alias("vi"))
+            ),
+            "dim_i",
+        )
+        .agg(
+            F.sum(F.col("vi") * F.col("num") * F.col("vj")).alias("vnv"),
+            F.max("n_vecs").alias("n_vecs"),
+        )
+    )
+    vtv = signed.agg(F.sum(F.col("v") * F.col("v")).alias("vtv"))
+    eig = uv.crossJoin(F.broadcast(vtv)).select(
+        (
+            F.col("vnv").cast("double")
+            / F.col("vtv").cast("double")
+            / (
+                F.col("n_vecs").cast("double")
+                * F.col("n_vecs").cast("double")
+                * 1000000.0
+            )
+        ).alias("eigenvalue")
+    )
+    return signed.crossJoin(F.broadcast(eig)).select(
+        "dim",
+        (F.col("v").cast("double") / F.lit(float(PI_SCALE))).alias("loading"),
+        "eigenvalue",
+    )

@@ -4848,3 +4848,95 @@ FROM l{rounds} l JOIN sizes s USING (label)
 
 
 ORACLE_SQL["graph_lpa_communities"] = _lpa_sql()
+
+
+# Mirrors similarity.embedding_pca_power_iteration: exact HUGEINT
+# covariance numerators, PI_SQUARINGS repeated matrix squarings with the
+# nonneg-shifted floor rescale to ±1e6, heaviest-column eigenvector
+# extraction, identical sign convention and Rayleigh quotient.
+# AS MATERIALIZED is load-bearing per round.
+def _pca_power_sql(squarings: int = 12, scale: int = 1_000_000) -> str:
+    ctes = [
+        """pe AS MATERIALIZED (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000, 0) AS BIGINT) AS x
+  FROM embeddings
+)""".strip(),
+        """nm AS MATERIALIZED (
+  SELECT a.dim AS dim_i, b.dim AS dim_j, COUNT(*) AS n_vecs,
+         CAST(COUNT(*) AS HUGEINT) * CAST(SUM(a.x * b.x) AS HUGEINT)
+           - CAST(SUM(a.x) AS HUGEINT) * CAST(SUM(b.x) AS HUGEINT) AS num
+  FROM pe a JOIN pe b ON a.vec_id = b.vec_id
+  GROUP BY a.dim, b.dim
+)""".strip(),
+        f"""m0 AS MATERIALIZED (
+  SELECT dim_i, dim_j,
+         CASE WHEN mm.m = 0 THEN num
+              ELSE ((num + mm.m) * {scale}) // mm.m - {scale} END AS v
+  FROM nm CROSS JOIN (SELECT MAX(abs(num)) AS m FROM nm) mm
+)""".strip(),
+    ]
+    for i in range(1, squarings + 1):
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT a.dim_i, b.dim_j, SUM(a.v * b.v) AS p
+  FROM m{i - 1} a JOIN m{i - 1} b ON a.dim_j = b.dim_i
+  GROUP BY a.dim_i, b.dim_j
+)""".strip()
+        )
+        ctes.append(
+            f"""m{i} AS MATERIALIZED (
+  SELECT dim_i, dim_j,
+         CASE WHEN mm.m = 0 THEN p
+              ELSE ((p + mm.m) * {scale}) // mm.m - {scale} END AS v
+  FROM p{i} CROSS JOIN (SELECT MAX(abs(p)) AS m FROM p{i}) mm
+)""".strip()
+        )
+    last = f"m{squarings}"
+    ctes.append(
+        f"""best AS (
+  SELECT dim_j FROM (
+    SELECT dim_j, SUM(abs(v)) AS mass FROM {last} GROUP BY dim_j
+  ) ORDER BY mass DESC, dim_j ASC LIMIT 1
+)""".strip()
+    )
+    ctes.append(
+        f"uvec AS (SELECT m.dim_i AS dim, m.v AS u FROM {last} m"
+        f" JOIN best USING (dim_j))"
+    )
+    ctes.append(
+        f"""vn AS MATERIALIZED (
+  SELECT dim,
+         CASE WHEN mm.m = 0 THEN {scale}
+              ELSE ((u + mm.m) * {scale}) // mm.m - {scale} END AS v
+  FROM uvec CROSS JOIN (SELECT MAX(abs(u)) AS m FROM uvec) mm
+)""".strip()
+    )
+    ctes.append(
+        "sgn AS (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS s"
+        " FROM vn WHERE v <> 0 ORDER BY dim LIMIT 1)"
+    )
+    ctes.append(
+        "sv AS MATERIALIZED (SELECT dim, v * (SELECT s FROM sgn) AS v FROM vn)"
+    )
+    ctes.append(
+        "ray AS (SELECT SUM(vi.v * nm.num * vj.v) AS vnv,"
+        " MAX(nm.n_vecs) AS n_vecs"
+        " FROM nm JOIN sv vj ON nm.dim_j = vj.dim"
+        " JOIN sv vi ON nm.dim_i = vi.dim)"
+    )
+    ctes.append("vtv AS (SELECT SUM(v * v) AS vtv FROM sv)")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT sv.dim, CAST(sv.v AS DOUBLE) / {scale}.0 AS loading,
+       CAST(r.vnv AS DOUBLE) / CAST(t.vtv AS DOUBLE)
+         / (CAST(r.n_vecs AS DOUBLE) * CAST(r.n_vecs AS DOUBLE) * 1000000.0)
+         AS eigenvalue
+FROM sv CROSS JOIN ray r CROSS JOIN vtv t
+"""
+    )
+
+
+ORACLE_SQL["embedding_pca_power_iteration"] = _pca_power_sql()

@@ -447,3 +447,4 @@ register("supplier_herfindahl", relational.supplier_herfindahl)
 register("er_blocking_pairs", relational.er_blocking_pairs)
 register("orders_backlog_timeseries", relational.orders_backlog_timeseries)
 register("graph_lpa_communities", graph.graph_lpa_communities)
+register("embedding_pca_power_iteration", similarity.embedding_pca_power_iteration)

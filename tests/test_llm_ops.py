@@ -1237,6 +1237,13 @@ def test_r7_constants_in_sync_with_oracles():
 
     assert _inspect.signature(oracles._lpa_sql).parameters["rounds"].default == 4
     assert "l4 l JOIN sizes" in oracles.ORACLE_SQL["graph_lpa_communities"]
+    from cl_tagger_batch_processing_spark.operators import similarity as _sim
+
+    assert (_sim.PI_SQUARINGS, _sim.PI_SCALE) == (12, 1_000_000)
+    pca_params = _inspect.signature(oracles._pca_power_sql).parameters
+    assert pca_params["squarings"].default == 12
+    assert pca_params["scale"].default == 1_000_000
+    assert "m12" in oracles.ORACLE_SQL["embedding_pca_power_iteration"]
 
 
 def test_word_pmi_invariants(spark, sf_dir):
@@ -1620,3 +1627,38 @@ def test_lpa_communities_refine_components(spark, sf_dir):
     sizes = Counter(r.community for r in lpa)
     for r in lpa:
         assert r.community_size == sizes[r.community]
+
+
+def test_pca_power_iteration_matches_numpy(spark, sf_dir):
+    """The scaled-integer squaring chain must land on numpy's dominant
+    eigenvector (|cos| > 0.9999) and reproduce its top eigenvalue — the
+    end-to-end spectral correctness check the oracle (which replays the
+    same integer arithmetic) cannot provide."""
+    import numpy as np
+
+    from cl_tagger_batch_processing_spark.operators import similarity
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+
+    rows = sorted(
+        similarity.embedding_pca_power_iteration(spark, sf_dir).collect(),
+        key=lambda r: r.dim,
+    )
+    v = np.array([r.loading for r in rows])
+    assert np.abs(v).max() == 1.0  # ∞-normalized
+    first_nonzero = next(x for x in v if x != 0)
+    assert first_nonzero > 0  # sign convention
+    emb = np.array(
+        [
+            r.embedding
+            for r in load_table(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ]
+    )
+    qv = np.round(emb.astype(np.float64) * 1000)
+    C = np.cov(qv.T, bias=True) / 1e6
+    w, V = np.linalg.eigh(C)
+    cos = abs(np.dot(v, V[:, -1])) / np.linalg.norm(v)
+    assert cos > 0.9999, cos
+    assert abs(rows[0].eigenvalue - w[-1]) < 1e-6 * w[-1]
+    assert len({r.eigenvalue for r in rows}) == 1
