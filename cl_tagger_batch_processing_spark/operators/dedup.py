@@ -1505,3 +1505,53 @@ def dedup_cluster_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("cluster_size") * (F.col("cluster_size") - 1)).cast("double")
         ).alias("edge_density"),
     )
+
+
+# Verify-stage threshold: normalized edit distance (lev / max len) at or
+# below this confirms a near-duplicate candidate. Oracle-mirrored.
+LEV_VERIFY_NORM_MAX = 0.2
+
+
+def dedup_minhash_lev_verify(
+    spark: SparkSession, sf_dir: str, max_df: int | None = DEFAULT_MAX_DF
+) -> DataFrame:
+    """Candidate-then-verify near-dup detection — the production two-stage
+    shape (MinHash/LSH proposes, an exact measure confirms): sketch-based
+    candidates are cheap but probabilistic, so pipelines that DELETE data
+    verify each candidate pair against the actual text before acting.
+    The verify stage here is normalized Levenshtein (edit distance over
+    the longer length), the standard confirmation for near-identical
+    documents.
+
+    Cost shape: the expensive O(len²) edit distance runs ONLY on the LSH
+    candidate set (banded-join volume, O(n) by the max_df guard), never
+    on all pairs — that ordering is the entire point of the pattern. Both
+    engines compute the identical integer edit distance; the normalized
+    ratio divides once in double and rounds at 6dp.
+
+    Output per candidate pair: the sketch estimate, the exact distance,
+    lengths, the normalized distance, and the confirm verdict (0/1)."""
+    cand = dedup_minhash_lsh(spark, sf_dir, max_df=max_df)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    j = cand.join(a, "doc_a").join(b, "doc_b")
+    lev = F.levenshtein(F.col("text_a"), F.col("text_b")).cast("bigint")
+    len_a = F.length("text_a").cast("bigint")
+    len_b = F.length("text_b").cast("bigint")
+    norm = F.round(
+        lev.cast("double") / F.greatest(len_a, len_b).cast("double"), 6
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        lev.alias("lev_dist"),
+        len_a.alias("len_a"),
+        len_b.alias("len_b"),
+        norm.alias("norm_lev"),
+        F.when(norm <= F.lit(LEV_VERIFY_NORM_MAX), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_dup"),
+    )

@@ -1319,3 +1319,60 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str, k: int = CMS_TOP_K)
         (F.col("cms_estimate") - F.col("true_count")).alias("overestimate"),
         F.row_number().over(w).cast("bigint").alias("rank"),
     )
+
+
+# Perplexity-filter sweep thresholds (held-out bigram-LM perplexity).
+# Mirrored literally in the oracle's unnest list — sync-pinned.
+PPL_SWEEP = (30.5, 30.8, 31.0, 31.5, 32.0)
+
+
+def corpus_perplexity_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention curve of a perplexity quality filter, per language — the
+    tuning table behind "where do we set the LM-quality cutoff?" (CCNet
+    and its descendants bucket by LM perplexity; this sweep shows, per
+    threshold, how much of each language survives and how clean the
+    surviving pool is). Composes the PRODUCTION held-out bigram-LM scorer
+    (text_bigram_lm_perplexity — not a reimplementation, the sweep-query
+    convention) with a threshold explode + one hash aggregate.
+
+    Determinism: perplexity arrives already 6dp-rounded from the scorer;
+    the kept-pool mean uses the DECIMAL(28,9) exact-sum convention and a
+    CASE-NULL for empty pools (identical on both engines); kept_frac
+    divides two exact counts once."""
+    pp = text_bigram_lm_perplexity(spark, sf_dir).select("doc_id", "perplexity")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = pp.join(docs, "doc_id")
+    sw = j.select(
+        "lang",
+        "perplexity",
+        F.explode(F.array(*[F.lit(t) for t in PPL_SWEEP])).alias("threshold"),
+    )
+    kept = F.sum(
+        F.when(F.col("perplexity") <= F.col("threshold"), F.lit(1)).otherwise(F.lit(0))
+    )
+    kept_sum = F.sum(
+        F.when(
+            F.col("perplexity") <= F.col("threshold"),
+            F.col("perplexity").cast("decimal(28,9)"),
+        )
+    )
+    agg = sw.groupBy("threshold", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        kept.cast("bigint").alias("n_kept"),
+        kept_sum.alias("_ks"),
+    )
+    return agg.select(
+        "threshold",
+        "lang",
+        "n_docs",
+        "n_kept",
+        (F.col("n_kept").cast("double") / F.col("n_docs").cast("double")).alias(
+            "kept_frac"
+        ),
+        F.when(
+            F.col("n_kept") > F.lit(0),
+            F.round(
+                F.col("_ks").cast("double") / F.col("n_kept").cast("double"), 6
+            ),
+        ).alias("mean_ppl_kept"),
+    )

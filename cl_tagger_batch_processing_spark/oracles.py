@@ -4940,3 +4940,55 @@ FROM sv CROSS JOIN ray r CROSS JOIN vtv t
 
 
 ORACLE_SQL["embedding_pca_power_iteration"] = _pca_power_sql()
+
+
+# Mirrors dedup.dedup_minhash_lev_verify: the production LSH candidate
+# oracle reused verbatim as a CTE, then the identical integer edit
+# distance + 6dp normalized ratio and the 0.2 confirm threshold.
+ORACLE_SQL["dedup_minhash_lev_verify"] = f"""
+WITH cand AS ({ORACLE_SQL["dedup_minhash_lsh"]})
+SELECT c.doc_a, c.doc_b, c.est_jaccard,
+       CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev_dist,
+       CAST(length(da.text) AS BIGINT) AS len_a,
+       CAST(length(db.text) AS BIGINT) AS len_b,
+       round(CAST(levenshtein(da.text, db.text) AS DOUBLE)
+             / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE),
+             6) AS norm_lev,
+       CAST(CASE WHEN round(CAST(levenshtein(da.text, db.text) AS DOUBLE)
+                            / CAST(greatest(length(da.text),
+                                            length(db.text)) AS DOUBLE), 6)
+                      <= 0.2
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+FROM cand c
+JOIN documents da ON c.doc_a = da.doc_id
+JOIN documents db ON c.doc_b = db.doc_id
+"""
+
+# Mirrors text.corpus_perplexity_filter_sweep: the held-out bigram-LM
+# scorer oracle reused verbatim as a CTE, threshold unnest, exact-decimal
+# kept-pool mean with CASE-NULL for empty pools.
+ORACLE_SQL["corpus_perplexity_filter_sweep"] = f"""
+WITH pp AS ({ORACLE_SQL["text_bigram_lm_perplexity"]}),
+j AS (
+  SELECT d.lang, pp.perplexity
+  FROM pp JOIN documents d ON pp.doc_id = d.doc_id
+),
+sw AS (
+  SELECT lang, perplexity, u.threshold
+  FROM j CROSS JOIN (SELECT CAST(unnest([30.5, 30.8, 31.0, 31.5, 32.0]) AS DOUBLE) AS threshold) u
+)
+SELECT threshold, lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN perplexity <= threshold THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN perplexity <= threshold THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS kept_frac,
+       CASE WHEN SUM(CASE WHEN perplexity <= threshold THEN 1 ELSE 0 END) > 0
+            THEN round(
+              CAST(SUM(CASE WHEN perplexity <= threshold
+                            THEN CAST(perplexity AS DECIMAL(28,9)) END)
+                   AS DOUBLE)
+              / CAST(SUM(CASE WHEN perplexity <= threshold THEN 1 ELSE 0 END)
+                     AS DOUBLE), 6)
+            ELSE NULL END AS mean_ppl_kept
+FROM sw GROUP BY threshold, lang
+"""

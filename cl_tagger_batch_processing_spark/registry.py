@@ -448,3 +448,5 @@ register("er_blocking_pairs", relational.er_blocking_pairs)
 register("orders_backlog_timeseries", relational.orders_backlog_timeseries)
 register("graph_lpa_communities", graph.graph_lpa_communities)
 register("embedding_pca_power_iteration", similarity.embedding_pca_power_iteration)
+register("dedup_minhash_lev_verify", dedup.dedup_minhash_lev_verify)
+register("corpus_perplexity_filter_sweep", text.corpus_perplexity_filter_sweep)

@@ -1244,6 +1244,14 @@ def test_r7_constants_in_sync_with_oracles():
     assert pca_params["squarings"].default == 12
     assert pca_params["scale"].default == 1_000_000
     assert "m12" in oracles.ORACLE_SQL["embedding_pca_power_iteration"]
+    from cl_tagger_batch_processing_spark.operators import dedup as _dd
+
+    assert _dd.LEV_VERIFY_NORM_MAX == 0.2
+    assert "<= 0.2" in oracles.ORACLE_SQL["dedup_minhash_lev_verify"]
+    assert text_ops.PPL_SWEEP == (30.5, 30.8, 31.0, 31.5, 32.0)
+    assert "unnest([30.5, 30.8, 31.0, 31.5, 32.0])" in oracles.ORACLE_SQL[
+        "corpus_perplexity_filter_sweep"
+    ]
 
 
 def test_word_pmi_invariants(spark, sf_dir):
@@ -1662,3 +1670,51 @@ def test_pca_power_iteration_matches_numpy(spark, sf_dir):
     assert cos > 0.9999, cos
     assert abs(rows[0].eigenvalue - w[-1]) < 1e-6 * w[-1]
     assert len({r.eigenvalue for r in rows}) == 1
+
+
+def test_lev_verify_covers_candidates(spark, sf_dir):
+    """The verify stage emits exactly one row per LSH candidate pair
+    (nothing invented, nothing dropped); identical texts verify at
+    distance 0; the verdict replays from the emitted numbers."""
+    from cl_tagger_batch_processing_spark.operators import dedup as dd
+
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in dd.dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    rows = dd.dedup_minhash_lev_verify(spark, sf_dir).collect()
+    assert {(r.doc_a, r.doc_b) for r in rows} == cand
+    assert len(rows) == len(cand)
+    for r in rows:
+        assert r.norm_lev == round(r.lev_dist / max(r.len_a, r.len_b), 6)
+        assert r.is_dup == (1 if r.norm_lev <= dd.LEV_VERIFY_NORM_MAX else 0)
+        if r.lev_dist == 0:
+            assert r.is_dup == 1
+
+
+def test_perplexity_sweep_monotone(spark, sf_dir):
+    """Raising the threshold can only keep more docs: per lang, n_kept and
+    kept_frac are non-decreasing in threshold; n_docs is
+    threshold-independent; the sweep engages (not all rows 0% or 100%)."""
+    from collections import defaultdict
+
+    from cl_tagger_batch_processing_spark.operators import text as text_ops
+
+    rows = text_ops.corpus_perplexity_filter_sweep(spark, sf_dir).collect()
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append(r)
+    assert len(rows) == len(text_ops.PPL_SWEEP) * len(by_lang)
+    fracs = set()
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.threshold)
+        assert len({r.n_docs for r in rs}) == 1
+        kept = [r.n_kept for r in rs]
+        assert kept == sorted(kept)
+        for r in rs:
+            fracs.add(r.kept_frac)
+            if r.n_kept == 0:
+                assert r.mean_ppl_kept is None
+            else:
+                assert r.mean_ppl_kept <= r.threshold
+    assert any(0.0 < f < 1.0 for f in fracs)  # the sweep discriminates
