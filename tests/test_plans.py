@@ -775,3 +775,83 @@ def test_cohort_ltv_customer_keyed(spark, sf_dir):
     for op in ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
                "MapInPandas"]:
         assert op not in plan, op
+
+
+def test_regression_single_agg_no_python(spark, sf_dir):
+    # distributed OLS = ONE hash aggregate of sufficient statistics after
+    # the partkey equi-join; coefficients are scalar math — no second
+    # corpus pass, no Python, no cartesian
+    df = QUERIES["brand_price_regression"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    for op in ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+               "MapInPandas"]:
+        assert op not in plan, op
+    assert plan.count("FileScan") == 2  # lineitem + part, once each
+
+
+def test_ewma_no_range_join_no_window(spark, sf_dir):
+    # the EWMA window is an explode + equi groupBy — no range join, no
+    # per-row window state, no ordering spine
+    df = QUERIES["events_ewma_daily"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    for op in ["CartesianProduct", "BroadcastNestedLoop", "Window",
+               "BatchEvalPython", "ArrowEvalPython"]:
+        assert op not in plan, op
+
+
+def test_hll_single_corpus_scan_per_branch(spark, sf_dir):
+    # registers and the exact companion each scan events once — max-merge
+    # keeps the register exchange at 64 rows/group; no Python anywhere
+    df = QUERIES["approx_distinct_hll"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    for op in ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+               "MapInPandas"]:
+        assert op not in plan, op
+    assert plan.count("FileScan") == 2  # register branch + exact branch
+
+
+def test_cms_counter_table_broadcasts(spark, sf_dir):
+    # the 4×256 counter table must reach the candidate join as a BROADCAST
+    df = QUERIES["text_heavy_hitters_cms"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_covariance_vec_keyed_selfjoin_only(spark, sf_dir):
+    # the d² fan-out keys on vec_id (model-constant blow-up) — the join
+    # must be an equi-join on vec_id, never cartesian; no Python
+    df = QUERIES["embedding_covariance"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    for op in ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+               "MapInPandas"]:
+        assert op not in plan, op
+
+
+def test_er_blocking_join_is_block_keyed(spark, sf_dir):
+    # the pair join must key on the block tuple — never a cartesian; the
+    # oversized-block guard keeps within-block volume capped
+    df = QUERIES["er_blocking_pairs"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_backlog_spine_windows_only(spark, sf_dir):
+    # deltas collapse to the day spine BEFORE the running sums: the only
+    # Window runs over the spine aggregate, and no join anywhere
+    df = QUERIES["orders_backlog_timeseries"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    for op in ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]:
+        assert op not in plan, op
+    assert "Window" in plan
+
+
+def test_lev_verify_distance_on_candidates_only(spark, sf_dir):
+    # the levenshtein must sit ABOVE the banded candidate join (computed on
+    # the candidate relation), never inside a corpus×corpus product
+    df = QUERIES["dedup_minhash_lev_verify"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
