@@ -2451,3 +2451,62 @@ def orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_closed",
         (F.sum("n_opened").over(cum) - F.sum("n_closed").over(cum)).alias("backlog"),
     )
+
+
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split into control/treatment by the
+    deterministic user_id parity, conversion = at least one purchase
+    event; per arm the conversion rate, plus the pooled two-proportion
+    z-score and relative lift — the standard experiment-analysis shape
+    (assignment and conversion both derive from exact integer counts, so
+    the whole readout is reproducible on any engine).
+
+    One user-level aggregate (map-side combinable), one 2-row arm rollup;
+    the z-score arithmetic is an identical double expression tree over
+    the four exact counts. Output: one row per arm carrying its own
+    stats plus the experiment-level z/lift (constant across rows, the
+    repo's flat-scalar-output convention)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == F.lit("purchase"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("converted")
+    )
+    arms = per_user.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+        .otherwise(F.lit("treatment"))
+        .alias("arm"),
+        "converted",
+    ).groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    ctl = arms.where(F.col("arm") == "control").select(
+        F.col("n_users").alias("n0"), F.col("n_converted").alias("c0")
+    )
+    trt = arms.where(F.col("arm") == "treatment").select(
+        F.col("n_users").alias("n1"), F.col("n_converted").alias("c1")
+    )
+    x = ctl.crossJoin(trt)
+    n0, c0 = F.col("n0").cast("double"), F.col("c0").cast("double")
+    n1, c1 = F.col("n1").cast("double"), F.col("c1").cast("double")
+    p0, p1 = c0 / n0, c1 / n1
+    pooled = (c0 + c1) / (n0 + n1)
+    se2 = pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / n0 + F.lit(1.0) / n1)
+    # degenerate experiments (pooled 0% or 100%, or a zero-conversion
+    # control) have no defined z / relative lift — NULL on both engines
+    z = F.when(se2 > F.lit(0.0), (p1 - p0) / F.sqrt(se2))
+    lift = F.when(p0 > F.lit(0.0), (p1 - p0) / p0)
+    stats = x.select(z.alias("z_score"), lift.alias("relative_lift"))
+    return arms.crossJoin(F.broadcast(stats)).select(
+        "arm",
+        "n_users",
+        "n_converted",
+        (F.col("n_converted").cast("double") / F.col("n_users").cast("double")).alias(
+            "conv_rate"
+        ),
+        "z_score",
+        "relative_lift",
+    )

@@ -1376,3 +1376,38 @@ def corpus_perplexity_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         ).alias("mean_ppl_kept"),
     )
+
+
+# Content-safety blocklist (token-exact matching — regex word-boundary
+# semantics differ across engines; token equality does not). Oracle-pinned.
+BLOCKLIST = ("slow", "dup")
+
+
+def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist-based content filtering — the safety/compliance gate every
+    production corpus pipeline runs (wordlist filters are the first line
+    before model-based classifiers; C4 famously dropped any page with a
+    banned word). Matching is TOKEN-EXACT, not regex: word-boundary regex
+    semantics vary across engines, token equality is portable by
+    construction.
+
+    Pure row-local Column math (split + higher-order filter + distinct
+    intersect) — zero shuffles, embarrassingly parallel at any corpus
+    size. Output per doc: total hits, distinct blocked terms, the 0/1
+    drop verdict."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    in_list = " OR ".join(f"t = '{w}'" for w in BLOCKLIST)
+    n_hits = F.expr(f"size(filter(split(text, ' '), t -> {in_list}))").cast("bigint")
+    blocked_terms = F.array_intersect(
+        F.array_distinct(toks), F.array(*[F.lit(w) for w in BLOCKLIST])
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        n_hits.alias("n_hits"),
+        F.size(blocked_terms).cast("bigint").alias("n_blocked_terms"),
+        F.when(n_hits > F.lit(0), F.lit(1)).otherwise(F.lit(0)).cast("bigint").alias(
+            "is_blocked"
+        ),
+    )

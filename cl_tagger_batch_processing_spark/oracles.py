@@ -4992,3 +4992,59 @@ SELECT threshold, lang, COUNT(*) AS n_docs,
             ELSE NULL END AS mean_ppl_kept
 FROM sw GROUP BY threshold, lang
 """
+
+
+# Mirrors relational.events_ab_lift: user_id-parity arms, max-flag
+# conversion, identical pooled z-score double tree over exact counts.
+ORACLE_SQL["events_ab_lift"] = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm,
+         COUNT(*) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_converted
+  FROM per_user GROUP BY 1
+),
+x AS (
+  SELECT c.n_users AS n0, c.n_converted AS c0,
+         t.n_users AS n1, t.n_converted AS c1
+  FROM (SELECT * FROM arms WHERE arm = 'control') c
+  CROSS JOIN (SELECT * FROM arms WHERE arm = 'treatment') t
+),
+parts AS (
+  SELECT CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+         CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+         (CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE))
+           / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) AS pooled,
+         1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE) AS invn
+  FROM x
+),
+stats AS (
+  SELECT CASE WHEN pooled * (1.0 - pooled) * invn > 0.0
+              THEN (p1 - p0) / sqrt(pooled * (1.0 - pooled) * invn)
+              ELSE NULL END AS z_score,
+         CASE WHEN p0 > 0.0 THEN (p1 - p0) / p0 ELSE NULL END AS relative_lift
+  FROM parts
+)
+SELECT a.arm, a.n_users, a.n_converted,
+       CAST(a.n_converted AS DOUBLE) / CAST(a.n_users AS DOUBLE) AS conv_rate,
+       s.z_score, s.relative_lift
+FROM arms a CROSS JOIN stats s
+"""
+
+# Mirrors text.text_blocklist_filter: token-exact list matching
+# (list_filter / list_intersect — no regex), blocklist sync-pinned.
+ORACLE_SQL["text_blocklist_filter"] = """
+SELECT doc_id, source,
+       CAST(len(list_filter(string_split(text, ' '),
+                            t -> t = 'slow' OR t = 'dup')) AS BIGINT) AS n_hits,
+       CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                               ['slow', 'dup'])) AS BIGINT) AS n_blocked_terms,
+       CAST(CASE WHEN len(list_filter(string_split(text, ' '),
+                                      t -> t = 'slow' OR t = 'dup')) > 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_blocked
+FROM documents
+"""

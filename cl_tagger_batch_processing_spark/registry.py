@@ -92,15 +92,21 @@ register("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard)
 register("dedup_minhash_lsh", dedup.dedup_minhash_lsh)
 register("dedup_simhash", dedup.dedup_simhash)
 register("dedup_embedding_cosine", dedup.dedup_embedding_cosine)
-register("text_simhash", dedup.simhash_signatures)
+# r7 second window refresh: five wave-2 flagships (never driver-verified)
+# take the slots of five queries driver-green since r1-r3 (text_simhash,
+# sim_topk_cosine, text_quality_score, text_langid, text_fingerprint —
+# re-registered below the window; local parity + plan tests keep them).
+register("dedup_minhash_lev_verify", dedup.dedup_minhash_lev_verify)
 register("dedup_clusters", dedup.dedup_clusters)
 
-register("sim_topk_cosine", similarity.sim_topk_cosine)
+from .operators import graph  # noqa: E402
+
+register("embedding_pca_power_iteration", similarity.embedding_pca_power_iteration)
 
 register("text_stats", text.text_stats)
-register("text_quality_score", text.text_quality_score)
-register("text_langid", text.text_langid)
-register("text_fingerprint", text.text_fingerprint)
+register("approx_distinct_hll", relational.approx_distinct_hll)
+register("graph_shortest_paths", graph.graph_shortest_paths)
+register("events_cusum_drift", relational.events_cusum_drift)
 
 from .streaming import windows as streaming_windows  # noqa: E402
 
@@ -434,19 +440,23 @@ register(
 )
 register("brand_price_regression", relational.brand_price_regression)
 register("events_ewma_daily", relational.events_ewma_daily)
-register("graph_shortest_paths", graph.graph_shortest_paths)
-register("approx_distinct_hll", relational.approx_distinct_hll)
 register("text_heavy_hitters_cms", text.text_heavy_hitters_cms)
 register("privacy_k_anonymity", curation.privacy_k_anonymity)
 register("embedding_covariance", similarity.embedding_covariance)
 register("corpus_weighted_sample", curation.corpus_weighted_sample)
-register("events_cusum_drift", relational.events_cusum_drift)
 register("orders_seasonal_decompose", relational.orders_seasonal_decompose)
 register("events_bot_detection", relational.events_bot_detection)
 register("supplier_herfindahl", relational.supplier_herfindahl)
 register("er_blocking_pairs", relational.er_blocking_pairs)
 register("orders_backlog_timeseries", relational.orders_backlog_timeseries)
 register("graph_lpa_communities", graph.graph_lpa_communities)
-register("embedding_pca_power_iteration", similarity.embedding_pca_power_iteration)
-register("dedup_minhash_lev_verify", dedup.dedup_minhash_lev_verify)
 register("corpus_perplexity_filter_sweep", text.corpus_perplexity_filter_sweep)
+# displaced from the driver window by the r7 second refresh — still
+# oracle-backed and locally parity-checked every commit
+register("text_simhash", dedup.simhash_signatures)
+register("sim_topk_cosine", similarity.sim_topk_cosine)
+register("text_quality_score", text.text_quality_score)
+register("text_langid", text.text_langid)
+register("text_fingerprint", text.text_fingerprint)
+register("events_ab_lift", relational.events_ab_lift)
+register("text_blocklist_filter", text.text_blocklist_filter)

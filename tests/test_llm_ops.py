@@ -1252,6 +1252,9 @@ def test_r7_constants_in_sync_with_oracles():
     assert "unnest([30.5, 30.8, 31.0, 31.5, 32.0])" in oracles.ORACLE_SQL[
         "corpus_perplexity_filter_sweep"
     ]
+    assert text_ops.BLOCKLIST == ("slow", "dup")
+    bl_sql = oracles.ORACLE_SQL["text_blocklist_filter"]
+    assert "t = 'slow' OR t = 'dup'" in bl_sql and "['slow', 'dup']" in bl_sql
 
 
 def test_word_pmi_invariants(spark, sf_dir):
@@ -1718,3 +1721,52 @@ def test_perplexity_sweep_monotone(spark, sf_dir):
             else:
                 assert r.mean_ppl_kept <= r.threshold
     assert any(0.0 < f < 1.0 for f in fracs)  # the sweep discriminates
+
+
+def test_ab_lift_replay(spark, sf_dir):
+    """Both arms partition the user base; conv_rate and the z-score replay
+    exactly from the emitted counts (textbook pooled two-proportion)."""
+    import math
+
+    from cl_tagger_batch_processing_spark.operators import relational
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+
+    rows = {r.arm: r for r in relational.events_ab_lift(spark, sf_dir).collect()}
+    assert set(rows) == {"control", "treatment"}
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    c, t = rows["control"], rows["treatment"]
+    assert c.n_users + t.n_users == n_users
+    assert c.z_score == t.z_score and c.relative_lift == t.relative_lift
+    p0, p1 = c.n_converted / c.n_users, t.n_converted / t.n_users
+    pooled = (c.n_converted + t.n_converted) / (c.n_users + t.n_users)
+    se2 = pooled * (1.0 - pooled) * (1.0 / c.n_users + 1.0 / t.n_users)
+    if se2 > 0:
+        assert abs(c.z_score - (p1 - p0) / math.sqrt(se2)) < 1e-12
+    else:
+        assert c.z_score is None
+    assert c.conv_rate == p0 and t.conv_rate == p1
+
+
+def test_blocklist_counts_replay(spark, sf_dir):
+    """Hit counts replay from the raw text by token equality; the verdict
+    is hits > 0; every doc appears exactly once; the list engages (some
+    blocked, some clean)."""
+    from cl_tagger_batch_processing_spark.operators import text as text_ops
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+
+    rows = {r.doc_id: r for r in text_ops.text_blocklist_filter(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert len(rows) == len(docs)
+    blocked = clean = 0
+    for d in docs:
+        toks = d.text.split(" ")
+        hits = sum(1 for t in toks if t in text_ops.BLOCKLIST)
+        r = rows[d.doc_id]
+        assert r.n_hits == hits
+        assert r.n_blocked_terms == len(set(toks) & set(text_ops.BLOCKLIST))
+        assert r.is_blocked == (1 if hits else 0)
+        blocked += r.is_blocked
+        clean += 1 - r.is_blocked
+    assert blocked > 0 and clean > 0

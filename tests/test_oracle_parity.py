@@ -69,6 +69,14 @@ def test_driver_window_is_curated():
         "text_bigram_lm_perplexity",
         "mm_scene_cuts",
         "orders_cohort_ltv",
+        # r7 second refresh: five wave-2 flagships (candidate-then-verify
+        # dedup, integer matrix-squaring PCA, hand-rolled HLL, frontier
+        # BFS, CUSUM drift) replace five queries driver-green since r1-r3
+        "dedup_minhash_lev_verify",
+        "embedding_pca_power_iteration",
+        "approx_distinct_hll",
+        "graph_shortest_paths",
+        "events_cusum_drift",
     ]:
         assert family_member in window, f"{family_member} fell out of the window"
 
