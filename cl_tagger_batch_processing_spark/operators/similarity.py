@@ -1113,8 +1113,6 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     once in double with identical expression trees on both engines
     (cov = (n·Σxy − ΣxΣy)/(n²·scale²), corr = that over the sqrt'd
     variance product)."""
-    from ..operators.dedup import quantized_embeddings
-
     base = quantized_embeddings(spark, sf_dir).select("vec_id", "qv")
     pe = base.select("vec_id", F.posexplode("qv").alias("p", "x")).select(
         "vec_id", (F.col("p") + 1).cast("bigint").alias("dim"), F.col("x")
@@ -1186,8 +1184,6 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     Rayleigh quotient on the ORIGINAL exact numerators divides once in
     double. Output: (dim, loading ∈ [−1,1] ∞-normalized, eigenvalue
     constant across rows)."""
-    from ..operators.dedup import quantized_embeddings
-
     base = quantized_embeddings(spark, sf_dir).select("vec_id", "qv")
     pe = base.select("vec_id", F.posexplode("qv").alias("p", "x")).select(
         "vec_id", (F.col("p") + 1).cast("bigint").alias("dim"), F.col("x")

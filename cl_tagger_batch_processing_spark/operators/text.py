@@ -1397,8 +1397,10 @@ def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop verdict."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    in_list = " OR ".join(f"t = '{w}'" for w in BLOCKLIST)
-    n_hits = F.expr(f"size(filter(split(text, ' '), t -> {in_list}))").cast("bigint")
+    # Column-level filter over the ONE shared tokenization — no SQL-string
+    # interpolation (a quote in a future blocklist entry must not be able
+    # to break the expression)
+    n_hits = F.size(F.filter(toks, lambda t: t.isin(*BLOCKLIST))).cast("bigint")
     blocked_terms = F.array_intersect(
         F.array_distinct(toks), F.array(*[F.lit(w) for w in BLOCKLIST])
     )

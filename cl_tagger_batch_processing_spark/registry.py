@@ -197,7 +197,7 @@ register("orders_cohort_ltv", relational.orders_cohort_ltv)
 # Displaced by the r7 window refresh (see above): all ten remain fully
 # oracle-backed locally; the three graph/ANN families were driver-green in
 # both r5 and r6, the rest since r3 or earlier.
-from .operators import graph, skew  # noqa: E402
+from .operators import skew  # noqa: E402
 
 register("asof_join_purchase_click", relational.asof_join_purchase_click)
 register("range_join_events", relational.range_join_events)
