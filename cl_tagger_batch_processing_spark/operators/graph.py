@@ -554,3 +554,73 @@ def graph_lpa_communities(
     return labels.join(sizes, "label").select(
         "node", F.col("label").alias("community"), "community_size"
     )
+
+
+def graph_personalized_pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    n_iter: int = PR_N_ITER,
+    min_support: int = PR_MIN_SUPPORT,
+) -> DataFrame:
+    """Personalized PageRank from the SP_N_SEEDS smallest node ids — the
+    seed-biased variant behind "related products for THIS product" and
+    graph-expanded retrieval: identical supersteps to graph_pagerank, but
+    ALL teleport mass returns to the seed set (and the walk starts there),
+    so rank measures proximity to the seeds instead of global importance.
+
+    Same exact scaled-integer discipline as graph_pagerank (femto-rank
+    bigints, 85/100 damping as multiply-then-floor-divide, bit-identical
+    across engines), same per-3-superstep lineage truncation; the only
+    deltas are the seed-indicator teleport term and the seed-concentrated
+    initial vector. Nodes unreachable from the seeds legitimately end at
+    rank 0 (floor-divided residue aside) — that asymmetry is the feature."""
+    edges = cooccurrence_edges(spark, sf_dir, min_support=min_support)
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges_deg = edges.join(outdeg, "src").transform(truncate_lineage)
+    nodes = edges.select(F.col("src").alias("node")).distinct().transform(
+        truncate_lineage
+    )
+    n = nodes.count()  # control-plane scalar, the graph_pagerank convention
+    if n == 0:
+        return spark.createDataFrame(
+            [], "node bigint, is_seed bigint, pr_scaled bigint, pagerank double"
+        )
+    n_seeds = min(SP_N_SEEDS, n)
+    seeds = nodes.orderBy("node").limit(n_seeds).select(
+        "node", F.lit(1).cast("bigint").alias("is_seed")
+    )
+    flagged = nodes.join(F.broadcast(seeds), "node", "left").select(
+        "node", F.coalesce("is_seed", F.lit(0)).cast("bigint").alias("is_seed")
+    ).transform(truncate_lineage)
+    teleport_seed = (PR_SCALE * (PR_DAMPING_DEN - PR_DAMPING_NUM)) // PR_DAMPING_DEN // n_seeds
+    pr = flagged.select(
+        "node",
+        "is_seed",
+        F.when(F.col("is_seed") == 1, F.lit(PR_SCALE // n_seeds))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("pr"),
+    )
+    for i in range(n_iter):
+        contrib = (
+            pr.join(edges_deg, pr.node == edges_deg.src)
+            .select(F.col("dst").alias("node"), F.expr("pr div outdeg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = flagged.join(contrib, "node", "left").select(
+            "node",
+            "is_seed",
+            (
+                F.when(F.col("is_seed") == 1, F.lit(teleport_seed)).otherwise(F.lit(0))
+                + F.expr(f"(coalesce(s, 0L) * {PR_DAMPING_NUM}) div {PR_DAMPING_DEN}")
+            ).cast("bigint").alias("pr"),
+        )
+        if (i + 1) % PR_CHECKPOINT_EVERY == 0 and i < n_iter - 1:
+            pr = pr.transform(truncate_lineage)
+    return pr.select(
+        "node",
+        "is_seed",
+        F.col("pr").alias("pr_scaled"),
+        (F.col("pr").cast("double") / F.lit(float(PR_SCALE))).alias("pagerank"),
+    )

@@ -2510,3 +2510,54 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "z_score",
         "relative_lift",
     )
+
+
+# Duplicate-invoice blocking: same customer, amount in the same
+# DUP_INVOICE_BAND-wide band, within DUP_INVOICE_WINDOW_DAYS. Both
+# constants mirrored in the oracle — sync-pinned.
+DUP_INVOICE_BAND = 2000
+DUP_INVOICE_WINDOW_DAYS = 120
+
+
+def orders_duplicate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-invoice detection — the finance-ops dedup: two orders by
+    the SAME customer with amounts in the same band within
+    DUP_INVOICE_WINDOW_DAYS are double-billing candidates (exact-amount
+    equality almost never fires on real books; banded amounts are the
+    standard blocking key). The scalable shape is a (custkey, band)-keyed
+    lag window — one shuffle, NO self-join, candidate volume bounded by
+    the blocking groups themselves (the er_blocking_pairs discipline on a
+    time axis).
+
+    All comparisons exact: integer amount bands, integer day gaps.
+    Output: one row per candidate pair (each order with its in-band
+    predecessor) with the gap."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") / F.lit(DUP_INVOICE_BAND))
+        .cast("bigint")
+        .alias("amount_band"),
+    )
+    w = Window.partitionBy("o_custkey", "amount_band").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    gap = F.datediff(
+        F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+    ).cast("bigint")
+    return (
+        orders.withColumn("prev_orderkey", F.lag("o_orderkey").over(w))
+        .withColumn("gap_days", gap)
+        .where(
+            F.col("prev_orderkey").isNotNull()
+            & (F.col("gap_days") <= F.lit(DUP_INVOICE_WINDOW_DAYS))
+        )
+        .select(
+            "o_custkey",
+            F.col("prev_orderkey").alias("orderkey_a"),
+            F.col("o_orderkey").alias("orderkey_b"),
+            "amount_band",
+            "gap_days",
+        )
+    )

@@ -5048,3 +5048,71 @@ SELECT doc_id, source,
                  THEN 1 ELSE 0 END AS BIGINT) AS is_blocked
 FROM documents
 """
+
+
+# Mirrors graph.graph_personalized_pagerank: seed-indicator teleport,
+# seed-concentrated start vector, identical scaled-integer supersteps.
+def _ppr_sql(n_iter: int = 10) -> str:
+    ctes = [
+        _PR_GRAPH_CTES,
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src))",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "sd AS (SELECT node FROM nodes ORDER BY node LIMIT 3)",
+        "ns AS (SELECT COUNT(*) AS c FROM sd)",
+        "fl AS MATERIALIZED (SELECT n.node,"
+        " CAST(CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_seed"
+        " FROM nodes n LEFT JOIN sd s ON n.node = s.node)",
+        "pr0 AS (SELECT node, is_seed,"
+        " CASE WHEN is_seed = 1"
+        " THEN 1000000000000000 // (SELECT c FROM ns) ELSE 0 END AS pr FROM fl)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""pr{i} AS (
+  SELECT f.node, f.is_seed,
+         CASE WHEN f.is_seed = 1
+              THEN (1000000000000000 * 15) // 100 // (SELECT c FROM ns)
+              ELSE 0 END
+           + (COALESCE(s.s, 0) * 85) // 100 AS pr
+  FROM fl f LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.pr // e.outdeg) AS s
+    FROM pr{i - 1} p JOIN ed e ON p.node = e.src
+    GROUP BY e.dst
+  ) s USING (node)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, is_seed, CAST(pr AS BIGINT) AS pr_scaled,
+       CAST(pr AS DOUBLE) / 1000000000000000.0 AS pagerank
+FROM pr{n_iter}
+"""
+    )
+
+
+ORACLE_SQL["graph_personalized_pagerank"] = _ppr_sql(10)
+
+# Mirrors relational.orders_duplicate_detection: (custkey, 2000-wide
+# amount band) lag window, integer day gap, 120-day threshold sync-pinned.
+ORACLE_SQL["orders_duplicate_detection"] = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         CAST(floor(o_totalprice / 2000) AS BIGINT) AS amount_band,
+         lag(o_orderkey) OVER w AS prev_orderkey,
+         CAST(CAST(o_orderdate AS DATE)
+              - lag(CAST(o_orderdate AS DATE)) OVER w AS BIGINT) AS gap_days
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey, CAST(floor(o_totalprice / 2000) AS BIGINT)
+               ORDER BY o_orderdate, o_orderkey)
+)
+SELECT o_custkey,
+       prev_orderkey AS orderkey_a,
+       o_orderkey AS orderkey_b,
+       amount_band,
+       gap_days
+FROM o
+WHERE prev_orderkey IS NOT NULL AND gap_days <= 120
+"""

@@ -460,3 +460,5 @@ register("text_langid", text.text_langid)
 register("text_fingerprint", text.text_fingerprint)
 register("events_ab_lift", relational.events_ab_lift)
 register("text_blocklist_filter", text.text_blocklist_filter)
+register("graph_personalized_pagerank", graph.graph_personalized_pagerank)
+register("orders_duplicate_detection", relational.orders_duplicate_detection)

@@ -1255,6 +1255,15 @@ def test_r7_constants_in_sync_with_oracles():
     assert text_ops.BLOCKLIST == ("slow", "dup")
     bl_sql = oracles.ORACLE_SQL["text_blocklist_filter"]
     assert "t = 'slow' OR t = 'dup'" in bl_sql and "['slow', 'dup']" in bl_sql
+    assert (relational.DUP_INVOICE_BAND, relational.DUP_INVOICE_WINDOW_DAYS) == (
+        2000,
+        120,
+    )
+    dup_sql = oracles.ORACLE_SQL["orders_duplicate_detection"]
+    assert "/ 2000" in dup_sql and "<= 120" in dup_sql
+    ppr_sql = oracles.ORACLE_SQL["graph_personalized_pagerank"]
+    assert "LIMIT 3" in ppr_sql  # seed set == SP_N_SEEDS
+    assert str(graph.PR_SCALE) in ppr_sql
 
 
 def test_word_pmi_invariants(spark, sf_dir):
@@ -1770,3 +1779,67 @@ def test_blocklist_counts_replay(spark, sf_dir):
         blocked += r.is_blocked
         clean += 1 - r.is_blocked
     assert blocked > 0 and clean > 0
+
+
+def test_ppr_concentrates_on_seeds(spark, sf_dir):
+    """PPR sanity vs global PageRank: seeds carry the teleport floor, so
+    every seed outranks the global-PR minimum share; rank mass is
+    conserved up to floor-division residue (sum <= 1, and > 0.5); and
+    nodes outside the seeds' components are exactly 0."""
+    from cl_tagger_batch_processing_spark.operators import graph
+
+    rows = graph.graph_personalized_pagerank(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.pagerank for r in rows)
+    assert 0.5 < total <= 1.0 + 1e-9
+    seeds = [r for r in rows if r.is_seed == 1]
+    assert len(seeds) == min(graph.SP_N_SEEDS, len(rows))
+    floor_share = 0.15 / len(seeds)
+    for s in seeds:
+        assert s.pagerank >= floor_share - 1e-9, s
+    comp = {
+        r.node: r.component_id
+        for r in graph.graph_components(spark, sf_dir).collect()
+    }
+    seed_comps = {comp[s.node] for s in seeds}
+    for r in rows:
+        if comp[r.node] not in seed_comps:
+            assert r.pr_scaled == 0, r
+        if r.is_seed == 0 and comp[r.node] in seed_comps:
+            assert r.pr_scaled >= 0
+
+
+def test_duplicate_detection_blocking(spark, sf_dir):
+    """Every emitted pair shares (customer, amount band), respects the day
+    window, orders a before b, and the full pair set replays from a
+    driver-side scan of the orders fixture."""
+    from collections import defaultdict
+
+    from cl_tagger_batch_processing_spark.operators import relational
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = relational.orders_duplicate_detection(spark, sf_dir).collect()
+    assert rows
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.to_date("o_orderdate").alias("d"),
+            F.floor(F.col("o_totalprice") / relational.DUP_INVOICE_BAND)
+            .cast("bigint")
+            .alias("band"),
+        )
+        .collect()
+    )
+    by_block = defaultdict(list)
+    for o in orders:
+        by_block[(o.o_custkey, o.band)].append(o)
+    expected = set()
+    for block in by_block.values():
+        block.sort(key=lambda o: (o.d, o.o_orderkey))
+        for a, b in zip(block, block[1:]):
+            if (b.d - a.d).days <= relational.DUP_INVOICE_WINDOW_DAYS:
+                expected.add((a.o_orderkey, b.o_orderkey))
+    assert {(r.orderkey_a, r.orderkey_b) for r in rows} == expected
