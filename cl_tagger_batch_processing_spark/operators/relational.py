@@ -2021,6 +2021,56 @@ HLL_SCALE_SHIFT = 56  # 2^56 scaling makes Σ2^-M an exact integer sum
 HLL_SMALL_RANGE = 160.0  # 2.5·m: below this, linear counting applies
 
 
+def hll_hashed(df: DataFrame, key: str, keep_cols: list[str]) -> DataFrame:
+    """keep_cols + (register, rank) from ``key`` — the shared HLL hash
+    layout (60-bit md5 prefix, low-6-bit register index, rank = 55 −
+    bitlength of the upper 54 bits). Shared by the batch estimator and
+    the streaming windowed variant so the layout cannot drift."""
+    h = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    with_h = df.select(*keep_cols, h.alias("h"))
+    w = F.expr(f"h div {HLL_M}")
+    return with_h.select(
+        *keep_cols,
+        (F.col("h") % F.lit(HLL_M)).alias("register"),
+        F.when(w == F.lit(0), F.lit(HLL_RANK_BITS + 1))
+        .otherwise(F.lit(HLL_RANK_BITS + 1) - F.length(F.bin(w)))
+        .cast("bigint")
+        .alias("rank"),
+    )
+
+
+def hll_finalize(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Per-group HLL estimate from max-merged (register, m) rows — shared
+    by the batch estimator and the streaming windowed variant (the merge
+    phase differs; the finalize math must not)."""
+    per_group = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_SCALE_SHIFT} - m)")).alias(
+            "sum_pow"
+        ),
+    )
+    v = F.lit(HLL_M) - F.col("n_regs")
+    denom = (
+        F.col("sum_pow") + v * F.lit(1 << HLL_SCALE_SHIFT).cast("bigint")
+    ).cast("double")
+    raw = (
+        F.lit(0.7213)
+        / (F.lit(1.0) + F.lit(1.079) / F.lit(float(HLL_M)))
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(1 << HLL_SCALE_SHIFT))
+        / denom
+    )
+    est = F.when(
+        (v > F.lit(0)) & (raw <= F.lit(HLL_SMALL_RANGE)),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    return per_group.select(
+        *group_cols, "n_regs", F.round(est, 6).alias("hll_estimate")
+    )
+
+
 def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog from first principles — the sketch behind
     every "approximate COUNT DISTINCT at scale" (registers are max-merged,
@@ -2041,57 +2091,21 @@ def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines. Output: exact distinct (companion truth), the HLL
     estimate, and the relative error, per event_type."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-    h = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
-    ).cast("bigint")
-    with_h = ev.select("event_type", h.alias("h"))
-    w = F.expr(f"h div {HLL_M}")  # the 54 rank bits above the register index
-    hashed = with_h.select(
-        "event_type",
-        (F.col("h") % F.lit(HLL_M)).alias("register"),
-        F.when(w == F.lit(0), F.lit(HLL_RANK_BITS + 1))
-        .otherwise(F.lit(HLL_RANK_BITS + 1) - F.length(F.bin(w)))
-        .cast("bigint")
-        .alias("rank"),
-    )
+    hashed = hll_hashed(ev, "user_id", ["event_type"])
     regs = hashed.groupBy("event_type", "register").agg(F.max("rank").alias("m"))
-    per_type = regs.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_regs"),
-        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_SCALE_SHIFT} - m)")).alias(
-            "sum_pow"
-        ),
-    )
+    estimates = hll_finalize(regs, ["event_type"])
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_exact")
     )
-    v = F.lit(HLL_M) - F.col("n_regs")
-    denom = (
-        F.col("sum_pow")
-        + v * F.lit(1 << HLL_SCALE_SHIFT).cast("bigint")
-    ).cast("double")
-    raw = (
-        F.lit(0.7213)
-        / (F.lit(1.0) + F.lit(1.079) / F.lit(float(HLL_M)))
-        * F.lit(float(HLL_M * HLL_M))
-        * F.lit(float(1 << HLL_SCALE_SHIFT))
-        / denom
-    )
-    est = F.when(
-        (v > F.lit(0)) & (raw <= F.lit(HLL_SMALL_RANGE)),
-        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
-    ).otherwise(raw)
-    return (
-        per_type.join(exact, "event_type")
-        .select(
-            "event_type",
-            "n_exact",
-            F.round(est, 6).alias("hll_estimate"),
-            F.round(
-                F.abs(est - F.col("n_exact").cast("double"))
-                / F.col("n_exact").cast("double"),
-                6,
-            ).alias("rel_error"),
-        )
+    return estimates.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        "hll_estimate",
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double"),
+            6,
+        ).alias("rel_error"),
     )
 
 

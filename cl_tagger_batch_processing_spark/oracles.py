@@ -4474,8 +4474,8 @@ est AS (
 )
 SELECT event_type, n_exact,
        round(e, 6) AS hll_estimate,
-       round(abs(e - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6)
-         AS rel_error
+       round(abs(round(e, 6) - CAST(n_exact AS DOUBLE))
+             / CAST(n_exact AS DOUBLE), 6) AS rel_error
 FROM est
 """
 
@@ -5115,4 +5115,46 @@ SELECT o_custkey,
        gap_days
 FROM o
 WHERE prev_orderkey IS NOT NULL AND gap_days <= 120
+"""
+
+
+# Mirrors streaming.windows.stream_hll_distinct: batch replay of the
+# windowed register max-merge + the shared HLL finalize (complete mode on
+# the bounded fixture == batch). Hour buckets via integer epoch math.
+ORACLE_SQL["stream_hll_distinct"] = """
+WITH h AS (
+  SELECT CAST((epoch_us(ts) // 1000000) // 3600 * 3600 AS BIGINT)
+           AS window_start_epoch,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM events
+),
+r AS (
+  SELECT window_start_epoch, h % 64 AS register,
+         CASE WHEN h // 64 = 0 THEN 55
+              ELSE 55 - length(bin(h // 64)) END AS rank
+  FROM h
+),
+regs AS (
+  SELECT window_start_epoch, register, MAX(rank) AS m
+  FROM r GROUP BY window_start_epoch, register
+),
+pt AS (
+  SELECT window_start_epoch, COUNT(*) AS n_regs,
+         SUM(CAST(1 AS BIGINT) << CAST(56 - m AS INTEGER)) AS sum_pow
+  FROM regs GROUP BY window_start_epoch
+)
+SELECT window_start_epoch, n_regs,
+       CASE WHEN (64 - n_regs) > 0
+             AND (0.7213 / (1.0 + 1.079 / 64.0) * 4096.0
+                  * 72057594037927936.0
+                  / CAST(sum_pow + (64 - n_regs)
+                         * CAST(72057594037927936 AS BIGINT) AS DOUBLE))
+                 <= 160.0
+            THEN round(64.0 * ln(64.0 / CAST(64 - n_regs AS DOUBLE)), 6)
+            ELSE round(0.7213 / (1.0 + 1.079 / 64.0) * 4096.0
+                       * 72057594037927936.0
+                       / CAST(sum_pow + (64 - n_regs)
+                              * CAST(72057594037927936 AS BIGINT) AS DOUBLE), 6)
+       END AS hll_estimate
+FROM pt
 """

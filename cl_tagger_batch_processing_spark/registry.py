@@ -462,3 +462,4 @@ register("events_ab_lift", relational.events_ab_lift)
 register("text_blocklist_filter", text.text_blocklist_filter)
 register("graph_personalized_pagerank", graph.graph_personalized_pagerank)
 register("orders_duplicate_detection", relational.orders_duplicate_detection)
+register("stream_hll_distinct", streaming_windows.stream_hll_distinct)

@@ -477,3 +477,38 @@ def stream_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("f.value").cast("double").alias("first_value"),
         "n_events",
     )
+
+
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per tumbling hour over the EVENT STREAM,
+    via the engine's hand-rolled HyperLogLog — the reason sketches exist
+    in streaming: exact distinct state grows with the key universe, while
+    HLL state is EXACTLY 64 max-merged registers per window regardless of
+    traffic (max is an algebraic aggregate, so Spark keeps partial maxes
+    in the state store and merges across micro-batches for free).
+
+    The hash layout and rank math come from ``relational.hll_hashed`` and
+    the finalize from ``relational.hll_finalize`` — the SAME code the
+    batch estimator runs, so the streaming sketch provably agrees with
+    the batch one (and with the DuckDB oracle, which replays the batch
+    equivalent; complete mode on the bounded fixture makes them equal).
+    Finalization (registers → estimate) is post-stream batch math on the
+    64-rows-per-window result — the foreachBatch/topk convention of
+    keeping unsupported-in-streaming shapes out of the streaming plan."""
+    from ..operators.relational import hll_finalize, hll_hashed
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = events_stream(spark, sf_dir).select(
+        F.window("ts", "1 hour").alias("w"), "user_id"
+    )
+    hashed = hll_hashed(ev, "user_id", ["w"])
+    agg = hashed.groupBy("w", "register").agg(F.max("rank").alias("m"))
+    regs = _run_to_memory(agg, "complete")
+    return hll_finalize(
+        regs.select(
+            F.unix_timestamp("w.start").cast("bigint").alias("window_start_epoch"),
+            "register",
+            "m",
+        ),
+        ["window_start_epoch"],
+    )

@@ -1264,6 +1264,9 @@ def test_r7_constants_in_sync_with_oracles():
     ppr_sql = oracles.ORACLE_SQL["graph_personalized_pagerank"]
     assert "LIMIT 3" in ppr_sql  # seed set == SP_N_SEEDS
     assert str(graph.PR_SCALE) in ppr_sql
+    shll = oracles.ORACLE_SQL["stream_hll_distinct"]
+    assert "h % 64" in shll and "<< CAST(56 - m AS INTEGER)" in shll
+    assert "3600 * 3600" in shll  # hour tumbling window via integer epoch
 
 
 def test_word_pmi_invariants(spark, sf_dir):
@@ -1843,3 +1846,42 @@ def test_duplicate_detection_blocking(spark, sf_dir):
             if (b.d - a.d).days <= relational.DUP_INVOICE_WINDOW_DAYS:
                 expected.add((a.o_orderkey, b.o_orderkey))
     assert {(r.orderkey_a, r.orderkey_b) for r in rows} == expected
+
+
+def test_stream_hll_tracks_exact_distinct(spark, sf_dir):
+    """The streaming windowed HLL stays within the m=64 error envelope of
+    the exact per-window distinct count (5σ bound), covers every hour
+    window with events, and its state footprint claim holds: at most
+    HLL_M register rows fed each window's estimate."""
+    from cl_tagger_batch_processing_spark.operators.relational import HLL_M
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+    from cl_tagger_batch_processing_spark.streaming.windows import (
+        stream_hll_distinct,
+    )
+    from pyspark.sql import functions as F
+
+    rows = {
+        r.window_start_epoch: r
+        for r in stream_hll_distinct(spark, sf_dir).collect()
+    }
+    exact = {
+        r.w: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 1000000 div 3600 * 3600"
+            ).alias("w"),
+            "user_id",
+        )
+        .groupBy("w")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(rows) == set(exact)
+    for w, r in rows.items():
+        assert r.n_regs <= HLL_M
+        assert abs(r.hll_estimate - exact[w]) <= 5 * 0.13 * max(exact[w], 8), (
+            w,
+            r.hll_estimate,
+            exact[w],
+        )
