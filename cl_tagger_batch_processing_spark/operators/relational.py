@@ -2575,3 +2575,131 @@ def orders_duplicate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_days",
         )
     )
+
+
+# Forecast-backtest geometry: seasonal lag and the power-of-two EWMA
+# window reused from events_ewma_daily's convention. Oracle-mirrored.
+FC_SEASON_LAG = 12
+FC_EWMA_LAGS = 6
+
+
+def orders_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead forecast backtest on monthly revenue — the model
+    bake-off every demand-planning pipeline runs BEFORE trusting a
+    forecaster: naive (last month), seasonal-naive (12 months ago), and a
+    truncated EWMA (halving weights over the trailing 6 months), each
+    scored on months where all three are defined. Output: per method,
+    MAE / MAPE / RMSE over the common evaluation window.
+
+    Exactness: monthly revenue is a DECIMAL sum; naive/seasonal forecasts
+    are lagged DECIMALs (exact); the EWMA forecast uses exact
+    power-of-two BIGINT-weighted DECIMAL sums over a ROWS frame with one
+    double division (the events_ewma_daily trick, lag-shifted so only
+    PAST months contribute); error aggregation rounds each per-month
+    term at 9dp into DECIMAL(28,9) (the order-independent float-mean
+    convention); RMSE takes one sqrt at the end. The month spine is
+    calendar-bounded — constant-size windows at any data volume."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.select(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("bigint")
+            .alias("ym"),
+            _dec("o_totalprice").alias("p"),
+        )
+        .groupBy("ym")
+        .agg(F.sum("p").alias("rev"))
+    )
+    w = Window.orderBy("ym")
+    # EWMA over the PRECEDING FC_EWMA_LAGS months: weight 2^(FC_EWMA_LAGS-1-k)
+    # for the k-th-most-recent — exact integers; numerator via lag sums
+    ewma_num = None
+    ewma_den = 0
+    for k in range(FC_EWMA_LAGS):
+        wt = 1 << (FC_EWMA_LAGS - 1 - k)
+        term = F.lag("rev", k + 1).over(w) * F.lit(wt)
+        ewma_num = term if ewma_num is None else ewma_num + term
+        ewma_den += wt
+    fc = monthly.select(
+        "ym",
+        F.col("rev").cast("double").alias("actual"),
+        F.lag("rev", 1).over(w).cast("double").alias("naive"),
+        F.lag("rev", FC_SEASON_LAG).over(w).cast("double").alias("seasonal_naive"),
+        (ewma_num.cast("double") / F.lit(float(ewma_den))).alias("ewma"),
+    ).where(
+        F.col("naive").isNotNull()
+        & F.col("seasonal_naive").isNotNull()
+        & F.col("ewma").isNotNull()
+    )
+    methods = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(m).alias("method"), F.col(m).alias("forecast"))
+                for m in ("naive", "seasonal_naive", "ewma")
+            ]
+        )
+    ).alias("mf")
+    long = fc.select("ym", "actual", methods).select(
+        F.col("mf.method").alias("method"),
+        "actual",
+        F.col("mf.forecast").alias("forecast"),
+    )
+    err = F.abs(F.col("actual") - F.col("forecast"))
+    d9 = lambda c: F.round(c, 9).cast("decimal(28,9)")
+    agg = long.groupBy("method").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum(d9(err)).alias("_sae"),
+        F.sum(d9(err / F.col("actual"))).alias("_sape"),
+        F.sum(d9(err * err)).alias("_sse"),
+    )
+    n = F.col("n_months").cast("double")
+    return agg.select(
+        "method",
+        "n_months",
+        F.round(F.col("_sae").cast("double") / n, 6).alias("mae"),
+        F.round(F.col("_sape").cast("double") / n, 6).alias("mape"),
+        F.round(F.sqrt(F.col("_sse").cast("double") / n), 6).alias("rmse"),
+    )
+
+
+# l-diversity threshold over the k-anonymity QI classes. Oracle-mirrored.
+LDIV_L = 3
+
+
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's necessary companion: a class of
+    k identical quasi-identifier rows still leaks the sensitive attribute
+    if all k share one value (the homogeneity attack). Same QI tuple as
+    privacy_k_anonymity (nation, balance band) with the market segment as
+    the sensitive attribute; a class is l-diverse when it contains at
+    least LDIV_L distinct sensitive values.
+
+    One hash aggregate over the QI key (distinct-count of the sensitive
+    value rides the same shuffle); entropy-free distinct l-diversity —
+    the auditable variant. Output: class, size, distinct sensitive
+    values, 0/1 verdict."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint")
+    return (
+        cust.select(
+            F.col("c_nationkey").cast("bigint").alias("nation_key"),
+            band.alias("acctbal_band"),
+            "c_mktsegment",
+        )
+        .groupBy("nation_key", "acctbal_band")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct("c_mktsegment").cast("bigint").alias("n_sensitive"),
+        )
+        .select(
+            "nation_key",
+            "acctbal_band",
+            "class_size",
+            "n_sensitive",
+            F.when(F.col("n_sensitive") >= F.lit(LDIV_L), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("is_l_diverse"),
+        )
+    )

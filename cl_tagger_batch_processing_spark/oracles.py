@@ -5158,3 +5158,64 @@ SELECT window_start_epoch, n_regs,
        END AS hll_estimate
 FROM pt
 """
+
+
+# Mirrors relational.orders_forecast_backtest: DECIMAL monthly sums,
+# lagged forecasts (EWMA = exact power-of-two weighted lag sum, mirrored
+# term order), 9dp-rounded error terms into DECIMAL(28,9), one final
+# division/sqrt per metric. Lags (1, 12, 6-term EWMA) sync-pinned.
+ORACLE_SQL["orders_forecast_backtest"] = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS ym,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+  FROM orders GROUP BY 1
+),
+fc AS (
+  SELECT ym,
+         CAST(rev AS DOUBLE) AS actual,
+         CAST(lag(rev, 1) OVER w AS DOUBLE) AS naive,
+         CAST(lag(rev, 12) OVER w AS DOUBLE) AS seasonal_naive,
+         CAST(lag(rev, 1) OVER w * 32 + lag(rev, 2) OVER w * 16
+              + lag(rev, 3) OVER w * 8 + lag(rev, 4) OVER w * 4
+              + lag(rev, 5) OVER w * 2 + lag(rev, 6) OVER w * 1
+              AS DOUBLE) / 63.0 AS ewma
+  FROM monthly
+  WINDOW w AS (ORDER BY ym)
+),
+ok AS (
+  SELECT * FROM fc
+  WHERE naive IS NOT NULL AND seasonal_naive IS NOT NULL AND ewma IS NOT NULL
+),
+long AS (
+  SELECT 'naive' AS method, actual, naive AS forecast FROM ok
+  UNION ALL
+  SELECT 'seasonal_naive', actual, seasonal_naive FROM ok
+  UNION ALL
+  SELECT 'ewma', actual, ewma FROM ok
+)
+SELECT method, COUNT(*) AS n_months,
+       round(CAST(SUM(CAST(round(abs(actual - forecast), 9)
+                           AS DECIMAL(28,9))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mae,
+       round(CAST(SUM(CAST(round(abs(actual - forecast) / actual, 9)
+                           AS DECIMAL(28,9))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mape,
+       round(sqrt(CAST(SUM(CAST(round(abs(actual - forecast)
+                                      * abs(actual - forecast), 9)
+                                AS DECIMAL(28,9))) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE)), 6) AS rmse
+FROM long GROUP BY method
+"""
+
+# Mirrors relational.privacy_l_diversity: same QI key as k-anonymity,
+# distinct-sensitive count on the same shuffle, l = 3 sync-pinned.
+ORACLE_SQL["privacy_l_diversity"] = """
+SELECT CAST(c_nationkey AS BIGINT) AS nation_key,
+       CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band,
+       COUNT(*) AS class_size,
+       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+       CAST(CASE WHEN COUNT(DISTINCT c_mktsegment) >= 3 THEN 1 ELSE 0 END
+            AS BIGINT) AS is_l_diverse
+FROM customer
+GROUP BY 1, 2
+"""

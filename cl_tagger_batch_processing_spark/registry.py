@@ -463,3 +463,5 @@ register("text_blocklist_filter", text.text_blocklist_filter)
 register("graph_personalized_pagerank", graph.graph_personalized_pagerank)
 register("orders_duplicate_detection", relational.orders_duplicate_detection)
 register("stream_hll_distinct", streaming_windows.stream_hll_distinct)
+register("orders_forecast_backtest", relational.orders_forecast_backtest)
+register("privacy_l_diversity", relational.privacy_l_diversity)

@@ -1267,6 +1267,11 @@ def test_r7_constants_in_sync_with_oracles():
     shll = oracles.ORACLE_SQL["stream_hll_distinct"]
     assert "h % 64" in shll and "<< CAST(56 - m AS INTEGER)" in shll
     assert "3600 * 3600" in shll  # hour tumbling window via integer epoch
+    assert (relational.FC_SEASON_LAG, relational.FC_EWMA_LAGS) == (12, 6)
+    fb = oracles.ORACLE_SQL["orders_forecast_backtest"]
+    assert "lag(rev, 12)" in fb and "* 32" in fb and "/ 63.0" in fb
+    assert relational.LDIV_L == 3
+    assert ">= 3" in oracles.ORACLE_SQL["privacy_l_diversity"]
 
 
 def test_word_pmi_invariants(spark, sf_dir):
@@ -1885,3 +1890,62 @@ def test_stream_hll_tracks_exact_distinct(spark, sf_dir):
             r.hll_estimate,
             exact[w],
         )
+
+
+def test_forecast_backtest_replay(spark, sf_dir):
+    """All three methods score the SAME evaluation months; MAE/RMSE obey
+    RMSE >= MAE (power-mean inequality); the naive method's MAE replays
+    from a driver-side recompute of the monthly series."""
+    from collections import OrderedDict
+
+    from cl_tagger_batch_processing_spark.operators import relational
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = {r.method: r for r in relational.orders_forecast_backtest(spark, sf_dir).collect()}
+    assert set(rows) == {"naive", "seasonal_naive", "ewma"}
+    assert len({r.n_months for r in rows.values()}) == 1
+    for r in rows.values():
+        assert r.rmse >= r.mae > 0, r
+        assert r.mape > 0
+    monthly = OrderedDict(
+        (r.ym, float(r.rev))
+        for r in load_table(spark, sf_dir, "orders")
+        .select(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("ym"),
+            F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+        )
+        .groupBy("ym")
+        .agg(F.sum("p").alias("rev"))
+        .orderBy("ym")
+        .collect()
+    )
+    vals = list(monthly.values())
+    # eval window: months where lag-12 and the 6-term EWMA both exist
+    errs = [abs(vals[i] - vals[i - 1]) for i in range(12, len(vals))]
+    assert abs(rows["naive"].mae - sum(errs) / len(errs)) < 1e-5
+    assert rows["naive"].n_months == len(errs)
+
+
+def test_l_diversity_consistent_with_k_anonymity(spark, sf_dir):
+    """Class sizes agree with privacy_k_anonymity rolled up over segments
+    (same QI minus the sensitive attribute); n_sensitive <= min(5, size);
+    the verdict replays."""
+    from collections import defaultdict
+
+    from cl_tagger_batch_processing_spark.operators import curation, relational
+
+    ldiv = relational.privacy_l_diversity(spark, sf_dir).collect()
+    kan = curation.privacy_k_anonymity(spark, sf_dir).collect()
+    k_sizes = defaultdict(int)
+    k_segments = defaultdict(set)
+    for r in kan:
+        k_sizes[(r.nation_key, r.acctbal_band)] += r.class_size
+        k_segments[(r.nation_key, r.acctbal_band)].add(r.c_mktsegment)
+    assert len(ldiv) == len(k_sizes)
+    for r in ldiv:
+        key = (r.nation_key, r.acctbal_band)
+        assert r.class_size == k_sizes[key]
+        assert r.n_sensitive == len(k_segments[key])
+        assert 1 <= r.n_sensitive <= min(5, r.class_size)
+        assert r.is_l_diverse == (1 if r.n_sensitive >= relational.LDIV_L else 0)
