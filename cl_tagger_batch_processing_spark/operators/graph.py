@@ -624,3 +624,99 @@ def graph_personalized_pagerank(
         F.col("pr").alias("pr_scaled"),
         (F.col("pr").cast("double") / F.lit(float(PR_SCALE))).alias("pagerank"),
     )
+
+
+# Closeness centrality: number of probe sources (top-degree nodes) and the
+# per-source BFS hop budget — both mirrored literally in the oracle's
+# LIMIT / dist-guard (sync-pinned).
+CLOSE_N_SOURCES = 4
+CLOSE_MAX_ROUNDS = 64
+
+
+def graph_closeness_centrality(
+    spark: SparkSession,
+    sf_dir: str,
+    min_support: int = PR_MIN_SUPPORT,
+    round_counter: list | None = None,
+) -> DataFrame:
+    """Closeness centrality for the CLOSE_N_SOURCES highest-degree nodes of
+    the co-occurrence graph — the centrality the degree/PageRank pair
+    misses: degree is local, PageRank is recursive popularity, closeness
+    is REACH EFFICIENCY (mean hops to everything reachable). Sources are
+    deterministic: degree DESC, node ASC.
+
+    Algorithm: source-tagged frontier BFS — state is (root, node, dist),
+    the frontier joins the edge list once per round, candidates are
+    deduped per (root, node) and anti-joined against the labeled set, so
+    each (root, node) pair is labeled exactly once and total join work is
+    O(sources × E) across all rounds. Rounds are checkpointed with the
+    frontier size observed on the same job (the bfs_distances
+    discipline); an undrained frontier at the budget RAISES, matching the
+    oracle's dist guard. Closeness = (n_reached − 1) / Σdist — one
+    division of exact BIGINTs; isolated sources yield NULL.
+
+    Scale: identical per-round shape to ``bfs_distances`` with a
+    constant-factor (4×) wider frontier; the state frame is bounded by
+    sources × nodes. The degree ranking is a map-side-combinable groupBy
+    plus a k-row limit."""
+    from ..checkpointing import checkpoint_with_metric
+
+    edges = cooccurrence_edges(spark, sf_dir, min_support=min_support).transform(
+        truncate_lineage
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    roots = deg.orderBy(F.desc("degree"), F.asc("src")).limit(CLOSE_N_SOURCES)
+    n_rows = F.count(F.lit(1)).alias("n")
+    dist = roots.select(
+        F.col("src").alias("root"),
+        F.col("src").alias("node"),
+        F.lit(0).cast("bigint").alias("dist"),
+    )
+    dist, layer_size = checkpoint_with_metric(dist, n_rows)
+    frontier = dist
+    converged = False
+    # budget + 1 probe round proves the dist == budget layer is the last
+    # (the bfs_distances convention); probe rows are discarded on raise.
+    for hop in range(1, CLOSE_MAX_ROUNDS + 2):
+        if round_counter is not None:
+            round_counter.append(1)
+        if layer_size == 0:
+            converged = True
+            break
+        cand = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select("root", F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("root", "node"), ["root", "node"], "left_anti")
+            .select("root", "node", F.lit(hop).cast("bigint").alias("dist"))
+        )
+        fresh, layer_size = checkpoint_with_metric(cand, n_rows)
+        dist = truncate_lineage(dist.unionByName(fresh))
+        frontier = fresh
+    if layer_size == 0:
+        converged = True
+    if not converged:
+        raise RuntimeError(
+            f"graph_closeness_centrality did not drain its frontier within "
+            f"{CLOSE_MAX_ROUNDS} hops — raise the round budget"
+        )
+    reach = dist.groupBy("root").agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.sum("dist").alias("sum_dist"),
+    )
+    return (
+        reach.join(F.broadcast(roots), reach.root == roots.src)
+        .select(
+            "root",
+            "degree",
+            "n_reached",
+            "sum_dist",
+            F.when(
+                F.col("sum_dist") > 0,
+                (F.col("n_reached") - F.lit(1)).cast("double")
+                / F.col("sum_dist").cast("double"),
+            )
+            .otherwise(F.lit(None).cast("double"))
+            .alias("closeness"),
+        )
+    )

@@ -2703,3 +2703,127 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_l_diverse"),
         )
     )
+
+
+# ACF lag range — mirrored literally in the DuckDB oracle (sync-pinned).
+ACF_MAX_LAG = 7
+
+
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily event-count series at lags
+    1..ACF_MAX_LAG — the time-series family's diagnostic completion: the
+    seasonal decomposition assumes a weekly cycle, CUSUM assumes drift;
+    the ACF is the readout that JUSTIFIES those assumptions (a weekly
+    cycle shows as a lag-7 peak).
+
+    Pearson r between (x_t, x_{t+lag}) over calendar-aligned day pairs
+    (absent days are excluded pairwise, documented). All six sufficient
+    statistics (n, Σx, Σy, Σxy, Σx², Σy²) are exact BIGINT sums of
+    integer daily counts, so the only float work is one subtraction
+    tree, one sqrt, and one division — identical IEEE ops on both
+    engines. Zero-variance sides yield NULL (not NaN) on both.
+
+    Scale: the only full-data pass is the map-side-combinable daily
+    groupBy; the lag self-join runs on the ~#days-row aggregate with the
+    lag spine broadcast. At 100 TB the daily frame is still tiny."""
+    daily = _daily_event_counts(spark, sf_dir)
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    x = daily.select(F.col("day").alias("xd"), F.col("daily_count").alias("xv"))
+    y = daily.select(F.col("day").alias("yd"), F.col("daily_count").alias("yv"))
+    pairs = (
+        x.crossJoin(F.broadcast(lags))
+        .join(y, F.col("yd") == F.col("xd") + F.col("lag"))
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xv").alias("sx"),
+        F.sum("yv").alias("sy"),
+        F.sum(F.col("xv") * F.col("yv")).alias("sxy"),
+        F.sum(F.col("xv") * F.col("xv")).alias("sxx"),
+        F.sum(F.col("yv") * F.col("yv")).alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return s.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            num / F.sqrt(vx.cast("double") * vy.cast("double")),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("acf"),
+    )
+
+
+# t-closeness threshold (total-variation distance) — sync-pinned in the
+# oracle. TVD is the categorical-sensitive-attribute instantiation of the
+# t-closeness EMD (Li et al., ICDE'07: equal-distance ground metric).
+TCL_T = 0.2
+
+
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the privacy ladder after
+    k-anonymity (class size) and l-diversity (distinct sensitive values):
+    a class can be large AND diverse yet still leak if its sensitive
+    DISTRIBUTION deviates from the global one (the skewness attack).
+    Same QI key as the other two audits (nation, acctbal band), sensitive
+    attribute = market segment; distance = total-variation distance
+    between the class's segment distribution and the corpus-wide one.
+
+    Exact arithmetic: |cnt/size − gcnt/total| is computed as the integer
+    |cnt·total − gcnt·size| and the Σ is divided ONCE by 2·size·total —
+    no per-term float rounding, so the hash compare is safe. The segment
+    marginal and the grand total ride broadcast 1-to-5-row frames; the
+    only full-data shuffle is the (class × segment) cell count, whose
+    cardinality is bounded by #classes × #segments regardless of row
+    count."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_nationkey").cast("bigint").alias("nation_key"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint").alias(
+            "acctbal_band"
+        ),
+        "c_mktsegment",
+    )
+    cell = base.groupBy("nation_key", "acctbal_band", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cls = cell.groupBy("nation_key", "acctbal_band").agg(
+        F.sum("cnt").alias("class_size")
+    )
+    seg = base.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("gcnt"))
+    tot = base.agg(F.count(F.lit(1)).alias("total"))
+    grid = (
+        cls.crossJoin(F.broadcast(seg))
+        .crossJoin(F.broadcast(tot))
+        .join(cell, ["nation_key", "acctbal_band", "c_mktsegment"], "left")
+        .select(
+            "nation_key",
+            "acctbal_band",
+            "class_size",
+            "total",
+            F.abs(
+                F.coalesce(F.col("cnt"), F.lit(0)) * F.col("total")
+                - F.col("gcnt") * F.col("class_size")
+            ).alias("dev"),
+        )
+    )
+    t_dist = F.col("dev_sum").cast("double") / (
+        F.lit(2) * F.col("class_size") * F.col("total")
+    ).cast("double")
+    return (
+        grid.groupBy("nation_key", "acctbal_band", "class_size", "total")
+        .agg(F.sum("dev").alias("dev_sum"))
+        .select(
+            "nation_key",
+            "acctbal_band",
+            "class_size",
+            t_dist.alias("t_distance"),
+            F.when(t_dist <= F.lit(TCL_T), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("is_t_close"),
+        )
+    )

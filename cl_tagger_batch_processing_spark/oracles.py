@@ -5219,3 +5219,110 @@ SELECT CAST(c_nationkey AS BIGINT) AS nation_key,
 FROM customer
 GROUP BY 1, 2
 """
+
+# Mirrors relational.events_autocorrelation: daily event counts on the
+# shared epoch-day spine, Pearson r at lags 1..7 from exact BIGINT
+# sufficient statistics; lag range and the zero-variance NULL guard are
+# sync-pinned (generate_series(1, 7)).
+ORACLE_SQL["events_autocorrelation"] = """
+WITH daily AS (
+  SELECT CAST((epoch_us(ts) // 1000000) // 86400 AS BIGINT) AS day,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1
+),
+lags AS (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT) AS lag),
+pairs AS (
+  SELECT l.lag, x.cnt AS xv, y.cnt AS yv
+  FROM daily x CROSS JOIN lags l
+  JOIN daily y ON y.day = x.day + l.lag
+),
+s AS (
+  SELECT lag, COUNT(*) AS n,
+         CAST(SUM(xv) AS BIGINT) AS sx, CAST(SUM(yv) AS BIGINT) AS sy,
+         CAST(SUM(xv * yv) AS BIGINT) AS sxy,
+         CAST(SUM(xv * xv) AS BIGINT) AS sxx,
+         CAST(SUM(yv * yv) AS BIGINT) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT lag, n AS n_pairs,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+            ELSE NULL END AS acf
+FROM s
+"""
+
+# Mirrors relational.privacy_t_closeness: same QI key as the k-anonymity /
+# l-diversity audits, total-variation distance to the global market-segment
+# distribution computed from exact integer cross-products and divided once
+# by 2·class_size·total; the 0.2 threshold is sync-pinned (TCL_T).
+ORACLE_SQL["privacy_t_closeness"] = """
+WITH base AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation_key,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band,
+         c_mktsegment
+  FROM customer
+),
+cell AS (
+  SELECT nation_key, acctbal_band, c_mktsegment, COUNT(*) AS cnt
+  FROM base GROUP BY 1, 2, 3
+),
+cls AS (
+  SELECT nation_key, acctbal_band, CAST(SUM(cnt) AS BIGINT) AS class_size
+  FROM cell GROUP BY 1, 2
+),
+seg AS (SELECT c_mktsegment, COUNT(*) AS gcnt FROM base GROUP BY 1),
+tot AS (SELECT COUNT(*) AS total FROM base),
+grid AS (
+  SELECT c.nation_key, c.acctbal_band, c.class_size, t.total,
+         abs(COALESCE(l.cnt, 0) * t.total - s.gcnt * c.class_size) AS dev
+  FROM cls c
+  CROSS JOIN seg s
+  CROSS JOIN tot t
+  LEFT JOIN cell l
+    ON l.nation_key = c.nation_key
+   AND l.acctbal_band = c.acctbal_band
+   AND l.c_mktsegment = s.c_mktsegment
+),
+agg AS (
+  SELECT nation_key, acctbal_band, class_size, total,
+         CAST(SUM(dev) AS BIGINT) AS dev_sum
+  FROM grid GROUP BY 1, 2, 3, 4
+)
+SELECT nation_key, acctbal_band, class_size,
+       CAST(dev_sum AS DOUBLE) / CAST(2 * class_size * total AS DOUBLE)
+         AS t_distance,
+       CAST(CASE WHEN CAST(dev_sum AS DOUBLE)
+                      / CAST(2 * class_size * total AS DOUBLE) <= 0.2
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_t_close
+FROM agg
+"""
+
+# Mirrors graph.graph_closeness_centrality: same co-occurrence graph,
+# sources = the 4 highest-degree nodes (degree DESC, node ASC — LIMIT 4
+# sync-pinned with CLOSE_N_SOURCES), per-source min hop distance via the
+# recursive CTE, closeness = (n_reached − 1) / Σdist as one exact-integer
+# division; the w.dist < 64 guard equals CLOSE_MAX_ROUNDS.
+ORACLE_SQL["graph_closeness_centrality"] = f"""
+WITH RECURSIVE {_PR_GRAPH_CTES},
+deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src),
+roots AS (
+  SELECT src AS root, degree FROM deg ORDER BY degree DESC, src LIMIT 4
+),
+walk(root, node, dist) AS (
+  SELECT root, root, CAST(0 AS BIGINT) FROM roots
+  UNION
+  SELECT w.root, e.dst, w.dist + 1
+  FROM walk w JOIN edges e ON w.node = e.src
+  WHERE w.dist < 64
+),
+best AS (SELECT root, node, MIN(dist) AS dist FROM walk GROUP BY 1, 2)
+SELECT r.root, CAST(r.degree AS BIGINT) AS degree,
+       COUNT(*) AS n_reached, CAST(SUM(b.dist) AS BIGINT) AS sum_dist,
+       CASE WHEN SUM(b.dist) > 0
+            THEN CAST(COUNT(*) - 1 AS DOUBLE) / CAST(SUM(b.dist) AS DOUBLE)
+            ELSE NULL END AS closeness
+FROM best b JOIN roots r ON r.root = b.root
+GROUP BY r.root, r.degree
+"""

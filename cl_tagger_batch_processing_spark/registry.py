@@ -465,3 +465,6 @@ register("orders_duplicate_detection", relational.orders_duplicate_detection)
 register("stream_hll_distinct", streaming_windows.stream_hll_distinct)
 register("orders_forecast_backtest", relational.orders_forecast_backtest)
 register("privacy_l_diversity", relational.privacy_l_diversity)
+register("events_autocorrelation", relational.events_autocorrelation)
+register("privacy_t_closeness", relational.privacy_t_closeness)
+register("graph_closeness_centrality", graph.graph_closeness_centrality)

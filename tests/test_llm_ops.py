@@ -1272,6 +1272,14 @@ def test_r7_constants_in_sync_with_oracles():
     assert "lag(rev, 12)" in fb and "* 32" in fb and "/ 63.0" in fb
     assert relational.LDIV_L == 3
     assert ">= 3" in oracles.ORACLE_SQL["privacy_l_diversity"]
+    assert relational.ACF_MAX_LAG == 7
+    assert "generate_series(1, 7)" in oracles.ORACLE_SQL["events_autocorrelation"]
+    assert relational.TCL_T == 0.2
+    assert "<= 0.2" in oracles.ORACLE_SQL["privacy_t_closeness"]
+    assert graph.CLOSE_N_SOURCES == 4
+    assert "LIMIT 4" in oracles.ORACLE_SQL["graph_closeness_centrality"]
+    assert graph.CLOSE_MAX_ROUNDS == 64
+    assert "w.dist < 64" in oracles.ORACLE_SQL["graph_closeness_centrality"]
 
 
 def test_word_pmi_invariants(spark, sf_dir):
@@ -1949,3 +1957,115 @@ def test_l_diversity_consistent_with_k_anonymity(spark, sf_dir):
         assert r.n_sensitive == len(k_segments[key])
         assert 1 <= r.n_sensitive <= min(5, r.class_size)
         assert r.is_l_diverse == (1 if r.n_sensitive >= relational.LDIV_L else 0)
+
+
+def test_closeness_centrality_matches_python_bfs(spark, sf_dir):
+    """Exact cross-check: roots are the top-degree nodes (degree DESC, node
+    ASC), and each root's (n_reached, sum_dist, closeness) equals a
+    driver-side BFS recomputation over the collected edge list."""
+    from collections import deque
+
+    from cl_tagger_batch_processing_spark.operators import graph
+
+    rows = graph.graph_closeness_centrality(spark, sf_dir).collect()
+    assert rows and len(rows) <= graph.CLOSE_N_SOURCES
+    edges = [
+        (r.src, r.dst) for r in graph.cooccurrence_edges(spark, sf_dir).collect()
+    ]
+    nbrs: dict = {}
+    deg: dict = {}
+    for s, d in edges:
+        nbrs.setdefault(s, set()).add(d)
+        deg[s] = deg.get(s, 0) + 1
+    expected_roots = sorted(deg, key=lambda n: (-deg[n], n))[: graph.CLOSE_N_SOURCES]
+    assert sorted(r.root for r in rows) == sorted(expected_roots)
+    for r in rows:
+        seen = {r.root: 0}
+        q = deque([r.root])
+        while q:
+            u = q.popleft()
+            for v in nbrs.get(u, ()):
+                if v not in seen:
+                    seen[v] = seen[u] + 1
+                    q.append(v)
+        assert r.degree == deg[r.root]
+        assert r.n_reached == len(seen)
+        assert r.sum_dist == sum(seen.values())
+        if r.sum_dist > 0:
+            assert r.closeness == (r.n_reached - 1) / r.sum_dist
+        else:
+            assert r.closeness is None
+
+
+def test_autocorrelation_matches_exact_stats(spark, sf_dir):
+    """ACF cross-check: per lag, the pair count and the Pearson r match a
+    driver-side recomputation from exact integer sufficient statistics
+    (the same one-division float tree the operator and oracle use)."""
+    import math
+
+    from cl_tagger_batch_processing_spark.operators import relational
+
+    rows = {
+        r.lag: r for r in relational.events_autocorrelation(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(range(1, relational.ACF_MAX_LAG + 1))
+    daily = {
+        r.day: r.daily_count
+        for r in relational._daily_event_counts(spark, sf_dir).collect()
+    }
+    for lag, r in rows.items():
+        pairs = [(daily[d], daily[d + lag]) for d in daily if d + lag in daily]
+        assert r.n_pairs == len(pairs)
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        if vx > 0 and vy > 0:
+            expect = float(n * sxy - sx * sy) / math.sqrt(float(vx) * float(vy))
+            assert r.acf == expect
+            assert -1.0 <= r.acf <= 1.0
+        else:
+            assert r.acf is None
+
+
+def test_t_closeness_matches_exact_tvd(spark, sf_dir):
+    """t-closeness cross-check: every class's t_distance equals the exact
+    integer TVD recomputed driver-side, class sizes partition the table,
+    and the verdict mirrors the TCL_T threshold on the same double."""
+    import math
+    from collections import Counter
+
+    from cl_tagger_batch_processing_spark.operators import relational
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+
+    rows = relational.privacy_t_closeness(spark, sf_dir).collect()
+    assert rows
+    data = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_acctbal", "c_mktsegment"
+    ).collect()
+    cells: Counter = Counter()
+    seg: Counter = Counter()
+    for c in data:
+        band = math.floor(float(c.c_acctbal) / 1000.0)
+        cells[(int(c.c_nationkey), band, c.c_mktsegment)] += 1
+        seg[c.c_mktsegment] += 1
+    total = len(data)
+    assert sum(r.class_size for r in rows) == total
+    for r in rows:
+        key = (r.nation_key, r.acctbal_band)
+        size = sum(
+            v for (nk, b, _), v in cells.items() if (nk, b) == key
+        )
+        assert size == r.class_size
+        dev = sum(
+            abs(cells.get((key[0], key[1], s), 0) * total - g * size)
+            for s, g in seg.items()
+        )
+        expect = float(dev) / float(2 * size * total)
+        assert r.t_distance == expect
+        assert 0.0 <= r.t_distance <= 1.0
+        assert r.is_t_close == (1 if expect <= relational.TCL_T else 0)
