@@ -91,11 +91,39 @@ def graph_pagerank(
         )
     teleport = (PR_SCALE * (PR_DAMPING_DEN - PR_DAMPING_NUM)) // PR_DAMPING_DEN // n
     pr = nodes.withColumn("pr", F.lit(PR_SCALE // n).cast("bigint"))
-    # Lineage is truncated every CHECKPOINT_EVERY supersteps, not every one:
-    # a 3-superstep chain is still a small plan, and each eager checkpoint is
-    # a blocking materialization — at 10 iterations the per-step checkpoint
-    # was the dominant cost, not the joins. The final iteration never
-    # checkpoints (the caller's action materializes it anyway).
+    pr = _pagerank_supersteps(
+        pr, nodes, edges_deg, F.lit(teleport).cast("bigint"), n_iter
+    )
+    return pr.select(
+        "node",
+        F.col("pr").alias("pr_scaled"),
+        (F.col("pr").cast("double") / F.lit(float(PR_SCALE))).alias("pagerank"),
+    )
+
+
+def _pagerank_supersteps(
+    pr: DataFrame,
+    base: DataFrame,
+    edges_deg: DataFrame,
+    teleport,
+    n_iter: int,
+    carry: tuple = (),
+) -> DataFrame:
+    """The ONE scaled-integer PageRank superstep loop — shared by the
+    global and personalized variants so the bit-exactness discipline
+    (pr div outdeg contributions, 85/100 damping as integer
+    multiply-then-floor-divide) cannot drift between them.
+
+    ``base`` is the (node[, carry…]) frame re-joined every step (left
+    join, so isolated nodes get the teleport term instead of vanishing);
+    ``teleport`` is a Column evaluated against it — a literal for global
+    PageRank, a seed-indicator CASE for the personalized variant.
+
+    Lineage is truncated every PR_CHECKPOINT_EVERY supersteps, not every
+    one: a 3-superstep chain is still a small plan, and each eager
+    checkpoint is a blocking materialization — at 10 iterations the
+    per-step checkpoint was the dominant cost, not the joins. The final
+    iteration never checkpoints (the caller's action materializes it)."""
     for i in range(n_iter):
         contrib = (
             pr.join(edges_deg, pr.node == edges_deg.src)
@@ -103,20 +131,19 @@ def graph_pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        pr = nodes.join(contrib, "node", "left").select(
+        pr = base.join(contrib, "node", "left").select(
             "node",
+            *carry,
             (
-                F.lit(teleport).cast("bigint")
+                teleport
                 + F.expr(f"(coalesce(s, 0L) * {PR_DAMPING_NUM}) div {PR_DAMPING_DEN}")
-            ).alias("pr"),
+            )
+            .cast("bigint")
+            .alias("pr"),
         )
         if (i + 1) % PR_CHECKPOINT_EVERY == 0 and i < n_iter - 1:
             pr = pr.transform(truncate_lineage)
-    return pr.select(
-        "node",
-        F.col("pr").alias("pr_scaled"),
-        (F.col("pr").cast("double") / F.lit(float(PR_SCALE))).alias("pagerank"),
-    )
+    return pr
 
 
 def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -601,23 +628,14 @@ def graph_personalized_pagerank(
         .cast("bigint")
         .alias("pr"),
     )
-    for i in range(n_iter):
-        contrib = (
-            pr.join(edges_deg, pr.node == edges_deg.src)
-            .select(F.col("dst").alias("node"), F.expr("pr div outdeg").alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("s"))
-        )
-        pr = flagged.join(contrib, "node", "left").select(
-            "node",
-            "is_seed",
-            (
-                F.when(F.col("is_seed") == 1, F.lit(teleport_seed)).otherwise(F.lit(0))
-                + F.expr(f"(coalesce(s, 0L) * {PR_DAMPING_NUM}) div {PR_DAMPING_DEN}")
-            ).cast("bigint").alias("pr"),
-        )
-        if (i + 1) % PR_CHECKPOINT_EVERY == 0 and i < n_iter - 1:
-            pr = pr.transform(truncate_lineage)
+    pr = _pagerank_supersteps(
+        pr,
+        flagged,
+        edges_deg,
+        F.when(F.col("is_seed") == 1, F.lit(teleport_seed)).otherwise(F.lit(0)),
+        n_iter,
+        carry=("is_seed",),
+    )
     return pr.select(
         "node",
         "is_seed",
@@ -665,7 +683,12 @@ def graph_closeness_centrality(
         truncate_lineage
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
-    roots = deg.orderBy(F.desc("degree"), F.asc("src")).limit(CLOSE_N_SOURCES)
+    # materialized once: roots feeds both the BFS seed frame and the final
+    # reach join — unmaterialized, the second consumer would re-run the
+    # full degree aggregation (the graph_pagerank edges_deg convention)
+    roots = truncate_lineage(
+        deg.orderBy(F.desc("degree"), F.asc("src")).limit(CLOSE_N_SOURCES)
+    )
     n_rows = F.count(F.lit(1)).alias("n")
     dist = roots.select(
         F.col("src").alias("root"),

@@ -2591,14 +2591,18 @@ def orders_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored on months where all three are defined. Output: per method,
     MAE / MAPE / RMSE over the common evaluation window.
 
-    Exactness: monthly revenue is a DECIMAL sum; naive/seasonal forecasts
-    are lagged DECIMALs (exact); the EWMA forecast uses exact
-    power-of-two BIGINT-weighted DECIMAL sums over a ROWS frame with one
-    double division (the events_ewma_daily trick, lag-shifted so only
-    PAST months contribute); error aggregation rounds each per-month
-    term at 9dp into DECIMAL(28,9) (the order-independent float-mean
-    convention); RMSE takes one sqrt at the end. The month spine is
-    calendar-bounded — constant-size windows at any data volume."""
+    Exactness: monthly revenue is a DECIMAL sum; every forecast is
+    CALENDAR-true — naive/seasonal come from equi-joins on ym−1 / ym−12
+    and the EWMA from power-of-two-weighted contributions keyed by
+    target month (the events_ewma_daily calendar trick: lagging by
+    observed ROW index would treat months across a revenue gap as
+    consecutive), gated on all FC_EWMA_LAGS calendar months existing;
+    error aggregation rounds each per-month term at 9dp into
+    DECIMAL(38,9) (order-independent float-mean convention; 38 digits
+    because squared monetary errors pass 1e19 at large scale factors —
+    DECIMAL(28,9) would silently NULL-overflow on Spark and raise on
+    DuckDB); RMSE takes one sqrt at the end. The month spine is
+    calendar-bounded — constant-size frames at any data volume."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     orders = load_table(spark, sf_dir, "orders")
     monthly = (
@@ -2611,26 +2615,34 @@ def orders_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ym")
         .agg(F.sum("p").alias("rev"))
     )
-    w = Window.orderBy("ym")
-    # EWMA over the PRECEDING FC_EWMA_LAGS months: weight 2^(FC_EWMA_LAGS-1-k)
-    # for the k-th-most-recent — exact integers; numerator via lag sums
-    ewma_num = None
-    ewma_den = 0
-    for k in range(FC_EWMA_LAGS):
-        wt = 1 << (FC_EWMA_LAGS - 1 - k)
-        term = F.lag("rev", k + 1).over(w) * F.lit(wt)
-        ewma_num = term if ewma_num is None else ewma_num + term
-        ewma_den += wt
-    fc = monthly.select(
-        "ym",
-        F.col("rev").cast("double").alias("actual"),
-        F.lag("rev", 1).over(w).cast("double").alias("naive"),
-        F.lag("rev", FC_SEASON_LAG).over(w).cast("double").alias("seasonal_naive"),
-        (ewma_num.cast("double") / F.lit(float(ewma_den))).alias("ewma"),
-    ).where(
-        F.col("naive").isNotNull()
-        & F.col("seasonal_naive").isNotNull()
-        & F.col("ewma").isNotNull()
+    # EWMA contributions: month ym reaches target ym+lg with weight
+    # 2^(FC_EWMA_LAGS − lg) — exact DECIMAL×int terms, order-independent
+    # sum; a target is defined only when ALL lags exist on the calendar
+    lag_spine = spark.range(1, FC_EWMA_LAGS + 1).select(F.col("id").alias("lg"))
+    wt = F.expr(f"shiftleft(1L, cast({FC_EWMA_LAGS} - lg as int))")
+    ew = (
+        monthly.crossJoin(F.broadcast(lag_spine))
+        .select((F.col("ym") + F.col("lg")).alias("ym"), (F.col("rev") * wt).alias("wrev"))
+        .groupBy("ym")
+        .agg(F.sum("wrev").alias("ewma_num"), F.count(F.lit(1)).alias("n_lags"))
+        .where(F.col("n_lags") == FC_EWMA_LAGS)
+    )
+    ewma_den = float((1 << FC_EWMA_LAGS) - 1)
+    nv = monthly.select((F.col("ym") + 1).alias("ym"), F.col("rev").alias("rev_m1"))
+    sn = monthly.select(
+        (F.col("ym") + FC_SEASON_LAG).alias("ym"), F.col("rev").alias("rev_m12")
+    )
+    fc = (
+        monthly.join(nv, "ym")
+        .join(sn, "ym")
+        .join(ew, "ym")
+        .select(
+            "ym",
+            F.col("rev").cast("double").alias("actual"),
+            F.col("rev_m1").cast("double").alias("naive"),
+            F.col("rev_m12").cast("double").alias("seasonal_naive"),
+            (F.col("ewma_num").cast("double") / F.lit(ewma_den)).alias("ewma"),
+        )
     )
     methods = F.explode(
         F.array(
@@ -2646,7 +2658,7 @@ def orders_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mf.forecast").alias("forecast"),
     )
     err = F.abs(F.col("actual") - F.col("forecast"))
-    d9 = lambda c: F.round(c, 9).cast("decimal(28,9)")
+    d9 = lambda c: F.round(c, 9).cast("decimal(38,9)")
     agg = long.groupBy("method").agg(
         F.count(F.lit(1)).alias("n_months"),
         F.sum(d9(err)).alias("_sae"),
@@ -2670,17 +2682,20 @@ LDIV_L = 3
 def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """l-diversity audit — k-anonymity's necessary companion: a class of
     k identical quasi-identifier rows still leaks the sensitive attribute
-    if all k share one value (the homogeneity attack). Same QI tuple as
-    privacy_k_anonymity (nation, balance band) with the market segment as
-    the sensitive attribute; a class is l-diverse when it contains at
-    least LDIV_L distinct sensitive values.
+    if all k share one value (the homogeneity attack). QI key = (nation,
+    balance band) — privacy_k_anonymity's QI tuple WITHOUT the market
+    segment, which this audit instead treats as the sensitive attribute
+    (band width shared via KANON_BAND_WIDTH, sync-pinned); a class is
+    l-diverse when it contains at least LDIV_L distinct sensitive values.
 
     One hash aggregate over the QI key (distinct-count of the sensitive
     value rides the same shuffle); entropy-free distinct l-diversity —
     the auditable variant. Output: class, size, distinct sensitive
     values, 0/1 verdict."""
+    from .curation import KANON_BAND_WIDTH
+
     cust = load_table(spark, sf_dir, "customer")
-    band = F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint")
+    band = F.floor(F.col("c_acctbal") / F.lit(KANON_BAND_WIDTH)).cast("bigint")
     return (
         cust.select(
             F.col("c_nationkey").cast("bigint").alias("nation_key"),
@@ -2717,11 +2732,14 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cycle shows as a lag-7 peak).
 
     Pearson r between (x_t, x_{t+lag}) over calendar-aligned day pairs
-    (absent days are excluded pairwise, documented). All six sufficient
-    statistics (n, Σx, Σy, Σxy, Σx², Σy²) are exact BIGINT sums of
-    integer daily counts, so the only float work is one subtraction
-    tree, one sqrt, and one division — identical IEEE ops on both
-    engines. Zero-variance sides yield NULL (not NaN) on both.
+    (absent days are excluded pairwise, documented). The six sufficient
+    statistics (n, Σx, Σy, Σxy, Σx², Σy²) are EXACT decimal sums of
+    integer daily counts (DECIMAL(38,0) here, HUGEINT in the oracle —
+    a 100 TB corpus at ~3e9 events/day squares to ~1e19, past int64 but
+    nowhere near either 38-digit envelope); the subtraction tree, sqrt,
+    and division then run in double — the same IEEE op sequence on both
+    engines, so the hash compare is safe. Zero-variance sides yield NULL
+    (not NaN) on both.
 
     Scale: the only full-data pass is the map-side-combinable daily
     groupBy; the lag self-join runs on the ~#days-row aggregate with the
@@ -2734,23 +2752,26 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         x.crossJoin(F.broadcast(lags))
         .join(y, F.col("yd") == F.col("xd") + F.col("lag"))
     )
+    xd = F.col("xv").cast("decimal(19,0)")
+    yd = F.col("yv").cast("decimal(19,0)")
     s = pairs.groupBy("lag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("xv").alias("sx"),
-        F.sum("yv").alias("sy"),
-        F.sum(F.col("xv") * F.col("yv")).alias("sxy"),
-        F.sum(F.col("xv") * F.col("xv")).alias("sxx"),
-        F.sum(F.col("yv") * F.col("yv")).alias("syy"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
     )
-    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    nd = F.col("n").cast("double")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    vx = nd * d("sxx") - d("sx") * d("sx")
+    vy = nd * d("syy") - d("sy") * d("sy")
     return s.select(
         "lag",
         F.col("n").alias("n_pairs"),
         F.when(
             (vx > 0) & (vy > 0),
-            num / F.sqrt(vx.cast("double") * vy.cast("double")),
+            (nd * d("sxy") - d("sx") * d("sy")) / F.sqrt(vx * vy),
         )
         .otherwise(F.lit(None).cast("double"))
         .alias("acf"),
@@ -2768,9 +2789,11 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-anonymity (class size) and l-diversity (distinct sensitive values):
     a class can be large AND diverse yet still leak if its sensitive
     DISTRIBUTION deviates from the global one (the skewness attack).
-    Same QI key as the other two audits (nation, acctbal band), sensitive
-    attribute = market segment; distance = total-variation distance
-    between the class's segment distribution and the corpus-wide one.
+    QI key = (nation, acctbal band) — the l-diversity key, i.e.
+    k-anonymity's QI tuple minus the market segment, which is the
+    sensitive attribute here (band width shared via KANON_BAND_WIDTH);
+    distance = total-variation distance between the class's segment
+    distribution and the corpus-wide one.
 
     Exact arithmetic: |cnt/size − gcnt/total| is computed as the integer
     |cnt·total − gcnt·size| and the Σ is divided ONCE by 2·size·total —
@@ -2779,12 +2802,14 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     only full-data shuffle is the (class × segment) cell count, whose
     cardinality is bounded by #classes × #segments regardless of row
     count."""
+    from .curation import KANON_BAND_WIDTH
+
     cust = load_table(spark, sf_dir, "customer")
     base = cust.select(
         F.col("c_nationkey").cast("bigint").alias("nation_key"),
-        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint").alias(
-            "acctbal_band"
-        ),
+        F.floor(F.col("c_acctbal") / F.lit(KANON_BAND_WIDTH))
+        .cast("bigint")
+        .alias("acctbal_band"),
         "c_mktsegment",
     )
     cell = base.groupBy("nation_key", "acctbal_band", "c_mktsegment").agg(

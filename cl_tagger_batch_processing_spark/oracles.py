@@ -5161,48 +5161,56 @@ FROM pt
 
 
 # Mirrors relational.orders_forecast_backtest: DECIMAL monthly sums,
-# lagged forecasts (EWMA = exact power-of-two weighted lag sum, mirrored
-# term order), 9dp-rounded error terms into DECIMAL(28,9), one final
-# division/sqrt per metric. Lags (1, 12, 6-term EWMA) sync-pinned.
+# CALENDAR-true forecasts (naive/seasonal via ym−1 / ym−12 equi-joins,
+# EWMA via power-of-two contributions keyed by target month, gated on
+# all 6 calendar lags existing), 9dp-rounded error terms into
+# DECIMAL(38,9), one final division/sqrt per metric. Lags (1, 12,
+# 6-term EWMA, /63.0 denominator) sync-pinned.
 ORACLE_SQL["orders_forecast_backtest"] = """
 WITH monthly AS (
   SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS ym,
          SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
   FROM orders GROUP BY 1
 ),
-fc AS (
-  SELECT ym,
-         CAST(rev AS DOUBLE) AS actual,
-         CAST(lag(rev, 1) OVER w AS DOUBLE) AS naive,
-         CAST(lag(rev, 12) OVER w AS DOUBLE) AS seasonal_naive,
-         CAST(lag(rev, 1) OVER w * 32 + lag(rev, 2) OVER w * 16
-              + lag(rev, 3) OVER w * 8 + lag(rev, 4) OVER w * 4
-              + lag(rev, 5) OVER w * 2 + lag(rev, 6) OVER w * 1
-              AS DOUBLE) / 63.0 AS ewma
-  FROM monthly
-  WINDOW w AS (ORDER BY ym)
+contrib AS (
+  SELECT m.ym + u.lg AS ym,
+         m.rev * (CAST(1 AS BIGINT) << CAST(6 - u.lg AS INTEGER)) AS wrev
+  FROM monthly m
+  CROSS JOIN (SELECT unnest(generate_series(1, 6)) AS lg) u
 ),
-ok AS (
-  SELECT * FROM fc
-  WHERE naive IS NOT NULL AND seasonal_naive IS NOT NULL AND ewma IS NOT NULL
+ew AS (
+  SELECT ym, SUM(wrev) AS ewma_num
+  FROM contrib GROUP BY ym
+  HAVING COUNT(*) = 6
+),
+fc AS (
+  SELECT m.ym,
+         CAST(m.rev AS DOUBLE) AS actual,
+         CAST(n.rev AS DOUBLE) AS naive,
+         CAST(s.rev AS DOUBLE) AS seasonal_naive,
+         CAST(e.ewma_num AS DOUBLE) / 63.0 AS ewma
+  FROM monthly m
+  JOIN monthly n ON n.ym = m.ym - 1
+  JOIN monthly s ON s.ym = m.ym - 12
+  JOIN ew e ON e.ym = m.ym
 ),
 long AS (
-  SELECT 'naive' AS method, actual, naive AS forecast FROM ok
+  SELECT 'naive' AS method, actual, naive AS forecast FROM fc
   UNION ALL
-  SELECT 'seasonal_naive', actual, seasonal_naive FROM ok
+  SELECT 'seasonal_naive', actual, seasonal_naive FROM fc
   UNION ALL
-  SELECT 'ewma', actual, ewma FROM ok
+  SELECT 'ewma', actual, ewma FROM fc
 )
 SELECT method, COUNT(*) AS n_months,
        round(CAST(SUM(CAST(round(abs(actual - forecast), 9)
-                           AS DECIMAL(28,9))) AS DOUBLE)
+                           AS DECIMAL(38,9))) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE), 6) AS mae,
        round(CAST(SUM(CAST(round(abs(actual - forecast) / actual, 9)
-                           AS DECIMAL(28,9))) AS DOUBLE)
+                           AS DECIMAL(38,9))) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE), 6) AS mape,
        round(sqrt(CAST(SUM(CAST(round(abs(actual - forecast)
                                       * abs(actual - forecast), 9)
-                                AS DECIMAL(28,9))) AS DOUBLE)
+                                AS DECIMAL(38,9))) AS DOUBLE)
                   / CAST(COUNT(*) AS DOUBLE)), 6) AS rmse
 FROM long GROUP BY method
 """
@@ -5221,9 +5229,11 @@ GROUP BY 1, 2
 """
 
 # Mirrors relational.events_autocorrelation: daily event counts on the
-# shared epoch-day spine, Pearson r at lags 1..7 from exact BIGINT
-# sufficient statistics; lag range and the zero-variance NULL guard are
-# sync-pinned (generate_series(1, 7)).
+# shared epoch-day spine, Pearson r at lags 1..7 from exact HUGEINT
+# sufficient statistics (Spark side: DECIMAL(38,0) — both far past the
+# 1e19 squared daily counts a 100 TB corpus produces) with the identical
+# double subtraction/sqrt/divide tree; lag range and the zero-variance
+# NULL guard are sync-pinned (generate_series(1, 7)).
 ORACLE_SQL["events_autocorrelation"] = """
 WITH daily AS (
   SELECT CAST((epoch_us(ts) // 1000000) // 86400 AS BIGINT) AS day,
@@ -5232,23 +5242,24 @@ WITH daily AS (
 ),
 lags AS (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT) AS lag),
 pairs AS (
-  SELECT l.lag, x.cnt AS xv, y.cnt AS yv
+  SELECT l.lag, CAST(x.cnt AS HUGEINT) AS xv, CAST(y.cnt AS HUGEINT) AS yv
   FROM daily x CROSS JOIN lags l
   JOIN daily y ON y.day = x.day + l.lag
 ),
 s AS (
   SELECT lag, COUNT(*) AS n,
-         CAST(SUM(xv) AS BIGINT) AS sx, CAST(SUM(yv) AS BIGINT) AS sy,
-         CAST(SUM(xv * yv) AS BIGINT) AS sxy,
-         CAST(SUM(xv * xv) AS BIGINT) AS sxx,
-         CAST(SUM(yv * yv) AS BIGINT) AS syy
+         CAST(SUM(xv) AS DOUBLE) AS sx, CAST(SUM(yv) AS DOUBLE) AS sy,
+         CAST(SUM(xv * yv) AS DOUBLE) AS sxy,
+         CAST(SUM(xv * xv) AS DOUBLE) AS sxx,
+         CAST(SUM(yv * yv) AS DOUBLE) AS syy
   FROM pairs GROUP BY lag
 )
 SELECT lag, n AS n_pairs,
-       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
-            THEN CAST(n * sxy - sx * sy AS DOUBLE)
-                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                        * CAST(n * syy - sy * sy AS DOUBLE))
+       CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+             AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0
+            THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(n AS DOUBLE) * syy - sy * sy))
             ELSE NULL END AS acf
 FROM s
 """

@@ -1269,13 +1269,17 @@ def test_r7_constants_in_sync_with_oracles():
     assert "3600 * 3600" in shll  # hour tumbling window via integer epoch
     assert (relational.FC_SEASON_LAG, relational.FC_EWMA_LAGS) == (12, 6)
     fb = oracles.ORACLE_SQL["orders_forecast_backtest"]
-    assert "lag(rev, 12)" in fb and "* 32" in fb and "/ 63.0" in fb
+    assert "m.ym - 12" in fb and "generate_series(1, 6)" in fb
+    assert "CAST(6 - u.lg" in fb and "/ 63.0" in fb and "DECIMAL(38,9)" in fb
     assert relational.LDIV_L == 3
     assert ">= 3" in oracles.ORACLE_SQL["privacy_l_diversity"]
     assert relational.ACF_MAX_LAG == 7
     assert "generate_series(1, 7)" in oracles.ORACLE_SQL["events_autocorrelation"]
     assert relational.TCL_T == 0.2
     assert "<= 0.2" in oracles.ORACLE_SQL["privacy_t_closeness"]
+    # all three privacy audits share one QI band width (KANON_BAND_WIDTH)
+    assert "/ 1000.0" in oracles.ORACLE_SQL["privacy_l_diversity"]
+    assert "/ 1000.0" in oracles.ORACLE_SQL["privacy_t_closeness"]
     assert graph.CLOSE_N_SOURCES == 4
     assert "LIMIT 4" in oracles.ORACLE_SQL["graph_closeness_centrality"]
     assert graph.CLOSE_MAX_ROUNDS == 64
@@ -1928,9 +1932,15 @@ def test_forecast_backtest_replay(spark, sf_dir):
         .orderBy("ym")
         .collect()
     )
-    vals = list(monthly.values())
-    # eval window: months where lag-12 and the 6-term EWMA both exist
-    errs = [abs(vals[i] - vals[i - 1]) for i in range(12, len(vals))]
+    # eval window: months whose CALENDAR lag-12 and all 6 EWMA calendar
+    # lags exist (the calendar-true semantics — row-index lags would
+    # silently bridge revenue gaps)
+    eval_months = [
+        ym
+        for ym in monthly
+        if ym - 12 in monthly and all(ym - k in monthly for k in range(1, 7))
+    ]
+    errs = [abs(monthly[ym] - monthly[ym - 1]) for ym in eval_months]
     assert abs(rows["naive"].mae - sum(errs) / len(errs)) < 1e-5
     assert rows["naive"].n_months == len(errs)
 
@@ -2022,10 +2032,11 @@ def test_autocorrelation_matches_exact_stats(spark, sf_dir):
         sxy = sum(x * y for x, y in pairs)
         sxx = sum(x * x for x, _ in pairs)
         syy = sum(y * y for _, y in pairs)
-        vx = n * sxx - sx * sx
-        vy = n * syy - sy * sy
+        nd = float(n)
+        vx = nd * float(sxx) - float(sx) * float(sx)
+        vy = nd * float(syy) - float(sy) * float(sy)
         if vx > 0 and vy > 0:
-            expect = float(n * sxy - sx * sy) / math.sqrt(float(vx) * float(vy))
+            expect = (nd * float(sxy) - float(sx) * float(sy)) / math.sqrt(vx * vy)
             assert r.acf == expect
             assert -1.0 <= r.acf <= 1.0
         else:
