@@ -743,3 +743,57 @@ def graph_closeness_centrality(
             .alias("closeness"),
         )
     )
+
+
+def graph_assortativity(
+    spark: SparkSession, sf_dir: str, min_support: int = PR_MIN_SUPPORT
+) -> DataFrame:
+    """Degree assortativity of the co-occurrence graph — the one-number
+    answer to "do hubs link to hubs?" (Newman's r): Pearson correlation
+    over the symmetric edge list's (deg(src), deg(dst)) pairs. Positive =
+    hub-hub mixing (social-network shape), negative = hub-leaf
+    (dependency/star shape) — the QA readout that tells you whether the
+    co-purchase graph will respond to hub-capping (cf. CN_DEGREE_CAP).
+
+    Determinism: degrees are exact integers; the six sufficient
+    statistics are exact DECIMAL(38,0) sums (HUGEINT in the oracle) and
+    the subtraction/sqrt/divide tree runs in double — the
+    events_autocorrelation convention. Zero variance (regular graph)
+    yields NULL, not NaN.
+
+    Scale: two equi-joins hang the degree on each edge endpoint (degree
+    frame is node-sized), then ONE map-side-combinable aggregate to six
+    scalars — no pair materialization beyond the edge list itself."""
+    edges = cooccurrence_edges(spark, sf_dir, min_support=min_support)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    pairs = (
+        edges.join(deg.select(F.col("src").alias("_a"), F.col("deg").alias("dx")),
+                   edges.src == F.col("_a"))
+        .join(deg.select(F.col("src").alias("_b"), F.col("deg").alias("dy")),
+              edges.dst == F.col("_b"))
+        .select(
+            F.col("dx").cast("decimal(19,0)").alias("dx"),
+            F.col("dy").cast("decimal(19,0)").alias("dy"),
+        )
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    vx = nd * d("sxx") - d("sx") * d("sx")
+    vy = nd * d("syy") - d("sy") * d("sy")
+    return s.select(
+        F.col("n").alias("n_edges"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            (nd * d("sxy") - d("sx") * d("sy")) / F.sqrt(vx * vy),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("assortativity"),
+    )

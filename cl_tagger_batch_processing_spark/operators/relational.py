@@ -1040,18 +1040,16 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequential funnel analysis: per user, first view -> first click
-    AFTER that view -> first purchase AFTER that click, reported as stage
-    reach counts and exact dwell-time sums.
+def _funnel_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sequential funnel milestones — (first view, first click
+    AFTER that view, first purchase AFTER that click) — the shared spine
+    for the funnel reach and latency readouts.
 
     The Spark-first shape for sequence matching without MATCH_RECOGNIZE:
     three chained window passes over the SAME user partitioning — Catalyst
     reuses one exchange for all three (each stage's milestone is a window
-    min over a predicate referencing the previous stage's column), then
-    one tiny global aggregate. One shuffle on user_id at any event volume.
-    Dwell sums are exact integer microseconds; the averages divide once in
-    double."""
+    min over a predicate referencing the previous stage's column), then a
+    per-user aggregate. One shuffle on user_id at any event volume."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     w = Window.partitionBy("user_id")
@@ -1078,9 +1076,18 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).over(w),
         )
     )
-    per_user = staged.groupBy("user_id").agg(
+    return staged.groupBy("user_id").agg(
         F.min("v_ts").alias("v_ts"), F.min("c_ts").alias("c_ts"), F.min("p_ts").alias("p_ts")
     )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel analysis: per user, first view -> first click
+    AFTER that view -> first purchase AFTER that click, reported as stage
+    reach counts and exact dwell-time sums (one tiny global aggregate over
+    the shared ``_funnel_milestones`` spine). Dwell sums are exact integer
+    microseconds; the averages divide once in double."""
+    per_user = _funnel_milestones(spark, sf_dir)
     # fixture ts loads as TIMESTAMP_NTZ; session TZ is pinned UTC, so the
     # cast to TIMESTAMP is exact and unix_micros accepts it
     us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
@@ -2850,5 +2857,44 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0))
             .cast("bigint")
             .alias("is_t_close"),
+        )
+    )
+
+
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-transition latency distribution for the sequential funnel —
+    events_funnel reports HOW MANY users reach each stage; this reports
+    HOW LONG the converting users took (the metric behind "is checkout
+    friction growing?"). Per converting user, the view→click and
+    click→purchase latencies in exact integer microseconds, rolled up per
+    stage as min/max/avg and interpolated p50/p90 (the
+    customer_order_gap_percentiles convention — identical arithmetic to
+    DuckDB's quantile_cont).
+
+    Scale: the one corpus-sized pass is the shared ``_funnel_milestones``
+    user window chain (materialized once — both stage branches read it);
+    everything after runs on the #users-row milestone frame."""
+    from ..checkpointing import truncate_lineage
+
+    per_user = _funnel_milestones(spark, sf_dir).transform(truncate_lineage)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    vc = per_user.where(F.col("c_ts").isNotNull()).select(
+        F.lit("view_to_click").alias("stage"),
+        (us("c_ts") - us("v_ts")).alias("lat_us"),
+    )
+    cp = per_user.where(F.col("p_ts").isNotNull()).select(
+        F.lit("click_to_purchase").alias("stage"),
+        (us("p_ts") - us("c_ts")).alias("lat_us"),
+    )
+    return (
+        vc.unionByName(cp)
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("lat_us").alias("min_lat_us"),
+            F.max("lat_us").alias("max_lat_us"),
+            (F.sum("lat_us").cast("double") / F.count(F.lit(1))).alias("avg_lat_us"),
+            F.expr("percentile(lat_us, 0.5)").alias("p50_lat_us"),
+            F.expr("percentile(lat_us, 0.9)").alias("p90_lat_us"),
         )
     )

@@ -1300,3 +1300,102 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("v").cast("double") / F.lit(float(PI_SCALE))).alias("loading"),
         "eigenvalue",
     )
+
+
+# MMR diversified retrieval: pool size, picks, and the relevance/diversity
+# trade-off λ — mirrored literally (0.7 / 0.3 literals, LIMIT 16, 5 steps)
+# in the DuckDB oracle's chained CTEs (sync-pinned).
+MMR_POOL = 16
+MMR_K = 5
+MMR_LAMBDA = 0.7
+MMR_MU = 0.3  # 1 − λ as the exact double literal both engines parse
+
+
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking — the diversified variant of
+    sim_topk_cosine: a plain top-k returns near-duplicates of each other
+    (exactly what a near-dup-heavy corpus guarantees); MMR greedily picks
+    argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), trading relevance
+    for coverage — the selection rule behind diverse training-sample
+    drawing and dedup-aware retrieval.
+
+    Two-phase Spark shape: phase 1 is corpus-scale and embarrassingly
+    parallel (exact cosine against the broadcast probe, TakeOrdered
+    top-MMR_POOL); phase 2 is the inherently sequential greedy loop, run
+    as MMR_K DataFrame steps over the MATERIALIZED pool and its pairwise
+    sim matrix — both bounded at MMR_POOL rows/pairs regardless of corpus
+    size, so the loop costs scheduler overhead only. All cosines are the
+    engine's deterministic exact-integer-dot doubles; every argmax
+    carries the (score DESC, vec_id ASC) tie-break.
+
+    Output: (rank, vec_id, rel, mmr) for the MMR_K picks; rank 1 is pure
+    relevance (no diversity term yet), later ranks show mmr < λ·rel
+    exactly when the pick paid a redundancy penalty."""
+    base = quantized_embeddings(spark, sf_dir)
+    qr = base.where(F.col("vec_id") == 0).select(
+        F.col("qv").alias("qq"), F.col("nrm").alias("nq")
+    )
+    rel = int_dot(F.col("qq"), F.col("qv")).cast("double") / (
+        F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("nrm").cast("double"))
+    )
+    scored = (
+        base.crossJoin(F.broadcast(qr))
+        .where(F.col("vec_id") != 0)
+        .select("vec_id", "qv", "nrm", rel.alias("rel"))
+    )
+    pool = (
+        scored.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_POOL)
+        .transform(truncate_lineage)
+    )
+    pa = pool.select(
+        F.col("vec_id").alias("ida"), F.col("qv").alias("qa"), F.col("nrm").alias("na")
+    )
+    pb = pool.select(
+        F.col("vec_id").alias("idb"), F.col("qv").alias("qb"), F.col("nrm").alias("nb")
+    )
+    sim = int_dot(F.col("qa"), F.col("qb")).cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    sims = (
+        pa.join(F.broadcast(pb), F.col("ida") != F.col("idb"))
+        .select("ida", "idb", sim.alias("sim"))
+        .transform(truncate_lineage)
+    )
+    psel = pool.select("vec_id", "rel")
+    selected = (
+        psel.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            "vec_id",
+            "rel",
+            (F.lit(MMR_LAMBDA) * F.col("rel")).alias("mmr"),
+            F.lit(1).cast("bigint").alias("rank"),
+        )
+        .transform(truncate_lineage)
+    )
+    for step in range(2, MMR_K + 1):
+        cand = psel.join(selected.select("vec_id"), "vec_id", "left_anti")
+        ms = (
+            cand.join(sims, cand.vec_id == sims.ida)
+            .join(
+                selected.select(F.col("vec_id").alias("idb")), "idb", "left_semi"
+            )
+            .groupBy("vec_id", "rel")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        pick = (
+            ms.select(
+                "vec_id",
+                "rel",
+                (
+                    F.lit(MMR_LAMBDA) * F.col("rel")
+                    - F.lit(MMR_MU) * F.col("maxsim")
+                ).alias("mmr"),
+            )
+            .orderBy(F.desc("mmr"), F.asc("vec_id"))
+            .limit(1)
+            .withColumn("rank", F.lit(step).cast("bigint"))
+        )
+        selected = selected.unionByName(pick).transform(truncate_lineage)
+    return selected.select("rank", "vec_id", "rel", "mmr")

@@ -5337,3 +5337,130 @@ SELECT r.root, CAST(r.degree AS BIGINT) AS degree,
 FROM best b JOIN roots r ON r.root = b.root
 GROUP BY r.root, r.degree
 """
+
+# Mirrors graph.graph_assortativity: degrees hung on both endpoints of the
+# symmetric edge list, Pearson r from exact HUGEINT sufficient statistics
+# (Spark: DECIMAL(38,0)) with the identical double subtraction/sqrt/divide
+# tree — the events_autocorrelation convention.
+ORACLE_SQL["graph_assortativity"] = f"""
+WITH {_PR_GRAPH_CTES},
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+pe AS (
+  SELECT CAST(a.deg AS HUGEINT) AS dx, CAST(b.deg AS HUGEINT) AS dy
+  FROM edges e
+  JOIN deg a ON a.src = e.src
+  JOIN deg b ON b.src = e.dst
+),
+s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(dx) AS DOUBLE) AS sx, CAST(SUM(dy) AS DOUBLE) AS sy,
+         CAST(SUM(dx * dy) AS DOUBLE) AS sxy,
+         CAST(SUM(dx * dx) AS DOUBLE) AS sxx,
+         CAST(SUM(dy * dy) AS DOUBLE) AS syy
+  FROM pe
+)
+SELECT n AS n_edges,
+       CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+             AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0
+            THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(n AS DOUBLE) * syy - sy * sy))
+            ELSE NULL END AS assortativity
+FROM s
+"""
+
+# Mirrors relational.events_funnel_latency: the events_funnel milestone
+# CTE chain, per-stage latency in exact integer microseconds, interpolated
+# percentiles via quantile_cont (the customer_order_gap_percentiles
+# convention).
+ORACLE_SQL["events_funnel_latency"] = """
+WITH s1 AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS v_ts
+  FROM events
+),
+s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > v_ts THEN ts END)
+              OVER (PARTITION BY user_id) AS c_ts
+  FROM s1
+),
+s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > c_ts THEN ts END)
+              OVER (PARTITION BY user_id) AS p_ts
+  FROM s2
+),
+u AS (
+  SELECT user_id, MIN(v_ts) AS v_ts, MIN(c_ts) AS c_ts, MIN(p_ts) AS p_ts
+  FROM s3 GROUP BY user_id
+),
+lat AS (
+  SELECT 'view_to_click' AS stage,
+         epoch_us(c_ts) - epoch_us(v_ts) AS lat_us
+  FROM u WHERE c_ts IS NOT NULL
+  UNION ALL
+  SELECT 'click_to_purchase', epoch_us(p_ts) - epoch_us(c_ts)
+  FROM u WHERE p_ts IS NOT NULL
+)
+SELECT stage, COUNT(*) AS n_users,
+       MIN(lat_us) AS min_lat_us, MAX(lat_us) AS max_lat_us,
+       CAST(SUM(lat_us) AS DOUBLE) / COUNT(*) AS avg_lat_us,
+       quantile_cont(lat_us, 0.5) AS p50_lat_us,
+       quantile_cont(lat_us, 0.9) AS p90_lat_us
+FROM lat GROUP BY stage
+"""
+
+
+def _mmr_sql(k: int = 5, pool: int = 16) -> str:
+    """Chained-CTE replay of similarity.sim_mmr_diversify: greedy step i
+    picks argmax 0.7·rel − 0.3·maxsim over pool ∖ acc_{i−1} (mmr DESC,
+    vec_id ASC tie-break). accN is AS MATERIALIZED — each is referenced
+    three times by the next step and inline expansion is exponential."""
+    ctes = [
+        _QEMB_CTES,
+        "qr AS (SELECT qv AS qq, nrm AS nq FROM n WHERE vec_id = 0)",
+        """scored AS (
+  SELECT a.vec_id, a.qv, a.nrm,
+         list_dot_product(CAST(qr.qq AS DOUBLE[]), CAST(a.qv AS DOUBLE[]))
+           / (sqrt(qr.nq) * sqrt(a.nrm)) AS rel
+  FROM n a CROSS JOIN qr WHERE a.vec_id != 0
+)""",
+        f"""pool AS MATERIALIZED (
+  SELECT vec_id, qv, nrm, rel
+  FROM (SELECT *, row_number() OVER (ORDER BY rel DESC, vec_id ASC) AS rn
+        FROM scored)
+  WHERE rn <= {pool}
+)""",
+        """sims AS MATERIALIZED (
+  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[]))
+           / (sqrt(a.nrm) * sqrt(b.nrm)) AS sim
+  FROM pool a JOIN pool b ON a.vec_id != b.vec_id
+)""",
+        """acc1 AS MATERIALIZED (
+  SELECT vec_id, rel, 0.7 * rel AS mmr, CAST(1 AS BIGINT) AS rank
+  FROM pool ORDER BY rel DESC, vec_id ASC LIMIT 1
+)""",
+    ]
+    for i in range(2, k + 1):
+        ctes.append(
+            f"""s{i} AS (
+  SELECT vec_id, rel, 0.7 * rel - 0.3 * maxsim AS mmr,
+         CAST({i} AS BIGINT) AS rank
+  FROM (SELECT p.vec_id, p.rel, MAX(s.sim) AS maxsim
+        FROM pool p JOIN sims s ON s.ida = p.vec_id
+        WHERE s.idb IN (SELECT vec_id FROM acc{i - 1})
+          AND p.vec_id NOT IN (SELECT vec_id FROM acc{i - 1})
+        GROUP BY p.vec_id, p.rel)
+  ORDER BY mmr DESC, vec_id ASC LIMIT 1
+)""",
+        )
+        ctes.append(
+            f"acc{i} AS MATERIALIZED "
+            f"(SELECT * FROM acc{i - 1} UNION ALL SELECT * FROM s{i})"
+        )
+    body = ",\n".join(ctes)
+    return f"WITH {body}\nSELECT rank, vec_id, rel, mmr FROM acc{k}"
+
+
+ORACLE_SQL["sim_mmr_diversify"] = _mmr_sql()

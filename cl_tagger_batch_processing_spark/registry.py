@@ -468,3 +468,6 @@ register("privacy_l_diversity", relational.privacy_l_diversity)
 register("events_autocorrelation", relational.events_autocorrelation)
 register("privacy_t_closeness", relational.privacy_t_closeness)
 register("graph_closeness_centrality", graph.graph_closeness_centrality)
+register("graph_assortativity", graph.graph_assortativity)
+register("events_funnel_latency", relational.events_funnel_latency)
+register("sim_mmr_diversify", similarity.sim_mmr_diversify)

@@ -1284,6 +1284,11 @@ def test_r7_constants_in_sync_with_oracles():
     assert "LIMIT 4" in oracles.ORACLE_SQL["graph_closeness_centrality"]
     assert graph.CLOSE_MAX_ROUNDS == 64
     assert "w.dist < 64" in oracles.ORACLE_SQL["graph_closeness_centrality"]
+    assert (_sim.MMR_POOL, _sim.MMR_K) == (16, 5)
+    assert (_sim.MMR_LAMBDA, _sim.MMR_MU) == (0.7, 0.3)
+    mmr_sql = oracles.ORACLE_SQL["sim_mmr_diversify"]
+    assert "rn <= 16" in mmr_sql and "FROM acc5" in mmr_sql
+    assert "0.7 * rel - 0.3 * maxsim" in mmr_sql
 
 
 def test_word_pmi_invariants(spark, sf_dir):
@@ -2080,3 +2085,104 @@ def test_t_closeness_matches_exact_tvd(spark, sf_dir):
         assert r.t_distance == expect
         assert 0.0 <= r.t_distance <= 1.0
         assert r.is_t_close == (1 if expect <= relational.TCL_T else 0)
+
+
+def test_assortativity_matches_exact_stats(spark, sf_dir):
+    """Assortativity cross-check: Pearson r over (deg(src), deg(dst)) edge
+    pairs recomputed driver-side with the same double tree."""
+    import math
+
+    from cl_tagger_batch_processing_spark.operators import graph
+
+    row = graph.graph_assortativity(spark, sf_dir).collect()[0]
+    edges = [
+        (r.src, r.dst) for r in graph.cooccurrence_edges(spark, sf_dir).collect()
+    ]
+    deg: dict = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    pairs = [(deg[s], deg[d]) for s, d in edges]
+    assert row.n_edges == len(pairs)
+    n = float(len(pairs))
+    sx = float(sum(x for x, _ in pairs))
+    sy = float(sum(y for _, y in pairs))
+    sxy = float(sum(x * y for x, y in pairs))
+    sxx = float(sum(x * x for x, _ in pairs))
+    syy = float(sum(y * y for _, y in pairs))
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    if vx > 0 and vy > 0:
+        assert row.assortativity == (n * sxy - sx * sy) / math.sqrt(vx * vy)
+        assert -1.0 <= row.assortativity <= 1.0
+    else:
+        assert row.assortativity is None
+    # the symmetric edge list makes the pair multiset symmetric: sx == sy
+    assert sx == sy and sxx == syy
+
+
+def test_funnel_latency_consistent_with_funnel(spark, sf_dir):
+    """Latency stages agree with events_funnel's reach counts and exact
+    dwell sums; percentiles are ordered within [min, max]."""
+    from cl_tagger_batch_processing_spark.operators import relational
+
+    lat = {r.stage: r for r in relational.events_funnel_latency(spark, sf_dir).collect()}
+    fun = relational.events_funnel(spark, sf_dir).collect()[0]
+    assert set(lat) == {"view_to_click", "click_to_purchase"}
+    assert lat["view_to_click"].n_users == fun.n_clicked
+    assert lat["click_to_purchase"].n_users == fun.n_purchased
+    for r in lat.values():
+        assert 0 <= r.min_lat_us <= r.p50_lat_us <= r.p90_lat_us <= r.max_lat_us
+        assert r.min_lat_us <= r.avg_lat_us <= r.max_lat_us
+    # exact dwell-sum replay: avg * n == events_funnel's integer sums
+    assert lat["view_to_click"].avg_lat_us == fun.view_click_us / lat["view_to_click"].n_users
+    assert (
+        lat["click_to_purchase"].avg_lat_us
+        == fun.click_purchase_us / lat["click_to_purchase"].n_users
+    )
+
+
+def test_mmr_diversify_replays_greedy(spark, sf_dir):
+    """Exact greedy replay: pool = top-MMR_POOL by (rel DESC, id ASC);
+    pick 1 is pure relevance; each later pick maximizes
+    λ·rel − (1−λ)·maxsim over the remaining pool with the same float
+    tree and tie-break."""
+    import math
+
+    from cl_tagger_batch_processing_spark.operators import similarity
+    from cl_tagger_batch_processing_spark.operators.dedup import quantized_embeddings
+
+    rows = sorted(
+        similarity.sim_mmr_diversify(spark, sf_dir).collect(), key=lambda r: r.rank
+    )
+    assert [r.rank for r in rows] == list(range(1, similarity.MMR_K + 1))
+    base = {
+        r.vec_id: (r.qv, r.nrm)
+        for r in quantized_embeddings(spark, sf_dir).collect()
+    }
+
+    def cos(a, b):
+        qa, na = base[a]
+        qb, nb = base[b]
+        dot = sum(x * y for x, y in zip(qa, qb))
+        return float(dot) / (math.sqrt(float(na)) * math.sqrt(float(nb)))
+
+    rel = {v: cos(0, v) for v in base if v != 0}
+    pool = sorted(rel, key=lambda v: (-rel[v], v))[: similarity.MMR_POOL]
+    lam, mu = similarity.MMR_LAMBDA, similarity.MMR_MU
+    picked = [max(pool, key=lambda v: (rel[v], -v))]
+    scores = [lam * rel[picked[0]]]
+    while len(picked) < similarity.MMR_K:
+        cand = [v for v in pool if v not in picked]
+        best, best_score = None, None
+        for v in sorted(cand):
+            s = lam * rel[v] - mu * max(cos(v, p) for p in picked)
+            if best is None or s > best_score:
+                best, best_score = v, s
+        picked.append(best)
+        scores.append(best_score)
+    for r, exp_id, exp_score in zip(rows, picked, scores):
+        assert r.vec_id == exp_id
+        assert r.rel == rel[exp_id]
+        assert r.mmr == exp_score
+    # diversity engaged: later picks pay a redundancy penalty
+    assert all(rows[i].mmr <= rows[0].mmr for i in range(1, len(rows)))
