@@ -559,6 +559,23 @@ def graph_lpa_communities(
 
     Output: (node, community, community_size); community ids are label
     values (node ids), deterministic."""
+    _, labels = _lpa_labels(spark, sf_dir, min_support=min_support, rounds=rounds)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
+    return labels.join(sizes, "label").select(
+        "node", F.col("label").alias("community"), "community_size"
+    )
+
+
+def _lpa_labels(
+    spark: SparkSession,
+    sf_dir: str,
+    min_support: int = PR_MIN_SUPPORT,
+    rounds: int = LPA_ROUNDS,
+):
+    """(edges, labels-after-LPA) — the synchronous label-propagation core
+    shared by graph_lpa_communities and graph_modularity (returning the
+    edge frame too so modularity scores the SAME graph the labels came
+    from without rebuilding it)."""
     edges = cooccurrence_edges(spark, sf_dir, min_support=min_support).transform(
         truncate_lineage
     )
@@ -577,9 +594,64 @@ def graph_lpa_communities(
             .where(F.col("rn") == 1)
             .select(F.col("n2").alias("node"), "label")
         )
-    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
-    return labels.join(sizes, "label").select(
-        "node", F.col("label").alias("community"), "community_size"
+    return edges, labels
+
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA partition — the number that says
+    whether graph_lpa_communities found real structure or noise
+    (Q ≈ 0 = no better than random; Q ≳ 0.3 = meaningful communities).
+    Per community c over the symmetric (directed-both-ways) edge list:
+
+        Q = Σ_c [ e_c/E₂ − (d_c/E₂)² ]   (E₂ = total directed edges = 2m)
+
+    computed as the EXACT integer numerator e_c·E₂ − d_c² per community
+    (DECIMAL(38,0) / HUGEINT — products pass int64 on billion-edge
+    graphs) with ONE double division by E₂²; the global Q is the exact
+    integer sum of the numerators divided the same way, so every row and
+    the total are bit-identical across engines.
+
+    Scale: one labels⋈edges tag join (two hash joins on node-sized
+    frames), one community-keyed map-side-combinable aggregate; the grand
+    totals ride 1-row broadcasts. Output: per-community rows (size,
+    internal degree, degree sum, contribution) + the repeated global Q."""
+    edges, lab = _lpa_labels(spark, sf_dir)
+    ls = lab.select(F.col("node").alias("src"), F.col("label").alias("cs"))
+    ld = lab.select(F.col("node").alias("dst"), F.col("label").alias("cd"))
+    tagged = edges.join(ls, "src").join(ld, "dst")
+    per_c = tagged.groupBy(F.col("cs").alias("community")).agg(
+        F.count(F.lit(1)).alias("degree_sum"),
+        F.sum(F.when(F.col("cs") == F.col("cd"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("internal_deg"),
+    )
+    nn = lab.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    tot = per_c.agg(F.sum("degree_sum").alias("e2"))
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    enriched = (
+        per_c.join(nn, "community")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "community",
+            "n_nodes",
+            "internal_deg",
+            "degree_sum",
+            "e2",
+            (dec("internal_deg") * dec("e2") - dec("degree_sum") * dec("degree_sum"))
+            .alias("num"),
+        )
+    )
+    glob = enriched.agg(F.sum("num").alias("qnum"))
+    e2d = F.col("e2").cast("double") * F.col("e2").cast("double")
+    return enriched.crossJoin(F.broadcast(glob)).select(
+        "community",
+        "n_nodes",
+        "internal_deg",
+        "degree_sum",
+        (F.col("num").cast("double") / e2d).alias("contribution"),
+        (F.col("qnum").cast("double") / e2d).alias("modularity_q"),
     )
 
 

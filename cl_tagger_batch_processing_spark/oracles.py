@@ -5464,3 +5464,64 @@ def _mmr_sql(k: int = 5, pool: int = 16) -> str:
 
 
 ORACLE_SQL["sim_mmr_diversify"] = _mmr_sql()
+
+
+def _modularity_sql(rounds: int = 4) -> str:
+    """Chained-CTE replay of graph.graph_modularity: the LPA label chain
+    (same CTEs as _lpa_sql), edge tagging by endpoint community, and the
+    exact-integer modularity rollup (HUGEINT products, one double
+    division by E₂² per row — mirrored by the Spark DECIMAL(38,0) path)."""
+    ctes = [
+        _PR_GRAPH_CTES,
+        "e0 AS MATERIALIZED (SELECT src, dst FROM edges)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node,"
+        " CAST(src AS BIGINT) AS label FROM e0)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT e.dst AS node, l.label, COUNT(*) AS c,
+           row_number() OVER (PARTITION BY e.dst
+                              ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+    FROM e0 e JOIN l{i - 1} l ON e.src = l.node
+    GROUP BY e.dst, l.label
+  ) WHERE rn = 1
+)""".strip()
+        )
+    ctes += [
+        f"""tagged AS (
+  SELECT ls.label AS cs, ld.label AS cd
+  FROM e0 e
+  JOIN l{rounds} ls ON e.src = ls.node
+  JOIN l{rounds} ld ON e.dst = ld.node
+)""",
+        """per_c AS MATERIALIZED (
+  SELECT cs AS community, COUNT(*) AS degree_sum,
+         CAST(SUM(CASE WHEN cs = cd THEN 1 ELSE 0 END) AS BIGINT)
+           AS internal_deg
+  FROM tagged GROUP BY cs
+)""",
+        f"nn AS (SELECT label AS community, COUNT(*) AS n_nodes"
+        f" FROM l{rounds} GROUP BY label)",
+        "tot AS (SELECT CAST(SUM(degree_sum) AS HUGEINT) AS e2 FROM per_c)",
+        """en AS MATERIALIZED (
+  SELECT p.community, n.n_nodes, p.internal_deg, p.degree_sum, t.e2,
+         CAST(p.internal_deg AS HUGEINT) * t.e2
+           - CAST(p.degree_sum AS HUGEINT) * CAST(p.degree_sum AS HUGEINT)
+           AS num
+  FROM per_c p JOIN nn n USING (community) CROSS JOIN tot t
+)""",
+        "g AS (SELECT CAST(SUM(num) AS HUGEINT) AS qnum FROM en)",
+    ]
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT community, n_nodes, internal_deg, degree_sum,
+       CAST(num AS DOUBLE) / (CAST(e2 AS DOUBLE) * CAST(e2 AS DOUBLE))
+         AS contribution,
+       CAST(g.qnum AS DOUBLE) / (CAST(e2 AS DOUBLE) * CAST(e2 AS DOUBLE))
+         AS modularity_q
+FROM en CROSS JOIN g"""
+
+
+ORACLE_SQL["graph_modularity"] = _modularity_sql()

@@ -103,7 +103,7 @@ from .operators import graph  # noqa: E402
 
 register("embedding_pca_power_iteration", similarity.embedding_pca_power_iteration)
 
-register("text_stats", text.text_stats)
+register("orders_forecast_backtest", relational.orders_forecast_backtest)
 register("approx_distinct_hll", relational.approx_distinct_hll)
 register("graph_shortest_paths", graph.graph_shortest_paths)
 register("events_cusum_drift", relational.events_cusum_drift)
@@ -121,7 +121,7 @@ register("stream_user_totals", streaming_stateful.stream_user_totals)
 # Value-checked: the payload bytes are the UTF-8 encoding of pure-ASCII
 # fixture text, so the DuckDB oracle mirrors the byte histogram per
 # CHARACTER (see oracles.py for the ASCII precondition).
-register("mm_byte_histogram", multimodal.mm_byte_histogram)
+register("sim_mmr_diversify", similarity.sim_mmr_diversify)
 
 # Approximate vs brute force but DETERMINISTIC in construction (fixed LCG
 # planes / first-8 centroids): their oracles replay the exact bucketing and
@@ -142,7 +142,7 @@ from .sources import textfiles  # noqa: E402
 
 register("text_pii_scrub", curation.text_pii_scrub)
 register("text_gopher_flags", curation.text_gopher_flags)
-register("corpus_split_assign", curation.corpus_split_assign)
+register("privacy_t_closeness", relational.privacy_t_closeness)
 register("corpus_source_mix", curation.corpus_source_mix)
 register("cdc_merge_documents", curation.cdc_merge_documents)
 register("layout_partition_prune", sources_layout.layout_partition_prune)
@@ -463,11 +463,12 @@ register("text_blocklist_filter", text.text_blocklist_filter)
 register("graph_personalized_pagerank", graph.graph_personalized_pagerank)
 register("orders_duplicate_detection", relational.orders_duplicate_detection)
 register("stream_hll_distinct", streaming_windows.stream_hll_distinct)
-register("orders_forecast_backtest", relational.orders_forecast_backtest)
 register("privacy_l_diversity", relational.privacy_l_diversity)
 register("events_autocorrelation", relational.events_autocorrelation)
-register("privacy_t_closeness", relational.privacy_t_closeness)
 register("graph_closeness_centrality", graph.graph_closeness_centrality)
 register("graph_assortativity", graph.graph_assortativity)
 register("events_funnel_latency", relational.events_funnel_latency)
-register("sim_mmr_diversify", similarity.sim_mmr_diversify)
+register("graph_modularity", graph.graph_modularity)
+register("text_stats", text.text_stats)
+register("mm_byte_histogram", multimodal.mm_byte_histogram)
+register("corpus_split_assign", curation.corpus_split_assign)

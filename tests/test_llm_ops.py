@@ -1289,6 +1289,11 @@ def test_r7_constants_in_sync_with_oracles():
     mmr_sql = oracles.ORACLE_SQL["sim_mmr_diversify"]
     assert "rn <= 16" in mmr_sql and "FROM acc5" in mmr_sql
     assert "0.7 * rel - 0.3 * maxsim" in mmr_sql
+    # modularity scores the SAME fixed-round LPA partition
+    assert _inspect.signature(oracles._modularity_sql).parameters[
+        "rounds"
+    ].default == graph.LPA_ROUNDS
+    assert f"l{graph.LPA_ROUNDS} ls" in oracles.ORACLE_SQL["graph_modularity"]
 
 
 def test_word_pmi_invariants(spark, sf_dir):
@@ -2186,3 +2191,41 @@ def test_mmr_diversify_replays_greedy(spark, sf_dir):
         assert r.mmr == exp_score
     # diversity engaged: later picks pay a redundancy penalty
     assert all(rows[i].mmr <= rows[0].mmr for i in range(1, len(rows)))
+
+
+def test_modularity_matches_exact_replay(spark, sf_dir):
+    """Per-community counters and the exact-integer modularity replay from
+    the collected edge list and the LPA partition; the repeated global Q
+    equals the summed numerator divided once."""
+    from collections import Counter
+
+    from cl_tagger_batch_processing_spark.operators import graph
+
+    rows = graph.graph_modularity(spark, sf_dir).collect()
+    assert rows
+    lpa = {
+        r.node: r.community
+        for r in graph.graph_lpa_communities(spark, sf_dir).collect()
+    }
+    edges = [
+        (r.src, r.dst) for r in graph.cooccurrence_edges(spark, sf_dir).collect()
+    ]
+    e2 = len(edges)
+    dsum: Counter = Counter()
+    internal: Counter = Counter()
+    for s, d in edges:
+        dsum[lpa[s]] += 1
+        if lpa[s] == lpa[d]:
+            internal[lpa[s]] += 1
+    nn = Counter(lpa.values())
+    assert len(rows) == len(nn)
+    qnum = sum(internal[c] * e2 - dsum[c] ** 2 for c in dsum)
+    den = float(e2) * float(e2)
+    for r in rows:
+        c = r.community
+        assert r.n_nodes == nn[c]
+        assert r.degree_sum == dsum[c]
+        assert r.internal_deg == internal[c]
+        assert r.contribution == float(internal[c] * e2 - dsum[c] ** 2) / den
+        assert r.modularity_q == float(qnum) / den
+    assert -0.5 <= rows[0].modularity_q <= 1.0

@@ -36,10 +36,8 @@ def test_driver_window_is_curated():
         "dedup_simhash",
         "dedup_clusters",
         "sim_ann_lsh",
-        "text_stats",
         "text_pii_scrub",
         "text_gopher_flags",
-        "corpus_split_assign",
         "cdc_merge_documents",
         "layout_partition_prune",
         "layout_bucketed_join",
@@ -47,7 +45,6 @@ def test_driver_window_is_curated():
         "source_jsonl_roundtrip",
         "stream_user_event_mix",
         "stream_tumbling_counts",
-        "mm_byte_histogram",
         "pipeline_score_tag",
         # r6 window refresh: TPC-H flagships rotated OUT (long-stable, plan-
         # tested, locally parity-checked); the never-driver-verified r5
@@ -77,6 +74,14 @@ def test_driver_window_is_curated():
         "approx_distinct_hll",
         "graph_shortest_paths",
         "events_cusum_drift",
+        # r7 third refresh: the rewritten calendar-true forecast backtest,
+        # the privacy family's first window slot, and the MMR greedy loop
+        # replace three simple map/agg shapes driver-green since r1-r3
+        # (text_stats, mm_byte_histogram, corpus_split_assign — all keep
+        # local parity below the window)
+        "orders_forecast_backtest",
+        "privacy_t_closeness",
+        "sim_mmr_diversify",
     ]:
         assert family_member in window, f"{family_member} fell out of the window"
 
