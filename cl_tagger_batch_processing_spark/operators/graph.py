@@ -619,12 +619,14 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ls = lab.select(F.col("node").alias("src"), F.col("label").alias("cs"))
     ld = lab.select(F.col("node").alias("dst"), F.col("label").alias("cd"))
     tagged = edges.join(ls, "src").join(ld, "dst")
+    # materialized: per_c feeds the grand total AND the enriched rollup —
+    # unmaterialized, the two-join tag pass would run once per consumer
     per_c = tagged.groupBy(F.col("cs").alias("community")).agg(
         F.count(F.lit(1)).alias("degree_sum"),
         F.sum(F.when(F.col("cs") == F.col("cd"), 1).otherwise(0))
         .cast("bigint")
         .alias("internal_deg"),
-    )
+    ).transform(truncate_lineage)
     nn = lab.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
@@ -642,6 +644,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dec("internal_deg") * dec("e2") - dec("degree_sum") * dec("degree_sum"))
             .alias("num"),
         )
+        .transform(truncate_lineage)  # two consumers: the Q total + the output
     )
     glob = enriched.agg(F.sum("num").alias("qnum"))
     e2d = F.col("e2").cast("double") * F.col("e2").cast("double")
@@ -835,9 +838,16 @@ def graph_assortativity(
 
     Scale: two equi-joins hang the degree on each edge endpoint (degree
     frame is node-sized), then ONE map-side-combinable aggregate to six
-    scalars — no pair materialization beyond the edge list itself."""
-    edges = cooccurrence_edges(spark, sf_dir, min_support=min_support)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    scalars — no pair materialization beyond the edge list itself. Both
+    the edge list and the degree frame are MATERIALIZED once (each has
+    two consumers — unmaterialized, the basket self-join would re-run
+    per consumer)."""
+    edges = cooccurrence_edges(spark, sf_dir, min_support=min_support).transform(
+        truncate_lineage
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).transform(
+        truncate_lineage
+    )
     pairs = (
         edges.join(deg.select(F.col("src").alias("_a"), F.col("deg").alias("dx")),
                    edges.src == F.col("_a"))

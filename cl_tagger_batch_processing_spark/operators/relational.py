@@ -2749,15 +2749,18 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (not NaN) on both.
 
     Scale: the only full-data pass is the map-side-combinable daily
-    groupBy; the lag self-join runs on the ~#days-row aggregate with the
-    lag spine broadcast. At 100 TB the daily frame is still tiny."""
-    daily = _daily_event_counts(spark, sf_dir)
+    groupBy, MATERIALIZED once — both sides of the lag self-join read the
+    ~#days-row aggregate, not the corpus (plan-tested: one FileScan). The
+    lag spine broadcasts. At 100 TB the daily frame is still tiny."""
+    from ..checkpointing import truncate_lineage
+
+    daily = _daily_event_counts(spark, sf_dir).transform(truncate_lineage)
     lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
     x = daily.select(F.col("day").alias("xd"), F.col("daily_count").alias("xv"))
     y = daily.select(F.col("day").alias("yd"), F.col("daily_count").alias("yv"))
     pairs = (
         x.crossJoin(F.broadcast(lags))
-        .join(y, F.col("yd") == F.col("xd") + F.col("lag"))
+        .join(F.broadcast(y), F.col("yd") == F.col("xd") + F.col("lag"))
     )
     xd = F.col("xv").cast("decimal(19,0)")
     yd = F.col("yv").cast("decimal(19,0)")
@@ -2804,11 +2807,12 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact arithmetic: |cnt/size − gcnt/total| is computed as the integer
     |cnt·total − gcnt·size| and the Σ is divided ONCE by 2·size·total —
-    no per-term float rounding, so the hash compare is safe. The segment
-    marginal and the grand total ride broadcast 1-to-5-row frames; the
-    only full-data shuffle is the (class × segment) cell count, whose
-    cardinality is bounded by #classes × #segments regardless of row
-    count."""
+    no per-term float rounding, so the hash compare is safe. The ONLY
+    full-data pass is the (class × segment) cell count (cardinality
+    bounded by #classes × #segments); the class sizes, segment marginal,
+    and grand total are all rollups of that materialized cell frame
+    (plan-tested: one FileScan), and the small sides ride broadcasts."""
+    from ..checkpointing import truncate_lineage
     from .curation import KANON_BAND_WIDTH
 
     cust = load_table(spark, sf_dir, "customer")
@@ -2821,16 +2825,18 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cell = base.groupBy("nation_key", "acctbal_band", "c_mktsegment").agg(
         F.count(F.lit(1)).alias("cnt")
-    )
+    ).transform(truncate_lineage)
     cls = cell.groupBy("nation_key", "acctbal_band").agg(
         F.sum("cnt").alias("class_size")
     )
-    seg = base.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("gcnt"))
-    tot = base.agg(F.count(F.lit(1)).alias("total"))
+    seg = cell.groupBy("c_mktsegment").agg(F.sum("cnt").alias("gcnt"))
+    tot = cell.agg(F.sum("cnt").alias("total"))
     grid = (
         cls.crossJoin(F.broadcast(seg))
         .crossJoin(F.broadcast(tot))
-        .join(cell, ["nation_key", "acctbal_band", "c_mktsegment"], "left")
+        .join(
+            F.broadcast(cell), ["nation_key", "acctbal_band", "c_mktsegment"], "left"
+        )
         .select(
             "nation_key",
             "acctbal_band",

@@ -5275,7 +5275,7 @@ WITH base AS (
          c_mktsegment
   FROM customer
 ),
-cell AS (
+cell AS MATERIALIZED (
   SELECT nation_key, acctbal_band, c_mktsegment, COUNT(*) AS cnt
   FROM base GROUP BY 1, 2, 3
 ),
@@ -5283,8 +5283,9 @@ cls AS (
   SELECT nation_key, acctbal_band, CAST(SUM(cnt) AS BIGINT) AS class_size
   FROM cell GROUP BY 1, 2
 ),
-seg AS (SELECT c_mktsegment, COUNT(*) AS gcnt FROM base GROUP BY 1),
-tot AS (SELECT COUNT(*) AS total FROM base),
+seg AS (SELECT c_mktsegment, CAST(SUM(cnt) AS BIGINT) AS gcnt
+        FROM cell GROUP BY 1),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cell),
 grid AS (
   SELECT c.nation_key, c.acctbal_band, c.class_size, t.total,
          abs(COALESCE(l.cnt, 0) * t.total - s.gcnt * c.class_size) AS dev

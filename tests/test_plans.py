@@ -855,3 +855,65 @@ def test_lev_verify_distance_on_candidates_only(spark, sf_dir):
     plan = inspect.executed_plan(df)
     assert "CartesianProduct" not in plan
     assert "levenshtein" in plan
+
+
+def test_autocorrelation_single_events_scan(spark, sf_dir):
+    # the daily aggregate is materialized once; BOTH lag-join sides read
+    # it, so the corpus is scanned exactly once and no Python runs
+    df = QUERIES["events_autocorrelation"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert plan.count("FileScan") == 0  # daily frame is checkpointed
+    for op in ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+               "SortMergeJoin"]:
+        assert op not in plan, op
+
+
+def test_t_closeness_single_customer_scan(spark, sf_dir):
+    # class sizes, segment marginal, and grand total are rollups of the
+    # materialized cell frame — one customer scan total, all small sides
+    # broadcast (no sort-merge join anywhere)
+    df = QUERIES["privacy_t_closeness"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert plan.count("FileScan") == 0  # cell frame is checkpointed
+    for op in ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+               "SortMergeJoin"]:
+        assert op not in plan, op
+
+
+def test_assortativity_no_cartesian_no_python(spark, sf_dir):
+    df = QUERIES["graph_assortativity"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    for op in ["CartesianProduct", "BroadcastNestedLoopJoin",
+               "BatchEvalPython", "ArrowEvalPython"]:
+        assert op not in plan, op
+
+
+def test_funnel_latency_single_user_exchange_upstream(spark, sf_dir):
+    # the milestone spine is materialized; the latency rollup must not
+    # re-run the user window chain per stage branch
+    df = QUERIES["events_funnel_latency"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert plan.count("FileScan") == 0  # milestone frame is checkpointed
+    assert "Window" not in plan  # windows ran upstream of the checkpoint
+    for op in ["BatchEvalPython", "ArrowEvalPython"]:
+        assert op not in plan, op
+
+
+def test_mmr_loop_runs_on_materialized_pool(spark, sf_dir):
+    # the greedy loop's plan must touch only the checkpointed pool/sims
+    # frames — no corpus rescans, no Python, broadcast-only joins
+    df = QUERIES["sim_mmr_diversify"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert plan.count("FileScan") == 0
+    for op in ["SortMergeJoin", "BatchEvalPython", "ArrowEvalPython"]:
+        assert op not in plan, op
+
+
+def test_modularity_rollup_on_materialized_counts(spark, sf_dir):
+    # the community rollup runs on the checkpointed per-community counts;
+    # the tag joins upstream paid the only corpus-scale work
+    df = QUERIES["graph_modularity"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert plan.count("FileScan") == 0
+    for op in ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]:
+        assert op not in plan, op
