@@ -2904,3 +2904,87 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(lat_us, 0.9)").alias("p90_lat_us"),
         )
     )
+
+
+# Logistic-regression training geometry — fixed full-batch GD steps, the
+# learning rate, and the feature scale, all mirrored literally in the
+# oracle's chained weight CTEs (sync-pinned).
+LR_STEPS = 8
+LR_ETA = 0.1
+LR_X_SCALE = 100.0
+
+
+def events_logistic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression (purchase ~ event value) by LR_STEPS full-batch
+    gradient-descent steps — the trainable-classifier completion of the
+    model family (brand_price_regression = closed-form OLS,
+    embedding_kmeans = EM-style, embedding_pca_power_iteration =
+    eigensolver; this is the iterative-gradient shape everything
+    deep-learning-adjacent reduces to). Distributed-GD layout: each step
+    is ONE map-side-combinable aggregate of per-row gradient terms against
+    broadcast-literal weights; the weight update is 2 scalars on the
+    driver (the k-means control-plane convention).
+
+    Determinism: σ uses the reference's clip-±30 sigmoid (appV2.py:174 —
+    the driver-proven parity expression); per-row gradient/log-loss terms
+    are rounded at 9dp into DECIMAL(38,9) before the exact sum (the
+    order-independent float-mean convention), and each weight update is
+    the identical double expression tree on both engines, so all
+    LR_STEPS iterates are bit-identical. The feature is value/LR_X_SCALE
+    (fixed literal — no data-dependent standardization pass).
+
+    Scale: the (x, y) projection is materialized once; each of the
+    LR_STEPS+2 passes (gradients, final metrics) reads the checkpointed
+    projection, not the corpus. Output: one row — n, the fitted
+    intercept/coefficient, mean log-loss, and accuracy at 0.5."""
+    from ..checkpointing import truncate_lineage
+
+    ev = load_table(spark, sf_dir, "events")
+    feats = ev.select(
+        (F.col("value") / F.lit(LR_X_SCALE)).alias("x"),
+        F.when(F.col("event_type") == "purchase", F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    ).transform(truncate_lineage)
+    d9 = lambda c: F.round(c, 9).cast("decimal(38,9)")  # noqa: E731
+
+    def sigmoid(z):
+        zc = F.greatest(F.least(z, F.lit(30.0)), F.lit(-30.0))
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-zc))
+
+    a, b = 0.0, 0.0
+    for _ in range(LR_STEPS):
+        p = sigmoid(F.lit(a) + F.lit(b) * F.col("x"))
+        err = p - F.col("y")
+        row = feats.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(d9(err)).alias("g0"),
+            F.sum(d9(err * F.col("x"))).alias("g1"),
+        ).collect()[0]
+        n = row.n
+        # identical double tree to the oracle: w − η·(Σterms / n)
+        a = a - LR_ETA * (float(row.g0) / n)
+        b = b - LR_ETA * (float(row.g1) / n)
+    p = sigmoid(F.lit(a) + F.lit(b) * F.col("x"))
+    loss_term = -(
+        F.col("y") * F.log(p) + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p)
+    )
+    correct = F.when(
+        (p >= F.lit(0.5)) == (F.col("y") == F.lit(1.0)), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        feats.agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(d9(loss_term)).cast("double") / F.count(F.lit(1))).alias(
+                "log_loss"
+            ),
+            (F.sum(correct).cast("double") / F.count(F.lit(1))).alias("accuracy"),
+        )
+        .select(
+            "n",
+            F.lit(a).alias("intercept"),
+            F.lit(b).alias("coef"),
+            "log_loss",
+            "accuracy",
+        )
+    )

@@ -5526,3 +5526,51 @@ FROM en CROSS JOIN g"""
 
 
 ORACLE_SQL["graph_modularity"] = _modularity_sql()
+
+
+def _logit_sql(steps: int = 8) -> str:
+    """Chained-CTE replay of relational.events_logistic_regression: each
+    w{i} CTE is one full-batch gradient step against the previous weights
+    (9dp-rounded DECIMAL(38,9) term sums, the identical η=0.1 double
+    update tree, clip-±30 sigmoid); feats is AS MATERIALIZED so the
+    projection is computed once, like the Spark checkpoint."""
+
+    def sig(z: str) -> str:
+        return f"1.0 / (1.0 + exp(-greatest(least({z}, 30.0), -30.0)))"
+
+    ctes = [
+        """feats AS MATERIALIZED (
+  SELECT value / 100.0 AS x,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+  FROM events
+)""",
+        "w0 AS (SELECT CAST(0.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b)",
+    ]
+    for i in range(1, steps + 1):
+        p = sig("w.a + w.b * f.x")
+        ctes.append(
+            f"""w{i} AS (
+  SELECT w.a - 0.1 * (CAST(SUM(CAST(round({p} - f.y, 9)
+                                    AS DECIMAL(38,9))) AS DOUBLE)
+                      / COUNT(*)) AS a,
+         w.b - 0.1 * (CAST(SUM(CAST(round(({p} - f.y) * f.x, 9)
+                                    AS DECIMAL(38,9))) AS DOUBLE)
+                      / COUNT(*)) AS b
+  FROM feats f CROSS JOIN w{i - 1} w
+  GROUP BY w.a, w.b
+)"""
+        )
+    pf = sig("w.a + w.b * f.x")
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT COUNT(*) AS n, w.a AS intercept, w.b AS coef,
+       CAST(SUM(CAST(round(-(f.y * ln({pf})
+                             + (1.0 - f.y) * ln(1.0 - {pf})), 9)
+                     AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS log_loss,
+       CAST(SUM(CASE WHEN ({pf} >= 0.5) = (f.y = 1.0)
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS accuracy
+FROM feats f CROSS JOIN w{steps} w
+GROUP BY w.a, w.b"""
+
+
+ORACLE_SQL["events_logistic_regression"] = _logit_sql()

@@ -472,3 +472,4 @@ register("graph_modularity", graph.graph_modularity)
 register("text_stats", text.text_stats)
 register("mm_byte_histogram", multimodal.mm_byte_histogram)
 register("corpus_split_assign", curation.corpus_split_assign)
+register("events_logistic_regression", relational.events_logistic_regression)

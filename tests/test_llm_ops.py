@@ -1294,6 +1294,15 @@ def test_r7_constants_in_sync_with_oracles():
         "rounds"
     ].default == graph.LPA_ROUNDS
     assert f"l{graph.LPA_ROUNDS} ls" in oracles.ORACLE_SQL["graph_modularity"]
+    assert (relational.LR_STEPS, relational.LR_ETA, relational.LR_X_SCALE) == (
+        8,
+        0.1,
+        100.0,
+    )
+    lr_sql = oracles.ORACLE_SQL["events_logistic_regression"]
+    assert _inspect.signature(oracles._logit_sql).parameters["steps"].default == 8
+    assert "value / 100.0" in lr_sql and "0.1 * (CAST" in lr_sql
+    assert "FROM feats f CROSS JOIN w8 w" in lr_sql
 
 
 def test_word_pmi_invariants(spark, sf_dir):
@@ -2229,3 +2238,30 @@ def test_modularity_matches_exact_replay(spark, sf_dir):
         assert r.contribution == float(internal[c] * e2 - dsum[c] ** 2) / den
         assert r.modularity_q == float(qnum) / den
     assert -0.5 <= rows[0].modularity_q <= 1.0
+
+
+def test_logistic_regression_training_invariants(spark, sf_dir):
+    """GD correctness anchors that dodge 9dp-rounding ambiguity: the FIRST
+    step is exactly replayable (at w=0 every σ is exactly 0.5, so the
+    rounded gradient terms are exact halves), the model moves toward the
+    minority-class logit, and accuracy at 0.5 equals the majority-class
+    rate on this near-uninformative feature."""
+    from cl_tagger_batch_processing_spark.operators import relational
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    row = relational.events_logistic_regression(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    npos = ev.where(F.col("event_type") == "purchase").count()
+    assert row.n == n
+    assert npos < n - npos  # purchase is the minority class in the fixture
+    # step 1 from w=(0,0): g0 = Σ(0.5 − y) exactly
+    a1 = 0.0 - relational.LR_ETA * (float(0.5 * n - npos) / n)
+    assert a1 < 0
+    # after 8 steps the intercept kept moving toward the minority logit
+    assert row.intercept < a1 < 0
+    # near-uninformative feature → the 0.5 rule predicts the majority class
+    assert row.accuracy == (n - npos) / n
+    assert 0.0 < row.log_loss < 1.0
+    assert abs(row.coef) < 1.0
