@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..checkpointing import truncate_lineage
 from ..sources.tables import load_table
 
 # Exact-decimal casts for the 2-decimal fixture money columns.
@@ -2752,8 +2753,6 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy, MATERIALIZED once — both sides of the lag self-join read the
     ~#days-row aggregate, not the corpus (plan-tested: one FileScan). The
     lag spine broadcasts. At 100 TB the daily frame is still tiny."""
-    from ..checkpointing import truncate_lineage
-
     daily = _daily_event_counts(spark, sf_dir).transform(truncate_lineage)
     lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
     x = daily.select(F.col("day").alias("xd"), F.col("daily_count").alias("xv"))
@@ -2812,7 +2811,6 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by #classes × #segments); the class sizes, segment marginal,
     and grand total are all rollups of that materialized cell frame
     (plan-tested: one FileScan), and the small sides ride broadcasts."""
-    from ..checkpointing import truncate_lineage
     from .curation import KANON_BAND_WIDTH
 
     cust = load_table(spark, sf_dir, "customer")
@@ -2880,8 +2878,6 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the one corpus-sized pass is the shared ``_funnel_milestones``
     user window chain (materialized once — both stage branches read it);
     everything after runs on the #users-row milestone frame."""
-    from ..checkpointing import truncate_lineage
-
     per_user = _funnel_milestones(spark, sf_dir).transform(truncate_lineage)
     us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
     vc = per_user.where(F.col("c_ts").isNotNull()).select(
@@ -2934,11 +2930,9 @@ def events_logistic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fixed literal — no data-dependent standardization pass).
 
     Scale: the (x, y) projection is materialized once; each of the
-    LR_STEPS+2 passes (gradients, final metrics) reads the checkpointed
+    LR_STEPS+1 passes (gradients, final metrics) reads the checkpointed
     projection, not the corpus. Output: one row — n, the fitted
     intercept/coefficient, mean log-loss, and accuracy at 0.5."""
-    from ..checkpointing import truncate_lineage
-
     ev = load_table(spark, sf_dir, "events")
     feats = ev.select(
         (F.col("value") / F.lit(LR_X_SCALE)).alias("x"),
