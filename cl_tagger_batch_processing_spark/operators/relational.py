@@ -2982,3 +2982,88 @@ def events_logistic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             "accuracy",
         )
     )
+
+
+# Decision-stump split search: candidate thresholds are the STUMP_BUCKET
+# boundaries of the value axis — mirrored literally in the oracle.
+STUMP_BUCKET = 10.0
+
+
+def events_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-split search for a one-node decision tree (purchase ~ value) —
+    the primitive every tree ensemble repeats millions of times, and the
+    distributed-histogram shape every scalable GBDT (LightGBM/XGBoost
+    hist mode) uses: bucket the feature axis, ONE map-side-combinable
+    histogram pass over the corpus, then evaluate every candidate split
+    from cumulative bucket counts on the tiny histogram frame — the
+    corpus is never rescanned per threshold.
+
+    Exactness: bucket/class cells are exact integers; left/right counts
+    come from an ordered cumulative window over ≤#buckets rows; each
+    threshold's weighted Gini is a fixed per-row double expression over
+    those integers (identical tree on both engines), and the best-split
+    rank carries a (gini ASC, threshold ASC) total tie-break.
+
+    Output: one row per evaluable threshold — split counts, weighted
+    Gini, rank (rank 1 = the stump)."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.floor(F.col("value") / F.lit(STUMP_BUCKET)).cast("bigint").alias("b"),
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("y"),
+        )
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("n_b"),
+            F.sum("y").cast("bigint").alias("pos_b"),
+        )
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    tot = cells.agg(
+        F.sum("n_b").alias("n"), F.sum("pos_b").cast("bigint").alias("npos")
+    )
+    cum = (
+        cells.select(
+            "b",
+            F.sum("n_b").over(w).alias("n_left"),
+            F.sum("pos_b").over(w).cast("bigint").alias("pos_left"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            ((F.col("b") + 1) * F.lit(STUMP_BUCKET)).alias("threshold"),
+            "n_left",
+            "pos_left",
+            (F.col("n") - F.col("n_left")).alias("n_right"),
+            (F.col("npos") - F.col("pos_left")).alias("pos_right"),
+            "n",
+        )
+        .where((F.col("n_left") > 0) & (F.col("n_right") > 0))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    gini_l = (
+        F.lit(1.0)
+        - (d("pos_left") / d("n_left")) * (d("pos_left") / d("n_left"))
+        - ((d("n_left") - d("pos_left")) / d("n_left"))
+        * ((d("n_left") - d("pos_left")) / d("n_left"))
+    )
+    gini_r = (
+        F.lit(1.0)
+        - (d("pos_right") / d("n_right")) * (d("pos_right") / d("n_right"))
+        - ((d("n_right") - d("pos_right")) / d("n_right"))
+        * ((d("n_right") - d("pos_right")) / d("n_right"))
+    )
+    wg = (d("n_left") * gini_l + d("n_right") * gini_r) / d("n")
+    rw = Window.orderBy(F.asc("weighted_gini"), F.asc("threshold"))
+    return (
+        cum.select(
+            "threshold",
+            "n_left",
+            "pos_left",
+            "n_right",
+            "pos_right",
+            wg.alias("weighted_gini"),
+        )
+        .withColumn("rank", F.row_number().over(rw).cast("bigint"))
+    )

@@ -5574,3 +5574,62 @@ GROUP BY w.a, w.b"""
 
 
 ORACLE_SQL["events_logistic_regression"] = _logit_sql()
+
+# Mirrors relational.events_decision_stump: 10-unit value histogram, split
+# evaluation from cumulative bucket counts, weighted Gini as the identical
+# per-row double tree, (gini ASC, threshold ASC) rank tie-break.
+ORACLE_SQL["events_decision_stump"] = """
+WITH cells AS (
+  SELECT CAST(floor(value / 10.0) AS BIGINT) AS b,
+         COUNT(*) AS n_b,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos_b
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_b) AS BIGINT) AS n,
+         CAST(SUM(pos_b) AS BIGINT) AS npos
+  FROM cells
+),
+cum AS (
+  SELECT CAST((b + 1) * 10.0 AS DOUBLE) AS threshold,
+         CAST(SUM(n_b) OVER (ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n_left,
+         CAST(SUM(pos_b) OVER (ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS pos_left,
+         t.n, t.npos
+  FROM cells CROSS JOIN tot t
+),
+sides AS (
+  SELECT threshold, n_left, pos_left,
+         n - n_left AS n_right, npos - pos_left AS pos_right, n
+  FROM cum WHERE n_left > 0 AND n - n_left > 0
+),
+scored AS (
+  SELECT threshold, n_left, pos_left, n_right, pos_right,
+         (CAST(n_left AS DOUBLE)
+            * (1.0
+               - (CAST(pos_left AS DOUBLE) / CAST(n_left AS DOUBLE))
+                 * (CAST(pos_left AS DOUBLE) / CAST(n_left AS DOUBLE))
+               - ((CAST(n_left AS DOUBLE) - CAST(pos_left AS DOUBLE))
+                  / CAST(n_left AS DOUBLE))
+                 * ((CAST(n_left AS DOUBLE) - CAST(pos_left AS DOUBLE))
+                    / CAST(n_left AS DOUBLE)))
+          + CAST(n_right AS DOUBLE)
+            * (1.0
+               - (CAST(pos_right AS DOUBLE) / CAST(n_right AS DOUBLE))
+                 * (CAST(pos_right AS DOUBLE) / CAST(n_right AS DOUBLE))
+               - ((CAST(n_right AS DOUBLE) - CAST(pos_right AS DOUBLE))
+                  / CAST(n_right AS DOUBLE))
+                 * ((CAST(n_right AS DOUBLE) - CAST(pos_right AS DOUBLE))
+                    / CAST(n_right AS DOUBLE))))
+         / CAST(n AS DOUBLE) AS weighted_gini
+  FROM sides
+)
+SELECT threshold, n_left, pos_left, n_right, pos_right, weighted_gini,
+       CAST(row_number() OVER (ORDER BY weighted_gini ASC, threshold ASC)
+            AS BIGINT) AS rank
+FROM scored
+"""

@@ -473,3 +473,4 @@ register("text_stats", text.text_stats)
 register("mm_byte_histogram", multimodal.mm_byte_histogram)
 register("corpus_split_assign", curation.corpus_split_assign)
 register("events_logistic_regression", relational.events_logistic_regression)
+register("events_decision_stump", relational.events_decision_stump)

@@ -1303,6 +1303,8 @@ def test_r7_constants_in_sync_with_oracles():
     assert _inspect.signature(oracles._logit_sql).parameters["steps"].default == 8
     assert "value / 100.0" in lr_sql and "0.1 * (CAST" in lr_sql
     assert "FROM feats f CROSS JOIN w8 w" in lr_sql
+    assert relational.STUMP_BUCKET == 10.0
+    assert "floor(value / 10.0)" in oracles.ORACLE_SQL["events_decision_stump"]
 
 
 def test_word_pmi_invariants(spark, sf_dir):
@@ -2265,3 +2267,53 @@ def test_logistic_regression_training_invariants(spark, sf_dir):
     assert row.accuracy == (n - npos) / n
     assert 0.0 < row.log_loss < 1.0
     assert abs(row.coef) < 1.0
+
+
+def test_decision_stump_matches_exact_replay(spark, sf_dir):
+    """Exact split-search replay: per-threshold counts from a driver-side
+    histogram, the same double Gini tree, and the (gini ASC, threshold
+    ASC) ranking."""
+    import math
+
+    from cl_tagger_batch_processing_spark.operators import relational
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = {
+        r.threshold: r
+        for r in relational.events_decision_stump(spark, sf_dir).collect()
+    }
+    data = (
+        load_table(spark, sf_dir, "events")
+        .select("value", "event_type")
+        .collect()
+    )
+    from collections import Counter
+
+    nb: Counter = Counter()
+    pb: Counter = Counter()
+    for r in data:
+        b = math.floor(r.value / relational.STUMP_BUCKET)
+        nb[b] += 1
+        pb[b] += r.event_type == "purchase"
+    n, npos = sum(nb.values()), sum(pb.values())
+    nl = pl = 0
+    expect = {}
+    for b in sorted(nb):
+        nl += nb[b]
+        pl += pb[b]
+        nr, pr = n - nl, npos - pl
+        if nl > 0 and nr > 0:
+            gl = 1.0 - (pl / nl) * (pl / nl) - ((nl - pl) / nl) * ((nl - pl) / nl)
+            gr = 1.0 - (pr / nr) * (pr / nr) - ((nr - pr) / nr) * ((nr - pr) / nr)
+            expect[(b + 1) * relational.STUMP_BUCKET] = (
+                nl, pl, nr, pr, (nl * gl + nr * gr) / n
+            )
+    assert set(rows) == set(expect)
+    for t, (enl, epl, enr, epr, eg) in expect.items():
+        r = rows[t]
+        assert (r.n_left, r.pos_left, r.n_right, r.pos_right) == (enl, epl, enr, epr)
+        assert r.weighted_gini == eg
+    ranked = sorted(expect, key=lambda t: (expect[t][4], t))
+    for i, t in enumerate(ranked, 1):
+        assert rows[t].rank == i
