@@ -78,6 +78,15 @@ def graph_pagerank(
     still left-joins from the node set so an isolated node would get the
     teleport term rather than silently vanishing."""
     edges = cooccurrence_edges(spark, sf_dir, min_support=min_support)
+    return pagerank_on_edges(edges, n_iter=n_iter)
+
+
+def pagerank_on_edges(edges: DataFrame, n_iter: int = PR_N_ITER) -> DataFrame:
+    """Exact scaled-integer PageRank over ANY symmetric (src, dst) edge
+    frame — the graph_pagerank body factored out so other relations reuse
+    the identical bit-exact discipline (text.text_textrank_keywords runs
+    it over the adjacent-word graph; node type is whatever the edge frame
+    carries). Empty graphs return an empty ranking, not a division error."""
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # (src, dst, outdeg) — reused every superstep, so materialize once.
     edges_deg = edges.join(outdeg, "src").transform(truncate_lineage)
@@ -86,8 +95,10 @@ def graph_pagerank(
     if n == 0:
         # No edges survive the support filter (tiny fixture or a high
         # min_support): an empty ranking, not a ZeroDivisionError.
-        return spark.createDataFrame(
-            [], "node bigint, pr_scaled bigint, pagerank double"
+        return (
+            nodes.limit(0)
+            .withColumn("pr_scaled", F.lit(0).cast("bigint"))
+            .withColumn("pagerank", F.lit(0.0))
         )
     teleport = (PR_SCALE * (PR_DAMPING_DEN - PR_DAMPING_NUM)) // PR_DAMPING_DEN // n
     pr = nodes.withColumn("pr", F.lit(PR_SCALE // n).cast("bigint"))

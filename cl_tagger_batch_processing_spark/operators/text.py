@@ -1413,3 +1413,55 @@ def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_blocked"
         ),
     )
+
+
+# TextRank co-occurrence support threshold — mirrored in the oracle.
+TEXTRANK_MIN_COOC = 5
+
+
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scoring (Mihalcea & Tarau '04): PageRank over the
+    corpus-wide adjacent-word co-occurrence graph — the graph-centrality
+    complement to the frequency-based keyword passes (TF-IDF ranks by
+    document discrimination, RAKE by phrase cohesion, PMI by pair
+    surprise; TextRank ranks by how central a word is to the corpus'
+    co-occurrence structure).
+
+    Composition, not reimplementation: the word graph feeds
+    ``graph.pagerank_on_edges`` — the SAME exact scaled-integer superstep
+    machinery graph_pagerank runs (femto-rank bigints, 85/100 integer
+    damping), so the ranking is bit-identical across engines and the
+    rank tie-break (pr_scaled DESC, word ASC) is total on exact integers.
+
+    Scale: pair extraction is row-local Column math + one
+    map-side-combinable groupBy (pair space bounded by vocab²); the
+    PageRank frames are vocabulary-sized, tiny relative to the corpus at
+    any scale. Output: (word, pr_scaled, pagerank, rank)."""
+    from .graph import pagerank_on_edges
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t")).where(F.size("t") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t)-2), "
+                "i -> struct(t[i] AS w1, t[i+1] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    und = (
+        pairs.select(
+            F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= TEXTRANK_MIN_COOC)
+    )
+    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    pr = pagerank_on_edges(edges)
+    out = pr.select(F.col("node").alias("word"), "pr_scaled", "pagerank")
+    w = Window.orderBy(F.desc("pr_scaled"), F.asc("word"))
+    return out.withColumn("rank", F.row_number().over(w).cast("bigint"))

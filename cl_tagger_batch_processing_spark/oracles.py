@@ -2666,9 +2666,12 @@ edges AS (
 """.strip()
 
 
-def _pagerank_sql(n_iter: int = 10) -> str:
+def _pagerank_sql(n_iter: int = 10, graph_ctes: str | None = None) -> str:
+    """Exact scaled-integer PageRank chain over whatever `graph_ctes`
+    defines as `edges` (default: the part co-occurrence graph) — the SQL
+    twin of graph.pagerank_on_edges, parameterized the same way."""
     ctes = [
-        _PR_GRAPH_CTES,
+        graph_ctes if graph_ctes is not None else _PR_GRAPH_CTES,
         "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
         "ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src))",
         "nodes AS (SELECT DISTINCT src AS node FROM edges)",
@@ -5632,4 +5635,38 @@ SELECT threshold, n_left, pos_left, n_right, pos_right, weighted_gini,
        CAST(row_number() OVER (ORDER BY weighted_gini ASC, threshold ASC)
             AS BIGINT) AS rank
 FROM scored
+"""
+
+# Mirrors text.text_textrank_keywords: the adjacent-word co-occurrence
+# graph (least/greatest undirected pairs, HAVING >= 5 sync-pinned with
+# TEXTRANK_MIN_COOC) fed through the SAME exact-integer PageRank chain as
+# graph_pagerank (_pagerank_sql parameterized by graph CTEs).
+_TEXTRANK_GRAPH_CTES = """
+tk AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+adj AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                               i -> {'w1': t[i], 'w2': t[i + 1]})) AS p
+  FROM tk
+),
+und AS (
+  SELECT least(p.w1, p.w2) AS a, greatest(p.w1, p.w2) AS b
+  FROM adj WHERE p.w1 != p.w2
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM und
+  UNION ALL
+  SELECT b AS src, a AS dst FROM und
+)
+""".strip()
+
+ORACLE_SQL["text_textrank_keywords"] = f"""
+WITH ranked AS ({_pagerank_sql(10, graph_ctes=_TEXTRANK_GRAPH_CTES)})
+SELECT node AS word, pr_scaled, pagerank,
+       CAST(row_number() OVER (ORDER BY pr_scaled DESC, node ASC)
+            AS BIGINT) AS rank
+FROM ranked
 """

@@ -474,3 +474,4 @@ register("mm_byte_histogram", multimodal.mm_byte_histogram)
 register("corpus_split_assign", curation.corpus_split_assign)
 register("events_logistic_regression", relational.events_logistic_regression)
 register("events_decision_stump", relational.events_decision_stump)
+register("text_textrank_keywords", text.text_textrank_keywords)

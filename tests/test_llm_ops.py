@@ -1305,6 +1305,10 @@ def test_r7_constants_in_sync_with_oracles():
     assert "FROM feats f CROSS JOIN w8 w" in lr_sql
     assert relational.STUMP_BUCKET == 10.0
     assert "floor(value / 10.0)" in oracles.ORACLE_SQL["events_decision_stump"]
+    assert text_ops.TEXTRANK_MIN_COOC == 5
+    tr_sql = oracles.ORACLE_SQL["text_textrank_keywords"]
+    assert "HAVING COUNT(*) >= 5" in tr_sql
+    assert "pr10" in tr_sql  # same 10-superstep chain as graph_pagerank
 
 
 def test_word_pmi_invariants(spark, sf_dir):
@@ -2317,3 +2321,48 @@ def test_decision_stump_matches_exact_replay(spark, sf_dir):
     ranked = sorted(expect, key=lambda t: (expect[t][4], t))
     for i, t in enumerate(ranked, 1):
         assert rows[t].rank == i
+
+
+def test_textrank_matches_python_pagerank(spark, sf_dir):
+    """Exact replay: build the word graph driver-side, run the same
+    integer floor-division PageRank, and compare every scaled rank."""
+    from collections import Counter
+
+    from cl_tagger_batch_processing_spark.operators import graph, text as text_ops
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+
+    rows = {r.word: r for r in text_ops.text_textrank_keywords(spark, sf_dir).collect()}
+    docs = [r.text for r in load_table(spark, sf_dir, "documents").collect()]
+    und: Counter = Counter()
+    for t in docs:
+        ws = t.split(" ")
+        for i in range(len(ws) - 1):
+            a, b = sorted((ws[i], ws[i + 1]))
+            if a != b:
+                und[(a, b)] += 1
+    edges: dict = {}
+    for (a, b), c in und.items():
+        if c >= text_ops.TEXTRANK_MIN_COOC:
+            edges.setdefault(a, []).append(b)
+            edges.setdefault(b, []).append(a)
+    nodes = sorted(edges)
+    n = len(nodes)
+    assert n > 0 and set(rows) == set(nodes)
+    S = graph.PR_SCALE
+    pr = {v: S // n for v in nodes}
+    teleport = (S * (graph.PR_DAMPING_DEN - graph.PR_DAMPING_NUM)) // graph.PR_DAMPING_DEN // n
+    for _ in range(graph.PR_N_ITER):
+        contrib: Counter = Counter()
+        for u in nodes:
+            share = pr[u] // len(edges[u])
+            for v in edges[u]:
+                contrib[v] += share
+        pr = {
+            v: teleport + (contrib[v] * graph.PR_DAMPING_NUM) // graph.PR_DAMPING_DEN
+            for v in nodes
+        }
+    for v in nodes:
+        assert rows[v].pr_scaled == pr[v], v
+    ranked = sorted(nodes, key=lambda v: (-pr[v], v))
+    for i, v in enumerate(ranked, 1):
+        assert rows[v].rank == i
