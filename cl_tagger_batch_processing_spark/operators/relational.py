@@ -3019,6 +3019,9 @@ def events_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_b"),
             F.sum("y").cast("bigint").alias("pos_b"),
         )
+        # materialized: the histogram feeds the grand total AND the
+        # cumulative split frame — one corpus scan, not one per consumer
+        .transform(truncate_lineage)
     )
     w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
     tot = cells.agg(

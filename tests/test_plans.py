@@ -917,3 +917,35 @@ def test_modularity_rollup_on_materialized_counts(spark, sf_dir):
     assert plan.count("FileScan") == 0
     for op in ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]:
         assert op not in plan, op
+
+
+def test_decision_stump_single_histogram_scan(spark, sf_dir):
+    # the LightGBM-hist shape: one corpus scan into the bucket histogram;
+    # thresholds are evaluated on the tiny cumulative frame, never joined
+    # back against facts
+    df = QUERIES["events_decision_stump"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert plan.count("FileScan") == 0  # histogram frame is checkpointed
+    for op in ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+               "ArrowEvalPython"]:
+        assert op not in plan, op
+
+
+def test_logistic_regression_reads_checkpointed_projection(spark, sf_dir):
+    # every GD pass reads the checkpointed (x, y) projection — the final
+    # plan (and each step's, by construction) contains no parquet scan
+    df = QUERIES["events_logistic_regression"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert plan.count("FileScan") == 0
+    for op in ["BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"]:
+        assert op not in plan, op
+
+
+def test_textrank_supersteps_on_vocab_frames(spark, sf_dir):
+    # the PageRank tail runs on checkpointed vocabulary-sized frames; no
+    # Python, no cartesian anywhere in the final superstep plan
+    df = QUERIES["text_textrank_keywords"](spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert plan.count("FileScan") == 0
+    for op in ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]:
+        assert op not in plan, op
