@@ -44,19 +44,41 @@ PR_MIN_SUPPORT = 2
 PR_CHECKPOINT_EVERY = 3
 
 
+_EDGES_CACHE: dict = {}
+
+
 def cooccurrence_edges(
     spark: SparkSession, sf_dir: str, min_support: int = PR_MIN_SUPPORT
 ) -> DataFrame:
     """Symmetric (src, dst) edge list: part pairs co-ordered in at least
     ``min_support`` orders — ``relational.counted_part_pairs`` (the shared
     bounded basket self-join) symmetrized. Edge generation is linear in
-    order count; the support filter prunes noise edges."""
+    order count; the support filter prunes noise edges.
+
+    MATERIALIZED once and memoized per (application, sf_dir, min_support,
+    checkpoint-mode) — the dedup_clusters memo convention: ten graph-family
+    queries consume this same relation and the basket self-join is their
+    dominant shared cost. Callers therefore must NOT re-truncate it."""
+    from ..checkpointing import CHECKPOINT_MODE_CONF, session_cache_sweep
     from .relational import counted_part_pairs
 
+    app_id = spark.sparkContext.applicationId
+    key = (
+        app_id,
+        sf_dir,
+        min_support,
+        spark.conf.get(CHECKPOINT_MODE_CONF, "local"),
+    )
+    session_cache_sweep(_EDGES_CACHE, app_id)
+    hit = _EDGES_CACHE.get(key)
+    if hit is not None:
+        return hit
     pairs = counted_part_pairs(spark, sf_dir, min_support=min_support)
     fwd = pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
     rev = pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
-    return fwd.unionByName(rev)
+    out = fwd.unionByName(rev).transform(truncate_lineage)
+    _EDGES_CACHE[key] = out
+    return out
 
 
 def graph_pagerank(
@@ -190,7 +212,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orientation — materialize once (the multi-consumer discipline of
     # dedup_ngram_jaccard / graph_pagerank; ReuseExchange requires
     # byte-identical subplans and these consumers differ)
-    pairs = cooccurrence_edges(spark, sf_dir).transform(truncate_lineage)
+    pairs = cooccurrence_edges(spark, sf_dir)
     deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # total order key (deg, node); orient each undirected edge low → high
     e = (
@@ -391,9 +413,7 @@ def graph_common_neighbors(
     # the survivor set (two semi joins) — unmaterialized subplans would
     # re-run the basket self-join and the degree aggregation per consumer,
     # the exact waste graph_kcore's per-round keep materialization avoids.
-    edges = cooccurrence_edges(spark, sf_dir, min_support=min_support).transform(
-        truncate_lineage
-    )
+    edges = cooccurrence_edges(spark, sf_dir, min_support=min_support)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     kept = deg.where(F.col("deg") <= CN_DEGREE_CAP).select("src").transform(
         truncate_lineage
@@ -473,9 +493,7 @@ def graph_shortest_paths(
     recursion guard equals SP_MAX_ROUNDS (sync-pinned), and the Spark
     side RAISES if the budget is hit, so both engines cover the same
     depth or fail loudly."""
-    edges = cooccurrence_edges(spark, sf_dir, min_support=min_support).transform(
-        truncate_lineage
-    )
+    edges = cooccurrence_edges(spark, sf_dir, min_support=min_support)
     nodes = edges.select("src").distinct()
     seeds = nodes.orderBy("src").limit(SP_N_SEEDS)
     return bfs_distances(
@@ -587,9 +605,7 @@ def _lpa_labels(
     shared by graph_lpa_communities and graph_modularity (returning the
     edge frame too so modularity scores the SAME graph the labels came
     from without rebuilding it)."""
-    edges = cooccurrence_edges(spark, sf_dir, min_support=min_support).transform(
-        truncate_lineage
-    )
+    edges = cooccurrence_edges(spark, sf_dir, min_support=min_support)
     labels = edges.select("src").distinct().select(
         F.col("src").alias("node"), F.col("src").cast("bigint").alias("label")
     )
@@ -765,9 +781,7 @@ def graph_closeness_centrality(
     plus a k-row limit."""
     from ..checkpointing import checkpoint_with_metric
 
-    edges = cooccurrence_edges(spark, sf_dir, min_support=min_support).transform(
-        truncate_lineage
-    )
+    edges = cooccurrence_edges(spark, sf_dir, min_support=min_support)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     # materialized once: roots feeds both the BFS seed frame and the final
     # reach join — unmaterialized, the second consumer would re-run the
@@ -853,9 +867,7 @@ def graph_assortativity(
     the edge list and the degree frame are MATERIALIZED once (each has
     two consumers — unmaterialized, the basket self-join would re-run
     per consumer)."""
-    edges = cooccurrence_edges(spark, sf_dir, min_support=min_support).transform(
-        truncate_lineage
-    )
+    edges = cooccurrence_edges(spark, sf_dir, min_support=min_support)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).transform(
         truncate_lineage
     )
