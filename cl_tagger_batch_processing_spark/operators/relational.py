@@ -3070,3 +3070,88 @@ def events_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rank", F.row_number().over(rw).cast("bigint"))
     )
+
+
+# Histogram-sketch geometry: bin width and the audited quantiles —
+# mirrored literally in the oracle (sync-pinned).
+QSK_BIN_WIDTH = 4.0
+QSK_MAX_BIN = 127
+
+
+def events_quantile_sketch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantile estimation with an exact-side error
+    audit — the third leg of the sketch family (approx_distinct_hll =
+    cardinality, text_heavy_hitters_cms = frequency; this = quantiles):
+    a fixed equi-width histogram is the simplest MERGEABLE quantile
+    summary (per-partition histograms add cell-wise — the same algebraic
+    property that lets HLL registers max-merge), so at 100 TB the state
+    is QSK_MAX_BIN+1 counters per shard instead of a global sort. The
+    report estimates p50/p90/p99 of the event value by in-bin linear
+    interpolation and joins each against the exact interpolated
+    percentile, showing the per-quantile absolute/relative error the
+    4-unit bin resolution costs.
+
+    Determinism: bin counts and cumulative ranks are exact integers
+    (histogram pass is ONE map-side-combinable aggregate, materialized
+    once); the crossing-bin pick is an integer predicate; interpolation
+    and the error columns are identical double trees; the exact side is
+    the established percentile/quantile_cont convention."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.select(
+            F.least(
+                F.floor(F.col("value") / F.lit(QSK_BIN_WIDTH)).cast("bigint"),
+                F.lit(QSK_MAX_BIN),
+            ).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .transform(truncate_lineage)
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "b", "cnt", F.sum("cnt").over(w).alias("cum")
+    ).crossJoin(F.broadcast(hist.agg(F.sum("cnt").alias("n"))))
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    # crossing bin: first bin whose cumulative count reaches q·n
+    target = F.col("q") * F.col("n").cast("double")
+    hit = (
+        cum.crossJoin(F.broadcast(qs))
+        .where(
+            (F.col("cum").cast("double") >= target)
+            & ((F.col("cum") - F.col("cnt")).cast("double") < target)
+        )
+        .select(
+            "q",
+            (
+                F.col("b").cast("double") * F.lit(QSK_BIN_WIDTH)
+                + F.lit(QSK_BIN_WIDTH)
+                * (
+                    (target - (F.col("cum") - F.col("cnt")).cast("double"))
+                    / F.col("cnt").cast("double")
+                )
+            ).alias("estimate"),
+        )
+    )
+    exact = ev.agg(
+        F.expr("percentile(value, 0.5)").alias("e50"),
+        F.expr("percentile(value, 0.9)").alias("e90"),
+        F.expr("percentile(value, 0.99)").alias("e99"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(0.5).alias("q"), F.col("e50").alias("exact")),
+                F.struct(F.lit(0.9).alias("q"), F.col("e90").alias("exact")),
+                F.struct(F.lit(0.99).alias("q"), F.col("e99").alias("exact")),
+            )
+        ).alias("s")
+    ).select("s.q", "s.exact")
+    return hit.join(F.broadcast(exact), "q").select(
+        "q",
+        "estimate",
+        "exact",
+        F.abs(F.col("estimate") - F.col("exact")).alias("abs_err"),
+        (F.abs(F.col("estimate") - F.col("exact")) / F.col("exact")).alias(
+            "rel_err"
+        ),
+    )

@@ -5670,3 +5670,46 @@ SELECT node AS word, pr_scaled, pagerank,
             AS BIGINT) AS rank
 FROM ranked
 """
+
+# Mirrors relational.events_quantile_sketch_report: 4-unit equi-width
+# histogram (bin cap 127 sync-pinned), crossing-bin pick on exact integer
+# cumulative ranks, identical interpolation/error double trees, exact side
+# via quantile_cont (the percentile convention).
+ORACLE_SQL["events_quantile_sketch_report"] = """
+WITH hist AS MATERIALIZED (
+  SELECT least(CAST(floor(value / 4.0) AS BIGINT), 127) AS b,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist),
+cum AS (
+  SELECT b, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         t.n
+  FROM hist CROSS JOIN tot t
+),
+qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+hit AS (
+  SELECT q,
+         CAST(b AS DOUBLE) * 4.0
+           + 4.0 * (((q * CAST(n AS DOUBLE))
+                     - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE))
+           AS estimate
+  FROM cum CROSS JOIN qs
+  WHERE CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE)
+    AND CAST(cum - cnt AS DOUBLE) < q * CAST(n AS DOUBLE)
+),
+ex AS (
+  SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q,
+         unnest([quantile_cont(value, 0.5),
+                 quantile_cont(value, 0.9),
+                 quantile_cont(value, 0.99)]) AS exact
+  FROM events
+)
+SELECT h.q, h.estimate, e.exact,
+       abs(h.estimate - e.exact) AS abs_err,
+       abs(h.estimate - e.exact) / e.exact AS rel_err
+FROM hit h JOIN ex e ON h.q = e.q
+"""

@@ -1309,6 +1309,9 @@ def test_r7_constants_in_sync_with_oracles():
     tr_sql = oracles.ORACLE_SQL["text_textrank_keywords"]
     assert "HAVING COUNT(*) >= 5" in tr_sql
     assert "pr10" in tr_sql  # same 10-superstep chain as graph_pagerank
+    assert (relational.QSK_BIN_WIDTH, relational.QSK_MAX_BIN) == (4.0, 127)
+    qsk_sql = oracles.ORACLE_SQL["events_quantile_sketch_report"]
+    assert "floor(value / 4.0)" in qsk_sql and "127" in qsk_sql
 
 
 def test_word_pmi_invariants(spark, sf_dir):
@@ -2366,3 +2369,42 @@ def test_textrank_matches_python_pagerank(spark, sf_dir):
     ranked = sorted(nodes, key=lambda v: (-pr[v], v))
     for i, v in enumerate(ranked, 1):
         assert rows[v].rank == i
+
+
+def test_quantile_sketch_report_invariants(spark, sf_dir):
+    """The histogram estimate replays exactly from a driver-side histogram;
+    the audited error is bounded by one bin width (interpolation within
+    the crossing bin cannot miss by more)."""
+    import math
+
+    from cl_tagger_batch_processing_spark.operators import relational
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+
+    rows = {
+        r.q: r
+        for r in relational.events_quantile_sketch_report(spark, sf_dir).collect()
+    }
+    assert set(rows) == {0.5, 0.9, 0.99}
+    vals = [
+        r.value for r in load_table(spark, sf_dir, "events").select("value").collect()
+    ]
+    from collections import Counter
+
+    hist: Counter = Counter()
+    for v in vals:
+        hist[min(math.floor(v / relational.QSK_BIN_WIDTH), relational.QSK_MAX_BIN)] += 1
+    n = len(vals)
+    for q, r in rows.items():
+        cum = 0
+        for b in sorted(hist):
+            prev = cum
+            cum += hist[b]
+            if cum >= q * n and prev < q * n:
+                est = float(b) * relational.QSK_BIN_WIDTH + relational.QSK_BIN_WIDTH * (
+                    (q * float(n) - float(prev)) / float(hist[b])
+                )
+                break
+        assert r.estimate == est
+        assert r.abs_err <= relational.QSK_BIN_WIDTH  # one-bin resolution bound
+        assert r.abs_err == abs(r.estimate - r.exact)
+        assert r.rel_err == r.abs_err / r.exact
