@@ -17,7 +17,7 @@ Every LIMIT/top-k carries a unique tie-break column.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..checkpointing import truncate_lineage
@@ -3072,10 +3072,68 @@ def events_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Histogram-sketch geometry: bin width and the audited quantiles —
-# mirrored literally in the oracle (sync-pinned).
+# Histogram-sketch geometry: bin width, bin cap, and the audited
+# quantiles — mirrored literally in the oracles (sync-pinned).
 QSK_BIN_WIDTH = 4.0
 QSK_MAX_BIN = 127
+QSK_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def histogram_bin(value_col: Column) -> Column:
+    """Equi-width sketch bin for a value column (capped at QSK_MAX_BIN) —
+    shared by the batch report and the streaming variant so the two
+    sketches are provably the same summary."""
+    return F.least(
+        F.floor(value_col / F.lit(QSK_BIN_WIDTH)).cast("bigint"),
+        F.lit(QSK_MAX_BIN),
+    )
+
+
+def histogram_quantile_estimates(
+    spark: SparkSession, hist: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Crossing-bin quantile finalize over a (keys…, b, cnt) histogram
+    frame: per key group, the first bin whose exact integer cumulative
+    count reaches q·n, linearly interpolated within the bin. Shared by
+    events_quantile_sketch_report (no keys) and the streaming
+    per-window variant (keyed by window) — the hll_finalize convention
+    of ONE finalize implementation for both execution modes."""
+    qs = spark.createDataFrame([(q,) for q in QSK_QUANTILES], "q double")
+    if keys:
+        wcum = (
+            Window.partitionBy(*keys)
+            .orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        tot = hist.groupBy(*keys).agg(F.sum("cnt").alias("n"))
+        cum = hist.select(
+            *keys, "b", "cnt", F.sum("cnt").over(wcum).alias("cum")
+        ).join(F.broadcast(tot), list(keys))
+    else:
+        wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+        cum = hist.select(
+            "b", "cnt", F.sum("cnt").over(wcum).alias("cum")
+        ).crossJoin(F.broadcast(hist.agg(F.sum("cnt").alias("n"))))
+    target = F.col("q") * F.col("n").cast("double")
+    return (
+        cum.crossJoin(F.broadcast(qs))
+        .where(
+            (F.col("cum").cast("double") >= target)
+            & ((F.col("cum") - F.col("cnt")).cast("double") < target)
+        )
+        .select(
+            *keys,
+            "q",
+            (
+                F.col("b").cast("double") * F.lit(QSK_BIN_WIDTH)
+                + F.lit(QSK_BIN_WIDTH)
+                * (
+                    (target - (F.col("cum") - F.col("cnt")).cast("double"))
+                    / F.col("cnt").cast("double")
+                )
+            ).alias("estimate"),
+        )
+    )
 
 
 def events_quantile_sketch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3098,41 +3156,12 @@ def events_quantile_sketch_report(spark: SparkSession, sf_dir: str) -> DataFrame
     the established percentile/quantile_cont convention."""
     ev = load_table(spark, sf_dir, "events")
     hist = (
-        ev.select(
-            F.least(
-                F.floor(F.col("value") / F.lit(QSK_BIN_WIDTH)).cast("bigint"),
-                F.lit(QSK_MAX_BIN),
-            ).alias("b")
-        )
+        ev.select(histogram_bin(F.col("value")).alias("b"))
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .transform(truncate_lineage)
     )
-    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.select(
-        "b", "cnt", F.sum("cnt").over(w).alias("cum")
-    ).crossJoin(F.broadcast(hist.agg(F.sum("cnt").alias("n"))))
-    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
-    # crossing bin: first bin whose cumulative count reaches q·n
-    target = F.col("q") * F.col("n").cast("double")
-    hit = (
-        cum.crossJoin(F.broadcast(qs))
-        .where(
-            (F.col("cum").cast("double") >= target)
-            & ((F.col("cum") - F.col("cnt")).cast("double") < target)
-        )
-        .select(
-            "q",
-            (
-                F.col("b").cast("double") * F.lit(QSK_BIN_WIDTH)
-                + F.lit(QSK_BIN_WIDTH)
-                * (
-                    (target - (F.col("cum") - F.col("cnt")).cast("double"))
-                    / F.col("cnt").cast("double")
-                )
-            ).alias("estimate"),
-        )
-    )
+    hit = histogram_quantile_estimates(spark, hist, [])
     exact = ev.agg(
         F.expr("percentile(value, 0.5)").alias("e50"),
         F.expr("percentile(value, 0.9)").alias("e90"),

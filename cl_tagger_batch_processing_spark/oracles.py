@@ -5713,3 +5713,38 @@ SELECT h.q, h.estimate, e.exact,
        abs(h.estimate - e.exact) / e.exact AS rel_err
 FROM hit h JOIN ex e ON h.q = e.q
 """
+
+# Mirrors streaming.windows.stream_quantile_histogram: hour-tumbling
+# integer-epoch windows, the 4-unit/127-cap histogram bin, and the same
+# crossing-bin interpolation per window (complete mode on the bounded
+# fixture makes stream == batch replay).
+ORACLE_SQL["stream_quantile_histogram"] = """
+WITH hist AS MATERIALIZED (
+  SELECT CAST((epoch_us(ts) // 1000000) // 3600 * 3600 AS BIGINT)
+           AS window_start_epoch,
+         least(CAST(floor(value / 4.0) AS BIGINT), 127) AS b,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT window_start_epoch, CAST(SUM(cnt) AS BIGINT) AS n
+  FROM hist GROUP BY 1
+),
+cum AS (
+  SELECT h.window_start_epoch, h.b, h.cnt,
+         CAST(SUM(h.cnt) OVER (PARTITION BY h.window_start_epoch ORDER BY h.b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         t.n
+  FROM hist h JOIN tot t USING (window_start_epoch)
+),
+qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+SELECT window_start_epoch, q,
+       CAST(b AS DOUBLE) * 4.0
+         + 4.0 * (((q * CAST(n AS DOUBLE))
+                   - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE))
+         AS estimate
+FROM cum CROSS JOIN qs
+WHERE CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE)
+  AND CAST(cum - cnt AS DOUBLE) < q * CAST(n AS DOUBLE)
+"""

@@ -476,3 +476,4 @@ register("events_logistic_regression", relational.events_logistic_regression)
 register("events_decision_stump", relational.events_decision_stump)
 register("text_textrank_keywords", text.text_textrank_keywords)
 register("events_quantile_sketch_report", relational.events_quantile_sketch_report)
+register("stream_quantile_histogram", streaming_windows.stream_quantile_histogram)

@@ -512,3 +512,38 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ["window_start_epoch"],
     )
+
+
+def stream_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour value-quantile estimates over the EVENT STREAM via the
+    engine's mergeable equi-width histogram — the quantile leg of the
+    streaming sketch pair (stream_hll_distinct = cardinality): exact
+    per-window quantiles would require sorting unbounded per-window
+    state, while histogram state is ≤ QSK_MAX_BIN+1 counters per window
+    and COUNT is algebraic, so the state store holds partial bin counts
+    and merges across micro-batches for free.
+
+    Binning comes from ``relational.histogram_bin`` and the finalize from
+    ``relational.histogram_quantile_estimates`` — the SAME code the batch
+    sketch report runs (the stream_hll_distinct convention: one sketch
+    implementation, two execution modes, provably the same summary).
+    Finalization is post-stream batch math on the ≤128-rows-per-window
+    result. Output: (window_start_epoch, q, estimate)."""
+    from ..operators.relational import histogram_bin, histogram_quantile_estimates
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = events_stream(spark, sf_dir).select(
+        F.window("ts", "1 hour").alias("w"), "value"
+    )
+    binned = ev.select("w", histogram_bin(F.col("value")).alias("b"))
+    agg = binned.groupBy("w", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    hist = _run_to_memory(agg, "complete")
+    return histogram_quantile_estimates(
+        spark,
+        hist.select(
+            F.unix_timestamp("w.start").cast("bigint").alias("window_start_epoch"),
+            "b",
+            "cnt",
+        ),
+        ["window_start_epoch"],
+    )

@@ -1310,8 +1310,13 @@ def test_r7_constants_in_sync_with_oracles():
     assert "HAVING COUNT(*) >= 5" in tr_sql
     assert "pr10" in tr_sql  # same 10-superstep chain as graph_pagerank
     assert (relational.QSK_BIN_WIDTH, relational.QSK_MAX_BIN) == (4.0, 127)
+    assert relational.QSK_QUANTILES == (0.5, 0.9, 0.99)
     qsk_sql = oracles.ORACLE_SQL["events_quantile_sketch_report"]
     assert "floor(value / 4.0)" in qsk_sql and "127" in qsk_sql
+    sqh_sql = oracles.ORACLE_SQL["stream_quantile_histogram"]
+    assert "floor(value / 4.0)" in sqh_sql and "127" in sqh_sql
+    assert "3600 * 3600" in sqh_sql  # hour tumbling window, integer epoch
+    assert "[0.5, 0.9, 0.99]" in sqh_sql
 
 
 def test_word_pmi_invariants(spark, sf_dir):

@@ -200,3 +200,45 @@ def test_first_touch_matches_batch(spark, sf_dir):
     assert got == {
         u: (k[1], t, counts[u]) for u, (k, t) in expected.items()
     }
+
+
+def test_stream_quantile_histogram_agrees_with_batch_sketch(spark, sf_dir):
+    """The streaming per-window estimates replay from a batch recompute of
+    the SAME histogram+finalize over each hour window — one sketch
+    implementation, two execution modes."""
+    from pyspark.sql import functions as F
+
+    from cl_tagger_batch_processing_spark.operators.relational import (
+        histogram_bin,
+        histogram_quantile_estimates,
+    )
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+    from cl_tagger_batch_processing_spark.streaming.windows import (
+        stream_quantile_histogram,
+    )
+
+    got = {
+        (r.window_start_epoch, r.q): r.estimate
+        for r in stream_quantile_histogram(spark, sf_dir).collect()
+    }
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 1000000 div 3600 * 3600"
+            )
+            .cast("bigint")
+            .alias("window_start_epoch"),
+            histogram_bin(F.col("value")).alias("b"),
+        )
+        .groupBy("window_start_epoch", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    want = {
+        (r.window_start_epoch, r.q): r.estimate
+        for r in histogram_quantile_estimates(
+            spark, hist, ["window_start_epoch"]
+        ).collect()
+    }
+    assert got == want and got
