@@ -3184,3 +3184,45 @@ def events_quantile_sketch_report(spark: SparkSession, sf_dir: str) -> DataFrame
             "rel_err"
         ),
     )
+
+
+# DP audit epsilons — mirrored literally in the oracle (sync-pinned).
+DP_EPSILONS = (0.1, 1.0)
+
+
+def privacy_dp_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy sensitivity audit for the per-nation order
+    count — the fourth rung of the privacy ladder (k-anonymity/
+    l-diversity/t-closeness audit the DATA; this audits a RELEASE): under
+    user-level DP, removing one customer changes a nation's order count
+    by that customer's whole contribution, so the L1 sensitivity is the
+    MAX per-customer order count in the nation — and the Laplace noise
+    scale a release needs is sensitivity/ε. The report shows, per
+    nation, how much one heavy customer inflates the noise bill.
+
+    Exactness: contributions and sensitivities are exact integers from
+    two chained map-side-combinable aggregates ((nation, customer) →
+    nation); the noise scales are single divisions of exact integers by
+    the literal epsilons. Output: nation_key, n_orders, n_customers,
+    l1_sensitivity, laplace_scale_eps01, laplace_scale_eps1."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").cast("bigint").alias("nation_key"),
+    )
+    per_cust = (
+        orders.join(cust, "o_custkey")
+        .groupBy("nation_key", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_cust_orders"))
+    )
+    return per_cust.groupBy("nation_key").agg(
+        F.sum("n_cust_orders").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_customers"),
+        F.max("n_cust_orders").alias("l1_sensitivity"),
+        (F.max("n_cust_orders").cast("double") / F.lit(DP_EPSILONS[0])).alias(
+            "laplace_scale_eps01"
+        ),
+        (F.max("n_cust_orders").cast("double") / F.lit(DP_EPSILONS[1])).alias(
+            "laplace_scale_eps1"
+        ),
+    )

@@ -5748,3 +5748,23 @@ FROM cum CROSS JOIN qs
 WHERE CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE)
   AND CAST(cum - cnt AS DOUBLE) < q * CAST(n AS DOUBLE)
 """
+
+# Mirrors relational.privacy_dp_sensitivity: per-(nation, customer) order
+# counts rolled up to nation, L1 sensitivity = max single-customer
+# contribution, Laplace scales at the sync-pinned epsilons (0.1, 1.0).
+ORACLE_SQL["privacy_dp_sensitivity"] = """
+WITH per_cust AS (
+  SELECT CAST(c.c_nationkey AS BIGINT) AS nation_key, o.o_custkey,
+         COUNT(*) AS n_cust_orders
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT nation_key,
+       CAST(SUM(n_cust_orders) AS BIGINT) AS n_orders,
+       COUNT(*) AS n_customers,
+       CAST(MAX(n_cust_orders) AS BIGINT) AS l1_sensitivity,
+       CAST(MAX(n_cust_orders) AS DOUBLE) / 0.1 AS laplace_scale_eps01,
+       CAST(MAX(n_cust_orders) AS DOUBLE) / 1.0 AS laplace_scale_eps1
+FROM per_cust
+GROUP BY nation_key
+"""

@@ -477,3 +477,4 @@ register("events_decision_stump", relational.events_decision_stump)
 register("text_textrank_keywords", text.text_textrank_keywords)
 register("events_quantile_sketch_report", relational.events_quantile_sketch_report)
 register("stream_quantile_histogram", streaming_windows.stream_quantile_histogram)
+register("privacy_dp_sensitivity", relational.privacy_dp_sensitivity)

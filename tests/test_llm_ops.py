@@ -1317,6 +1317,9 @@ def test_r7_constants_in_sync_with_oracles():
     assert "floor(value / 4.0)" in sqh_sql and "127" in sqh_sql
     assert "3600 * 3600" in sqh_sql  # hour tumbling window, integer epoch
     assert "[0.5, 0.9, 0.99]" in sqh_sql
+    assert relational.DP_EPSILONS == (0.1, 1.0)
+    dp_sql = oracles.ORACLE_SQL["privacy_dp_sensitivity"]
+    assert "/ 0.1" in dp_sql and "/ 1.0" in dp_sql
 
 
 def test_word_pmi_invariants(spark, sf_dir):
@@ -2413,3 +2416,36 @@ def test_quantile_sketch_report_invariants(spark, sf_dir):
         assert r.abs_err <= relational.QSK_BIN_WIDTH  # one-bin resolution bound
         assert r.abs_err == abs(r.estimate - r.exact)
         assert r.rel_err == r.abs_err / r.exact
+
+
+def test_dp_sensitivity_replays_exactly(spark, sf_dir):
+    """Driver-side replay of the per-nation contribution rollup; the noise
+    scales are single exact divisions; sensitivity never exceeds the
+    nation's order count and is at least its average."""
+    from collections import Counter, defaultdict
+
+    from cl_tagger_batch_processing_spark.operators import relational
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+
+    rows = {r.nation_key: r for r in relational.privacy_dp_sensitivity(spark, sf_dir).collect()}
+    nation = {
+        r.c_custkey: r.c_nationkey
+        for r in load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .collect()
+    }
+    contrib: Counter = Counter()
+    for r in load_table(spark, sf_dir, "orders").select("o_custkey").collect():
+        contrib[(nation[r.o_custkey], r.o_custkey)] += 1
+    per_nation: defaultdict = defaultdict(list)
+    for (nk, _), c in contrib.items():
+        per_nation[nk].append(c)
+    assert set(rows) == set(per_nation)
+    for nk, cs in per_nation.items():
+        r = rows[nk]
+        assert r.n_orders == sum(cs)
+        assert r.n_customers == len(cs)
+        assert r.l1_sensitivity == max(cs)
+        assert r.laplace_scale_eps01 == max(cs) / relational.DP_EPSILONS[0]
+        assert r.laplace_scale_eps1 == max(cs) / relational.DP_EPSILONS[1]
+        assert r.n_orders / r.n_customers <= r.l1_sensitivity <= r.n_orders
