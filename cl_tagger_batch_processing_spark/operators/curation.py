@@ -763,3 +763,59 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str, k: int = ES_SAMPLE_
     top = keyed.orderBy(F.asc("es_key"), F.asc("doc_id")).limit(k)
     rw = Window.orderBy(F.asc("es_key"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(rw).cast("bigint"))
+
+
+def corpus_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-duplicate leakage audit — the evaluation-integrity
+    check every train/val/test split needs: a val document whose
+    near-duplicate sits in train inflates eval scores exactly like test
+    contamination (decontaminate_ngram_overlap audits against an EXTERNAL
+    benchmark; this audits the split against ITSELF). Reports, per
+    unordered split pair, how many near-dup pairs land there, whether the
+    cell crosses splits, and its share of all near-dup pairs.
+
+    Composes the production pieces (the sweep/funnel convention — never a
+    reimplementation): pairs come from ``dedup_minhash_lsh`` at the SAME
+    cluster threshold ``dedup_clusters`` uses, split labels from
+    ``corpus_split_assign``'s stable md5 bucketing.
+
+    Scale: two doc-keyed hash joins hang split labels on the candidate
+    pairs (candidate volume is the banded-LSH-bounded set, ~linear in
+    corpus size); the rollup's key space is at most 6 split-pair cells;
+    the share divides exact integers once."""
+    from .dedup import CLUSTER_EST_THRESHOLD, dedup_minhash_lsh
+
+    splits = corpus_split_assign(spark, sf_dir).select("doc_id", "split")
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .where(F.col("est_jaccard") >= CLUSTER_EST_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    tagged = pairs.join(
+        splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")),
+        "doc_a",
+    ).join(
+        splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")),
+        "doc_b",
+    )
+    cells = (
+        tagged.select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    tot = cells.agg(F.sum("n_pairs").alias("total_pairs"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "split_a",
+        "split_b",
+        "n_pairs",
+        F.when(F.col("split_a") != F.col("split_b"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_cross_split"),
+        (F.col("n_pairs").cast("double") / F.col("total_pairs").cast("double")).alias(
+            "pair_share"
+        ),
+    )

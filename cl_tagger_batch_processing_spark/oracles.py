@@ -5768,3 +5768,33 @@ SELECT nation_key,
 FROM per_cust
 GROUP BY nation_key
 """
+
+# Mirrors curation.corpus_split_leakage_report: the production MinHash-LSH
+# candidates at the dedup_clusters threshold (est_jaccard >= 0.5,
+# sync-pinned with CLUSTER_EST_THRESHOLD) joined to the production split
+# assignment, rolled up per unordered split pair with one exact-integer
+# share division.
+ORACLE_SQL["corpus_split_leakage_report"] = f"""
+WITH pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({ORACLE_SQL["dedup_minhash_lsh"]})
+  WHERE est_jaccard >= 0.5
+),
+splits AS MATERIALIZED (
+  SELECT doc_id, split FROM ({ORACLE_SQL["corpus_split_assign"]})
+),
+cells AS (
+  SELECT least(a.split, b.split) AS split_a,
+         greatest(a.split, b.split) AS split_b,
+         COUNT(*) AS n_pairs
+  FROM pairs p
+  JOIN splits a ON p.doc_a = a.doc_id
+  JOIN splits b ON p.doc_b = b.doc_id
+  GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS total_pairs FROM cells)
+SELECT split_a, split_b, n_pairs,
+       CAST(CASE WHEN split_a != split_b THEN 1 ELSE 0 END AS BIGINT)
+         AS is_cross_split,
+       CAST(n_pairs AS DOUBLE) / CAST(t.total_pairs AS DOUBLE) AS pair_share
+FROM cells CROSS JOIN tot t
+"""

@@ -478,3 +478,4 @@ register("text_textrank_keywords", text.text_textrank_keywords)
 register("events_quantile_sketch_report", relational.events_quantile_sketch_report)
 register("stream_quantile_histogram", streaming_windows.stream_quantile_histogram)
 register("privacy_dp_sensitivity", relational.privacy_dp_sensitivity)
+register("corpus_split_leakage_report", curation.corpus_split_leakage_report)

@@ -1323,6 +1323,9 @@ def test_r7_constants_in_sync_with_oracles():
     assert relational.DP_EPSILONS == (0.1, 1.0)
     dp_sql = oracles.ORACLE_SQL["privacy_dp_sensitivity"]
     assert "/ 0.1" in dp_sql and "/ 1.0" in dp_sql
+    assert _dd.CLUSTER_EST_THRESHOLD == 0.5
+    leak_sql = oracles.ORACLE_SQL["corpus_split_leakage_report"]
+    assert "est_jaccard >= 0.5" in leak_sql
 
 
 def test_word_pmi_invariants(spark, sf_dir):
@@ -2465,3 +2468,34 @@ def test_dp_sensitivity_replays_exactly(spark, sf_dir):
         assert r.laplace_scale_eps01 == max(cs) / relational.DP_EPSILONS[0]
         assert r.laplace_scale_eps1 == max(cs) / relational.DP_EPSILONS[1]
         assert r.n_orders / r.n_customers <= r.l1_sensitivity <= r.n_orders
+
+
+def test_split_leakage_consistent_with_components(spark, sf_dir):
+    """The leakage cells replay from joining the production candidate
+    pairs to the production split labels; shares sum to 1; cross-split
+    flags are correct."""
+    from collections import Counter
+
+    from cl_tagger_batch_processing_spark.operators import curation, dedup as dd
+
+    rows = curation.corpus_split_leakage_report(spark, sf_dir).collect()
+    assert rows
+    split = {
+        r.doc_id: r.split
+        for r in curation.corpus_split_assign(spark, sf_dir).collect()
+    }
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dd.dedup_minhash_lsh(spark, sf_dir).collect()
+        if r.est_jaccard >= dd.CLUSTER_EST_THRESHOLD
+    ]
+    cells: Counter = Counter()
+    for a, b in pairs:
+        sa, sb = sorted((split[a], split[b]))
+        cells[(sa, sb)] += 1
+    assert {(r.split_a, r.split_b): r.n_pairs for r in rows} == dict(cells)
+    total = sum(cells.values())
+    for r in rows:
+        assert r.is_cross_split == (1 if r.split_a != r.split_b else 0)
+        assert r.pair_share == r.n_pairs / total
+    assert abs(sum(r.pair_share for r in rows) - 1.0) < 1e-12
