@@ -3226,3 +3226,63 @@ def privacy_dp_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "laplace_scale_eps1"
         ),
     )
+
+
+def events_user_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn hazard over user lifetimes — survival analysis
+    in the one form that is exactly engine-portable: the hazard at
+    day-offset k is (users whose OBSERVED lifetime ended at k) / (users
+    still at risk at k), a per-row ratio of exact integers — no
+    cumulative product, no exp/log chain, so every row is one division
+    (the Kaplan-Meier curve is its cumulative complement and is better
+    left to the consumer). Lifetime = last minus first active epoch-day
+    per user; the fixture window is bounded, so the final offset is
+    right-censored by construction (documented, same on both engines).
+
+    Scale: one map-side-combinable (user → min/max day) aggregate over
+    the corpus, then a ≤#distinct-lifetime-row rollup with a cumulative
+    window for the at-risk denominator. Output: day_offset, n_ended,
+    n_at_risk, hazard."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    day = (
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000 div 86400")
+        .cast("bigint")
+        .alias("day")
+    )
+    life = (
+        ev.select("user_id", day)
+        .groupBy("user_id")
+        .agg((F.max("day") - F.min("day")).alias("lifetime"))
+    )
+    # materialized: the endings histogram feeds the user total AND the
+    # at-risk window (the multi-consumer convention)
+    ended = life.groupBy(F.col("lifetime").alias("day_offset")).agg(
+        F.count(F.lit(1)).alias("n_ended")
+    ).transform(truncate_lineage)
+    # at risk at offset k = users whose lifetime >= k — a suffix sum, i.e.
+    # total minus the cumulative endings strictly before k
+    w = (
+        Window.orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot = ended.agg(F.sum("n_ended").alias("n_users"))
+    return (
+        ended.crossJoin(F.broadcast(tot))
+        .select(
+            "day_offset",
+            "n_ended",
+            (
+                F.col("n_users")
+                - F.coalesce(F.sum("n_ended").over(w), F.lit(0))
+            ).alias("n_at_risk"),
+        )
+        .select(
+            "day_offset",
+            "n_ended",
+            "n_at_risk",
+            (F.col("n_ended").cast("double") / F.col("n_at_risk").cast("double")).alias(
+                "hazard"
+            ),
+        )
+    )

@@ -5798,3 +5798,31 @@ SELECT split_a, split_b, n_pairs,
        CAST(n_pairs AS DOUBLE) / CAST(t.total_pairs AS DOUBLE) AS pair_share
 FROM cells CROSS JOIN tot t
 """
+
+# Mirrors relational.events_user_hazard_curve: per-user lifetime from
+# epoch-day min/max, endings histogram, at-risk via total minus the
+# strictly-before cumulative, hazard as one exact-integer division.
+ORACLE_SQL["events_user_hazard_curve"] = """
+WITH life AS (
+  SELECT user_id,
+         MAX(CAST((epoch_us(ts) // 1000000) // 86400 AS BIGINT))
+           - MIN(CAST((epoch_us(ts) // 1000000) // 86400 AS BIGINT))
+           AS lifetime
+  FROM events GROUP BY user_id
+),
+ended AS MATERIALIZED (
+  SELECT lifetime AS day_offset, COUNT(*) AS n_ended
+  FROM life GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_ended) AS BIGINT) AS n_users FROM ended),
+risky AS (
+  SELECT day_offset, n_ended,
+         t.n_users - COALESCE(CAST(SUM(n_ended) OVER (ORDER BY day_offset
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT), 0) AS n_at_risk
+  FROM ended CROSS JOIN tot t
+)
+SELECT day_offset, n_ended, n_at_risk,
+       CAST(n_ended AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS hazard
+FROM risky
+"""

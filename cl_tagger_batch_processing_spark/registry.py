@@ -479,3 +479,4 @@ register("events_quantile_sketch_report", relational.events_quantile_sketch_repo
 register("stream_quantile_histogram", streaming_windows.stream_quantile_histogram)
 register("privacy_dp_sensitivity", relational.privacy_dp_sensitivity)
 register("corpus_split_leakage_report", curation.corpus_split_leakage_report)
+register("events_user_hazard_curve", relational.events_user_hazard_curve)

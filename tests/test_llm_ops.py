@@ -2499,3 +2499,45 @@ def test_split_leakage_consistent_with_components(spark, sf_dir):
         assert r.is_cross_split == (1 if r.split_a != r.split_b else 0)
         assert r.pair_share == r.n_pairs / total
     assert abs(sum(r.pair_share for r in rows) - 1.0) < 1e-12
+
+
+def test_hazard_curve_replays_exactly(spark, sf_dir):
+    """Hazard rows replay from a driver-side lifetime recompute; at-risk
+    counts telescope (risk at k+1 = risk at k − ended at k over observed
+    offsets); the first offset's at-risk is every user; hazards are in
+    (0, 1] and the last observed offset's hazard is 1 by construction."""
+    from collections import Counter
+
+    from cl_tagger_batch_processing_spark.operators import relational
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = sorted(
+        relational.events_user_hazard_curve(spark, sf_dir).collect(),
+        key=lambda r: r.day_offset,
+    )
+    assert rows
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("unix_micros(cast(ts as timestamp)) div 1000000 div 86400")
+            .cast("bigint")
+            .alias("day"),
+        )
+        .groupBy("user_id")
+        .agg((F.max("day") - F.min("day")).alias("lt"))
+        .collect()
+    )
+    ended = Counter(r.lt for r in per_user)
+    n = len(per_user)
+    at_risk = n
+    for r in rows:
+        # at-risk at this offset = users with lifetime >= offset
+        expect_risk = sum(v for k, v in ended.items() if k >= r.day_offset)
+        assert r.n_ended == ended[r.day_offset]
+        assert r.n_at_risk == expect_risk
+        assert r.hazard == r.n_ended / r.n_at_risk
+        assert 0.0 < r.hazard <= 1.0
+    assert rows[0].n_at_risk == n
+    assert rows[-1].hazard == 1.0  # everyone still at risk ends at the max
