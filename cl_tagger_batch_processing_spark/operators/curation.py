@@ -783,9 +783,17 @@ def corpus_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (candidate volume is the banded-LSH-bounded set, ~linear in
     corpus size); the rollup's key space is at most 6 split-pair cells;
     the share divides exact integers once."""
+    from ..checkpointing import truncate_lineage
     from .dedup import CLUSTER_EST_THRESHOLD, dedup_minhash_lsh
 
-    splits = corpus_split_assign(spark, sf_dir).select("doc_id", "split")
+    # materialized: the split frame is joined on BOTH pair sides — the two
+    # probes are different subplans, so without the checkpoint the
+    # documents scan + md5 bucketing would run twice
+    splits = (
+        corpus_split_assign(spark, sf_dir)
+        .select("doc_id", "split")
+        .transform(truncate_lineage)
+    )
     pairs = (
         dedup_minhash_lsh(spark, sf_dir)
         .where(F.col("est_jaccard") >= CLUSTER_EST_THRESHOLD)

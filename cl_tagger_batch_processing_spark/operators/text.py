@@ -1458,8 +1458,15 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") >= TEXTRANK_MIN_COOC)
     )
-    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
-        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    from ..checkpointing import truncate_lineage
+
+    # materialized: pagerank_on_edges consumes the edge frame three ways
+    # (outdeg agg, edges_deg join, nodes distinct) — unmaterialized, the
+    # corpus tokenize + pair groupBy would re-run per consumer
+    edges = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .transform(truncate_lineage)
     )
     pr = pagerank_on_edges(edges)
     out = pr.select(F.col("node").alias("word"), "pr_scaled", "pagerank")
