@@ -1399,3 +1399,60 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         selected = selected.unionByName(pick).transform(truncate_lineage)
     return selected.select("rank", "vec_id", "rel", "mmr")
+
+
+def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification readout — the evaluation loop that tells you
+    whether an embedding space is USABLE for label transfer before any
+    model training: each query vector's label is predicted by majority
+    vote over its exact cosine top-k (sim_topk_cosine's machinery,
+    composed not reimplemented), and compared to the query's own label.
+
+    Determinism: the vote is integer counts over the deterministic top-k
+    set; ties break (count DESC, label ASC) — a total order; correctness
+    flags are exact integer compares. Output: one row per query —
+    query_id, true_label, predicted_label, n_votes, is_correct.
+
+    Scale: inherits sim_topk_cosine's shape (broadcast queries ×
+    corpus map + TakeOrdered); the vote is a ≤k-row-per-query rollup."""
+    base = quantized_embeddings(spark, sf_dir)
+    topk = sim_topk_cosine(spark, sf_dir)
+    labels = base.select("vec_id", "label")
+    votes = (
+        topk.join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("neighbor_label"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "neighbor_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("neighbor_label")
+    )
+    top_vote = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_label").alias("predicted_label"),
+            "n_votes",
+        )
+    )
+    # only the query rows' truth is needed — filter BEFORE the broadcast
+    # so the broadcast side is num_queries rows, not the corpus
+    truth = labels.where(F.col("vec_id") < DEFAULT_NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return top_vote.join(F.broadcast(truth), "query_id").select(
+        "query_id",
+        F.col("true_label").cast("bigint").alias("true_label"),
+        F.col("predicted_label").cast("bigint").alias("predicted_label"),
+        "n_votes",
+        F.when(F.col("true_label") == F.col("predicted_label"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_correct"),
+    )

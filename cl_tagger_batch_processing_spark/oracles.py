@@ -5826,3 +5826,32 @@ SELECT day_offset, n_ended, n_at_risk,
        CAST(n_ended AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS hazard
 FROM risky
 """
+
+# Mirrors similarity.sim_knn_label_vote: the sim_topk_cosine CTE joined to
+# neighbor labels, majority vote with the (count DESC, label ASC)
+# tie-break, truth filtered to the query rows (vec_id < 5 == the top-k
+# query set, sync-pinned with DEFAULT_NUM_QUERIES).
+ORACLE_SQL["sim_knn_label_vote"] = f"""
+WITH topk AS MATERIALIZED ({ORACLE_SQL["sim_topk_cosine"]}),
+votes AS (
+  SELECT t.query_id, e.label AS neighbor_label, COUNT(*) AS n_votes
+  FROM topk t JOIN embeddings e ON t.neighbor_id = e.vec_id
+  GROUP BY 1, 2
+),
+top_vote AS (
+  SELECT query_id, neighbor_label AS predicted_label, n_votes
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY n_votes DESC,
+                                              neighbor_label ASC) AS rn
+        FROM votes)
+  WHERE rn = 1
+)
+SELECT v.query_id,
+       CAST(e.label AS BIGINT) AS true_label,
+       CAST(v.predicted_label AS BIGINT) AS predicted_label,
+       v.n_votes,
+       CAST(CASE WHEN e.label = v.predicted_label THEN 1 ELSE 0 END
+            AS BIGINT) AS is_correct
+FROM top_vote v JOIN embeddings e ON v.query_id = e.vec_id
+WHERE e.vec_id < 5
+"""

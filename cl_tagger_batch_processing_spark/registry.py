@@ -480,3 +480,4 @@ register("stream_quantile_histogram", streaming_windows.stream_quantile_histogra
 register("privacy_dp_sensitivity", relational.privacy_dp_sensitivity)
 register("corpus_split_leakage_report", curation.corpus_split_leakage_report)
 register("events_user_hazard_curve", relational.events_user_hazard_curve)
+register("sim_knn_label_vote", similarity.sim_knn_label_vote)

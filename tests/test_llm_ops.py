@@ -1326,6 +1326,8 @@ def test_r7_constants_in_sync_with_oracles():
     assert _dd.CLUSTER_EST_THRESHOLD == 0.5
     leak_sql = oracles.ORACLE_SQL["corpus_split_leakage_report"]
     assert "est_jaccard >= 0.5" in leak_sql
+    assert _sim.DEFAULT_NUM_QUERIES == 5
+    assert "e.vec_id < 5" in oracles.ORACLE_SQL["sim_knn_label_vote"]
 
 
 def test_word_pmi_invariants(spark, sf_dir):
@@ -2541,3 +2543,31 @@ def test_hazard_curve_replays_exactly(spark, sf_dir):
         assert 0.0 < r.hazard <= 1.0
     assert rows[0].n_at_risk == n
     assert rows[-1].hazard == 1.0  # everyone still at risk ends at the max
+
+
+def test_knn_label_vote_replays_exactly(spark, sf_dir):
+    """The majority vote replays from the collected top-k neighbor set
+    with the same (count DESC, label ASC) tie-break; one row per query;
+    the verdict is an exact compare."""
+    from collections import Counter
+
+    from cl_tagger_batch_processing_spark.operators import similarity
+    from cl_tagger_batch_processing_spark.operators.dedup import quantized_embeddings
+
+    rows = {r.query_id: r for r in similarity.sim_knn_label_vote(spark, sf_dir).collect()}
+    labels = {
+        r.vec_id: r.label for r in quantized_embeddings(spark, sf_dir).collect()
+    }
+    topk = similarity.sim_topk_cosine(spark, sf_dir).collect()
+    by_q: dict = {}
+    for r in topk:
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert set(rows) == set(by_q)
+    for q, nbrs in by_q.items():
+        votes = Counter(labels[n] for n in nbrs)
+        pred = min(votes, key=lambda l: (-votes[l], l))
+        r = rows[q]
+        assert r.predicted_label == pred
+        assert r.n_votes == votes[pred]
+        assert r.true_label == labels[q]
+        assert r.is_correct == (1 if pred == labels[q] else 0)
