@@ -1456,3 +1456,49 @@ def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("is_correct"),
     )
+
+
+def embedding_silhouette_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per k-means cluster — the
+    cluster-quality readout the k-means/SemDeDup chain lacked: for each
+    point, a = distance to its own centroid, b = distance to the nearest
+    OTHER centroid, s = (b−a)/max(a,b); a cluster whose mean s hugs 0 is
+    noise being pulled apart, one near 1 is compact and well separated.
+    (The full silhouette's all-pairs a/b is O(n²); the centroid form is
+    the standard scalable surrogate and is exactly replayable.)
+
+    Composition: reuses the memoized k-means state (base + FINAL
+    centroids) — zero extra corpus passes beyond one shuffle-free scoring
+    map. Exactness: squared distances are exact integers; the sorted
+    (d2, cluster_id) struct array gives own and nearest-other with the
+    assignment's own tie-break; s is an identical double tree rounded at
+    9dp into the DECIMAL mean (the order-independent convention)."""
+    app_id = spark.sparkContext.applicationId
+    # populate (or hit) the session k-means memo, then read its state
+    _kmeans_assign_full(spark, sf_dir)
+    base, cent = _KMEANS_CACHE[(app_id, sf_dir, None, KMEANS_ITERATIONS)]
+    entries = []
+    for j, cv in cent:
+        lit_cv = F.array(*[F.lit(c).cast("bigint") for c in cv])
+        d2 = F.aggregate(
+            F.zip_with(F.col("qv"), lit_cv, lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        entries.append(
+            F.struct(d2.alias("d2"), F.lit(j).cast("bigint").alias("cluster_id"))
+        )
+    arr = F.array_sort(F.array(*entries))
+    sa = F.sqrt(arr[0]["d2"].cast("double"))
+    sb = F.sqrt(arr[1]["d2"].cast("double"))
+    s = F.when(
+        F.greatest(sa, sb) > 0, (sb - sa) / F.greatest(sa, sb)
+    ).otherwise(F.lit(0.0))
+    pts = base.select(
+        arr[0]["cluster_id"].alias("cluster_id"),
+        F.round(s, 9).cast("decimal(38,9)").alias("s9"),
+    )
+    return pts.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        (F.sum("s9").cast("double") / F.count(F.lit(1))).alias("mean_silhouette"),
+    )

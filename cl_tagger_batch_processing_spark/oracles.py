@@ -5855,3 +5855,28 @@ SELECT v.query_id,
 FROM top_vote v JOIN embeddings e ON v.query_id = e.vec_id
 WHERE e.vec_id < 5
 """
+
+# Mirrors similarity.embedding_silhouette_report: the k-means CTE chain's
+# final distances (d3) and assignment (a3); b = min distance to any OTHER
+# centroid; identical s tree rounded at 9dp into the DECIMAL mean.
+ORACLE_SQL["embedding_silhouette_report"] = f"""
+WITH {_KMEANS_CTES},
+sil AS (
+  SELECT d.vec_id, a.cluster_id, a.d2 AS a2,
+         MIN(CASE WHEN d.cluster_id != a.cluster_id THEN d.d2 END) AS b2
+  FROM d3 d JOIN a3 a USING (vec_id)
+  GROUP BY d.vec_id, a.cluster_id, a.d2
+),
+sc AS (
+  SELECT cluster_id,
+         CASE WHEN greatest(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE))) > 0
+              THEN (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+                   / greatest(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE)))
+              ELSE 0.0 END AS s
+  FROM sil
+)
+SELECT cluster_id, COUNT(*) AS n_points,
+       CAST(SUM(CAST(round(s, 9) AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*)
+         AS mean_silhouette
+FROM sc GROUP BY cluster_id
+"""

@@ -481,3 +481,4 @@ register("privacy_dp_sensitivity", relational.privacy_dp_sensitivity)
 register("corpus_split_leakage_report", curation.corpus_split_leakage_report)
 register("events_user_hazard_curve", relational.events_user_hazard_curve)
 register("sim_knn_label_vote", similarity.sim_knn_label_vote)
+register("embedding_silhouette_report", similarity.embedding_silhouette_report)

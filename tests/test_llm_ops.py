@@ -2571,3 +2571,49 @@ def test_knn_label_vote_replays_exactly(spark, sf_dir):
         assert r.n_votes == votes[pred]
         assert r.true_label == labels[q]
         assert r.is_correct == (1 if pred == labels[q] else 0)
+
+
+def test_silhouette_replays_and_bounds(spark, sf_dir):
+    """Per-cluster sizes match the k-means assignment; mean silhouettes
+    are in [-1, 1]; a driver-side replay from the assignment's own d2
+    and a brute-force second-nearest centroid agrees exactly."""
+    import math
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from cl_tagger_batch_processing_spark.operators import similarity
+
+    rows = {
+        r.cluster_id: r
+        for r in similarity.embedding_silhouette_report(spark, sf_dir).collect()
+    }
+    assigned = similarity.embedding_kmeans(spark, sf_dir).collect()
+    base, cent = similarity._KMEANS_CACHE[
+        (
+            spark.sparkContext.applicationId,
+            sf_dir,
+            None,
+            similarity.KMEANS_ITERATIONS,
+        )
+    ]
+    vecs = {r.vec_id: r.qv for r in base.collect()}
+    per_cluster: defaultdict = defaultdict(list)
+    for r in assigned:
+        qv = vecs[r.vec_id]
+        d2s = sorted(
+            (sum((x - c) ** 2 for x, c in zip(qv, cv)), j) for j, cv in cent
+        )
+        a2, own = d2s[0]
+        assert own == r.cluster_id and a2 == r.d2
+        b2 = d2s[1][0]
+        sa, sb = math.sqrt(float(a2)), math.sqrt(float(b2))
+        s = (sb - sa) / max(sa, sb) if max(sa, sb) > 0 else 0.0
+        per_cluster[own].append(
+            Decimal(s).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+        )
+    assert set(rows) == set(per_cluster)
+    for cid, svals in per_cluster.items():
+        r = rows[cid]
+        assert r.n_points == len(svals)
+        assert r.mean_silhouette == float(sum(svals)) / len(svals)
+        assert -1.0 <= r.mean_silhouette <= 1.0
