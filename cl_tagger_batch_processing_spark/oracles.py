@@ -5880,3 +5880,41 @@ SELECT cluster_id, COUNT(*) AS n_points,
          AS mean_silhouette
 FROM sc GROUP BY cluster_id
 """
+
+# Mirrors streaming.windows.stream_watchlist_cms: hour-tumbling integer
+# epoch windows, the text_heavy_hitters_cms hash layout (md5(j:token) →
+# 60-bit → % 256, generate_series(0, 3) depth rows), watchlist = user_id
+# < 5 (sync-pinned), estimate = min cell over depth.
+ORACLE_SQL["stream_watchlist_cms"] = """
+WITH ev AS (
+  SELECT CAST((epoch_us(ts) // 1000000) // 3600 * 3600 AS BIGINT)
+           AS window_start_epoch,
+         user_id
+  FROM events
+),
+cells AS MATERIALIZED (
+  SELECT window_start_epoch, u.j,
+         CAST('0x' || substr(md5(CAST(u.j AS VARCHAR) || ':'
+                                 || CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 256 AS bucket,
+         COUNT(*) AS cell_sum
+  FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) u
+  GROUP BY 1, 2, 3
+),
+exact AS MATERIALIZED (
+  SELECT window_start_epoch, user_id, COUNT(*) AS true_count
+  FROM ev WHERE user_id < 5 GROUP BY 1, 2
+),
+probes AS (
+  SELECT e.window_start_epoch, e.user_id, e.true_count, u.j,
+         CAST('0x' || substr(md5(CAST(u.j AS VARCHAR) || ':'
+                                 || CAST(e.user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 256 AS bucket
+  FROM exact e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) u
+)
+SELECT p.window_start_epoch, p.user_id, p.true_count,
+       CAST(MIN(c.cell_sum) AS BIGINT) AS cms_estimate,
+       CAST(MIN(c.cell_sum) - p.true_count AS BIGINT) AS overestimate
+FROM probes p JOIN cells c USING (window_start_epoch, j, bucket)
+GROUP BY 1, 2, 3
+"""

@@ -482,3 +482,4 @@ register("corpus_split_leakage_report", curation.corpus_split_leakage_report)
 register("events_user_hazard_curve", relational.events_user_hazard_curve)
 register("sim_knn_label_vote", similarity.sim_knn_label_vote)
 register("embedding_silhouette_report", similarity.embedding_silhouette_report)
+register("stream_watchlist_cms", streaming_windows.stream_watchlist_cms)

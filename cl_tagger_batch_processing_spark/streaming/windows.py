@@ -547,3 +547,89 @@ def stream_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ["window_start_epoch"],
     )
+
+
+# Watchlist for the streaming CMS: user ids below this literal (the
+# fixture's id space starts at 0) — mirrored in the oracle (sync-pinned).
+CMS_WATCH_BELOW = 5
+
+
+def stream_watchlist_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour count-min-sketch frequency monitoring of a fixed watchlist
+    over the EVENT STREAM — the frequency leg of the streaming sketch
+    trio (stream_hll_distinct = cardinality, stream_quantile_histogram =
+    quantiles): per window the sketch state is CMS_DEPTH×CMS_WIDTH
+    counters regardless of the user universe (COUNT is algebraic — the
+    state store merges partial cells across micro-batches), and the
+    watchlist's exact side is a second bounded-state aggregate (≤
+    CMS_WATCH_BELOW keys per window), so the per-user overestimate the
+    collision mass causes is audited in-stream.
+
+    Hash layout (md5(depth:token) → 60-bit → %CMS_WIDTH) is identical to
+    ``text.text_heavy_hitters_cms`` — one sketch convention across batch
+    text and streaming event domains. Estimate extraction (min over
+    depth rows) is post-stream batch math on ≤DEPTH·WIDTH rows/window.
+    Output: (window_start_epoch, user_id, true_count, cms_estimate,
+    overestimate)."""
+    from ..operators.text import CMS_DEPTH, CMS_WIDTH
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = events_stream(spark, sf_dir).select(
+        F.window("ts", "1 hour").alias("w"), "user_id"
+    )
+    depth = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("j")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("j").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.lit(CMS_WIDTH)
+    ).alias("bucket")
+    cells_agg = (
+        ev.select("w", "user_id", depth)
+        .select("w", "j", bucket)
+        .groupBy("w", "j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell_sum"))
+    )
+    exact_agg = (
+        ev.where(F.col("user_id") < CMS_WATCH_BELOW)
+        .groupBy("w", "user_id")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    cells = _run_to_memory(cells_agg, "complete").select(
+        F.unix_timestamp("w.start").cast("bigint").alias("window_start_epoch"),
+        "j",
+        "bucket",
+        "cell_sum",
+    )
+    exact = _run_to_memory(exact_agg, "complete").select(
+        F.unix_timestamp("w.start").cast("bigint").alias("window_start_epoch"),
+        "user_id",
+        "true_count",
+    )
+    probes = exact.select("window_start_epoch", "user_id", "true_count", depth).select(
+        "window_start_epoch", "user_id", "true_count", "j", bucket
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["window_start_epoch", "j", "bucket"])
+        .groupBy("window_start_epoch", "user_id", "true_count")
+        .agg(F.min("cell_sum").alias("cms_estimate"))
+    )
+    return est.select(
+        "window_start_epoch",
+        "user_id",
+        "true_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("true_count")).alias("overestimate"),
+    )

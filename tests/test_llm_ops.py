@@ -1328,6 +1328,12 @@ def test_r7_constants_in_sync_with_oracles():
     assert "est_jaccard >= 0.5" in leak_sql
     assert _sim.DEFAULT_NUM_QUERIES == 5
     assert "e.vec_id < 5" in oracles.ORACLE_SQL["sim_knn_label_vote"]
+    from cl_tagger_batch_processing_spark.streaming import windows as _sw
+
+    assert _sw.CMS_WATCH_BELOW == 5
+    wcms_sql = oracles.ORACLE_SQL["stream_watchlist_cms"]
+    assert "user_id < 5" in wcms_sql
+    assert "generate_series(0, 3)" in wcms_sql and "% 256" in wcms_sql
 
 
 def test_word_pmi_invariants(spark, sf_dir):

@@ -242,3 +242,38 @@ def test_stream_quantile_histogram_agrees_with_batch_sketch(spark, sf_dir):
         ).collect()
     }
     assert got == want and got
+
+
+def test_stream_watchlist_cms_sound_and_exact_on_watchlist(spark, sf_dir):
+    """CMS soundness per window: the estimate never undercounts
+    (overestimate >= 0); the exact side replays from a batch recompute;
+    every watchlist user active in a window appears exactly once."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+    from cl_tagger_batch_processing_spark.streaming.windows import (
+        CMS_WATCH_BELOW,
+        stream_watchlist_cms,
+    )
+
+    rows = stream_watchlist_cms(spark, sf_dir).collect()
+    assert rows
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000 div 3600 * 3600")
+        .cast("bigint")
+        .alias("wse"),
+        "user_id",
+    )
+    truth = Counter(
+        (r.wse, r.user_id)
+        for r in ev.where(F.col("user_id") < CMS_WATCH_BELOW).collect()
+    )
+    got = {(r.window_start_epoch, r.user_id) for r in rows}
+    assert got == set(truth)
+    for r in rows:
+        assert r.true_count == truth[(r.window_start_epoch, r.user_id)]
+        assert r.cms_estimate >= r.true_count  # CMS can only overcount
+        assert r.overestimate == r.cms_estimate - r.true_count
