@@ -409,6 +409,32 @@ def embedding_kmeans(
     )
 
 
+def _centroid_dist_struct(j: int, cv: list):
+    """(d2, cluster_id) candidate struct against one literal centroid —
+    THE distance + tie-break convention, shared by the assignment and the
+    silhouette so the two can never drift."""
+    lit_cv = F.array(*[F.lit(c).cast("bigint") for c in cv])
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), lit_cv, lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return F.struct(d2.alias("d2"), F.lit(j).cast("bigint").alias("cluster_id"))
+
+
+def _kmeans_state(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int | None = None,
+    n_iter: int = KMEANS_ITERATIONS,
+) -> tuple[DataFrame, list]:
+    """(materialized base, final centroids) from the session memo,
+    populating it if needed — the accessor downstream consumers use
+    instead of poking the cache layout by hand."""
+    _kmeans_assign_full(spark, sf_dir, k, n_iter)
+    return _KMEANS_CACHE[(spark.sparkContext.applicationId, sf_dir, k, n_iter)]
+
+
 def _kmeans_assignment(base: DataFrame, cent_rows: list) -> DataFrame:
     """Nearest-centroid assignment with the (d2, cluster_id) argmin
     tie-break — two physical strategies, identical values:
@@ -421,17 +447,7 @@ def _kmeans_assignment(base: DataFrame, cent_rows: list) -> DataFrame:
       n-row combine.
     """
     if len(cent_rows) <= KMEANS_LITERAL_MAX_K:
-        entries = []
-        for j, cv in cent_rows:
-            lit_cv = F.array(*[F.lit(c).cast("bigint") for c in cv])
-            d2 = F.aggregate(
-                F.zip_with(F.col("qv"), lit_cv, lambda x, c: (x - c) * (x - c)),
-                F.lit(0).cast("bigint"),
-                lambda acc, v: acc + v,
-            )
-            entries.append(
-                F.struct(d2.alias("d2"), F.lit(j).cast("bigint").alias("cluster_id"))
-            )
+        entries = [_centroid_dist_struct(j, cv) for j, cv in cent_rows]
         best = F.array_sort(F.array(*entries))[0]
         return base.select(
             "vec_id",
@@ -1419,7 +1435,10 @@ def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = sim_topk_cosine(spark, sf_dir)
     labels = base.select("vec_id", "label")
     votes = (
-        topk.join(
+        # topk is num_queries×top_k rows — hint the broadcast so static
+        # planning never sort-merges the corpus-sized label frame
+        F.broadcast(topk)
+        .join(
             labels.select(
                 F.col("vec_id").alias("neighbor_id"),
                 F.col("label").alias("neighbor_label"),
@@ -1458,7 +1477,12 @@ def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def embedding_silhouette_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_silhouette_report(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int | None = None,
+    n_iter: int = KMEANS_ITERATIONS,
+) -> DataFrame:
     """Simplified (centroid-based) silhouette per k-means cluster — the
     cluster-quality readout the k-means/SemDeDup chain lacked: for each
     point, a = distance to its own centroid, b = distance to the nearest
@@ -1467,35 +1491,44 @@ def embedding_silhouette_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (The full silhouette's all-pairs a/b is O(n²); the centroid form is
     the standard scalable surrogate and is exactly replayable.)
 
-    Composition: reuses the memoized k-means state (base + FINAL
-    centroids) — zero extra corpus passes beyond one shuffle-free scoring
-    map. Exactness: squared distances are exact integers; the sorted
-    (d2, cluster_id) struct array gives own and nearest-other with the
-    assignment's own tie-break; s is an identical double tree rounded at
-    9dp into the DECIMAL mean (the order-independent convention)."""
-    app_id = spark.sparkContext.applicationId
-    # populate (or hit) the session k-means memo, then read its state
-    _kmeans_assign_full(spark, sf_dir)
-    base, cent = _KMEANS_CACHE[(app_id, sf_dir, None, KMEANS_ITERATIONS)]
-    entries = []
-    for j, cv in cent:
-        lit_cv = F.array(*[F.lit(c).cast("bigint") for c in cv])
+    Composition: reuses the memoized k-means state via ``_kmeans_state``
+    and the assignment's OWN ``_centroid_dist_struct`` convention — zero
+    extra corpus passes. Physical strategy mirrors ``_kmeans_assignment``:
+    literal struct array for k ≤ KMEANS_LITERAL_MAX_K (zero-shuffle map),
+    broadcast-join + per-vector sorted top-2 for larger k (a k-wide
+    literal projection past that point is the plan shape the assignment
+    itself refuses). Exactness: squared distances are exact integers; s
+    is an identical double tree rounded at 9dp into the DECIMAL mean."""
+    base, cent = _kmeans_state(spark, sf_dir, k, n_iter)
+    if len(cent) <= KMEANS_LITERAL_MAX_K:
+        arr = F.array_sort(F.array(*[_centroid_dist_struct(j, cv) for j, cv in cent]))
+        scored = base.select(arr[0].alias("own"), arr[1].alias("other"))
+    else:
+        cdf = spark.createDataFrame(
+            [(int(j), [int(x) for x in cv]) for j, cv in cent],
+            "cluster_id bigint, cv array<bigint>",
+        )
         d2 = F.aggregate(
-            F.zip_with(F.col("qv"), lit_cv, lambda x, c: (x - c) * (x - c)),
+            F.zip_with(F.col("qv"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
             F.lit(0).cast("bigint"),
             lambda acc, v: acc + v,
         )
-        entries.append(
-            F.struct(d2.alias("d2"), F.lit(j).cast("bigint").alias("cluster_id"))
+        cand = base.crossJoin(F.broadcast(cdf)).select(
+            "vec_id", F.struct(d2.alias("d2"), F.col("cluster_id")).alias("cand")
         )
-    arr = F.array_sort(F.array(*entries))
-    sa = F.sqrt(arr[0]["d2"].cast("double"))
-    sb = F.sqrt(arr[1]["d2"].cast("double"))
+        two = cand.groupBy("vec_id").agg(
+            F.slice(F.array_sort(F.collect_list("cand")), 1, 2).alias("t2")
+        )
+        scored = two.select(
+            F.col("t2")[0].alias("own"), F.col("t2")[1].alias("other")
+        )
+    sa = F.sqrt(F.col("own")["d2"].cast("double"))
+    sb = F.sqrt(F.col("other")["d2"].cast("double"))
     s = F.when(
         F.greatest(sa, sb) > 0, (sb - sa) / F.greatest(sa, sb)
     ).otherwise(F.lit(0.0))
-    pts = base.select(
-        arr[0]["cluster_id"].alias("cluster_id"),
+    pts = scored.select(
+        F.col("own")["cluster_id"].alias("cluster_id"),
         F.round(s, 9).cast("decimal(38,9)").alias("s9"),
     )
     return pts.groupBy("cluster_id").agg(

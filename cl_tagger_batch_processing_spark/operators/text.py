@@ -1258,6 +1258,31 @@ CMS_WIDTH = 256
 CMS_TOP_K = 50
 
 
+def cms_depth_rows():
+    """Depth-index explode (0..CMS_DEPTH−1), aliased ``j`` — half of the
+    ONE sketch-layout convention shared by the batch text CMS and the
+    streaming watchlist CMS."""
+    return F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("j")
+
+
+def cms_bucket(token_col):
+    """CMS column index for (depth ``j``, token): md5(j:token) → 60-bit
+    integer → % CMS_WIDTH — the other half of the shared layout. A change
+    here changes BOTH sketches (and both oracles must follow)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), token_col)),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.lit(CMS_WIDTH)
+    ).alias("bucket")
+
+
 def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str, k: int = CMS_TOP_K) -> DataFrame:
     """Count-min-sketch heavy hitters with a per-token error audit — the
     fixed-memory frequency sketch behind "top terms over a stream/shard
@@ -1279,21 +1304,8 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str, k: int = CMS_TOP_K)
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("true_count"))
     )
-    depth = F.explode(
-        F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))
-    ).alias("j")
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("token"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % F.lit(CMS_WIDTH)
-    ).alias("bucket")
+    depth = cms_depth_rows()
+    bucket = cms_bucket(F.col("token"))
     cells = (
         counts.select("token", "true_count", depth)
         .select("true_count", "j", bucket)

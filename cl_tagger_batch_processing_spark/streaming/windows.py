@@ -571,31 +571,14 @@ def stream_watchlist_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth rows) is post-stream batch math on ≤DEPTH·WIDTH rows/window.
     Output: (window_start_epoch, user_id, true_count, cms_estimate,
     overestimate)."""
-    from ..operators.text import CMS_DEPTH, CMS_WIDTH
+    from ..operators.text import cms_bucket, cms_depth_rows
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = events_stream(spark, sf_dir).select(
         F.window("ts", "1 hour").alias("w"), "user_id"
     )
-    depth = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("j")
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("j").cast("string"),
-                        F.lit(":"),
-                        F.col("user_id").cast("string"),
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % F.lit(CMS_WIDTH)
-    ).alias("bucket")
+    depth = cms_depth_rows()
+    bucket = cms_bucket(F.col("user_id").cast("string"))
     cells_agg = (
         ev.select("w", "user_id", depth)
         .select("w", "j", bucket)

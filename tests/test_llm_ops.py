@@ -2594,14 +2594,7 @@ def test_silhouette_replays_and_bounds(spark, sf_dir):
         for r in similarity.embedding_silhouette_report(spark, sf_dir).collect()
     }
     assigned = similarity.embedding_kmeans(spark, sf_dir).collect()
-    base, cent = similarity._KMEANS_CACHE[
-        (
-            spark.sparkContext.applicationId,
-            sf_dir,
-            None,
-            similarity.KMEANS_ITERATIONS,
-        )
-    ]
+    base, cent = similarity._kmeans_state(spark, sf_dir)
     vecs = {r.vec_id: r.qv for r in base.collect()}
     per_cluster: defaultdict = defaultdict(list)
     for r in assigned:
@@ -2623,3 +2616,36 @@ def test_silhouette_replays_and_bounds(spark, sf_dir):
         assert r.n_points == len(svals)
         assert r.mean_silhouette == float(sum(svals)) / len(svals)
         assert -1.0 <= r.mean_silhouette <= 1.0
+
+
+def test_silhouette_join_path_agrees_with_literal_semantics(spark, sf_dir):
+    """Force k past KMEANS_LITERAL_MAX_K so the broadcast-join top-2 path
+    runs, and replay it exactly — proving the large-k strategy computes
+    the same (own, nearest-other) convention as the literal path."""
+    import math
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from cl_tagger_batch_processing_spark.operators import similarity
+
+    k = similarity.KMEANS_LITERAL_MAX_K + 1
+    rows = {
+        r.cluster_id: r
+        for r in similarity.embedding_silhouette_report(spark, sf_dir, k=k).collect()
+    }
+    base, cent = similarity._kmeans_state(spark, sf_dir, k=k)
+    per_cluster: defaultdict = defaultdict(list)
+    for b in base.collect():
+        d2s = sorted(
+            (sum((x - c) ** 2 for x, c in zip(b.qv, cv)), j) for j, cv in cent
+        )
+        (a2, own), (b2, _) = d2s[0], d2s[1]
+        sa, sb = math.sqrt(float(a2)), math.sqrt(float(b2))
+        s = (sb - sa) / max(sa, sb) if max(sa, sb) > 0 else 0.0
+        per_cluster[own].append(
+            Decimal(s).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+        )
+    assert set(rows) == set(per_cluster)
+    for cid, svals in per_cluster.items():
+        assert rows[cid].n_points == len(svals)
+        assert rows[cid].mean_silhouette == float(sum(svals)) / len(svals)
