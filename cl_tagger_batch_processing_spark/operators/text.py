@@ -1484,3 +1484,64 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pr.select(F.col("node").alias("word"), "pr_scaled", "pagerank")
     w = Window.orderBy(F.desc("pr_scaled"), F.asc("word"))
     return out.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+# Vocabulary truncation points for the coverage curve — mirrored in the
+# oracle's unnest list (sync-pinned).
+VOCAB_CURVE_KS = (1, 2, 4, 8, 16, 32)
+
+
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-sizing readout: for each
+    candidate vocabulary size k, what share of ALL token occurrences the
+    top-k most frequent tokens cover (the curve whose knee tells you
+    where a vocab stops paying; the BPE pair counts and Zipf fit describe
+    the distribution, this gives the budget decision directly).
+
+    Exactness: token counts, the (count DESC, token ASC) ranking, and
+    cumulative occurrences are exact integers; coverage divides two exact
+    integers once per row. Scale: ONE map-side-combinable token count
+    over the corpus; the ranking window and the k-point join run on the
+    vocabulary-sized frame (materialized once — it feeds the grand total
+    AND the k-point rollup). Output: k, n_tokens_used, covered_tokens,
+    total_tokens, coverage."""
+    from ..checkpointing import truncate_lineage
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    ranked = counts.select(
+        "n",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.sum("n").over(
+            Window.orderBy(F.desc("n"), F.asc("token")).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ).alias("cum"),
+    ).transform(truncate_lineage)
+    tot = ranked.agg(F.max("cum").alias("total_tokens"))
+    ks = spark.createDataFrame([(k,) for k in VOCAB_CURVE_KS], "k bigint")
+    # coverage point at k = the cumulative at rank min(k, vocab size)
+    best = (
+        ranked.crossJoin(F.broadcast(ks))
+        .where(F.col("rank") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.max("rank").alias("n_tokens_used"),
+            F.max("cum").alias("covered_tokens"),
+        )
+    )
+    return best.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "n_tokens_used",
+        "covered_tokens",
+        "total_tokens",
+        (
+            F.col("covered_tokens").cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("coverage"),
+    )

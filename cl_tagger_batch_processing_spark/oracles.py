@@ -5918,3 +5918,34 @@ SELECT p.window_start_epoch, p.user_id, p.true_count,
 FROM probes p JOIN cells c USING (window_start_epoch, j, bucket)
 GROUP BY 1, 2, 3
 """
+
+# Mirrors text.text_vocab_coverage_curve: (count DESC, token ASC) ranking,
+# exact cumulative occurrences, coverage points at the sync-pinned k list.
+ORACLE_SQL["text_vocab_coverage_curve"] = """
+WITH counts AS (
+  SELECT t AS token, COUNT(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY 1
+),
+ranked AS MATERIALIZED (
+  SELECT n,
+         CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT)
+           AS rank,
+         CAST(SUM(n) OVER (ORDER BY n DESC, token ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM counts
+),
+tot AS (SELECT MAX(cum) AS total_tokens FROM ranked),
+ks AS (SELECT CAST(unnest([1, 2, 4, 8, 16, 32]) AS BIGINT) AS k),
+best AS (
+  SELECT k, MAX(rank) AS n_tokens_used, MAX(cum) AS covered_tokens
+  FROM ranked CROSS JOIN ks
+  WHERE rank <= k
+  GROUP BY k
+)
+SELECT b.k, b.n_tokens_used, b.covered_tokens, t.total_tokens,
+       CAST(b.covered_tokens AS DOUBLE) / CAST(t.total_tokens AS DOUBLE)
+         AS coverage
+FROM best b CROSS JOIN tot t
+"""

@@ -1334,6 +1334,8 @@ def test_r7_constants_in_sync_with_oracles():
     wcms_sql = oracles.ORACLE_SQL["stream_watchlist_cms"]
     assert "user_id < 5" in wcms_sql
     assert "generate_series(0, 3)" in wcms_sql and "% 256" in wcms_sql
+    assert text_ops.VOCAB_CURVE_KS == (1, 2, 4, 8, 16, 32)
+    assert "[1, 2, 4, 8, 16, 32]" in oracles.ORACLE_SQL["text_vocab_coverage_curve"]
 
 
 def test_word_pmi_invariants(spark, sf_dir):
@@ -2649,3 +2651,37 @@ def test_silhouette_join_path_agrees_with_literal_semantics(spark, sf_dir):
     for cid, svals in per_cluster.items():
         assert rows[cid].n_points == len(svals)
         assert rows[cid].mean_silhouette == float(sum(svals)) / len(svals)
+
+
+def test_vocab_coverage_curve_replays_exactly(spark, sf_dir):
+    """Coverage points replay from a driver-side token count with the same
+    ranking; coverage is monotone in k and reaches 1.0 once k covers the
+    whole vocabulary."""
+    from collections import Counter
+
+    from cl_tagger_batch_processing_spark.operators import text as text_ops
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+
+    rows = {
+        r.k: r
+        for r in text_ops.text_vocab_coverage_curve(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(text_ops.VOCAB_CURVE_KS)
+    counts: Counter = Counter()
+    for r in load_table(spark, sf_dir, "documents").select("text").collect():
+        counts.update(r.text.split(" "))
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(counts.values())
+    prev = 0.0
+    for k in text_ops.VOCAB_CURVE_KS:
+        used = min(k, len(ordered))
+        covered = sum(n for _, n in ordered[:used])
+        r = rows[k]
+        assert r.n_tokens_used == used
+        assert r.covered_tokens == covered
+        assert r.total_tokens == total
+        assert r.coverage == covered / total
+        assert r.coverage >= prev
+        prev = r.coverage
+    if max(text_ops.VOCAB_CURVE_KS) >= len(ordered):
+        assert rows[max(text_ops.VOCAB_CURVE_KS)].coverage == 1.0
