@@ -3286,3 +3286,57 @@ def events_user_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def events_burstiness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per event type — Goh & Barabási's
+    B = (σ−μ)/(σ+μ) over the per-user inter-event gaps: B → −1 for
+    clockwork traffic, ≈0 for Poisson, → +1 for bursty sessions — the
+    one-number answer to "is this event stream human-bursty or
+    bot-regular?" (events_bot_detection thresholds per-hour peaks; this
+    characterizes the arrival PROCESS itself).
+
+    Gaps are exact integer microseconds from one (user, type)-keyed lag
+    window; σ/μ come from exact DECIMAL(38,0)/HUGEINT sufficient sums
+    (gap² at 100 TB passes int64 — the events_autocorrelation envelope)
+    with the subtraction/sqrt/divide tree in double, identical on both
+    engines. Degenerate types (fewer than two gaps or zero σ+μ) yield
+    NULL. Output: event_type, n_gaps, mean_gap_us, burstiness."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    # gap multiset is tie-safe: equal timestamps sort in any order without
+    # changing the sorted-value differences, so no extra tie-break column
+    gaps = (
+        ev.withColumn("prev", F.lag("us").over(Window.partitionBy(
+            "user_id", "event_type").orderBy("us")))
+        .where(F.col("prev").isNotNull())
+        .select(
+            "event_type",
+            (F.col("us") - F.col("prev")).cast("decimal(19,0)").alias("g"),
+        )
+    )
+    s = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("g").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).alias("sgg"),
+    )
+    nd = F.col("n").cast("double")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean = d("sg") / nd
+    var = (nd * d("sgg") - d("sg") * d("sg")) / (nd * nd)
+    sigma = F.sqrt(var)
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        mean.alias("mean_gap_us"),
+        F.when(
+            (F.col("n") > 1) & (sigma + mean > 0),
+            (sigma - mean) / (sigma + mean),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("burstiness"),
+    )

@@ -5949,3 +5949,38 @@ SELECT b.k, b.n_tokens_used, b.covered_tokens, t.total_tokens,
          AS coverage
 FROM best b CROSS JOIN tot t
 """
+
+# Mirrors relational.events_burstiness_by_type: per-(user, type) lag gaps
+# in exact integer microseconds, HUGEINT sufficient sums, the identical
+# double mean/sigma/B tree with the degenerate-NULL guard.
+ORACLE_SQL["events_burstiness_by_type"] = """
+WITH g AS (
+  SELECT event_type,
+         CAST(epoch_us(ts)
+              - lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                        ORDER BY epoch_us(ts))
+              AS HUGEINT) AS g
+  FROM events
+),
+gg AS (SELECT event_type, g FROM g WHERE g IS NOT NULL),
+s AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(g) AS DOUBLE) AS sg,
+         CAST(SUM(g * g) AS DOUBLE) AS sgg
+  FROM gg GROUP BY event_type
+)
+SELECT event_type, n AS n_gaps,
+       sg / CAST(n AS DOUBLE) AS mean_gap_us,
+       CASE WHEN n > 1
+             AND sqrt((CAST(n AS DOUBLE) * sgg - sg * sg)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 + sg / CAST(n AS DOUBLE) > 0
+            THEN (sqrt((CAST(n AS DOUBLE) * sgg - sg * sg)
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                  - sg / CAST(n AS DOUBLE))
+                 / (sqrt((CAST(n AS DOUBLE) * sgg - sg * sg)
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                    + sg / CAST(n AS DOUBLE))
+            ELSE NULL END AS burstiness
+FROM s
+"""

@@ -484,3 +484,4 @@ register("sim_knn_label_vote", similarity.sim_knn_label_vote)
 register("embedding_silhouette_report", similarity.embedding_silhouette_report)
 register("stream_watchlist_cms", streaming_windows.stream_watchlist_cms)
 register("text_vocab_coverage_curve", text.text_vocab_coverage_curve)
+register("events_burstiness_by_type", relational.events_burstiness_by_type)

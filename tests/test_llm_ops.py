@@ -2685,3 +2685,54 @@ def test_vocab_coverage_curve_replays_exactly(spark, sf_dir):
         prev = r.coverage
     if max(text_ops.VOCAB_CURVE_KS) >= len(ordered):
         assert rows[max(text_ops.VOCAB_CURVE_KS)].coverage == 1.0
+
+
+def test_burstiness_replays_and_bounds(spark, sf_dir):
+    """Burstiness replays from a driver-side gap recompute with the same
+    double tree; B is within (−1, 1); every event type with ≥2 gaps
+    appears."""
+    import math
+    from collections import defaultdict
+
+    from cl_tagger_batch_processing_spark.operators import relational
+    from cl_tagger_batch_processing_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = {
+        r.event_type: r
+        for r in relational.events_burstiness_by_type(spark, sf_dir).collect()
+    }
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+        .collect()
+    )
+    series: defaultdict = defaultdict(list)
+    for r in ev:
+        series[(r.user_id, r.event_type)].append(r.us)
+    gaps: defaultdict = defaultdict(list)
+    for (_, et), ts in series.items():
+        ts.sort()
+        gaps[et].extend(b - a for a, b in zip(ts, ts[1:]))
+    assert set(rows) == {et for et, g in gaps.items() if g}
+    for et, g in gaps.items():
+        if not g:
+            continue
+        n = float(len(g))
+        sg = float(sum(g))
+        sgg = float(sum(x * x for x in g))
+        mean = sg / n
+        sigma = math.sqrt((n * sgg - sg * sg) / (n * n))
+        r = rows[et]
+        assert r.n_gaps == len(g)
+        assert r.mean_gap_us == mean
+        if len(g) > 1 and sigma + mean > 0:
+            assert r.burstiness == (sigma - mean) / (sigma + mean)
+            assert -1.0 < r.burstiness < 1.0
+        else:
+            assert r.burstiness is None
