@@ -82,6 +82,20 @@ def test_driver_window_is_curated():
         "orders_forecast_backtest",
         "privacy_t_closeness",
         "sim_mmr_diversify",
+        # r8 window refresh: the ten highest-risk never-driver-verified
+        # queries (k-means chain, graph fixpoints, bit-identical GD,
+        # privacy audits, quantile sketches, rewritten covariance) replace
+        # ten queries driver-green five-to-seven rounds running
+        "crossmodal_curation_verdict",
+        "embedding_kmeans",
+        "graph_components",
+        "graph_modularity",
+        "graph_lpa_communities",
+        "events_logistic_regression",
+        "events_quantile_sketch_report",
+        "privacy_k_anonymity",
+        "privacy_l_diversity",
+        "embedding_covariance",
     ]:
         assert family_member in window, f"{family_member} fell out of the window"
 
