@@ -2511,7 +2511,7 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     trt = arms.where(F.col("arm") == "treatment").select(
         F.col("n_users").alias("n1"), F.col("n_converted").alias("c1")
     )
-    x = ctl.crossJoin(trt)
+    x = ctl.crossJoin(F.broadcast(trt))  # both sides 1 row; hint for plan stability
     n0, c0 = F.col("n0").cast("double"), F.col("c0").cast("double")
     n1, c1 = F.col("n1").cast("double"), F.col("c1").cast("double")
     p0, p1 = c0 / n0, c1 / n1

@@ -1112,6 +1112,42 @@ def embedding_margin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def outer_product_stats(base: DataFrame) -> DataFrame:
+    """Upper-triangle (dim_i ≤ dim_j, 1-based) sufficient statistics of the
+    quantized embedding matrix in ONE corpus pass with ZERO joins.
+
+    The d·(d+1)/2 outer-product terms are emitted ROW-LOCALLY from the
+    array column (nested ``transform`` over the vector and its tail slice,
+    flattened, one ``explode``), then a single map-side-combinable
+    groupBy(dim_i, dim_j) collapses them: the only exchange carries
+    d²/2 keys × partitions — independent of corpus size. This replaces the
+    r7 shape (posexplode + self-join on vec_id) that shuffled n·d exploded
+    rows through a join no algebra required (VERDICT r7 ask #2). All sums
+    are exact BIGINTs (any summation order — engine-portable)."""
+    terms = base.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(qv, (xi, i) ->
+                    transform(slice(qv, i + 1, size(qv) - i), (xj, j) ->
+                        named_struct(
+                            'dim_i', CAST(i + 1 AS BIGINT),
+                            'dim_j', CAST(i + j + 1 AS BIGINT),
+                            'xi', xi, 'xj', xj))))
+                """
+            )
+        ).alias("t")
+    ).select("t.dim_i", "t.dim_j", "t.xi", "t.xj")
+    return terms.groupBy("dim_i", "dim_j").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("xi").alias("sx"),
+        F.sum("xj").alias("sy"),
+        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
+        F.sum(F.col("xj") * F.col("xj")).alias("syy"),
+        F.sum(F.col("xi") * F.col("xj")).alias("sxy"),
+    )
+
+
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full covariance/correlation matrix of the embedding space in long
     form (dim_i ≤ dim_j) — the embedding-QA companion to
@@ -1120,30 +1156,14 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces per-dim variance. Long scalar rows, not an array column —
     the driver-canonicalizer-safe shape.
 
-    Computed as one pass of sufficient statistics: explode the quantized
-    vectors (exact ×1000 integers), self-join per vec_id on dim_i ≤ dim_j
-    (d²/2 terms per vector — bounded by the EMBEDDING dimension, which is
-    a model constant, not a data-scale variable), then a single
-    map-side-combinable groupBy(dim_i, dim_j) whose partials collapse to
-    d²/2 groups. All sums are exact BIGINTs; cov and corr divide/sqrt
+    Computed as one zero-join pass of sufficient statistics
+    (``outer_product_stats``: row-local upper-triangle terms, one
+    map-side-combined groupBy over d²/2 keys). Cov and corr divide/sqrt
     once in double with identical expression trees on both engines
     (cov = (n·Σxy − ΣxΣy)/(n²·scale²), corr = that over the sqrt'd
     variance product)."""
     base = quantized_embeddings(spark, sf_dir).select("vec_id", "qv")
-    pe = base.select("vec_id", F.posexplode("qv").alias("p", "x")).select(
-        "vec_id", (F.col("p") + 1).cast("bigint").alias("dim"), F.col("x")
-    )
-    left = pe.select("vec_id", F.col("dim").alias("dim_i"), F.col("x").alias("xi"))
-    right = pe.select("vec_id", F.col("dim").alias("dim_j"), F.col("x").alias("xj"))
-    pairs = left.join(right, "vec_id").where(F.col("dim_i") <= F.col("dim_j"))
-    agg = pairs.groupBy("dim_i", "dim_j").agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.sum("xi").alias("sx"),
-        F.sum("xj").alias("sy"),
-        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
-        F.sum(F.col("xj") * F.col("xj")).alias("syy"),
-        F.sum(F.col("xi") * F.col("xj")).alias("sxy"),
-    )
+    agg = outer_product_stats(base)
     n = F.col("n_vecs").cast("double")
     # cross-products in DECIMAL(38,0) (oracle: HUGEINT): n·Σxy overflows
     # BIGINT once n passes ~1e9 vectors, and both wide types stay EXACT
@@ -1201,26 +1221,25 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     double. Output: (dim, loading ∈ [−1,1] ∞-normalized, eigenvalue
     constant across rows)."""
     base = quantized_embeddings(spark, sf_dir).select("vec_id", "qv")
-    pe = base.select("vec_id", F.posexplode("qv").alias("p", "x")).select(
-        "vec_id", (F.col("p") + 1).cast("bigint").alias("dim"), F.col("x")
-    )
-    left = pe.select("vec_id", F.col("dim").alias("dim_i"), F.col("x").alias("xi"))
-    right = pe.select("vec_id", F.col("dim").alias("dim_j"), F.col("x").alias("xj"))
     d19 = lambda c: F.col(c).cast("decimal(19,0)")
+    # zero-join sufficient statistics (see outer_product_stats); the
+    # covariance numerator is symmetric, so the full d×d matrix the
+    # squaring needs is the upper triangle plus its strict mirror —
+    # d²/2 tiny rows unioned, never a second corpus pass.
+    upper = outer_product_stats(base).select(
+        "dim_i",
+        "dim_j",
+        "n_vecs",
+        (d19("n_vecs") * d19("sxy") - d19("sx") * d19("sy")).alias("num"),
+    )
     nmat = truncate_lineage(
-        left.join(right, "vec_id")
-        .groupBy("dim_i", "dim_j")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.sum("xi").alias("sx"),
-            F.sum("xj").alias("sy"),
-            F.sum(F.col("xi") * F.col("xj")).alias("sxy"),
-        )
-        .select(
-            "dim_i",
-            "dim_j",
-            "n_vecs",
-            (d19("n_vecs") * d19("sxy") - d19("sx") * d19("sy")).alias("num"),
+        upper.unionByName(
+            upper.where(F.col("dim_i") < F.col("dim_j")).select(
+                F.col("dim_j").alias("dim_i"),
+                F.col("dim_i").alias("dim_j"),
+                "n_vecs",
+                "num",
+            )
         )
     )
 

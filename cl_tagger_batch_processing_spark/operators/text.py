@@ -844,7 +844,10 @@ def source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcs = totals.select("source")
     pairs = (
         srcs.select(F.col("source").alias("sa"))
-        .crossJoin(srcs.select(F.col("source").alias("sb")))
+        # explicit broadcast (not just AQE's runtime save): #sources is a
+        # handful at any corpus scale, and every other scalar/dim cross in
+        # the repo carries the hint — plan stability over optimizer luck
+        .crossJoin(F.broadcast(srcs.select(F.col("source").alias("sb"))))
         .where(F.col("sa") < F.col("sb"))
     )
     ta = t.select(F.col("source").alias("sa"), "token", F.col("p").alias("pa"))

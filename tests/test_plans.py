@@ -819,14 +819,48 @@ def test_cms_counter_table_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_covariance_vec_keyed_selfjoin_only(spark, sf_dir):
-    # the d² fan-out keys on vec_id (model-constant blow-up) — the join
-    # must be an equi-join on vec_id, never cartesian; no Python
+def test_covariance_zero_join_stats(spark, sf_dir):
+    # r8 rewrite (VERDICT r7 ask #2): the d×d sufficient statistics are
+    # emitted row-locally from the array column — NO join of any kind in
+    # the whole plan (the r7 posexplode + vec_id self-join shuffled n·d
+    # rows through an exchange zero algebra required), no Python, and the
+    # corpus is scanned exactly once
     df = QUERIES["embedding_covariance"](spark, sf_dir)
     plan = inspect.executed_plan(df)
-    for op in ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
-               "MapInPandas"]:
+    for op in ["Join", "CartesianProduct", "BatchEvalPython",
+               "ArrowEvalPython", "MapInPandas"]:
         assert op not in plan, op
+    assert plan.count("FileScan") == 1
+
+
+def test_pca_stats_stage_zero_join(spark, sf_dir):
+    # the PCA corpus pass shares outer_product_stats: row-local terms,
+    # one map-side-combined groupBy, no join, single scan (the d×d
+    # iteration joins live above the lineage truncation, on constant-size
+    # matrices)
+    from cl_tagger_batch_processing_spark.operators.dedup import (
+        quantized_embeddings,
+    )
+    from cl_tagger_batch_processing_spark.operators.similarity import (
+        outer_product_stats,
+    )
+
+    stats = outer_product_stats(
+        quantized_embeddings(spark, sf_dir).select("vec_id", "qv")
+    )
+    plan = inspect.executed_plan(stats)
+    for op in ["Join", "CartesianProduct", "BatchEvalPython",
+               "ArrowEvalPython", "MapInPandas"]:
+        assert op not in plan, op
+    assert plan.count("FileScan") == 1
+
+
+def test_source_pair_frames_broadcast(spark, sf_dir):
+    # the #sources² pair frames (JSD / A-B lift scalars) must reach their
+    # cross as an explicit BROADCAST — never a partitioned CartesianProduct
+    for name in ["source_jsd_matrix", "events_ab_lift"]:
+        plan = inspect.executed_plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
 
 
 def test_er_blocking_join_is_block_keyed(spark, sf_dir):
