@@ -888,15 +888,40 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sketch-accuracy contract for approx_distinct: each engine checks ITS OWN
+# HLL sketch against its own exact count at this relative error. Spark's
+# HLL++ runs at the default relativeSD=0.05, so 0.15 is a 3σ envelope;
+# DuckDB's HLL is far tighter. Sync-pinned to the oracle literal.
+APPROX_DISTINCT_EPS = 0.15
+
+
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts beside the exact answer.
-    No value oracle: DuckDB's approx_count_distinct uses a different sketch,
-    so only the exact column would match — the rows-only check applies."""
+
+    Value-checked CONTRACT (r8, VERDICT r7 ask #4): raw sketch estimates
+    are engine-specific (Spark HLL++ vs DuckDB HLL disagree by design), so
+    the comparable columns are the exact counts plus a per-group boolean
+    `abs(approx − exact)/exact <= eps` that each engine computes from its
+    own sketch vs its own exact count — the accuracy contract both engines
+    must honor, with eps documented at APPROX_DISTINCT_EPS."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("ap"),
         F.countDistinct("l_partkey").alias("exact_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_orderkey").alias("ao"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    ok = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a).cast("double") - F.col(e).cast("double"))
+        / F.col(e).cast("double")
+        <= F.lit(APPROX_DISTINCT_EPS)
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        ok("ap", "exact_parts").alias("approx_parts_ok"),
+        ok("ao", "exact_orders").alias("approx_orders_ok"),
     )
 
 

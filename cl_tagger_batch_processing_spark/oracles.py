@@ -276,6 +276,26 @@ FROM orders
 GROUP BY o_orderpriority
 """
 
+# Sketch values are engine-specific (Spark HLL++ vs DuckDB HLL), so the
+# contract compares exact counts plus each engine's own accuracy boolean
+# |approx − exact|/exact <= 0.15 (sync-pinned to
+# relational.APPROX_DISTINCT_EPS; Spark HLL++ default rsd 0.05, 3σ).
+ORACLE_SQL["approx_distinct"] = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       abs(CAST(approx_count_distinct(l_partkey) AS DOUBLE)
+           - CAST(COUNT(DISTINCT l_partkey) AS DOUBLE))
+         / CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) <= 0.15
+         AS approx_parts_ok,
+       abs(CAST(approx_count_distinct(l_orderkey) AS DOUBLE)
+           - CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE))
+         / CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) <= 0.15
+         AS approx_orders_ok
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
 ORACLE_SQL["distinct_brand_stats"] = """
 SELECT p_brand,
        COUNT(DISTINCT p_size) AS n_sizes,
@@ -924,6 +944,46 @@ SELECT user_id,
        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
 FROM s
 GROUP BY user_id, sid
+"""
+
+# Append-mode watermarked session windows over a BOUNDED stream are
+# deterministic: the final no-data micro-batch advances the watermark to
+# max(ts) − 10min and flushes every session whose end (last event + 30-min
+# gap) has been passed — sessions with end == watermark ARE emitted
+# (non-strict bound, pinned by the synthetic tie test in
+# tests/test_streaming.py). The oracle is sessionize's gaps-and-islands SQL
+# filtered by exactly that rule.
+ORACLE_SQL["stream_session_counts"] = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+m AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev IS NULL
+                OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM m
+),
+sess AS (
+  SELECT user_id,
+         CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+         COUNT(*) AS n_events,
+         epoch_us(MAX(ts)) + 1800000000 AS end_us
+  FROM s
+  GROUP BY user_id, sid
+),
+wm AS (SELECT MAX(epoch_us(ts)) - 600000000 AS wm_us FROM events)
+SELECT user_id, session_start_epoch, n_events
+FROM sess, wm
+WHERE end_us <= wm_us
 """
 
 # The stateful operator's final emissions must equal the batch group-by;

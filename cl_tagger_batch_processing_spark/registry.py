@@ -290,12 +290,11 @@ register("window_frames", relational.window_frames)
 register("grouping_sets_agg", relational.grouping_sets_agg)
 register("above_avg_parts", relational.above_avg_parts)
 register("unpivot_measures", relational.unpivot_measures)
-register(
-    "approx_distinct",
-    relational.approx_distinct,
-    no_oracle="HyperLogLog++ sketch values are engine-specific; the exact "
-    "companion column is covered by distinct_brand_stats' oracle",
-)
+# Oracle-backed since r8 via the accuracy CONTRACT: raw sketch values are
+# engine-specific, so the compared columns are the exact counts plus each
+# engine's own |approx − exact|/exact <= eps boolean (eps documented at
+# relational.APPROX_DISTINCT_EPS).
+register("approx_distinct", relational.approx_distinct)
 
 from .functions import scalar  # noqa: E402
 
@@ -376,12 +375,11 @@ register("dedup_fingerprint", text.dedup_fingerprint)
 register("text_repetition", text.text_repetition)
 register("text_vocab_topk", text.text_vocab_topk)
 register("embedding_label_centroids", similarity.embedding_label_centroids)
-register(
-    "stream_session_counts",
-    streaming_windows.stream_session_counts,
-    no_oracle="append-mode watermark emits only finalized sessions; the "
-    "batch-equivalent 'sessionize' carries the value oracle",
-)
+# Fully value-checked since r8: on a bounded stream the append-mode
+# emission set is deterministic (end-of-stream watermark = max(ts) − 10min;
+# sessions with end <= watermark flush, tie INCLUSIVE), so the oracle is
+# sessionize's gaps-and-islands SQL filtered by that exact rule.
+register("stream_session_counts", streaming_windows.stream_session_counts)
 
 # --- round-5 additions: lexical retrieval, C4-style span dedup, DSIR
 # selection, BPE merge counting, perceptual-hash payload dedup -------------

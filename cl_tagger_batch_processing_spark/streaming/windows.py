@@ -131,7 +131,12 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked session windows (30-min gap) per user in append mode —
     the late-data policy surface. Only watermark-finalized sessions are
-    emitted (hence rows-only check, no value oracle)."""
+    emitted; on a bounded stream that set is DETERMINISTIC (the final
+    no-data micro-batch advances the watermark to max(ts) − 10min and
+    flushes every session whose end has been passed, end == watermark
+    inclusive — pinned by the synthetic boundary test), so the DuckDB
+    oracle replays the same rule over the gaps-and-islands sessionization
+    and this entry is fully value-checked since r8."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = events_stream(spark, sf_dir)
     agg = (

@@ -2736,3 +2736,12 @@ def test_burstiness_replays_and_bounds(spark, sf_dir):
             assert -1.0 < r.burstiness < 1.0
         else:
             assert r.burstiness is None
+
+
+def test_r8_constants_in_sync_with_oracles():
+    """Round-8 tuning constants pinned to their oracle literals."""
+    from cl_tagger_batch_processing_spark import oracles
+    from cl_tagger_batch_processing_spark.operators import relational
+
+    assert relational.APPROX_DISTINCT_EPS == 0.15
+    assert oracles.ORACLE_SQL["approx_distinct"].count("<= 0.15") == 2

@@ -277,3 +277,41 @@ def test_stream_watchlist_cms_sound_and_exact_on_watchlist(spark, sf_dir):
         assert r.true_count == truth[(r.window_start_epoch, r.user_id)]
         assert r.cms_estimate >= r.true_count  # CMS can only overcount
         assert r.overestimate == r.cms_estimate - r.true_count
+
+
+def test_session_watermark_boundary_inclusive(spark, tmp_path):
+    # Pins the emission rule the stream_session_counts ORACLE replays: on a
+    # bounded stream the final watermark is max(ts) − 10min, and a session
+    # whose end (last event + 30-min gap) equals the watermark EXACTLY is
+    # emitted (non-strict bound). If a Spark upgrade flips this to strict,
+    # this test fails here rather than as a driver hash mismatch.
+    import datetime
+
+    base = datetime.datetime(2025, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 1),  # session end = base+30min
+        (2, base + datetime.timedelta(minutes=40), 2),  # wm = base+30min
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int")
+    p = str(tmp_path / "wm_tie")
+    df.coalesce(1).write.parquet(p)
+    raw = spark.readStream.schema("user_id int, ts timestamp, event_id int").format(
+        "parquet"
+    ).load(p)
+    agg = (
+        raw.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_tie_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = {r.user_id for r in spark.table("wm_tie_out").collect()}
+    assert emitted == {1}  # the tie session flushed; the live tail did not
