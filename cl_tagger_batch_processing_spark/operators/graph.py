@@ -42,6 +42,16 @@ PR_DAMPING_NUM, PR_DAMPING_DEN = 85, 100  # 0.85 as an exact integer ratio
 PR_N_ITER = 10
 PR_MIN_SUPPORT = 2
 PR_CHECKPOINT_EVERY = 3
+# Hub-skew hardening (r8, VERDICT r7 ask #5): a node with outdeg ≥ this
+# lands ALL its edge rows in one task of the per-superstep pr⋈edges
+# shuffle — the known hazard SCALE.md names for power-law graphs. When any
+# such hub exists, the superstep joins on (src, salt) instead: hub edges
+# spread over PR_SALTS salt values (pmod(xxhash64(dst))) and the hub's pr
+# row is replicated per salt, bounding per-task edge volume at
+# outdeg/PR_SALTS. Salt never touches the arithmetic, so results are
+# bit-identical either way (pinned by test_pagerank_salted_strategy_agrees).
+PR_HOT_OUTDEG = 1 << 14
+PR_SALTS = 16
 
 
 _EDGES_CACHE: dict = {}
@@ -103,15 +113,57 @@ def graph_pagerank(
     return pagerank_on_edges(edges, n_iter=n_iter)
 
 
-def pagerank_on_edges(edges: DataFrame, n_iter: int = PR_N_ITER) -> DataFrame:
+def pagerank_on_edges(
+    edges: DataFrame,
+    n_iter: int = PR_N_ITER,
+    hot_outdeg: int = PR_HOT_OUTDEG,
+    n_salts: int = PR_SALTS,
+) -> DataFrame:
     """Exact scaled-integer PageRank over ANY symmetric (src, dst) edge
     frame — the graph_pagerank body factored out so other relations reuse
     the identical bit-exact discipline (text.text_textrank_keywords runs
     it over the adjacent-word graph; node type is whatever the edge frame
-    carries). Empty graphs return an empty ranking, not a division error."""
+    carries). Empty graphs return an empty ranking, not a division error.
+
+    Strategy switch (the dedup_simhash pattern): a one-scalar hub census
+    decides the superstep join shape. No node at hot_outdeg ⇒ the plain
+    src-keyed join (the fixture path — plan unchanged); any hub ⇒ the
+    salted (src, salt) join that spreads each hub's edges over n_salts
+    tasks. Identical bits either way — salt is partitioning metadata."""
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # (src, dst, outdeg) — reused every superstep, so materialize once.
-    edges_deg = edges.join(outdeg, "src").transform(truncate_lineage)
+    hot = outdeg.where(F.col("outdeg") >= hot_outdeg).select(
+        F.col("src").alias("node")
+    )
+    n_hot = hot.count()  # 1 scalar to the driver (hub census, control plane)
+    base_deg = edges.join(outdeg, "src")
+    if n_hot:
+        hot = hot.transform(truncate_lineage)
+        edges_deg = (
+            base_deg.join(
+                F.broadcast(
+                    hot.select(F.col("node").alias("src"), F.lit(True).alias("is_hot"))
+                ),
+                "src",
+                "left",
+            )
+            .select(
+                "src",
+                "dst",
+                "outdeg",
+                F.when(
+                    F.col("is_hot"),
+                    F.expr(f"pmod(xxhash64(dst), {n_salts})").cast("int"),
+                )
+                .otherwise(F.lit(0))
+                .alias("salt"),
+            )
+            .transform(truncate_lineage)
+        )
+        hot_nodes = hot
+    else:
+        # (src, dst, outdeg) — reused every superstep, so materialize once.
+        edges_deg = base_deg.transform(truncate_lineage)
+        hot_nodes = None
     nodes = edges.select(F.col("src").alias("node")).distinct().transform(truncate_lineage)
     n = nodes.count()  # 1 scalar to the driver (control plane)
     if n == 0:
@@ -125,7 +177,13 @@ def pagerank_on_edges(edges: DataFrame, n_iter: int = PR_N_ITER) -> DataFrame:
     teleport = (PR_SCALE * (PR_DAMPING_DEN - PR_DAMPING_NUM)) // PR_DAMPING_DEN // n
     pr = nodes.withColumn("pr", F.lit(PR_SCALE // n).cast("bigint"))
     pr = _pagerank_supersteps(
-        pr, nodes, edges_deg, F.lit(teleport).cast("bigint"), n_iter
+        pr,
+        nodes,
+        edges_deg,
+        F.lit(teleport).cast("bigint"),
+        n_iter,
+        hot_nodes=hot_nodes,
+        n_salts=n_salts,
     )
     return pr.select(
         "node",
@@ -141,6 +199,8 @@ def _pagerank_supersteps(
     teleport,
     n_iter: int,
     carry: tuple = (),
+    hot_nodes: DataFrame | None = None,
+    n_salts: int = PR_SALTS,
 ) -> DataFrame:
     """The ONE scaled-integer PageRank superstep loop — shared by the
     global and personalized variants so the bit-exactness discipline
@@ -157,10 +217,43 @@ def _pagerank_supersteps(
     checkpoint is a blocking materialization — at 10 iterations the
     per-step checkpoint was the dominant cost, not the joins. The final
     iteration never checkpoints (the caller's action materializes it)."""
+    salts_arr = F.array(*[F.lit(i).cast("int") for i in range(n_salts)])
     for i in range(n_iter):
+        if hot_nodes is None:
+            joined = pr.join(edges_deg, pr.node == edges_deg.src)
+        else:
+            # hub-salted superstep: a hub's pr row is replicated once per
+            # salt (the hot set is tiny — broadcast tag + bounded explode);
+            # each edge row carries exactly ONE salt, so every edge still
+            # matches exactly one pr replica — same contribution multiset,
+            # now spread over n_salts tasks instead of one
+            pr_s = (
+                pr.join(
+                    F.broadcast(hot_nodes.withColumn("is_hot", F.lit(True))),
+                    "node",
+                    "left",
+                )
+                .select(
+                    "node",
+                    "pr",
+                    F.explode(
+                        F.when(F.col("is_hot"), salts_arr).otherwise(
+                            F.array(F.lit(0).cast("int"))
+                        )
+                    ).alias("salt"),
+                )
+                .alias("p")
+            )
+            e = edges_deg.alias("e")
+            joined = pr_s.join(
+                e,
+                (F.col("p.node") == F.col("e.src"))
+                & (F.col("p.salt") == F.col("e.salt")),
+            )
         contrib = (
-            pr.join(edges_deg, pr.node == edges_deg.src)
-            .select(F.col("dst").alias("node"), F.expr("pr div outdeg").alias("c"))
+            joined.select(
+                F.col("dst").alias("node"), F.expr("pr div outdeg").alias("c")
+            )
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )

@@ -855,6 +855,27 @@ def test_pca_stats_stage_zero_join(spark, sf_dir):
     assert plan.count("FileScan") == 1
 
 
+def test_pagerank_salted_strategy_agrees(spark, sf_dir):
+    # hub-skew hardening: forcing EVERY node through the salted
+    # (src, salt) superstep join must reproduce the plain path bit-exactly
+    # (salt is partitioning metadata, never arithmetic); at fixture scale
+    # the hub census picks the plain plan (no salt machinery in it)
+    from cl_tagger_batch_processing_spark.operators.graph import (
+        cooccurrence_edges,
+        pagerank_on_edges,
+    )
+
+    edges = cooccurrence_edges(spark, sf_dir)
+    plain = pagerank_on_edges(edges)
+    salted = pagerank_on_edges(edges, hot_outdeg=1, n_salts=4)
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+    assert "salt" in inspect.executed_plan(salted)
+    plan = inspect.executed_plan(QUERIES["graph_pagerank"](spark, sf_dir))
+    assert "salt" not in plan  # fixture has no hub: strategy switch -> plain
+
+
 def test_source_pair_frames_broadcast(spark, sf_dir):
     # the #sources² pair frames (JSD / A-B lift scalars) must reach their
     # cross as an explicit BROADCAST — never a partitioned CartesianProduct
