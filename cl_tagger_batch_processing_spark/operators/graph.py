@@ -995,3 +995,101 @@ def graph_assortativity(
         .otherwise(F.lit(None).cast("double"))
         .alias("assortativity"),
     )
+
+
+# HITS constants — sync-pinned to the oracle literals (test_r8_constants
+# _in_sync_with_oracles). 4 mutual-reinforcement rounds; scores carried as
+# bigint multiples of 1e-6, max-renormalized per half-round.
+HITS_ROUNDS = 4
+HITS_SCALE = 1_000_000
+
+
+def _hits_push(
+    scores: DataFrame,
+    score_col: str,
+    edges: DataFrame,
+    nodes: DataFrame,
+    from_col: str,
+    to_col: str,
+) -> DataFrame:
+    """One HITS half-round: push ``score_col`` along from→to edges, sum
+    per target, then max-renormalize back to HITS_SCALE with nonneg floor
+    division (identical on both engines for nonnegative operands). Nodes
+    the push never reaches keep an explicit 0 via the left join."""
+    raw = (
+        scores.join(edges, scores.node == edges[from_col])
+        .groupBy(F.col(to_col).alias("node"))
+        .agg(F.sum(score_col).alias("s"))
+    )
+    mx = raw.agg(F.max("s").alias("m"))
+    return (
+        nodes.join(raw, "node", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "node",
+            F.when(
+                F.col("m") > 0,
+                F.expr(f"(coalesce(s, 0L) * {HITS_SCALE}) div m"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias(score_col),
+        )
+    )
+
+
+def graph_hits(
+    spark: SparkSession, sf_dir: str, n_rounds: int = HITS_ROUNDS
+) -> DataFrame:
+    """HITS hubs & authorities over the DIRECTED co-occurrence pair
+    relation (part_a → part_b, the counted_part_pairs orientation) — the
+    second classic eigenvector ranking beside PageRank, and the one that
+    separates "links out to good things" (hub) from "is linked by good
+    things" (authority) on an asymmetric relation.
+
+    Same bit-exactness discipline as pagerank_on_edges: scores are bigint
+    multiples of 1e-6; each half-round is one equi-join push + one
+    map-side-combined groupBy + a max-renormalization whose scalar rides a
+    broadcast-back cross join (never a driver collect); floor division on
+    nonnegative values is engine-identical, so 4 rounds are bit-exact
+    against the oracle's chained MATERIALIZED CTEs.
+
+    Scale shape per half-round: pr⋈edges on the push key then groupBy on
+    the receive key — the Pregel shape shared with PageRank (the hub-salt
+    mitigation there applies identically if this graph ever grows hubs;
+    degree stats are the QA query). Lineage truncated per round."""
+    from .relational import counted_part_pairs
+
+    pairs = counted_part_pairs(spark, sf_dir, min_support=PR_MIN_SUPPORT)
+    edges = pairs.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).transform(truncate_lineage)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .transform(truncate_lineage)
+    )
+    h = nodes.withColumn("h", F.lit(HITS_SCALE).cast("bigint"))
+    a = nodes.withColumn("a", F.lit(0).cast("bigint"))
+    for i in range(n_rounds):
+        a = _hits_push(h, "h", edges, nodes, "src", "dst").withColumnRenamed(
+            "h", "a"
+        )
+        h = _hits_push(a, "a", edges, nodes, "dst", "src").withColumnRenamed(
+            "a", "h"
+        )
+        if i < n_rounds - 1:
+            a = a.transform(truncate_lineage)
+            h = h.transform(truncate_lineage)
+    return (
+        nodes.join(h, "node")
+        .join(a, "node")
+        .select(
+            "node",
+            F.col("h").alias("hub_scaled"),
+            F.col("a").alias("auth_scaled"),
+            (F.col("h").cast("double") / F.lit(float(HITS_SCALE))).alias("hub"),
+            (F.col("a").cast("double") / F.lit(float(HITS_SCALE))).alias("auth"),
+        )
+    )

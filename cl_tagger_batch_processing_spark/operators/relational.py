@@ -3365,3 +3365,47 @@ def events_burstiness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("double"))
         .alias("burstiness"),
     )
+
+
+def er_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: blocking + match scoring
+    (``er_blocking_pairs``) → undirected match edges → connected components
+    (the shared min-label + pointer-jumping machinery from
+    ``dedup.connected_components``) → one canonical entity per component.
+    This is the step that turns pairwise ER verdicts into usable entity
+    ids — the same transitive-closure semantics Splink/dedupe.io apply
+    after scoring, and the record-linkage twin of dedup_clusters.
+
+    entity_id = min p_partkey of the component (deterministic); the
+    canonical record is the entity_id's own row; members flatten to the
+    sorted-csv scalar shape (driver-canonicalizer-safe). Only resolved
+    entities (≥ 2 records) are emitted — singletons are their own entity
+    by construction.
+
+    Scale shape: candidate volume is bounded by the blocking caps
+    (ER_BLOCK_CAP); the CC loop runs over match-edge endpoints only (tiny
+    vs the corpus); the canonical-name join keys on entity_id — one
+    equi-join against the part relation."""
+    from .dedup import connected_components, sorted_ids_csv
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    edges = er_blocking_pairs(spark, sf_dir).select(
+        F.col("part_a").alias("a"), F.col("part_b").alias("b")
+    )
+    nodes = part.select(F.col("p_partkey").alias("doc_id"))
+    cc = connected_components(nodes, edges)  # (doc_id, cluster_id)
+    ent = (
+        cc.groupBy(F.col("cluster_id").alias("entity_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_records"),
+            sorted_ids_csv(F.col("doc_id")).alias("member_ids"),
+        )
+        .where(F.col("n_records") >= 2)
+    )
+    canon = part.select(
+        F.col("p_partkey").alias("entity_id"),
+        F.col("p_name").alias("canonical_name"),
+    )
+    return ent.join(canon, "entity_id").select(
+        "entity_id", "canonical_name", "n_records", "member_ids"
+    )

@@ -1548,3 +1548,82 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("total_tokens").cast("double")
         ).alias("coverage"),
     )
+
+
+# BM25 retrieval constants — sync-pinned to the oracle literals
+# (test_r8_constants_in_sync_with_oracles): Robertson/Lucene defaults.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+BM25_QUERY = ("spark", "query", "join")
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a fixed query — the lexical ranking half of
+    hybrid (BM25 + embedding) retrieval, and the standard relevance scorer
+    for training-data selection against a seed query set.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  (Lucene BM25).
+
+    Determinism: tf, df, N, |d| and Σ|d| are exact integers; |d|/avgdl is
+    carried as |d|·N/Σ|d| so each per-term score is ONE double expression
+    over exact ints (ln parity between engines verified in-container);
+    per-doc sums ride the round-to-9dp → DECIMAL(28,9) rail (a 3-float sum
+    is already summation-order-sensitive), and the final score rounds to
+    6dp before ranking so an ulp can never flip an ordering the values
+    don't justify (ties break on doc_id ASC).
+
+    Scale shape: the query-term filter prunes the token stream AT THE SCAN
+    (predicate on the exploded token — tf only materializes for query
+    terms); doc lengths are one map-side-combined groupBy; N/Σ|d| is a
+    1-row broadcast; df is len(query) rows broadcast; the global top-k is
+    TakeOrdered (orderBy+limit), never a single-partition window over the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tot = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        F.broadcast(tok.agg(F.count(F.lit(1)).alias("total_tokens")))
+    )
+    tf = (
+        tok.where(F.col("token").isin(*BM25_QUERY))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = F.lit(float(BM25_K1)), F.lit(float(BM25_B))
+    ratio = (
+        F.col("dl").cast("double")
+        * F.col("n_docs").cast("double")
+        / F.col("total_tokens").cast("double")
+    )
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    s = F.round(
+        idf
+        * (F.col("tf") * (k1 + F.lit(1.0)))
+        / (F.col("tf") + k1 * (F.lit(1.0) - b + b * ratio)),
+        9,
+    )
+    term = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", s.cast("decimal(28,9)").alias("s"))
+    )
+    doc = term.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+        F.round(F.sum("s").cast("double"), 6).alias("bm25"),
+    )
+    top = doc.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOP_K)
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "doc_id",
+        "n_terms_matched",
+        "bm25",
+    )

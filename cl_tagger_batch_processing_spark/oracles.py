@@ -6044,3 +6044,162 @@ SELECT event_type, n AS n_gaps,
             ELSE NULL END AS burstiness
 FROM s
 """
+
+# BM25 (Lucene idf) for the fixed 3-term query; constants sync-pinned to
+# text.BM25_K1/BM25_B/BM25_TOP_K/BM25_QUERY. All inputs exact ints; each
+# per-term score is one double tree (ln parity verified in-container);
+# per-doc sums ride the 9dp-DECIMAL rail; ranking compares the 6dp round
+# with doc_id tie-break.
+ORACLE_SQL["text_bm25_topk"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT COUNT(*) FROM tok) AS total_tokens
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok
+  WHERE token IN ('spark', 'query', 'join')
+  GROUP BY doc_id, token
+),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+term AS (
+  SELECT tf.doc_id,
+         round(
+           ln((CAST(n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE))
+              / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+           * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+           / (tf + CAST(1.2 AS DOUBLE)
+                  * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE)
+                       * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                          / CAST(total_tokens AS DOUBLE)))),
+           9) AS s
+  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN tot
+),
+doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+         round(CAST(SUM(CAST(s AS DECIMAL(28,9))) AS DOUBLE), 6) AS bm25
+  FROM term GROUP BY doc_id
+),
+top AS (SELECT * FROM doc ORDER BY bm25 DESC, doc_id ASC LIMIT 20)
+SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT)
+         AS rank,
+       doc_id, n_terms_matched, bm25
+FROM top
+"""
+
+
+def _hits_sql(n_rounds: int = 4) -> str:
+    """Exact scaled-integer HITS chain — the SQL twin of graph.graph_hits:
+    4 mutual-reinforcement rounds over the DIRECTED part-pair relation,
+    scores as bigint multiples of 1e-6, max-renormalized per half-round
+    with nonneg floor division. Every a{i}/h{i} is referenced twice
+    (renorm + next half), hence AS MATERIALIZED."""
+    ctes = [
+        """prs AS MATERIALIZED (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)""",
+        "edges AS (SELECT part_a AS src, part_b AS dst FROM prs)",
+        """nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+)""",
+        "h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes)",
+    ]
+    for i in range(1, n_rounds + 1):
+        ctes += [
+            f"""ar{i} AS (
+  SELECT e.dst AS node, SUM(p.h) AS s
+  FROM h{i - 1} p JOIN edges e ON p.node = e.src GROUP BY e.dst
+)""",
+            f"""a{i} AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN (SELECT MAX(s) FROM ar{i}) > 0
+              THEN (COALESCE(r.s, 0) * 1000000)
+                     // (SELECT MAX(s) FROM ar{i})
+              ELSE 0 END AS a
+  FROM nodes n LEFT JOIN ar{i} r USING (node)
+)""",
+            f"""hr{i} AS (
+  SELECT e.src AS node, SUM(p.a) AS s
+  FROM a{i} p JOIN edges e ON p.node = e.dst GROUP BY e.src
+)""",
+            f"""h{i} AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN (SELECT MAX(s) FROM hr{i}) > 0
+              THEN (COALESCE(r.s, 0) * 1000000)
+                     // (SELECT MAX(s) FROM hr{i})
+              ELSE 0 END AS h
+  FROM nodes n LEFT JOIN hr{i} r USING (node)
+)""",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT n.node,
+       CAST(h.h AS BIGINT) AS hub_scaled,
+       CAST(a.a AS BIGINT) AS auth_scaled,
+       CAST(h.h AS DOUBLE) / 1000000.0 AS hub,
+       CAST(a.a AS DOUBLE) / 1000000.0 AS auth
+FROM nodes n
+JOIN h{n_rounds} h USING (node)
+JOIN a{n_rounds} a USING (node)
+"""
+    )
+
+
+ORACLE_SQL["graph_hits"] = _hits_sql(4)
+
+# ER transitive closure: er_blocking_pairs' match edges, closed with the
+# same recursive-reach pattern as dedup_clusters; entity_id = min reachable
+# p_partkey; canonical record = the entity_id's own row; only resolved
+# (>= 2 record) entities emit.
+ORACLE_SQL["er_resolution_clusters"] = """
+WITH RECURSIVE keyed AS (
+  SELECT string_split(p_name, ' ')[1] AS block_word,
+         CAST(p_size AS BIGINT) AS p_size, p_partkey, p_name
+  FROM part
+),
+sizes AS (
+  SELECT block_word, p_size, COUNT(*) AS block_size
+  FROM keyed GROUP BY block_word, p_size
+),
+blocked AS (
+  SELECT k.*, s.block_size
+  FROM keyed k JOIN sizes s USING (block_word, p_size)
+  WHERE s.block_size <= 64
+),
+pairs AS (
+  SELECT a.p_partkey AS part_a, b.p_partkey AS part_b
+  FROM blocked a
+  JOIN blocked b
+    ON a.block_word = b.block_word AND a.p_size = b.p_size
+   AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 2
+),
+edges AS (
+  SELECT part_a AS a, part_b AS b FROM pairs
+  UNION
+  SELECT part_b AS a, part_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT p_partkey, p_partkey FROM part
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+cc AS (SELECT a AS pk, MIN(b) AS entity_id FROM reach GROUP BY a),
+ent AS (
+  SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_records,
+         string_agg(CAST(pk AS VARCHAR), ',' ORDER BY pk) AS member_ids
+  FROM cc GROUP BY entity_id HAVING COUNT(*) >= 2
+)
+SELECT e.entity_id, p.p_name AS canonical_name, e.n_records, e.member_ids
+FROM ent e JOIN part p ON e.entity_id = p.p_partkey
+"""

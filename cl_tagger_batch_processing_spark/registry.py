@@ -509,3 +509,9 @@ register("embedding_silhouette_report", similarity.embedding_silhouette_report)
 register("stream_watchlist_cms", streaming_windows.stream_watchlist_cms)
 register("text_vocab_coverage_curve", text.text_vocab_coverage_curve)
 register("events_burstiness_by_type", relational.events_burstiness_by_type)
+
+# --- round-8 additions: lexical retrieval ranking (BM25), HITS
+# hubs/authorities, entity-resolution clusters ------------------------------
+register("text_bm25_topk", text.text_bm25_topk)
+register("graph_hits", graph.graph_hits)
+register("er_resolution_clusters", relational.er_resolution_clusters)

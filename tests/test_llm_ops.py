@@ -2741,7 +2741,21 @@ def test_burstiness_replays_and_bounds(spark, sf_dir):
 def test_r8_constants_in_sync_with_oracles():
     """Round-8 tuning constants pinned to their oracle literals."""
     from cl_tagger_batch_processing_spark import oracles
-    from cl_tagger_batch_processing_spark.operators import relational
+    from cl_tagger_batch_processing_spark.operators import graph, relational
+    from cl_tagger_batch_processing_spark.operators import text as text_ops
 
     assert relational.APPROX_DISTINCT_EPS == 0.15
     assert oracles.ORACLE_SQL["approx_distinct"].count("<= 0.15") == 2
+    bm25 = oracles.ORACLE_SQL["text_bm25_topk"]
+    assert text_ops.BM25_K1 == 1.2 and bm25.count("CAST(1.2 AS DOUBLE)") == 2
+    assert text_ops.BM25_B == 0.75 and bm25.count("CAST(0.75 AS DOUBLE)") == 2
+    assert text_ops.BM25_TOP_K == 20 and "LIMIT 20" in bm25
+    assert text_ops.BM25_QUERY == ("spark", "query", "join")
+    assert "('spark', 'query', 'join')" in bm25
+    hits = oracles.ORACLE_SQL["graph_hits"]
+    assert graph.HITS_SCALE == 1_000_000 and "* 1000000)" in hits
+    assert graph.HITS_ROUNDS == 4 and "h4" in hits and "h5" not in hits
+    # ER closure reuses er_blocking_pairs' caps verbatim
+    er = oracles.ORACLE_SQL["er_resolution_clusters"]
+    assert relational.ER_BLOCK_CAP == 64 and "block_size <= 64" in er
+    assert relational.ER_LEV_MAX == 2 and "<= 2" in er
