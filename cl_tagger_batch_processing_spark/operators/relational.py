@@ -3409,3 +3409,67 @@ def er_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ent.join(canon, "entity_id").select(
         "entity_id", "canonical_name", "n_records", "member_ids"
     )
+
+
+def events_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of a per-user engagement score against the purchase
+    label — the standard offline-eval statistic for every ranking/quality
+    classifier this engine trains (logistic regression, decision stump,
+    quality calibration). Computed as the tie-aware Mann-Whitney rank sum:
+
+        AUC = (2·R⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻),  R⁺ = Σ avg-rank of positives
+
+    with average ranks carried DOUBLED so tie midpoints (x.5) stay exact
+    integers; the single division happens once in double.
+
+    Distributed shape: per-user label/score is one map-side-combined
+    groupBy(user_id); ranks come from ONE window over the per-SCORE
+    aggregate (cardinality = distinct scores, corpus-size-independent —
+    the "lag analytics over the aggregated series" pattern), never over
+    raw users. Degenerate labels (no positives or no negatives) emit NULL
+    AUC on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("label"),
+        F.sum(F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("score"),
+    )
+    per_score = users.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum("label").alias("p_s"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_score.select(
+        "score",
+        "n_s",
+        "p_s",
+        F.coalesce(F.sum("n_s").over(w), F.lit(0)).alias("cum_before"),
+    )
+    # doubled average rank of the tie group: (min_rank + max_rank) =
+    # 2·cum_before + n_s + 1 — exact integers throughout
+    agg = ranked.agg(
+        F.sum("n_s").alias("n_users"),
+        F.sum("p_s").alias("n_pos"),
+        F.sum(F.col("p_s") * (F.lit(2) * F.col("cum_before") + F.col("n_s") + 1)).alias(
+            "r2_pos"
+        ),
+    )
+    n_neg = F.col("n_users") - F.col("n_pos")
+    auc = F.when(
+        (F.col("n_pos") > 0) & (n_neg > 0),
+        (
+            F.col("r2_pos").cast("double")
+            - F.col("n_pos").cast("double") * (F.col("n_pos") + 1).cast("double")
+        )
+        / (F.lit(2.0) * F.col("n_pos").cast("double") * n_neg.cast("double")),
+    )
+    return agg.select(
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        n_neg.cast("bigint").alias("n_neg"),
+        F.round(auc, 9).alias("auc"),
+        F.round(F.lit(2.0) * auc - F.lit(1.0), 9).alias("gini"),
+    )

@@ -1627,3 +1627,79 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_terms_matched",
         "bm25",
     )
+
+
+# Boilerplate detection: a shingle repeated across >= this many DISTINCT
+# docs of one source is "shared content" (header/footer/template text —
+# the thing C4/RefinedWeb strip before training). Sync-pinned to the
+# oracle literal.
+BOILERPLATE_MIN_DF = 2
+BOILERPLATE_SHINGLE_K = 3
+
+
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate census: which 3-gram shingles recur across
+    distinct documents of the SAME source, how much of the source's
+    shingle inventory they are, and the single most-repeated shingle —
+    the detection half of boilerplate stripping (per-source repeated
+    headers/footers/templates), and the within-source complement of
+    corpus_near_dup_rate_by_source.
+
+    Shape: one distinct (source, doc, shingle) projection; the df census
+    is a map-side-combined groupBy(source, shingle); per-source rollups
+    group by source; the top shingle is a (df DESC, shingle ASC)
+    row_number over the per-source repeated set. Exact-integer counts;
+    the one double ratio rounds at 6dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    # row-local 3-gram shingles (k sync-pinned to the oracle's i..i+2
+    # concat); docs shorter than k emit none — the sequence() guard matters
+    # (Spark sequence(1, 0) yields [1, 0], not empty)
+    sh_arr = F.expr(
+        """
+        CASE WHEN size(split(text, ' ')) >= 3 THEN
+          transform(sequence(1, size(split(text, ' ')) - 2),
+            i -> concat_ws(' ',
+                           element_at(split(text, ' '), i),
+                           element_at(split(text, ' '), i + 1),
+                           element_at(split(text, ' '), i + 2)))
+        ELSE CAST(array() AS ARRAY<STRING>) END
+        """
+    )
+    sh = docs.select(
+        "source", "doc_id", F.explode(sh_arr).alias("sh")
+    ).distinct()
+    nd = sh.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    df_ = sh.groupBy("source", "sh").agg(F.count(F.lit(1)).alias("df"))
+    rep = df_.where(F.col("df") >= F.lit(BOILERPLATE_MIN_DF))
+    totals = df_.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+    )
+    stats = rep.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_repeated"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("df"), F.asc("sh"))
+    top = (
+        rep.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", F.col("sh").alias("top_shingle"), F.col("df").alias("top_df"))
+    )
+    return (
+        nd.join(totals, "source")
+        .join(stats, "source", "left")
+        .join(top, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.coalesce("n_repeated", F.lit(0)).cast("bigint").alias("n_repeated"),
+            F.round(
+                F.coalesce("n_repeated", F.lit(0)).cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("repeated_frac"),
+            "top_shingle",
+            F.col("top_df").cast("bigint").alias("top_df"),
+        )
+    )

@@ -6203,3 +6203,87 @@ ent AS (
 SELECT e.entity_id, p.p_name AS canonical_name, e.n_records, e.member_ids
 FROM ent e JOIN part p ON e.entity_id = p.p_partkey
 """
+
+# Tie-aware Mann-Whitney AUC: doubled average ranks stay exact integers;
+# rank arithmetic runs over the per-SCORE aggregate; one double division.
+ORACLE_SQL["events_auc_report"] = """
+WITH users AS (
+  SELECT user_id,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS label,
+         CAST(SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+              AS BIGINT) AS score
+  FROM events GROUP BY user_id
+),
+per_score AS (
+  SELECT score, COUNT(*) AS n_s, SUM(label) AS p_s
+  FROM users GROUP BY score
+),
+ranked AS (
+  SELECT score, n_s, p_s,
+         COALESCE(SUM(n_s) OVER (ORDER BY score
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS cum_before
+  FROM per_score
+),
+agg AS (
+  SELECT SUM(n_s) AS n_users, SUM(p_s) AS n_pos,
+         SUM(p_s * (2 * cum_before + n_s + 1)) AS r2_pos
+  FROM ranked
+)
+SELECT CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_users - n_pos AS BIGINT) AS n_neg,
+       round(CASE WHEN n_pos > 0 AND n_users - n_pos > 0 THEN
+         (CAST(r2_pos AS DOUBLE) - CAST(n_pos AS DOUBLE)
+                                    * CAST(n_pos + 1 AS DOUBLE))
+         / (CAST(2.0 AS DOUBLE) * CAST(n_pos AS DOUBLE)
+            * CAST(n_users - n_pos AS DOUBLE)) END, 9) AS auc,
+       round(CASE WHEN n_pos > 0 AND n_users - n_pos > 0 THEN
+         CAST(2.0 AS DOUBLE) * (
+           (CAST(r2_pos AS DOUBLE) - CAST(n_pos AS DOUBLE)
+                                      * CAST(n_pos + 1 AS DOUBLE))
+           / (CAST(2.0 AS DOUBLE) * CAST(n_pos AS DOUBLE)
+              * CAST(n_users - n_pos AS DOUBLE)))
+         - CAST(1.0 AS DOUBLE) END, 9) AS gini
+FROM agg
+"""
+
+# Per-source repeated-shingle census (boilerplate detection); df >= 2 and
+# the 3-gram window are sync-pinned to text.BOILERPLATE_MIN_DF /
+# BOILERPLATE_SHINGLE_K.
+ORACLE_SQL["text_boilerplate_ngrams"] = """
+WITH tok AS (
+  SELECT source, doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, doc_id,
+         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS sh
+  FROM tok, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+),
+nd AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM sh GROUP BY source),
+df AS (SELECT source, sh, COUNT(*) AS df FROM sh GROUP BY source, sh),
+rep AS (SELECT * FROM df WHERE df >= 2),
+totals AS (SELECT source, COUNT(*) AS n_shingles FROM df GROUP BY source),
+stats AS (SELECT source, COUNT(*) AS n_repeated FROM rep GROUP BY source),
+top AS (
+  SELECT source, sh AS top_shingle, df AS top_df
+  FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY df DESC, sh ASC) AS rn
+        FROM rep)
+  WHERE rn = 1
+)
+SELECT n.source,
+       CAST(n.n_docs AS BIGINT) AS n_docs,
+       CAST(t.n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(s.n_repeated, 0) AS BIGINT) AS n_repeated,
+       round(CAST(COALESCE(s.n_repeated, 0) AS DOUBLE)
+             / CAST(t.n_shingles AS DOUBLE), 6) AS repeated_frac,
+       top.top_shingle,
+       CAST(top.top_df AS BIGINT) AS top_df
+FROM nd n
+JOIN totals t USING (source)
+LEFT JOIN stats s USING (source)
+LEFT JOIN top USING (source)
+"""

@@ -515,3 +515,5 @@ register("events_burstiness_by_type", relational.events_burstiness_by_type)
 register("text_bm25_topk", text.text_bm25_topk)
 register("graph_hits", graph.graph_hits)
 register("er_resolution_clusters", relational.er_resolution_clusters)
+register("events_auc_report", relational.events_auc_report)
+register("text_boilerplate_ngrams", text.text_boilerplate_ngrams)

@@ -2759,3 +2759,7 @@ def test_r8_constants_in_sync_with_oracles():
     er = oracles.ORACLE_SQL["er_resolution_clusters"]
     assert relational.ER_BLOCK_CAP == 64 and "block_size <= 64" in er
     assert relational.ER_LEV_MAX == 2 and "<= 2" in er
+    bp = oracles.ORACLE_SQL["text_boilerplate_ngrams"]
+    assert text_ops.BOILERPLATE_MIN_DF == 2 and "df >= 2" in bp
+    assert text_ops.BOILERPLATE_SHINGLE_K == 3
+    assert "t[i + 2]" in bp and "len(t) >= 3" in bp
