@@ -1703,3 +1703,116 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("top_df").cast("bigint").alias("top_df"),
         )
     )
+
+
+# BPE trainer: number of merge rounds learned over the corpus vocabulary
+# (sync-pinned to the oracle's chained CTE depth).
+BPE_MERGE_ROUNDS = 4
+
+
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING — learn the first ``BPE_MERGE_ROUNDS`` merge
+    rules over the corpus vocabulary (Sennrich et al.), completing the
+    tokenizer family: text_bpe_pair_counts reports one round of pair
+    statistics; this runs the actual iterative algorithm — count adjacent
+    symbol pairs weighted by word frequency, merge the argmax pair
+    everywhere (left-to-right greedy, non-overlapping), repeat.
+
+    Determinism: pair counts are exact integer sums; the argmax carries a
+    total (count DESC, sym_a ASC, sym_b ASC) tie-break; the greedy merge
+    is replayed POSITIONALLY on both engines — candidate positions, then
+    gaps-and-islands over consecutive candidates keeping odd ranks (the
+    only overlap case is a repeated-symbol run, where greedy consumes
+    alternate positions). Counting is overlap-inclusive ('ggg' counts
+    'gg' twice), the standard BPE statistic.
+
+    Scale shape: everything runs on the VOCABULARY relation (distinct
+    words × counts — millions of short rows at web scale, not the corpus),
+    produced by one map-side-combined groupBy of the token stream; the
+    per-round windows partition by word (short partitions, no skew); the
+    per-round argmax is a 3-column TakeOrdered scalar to the driver — the
+    k-means/GD control-plane convention; merge application joins the tiny
+    kept-position set back via broadcast. Lineage truncated per round."""
+    from ..checkpointing import truncate_lineage
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    seq = words.select(
+        "w", "wc", F.posexplode(F.split("w", "")).alias("p0", "sym")
+    ).select("w", "wc", (F.col("p0") + 1).cast("bigint").alias("pos"), "sym")
+    seq = seq.transform(truncate_lineage)
+    wnd = Window.partitionBy("w").orderBy("pos")
+    merges: list[tuple] = []
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        withnext = seq.withColumn("nxt", F.lead("sym").over(wnd))
+        pc = (
+            withnext.where(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("wc").alias("cnt"))
+        )
+        top = pc.orderBy(F.desc("cnt"), F.asc("sym"), F.asc("nxt")).limit(1).collect()
+        if not top:  # degenerate corpus: every word is a single symbol
+            break
+        pa, pb, cnt = top[0].sym, top[0].nxt, int(top[0].cnt)
+        merges.append((r, pa, pb, cnt, pa + pb))
+        if r == BPE_MERGE_ROUNDS:
+            break  # the learned rule is the output; no need to apply it
+        cand = withnext.withColumn(
+            "isc", (F.col("sym") == F.lit(pa)) & (F.col("nxt") == F.lit(pb))
+        )
+        c = (
+            cand.where("isc")
+            .withColumn("rn", F.row_number().over(wnd))
+            .withColumn("isl", F.col("pos") - F.col("rn"))
+        )
+        iw = Window.partitionBy("w", "isl").orderBy("pos")
+        keep = (
+            c.withColumn("rn2", F.row_number().over(iw))
+            .where(F.col("rn2") % 2 == 1)
+            .select(F.col("w").alias("kw"), F.col("pos").alias("kpos"))
+        )
+        merged = (
+            cand.alias("s")
+            .join(
+                F.broadcast(keep.alias("k1")),
+                (F.col("s.w") == F.col("k1.kw")) & (F.col("s.pos") == F.col("k1.kpos")),
+                "left",
+            )
+            .join(
+                F.broadcast(
+                    keep.select(
+                        F.col("kw").alias("k2w"), F.col("kpos").alias("k2pos")
+                    )
+                ),
+                (F.col("s.w") == F.col("k2w"))
+                & (F.col("s.pos") == F.col("k2pos") + 1),
+                "left",
+            )
+            .where(F.col("k2pos").isNull())
+            .select(
+                F.col("s.w").alias("w"),
+                F.col("s.wc").alias("wc"),
+                F.col("s.pos").alias("opos"),
+                F.when(
+                    F.col("k1.kpos").isNotNull(),
+                    F.concat(F.col("s.sym"), F.col("s.nxt")),
+                )
+                .otherwise(F.col("s.sym"))
+                .alias("sym"),
+            )
+        )
+        seq = merged.withColumn(
+            "pos",
+            F.row_number()
+            .over(Window.partitionBy("w").orderBy("opos"))
+            .cast("bigint"),
+        ).select("w", "wc", "pos", "sym").transform(truncate_lineage)
+    return spark.createDataFrame(
+        merges,
+        "merge_round bigint, sym_a string, sym_b string, "
+        "pair_count bigint, merged string",
+    )

@@ -6287,3 +6287,84 @@ JOIN totals t USING (source)
 LEFT JOIN stats s USING (source)
 LEFT JOIN top USING (source)
 """
+
+
+def _bpe_train_sql(n_rounds: int = 4) -> str:
+    """SQL twin of text.text_bpe_train_merges: the same positional greedy
+    merge replay (candidate positions → islands of consecutive candidates
+    → odd ranks kept), one CTE block per round, argmax with the identical
+    (cnt DESC, sym, nxt) tie-break. Multi-referenced CTEs MATERIALIZED."""
+    ctes = [
+        """words AS (
+  SELECT w, COUNT(*) AS wc
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+)""",
+        """s0 AS MATERIALIZED (
+  SELECT w, wc, CAST(i AS BIGINT) AS pos, t[i] AS sym
+  FROM (SELECT w, wc, string_split(w, '') AS t FROM words),
+       unnest(generate_series(1, len(t))) AS u(i)
+)""",
+    ]
+    for r in range(1, n_rounds + 1):
+        ctes.append(
+            f"""n{r} AS MATERIALIZED (
+  SELECT *, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM s{r - 1}
+)"""
+        )
+        ctes.append(
+            f"""pc{r} AS (
+  SELECT sym, nxt, SUM(wc) AS cnt FROM n{r}
+  WHERE nxt IS NOT NULL GROUP BY sym, nxt
+)"""
+        )
+        ctes.append(
+            f"""top{r} AS MATERIALIZED (
+  SELECT sym AS pa, nxt AS pb, cnt FROM pc{r}
+  ORDER BY cnt DESC, sym ASC, nxt ASC LIMIT 1
+)"""
+        )
+        if r == n_rounds:
+            break
+        ctes.append(
+            f"""cand{r} AS MATERIALIZED (
+  SELECT *, (sym = (SELECT pa FROM top{r})
+             AND nxt = (SELECT pb FROM top{r})) AS isc
+  FROM n{r}
+)"""
+        )
+        ctes.append(
+            f"""km{r} AS (
+  SELECT w, pos, row_number() OVER (PARTITION BY w ORDER BY pos) AS rn
+  FROM cand{r} WHERE isc
+)"""
+        )
+        ctes.append(
+            f"""ki{r} AS MATERIALIZED (
+  SELECT w, pos FROM (
+    SELECT *, row_number() OVER (PARTITION BY w, pos - rn ORDER BY pos) AS rn2
+    FROM km{r}
+  ) WHERE rn2 % 2 = 1
+)"""
+        )
+        ctes.append(
+            f"""s{r} AS MATERIALIZED (
+  SELECT c.w, c.wc,
+         CAST(row_number() OVER (PARTITION BY c.w ORDER BY c.pos)
+              AS BIGINT) AS pos,
+         CASE WHEN k1.pos IS NOT NULL THEN c.sym || c.nxt ELSE c.sym END AS sym
+  FROM cand{r} c
+  LEFT JOIN ki{r} k1 ON c.w = k1.w AND c.pos = k1.pos
+  LEFT JOIN ki{r} k2 ON c.w = k2.w AND c.pos = k2.pos + 1
+  WHERE k2.pos IS NULL
+)"""
+        )
+    selects = [
+        f"""SELECT CAST({r} AS BIGINT) AS merge_round, pa AS sym_a, pb AS sym_b,
+       CAST(cnt AS BIGINT) AS pair_count, pa || pb AS merged FROM top{r}"""
+        for r in range(1, n_rounds + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+ORACLE_SQL["text_bpe_train_merges"] = _bpe_train_sql(4)

@@ -517,3 +517,4 @@ register("graph_hits", graph.graph_hits)
 register("er_resolution_clusters", relational.er_resolution_clusters)
 register("events_auc_report", relational.events_auc_report)
 register("text_boilerplate_ngrams", text.text_boilerplate_ngrams)
+register("text_bpe_train_merges", text.text_bpe_train_merges)

@@ -2763,3 +2763,8 @@ def test_r8_constants_in_sync_with_oracles():
     assert text_ops.BOILERPLATE_MIN_DF == 2 and "df >= 2" in bp
     assert text_ops.BOILERPLATE_SHINGLE_K == 3
     assert "t[i + 2]" in bp and "len(t) >= 3" in bp
+    bpe = oracles.ORACLE_SQL["text_bpe_train_merges"]
+    assert text_ops.BPE_MERGE_ROUNDS == 4
+    assert "top4" in bpe and "top5" not in bpe
+    # the last round learns a rule but never applies it — on both engines
+    assert "s3 AS MATERIALIZED" in bpe and "s4 AS" not in bpe
