@@ -1093,3 +1093,66 @@ def graph_hits(
             (F.col("a").cast("double") / F.lit(float(HITS_SCALE))).alias("auth"),
         )
     )
+
+
+def graph_adamic_adar(
+    spark: SparkSession, sf_dir: str, min_support: int = PR_MIN_SUPPORT
+) -> DataFrame:
+    """Adamic-Adar link prediction over the co-occurrence graph: the top
+    CN_TOP_K non-adjacent pairs ranked by Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w) —
+    the common-neighbor score that DISCOUNTS promiscuous middles (a shared
+    rare neighbor says more than a shared hub), the second classic beside
+    graph_common_neighbors' plain Jaccard and the usual stronger baseline
+    (Liben-Nowell & Kleinberg).
+
+    Same wedge shape and CN_DEGREE_CAP hub guard as common-neighbors (the
+    cap also keeps ln(deg) > 0: deg ≥ 2 on any wedge middle — a degree-1
+    node forms no wedge, and deg = 1 would divide by ln 1 = 0; the
+    symmetric graph has no self-loops, so every wedge middle has deg ≥ 2).
+    Per-wedge terms round to 9dp and sum in DECIMAL(28,9) (float sums are
+    order-sensitive); ranking compares the 6dp-rounded score with the
+    (u, v) tie-break."""
+    edges = cooccurrence_edges(spark, sf_dir, min_support=min_support)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    kept = deg.where(F.col("deg") <= CN_DEGREE_CAP).select("src").transform(
+        truncate_lineage
+    )
+    e = (
+        edges.join(kept, "src", "left_semi")
+        .join(kept.select(F.col("src").alias("dst")), "dst", "left_semi")
+        .select("src", "dst")
+        .transform(truncate_lineage)
+    )
+    capped_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e1 = e.join(
+        capped_deg.select(F.col("src").alias("w_deg_key"), "deg"),
+        F.col("src") == F.col("w_deg_key"),
+    ).select(F.col("src").alias("w"), F.col("dst").alias("u"), "deg")
+    e2 = e.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    term = F.round(F.lit(1.0) / F.log(F.col("deg").cast("double")), 9)
+    aa = (
+        e1.join(e2, "w")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum(term.cast("decimal(28,9)")).alias("s"),
+        )
+    )
+    und = e.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    cand = aa.join(und, ["u", "v"], "left_anti").select(
+        "u", "v", "n_common", F.round(F.col("s").cast("double"), 6).alias("aa_score")
+    )
+    top = cand.orderBy(
+        F.desc("aa_score"), F.asc("u"), F.asc("v")
+    ).limit(CN_TOP_K)
+    w = Window.orderBy(F.desc("aa_score"), F.asc("u"), F.asc("v"))
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "u",
+        "v",
+        "n_common",
+        "aa_score",
+    )

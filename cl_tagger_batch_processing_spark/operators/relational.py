@@ -3473,3 +3473,133 @@ def events_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(auc, 9).alias("auc"),
         F.round(F.lit(2.0) * auc - F.lit(1.0), 9).alias("gini"),
     )
+
+
+def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the session Markov chain — the information-theoretic
+    summary of events_markov_transitions: per from-state conditional
+    entropy H(s) = −Σ_t p(t|s)·log2 p(t|s), the state's empirical weight
+    π(s), and the contribution π(s)·H(s) whose total is the chain's
+    entropy rate (how predictable the next action is — the behavioral
+    counterpart of text_char_entropy).
+
+    All probabilities are exact-integer ratios divided once in double;
+    entropy terms round to 9dp and sum in DECIMAL(28,9) (the
+    order-independent float-sum rail); the rollup runs over the tiny
+    (type × type) transition matrix, so everything after the one window
+    shuffle (shared shape with events_markov_transitions) is map-side."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    pairs = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    outs = counts.groupBy("from_type").agg(F.sum("n").alias("n_out"))
+    total = outs.agg(F.sum("n_out").alias("n_total"))
+    p = F.col("n").cast("double") / F.col("n_out").cast("double")
+    ent_term = F.round(-(p * F.log2(p)), 9).cast("decimal(28,9)")
+    ent = (
+        counts.join(F.broadcast(outs), "from_type")
+        .groupBy("from_type")
+        .agg(F.round(F.sum(ent_term).cast("double"), 9).alias("entropy_bits"))
+    )
+    return (
+        outs.join(ent, "from_type")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "from_type",
+            F.col("n_out").cast("bigint").alias("n_out"),
+            F.round(
+                F.col("n_out").cast("double") / F.col("n_total").cast("double"), 9
+            ).alias("pi"),
+            "entropy_bits",
+            F.round(
+                (F.col("n_out").cast("double") / F.col("n_total").cast("double"))
+                * F.col("entropy_bits"),
+                9,
+            ).alias("contribution_bits"),
+        )
+    )
+
+
+def parts_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline of the part catalog on (price ↓, size ↓): parts not
+    dominated by any other (another part at most as expensive AND at most
+    as large, strictly better somewhere) — the skyline operator (Börzsönyi
+    et al.), the multi-objective shortlist query every "cheapest AND
+    smallest" tradeoff reduces to.
+
+    Sort-based evaluation, NOT the n² dominance join: group to one row per
+    price (min size — only a price group's min-size rows can survive), run
+    ONE ordered pass computing the strictly-cheaper running min size, and
+    keep rows strictly below it (equality means a strictly cheaper part
+    matched the size — dominated; same-(price,size) ties survive together,
+    no strict edge between them). The ordered window runs over the
+    per-PRICE aggregate — cardinality = distinct prices, far below the
+    fact table — and the survivors join back price-keyed. The oracle is
+    deliberately the INDEPENDENT algorithm (NOT EXISTS dominator), so a
+    bug in the sort-based pass cannot be mirrored."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice", F.col("p_size").cast("bigint").alias("p_size")
+    )
+    g = part.groupBy("p_retailprice").agg(F.min("p_size").alias("gmin"))
+    wg = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    g2 = g.withColumn("min_before", F.min("gmin").over(wg))
+    return (
+        part.join(g2, "p_retailprice")
+        .where(
+            (F.col("p_size") == F.col("gmin"))
+            & (F.col("min_before").isNull() | (F.col("p_size") < F.col("min_before")))
+        )
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+    )
+
+
+def orders_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of cumulative daily order revenue — the
+    peak-to-trough risk statistic (largest drop of the running total from
+    its running max), computed exactly: daily revenue sums in
+    DECIMAL(18,2), the cumulative and running-max windows run over the
+    per-DAY aggregate (days, not orders), and the trough argmax carries a
+    (drawdown DESC, day ASC) total tie-break. The peak day is the earliest
+    day whose cumulative equals the trough's running max — an exact
+    decimal equality, joined back against the same daily frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.sum("rev").over(wd).alias("cum"),
+    ).select("day", "cum", F.max("cum").over(wd).alias("runmax"))
+    dd = cum.select(
+        "day", "cum", "runmax", (F.col("runmax") - F.col("cum")).alias("drawdown")
+    )
+    trough = dd.orderBy(F.desc("drawdown"), F.asc("day")).limit(1)
+    peak = (
+        trough.alias("t")
+        .join(
+            dd.alias("p"),
+            (F.col("p.cum") == F.col("t.runmax")) & (F.col("p.day") <= F.col("t.day")),
+        )
+        .groupBy(
+            F.col("t.day").alias("trough_day"),
+            F.col("t.runmax").alias("peak_cum"),
+            F.col("t.cum").alias("trough_cum"),
+            F.col("t.drawdown").alias("max_drawdown"),
+        )
+        .agg(F.min("p.day").alias("peak_day"))
+    )
+    return peak.select(
+        "peak_day",
+        "trough_day",
+        F.col("peak_cum").cast("double").alias("peak_cum"),
+        F.col("trough_cum").cast("double").alias("trough_cum"),
+        F.col("max_drawdown").cast("double").alias("max_drawdown"),
+    )

@@ -6368,3 +6368,123 @@ def _bpe_train_sql(n_rounds: int = 4) -> str:
 
 
 ORACLE_SQL["text_bpe_train_merges"] = _bpe_train_sql(4)
+
+# Adamic-Adar over the same capped wedge relation as common-neighbors;
+# per-wedge 1/ln(deg) terms round at 9dp and sum in DECIMAL(28,9);
+# (6dp score DESC, u, v) ranking.
+ORACLE_SQL["graph_adamic_adar"] = f"""
+WITH {_PR_GRAPH_CTES},
+deg0 AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+kept AS (SELECT src FROM deg0 WHERE deg <= 128),
+e AS MATERIALIZED (
+  SELECT x.src, x.dst FROM edges x
+  SEMI JOIN kept ka ON x.src = ka.src
+  SEMI JOIN kept kb ON x.dst = kb.src
+),
+cdeg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+aa AS (
+  SELECT e1.dst AS u, e2.dst AS v,
+         CAST(COUNT(*) AS BIGINT) AS n_common,
+         SUM(CAST(round(CAST(1.0 AS DOUBLE) / ln(CAST(d.deg AS DOUBLE)), 9)
+                  AS DECIMAL(28,9))) AS s
+  FROM e e1
+  JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  JOIN cdeg d ON e1.src = d.src
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT a.u, a.v, a.n_common, round(CAST(a.s AS DOUBLE), 6) AS aa_score
+  FROM aa a
+  ANTI JOIN (SELECT src AS u, dst AS v FROM e WHERE src < dst) x
+    ON a.u = x.u AND a.v = x.v
+),
+top AS (SELECT * FROM cand ORDER BY aa_score DESC, u ASC, v ASC LIMIT 100)
+SELECT CAST(row_number() OVER (ORDER BY aa_score DESC, u ASC, v ASC)
+            AS BIGINT) AS rank,
+       u, v, n_common, aa_score
+FROM top
+"""
+
+# Entropy rate of the event-type Markov chain: exact-int ratios, 9dp-round
+# -> DECIMAL(28,9) entropy sums, tiny (type x type) rollup.
+ORACLE_SQL["events_markov_entropy_rate"] = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n FROM pairs
+  WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+),
+outs AS (SELECT from_type, SUM(n) AS n_out FROM counts GROUP BY from_type),
+total AS (SELECT SUM(n_out) AS n_total FROM outs),
+ent AS (
+  SELECT c.from_type,
+         round(CAST(SUM(CAST(round(
+             -((CAST(c.n AS DOUBLE) / CAST(o.n_out AS DOUBLE))
+               * log2(CAST(c.n AS DOUBLE) / CAST(o.n_out AS DOUBLE))), 9)
+           AS DECIMAL(28,9))) AS DOUBLE), 9) AS entropy_bits
+  FROM counts c JOIN outs o USING (from_type)
+  GROUP BY c.from_type
+)
+SELECT o.from_type,
+       CAST(o.n_out AS BIGINT) AS n_out,
+       round(CAST(o.n_out AS DOUBLE) / CAST(t.n_total AS DOUBLE), 9) AS pi,
+       e.entropy_bits,
+       round((CAST(o.n_out AS DOUBLE) / CAST(t.n_total AS DOUBLE))
+             * e.entropy_bits, 9) AS contribution_bits
+FROM outs o JOIN ent e USING (from_type) CROSS JOIN total t
+"""
+
+# Skyline oracle: deliberately the INDEPENDENT n^2 dominance algorithm
+# (NOT EXISTS dominator), so a bug in the engine's sort-based pass cannot
+# be mirrored by construction.
+ORACLE_SQL["parts_pareto_skyline"] = """
+SELECT p_partkey, p_name, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice
+    AND q.p_size <= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+)
+"""
+
+# Max drawdown of cumulative daily revenue: exact DECIMAL(18,2) sums,
+# windows over the per-day aggregate, argmax tie-break (drawdown DESC,
+# day ASC), peak = earliest day whose cumulative equals the trough's
+# running max (exact decimal equality).
+ORACLE_SQL["orders_max_drawdown"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT day,
+         SUM(rev) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+  FROM daily
+),
+dd AS (
+  SELECT day, cum,
+         MAX(cum) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS runmax,
+         MAX(cum) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - cum AS drawdown
+  FROM cum
+),
+trough AS (SELECT * FROM dd ORDER BY drawdown DESC, day ASC LIMIT 1)
+SELECT (SELECT MIN(p.day) FROM dd p, trough t
+        WHERE p.cum = t.runmax AND p.day <= t.day) AS peak_day,
+       t.day AS trough_day,
+       CAST(t.runmax AS DOUBLE) AS peak_cum,
+       CAST(t.cum AS DOUBLE) AS trough_cum,
+       CAST(t.drawdown AS DOUBLE) AS max_drawdown
+FROM trough t
+"""

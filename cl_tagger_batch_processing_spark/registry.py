@@ -518,3 +518,7 @@ register("er_resolution_clusters", relational.er_resolution_clusters)
 register("events_auc_report", relational.events_auc_report)
 register("text_boilerplate_ngrams", text.text_boilerplate_ngrams)
 register("text_bpe_train_merges", text.text_bpe_train_merges)
+register("graph_adamic_adar", graph.graph_adamic_adar)
+register("events_markov_entropy_rate", relational.events_markov_entropy_rate)
+register("parts_pareto_skyline", relational.parts_pareto_skyline)
+register("orders_max_drawdown", relational.orders_max_drawdown)
