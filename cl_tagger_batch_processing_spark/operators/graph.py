@@ -113,23 +113,19 @@ def graph_pagerank(
     return pagerank_on_edges(edges, n_iter=n_iter)
 
 
-def pagerank_on_edges(
+def _prepare_superstep_edges(
     edges: DataFrame,
-    n_iter: int = PR_N_ITER,
     hot_outdeg: int = PR_HOT_OUTDEG,
     n_salts: int = PR_SALTS,
-) -> DataFrame:
-    """Exact scaled-integer PageRank over ANY symmetric (src, dst) edge
-    frame — the graph_pagerank body factored out so other relations reuse
-    the identical bit-exact discipline (text.text_textrank_keywords runs
-    it over the adjacent-word graph; node type is whatever the edge frame
-    carries). Empty graphs return an empty ranking, not a division error.
-
-    Strategy switch (the dedup_simhash pattern): a one-scalar hub census
-    decides the superstep join shape. No node at hot_outdeg ⇒ the plain
-    src-keyed join (the fixture path — plan unchanged); any hub ⇒ the
-    salted (src, salt) join that spreads each hub's edges over n_salts
-    tasks. Identical bits either way — salt is partitioning metadata."""
+) -> tuple[DataFrame, DataFrame | None]:
+    """Build the per-superstep edge relation for ANY PageRank-family loop
+    — SHARED by global, personalized, and TextRank paths so the hub-skew
+    mitigation cannot silently cover only one consumer (code-review r8
+    finding). A one-scalar hub census picks the shape: no hub ⇒ plain
+    (src, dst, outdeg), materialized once; any hub ⇒ the same plus a salt
+    column (pmod(xxhash64(dst), n_salts) on hub rows, 0 elsewhere) and the
+    broadcast-sized hot-node frame the superstep uses to replicate hub
+    rank rows. Salt never enters arithmetic — bit-identical either way."""
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     hot = outdeg.where(F.col("outdeg") >= hot_outdeg).select(
         F.col("src").alias("node")
@@ -159,11 +155,29 @@ def pagerank_on_edges(
             )
             .transform(truncate_lineage)
         )
-        hot_nodes = hot
-    else:
-        # (src, dst, outdeg) — reused every superstep, so materialize once.
-        edges_deg = base_deg.transform(truncate_lineage)
-        hot_nodes = None
+        return edges_deg, hot
+    # (src, dst, outdeg) — reused every superstep, so materialize once.
+    return base_deg.transform(truncate_lineage), None
+
+
+def pagerank_on_edges(
+    edges: DataFrame,
+    n_iter: int = PR_N_ITER,
+    hot_outdeg: int = PR_HOT_OUTDEG,
+    n_salts: int = PR_SALTS,
+) -> DataFrame:
+    """Exact scaled-integer PageRank over ANY symmetric (src, dst) edge
+    frame — the graph_pagerank body factored out so other relations reuse
+    the identical bit-exact discipline (text.text_textrank_keywords runs
+    it over the adjacent-word graph; node type is whatever the edge frame
+    carries). Empty graphs return an empty ranking, not a division error.
+
+    Strategy switch (the dedup_simhash pattern): a one-scalar hub census
+    decides the superstep join shape. No node at hot_outdeg ⇒ the plain
+    src-keyed join (the fixture path — plan unchanged); any hub ⇒ the
+    salted (src, salt) join that spreads each hub's edges over n_salts
+    tasks. Identical bits either way — salt is partitioning metadata."""
+    edges_deg, hot_nodes = _prepare_superstep_edges(edges, hot_outdeg, n_salts)
     nodes = edges.select(F.col("src").alias("node")).distinct().transform(truncate_lineage)
     n = nodes.count()  # 1 scalar to the driver (control plane)
     if n == 0:
@@ -485,6 +499,32 @@ CN_DEGREE_CAP = 128
 CN_TOP_K = 100
 
 
+def _capped_wedge_relation(
+    spark: SparkSession, sf_dir: str, min_support: int
+) -> tuple[DataFrame, DataFrame]:
+    """(e, capped_deg): the hub-capped symmetric edge relation and its
+    degree census — the wedge substrate SHARED by graph_common_neighbors
+    and graph_adamic_adar (code-review r8: previously duplicated; both
+    oracles pin the same CN_DEGREE_CAP literal, so drift between copies
+    would silently break one of them). Nodes above CN_DEGREE_CAP are
+    excluded FIRST — a hub of degree d contributes d² wedges, so the cap
+    bounds wedge volume at |E|·CAP regardless of skew — and degrees are
+    recomputed on the capped subgraph so scores stay self-consistent."""
+    edges = cooccurrence_edges(spark, sf_dir, min_support=min_support)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    kept = deg.where(F.col("deg") <= CN_DEGREE_CAP).select("src").transform(
+        truncate_lineage
+    )
+    e = (
+        edges.join(kept, "src", "left_semi")
+        .join(kept.select(F.col("src").alias("dst")), "dst", "left_semi")
+        .select("src", "dst")
+        .transform(truncate_lineage)
+    )
+    capped_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return e, capped_deg
+
+
 def graph_common_neighbors(
     spark: SparkSession, sf_dir: str, min_support: int = PR_MIN_SUPPORT
 ) -> DataFrame:
@@ -502,22 +542,7 @@ def graph_common_neighbors(
     subgraph consistently. The top-k is a distributed TakeOrdered
     (orderBy+limit), never a full sort; the rank window runs over ≤ k
     rows. Ties break on (u, v) — unique by construction."""
-    # Materialize edges (three consumers: deg, both semi-join probes) and
-    # the survivor set (two semi joins) — unmaterialized subplans would
-    # re-run the basket self-join and the degree aggregation per consumer,
-    # the exact waste graph_kcore's per-round keep materialization avoids.
-    edges = cooccurrence_edges(spark, sf_dir, min_support=min_support)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    kept = deg.where(F.col("deg") <= CN_DEGREE_CAP).select("src").transform(
-        truncate_lineage
-    )
-    e = (
-        edges.join(kept, "src", "left_semi")
-        .join(kept.select(F.col("src").alias("dst")), "dst", "left_semi")
-        .select("src", "dst")
-        .transform(truncate_lineage)
-    )
-    capped_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e, capped_deg = _capped_wedge_relation(spark, sf_dir, min_support)
     e1 = e.select(F.col("src").alias("w"), F.col("dst").alias("u"))
     e2 = e.select(F.col("src").alias("w"), F.col("dst").alias("v"))
     cn = (
@@ -783,6 +808,8 @@ def graph_personalized_pagerank(
     sf_dir: str,
     n_iter: int = PR_N_ITER,
     min_support: int = PR_MIN_SUPPORT,
+    hot_outdeg: int = PR_HOT_OUTDEG,
+    n_salts: int = PR_SALTS,
 ) -> DataFrame:
     """Personalized PageRank from the SP_N_SEEDS smallest node ids — the
     seed-biased variant behind "related products for THIS product" and
@@ -797,8 +824,9 @@ def graph_personalized_pagerank(
     initial vector. Nodes unreachable from the seeds legitimately end at
     rank 0 (floor-divided residue aside) — that asymmetry is the feature."""
     edges = cooccurrence_edges(spark, sf_dir, min_support=min_support)
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edges_deg = edges.join(outdeg, "src").transform(truncate_lineage)
+    # shared superstep-edge builder: the hub census + salted-join
+    # mitigation applies here exactly as in graph_pagerank
+    edges_deg, hot_nodes = _prepare_superstep_edges(edges, hot_outdeg, n_salts)
     nodes = edges.select(F.col("src").alias("node")).distinct().transform(
         truncate_lineage
     )
@@ -830,6 +858,7 @@ def graph_personalized_pagerank(
         F.when(F.col("is_seed") == 1, F.lit(teleport_seed)).otherwise(F.lit(0)),
         n_iter,
         carry=("is_seed",),
+        hot_nodes=hot_nodes,
     )
     return pr.select(
         "node",
@@ -1071,7 +1100,6 @@ def graph_hits(
         .transform(truncate_lineage)
     )
     h = nodes.withColumn("h", F.lit(HITS_SCALE).cast("bigint"))
-    a = nodes.withColumn("a", F.lit(0).cast("bigint"))
     for i in range(n_rounds):
         a = _hits_push(h, "h", edges, nodes, "src", "dst").withColumnRenamed(
             "h", "a"
@@ -1112,18 +1140,7 @@ def graph_adamic_adar(
     Per-wedge terms round to 9dp and sum in DECIMAL(28,9) (float sums are
     order-sensitive); ranking compares the 6dp-rounded score with the
     (u, v) tie-break."""
-    edges = cooccurrence_edges(spark, sf_dir, min_support=min_support)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    kept = deg.where(F.col("deg") <= CN_DEGREE_CAP).select("src").transform(
-        truncate_lineage
-    )
-    e = (
-        edges.join(kept, "src", "left_semi")
-        .join(kept.select(F.col("src").alias("dst")), "dst", "left_semi")
-        .select("src", "dst")
-        .transform(truncate_lineage)
-    )
-    capped_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e, capped_deg = _capped_wedge_relation(spark, sf_dir, min_support)
     e1 = e.join(
         capped_deg.select(F.col("src").alias("w_deg_key"), "deg"),
         F.col("src") == F.col("w_deg_key"),

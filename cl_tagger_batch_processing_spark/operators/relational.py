@@ -3392,7 +3392,15 @@ def er_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = er_blocking_pairs(spark, sf_dir).select(
         F.col("part_a").alias("a"), F.col("part_b").alias("b")
     )
-    nodes = part.select(F.col("p_partkey").alias("doc_id"))
+    # CC nodes = match-edge ENDPOINTS only: singletons are discarded by the
+    # n_records >= 2 filter anyway, so welding every part in as its own
+    # cluster would shuffle + csv-aggregate the whole relation for zero
+    # output (code-review r8 finding). Results are identical.
+    nodes = (
+        edges.select(F.col("a").alias("doc_id"))
+        .unionByName(edges.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
     cc = connected_components(nodes, edges)  # (doc_id, cluster_id)
     ent = (
         cc.groupBy(F.col("cluster_id").alias("entity_id"))
@@ -3533,23 +3541,37 @@ def parts_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest" tradeoff reduces to.
 
     Sort-based evaluation, NOT the n² dominance join: group to one row per
-    price (min size — only a price group's min-size rows can survive), run
-    ONE ordered pass computing the strictly-cheaper running min size, and
-    keep rows strictly below it (equality means a strictly cheaper part
-    matched the size — dominated; same-(price,size) ties survive together,
-    no strict edge between them). The ordered window runs over the
-    per-PRICE aggregate — cardinality = distinct prices, far below the
-    fact table — and the survivors join back price-keyed. The oracle is
-    deliberately the INDEPENDENT algorithm (NOT EXISTS dominator), so a
-    bug in the sort-based pass cannot be mirrored."""
+    price (min size — only a price group's min-size rows can survive),
+    compute the strictly-cheaper running min size, and keep rows strictly
+    below it (equality means a strictly cheaper part matched the size —
+    dominated; same-(price,size) ties survive together, no strict edge
+    between them). The running min is TWO-LEVEL so no single task ever
+    sorts all distinct prices (code-review r8: distinct p_retailprice
+    reaches ~2M at large SF): prices bucket by integer part, the
+    strictly-earlier-bucket prefix min is one ordered window over the
+    per-BUCKET aggregate (cardinality = price range, truly tiny), and the
+    within-bucket strictly-earlier running min is a window PARTITIONED by
+    bucket — parallel across buckets. min_before = least of the two
+    (Spark least() skips nulls). Survivors join back price-keyed. The
+    oracle is deliberately the INDEPENDENT algorithm (NOT EXISTS
+    dominator), so a bug in the sort-based pass cannot be mirrored."""
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_retailprice", F.col("p_size").cast("bigint").alias("p_size")
     )
     g = part.groupBy("p_retailprice").agg(F.min("p_size").alias("gmin"))
-    wg = Window.orderBy("p_retailprice").rowsBetween(
+    g = g.withColumn("bkt", F.floor("p_retailprice").cast("bigint"))
+    b = g.groupBy("bkt").agg(F.min("gmin").alias("bmin"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    b2 = b.select("bkt", F.min("bmin").over(wb).alias("bmin_before"))
+    wi = Window.partitionBy("bkt").orderBy("p_retailprice").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    g2 = g.withColumn("min_before", F.min("gmin").over(wg))
+    g2 = (
+        g.join(F.broadcast(b2), "bkt")
+        .withColumn("wmin_before", F.min("gmin").over(wi))
+        .withColumn("min_before", F.least("bmin_before", "wmin_before"))
+        .select("p_retailprice", "gmin", "min_before")
+    )
     return (
         part.join(g2, "p_retailprice")
         .where(

@@ -980,7 +980,13 @@ sess AS (
   FROM s
   GROUP BY user_id, sid
 ),
-wm AS (SELECT MAX(epoch_us(ts)) - 600000000 AS wm_us FROM events)
+-- Spark's watermark machinery tracks max event time in MILLISECONDS
+-- (EventTimeStatsAccum), so the watermark is ms-truncated before the
+-- 10-minute delay subtracts — replay exactly that, not the raw-us max
+-- (code-review r8 finding: fixtures carry sub-ms components, so the two
+-- rules differ by up to 999us and only fixture luck kept them agreeing).
+wm AS (SELECT (MAX(epoch_us(ts)) // 1000) * 1000 - 600000000 AS wm_us
+       FROM events)
 SELECT user_id, session_start_epoch, n_events
 FROM sess, wm
 WHERE end_us <= wm_us

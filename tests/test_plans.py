@@ -874,6 +874,14 @@ def test_pagerank_salted_strategy_agrees(spark, sf_dir):
     assert "salt" in inspect.executed_plan(salted)
     plan = inspect.executed_plan(QUERIES["graph_pagerank"](spark, sf_dir))
     assert "salt" not in plan  # fixture has no hub: strategy switch -> plain
+    # the personalized variant shares the builder: same agreement guarantee
+    from cl_tagger_batch_processing_spark.operators.graph import (
+        graph_personalized_pagerank,
+    )
+
+    pp = graph_personalized_pagerank(spark, sf_dir)
+    pps = graph_personalized_pagerank(spark, sf_dir, hot_outdeg=1, n_salts=4)
+    assert pp.exceptAll(pps).count() == 0 and pps.exceptAll(pp).count() == 0
 
 
 def test_source_pair_frames_broadcast(spark, sf_dir):

@@ -315,3 +315,43 @@ def test_session_watermark_boundary_inclusive(spark, tmp_path):
         q.stop()
     emitted = {r.user_id for r in spark.table("wm_tie_out").collect()}
     assert emitted == {1}  # the tie session flushed; the live tail did not
+
+
+def test_session_watermark_is_ms_truncated(spark, tmp_path):
+    # Spark tracks max event time in MILLISECONDS (EventTimeStatsAccum), so
+    # the watermark is ms-truncated before the delay subtracts. A session
+    # whose end falls inside the sub-ms gap (ms-truncated wm, raw-us wm]
+    # must be WITHHELD — the stream_session_counts oracle replays exactly
+    # the truncated rule (code-review r8 finding: the fixtures carry sub-ms
+    # timestamp components, so the raw-us rule differs by up to 999us).
+    import datetime
+
+    base = datetime.datetime(2025, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base + datetime.timedelta(microseconds=500), 1),
+        (2, base + datetime.timedelta(minutes=40, microseconds=700), 2),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int")
+    p = str(tmp_path / "wm_subms")
+    df.coalesce(1).write.parquet(p)
+    raw = spark.readStream.schema("user_id int, ts timestamp, event_id int").format(
+        "parquet"
+    ).load(p)
+    agg = (
+        raw.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_subms_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # raw-us rule would emit user 1 (end = t0+30min+500us <= t0+30min+700us);
+    # the real ms-truncated watermark (t0+30min) withholds it
+    assert spark.table("wm_subms_out").count() == 0
