@@ -3625,3 +3625,230 @@ def orders_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("trough_cum").cast("double").alias("trough_cum"),
         F.col("max_drawdown").cast("double").alias("max_drawdown"),
     )
+
+
+# Kaplan-Meier censoring horizon: users whose last event falls within this
+# many hours of the corpus end are right-censored (still alive), the
+# standard survival-analysis treatment. Sync-pinned to the oracle literal.
+KM_CENSOR_HOURS = 168
+
+
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime (first event → last
+    event, hours) with right-censoring — THE estimator for churn/retention
+    curves under incomplete observation: users whose last activity is
+    within KM_CENSOR_HOURS of the corpus end are censored (they may still
+    be active), not counted as churned.
+
+        S(tᵢ) = Π_{j ≤ i} (1 − dⱼ/nⱼ)   (dⱼ churned at tⱼ, nⱼ at risk)
+
+    Determinism: durations are exact integer hours (µs div); at-risk
+    counts come from a cumulative window over the per-DURATION aggregate
+    (cardinality = distinct lifetimes, corpus-size-independent); the
+    product is carried as exp(Σ ln(1 − d/n)) with each term rounded to
+    9dp and summed in DECIMAL(28,9) (order-independent; exp/ln parity
+    verified in-container), with an exact-zero guard for the d = n
+    exhaustion row where ln is undefined. Curve points emit at churn
+    times only (the standard KM step points)."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.expr("unix_micros(cast(ts as timestamp))")).alias("max_us"))
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.expr("unix_micros(cast(ts as timestamp))")).alias("first_us"),
+            F.max(F.expr("unix_micros(cast(ts as timestamp))")).alias("last_us"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("(last_us - first_us) div 3600000000").alias("duration_h"),
+            F.when(
+                F.col("last_us")
+                >= F.col("max_us") - F.lit(KM_CENSOR_HOURS * 3600000000),
+                F.lit(0),
+            )
+            .otherwise(F.lit(1))
+            .alias("churned"),
+        )
+    )
+    per_t = users.groupBy("duration_h").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.sum("churned").alias("d"),
+    )
+    total = per_t.agg(F.sum("c_all").alias("n_users"))
+    wt = Window.orderBy("duration_h").rowsBetween(Window.unboundedPreceding, -1)
+    at_risk = (
+        per_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_at_risk",
+            F.col("n_users") - F.coalesce(F.sum("c_all").over(wt), F.lit(0)),
+        )
+    )
+    ratio = F.col("d").cast("double") / F.col("n_at_risk").cast("double")
+    ln_term = F.when(
+        F.col("d") < F.col("n_at_risk"),
+        F.round(F.log(F.lit(1.0) - ratio), 9),
+    ).otherwise(F.lit(0.0))
+    exhausted = F.when(F.col("d") >= F.col("n_at_risk"), 1).otherwise(0)
+    wc = Window.orderBy("duration_h").rowsBetween(Window.unboundedPreceding, 0)
+    curve = at_risk.select(
+        "duration_h",
+        "n_at_risk",
+        F.col("d").alias("n_churned"),
+        (F.col("c_all") - F.col("d")).alias("n_censored_here"),
+        F.sum(ln_term.cast("decimal(28,9)")).over(wc).alias("lnsum"),
+        F.max(exhausted).over(wc).alias("dead"),
+    )
+    return curve.where(F.col("n_churned") > 0).select(
+        F.col("duration_h").cast("bigint").alias("duration_hours"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("n_churned").cast("bigint").alias("n_churned"),
+        F.col("n_censored_here").cast("bigint").alias("n_censored_here"),
+        F.when(F.col("dead") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("lnsum").cast("double")), 6))
+        .alias("survival"),
+    )
+
+
+def orders_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-tier MIGRATION matrix: spend quartile in the first
+    half of the timeline vs the second half — who upgraded, who lapsed,
+    who appeared — the cohort-movement report behind every "customer
+    health" dashboard (and the longitudinal companion of the static
+    customer_rfm segmentation).
+
+    The timeline splits at the exact integer midpoint of the order-date
+    range (epoch-day arithmetic, floor division — engine-identical); per
+    period, customers score into ntile(4) spend quartiles with the
+    (spend DESC, custkey ASC) total tie-break customer_rfm established
+    (bare ntile over ties is engine-dependent); customers absent from a
+    period carry tier 0. The ntile windows run over the per-customer
+    aggregate partitioned by period; the migration rollup is a tiny
+    (5 × 5)-key groupBy; the within-row share is one exact-int ratio."""
+    orders = load_table(spark, sf_dir, "orders")
+    rng = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("dmin"),
+        F.max(F.to_date("o_orderdate")).alias("dmax"),
+    )
+    per = (
+        orders.crossJoin(F.broadcast(rng))
+        .select(
+            "o_custkey",
+            F.col("o_totalprice").cast("decimal(14,2)").alias("price"),
+            F.when(
+                F.datediff(F.to_date("o_orderdate"), F.col("dmin"))
+                <= F.expr("datediff(dmax, dmin) div 2"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(2))
+            .alias("period"),
+        )
+        .groupBy("period", "o_custkey")
+        .agg(F.sum("price").alias("spend"))
+    )
+    wq = Window.partitionBy("period").orderBy(F.desc("spend"), F.asc("o_custkey"))
+    tiers = per.select(
+        "period", "o_custkey", F.ntile(4).over(wq).cast("bigint").alias("tier")
+    )
+    p1 = tiers.where(F.col("period") == 1).select(
+        "o_custkey", F.col("tier").alias("from_tier")
+    )
+    p2 = tiers.where(F.col("period") == 2).select(
+        "o_custkey", F.col("tier").alias("to_tier")
+    )
+    mig = (
+        p1.join(p2, "o_custkey", "full_outer")
+        .select(
+            F.coalesce("from_tier", F.lit(0)).alias("from_tier"),
+            F.coalesce("to_tier", F.lit(0)).alias("to_tier"),
+        )
+        .groupBy("from_tier", "to_tier")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    wf = Window.partitionBy("from_tier")
+    return mig.select(
+        "from_tier",
+        "to_tier",
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.round(
+            F.col("n_customers").cast("double")
+            / F.sum("n_customers").over(wf).cast("double"),
+            9,
+        ).alias("share_of_from_tier"),
+    )
+
+
+def events_retention_curve_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law fit of the day-N retention curve: aggregate the cohort
+    retention triangle into one rate-per-day series (horizon-eligible
+    denominators), then closed-form OLS of ln(rate) on ln(day) — the
+    "retention exponent" scaling-law readout (b ≈ −0.5 is a typical
+    consumer curve; shallower means stickier).
+
+    Exactness: cohorts, horizons, retained/eligible counts are all
+    integers; each point's (ln day, ln rate) is one double expression;
+    the OLS sufficient statistics round to 9dp and sum in DECIMAL(28,9)
+    (order-independent — the float-sum rail); slope/intercept/r² divide
+    once in double. The fit runs over ≤ horizon-many points; everything
+    upstream is map-side-combinable groupBys plus one tiny
+    cohorts × days cross (both frames are date-cardinality sized)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", F.to_date(F.expr("cast(ts as timestamp)")).alias("d")
+    )
+    cohorts = base.groupBy("user_id").agg(F.min("d").alias("c"))
+    mx = base.agg(F.max("d").alias("dmax"))
+    active = (
+        base.join(cohorts, "user_id")
+        .select("user_id", F.datediff("d", "c").cast("bigint").alias("day_n"))
+        .where(F.col("day_n") >= 1)
+        .distinct()
+    )
+    retained = active.groupBy("day_n").agg(
+        F.countDistinct("user_id").alias("retained")
+    )
+    csize = (
+        cohorts.crossJoin(F.broadcast(mx))
+        .groupBy("c")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.first(F.datediff("dmax", "c")).cast("bigint").alias("horizon"),
+        )
+    )
+    days = retained.select("day_n")
+    eligible = (
+        days.join(F.broadcast(csize), F.col("horizon") >= F.col("day_n"))
+        .groupBy("day_n")
+        .agg(F.sum("size").alias("eligible"))
+    )
+    pts = (
+        retained.join(eligible, "day_n")
+        .where(F.col("retained") > 0)
+        .select(
+            F.log(F.col("day_n").cast("double")).alias("x"),
+            F.log(
+                F.col("retained").cast("double") / F.col("eligible").cast("double")
+            ).alias("y"),
+        )
+    )
+    dec = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(vx > 0, cov / vx)
+    return s.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / nd, 6).alias("intercept"),
+        F.round(
+            F.when((vx > 0) & (vy > 0), cov * cov / (vx * vy)), 6
+        ).alias("r2"),
+    )

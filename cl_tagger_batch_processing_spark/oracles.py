@@ -6494,3 +6494,151 @@ SELECT (SELECT MIN(p.day) FROM dd p, trough t
        CAST(t.drawdown AS DOUBLE) AS max_drawdown
 FROM trough t
 """
+
+# Kaplan-Meier with right-censoring (168h horizon, sync-pinned): exact
+# integer-hour durations, at-risk via cumulative window over the
+# per-duration aggregate, survival via 9dp-rounded ln-sum in
+# DECIMAL(28,9) + one exp, exact-zero guard on the d = n exhaustion row.
+ORACLE_SQL["events_survival_km"] = """
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events),
+users AS (
+  SELECT (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 3600000000 AS duration_h,
+         CASE WHEN MAX(epoch_us(ts)) >= (SELECT max_us FROM mx)
+                                         - 168 * 3600000000
+              THEN 0 ELSE 1 END AS churned
+  FROM events GROUP BY user_id
+),
+per_t AS (
+  SELECT duration_h, COUNT(*) AS c_all, SUM(churned) AS d
+  FROM users GROUP BY duration_h
+),
+total AS (SELECT SUM(c_all) AS n_users FROM per_t),
+at_risk AS (
+  SELECT p.*, t.n_users
+           - COALESCE(SUM(c_all) OVER (ORDER BY duration_h
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND 1 PRECEDING), 0)
+           AS n_at_risk
+  FROM per_t p CROSS JOIN total t
+),
+curve AS (
+  SELECT duration_h, n_at_risk, d, c_all - d AS n_censored_here,
+         SUM(CAST(CASE WHEN d < n_at_risk THEN
+               round(ln(CAST(1.0 AS DOUBLE)
+                        - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)), 9)
+             ELSE CAST(0.0 AS DOUBLE) END AS DECIMAL(28,9)))
+           OVER (ORDER BY duration_h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum,
+         MAX(CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY duration_h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+  FROM at_risk
+)
+SELECT CAST(duration_h AS BIGINT) AS duration_hours,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_churned,
+       CAST(n_censored_here AS BIGINT) AS n_censored_here,
+       CASE WHEN dead = 1 THEN CAST(0.0 AS DOUBLE)
+            ELSE round(exp(CAST(lnsum AS DOUBLE)), 6) END AS survival
+FROM curve WHERE d > 0
+"""
+
+# Value-tier migration: exact epoch-day midpoint split, ntile(4) with the
+# customer_rfm tie-break convention, absent period = tier 0, exact-int
+# within-row shares.
+ORACLE_SQL["orders_rfm_migration"] = """
+WITH rng AS (
+  SELECT MIN(CAST(o_orderdate AS DATE)) AS dmin,
+         MAX(CAST(o_orderdate AS DATE)) AS dmax
+  FROM orders
+),
+per AS (
+  SELECT CASE WHEN date_diff('day', r.dmin, CAST(o_orderdate AS DATE))
+                   <= date_diff('day', r.dmin, r.dmax) // 2
+              THEN 1 ELSE 2 END AS period,
+         o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS spend
+  FROM orders CROSS JOIN rng r
+  GROUP BY 1, 2
+),
+tiers AS (
+  SELECT period, o_custkey,
+         CAST(ntile(4) OVER (PARTITION BY period
+                             ORDER BY spend DESC, o_custkey ASC)
+              AS BIGINT) AS tier
+  FROM per
+),
+mig AS (
+  SELECT COALESCE(p1.tier, 0) AS from_tier,
+         COALESCE(p2.tier, 0) AS to_tier,
+         COUNT(*) AS n_customers
+  FROM (SELECT o_custkey, tier FROM tiers WHERE period = 1) p1
+  FULL OUTER JOIN (SELECT o_custkey, tier FROM tiers WHERE period = 2) p2
+    USING (o_custkey)
+  GROUP BY 1, 2
+)
+SELECT from_tier, to_tier, CAST(n_customers AS BIGINT) AS n_customers,
+       round(CAST(n_customers AS DOUBLE)
+             / CAST(SUM(n_customers) OVER (PARTITION BY from_tier)
+                    AS DOUBLE), 9) AS share_of_from_tier
+FROM mig
+"""
+
+# Retention power-law fit: integer triangle counts, per-point doubles,
+# OLS sufficient statistics on the 9dp-DECIMAL rail, one final division.
+ORACLE_SQL["events_retention_curve_fit"] = """
+WITH base AS (
+  SELECT user_id, CAST(ts AS DATE) AS d FROM events
+),
+cohorts AS (SELECT user_id, MIN(d) AS c FROM base GROUP BY user_id),
+mx AS (SELECT MAX(d) AS dmax FROM base),
+active AS (
+  SELECT DISTINCT b.user_id,
+         CAST(date_diff('day', co.c, b.d) AS BIGINT) AS day_n
+  FROM base b JOIN cohorts co USING (user_id)
+  WHERE date_diff('day', co.c, b.d) >= 1
+),
+retained AS (
+  SELECT day_n, COUNT(DISTINCT user_id) AS retained FROM active GROUP BY day_n
+),
+csize AS (
+  SELECT c, COUNT(*) AS sz,
+         CAST(date_diff('day', c, (SELECT dmax FROM mx)) AS BIGINT) AS horizon
+  FROM cohorts GROUP BY c
+),
+eligible AS (
+  SELECT r.day_n, SUM(s.sz) AS eligible
+  FROM (SELECT day_n FROM retained) r
+  JOIN csize s ON s.horizon >= r.day_n
+  GROUP BY r.day_n
+),
+pts AS (
+  SELECT ln(CAST(r.day_n AS DOUBLE)) AS x,
+         ln(CAST(r.retained AS DOUBLE) / CAST(e.eligible AS DOUBLE)) AS y
+  FROM retained r JOIN eligible e USING (day_n)
+  WHERE r.retained > 0
+),
+s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(round(y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(round(y * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS syy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       round(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0 THEN
+         (CAST(n AS DOUBLE) * sxy - sx * sy)
+           / (CAST(n AS DOUBLE) * sxx - sx * sx) END, 6) AS slope,
+       round((sy - (CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0 THEN
+         (CAST(n AS DOUBLE) * sxy - sx * sy)
+           / (CAST(n AS DOUBLE) * sxx - sx * sx) END) * sx)
+         / CAST(n AS DOUBLE), 6) AS intercept,
+       round(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                   AND CAST(n AS DOUBLE) * syy - sy * sy > 0 THEN
+         (CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy)
+           / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+              * (CAST(n AS DOUBLE) * syy - sy * sy)) END, 6) AS r2
+FROM s
+"""

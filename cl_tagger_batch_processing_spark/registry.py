@@ -522,3 +522,6 @@ register("graph_adamic_adar", graph.graph_adamic_adar)
 register("events_markov_entropy_rate", relational.events_markov_entropy_rate)
 register("parts_pareto_skyline", relational.parts_pareto_skyline)
 register("orders_max_drawdown", relational.orders_max_drawdown)
+register("events_survival_km", relational.events_survival_km)
+register("orders_rfm_migration", relational.orders_rfm_migration)
+register("events_retention_curve_fit", relational.events_retention_curve_fit)

@@ -2768,3 +2768,11 @@ def test_r8_constants_in_sync_with_oracles():
     assert "top4" in bpe and "top5" not in bpe
     # the last round learns a rule but never applies it — on both engines
     assert "s3 AS MATERIALIZED" in bpe and "s4 AS" not in bpe
+
+
+def test_km_censor_constant_in_sync():
+    from cl_tagger_batch_processing_spark import oracles
+    from cl_tagger_batch_processing_spark.operators import relational
+
+    assert relational.KM_CENSOR_HOURS == 168
+    assert "168 * 3600000000" in oracles.ORACLE_SQL["events_survival_km"]
