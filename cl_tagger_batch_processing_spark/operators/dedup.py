@@ -1555,3 +1555,43 @@ def dedup_minhash_lev_verify(
         .cast("bigint")
         .alias("is_dup"),
     )
+
+
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality keep policy over NEAR-DUP clusters — the minhash analogue of
+    dedup_exact_keep_best: within each multi-member cluster keep the
+    highest-quality member (near-dups, unlike exact dups, genuinely differ
+    in quality, so the policy picks real winners here). The per-doc score
+    is THE shared quality formula (operators/quality.py), 6dp-rounded and
+    bigint-scaled so the argmax struct comparison is exact; the composite
+    (quality DESC, doc_id ASC) makes the choice total.
+
+    Rides the memoized dedup_clusters assignment (no chain re-run); the
+    scoring is row-local Column math; the selection is one
+    max(struct(q, −doc_id)) hash aggregation per cluster — no window, no
+    second pass; members flatten to the sorted-csv scalar shape."""
+    from .quality import quality_components
+
+    cc = dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.split(F.col("text"), " ").alias("toks")
+    )
+    q_scaled = F.round(
+        F.round(quality_components(F.col("text"), F.col("toks"))["score"], 6)
+        * 1000000,
+        0,
+    ).cast("bigint")
+    scored = cc.join(docs.select("doc_id", q_scaled.alias("q")), "doc_id")
+    best = F.max(F.struct(F.col("q"), (-F.col("doc_id")).alias("neg_id")))
+    agg = scored.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        best.alias("b"),
+        sorted_ids_csv(F.col("doc_id")).alias("member_ids"),
+    )
+    return agg.where(F.col("n_members") > 1).select(
+        "cluster_id",
+        F.col("n_members").cast("bigint").alias("n_members"),
+        (-F.col("b.neg_id")).cast("bigint").alias("keep_doc_id"),
+        (F.col("b.q").cast("double") / F.lit(1000000.0)).alias("keep_quality"),
+        "member_ids",
+    )

@@ -517,3 +517,77 @@ def mm_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "scene_frames",
         )
     )
+
+
+def mm_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading/trailing silence trim over "audio" payloads — the
+    preprocessing step before ASR/feature extraction: find the first and
+    last ACTIVE frame (same per-frame energy and above-recording-mean
+    activity rule as mm_audio_energy_segments) and report the kept byte
+    range. Recordings with no active frame (flat energy — e.g. a single
+    frame can never exceed its own mean) trim to zero with explicit NULL
+    frame bounds.
+
+    Exact integer arithmetic end-to-end (squared-byte energies, the
+    cross-multiplied energy·n_frames > total comparison); the trim rollup
+    is one doc-keyed aggregation over the frame relation — row-local
+    Column math, linear, zero Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_frames = F.floor(F.length("text") / F.lit(ENERGY_FRAME_BYTES)).cast("bigint")
+    frames = docs.where(n_frames >= 1).select(
+        "doc_id",
+        "text",
+        n_frames.alias("n_frames"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_frames - 1)).alias(
+            "frame_idx"
+        ),
+    )
+    frame_vals = F.transform(
+        F.split(
+            F.substring(
+                F.col("text"),
+                (F.col("frame_idx") * ENERGY_FRAME_BYTES + 1).cast("int"),
+                ENERGY_FRAME_BYTES,
+            ),
+            "",
+        ),
+        lambda c: F.ascii(c).cast("bigint"),
+    )
+    energy = F.aggregate(
+        frame_vals, F.lit(0).cast("bigint"), lambda a, x: a + x * x
+    )
+    per_frame = frames.select(
+        "doc_id", "n_frames", "frame_idx", energy.alias("energy")
+    )
+    # the active rule needs the per-doc total first; the totals frame joins
+    # back doc-keyed (stats-broadcast-back pattern), then one aggregation
+    # reads off the active bounds.
+    totals = per_frame.groupBy("doc_id").agg(F.sum("energy").alias("total_energy"))
+    flagged = per_frame.join(totals, "doc_id").select(
+        "doc_id",
+        "n_frames",
+        "frame_idx",
+        (F.col("energy") * F.col("n_frames") > F.col("total_energy")).alias("act"),
+    )
+    out = flagged.groupBy("doc_id", "n_frames").agg(
+        F.min(F.when(F.col("act"), F.col("frame_idx"))).alias("first_active"),
+        F.max(F.when(F.col("act"), F.col("frame_idx"))).alias("last_active"),
+    )
+    kept = F.when(
+        F.col("first_active").isNotNull(),
+        (F.col("last_active") - F.col("first_active") + 1)
+        * F.lit(ENERGY_FRAME_BYTES),
+    ).otherwise(F.lit(0))
+    return out.select(
+        "doc_id",
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        F.col("first_active").cast("bigint").alias("first_active"),
+        F.col("last_active").cast("bigint").alias("last_active"),
+        kept.cast("bigint").alias("kept_bytes"),
+        F.round(
+            F.lit(1.0)
+            - kept.cast("double")
+            / (F.col("n_frames") * F.lit(ENERGY_FRAME_BYTES)).cast("double"),
+            9,
+        ).alias("trimmed_frac"),
+    )

@@ -1554,3 +1554,47 @@ def embedding_silhouette_report(
         F.count(F.lit(1)).alias("n_points"),
         (F.sum("s9").cast("double") / F.count(F.lit(1))).alias("mean_silhouette"),
     )
+
+
+def sim_ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-balance QA: per-cell inventory sizes, corpus share, and the
+    imbalance factor n_cell·k/n — the report that decides whether the
+    coarse quantizer routes evenly (imbalance ≈ 1 everywhere) or dumps the
+    corpus into a few hot cells (the failure mode that turns nprobe=2 into
+    a full scan). Uses the SAME deterministic first-k centroids and
+    max-cosine assignment as sim_topk_ivf, so this report audits exactly
+    the index that query runs; empty cells emit explicit zero rows (an
+    empty cell is wasted routing capacity, not a missing row).
+
+    Shape: assignment is the shared ivf_assign (corpus × k broadcast
+    literals, argmax window per vector); the census is one
+    map-side-combined groupBy(cell_id); the total rides a 1-row
+    broadcast."""
+    base = quantized_embeddings(spark, sf_dir)
+    centroids = base.where(F.col("vec_id") < IVF_NUM_CELLS).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("qv").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    assigned = ivf_assign(base, centroids)
+    cells = assigned.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_vectors"))
+    all_cells = centroids.select("cell_id").join(cells, "cell_id", "left").select(
+        "cell_id", F.coalesce("n_vectors", F.lit(0)).cast("bigint").alias("n_vectors")
+    )
+    total = all_cells.agg(F.sum("n_vectors").alias("n_total"))
+    return (
+        all_cells.crossJoin(F.broadcast(total))
+        .select(
+            "cell_id",
+            "n_vectors",
+            F.round(
+                F.col("n_vectors").cast("double") / F.col("n_total").cast("double"), 9
+            ).alias("share"),
+            F.round(
+                F.col("n_vectors").cast("double")
+                * F.lit(float(IVF_NUM_CELLS))
+                / F.col("n_total").cast("double"),
+                6,
+            ).alias("imbalance_factor"),
+        )
+    )

@@ -6642,3 +6642,124 @@ SELECT CAST(n AS BIGINT) AS n_points,
               * (CAST(n AS DOUBLE) * syy - sy * sy)) END, 6) AS r2
 FROM s
 """
+
+# Near-dup keep-best: the memoized cluster assignment (dedup_clusters
+# oracle reused verbatim as a CTE) joined with THE shared quality formula;
+# argmax = (quality DESC, doc_id ASC); multi-member clusters only.
+ORACLE_SQL["dedup_cluster_keep_best"] = f"""
+WITH clusters AS ({ORACLE_SQL["dedup_clusters"]}),
+t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+),
+q AS (
+  SELECT doc_id,
+         CAST(round(round(
+           0.5 * (CAST(len(list_filter(toks,
+                    x -> x IN ('a','the','of','and','in','to'))) AS DOUBLE)
+                  / len(toks))
+           + 0.25 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+           + 0.25 * (least(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                           / len(toks), 8.0) / 8.0),
+         6) * 1000000, 0) AS BIGINT) AS qs
+  FROM t
+),
+sel AS (
+  SELECT c.cluster_id, c.doc_id, q.qs,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.qs DESC, c.doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM clusters c JOIN q USING (doc_id)
+)
+SELECT s.cluster_id,
+       CAST(s.n_members AS BIGINT) AS n_members,
+       s.doc_id AS keep_doc_id,
+       CAST(s.qs AS DOUBLE) / 1000000.0 AS keep_quality,
+       m.member_ids
+FROM sel s
+JOIN (SELECT cluster_id,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS member_ids
+      FROM sel GROUP BY cluster_id) m USING (cluster_id)
+WHERE s.rn = 1 AND s.n_members > 1
+"""
+
+# IVF cell balance over the same first-8-centroid assignment sim_topk_ivf
+# indexes; empty cells emit zero rows explicitly.
+ORACLE_SQL["sim_ivf_balance_report"] = f"""
+WITH {_QEMB_CTES},
+cent AS (SELECT vec_id AS cell_id, qv AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+assign_scored AS (
+  SELECT a.vec_id, c.cell_id,
+         list_dot_product(CAST(c.cv AS DOUBLE[]), CAST(a.qv AS DOUBLE[]))
+           / (sqrt(c.cn) * sqrt(a.nrm)) AS sim
+  FROM n a CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, cell_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cell_id ASC) AS rn
+        FROM assign_scored)
+  WHERE rn = 1
+),
+cells AS (
+  SELECT c.cell_id, CAST(COALESCE(k.n, 0) AS BIGINT) AS n_vectors
+  FROM cent c
+  LEFT JOIN (SELECT cell_id, COUNT(*) AS n FROM assigned GROUP BY cell_id) k
+    USING (cell_id)
+),
+tot AS (SELECT SUM(n_vectors) AS n_total FROM cells)
+SELECT cell_id, n_vectors,
+       round(CAST(n_vectors AS DOUBLE) / CAST(n_total AS DOUBLE), 9) AS share,
+       round(CAST(n_vectors AS DOUBLE) * CAST(8.0 AS DOUBLE)
+             / CAST(n_total AS DOUBLE), 6) AS imbalance_factor
+FROM cells CROSS JOIN tot
+"""
+
+# Silence trim: same frame/energy/activity conventions as
+# mm_audio_energy_segments; flat-energy recordings trim to zero.
+ORACLE_SQL["mm_audio_silence_trim"] = """
+WITH base AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS vals,
+         CAST(length(text) // 64 AS BIGINT) AS n_frames
+  FROM documents
+  WHERE length(text) // 64 >= 1
+),
+f AS (
+  SELECT doc_id, n_frames,
+         CAST(unnest(range(0, n_frames)) AS BIGINT) AS frame_idx, vals
+  FROM base
+),
+en AS (
+  SELECT doc_id, n_frames, frame_idx,
+         CAST(COALESCE(list_sum(list_transform(
+                vals[frame_idx * 64 + 1 : frame_idx * 64 + 64],
+                x -> x * x)), 0) AS BIGINT) AS energy
+  FROM f
+),
+tot AS (SELECT doc_id, SUM(energy) AS total_energy FROM en GROUP BY doc_id),
+flagged AS (
+  SELECT e.doc_id, e.n_frames, e.frame_idx,
+         e.energy * e.n_frames > t.total_energy AS act
+  FROM en e JOIN tot t USING (doc_id)
+),
+out AS (
+  SELECT doc_id, n_frames,
+         MIN(CASE WHEN act THEN frame_idx END) AS first_active,
+         MAX(CASE WHEN act THEN frame_idx END) AS last_active
+  FROM flagged GROUP BY doc_id, n_frames
+)
+SELECT doc_id,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(first_active AS BIGINT) AS first_active,
+       CAST(last_active AS BIGINT) AS last_active,
+       CAST(CASE WHEN first_active IS NOT NULL
+                 THEN (last_active - first_active + 1) * 64
+                 ELSE 0 END AS BIGINT) AS kept_bytes,
+       round(CAST(1.0 AS DOUBLE)
+             - CAST(CASE WHEN first_active IS NOT NULL
+                         THEN (last_active - first_active + 1) * 64
+                         ELSE 0 END AS DOUBLE)
+               / CAST(n_frames * 64 AS DOUBLE), 9) AS trimmed_frac
+FROM out
+"""

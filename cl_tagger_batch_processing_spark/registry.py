@@ -525,3 +525,6 @@ register("orders_max_drawdown", relational.orders_max_drawdown)
 register("events_survival_km", relational.events_survival_km)
 register("orders_rfm_migration", relational.orders_rfm_migration)
 register("events_retention_curve_fit", relational.events_retention_curve_fit)
+register("dedup_cluster_keep_best", dedup.dedup_cluster_keep_best)
+register("sim_ivf_balance_report", similarity.sim_ivf_balance_report)
+register("mm_audio_silence_trim", multimodal.mm_audio_silence_trim)
