@@ -827,3 +827,49 @@ def corpus_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pair_share"
         ),
     )
+
+
+# Stratified split: exact ceil-quota validation share per stratum,
+# sync-pinned to the oracle literals.
+STRATified_VAL_PCT = 10
+
+
+def corpus_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified train/val split with EXACT per-stratum quotas: within
+    every (source, lang) stratum, rank docs by a split-independent md5
+    hash (ties impossible — the unique doc_id both salts the hash and
+    breaks residual collisions) and send the first ⌈10%⌉ to validation —
+    the guarantee corpus_split_assign's hash-threshold split cannot give
+    (it hits 10% only in expectation; small strata can end up with zero
+    validation docs, silently unvalidated).
+
+    Shape: one rank window per stratum (partitioned by (source, lang) —
+    parallel across strata) over the doc relation; quotas are the
+    stratum-count column computed on the same window pass. Deterministic:
+    the hash is content-independent (doc_id), engine-portable (md5 hex →
+    base-16 conv), and new docs in OTHER strata never reshuffle a
+    stratum's ranking."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("source", "lang").orderBy("h", "doc_id")
+    ranked = docs.select("doc_id", "source", "lang", h.alias("h")).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("source", "lang")).alias("n_stratum"),
+    )
+    quota = F.expr(f"(n_stratum + {100 // STRATified_VAL_PCT} - 1) div {100 // STRATified_VAL_PCT}")
+    return ranked.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.col("n_stratum").cast("bigint").alias("n_stratum"),
+        F.when(F.col("rnk") <= quota, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -1598,3 +1598,71 @@ def sim_ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("imbalance_factor"),
         )
     )
+
+
+# Triplet-mining depth: hardest negatives kept per anchor (sync-pinned to
+# the oracle literal).
+HARD_NEG_K = 3
+
+
+def embedding_hard_negatives(
+    spark: SparkSession, sf_dir: str, num_queries: int = DEFAULT_NUM_QUERIES
+) -> DataFrame:
+    """Triplet mining for contrastive/metric training: per anchor, the
+    HARD_NEG_K hardest negatives (highest cosine, DIFFERENT label — the
+    confusable impostors a triplet loss learns the most from) and the
+    single hardest positive (lowest cosine, SAME label — the in-class
+    straggler). Candidates come from the shared multi-probe LSH bucket
+    join (ann_candidates), so mining stays bucket-local — the shape that
+    survives a 100× corpus: never an all-pairs label join.
+
+    Deterministic: cosines are exact-integer-dot doubles; every rank
+    carries the (cosine, neighbor_id) total tie-break; labels ride two
+    vec_id-keyed joins."""
+    cand = ann_candidates(spark, sf_dir, num_queries=num_queries)
+    labels = quantized_embeddings(spark, sf_dir).select("vec_id", "label")
+    j = (
+        cand.join(
+            labels.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+            ),
+            "query_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+            ),
+            "neighbor_id",
+        )
+    )
+    wneg = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    negs = (
+        j.where(F.col("q_label") != F.col("n_label"))
+        .withColumn("rank", F.row_number().over(wneg).cast("bigint"))
+        .where(F.col("rank") <= HARD_NEG_K)
+        .select(
+            "query_id",
+            F.lit("hard_negative").alias("kind"),
+            "rank",
+            "neighbor_id",
+            "cosine",
+        )
+    )
+    wpos = Window.partitionBy("query_id").orderBy(
+        F.asc("cosine"), F.asc("neighbor_id")
+    )
+    poss = (
+        j.where(F.col("q_label") == F.col("n_label"))
+        .withColumn("rank", F.row_number().over(wpos).cast("bigint"))
+        .where(F.col("rank") <= 1)
+        .select(
+            "query_id",
+            F.lit("hard_positive").alias("kind"),
+            "rank",
+            "neighbor_id",
+            "cosine",
+        )
+    )
+    return negs.unionByName(poss)

@@ -6763,3 +6763,68 @@ SELECT doc_id,
                / CAST(n_frames * 64 AS DOUBLE), 9) AS trimmed_frac
 FROM out
 """
+
+# Triplet mining over the same multi-probe LSH candidate relation as
+# sim_ann_lsh; hardest negatives = top-3 cosine among different-label
+# candidates, hardest positive = min cosine among same-label candidates.
+ORACLE_SQL["embedding_hard_negatives"] = f"""
+WITH {_QEMB_CTES},
+b AS (SELECT vec_id, label, qv, nrm, {_BUCKET_EXPR} AS bucket FROM n),
+queries AS (
+  SELECT query_id, q_label, qq, nq,
+         CASE WHEN p = 0 THEN bucket ELSE xor(bucket, 1 << (p - 1)) END AS bucket
+  FROM (SELECT vec_id AS query_id, label AS q_label, qv AS qq, nrm AS nq, bucket
+        FROM b WHERE vec_id < 5)
+  CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS p)
+),
+scored AS (
+  SELECT query_id, q_label, a.vec_id AS neighbor_id, a.label AS n_label,
+         list_dot_product(CAST(qq AS DOUBLE[]), CAST(a.qv AS DOUBLE[]))
+           / (sqrt(nq) * sqrt(a.nrm)) AS cosine
+  FROM b a JOIN queries USING (bucket)
+  WHERE a.vec_id != query_id
+),
+negs AS (
+  SELECT query_id, 'hard_negative' AS kind, CAST(rank AS BIGINT) AS rank,
+         neighbor_id, cosine
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC)
+                  AS rank
+        FROM scored WHERE q_label != n_label)
+  WHERE rank <= 3
+),
+poss AS (
+  SELECT query_id, 'hard_positive' AS kind, CAST(rank AS BIGINT) AS rank,
+         neighbor_id, cosine
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine ASC, neighbor_id ASC)
+                  AS rank
+        FROM scored WHERE q_label = n_label)
+  WHERE rank <= 1
+)
+SELECT * FROM negs UNION ALL SELECT * FROM poss
+"""
+
+# Stratified split with exact ceil-quota validation share per stratum;
+# hash ranking is content-independent md5 over the salted doc_id (the
+# '0x'||hex cast convention corpus_split_assign established).
+ORACLE_SQL["corpus_stratified_split"] = """
+WITH h AS (
+  SELECT doc_id, source, lang,
+         CAST('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) AS hv
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, lang,
+         row_number() OVER (PARTITION BY source, lang
+                            ORDER BY hv, doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY source, lang) AS n_stratum
+  FROM h
+)
+SELECT doc_id, source, lang,
+       CAST(n_stratum AS BIGINT) AS n_stratum,
+       CASE WHEN rnk <= (n_stratum + 9) // 10 THEN 'val'
+            ELSE 'train' END AS split
+FROM ranked
+"""

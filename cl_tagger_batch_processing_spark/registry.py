@@ -528,3 +528,5 @@ register("events_retention_curve_fit", relational.events_retention_curve_fit)
 register("dedup_cluster_keep_best", dedup.dedup_cluster_keep_best)
 register("sim_ivf_balance_report", similarity.sim_ivf_balance_report)
 register("mm_audio_silence_trim", multimodal.mm_audio_silence_trim)
+register("embedding_hard_negatives", similarity.embedding_hard_negatives)
+register("corpus_stratified_split", curation.corpus_stratified_split)

@@ -2776,3 +2776,14 @@ def test_km_censor_constant_in_sync():
 
     assert relational.KM_CENSOR_HOURS == 168
     assert "168 * 3600000000" in oracles.ORACLE_SQL["events_survival_km"]
+
+
+def test_r8_batch7_constants_in_sync():
+    from cl_tagger_batch_processing_spark import oracles
+    from cl_tagger_batch_processing_spark.operators import curation, similarity
+
+    assert similarity.HARD_NEG_K == 3
+    assert "rank <= 3" in oracles.ORACLE_SQL["embedding_hard_negatives"]
+    assert curation.STRATified_VAL_PCT == 10
+    assert "(n_stratum + 9) // 10" in oracles.ORACLE_SQL["corpus_stratified_split"]
+    assert "'strat:'" in oracles.ORACLE_SQL["corpus_stratified_split"]
