@@ -3852,3 +3852,172 @@ def events_retention_curve_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((vx > 0) & (vy > 0), cov * cov / (vx * vy)), 6
         ).alias("r2"),
     )
+
+
+# 2-state HMM for daily activity decoding (calm=0 / busy=1), parameters as
+# exact scaled log-probabilities (×1000, bigint) — sync-pinned to the
+# oracle literals. ln(0.8)≈-223, ln(0.2)≈-1609, ln(0.5)≈-693 at 3dp scale.
+HMM_PRIOR = (0, -693)  # calm is the default regime
+HMM_TRANS = ((-223, -1609), (-1609, -223))  # sticky states
+HMM_EMIT = ((-223, -1609), (-1609, -223))  # calm→low days, busy→high days
+HMM_SCAN_ROUNDS = 9  # Hillis-Steele doubling: exact for series ≤ 2^9 days
+
+
+def events_hmm_viterbi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi decoding of a 2-state activity HMM (calm/busy) over the
+    daily event-count series — sequential dynamic programming done
+    SPARK-FIRST: the per-day transition⊗emission matrices live in the
+    MAX-PLUS semiring, where the Viterbi forward pass is an (associative!)
+    matrix product, so the whole chain computes as a Hillis-Steele
+    parallel PREFIX SCAN in ⌈log₂ N⌉ doubling rounds instead of an N-step
+    driver loop (Ladner-Fischer / Blelloch scan applied to DP — the same
+    trick that parallelizes linear recurrences). A matching SUFFIX scan
+    gives the backward scores, and the decoded state at day t is
+    argmax_j (forward_t[j] + backward_t[j]) with the smaller-state
+    tie-break — the standard forward-backward Viterbi decomposition.
+
+    Observations: a day is 'high' iff count·n_days > total (exact
+    cross-multiplied integer comparison — no float mean). All scores are
+    exact scaled-integer log-probabilities (HMM_* constants), so every
+    max-plus product is bigint arithmetic and the decode is bit-identical
+    across engines. Each doubling round is ONE self-join of the per-DAY
+    frame on idx − 2ᵏ (day-cardinality sized, corpus-size-independent);
+    lineage truncates every third round. Exact for series up to
+    2^HMM_SCAN_ROUNDS days — the guard emits nothing rather than silently
+    truncating a longer series."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date(F.expr("cast(ts as timestamp)")).alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = daily.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    widx = Window.orderBy("day")
+    obs = (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "cnt",
+            F.row_number().over(widx).cast("bigint").alias("idx"),
+            F.col("n_days"),
+            F.when(F.col("cnt") * F.col("n_days") > F.col("total"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("obs"),
+        )
+    )
+    n_days_val = obs.agg(F.max("n_days")).first()[0]
+    if n_days_val is None or n_days_val > (1 << HMM_SCAN_ROUNDS):
+        return spark.createDataFrame(
+            [], "day date, idx bigint, obs bigint, state bigint, path_score bigint"
+        )
+    p0, p1 = HMM_PRIOR
+    (t00, t01), (t10, t11) = HMM_TRANS
+    (e0l, e0h), (e1l, e1h) = HMM_EMIT
+    e0 = F.when(F.col("obs") == 1, F.lit(e0h)).otherwise(F.lit(e0l))
+    e1 = F.when(F.col("obs") == 1, F.lit(e1h)).otherwise(F.lit(e1l))
+    # day 1's matrix ignores the source state (prior instead of transition)
+    first = F.col("idx") == 1
+    m = obs.select(
+        "day",
+        "idx",
+        "obs",
+        F.when(first, F.lit(p0) + e0).otherwise(F.lit(t00) + e0)
+        .cast("bigint")
+        .alias("m00"),
+        F.when(first, F.lit(p1) + e1).otherwise(F.lit(t01) + e1)
+        .cast("bigint")
+        .alias("m01"),
+        F.when(first, F.lit(p0) + e0).otherwise(F.lit(t10) + e0)
+        .cast("bigint")
+        .alias("m10"),
+        F.when(first, F.lit(p1) + e1).otherwise(F.lit(t11) + e1)
+        .cast("bigint")
+        .alias("m11"),
+    ).transform(truncate_lineage)
+
+    def scan(frame: DataFrame, direction: int) -> DataFrame:
+        """Hillis-Steele max-plus scan; direction=+1 prefix, −1 suffix.
+        Prefix combines EARLIER⊗current, suffix current⊗LATER."""
+        out = frame
+        for k in range(HMM_SCAN_ROUNDS):
+            step = (1 << k) * direction
+            other = out.select(
+                (F.col("idx") + step).alias("oidx"),
+                F.col("m00").alias("b00"),
+                F.col("m01").alias("b01"),
+                F.col("m10").alias("b10"),
+                F.col("m11").alias("b11"),
+            )
+            joined = out.join(other, out.idx == other.oidx, "left")
+            # prefix: C = B_earlier ⊗ A_current; suffix: C = A_current ⊗ B_later
+            if direction == 1:
+                c00 = F.greatest(F.col("b00") + F.col("m00"), F.col("b01") + F.col("m10"))
+                c01 = F.greatest(F.col("b00") + F.col("m01"), F.col("b01") + F.col("m11"))
+                c10 = F.greatest(F.col("b10") + F.col("m00"), F.col("b11") + F.col("m10"))
+                c11 = F.greatest(F.col("b10") + F.col("m01"), F.col("b11") + F.col("m11"))
+            else:
+                c00 = F.greatest(F.col("m00") + F.col("b00"), F.col("m01") + F.col("b10"))
+                c01 = F.greatest(F.col("m00") + F.col("b01"), F.col("m01") + F.col("b11"))
+                c10 = F.greatest(F.col("m10") + F.col("b00"), F.col("m11") + F.col("b10"))
+                c11 = F.greatest(F.col("m10") + F.col("b01"), F.col("m11") + F.col("b11"))
+            keep = F.col("oidx").isNull()
+            out = joined.select(
+                "day",
+                "idx",
+                "obs",
+                F.when(keep, F.col("m00")).otherwise(c00).alias("m00"),
+                F.when(keep, F.col("m01")).otherwise(c01).alias("m01"),
+                F.when(keep, F.col("m10")).otherwise(c10).alias("m10"),
+                F.when(keep, F.col("m11")).otherwise(c11).alias("m11"),
+            )
+            if (k + 1) % 3 == 0:
+                out = out.transform(truncate_lineage)
+        return out
+
+    prefix = scan(m, 1)
+    # forward scores: start vector (0, 0) ⊗ prefix_t
+    fw = prefix.select(
+        "day",
+        "idx",
+        "obs",
+        F.greatest("m00", "m10").alias("fw0"),
+        F.greatest("m01", "m11").alias("fw1"),
+    )
+    # suffix over days t+1..T: shift the matrices down one index first
+    shifted = m.select(
+        (F.col("idx") - 1).alias("idx"),
+        F.col("day").alias("sday"),
+        "obs",
+        "m00",
+        "m01",
+        "m10",
+        "m11",
+    ).where(F.col("idx") >= 1)
+    sfx = scan(
+        shifted.select(
+            F.col("sday").alias("day"), "idx", "obs", "m00", "m01", "m10", "m11"
+        ),
+        -1,
+    )
+    bw = sfx.select(
+        "idx",
+        F.greatest("m00", "m01").alias("bw0"),
+        F.greatest("m10", "m11").alias("bw1"),
+    )
+    dec = fw.join(bw, "idx", "left").select(
+        "day",
+        "idx",
+        "obs",
+        (F.col("fw0") + F.coalesce("bw0", F.lit(0))).alias("s0"),
+        (F.col("fw1") + F.coalesce("bw1", F.lit(0))).alias("s1"),
+    )
+    return dec.select(
+        "day",
+        "idx",
+        F.col("obs").cast("bigint").alias("obs"),
+        F.when(F.col("s0") >= F.col("s1"), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("state"),
+        F.greatest("s0", "s1").cast("bigint").alias("path_score"),
+    )

@@ -6828,3 +6828,94 @@ SELECT doc_id, source, lang,
             ELSE 'train' END AS split
 FROM ranked
 """
+
+
+def _viterbi_sql(rounds: int = 9) -> str:
+    """SQL twin of relational.events_hmm_viterbi_decode: identical
+    Hillis-Steele max-plus prefix/suffix scans as chained MATERIALIZED
+    CTEs (fixed round count — exact for ≤ 2^rounds days), identical
+    scaled-integer HMM constants, identical argmax tie-break."""
+
+    def combine(prefix: bool, k: int, src: str) -> str:
+        step = 1 << k
+        if prefix:
+            join = f"b.idx = a.idx - {step}"
+            c = [
+                "greatest(b.m00 + a.m00, b.m01 + a.m10)",
+                "greatest(b.m00 + a.m01, b.m01 + a.m11)",
+                "greatest(b.m10 + a.m00, b.m11 + a.m10)",
+                "greatest(b.m10 + a.m01, b.m11 + a.m11)",
+            ]
+        else:
+            join = f"b.idx = a.idx + {step}"
+            c = [
+                "greatest(a.m00 + b.m00, a.m01 + b.m10)",
+                "greatest(a.m00 + b.m01, a.m01 + b.m11)",
+                "greatest(a.m10 + b.m00, a.m11 + b.m10)",
+                "greatest(a.m10 + b.m01, a.m11 + b.m11)",
+            ]
+        cols = ",\n         ".join(
+            f"CASE WHEN b.idx IS NULL THEN a.m{ij} ELSE {expr} END AS m{ij}"
+            for ij, expr in zip(("00", "01", "10", "11"), c)
+        )
+        return (
+            f"SELECT a.day, a.idx, a.obs,\n         {cols}\n"
+            f"  FROM {src} a LEFT JOIN {src} b ON {join}"
+        )
+
+    ctes = [
+        """daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt FROM events GROUP BY 1
+)""",
+        "tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS n_days FROM daily)",
+        """obs AS MATERIALIZED (
+  SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx,
+         CASE WHEN cnt * (SELECT n_days FROM tot) > (SELECT total FROM tot)
+              THEN 1 ELSE 0 END AS obs
+  FROM daily
+)""",
+        """p0 AS MATERIALIZED (
+  SELECT day, idx, obs,
+         CAST(CASE WHEN idx = 1 THEN 0 ELSE -223 END
+              + CASE WHEN obs = 1 THEN -1609 ELSE -223 END AS BIGINT) AS m00,
+         CAST(CASE WHEN idx = 1 THEN -693 ELSE -1609 END
+              + CASE WHEN obs = 1 THEN -223 ELSE -1609 END AS BIGINT) AS m01,
+         CAST(CASE WHEN idx = 1 THEN 0 ELSE -1609 END
+              + CASE WHEN obs = 1 THEN -1609 ELSE -223 END AS BIGINT) AS m10,
+         CAST(CASE WHEN idx = 1 THEN -693 ELSE -223 END
+              + CASE WHEN obs = 1 THEN -223 ELSE -1609 END AS BIGINT) AS m11
+  FROM obs
+)""",
+        """s0 AS MATERIALIZED (
+  SELECT day, idx - 1 AS idx, obs, m00, m01, m10, m11
+  FROM p0 WHERE idx >= 2
+)""",
+    ]
+    for k in range(rounds):
+        ctes.append(f"p{k + 1} AS MATERIALIZED (\n  {combine(True, k, f'p{k}')}\n)")
+        ctes.append(f"s{k + 1} AS MATERIALIZED (\n  {combine(False, k, f's{k}')}\n)")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+fw AS (
+  SELECT day, idx, obs,
+         greatest(m00, m10) AS fw0, greatest(m01, m11) AS fw1
+  FROM p{rounds}
+),
+bw AS (
+  SELECT idx, greatest(m00, m01) AS bw0, greatest(m10, m11) AS bw1
+  FROM s{rounds}
+)
+SELECT f.day, f.idx, CAST(f.obs AS BIGINT) AS obs,
+       CAST(CASE WHEN f.fw0 + COALESCE(b.bw0, 0)
+                      >= f.fw1 + COALESCE(b.bw1, 0)
+                 THEN 0 ELSE 1 END AS BIGINT) AS state,
+       CAST(greatest(f.fw0 + COALESCE(b.bw0, 0),
+                     f.fw1 + COALESCE(b.bw1, 0)) AS BIGINT) AS path_score
+FROM fw f LEFT JOIN bw b USING (idx)
+"""
+    )
+
+
+ORACLE_SQL["events_hmm_viterbi_decode"] = _viterbi_sql(9)

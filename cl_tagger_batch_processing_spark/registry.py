@@ -530,3 +530,4 @@ register("sim_ivf_balance_report", similarity.sim_ivf_balance_report)
 register("mm_audio_silence_trim", multimodal.mm_audio_silence_trim)
 register("embedding_hard_negatives", similarity.embedding_hard_negatives)
 register("corpus_stratified_split", curation.corpus_stratified_split)
+register("events_hmm_viterbi_decode", relational.events_hmm_viterbi_decode)

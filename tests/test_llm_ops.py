@@ -2787,3 +2787,63 @@ def test_r8_batch7_constants_in_sync():
     assert curation.STRATified_VAL_PCT == 10
     assert "(n_stratum + 9) // 10" in oracles.ORACLE_SQL["corpus_stratified_split"]
     assert "'strat:'" in oracles.ORACLE_SQL["corpus_stratified_split"]
+
+
+def test_viterbi_scan_matches_sequential_dp(spark, sf_dir):
+    """The log-depth max-plus scan must reproduce the plain O(N) Viterbi:
+    an INDEPENDENT sequential implementation (the textbook loop) over the
+    same observation series — the scan and its SQL oracle share an
+    algorithm, so this is the check that algorithm is actually Viterbi."""
+    from cl_tagger_batch_processing_spark.operators.relational import (
+        HMM_EMIT,
+        HMM_PRIOR,
+        HMM_TRANS,
+        events_hmm_viterbi_decode,
+    )
+
+    rows = events_hmm_viterbi_decode(spark, sf_dir).orderBy("idx").collect()
+    assert rows
+    obs = [r.obs for r in rows]
+    # sequential forward pass (textbook Viterbi, max-plus)
+    fw = []
+    for t, o in enumerate(obs):
+        e = [HMM_EMIT[0][o], HMM_EMIT[1][o]]
+        if t == 0:
+            fw.append([HMM_PRIOR[0] + e[0], HMM_PRIOR[1] + e[1]])
+        else:
+            prev = fw[-1]
+            fw.append(
+                [
+                    max(prev[0] + HMM_TRANS[0][j], prev[1] + HMM_TRANS[1][j]) + e[j]
+                    for j in (0, 1)
+                ]
+            )
+    # sequential backward pass
+    n = len(obs)
+    bw = [[0, 0] for _ in range(n)]
+    for t in range(n - 2, -1, -1):
+        o = obs[t + 1]
+        e = [HMM_EMIT[0][o], HMM_EMIT[1][o]]
+        bw[t] = [
+            max(HMM_TRANS[j][0] + e[0] + bw[t + 1][0],
+                HMM_TRANS[j][1] + e[1] + bw[t + 1][1])
+            for j in (0, 1)
+        ]
+    best = max(fw[-1])
+    for t, r in enumerate(rows):
+        s0 = fw[t][0] + bw[t][0]
+        s1 = fw[t][1] + bw[t][1]
+        assert r.path_score == max(s0, s1) == best
+        assert r.state == (0 if s0 >= s1 else 1)
+
+
+def test_hmm_constants_in_sync():
+    from cl_tagger_batch_processing_spark import oracles
+    from cl_tagger_batch_processing_spark.operators import relational
+
+    assert relational.HMM_PRIOR == (0, -693)
+    assert relational.HMM_TRANS == ((-223, -1609), (-1609, -223))
+    assert relational.HMM_EMIT == ((-223, -1609), (-1609, -223))
+    assert relational.HMM_SCAN_ROUNDS == 9
+    sql = oracles.ORACLE_SQL["events_hmm_viterbi_decode"]
+    assert "p9" in sql and "p10" not in sql and "-693" in sql and "-1609" in sql
