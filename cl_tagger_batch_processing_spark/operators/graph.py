@@ -1107,7 +1107,11 @@ def graph_hits(
         h = _hits_push(a, "a", edges, nodes, "dst", "src").withColumnRenamed(
             "a", "h"
         )
-        if i < n_rounds - 1:
+        # truncate every SECOND round, not every round: each eager
+        # checkpoint is a blocking materialization, and a 2-round chain of
+        # node-sized joins is still a small plan (the PR_CHECKPOINT_EVERY
+        # lesson — per-step checkpoints dominated cost, not the joins)
+        if i % 2 == 1 and i < n_rounds - 1:
             a = a.transform(truncate_lineage)
             h = h.transform(truncate_lineage)
     return (
