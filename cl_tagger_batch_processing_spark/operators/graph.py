@@ -1177,3 +1177,143 @@ def graph_adamic_adar(
         "n_common",
         "aa_score",
     )
+
+
+# Seeded k-bounded betweenness: BFS horizon (paths longer than this are
+# out of scope by definition — "k-bounded betweenness"), sync-pinned to
+# the oracle's layer count.
+BC_MAX_DEPTH = 16
+
+
+def graph_betweenness_seeded(
+    spark: SparkSession, sf_dir: str, min_support: int = PR_MIN_SUPPORT
+) -> DataFrame:
+    """Seeded (sampled-source) k-bounded betweenness centrality — Brandes'
+    algorithm from the SP_N_SEEDS smallest node ids, the standard
+    approximation when exact all-sources betweenness (O(V·E)) is off the
+    table: which nodes sit ON the shortest paths from the anchor set (the
+    broker/bottleneck metric, vs PageRank's popularity and HITS'
+    mutual-reinforcement).
+
+    Two phases, both layer-synchronous over the shared co-occurrence
+    edges: (1) forward frontier BFS carrying per-seed shortest-path COUNTS
+    σ (integer sums — each node's σ is the sum of its predecessors', one
+    groupBy per layer, anti-joined so every node enters once: O(E) total
+    join work); (2) Brandes' backward dependency accumulation, one layer
+    per round from the deepest observed layer down, δ(v) = Σ_{w∈succ}
+    σ(v)/σ(w)·(1+δ(w)) — per-term 9dp rounds summed in DECIMAL(28,9),
+    per-layer δ rounded at 9dp, so the float work is an identical
+    replayable tree on both engines. Paths longer than BC_MAX_DEPTH hops
+    are out of scope BY DEFINITION (k-bounded variant; the fixture
+    diameter is far below it). betweenness(v) = Σ_seeds δ_s(v), seeds
+    excluded, 6dp; reachable nodes emit (leaves at exact 0.0).
+
+    The backward loop count is the OBSERVED max depth (a driver scalar
+    from the forward pass — control plane); every layer frame is
+    checkpointed with its size read off the same job."""
+    from ..checkpointing import checkpoint_with_metric
+
+    edges = cooccurrence_edges(spark, sf_dir, min_support=min_support)
+    nodes = edges.select("src").distinct()
+    seeds = nodes.orderBy("src").limit(SP_N_SEEDS).select(
+        F.col("src").alias("seed")
+    )
+    n_rows = F.count(F.lit(1)).alias("n")
+    state = seeds.select(
+        "seed",
+        F.col("seed").alias("node"),
+        F.lit(0).cast("bigint").alias("dist"),
+        F.lit(1).cast("bigint").alias("sigma"),
+    )
+    state, layer_size = checkpoint_with_metric(state, n_rows)
+    frontier = state
+    max_d = 0
+    for d in range(1, BC_MAX_DEPTH + 1):
+        if layer_size == 0:
+            break
+        cand = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select("seed", F.col("dst").alias("node"), "sigma")
+            .join(state.select("seed", "node"), ["seed", "node"], "left_anti")
+            .groupBy("seed", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+            .select(
+                "seed", "node", F.lit(d).cast("bigint").alias("dist"), "sigma"
+            )
+        )
+        cand, layer_size = checkpoint_with_metric(cand, n_rows)
+        if layer_size == 0:
+            break
+        max_d = d
+        frontier = cand
+        state = state.unionByName(cand).transform(truncate_lineage)
+    # Backward dependency accumulation, deepest layer first, in EXACT
+    # scaled integers (the PageRank discipline): δ is carried ×1e9 as
+    # bigint, each term is (σv·(1e9 + Δw)) div σw with the product widened
+    # to DECIMAL(38,0) before the floor division (engine-identical for
+    # nonnegative operands). Float rounding here is a trap: σ ratios are
+    # small rationals, so round(double, 9) lands EXACTLY on half-up
+    # boundaries where Spark (decimal-string HALF_UP) and DuckDB (binary)
+    # disagree — hit for real at sf0.01.
+    delta = (
+        state.where(F.col("dist") == max_d)
+        .select("seed", "node", F.lit(0).cast("bigint").alias("delta"))
+        .transform(truncate_lineage)
+    )
+    acc = delta
+    for d in range(max_d - 1, -1, -1):
+        sv = state.where(F.col("dist") == d).alias("v")
+        sw = state.where(F.col("dist") == d + 1).select(
+            F.col("seed").alias("wseed"),
+            F.col("node").alias("wnode"),
+            F.col("sigma").alias("wsigma"),
+        )
+        dw = delta.select(
+            F.col("seed").alias("dseed"),
+            F.col("node").alias("dnode"),
+            F.col("delta").alias("wdelta"),
+        )
+        term = F.expr(
+            "(CAST(sigma AS DECIMAL(38,0))"
+            " * CAST(1000000000 + wdelta AS DECIMAL(38,0)))"
+            " div CAST(wsigma AS DECIMAL(38,0))"
+        )
+        contrib = (
+            sv.join(edges, F.col("v.node") == edges.src)
+            .join(
+                sw,
+                (F.col("wseed") == F.col("v.seed")) & (F.col("wnode") == F.col("dst")),
+            )
+            .join(
+                dw,
+                (F.col("dseed") == F.col("wseed")) & (F.col("dnode") == F.col("wnode")),
+            )
+            .groupBy(F.col("v.seed").alias("seed"), F.col("v.node").alias("node"))
+            .agg(F.sum(term).cast("bigint").alias("delta"))
+        )
+        delta = (
+            state.where(F.col("dist") == d)
+            .select("seed", "node")
+            .join(contrib, ["seed", "node"], "left")
+            .select(
+                "seed",
+                "node",
+                F.coalesce("delta", F.lit(0)).cast("bigint").alias("delta"),
+            )
+            .transform(truncate_lineage)
+        )
+        acc = acc.unionByName(delta).transform(truncate_lineage)
+    return (
+        acc.where(F.col("node") != F.col("seed"))
+        .groupBy("node")
+        .agg(F.sum("delta").cast("bigint").alias("betweenness_scaled"))
+        .select(
+            "node",
+            "betweenness_scaled",
+            # exact bigint → one double division, NO rounding: identical
+            # bits on both engines by construction
+            (F.col("betweenness_scaled").cast("double") / F.lit(1.0e9)).alias(
+                "betweenness"
+            ),
+        )
+    )

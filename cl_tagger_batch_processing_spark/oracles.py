@@ -6919,3 +6919,83 @@ FROM fw f LEFT JOIN bw b USING (idx)
 
 
 ORACLE_SQL["events_hmm_viterbi_decode"] = _viterbi_sql(9)
+
+
+def _betweenness_sql(max_depth: int = 16) -> str:
+    """SQL twin of graph.graph_betweenness_seeded: layered forward BFS
+    with σ path counts (chained CTEs — recursive terms can't aggregate),
+    then Brandes' backward accumulation with the identical 9dp term/layer
+    rounding. Layers above the true depth are empty CTEs, so starting the
+    backward chain at the fixed horizon equals Spark's observed-depth
+    start."""
+    ctes = [
+        _PR_GRAPH_CTES,
+        """seeds AS (
+  SELECT src AS seed FROM (SELECT DISTINCT src FROM edges)
+  ORDER BY src LIMIT 3
+)""",
+        """l0 AS (
+  SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist,
+         CAST(1 AS BIGINT) AS sigma
+  FROM seeds
+)""",
+        "state0 AS (SELECT * FROM l0)",
+    ]
+    for d in range(1, max_depth + 1):
+        ctes.append(
+            f"""l{d} AS MATERIALIZED (
+  SELECT seed, node, CAST({d} AS BIGINT) AS dist, SUM(sigma) AS sigma
+  FROM (
+    SELECT f.seed, e.dst AS node, f.sigma
+    FROM l{d - 1} f JOIN edges e ON f.node = e.src
+  ) x
+  ANTI JOIN state{d - 1} s ON x.seed = s.seed AND x.node = s.node
+  GROUP BY seed, node
+)"""
+        )
+        ctes.append(
+            f"""state{d} AS MATERIALIZED (
+  SELECT * FROM state{d - 1} UNION ALL SELECT * FROM l{d}
+)"""
+        )
+    ctes.append(
+        f"""del{max_depth} AS (
+  SELECT seed, node, CAST(0 AS BIGINT) AS delta
+  FROM state{max_depth} WHERE dist = {max_depth}
+)"""
+    )
+    # exact scaled-integer accumulation (delta ×1e9, HUGEINT product, floor
+    # division — identical to Spark's DECIMAL(38,0) div for nonneg values)
+    for d in range(max_depth - 1, -1, -1):
+        ctes.append(
+            f"""del{d} AS MATERIALIZED (
+  SELECT v.seed, v.node,
+         CAST(COALESCE(SUM(
+             (CAST(v.sigma AS HUGEINT) * (1000000000 + dw.delta))
+               // w.sigma), 0) AS BIGINT) AS delta
+  FROM (SELECT * FROM state{max_depth} WHERE dist = {d}) v
+  LEFT JOIN edges e ON v.node = e.src
+  LEFT JOIN (SELECT * FROM state{max_depth} WHERE dist = {d + 1}) w
+    ON w.seed = v.seed AND w.node = e.dst
+  LEFT JOIN del{d + 1} dw ON dw.seed = w.seed AND dw.node = w.node
+  GROUP BY v.seed, v.node
+)"""
+        )
+    alls = "\nUNION ALL\n".join(
+        f"SELECT * FROM del{d}" for d in range(max_depth + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+acc AS ({alls})
+SELECT node,
+       CAST(SUM(delta) AS BIGINT) AS betweenness_scaled,
+       CAST(SUM(delta) AS DOUBLE) / 1e9 AS betweenness
+FROM acc WHERE node != seed
+GROUP BY node
+"""
+    )
+
+
+ORACLE_SQL["graph_betweenness_seeded"] = _betweenness_sql(16)

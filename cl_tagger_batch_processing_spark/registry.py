@@ -531,3 +531,4 @@ register("mm_audio_silence_trim", multimodal.mm_audio_silence_trim)
 register("embedding_hard_negatives", similarity.embedding_hard_negatives)
 register("corpus_stratified_split", curation.corpus_stratified_split)
 register("events_hmm_viterbi_decode", relational.events_hmm_viterbi_decode)
+register("graph_betweenness_seeded", graph.graph_betweenness_seeded)

@@ -2847,3 +2847,53 @@ def test_hmm_constants_in_sync():
     assert relational.HMM_SCAN_ROUNDS == 9
     sql = oracles.ORACLE_SQL["events_hmm_viterbi_decode"]
     assert "p9" in sql and "p10" not in sql and "-693" in sql and "-1609" in sql
+
+
+def test_betweenness_matches_sequential_brandes(spark, sf_dir):
+    """Independent check: a textbook sequential Brandes (no layer CTEs, no
+    scaled rounding) over the collected edge list must agree with the
+    distributed layer-synchronous version to float tolerance — the SQL
+    oracle replays the same layered algorithm, so this pins the MATH."""
+    from collections import defaultdict, deque
+
+    from cl_tagger_batch_processing_spark.operators.graph import (
+        cooccurrence_edges,
+        graph_betweenness_seeded,
+    )
+
+    got = {
+        r.node: r.betweenness
+        for r in graph_betweenness_seeded(spark, sf_dir).collect()
+    }
+    assert got
+    edges = defaultdict(list)
+    for r in cooccurrence_edges(spark, sf_dir).collect():
+        edges[r.src].append(r.dst)
+    seeds = sorted(edges)[:3]
+    dep = defaultdict(float)
+    for s in seeds:
+        dist, sigma, order = {s: 0}, defaultdict(int), []
+        sigma[s] = 1
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in edges[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = defaultdict(float)
+        for v in reversed(order):
+            for w in edges[v]:
+                if dist.get(w) == dist[v] + 1:
+                    delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+        for v, d_ in delta.items():
+            if v != s:
+                dep[v] += d_
+    for node, bc in got.items():
+        assert abs(bc - dep.get(node, 0.0)) < 1e-4, (node, bc, dep.get(node))
+    for node, d_ in dep.items():
+        if d_ > 1e-9:
+            assert node in got
