@@ -1595,3 +1595,67 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("b.q").cast("double") / F.lit(1000000.0)).alias("keep_quality"),
         "member_ids",
     )
+
+
+def corpus_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-weighted dedup funnel: what each dedup stage saves in actual
+    training tokens, per source — the number that goes in the pipeline
+    report (docs are not the budget unit; tokens are). Same staged
+    semantics as corpus_dedup_funnel (exact keeps min doc per hash; near
+    keeps min exact-SURVIVOR per MinHash cluster), with token sums
+    riding the identical windows, so the two reports can never disagree
+    about who survived.
+
+    Exact integer token counts (whitespace tokenization — the
+    corpus_token_budget convention); one new column per stage, no new
+    corpus scan beyond dedup_clusters' memoized chain; savings fractions
+    divide once per row."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("content_hash"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w_exact = Window.partitionBy("content_hash").orderBy("doc_id")
+    exact_surv = (
+        docs.withColumn("rn", F.row_number().over(w_exact))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "source", "n_tokens")
+    )
+    clusters = dedup_clusters(spark, sf_dir)
+    w_near = Window.partitionBy("cluster_id").orderBy("doc_id")
+    near_surv = (
+        exact_surv.join(clusters, "doc_id")
+        .withColumn("rn", F.row_number().over(w_near))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "source", "n_tokens")
+    )
+    t_all = docs.groupBy("source").agg(F.sum("n_tokens").alias("tokens_raw"))
+    t_exact = exact_surv.groupBy("source").agg(
+        F.sum("n_tokens").alias("tokens_after_exact")
+    )
+    t_near = near_surv.groupBy("source").agg(
+        F.sum("n_tokens").alias("tokens_after_near")
+    )
+    return (
+        t_all.join(t_exact, "source", "left")
+        .join(t_near, "source", "left")
+        .select(
+            "source",
+            F.col("tokens_raw").cast("bigint").alias("tokens_raw"),
+            F.coalesce("tokens_after_exact", F.lit(0))
+            .cast("bigint")
+            .alias("tokens_after_exact"),
+            F.coalesce("tokens_after_near", F.lit(0))
+            .cast("bigint")
+            .alias("tokens_after_near"),
+            F.round(
+                (
+                    F.col("tokens_raw")
+                    - F.coalesce("tokens_after_near", F.lit(0))
+                ).cast("double")
+                / F.col("tokens_raw").cast("double"),
+                6,
+            ).alias("tokens_saved_frac"),
+        )
+    )

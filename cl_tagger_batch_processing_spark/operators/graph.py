@@ -1317,3 +1317,37 @@ def graph_betweenness_seeded(
             ),
         )
     )
+
+
+def graph_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-distance distribution from the anchor seed set with the
+    EFFECTIVE DIAMETER readout — the smallest hop count covering ≥ 90% of
+    reachable nodes (the standard small-world statistic, robust where the
+    true diameter is one freak chain). Pure composition over the shared
+    frontier-BFS distances: one groupBy(dist), one cumulative window over
+    the ≤ diameter-many rows, and an EXACT integer 90% test
+    (cum·10 ≥ total·9 — no float threshold)."""
+    dist = graph_shortest_paths(spark, sf_dir)
+    per = dist.groupBy("dist").agg(F.count(F.lit(1)).alias("n_nodes"))
+    total = per.agg(F.sum("n_nodes").alias("n_total"))
+    wc = Window.orderBy("dist").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        per.crossJoin(F.broadcast(total))
+        .withColumn("cum_nodes", F.sum("n_nodes").over(wc))
+        .withColumn(
+            "covered_90", F.col("cum_nodes") * 10 >= F.col("n_total") * 9
+        )
+    )
+    w_first = Window.orderBy("dist").rowsBetween(Window.unboundedPreceding, -1)
+    return cum.select(
+        F.col("dist").cast("bigint").alias("dist"),
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        F.col("cum_nodes").cast("bigint").alias("cum_nodes"),
+        F.round(
+            F.col("cum_nodes").cast("double") / F.col("n_total").cast("double"), 9
+        ).alias("cum_frac"),
+        (
+            F.col("covered_90")
+            & ~F.coalesce(F.max("covered_90").over(w_first), F.lit(False))
+        ).alias("is_effective_diameter"),
+    )

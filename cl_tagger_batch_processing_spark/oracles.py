@@ -6999,3 +6999,74 @@ GROUP BY node
 
 
 ORACLE_SQL["graph_betweenness_seeded"] = _betweenness_sql(16)
+
+# Token-weighted dedup funnel: identical survivor windows as
+# corpus_dedup_funnel, token sums riding them.
+ORACLE_SQL["corpus_dedup_token_savings"] = f"""
+WITH clusters AS ({ORACLE_SQL["dedup_clusters"]}),
+d AS (
+  SELECT doc_id, source, md5(text) AS content_hash,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+exact_surv AS (
+  SELECT doc_id, source, n_tokens FROM (
+    SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id)
+      AS rn FROM d) WHERE rn = 1
+),
+near_surv AS (
+  SELECT doc_id, source, n_tokens FROM (
+    SELECT e.doc_id, e.source, e.n_tokens,
+           row_number() OVER (PARTITION BY c.cluster_id ORDER BY e.doc_id)
+             AS rn
+    FROM exact_surv e JOIN clusters c USING (doc_id)) WHERE rn = 1
+),
+t_all AS (SELECT source, SUM(n_tokens) AS tokens_raw FROM d GROUP BY source),
+t_exact AS (
+  SELECT source, SUM(n_tokens) AS tokens_after_exact
+  FROM exact_surv GROUP BY source
+),
+t_near AS (
+  SELECT source, SUM(n_tokens) AS tokens_after_near
+  FROM near_surv GROUP BY source
+)
+SELECT a.source,
+       CAST(a.tokens_raw AS BIGINT) AS tokens_raw,
+       CAST(COALESCE(e.tokens_after_exact, 0) AS BIGINT) AS tokens_after_exact,
+       CAST(COALESCE(n.tokens_after_near, 0) AS BIGINT) AS tokens_after_near,
+       round(CAST(a.tokens_raw - COALESCE(n.tokens_after_near, 0) AS DOUBLE)
+             / CAST(a.tokens_raw AS DOUBLE), 6) AS tokens_saved_frac
+FROM t_all a
+LEFT JOIN t_exact e USING (source)
+LEFT JOIN t_near n USING (source)
+"""
+
+# Effective diameter over the shared BFS distances (reuses the shortest-
+# paths oracle verbatim as a CTE); exact-integer 90% coverage test.
+ORACLE_SQL["graph_effective_diameter"] = f"""
+WITH dists AS ({ORACLE_SQL["graph_shortest_paths"]}),
+per AS (SELECT dist, COUNT(*) AS n_nodes FROM dists GROUP BY dist),
+tot AS (SELECT SUM(n_nodes) AS n_total FROM per),
+cum AS (
+  SELECT dist, n_nodes,
+         SUM(n_nodes) OVER (ORDER BY dist
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum_nodes,
+         (SELECT n_total FROM tot) AS n_total
+  FROM per
+),
+flagged AS (
+  SELECT *, cum_nodes * 10 >= n_total * 9 AS covered_90 FROM cum
+)
+SELECT CAST(dist AS BIGINT) AS dist,
+       CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(cum_nodes AS BIGINT) AS cum_nodes,
+       round(CAST(cum_nodes AS DOUBLE) / CAST(n_total AS DOUBLE), 9)
+         AS cum_frac,
+       covered_90 AND NOT COALESCE(
+         MAX(covered_90) OVER (ORDER BY dist
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), false)
+         AS is_effective_diameter
+FROM flagged
+"""

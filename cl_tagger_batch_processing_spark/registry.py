@@ -532,3 +532,5 @@ register("embedding_hard_negatives", similarity.embedding_hard_negatives)
 register("corpus_stratified_split", curation.corpus_stratified_split)
 register("events_hmm_viterbi_decode", relational.events_hmm_viterbi_decode)
 register("graph_betweenness_seeded", graph.graph_betweenness_seeded)
+register("corpus_dedup_token_savings", dedup.corpus_dedup_token_savings)
+register("graph_effective_diameter", graph.graph_effective_diameter)
