@@ -863,7 +863,10 @@ def corpus_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rnk"),
         F.count(F.lit(1)).over(Window.partitionBy("source", "lang")).alias("n_stratum"),
     )
-    quota = F.expr(f"(n_stratum + {100 // STRATified_VAL_PCT} - 1) div {100 // STRATified_VAL_PCT}")
+    # ceil(n·pct/100) directly — the (n + 100//pct − 1) div (100//pct)
+    # form is only equal when pct divides 100 (r8 review: pct = 15 would
+    # silently mean 16.7%)
+    quota = F.expr(f"(n_stratum * {STRATified_VAL_PCT} + 99) div 100")
     return ranked.select(
         "doc_id",
         "source",

@@ -1310,6 +1310,34 @@ def dedup_minhash_band_sweep(
     return out
 
 
+def _dedup_survivors(
+    spark: SparkSession, sf_dir: str, docs: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(exact_surv, near_surv): the staged keep decision SHARED by
+    corpus_dedup_funnel and corpus_dedup_token_savings (r8 review: the
+    two reports' "can never disagree about who survived" guarantee must
+    be structural, not parallel copy-paste). ``docs`` carries doc_id,
+    content_hash plus any payload columns, which ride through both
+    stages; exact keeps the min doc_id per content hash, near keeps the
+    min exact-SURVIVOR per MinHash cluster (the memoized assignment)."""
+    keep_cols = [c for c in docs.columns if c != "content_hash"]
+    w_exact = Window.partitionBy("content_hash").orderBy("doc_id")
+    exact_surv = (
+        docs.withColumn("rn", F.row_number().over(w_exact))
+        .where(F.col("rn") == 1)
+        .select(*keep_cols)
+    )
+    clusters = dedup_clusters(spark, sf_dir)
+    w_near = Window.partitionBy("cluster_id").orderBy("doc_id")
+    near_surv = (
+        exact_surv.join(clusters, "doc_id")
+        .withColumn("rn", F.row_number().over(w_near))
+        .where(F.col("rn") == 1)
+        .select(*keep_cols)
+    )
+    return exact_surv, near_surv
+
+
 def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dedup retention funnel: how many documents survive the
     exact pass, then the near-dup pass — the report a corpus owner reads
@@ -1330,20 +1358,7 @@ def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.md5("text").alias("content_hash")
     )
-    w_exact = Window.partitionBy("content_hash").orderBy("doc_id")
-    exact_surv = (
-        docs.withColumn("rn", F.row_number().over(w_exact))
-        .where(F.col("rn") == 1)
-        .select("doc_id", "source")
-    )
-    clusters = dedup_clusters(spark, sf_dir)  # (doc_id, cluster_id), all docs
-    w_near = Window.partitionBy("cluster_id").orderBy("doc_id")
-    near_surv = (
-        exact_surv.join(clusters, "doc_id")
-        .withColumn("rn", F.row_number().over(w_near))
-        .where(F.col("rn") == 1)
-        .select("doc_id", "source")
-    )
+    exact_surv, near_surv = _dedup_survivors(spark, sf_dir, docs)
     n_docs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     n_exact = exact_surv.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_exact"))
     n_near = near_surv.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_near"))
@@ -1570,8 +1585,6 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring is row-local Column math; the selection is one
     max(struct(q, −doc_id)) hash aggregation per cluster — no window, no
     second pass; members flatten to the sorted-csv scalar shape."""
-    from .quality import quality_components
-
     cc = dedup_clusters(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", F.split(F.col("text"), " ").alias("toks")
@@ -1616,20 +1629,7 @@ def corpus_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("content_hash"),
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
     )
-    w_exact = Window.partitionBy("content_hash").orderBy("doc_id")
-    exact_surv = (
-        docs.withColumn("rn", F.row_number().over(w_exact))
-        .where(F.col("rn") == 1)
-        .select("doc_id", "source", "n_tokens")
-    )
-    clusters = dedup_clusters(spark, sf_dir)
-    w_near = Window.partitionBy("cluster_id").orderBy("doc_id")
-    near_surv = (
-        exact_surv.join(clusters, "doc_id")
-        .withColumn("rn", F.row_number().over(w_near))
-        .where(F.col("rn") == 1)
-        .select("doc_id", "source", "n_tokens")
-    )
+    exact_surv, near_surv = _dedup_survivors(spark, sf_dir, docs)
     t_all = docs.groupBy("source").agg(F.sum("n_tokens").alias("tokens_raw"))
     t_exact = exact_surv.groupBy("source").agg(
         F.sum("n_tokens").alias("tokens_after_exact")

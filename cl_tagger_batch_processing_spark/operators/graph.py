@@ -1201,9 +1201,10 @@ def graph_betweenness_seeded(
     groupBy per layer, anti-joined so every node enters once: O(E) total
     join work); (2) Brandes' backward dependency accumulation, one layer
     per round from the deepest observed layer down, δ(v) = Σ_{w∈succ}
-    σ(v)/σ(w)·(1+δ(w)) — per-term 9dp rounds summed in DECIMAL(28,9),
-    per-layer δ rounded at 9dp, so the float work is an identical
-    replayable tree on both engines. Paths longer than BC_MAX_DEPTH hops
+    σ(v)/σ(w)·(1+δ(w)) — carried in EXACT ×1e9 scaled integers with
+    floor-divided terms (see the in-body comment: float rounding here
+    lands on engine-divergent half-up boundaries). Paths longer than
+    BC_MAX_DEPTH hops
     are out of scope BY DEFINITION (k-bounded variant; the fixture
     diameter is far below it). betweenness(v) = Σ_seeds δ_s(v), seeds
     excluded, 6dp; reachable nodes emit (leaves at exact 0.0).

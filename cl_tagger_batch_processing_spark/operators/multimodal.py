@@ -420,6 +420,40 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 ENERGY_FRAME_BYTES = 64
 
 
+def _frame_energies(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_frames, frame_idx, energy): the shared per-frame energy
+    relation (complete ENERGY_FRAME_BYTES frames, squared-byte integer
+    energies) that mm_audio_energy_segments and mm_audio_silence_trim
+    both consume — extracted so the "same framing and energy rule"
+    guarantee is structural, not copy-paste (r8 review)."""
+    n_frames = F.floor(F.length("text") / F.lit(ENERGY_FRAME_BYTES)).cast("bigint")
+    frames = docs.where(n_frames >= 1).select(
+        "doc_id",
+        "text",
+        n_frames.alias("n_frames"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_frames - 1)).alias(
+            "frame_idx"
+        ),
+    )
+    frame_vals = F.transform(
+        F.split(
+            F.substring(
+                F.col("text"),
+                (F.col("frame_idx") * ENERGY_FRAME_BYTES + 1).cast("int"),
+                ENERGY_FRAME_BYTES,
+            ),
+            "",
+        ),
+        lambda c: F.ascii(c).cast("bigint"),
+    )
+    energy = F.aggregate(
+        frame_vals, F.lit(0).cast("bigint"), lambda a, x: a + x * x
+    )
+    return frames.select(
+        "doc_id", "n_frames", "frame_idx", energy.alias("energy")
+    )
+
+
 def mm_audio_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Energy-based activity segmentation over "audio" payloads — the
     VAD (voice-activity-detection) pass that turns a raw waveform into the
@@ -440,30 +474,7 @@ def mm_audio_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-keyed, linear at any corpus volume, zero Python.
     """
     docs = load_table(spark, sf_dir, "documents")
-    n_frames = F.floor(F.length("text") / F.lit(ENERGY_FRAME_BYTES)).cast("bigint")
-    frames = docs.where(n_frames >= 1).select(
-        "doc_id",
-        "text",
-        n_frames.alias("n_frames"),
-        F.explode(F.sequence(F.lit(0).cast("bigint"), n_frames - 1)).alias("frame_idx"),
-    )
-    frame_vals = F.transform(
-        F.split(
-            F.substring(
-                F.col("text"),
-                (F.col("frame_idx") * ENERGY_FRAME_BYTES + 1).cast("int"),
-                ENERGY_FRAME_BYTES,
-            ),
-            "",
-        ),
-        lambda c: F.ascii(c).cast("bigint"),
-    )
-    energy = F.aggregate(
-        frame_vals, F.lit(0).cast("bigint"), lambda a, x: a + x * x
-    )
-    per_frame = frames.select(
-        "doc_id", "n_frames", "frame_idx", energy.alias("energy")
-    )
+    per_frame = _frame_energies(docs)
     wdoc = Window.partitionBy("doc_id")
     active = per_frame.withColumn(
         "total_energy", F.sum("energy").over(wdoc)
@@ -533,32 +544,7 @@ def mm_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one doc-keyed aggregation over the frame relation — row-local
     Column math, linear, zero Python."""
     docs = load_table(spark, sf_dir, "documents")
-    n_frames = F.floor(F.length("text") / F.lit(ENERGY_FRAME_BYTES)).cast("bigint")
-    frames = docs.where(n_frames >= 1).select(
-        "doc_id",
-        "text",
-        n_frames.alias("n_frames"),
-        F.explode(F.sequence(F.lit(0).cast("bigint"), n_frames - 1)).alias(
-            "frame_idx"
-        ),
-    )
-    frame_vals = F.transform(
-        F.split(
-            F.substring(
-                F.col("text"),
-                (F.col("frame_idx") * ENERGY_FRAME_BYTES + 1).cast("int"),
-                ENERGY_FRAME_BYTES,
-            ),
-            "",
-        ),
-        lambda c: F.ascii(c).cast("bigint"),
-    )
-    energy = F.aggregate(
-        frame_vals, F.lit(0).cast("bigint"), lambda a, x: a + x * x
-    )
-    per_frame = frames.select(
-        "doc_id", "n_frames", "frame_idx", energy.alias("energy")
-    )
+    per_frame = _frame_energies(docs)
     # the active rule needs the per-doc total first; the totals frame joins
     # back doc-keyed (stats-broadcast-back pattern), then one aggregation
     # reads off the active bounds.

@@ -3627,43 +3627,71 @@ def orders_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Kaplan-Meier censoring horizon: users whose last event falls within this
-# many hours of the corpus end are right-censored (still alive), the
-# standard survival-analysis treatment. Sync-pinned to the oracle literal.
-KM_CENSOR_HOURS = 168
+# Kaplan-Meier right-censoring horizon: a SESSION whose last event is
+# within the 30-minute session gap of the corpus end may still be alive
+# (its closing silence has not yet been observed), so it is censored —
+# the principled horizon IS the gap. Sync-pinned to the oracle literal.
+# (r8 review fix: the first cut measured USER lifetimes with a 168h
+# horizon, under which every fixture user at every scale was censored —
+# the operator emitted 0 rows and its parity gate was vacuous.)
+KM_CENSOR_MINUTES = 30
 
 
 def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier survival curve of user lifetime (first event → last
-    event, hours) with right-censoring — THE estimator for churn/retention
-    curves under incomplete observation: users whose last activity is
-    within KM_CENSOR_HOURS of the corpus end are censored (they may still
-    be active), not counted as churned.
+    """Kaplan-Meier survival curve of SESSION duration (first → last event
+    of each 30-min-gap session, minutes) with right-censoring — THE
+    estimator for duration/churn curves under incomplete observation:
+    sessions whose last event is within the session gap of the corpus end
+    are censored (still open), not counted as ended.
 
-        S(tᵢ) = Π_{j ≤ i} (1 − dⱼ/nⱼ)   (dⱼ churned at tⱼ, nⱼ at risk)
+        S(tᵢ) = Π_{j ≤ i} (1 − dⱼ/nⱼ)   (dⱼ ended at tⱼ, nⱼ at risk)
 
-    Determinism: durations are exact integer hours (µs div); at-risk
-    counts come from a cumulative window over the per-DURATION aggregate
-    (cardinality = distinct lifetimes, corpus-size-independent); the
-    product is carried as exp(Σ ln(1 − d/n)) with each term rounded to
-    9dp and summed in DECIMAL(28,9) (order-independent; exp/ln parity
-    verified in-container), with an exact-zero guard for the d = n
-    exhaustion row where ln is undefined. Curve points emit at churn
-    times only (the standard KM step points)."""
+    Determinism: durations are exact integer minutes (µs div);
+    sessionization is the shared gaps-and-islands rule (lag window with
+    the (ts, event_id) total order); at-risk counts come from a
+    cumulative window over the per-DURATION aggregate (cardinality =
+    distinct durations, corpus-size-independent); the product is carried
+    as exp(Σ ln(1 − d/n)) with each term rounded to 9dp and summed in
+    DECIMAL(28,9) (order-independent; exp/ln parity verified
+    in-container), with an exact-zero guard for the d = n exhaustion row
+    where ln is undefined. Curve points emit at event (churn) times only
+    (the standard KM step points)."""
     ev = load_table(spark, sf_dir, "events")
     mx = ev.agg(F.max(F.expr("unix_micros(cast(ts as timestamp))")).alias("max_us"))
-    users = (
-        ev.groupBy("user_id")
-        .agg(
-            F.min(F.expr("unix_micros(cast(ts as timestamp))")).alias("first_us"),
-            F.max(F.expr("unix_micros(cast(ts as timestamp))")).alias("last_us"),
+    wlag = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    marked = ev.select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        F.when(
+            F.lag(F.expr("unix_micros(cast(ts as timestamp))")).over(wlag).isNull()
+            | (
+                F.expr("unix_micros(cast(ts as timestamp))")
+                - F.lag(F.expr("unix_micros(cast(ts as timestamp))")).over(wlag)
+                >= F.lit(1800000000)
+            ),
+            F.lit(1),
         )
-        .crossJoin(F.broadcast(mx))
+        .otherwise(F.lit(0))
+        .alias("new_s"),
+    )
+    wcum = Window.partitionBy("user_id").orderBy("us").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = (
+        marked.withColumn("sid", F.sum("new_s").over(wcum))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("us").alias("first_us"),
+            F.max("us").alias("last_us"),
+        )
+    )
+    users = (
+        sess.crossJoin(F.broadcast(mx))
         .select(
-            F.expr("(last_us - first_us) div 3600000000").alias("duration_h"),
+            F.expr("(last_us - first_us) div 60000000").alias("duration_h"),
             F.when(
                 F.col("last_us")
-                >= F.col("max_us") - F.lit(KM_CENSOR_HOURS * 3600000000),
+                >= F.col("max_us") - F.lit(KM_CENSOR_MINUTES * 60000000),
                 F.lit(0),
             )
             .otherwise(F.lit(1))
@@ -3699,7 +3727,7 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(exhausted).over(wc).alias("dead"),
     )
     return curve.where(F.col("n_churned") > 0).select(
-        F.col("duration_h").cast("bigint").alias("duration_hours"),
+        F.col("duration_h").cast("bigint").alias("duration_minutes"),
         F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
         F.col("n_churned").cast("bigint").alias("n_churned"),
         F.col("n_censored_here").cast("bigint").alias("n_censored_here"),
@@ -3906,9 +3934,18 @@ def events_hmm_viterbi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_days_val = obs.agg(F.max("n_days")).first()[0]
-    if n_days_val is None or n_days_val > (1 << HMM_SCAN_ROUNDS):
+    if n_days_val is None:
         return spark.createDataFrame(
             [], "day date, idx bigint, obs bigint, state bigint, path_score bigint"
+        )
+    if n_days_val > (1 << HMM_SCAN_ROUNDS):
+        # raise LOUDLY (the bfs_distances budget discipline): an empty
+        # frame is indistinguishable from "no data", and the fixed-round
+        # oracle would silently compute a truncated (wrong) scan
+        raise ValueError(
+            f"viterbi scan horizon exceeded: {n_days_val} days > "
+            f"2^{HMM_SCAN_ROUNDS}; raise HMM_SCAN_ROUNDS (and the oracle's "
+            "round count) together"
         )
     p0, p1 = HMM_PRIOR
     (t00, t01), (t10, t11) = HMM_TRANS

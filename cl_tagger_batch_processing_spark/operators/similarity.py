@@ -1621,6 +1621,9 @@ def embedding_hard_negatives(
     vec_id-keyed joins."""
     cand = ann_candidates(spark, sf_dir, num_queries=num_queries)
     labels = quantized_embeddings(spark, sf_dir).select("vec_id", "label")
+    # materialize ONCE: the negs and poss branches are two consumers, and
+    # without the truncation each would re-run the full LSH bucket join +
+    # exact-cosine scoring (r8 review; the SCALE.md multi-consumer rule)
     j = (
         cand.join(
             labels.select(
@@ -1634,6 +1637,7 @@ def embedding_hard_negatives(
             ),
             "neighbor_id",
         )
+        .transform(truncate_lineage)
     )
     wneg = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")

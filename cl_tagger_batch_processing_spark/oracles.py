@@ -6495,18 +6495,37 @@ SELECT (SELECT MIN(p.day) FROM dd p, trough t
 FROM trough t
 """
 
-# Kaplan-Meier with right-censoring (168h horizon, sync-pinned): exact
-# integer-hour durations, at-risk via cumulative window over the
-# per-duration aggregate, survival via 9dp-rounded ln-sum in
+# Kaplan-Meier over SESSION durations with the session-gap censor horizon
+# (30min, sync-pinned): gaps-and-islands sessionization (the sessionize
+# rule), exact integer-minute durations, at-risk via cumulative window
+# over the per-duration aggregate, survival via 9dp-rounded ln-sum in
 # DECIMAL(28,9) + one exp, exact-zero guard on the d = n exhaustion row.
 ORACLE_SQL["events_survival_km"] = """
 WITH mx AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events),
+o AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+m AS (
+  SELECT user_id, ts,
+         CASE WHEN prev IS NULL
+                OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+),
+s AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS sid
+  FROM m
+),
 users AS (
-  SELECT (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 3600000000 AS duration_h,
-         CASE WHEN MAX(epoch_us(ts)) >= (SELECT max_us FROM mx)
-                                         - 168 * 3600000000
+  SELECT (MAX(us) - MIN(us)) // 60000000 AS duration_h,
+         CASE WHEN MAX(us) >= (SELECT max_us FROM mx) - 30 * 60000000
               THEN 0 ELSE 1 END AS churned
-  FROM events GROUP BY user_id
+  FROM s GROUP BY user_id, sid
 ),
 per_t AS (
   SELECT duration_h, COUNT(*) AS c_all, SUM(churned) AS d
@@ -6534,7 +6553,7 @@ curve AS (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
   FROM at_risk
 )
-SELECT CAST(duration_h AS BIGINT) AS duration_hours,
+SELECT CAST(duration_h AS BIGINT) AS duration_minutes,
        CAST(n_at_risk AS BIGINT) AS n_at_risk,
        CAST(d AS BIGINT) AS n_churned,
        CAST(n_censored_here AS BIGINT) AS n_censored_here,

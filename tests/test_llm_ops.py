@@ -2774,8 +2774,25 @@ def test_km_censor_constant_in_sync():
     from cl_tagger_batch_processing_spark import oracles
     from cl_tagger_batch_processing_spark.operators import relational
 
-    assert relational.KM_CENSOR_HOURS == 168
-    assert "168 * 3600000000" in oracles.ORACLE_SQL["events_survival_km"]
+    assert relational.KM_CENSOR_MINUTES == 30
+    assert "30 * 60000000" in oracles.ORACLE_SQL["events_survival_km"]
+
+
+def test_km_curve_is_nonvacuous(spark, sf_dir):
+    # r8 review fix: the first cut censored EVERY fixture user (168h
+    # horizon over a 30-day span) and emitted 0 rows — a vacuously green
+    # parity gate. Pin that the session-level curve has real churn points,
+    # a real censored tail, and monotone non-increasing survival.
+    from cl_tagger_batch_processing_spark.operators.relational import (
+        events_survival_km,
+    )
+
+    rows = events_survival_km(spark, sf_dir).orderBy("duration_minutes").collect()
+    assert len(rows) >= 5  # real curve, not an empty frame
+    assert rows[0].n_at_risk > rows[0].n_churned  # not exhausted at t=0
+    surv = [r.survival for r in rows]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))  # monotone
+    assert 0.0 <= surv[-1] < 1.0
 
 
 def test_r8_batch7_constants_in_sync():
@@ -2897,3 +2914,13 @@ def test_betweenness_matches_sequential_brandes(spark, sf_dir):
     for node, d_ in dep.items():
         if d_ > 1e-9:
             assert node in got
+
+
+def test_bc_depth_constant_in_sync():
+    from cl_tagger_batch_processing_spark import oracles
+    from cl_tagger_batch_processing_spark.operators import graph
+
+    assert graph.BC_MAX_DEPTH == 16
+    sql = oracles.ORACLE_SQL["graph_betweenness_seeded"]
+    assert "state16" in sql and "state17" not in sql
+    assert "del16" in sql and "del17" not in sql
