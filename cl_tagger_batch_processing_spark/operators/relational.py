@@ -4058,3 +4058,119 @@ def events_hmm_viterbi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("state"),
         F.greatest("s0", "s1").cast("bigint").alias("path_score"),
     )
+
+
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B readout — the modern
+    experimentation standard beside the plain z-test (events_ab_lift):
+    adjust each user's post-period metric with their PRE-period activity,
+    y_adj = y − θ·(x − x̄), θ = cov(x,y)/var(x) pooled across arms, which
+    removes the between-user variance the covariate explains and tightens
+    the same comparison the unadjusted test makes.
+
+    Determinism: the timeline splits at the exact µs midpoint; per-user
+    pre/post metrics are exact cents BIGINTs (the stream_user_totals
+    convention); θ's sufficient statistics are exact DECIMAL(38,0)
+    products summed before ONE double division; per-user adjusted values
+    are identical double trees, and every adjusted-side mean/variance sum
+    rides the 9dp-round → DECIMAL(28,9) rail. Output: one row per arm
+    with raw and adjusted means plus the pooled θ and the variance-
+    reduction ratio the adjustment bought."""
+    ev = load_table(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min(F.expr("unix_micros(cast(ts as timestamp))")).alias("lo"),
+        F.max(F.expr("unix_micros(cast(ts as timestamp))")).alias("hi"),
+    )
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    per_user = (
+        ev.crossJoin(F.broadcast(rng))
+        .select(
+            "user_id",
+            F.when(
+                F.expr("unix_micros(cast(ts as timestamp))")
+                <= F.expr("lo + (hi - lo) div 2"),
+                cents,
+            )
+            .otherwise(F.lit(0))
+            .alias("pre_c"),
+            F.when(
+                F.expr("unix_micros(cast(ts as timestamp))")
+                > F.expr("lo + (hi - lo) div 2"),
+                cents,
+            )
+            .otherwise(F.lit(0))
+            .alias("post_c"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("pre_c").alias("x"), F.sum("post_c").alias("y"))
+        .select(
+            "user_id",
+            "x",
+            "y",
+            F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+            .otherwise(F.lit("treatment"))
+            .alias("arm"),
+        )
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38("x")).alias("sx"),
+        F.sum(d38("y")).alias("sy"),
+        F.sum(d38("x") * d38("y")).alias("sxy"),
+        F.sum(d38("x") * d38("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    varx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    theta = F.when(
+        varx > 0,
+        (
+            nd * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double")
+        )
+        / varx,
+    ).otherwise(F.lit(0.0))
+    stats = s.select(
+        theta.alias("theta"),
+        (F.col("sx").cast("double") / nd).alias("xbar"),
+    )
+    adj = per_user.crossJoin(F.broadcast(stats)).select(
+        "arm",
+        (F.col("y").cast("double") / F.lit(100.0)).alias("yd"),
+        (
+            (
+                F.col("y").cast("double")
+                - F.col("theta") * (F.col("x").cast("double") - F.col("xbar"))
+            )
+            / F.lit(100.0)
+        ).alias("ya"),
+        "theta",
+    )
+    dec9 = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    per_arm = adj.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(dec9(F.col("yd"))).alias("sy"),
+        F.sum(dec9(F.col("yd") * F.col("yd"))).alias("syy"),
+        F.sum(dec9(F.col("ya"))).alias("sa"),
+        F.sum(dec9(F.col("ya") * F.col("ya"))).alias("saa"),
+        F.min("theta").alias("theta"),  # constant per row; min > first for discipline
+    )
+    an = F.col("n_users").cast("double")
+    var_raw = an * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    var_adj = an * F.col("saa").cast("double") - F.col("sa").cast("double") * F.col(
+        "sa"
+    ).cast("double")
+    return per_arm.select(
+        "arm",
+        "n_users",
+        F.round(F.col("sy").cast("double") / an, 6).alias("mean_metric"),
+        F.round(F.col("sa").cast("double") / an, 6).alias("mean_adjusted"),
+        F.round(F.col("theta"), 9).alias("theta"),
+        F.round(F.when(var_raw > 0, var_adj / var_raw), 6).alias(
+            "variance_ratio"
+        ),
+    )

@@ -1670,3 +1670,64 @@ def embedding_hard_negatives(
         )
     )
     return negs.unionByName(poss)
+
+
+# kNN-graph degree (neighbors kept per vector) — sync-pinned to the
+# oracle literal.
+KNN_GRAPH_K = 3
+
+
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN GRAPH over the whole corpus — the build step under
+    UMAP / HDBSCAN / kNN-classification and graph-based dedup: every
+    vector keeps its KNN_GRAPH_K nearest same-LSH-bucket neighbors, with
+    the MUTUAL flag (v in knn(u) AND u in knn(v)) that density-based
+    methods key on (mutual edges are the high-confidence backbone).
+
+    Scale shape: candidates are bucket-local (one equi-join on the
+    sign-LSH bucket — never corpus × corpus; single-probe here, the graph
+    analogue of sim_ann_lsh's query path); the per-vector top-k is a
+    bucket-partitioned window; mutuality is one self-join of the k·n-row
+    kNN edge list on the reversed pair. Cosines are exact-integer-dot
+    doubles; ranks carry the (cosine DESC, neighbor ASC) total
+    tie-break."""
+    base = lsh_buckets(quantized_embeddings(spark, sf_dir)).select(
+        "vec_id", "qv", "nrm", "bucket"
+    )
+    a = base.select(
+        F.col("vec_id").alias("u"),
+        F.col("qv").alias("qu"),
+        F.col("nrm").alias("nu"),
+        "bucket",
+    )
+    b = base.select(
+        F.col("vec_id").alias("v"),
+        F.col("qv").alias("qv2"),
+        F.col("nrm").alias("nv"),
+        "bucket",
+    )
+    cos = int_dot(F.col("qu"), F.col("qv2")).cast("double") / (
+        F.sqrt(F.col("nu").cast("double")) * F.sqrt(F.col("nv").cast("double"))
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("u") != F.col("v"))
+        .select("u", "v", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("cosine"), F.asc("v"))
+    knn = (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= KNN_GRAPH_K)
+        .transform(truncate_lineage)
+    )
+    rev = knn.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    return (
+        knn.join(rev.withColumn("m", F.lit(True)), ["u", "v"], "left")
+        .select(
+            F.col("u").alias("vec_id"),
+            "rank",
+            F.col("v").alias("neighbor_id"),
+            "cosine",
+            F.coalesce("m", F.lit(False)).alias("is_mutual"),
+        )
+    )

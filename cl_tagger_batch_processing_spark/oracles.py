@@ -7089,3 +7089,98 @@ SELECT CAST(dist AS BIGINT) AS dist,
          AS is_effective_diameter
 FROM flagged
 """
+
+# kNN graph: bucket-local candidates, per-vector top-3, mutual-edge flag
+# via the reversed-pair self-join. k sync-pinned to similarity.KNN_GRAPH_K.
+ORACLE_SQL["sim_knn_graph"] = f"""
+WITH {_QEMB_CTES},
+b AS (SELECT vec_id, qv, nrm, {_BUCKET_EXPR} AS bucket FROM n),
+pairs AS (
+  SELECT x.vec_id AS u, y.vec_id AS v,
+         list_dot_product(CAST(x.qv AS DOUBLE[]), CAST(y.qv AS DOUBLE[]))
+           / (sqrt(x.nrm) * sqrt(y.nrm)) AS cosine
+  FROM b x JOIN b y USING (bucket)
+  WHERE x.vec_id != y.vec_id
+),
+knn AS (
+  SELECT u, v, cosine, CAST(rank AS BIGINT) AS rank
+  FROM (SELECT *, row_number() OVER (PARTITION BY u
+                                     ORDER BY cosine DESC, v ASC) AS rank
+        FROM pairs)
+  WHERE rank <= 3
+)
+SELECT k.u AS vec_id, k.rank, k.v AS neighbor_id, k.cosine,
+       r.u IS NOT NULL AS is_mutual
+FROM knn k
+LEFT JOIN (SELECT v AS u, u AS v FROM knn) r ON k.u = r.u AND k.v = r.v
+"""
+
+# CUPED: exact µs midpoint split, cents BIGINT metrics, theta from exact
+# HUGEINT sufficient statistics (one double division), adjusted-side
+# means/variances on the 9dp-DECIMAL rail.
+ORACLE_SQL["events_ab_cuped"] = """
+WITH rng AS (
+  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+),
+per_user AS (
+  SELECT user_id,
+         SUM(CASE WHEN epoch_us(ts) <= r.lo + (r.hi - r.lo) // 2
+                  THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  ELSE 0 END) AS x,
+         SUM(CASE WHEN epoch_us(ts) > r.lo + (r.hi - r.lo) // 2
+                  THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  ELSE 0 END) AS y,
+         CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm
+  FROM events CROSS JOIN rng r
+  GROUP BY user_id
+),
+s AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+  FROM per_user
+),
+stats AS (
+  SELECT CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+              THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              ELSE CAST(0.0 AS DOUBLE) END AS theta,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+  FROM s
+),
+adj AS (
+  SELECT arm,
+         CAST(y AS DOUBLE) / CAST(100.0 AS DOUBLE) AS yd,
+         (CAST(y AS DOUBLE)
+          - t.theta * (CAST(x AS DOUBLE) - t.xbar))
+           / CAST(100.0 AS DOUBLE) AS ya,
+         t.theta
+  FROM per_user CROSS JOIN stats t
+),
+per_arm AS (
+  SELECT arm, COUNT(*) AS n_users,
+         SUM(CAST(round(yd, 9) AS DECIMAL(28,9))) AS sy,
+         SUM(CAST(round(yd * yd, 9) AS DECIMAL(28,9))) AS syy,
+         SUM(CAST(round(ya, 9) AS DECIMAL(28,9))) AS sa,
+         SUM(CAST(round(ya * ya, 9) AS DECIMAL(28,9))) AS saa,
+         MIN(theta) AS theta
+  FROM adj GROUP BY arm
+)
+SELECT arm, CAST(n_users AS BIGINT) AS n_users,
+       round(CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS mean_metric,
+       round(CAST(sa AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS mean_adjusted,
+       round(theta, 9) AS theta,
+       round(CASE WHEN CAST(n_users AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                  THEN (CAST(n_users AS DOUBLE) * CAST(saa AS DOUBLE)
+                        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                       / (CAST(n_users AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) END, 6)
+         AS variance_ratio
+FROM per_arm
+"""

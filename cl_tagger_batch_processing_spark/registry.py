@@ -534,3 +534,5 @@ register("events_hmm_viterbi_decode", relational.events_hmm_viterbi_decode)
 register("graph_betweenness_seeded", graph.graph_betweenness_seeded)
 register("corpus_dedup_token_savings", dedup.corpus_dedup_token_savings)
 register("graph_effective_diameter", graph.graph_effective_diameter)
+register("sim_knn_graph", similarity.sim_knn_graph)
+register("events_ab_cuped", relational.events_ab_cuped)

@@ -2924,3 +2924,11 @@ def test_bc_depth_constant_in_sync():
     sql = oracles.ORACLE_SQL["graph_betweenness_seeded"]
     assert "state16" in sql and "state17" not in sql
     assert "del16" in sql and "del17" not in sql
+
+
+def test_knn_graph_k_in_sync():
+    from cl_tagger_batch_processing_spark import oracles
+    from cl_tagger_batch_processing_spark.operators import similarity
+
+    assert similarity.KNN_GRAPH_K == 3
+    assert "rank <= 3" in oracles.ORACLE_SQL["sim_knn_graph"]
