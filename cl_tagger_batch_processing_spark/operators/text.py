@@ -1816,3 +1816,72 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_round bigint, sym_a string, sym_b string, "
         "pair_count bigint, merged string",
     )
+
+
+# Winnowing parameters (Schleimer-Wilkerson-Aiken, the MOSS algorithm):
+# k-gram size and window — any shared substring of >= WINNOW_K + WINNOW_W
+# − 1 tokens is GUARANTEED to share a selected fingerprint. Sync-pinned
+# to the oracle literals.
+WINNOW_K = 4
+WINNOW_W = 4
+
+
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE winnowing fingerprint selection (MOSS): slide a WINNOW_W
+    window over the k-gram hash sequence and keep each window's minimum
+    hash, RIGHTMOST position on ties — the selection with the matching
+    GUARANTEE (any shared run of ≥ k+w−1 tokens shares a fingerprint)
+    that the global-min text_fingerprint cannot give, at the documented
+    ~2/(w+1) density. The selected (doc, pos, fp) rows are the exact
+    artifact plagiarism/boilerplate matchers consume.
+
+    Column-native: k-gram hashes are row-local (md5-hex → bigint, the
+    corpus_split_assign conversion); the per-window argmin-with-rightmost
+    tie-break is ONE window pass of max(struct(−h, pos)) (lexicographic
+    struct comparison — identical semantics on both engines, probed); the
+    distinct collapses windows sharing a selection. One (doc, pos)
+    partitioned window shuffle — doc-keyed, linear, zero Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh_arr = F.expr(
+        f"""
+        CASE WHEN size(split(text, ' ')) >= {WINNOW_K} THEN
+          transform(sequence(1, size(split(text, ' ')) - {WINNOW_K - 1}),
+            i -> concat_ws(' ',
+                           element_at(split(text, ' '), i),
+                           element_at(split(text, ' '), i + 1),
+                           element_at(split(text, ' '), i + 2),
+                           element_at(split(text, ' '), i + 3)))
+        ELSE CAST(array() AS ARRAY<STRING>) END
+        """
+    )
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(sh_arr).alias("p0", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).cast("bigint").alias("pos"),
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint").alias("h"),
+    )
+    wdoc = Window.partitionBy("doc_id")
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    sel = (
+        grams.withColumn("n_grams", F.count(F.lit(1)).over(wdoc))
+        .withColumn(
+            "s",
+            F.max(F.struct((-F.col("h")).alias("negh"), F.col("pos").alias("pos"))).over(
+                frame
+            ),
+        )
+        .where(F.col("pos") <= F.col("n_grams") - WINNOW_W + 1)
+        .select(
+            "doc_id",
+            F.col("s.pos").alias("pos"),
+            (-F.col("s.negh")).cast("bigint").alias("fp"),
+        )
+        .distinct()
+    )
+    return sel

@@ -7184,3 +7184,31 @@ SELECT arm, CAST(n_users AS BIGINT) AS n_users,
          AS variance_ratio
 FROM per_arm
 """
+
+# True winnowing (k=4, w=4, rightmost-min): per-window argmin via the
+# lexicographic struct-max (probed identical on both engines).
+ORACLE_SQL["text_winnowing_fingerprints"] = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         CAST('0x' || substr(md5(t[i] || ' ' || t[i + 1] || ' '
+                             || t[i + 2] || ' ' || t[i + 3]), 1, 8)
+              AS BIGINT) AS h
+  FROM tok, unnest(generate_series(1, len(t) - 3)) AS u(i)
+  WHERE len(t) >= 4
+),
+win AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_grams,
+         MAX({'negh': -h, 'pos': pos})
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
+  FROM grams
+)
+SELECT DISTINCT doc_id,
+       s.pos AS pos,
+       CAST(-s.negh AS BIGINT) AS fp
+FROM win WHERE pos <= n_grams - 3
+"""

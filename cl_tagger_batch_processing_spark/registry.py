@@ -536,3 +536,4 @@ register("corpus_dedup_token_savings", dedup.corpus_dedup_token_savings)
 register("graph_effective_diameter", graph.graph_effective_diameter)
 register("sim_knn_graph", similarity.sim_knn_graph)
 register("events_ab_cuped", relational.events_ab_cuped)
+register("text_winnowing_fingerprints", text.text_winnowing_fingerprints)

@@ -2932,3 +2932,30 @@ def test_knn_graph_k_in_sync():
 
     assert similarity.KNN_GRAPH_K == 3
     assert "rank <= 3" in oracles.ORACLE_SQL["sim_knn_graph"]
+
+
+def test_winnowing_constants_and_guarantee(spark, sf_dir):
+    from cl_tagger_batch_processing_spark import oracles
+    from cl_tagger_batch_processing_spark.operators import text as text_ops
+    from cl_tagger_batch_processing_spark.operators.text import (
+        text_winnowing_fingerprints,
+    )
+
+    assert (text_ops.WINNOW_K, text_ops.WINNOW_W) == (4, 4)
+    sql = oracles.ORACLE_SQL["text_winnowing_fingerprints"]
+    assert "3 FOLLOWING" in sql and "len(t) - 3" in sql
+    # density guarantee: winnowing selects >= 1 fingerprint per window and
+    # about 2/(w+1) of positions — pin the hard bounds, not the estimate
+    import pyspark.sql.functions as F
+
+    sel = text_winnowing_fingerprints(spark, sf_dir)
+    per_doc = sel.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sel"))
+    docs = sel.sparkSession.read.parquet(f"{sf_dir}/documents.parquet")
+    n_tokens = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("nt")
+    )
+    j = per_doc.join(n_tokens, "doc_id").collect()
+    assert j
+    for r in j:
+        n_windows = r.nt - 4 - 4 + 2  # positions P-W+1, P = nt-K+1
+        assert 1 <= r.n_sel <= n_windows
