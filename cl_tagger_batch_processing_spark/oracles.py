@@ -7212,3 +7212,8 @@ SELECT DISTINCT doc_id,
        CAST(-s.negh AS BIGINT) AS fp
 FROM win WHERE pos <= n_grams - 3
 """
+
+
+# The streaming CDC store's final state must equal the one-shot batch
+# MERGE — the oracle is cdc_merge_documents' SQL verbatim.
+ORACLE_SQL["stream_cdc_merge"] = ORACLE_SQL["cdc_merge_documents"]

@@ -537,3 +537,4 @@ register("graph_effective_diameter", graph.graph_effective_diameter)
 register("sim_knn_graph", similarity.sim_knn_graph)
 register("events_ab_cuped", relational.events_ab_cuped)
 register("text_winnowing_fingerprints", text.text_winnowing_fingerprints)
+register("stream_cdc_merge", streaming_windows.stream_cdc_merge)

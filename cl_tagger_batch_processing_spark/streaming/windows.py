@@ -621,3 +621,99 @@ def stream_watchlist_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_estimate",
         (F.col("cms_estimate") - F.col("true_count")).alias("overestimate"),
     )
+
+
+def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert — the micro-batch MERGE pattern every
+    incremental corpus refresh runs in production: the changeset arrives
+    as a STREAM (one micro-batch per change file, maxFilesPerTrigger=1
+    under an availableNow trigger) and ``foreachBatch`` merges each batch
+    into a keyed parquet store by full-outer join on doc_id, writing a
+    NEW store version per batch (never read-and-overwrite in place — the
+    incremental_daily_agg discipline). The final store must equal the
+    one-shot batch MERGE, so the oracle is cdc_merge_documents' SQL
+    verbatim — a dropped batch, a double-applied batch, or an in-place
+    overwrite race all break the value hash.
+
+    The three change batches carry DISJOINT key sets (update/delete/
+    insert target different doc_ids by construction), so the final state
+    is batch-order independent — the determinism that makes a streaming
+    upsert value-checkable. On a real deployment the same foreachBatch
+    body runs MERGE INTO against Delta/Iceberg; plain versioned parquet
+    keeps the engine format-agnostic. Local-filesystem staging (the
+    sinks.py shared-FS caveat applies on a multi-node master)."""
+    import os
+    import shutil
+
+    from ..handoff import staging_path
+    from ..operators.curation import _cdc_changes
+    from ..sources.tables import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = staging_path(f"cdc_stream_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    chdir = os.path.join(root, "changes")
+    os.makedirs(chdir, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    changes = _cdc_changes(docs)
+    # one flat parquet FILE per op so maxFilesPerTrigger=1 yields exactly
+    # three micro-batches (written sequentially → deterministic listing;
+    # the result is batch-order independent anyway: disjoint key sets)
+    for i, op in enumerate(["update", "delete", "insert"]):
+        tmp = os.path.join(root, f"tmp_{op}")
+        changes.where(F.col("op") == op).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(
+            os.path.join(tmp, part), os.path.join(chdir, f"{i}_{op}.parquet")
+        )
+        shutil.rmtree(tmp)
+    store_dir = lambda v: os.path.join(root, f"store_v{v}")  # noqa: E731
+    docs.withColumn("op", F.lit("keep")).write.mode("overwrite").parquet(
+        store_dir(0)
+    )
+    version = {"v": 0}
+
+    def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+        cur = spark.read.parquet(store_dir(version["v"]))
+        b = bdf.select(
+            "doc_id",
+            F.col("new_text").alias("_new_text"),
+            F.col("op").alias("_bop"),
+        )
+        merged = (
+            cur.join(b, "doc_id", "full_outer")
+            .where(F.col("_bop").isNull() | (F.col("_bop") != "delete"))
+            .select(
+                "doc_id",
+                F.coalesce("_new_text", "text").alias("text"),
+                F.coalesce("_bop", "op").alias("op"),
+            )
+        )
+        version["v"] += 1
+        merged.write.mode("overwrite").parquet(store_dir(version["v"]))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, new_text string, op string")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(chdir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    final = spark.read.parquet(store_dir(version["v"]))
+    return final.select(
+        "doc_id",
+        "op",
+        F.md5("text").alias("content_hash"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
