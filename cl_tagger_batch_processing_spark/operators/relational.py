@@ -4174,3 +4174,59 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "variance_ratio"
         ),
     )
+
+
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU active-user series with the DAU/MAU stickiness
+    ratio — the product-analytics staple. Exact distinct counts (no HLL):
+    the (user, day) activity relation EXPLODES each activity into the
+    trailing windows it supports (7 rows for WAU, 30 for MAU — a
+    constant-factor map-side fan-out, the standard exact-rolling-distinct
+    shape) and each target day counts distinct users; days beyond the
+    observed range are dropped so every emitted day is a real calendar
+    day of the fixture. Stickiness divides once per row; days with no
+    activity still emit via the spine join (DAU 0, stickiness NULL when
+    MAU is 0)."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date(F.expr("cast(ts as timestamp)")).alias("day")
+    ).distinct()
+    rng = ud.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    spine = rng.select(
+        F.explode(F.expr("sequence(dmin, dmax, interval 1 day)")).alias("day")
+    )
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+
+    def rolling(n: int, name: str) -> DataFrame:
+        contrib = ud.select(
+            "user_id",
+            F.explode(
+                F.expr(f"sequence(day, date_add(day, {n - 1}), interval 1 day)")
+            ).alias("day"),
+        )
+        return contrib.groupBy("day").agg(
+            F.countDistinct("user_id").alias(name)
+        )
+
+    wau = rolling(7, "wau")
+    mau = rolling(30, "mau")
+    out = (
+        spine.join(dau, "day", "left")
+        .join(wau, "day", "left")
+        .join(mau, "day", "left")
+        .select(
+            "day",
+            F.coalesce("dau", F.lit(0)).cast("bigint").alias("dau"),
+            F.coalesce("wau", F.lit(0)).cast("bigint").alias("wau"),
+            F.coalesce("mau", F.lit(0)).cast("bigint").alias("mau"),
+            F.when(
+                F.coalesce("mau", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("dau", F.lit(0)).cast("double")
+                    / F.col("mau").cast("double"),
+                    9,
+                ),
+            ).alias("stickiness"),
+        )
+    )
+    return out

@@ -7217,3 +7217,85 @@ FROM win WHERE pos <= n_grams - 3
 # The streaming CDC store's final state must equal the one-shot batch
 # MERGE — the oracle is cdc_merge_documents' SQL verbatim.
 ORACLE_SQL["stream_cdc_merge"] = ORACLE_SQL["cdc_merge_documents"]
+
+# Exact rolling-distinct actives: each (user, day) activity explodes into
+# the trailing windows it supports; spine join keeps every calendar day.
+ORACLE_SQL["events_dau_wau_mau"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+rng AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM ud),
+spine AS (
+  SELECT CAST(unnest(generate_series(r.dmin, r.dmax,
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM rng r
+),
+dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+wau AS (
+  SELECT CAST(d AS DATE) AS day, COUNT(DISTINCT user_id) AS wau
+  FROM ud, unnest(generate_series(CAST(day AS TIMESTAMP),
+                                  CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+                                  INTERVAL 1 DAY)) AS u(d)
+  GROUP BY 1
+),
+mau AS (
+  SELECT CAST(d AS DATE) AS day, COUNT(DISTINCT user_id) AS mau
+  FROM ud, unnest(generate_series(CAST(day AS TIMESTAMP),
+                                  CAST(day AS TIMESTAMP) + INTERVAL 29 DAY,
+                                  INTERVAL 1 DAY)) AS u(d)
+  GROUP BY 1
+)
+SELECT s.day,
+       CAST(COALESCE(d.dau, 0) AS BIGINT) AS dau,
+       CAST(COALESCE(w.wau, 0) AS BIGINT) AS wau,
+       CAST(COALESCE(m.mau, 0) AS BIGINT) AS mau,
+       CASE WHEN COALESCE(m.mau, 0) > 0 THEN
+         round(CAST(COALESCE(d.dau, 0) AS DOUBLE)
+               / CAST(m.mau AS DOUBLE), 9) END AS stickiness
+FROM spine s
+LEFT JOIN dau d USING (day)
+LEFT JOIN wau w USING (day)
+LEFT JOIN mau m USING (day)
+"""
+
+# b-bit minwise evaluation: lowest-2-bit agreement debiased by the 1/4
+# equal-bit baseline, reported against the full estimate per agreement
+# level over the banded candidates. Constants sync-pinned.
+_BBIT_MATCHES = " + ".join(
+    f"CASE WHEN sa.h{i} % 4 = sb.h{i} % 4 THEN 1 ELSE 0 END"
+    for i in range(_MINHASH_N)
+)
+
+ORACLE_SQL["dedup_minhash_bbit_report"] = f"""
+WITH {_shingle_ctes(3, max_df=DEDUP_MAX_DF)},
+{_MINHASH_HALVES},
+sig AS (SELECT doc_id, {_MINHASH_COLS} FROM mh GROUP BY doc_id),
+bands AS ({_MINHASH_BANDS_SQL}),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, MAX(a.est) AS est_jaccard
+  FROM (SELECT doc_id, band, bkey, 0.0 AS est FROM bands) a
+  JOIN (SELECT doc_id, band, bkey FROM bands) b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT ({_MINHASH_MATCHES}) AS n_matches,
+         ({_MINHASH_MATCHES}) / 16.0 AS est_jaccard,
+         round((({_BBIT_MATCHES}) / 16.0 - CAST(0.25 AS DOUBLE))
+               / (CAST(1.0 AS DOUBLE) - CAST(0.25 AS DOUBLE)), 9) AS est_bbit
+  FROM cand c
+  JOIN sig sa ON c.doc_a = sa.doc_id
+  JOIN sig sb ON c.doc_b = sb.doc_id
+)
+SELECT CAST(n_matches AS BIGINT) AS n_matches,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(CAST(SUM(CAST(round(est_jaccard, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS avg_full_est,
+       round(CAST(SUM(CAST(est_bbit AS DECIMAL(28,9))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS avg_bbit_est,
+       round(CAST(SUM(CAST(round(abs(est_bbit - est_jaccard), 9)
+                           AS DECIMAL(28,9))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS avg_abs_gap
+FROM scored
+GROUP BY n_matches
+"""

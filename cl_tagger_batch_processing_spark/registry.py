@@ -538,3 +538,5 @@ register("sim_knn_graph", similarity.sim_knn_graph)
 register("events_ab_cuped", relational.events_ab_cuped)
 register("text_winnowing_fingerprints", text.text_winnowing_fingerprints)
 register("stream_cdc_merge", streaming_windows.stream_cdc_merge)
+register("events_dau_wau_mau", relational.events_dau_wau_mau)
+register("dedup_minhash_bbit_report", dedup.dedup_minhash_bbit_report)

@@ -2959,3 +2959,12 @@ def test_winnowing_constants_and_guarantee(spark, sf_dir):
     for r in j:
         n_windows = r.nt - 4 - 4 + 2  # positions P-W+1, P = nt-K+1
         assert 1 <= r.n_sel <= n_windows
+
+
+def test_bbit_constants_in_sync():
+    from cl_tagger_batch_processing_spark import oracles
+    from cl_tagger_batch_processing_spark.operators import dedup
+
+    assert (dedup.BBIT_BITS, dedup.BBIT_MOD, dedup.BBIT_BASE) == (2, 4, 0.25)
+    sql = oracles.ORACLE_SQL["dedup_minhash_bbit_report"]
+    assert "% 4 = sb" in sql and "CAST(0.25 AS DOUBLE)" in sql
