@@ -1678,65 +1678,59 @@ def dedup_minhash_bbit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate over the REAL banded candidate pairs — the measure-don't-
     guess loop that licenses shipping the compressed sketch.
 
-    Shape: candidates are the shared banded set (never all pairs);
-    signatures join back doc-keyed; the per-pair slot comparisons are
-    row-local zip_with folds; means ride the 9dp-DECIMAL rail. The b-bit
-    estimate can go negative on disagreeing pairs (the debias subtracts
-    the collision baseline) — reported raw, as the estimator is defined."""
+    Shape: candidates are the shared banded set (never all pairs), and the
+    signature arrays RIDE the band join (banded_signature_rows' design —
+    re-joining signatures per pair side would execute the signature
+    subtree twice more and add two shuffles; r8 review), so both slot
+    comparisons are row-local zip_with folds on the collision rows.
+    avg_full_est is the group key n_matches/16 by construction (every
+    pair in a group has exactly that estimate); the mean machinery runs
+    only where values genuinely vary (the b-bit columns, on the
+    9dp-DECIMAL rail). The b-bit estimate can go negative on disagreeing
+    pairs (the debias subtracts the collision baseline) — reported raw,
+    as the estimator is defined."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, k=3, max_df=DEFAULT_MAX_DF)
-    sig = (
-        minhash_signatures(sh)
+    sig = minhash_signatures(
+        word_shingles(docs, k=3, max_df=DEFAULT_MAX_DF, distinct=False)
+    ).select(
+        "doc_id",
+        F.array(*[F.col(f"h{i}") for i in range(MINHASH_NUM_HASHES)]).alias("sig"),
+    )
+    banded = banded_signature_rows(sig).transform(truncate_lineage)
+    a, b = banded.alias("a"), banded.alias("b")
+    n_eq = lambda expr: F.size(  # noqa: E731
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), expr), lambda m: m
+        )
+    )
+    collisions = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
-            "doc_id",
-            F.array(*[F.col(f"h{i}") for i in range(MINHASH_NUM_HASHES)]).alias(
-                "sig"
-            ),
-        )
-        .transform(truncate_lineage)
-    )
-    pairs = dedup_minhash_lsh(spark, sf_dir).transform(truncate_lineage)
-    j = (
-        pairs.join(
-            sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")),
-            "doc_a",
-        )
-        .join(
-            sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")),
-            "doc_b",
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            n_eq(lambda x, y: x == y).cast("bigint").alias("n_matches"),
+            n_eq(lambda x, y: x % BBIT_MOD == y % BBIT_MOD)
+            .cast("bigint")
+            .alias("bm"),
         )
     )
-    full_matches = F.aggregate(
-        F.zip_with("sa", "sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0),
-        lambda a, x: a + x,
-    )
-    bbit_matches = F.aggregate(
-        F.zip_with(
-            "sa",
-            "sb",
-            lambda x, y: F.when(x % BBIT_MOD == y % BBIT_MOD, 1).otherwise(0),
-        ),
-        F.lit(0),
-        lambda a, x: a + x,
+    # multi-band collisions repeat with IDENTICAL values — max() dedupes
+    pairs = collisions.groupBy("doc_a", "doc_b").agg(
+        F.max("n_matches").alias("n_matches"), F.max("bm").alias("bm")
     )
     n = float(MINHASH_NUM_HASHES)
-    frac_b = F.col("bm").cast("double") / F.lit(n)
-    est_b = (frac_b - F.lit(BBIT_BASE)) / (F.lit(1.0) - F.lit(BBIT_BASE))
-    scored = j.select(
-        full_matches.cast("bigint").alias("n_matches"),
-        F.col("est_jaccard"),
-        bbit_matches.cast("bigint").alias("bm"),
-    ).select(
-        "n_matches",
-        "est_jaccard",
-        F.round(est_b, 9).alias("est_bbit"),
+    est_b = (F.col("bm").cast("double") / F.lit(n) - F.lit(BBIT_BASE)) / (
+        F.lit(1.0) - F.lit(BBIT_BASE)
+    )
+    scored = pairs.select(
+        "n_matches", F.round(est_b, 9).alias("est_bbit")
     )
     dec = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
     cnt = F.count(F.lit(1)).cast("double")
     return scored.groupBy("n_matches").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        (F.round(F.sum(dec(F.col("est_jaccard"))).cast("double") / cnt, 6) + F.lit(0.0)).alias(
+        (F.round(F.col("n_matches").cast("double") / F.lit(n), 6) + F.lit(0.0)).alias(
             "avg_full_est"
         ),
         (F.round(F.sum(dec(F.col("est_bbit"))).cast("double") / cnt, 6) + F.lit(0.0)).alias(
@@ -1744,9 +1738,14 @@ def dedup_minhash_bbit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (
             F.round(
-                F.sum(dec(F.abs(F.col("est_bbit") - F.col("est_jaccard")))).cast(
-                    "double"
-                )
+                F.sum(
+                    dec(
+                        F.abs(
+                            F.col("est_bbit")
+                            - F.col("n_matches").cast("double") / F.lit(n)
+                        )
+                    )
+                ).cast("double")
                 / cnt,
                 6,
             )

@@ -1653,21 +1653,20 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # row-local 3-gram shingles (k sync-pinned to the oracle's i..i+2
     # concat); docs shorter than k emit none — the sequence() guard matters
-    # (Spark sequence(1, 0) yields [1, 0], not empty)
+    # (Spark sequence(1, 0) yields [1, 0], not empty). Tokenize ONCE per
+    # row, then slice (split() inside the HOF lambda re-evaluates per
+    # position — r8 review).
     sh_arr = F.expr(
         """
-        CASE WHEN size(split(text, ' ')) >= 3 THEN
-          transform(sequence(1, size(split(text, ' ')) - 2),
-            i -> concat_ws(' ',
-                           element_at(split(text, ' '), i),
-                           element_at(split(text, ' '), i + 1),
-                           element_at(split(text, ' '), i + 2)))
+        CASE WHEN size(t) >= 3 THEN
+          transform(sequence(1, size(t) - 2),
+            i -> concat_ws(' ', slice(t, i, 3)))
         ELSE CAST(array() AS ARRAY<STRING>) END
         """
     )
     sh = docs.select(
-        "source", "doc_id", F.explode(sh_arr).alias("sh")
-    ).distinct()
+        "source", "doc_id", F.split("text", " ").alias("t")
+    ).select("source", "doc_id", F.explode(sh_arr).alias("sh")).distinct()
     nd = sh.groupBy("source").agg(
         F.countDistinct("doc_id").alias("n_docs"),
     )
@@ -1842,19 +1841,20 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct collapses windows sharing a selection. One (doc, pos)
     partitioned window shuffle — doc-keyed, linear, zero Python."""
     docs = load_table(spark, sf_dir, "documents")
+    # tokenize ONCE per row, then slice — split() inside the transform
+    # lambda is re-evaluated per position (Spark does not hoist
+    # row-constant expressions out of HOF lambdas): O(n_tokens²) work on
+    # long documents (r8 review)
+    toked = docs.select("doc_id", F.split("text", " ").alias("t"))
     sh_arr = F.expr(
         f"""
-        CASE WHEN size(split(text, ' ')) >= {WINNOW_K} THEN
-          transform(sequence(1, size(split(text, ' ')) - {WINNOW_K - 1}),
-            i -> concat_ws(' ',
-                           element_at(split(text, ' '), i),
-                           element_at(split(text, ' '), i + 1),
-                           element_at(split(text, ' '), i + 2),
-                           element_at(split(text, ' '), i + 3)))
+        CASE WHEN size(t) >= {WINNOW_K} THEN
+          transform(sequence(1, size(t) - {WINNOW_K - 1}),
+            i -> concat_ws(' ', slice(t, i, {WINNOW_K})))
         ELSE CAST(array() AS ARRAY<STRING>) END
         """
     )
-    grams = docs.select(
+    grams = toked.select(
         "doc_id",
         F.posexplode(sh_arr).alias("p0", "gram"),
     ).select(
