@@ -4230,3 +4230,53 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of engagement across users (events and exact-cents
+    value) — the inequality readout behind "do 1% of users generate 90%
+    of the data?", which decides per-user caps and sampling strategy for
+    training-data pipelines.
+
+        G = (2·Σᵢ i·xᵢ) / (n·Σx) − (n+1)/n,   xᵢ ascending, i = 1..n
+
+    Exact integer sufficient statistics: per-user counts/cents from one
+    map-side-combined groupBy; ranks from ONE window over the per-USER
+    aggregate with the (metric ASC, user_id ASC) total tie-break (ties
+    ordered arbitrarily change Σi·xᵢ only between equal x values — the
+    tie-break pins one order so both engines agree bit-for-bit); the two
+    Gini divisions happen once in double. Σi·xᵢ is summed as
+    DECIMAL(38,0) (rank × cents overflows BIGINT at web-scale user
+    counts)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("value").cast("decimal(12,2)") * 100).cast("bigint")).alias(
+            "cents"
+        ),
+    )
+
+    def gini(metric: str) -> DataFrame:
+        w = Window.orderBy(F.asc(metric), F.asc("user_id"))
+        ranked = per_user.select(
+            F.col(metric).alias("x"), F.row_number().over(w).alias("i")
+        )
+        s = ranked.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+            F.sum(
+                F.col("i").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)")
+            ).alias("six"),
+        )
+        nd = F.col("n").cast("double")
+        g = (
+            F.lit(2.0) * F.col("six").cast("double") / (nd * F.col("sx").cast("double"))
+            - (nd + F.lit(1.0)) / nd
+        )
+        return s.select(
+            F.lit(metric).alias("metric"),
+            F.col("n").cast("bigint").alias("n_users"),
+            F.round(g, 9).alias("gini"),
+        )
+
+    return gini("n_events").unionByName(gini("cents"))

@@ -7299,3 +7299,36 @@ SELECT CAST(n_matches AS BIGINT) AS n_matches,
 FROM scored
 GROUP BY n_matches
 """
+
+# Engagement Gini: exact integer sufficient statistics, the (metric ASC,
+# user_id ASC) rank tie-break, two double divisions at the end.
+ORACLE_SQL["events_user_gini"] = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents
+  FROM events GROUP BY user_id
+),
+g1 AS (
+  SELECT 'n_events' AS metric, COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS six
+  FROM (SELECT n_events AS x,
+               row_number() OVER (ORDER BY n_events ASC, user_id ASC) AS i
+        FROM per_user)
+),
+g2 AS (
+  SELECT 'cents' AS metric, COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS six
+  FROM (SELECT cents AS x,
+               row_number() OVER (ORDER BY cents ASC, user_id ASC) AS i
+        FROM per_user)
+),
+u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+SELECT metric, CAST(n AS BIGINT) AS n_users,
+       round(CAST(2.0 AS DOUBLE) * CAST(six AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+             - (CAST(n AS DOUBLE) + CAST(1.0 AS DOUBLE))
+               / CAST(n AS DOUBLE), 9) AS gini
+FROM u
+"""

@@ -540,3 +540,4 @@ register("text_winnowing_fingerprints", text.text_winnowing_fingerprints)
 register("stream_cdc_merge", streaming_windows.stream_cdc_merge)
 register("events_dau_wau_mau", relational.events_dau_wau_mau)
 register("dedup_minhash_bbit_report", dedup.dedup_minhash_bbit_report)
+register("events_user_gini", relational.events_user_gini)
