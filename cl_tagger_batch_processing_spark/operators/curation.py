@@ -876,3 +876,76 @@ def corpus_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+# Generalization ladder for the k-anonymity sweep: balance-band widths
+# from fine to coarse (QI precision is the knob anonymization turns).
+# Sync-pinned to the oracle literals.
+KANON_SWEEP_WIDTHS = (500.0, 1000.0, 2000.0, 4000.0)
+
+
+def privacy_generalization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anonymization TRADE-OFF curve: k-anonymity statistics at four
+    quasi-identifier generalization levels (balance-band width 500 → 4000)
+    — the readout that picks the coarsest banding meeting the k ≥ KANON_K
+    bar with the least information loss, instead of guessing one width
+    (the parameterized-sweep pattern of dedup_minhash_band_sweep, sharing
+    privacy_k_anonymity's QI tuple and k bar verbatim).
+
+    Per level: equivalence classes, k-violating classes, exposed rows,
+    the anonymous-row fraction, and the row-weighted mean
+    re-identification risk (which collapses exactly to
+    n_classes/n_rows — one exact-int division). Four
+    map-side-combined aggregates over the customer relation — one per
+    width, each a tiny QI-cardinality rollup."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_nationkey", "c_acctbal"
+    )
+    outs = []
+    for width in KANON_SWEEP_WIDTHS:
+        band = F.floor(F.col("c_acctbal") / F.lit(width)).cast("bigint")
+        classes = (
+            cust.select("c_mktsegment", "c_nationkey", band.alias("b"))
+            .groupBy("c_mktsegment", "c_nationkey", "b")
+            .agg(F.count(F.lit(1)).alias("class_size"))
+        )
+        outs.append(
+            classes.agg(
+                F.lit(width).alias("band_width"),
+                F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+                F.sum(
+                    F.when(F.col("class_size") < F.lit(KANON_K), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_violating_classes"),
+                F.sum(
+                    F.when(
+                        F.col("class_size") < F.lit(KANON_K), F.col("class_size")
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_exposed_rows"),
+                F.round(
+                    F.lit(1.0)
+                    - F.sum(
+                        F.when(
+                            F.col("class_size") < F.lit(KANON_K),
+                            F.col("class_size"),
+                        ).otherwise(0)
+                    ).cast("double")
+                    / F.sum("class_size").cast("double"),
+                    9,
+                ).alias("anonymous_frac"),
+                # row-weighted mean of 1/class_size collapses EXACTLY to
+                # n_classes / n_rows (each class contributes size·1/size=1)
+                F.round(
+                    F.count(F.lit(1)).cast("double")
+                    / F.sum("class_size").cast("double"),
+                    9,
+                ).alias("mean_reident_risk"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

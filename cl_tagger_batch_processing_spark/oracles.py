@@ -7332,3 +7332,30 @@ SELECT metric, CAST(n AS BIGINT) AS n_users,
                / CAST(n AS DOUBLE), 9) AS gini
 FROM u
 """
+
+# k-anonymity generalization sweep: four band widths, shared KANON_K bar;
+# all statistics exact integers with one division per rate.
+ORACLE_SQL["privacy_generalization_sweep"] = """
+WITH lv AS (SELECT unnest([500.0, 1000.0, 2000.0, 4000.0]) AS w),
+classes AS (
+  SELECT lv.w, c_mktsegment, c_nationkey,
+         CAST(floor(c_acctbal / lv.w) AS BIGINT) AS b,
+         COUNT(*) AS class_size
+  FROM customer CROSS JOIN lv
+  GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(w AS DOUBLE) AS band_width,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_classes,
+       CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+            AS BIGINT) AS n_exposed_rows,
+       round(CAST(1.0 AS DOUBLE)
+             - CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                    AS DOUBLE) / CAST(SUM(class_size) AS DOUBLE), 9)
+         AS anonymous_frac,
+       round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(class_size) AS DOUBLE), 9)
+         AS mean_reident_risk
+FROM classes
+GROUP BY w
+"""

@@ -541,3 +541,4 @@ register("stream_cdc_merge", streaming_windows.stream_cdc_merge)
 register("events_dau_wau_mau", relational.events_dau_wau_mau)
 register("dedup_minhash_bbit_report", dedup.dedup_minhash_bbit_report)
 register("events_user_gini", relational.events_user_gini)
+register("privacy_generalization_sweep", curation.privacy_generalization_sweep)

@@ -2968,3 +2968,14 @@ def test_bbit_constants_in_sync():
     assert (dedup.BBIT_BITS, dedup.BBIT_MOD, dedup.BBIT_BASE) == (2, 4, 0.25)
     sql = oracles.ORACLE_SQL["dedup_minhash_bbit_report"]
     assert "% 4 = sb" in sql and "CAST(0.25 AS DOUBLE)" in sql
+
+
+def test_kanon_sweep_constants_in_sync():
+    from cl_tagger_batch_processing_spark import oracles
+    from cl_tagger_batch_processing_spark.operators import curation
+
+    assert curation.KANON_SWEEP_WIDTHS == (500.0, 1000.0, 2000.0, 4000.0)
+    assert curation.KANON_K == 5
+    sql = oracles.ORACLE_SQL["privacy_generalization_sweep"]
+    assert "[500.0, 1000.0, 2000.0, 4000.0]" in sql
+    assert sql.count("class_size < 5") == 3
