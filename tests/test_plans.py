@@ -1012,3 +1012,32 @@ def test_textrank_supersteps_on_vocab_frames(spark, sf_dir):
     assert plan.count("FileScan") == 0
     for op in ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]:
         assert op not in plan, op
+
+
+def test_registry_wide_no_scale_killers(spark):
+    # THE blanket physical-plan guarantee, pinned registry-wide (r8): no
+    # query's executed plan may contain a CartesianProduct or row-at-a-time
+    # Python (BatchEvalPython) ANYWHERE, and Arrow-vectorized Python is
+    # confined to the three documented kernel/sketch paths. Streaming
+    # queries are excluded (constructing them runs the stream; their
+    # shapes are pinned by test_streaming/test_plans entries).
+    import os
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES as _Q
+
+    guard_sf = os.environ.get("SPARK_GRAFT_GUARD_SF_DIR", "/root/testdata/sf0.001")
+    arrow_allowed = {"mm_frame_sample", "text_simhash", "mm_byte_histogram"}
+    bad: list[str] = []
+    for name, fn in _Q.items():
+        if name.startswith("stream_"):
+            continue
+        plan = inspect.executed_plan(fn(spark, guard_sf))
+        if "CartesianProduct" in plan:
+            bad.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan:
+            bad.append(f"{name}: row-at-a-time Python")
+        if name not in arrow_allowed and (
+            "ArrowEvalPython" in plan or "MapInPandas" in plan
+        ):
+            bad.append(f"{name}: unexpected Python boundary")
+    assert not bad, bad
