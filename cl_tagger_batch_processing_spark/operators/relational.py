@@ -4280,3 +4280,80 @@ def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return gini("n_events").unionByName(gini("cents"))
+
+
+def orders_interrupted_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted time-series analysis of daily revenue — the segmented-
+    regression causal readout (level shift + trend change at the
+    intervention) that completes the experimentation family beside the
+    randomized readouts (events_ab_lift / events_ab_cuped): when there is
+    no control group, ITS is the standard quasi-experimental design.
+
+    The intervention is the exact integer midpoint of the date range
+    (epoch-day div — engine-identical); each segment gets its own OLS of
+    revenue on day-index via exact-integer/decimal sufficient statistics
+    (revenue summed in DECIMAL(18,2) per day; x sums exact ints;
+    cross-terms on the 9dp-DECIMAL rail) with the single division in
+    double. Level change = post-intercept at the boundary minus the pre
+    trend extrapolated to it; trend change = slope difference. Windows
+    and aggregations run over the per-DAY frame only."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    rng = daily.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    t = F.datediff(F.col("day"), F.col("dmin")).cast("bigint")
+    mid = F.expr("datediff(dmax, dmin) div 2")
+    seg = daily.crossJoin(F.broadcast(rng)).select(
+        t.alias("t"),
+        "rev",
+        F.when(t <= mid, F.lit("pre")).otherwise(F.lit("post")).alias("segment"),
+        mid.alias("mid"),
+    )
+    dec = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    s = seg.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("t").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(dec(F.col("rev"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("t").cast("double") * F.col("rev"))).cast("double").alias("sxy"),
+        F.sum((F.col("t") * F.col("t")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.min("mid").alias("mid"),
+    )
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(vx > 0, (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / vx)
+    fit = s.select(
+        "segment",
+        F.col("n").cast("bigint").alias("n_days"),
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / nd).alias("intercept"),
+        F.col("mid").cast("double").alias("mid"),
+    )
+    pre = fit.where(F.col("segment") == "pre").select(
+        F.col("n_days").alias("n_pre"),
+        F.col("slope").alias("pre_slope"),
+        F.col("intercept").alias("pre_intercept"),
+        "mid",
+    )
+    post = fit.where(F.col("segment") == "post").select(
+        F.col("n_days").alias("n_post"),
+        F.col("slope").alias("post_slope"),
+        F.col("intercept").alias("post_intercept"),
+    )
+    bdry = F.col("mid") + F.lit(1.0)  # first post day
+    return pre.crossJoin(F.broadcast(post)).select(
+        "n_pre",
+        "n_post",
+        F.round("pre_slope", 6).alias("pre_slope"),
+        F.round("post_slope", 6).alias("post_slope"),
+        F.round(F.col("post_slope") - F.col("pre_slope"), 6).alias("trend_change"),
+        F.round(
+            (F.col("post_intercept") + F.col("post_slope") * bdry)
+            - (F.col("pre_intercept") + F.col("pre_slope") * bdry),
+            6,
+        ).alias("level_change"),
+    )

@@ -7359,3 +7359,54 @@ SELECT CAST(w AS DOUBLE) AS band_width,
 FROM classes
 GROUP BY w
 """
+
+# Interrupted time series: exact midpoint split, per-segment OLS on the
+# established sufficient-statistic rails, boundary-extrapolated level
+# change + slope change.
+ORACLE_SQL["orders_interrupted_timeseries"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+),
+rng AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM daily),
+seg AS (
+  SELECT CAST(date_diff('day', r.dmin, d.day) AS BIGINT) AS t, d.rev,
+         CASE WHEN date_diff('day', r.dmin, d.day)
+                   <= date_diff('day', r.dmin, r.dmax) // 2
+              THEN 'pre' ELSE 'post' END AS segment,
+         date_diff('day', r.dmin, r.dmax) // 2 AS mid
+  FROM daily d CROSS JOIN rng r
+),
+s AS (
+  SELECT segment, COUNT(*) AS n,
+         CAST(SUM(CAST(t AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(round(rev, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(CAST(t AS DOUBLE) * rev, 9) AS DECIMAL(28,9)))
+              AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)) AS DOUBLE) AS sxx,
+         MIN(mid) AS mid
+  FROM seg GROUP BY segment
+),
+fit AS (
+  SELECT segment, CAST(n AS BIGINT) AS n_days,
+         CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0 THEN
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx) END AS slope,
+         (sy - (CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0 THEN
+            (CAST(n AS DOUBLE) * sxy - sx * sy)
+              / (CAST(n AS DOUBLE) * sxx - sx * sx) END) * sx)
+           / CAST(n AS DOUBLE) AS intercept,
+         CAST(mid AS DOUBLE) AS mid
+  FROM s
+)
+SELECT p.n_days AS n_pre, q.n_days AS n_post,
+       round(p.slope, 6) AS pre_slope,
+       round(q.slope, 6) AS post_slope,
+       round(q.slope - p.slope, 6) AS trend_change,
+       round((q.intercept + q.slope * (p.mid + CAST(1.0 AS DOUBLE)))
+             - (p.intercept + p.slope * (p.mid + CAST(1.0 AS DOUBLE))), 6)
+         AS level_change
+FROM (SELECT * FROM fit WHERE segment = 'pre') p
+CROSS JOIN (SELECT * FROM fit WHERE segment = 'post') q
+"""
