@@ -4357,3 +4357,63 @@ def orders_interrupted_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("level_change"),
     )
+
+
+# KS test pair and the α=0.05 two-sample coefficient c(α)=1.358,
+# sync-pinned to the oracle literals.
+KS_TYPE_A = "view"
+KS_TYPE_B = "click"
+KS_COEFF_05 = 1.358
+
+
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test on event VALUE distributions
+    (view vs click) — the standard nonparametric drift/equality check
+    (are two segments drawing from the same distribution?) that completes
+    the statistics family beside the parametric readouts: D = sup over
+    the pooled support of |F̂_A − F̂_B|, compared to the α=0.05 bound
+    c(α)·√((n+m)/(n·m)).
+
+    Exact evaluation: values quantize to exact cents (the established
+    convention); both ECDFs are cumulative windows over the PER-VALUE
+    aggregate (distinct cents, not rows); |ΔF| at each support point is
+    the exact integer cross-difference |cumA·nB − cumB·nA| so the argmax
+    (tie → smaller value) needs no float compare; only the final D and
+    bound are doubles. One groupBy + one bounded ordered window."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    per_v = (
+        ev.where(F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B))
+        .select(F.col("event_type").alias("et"), cents.alias("v"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("et") == KS_TYPE_A, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("et") == KS_TYPE_B, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    tot = per_v.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "v",
+        F.sum("ca").over(wc).alias("cuma"),
+        F.sum("cb").over(wc).alias("cumb"),
+    ).crossJoin(F.broadcast(tot))
+    gap = F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+    best = (
+        cum.select("v", gap.alias("g"), "na", "nb")
+        .orderBy(F.desc("g"), F.asc("v"))
+        .limit(1)
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    d = F.col("g").cast("double") / (na * nb)
+    bound = F.lit(KS_COEFF_05) * F.sqrt((na + nb) / (na * nb))
+    return best.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        (F.col("v").cast("double") / F.lit(100.0)).alias("d_at_value"),
+        F.round(d, 9).alias("ks_d"),
+        F.round(bound, 9).alias("reject_bound_05"),
+        (F.col("g").cast("double") > bound * na * nb).alias("reject_equal_05"),
+    )

@@ -7410,3 +7410,44 @@ SELECT p.n_days AS n_pre, q.n_days AS n_post,
 FROM (SELECT * FROM fit WHERE segment = 'pre') p
 CROSS JOIN (SELECT * FROM fit WHERE segment = 'post') q
 """
+
+# Two-sample KS: exact cents support, ECDF windows over the per-value
+# aggregate, integer cross-difference argmax with smaller-value tie-break,
+# doubles only at the final D/bound. Constants sync-pinned.
+ORACLE_SQL["events_ks_test"] = """
+WITH per_v AS (
+  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cb
+  FROM events WHERE event_type IN ('view', 'click')
+  GROUP BY 1
+),
+tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM per_v),
+cum AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS cuma,
+         SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS cumb
+  FROM per_v
+),
+best AS (
+  SELECT c.v, abs(c.cuma * t.nb - c.cumb * t.na) AS g, t.na, t.nb
+  FROM cum c CROSS JOIN tot t
+  ORDER BY g DESC, c.v ASC LIMIT 1
+)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       CAST(v AS DOUBLE) / CAST(100.0 AS DOUBLE) AS d_at_value,
+       round(CAST(g AS DOUBLE)
+             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 9) AS ks_d,
+       round(CAST(1.358 AS DOUBLE)
+             * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 9)
+         AS reject_bound_05,
+       CAST(g AS DOUBLE) > CAST(1.358 AS DOUBLE)
+         * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+         * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) AS reject_equal_05
+FROM best
+"""

@@ -543,3 +543,4 @@ register("dedup_minhash_bbit_report", dedup.dedup_minhash_bbit_report)
 register("events_user_gini", relational.events_user_gini)
 register("privacy_generalization_sweep", curation.privacy_generalization_sweep)
 register("orders_interrupted_timeseries", relational.orders_interrupted_timeseries)
+register("events_ks_test", relational.events_ks_test)

@@ -2979,3 +2979,13 @@ def test_kanon_sweep_constants_in_sync():
     sql = oracles.ORACLE_SQL["privacy_generalization_sweep"]
     assert "[500.0, 1000.0, 2000.0, 4000.0]" in sql
     assert sql.count("class_size < 5") == 3
+
+
+def test_ks_constants_in_sync():
+    from cl_tagger_batch_processing_spark import oracles
+    from cl_tagger_batch_processing_spark.operators import relational
+
+    assert (relational.KS_TYPE_A, relational.KS_TYPE_B) == ("view", "click")
+    assert relational.KS_COEFF_05 == 1.358
+    sql = oracles.ORACLE_SQL["events_ks_test"]
+    assert "IN ('view', 'click')" in sql and sql.count("CAST(1.358 AS DOUBLE)") == 2
