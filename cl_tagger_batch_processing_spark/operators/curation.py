@@ -949,3 +949,73 @@ def privacy_generalization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-stop per-source corpus health dashboard — the report a
+    corpus owner actually opens: volume (docs, tokens, token share),
+    dedup health (survivors after the exact and near stages, near-dup
+    rate), and content quality (mean of THE shared quality score) in one
+    row per source. Pure composition over the shared machinery
+    (_dedup_survivors' staged keep decision, quality_components, the
+    token-count convention), so this report can never disagree with the
+    per-family queries it summarizes.
+
+    Shape: one corpus scan feeds doc/token/quality aggregates (map-side
+    combined per source); survivors ride the memoized cluster chain;
+    the token share's grand total is a 1-row broadcast. Quality means on
+    the 9dp-DECIMAL rail; rates divide once per row."""
+    from ..operators.dedup import _dedup_survivors
+    from .quality import quality_components  # noqa: F811
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "text",
+        F.md5("text").alias("content_hash"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    q = F.round(
+        quality_components(F.col("text"), F.split(F.col("text"), " "))["score"], 6
+    )
+    dec = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum(dec(q)).cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_quality"),
+    )
+    exact_surv, near_surv = _dedup_survivors(
+        spark, sf_dir, docs.select("doc_id", "source", "content_hash")
+    )
+    n_exact = exact_surv.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after_exact")
+    )
+    n_near = near_surv.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after_near")
+    )
+    total = base.agg(F.sum("n_tokens").alias("tok_total"))
+    return (
+        base.join(n_exact, "source", "left")
+        .join(n_near, "source", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("tok_total").cast("double"),
+                9,
+            ).alias("token_share"),
+            "mean_quality",
+            F.coalesce("n_after_exact", F.lit(0)).alias("n_after_exact"),
+            F.coalesce("n_after_near", F.lit(0)).alias("n_after_near"),
+            F.round(
+                F.lit(1.0)
+                - F.coalesce("n_after_near", F.lit(0)).cast("double")
+                / F.col("n_docs").cast("double"),
+                9,
+            ).alias("dup_rate"),
+        )
+    )

@@ -7451,3 +7451,62 @@ SELECT CAST(na AS BIGINT) AS n_a,
          * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) AS reject_equal_05
 FROM best
 """
+
+# One-stop per-source health dashboard: composes the funnel survivor
+# windows, THE quality formula, and the token-count convention.
+ORACLE_SQL["corpus_health_report"] = f"""
+WITH clusters AS ({ORACLE_SQL["dedup_clusters"]}),
+d AS (
+  SELECT doc_id, source, text, md5(text) AS content_hash,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         string_split(text, ' ') AS toks
+  FROM documents
+),
+q AS (
+  SELECT doc_id, source, n_tokens,
+         round(
+           0.5 * (CAST(len(list_filter(toks,
+                    x -> x IN ('a','the','of','and','in','to'))) AS DOUBLE)
+                  / len(toks))
+           + 0.25 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+           + 0.25 * (least(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                           / len(toks), 8.0) / 8.0),
+         6) AS quality
+  FROM d
+),
+base AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         round(CAST(SUM(CAST(round(quality, 9) AS DECIMAL(28,9))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS mean_quality
+  FROM q GROUP BY source
+),
+exact_surv AS (
+  SELECT doc_id, source FROM (
+    SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id)
+      AS rn FROM d) WHERE rn = 1
+),
+near_surv AS (
+  SELECT doc_id, source FROM (
+    SELECT e.doc_id, e.source,
+           row_number() OVER (PARTITION BY c.cluster_id ORDER BY e.doc_id)
+             AS rn
+    FROM exact_surv e JOIN clusters c USING (doc_id)) WHERE rn = 1
+),
+tot AS (SELECT SUM(n_tokens) AS tok_total FROM base)
+SELECT b.source, b.n_docs, b.n_tokens,
+       round(CAST(b.n_tokens AS DOUBLE) / CAST(t.tok_total AS DOUBLE), 9)
+         AS token_share,
+       b.mean_quality,
+       CAST(COALESCE(e.c, 0) AS BIGINT) AS n_after_exact,
+       CAST(COALESCE(nv.c, 0) AS BIGINT) AS n_after_near,
+       round(CAST(1.0 AS DOUBLE)
+             - CAST(COALESCE(nv.c, 0) AS DOUBLE)
+               / CAST(b.n_docs AS DOUBLE), 9) AS dup_rate
+FROM base b
+LEFT JOIN (SELECT source, COUNT(*) AS c FROM exact_surv GROUP BY source) e
+  USING (source)
+LEFT JOIN (SELECT source, COUNT(*) AS c FROM near_surv GROUP BY source) nv
+  USING (source)
+CROSS JOIN tot t
+"""

@@ -544,3 +544,4 @@ register("events_user_gini", relational.events_user_gini)
 register("privacy_generalization_sweep", curation.privacy_generalization_sweep)
 register("orders_interrupted_timeseries", relational.orders_interrupted_timeseries)
 register("events_ks_test", relational.events_ks_test)
+register("corpus_health_report", curation.corpus_health_report)
