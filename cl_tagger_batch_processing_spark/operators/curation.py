@@ -901,54 +901,57 @@ def privacy_generalization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_mktsegment", "c_nationkey", "c_acctbal"
     )
-    outs = []
-    for width in KANON_SWEEP_WIDTHS:
-        band = F.floor(F.col("c_acctbal") / F.lit(width)).cast("bigint")
-        classes = (
-            cust.select("c_mktsegment", "c_nationkey", band.alias("b"))
-            .groupBy("c_mktsegment", "c_nationkey", "b")
-            .agg(F.count(F.lit(1)).alias("class_size"))
+    # ONE corpus scan: the widths explode as a column (its own oracle's
+    # CROSS JOIN unnest shape — a per-width Python loop unioned four
+    # independent aggregates and scanned customer four times; r8 review)
+    widths = F.array(*[F.lit(w) for w in KANON_SWEEP_WIDTHS])
+    classes = (
+        cust.select(
+            "c_mktsegment",
+            "c_nationkey",
+            "c_acctbal",
+            F.explode(widths).alias("band_width"),
         )
-        outs.append(
-            classes.agg(
-                F.lit(width).alias("band_width"),
-                F.count(F.lit(1)).cast("bigint").alias("n_classes"),
-                F.sum(
-                    F.when(F.col("class_size") < F.lit(KANON_K), 1).otherwise(0)
-                )
-                .cast("bigint")
-                .alias("n_violating_classes"),
-                F.sum(
-                    F.when(
-                        F.col("class_size") < F.lit(KANON_K), F.col("class_size")
-                    ).otherwise(0)
-                )
-                .cast("bigint")
-                .alias("n_exposed_rows"),
-                F.round(
-                    F.lit(1.0)
-                    - F.sum(
-                        F.when(
-                            F.col("class_size") < F.lit(KANON_K),
-                            F.col("class_size"),
-                        ).otherwise(0)
-                    ).cast("double")
-                    / F.sum("class_size").cast("double"),
-                    9,
-                ).alias("anonymous_frac"),
-                # row-weighted mean of 1/class_size collapses EXACTLY to
-                # n_classes / n_rows (each class contributes size·1/size=1)
-                F.round(
-                    F.count(F.lit(1)).cast("double")
-                    / F.sum("class_size").cast("double"),
-                    9,
-                ).alias("mean_reident_risk"),
-            )
+        .select(
+            "band_width",
+            "c_mktsegment",
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / F.col("band_width"))
+            .cast("bigint")
+            .alias("b"),
         )
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionByName(o)
-    return res
+        .groupBy("band_width", "c_mktsegment", "c_nationkey", "b")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    return classes.groupBy("band_width").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum(F.when(F.col("class_size") < F.lit(KANON_K), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating_classes"),
+        F.sum(
+            F.when(
+                F.col("class_size") < F.lit(KANON_K), F.col("class_size")
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_exposed_rows"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(
+                F.when(
+                    F.col("class_size") < F.lit(KANON_K), F.col("class_size")
+                ).otherwise(0)
+            ).cast("double")
+            / F.sum("class_size").cast("double"),
+            9,
+        ).alias("anonymous_frac"),
+        # row-weighted mean of 1/class_size collapses EXACTLY to
+        # n_classes / n_rows (each class contributes size·1/size=1)
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum("class_size").cast("double"),
+            9,
+        ).alias("mean_reident_risk"),
+    )
 
 
 def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -965,7 +968,7 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined per source); survivors ride the memoized cluster chain;
     the token share's grand total is a 1-row broadcast. Quality means on
     the 9dp-DECIMAL rail; rates divide once per row."""
-    from ..operators.dedup import _dedup_survivors
+    from ..operators.dedup import dedup_survivor_counts_by_source
     from .quality import quality_components  # noqa: F811
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -986,19 +989,12 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec(q)).cast("double") / F.count(F.lit(1)).cast("double"), 6
         ).alias("mean_quality"),
     )
-    exact_surv, near_surv = _dedup_survivors(
+    counts = dedup_survivor_counts_by_source(
         spark, sf_dir, docs.select("doc_id", "source", "content_hash")
-    )
-    n_exact = exact_surv.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_after_exact")
-    )
-    n_near = near_surv.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_after_near")
     )
     total = base.agg(F.sum("n_tokens").alias("tok_total"))
     return (
-        base.join(n_exact, "source", "left")
-        .join(n_near, "source", "left")
+        base.join(counts, "source")
         .crossJoin(F.broadcast(total))
         .select(
             "source",
@@ -1009,11 +1005,11 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 9,
             ).alias("token_share"),
             "mean_quality",
-            F.coalesce("n_after_exact", F.lit(0)).alias("n_after_exact"),
-            F.coalesce("n_after_near", F.lit(0)).alias("n_after_near"),
+            "n_after_exact",
+            "n_after_near",
             F.round(
                 F.lit(1.0)
-                - F.coalesce("n_after_near", F.lit(0)).cast("double")
+                - F.col("n_after_near").cast("double")
                 / F.col("n_docs").cast("double"),
                 9,
             ).alias("dup_rate"),

@@ -1338,6 +1338,33 @@ def _dedup_survivors(
     return exact_surv, near_surv
 
 
+def dedup_survivor_counts_by_source(
+    spark: SparkSession, sf_dir: str, docs: DataFrame
+) -> DataFrame:
+    """(source, n_after_exact, n_after_near): the per-source survivor
+    rollup SHARED by corpus_dedup_funnel and corpus_health_report (r8
+    review: the rollup was duplicated; survivor attribution must change
+    in one place). Sources whose docs all dropped still emit (zeros)."""
+    exact_surv, near_surv = _dedup_survivors(spark, sf_dir, docs)
+    n_exact = exact_surv.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after_exact")
+    )
+    n_near = near_surv.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after_near")
+    )
+    return (
+        docs.select("source")
+        .distinct()
+        .join(n_exact, "source", "left")
+        .join(n_near, "source", "left")
+        .select(
+            "source",
+            F.coalesce("n_after_exact", F.lit(0)).cast("bigint").alias("n_after_exact"),
+            F.coalesce("n_after_near", F.lit(0)).cast("bigint").alias("n_after_near"),
+        )
+    )
+
+
 def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dedup retention funnel: how many documents survive the
     exact pass, then the near-dup pass — the report a corpus owner reads
@@ -1358,24 +1385,17 @@ def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.md5("text").alias("content_hash")
     )
-    exact_surv, near_surv = _dedup_survivors(spark, sf_dir, docs)
+    counts = dedup_survivor_counts_by_source(spark, sf_dir, docs)
     n_docs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    n_exact = exact_surv.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_exact"))
-    n_near = near_surv.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_near"))
-    return (
-        n_docs.join(n_exact, "source", "left")
-        .join(n_near, "source", "left")
-        .select(
-            "source",
-            "n_docs",
-            F.coalesce("n_after_exact", F.lit(0)).alias("n_after_exact"),
-            F.coalesce("n_after_near", F.lit(0)).alias("n_after_near"),
-            F.round(
-                F.coalesce("n_after_near", F.lit(0)).cast("double")
-                / F.col("n_docs").cast("double"),
-                6,
-            ).alias("retention"),
-        )
+    return n_docs.join(counts, "source").select(
+        "source",
+        "n_docs",
+        "n_after_exact",
+        "n_after_near",
+        F.round(
+            F.col("n_after_near").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("retention"),
     )
 
 

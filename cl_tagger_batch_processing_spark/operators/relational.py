@@ -4249,11 +4249,18 @@ def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0) (rank × cents overflows BIGINT at web-scale user
     counts)."""
     ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum((F.col("value").cast("decimal(12,2)") * 100).cast("bigint")).alias(
-            "cents"
-        ),
+    # materialize ONCE: the two gini() branches share no physical plan
+    # otherwise (no cross-branch CSE in Spark) and each would rescan
+    # events + re-aggregate (r8 review)
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("value").cast("decimal(12,2)") * 100).cast("bigint")).alias(
+                "cents"
+            ),
+        )
+        .transform(truncate_lineage)
     )
 
     def gini(metric: str) -> DataFrame:
@@ -4400,7 +4407,12 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").over(wc).alias("cuma"),
         F.sum("cb").over(wc).alias("cumb"),
     ).crossJoin(F.broadcast(tot))
-    gap = F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+    # cross-products widened to DECIMAL(38,0): cum·n overflows BIGINT at
+    # web-scale event counts (the events_user_gini overflow rule; r8
+    # review — the oracle side is HUGEINT-exact, so a silent wrap here
+    # would also be a divergence)
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    gap = F.abs(d38("cuma") * d38("nb") - d38("cumb") * d38("na"))
     best = (
         cum.select("v", gap.alias("g"), "na", "nb")
         .orderBy(F.desc("g"), F.asc("v"))
