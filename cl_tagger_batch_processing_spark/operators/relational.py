@@ -4429,3 +4429,129 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(bound, 9).alias("reject_bound_05"),
         (F.col("g").cast("double") > bound * na * nb).alias("reject_equal_05"),
     )
+
+
+# KMV (k-minimum-values / theta) sketch parameters: retained minima per
+# set and the 60-bit hash domain (15 md5 hex chars). Sync-pinned.
+KMV_K = 64
+KMV_DOMAIN = float(1 << 60)
+
+
+def events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (theta) sketch SET ALGEBRA over per-event-type audiences — the
+    sketch capability HLL cannot give: estimate union, Jaccard and
+    INTERSECTION of distinct-user sets from k-minimum-value summaries
+    (Beyer et al.), reported beside the exact answers per type pair so
+    the estimator's error is measured, not assumed.
+
+    Deterministic by construction: the sketch is the KMV_K smallest
+    60-bit md5 hashes of each type's distinct users (a total order — no
+    randomness to diverge); the union sketch is the k smallest of the
+    merged minima with θ = its kth value; est_union = (k−1)·D/θ (exact
+    count when the set has fewer than k distinct hashes); Jaccard is the
+    fraction of the merged k-set present in BOTH input sketches;
+    est_intersection = Ĵ·est_union. All selections are rank windows
+    per type / type-pair over hash-distinct rows (corpus touched once
+    for the hash pass); exact counts come from the same distinct
+    relation. One double division per estimate."""
+    ev = load_table(spark, sf_dir, "events")
+    uh = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .select(
+            "event_type",
+            "user_id",
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 15),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+        .transform(truncate_lineage)
+    )
+    wk = Window.partitionBy("event_type").orderBy("h")
+    kmv = uh.select(
+        "event_type", "h", F.row_number().over(wk).alias("rn")
+    ).where(F.col("rn") <= KMV_K)
+    types = uh.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("ta"))
+        .crossJoin(F.broadcast(types.select(F.col("event_type").alias("tb"))))
+        .where(F.col("ta") < F.col("tb"))
+    )
+    merged = (
+        pairs.join(
+            kmv.select(F.col("event_type").alias("ta"), F.col("h").alias("ha")),
+            "ta",
+        )
+        .select("ta", "tb", F.col("ha").alias("h"))
+        .unionByName(
+            pairs.join(
+                kmv.select(F.col("event_type").alias("tb"), F.col("h").alias("hb")),
+                "tb",
+            ).select("ta", "tb", F.col("hb").alias("h"))
+        )
+        .distinct()
+    )
+    wm = Window.partitionBy("ta", "tb").orderBy("h")
+    topk = merged.select(
+        "ta", "tb", "h", F.row_number().over(wm).alias("rn")
+    ).where(F.col("rn") <= KMV_K)
+    in_a = kmv.select(F.col("event_type").alias("ta"), F.col("h").alias("h"), F.lit(1).alias("ia"))
+    in_b = kmv.select(F.col("event_type").alias("tb"), F.col("h").alias("h"), F.lit(1).alias("ib"))
+    sk = (
+        topk.join(in_a, ["ta", "h"], "left")
+        .join(in_b, ["tb", "h"], "left")
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).alias("k_used"),
+            F.max("h").alias("theta"),
+            F.sum(
+                F.when(F.col("ia").isNotNull() & F.col("ib").isNotNull(), 1).otherwise(0)
+            ).alias("n_both"),
+        )
+    )
+    exact_per_type = uh.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    exact_int = (
+        uh.select(F.col("event_type").alias("ta"), "user_id")
+        .join(uh.select(F.col("event_type").alias("tb"), "user_id"), "user_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.countDistinct("user_id").alias("exact_intersection"))
+    )
+    est_union = F.when(
+        F.col("k_used") < F.lit(KMV_K),
+        F.col("k_used").cast("double"),
+    ).otherwise(
+        F.lit(float(KMV_K - 1)) * F.lit(KMV_DOMAIN) / F.col("theta").cast("double")
+    )
+    jac = F.col("n_both").cast("double") / F.col("k_used").cast("double")
+    return (
+        sk.join(
+            F.broadcast(
+                exact_per_type.select(F.col("event_type").alias("ta"), F.col("n_users").alias("exact_a"))
+            ),
+            "ta",
+        )
+        .join(
+            F.broadcast(
+                exact_per_type.select(F.col("event_type").alias("tb"), F.col("n_users").alias("exact_b"))
+            ),
+            "tb",
+        )
+        .join(exact_int, ["ta", "tb"])
+        .select(
+            "ta",
+            "tb",
+            F.col("exact_a").cast("bigint").alias("exact_a"),
+            F.col("exact_b").cast("bigint").alias("exact_b"),
+            F.col("exact_intersection").cast("bigint").alias("exact_intersection"),
+            F.round(est_union, 6).alias("est_union"),
+            F.round(jac, 9).alias("est_jaccard"),
+            F.round(jac * est_union, 6).alias("est_intersection"),
+        )
+    )

@@ -7510,3 +7510,80 @@ LEFT JOIN (SELECT source, COUNT(*) AS c FROM near_surv GROUP BY source) nv
   USING (source)
 CROSS JOIN tot t
 """
+
+# KMV / theta sketch set algebra: k smallest 60-bit md5 minima per type,
+# merged top-k with theta = kth value, est_union = (k-1)*D/theta (exact
+# count below k), Jaccard = merged-k fraction present in both sketches.
+# Constants sync-pinned (k=64, D=2^60).
+ORACLE_SQL["events_kmv_overlap"] = """
+WITH uh AS (
+  SELECT DISTINCT event_type, user_id,
+         CAST('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h
+  FROM events
+),
+kmv AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM uh)
+  WHERE rn <= 64
+),
+types AS (SELECT DISTINCT event_type FROM uh),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM types a JOIN types b ON a.event_type < b.event_type
+),
+merged AS (
+  SELECT DISTINCT ta, tb, h FROM (
+    SELECT p.ta, p.tb, k.h FROM pairs p JOIN kmv k ON k.event_type = p.ta
+    UNION ALL
+    SELECT p.ta, p.tb, k.h FROM pairs p JOIN kmv k ON k.event_type = p.tb
+  )
+),
+topk AS (
+  SELECT ta, tb, h FROM (
+    SELECT ta, tb, h,
+           row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+    FROM merged)
+  WHERE rn <= 64
+),
+sk AS (
+  SELECT t.ta, t.tb, COUNT(*) AS k_used, MAX(t.h) AS theta,
+         SUM(CASE WHEN ia.h IS NOT NULL AND ib.h IS NOT NULL
+                  THEN 1 ELSE 0 END) AS n_both
+  FROM topk t
+  LEFT JOIN kmv ia ON ia.event_type = t.ta AND ia.h = t.h
+  LEFT JOIN kmv ib ON ib.event_type = t.tb AND ib.h = t.h
+  GROUP BY t.ta, t.tb
+),
+ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM uh
+       GROUP BY event_type),
+exi AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         COUNT(DISTINCT a.user_id) AS exact_intersection
+  FROM uh a JOIN uh b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT s.ta, s.tb,
+       CAST(ea.n_users AS BIGINT) AS exact_a,
+       CAST(eb.n_users AS BIGINT) AS exact_b,
+       CAST(x.exact_intersection AS BIGINT) AS exact_intersection,
+       round(CASE WHEN s.k_used < 64 THEN CAST(s.k_used AS DOUBLE)
+                  ELSE CAST(63.0 AS DOUBLE)
+                       * CAST(1152921504606846976 AS DOUBLE)
+                       / CAST(s.theta AS DOUBLE) END, 6) AS est_union,
+       round(CAST(s.n_both AS DOUBLE) / CAST(s.k_used AS DOUBLE), 9)
+         AS est_jaccard,
+       round((CAST(s.n_both AS DOUBLE) / CAST(s.k_used AS DOUBLE))
+             * (CASE WHEN s.k_used < 64 THEN CAST(s.k_used AS DOUBLE)
+                     ELSE CAST(63.0 AS DOUBLE)
+                          * CAST(1152921504606846976 AS DOUBLE)
+                          / CAST(s.theta AS DOUBLE) END), 6)
+         AS est_intersection
+FROM sk s
+JOIN ex ea ON ea.event_type = s.ta
+JOIN ex eb ON eb.event_type = s.tb
+JOIN exi x ON x.ta = s.ta AND x.tb = s.tb
+"""

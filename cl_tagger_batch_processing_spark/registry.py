@@ -545,3 +545,4 @@ register("privacy_generalization_sweep", curation.privacy_generalization_sweep)
 register("orders_interrupted_timeseries", relational.orders_interrupted_timeseries)
 register("events_ks_test", relational.events_ks_test)
 register("corpus_health_report", curation.corpus_health_report)
+register("events_kmv_overlap", relational.events_kmv_overlap)

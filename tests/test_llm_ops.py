@@ -2989,3 +2989,14 @@ def test_ks_constants_in_sync():
     assert relational.KS_COEFF_05 == 1.358
     sql = oracles.ORACLE_SQL["events_ks_test"]
     assert "IN ('view', 'click')" in sql and sql.count("CAST(1.358 AS DOUBLE)") == 2
+
+
+def test_kmv_constants_in_sync():
+    from cl_tagger_batch_processing_spark import oracles
+    from cl_tagger_batch_processing_spark.operators import relational
+
+    assert relational.KMV_K == 64
+    assert relational.KMV_DOMAIN == float(1 << 60)
+    sql = oracles.ORACLE_SQL["events_kmv_overlap"]
+    assert "rn <= 64" in sql and sql.count("CAST(63.0 AS DOUBLE)") == 2
+    assert "1152921504606846976" in sql  # 2^60
