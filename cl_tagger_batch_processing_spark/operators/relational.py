@@ -4555,3 +4555,67 @@ def events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac * est_union, 6).alias("est_intersection"),
         )
     )
+
+
+def events_changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point DETECTION over daily event value — binary
+    segmentation's first split (the data-chosen complement of
+    orders_interrupted_timeseries' fixed intervention, and the offline
+    twin of events_cusum_drift): the split day maximizing the
+    between-segment sum-of-squares reduction
+
+        R(s) = (n_r·S_l − n_l·S_r)² / (n_l·n_r·n)
+
+    (the variance-reduction form whose numerator is an EXACT integer in
+    cents — S are exact cents sums, n are day counts — so each
+    candidate's score is one double division of exact integers: identical
+    bits on both engines, and the argmax carries a day ASC tie-break).
+
+    Shape: per-day cents sums from one groupBy; candidate scores from ONE
+    cumulative window over the per-DAY aggregate; the argmax is
+    TakeOrdered(1). Numerator widened to DECIMAL(38,0) before squaring
+    (cents·days products overflow BIGINT at scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date(F.expr("cast(ts as timestamp)")).alias("day")).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum((F.col("value").cast("decimal(12,2)") * 100).cast("bigint")).alias(
+            "s"
+        ),
+    )
+    tot = daily.agg(F.sum("c").alias("n"), F.sum("s").alias("stot"))
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "day",
+        F.sum("c").over(wc).alias("nl"),
+        F.sum("s").over(wc).alias("sl"),
+    ).crossJoin(F.broadcast(tot))
+    nl, nr = F.col("nl"), F.col("n") - F.col("nl")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = d38(nr) * d38(F.col("sl")) - d38(nl) * d38(F.col("stot") - F.col("sl"))
+    score = (
+        (num.cast("double") * num.cast("double"))
+        / (nl.cast("double") * nr.cast("double") * F.col("n").cast("double"))
+    )
+    cand = pre.where(nr > 0).select(
+        "day",
+        nl.cast("bigint").alias("n_left"),
+        nr.cast("bigint").alias("n_right"),
+        (F.col("sl").cast("double") / F.lit(100.0) / nl.cast("double")).alias(
+            "mean_left"
+        ),
+        (
+            (F.col("stot") - F.col("sl")).cast("double")
+            / F.lit(100.0)
+            / nr.cast("double")
+        ).alias("mean_right"),
+        score.alias("r"),
+    )
+    best = cand.orderBy(F.desc("r"), F.asc("day")).limit(1)
+    return best.select(
+        F.col("day").alias("split_day"),
+        "n_left",
+        "n_right",
+        F.round("mean_left", 6).alias("mean_left"),
+        F.round("mean_right", 6).alias("mean_right"),
+        F.round(F.col("r") / F.lit(10000.0), 6).alias("sse_reduction"),
+    )

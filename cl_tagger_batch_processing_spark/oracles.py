@@ -7587,3 +7587,46 @@ JOIN ex ea ON ea.event_type = s.ta
 JOIN ex eb ON eb.event_type = s.tb
 JOIN exi x ON x.ta = s.ta AND x.tb = s.tb
 """
+
+# Binary-segmentation change-point: exact cents prefix sums over the
+# per-day aggregate, integer-numerator variance-reduction score (one
+# double division per candidate), (score DESC, day ASC) argmax; the
+# reported reduction rescales cents^2 -> value^2 (/1e4).
+ORACLE_SQL["events_changepoint_detection"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c,
+         SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS s
+  FROM events GROUP BY 1
+),
+tot AS (SELECT SUM(c) AS n, SUM(s) AS stot FROM daily),
+pre AS (
+  SELECT day,
+         SUM(c) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS nl,
+         SUM(s) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS sl,
+         t.n, t.stot
+  FROM daily CROSS JOIN tot t
+),
+cand AS (
+  SELECT day, CAST(nl AS BIGINT) AS n_left,
+         CAST(n - nl AS BIGINT) AS n_right,
+         CAST(sl AS DOUBLE) / CAST(100.0 AS DOUBLE)
+           / CAST(nl AS DOUBLE) AS mean_left,
+         CAST(stot - sl AS DOUBLE) / CAST(100.0 AS DOUBLE)
+           / CAST(n - nl AS DOUBLE) AS mean_right,
+         (CAST(CAST(n - nl AS HUGEINT) * CAST(sl AS HUGEINT)
+               - CAST(nl AS HUGEINT) * CAST(stot - sl AS HUGEINT) AS DOUBLE)
+          * CAST(CAST(n - nl AS HUGEINT) * CAST(sl AS HUGEINT)
+                 - CAST(nl AS HUGEINT) * CAST(stot - sl AS HUGEINT) AS DOUBLE))
+           / (CAST(nl AS DOUBLE) * CAST(n - nl AS DOUBLE)
+              * CAST(n AS DOUBLE)) AS r
+  FROM pre WHERE n - nl > 0
+),
+best AS (SELECT * FROM cand ORDER BY r DESC, day ASC LIMIT 1)
+SELECT day AS split_day, n_left, n_right,
+       round(mean_left, 6) AS mean_left,
+       round(mean_right, 6) AS mean_right,
+       round(r / CAST(10000.0 AS DOUBLE), 6) AS sse_reduction
+FROM best
+"""

@@ -546,3 +546,4 @@ register("orders_interrupted_timeseries", relational.orders_interrupted_timeseri
 register("events_ks_test", relational.events_ks_test)
 register("corpus_health_report", curation.corpus_health_report)
 register("events_kmv_overlap", relational.events_kmv_overlap)
+register("events_changepoint_detection", relational.events_changepoint_detection)
