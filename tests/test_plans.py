@@ -884,6 +884,23 @@ def test_pagerank_salted_strategy_agrees(spark, sf_dir):
     assert pp.exceptAll(pps).count() == 0 and pps.exceptAll(pp).count() == 0
 
 
+def test_hits_salted_strategy_agrees(spark, sf_dir):
+    # HITS rides the SAME _superstep_scores_join as PageRank (VERDICT r8
+    # ask #3): forcing every node hot must reproduce the plain path
+    # bit-exactly in BOTH push directions, and the fixture (no hubs) must
+    # keep the plain plan — no salt machinery in it
+    from cl_tagger_batch_processing_spark.operators.graph import graph_hits
+
+    plain = graph_hits(spark, sf_dir)
+    salted = graph_hits(spark, sf_dir, hot_outdeg=1, n_salts=4)
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+    assert "salt" in inspect.executed_plan(salted)
+    plan = inspect.executed_plan(QUERIES["graph_hits"](spark, sf_dir))
+    assert "salt" not in plan  # no hub at fixture scale: plain strategy
+
+
 def test_source_pair_frames_broadcast(spark, sf_dir):
     # the #sources² pair frames (JSD / A-B lift scalars) must reach their
     # cross as an explicit BROADCAST — never a partitioned CartesianProduct
