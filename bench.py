@@ -88,24 +88,60 @@ def main() -> int:
         setattr(mod, attr, cache)
         memo_caches.append(cache)
 
-    times: dict[str, float] = {}
-    memo_state: dict[str, str] = {}
-    for name, fn in sorted(queries().items()):
+    def run_once(name: str, fn) -> tuple[float, str | None]:
+        """Time one noop-write materialization; classify memo interaction."""
         hits0 = sum(c.hits for c in memo_caches)
         ins0 = sum(c.inserts for c in memo_caches)
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            times[name] = round(time.perf_counter() - t0, 3)
+            sec = round(time.perf_counter() - t0, 3)
         except Exception as e:  # a failing query must not sink the whole bench
-            times[name] = -1.0
             print(f"# bench error in {name}: {e}", file=sys.stderr)
+            return -1.0, None
         if sum(c.inserts for c in memo_caches) > ins0:
-            memo_state[name] = "cold"  # built (at least one) shared memo
-        elif sum(c.hits for c in memo_caches) > hits0:
-            memo_state[name] = "warm"  # rode a memo another query built
+            return sec, "cold"  # built (at least one) shared memo
+        if sum(c.hits for c in memo_caches) > hits0:
+            return sec, "warm"  # rode a memo another query built
+        return sec, None
 
+    # Median-of-N timing (VERDICT r8 ask #4): two same-code full-registry
+    # runs in r8 differed by 1.16x median — single-shot per-query numbers
+    # sit inside a ~0.98-1.33x box-noise band, so cross-round comparisons
+    # on the expensive tail need medians. One full pass times everything;
+    # the top-TAIL_K slowest then get TAIL_RERUNS more runs each and report
+    # their MEDIAN (the cheap bulk stays single-shot — its absolute noise
+    # is negligible in the total). Memo state is recorded PER RUN: a query
+    # that built a shared memo cold in pass 1 rides it warm on re-runs, and
+    # like-for-like deltas must see that.
+    TAIL_K = int(os.environ.get("SPARK_GRAFT_BENCH_TAIL_K", "30"))
+    TAIL_RERUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RERUNS", "2"))
+    qmap = dict(sorted(queries().items()))
+    runs: dict[str, list[float]] = {}
+    memo_runs: dict[str, list[str | None]] = {}
+    for name, fn in qmap.items():
+        sec, memo = run_once(name, fn)
+        runs[name] = [sec]
+        memo_runs[name] = [memo]
+    tail = [
+        n
+        for n, ts in sorted(runs.items(), key=lambda kv: -kv[1][0])
+        if ts[0] >= 0
+    ][:TAIL_K]
+    for _ in range(TAIL_RERUNS):
+        for name in tail:
+            sec, memo = run_once(name, qmap[name])
+            if sec >= 0:
+                runs[name].append(sec)
+                memo_runs[name].append(memo)
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else round((s[n // 2 - 1] + s[n // 2]) / 2, 3)
+
+    times = {name: (median(ts) if ts[0] >= 0 else -1.0) for name, ts in runs.items()}
     total = round(sum(t for t in times.values() if t >= 0), 3)
     # The driver records only the TAIL of stdout, so the giant per-query dict
     # must NOT live on the final line (r3/r4 lost the artifact to head
@@ -114,9 +150,13 @@ def main() -> int:
     # truncation — then END with one small self-contained summary line that
     # always parses.
     for name, t in sorted(times.items(), key=lambda kv: kv[1]):
-        line = {"query": name, "sec": t}
-        if name in memo_state:
-            line["memo"] = memo_state[name]
+        line: dict = {"query": name, "sec": t}
+        if len(runs[name]) > 1:
+            line["n_runs"] = len(runs[name])
+            line["runs"] = runs[name]
+        memos = memo_runs[name]
+        if any(m is not None for m in memos):
+            line["memo"] = memos[0] if len(memos) == 1 else [m or "-" for m in memos]
         print(json.dumps(line))
     slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:20])
     print(
@@ -128,6 +168,7 @@ def main() -> int:
                 "sf": sf,
                 "n_queries": len(times),
                 "n_errors": sum(1 for t in times.values() if t < 0),
+                "tail_runs": f"top-{TAIL_K} slowest re-run {TAIL_RERUNS}x, sec = median",
                 "queries": slowest,
             }
         )

@@ -90,97 +90,34 @@ register("scan_extension_filter", relational.scan_extension_filter)
 
 from .operators import dedup, multimodal, similarity, text  # noqa: E402
 
-# r8 window refresh: dedup_exact / dedup_ngram_jaccard (green since r1) and
-# dedup_embedding_cosine (green five rounds) move below the window; the
-# minhash/simhash/cluster flagships keep their slots.
-register("dedup_minhash_lsh", dedup.dedup_minhash_lsh)
-register("dedup_simhash", dedup.dedup_simhash)
-# r7 second window refresh: five wave-2 flagships (never driver-verified)
-# take the slots of five queries driver-green since r1-r3 (text_simhash,
-# sim_topk_cosine, text_quality_score, text_langid, text_fingerprint —
-# re-registered below the window; local parity + plan tests keep them).
+# --- r9 window refresh (VERDICT r8 ask #1 — rotate 15-20, not 10): the 19
+# longest-green window entries move below the window — 14 driver-green
+# six-to-eight consecutive rounds (dedup_minhash_lsh, dedup_simhash,
+# dedup_clusters, stream_tumbling_counts, sim_ann_lsh, dedup_semantic,
+# text_pii_scrub, text_gopher_flags, cdc_merge_documents,
+# layout_partition_prune, layout_bucketed_join, source_jsonl_roundtrip,
+# stream_stream_join, stream_user_event_mix) plus the five r6 promotions
+# green three rounds (events_markov_transitions, scd2_order_status,
+# mm_audio_framing, text_tfidf_topk, mm_phash_dedup). The 19
+# never-driver-verified queries with the most intricate oracles take their
+# slots (registered at the end of the window below).
 register("dedup_minhash_lev_verify", dedup.dedup_minhash_lev_verify)
-register("dedup_clusters", dedup.dedup_clusters)
 
 from .operators import graph  # noqa: E402
 
 register("embedding_pca_power_iteration", similarity.embedding_pca_power_iteration)
-
 register("orders_forecast_backtest", relational.orders_forecast_backtest)
 register("approx_distinct_hll", relational.approx_distinct_hll)
 register("graph_shortest_paths", graph.graph_shortest_paths)
 register("events_cusum_drift", relational.events_cusum_drift)
-
-from .streaming import windows as streaming_windows  # noqa: E402
-
-register("stream_tumbling_counts", streaming_windows.stream_tumbling_counts)
-# r8 window refresh: sessionize / stream_dedup_counts / stream_user_totals
-# (each green five rounds) move below; the streaming family keeps
-# stream_tumbling_counts, stream_stream_join and stream_user_event_mix.
-
-from .streaming import stateful as streaming_stateful  # noqa: E402
-
-# Value-checked: the payload bytes are the UTF-8 encoding of pure-ASCII
-# fixture text, so the DuckDB oracle mirrors the byte histogram per
-# CHARACTER (see oracles.py for the ASCII precondition).
 register("sim_mmr_diversify", similarity.sim_mmr_diversify)
 
-# Approximate vs brute force but DETERMINISTIC in construction (fixed LCG
-# planes / first-8 centroids): their oracles replay the exact bucketing and
-# probing, so both are value-checked (see oracles.py).
-register("sim_ann_lsh", similarity.sim_ann_lsh)
-# r8: sim_topk_ivf (green five rounds) moves below; IVF machinery keeps a
-# window slot through sim_ivf_probe_sweep (first green r7).
-
-# SemDeDup (cluster-then-pair): its oracle replays the FULL deterministic
-# k-means chain in SQL, so this driver row transitively value-checks
-# embedding_kmeans (registered outside the window) as well.
-register("dedup_semantic", similarity.dedup_semantic)
-
-# --- curation / CDC / layout / sources / modern streaming (driver window) ----
-
 from .operators import curation  # noqa: E402
-from .sources import layout as sources_layout  # noqa: E402
-from .sources import textfiles  # noqa: E402
 
-register("text_pii_scrub", curation.text_pii_scrub)
-register("text_gopher_flags", curation.text_gopher_flags)
 register("privacy_t_closeness", relational.privacy_t_closeness)
-# r8: corpus_source_mix (green five rounds) moves below the window.
-register("cdc_merge_documents", curation.cdc_merge_documents)
-register("layout_partition_prune", sources_layout.layout_partition_prune)
-# Bucket-to-bucket co-located join (zero-exchange plan pinned by
-# test_layout.py); the oracle joins the unbucketed fixtures.
-register("layout_bucketed_join", sources_layout.layout_bucketed_join)
-register("source_jsonl_roundtrip", textfiles.source_jsonl_roundtrip)
-# Watermarked stream-stream interval join — the only stateful-join shape in
-# §2.8; on the bounded fixture its append-mode emissions equal the batch
-# interval join, so it is fully value-checked.
-register("stream_stream_join", streaming_windows.stream_stream_join)
-# Arbitrary per-key state (MapState via transformWithState where the
-# protobuf runtime exists; applyInPandasWithState map-field fallback here) —
-# value-checked either way against the batch distinct/total counts.
-register("stream_user_event_mix", streaming_stateful.stream_user_event_mix)
 
-# --- r6 window refresh: the five r5 families never driver-verified take the
-# TPC-H flagships' slots (q1/q3/q5/q18/q22 move below the window — they are
-# long-stable, plan-tested, and still locally parity-checked every run; the
-# driver's value-hash gate adds more information on the newest operators).
-register("events_markov_transitions", relational.events_markov_transitions)
-register("scd2_order_status", relational.scd2_order_status)
-register("mm_audio_framing", multimodal.mm_audio_framing)
-register("text_tfidf_topk", text.text_tfidf_topk)
-register("mm_phash_dedup", multimodal.mm_phash_dedup)
-
-# --- r7 window refresh: the ten r6 additions (none ever driver-verified)
-# take the slots of the r5 promotions that have now been driver-green twice
-# (graph_pagerank, sim_pq_adc_recall, dedup_containment), the long-stable
-# mid-tier join shapes (asof_join_purchase_click, range_join_events,
-# skew_salted_join), and four simple map-shape queries green since r3
-# (mm_metadata, mm_frame_sample, text_unigram_loglik,
-# decontaminate_ngram_overlap). All displaced queries keep their local
-# DuckDB oracles below.
-
+# r7 window refresh survivors (first green r7, green again r8 — they stay
+# so every slot carries at least two driver rows before rotating out).
 register("dedup_substring_spans", dedup.dedup_substring_spans)
 register("dedup_url_canonical", dedup.dedup_url_canonical)
 register("dedup_exact_incremental_bloom", dedup.dedup_exact_incremental_bloom)
@@ -192,15 +129,9 @@ register("text_bigram_lm_perplexity", text.text_bigram_lm_perplexity)
 register("mm_scene_cuts", multimodal.mm_scene_cuts)
 register("orders_cohort_ltv", relational.orders_cohort_ltv)
 
-# --- r8 window refresh: the ten highest-risk never-driver-verified queries
-# (VERDICT r7 ask #1 — the ones whose oracles are most intricate and
-# therefore most likely to hide an engine/oracle co-error) take the slots of
-# ten queries driver-green five-to-seven rounds running. The k-means chain
-# (crossmodal verdict + kmeans itself), the graph fixpoint closures
-# (components / modularity / LPA), the bit-identical GD regression, the
-# privacy audits, the KLL-style quantile sketch report, and the freshly
-# rewritten covariance stats pass (see similarity.embedding_covariance)
-# each get their first independent driver row.
+# r8 window refresh survivors (first green r8): the k-means chain, graph
+# fixpoint closures, bit-identical GD, privacy audits, quantile sketch,
+# and the zero-join covariance rewrite keep their slots one more round.
 register("crossmodal_curation_verdict", curation.crossmodal_curation_verdict)
 register("embedding_kmeans", similarity.embedding_kmeans)
 register("graph_components", graph.graph_components)
@@ -212,10 +143,75 @@ register("privacy_k_anonymity", curation.privacy_k_anonymity)
 register("privacy_l_diversity", relational.privacy_l_diversity)
 register("embedding_covariance", similarity.embedding_covariance)
 
+from .streaming import stateful as streaming_stateful  # noqa: E402
+from .streaming import windows as streaming_windows  # noqa: E402
+
+# --- r9 rotation, part 1: the verdict's named ten — the r8 additions whose
+# oracles are the most intricate (chained-CTE iterative replays or
+# independent algorithms) and therefore where a driver row adds the most
+# information: Viterbi max-plus prefix scan, seeded Brandes betweenness,
+# HITS (freshly rerouted through the shared memo + salted superstep),
+# iterative BPE merge training, winnowing/MOSS fingerprints, ER resolution
+# clusters, Pareto skyline (independent NOT-EXISTS dominance oracle),
+# two-sample KS, KMV/theta sketch set algebra, binary-segmentation
+# change-point detection.
+register("events_hmm_viterbi_decode", relational.events_hmm_viterbi_decode)
+register("graph_betweenness_seeded", graph.graph_betweenness_seeded)
+register("graph_hits", graph.graph_hits)
+register("text_bpe_train_merges", text.text_bpe_train_merges)
+register("text_winnowing_fingerprints", text.text_winnowing_fingerprints)
+register("er_resolution_clusters", relational.er_resolution_clusters)
+register("parts_pareto_skyline", relational.parts_pareto_skyline)
+register("events_ks_test", relational.events_ks_test)
+register("events_kmv_overlap", relational.events_kmv_overlap)
+register("events_changepoint_detection", relational.events_changepoint_detection)
+
+# --- r9 rotation, part 2: nine more never-driver-verified r8 additions —
+# BM25 ranking, exact tie-aware ROC-AUC, the foreachBatch versioned-store
+# streaming CDC merge (keeps a streaming slot in the window), Kaplan-Meier
+# survival (the vacuous-gate lesson makes independent verification
+# valuable), ITS segmented regression, the k-anonymity generalization
+# sweep, Adamic-Adar link prediction, the corpus kNN graph, and the
+# retention power-law fit.
+register("text_bm25_topk", text.text_bm25_topk)
+register("events_auc_report", relational.events_auc_report)
+register("stream_cdc_merge", streaming_windows.stream_cdc_merge)
+register("events_survival_km", relational.events_survival_km)
+register("orders_interrupted_timeseries", relational.orders_interrupted_timeseries)
+register("privacy_generalization_sweep", curation.privacy_generalization_sweep)
+register("graph_adamic_adar", graph.graph_adamic_adar)
+register("sim_knn_graph", similarity.sim_knn_graph)
+register("events_retention_curve_fit", relational.events_retention_curve_fit)
+
 # --------------------------- slot 51+ from here -----------------------------
 # Everything below is OUTSIDE the driver's 50-entry window; each keeps its
 # local DuckDB oracle in tests/test_oracle_parity.py (or a documented
 # NO_ORACLE reason) as regression cover.
+
+from .sources import layout as sources_layout  # noqa: E402
+from .sources import textfiles  # noqa: E402
+
+# Displaced by the r9 window refresh (see above): all 19 were driver-green
+# three-to-eight consecutive rounds and remain fully oracle-backed locally.
+register("dedup_minhash_lsh", dedup.dedup_minhash_lsh)
+register("dedup_simhash", dedup.dedup_simhash)
+register("dedup_clusters", dedup.dedup_clusters)
+register("stream_tumbling_counts", streaming_windows.stream_tumbling_counts)
+register("sim_ann_lsh", similarity.sim_ann_lsh)
+register("dedup_semantic", similarity.dedup_semantic)
+register("text_pii_scrub", curation.text_pii_scrub)
+register("text_gopher_flags", curation.text_gopher_flags)
+register("cdc_merge_documents", curation.cdc_merge_documents)
+register("layout_partition_prune", sources_layout.layout_partition_prune)
+register("layout_bucketed_join", sources_layout.layout_bucketed_join)
+register("source_jsonl_roundtrip", textfiles.source_jsonl_roundtrip)
+register("stream_stream_join", streaming_windows.stream_stream_join)
+register("stream_user_event_mix", streaming_stateful.stream_user_event_mix)
+register("events_markov_transitions", relational.events_markov_transitions)
+register("scd2_order_status", relational.scd2_order_status)
+register("mm_audio_framing", multimodal.mm_audio_framing)
+register("text_tfidf_topk", text.text_tfidf_topk)
+register("mm_phash_dedup", multimodal.mm_phash_dedup)
 
 # Displaced by the r8 window refresh (see above): all ten were driver-green
 # five-to-seven consecutive rounds and remain fully oracle-backed locally.
@@ -512,38 +508,19 @@ register("events_burstiness_by_type", relational.events_burstiness_by_type)
 
 # --- round-8 additions: lexical retrieval ranking (BM25), HITS
 # hubs/authorities, entity-resolution clusters ------------------------------
-register("text_bm25_topk", text.text_bm25_topk)
-register("graph_hits", graph.graph_hits)
-register("er_resolution_clusters", relational.er_resolution_clusters)
-register("events_auc_report", relational.events_auc_report)
 register("text_boilerplate_ngrams", text.text_boilerplate_ngrams)
-register("text_bpe_train_merges", text.text_bpe_train_merges)
-register("graph_adamic_adar", graph.graph_adamic_adar)
 register("events_markov_entropy_rate", relational.events_markov_entropy_rate)
-register("parts_pareto_skyline", relational.parts_pareto_skyline)
 register("orders_max_drawdown", relational.orders_max_drawdown)
-register("events_survival_km", relational.events_survival_km)
 register("orders_rfm_migration", relational.orders_rfm_migration)
-register("events_retention_curve_fit", relational.events_retention_curve_fit)
 register("dedup_cluster_keep_best", dedup.dedup_cluster_keep_best)
 register("sim_ivf_balance_report", similarity.sim_ivf_balance_report)
 register("mm_audio_silence_trim", multimodal.mm_audio_silence_trim)
 register("embedding_hard_negatives", similarity.embedding_hard_negatives)
 register("corpus_stratified_split", curation.corpus_stratified_split)
-register("events_hmm_viterbi_decode", relational.events_hmm_viterbi_decode)
-register("graph_betweenness_seeded", graph.graph_betweenness_seeded)
 register("corpus_dedup_token_savings", dedup.corpus_dedup_token_savings)
 register("graph_effective_diameter", graph.graph_effective_diameter)
-register("sim_knn_graph", similarity.sim_knn_graph)
 register("events_ab_cuped", relational.events_ab_cuped)
-register("text_winnowing_fingerprints", text.text_winnowing_fingerprints)
-register("stream_cdc_merge", streaming_windows.stream_cdc_merge)
 register("events_dau_wau_mau", relational.events_dau_wau_mau)
 register("dedup_minhash_bbit_report", dedup.dedup_minhash_bbit_report)
 register("events_user_gini", relational.events_user_gini)
-register("privacy_generalization_sweep", curation.privacy_generalization_sweep)
-register("orders_interrupted_timeseries", relational.orders_interrupted_timeseries)
-register("events_ks_test", relational.events_ks_test)
 register("corpus_health_report", curation.corpus_health_report)
-register("events_kmv_overlap", relational.events_kmv_overlap)
-register("events_changepoint_detection", relational.events_changepoint_detection)

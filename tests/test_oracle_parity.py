@@ -32,30 +32,20 @@ def test_driver_window_is_curated():
     not_oracled = [n for n in window if n not in ORACLE_SQL]
     assert not not_oracled, f"driver window entries without oracles: {not_oracled}"
     for family_member in [
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "dedup_clusters",
-        "sim_ann_lsh",
-        "text_pii_scrub",
-        "text_gopher_flags",
-        "cdc_merge_documents",
-        "layout_partition_prune",
-        "layout_bucketed_join",
-        "stream_stream_join",
-        "source_jsonl_roundtrip",
-        "stream_user_event_mix",
-        "stream_tumbling_counts",
+        # reference-core rows kept in the window permanently (S1/F1 + the
+        # kernel pipeline + the flagship tagging surface)
+        "tag_select",
         "pipeline_score_tag",
-        # r6 window refresh: TPC-H flagships rotated OUT (long-stable, plan-
-        # tested, locally parity-checked); the never-driver-verified r5
-        # batch-2/3 families rotated IN
-        "events_markov_transitions",
-        "scd2_order_status",
-        "mm_audio_framing",
-        "text_tfidf_topk",
-        "mm_phash_dedup",
-        # r7 window refresh: the ten r6 additions (never driver-verified)
-        # replace the twice-green r5 promotions and stable mid-tier shapes
+        "scan_extension_filter",
+        # r7-promoted flagships green twice (r7, r8)
+        "dedup_minhash_lev_verify",
+        "embedding_pca_power_iteration",
+        "orders_forecast_backtest",
+        "approx_distinct_hll",
+        "graph_shortest_paths",
+        "events_cusum_drift",
+        "sim_mmr_diversify",
+        "privacy_t_closeness",
         "dedup_substring_spans",
         "dedup_url_canonical",
         "dedup_exact_incremental_bloom",
@@ -66,26 +56,7 @@ def test_driver_window_is_curated():
         "text_bigram_lm_perplexity",
         "mm_scene_cuts",
         "orders_cohort_ltv",
-        # r7 second refresh: five wave-2 flagships (candidate-then-verify
-        # dedup, integer matrix-squaring PCA, hand-rolled HLL, frontier
-        # BFS, CUSUM drift) replace five queries driver-green since r1-r3
-        "dedup_minhash_lev_verify",
-        "embedding_pca_power_iteration",
-        "approx_distinct_hll",
-        "graph_shortest_paths",
-        "events_cusum_drift",
-        # r7 third refresh: the rewritten calendar-true forecast backtest,
-        # the privacy family's first window slot, and the MMR greedy loop
-        # replace three simple map/agg shapes driver-green since r1-r3
-        # (text_stats, mm_byte_histogram, corpus_split_assign — all keep
-        # local parity below the window)
-        "orders_forecast_backtest",
-        "privacy_t_closeness",
-        "sim_mmr_diversify",
-        # r8 window refresh: the ten highest-risk never-driver-verified
-        # queries (k-means chain, graph fixpoints, bit-identical GD,
-        # privacy audits, quantile sketches, rewritten covariance) replace
-        # ten queries driver-green five-to-seven rounds running
+        # r8 rotation survivors (first green r8 — stay one more round)
         "crossmodal_curation_verdict",
         "embedding_kmeans",
         "graph_components",
@@ -96,6 +67,28 @@ def test_driver_window_is_curated():
         "privacy_k_anonymity",
         "privacy_l_diversity",
         "embedding_covariance",
+        # r9 rotation (VERDICT r8 ask #1): the verdict's named ten plus nine
+        # more never-driver-verified r8 additions take the slots of the 19
+        # longest-green entries (all displaced names keep local parity below)
+        "events_hmm_viterbi_decode",
+        "graph_betweenness_seeded",
+        "graph_hits",
+        "text_bpe_train_merges",
+        "text_winnowing_fingerprints",
+        "er_resolution_clusters",
+        "parts_pareto_skyline",
+        "events_ks_test",
+        "events_kmv_overlap",
+        "events_changepoint_detection",
+        "text_bm25_topk",
+        "events_auc_report",
+        "stream_cdc_merge",
+        "events_survival_km",
+        "orders_interrupted_timeseries",
+        "privacy_generalization_sweep",
+        "graph_adamic_adar",
+        "sim_knn_graph",
+        "events_retention_curve_fit",
     ]:
         assert family_member in window, f"{family_member} fell out of the window"
 
