@@ -1197,145 +1197,106 @@ PI_SCALE = 1_000_000
 def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant principal component of the embedding space by REPEATED
     MATRIX SQUARING — PCA's first axis with PageRank-grade determinism:
-    all arithmetic in scaled integers, so every superstep is bit-identical
-    on any engine/partition order. Squaring is the right iteration here:
-    the embedding spectrum is nearly flat (λ₂/λ₁ ≈ 0.99 on the fixture),
-    where plain power iteration needs hundreds of data-independent rounds
-    but 12 squarings reach the effective power N^4096 ((λ₂/λ₁)^4096 ≈ 0)
-    in 12 constant-size d×d joins.
+    all arithmetic in exact scaled integers, bit-identical on any engine.
+    Squaring is the right iteration here: the embedding spectrum is nearly
+    flat (λ₂/λ₁ ≈ 0.99 on the fixture), where plain power iteration needs
+    hundreds of data-independent rounds but 12 squarings reach the
+    effective power N^4096 ((λ₂/λ₁)^4096 ≈ 0).
 
-    Layout: the corpus is touched ONCE (the covariance sufficient
-    statistics — the same single-pass groupBy as embedding_covariance);
-    the iteration runs on d×d integer matrices whose entries are clamped
-    to ±1e6 per round by the nonneg-shifted floor rescale
-    ((x+m)·S div m − S, m = max|x|), which floors identically on both
-    engines (Spark `div` ≡ DuckDB `//` for non-negative operands — the
-    negative-operand divergence is designed away by the +m shift).
-    Mid-squaring products are ≤ d·S² ≈ 2^46: BIGINT-safe; only the
-    initial covariance numerators need wide integers.
+    Layout: the corpus is touched ONCE, distributed (the covariance
+    sufficient statistics — the same single-pass zero-join groupBy as
+    embedding_covariance). The iteration then runs DRIVER-SIDE on the
+    collected d×d integer matrix — a constant-size control-plane object at
+    ANY corpus scale (the Lloyd's-centroids / GD-gradient precedent: d² =
+    4096 exact integers, like k×dim centroids), which replaces 12
+    sequential scheduler-barrier rounds of tiny d×d joins with exact
+    in-process integer arithmetic (r9: those barriers were ~half the
+    query's wall-clock and contributed nothing at scale). Entries clamp to
+    ±1e6 per round by the nonneg-shifted floor rescale
+    ((x+m)·S div m − S, m = max|x|), identical to the oracle's SQL replay
+    (// on non-negative operands); mid-squaring products ≤ d·S² ≈ 2^46
+    stay int64-exact, the ×S shift runs in Python ints (unbounded).
 
     After the last squaring M ≈ c·vvᵀ, so the column with the largest
-    absolute-value mass IS the eigenvector (deterministic smallest-index
-    tie-break); sign fixes the smallest nonzero dim positive; the
-    Rayleigh quotient on the ORIGINAL exact numerators divides once in
-    double. Output: (dim, loading ∈ [−1,1] ∞-normalized, eigenvalue
-    constant across rows)."""
+    absolute-value mass IS the eigenvector (smallest-index tie-break);
+    sign fixes the smallest nonzero dim positive; the Rayleigh quotient on
+    the ORIGINAL exact numerators divides once in double with the same
+    expression tree as the oracle. Output: (dim, loading ∈ [−1,1]
+    ∞-normalized, eigenvalue constant across rows). Independently
+    cross-checked by test_pca_power_iteration_matches_numpy AND the
+    oracle's chained-CTE SQL replay of the full squaring schedule."""
+    import numpy as np
+
     base = quantized_embeddings(spark, sf_dir).select("vec_id", "qv")
-    d19 = lambda c: F.col(c).cast("decimal(19,0)")
-    # zero-join sufficient statistics (see outer_product_stats); the
-    # covariance numerator is symmetric, so the full d×d matrix the
-    # squaring needs is the upper triangle plus its strict mirror —
-    # d²/2 tiny rows unioned, never a second corpus pass.
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    # zero-join sufficient statistics (see outer_product_stats): the ONLY
+    # distributed stage, and the only one that grows with the corpus.
     upper = outer_product_stats(base).select(
         "dim_i",
         "dim_j",
         "n_vecs",
         (d19("n_vecs") * d19("sxy") - d19("sx") * d19("sy")).alias("num"),
     )
-    nmat = truncate_lineage(
-        upper.unionByName(
-            upper.where(F.col("dim_i") < F.col("dim_j")).select(
-                F.col("dim_j").alias("dim_i"),
-                F.col("dim_i").alias("dim_j"),
-                "n_vecs",
-                "num",
-            )
-        )
-    )
+    out_schema = "dim bigint, loading double, eigenvalue double"
+    rows = upper.collect()  # d²/2 control-plane rows (constant in corpus)
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    n_vecs = int(rows[0]["n_vecs"])
+    num: dict = {}
+    for r in rows:
+        i, j, v = int(r["dim_i"]), int(r["dim_j"]), int(r["num"])
+        num[(i, j)] = v
+        num[(j, i)] = v  # symmetric mirror
+    dims = sorted({i for i, _ in num})
+    nd = len(dims)
 
-    def rescale(frame: DataFrame, col: str) -> DataFrame:
-        """Clamp entries to ±PI_SCALE via the nonneg-shifted floor (exact,
-        engine-portable); the m=0 matrix is kept as-is (degenerate)."""
-        m = frame.agg(F.max(F.abs(F.col(col))).alias("m"))
-        return frame.crossJoin(F.broadcast(m)).select(
-            "dim_i",
-            "dim_j",
-            F.when(F.col("m") == F.lit(0), F.col(col).cast("decimal(38,0)"))
-            .otherwise(
-                # widen BEFORE the ×scale shift: (p+m)·1e6 overflows BIGINT
-                F.expr(
-                    f"((CAST({col} AS DECIMAL(38,0))"
-                    f" + CAST(m AS DECIMAL(38,0))) * {PI_SCALE}) div m"
-                )
-                - F.lit(PI_SCALE)
-            )
-            .cast("bigint")
-            .alias("v"),
-        )
+    def rescale_int(x: int, m: int) -> int:
+        # the nonneg-shifted floor: ((x+m)·S div m) − S, exact and
+        # engine-portable (x+m ≥ 0, so floor == trunc == //)
+        return ((x + m) * PI_SCALE) // m - PI_SCALE
 
-    mat = truncate_lineage(rescale(nmat, "num"))
+    m0 = max(abs(v) for v in num.values())
+    if m0 == 0:
+        mat = np.zeros((nd, nd), dtype=np.int64)
+    else:
+        mat = np.array(
+            [[rescale_int(num[(i, j)], m0) for j in dims] for i in dims],
+            dtype=np.int64,
+        )
     for _ in range(PI_SQUARINGS):
-        a = mat.select(
-            F.col("dim_i"), F.col("dim_j").alias("k"), F.col("v").alias("va")
+        prod = mat @ mat  # |entry| ≤ d·S² ≈ 2^46 — int64-exact
+        m = int(np.abs(prod).max())
+        if m == 0:
+            mat = prod
+            continue
+        # the ×S widening overflows int64 — run the 4096 rescales in
+        # Python ints (unbounded), exactly the oracle's DECIMAL(38) path
+        mat = np.array(
+            [[rescale_int(int(x), m) for x in row] for row in prod],
+            dtype=np.int64,
         )
-        b = mat.select(
-            F.col("dim_i").alias("k"), F.col("dim_j"), F.col("v").alias("vb")
-        )
-        prod = (
-            a.join(b, "k")
-            .groupBy("dim_i", "dim_j")
-            .agg(F.sum(F.col("va") * F.col("vb")).alias("p"))
-        )
-        mat = truncate_lineage(rescale(prod, "p"))
-    # the heaviest column of M ≈ c·vvᵀ is the eigenvector; smallest-index
-    # tie-break makes the choice total
-    colmass = mat.groupBy("dim_j").agg(F.sum(F.abs(F.col("v"))).alias("mass"))
-    best = colmass.orderBy(F.desc("mass"), F.asc("dim_j")).limit(1).select("dim_j")
-    v = mat.join(F.broadcast(best), "dim_j").select(
-        F.col("dim_i").alias("dim"), F.col("v").alias("u")
+    # heaviest column of M ≈ c·vvᵀ is the eigenvector (smallest-index tie)
+    mass = np.abs(mat).sum(axis=0)
+    best = int(np.argmax(mass))  # np.argmax returns the FIRST max index
+    u = [int(x) for x in mat[:, best]]
+    mu = max(abs(x) for x in u)
+    v = [PI_SCALE if mu == 0 else rescale_int(x, mu) for x in u]
+    sgn = next((-1 if x < 0 else 1 for x in v if x != 0), 1)
+    v = [sgn * x for x in v]
+    # Rayleigh quotient on the ORIGINAL exact numerators: (vᵀNv / vᵀv)
+    # divided once in double by n²·(quantization scale)² — the identical
+    # expression tree the oracle evaluates
+    vnv = sum(
+        v[a] * num[(dims[a], dims[b])] * v[b]
+        for a in range(nd)
+        for b in range(nd)
     )
-    vm = v.agg(F.max(F.abs(F.col("u"))).alias("m"))
-    v = v.crossJoin(F.broadcast(vm)).select(
-        "dim",
-        F.when(F.col("m") == F.lit(0), F.lit(PI_SCALE))
-        .otherwise(F.expr(f"((u + m) * {PI_SCALE}) div m") - F.lit(PI_SCALE))
-        .cast("bigint")
-        .alias("v"),
-    )
-    sign_row = v.where(F.col("v") != 0).orderBy("dim").limit(1)
-    sgn = sign_row.select(
-        F.when(F.col("v") < 0, F.lit(-1)).otherwise(F.lit(1)).alias("sgn")
-    )
-    signed = v.crossJoin(F.broadcast(sgn)).select(
-        "dim", (F.col("v") * F.col("sgn")).alias("v")
-    )
-    # Rayleigh quotient of the true covariance: (vᵀNv / vᵀv) / (n²·10⁶)
-    uv = (
-        nmat.join(
-            F.broadcast(
-                signed.select(F.col("dim").alias("dim_j"), F.col("v").alias("vj"))
-            ),
-            "dim_j",
-        )
-        .join(
-            F.broadcast(
-                signed.select(F.col("dim").alias("dim_i"), F.col("v").alias("vi"))
-            ),
-            "dim_i",
-        )
-        .agg(
-            F.sum(F.col("vi") * F.col("num") * F.col("vj")).alias("vnv"),
-            F.max("n_vecs").alias("n_vecs"),
-        )
-    )
-    vtv = signed.agg(F.sum(F.col("v") * F.col("v")).alias("vtv"))
-    eig = uv.crossJoin(F.broadcast(vtv)).select(
-        (
-            F.col("vnv").cast("double")
-            / F.col("vtv").cast("double")
-            / (
-                F.col("n_vecs").cast("double")
-                * F.col("n_vecs").cast("double")
-                * 1000000.0
-            )
-        ).alias("eigenvalue")
-    )
-    return signed.crossJoin(F.broadcast(eig)).select(
-        "dim",
-        (F.col("v").cast("double") / F.lit(float(PI_SCALE))).alias("loading"),
-        "eigenvalue",
-    )
-
+    vtv = sum(x * x for x in v)
+    eig = float(vnv) / float(vtv) / (float(n_vecs) * float(n_vecs) * 1000000.0)
+    data = [
+        (dims[a], float(v[a]) / float(PI_SCALE), eig) for a in range(nd)
+    ]
+    return spark.createDataFrame(data, out_schema)
 
 # MMR diversified retrieval: pool size, picks, and the relevance/diversity
 # trade-off λ — mirrored literally (0.7 / 0.3 literals, LIMIT 16, 5 steps)
