@@ -4619,3 +4619,299 @@ def events_changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_right", 6).alias("mean_right"),
         F.round(F.col("r") / F.lit(10000.0), 6).alias("sse_reduction"),
     )
+
+
+# --- r9 additions: rank-based tests, Benford QA, Poisson bootstrap, robust
+# (winsorized/trimmed) stats ------------------------------------------------
+
+# Mann-Whitney: same two groups as the KS test; z rejection at two-sided
+# α=0.05. Sync-pinned to the oracle literals.
+MW_Z_05 = 1.96
+
+# Benford: chi-square critical value for df=8 at α=0.05.
+BENFORD_CHI2_CRIT_05 = 15.507
+
+# Poisson bootstrap: replicate count and the rank positions of the CI
+# endpoints among the sorted replicate means (rank 2 / rank 31 of 32 ≈ the
+# central 90%+ band). Sync-pinned.
+BOOT_B = 32
+BOOT_LO_RANK = 2
+BOOT_HI_RANK = 31
+BOOT_TYPE = "purchase"
+
+# Winsorized stats: lower/upper quantile positions (5% / 95%).
+WINSOR_LO_NUM, WINSOR_HI_NUM, WINSOR_DEN = 5, 95, 100
+
+
+def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) test on event VALUE
+    distributions (view vs click) — the rank-based location test beside
+    the KS distribution-equality test: robust to outliers and any
+    monotone transform, the standard nonparametric A/B readout.
+
+    Exact evaluation on the per-value aggregate (cents, the established
+    quantization): with per-value counts (ca, cb) in pooled value order,
+    the tie-averaged rank of every row at value v is prev_cum + (c+1)/2,
+    so TWICE the rank sum of group A is the exact integer
+    Σ_v ca·(2·prev_cum + c + 1) and 2·U_A = 2·R_A − n_a·(n_a+1) needs no
+    float arithmetic. The normal approximation applies the standard tie
+    correction: σ² = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n·(n−1))). Cross
+    products ride DECIMAL(38,0) (t³ overflows BIGINT at web-scale counts
+    — the events_user_gini rule); only μ, σ and z divide in double, with
+    the identical expression tree on both engines.
+
+    Shape: one groupBy(value) + one bounded ordered window over the
+    DISTINCT-value relation + a 1-row broadcast of totals — the KS-test
+    plan, corpus touched once."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    per_v = (
+        ev.where(F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B))
+        .select(F.col("event_type").alias("et"), cents.alias("v"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("et") == KS_TYPE_A, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("et") == KS_TYPE_B, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    c = F.col("ca") + F.col("cb")
+    ranked = per_v.select(
+        "v",
+        "ca",
+        "cb",
+        c.alias("c"),
+        F.coalesce(F.sum(c).over(wc), F.lit(0)).alias("prev"),
+    )
+    stats = ranked.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        # 2·R_A: exact integer rank-sum ×2 (tie-averaged ranks are .5-granular)
+        F.sum(
+            d38("ca") * (F.lit(2) * d38("prev") + d38("c") + F.lit(1))
+        ).alias("r2a"),
+        # tie correction term Σ(t³ − t) over pooled tie groups
+        F.sum(d38("c") * d38("c") * d38("c") - d38("c")).alias("ties"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    n = na + nb
+    # 2·U_A exact, then U_A in double (the ÷2 is exact: .5-granular)
+    u2a = F.col("r2a") - d38("na") * (d38("na") + F.lit(1))
+    ua = u2a.cast("double") / F.lit(2.0)
+    mu = na * nb / F.lit(2.0)
+    sigma = F.sqrt(
+        na * nb / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("ties").cast("double") / (n * (n - F.lit(1.0))))
+    )
+    z = F.when(sigma != F.lit(0.0), (ua - mu) / sigma)
+    return stats.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(ua, 6).alias("u_a"),
+        F.round(mu, 6).alias("mu_u"),
+        F.round(sigma, 6).alias("sigma_u"),
+        F.round(z, 9).alias("z"),
+        (F.abs(z) > F.lit(MW_Z_05)).alias("reject_equal_05"),
+    )
+
+
+def orders_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data / pipeline-corruption screen for financial-shaped
+    columns: natural multiplicative amounts follow P(d) = log10(1 + 1/d),
+    and a chi-square gap flags synthetic or truncated sources.
+
+    The leading significant digit comes from the STRING of the exact
+    cents decimal (first [1-9] match — no log10-of-double boundary games);
+    expected counts evaluate ln(1+1/d)/ln(10) on both engines (in-container
+    ln parity is verified); each digit's chi-square contribution rounds to
+    9dp and the total sums in DECIMAL(28,9) (the float-sum rail). A
+    digits-1..9 spine left-joins the observed counts so zero-count digits
+    still report. One groupBy over the scan + a 9-row tail."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.regexp_extract(
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string"), "[1-9]", 0
+    ).cast("bigint")
+    obs = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    spine = spark.range(1, 10).select(F.col("id").alias("digit"))
+    tot = orders.agg(F.count(F.lit(1)).alias("n_total"))
+    d = F.col("digit").cast("double")
+    p = F.log(F.lit(1.0) + F.lit(1.0) / d) / F.log(F.lit(10.0))
+    exp_n = F.col("n_total").cast("double") * p
+    n_obs = F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint")
+    contrib = F.round(
+        (n_obs.cast("double") - exp_n) * (n_obs.cast("double") - exp_n) / exp_n, 9
+    )
+    per_digit = (
+        spine.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            n_obs.alias("n_obs"),
+            F.round(exp_n, 6).alias("n_expected"),
+            contrib.cast("decimal(28,9)").alias("chi2_term"),
+        )
+    )
+    chi2 = per_digit.agg(
+        F.round(F.sum("chi2_term").cast("double"), 6).alias("chi2")
+    )
+    return (
+        per_digit.crossJoin(F.broadcast(chi2))
+        .select(
+            "digit",
+            "n_obs",
+            "n_expected",
+            F.round(F.col("chi2_term").cast("double"), 6).alias("chi2_term"),
+            "chi2",
+            (F.col("chi2") > F.lit(BENFORD_CHI2_CRIT_05)).alias("reject_benford_05"),
+        )
+    )
+
+
+def events_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean purchase value —
+    THE bootstrap that scales: resampling n rows with replacement needs
+    global coordination, but Binomial(n, 1/n) → Poisson(1) per-row
+    replicate weights need only a per-row hash, so all B replicates ride
+    ONE corpus pass with map-side combine (the shuffle carries B keys).
+
+    Deterministic by construction: replicate b's weight for a row is the
+    inverse-CDF Poisson(1) draw from u = md5(event_id:b)/2⁶⁰ ∈ [0,1) —
+    thresholds are exp(-1)·(1, 2, 5/2, 8/3, 65/24) evaluated identically
+    on both engines (exp/division parity verified in-container), weights
+    capped at 5 (P(X≥5) ≈ 0.0004 lands in the cap bucket). Replicate
+    means divide exact cents-integer sums once in double; the CI is
+    RANK-BASED (the 2nd / 31st sorted replicate mean of B=32 — no
+    float percentile interpolation), tie-broken by replicate id. The
+    final ordered window runs over exactly B rows."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == BOOT_TYPE
+    )
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    rows = ev.select(F.col("event_id").alias("eid"), cents.alias("cv"))
+    b = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
+    u = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.col("eid"), F.col("b"))), 1, 15), 16, 10)
+        .cast("decimal(38,0)")
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    e1 = F.exp(F.lit(-1.0))
+    w = (
+        F.when(u < e1, F.lit(0))
+        .when(u < e1 * F.lit(2.0), F.lit(1))
+        .when(u < e1 * F.lit(2.5), F.lit(2))
+        .when(u < e1 * (F.lit(8.0) / F.lit(3.0)), F.lit(3))
+        .when(u < e1 * (F.lit(65.0) / F.lit(24.0)), F.lit(4))
+        .otherwise(F.lit(5))
+    )
+    rep = (
+        rows.select("eid", "cv", b)
+        .select(F.col("b"), w.cast("bigint").alias("w"), F.col("cv"))
+        .groupBy("b")
+        .agg(
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("cv")).alias("swx"),
+        )
+    )
+    mean_b = F.round(
+        F.col("swx").cast("double") / F.col("sw").cast("double") / F.lit(100.0), 9
+    )
+    wr = Window.orderBy(F.col("mean_b").asc(), F.col("b").asc())
+    ranked = rep.where(F.col("sw") > 0).select(
+        "b", mean_b.alias("mean_b")
+    ).withColumn("r", F.row_number().over(wr))
+    point = rows.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum("cv").cast("double") / F.count(F.lit(1)).cast("double") / F.lit(100.0),
+            9,
+        ).alias("mean_value"),
+    )
+    lo = ranked.where(F.col("r") == BOOT_LO_RANK).select(
+        F.col("mean_b").alias("ci_lo")
+    )
+    hi = ranked.where(F.col("r") == BOOT_HI_RANK).select(
+        F.col("mean_b").alias("ci_hi")
+    )
+    nrep = ranked.agg(F.count(F.lit(1)).alias("n_replicates"))
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .crossJoin(F.broadcast(nrep))
+        .select("n_rows", "mean_value", "ci_lo", "ci_hi", "n_replicates")
+    )
+
+
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type location stats: exact 5%/95% winsorization
+    bounds (k-th order statistic, k = floor(p·(n−1)) + 1 — a VALUE from
+    the sample, no interpolation), the winsorized mean (values clamped to
+    the bounds) and the trimmed mean (values strictly inside kept) — the
+    outlier-resistant companions to the MAD anomaly screen, standard for
+    reward/quality columns with heavy tails.
+
+    Everything is exact integers until the final division: cents values,
+    rank positions, clamped sums. Value-based trimming (x between the
+    bound VALUES, not rank-sliced) keeps tie handling engine-identical.
+
+    Scale shape (the KS-test discipline): row-level data collapses to the
+    per-(type, value) aggregate FIRST, so the ordered window runs over
+    DISTINCT cents per type (bounded by the value domain, not the corpus)
+    and the k-th order statistic is "min v with cumulative count ≥ k";
+    the winsorized/trimmed sums then ride the same tiny aggregate —
+    never a single-task rank window over raw rows. Floor division stays
+    in integer space on both engines (Spark `div` ≡ DuckDB `//` for
+    non-negative ints; a double `/`+CAST would truncate in Spark but
+    banker's-round in DuckDB)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    per_v = (
+        ev.select(F.col("event_type"), cents.alias("v"))
+        .groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_v.withColumn("cum", F.sum("cnt").over(wc))
+    tot = per_v.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    withn = cum.join(F.broadcast(tot), "event_type")
+    k_lo = F.expr(f"(({WINSOR_LO_NUM} * (n - 1)) div {WINSOR_DEN}) + 1")
+    k_hi = F.expr(f"(({WINSOR_HI_NUM} * (n - 1)) div {WINSOR_DEN}) + 1")
+    bounds = withn.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") >= k_lo, F.col("v"))).alias("q_lo"),
+        F.min(F.when(F.col("cum") >= k_hi, F.col("v"))).alias("q_hi"),
+    )
+    joined = per_v.join(F.broadcast(bounds), "event_type")
+    clamped = F.greatest(F.least(F.col("v"), F.col("q_hi")), F.col("q_lo"))
+    inside = (F.col("v") >= F.col("q_lo")) & (F.col("v") <= F.col("q_hi"))
+    # cnt·v widened to DECIMAL(38,0): per-value count × cents overflows
+    # BIGINT at web-scale row counts (the events_user_gini envelope rule)
+    d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    agg = joined.groupBy("event_type").agg(
+        F.sum("cnt").alias("n"),
+        F.max("q_lo").alias("qlo"),
+        F.max("q_hi").alias("qhi"),
+        F.sum(d38(F.col("cnt")) * d38(clamped)).alias("sw"),
+        F.sum(F.when(inside, d38(F.col("cnt")) * d38(F.col("v")))).alias("st"),
+        F.sum(F.when(inside, F.col("cnt")).otherwise(F.lit(0))).alias("nt"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("qlo").cast("double") / F.lit(100.0)).alias("q05"),
+        (F.col("qhi").cast("double") / F.lit(100.0)).alias("q95"),
+        F.round(
+            F.col("sw").cast("double") / F.col("n").cast("double") / F.lit(100.0), 9
+        ).alias("winsorized_mean"),
+        F.round(
+            F.col("st").cast("double") / F.col("nt").cast("double") / F.lit(100.0), 9
+        ).alias("trimmed_mean"),
+        F.col("nt").cast("bigint").alias("n_trimmed"),
+    )

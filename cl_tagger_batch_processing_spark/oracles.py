@@ -7630,3 +7630,208 @@ SELECT day AS split_day, n_left, n_right,
        round(r / CAST(10000.0 AS DOUBLE), 6) AS sse_reduction
 FROM best
 """
+
+
+# --- r9 additions: rank/QA statistics + Poisson bootstrap --------------------
+
+# Mirrors relational.events_mann_whitney: exact integer 2·rank-sum over the
+# per-cents-value aggregate (tie-averaged rank ×2 is integer), HUGEINT tie
+# cubes, then μ/σ/z as one double expression tree each.
+ORACLE_SQL["events_mann_whitney"] = """
+WITH per_v AS (
+  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cb
+  FROM events
+  WHERE event_type IN ('view', 'click')
+  GROUP BY 1
+),
+ranked AS (
+  SELECT v, ca, cb, ca + cb AS c,
+         COALESCE(SUM(ca + cb) OVER (
+           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prev
+  FROM per_v
+),
+stats AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+         CAST(SUM(cb) AS BIGINT) AS nb,
+         SUM(CAST(ca AS HUGEINT)
+             * (2 * CAST(prev AS HUGEINT) + CAST(c AS HUGEINT) + 1)) AS r2a,
+         SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT) * CAST(c AS HUGEINT)
+             - CAST(c AS HUGEINT)) AS ties
+  FROM ranked
+),
+terms AS (
+  SELECT na, nb,
+         CAST(r2a - CAST(na AS HUGEINT) * (CAST(na AS HUGEINT) + 1)
+              AS DOUBLE) / CAST(2 AS DOUBLE) AS ua,
+         CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(2 AS DOUBLE) AS mu,
+         sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(12 AS DOUBLE)
+              * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + CAST(1 AS DOUBLE))
+                 - CAST(ties AS DOUBLE)
+                   / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                      * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)
+                         - CAST(1 AS DOUBLE))))) AS sigma
+  FROM stats
+)
+SELECT na AS n_a, nb AS n_b,
+       round(ua, 6) AS u_a,
+       round(mu, 6) AS mu_u,
+       round(sigma, 6) AS sigma_u,
+       round(CASE WHEN sigma != CAST(0 AS DOUBLE)
+                  THEN (ua - mu) / sigma END, 9) AS z,
+       abs(CASE WHEN sigma != CAST(0 AS DOUBLE)
+                THEN (ua - mu) / sigma END) > CAST(1.96 AS DOUBLE)
+         AS reject_equal_05
+FROM terms
+"""
+
+# Mirrors relational.orders_benford_test: leading digit from the exact cents
+# decimal's STRING, expected shares via ln(1+1/d)/ln(10), 9dp-rounded
+# chi-square terms summed in DECIMAL(28,9).
+ORACLE_SQL["orders_benford_test"] = """
+WITH obs AS (
+  SELECT CAST(regexp_extract(
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+           '[1-9]', 0) AS BIGINT) AS digit,
+         COUNT(*) AS n_obs
+  FROM orders
+  GROUP BY 1
+),
+spine AS (SELECT range AS digit FROM range(1, 10)),
+tot AS (SELECT COUNT(*) AS n_total FROM orders),
+per_digit AS (
+  SELECT s.digit,
+         CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+         CAST(n_total AS DOUBLE)
+           * (ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(s.digit AS DOUBLE))
+              / ln(CAST(10 AS DOUBLE))) AS exp_n
+  FROM spine s LEFT JOIN obs o ON s.digit = o.digit CROSS JOIN tot
+),
+terms AS (
+  SELECT digit, n_obs, exp_n,
+         CAST(round((CAST(n_obs AS DOUBLE) - exp_n)
+                    * (CAST(n_obs AS DOUBLE) - exp_n) / exp_n, 9)
+              AS DECIMAL(28,9)) AS chi2_term
+  FROM per_digit
+),
+chi AS (SELECT round(CAST(SUM(chi2_term) AS DOUBLE), 6) AS chi2 FROM terms)
+SELECT digit, n_obs,
+       round(exp_n, 6) AS n_expected,
+       round(CAST(chi2_term AS DOUBLE), 6) AS chi2_term,
+       chi2,
+       chi2 > CAST(15.507 AS DOUBLE) AS reject_benford_05
+FROM terms CROSS JOIN chi
+"""
+
+# Mirrors relational.events_poisson_bootstrap_ci: inverse-CDF Poisson(1)
+# weights from md5-60-bit uniforms, exact cents replicate sums, rank-based
+# CI endpoints (2nd / 31st of 32 sorted replicate means).
+ORACLE_SQL["events_poisson_bootstrap_ci"] = """
+WITH rws AS (
+  SELECT event_id AS eid,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cv
+  FROM events
+  WHERE event_type = 'purchase'
+),
+rep_rows AS (
+  SELECT eid, cv, unnest(generate_series(0, 31)) AS b FROM rws
+),
+uw AS (
+  SELECT b, cv,
+         CAST(CAST('0x' || substr(md5(CAST(eid AS VARCHAR) || ':'
+                                      || CAST(b AS VARCHAR)), 1, 15)
+                   AS BIGINT) AS DOUBLE)
+           / 1152921504606846976.0 AS u
+  FROM rep_rows
+),
+wts AS (
+  SELECT b, cv,
+         CASE WHEN u < exp(CAST(-1 AS DOUBLE)) THEN 0
+              WHEN u < exp(CAST(-1 AS DOUBLE)) * CAST(2 AS DOUBLE) THEN 1
+              WHEN u < exp(CAST(-1 AS DOUBLE)) * CAST(2.5 AS DOUBLE) THEN 2
+              WHEN u < exp(CAST(-1 AS DOUBLE))
+                       * (CAST(8 AS DOUBLE) / CAST(3 AS DOUBLE)) THEN 3
+              WHEN u < exp(CAST(-1 AS DOUBLE))
+                       * (CAST(65 AS DOUBLE) / CAST(24 AS DOUBLE)) THEN 4
+              ELSE 5 END AS w
+  FROM uw
+),
+rep AS (
+  SELECT b, SUM(w) AS sw, SUM(w * cv) AS swx FROM wts GROUP BY b
+),
+means AS (
+  SELECT b,
+         round(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE)
+               / CAST(100 AS DOUBLE), 9) AS mean_b
+  FROM rep WHERE sw > 0
+),
+ranked AS (
+  SELECT b, mean_b,
+         row_number() OVER (ORDER BY mean_b ASC, b ASC) AS r
+  FROM means
+),
+pt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         round(CAST(SUM(cv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               / CAST(100 AS DOUBLE), 9) AS mean_value
+  FROM rws
+),
+lo AS (SELECT mean_b AS ci_lo FROM ranked WHERE r = 2),
+hi AS (SELECT mean_b AS ci_hi FROM ranked WHERE r = 31),
+nrep AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates FROM ranked)
+SELECT n_rows, mean_value, ci_lo, ci_hi, n_replicates
+FROM pt CROSS JOIN lo CROSS JOIN hi CROSS JOIN nrep
+"""
+
+# Mirrors relational.events_winsorized_stats: k-th order statistic as
+# "min v with cumulative count >= k" over the per-(type, cents) aggregate,
+# HUGEINT-widened clamped sums, // floor positions.
+ORACLE_SQL["events_winsorized_stats"] = """
+WITH per_v AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+         COUNT(*) AS cnt
+  FROM events
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, v, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM per_v
+),
+tot AS (SELECT event_type, SUM(cnt) AS n FROM per_v GROUP BY 1),
+bounds AS (
+  SELECT c.event_type,
+         MIN(CASE WHEN cum >= (5 * (n - 1)) // 100 + 1 THEN v END) AS q_lo,
+         MIN(CASE WHEN cum >= (95 * (n - 1)) // 100 + 1 THEN v END) AS q_hi
+  FROM cum c JOIN tot USING (event_type)
+  GROUP BY 1
+),
+agg AS (
+  SELECT p.event_type,
+         SUM(cnt) AS n,
+         MAX(q_lo) AS qlo,
+         MAX(q_hi) AS qhi,
+         SUM(CAST(cnt AS HUGEINT)
+             * CAST(GREATEST(LEAST(v, q_hi), q_lo) AS HUGEINT)) AS sw,
+         SUM(CASE WHEN v BETWEEN q_lo AND q_hi
+                  THEN CAST(cnt AS HUGEINT) * CAST(v AS HUGEINT) END) AS st,
+         SUM(CASE WHEN v BETWEEN q_lo AND q_hi THEN cnt ELSE 0 END) AS nt
+  FROM per_v p JOIN bounds USING (event_type)
+  GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(qlo AS DOUBLE) / CAST(100 AS DOUBLE) AS q05,
+       CAST(qhi AS DOUBLE) / CAST(100 AS DOUBLE) AS q95,
+       round(CAST(sw AS DOUBLE) / CAST(n AS DOUBLE)
+             / CAST(100 AS DOUBLE), 9) AS winsorized_mean,
+       round(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+             / CAST(100 AS DOUBLE), 9) AS trimmed_mean,
+       CAST(nt AS BIGINT) AS n_trimmed
+FROM agg
+"""

@@ -524,3 +524,10 @@ register("events_dau_wau_mau", relational.events_dau_wau_mau)
 register("dedup_minhash_bbit_report", dedup.dedup_minhash_bbit_report)
 register("events_user_gini", relational.events_user_gini)
 register("corpus_health_report", curation.corpus_health_report)
+
+# --- round-9 additions: rank-based location test, Benford first-digit QA,
+# Poisson-bootstrap CI, robust winsorized/trimmed stats ----------------------
+register("events_mann_whitney", relational.events_mann_whitney)
+register("orders_benford_test", relational.orders_benford_test)
+register("events_poisson_bootstrap_ci", relational.events_poisson_bootstrap_ci)
+register("events_winsorized_stats", relational.events_winsorized_stats)
