@@ -1692,3 +1692,56 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("m", F.lit(False)).alias("is_mutual"),
         )
     )
+
+
+# Hybrid retrieval fusion: RRF constant, the query vector id, and the fused
+# list depth. Sync-pinned to the oracle literals.
+RRF_K = 60
+RRF_QUERY_VEC = 0
+RRF_TOP_K = 20
+
+
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by RECIPROCAL RANK FUSION: the BM25 lexical top-20
+    (text_bm25_topk's fixed query) fused with the exact-cosine semantic
+    top-20 around the query document's embedding (vec_id 0 — the fixture
+    aligns vec_id with doc_id) via
+
+        rrf(d) = Σ_lists 1 / (K + rank_list(d)),  K = 60
+
+    (Cormack et al.) — the standard way a curation pipeline combines
+    keyword and embedding relevance without score calibration, since only
+    RANKS enter the fusion.
+
+    Determinism: both input ranks are exact integers from
+    already-oracle-backed rankings (each list's own tie-breaks); the fused
+    score is ONE fixed two-term double expression rounded at 9dp; the
+    fused rank ties break on doc_id. The query document is excluded from
+    the lexical list to match the semantic list's self-exclusion (its
+    original ranks keep their gaps — RRF uses per-list positions).
+
+    Scale shape: both inputs are top-k lists (≤ 2k rows total), so the
+    fusion join, window and output are constant-size regardless of corpus;
+    all corpus-scale work lives in the two underlying rankings."""
+    from .text import text_bm25_topk
+
+    lex = (
+        text_bm25_topk(spark, sf_dir)
+        .where(F.col("doc_id") != RRF_QUERY_VEC)
+        .select("doc_id", F.col("rank").alias("lex_rank"))
+    )
+    sem = sim_topk_cosine(
+        spark, sf_dir, top_k=RRF_TOP_K, num_queries=RRF_QUERY_VEC + 1
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
+    fused = lex.join(sem, "doc_id", "full_outer")
+    kd = F.lit(float(RRF_K))
+    term = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (kd + F.col(c).cast("double")), F.lit(0.0)
+    )
+    rrf = F.round(term("lex_rank") + term("sem_rank"), 9)
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf_score"))
+        .withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("fused_rank") <= RRF_TOP_K)
+    )

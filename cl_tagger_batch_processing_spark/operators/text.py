@@ -1885,3 +1885,99 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return sel
+
+
+# Kneser-Ney bigram LM: absolute discount (exact rational 3/4) and the
+# add-1-smoothed continuation distribution. Sync-pinned to the oracle.
+KN_DISCOUNT_NUM, KN_DISCOUNT_DEN = 3, 4
+
+
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under an interpolated KNESER-NEY bigram LM
+    (train = even doc_ids, score = odd — the text_bigram_lm_perplexity
+    protocol): the LM-quality scorer that fixes add-1's known failure on
+    frequent-but-unpredictive prefixes by discounting observed bigrams and
+    backing off to the CONTINUATION distribution ("in how many contexts
+    does w2 appear?"), the standard n-gram smoothing (Kneser & Ney 1995).
+
+        P(w2|w1) = [max(c(w1,w2) − D, 0) + D·N₁₊(w1·)·Pcont(w2)] / c(w1)
+        Pcont(w2) = (N₁₊(·w2) + 1) / (N₁₊(··) + V)   (add-1 smoothed so an
+                    unseen continuation never hits ln(0) — documented
+                    deviation from textbook KN, deterministic)
+        unseen prefix: P(w2|w1) = Pcont(w2)
+
+    with D = 3/4 and all counts exact integers (c, prefix totals, fan-out
+    and fan-in type counts, bigram-type total, vocabulary size). Each ln
+    term evaluates ONE double expression over exact ints (ln parity
+    verified in-container), rounds at 9dp and sums in DECIMAL(28,9); the
+    perplexity exponentiates the 6dp-rounded mean — the established LM
+    determinism rail.
+
+    Shape: all model relations are map-side-combined groupBys over the
+    train bigrams; fan-out types fold into the prefix-count relation (same
+    key, one shuffle); the score pass joins test bigrams by token-pair /
+    token equi-joins with the two scalars on broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    gen = (
+        "transform(sequence(1, size(t)-1), "
+        "i -> struct(element_at(t, i) AS w1, element_at(t, i+1) AS w2))"
+    )
+    bigrams = toks.where(F.size("t") >= 2).select(
+        "doc_id", F.explode(F.expr(gen)).alias("b")
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    train = bigrams.where(F.col("doc_id") % 2 == 0)
+    test = bigrams.where(F.col("doc_id") % 2 == 1)
+    c2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # prefix totals + fan-out type counts share the w1 key: one relation
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("fanout")
+    )
+    fanin = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("fanin"))
+    scalars = (
+        c2.agg(F.count(F.lit(1)).alias("n_types"))
+        .crossJoin(
+            F.broadcast(
+                toks.where(F.col("doc_id") % 2 == 0)
+                .select(F.explode("t").alias("token"))
+                .agg(F.countDistinct("token").alias("v"))
+            )
+        )
+    )
+    dd = F.lit(float(KN_DISCOUNT_NUM)) / F.lit(float(KN_DISCOUNT_DEN))
+    pcont = (
+        (F.coalesce("fanin", F.lit(0)) + F.lit(1)).cast("double")
+        / (F.col("n_types") + F.col("v")).cast("double")
+    )
+    # coalesce BEFORE the subtraction: greatest() over a NULL operand is
+    # engine-ambiguous (Spark skips NULLs; explicit 0 keeps both engines
+    # on max(-D, 0) = 0 for unseen bigrams under a seen prefix)
+    seen = (
+        F.greatest(
+            F.coalesce(F.col("c2"), F.lit(0)).cast("double") - dd, F.lit(0.0)
+        )
+        + dd * F.col("fanout").cast("double") * pcont
+    ) / F.col("c1").cast("double")
+    p = F.when(F.col("c1").isNull(), pcont).otherwise(seen)
+    scored = (
+        test.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .join(fanin, "w2", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "doc_id",
+            F.round(F.log(p), 9).cast("decimal(28,9)").alias("ll"),
+        )
+    )
+    avg_nll = F.round(
+        -(F.sum("ll").cast("double")) / F.count(F.lit(1)).cast("double"), 6
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        avg_nll.alias("avg_neg_loglik"),
+    ).select(
+        "doc_id",
+        "n_bigrams",
+        "avg_neg_loglik",
+        F.round(F.exp(F.col("avg_neg_loglik")), 6).alias("perplexity"),
+    )

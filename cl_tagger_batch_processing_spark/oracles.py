@@ -7835,3 +7835,97 @@ SELECT event_type,
        CAST(nt AS BIGINT) AS n_trimmed
 FROM agg
 """
+
+# Mirrors text.text_kneser_ney_bigram: same tokenization/halving as the
+# add-1 bigram LM, D = 3/4 absolute discount, add-1-smoothed continuation
+# distribution, 9dp-rounded ln terms summed in DECIMAL(28,9).
+ORACLE_SQL["text_kneser_ney_bigram"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+         unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+  FROM toks WHERE len(t) >= 2
+),
+c2 AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE doc_id % 2 = 0 GROUP BY w1, w2
+),
+c1f AS (SELECT w1, SUM(c2) AS c1, COUNT(*) AS fanout FROM c2 GROUP BY w1),
+fanin AS (SELECT w2, COUNT(*) AS fanin FROM c2 GROUP BY w2),
+scal AS (
+  SELECT (SELECT COUNT(*) FROM c2) AS n_types,
+         (SELECT COUNT(DISTINCT token)
+          FROM (SELECT unnest(t) AS token FROM toks WHERE doc_id % 2 = 0)) AS v
+),
+sc AS (
+  SELECT te.doc_id,
+         CAST(round(ln(
+           CASE WHEN c1f.c1 IS NULL THEN
+             CAST(coalesce(fanin.fanin, 0) + 1 AS DOUBLE)
+               / CAST(n_types + v AS DOUBLE)
+           ELSE
+             (GREATEST(CAST(coalesce(c2.c2, 0) AS DOUBLE)
+                         - CAST(3 AS DOUBLE) / CAST(4 AS DOUBLE),
+                       CAST(0 AS DOUBLE))
+              + CAST(3 AS DOUBLE) / CAST(4 AS DOUBLE)
+                * CAST(c1f.fanout AS DOUBLE)
+                * (CAST(coalesce(fanin.fanin, 0) + 1 AS DOUBLE)
+                   / CAST(n_types + v AS DOUBLE)))
+             / CAST(c1f.c1 AS DOUBLE)
+           END), 9) AS DECIMAL(28,9)) AS ll
+  FROM bg te
+  LEFT JOIN c2 ON te.w1 = c2.w1 AND te.w2 = c2.w2
+  LEFT JOIN c1f ON te.w1 = c1f.w1
+  LEFT JOIN fanin ON te.w2 = fanin.w2
+  CROSS JOIN scal
+  WHERE te.doc_id % 2 = 1
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         round(-CAST(SUM(ll) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS avg_neg_loglik
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, avg_neg_loglik,
+       round(exp(avg_neg_loglik), 6) AS perplexity
+FROM agg
+"""
+
+# Mirrors similarity.sim_hybrid_rrf: BM25 top-20 (its full oracle reused as
+# a CTE, query doc excluded) fused with the exact-cosine top-20 around
+# vec 0 via reciprocal rank fusion 1/(60+rank), 9dp-rounded.
+ORACLE_SQL["sim_hybrid_rrf"] = f"""
+WITH bm AS MATERIALIZED ({ORACLE_SQL["text_bm25_topk"]}),
+lex AS (SELECT doc_id, rank AS lex_rank FROM bm WHERE doc_id != 0),
+{_QEMB_CTES},
+qvec AS (SELECT qv AS qq, nrm AS nq FROM n WHERE vec_id = 0),
+sem_scored AS (
+  SELECT a.vec_id AS doc_id,
+         list_dot_product(CAST(qq AS DOUBLE[]), CAST(a.qv AS DOUBLE[]))
+           / (sqrt(nq) * sqrt(a.nrm)) AS cosine
+  FROM n a CROSS JOIN qvec WHERE a.vec_id != 0
+),
+sem AS (
+  SELECT doc_id, sem_rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS sem_rank
+    FROM sem_scored)
+  WHERE sem_rank <= 20
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+         round(COALESCE(CAST(1 AS DOUBLE)
+                          / (CAST(60 AS DOUBLE) + CAST(lex_rank AS DOUBLE)),
+                        CAST(0 AS DOUBLE))
+               + COALESCE(CAST(1 AS DOUBLE)
+                            / (CAST(60 AS DOUBLE) + CAST(sem_rank AS DOUBLE)),
+                          CAST(0 AS DOUBLE)), 9) AS rrf_score
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf_score,
+       CAST(fused_rank AS BIGINT) AS fused_rank
+FROM (SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+                  AS fused_rank
+      FROM fused)
+WHERE fused_rank <= 20
+"""

@@ -531,3 +531,5 @@ register("events_mann_whitney", relational.events_mann_whitney)
 register("orders_benford_test", relational.orders_benford_test)
 register("events_poisson_bootstrap_ci", relational.events_poisson_bootstrap_ci)
 register("events_winsorized_stats", relational.events_winsorized_stats)
+register("text_kneser_ney_bigram", text.text_kneser_ney_bigram)
+register("sim_hybrid_rrf", similarity.sim_hybrid_rrf)
