@@ -3000,3 +3000,78 @@ def test_kmv_constants_in_sync():
     sql = oracles.ORACLE_SQL["events_kmv_overlap"]
     assert "rn <= 64" in sql and sql.count("CAST(63.0 AS DOUBLE)") == 2
     assert "1152921504606846976" in sql  # 2^60
+
+
+def test_r9_constants_in_sync_with_oracles():
+    """Round-9 tuning constants pinned to their oracle literals."""
+    from cl_tagger_batch_processing_spark import oracles
+    from cl_tagger_batch_processing_spark.operators import relational, similarity
+    from cl_tagger_batch_processing_spark.operators import text as text_ops
+
+    mw = oracles.ORACLE_SQL["events_mann_whitney"]
+    assert relational.MW_Z_05 == 1.96 and "CAST(1.96 AS DOUBLE)" in mw
+    bf = oracles.ORACLE_SQL["orders_benford_test"]
+    assert relational.BENFORD_CHI2_CRIT_05 == 15.507
+    assert "CAST(15.507 AS DOUBLE)" in bf
+    bs = oracles.ORACLE_SQL["events_poisson_bootstrap_ci"]
+    assert relational.BOOT_B == 32 and "generate_series(0, 31)" in bs
+    assert relational.BOOT_LO_RANK == 2 and "WHERE r = 2" in bs
+    assert relational.BOOT_HI_RANK == 31 and "WHERE r = 31" in bs
+    assert relational.BOOT_TYPE == "purchase" and "'purchase'" in bs
+    ws = oracles.ORACLE_SQL["events_winsorized_stats"]
+    assert (relational.WINSOR_LO_NUM, relational.WINSOR_HI_NUM) == (5, 95)
+    assert relational.WINSOR_DEN == 100
+    assert "(5 * (n - 1)) // 100 + 1" in ws
+    assert "(95 * (n - 1)) // 100 + 1" in ws
+    kn = oracles.ORACLE_SQL["text_kneser_ney_bigram"]
+    assert (text_ops.KN_DISCOUNT_NUM, text_ops.KN_DISCOUNT_DEN) == (3, 4)
+    assert kn.count("CAST(3 AS DOUBLE) / CAST(4 AS DOUBLE)") == 2
+    rrf = oracles.ORACLE_SQL["sim_hybrid_rrf"]
+    assert similarity.RRF_K == 60 and rrf.count("CAST(60 AS DOUBLE)") == 2
+    assert similarity.RRF_QUERY_VEC == 0 and "vec_id = 0" in rrf
+    assert similarity.RRF_TOP_K == 20
+    assert "sem_rank <= 20" in rrf and "fused_rank <= 20" in rrf
+
+
+def test_coverage_md_headline_count_is_mechanical():
+    # VERDICT r8 ask #6: the COVERAGE.md headline registry count drifted
+    # from the true registry size once — keep the accounting mechanical by
+    # pinning the "**N registry queries**" line to len(QUERIES).
+    import re
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    text = open("COVERAGE.md").read()
+    m = re.search(r"\*\*(\d+) registry queries\*\*", text)
+    assert m, "COVERAGE.md headline '**N registry queries**' line missing"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"COVERAGE.md says {m.group(1)} registry queries, "
+        f"registry has {len(QUERIES)} — update the headline accounting"
+    )
+
+
+def test_poisson_bootstrap_ci_is_nonvacuous(spark, sf_dir):
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    row = QUERIES["events_poisson_bootstrap_ci"](spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.n_replicates == 32
+    assert r.n_rows > 0
+    assert r.ci_lo <= r.ci_hi
+    # the point estimate should sit inside the rank-based band on any
+    # non-pathological sample
+    assert r.ci_lo <= r.mean_value <= r.ci_hi
+
+
+def test_winsorized_stats_are_nonvacuous(spark, sf_dir):
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = QUERIES["events_winsorized_stats"](spark, sf_dir).collect()
+    assert len(rows) == 5  # every fixture event type reports
+    for r in rows:
+        assert r.q05 <= r.q95
+        assert 0 < r.n_trimmed <= r.n
+        # winsorizing pulls tails IN: both means sit inside the bounds
+        assert r.q05 <= r.winsorized_mean <= r.q95
+        assert r.q05 <= r.trimmed_mean <= r.q95
