@@ -3075,3 +3075,197 @@ def test_winsorized_stats_are_nonvacuous(spark, sf_dir):
         # winsorizing pulls tails IN: both means sit inside the bounds
         assert r.q05 <= r.winsorized_mean <= r.q95
         assert r.q05 <= r.trimmed_mean <= r.q95
+
+
+# --- r9 independent sequential cross-checks (the Viterbi/Brandes pattern):
+# each rotated-in flagship whose SQL oracle shares the distributed
+# algorithm gets a textbook from-scratch implementation over an
+# independent data path (duckdb straight off the parquet) ------------------
+
+
+def _duck_rows(sf_dir, sql):
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        return con.execute(sql.format(sf=sf_dir)).fetchall()
+    finally:
+        con.close()
+
+
+def test_changepoint_matches_bruteforce(spark, sf_dir):
+    """Brute-force every split with plain float means/between-group SS —
+    no cumulative windows, no exact-integer numerator trick — and demand
+    the same argmax day and (to float tolerance) the same reduction."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    row = QUERIES["events_changepoint_detection"](spark, sf_dir).collect()[0]
+    daily = _duck_rows(
+        sf_dir,
+        """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c,
+                  SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS s
+           FROM '{sf}/events.parquet' GROUP BY 1 ORDER BY 1""",
+    )
+    n = sum(c for _, c, _ in daily)
+    stot = sum(s for _, _, s in daily)
+    best = None
+    nl = sl = 0
+    for day, c, s in daily:
+        nl += c
+        sl += s
+        nr = n - nl
+        if nr == 0:
+            break
+        ml, mr = sl / nl, (stot - sl) / nr
+        b = nl * nr / n * (ml - mr) ** 2  # between-group SS, cents²
+        if best is None or b > best[1] + 1e-9:
+            best = (day, b, nl, nr, ml, mr)
+    day, b, nl, nr, ml, mr = best
+    assert row.split_day == day
+    assert row.n_left == nl and row.n_right == nr
+    assert abs(row.sse_reduction - b / 10000.0) < 1e-3
+    assert abs(row.mean_left - ml / 100.0) < 1e-6
+    assert abs(row.mean_right - mr / 100.0) < 1e-6
+
+
+def test_er_clusters_match_union_find(spark, sf_dir):
+    """Textbook ER: Python blocking dict + O(mn) Levenshtein DP +
+    union-find transitive closure — no SQL, no recursive CTE, no pointer
+    jumping. Must reproduce every resolved entity exactly."""
+    from cl_tagger_batch_processing_spark.operators.relational import (
+        ER_BLOCK_CAP,
+        ER_LEV_MAX,
+    )
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    parts = _duck_rows(
+        sf_dir, "SELECT p_partkey, p_name, p_size FROM '{sf}/part.parquet'"
+    )
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    blocks = {}
+    for key, name, size in parts:
+        blocks.setdefault((name.split(" ")[0], size), []).append((key, name))
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for members in blocks.values():
+        if len(members) > ER_BLOCK_CAP:
+            continue
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                (ka, na), (kb, nb) = members[i], members[j]
+                if lev(na, nb) <= ER_LEV_MAX:
+                    ra, rb = find(ka), find(kb)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    clusters = {}
+    for key, _, _ in parts:
+        clusters.setdefault(find(key), []).append(key)
+    # union-by-min makes every root the component's min id == entity_id
+    expected = {
+        root: sorted(ms) for root, ms in clusters.items() if len(ms) >= 2
+    }
+    got = {
+        r.entity_id: [int(x) for x in r.member_ids.split(",")]
+        for r in QUERIES["er_resolution_clusters"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_winnowing_matches_textbook(spark, sf_dir):
+    """The MOSS paper's algorithm verbatim: slide a w-window over k-gram
+    hashes, keep each window's minimum (rightmost on ties), dedupe — a
+    plain Python loop, no struct-max window idiom."""
+    import hashlib
+
+    from cl_tagger_batch_processing_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+    )
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    docs = _duck_rows(sf_dir, "SELECT doc_id, text FROM '{sf}/documents.parquet'")
+    expected = set()
+    for doc_id, text in docs:
+        t = text.split(" ")
+        grams = [
+            " ".join(t[i : i + WINNOW_K])
+            for i in range(len(t) - WINNOW_K + 1)
+        ]
+        hs = [
+            int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
+            for g in grams
+        ]
+        for s in range(len(hs) - WINNOW_W + 1):
+            win = hs[s : s + WINNOW_W]
+            m = min(win)
+            # rightmost position of the min within the window
+            pos = s + max(i for i, h in enumerate(win) if h == m) + 1
+            expected.add((doc_id, pos, m))
+    got = {
+        (r.doc_id, r.pos, r.fp)
+        for r in QUERIES["text_winnowing_fingerprints"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_kmv_matches_sequential_sketch(spark, sf_dir):
+    """Sequential KMV: per-type sorted 60-bit minima, set-union merge,
+    θ = kth smallest, (k−1)·D/θ — plain Python sets and sorts."""
+    import hashlib
+
+    from cl_tagger_batch_processing_spark.operators.relational import (
+        KMV_DOMAIN,
+        KMV_K,
+    )
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    pairs_seen = _duck_rows(
+        sf_dir,
+        "SELECT DISTINCT event_type, user_id FROM '{sf}/events.parquet'",
+    )
+    users = {}
+    for et, uid in pairs_seen:
+        users.setdefault(et, set()).add(uid)
+
+    def h60(uid):
+        return int(
+            hashlib.md5(f"kmv:{uid}".encode()).hexdigest()[:15], 16
+        )
+
+    sketch = {et: sorted(h60(u) for u in us)[:KMV_K] for et, us in users.items()}
+    for r in QUERIES["events_kmv_overlap"](spark, sf_dir).collect():
+        sa, sb = set(sketch[r.ta]), set(sketch[r.tb])
+        merged = sorted(sa | sb)[:KMV_K]
+        k_used = len(merged)
+        theta = merged[-1]
+        est_union = (
+            float(k_used)
+            if k_used < KMV_K
+            else float(KMV_K - 1) * KMV_DOMAIN / float(theta)
+        )
+        n_both = sum(1 for h in merged if h in sa and h in sb)
+        jac = n_both / k_used
+        assert r.exact_a == len(users[r.ta]) and r.exact_b == len(users[r.tb])
+        assert r.exact_intersection == len(users[r.ta] & users[r.tb])
+        assert abs(r.est_union - est_union) < 1e-3
+        assert abs(r.est_jaccard - jac) < 1e-6
+        assert abs(r.est_intersection - jac * est_union) < 1e-3
