@@ -1772,3 +1772,76 @@ def dedup_minhash_bbit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("avg_abs_gap"),
     )
+
+
+def dedup_rouge_verify(
+    spark: SparkSession, sf_dir: str, max_df: int | None = DEFAULT_MAX_DF
+) -> DataFrame:
+    """Candidate-then-verify near-dup detection with a LINEAR-time
+    verifier: LSH proposes (dedup_minhash_lsh's banded candidates), and
+    each pair is confirmed by clipped-unigram overlap — ROUGE-1 precision
+    / recall / F1 (overlap = Σ_token min(tf_a, tf_b)) — the measure
+    pipelines use where Levenshtein's O(len²) is unaffordable on long
+    documents (dedup_minhash_lev_verify's exact-but-quadratic twin).
+
+    Cost shape: token counts are one map-side-combined groupBy; the
+    overlap join fans each candidate pair out by its tokens
+    (pairs × doc-length, bounded because the candidate set is
+    banding-bounded) and collapses back to one row per pair. All counts
+    exact integers; P/R/F1 divide once in double and round at 6dp."""
+    cand = dedup_minhash_lsh(spark, sf_dir, max_df=max_df).select(
+        "doc_a", "doc_b", "est_jaccard"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    lens = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    )
+    ta = tc.select(
+        F.col("doc_id").alias("doc_a"), "token", F.col("tf").alias("tf_a")
+    )
+    tb = tc.select(
+        F.col("doc_id").alias("doc_b"), "token", F.col("tf").alias("tf_b")
+    )
+    ov = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("tf_a", "tf_b")).alias("overlap"))
+    )
+    la = lens.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("len_a"))
+    lb = lens.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("len_b"))
+    j = (
+        cand.join(ov, ["doc_a", "doc_b"], "left")
+        .join(la, "doc_a")
+        .join(lb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.coalesce("overlap", F.lit(0)).cast("bigint").alias("overlap"),
+            "len_a",
+            "len_b",
+        )
+    )
+    ovd = F.col("overlap").cast("double")
+    f1 = (
+        F.lit(2.0)
+        * ovd
+        / (F.col("len_a").cast("double") + F.col("len_b").cast("double"))
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        "overlap",
+        "len_a",
+        "len_b",
+        F.round(ovd / F.col("len_a").cast("double"), 6).alias("rouge1_p"),
+        F.round(ovd / F.col("len_b").cast("double"), 6).alias("rouge1_r"),
+        F.round(f1, 6).alias("rouge1_f1"),
+    )

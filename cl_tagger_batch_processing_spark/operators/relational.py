@@ -4915,3 +4915,114 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("trimmed_mean"),
         F.col("nt").cast("bigint").alias("n_trimmed"),
     )
+
+
+# Permutation (randomization) test: replicate count and the two compared
+# groups (the KS/Mann-Whitney pair). Sync-pinned to the oracle literals.
+PERM_B = 64
+
+
+def events_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo PERMUTATION test for the difference of mean values
+    (view vs click) — the distribution-free significance readout for the
+    statistic the rank tests don't address directly (the raw mean gap):
+    under H₀ the group labels are exchangeable, so the observed gap is
+    compared against the gap distribution under random relabelings.
+
+    Label reassignment is the scalable hash variant: permutation b gives a
+    row pseudo-label A iff u = md5(perm:event_id:b)/2⁶⁰ < n_a/(n_a+n_b)
+    (group sizes preserved in expectation — the large-sample approximation
+    of the exact fixed-size permutation, documented deviation). All B=64
+    replicates ride ONE corpus pass (explode is row-local; map-side
+    combine collapses the shuffle to B keys — the Poisson-bootstrap
+    shape). p = (1 + #{|diff_b| ≥ |diff_obs|}) / (n_valid + 1), the
+    standard add-one MC estimator; replicates that left a side empty are
+    excluded (vanishingly rare beyond toy scale, counted in n_perms).
+
+    Determinism: sums/counts are exact cents integers; each replicate's
+    diff is one fixed double expression rounded at 9dp; the threshold
+    compare runs on identically-computed doubles on both engines."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)
+    )
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    rows = ev.select(
+        F.col("event_id").alias("eid"),
+        cents.alias("cv"),
+        (F.col("event_type") == KS_TYPE_A).alias("is_a"),
+    )
+    tot = rows.agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("na"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("nb"),
+        F.sum(F.when(F.col("is_a"), F.col("cv")).otherwise(F.lit(0))).alias("sa"),
+        F.sum(F.when(~F.col("is_a"), F.col("cv")).otherwise(F.lit(0))).alias("sb"),
+    )
+    mean_gap = (
+        F.col("sa").cast("double") / F.col("na").cast("double")
+        - F.col("sb").cast("double") / F.col("nb").cast("double")
+    ) / F.lit(100.0)
+    obs = tot.select(
+        "na", "nb", F.round(mean_gap, 9).alias("diff_obs")
+    )
+    b = F.explode(F.sequence(F.lit(0), F.lit(PERM_B - 1))).alias("b")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("perm"), F.col("eid"), F.col("b"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("decimal(38,0)")
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    cut = F.col("na").cast("double") / (
+        F.col("na").cast("double") + F.col("nb").cast("double")
+    )
+    rep = (
+        rows.crossJoin(F.broadcast(tot.select("na", "nb")))
+        .select("eid", "cv", "na", "nb", b)
+        .select(F.col("b"), (u < cut).alias("pa"), F.col("cv"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("pa"), 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(~F.col("pa"), 1).otherwise(0)).alias("cb"),
+            F.sum(F.when(F.col("pa"), F.col("cv")).otherwise(F.lit(0))).alias("pa_s"),
+            F.sum(F.when(~F.col("pa"), F.col("cv")).otherwise(F.lit(0))).alias("pb_s"),
+        )
+    )
+    diff_b = F.round(
+        (
+            F.col("pa_s").cast("double") / F.col("ca").cast("double")
+            - F.col("pb_s").cast("double") / F.col("cb").cast("double")
+        )
+        / F.lit(100.0),
+        9,
+    )
+    valid = rep.where((F.col("ca") > 0) & (F.col("cb") > 0)).select(
+        "b", diff_b.alias("diff_b")
+    )
+    tail = valid.crossJoin(F.broadcast(obs)).agg(
+        F.count(F.lit(1)).alias("n_perms"),
+        F.sum(
+            F.when(F.abs(F.col("diff_b")) >= F.abs(F.col("diff_obs")), 1).otherwise(0)
+        ).alias("n_extreme"),
+    )
+    return (
+        obs.crossJoin(F.broadcast(tail))
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            "diff_obs",
+            F.col("n_perms").cast("bigint").alias("n_perms"),
+            F.col("n_extreme").cast("bigint").alias("n_extreme"),
+            F.round(
+                (F.col("n_extreme") + F.lit(1)).cast("double")
+                / (F.col("n_perms") + F.lit(1)).cast("double"),
+                6,
+            ).alias("p_value"),
+        )
+    )

@@ -7929,3 +7929,106 @@ FROM (SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
       FROM fused)
 WHERE fused_rank <= 20
 """
+
+# Mirrors relational.events_permutation_test: hash-relabel randomization
+# test, B=64 replicates in one pass, add-one MC p-value.
+ORACLE_SQL["events_permutation_test"] = """
+WITH rws AS (
+  SELECT event_id AS eid,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cv,
+         event_type = 'view' AS is_a
+  FROM events
+  WHERE event_type IN ('view', 'click')
+),
+tot AS (
+  SELECT CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         SUM(CASE WHEN is_a THEN cv ELSE 0 END) AS sa,
+         SUM(CASE WHEN NOT is_a THEN cv ELSE 0 END) AS sb
+  FROM rws
+),
+obs AS (
+  SELECT na, nb,
+         round((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+               / CAST(100 AS DOUBLE), 9) AS diff_obs
+  FROM tot
+),
+rep_rows AS (
+  SELECT eid, cv, na, nb, unnest(generate_series(0, 63)) AS b
+  FROM rws CROSS JOIN (SELECT na, nb FROM tot)
+),
+assign AS (
+  SELECT b, cv,
+         CAST(CAST('0x' || substr(md5('perm' || ':' || CAST(eid AS VARCHAR)
+                                       || ':' || CAST(b AS VARCHAR)), 1, 15)
+                   AS BIGINT) AS DOUBLE) / 1152921504606846976.0
+           < CAST(na AS DOUBLE) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+           AS pa
+  FROM rep_rows
+),
+rep AS (
+  SELECT b,
+         SUM(CASE WHEN pa THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN NOT pa THEN 1 ELSE 0 END) AS cb,
+         SUM(CASE WHEN pa THEN cv ELSE 0 END) AS pa_s,
+         SUM(CASE WHEN NOT pa THEN cv ELSE 0 END) AS pb_s
+  FROM assign GROUP BY b
+),
+valid AS (
+  SELECT b,
+         round((CAST(pa_s AS DOUBLE) / CAST(ca AS DOUBLE)
+                - CAST(pb_s AS DOUBLE) / CAST(cb AS DOUBLE))
+               / CAST(100 AS DOUBLE), 9) AS diff_b
+  FROM rep WHERE ca > 0 AND cb > 0
+),
+tail AS (
+  SELECT COUNT(*) AS n_perms,
+         SUM(CASE WHEN abs(diff_b) >= abs(diff_obs) THEN 1 ELSE 0 END)
+           AS n_extreme
+  FROM valid CROSS JOIN obs
+)
+SELECT na AS n_a, nb AS n_b, diff_obs,
+       CAST(n_perms AS BIGINT) AS n_perms,
+       CAST(n_extreme AS BIGINT) AS n_extreme,
+       round(CAST(n_extreme + 1 AS DOUBLE)
+             / CAST(n_perms + 1 AS DOUBLE), 6) AS p_value
+FROM obs CROSS JOIN tail
+"""
+
+# Mirrors dedup.dedup_rouge_verify: the dedup_minhash_lsh candidate CTE
+# verified by clipped-unigram ROUGE-1 overlap.
+ORACLE_SQL["dedup_rouge_verify"] = f"""
+WITH cand AS MATERIALIZED ({ORACLE_SQL["dedup_minhash_lsh"]}),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tc AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+lens AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+ov AS (
+  SELECT c.doc_a, c.doc_b, SUM(LEAST(ta.tf, tb.tf)) AS overlap
+  FROM cand c
+  JOIN tc ta ON ta.doc_id = c.doc_a
+  JOIN tc tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT c.doc_a, c.doc_b, c.est_jaccard,
+         CAST(COALESCE(ov.overlap, 0) AS BIGINT) AS overlap,
+         la.n_tok AS len_a, lb.n_tok AS len_b
+  FROM cand c
+  LEFT JOIN ov ON ov.doc_a = c.doc_a AND ov.doc_b = c.doc_b
+  JOIN lens la ON la.doc_id = c.doc_a
+  JOIN lens lb ON lb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard, overlap, len_a, len_b,
+       round(CAST(overlap AS DOUBLE) / CAST(len_a AS DOUBLE), 6) AS rouge1_p,
+       round(CAST(overlap AS DOUBLE) / CAST(len_b AS DOUBLE), 6) AS rouge1_r,
+       round(CAST(2 AS DOUBLE) * CAST(overlap AS DOUBLE)
+             / (CAST(len_a AS DOUBLE) + CAST(len_b AS DOUBLE)), 6)
+         AS rouge1_f1
+FROM j
+"""

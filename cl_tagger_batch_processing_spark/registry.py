@@ -533,3 +533,5 @@ register("events_poisson_bootstrap_ci", relational.events_poisson_bootstrap_ci)
 register("events_winsorized_stats", relational.events_winsorized_stats)
 register("text_kneser_ney_bigram", text.text_kneser_ney_bigram)
 register("sim_hybrid_rrf", similarity.sim_hybrid_rrf)
+register("events_permutation_test", relational.events_permutation_test)
+register("dedup_rouge_verify", dedup.dedup_rouge_verify)
