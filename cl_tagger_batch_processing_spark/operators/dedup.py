@@ -1789,8 +1789,13 @@ def dedup_rouge_verify(
     (pairs × doc-length, bounded because the candidate set is
     banding-bounded) and collapses back to one row per pair. All counts
     exact integers; P/R/F1 divide once in double and round at 6dp."""
-    cand = dedup_minhash_lsh(spark, sf_dir, max_df=max_df).select(
-        "doc_a", "doc_b", "est_jaccard"
+    # the candidate frame feeds BOTH the overlap aggregate and the final
+    # left join — materialize once (the oracle's MATERIALIZED cand twin)
+    # or the full minhash+banding pipeline executes twice (r9 review)
+    cand = (
+        dedup_minhash_lsh(spark, sf_dir, max_df=max_df)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .transform(truncate_lineage)
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tc = (

@@ -1076,7 +1076,15 @@ def _hits_push(
             "node",
             F.when(
                 F.col("m") > 0,
-                F.expr(f"(coalesce(s, 0L) * {HITS_SCALE}) div m"),
+                # widen BEFORE the ×scale: s is bounded by indeg·HITS_SCALE,
+                # so s·HITS_SCALE wraps BIGINT at hub in-degree ≳ 9.2e6 —
+                # exactly the hub regime the salted join exists for; the
+                # oracle's HUGEINT sum is exact, so a silent wrap here is
+                # also a parity divergence (r9 review)
+                F.expr(
+                    f"(cast(coalesce(s, 0L) as decimal(38,0)) * {HITS_SCALE})"
+                    " div m"
+                ),
             )
             .otherwise(F.lit(0))
             .cast("bigint")

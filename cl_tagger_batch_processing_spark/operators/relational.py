@@ -4814,7 +4814,12 @@ def events_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("b")
         .agg(
             F.sum("w").alias("sw"),
-            F.sum(F.col("w") * F.col("cv")).alias("swx"),
+            # Σ w·cv widened to DECIMAL(38,0): replicate cents sums wrap
+            # BIGINT at web-scale row counts while the oracle's HUGEINT
+            # stays exact (the events_user_gini rule; r9 review)
+            F.sum(
+                F.col("w").cast("decimal(38,0)") * F.col("cv").cast("decimal(38,0)")
+            ).alias("swx"),
         )
     )
     mean_b = F.round(
@@ -4827,7 +4832,9 @@ def events_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     point = rows.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(
-            F.sum("cv").cast("double") / F.count(F.lit(1)).cast("double") / F.lit(100.0),
+            F.sum(F.col("cv").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(100.0),
             9,
         ).alias("mean_value"),
     )
@@ -4850,7 +4857,8 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-event-type location stats: exact 5%/95% winsorization
     bounds (k-th order statistic, k = floor(p·(n−1)) + 1 — a VALUE from
     the sample, no interpolation), the winsorized mean (values clamped to
-    the bounds) and the trimmed mean (values strictly inside kept) — the
+    the bounds) and the trimmed mean (only values AT OR INSIDE the bounds
+    kept — inclusive on both ends, matching the oracle's BETWEEN) — the
     outlier-resistant companions to the MAD anomaly screen, standard for
     reward/quality columns with heavy tails.
 
@@ -4954,8 +4962,14 @@ def events_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = rows.agg(
         F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("na"),
         F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("nb"),
-        F.sum(F.when(F.col("is_a"), F.col("cv")).otherwise(F.lit(0))).alias("sa"),
-        F.sum(F.when(~F.col("is_a"), F.col("cv")).otherwise(F.lit(0))).alias("sb"),
+        # cents sums in DECIMAL(38,0): BIGINT wraps silently at corpus
+        # scale while the oracle's HUGEINT is exact (events_user_gini rule)
+        F.sum(
+            F.when(F.col("is_a"), F.col("cv")).otherwise(F.lit(0)).cast("decimal(38,0)")
+        ).alias("sa"),
+        F.sum(
+            F.when(~F.col("is_a"), F.col("cv")).otherwise(F.lit(0)).cast("decimal(38,0)")
+        ).alias("sb"),
     )
     mean_gap = (
         F.col("sa").cast("double") / F.col("na").cast("double")
@@ -4990,8 +5004,12 @@ def events_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.when(F.col("pa"), 1).otherwise(0)).alias("ca"),
             F.sum(F.when(~F.col("pa"), 1).otherwise(0)).alias("cb"),
-            F.sum(F.when(F.col("pa"), F.col("cv")).otherwise(F.lit(0))).alias("pa_s"),
-            F.sum(F.when(~F.col("pa"), F.col("cv")).otherwise(F.lit(0))).alias("pb_s"),
+            F.sum(
+                F.when(F.col("pa"), F.col("cv")).otherwise(F.lit(0)).cast("decimal(38,0)")
+            ).alias("pa_s"),
+            F.sum(
+                F.when(~F.col("pa"), F.col("cv")).otherwise(F.lit(0)).cast("decimal(38,0)")
+            ).alias("pb_s"),
         )
     )
     diff_b = F.round(

@@ -7692,7 +7692,7 @@ FROM terms
 # chi-square terms summed in DECIMAL(28,9).
 ORACLE_SQL["orders_benford_test"] = """
 WITH obs AS (
-  SELECT CAST(regexp_extract(
+  SELECT TRY_CAST(regexp_extract(
            CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
            '[1-9]', 0) AS BIGINT) AS digit,
          COUNT(*) AS n_obs

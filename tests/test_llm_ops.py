@@ -3026,6 +3026,8 @@ def test_r9_constants_in_sync_with_oracles():
     kn = oracles.ORACLE_SQL["text_kneser_ney_bigram"]
     assert (text_ops.KN_DISCOUNT_NUM, text_ops.KN_DISCOUNT_DEN) == (3, 4)
     assert kn.count("CAST(3 AS DOUBLE) / CAST(4 AS DOUBLE)") == 2
+    pt = oracles.ORACLE_SQL["events_permutation_test"]
+    assert relational.PERM_B == 64 and "generate_series(0, 63)" in pt
     rrf = oracles.ORACLE_SQL["sim_hybrid_rrf"]
     assert similarity.RRF_K == 60 and rrf.count("CAST(60 AS DOUBLE)") == 2
     assert similarity.RRF_QUERY_VEC == 0 and "vec_id = 0" in rrf
