@@ -1745,3 +1745,89 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("fused_rank") <= RRF_TOP_K)
     )
+
+
+# Graph-based ANN beam search: entry node, beam width, hop count, query
+# vector. Sync-pinned to the oracle literals.
+GBS_ENTRY_VEC = 0
+GBS_QUERY_VEC = 1
+GBS_BEAM = 8
+GBS_HOPS = 3
+
+
+def sim_ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN: greedy BEAM SEARCH over the corpus kNN graph —
+    the modern retrieval family (HNSW / DiskANN / NSG all walk a
+    neighborhood graph) beside the IVF, LSH and PQ paths already in the
+    engine. From a fixed entry node, each hop expands the beam's
+    out-neighbors, scores every candidate against the query by exact
+    integer-dot cosine, and keeps the top GBS_BEAM (cosine DESC, node ASC
+    — a total order); after GBS_HOPS hops the beam is the answer, each
+    row flagged with membership in the EXACT top-GBS_BEAM so the recall
+    of the walk is measured, not assumed (the ann_recall_report
+    discipline).
+
+    Deterministic: the kNN graph is sim_knn_graph's already-oracle-backed
+    edge list; beam selection compares identically-computed doubles with
+    a node tie-break; no randomness anywhere.
+
+    Scale shape: each hop is ONE equi-join of the ≤BEAM-row frontier
+    against the (u → v) edge list on the walk key plus a bounded
+    TakeOrdered (≤ BEAM·(K+1) candidate rows) — hop cost is independent
+    of corpus size given the edge list (k·n rows, built bucket-local);
+    the exact-top-k reference is a TakeOrdered scan, never a
+    single-partition window."""
+    base = quantized_embeddings(spark, sf_dir).select("vec_id", "qv", "nrm")
+    q = base.where(F.col("vec_id") == GBS_QUERY_VEC).select(
+        F.col("qv").alias("qq"), F.col("nrm").alias("nq")
+    )
+    edges = (
+        sim_knn_graph(spark, sf_dir)
+        .select(F.col("vec_id").alias("u"), F.col("neighbor_id").alias("v"))
+        .transform(truncate_lineage)
+    )
+    cos = int_dot(F.col("qq"), F.col("qv")).cast("double") / (
+        F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("nrm").cast("double"))
+    )
+
+    def score(nodes: DataFrame) -> DataFrame:
+        return (
+            nodes.join(base, nodes.node == base.vec_id)
+            .crossJoin(F.broadcast(q))
+            .where(F.col("node") != GBS_QUERY_VEC)
+            .select("node", cos.alias("cosine"))
+        )
+
+    beam = (
+        score(spark.range(GBS_ENTRY_VEC, GBS_ENTRY_VEC + 1).select(F.col("id").alias("node")))
+        .orderBy(F.desc("cosine"), F.asc("node"))
+        .limit(GBS_BEAM)
+    )
+    for _ in range(GBS_HOPS):
+        beam = beam.transform(truncate_lineage)  # ≤BEAM rows, referenced twice
+        nbrs = beam.join(edges, beam.node == edges.u).select(
+            F.col("v").alias("node")
+        )
+        cand = beam.select("node").unionByName(nbrs).distinct()
+        beam = (
+            score(cand)
+            .orderBy(F.desc("cosine"), F.asc("node"))
+            .limit(GBS_BEAM)
+        )
+    exact = (
+        score(base.select(F.col("vec_id").alias("node")))
+        .orderBy(F.desc("cosine"), F.asc("node"))
+        .limit(GBS_BEAM)
+        .select(F.col("node").alias("e_node"), F.lit(True).alias("in_exact_topk"))
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("node"))
+    return (
+        beam.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .join(F.broadcast(exact), beam.node == F.col("e_node"), "left")
+        .select(
+            "rank",
+            F.col("node").alias("neighbor_id"),
+            "cosine",
+            F.coalesce("in_exact_topk", F.lit(False)).alias("in_exact_topk"),
+        )
+    )

@@ -8032,3 +8032,66 @@ SELECT doc_a, doc_b, est_jaccard, overlap, len_a, len_b,
          AS rouge1_f1
 FROM j
 """
+
+# Mirrors similarity.sim_ann_graph_search: the sim_knn_graph edge CTE, a
+# brute-force scored_all (the oracle's independent scoring path), and the
+# beam walk replayed as chained MATERIALIZED CTEs (entry 0, beam 8, 3
+# hops, query vec 1).
+ORACLE_SQL["sim_ann_graph_search"] = f"""
+WITH {_QEMB_CTES},
+b AS (SELECT vec_id, qv, nrm, {_BUCKET_EXPR} AS bucket FROM n),
+pairs AS (
+  SELECT x.vec_id AS u, y.vec_id AS v,
+         list_dot_product(CAST(x.qv AS DOUBLE[]), CAST(y.qv AS DOUBLE[]))
+           / (sqrt(x.nrm) * sqrt(y.nrm)) AS cosine
+  FROM b x JOIN b y USING (bucket)
+  WHERE x.vec_id != y.vec_id
+),
+knn AS MATERIALIZED (
+  SELECT u, v
+  FROM (SELECT *, row_number() OVER (PARTITION BY u
+                                     ORDER BY cosine DESC, v ASC) AS rank
+        FROM pairs)
+  WHERE rank <= 3
+),
+qv1 AS (SELECT qv AS qq, nrm AS nq FROM n WHERE vec_id = 1),
+scored_all AS MATERIALIZED (
+  SELECT a.vec_id AS node,
+         list_dot_product(CAST(qq AS DOUBLE[]), CAST(a.qv AS DOUBLE[]))
+           / (sqrt(nq) * sqrt(a.nrm)) AS cosine
+  FROM n a CROSS JOIN qv1 WHERE a.vec_id != 1
+),
+beam0 AS MATERIALIZED (
+  SELECT node, cosine FROM scored_all WHERE node = 0
+  ORDER BY cosine DESC, node ASC LIMIT 8
+),
+beam1 AS MATERIALIZED (
+  SELECT s.node, s.cosine FROM scored_all s
+  WHERE s.node IN (SELECT node FROM beam0
+                   UNION
+                   SELECT k.v FROM knn k JOIN beam0 b0 ON k.u = b0.node)
+  ORDER BY cosine DESC, node ASC LIMIT 8
+),
+beam2 AS MATERIALIZED (
+  SELECT s.node, s.cosine FROM scored_all s
+  WHERE s.node IN (SELECT node FROM beam1
+                   UNION
+                   SELECT k.v FROM knn k JOIN beam1 b1 ON k.u = b1.node)
+  ORDER BY cosine DESC, node ASC LIMIT 8
+),
+beam3 AS MATERIALIZED (
+  SELECT s.node, s.cosine FROM scored_all s
+  WHERE s.node IN (SELECT node FROM beam2
+                   UNION
+                   SELECT k.v FROM knn k JOIN beam2 b2 ON k.u = b2.node)
+  ORDER BY cosine DESC, node ASC LIMIT 8
+),
+exact AS MATERIALIZED (
+  SELECT node FROM scored_all ORDER BY cosine DESC, node ASC LIMIT 8
+)
+SELECT CAST(row_number() OVER (ORDER BY cosine DESC, node ASC) AS BIGINT)
+         AS rank,
+       node AS neighbor_id, cosine,
+       node IN (SELECT node FROM exact) AS in_exact_topk
+FROM beam3
+"""

@@ -535,3 +535,4 @@ register("text_kneser_ney_bigram", text.text_kneser_ney_bigram)
 register("sim_hybrid_rrf", similarity.sim_hybrid_rrf)
 register("events_permutation_test", relational.events_permutation_test)
 register("dedup_rouge_verify", dedup.dedup_rouge_verify)
+register("sim_ann_graph_search", similarity.sim_ann_graph_search)

@@ -3033,6 +3033,11 @@ def test_r9_constants_in_sync_with_oracles():
     assert similarity.RRF_QUERY_VEC == 0 and "vec_id = 0" in rrf
     assert similarity.RRF_TOP_K == 20
     assert "sem_rank <= 20" in rrf and "fused_rank <= 20" in rrf
+    gbs = oracles.ORACLE_SQL["sim_ann_graph_search"]
+    assert similarity.GBS_ENTRY_VEC == 0 and "WHERE node = 0" in gbs
+    assert similarity.GBS_QUERY_VEC == 1 and "vec_id = 1" in gbs
+    assert similarity.GBS_BEAM == 8 and gbs.count("LIMIT 8") == 6
+    assert similarity.GBS_HOPS == 3 and "beam3" in gbs and "beam4" not in gbs
 
 
 def test_coverage_md_headline_count_is_mechanical():
