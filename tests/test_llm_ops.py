@@ -3036,7 +3036,7 @@ def test_r9_constants_in_sync_with_oracles():
     gbs = oracles.ORACLE_SQL["sim_ann_graph_search"]
     assert similarity.GBS_ENTRY_VEC == 0 and "WHERE node = 0" in gbs
     assert similarity.GBS_QUERY_VEC == 1 and "vec_id = 1" in gbs
-    assert similarity.GBS_BEAM == 8 and gbs.count("LIMIT 8") == 6
+    assert similarity.GBS_BEAM == 8 and gbs.count("LIMIT 8") == 5
     assert similarity.GBS_HOPS == 3 and "beam3" in gbs and "beam4" not in gbs
 
 
