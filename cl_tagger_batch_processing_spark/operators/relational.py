@@ -3419,6 +3419,11 @@ def er_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# AUC label threshold: a user is a positive iff they made at least this
+# many purchases. Sync-pinned to the oracle literal.
+AUC_LABEL_MIN_PURCHASES = 10
+
+
 def events_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ROC-AUC of a per-user engagement score against the purchase
     label — the standard offline-eval statistic for every ranking/quality
@@ -3438,7 +3443,15 @@ def events_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     AUC on both engines."""
     ev = load_table(spark, sf_dir, "events")
     users = ev.groupBy("user_id").agg(
-        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        # label = HEAVY purchaser (>= AUC_LABEL_MIN_PURCHASES): the fixture
+        # is dense — every user has >= 1 of every event type at every
+        # scale, so an any-purchase label is all-ones and the AUC is
+        # vacuously NULL (the KM lesson, caught by the r9 pair-counting
+        # cross-check); the count threshold gives real label variation
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            >= F.lit(AUC_LABEL_MIN_PURCHASES)
+        )
         .cast("bigint")
         .alias("label"),
         F.sum(F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0))

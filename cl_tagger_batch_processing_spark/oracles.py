@@ -6215,7 +6215,7 @@ FROM ent e JOIN part p ON e.entity_id = p.p_partkey
 ORACLE_SQL["events_auc_report"] = """
 WITH users AS (
   SELECT user_id,
-         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 10
               AS BIGINT) AS label,
          CAST(SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
               AS BIGINT) AS score

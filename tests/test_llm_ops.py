@@ -3026,6 +3026,9 @@ def test_r9_constants_in_sync_with_oracles():
     kn = oracles.ORACLE_SQL["text_kneser_ney_bigram"]
     assert (text_ops.KN_DISCOUNT_NUM, text_ops.KN_DISCOUNT_DEN) == (3, 4)
     assert kn.count("CAST(3 AS DOUBLE) / CAST(4 AS DOUBLE)") == 2
+    auc = oracles.ORACLE_SQL["events_auc_report"]
+    assert relational.AUC_LABEL_MIN_PURCHASES == 10
+    assert ">= 10" in auc
     pt = oracles.ORACLE_SQL["events_permutation_test"]
     assert relational.PERM_B == 64 and "generate_series(0, 63)" in pt
     rrf = oracles.ORACLE_SQL["sim_hybrid_rrf"]
@@ -3276,3 +3279,114 @@ def test_kmv_matches_sequential_sketch(spark, sf_dir):
         assert abs(r.est_union - est_union) < 1e-3
         assert abs(r.est_jaccard - jac) < 1e-6
         assert abs(r.est_intersection - jac * est_union) < 1e-3
+
+
+def test_bpe_matches_sequential_trainer(spark, sf_dir):
+    """Textbook sequential BPE (Sennrich et al.): Python dict vocab,
+    per-round pair count with overlap, left-to-right greedy merge scan —
+    no windows, no gaps-and-islands. Must learn the identical rules."""
+    from cl_tagger_batch_processing_spark.operators.text import BPE_MERGE_ROUNDS
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    words = _duck_rows(
+        sf_dir,
+        """SELECT w, COUNT(*) AS wc FROM (
+             SELECT unnest(string_split(text, ' ')) AS w
+             FROM '{sf}/documents.parquet') GROUP BY 1""",
+    )
+    seqs = [(list(w), wc) for w, wc in words]
+    expected = []
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        counts = {}
+        for syms, wc in seqs:
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + wc
+                )
+        if not counts:
+            break
+        (pa, pb), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((r, pa, pb, cnt, pa + pb))
+        if r == BPE_MERGE_ROUNDS:
+            break
+        new_seqs = []
+        for syms, wc in seqs:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == pa
+                    and syms[i + 1] == pb
+                ):
+                    out.append(pa + pb)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_seqs.append((out, wc))
+        seqs = new_seqs
+    got = [
+        (r.merge_round, r.sym_a, r.sym_b, r.pair_count, r.merged)
+        for r in QUERIES["text_bpe_train_merges"](spark, sf_dir)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert got == expected
+
+
+def test_ks_matches_bruteforce(spark, sf_dir):
+    """Brute-force KS: sorted samples, ECDF difference at every pooled
+    support point via plain float division — no cumulative windows, no
+    integer cross-difference trick."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    row = QUERIES["events_ks_test"](spark, sf_dir).collect()[0]
+    vals = _duck_rows(
+        sf_dir,
+        """SELECT event_type, CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+           FROM '{sf}/events.parquet'
+           WHERE event_type IN ('view', 'click')""",
+    )
+    a = sorted(v for t, v in vals if t == "view")
+    b = sorted(v for t, v in vals if t == "click")
+    na, nb = len(a), len(b)
+    import bisect
+
+    best_d, best_v = -1.0, None
+    for v in sorted(set(a) | set(b)):
+        d = abs(
+            bisect.bisect_right(a, v) / na - bisect.bisect_right(b, v) / nb
+        )
+        if d > best_d + 1e-15:
+            best_d, best_v = d, v
+    assert row.n_a == na and row.n_b == nb
+    assert abs(row.ks_d - best_d) < 1e-9
+    assert row.d_at_value == best_v / 100.0
+    bound = 1.358 * ((na + nb) / (na * nb)) ** 0.5
+    assert row.reject_equal_05 == (best_d > bound)
+
+
+def test_auc_matches_pair_counting(spark, sf_dir):
+    """AUC by its probabilistic DEFINITION — O(n²) pair counting
+    (P(score⁺ > score⁻) + ½·P(tie)) — against the engine's tie-aware
+    rank-sum formula."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    row = QUERIES["events_auc_report"](spark, sf_dir).collect()[0]
+    users = _duck_rows(
+        sf_dir,
+        """SELECT CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       >= 10 AS BIGINT),
+                  SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+           FROM '{sf}/events.parquet' GROUP BY user_id""",
+    )
+    pos = [s for l, s in users if l == 1]
+    neg = [s for l, s in users if l == 0]
+    assert pos and neg, "fixture must have both labels for this check"
+    assert row.auc is not None  # non-vacuity: the gate checks a real AUC
+    wins = sum(1 for p in pos for q in neg if p > q)
+    ties = sum(1 for p in pos for q in neg if p == q)
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(row.auc - auc) < 1e-9
