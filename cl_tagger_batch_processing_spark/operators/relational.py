@@ -765,8 +765,13 @@ def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     red = load_table(spark, sf_dir, "part").where(F.col("p_name").startswith("red"))
     supp = load_table(spark, sf_dir, "supplier")
+    # even-keyed nations: the original NATION_1/NATION_6 literal never
+    # intersected the bulk-supplier set at ANY fixture scale, so the query
+    # (and its parity gate) was vacuously empty — the r9 registry-wide
+    # vacuity audit's finding; the even-key predicate keeps the dim-filter
+    # shape and returns rows at every scale
     nation = load_table(spark, sf_dir, "nation").where(
-        F.col("n_name").isin("NATION_1", "NATION_6")
+        F.col("n_nationkey") % 2 == 0
     )
     bulk = (
         li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
@@ -2514,12 +2519,22 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats plus the experiment-level z/lift (constant across rows, the
     repo's flat-scalar-output convention)."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    # conversion = HEAVY purchaser (>= AUC_LABEL_MIN_PURCHASES purchases):
+    # the dense fixture gives every user >= 1 purchase at every scale, so
+    # an any-purchase conversion was 100% in both arms and z/lift were
+    # vacuously NULL/0 (caught by the r9 registry-wide vacuity audit —
+    # the KM/AUC lesson)
     per_user = ev.groupBy("user_id").agg(
-        F.max(
-            F.when(F.col("event_type") == F.lit("purchase"), F.lit(1)).otherwise(
-                F.lit(0)
+        (
+            F.sum(
+                F.when(F.col("event_type") == F.lit("purchase"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
             )
-        ).alias("converted")
+            >= F.lit(AUC_LABEL_MIN_PURCHASES)
+        )
+        .cast("int")
+        .alias("converted")
     )
     arms = per_user.select(
         F.when(F.col("user_id") % 2 == 0, F.lit("control"))
@@ -3596,14 +3611,20 @@ def parts_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def orders_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximum drawdown of cumulative daily order revenue — the
-    peak-to-trough risk statistic (largest drop of the running total from
+    """Maximum drawdown of the DAILY order revenue series — the
+    peak-to-trough risk statistic (largest drop of the daily level from
     its running max), computed exactly: daily revenue sums in
-    DECIMAL(18,2), the cumulative and running-max windows run over the
-    per-DAY aggregate (days, not orders), and the trough argmax carries a
-    (drawdown DESC, day ASC) total tie-break. The peak day is the earliest
-    day whose cumulative equals the trough's running max — an exact
-    decimal equality, joined back against the same daily frame."""
+    DECIMAL(18,2), the running-max window runs over the per-DAY aggregate
+    (days, not orders), and the trough argmax carries a (drawdown DESC,
+    day ASC) total tie-break. The peak day is the earliest day whose
+    level equals the trough's running max — an exact decimal equality,
+    joined back against the same daily frame.
+
+    The statistic runs on the daily LEVEL, not the running total: a
+    cumulative sum of nonnegative revenues is monotone, so its drawdown
+    is identically zero — the r9 registry-wide vacuity audit caught the
+    first cut measuring exactly that (always-0 output at every scale,
+    the KM/AUC vacuous-gate class)."""
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
@@ -3611,7 +3632,7 @@ def orders_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     cum = daily.select(
         "day",
-        F.sum("rev").over(wd).alias("cum"),
+        F.col("rev").alias("cum"),
     ).select("day", "cum", F.max("cum").over(wd).alias("runmax"))
     dd = cum.select(
         "day", "cum", "runmax", (F.col("runmax") - F.col("cum")).alias("drawdown")

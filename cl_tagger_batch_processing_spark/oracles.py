@@ -1368,7 +1368,7 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 
 ORACLE_SQL["q20_bulk_suppliers"] = """
 SELECT s_suppkey, s_name, n_name
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
-WHERE n_name IN ('NATION_1','NATION_6')
+WHERE n_nationkey % 2 = 0
   AND s_suppkey IN (
     SELECT l_suppkey
     FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -5068,7 +5068,8 @@ FROM sw GROUP BY threshold, lang
 ORACLE_SQL["events_ab_lift"] = """
 WITH per_user AS (
   SELECT user_id,
-         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 10 THEN 1 ELSE 0 END AS converted
   FROM events GROUP BY user_id
 ),
 arms AS (
@@ -6469,10 +6470,7 @@ WITH daily AS (
   FROM orders GROUP BY 1
 ),
 cum AS (
-  SELECT day,
-         SUM(rev) OVER (ORDER BY day
-                        ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND CURRENT ROW) AS cum
+  SELECT day, rev AS cum
   FROM daily
 ),
 dd AS (

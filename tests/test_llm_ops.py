@@ -3390,3 +3390,57 @@ def test_auc_matches_pair_counting(spark, sf_dir):
     ties = sum(1 for p in pos for q in neg if p == q)
     auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
     assert abs(row.auc - auc) < 1e-9
+
+
+def test_gopher_flags_fire_on_synthetic_pathologies(spark):
+    """The fixture corpus is uniformly clean, so flag_too_long /
+    flag_word_len / flag_repetition are all-false at every scale (r9
+    vacuity audit) — exercise each flag's TRUE path on synthetic
+    pathological documents so the gate logic itself is pinned."""
+    from cl_tagger_batch_processing_spark.operators.curation import (
+        GOPHER_MAX_TOKENS,
+        _gopher_flagged,
+    )
+
+    too_long = " ".join(["the"] * (GOPHER_MAX_TOKENS + 1))
+    short_words = " ".join(["a", "is", "of"] * 20)  # mean len < 3
+    long_words = " ".join(["antidisestablishment"] * 60)  # mean len > 10
+    repetitive = " ".join(["the quick fox"] * 40)  # dup bigrams >> 20%
+    # distinct medium-length words (mean 3-10 chars), unique bigrams,
+    # two stopwords, > 50 tokens
+    clean = " ".join(f"word{i} items{i}" for i in range(30)) + " the off and"
+    docs = spark.createDataFrame(
+        [
+            (1, too_long),
+            (2, short_words),
+            (3, long_words),
+            (4, repetitive),
+            (5, clean),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in _gopher_flagged(docs).collect()}
+    assert rows[1].flag_too_long and not rows[5].flag_too_long
+    assert rows[2].flag_word_len and rows[3].flag_word_len
+    assert not rows[5].flag_word_len
+    assert rows[4].flag_repetition and not rows[5].flag_repetition
+    assert rows[5].keep and not rows[4].keep
+
+
+def test_token_count_classes_on_synthetic_text(spark):
+    """n_digit_tokens / n_punct_tokens are zero on the digit-free,
+    punctuation-free fixture text at every scale (r9 vacuity audit) —
+    pin the pre-tokenizer classes on synthetic text that has all three."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "abc 123 def, ghi! 45 x.y")], "doc_id bigint, text string"
+    )
+    text = F.col("text")
+    row = docs.select(
+        F.size(F.regexp_extract_all(text, F.lit("[a-z]+"), 0)).alias("w"),
+        F.size(F.regexp_extract_all(text, F.lit("[0-9]+"), 0)).alias("d"),
+        F.size(F.regexp_extract_all(text, F.lit("[^a-z0-9 ]"), 0)).alias("p"),
+    ).collect()[0]
+    # letter runs: abc def ghi x y; digit runs: 123 45; punct: , ! .
+    assert (row.w, row.d, row.p) == (5, 2, 3)
