@@ -3444,3 +3444,98 @@ def test_token_count_classes_on_synthetic_text(spark):
     ).collect()[0]
     # letter runs: abc def ghi x y; digit runs: 123 45; punct: , ! .
     assert (row.w, row.d, row.p) == (5, 2, 3)
+
+
+def test_km_matches_sequential_product_limit(spark, sf_dir):
+    """Textbook Kaplan-Meier: Python per-user sessionization (sort, split
+    on >= 30-min gaps) + the sequential product-limit loop with plain
+    float multiplication — no windows, no ln-sum rail."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = _duck_rows(
+        sf_dir,
+        """SELECT user_id, epoch_us(ts) AS us, event_id
+           FROM '{sf}/events.parquet'""",
+    )
+    gap = 30 * 60_000_000
+    by_user = {}
+    max_us = max(us for _, us, _ in rows)
+    for uid, us, eid in rows:
+        by_user.setdefault(uid, []).append((us, eid))
+    durations = []  # (minutes, churned)
+    for evs in by_user.values():
+        evs.sort()
+        sess = []
+        for us, _ in evs:
+            if not sess or us - sess[-1][-1] >= gap:
+                sess.append([us])
+            else:
+                sess[-1].append(us)
+        for s in sess:
+            dur = (s[-1] - s[0]) // 60_000_000
+            churned = 0 if s[-1] >= max_us - gap else 1
+            durations.append((dur, churned))
+    expected = {}
+    surv = 1.0
+    n_at_risk = len(durations)
+    dead = False
+    for t in sorted({d for d, _ in durations}):
+        here = [c for d, c in durations if d == t]
+        d_t = sum(here)
+        if d_t >= n_at_risk:
+            dead = True
+        if not dead and d_t:
+            surv *= 1.0 - d_t / n_at_risk
+        if d_t:
+            expected[t] = (n_at_risk, d_t, len(here) - d_t,
+                           0.0 if dead else surv)
+        n_at_risk -= len(here)
+    got = {
+        r.duration_minutes: (
+            r.n_at_risk,
+            r.n_churned,
+            r.n_censored_here,
+            r.survival,
+        )
+        for r in QUERIES["events_survival_km"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for t, (n, d, c, s) in expected.items():
+        gn, gd, gc, gs = got[t]
+        assert (gn, gd, gc) == (n, d, c), t
+        assert abs(gs - s) < 1e-5, t
+
+
+def test_its_matches_numpy_lstsq(spark, sf_dir):
+    """Independent segmented regression: numpy least squares per segment
+    over the raw daily revenue — no sufficient-statistic rails."""
+    import numpy as np
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    row = QUERIES["orders_interrupted_timeseries"](spark, sf_dir).collect()[0]
+    daily = _duck_rows(
+        sf_dir,
+        """SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           FROM '{sf}/orders.parquet' GROUP BY 1 ORDER BY 1""",
+    )
+    d0 = daily[0][0]
+    ts = np.array([(d - d0).days for d, _ in daily], dtype=float)
+    ys = np.array([r for _, r in daily])
+    mid = int(ts.max()) // 2
+
+    def fit(mask):
+        a = np.vstack([ts[mask], np.ones(mask.sum())]).T
+        slope, intercept = np.linalg.lstsq(a, ys[mask], rcond=None)[0]
+        return slope, intercept
+
+    ps, pi = fit(ts <= mid)
+    qs, qi = fit(ts > mid)
+    assert row.n_pre == int((ts <= mid).sum())
+    assert row.n_post == int((ts > mid).sum())
+    assert abs(row.pre_slope - ps) < 1e-4
+    assert abs(row.post_slope - qs) < 1e-4
+    assert abs(row.trend_change - (qs - ps)) < 1e-4
+    b = mid + 1.0
+    assert abs(row.level_change - ((qi + qs * b) - (pi + ps * b))) < 1e-3
