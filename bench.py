@@ -110,7 +110,7 @@ def main() -> int:
     # runs in r8 differed by 1.16x median — single-shot per-query numbers
     # sit inside a ~0.98-1.33x box-noise band, so cross-round comparisons
     # on the expensive tail need medians. One full pass times everything;
-    # the top-TAIL_K slowest then get TAIL_RERUNS more runs each and report
+    # the top TAIL_K+10 slowest then get TAIL_RERUNS more runs each and report
     # their MEDIAN (the cheap bulk stays single-shot — its absolute noise
     # is negligible in the total). Memo state is recorded PER RUN: a query
     # that built a shared memo cold in pass 1 rides it warm on re-runs, and

@@ -2507,8 +2507,10 @@ def orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment readout: users split into control/treatment by the
-    deterministic user_id parity, conversion = at least one purchase
-    event; per arm the conversion rate, plus the pooled two-proportion
+    deterministic user_id parity, conversion = heavy purchaser
+    (>= AUC_LABEL_MIN_PURCHASES purchases — the any-purchase form is
+    all-ones on the dense fixture and made z/lift vacuous, r9 audit);
+    per arm the conversion rate, plus the pooled two-proportion
     z-score and relative lift — the standard experiment-analysis shape
     (assignment and conversion both derive from exact integer counts, so
     the whole readout is reproducible on any engine).
@@ -3435,7 +3437,8 @@ def er_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # AUC label threshold: a user is a positive iff they made at least this
-# many purchases. Sync-pinned to the oracle literal.
+# many purchases. Shared by events_auc_report AND events_ab_lift;
+# sync-pinned to BOTH oracle literals.
 AUC_LABEL_MIN_PURCHASES = 10
 
 

@@ -209,7 +209,14 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     too expensive to run over a whole corpus. Pure regexp Column work:
     zero shuffles, whole-stage codegen, and the patterns are dialect-neutral
     (identical under Java regex and RE2)."""
-    docs = load_table(spark, sf_dir, "documents")
+    return _token_classes(load_table(spark, sf_dir, "documents"))
+
+
+def _token_classes(docs: DataFrame) -> DataFrame:
+    """The pre-tokenizer class counters over any (doc_id, text) frame —
+    factored out (the _gopher_flagged pattern) so the synthetic-pathology
+    test exercises the SAME expressions the operator ships (the fixture
+    is digit/punct-free, so only synthetic text pins those classes)."""
     text = F.col("text")
     n_word = F.size(F.regexp_extract_all(text, F.lit("[a-z]+"), 0))
     n_digit = F.size(F.regexp_extract_all(text, F.lit("[0-9]+"), 0))

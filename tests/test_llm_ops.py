@@ -3029,6 +3029,8 @@ def test_r9_constants_in_sync_with_oracles():
     auc = oracles.ORACLE_SQL["events_auc_report"]
     assert relational.AUC_LABEL_MIN_PURCHASES == 10
     assert ">= 10" in auc
+    # the same constant gates events_ab_lift's conversion
+    assert ">= 10" in oracles.ORACLE_SQL["events_ab_lift"]
     pt = oracles.ORACLE_SQL["events_permutation_test"]
     assert relational.PERM_B == 64 and "generate_series(0, 63)" in pt
     rrf = oracles.ORACLE_SQL["sim_hybrid_rrf"]
@@ -3041,6 +3043,9 @@ def test_r9_constants_in_sync_with_oracles():
     assert similarity.GBS_QUERY_VEC == 1 and "vec_id = 1" in gbs
     assert similarity.GBS_BEAM == 8 and gbs.count("LIMIT 8") == 5
     assert similarity.GBS_HOPS == 3 and "beam3" in gbs and "beam4" not in gbs
+    # the walk oracle re-derives the kNN graph: its k must track
+    # KNN_GRAPH_K just like sim_knn_graph's own oracle
+    assert similarity.KNN_GRAPH_K == 3 and "rank <= 3" in gbs
 
 
 def test_coverage_md_headline_count_is_mechanical():
@@ -3430,20 +3435,33 @@ def test_gopher_flags_fire_on_synthetic_pathologies(spark):
 def test_token_count_classes_on_synthetic_text(spark):
     """n_digit_tokens / n_punct_tokens are zero on the digit-free,
     punctuation-free fixture text at every scale (r9 vacuity audit) —
-    pin the pre-tokenizer classes on synthetic text that has all three."""
-    from pyspark.sql import functions as F
+    pin the pre-tokenizer classes on synthetic text that has all three,
+    through the SAME factored expressions the operator ships (review
+    pass #2: an inline regex copy pins nothing)."""
+    from cl_tagger_batch_processing_spark.operators.text import _token_classes
 
     docs = spark.createDataFrame(
         [(1, "abc 123 def, ghi! 45 x.y")], "doc_id bigint, text string"
     )
-    text = F.col("text")
-    row = docs.select(
-        F.size(F.regexp_extract_all(text, F.lit("[a-z]+"), 0)).alias("w"),
-        F.size(F.regexp_extract_all(text, F.lit("[0-9]+"), 0)).alias("d"),
-        F.size(F.regexp_extract_all(text, F.lit("[^a-z0-9 ]"), 0)).alias("p"),
-    ).collect()[0]
+    row = _token_classes(docs).collect()[0]
     # letter runs: abc def ghi x y; digit runs: 123 45; punct: , ! .
-    assert (row.w, row.d, row.p) == (5, 2, 3)
+    assert (row.n_word_tokens, row.n_digit_tokens, row.n_punct_tokens) == (
+        5,
+        2,
+        3,
+    )
+    assert row.n_bpe_tokens == 10
+
+
+def test_ab_lift_z_is_nonvacuous(spark, sf_dir):
+    # the r9 de-vacuized conversion must keep producing a REAL z/lift on
+    # every fixture scale — a regeneration that restores the degenerate
+    # all-ones label must fail here, not silently re-vacuize the gate
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = QUERIES["events_ab_lift"](spark, sf_dir).collect()
+    assert rows and all(r.z_score is not None for r in rows)
+    assert all(r.relative_lift is not None for r in rows)
 
 
 def test_km_matches_sequential_product_limit(spark, sf_dir):
