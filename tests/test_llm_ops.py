@@ -3557,3 +3557,43 @@ def test_its_matches_numpy_lstsq(spark, sf_dir):
     assert abs(row.trend_change - (qs - ps)) < 1e-4
     b = mid + 1.0
     assert abs(row.level_change - ((qi + qs * b) - (pi + ps * b))) < 1e-3
+
+
+def test_logistic_regression_matches_numpy_gd(spark, sf_dir):
+    """Independent full-float numpy GD (no 9dp rail, no DECIMAL sums, no
+    clip expression sharing) over the same feature projection: after
+    LR_STEPS small-eta steps the engine's exact-arithmetic weights must
+    agree with the plain-float trajectory to ~1e-5 — pins that the
+    distributed aggregate really is gradient descent on this loss."""
+    import numpy as np
+
+    from cl_tagger_batch_processing_spark.operators.relational import (
+        LR_ETA,
+        LR_STEPS,
+        LR_X_SCALE,
+        events_logistic_regression,
+    )
+
+    row = events_logistic_regression(spark, sf_dir).collect()[0]
+    data = _duck_rows(
+        sf_dir,
+        """SELECT value,
+                  CAST(CASE WHEN event_type = 'purchase'
+                       THEN 1 ELSE 0 END AS DOUBLE)
+           FROM '{sf}/events.parquet'""",
+    )
+    x = np.array([float(v) for v, _ in data]) / LR_X_SCALE
+    y = np.array([float(l) for _, l in data])
+    a = b = 0.0
+    for _ in range(LR_STEPS):
+        z = np.clip(a + b * x, -30.0, 30.0)
+        p = 1.0 / (1.0 + np.exp(-z))
+        a -= LR_ETA * float(np.mean(p - y))
+        b -= LR_ETA * float(np.mean((p - y) * x))
+    assert abs(row.intercept - a) < 1e-5
+    assert abs(row.coef - b) < 1e-5
+    z = np.clip(row.intercept + row.coef * x, -30.0, 30.0)
+    p = 1.0 / (1.0 + np.exp(-z))
+    ll = float(np.mean(-(y * np.log(p) + (1 - y) * np.log(1 - p))))
+    assert abs(row.log_loss - ll) < 1e-4
+    assert row.accuracy == float(np.mean((p >= 0.5) == (y == 1.0)))
