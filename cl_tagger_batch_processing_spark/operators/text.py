@@ -1988,3 +1988,80 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_neg_loglik",
         F.round(F.exp(F.col("avg_neg_loglik")), 6).alias("perplexity"),
     )
+
+
+def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity BUCKETS: per language, the scored pool
+    (text_bigram_lm_perplexity's held-out half) splits into head / middle
+    / tail by CUMULATIVE TOKEN SHARE in perplexity order — the exact
+    recipe CCNet (Wenzek et al.) popularized and most open web-corpus
+    pipelines reuse: the cleanest third of tokens is "head", the next
+    third "middle", the rest "tail".
+
+    Determinism: docs aggregate per (lang, perplexity) value first (the
+    KS/winsorize discipline — the ordered window runs over DISTINCT
+    6dp perplexity values per language, not raw docs), so a tie-group
+    lands in ONE bucket as a unit (documented deviation from per-doc
+    splitting: deterministic regardless of doc order); boundaries are the
+    exact integer comparisons 3·cum ≤ tot and 3·cum ≤ 2·tot on
+    DECIMAL(38,0)-widened token sums; the per-bucket mean perplexity
+    rides the DECIMAL(28,9) rail.
+
+    Scale: one groupBy to the per-value aggregate, per-lang cumulative
+    windows over that aggregate, one broadcast of per-lang totals, one
+    final rollup — no raw-doc window anywhere."""
+    pp = text_bigram_lm_perplexity(spark, sf_dir).select("doc_id", "perplexity")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("bigint").alias("ntok")
+    )
+    j = pp.join(docs, "doc_id")
+    per_v = j.groupBy("lang", "perplexity").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("ntok"),
+    )
+    wc = (
+        Window.partitionBy("lang")
+        .orderBy("perplexity")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = per_v.groupBy("lang").agg(F.sum("ntok").alias("tot"))
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    cum = per_v.withColumn("cum", F.sum("ntok").over(wc)).join(
+        F.broadcast(tot), "lang"
+    )
+    bucket = (
+        F.when(F.lit(3) * d38("cum") <= d38("tot"), F.lit("head"))
+        .when(F.lit(3) * d38("cum") <= F.lit(2) * d38("tot"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    agg = (
+        cum.select(
+            "lang",
+            bucket.alias("bucket"),
+            "n_docs",
+            "ntok",
+            "tot",
+            (F.col("perplexity").cast("decimal(28,9)") * F.col("n_docs")).alias(
+                "psum"
+            ),
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("n_tokens"),
+            F.max("tot").alias("tot"),
+            F.sum("psum").alias("psum"),
+        )
+    )
+    return agg.select(
+        "lang",
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("tot").cast("double")).alias(
+            "token_share"
+        ),
+        F.round(
+            F.col("psum").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("mean_perplexity"),
+    )

@@ -8093,3 +8093,53 @@ SELECT CAST(row_number() OVER (ORDER BY cosine DESC, node ASC) AS BIGINT)
        node IN (SELECT node FROM exact) AS in_exact_topk
 FROM beam3
 """
+
+# Mirrors text.corpus_ccnet_buckets: the bigram-LM perplexity CTE, the
+# per-(lang, perplexity) aggregate, per-lang cumulative token windows, the
+# exact 3·cum <= tot / 2·tot boundaries, DECIMAL(28,9) mean rail.
+ORACLE_SQL["corpus_ccnet_buckets"] = f"""
+WITH pp AS MATERIALIZED ({ORACLE_SQL["text_bigram_lm_perplexity"]}),
+d AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+  FROM documents
+),
+j AS (SELECT d.lang, pp.perplexity, d.ntok
+      FROM pp JOIN d ON pp.doc_id = d.doc_id),
+per_v AS (
+  SELECT lang, perplexity, COUNT(*) AS n_docs, SUM(ntok) AS ntok
+  FROM j GROUP BY 1, 2
+),
+tot AS (SELECT lang, SUM(ntok) AS tot FROM per_v GROUP BY 1),
+cum AS (
+  SELECT p.lang, p.perplexity, p.n_docs, p.ntok, t.tot,
+         SUM(p.ntok) OVER (PARTITION BY p.lang ORDER BY p.perplexity
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum
+  FROM per_v p JOIN tot t USING (lang)
+),
+b AS (
+  SELECT lang,
+         CASE WHEN 3 * CAST(cum AS HUGEINT) <= CAST(tot AS HUGEINT)
+                THEN 'head'
+              WHEN 3 * CAST(cum AS HUGEINT) <= 2 * CAST(tot AS HUGEINT)
+                THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         n_docs, ntok, tot,
+         CAST(perplexity AS DECIMAL(28,9)) * n_docs AS psum
+  FROM cum
+),
+agg AS (
+  SELECT lang, bucket,
+         CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+         MAX(tot) AS tot,
+         SUM(psum) AS psum
+  FROM b GROUP BY 1, 2
+)
+SELECT lang, bucket, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS token_share,
+       round(CAST(psum AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         AS mean_perplexity
+FROM agg
+"""

@@ -536,3 +536,4 @@ register("sim_hybrid_rrf", similarity.sim_hybrid_rrf)
 register("events_permutation_test", relational.events_permutation_test)
 register("dedup_rouge_verify", dedup.dedup_rouge_verify)
 register("sim_ann_graph_search", similarity.sim_ann_graph_search)
+register("corpus_ccnet_buckets", text.corpus_ccnet_buckets)
