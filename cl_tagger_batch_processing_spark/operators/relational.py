@@ -5081,3 +5081,127 @@ def events_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_value"),
         )
     )
+
+
+def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout: user-parity arms (the ab_lift
+    assignment) × exact-µs-midpoint pre/post periods (the CUPED split),
+    metric = mean event value — the 2×2 quasi-experimental estimator that
+    completes the experimentation family (randomized: ab_lift/CUPED;
+    single-series: ITS; this is the two-group two-period workhorse):
+
+        DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre)
+
+    Determinism: cell sums are exact cents in DECIMAL(38,0) (the
+    events_user_gini envelope), counts exact; the four means and the DiD
+    divide once in double with the identical expression tree on both
+    engines. One corpus pass to the 4-cell aggregate; everything after is
+    4 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min(F.expr("unix_micros(cast(ts as timestamp))")).alias("lo"),
+        F.max(F.expr("unix_micros(cast(ts as timestamp))")).alias("hi"),
+    )
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    cells = (
+        ev.crossJoin(F.broadcast(rng))
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+            .otherwise(F.lit("treatment"))
+            .alias("arm"),
+            F.when(
+                F.expr("unix_micros(cast(ts as timestamp))")
+                <= F.col("lo") + F.expr("(hi - lo) div 2"),
+                F.lit("pre"),
+            )
+            .otherwise(F.lit("post"))
+            .alias("period"),
+            cents.alias("cv"),
+        )
+        .groupBy("arm", "period")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("cv").cast("decimal(38,0)")).alias("s"),
+        )
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double") / F.lit(100.0)
+    wide = (
+        cells.select("arm", "period", F.col("n").cast("bigint").alias("n"), mean.alias("m"))
+        .groupBy()
+        .pivot("arm", ["control", "treatment"])
+        .agg(
+            F.sum(F.when(F.col("period") == "pre", F.col("m"))).alias("pre"),
+            F.sum(F.when(F.col("period") == "post", F.col("m"))).alias("post"),
+            F.sum(F.when(F.col("period") == "pre", F.col("n"))).alias("n_pre"),
+            F.sum(F.when(F.col("period") == "post", F.col("n"))).alias("n_post"),
+        )
+    )
+    did = (F.col("treatment_post") - F.col("treatment_pre")) - (
+        F.col("control_post") - F.col("control_pre")
+    )
+    return wide.select(
+        F.col("control_n_pre").cast("bigint").alias("n_control_pre"),
+        F.col("control_n_post").cast("bigint").alias("n_control_post"),
+        F.col("treatment_n_pre").cast("bigint").alias("n_treatment_pre"),
+        F.col("treatment_n_post").cast("bigint").alias("n_treatment_post"),
+        F.round("control_pre", 9).alias("mean_control_pre"),
+        F.round("control_post", 9).alias("mean_control_post"),
+        F.round("treatment_pre", 9).alias("mean_treatment_pre"),
+        F.round("treatment_post", 9).alias("mean_treatment_post"),
+        F.round(did, 9).alias("did_estimate"),
+    )
+
+
+def orders_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly LASPEYRES price index of shipped parts (base = the first
+    ship month): I_t = Σᵢ p_{i,t}·q_{i,0} / Σᵢ p_{i,0}·q_{i,0} × 100 over
+    the parts traded in BOTH months — the classic fixed-basket inflation
+    readout, completing the econometrics family (indices beside OLS /
+    ITS / DiD).
+
+    Unit prices are the exact rational Σextendedprice/Σquantity per
+    (month, part) (both sides exact cents integers); each basket term
+    p_{i,t}·q_{i,0} evaluates ONE double expression over the four exact
+    integers, rounds at 9dp and sums in DECIMAL(28,9) (the float-sum
+    rail — the denominator uses the SAME expression shape at t = 0, so
+    the base month reads exactly 100). One (month, part) groupBy, one
+    partkey equi-join against the single base month, one per-month
+    rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_mp = li.groupBy(
+        F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("month"),
+        "l_partkey",
+    ).agg(
+        F.sum((F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("bigint")).alias(
+            "ext_c"
+        ),
+        F.sum((F.col("l_quantity").cast("decimal(12,2)") * 100).cast("bigint")).alias(
+            "qty_c"
+        ),
+    )
+    base_month = per_mp.agg(F.min("month").alias("bm"))
+    base = (
+        per_mp.join(F.broadcast(base_month), per_mp.month == F.col("bm"))
+        .select(
+            "l_partkey",
+            F.col("ext_c").alias("ext0"),
+            F.col("qty_c").alias("qty0"),
+        )
+    )
+    j = per_mp.join(base, "l_partkey")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    term_t = F.round(d("ext_c") / d("qty_c") * d("qty0"), 9)
+    term_0 = F.round(d("ext0") / d("qty0") * d("qty0"), 9)
+    agg = j.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_parts_matched"),
+        F.sum(term_t.cast("decimal(28,9)")).alias("num"),
+        F.sum(term_0.cast("decimal(28,9)")).alias("den"),
+    )
+    return agg.select(
+        "month",
+        F.col("n_parts_matched").cast("bigint").alias("n_parts_matched"),
+        F.round(
+            F.col("num").cast("double") / F.col("den").cast("double") * F.lit(100.0),
+            6,
+        ).alias("laspeyres_index"),
+    )

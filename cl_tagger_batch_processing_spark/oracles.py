@@ -8143,3 +8143,85 @@ SELECT lang, bucket, n_docs, n_tokens,
          AS mean_perplexity
 FROM agg
 """
+
+# Mirrors relational.events_did_estimator: parity arms x exact-us-midpoint
+# periods, HUGEINT cents cell sums, DiD from unrounded means.
+ORACLE_SQL["events_did_estimator"] = """
+WITH rng AS (
+  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+),
+cells AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm,
+         CASE WHEN epoch_us(ts) <= r.lo + (r.hi - r.lo) // 2
+              THEN 'pre' ELSE 'post' END AS period,
+         COUNT(*) AS n,
+         SUM(CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  AS HUGEINT)) AS s
+  FROM events CROSS JOIN rng r
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT arm, period, n,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / CAST(100 AS DOUBLE) AS m
+  FROM cells
+),
+wide AS (
+  SELECT MAX(CASE WHEN arm = 'control' AND period = 'pre' THEN n END) AS ncp,
+         MAX(CASE WHEN arm = 'control' AND period = 'post' THEN n END) AS ncq,
+         MAX(CASE WHEN arm = 'treatment' AND period = 'pre' THEN n END) AS ntp,
+         MAX(CASE WHEN arm = 'treatment' AND period = 'post' THEN n END) AS ntq,
+         MAX(CASE WHEN arm = 'control' AND period = 'pre' THEN m END) AS mcp,
+         MAX(CASE WHEN arm = 'control' AND period = 'post' THEN m END) AS mcq,
+         MAX(CASE WHEN arm = 'treatment' AND period = 'pre' THEN m END) AS mtp,
+         MAX(CASE WHEN arm = 'treatment' AND period = 'post' THEN m END) AS mtq
+  FROM m
+)
+SELECT CAST(ncp AS BIGINT) AS n_control_pre,
+       CAST(ncq AS BIGINT) AS n_control_post,
+       CAST(ntp AS BIGINT) AS n_treatment_pre,
+       CAST(ntq AS BIGINT) AS n_treatment_post,
+       round(mcp, 9) AS mean_control_pre,
+       round(mcq, 9) AS mean_control_post,
+       round(mtp, 9) AS mean_treatment_pre,
+       round(mtq, 9) AS mean_treatment_post,
+       round((mtq - mtp) - (mcq - mcp), 9) AS did_estimate
+FROM wide
+"""
+
+# Mirrors relational.orders_price_index_laspeyres: exact cents unit-price
+# rationals, 9dp-rounded basket terms on the DECIMAL(28,9) rail, base =
+# first ship month.
+ORACLE_SQL["orders_price_index_laspeyres"] = """
+WITH per_mp AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+         l_partkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+           AS ext_c,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))
+           AS qty_c
+  FROM lineitem
+  GROUP BY 1, 2
+),
+bm AS (SELECT MIN(month) AS bm FROM per_mp),
+base AS (
+  SELECT l_partkey, ext_c AS ext0, qty_c AS qty0
+  FROM per_mp CROSS JOIN bm WHERE month = bm
+),
+j AS (
+  SELECT p.month, p.ext_c, p.qty_c, b.ext0, b.qty0
+  FROM per_mp p JOIN base b USING (l_partkey)
+),
+agg AS (
+  SELECT month, COUNT(*) AS n_parts_matched,
+         SUM(CAST(round(CAST(ext_c AS DOUBLE) / CAST(qty_c AS DOUBLE)
+                        * CAST(qty0 AS DOUBLE), 9) AS DECIMAL(28,9))) AS num,
+         SUM(CAST(round(CAST(ext0 AS DOUBLE) / CAST(qty0 AS DOUBLE)
+                        * CAST(qty0 AS DOUBLE), 9) AS DECIMAL(28,9))) AS den
+  FROM j GROUP BY month
+)
+SELECT month,
+       CAST(n_parts_matched AS BIGINT) AS n_parts_matched,
+       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+             * CAST(100 AS DOUBLE), 6) AS laspeyres_index
+FROM agg
+"""

@@ -537,3 +537,5 @@ register("events_permutation_test", relational.events_permutation_test)
 register("dedup_rouge_verify", dedup.dedup_rouge_verify)
 register("sim_ann_graph_search", similarity.sim_ann_graph_search)
 register("corpus_ccnet_buckets", text.corpus_ccnet_buckets)
+register("events_did_estimator", relational.events_did_estimator)
+register("orders_price_index_laspeyres", relational.orders_price_index_laspeyres)
