@@ -3597,3 +3597,48 @@ def test_logistic_regression_matches_numpy_gd(spark, sf_dir):
     ll = float(np.mean(-(y * np.log(p) + (1 - y) * np.log(1 - p))))
     assert abs(row.log_loss - ll) < 1e-4
     assert row.accuracy == float(np.mean((p >= 0.5) == (y == 1.0)))
+
+
+def test_modularity_matches_textbook_formula(spark, sf_dir):
+    """Newman's Q computed the textbook way — plain Python float
+    Σ_c [e_c/2m − (d_c/2m)²] over duckdb-rebuilt edges with the engine's
+    OWN community assignment — against graph_modularity's exact-integer
+    rail. Pins the FORMULA independently of the SQL oracle's replay."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    comm = {
+        r.node: r.community
+        for r in QUERIES["graph_lpa_communities"](spark, sf_dir).collect()
+    }
+    pairs = _duck_rows(
+        sf_dir,
+        """SELECT a.l_partkey, b.l_partkey FROM
+             (SELECT DISTINCT l_orderkey, l_partkey
+              FROM '{sf}/lineitem.parquet') a
+           JOIN (SELECT DISTINCT l_orderkey, l_partkey
+                 FROM '{sf}/lineitem.parquet') b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
+    )
+    edges = [(u, v) for u, v in pairs] + [(v, u) for u, v in pairs]
+    e2 = len(edges)
+    deg, internal = {}, {}
+    for u, v in edges:
+        cu, cv = comm[u], comm[v]
+        deg[cu] = deg.get(cu, 0) + 1
+        if cu == cv:
+            internal[cu] = internal.get(cu, 0) + 1
+    q = sum(
+        internal.get(c, 0) / e2 - (d / e2) ** 2 for c, d in deg.items()
+    )
+    rows = QUERIES["graph_modularity"](spark, sf_dir).collect()
+    assert rows
+    got = {r.community: r for r in rows}
+    assert set(got) == set(deg)
+    for c, d in deg.items():
+        assert got[c].degree_sum == d
+        assert got[c].internal_deg == internal.get(c, 0)
+        assert abs(
+            got[c].contribution - (internal.get(c, 0) / e2 - (d / e2) ** 2)
+        ) < 1e-12
+    assert abs(rows[0].modularity_q - q) < 1e-9
