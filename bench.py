@@ -82,6 +82,7 @@ def main() -> int:
         (_sim, "_KMEANS_CACHE"),
         (_sim, "_SEMANTIC_KEEP_CACHE"),
         (_dedup, "_CLUSTERS_CACHE"),
+        (_dedup, "_LSH_PAIRS_CACHE"),
         (_graph, "_EDGES_CACHE"),
     ]:
         cache = _CountingCache()

@@ -293,6 +293,9 @@ def minhash_candidates(
     return banded_candidate_stream(banded_signature_rows(sig))
 
 
+_LSH_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+
+
 def dedup_minhash_lsh(
     spark: SparkSession, sf_dir: str, max_df: int | None = DEFAULT_MAX_DF
 ) -> DataFrame:
@@ -304,12 +307,31 @@ def dedup_minhash_lsh(
     join touches only bucket collisions; no all-pairs work. A pair colliding
     in several bands produces duplicate candidate rows with an IDENTICAL
     estimate — max() is just the dedup.
-    """
-    return (
+
+    MATERIALIZED once and memoized per (application, sf_dir, max_df,
+    checkpoint-mode) — the cooccurrence_edges convention: SEVEN consumers
+    (clusters, funnel, lev/ROUGE verify, error report, near-dup rate,
+    cluster quality) ride this same pair frame and the shingle→signature→
+    banding pipeline is their dominant shared cost. Callers must NOT
+    re-truncate it. (Checkpointed frames lose stats: a consumer joining
+    this small frame should rely on AQE's runtime size or hint broadcast
+    explicitly.)"""
+    from ..checkpointing import CHECKPOINT_MODE_CONF, session_cache_sweep
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, max_df, spark.conf.get(CHECKPOINT_MODE_CONF, "local"))
+    session_cache_sweep(_LSH_PAIRS_CACHE, app_id)
+    hit = _LSH_PAIRS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = (
         minhash_candidates(spark, sf_dir, max_df=max_df)
         .groupBy("doc_a", "doc_b")
         .agg(F.max("est").alias("est_jaccard"))
+        .transform(truncate_lineage)
     )
+    _LSH_PAIRS_CACHE[key] = out
+    return out
 
 
 def _simhash_majority(hs: pd.Series) -> pd.Series:
@@ -977,7 +999,7 @@ def dedup_minhash_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern, so they are order-independent."""
     # materialize: the candidate keys feed BOTH the restriction semi-join
     # and the final left join
-    est = dedup_minhash_lsh(spark, sf_dir).transform(truncate_lineage)
+    est = dedup_minhash_lsh(spark, sf_dir)  # memoized + already materialized
     docs = load_table(spark, sf_dir, "documents")
     sh = word_shingles(docs, k=3, max_df=DEFAULT_MAX_DF).transform(truncate_lineage)
     exact = shingle_pair_overlap(sh, restrict_pairs=est).select(
@@ -1790,12 +1812,11 @@ def dedup_rouge_verify(
     banding-bounded) and collapses back to one row per pair. All counts
     exact integers; P/R/F1 divide once in double and round at 6dp."""
     # the candidate frame feeds BOTH the overlap aggregate and the final
-    # left join — materialize once (the oracle's MATERIALIZED cand twin)
-    # or the full minhash+banding pipeline executes twice (r9 review)
-    cand = (
-        dedup_minhash_lsh(spark, sf_dir, max_df=max_df)
-        .select("doc_a", "doc_b", "est_jaccard")
-        .transform(truncate_lineage)
+    # left join — dedup_minhash_lsh is memoized and already materialized
+    # (the oracle's MATERIALIZED cand twin), so neither consumer re-runs
+    # the minhash+banding pipeline
+    cand = dedup_minhash_lsh(spark, sf_dir, max_df=max_df).select(
+        "doc_a", "doc_b", "est_jaccard"
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tc = (
