@@ -4767,14 +4767,25 @@ def orders_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     digits-1..9 spine left-joins the observed counts so zero-count digits
     still report. One groupBy over the scan + a 9-row tail."""
     orders = load_table(spark, sf_dir, "orders")
-    digit = F.regexp_extract(
+    digit_str = F.regexp_extract(
         F.col("o_totalprice").cast("decimal(12,2)").cast("string"), "[1-9]", 0
-    ).cast("bigint")
-    obs = orders.select(digit.alias("digit")).groupBy("digit").agg(
-        F.count(F.lit(1)).alias("n_obs")
+    )
+    # Guarded cast mirrors the oracle's TRY_CAST: under ANSI mode a plain
+    # cast of the '' regexp_extract miss (e.g. a 0.00 total) would raise
+    # NumberFormatException where DuckDB yields NULL (r9 ADVICE).
+    digit = F.when(digit_str != F.lit(""), digit_str.cast("bigint"))
+    obs = (
+        orders.select(digit.alias("digit"))
+        .where(F.col("digit").isNotNull())
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
     )
     spine = spark.range(1, 10).select(F.col("id").alias("digit"))
-    tot = orders.agg(F.count(F.lit(1)).alias("n_total"))
+    # n_total counts only rows with a leading significant digit, so a
+    # zero-amount row can neither crash the cast nor inflate chi2.
+    tot = obs.agg(
+        F.coalesce(F.sum("n_obs"), F.lit(0)).cast("bigint").alias("n_total")
+    )
     d = F.col("digit").cast("double")
     p = F.log(F.lit(1.0) + F.lit(1.0) / d) / F.log(F.lit(10.0))
     exp_n = F.col("n_total").cast("double") * p
@@ -4875,11 +4886,16 @@ def events_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("mean_value"),
     )
-    lo = ranked.where(F.col("r") == BOOT_LO_RANK).select(
-        F.col("mean_b").alias("ci_lo")
+    # CI endpoints as one-row AGGREGATES (conditional min), not filters:
+    # if fewer than BOOT_HI_RANK replicates survive sw > 0, a filtered
+    # frame would be EMPTY and the crossJoin chain would silently collapse
+    # the whole output to zero rows — an aggregate keeps the one-row
+    # contract and surfaces degeneracy as NULL bounds (r9 ADVICE).
+    lo = ranked.agg(
+        F.min(F.when(F.col("r") == BOOT_LO_RANK, F.col("mean_b"))).alias("ci_lo")
     )
-    hi = ranked.where(F.col("r") == BOOT_HI_RANK).select(
-        F.col("mean_b").alias("ci_hi")
+    hi = ranked.agg(
+        F.min(F.when(F.col("r") == BOOT_HI_RANK, F.col("mean_b"))).alias("ci_hi")
     )
     nrep = ranked.agg(F.count(F.lit(1)).alias("n_replicates"))
     return (

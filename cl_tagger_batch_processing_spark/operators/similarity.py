@@ -1730,9 +1730,16 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") != RRF_QUERY_VEC)
         .select("doc_id", F.col("rank").alias("lex_rank"))
     )
-    sem = sim_topk_cosine(
-        spark, sf_dir, top_k=RRF_TOP_K, num_queries=RRF_QUERY_VEC + 1
-    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
+    sem = (
+        sim_topk_cosine(spark, sf_dir, top_k=RRF_TOP_K, num_queries=RRF_QUERY_VEC + 1)
+        # Pin the fusion to the ONE pinned query: num_queries covers ids
+        # 0..RRF_QUERY_VEC, so without this filter a future constant bump
+        # would silently mix every query's ranking into the fusion
+        # (duplicate doc_ids, wrong ranks) while the oracle kept a single
+        # query (r9 ADVICE).
+        .where(F.col("query_id") == RRF_QUERY_VEC)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
+    )
     fused = lex.join(sem, "doc_id", "full_outer")
     kd = F.lit(float(RRF_K))
     term = lambda c: F.coalesce(  # noqa: E731

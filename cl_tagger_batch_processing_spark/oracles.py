@@ -7696,9 +7696,10 @@ WITH obs AS (
          COUNT(*) AS n_obs
   FROM orders
   GROUP BY 1
+  HAVING digit IS NOT NULL
 ),
 spine AS (SELECT range AS digit FROM range(1, 10)),
-tot AS (SELECT COUNT(*) AS n_total FROM orders),
+tot AS (SELECT CAST(COALESCE(SUM(n_obs), 0) AS BIGINT) AS n_total FROM obs),
 per_digit AS (
   SELECT s.digit,
          CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
@@ -7776,8 +7777,8 @@ pt AS (
                / CAST(100 AS DOUBLE), 9) AS mean_value
   FROM rws
 ),
-lo AS (SELECT mean_b AS ci_lo FROM ranked WHERE r = 2),
-hi AS (SELECT mean_b AS ci_hi FROM ranked WHERE r = 31),
+lo AS (SELECT MIN(CASE WHEN r = 2 THEN mean_b END) AS ci_lo FROM ranked),
+hi AS (SELECT MIN(CASE WHEN r = 31 THEN mean_b END) AS ci_hi FROM ranked),
 nrep AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates FROM ranked)
 SELECT n_rows, mean_value, ci_lo, ci_hi, n_replicates
 FROM pt CROSS JOIN lo CROSS JOIN hi CROSS JOIN nrep
