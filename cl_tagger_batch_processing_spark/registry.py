@@ -116,33 +116,6 @@ from .operators import curation  # noqa: E402
 
 register("privacy_t_closeness", relational.privacy_t_closeness)
 
-# r7 window refresh survivors (first green r7, green again r8 — they stay
-# so every slot carries at least two driver rows before rotating out).
-register("dedup_substring_spans", dedup.dedup_substring_spans)
-register("dedup_url_canonical", dedup.dedup_url_canonical)
-register("dedup_exact_incremental_bloom", dedup.dedup_exact_incremental_bloom)
-register("corpus_dedup_funnel", dedup.corpus_dedup_funnel)
-register("dedup_minhash_band_sweep", dedup.dedup_minhash_band_sweep)
-register("sim_ivf_probe_sweep", similarity.sim_ivf_probe_sweep)
-register("sim_range_search", similarity.sim_range_search)
-register("text_bigram_lm_perplexity", text.text_bigram_lm_perplexity)
-register("mm_scene_cuts", multimodal.mm_scene_cuts)
-register("orders_cohort_ltv", relational.orders_cohort_ltv)
-
-# r8 window refresh survivors (first green r8): the k-means chain, graph
-# fixpoint closures, bit-identical GD, privacy audits, quantile sketch,
-# and the zero-join covariance rewrite keep their slots one more round.
-register("crossmodal_curation_verdict", curation.crossmodal_curation_verdict)
-register("embedding_kmeans", similarity.embedding_kmeans)
-register("graph_components", graph.graph_components)
-register("graph_modularity", graph.graph_modularity)
-register("graph_lpa_communities", graph.graph_lpa_communities)
-register("events_logistic_regression", relational.events_logistic_regression)
-register("events_quantile_sketch_report", relational.events_quantile_sketch_report)
-register("privacy_k_anonymity", curation.privacy_k_anonymity)
-register("privacy_l_diversity", relational.privacy_l_diversity)
-register("embedding_covariance", similarity.embedding_covariance)
-
 from .streaming import stateful as streaming_stateful  # noqa: E402
 from .streaming import windows as streaming_windows  # noqa: E402
 
@@ -183,6 +156,41 @@ register("graph_adamic_adar", graph.graph_adamic_adar)
 register("sim_knn_graph", similarity.sim_knn_graph)
 register("events_retention_curve_fit", relational.events_retention_curve_fit)
 
+# --- r10 rotation (VERDICT r9 asks #1 and #5): the 20 window slots freed by
+# the r7/r8 survivors (driver-green two-to-three consecutive rounds, moved
+# below) go to never-driver-verified names — the 12 r9 additions, the two
+# stateful-streaming queries whose applyInPandasWithState /
+# end-of-stream-flush code paths are where the local harness and the driver
+# could most plausibly disagree, approx_distinct (its only driver rows ever
+# are r1/r2 no_oracle placeholders predating its accuracy-contract oracle),
+# the slowest bench query (dedup_simhash_error_report — also freshly routed
+# through the SimHash session memo this round, so a driver row re-proves the
+# memo changed nothing), two corpus-family reports and two more streaming
+# queries.
+register("events_mann_whitney", relational.events_mann_whitney)
+register("orders_benford_test", relational.orders_benford_test)
+register("events_poisson_bootstrap_ci", relational.events_poisson_bootstrap_ci)
+register("events_winsorized_stats", relational.events_winsorized_stats)
+register("text_kneser_ney_bigram", text.text_kneser_ney_bigram)
+register("sim_hybrid_rrf", similarity.sim_hybrid_rrf)
+register("events_permutation_test", relational.events_permutation_test)
+register("dedup_rouge_verify", dedup.dedup_rouge_verify)
+register("sim_ann_graph_search", similarity.sim_ann_graph_search)
+register("corpus_ccnet_buckets", text.corpus_ccnet_buckets)
+register("events_did_estimator", relational.events_did_estimator)
+register("orders_price_index_laspeyres", relational.orders_price_index_laspeyres)
+register("stream_watchlist_cms", streaming_windows.stream_watchlist_cms)
+register("stream_session_counts", streaming_windows.stream_session_counts)
+register("approx_distinct", relational.approx_distinct)
+register("dedup_simhash_error_report", dedup.dedup_simhash_error_report)
+register("corpus_stratified_split", curation.corpus_stratified_split)
+register("corpus_health_report", curation.corpus_health_report)
+register(
+    "stream_first_touch_attribution",
+    streaming_windows.stream_first_touch_attribution,
+)
+register("stream_quantile_histogram", streaming_windows.stream_quantile_histogram)
+
 # --------------------------- slot 51+ from here -----------------------------
 # Everything below is OUTSIDE the driver's 50-entry window; each keeps its
 # local DuckDB oracle in tests/test_oracle_parity.py (or a documented
@@ -190,6 +198,30 @@ register("events_retention_curve_fit", relational.events_retention_curve_fit)
 
 from .sources import layout as sources_layout  # noqa: E402
 from .sources import textfiles  # noqa: E402
+
+# Displaced by the r10 window refresh (see above): the ten r7-survivors were
+# driver-green three consecutive rounds (r7-r9), the ten r8-survivors two
+# (r8-r9); all remain fully oracle-backed locally.
+register("dedup_substring_spans", dedup.dedup_substring_spans)
+register("dedup_url_canonical", dedup.dedup_url_canonical)
+register("dedup_exact_incremental_bloom", dedup.dedup_exact_incremental_bloom)
+register("corpus_dedup_funnel", dedup.corpus_dedup_funnel)
+register("dedup_minhash_band_sweep", dedup.dedup_minhash_band_sweep)
+register("sim_ivf_probe_sweep", similarity.sim_ivf_probe_sweep)
+register("sim_range_search", similarity.sim_range_search)
+register("text_bigram_lm_perplexity", text.text_bigram_lm_perplexity)
+register("mm_scene_cuts", multimodal.mm_scene_cuts)
+register("orders_cohort_ltv", relational.orders_cohort_ltv)
+register("crossmodal_curation_verdict", curation.crossmodal_curation_verdict)
+register("embedding_kmeans", similarity.embedding_kmeans)
+register("graph_components", graph.graph_components)
+register("graph_modularity", graph.graph_modularity)
+register("graph_lpa_communities", graph.graph_lpa_communities)
+register("events_logistic_regression", relational.events_logistic_regression)
+register("events_quantile_sketch_report", relational.events_quantile_sketch_report)
+register("privacy_k_anonymity", curation.privacy_k_anonymity)
+register("privacy_l_diversity", relational.privacy_l_diversity)
+register("embedding_covariance", similarity.embedding_covariance)
 
 # Displaced by the r9 window refresh (see above): all 19 were driver-green
 # three-to-eight consecutive rounds and remain fully oracle-backed locally.
@@ -286,11 +318,8 @@ register("window_frames", relational.window_frames)
 register("grouping_sets_agg", relational.grouping_sets_agg)
 register("above_avg_parts", relational.above_avg_parts)
 register("unpivot_measures", relational.unpivot_measures)
-# Oracle-backed since r8 via the accuracy CONTRACT: raw sketch values are
-# engine-specific, so the compared columns are the exact counts plus each
-# engine's own |approx − exact|/exact <= eps boolean (eps documented at
-# relational.APPROX_DISTINCT_EPS).
-register("approx_distinct", relational.approx_distinct)
+# approx_distinct (accuracy-contract oracle since r8) promoted into the
+# driver window by the r10 rotation — registered above.
 
 from .functions import scalar  # noqa: E402
 
@@ -371,11 +400,8 @@ register("dedup_fingerprint", text.dedup_fingerprint)
 register("text_repetition", text.text_repetition)
 register("text_vocab_topk", text.text_vocab_topk)
 register("embedding_label_centroids", similarity.embedding_label_centroids)
-# Fully value-checked since r8: on a bounded stream the append-mode
-# emission set is deterministic (end-of-stream watermark = max(ts) − 10min;
-# sessions with end <= watermark flush, tie INCLUSIVE), so the oracle is
-# sessionize's gaps-and-islands SQL filtered by that exact rule.
-register("stream_session_counts", streaming_windows.stream_session_counts)
+# stream_session_counts (deterministic end-of-stream flush oracle since r8)
+# promoted into the driver window by the r10 rotation — registered above.
 
 # --- round-5 additions: lexical retrieval, C4-style span dedup, DSIR
 # selection, BPE merge counting, perceptual-hash payload dedup -------------
@@ -446,7 +472,6 @@ register("text_hashing_tf", text.text_hashing_tf)
 register("graph_kcore", graph.graph_kcore)
 register("text_ngram_novelty", text.text_ngram_novelty)
 register("mm_audio_energy_segments", multimodal.mm_audio_energy_segments)
-register("dedup_simhash_error_report", dedup.dedup_simhash_error_report)
 register("mm_keyframe_select", multimodal.mm_keyframe_select)
 register("corpus_near_dup_rate_by_source", dedup.corpus_near_dup_rate_by_source)
 register("embedding_margin_report", similarity.embedding_margin_report)
@@ -455,10 +480,6 @@ register("events_decayed_engagement", relational.events_decayed_engagement)
 register("corpus_fertility_by_lang", text.corpus_fertility_by_lang)
 register("orders_market_basket_rules", relational.orders_market_basket_rules)
 register("dedup_cluster_quality_report", dedup.dedup_cluster_quality_report)
-register(
-    "stream_first_touch_attribution",
-    streaming_windows.stream_first_touch_attribution,
-)
 register("text_word_pmi", text.text_word_pmi)
 register("events_hourly_seasonality", relational.events_hourly_seasonality)
 register(
@@ -496,13 +517,11 @@ register("mm_byte_histogram", multimodal.mm_byte_histogram)
 register("corpus_split_assign", curation.corpus_split_assign)
 register("events_decision_stump", relational.events_decision_stump)
 register("text_textrank_keywords", text.text_textrank_keywords)
-register("stream_quantile_histogram", streaming_windows.stream_quantile_histogram)
 register("privacy_dp_sensitivity", relational.privacy_dp_sensitivity)
 register("corpus_split_leakage_report", curation.corpus_split_leakage_report)
 register("events_user_hazard_curve", relational.events_user_hazard_curve)
 register("sim_knn_label_vote", similarity.sim_knn_label_vote)
 register("embedding_silhouette_report", similarity.embedding_silhouette_report)
-register("stream_watchlist_cms", streaming_windows.stream_watchlist_cms)
 register("text_vocab_coverage_curve", text.text_vocab_coverage_curve)
 register("events_burstiness_by_type", relational.events_burstiness_by_type)
 
@@ -516,26 +535,14 @@ register("dedup_cluster_keep_best", dedup.dedup_cluster_keep_best)
 register("sim_ivf_balance_report", similarity.sim_ivf_balance_report)
 register("mm_audio_silence_trim", multimodal.mm_audio_silence_trim)
 register("embedding_hard_negatives", similarity.embedding_hard_negatives)
-register("corpus_stratified_split", curation.corpus_stratified_split)
 register("corpus_dedup_token_savings", dedup.corpus_dedup_token_savings)
 register("graph_effective_diameter", graph.graph_effective_diameter)
 register("events_ab_cuped", relational.events_ab_cuped)
 register("events_dau_wau_mau", relational.events_dau_wau_mau)
 register("dedup_minhash_bbit_report", dedup.dedup_minhash_bbit_report)
 register("events_user_gini", relational.events_user_gini)
-register("corpus_health_report", curation.corpus_health_report)
-
-# --- round-9 additions: rank-based location test, Benford first-digit QA,
-# Poisson-bootstrap CI, robust winsorized/trimmed stats ----------------------
-register("events_mann_whitney", relational.events_mann_whitney)
-register("orders_benford_test", relational.orders_benford_test)
-register("events_poisson_bootstrap_ci", relational.events_poisson_bootstrap_ci)
-register("events_winsorized_stats", relational.events_winsorized_stats)
-register("text_kneser_ney_bigram", text.text_kneser_ney_bigram)
-register("sim_hybrid_rrf", similarity.sim_hybrid_rrf)
-register("events_permutation_test", relational.events_permutation_test)
-register("dedup_rouge_verify", dedup.dedup_rouge_verify)
-register("sim_ann_graph_search", similarity.sim_ann_graph_search)
-register("corpus_ccnet_buckets", text.corpus_ccnet_buckets)
-register("events_did_estimator", relational.events_did_estimator)
-register("orders_price_index_laspeyres", relational.orders_price_index_laspeyres)
+# The 12 round-9 additions (Mann-Whitney U, Benford QA, Poisson-bootstrap
+# CI, winsorized stats, Kneser-Ney LM, RRF fusion, permutation test, ROUGE
+# verify, graph-ANN beam search, CCNet buckets, DiD, Laspeyres) plus the
+# corpus_stratified_split / corpus_health_report / streaming reports were
+# promoted into the driver window by the r10 rotation — registered above.

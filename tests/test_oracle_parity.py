@@ -37,7 +37,7 @@ def test_driver_window_is_curated():
         "tag_select",
         "pipeline_score_tag",
         "scan_extension_filter",
-        # r7-promoted flagships green twice (r7, r8)
+        # long-stable promoted flagships (driver-green r7-r9)
         "dedup_minhash_lev_verify",
         "embedding_pca_power_iteration",
         "orders_forecast_backtest",
@@ -46,30 +46,8 @@ def test_driver_window_is_curated():
         "events_cusum_drift",
         "sim_mmr_diversify",
         "privacy_t_closeness",
-        "dedup_substring_spans",
-        "dedup_url_canonical",
-        "dedup_exact_incremental_bloom",
-        "corpus_dedup_funnel",
-        "dedup_minhash_band_sweep",
-        "sim_ivf_probe_sweep",
-        "sim_range_search",
-        "text_bigram_lm_perplexity",
-        "mm_scene_cuts",
-        "orders_cohort_ltv",
-        # r8 rotation survivors (first green r8 — stay one more round)
-        "crossmodal_curation_verdict",
-        "embedding_kmeans",
-        "graph_components",
-        "graph_modularity",
-        "graph_lpa_communities",
-        "events_logistic_regression",
-        "events_quantile_sketch_report",
-        "privacy_k_anonymity",
-        "privacy_l_diversity",
-        "embedding_covariance",
-        # r9 rotation (VERDICT r8 ask #1): the verdict's named ten plus nine
-        # more never-driver-verified r8 additions take the slots of the 19
-        # longest-green entries (all displaced names keep local parity below)
+        # r9 rotation survivors (first green r9 — stay one more round so
+        # every slot carries at least two driver rows before rotating out)
         "events_hmm_viterbi_decode",
         "graph_betweenness_seeded",
         "graph_hits",
@@ -89,6 +67,32 @@ def test_driver_window_is_curated():
         "graph_adamic_adar",
         "sim_knn_graph",
         "events_retention_curve_fit",
+        # r10 rotation (VERDICT r9 asks #1 and #5): the 12 r9 additions,
+        # the stateful-streaming pair, approx_distinct (never value-checked
+        # by the driver since its oracle conversion), the slowest bench
+        # query, two corpus reports and two more streaming reports take the
+        # slots of the 20 two-to-three-round-green survivors (all displaced
+        # names keep local parity below).
+        "events_mann_whitney",
+        "orders_benford_test",
+        "events_poisson_bootstrap_ci",
+        "events_winsorized_stats",
+        "text_kneser_ney_bigram",
+        "sim_hybrid_rrf",
+        "events_permutation_test",
+        "dedup_rouge_verify",
+        "sim_ann_graph_search",
+        "corpus_ccnet_buckets",
+        "events_did_estimator",
+        "orders_price_index_laspeyres",
+        "stream_watchlist_cms",
+        "stream_session_counts",
+        "approx_distinct",
+        "dedup_simhash_error_report",
+        "corpus_stratified_split",
+        "corpus_health_report",
+        "stream_first_touch_attribution",
+        "stream_quantile_histogram",
     ]:
         assert family_member in window, f"{family_member} fell out of the window"
 
