@@ -47,8 +47,9 @@ def main() -> int:
 
     # Session-memo attribution (VERDICT r7 ask #6): some queries share an
     # expensive memoized frame (k-means chain, SemDeDup keep artifact,
-    # near-dup clusters, co-occurrence edges); whichever consumer runs
-    # FIRST pays the build. Instrument the four memo dicts so each
+    # near-dup clusters, co-occurrence edges, LSH/SimHash pair frames);
+    # whichever consumer runs FIRST pays the build. Instrument the memo
+    # dicts so each
     # per-query line records whether it built a memo ("cold"), rode one
     # ("warm"), or touched none — cross-round per-query deltas must
     # compare like with like.
@@ -83,6 +84,7 @@ def main() -> int:
         (_sim, "_SEMANTIC_KEEP_CACHE"),
         (_dedup, "_CLUSTERS_CACHE"),
         (_dedup, "_LSH_PAIRS_CACHE"),
+        (_dedup, "_SIMHASH_PAIRS_CACHE"),
         (_graph, "_EDGES_CACHE"),
     ]:
         cache = _CountingCache()

@@ -52,7 +52,12 @@ def test_simhash_banded_never_cartesian(spark, sf_dir):
     # (the auto strategy's small-corpus broadcast path is tested separately)
     from cl_tagger_batch_processing_spark.operators import dedup
 
-    df = dedup.dedup_simhash(spark, sf_dir, strategy="banded")
+    # inspect the un-memoized builder: dedup_simhash itself returns the
+    # session-memoized, lineage-truncated frame whose plan is a checkpoint
+    # scan — the shape under test is the pipeline the memo materializes once
+    df = dedup._simhash_pairs_build(
+        spark, sf_dir, dedup.DEFAULT_HAMMING_THRESHOLD, "banded"
+    )
     plan = inspect.executed_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -239,8 +244,14 @@ def test_simhash_strategies_agree(spark, sf_dir):
     bd = dedup.dedup_simhash(spark, sf_dir, strategy="banded")
     assert bc.count() == bd.count()
     assert bc.exceptAll(bd).count() == 0 and bd.exceptAll(bc).count() == 0
-    # auto picks broadcast at fixture scale (corpus far under the crossover)
-    plan = inspect.executed_plan(dedup.dedup_simhash(spark, sf_dir, strategy="auto"))
+    # auto picks broadcast at fixture scale (corpus far under the crossover);
+    # inspect the un-memoized builder — the memoized frame's plan is a
+    # checkpoint scan
+    plan = inspect.executed_plan(
+        dedup._simhash_pairs_build(
+            spark, sf_dir, dedup.DEFAULT_HAMMING_THRESHOLD, "auto"
+        )
+    )
     assert "BroadcastNestedLoopJoin" in plan
 
 
