@@ -168,10 +168,15 @@ def main() -> int:
             line["memo"] = memos[0] if len(memos) == 1 else [m or "-" for m in memos]
         print(json.dumps(line))
     slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:20])
+    # Run id stamped into the summary so narrative docs (BENCH_DELTA.md)
+    # can cite exactly which run a number came from — r9's verdict caught
+    # the doc quoting a different same-code run than the shipped artifact.
+    run_id = f"{time.strftime('%Y%m%dT%H%M%SZ', time.gmtime())}-{os.getpid()}"
     print(
         json.dumps(
             {
                 "metric": "sum_query_seconds",
+                "run_id": run_id,
                 "value": total,
                 "unit": "sec",
                 "sf": sf,

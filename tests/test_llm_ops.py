@@ -3065,6 +3065,30 @@ def test_coverage_md_headline_count_is_mechanical():
     )
 
 
+def test_bench_delta_artifact_citations_match():
+    # VERDICT r9 ask #3: BENCH_DELTA's r9 narrative quoted a different
+    # same-code run than the shipped artifact. Every mechanical citation
+    # line '> artifact BENCH_rNN.json: total T s, Q queries, E errors'
+    # must agree to the digit with the committed driver artifact it names.
+    import json
+    import re
+
+    text = open("BENCH_DELTA.md").read()
+    cites = re.findall(
+        r"^> artifact (BENCH_r\d+\.json): total ([0-9.]+) s, "
+        r"(\d+) queries, (\d+) errors$",
+        text,
+        re.MULTILINE,
+    )
+    assert cites, "BENCH_DELTA.md has no mechanical '> artifact ...' citation"
+    for fname, total, n_queries, n_errors in cites:
+        with open(fname) as f:
+            parsed = json.load(f)["parsed"]
+        assert float(total) == parsed["value"], (fname, total, parsed["value"])
+        assert int(n_queries) == parsed["n_queries"], fname
+        assert int(n_errors) == parsed["n_errors"], fname
+
+
 def test_poisson_bootstrap_ci_is_nonvacuous(spark, sf_dir):
     from cl_tagger_batch_processing_spark.registry import QUERIES
 
