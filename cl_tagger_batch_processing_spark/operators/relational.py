@@ -2321,7 +2321,19 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("epoch_s").alias("first_s"),
         F.max("epoch_s").alias("last_s"),
     )
-    j = per_user.join(hourly, "user_id")
+    return bot_verdict(per_user.join(hourly, "user_id"))
+
+
+def bot_verdict(j: DataFrame) -> DataFrame:
+    """Final flag/verdict projection over the per-user stats frame
+    (user_id, n_events, n_types, first_s, last_s, peak_per_hour).
+
+    Factored out so the is_bot TRUE path — data-unreachable on the organic
+    fixture, where only the volume flag can ever fire (max hourly peak 4,
+    min type diversity 5 at every scale) — is pinned by a
+    synthetic-pathology pytest THROUGH this exact production expression
+    (the r9 vacuity-audit rule: an inline re-implementation pins
+    nothing)."""
     flags = (
         F.when(F.col("peak_per_hour") >= F.lit(BOT_PEAK_PER_HOUR), F.lit(1)).otherwise(F.lit(0))
         + F.when(F.col("n_types") <= F.lit(BOT_MAX_TYPES), F.lit(1)).otherwise(F.lit(0))

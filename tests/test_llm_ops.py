@@ -1615,6 +1615,33 @@ def test_bot_detection_replay(spark, sf_dir):
         assert r.bot_flags == f and r.is_bot == (1 if f >= 2 else 0), r
 
 
+def test_bot_detection_fires_on_synthetic_bot(spark):
+    """The is_bot TRUE path is data-unreachable on the organic fixture
+    (only the volume flag ever fires: max hourly peak 4 < 20, min type
+    diversity 5 > 2 at every scale) — pin it through the FACTORED
+    production expression (relational.bot_verdict) on a synthetic
+    scripted client, per the r9 vacuity-audit rule."""
+    from cl_tagger_batch_processing_spark.operators import relational
+
+    stats = spark.createDataFrame(
+        [
+            # scripted client: 500 events, 1 type, 100/hour peak -> 3 flags
+            (666, 500, 1, 0, 3600 * 5, 100),
+            # bursty-but-diverse human: 2 flags (peak + volume) -> bot
+            (2, 60, 5, 0, 3600 * 24, 25),
+            # organic human: volume flag only -> not a bot
+            (1, 60, 5, 0, 3600 * 24 * 30, 3),
+        ],
+        "user_id long, n_events long, n_types long, first_s long, "
+        "last_s long, peak_per_hour long",
+    )
+    rows = {r.user_id: r for r in relational.bot_verdict(stats).collect()}
+    assert rows[666].bot_flags == 3 and rows[666].is_bot == 1
+    assert rows[2].bot_flags == 2 and rows[2].is_bot == 1
+    assert rows[1].bot_flags == 1 and rows[1].is_bot == 0
+    assert rows[666].mean_gap_seconds == pytest.approx(3600 * 5 / 499)
+
+
 def test_herfindahl_bounds(spark, sf_dir):
     """1/n ≤ HHI ≤ 1 per nation; effective supplier count between 1 and n;
     HHI equals the share-squared sum replayed from per-supplier revenue."""
