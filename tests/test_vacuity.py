@@ -19,6 +19,8 @@ triage, noted per entry).
 
 from __future__ import annotations
 
+import decimal
+
 import pytest
 
 from cl_tagger_batch_processing_spark.registry import QUERIES
@@ -115,7 +117,9 @@ def test_registry_non_vacuity(spark, sf_dir):
             if all(v is None for v in vals):
                 flagged.add((name, "ALL_NULL", col))
             elif all(
-                isinstance(v, (int, float)) and not isinstance(v, bool) and v == 0
+                isinstance(v, (int, float, decimal.Decimal))
+                and not isinstance(v, bool)
+                and v == 0
                 for v in vals
             ):
                 flagged.add((name, "ALL_ZERO", col))
