@@ -3693,3 +3693,289 @@ def test_modularity_matches_textbook_formula(spark, sf_dir):
             got[c].contribution - (internal.get(c, 0) / e2 - (d / e2) ** 2)
         ) < 1e-12
     assert abs(rows[0].modularity_q - q) < 1e-9
+
+
+# --- r10 independent sequential cross-checks (VERDICT r9 ask #7 posture):
+# the r9 additions' oracles share the distributed algorithm (same md5
+# relabeling, same rank construction, same formula tree in SQL), so a
+# shared bug would hash-match forever. Each check below recomputes the
+# statistic from the raw parquet in plain Python/numpy — pair-counting
+# definitions, hashlib.md5, textbook formulas, float arithmetic — and
+# compares to tolerance. They are absolute-tolerance tests: keep them
+# green at sf0.01/sf0.1 too (the r9 rule), not just the sf0.001 default.
+
+
+def test_mann_whitney_matches_pair_counting(spark, sf_dir):
+    """U from its DEFINITION: wins + half-ties over the two samples (via
+    per-value counters and a prefix sum — never the tie-averaged-rank
+    identity the production query and oracle both use)."""
+    from collections import Counter
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    row = QUERIES["events_mann_whitney"](spark, sf_dir).collect()[0]
+    pairs = _duck_rows(
+        sf_dir,
+        """SELECT event_type,
+                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+           FROM '{sf}/events.parquet'
+           WHERE event_type IN ('view', 'click')""",
+    )
+    ca = Counter(v for t, v in pairs if t == "view")
+    cb = Counter(v for t, v in pairs if t == "click")
+    na, nb = sum(ca.values()), sum(cb.values())
+    u = 0.0
+    b_less = 0
+    for v in sorted(set(ca) | set(cb)):
+        u += ca.get(v, 0) * (b_less + 0.5 * cb.get(v, 0))
+        b_less += cb.get(v, 0)
+    n = na + nb
+    ties = sum(
+        (ca.get(v, 0) + cb.get(v, 0)) ** 3 - (ca.get(v, 0) + cb.get(v, 0))
+        for v in set(ca) | set(cb)
+    )
+    mu = na * nb / 2.0
+    sigma = ((na * nb / 12.0) * ((n + 1) - ties / (n * (n - 1)))) ** 0.5
+    assert (row.n_a, row.n_b) == (na, nb)
+    assert row.u_a == pytest.approx(u, abs=1e-6)
+    assert row.mu_u == pytest.approx(mu, abs=1e-6)
+    assert row.sigma_u == pytest.approx(sigma, rel=1e-9)
+    z = (u - mu) / sigma
+    assert row.z == pytest.approx(z, abs=1e-6)
+    assert row.reject_equal_05 == (abs(z) > 1.96)
+
+
+def test_permutation_test_matches_hashlib_replay(spark, sf_dir):
+    """All 64 relabelings replayed with hashlib.md5 and plain float sums
+    (no 9dp rail, no DECIMAL(38) widening, no explode/groupBy)."""
+    import hashlib
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    row = QUERIES["events_permutation_test"](spark, sf_dir).collect()[0]
+    rows = _duck_rows(
+        sf_dir,
+        """SELECT event_id, event_type,
+                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+           FROM '{sf}/events.parquet'
+           WHERE event_type IN ('view', 'click')""",
+    )
+    na = sum(1 for _, t, _ in rows if t == "view")
+    nb = len(rows) - na
+    sa = sum(v for _, t, v in rows if t == "view")
+    sb = sum(v for _, t, v in rows if t == "click")
+    diff_obs = (sa / na - sb / nb) / 100.0
+    cut = na / (na + nb)
+    n_extreme = n_perms = 0
+    for b in range(64):
+        pa_n = pa_s = pb_n = pb_s = 0
+        for eid, _, cv in rows:
+            h = hashlib.md5(f"perm:{eid}:{b}".encode()).hexdigest()[:15]
+            if int(h, 16) / float(1 << 60) < cut:
+                pa_n, pa_s = pa_n + 1, pa_s + cv
+            else:
+                pb_n, pb_s = pb_n + 1, pb_s + cv
+        if pa_n and pb_n:
+            n_perms += 1
+            if abs((pa_s / pa_n - pb_s / pb_n) / 100.0) >= abs(diff_obs):
+                n_extreme += 1
+    assert (row.n_a, row.n_b) == (na, nb)
+    assert row.diff_obs == pytest.approx(diff_obs, abs=1e-8)
+    assert (row.n_perms, row.n_extreme) == (n_perms, n_extreme)
+    assert row.p_value == pytest.approx((n_extreme + 1) / (n_perms + 1), abs=1e-6)
+
+
+def test_poisson_bootstrap_matches_hashlib_replay(spark, sf_dir):
+    """All 32 replicates replayed with hashlib.md5 inverse-CDF weights and
+    plain float means; rank endpoints picked by an ordinary Python sort."""
+    import hashlib
+    import math
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    row = QUERIES["events_poisson_bootstrap_ci"](spark, sf_dir).collect()[0]
+    rows = _duck_rows(
+        sf_dir,
+        """SELECT event_id,
+                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+           FROM '{sf}/events.parquet' WHERE event_type = 'purchase'""",
+    )
+    e1 = math.exp(-1.0)
+    cuts = [e1, e1 * 2.0, e1 * 2.5, e1 * (8.0 / 3.0), e1 * (65.0 / 24.0)]
+    means = []
+    for b in range(32):
+        sw = swx = 0
+        for eid, cv in rows:
+            h = hashlib.md5(f"{eid}:{b}".encode()).hexdigest()[:15]
+            u = int(h, 16) / float(1 << 60)
+            w = 5
+            for k, c in enumerate(cuts):
+                if u < c:
+                    w = k
+                    break
+            sw, swx = sw + w, swx + w * cv
+        if sw > 0:
+            means.append((swx / sw / 100.0, b))
+    means.sort()
+    assert row.n_rows == len(rows)
+    assert row.mean_value == pytest.approx(
+        sum(v for _, v in rows) / len(rows) / 100.0, abs=1e-8
+    )
+    assert row.n_replicates == len(means)
+    assert row.ci_lo == pytest.approx(means[1][0], abs=1e-8)
+    assert row.ci_hi == pytest.approx(means[30][0], abs=1e-8)
+
+
+def test_benford_matches_python_replay(spark, sf_dir):
+    """First-digit counts and chi-square recomputed from the raw decimal
+    strings with math.log10 and plain float sums."""
+    import math
+    import re
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = {r.digit: r for r in QUERIES["orders_benford_test"](spark, sf_dir).collect()}
+    totals = _duck_rows(
+        sf_dir,
+        """SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+           FROM '{sf}/orders.parquet'""",
+    )
+    obs = {d: 0 for d in range(1, 10)}
+    for (s,) in totals:
+        m = re.search(r"[1-9]", s)
+        if m:
+            obs[int(m.group(0))] += 1
+    n = sum(obs.values())
+    chi2 = sum(
+        (obs[d] - n * math.log10(1 + 1 / d)) ** 2 / (n * math.log10(1 + 1 / d))
+        for d in range(1, 10)
+    )
+    assert set(rows) == set(range(1, 10))
+    for d in range(1, 10):
+        assert rows[d].n_obs == obs[d]
+        assert rows[d].n_expected == pytest.approx(n * math.log10(1 + 1 / d), abs=1e-5)
+        assert rows[d].chi2 == pytest.approx(chi2, abs=1e-4)
+    assert rows[1].reject_benford_05 == (chi2 > 15.507)
+
+
+def test_did_matches_python_replay(spark, sf_dir):
+    """The 2x2 cell means and the DiD recomputed from raw (user, micros,
+    cents) rows with Python integer midpoint arithmetic and float means."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    row = QUERIES["events_did_estimator"](spark, sf_dir).collect()[0]
+    rows = _duck_rows(
+        sf_dir,
+        """SELECT user_id, epoch_us(ts),
+                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+           FROM '{sf}/events.parquet'""",
+    )
+    lo = min(us for _, us, _ in rows)
+    hi = max(us for _, us, _ in rows)
+    cut = lo + (hi - lo) // 2
+    cells: dict[tuple, list] = {}
+    for uid, us, cv in rows:
+        key = ("control" if uid % 2 == 0 else "treatment",
+               "pre" if us <= cut else "post")
+        cells.setdefault(key, [0, 0])
+        cells[key][0] += 1
+        cells[key][1] += cv
+    m = {k: s / n / 100.0 for k, (n, s) in cells.items()}
+    assert row.n_control_pre == cells[("control", "pre")][0]
+    assert row.n_control_post == cells[("control", "post")][0]
+    assert row.n_treatment_pre == cells[("treatment", "pre")][0]
+    assert row.n_treatment_post == cells[("treatment", "post")][0]
+    assert row.mean_control_pre == pytest.approx(m[("control", "pre")], abs=1e-8)
+    assert row.mean_treatment_post == pytest.approx(m[("treatment", "post")], abs=1e-8)
+    did = (m[("treatment", "post")] - m[("treatment", "pre")]) - (
+        m[("control", "post")] - m[("control", "pre")]
+    )
+    assert row.did_estimate == pytest.approx(did, abs=1e-8)
+
+
+def test_laspeyres_matches_python_replay(spark, sf_dir):
+    """The fixed-basket index recomputed from raw lineitem rows with
+    Python dict aggregation and plain float unit prices."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    got = {
+        r.month: r for r in QUERIES["orders_price_index_laspeyres"](spark, sf_dir).collect()
+    }
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT CAST(date_trunc('month', l_shipdate) AS DATE), l_partkey,
+                  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT),
+                  CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+           FROM '{sf}/lineitem.parquet'""",
+    )
+    per_mp: dict[tuple, list] = {}
+    for month, part, ext, qty in raw:
+        agg = per_mp.setdefault((month, part), [0, 0])
+        agg[0] += ext
+        agg[1] += qty
+    base_month = min(m for m, _ in per_mp)
+    base = {p: v for (m, p), v in per_mp.items() if m == base_month}
+    months: dict = {}
+    for (m, p), (ext, qty) in per_mp.items():
+        if p not in base:
+            continue
+        ext0, qty0 = base[p]
+        num, den, cnt = months.setdefault(m, [0.0, 0.0, 0])
+        months[m] = [
+            num + ext / qty * qty0,
+            den + ext0 / qty0 * qty0,
+            cnt + 1,
+        ]
+    assert set(got) == set(months)
+    for m, (num, den, cnt) in months.items():
+        assert got[m].n_parts_matched == cnt
+        assert got[m].laspeyres_index == pytest.approx(num / den * 100.0, rel=1e-7)
+    assert got[base_month].laspeyres_index == pytest.approx(100.0, abs=1e-6)
+
+
+def test_kneser_ney_matches_textbook_python(spark, sf_dir):
+    """Interpolated KN bigram LM rebuilt with Python dicts and plain float
+    log-probs (no 9dp rail, no join chain), per-doc perplexity compared."""
+    import math
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    got = {r.doc_id: r for r in QUERIES["text_kneser_ney_bigram"](spark, sf_dir).collect()}
+    docs = _duck_rows(sf_dir, "SELECT doc_id, text FROM '{sf}/documents.parquet'")
+    toks = {d: t.split(" ") for d, t in docs}
+    c2: dict = {}
+    vocab = set()
+    for d, ts in toks.items():
+        if d % 2 == 0:
+            vocab.update(ts)
+            for w1, w2 in zip(ts, ts[1:]):
+                c2[(w1, w2)] = c2.get((w1, w2), 0) + 1
+    c1: dict = {}
+    fanout: dict = {}
+    fanin: dict = {}
+    for (w1, w2), c in c2.items():
+        c1[w1] = c1.get(w1, 0) + c
+        fanout[w1] = fanout.get(w1, 0) + 1
+        fanin[w2] = fanin.get(w2, 0) + 1
+    n_types, v = len(c2), len(vocab)
+    d_disc = 3.0 / 4.0
+
+    def prob(w1, w2):
+        pcont = (fanin.get(w2, 0) + 1) / (n_types + v)
+        if w1 not in c1:
+            return pcont
+        return (
+            max(c2.get((w1, w2), 0) - d_disc, 0.0)
+            + d_disc * fanout[w1] * pcont
+        ) / c1[w1]
+
+    checked = 0
+    for d, ts in toks.items():
+        if d % 2 == 0 or len(ts) < 2:
+            continue
+        lls = [math.log(prob(w1, w2)) for w1, w2 in zip(ts, ts[1:])]
+        ppl = math.exp(-sum(lls) / len(lls))
+        assert got[d].n_bigrams == len(lls)
+        assert got[d].perplexity == pytest.approx(ppl, rel=1e-4), d
+        checked += 1
+    assert checked and checked == len(got)
