@@ -5233,3 +5233,184 @@ def orders_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("laspeyres_index"),
     )
+
+
+# Isotonic-calibration bucketing: per-user activity scores collapse to
+# at most ISO_BUCKET_MAX+1 fixed-width buckets so the PAVA closed form's
+# bucket-triple enumeration stays control-plane sized at ANY corpus
+# scale. Sync-pinned to the oracle literals.
+ISO_BUCKET_W = 5
+ISO_BUCKET_MAX = 31
+
+
+def events_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC regression (PAVA) of the heavy-purchaser rate against the
+    per-user activity score — the calibration step every score-based
+    curation/reward model needs before its outputs can be read as
+    probabilities (raw bucket rates are non-monotone noise; the isotonic
+    fit is the least-squares monotone curve).
+
+    Computed via the MINIMAX closed form of isotonic regression
+    (Robertson-Wright-Dykstra):
+
+        iso(i) = max_{j<=i} min_{k>=i} mean(y over buckets j..k)
+
+    which is order-free and join-expressible, instead of the sequential
+    pool-adjacent-violators sweep (the independent pytest replays THAT,
+    so the two implementations share no algorithm — the r8 skyline rule).
+
+    Scale shape: ONE corpus pass to the per-user aggregate, one groupBy
+    to at most ISO_BUCKET_MAX+1 fixed-width buckets; the j<=i<=k triple
+    enumeration runs on the bucket relation (<= 32 rows — bounded by the
+    bucket cap, NOT the corpus), all broadcast joins. Rates are single
+    divisions of exact integer sums evaluated identically on both
+    engines; minimax over such doubles needs no summation-order rail."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            >= F.lit(AUC_LABEL_MIN_PURCHASES)
+        )
+        .cast("bigint")
+        .alias("label"),
+        F.count(F.lit(1)).alias("activity"),
+    )
+    bucket = F.least(
+        F.expr(f"activity div {ISO_BUCKET_W}"), F.lit(ISO_BUCKET_MAX)
+    )
+    per_b = users.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("label").alias("n_pos"),
+    )
+    return isotonic_rates(per_b)
+
+
+def isotonic_rates(per_b: DataFrame) -> DataFrame:
+    """Minimax isotonic fit over a (bucket, n_users, n_pos) frame —
+    factored so the pooling behavior (raw rates already monotone on some
+    fixture scales — sf0.001 never pools; sf0.01 pools buckets 11-12 and
+    14-15) is pinned by a synthetic non-monotone pytest THROUGH this
+    exact production pipeline, beside the fixture-data sequential-PAVA
+    cross-check (the bot_verdict / r9 vacuity-audit rule)."""
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_b.select(
+        "bucket",
+        "n_users",
+        "n_pos",
+        F.sum("n_users").over(wc).alias("cn"),
+        F.sum("n_pos").over(wc).alias("cp"),
+    ).transform(truncate_lineage)
+    j, k = cum.alias("j"), cum.alias("k")
+    seg = (
+        j.join(F.broadcast(k), F.col("j.bucket") <= F.col("k.bucket"))
+        .select(
+            F.col("j.bucket").alias("jb"),
+            F.col("k.bucket").alias("kb"),
+            (
+                (F.col("k.cp") - F.col("j.cp") + F.col("j.n_pos")).cast("double")
+                / (F.col("k.cn") - F.col("j.cn") + F.col("j.n_users")).cast("double")
+            ).alias("seg_rate"),
+        )
+    )
+    spine = cum.select(F.col("bucket").alias("i"))
+    iso = (
+        spine.join(
+            F.broadcast(seg),
+            (F.col("jb") <= F.col("i")) & (F.col("kb") >= F.col("i")),
+        )
+        .groupBy("i", "jb")
+        .agg(F.min("seg_rate").alias("m"))
+        .groupBy("i")
+        .agg(F.max("m").alias("rate_iso"))
+    )
+    return (
+        per_b.join(F.broadcast(iso), per_b.bucket == F.col("i"))
+        .select(
+            "bucket",
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+            F.round(
+                F.col("n_pos").cast("double") / F.col("n_users").cast("double"), 9
+            ).alias("rate_raw"),
+            F.round(F.col("rate_iso"), 9).alias("rate_isotonic"),
+        )
+    )
+
+
+# Split-conformal parameters: miscoverage alpha = CONF_ALPHA_NUM/DEN,
+# calibration split = even event ids. Sync-pinned to the oracle literals.
+CONF_ALPHA_NUM = 1
+CONF_ALPHA_DEN = 10
+CONF_TYPE = "purchase"
+
+
+def events_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-CONFORMAL upper prediction bound for purchase values — the
+    distribution-free guarantee layer for any score this engine produces
+    (Vovk et al.; Angelopoulos-Bates intro): with calibration scores
+    s_1..s_n and q-hat = the ceil((n+1)(1-alpha))-th order statistic, a
+    fresh draw satisfies P(s <= q-hat) >= 1-alpha with NO distributional
+    assumption. Calibration = even event ids, test = odd (the
+    train/score split protocol of the LM family).
+
+    Exactness: the rank k = ceil((n+1)*(1-alpha)) is pure integer
+    arithmetic (ceil(a/b) = (a + b - 1) div b on non-negative ints); the
+    order statistic is "min v with cumulative count >= k" over the
+    per-value aggregate (the KS/winsorized discipline — the window runs
+    over distinct cents, never raw rows); coverage divides two exact
+    integers once. If k > n_cal the textbook bound is +infinity — the
+    guarantee flag goes false and q-hat reads the max (rank n_cal),
+    keeping the one-row contract with non-NULL output on both engines."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == CONF_TYPE)
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    rows = ev.select(
+        F.col("event_id").alias("eid"),
+        cents.alias("v"),
+        (F.col("event_id") % 2 == 0).alias("is_cal"),
+    )
+    per_v = (
+        rows.where("is_cal")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select("v", F.sum("cnt").over(wc).alias("cum"))
+    ncal = per_v.agg(F.sum("cnt").cast("bigint").alias("n_cal"))
+    # k = ceil((n+1) * (1 - alpha)) = ceil((n+1) * (DEN-NUM) / DEN)
+    k = F.expr(
+        f"((n_cal + 1) * ({CONF_ALPHA_DEN} - {CONF_ALPHA_NUM}) "
+        f"+ {CONF_ALPHA_DEN} - 1) div {CONF_ALPHA_DEN}"
+    )
+    kd = ncal.select(
+        "n_cal",
+        k.alias("k"),
+        (k <= F.col("n_cal")).alias("finite_guarantee"),
+        F.least(k, F.col("n_cal")).alias("k_eff"),
+    )
+    qhat = (
+        cum.crossJoin(F.broadcast(kd))
+        .groupBy("n_cal", "k", "finite_guarantee")
+        .agg(F.min(F.when(F.col("cum") >= F.col("k_eff"), F.col("v"))).alias("qc"))
+    )
+    test = rows.where(~F.col("is_cal")).select("v")
+    return (
+        test.crossJoin(F.broadcast(qhat))
+        .groupBy("n_cal", "k", "finite_guarantee", "qc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(F.when(F.col("v") <= F.col("qc"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+        .select(
+            "n_cal",
+            F.col("k").cast("bigint").alias("k"),
+            "finite_guarantee",
+            (F.col("qc").cast("double") / F.lit(100.0)).alias("q_hat"),
+            "n_test",
+            "n_covered",
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_test").cast("double"), 6
+            ).alias("coverage"),
+        )
+    )

@@ -8226,3 +8226,87 @@ SELECT month,
              * CAST(100 AS DOUBLE), 6) AS laspeyres_index
 FROM agg
 """
+
+# Mirrors relational.events_isotonic_calibration: heavy-purchaser rate vs
+# fixed-width activity buckets (LEAST(activity // 5, 31)), isotonic fit
+# via the minimax closed form iso(i) = max_{j<=i} min_{k>=i} mean(j..k)
+# over the bounded bucket relation. cum/seg are referenced twice+ —
+# MATERIALIZED per the chained-CTE rule.
+ORACLE_SQL["events_isotonic_calibration"] = """
+WITH users AS (
+  SELECT user_id,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 10 THEN 1 ELSE 0 END AS label,
+         COUNT(*) AS activity
+  FROM events GROUP BY user_id
+),
+per_b AS (
+  SELECT LEAST(activity // 5, 31) AS bucket,
+         COUNT(*) AS n_users, SUM(label) AS n_pos
+  FROM users GROUP BY 1
+),
+cum AS MATERIALIZED (
+  SELECT bucket, n_users, n_pos,
+         SUM(n_users) OVER (ORDER BY bucket) AS cn,
+         SUM(n_pos) OVER (ORDER BY bucket) AS cp
+  FROM per_b
+),
+seg AS MATERIALIZED (
+  SELECT j.bucket AS jb, k.bucket AS kb,
+         CAST(k.cp - j.cp + j.n_pos AS DOUBLE)
+           / CAST(k.cn - j.cn + j.n_users AS DOUBLE) AS seg_rate
+  FROM cum j JOIN cum k ON j.bucket <= k.bucket
+),
+iso AS (
+  SELECT i, MAX(m) AS rate_iso FROM (
+    SELECT c.bucket AS i, s.jb, MIN(s.seg_rate) AS m
+    FROM cum c JOIN seg s ON s.jb <= c.bucket AND s.kb >= c.bucket
+    GROUP BY 1, 2
+  ) GROUP BY i
+)
+SELECT b.bucket,
+       CAST(b.n_users AS BIGINT) AS n_users,
+       CAST(b.n_pos AS BIGINT) AS n_pos,
+       round(CAST(b.n_pos AS DOUBLE) / CAST(b.n_users AS DOUBLE), 9)
+         AS rate_raw,
+       round(iso.rate_iso, 9) AS rate_isotonic
+FROM per_b b JOIN iso ON iso.i = b.bucket
+"""
+
+# Mirrors relational.events_conformal_interval: split-conformal upper
+# bound, k = ceil((n_cal + 1) * (1 - alpha)) in exact integer arithmetic,
+# q-hat = "min v with cumulative calibration count >= LEAST(k, n_cal)".
+ORACLE_SQL["events_conformal_interval"] = """
+WITH rows_ AS (
+  SELECT event_id,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+         event_id % 2 = 0 AS is_cal
+  FROM events WHERE event_type = 'purchase'
+),
+per_v AS (
+  SELECT v, COUNT(*) AS cnt FROM rows_ WHERE is_cal GROUP BY v
+),
+cum AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM per_v),
+kd AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_cal,
+         ((SUM(cnt) + 1) * (10 - 1) + 10 - 1) // 10 AS k
+  FROM per_v
+),
+q AS (
+  SELECT kd.n_cal, kd.k, kd.k <= kd.n_cal AS finite_guarantee,
+         MIN(CASE WHEN cum.cum >= LEAST(kd.k, kd.n_cal) THEN cum.v END) AS qc
+  FROM cum CROSS JOIN kd
+  GROUP BY 1, 2, 3
+)
+SELECT q.n_cal,
+       CAST(q.k AS BIGINT) AS k,
+       q.finite_guarantee,
+       CAST(q.qc AS DOUBLE) / CAST(100 AS DOUBLE) AS q_hat,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN t.v <= q.qc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_covered,
+       round(CAST(SUM(CASE WHEN t.v <= q.qc THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+FROM (SELECT v FROM rows_ WHERE NOT is_cal) t CROSS JOIN q
+GROUP BY 1, 2, 3, 4
+"""

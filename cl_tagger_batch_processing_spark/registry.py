@@ -546,3 +546,9 @@ register("events_user_gini", relational.events_user_gini)
 # verify, graph-ANN beam search, CCNet buckets, DiD, Laspeyres) plus the
 # corpus_stratified_split / corpus_health_report / streaming reports were
 # promoted into the driver window by the r10 rotation — registered above.
+
+# --- round-10 additions: the model-eval calibration pair — isotonic
+# (PAVA-equivalent minimax) calibration of score-bucket rates, and the
+# split-conformal distribution-free prediction bound --------------------
+register("events_isotonic_calibration", relational.events_isotonic_calibration)
+register("events_conformal_interval", relational.events_conformal_interval)

@@ -3979,3 +3979,114 @@ def test_kneser_ney_matches_textbook_python(spark, sf_dir):
         assert got[d].perplexity == pytest.approx(ppl, rel=1e-4), d
         checked += 1
     assert checked and checked == len(got)
+
+
+def _pava(buckets):
+    """Textbook weighted pool-adjacent-violators over [(bucket, n, pos)]
+    sorted ascending — the SEQUENTIAL algorithm the minimax closed form
+    in production deliberately does not share."""
+    stack: list = []  # [pos_sum, n_sum, width]
+    for _, n, pos in buckets:
+        stack.append([pos, n, 1])
+        while len(stack) > 1 and (
+            stack[-2][0] * stack[-1][1] > stack[-1][0] * stack[-2][1]
+        ):
+            b = stack.pop()
+            stack[-1] = [stack[-1][0] + b[0], stack[-1][1] + b[1], stack[-1][2] + b[2]]
+    out = []
+    for pos, n, width in stack:
+        out.extend([pos / n] * width)
+    return out
+
+
+def test_isotonic_matches_sequential_pava(spark, sf_dir):
+    """Fixture replay: per-bucket label counts rebuilt from raw events in
+    Python, isotonic rates from textbook sequential PAVA."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    got = {
+        r.bucket: r
+        for r in QUERIES["events_isotonic_calibration"](spark, sf_dir).collect()
+    }
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT user_id, COUNT(*) AS activity,
+                  CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) >= 10
+                       THEN 1 ELSE 0 END AS label
+           FROM '{sf}/events.parquet' GROUP BY user_id""",
+    )
+    per_b: dict = {}
+    for _, activity, label in raw:
+        b = min(activity // 5, 31)
+        agg = per_b.setdefault(b, [0, 0])
+        agg[0] += 1
+        agg[1] += label
+    buckets = sorted((b, n, pos) for b, (n, pos) in per_b.items())
+    iso = _pava(buckets)
+    assert set(got) == {b for b, _, _ in buckets}
+    for (b, n, pos), rate in zip(buckets, iso):
+        assert got[b].n_users == n and got[b].n_pos == pos
+        assert got[b].rate_raw == pytest.approx(pos / n, abs=1e-9)
+        assert got[b].rate_isotonic == pytest.approx(rate, abs=1e-8), b
+    # the fit is monotone non-decreasing by construction
+    rates = [got[b].rate_isotonic for b in sorted(got)]
+    assert rates == sorted(rates)
+
+
+def test_isotonic_pools_synthetic_violators(spark):
+    """The pooling behavior through the exact production pipeline
+    (relational.isotonic_rates) on a non-monotone bucket frame — fixture
+    scales where raw rates are already monotone never exercise it."""
+    from cl_tagger_batch_processing_spark.operators import relational
+
+    per_b = spark.createDataFrame(
+        [(0, 10, 2), (1, 10, 8), (2, 10, 4), (3, 10, 9), (4, 10, 1)],
+        "bucket long, n_users long, n_pos long",
+    )
+    got = {r.bucket: r for r in relational.isotonic_rates(per_b).collect()}
+    iso = _pava([(0, 10, 2), (1, 10, 8), (2, 10, 4), (3, 10, 9), (4, 10, 1)])
+    for b in range(5):
+        assert got[b].rate_isotonic == pytest.approx(iso[b], abs=1e-9), b
+    # sanity against the closed form by hand: buckets 1..4 pool to 22/40
+    assert iso == pytest.approx([0.2, 0.55, 0.55, 0.55, 0.55])
+
+
+def test_conformal_matches_python_replay(spark, sf_dir):
+    """Split-conformal replay: k = ceil((n+1)*0.9) by integer arithmetic,
+    q-hat from an ordinary sorted list, coverage counted directly."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    row = QUERIES["events_conformal_interval"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT event_id,
+                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+           FROM '{sf}/events.parquet' WHERE event_type = 'purchase'""",
+    )
+    cal = sorted(v for eid, v in raw if eid % 2 == 0)
+    test = [v for eid, v in raw if eid % 2 != 0]
+    n_cal = len(cal)
+    k = -(-(n_cal + 1) * 9 // 10)  # ceil((n+1) * 9/10)
+    qhat = cal[min(k, n_cal) - 1]
+    assert row.n_cal == n_cal and row.k == k
+    assert row.finite_guarantee == (k <= n_cal)
+    assert row.q_hat == pytest.approx(qhat / 100.0, abs=1e-9)
+    assert row.n_test == len(test)
+    assert row.n_covered == sum(1 for v in test if v <= qhat)
+    assert row.coverage == pytest.approx(row.n_covered / row.n_test, abs=1e-6)
+
+
+def test_r10_constants_in_sync_with_oracles():
+    """Round-10 tuning constants pinned to their oracle literals."""
+    from cl_tagger_batch_processing_spark import oracles
+    from cl_tagger_batch_processing_spark.operators import relational
+
+    iso = oracles.ORACLE_SQL["events_isotonic_calibration"]
+    assert relational.ISO_BUCKET_W == 5 and relational.ISO_BUCKET_MAX == 31
+    assert "LEAST(activity // 5, 31)" in iso
+    assert relational.AUC_LABEL_MIN_PURCHASES == 10 and ">= 10" in iso
+    conf = oracles.ORACLE_SQL["events_conformal_interval"]
+    assert (relational.CONF_ALPHA_NUM, relational.CONF_ALPHA_DEN) == (1, 10)
+    assert "* (10 - 1) + 10 - 1) // 10" in conf
+    assert relational.CONF_TYPE == "purchase" and "'purchase'" in conf
