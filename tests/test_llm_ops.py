@@ -4090,3 +4090,152 @@ def test_r10_constants_in_sync_with_oracles():
     assert (relational.CONF_ALPHA_NUM, relational.CONF_ALPHA_DEN) == (1, 10)
     assert "* (10 - 1) + 10 - 1) // 10" in conf
     assert relational.CONF_TYPE == "purchase" and "'purchase'" in conf
+
+
+def test_winsorized_stats_match_python_replay(spark, sf_dir):
+    """Order-statistic bounds and clamped/trimmed means recomputed from
+    a plain Python sort per event type."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    got = {
+        r.event_type: r
+        for r in QUERIES["events_winsorized_stats"](spark, sf_dir).collect()
+    }
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT event_type,
+                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+           FROM '{sf}/events.parquet'""",
+    )
+    by_type: dict = {}
+    for t, v in raw:
+        by_type.setdefault(t, []).append(v)
+    assert set(got) == set(by_type)
+    for t, vs in by_type.items():
+        vs.sort()
+        n = len(vs)
+        q_lo = vs[(5 * (n - 1)) // 100]       # k = floor(p(n-1)) + 1, 1-based
+        q_hi = vs[(95 * (n - 1)) // 100]
+        wins = [min(max(v, q_lo), q_hi) for v in vs]
+        trim = [v for v in vs if q_lo <= v <= q_hi]
+        r = got[t]
+        assert r.n == n
+        assert r.q05 == pytest.approx(q_lo / 100.0, abs=1e-9)
+        assert r.q95 == pytest.approx(q_hi / 100.0, abs=1e-9)
+        assert r.winsorized_mean == pytest.approx(sum(wins) / n / 100.0, abs=1e-8)
+        assert r.trimmed_mean == pytest.approx(
+            sum(trim) / len(trim) / 100.0, abs=1e-8
+        )
+        assert r.n_trimmed == len(trim)
+
+
+def test_ccnet_buckets_match_python_replay(spark, sf_dir):
+    """The head/middle/tail token-share bucketing replayed in Python from
+    the (already independently cross-checked) per-doc perplexities: sort
+    per-(lang, ppl) tie groups, exact-integer 3*cum vs tot boundaries,
+    doc-weighted mean perplexity."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    got = {
+        (r.lang, r.bucket): r
+        for r in QUERIES["corpus_ccnet_buckets"](spark, sf_dir).collect()
+    }
+    ppl = {
+        r.doc_id: r.perplexity
+        for r in QUERIES["text_bigram_lm_perplexity"](spark, sf_dir).collect()
+    }
+    docs = _duck_rows(
+        sf_dir,
+        """SELECT doc_id, lang,
+                  len(string_split(text, ' ')) FROM '{sf}/documents.parquet'""",
+    )
+    per_v: dict = {}
+    for d, lang, ntok in docs:
+        if d not in ppl:
+            continue
+        agg = per_v.setdefault((lang, ppl[d]), [0, 0])
+        agg[0] += 1
+        agg[1] += ntok
+    out: dict = {}
+    langs = {lang for lang, _ in per_v}
+    for lang in langs:
+        groups = sorted((p, nd, nt) for (lg, p), (nd, nt) in per_v.items() if lg == lang)
+        tot = sum(nt for _, _, nt in groups)
+        cum = 0
+        for p, nd, nt in groups:
+            cum += nt
+            b = "head" if 3 * cum <= tot else ("middle" if 3 * cum <= 2 * tot else "tail")
+            agg = out.setdefault((lang, b), [0, 0, 0.0])
+            agg[0] += nd
+            agg[1] += nt
+            agg[2] += p * nd
+        for (lg, b), (nd, nt, ps) in out.items():
+            if lg != lang:
+                continue
+            r = got[(lg, b)]
+            assert r.n_docs == nd and r.n_tokens == nt
+            assert r.token_share == pytest.approx(nt / tot, abs=1e-9)
+            assert r.mean_perplexity == pytest.approx(ps / nd, abs=1e-4)
+    assert set(got) == set(out)
+
+
+def test_rouge_verify_matches_python_replay(spark, sf_dir):
+    """ROUGE-1 clipped-unigram P/R/F1 recomputed per emitted candidate
+    pair from the raw texts with collections.Counter."""
+    from collections import Counter
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = QUERIES["dedup_rouge_verify"](spark, sf_dir).collect()
+    assert rows
+    texts = dict(_duck_rows(sf_dir, "SELECT doc_id, text FROM '{sf}/documents.parquet'"))
+    tfs: dict = {}
+    for r in rows:
+        for d in (r.doc_a, r.doc_b):
+            if d not in tfs:
+                tfs[d] = Counter(texts[d].split(" "))
+    for r in rows:
+        ca, cb = tfs[r.doc_a], tfs[r.doc_b]
+        overlap = sum(min(c, cb[t]) for t, c in ca.items())
+        la, lb = sum(ca.values()), sum(cb.values())
+        assert r.overlap == overlap, (r.doc_a, r.doc_b)
+        assert r.rouge1_p == pytest.approx(overlap / la, abs=1e-6)
+        assert r.rouge1_r == pytest.approx(overlap / lb, abs=1e-6)
+        assert r.rouge1_f1 == pytest.approx(2 * overlap / (la + lb), abs=1e-6)
+
+
+def test_rrf_fusion_matches_python_replay(spark, sf_dir):
+    """The reciprocal-rank fusion replayed in Python from the two
+    (independently oracle-backed) input rankings: coalesced 1/(60+rank)
+    terms, score-desc doc-asc ordering, top 20."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    got = {r.doc_id: r for r in QUERIES["sim_hybrid_rrf"](spark, sf_dir).collect()}
+    lex = {
+        r.doc_id: r.rank
+        for r in QUERIES["text_bm25_topk"](spark, sf_dir).collect()
+        if r.doc_id != 0
+    }
+    from cl_tagger_batch_processing_spark.operators import similarity
+
+    # the registered sim_topk_cosine runs at depth DEFAULT_TOP_K=10; the
+    # fusion consumes the same machinery at RRF_TOP_K=20 for one query
+    sem = {
+        r.neighbor_id: r.rank
+        for r in similarity.sim_topk_cosine(
+            spark, sf_dir, top_k=20, num_queries=1
+        ).collect()
+        if r.query_id == 0
+    }
+    fused = {
+        d: (1.0 / (60 + lex[d]) if d in lex else 0.0)
+        + (1.0 / (60 + sem[d]) if d in sem else 0.0)
+        for d in set(lex) | set(sem)
+    }
+    order = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert set(got) == {d for d, _ in order}
+    for rank, (d, score) in enumerate(order, start=1):
+        r = got[d]
+        assert r.fused_rank == rank, d
+        assert r.rrf_score == pytest.approx(score, abs=1e-8)
+        assert r.lex_rank == lex.get(d) and r.sem_rank == sem.get(d)
