@@ -3042,8 +3042,10 @@ def test_r9_constants_in_sync_with_oracles():
     assert "CAST(15.507 AS DOUBLE)" in bf
     bs = oracles.ORACLE_SQL["events_poisson_bootstrap_ci"]
     assert relational.BOOT_B == 32 and "generate_series(0, 31)" in bs
-    assert relational.BOOT_LO_RANK == 2 and "WHERE r = 2" in bs
-    assert relational.BOOT_HI_RANK == 31 and "WHERE r = 31" in bs
+    # CI endpoints became conditional-min aggregates in the r9 ADVICE
+    # hardening (degenerate runs yield NULL bounds, not an empty frame)
+    assert relational.BOOT_LO_RANK == 2 and "WHEN r = 2 THEN mean_b" in bs
+    assert relational.BOOT_HI_RANK == 31 and "WHEN r = 31 THEN mean_b" in bs
     assert relational.BOOT_TYPE == "purchase" and "'purchase'" in bs
     ws = oracles.ORACLE_SQL["events_winsorized_stats"]
     assert (relational.WINSOR_LO_NUM, relational.WINSOR_HI_NUM) == (5, 95)
