@@ -5323,8 +5323,11 @@ def isotonic_rates(per_b: DataFrame) -> DataFrame:
         .groupBy("i")
         .agg(F.max("m").alias("rate_iso"))
     )
+    # project off the CHECKPOINTED cum frame (it already carries bucket /
+    # n_users / n_pos): joining the un-truncated per_b here would
+    # re-execute the whole upstream corpus pass a second time (r10 review)
     return (
-        per_b.join(F.broadcast(iso), per_b.bucket == F.col("i"))
+        cum.join(F.broadcast(iso), cum.bucket == F.col("i"))
         .select(
             "bucket",
             F.col("n_users").cast("bigint").alias("n_users"),
@@ -5359,8 +5362,13 @@ def events_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-value aggregate (the KS/winsorized discipline — the window runs
     over distinct cents, never raw rows); coverage divides two exact
     integers once. If k > n_cal the textbook bound is +infinity — the
-    guarantee flag goes false and q-hat reads the max (rank n_cal),
-    keeping the one-row contract with non-NULL output on both engines."""
+    guarantee flag goes false and q-hat reads the max (rank n_cal).
+
+    One-row contract: every stage after the per-value aggregate is a
+    GLOBAL aggregate (one row even over empty input) chained by one-row
+    cross joins — an empty calibration or test split yields NULL q_hat /
+    NULL coverage, never zero rows (the bootstrap-CI crossJoin-collapse
+    lesson, re-caught here by the r10 review)."""
     ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == CONF_TYPE)
     cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
     rows = ev.select(
@@ -5375,7 +5383,9 @@ def events_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cum = per_v.select("v", F.sum("cnt").over(wc).alias("cum"))
-    ncal = per_v.agg(F.sum("cnt").cast("bigint").alias("n_cal"))
+    ncal = per_v.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n_cal")
+    )
     # k = ceil((n+1) * (1 - alpha)) = ceil((n+1) * (DEN-NUM) / DEN)
     k = F.expr(
         f"((n_cal + 1) * ({CONF_ALPHA_DEN} - {CONF_ALPHA_NUM}) "
@@ -5387,21 +5397,22 @@ def events_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k <= F.col("n_cal")).alias("finite_guarantee"),
         F.least(k, F.col("n_cal")).alias("k_eff"),
     )
-    qhat = (
+    qc = (
         cum.crossJoin(F.broadcast(kd))
-        .groupBy("n_cal", "k", "finite_guarantee")
         .agg(F.min(F.when(F.col("cum") >= F.col("k_eff"), F.col("v"))).alias("qc"))
     )
     test = rows.where(~F.col("is_cal")).select("v")
-    return (
-        test.crossJoin(F.broadcast(qhat))
-        .groupBy("n_cal", "k", "finite_guarantee", "qc")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_test"),
-            F.sum(F.when(F.col("v") <= F.col("qc"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_covered"),
+    stats = test.crossJoin(F.broadcast(qc)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.coalesce(
+            F.sum(F.when(F.col("v") <= F.col("qc"), 1).otherwise(0)), F.lit(0)
         )
+        .cast("bigint")
+        .alias("n_covered"),
+    )
+    return (
+        kd.crossJoin(F.broadcast(qc))
+        .crossJoin(F.broadcast(stats))
         .select(
             "n_cal",
             F.col("k").cast("bigint").alias("k"),
@@ -5409,8 +5420,13 @@ def events_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("qc").cast("double") / F.lit(100.0)).alias("q_hat"),
             "n_test",
             "n_covered",
-            F.round(
-                F.col("n_covered").cast("double") / F.col("n_test").cast("double"), 6
+            F.when(
+                F.col("n_test") > 0,
+                F.round(
+                    F.col("n_covered").cast("double")
+                    / F.col("n_test").cast("double"),
+                    6,
+                ),
             ).alias("coverage"),
         )
     )

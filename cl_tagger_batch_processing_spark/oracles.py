@@ -8288,25 +8288,32 @@ per_v AS (
 ),
 cum AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM per_v),
 kd AS (
-  SELECT CAST(SUM(cnt) AS BIGINT) AS n_cal,
-         ((SUM(cnt) + 1) * (10 - 1) + 10 - 1) // 10 AS k
+  SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_cal,
+         ((COALESCE(SUM(cnt), 0) + 1) * (10 - 1) + 10 - 1) // 10 AS k
   FROM per_v
 ),
+-- every stage below is a GLOBAL aggregate chained by one-row cross
+-- joins: an empty calibration or test split yields NULL q_hat / NULL
+-- coverage, never zero rows (the bootstrap-CI collapse lesson)
 q AS (
-  SELECT kd.n_cal, kd.k, kd.k <= kd.n_cal AS finite_guarantee,
-         MIN(CASE WHEN cum.cum >= LEAST(kd.k, kd.n_cal) THEN cum.v END) AS qc
+  SELECT MIN(CASE WHEN cum.cum >= LEAST(kd.k, kd.n_cal)
+                  THEN cum.v END) AS qc
   FROM cum CROSS JOIN kd
-  GROUP BY 1, 2, 3
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(COALESCE(SUM(CASE WHEN tv.v <= q.qc THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_covered
+  FROM (SELECT v FROM rows_ WHERE NOT is_cal) tv CROSS JOIN q
 )
-SELECT q.n_cal,
-       CAST(q.k AS BIGINT) AS k,
-       q.finite_guarantee,
+SELECT kd.n_cal,
+       CAST(kd.k AS BIGINT) AS k,
+       kd.k <= kd.n_cal AS finite_guarantee,
        CAST(q.qc AS DOUBLE) / CAST(100 AS DOUBLE) AS q_hat,
-       CAST(COUNT(*) AS BIGINT) AS n_test,
-       CAST(SUM(CASE WHEN t.v <= q.qc THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_covered,
-       round(CAST(SUM(CASE WHEN t.v <= q.qc THEN 1 ELSE 0 END) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
-FROM (SELECT v FROM rows_ WHERE NOT is_cal) t CROSS JOIN q
-GROUP BY 1, 2, 3, 4
+       t.n_test,
+       t.n_covered,
+       CASE WHEN t.n_test > 0
+            THEN round(CAST(t.n_covered AS DOUBLE)
+                       / CAST(t.n_test AS DOUBLE), 6) END AS coverage
+FROM kd CROSS JOIN q CROSS JOIN t
 """

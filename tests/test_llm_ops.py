@@ -4241,3 +4241,37 @@ def test_rrf_fusion_matches_python_replay(spark, sf_dir):
         assert r.fused_rank == rank, d
         assert r.rrf_score == pytest.approx(score, abs=1e-8)
         assert r.lex_rank == lex.get(d) and r.sem_rank == sem.get(d)
+
+
+def test_conformal_keeps_one_row_contract_on_degenerate_splits(spark, tmp_path):
+    """An empty calibration split (every purchase event_id odd) or empty
+    test split (every id even) must yield ONE row with NULL bounds, never
+    zero rows — the bootstrap-CI crossJoin-collapse class (r10 review)."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    def fixture(ids):
+        d = tmp_path / f"fx{ids[0]}"
+        d.mkdir()
+        spark.createDataFrame(
+            [(i, "2024-01-01 00:00:00", 1, "purchase", 10.0, "{}") for i in ids],
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).selectExpr(
+            "event_id", "cast(ts as timestamp) ts", "user_id", "event_type",
+            "value", "props",
+        ).write.parquet(str(d / "events.parquet"))
+        return str(d)
+
+    q = QUERIES["events_conformal_interval"]
+    # all-odd ids: n_cal = 0 -> NULL q_hat, guarantee false, one row
+    rows = q(spark, fixture([1, 3, 5])).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_cal == 0 and not r.finite_guarantee
+    assert r.q_hat is None and r.n_test == 3 and r.n_covered == 0
+    # all-even ids: n_test = 0 -> NULL coverage, one row
+    rows = q(spark, fixture([2, 4, 6])).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_cal == 3 and r.n_test == 0 and r.n_covered == 0
+    assert r.coverage is None and r.q_hat is not None
