@@ -309,11 +309,26 @@ def test_vocab_topk_is_take_ordered(spark, sf_dir):
 
 def test_jvm_only_hot_paths(spark, sf_dir):
     # the claimed JVM-side operators must stay whole-stage-codegen'able:
-    # no row-at-a-time or Arrow Python evaluation node anywhere in the plan
+    # no row-at-a-time or Arrow Python evaluation node anywhere in the plan.
+    # Session-memoized queries (minhash/simhash pair frames) are inspected
+    # through their UN-memoized builders — the memoized frame's plan is a
+    # checkpoint scan that would pass vacuously (r10).
+    from cl_tagger_batch_processing_spark.operators import dedup
+
+    for df, name in [
+        (dedup.minhash_candidates(spark, sf_dir), "minhash_candidates"),
+        (
+            dedup._simhash_pairs_build(
+                spark, sf_dir, dedup.DEFAULT_HAMMING_THRESHOLD, "auto"
+            ),
+            "simhash_pairs_build",
+        ),
+    ]:
+        plan = inspect.executed_plan(df)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
     for name in [
         "tag_select",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
         "text_langid",
         "text_quality_score",
         "text_fingerprint",
