@@ -4262,16 +4262,45 @@ def test_conformal_keeps_one_row_contract_on_degenerate_splits(spark, tmp_path):
         ).write.parquet(str(d / "events.parquet"))
         return str(d)
 
+    import duckdb
+
+    from cl_tagger_batch_processing_spark import oracles
+
+    def oracle_row(d):
+        # the oracle's degenerate path must mirror the engine on the SAME
+        # synthetic fixture (the standard sf fixtures never exercise it)
+        con = duckdb.connect()
+        try:
+            con.execute(
+                "CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet/*.parquet')"
+            )
+            out = con.execute(
+                oracles.ORACLE_SQL["events_conformal_interval"]
+            ).fetchall()
+        finally:
+            con.close()
+        assert len(out) == 1
+        return out[0]
+
     q = QUERIES["events_conformal_interval"]
     # all-odd ids: n_cal = 0 -> NULL q_hat, guarantee false, one row
-    rows = q(spark, fixture([1, 3, 5])).collect()
+    d = fixture([1, 3, 5])
+    rows = q(spark, d).collect()
     assert len(rows) == 1
     r = rows[0]
     assert r.n_cal == 0 and not r.finite_guarantee
     assert r.q_hat is None and r.n_test == 3 and r.n_covered == 0
+    o = oracle_row(d)
+    assert (o[0], o[2], o[3], o[4], o[5]) == (0, False, None, 3, 0)
+    assert o[1] == r.k
     # all-even ids: n_test = 0 -> NULL coverage, one row
-    rows = q(spark, fixture([2, 4, 6])).collect()
+    d = fixture([2, 4, 6])
+    rows = q(spark, d).collect()
     assert len(rows) == 1
     r = rows[0]
     assert r.n_cal == 3 and r.n_test == 0 and r.n_covered == 0
     assert r.coverage is None and r.q_hat is not None
+    o = oracle_row(d)
+    assert (o[0], o[4], o[5], o[6]) == (3, 0, 0, None)
+    assert o[3] == pytest.approx(r.q_hat)

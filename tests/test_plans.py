@@ -310,23 +310,18 @@ def test_vocab_topk_is_take_ordered(spark, sf_dir):
 def test_jvm_only_hot_paths(spark, sf_dir):
     # the claimed JVM-side operators must stay whole-stage-codegen'able:
     # no row-at-a-time or Arrow Python evaluation node anywhere in the plan.
-    # Session-memoized queries (minhash/simhash pair frames) are inspected
-    # through their UN-memoized builders — the memoized frame's plan is a
-    # checkpoint scan that would pass vacuously (r10).
+    # Session-memoized queries are inspected through their UN-memoized
+    # builders — the memoized frame's plan is a checkpoint scan that would
+    # pass vacuously (r10). SimHash is deliberately NOT on this list: its
+    # signature stage is one of the pinned Arrow kernels
+    # (test_registry_wide_no_scale_killers confines Arrow to exactly those),
+    # and every simhash plan checkpoints that stage, so no un-memoized
+    # view of the pair scan can see it (r10 review #3).
     from cl_tagger_batch_processing_spark.operators import dedup
 
-    for df, name in [
-        (dedup.minhash_candidates(spark, sf_dir), "minhash_candidates"),
-        (
-            dedup._simhash_pairs_build(
-                spark, sf_dir, dedup.DEFAULT_HAMMING_THRESHOLD, "auto"
-            ),
-            "simhash_pairs_build",
-        ),
-    ]:
-        plan = inspect.executed_plan(df)
-        assert "BatchEvalPython" not in plan, name
-        assert "ArrowEvalPython" not in plan, name
+    plan = inspect.executed_plan(dedup.minhash_candidates(spark, sf_dir))
+    assert "BatchEvalPython" not in plan, "minhash_candidates"
+    assert "ArrowEvalPython" not in plan, "minhash_candidates"
     for name in [
         "tag_select",
         "text_langid",
