@@ -111,6 +111,18 @@ def session_cache_sweep(cache: dict, app_id: str) -> None:
     shared by the k-means chain, the SemDeDup keep artifact, and the
     near-dup cluster assignment): a cached plan is only valid inside the
     application that built it, and the applicationId key makes staleness
-    structurally impossible rather than time-based."""
+    structurally impossible rather than time-based.
+
+    Shared contract of every cache swept here (r10 ADVICE, documented
+    once): keys carry ``sf_dir`` but no data-version component, so the
+    memo assumes the fixture directory is IMMUTABLE for the lifetime of
+    the application — true for the read-only ``/root/testdata`` fixtures
+    and for any production run over immutable snapshot paths; a pipeline
+    that rewrites a path in place must key on a snapshot/version id
+    instead. Cached ``localCheckpoint`` blocks live until application
+    exit by design: each memo holds O(pairs/centroids) rows, bounded far
+    below executor storage at any fixture scale, and the blocks ARE the
+    saving (every consumer re-reads them instead of re-running the
+    build)."""
     for key in [k for k in cache if k[0] != app_id]:
         del cache[key]

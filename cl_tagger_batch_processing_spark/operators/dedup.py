@@ -517,7 +517,10 @@ def dedup_simhash(
     of the SimHash family (dedup_simhash itself, dedup_simhash_error_report,
     and any downstream verify). Callers must NOT re-truncate the result;
     checkpointed frames lose stats, so a consumer joining this frame should
-    rely on AQE's runtime sizing or hint broadcast explicitly.
+    rely on AQE's runtime sizing or hint broadcast explicitly. Like every
+    ``session_cache_sweep`` memo, the key has no data-version component:
+    ``sf_dir`` is assumed immutable for the application's lifetime (see
+    ``checkpointing.session_cache_sweep`` for the shared contract).
     """
     from ..checkpointing import CHECKPOINT_MODE_CONF, session_cache_sweep
 

@@ -4802,8 +4802,17 @@ def orders_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.log(F.lit(1.0) + F.lit(1.0) / d) / F.log(F.lit(10.0))
     exp_n = F.col("n_total").cast("double") * p
     n_obs = F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint")
-    contrib = F.round(
-        (n_obs.cast("double") - exp_n) * (n_obs.cast("double") - exp_n) / exp_n, 9
+    # n_total = 0 (no order has a leading significant digit) makes every
+    # term 0.0/0.0 — Spark Divide yields NULL where DuckDB float division
+    # yields NaN, which then fails the DECIMAL cast (r10 ADVICE). Guard the
+    # degenerate path to NULL terms on BOTH engines (the conformal
+    # NULL-bounds convention); chi2 and the reject flag follow as NULL.
+    contrib = F.when(
+        F.col("n_total") > 0,
+        F.round(
+            (n_obs.cast("double") - exp_n) * (n_obs.cast("double") - exp_n) / exp_n,
+            9,
+        ),
     )
     per_digit = (
         spine.join(obs, "digit", "left")

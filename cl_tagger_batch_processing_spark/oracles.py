@@ -7703,16 +7703,21 @@ tot AS (SELECT CAST(COALESCE(SUM(n_obs), 0) AS BIGINT) AS n_total FROM obs),
 per_digit AS (
   SELECT s.digit,
          CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+         n_total,
          CAST(n_total AS DOUBLE)
            * (ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(s.digit AS DOUBLE))
               / ln(CAST(10 AS DOUBLE))) AS exp_n
   FROM spine s LEFT JOIN obs o ON s.digit = o.digit CROSS JOIN tot
 ),
 terms AS (
+  -- n_total = 0: 0.0/0.0 is NaN here but NULL in Spark — guard the
+  -- degenerate path to NULL terms on BOTH engines (r10 ADVICE)
   SELECT digit, n_obs, exp_n,
-         CAST(round((CAST(n_obs AS DOUBLE) - exp_n)
-                    * (CAST(n_obs AS DOUBLE) - exp_n) / exp_n, 9)
-              AS DECIMAL(28,9)) AS chi2_term
+         CASE WHEN n_total > 0 THEN
+           CAST(round((CAST(n_obs AS DOUBLE) - exp_n)
+                      * (CAST(n_obs AS DOUBLE) - exp_n) / exp_n, 9)
+                AS DECIMAL(28,9))
+         END AS chi2_term
   FROM per_digit
 ),
 chi AS (SELECT round(CAST(SUM(chi2_term) AS DOUBLE), 6) AS chi2 FROM terms)

@@ -3860,6 +3860,45 @@ def test_benford_matches_python_replay(spark, sf_dir):
     assert rows[1].reject_benford_05 == (chi2 > 15.507)
 
 
+def test_benford_degenerate_zero_digit_fixture(spark, tmp_path):
+    """Every order total 0.00 → no leading significant digit → n_total=0,
+    where unguarded 0.0/0.0 is NULL in Spark but NaN in DuckDB (r10
+    ADVICE). Both engines must emit the 9-digit spine with NULL
+    chi2_term/chi2/reject on the SAME synthetic fixture (the conformal
+    degenerate-split precedent)."""
+    import duckdb
+
+    from cl_tagger_batch_processing_spark import oracles
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "zero_digit"
+    d.mkdir()
+    spark.createDataFrame(
+        [(i, 0.0) for i in range(1, 4)], "o_orderkey long, o_totalprice double"
+    ).write.parquet(str(d / "orders.parquet"))
+
+    rows = QUERIES["orders_benford_test"](spark, str(d)).collect()
+    assert len(rows) == 9
+    for r in rows:
+        assert r.n_obs == 0 and r.n_expected == 0.0
+        assert r.chi2_term is None and r.chi2 is None
+        assert r.reject_benford_05 is None
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{d}/orders.parquet/*.parquet')"
+        )
+        out = con.execute(oracles.ORACLE_SQL["orders_benford_test"]).fetchall()
+    finally:
+        con.close()
+    assert len(out) == 9
+    for digit, n_obs, n_expected, chi2_term, chi2, reject in out:
+        assert n_obs == 0 and n_expected == 0.0
+        assert chi2_term is None and chi2 is None and reject is None
+
+
 def test_did_matches_python_replay(spark, sf_dir):
     """The 2x2 cell means and the DiD recomputed from raw (user, micros,
     cents) rows with Python integer midpoint arithmetic and float means."""
@@ -4304,3 +4343,37 @@ def test_conformal_keeps_one_row_contract_on_degenerate_splits(spark, tmp_path):
     o = oracle_row(d)
     assert (o[0], o[4], o[5], o[6]) == (3, 0, 0, None)
     assert o[3] == pytest.approx(r.q_hat)
+
+
+def test_ks_and_mw_reject_on_synthetic_shifted_distributions(spark, tmp_path):
+    """reject_equal_05 is identically False on the organic fixture (view
+    and click values draw from the same generator at every scale — r10
+    ALL_FALSE vacuity triage), so the TRUE path of BOTH nonparametric
+    tests is exercised here on a grossly shifted synthetic fixture,
+    through the full production queries (the conformal tmp_path
+    precedent): 50 views at 1..50 cents-dollars vs 50 clicks at
+    101..150 gives KS D = 1 >> 0.272 bound and |z| ≈ 8.6 >> 1.96."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "shifted"
+    d.mkdir()
+    rows = [(i, "2024-01-01 00:00:00", 1, "view", float(i), "{}") for i in range(1, 51)]
+    rows += [
+        (100 + i, "2024-01-01 00:00:00", 1, "click", float(100 + i), "{}")
+        for i in range(1, 51)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "cast(ts as timestamp) ts", "user_id", "event_type",
+        "value", "props",
+    ).write.parquet(str(d / "events.parquet"))
+
+    ks = QUERIES["events_ks_test"](spark, str(d)).collect()[0]
+    assert ks.reject_equal_05 is True
+    assert ks.ks_d == pytest.approx(1.0)
+    mw = QUERIES["events_mann_whitney"](spark, str(d)).collect()[0]
+    assert mw.reject_equal_05 is True
+    assert abs(mw.z) > 1.96

@@ -99,6 +99,28 @@ ALLOWLIST: dict[tuple[str, str, str], str] = {
         "whole-word name edits exceed the <=2 threshold by construction; "
         "the union-find cross-check pins the closure"
     ),
+    # --- ALL_FALSE triage (ADVICE r10: identically-False boolean flags) ---
+    ("events_ks_test", "ALL_FALSE", "reject_equal_05"): (
+        "honest negative: view and click values draw from the same "
+        "generator at every scale; TRUE path pinned by "
+        "test_ks_and_mw_reject_on_synthetic_shifted_distributions "
+        "through the full production query"
+    ),
+    ("events_mann_whitney", "ALL_FALSE", "reject_equal_05"): (
+        "same-generator fixture as the KS triage; TRUE path pinned by "
+        "test_ks_and_mw_reject_on_synthetic_shifted_distributions"
+    ),
+    ("text_gopher_flags", "ALL_FALSE", "flag_too_long"): (
+        "clean-fixture honest negative; TRUE path pinned by "
+        "test_gopher_flags_fire_on_synthetic_pathologies through the "
+        "factored _gopher_flagged"
+    ),
+    ("text_gopher_flags", "ALL_FALSE", "flag_word_len"): (
+        "clean-fixture honest negative; same synthetic-pathology pin"
+    ),
+    ("text_gopher_flags", "ALL_FALSE", "flag_repetition"): (
+        "clean-fixture honest negative; same synthetic-pathology pin"
+    ),
 }
 
 
@@ -123,6 +145,11 @@ def test_registry_non_vacuity(spark, sf_dir):
                 for v in vals
             ):
                 flagged.add((name, "ALL_ZERO", col))
+            elif all(v is False for v in vals):
+                # An identically-False boolean flag (reject_*, is_*,
+                # *_guarantee) is the same vacuous-gate class as an
+                # identically-zero integer flag (ADVICE r10).
+                flagged.add((name, "ALL_FALSE", col))
     new = flagged - set(ALLOWLIST)
     stale = set(ALLOWLIST) - flagged
     assert not new, (
