@@ -90,71 +90,27 @@ register("scan_extension_filter", relational.scan_extension_filter)
 
 from .operators import dedup, multimodal, similarity, text  # noqa: E402
 
-# --- r9 window refresh (VERDICT r8 ask #1 — rotate 15-20, not 10): the 19
-# longest-green window entries move below the window — 14 driver-green
-# six-to-eight consecutive rounds (dedup_minhash_lsh, dedup_simhash,
-# dedup_clusters, stream_tumbling_counts, sim_ann_lsh, dedup_semantic,
-# text_pii_scrub, text_gopher_flags, cdc_merge_documents,
-# layout_partition_prune, layout_bucketed_join, source_jsonl_roundtrip,
-# stream_stream_join, stream_user_event_mix) plus the five r6 promotions
-# green three rounds (events_markov_transitions, scd2_order_status,
-# mm_audio_framing, text_tfidf_topk, mm_phash_dedup). The 19
-# never-driver-verified queries with the most intricate oracles take their
-# slots (registered at the end of the window below).
-register("dedup_minhash_lev_verify", dedup.dedup_minhash_lev_verify)
-
-from .operators import graph  # noqa: E402
-
-register("embedding_pca_power_iteration", similarity.embedding_pca_power_iteration)
-register("orders_forecast_backtest", relational.orders_forecast_backtest)
-register("approx_distinct_hll", relational.approx_distinct_hll)
-register("graph_shortest_paths", graph.graph_shortest_paths)
-register("events_cusum_drift", relational.events_cusum_drift)
-register("sim_mmr_diversify", similarity.sim_mmr_diversify)
-
-from .operators import curation  # noqa: E402
-
-register("privacy_t_closeness", relational.privacy_t_closeness)
-
+from .operators import curation, graph  # noqa: E402
 from .streaming import stateful as streaming_stateful  # noqa: E402
 from .streaming import windows as streaming_windows  # noqa: E402
 
-# --- r9 rotation, part 1: the verdict's named ten — the r8 additions whose
-# oracles are the most intricate (chained-CTE iterative replays or
-# independent algorithms) and therefore where a driver row adds the most
-# information: Viterbi max-plus prefix scan, seeded Brandes betweenness,
-# HITS (freshly rerouted through the shared memo + salted superstep),
-# iterative BPE merge training, winnowing/MOSS fingerprints, ER resolution
-# clusters, Pareto skyline (independent NOT-EXISTS dominance oracle),
-# two-sample KS, KMV/theta sketch set algebra, binary-segmentation
-# change-point detection.
+# --- r11 window survivors from the r9 rotation: seven entries stay for a
+# third driver row — the iterative-machinery flagships whose shared
+# builders were touched by the r9/r10 memo + salting work (HITS, seeded
+# Brandes, ER connected components), the Viterbi prefix scan, the
+# foreachBatch streaming CDC merge (keeps a versioned-sink slot in the
+# window), Kaplan-Meier (the r9 vacuous-gate precedent), and sim_knn_graph
+# (its build is session-memoized THIS round — a fresh driver row re-proves
+# the memo changed nothing). The other 12 r9-rotation names and the eight
+# four-round-green r7 promotions move below the window (local parity keeps
+# covering them every commit).
 register("events_hmm_viterbi_decode", relational.events_hmm_viterbi_decode)
 register("graph_betweenness_seeded", graph.graph_betweenness_seeded)
 register("graph_hits", graph.graph_hits)
-register("text_bpe_train_merges", text.text_bpe_train_merges)
-register("text_winnowing_fingerprints", text.text_winnowing_fingerprints)
 register("er_resolution_clusters", relational.er_resolution_clusters)
-register("parts_pareto_skyline", relational.parts_pareto_skyline)
-register("events_ks_test", relational.events_ks_test)
-register("events_kmv_overlap", relational.events_kmv_overlap)
-register("events_changepoint_detection", relational.events_changepoint_detection)
-
-# --- r9 rotation, part 2: nine more never-driver-verified r8 additions —
-# BM25 ranking, exact tie-aware ROC-AUC, the foreachBatch versioned-store
-# streaming CDC merge (keeps a streaming slot in the window), Kaplan-Meier
-# survival (the vacuous-gate lesson makes independent verification
-# valuable), ITS segmented regression, the k-anonymity generalization
-# sweep, Adamic-Adar link prediction, the corpus kNN graph, and the
-# retention power-law fit.
-register("text_bm25_topk", text.text_bm25_topk)
-register("events_auc_report", relational.events_auc_report)
 register("stream_cdc_merge", streaming_windows.stream_cdc_merge)
 register("events_survival_km", relational.events_survival_km)
-register("orders_interrupted_timeseries", relational.orders_interrupted_timeseries)
-register("privacy_generalization_sweep", curation.privacy_generalization_sweep)
-register("graph_adamic_adar", graph.graph_adamic_adar)
 register("sim_knn_graph", similarity.sim_knn_graph)
-register("events_retention_curve_fit", relational.events_retention_curve_fit)
 
 # --- r10 rotation (VERDICT r9 asks #1 and #5): the 20 window slots freed by
 # the r7/r8 survivors (driver-green two-to-three consecutive rounds, moved
@@ -191,13 +147,71 @@ register(
 )
 register("stream_quantile_histogram", streaming_windows.stream_quantile_histogram)
 
+from .functions import scalar  # noqa: E402
+from .sources import layout as sources_layout  # noqa: E402
+from .sources import textfiles  # noqa: E402
+
+# --- r11 rotation (VERDICT r10 asks #1 and #3): the 20 slots freed above go
+# to the never-driver-verified families whose code paths differ most from
+# plain SQL — the remaining five stream_* queries (sliding windows, the
+# checkpointed exactly-once parquet sink, stream-static broadcast
+# enrichment, windowed trending top-k, streaming HLL), the five source_*
+# reader/writer roundtrips (csv/orc/xml dialects, mergeSchema evolution,
+# PERMISSIVE corrupt-record quarantine — real reader behavior the local
+# harness shares with the driver least), the Spark 4 VARIANT and LATERAL
+# surfaces, the composed ANN-recall and SemDeDup keep verdicts, and the
+# whole SURVEY §2.7 scalar-functions family (its driver evidence was only
+# ever indirect, through the tagging queries — six slots retire that
+# permanently).
+register("stream_sliding_counts", streaming_windows.stream_sliding_counts)
+register("stream_sink_parquet", streaming_windows.stream_sink_parquet)
+register("stream_enrich_static", streaming_windows.stream_enrich_static)
+register("stream_trending_topk", streaming_windows.stream_trending_topk)
+register("stream_hll_distinct", streaming_windows.stream_hll_distinct)
+register("source_csv_roundtrip", textfiles.source_csv_roundtrip)
+register("source_orc_roundtrip", textfiles.source_orc_roundtrip)
+register("source_xml_roundtrip", textfiles.source_xml_roundtrip)
+register("source_schema_evolution", textfiles.source_schema_evolution)
+register("source_jsonl_corrupt_quarantine", textfiles.source_jsonl_corrupt_quarantine)
+register("events_variant_extract", relational.events_variant_extract)
+register("lateral_top_customers", relational.lateral_top_customers)
+register("ann_recall_report", similarity.ann_recall_report)
+register("dedup_semantic_keep", similarity.dedup_semantic_keep)
+register("string_functions", scalar.string_functions)
+register("date_functions", scalar.date_functions)
+register("math_functions", scalar.math_functions)
+register("array_functions", scalar.array_functions)
+register("map_functions", scalar.map_functions)
+register("percentiles_by_priority", scalar.percentiles_by_priority)
+
 # --------------------------- slot 51+ from here -----------------------------
 # Everything below is OUTSIDE the driver's 50-entry window; each keeps its
 # local DuckDB oracle in tests/test_oracle_parity.py (or a documented
 # NO_ORACLE reason) as regression cover.
 
-from .sources import layout as sources_layout  # noqa: E402
-from .sources import textfiles  # noqa: E402
+# Displaced by the r11 window refresh (see above): the eight r7 promotions
+# were driver-green four consecutive rounds (r7-r10), the twelve r9
+# promotions two (r9-r10); all remain fully oracle-backed locally.
+register("dedup_minhash_lev_verify", dedup.dedup_minhash_lev_verify)
+register("embedding_pca_power_iteration", similarity.embedding_pca_power_iteration)
+register("orders_forecast_backtest", relational.orders_forecast_backtest)
+register("approx_distinct_hll", relational.approx_distinct_hll)
+register("graph_shortest_paths", graph.graph_shortest_paths)
+register("events_cusum_drift", relational.events_cusum_drift)
+register("sim_mmr_diversify", similarity.sim_mmr_diversify)
+register("privacy_t_closeness", relational.privacy_t_closeness)
+register("text_bpe_train_merges", text.text_bpe_train_merges)
+register("text_winnowing_fingerprints", text.text_winnowing_fingerprints)
+register("parts_pareto_skyline", relational.parts_pareto_skyline)
+register("events_ks_test", relational.events_ks_test)
+register("events_kmv_overlap", relational.events_kmv_overlap)
+register("events_changepoint_detection", relational.events_changepoint_detection)
+register("text_bm25_topk", text.text_bm25_topk)
+register("events_auc_report", relational.events_auc_report)
+register("orders_interrupted_timeseries", relational.orders_interrupted_timeseries)
+register("privacy_generalization_sweep", curation.privacy_generalization_sweep)
+register("graph_adamic_adar", graph.graph_adamic_adar)
+register("events_retention_curve_fit", relational.events_retention_curve_fit)
 
 # Displaced by the r10 window refresh (see above): the ten r7-survivors were
 # driver-green three consecutive rounds (r7-r9), the ten r8-survivors two
@@ -319,16 +333,11 @@ register("grouping_sets_agg", relational.grouping_sets_agg)
 register("above_avg_parts", relational.above_avg_parts)
 register("unpivot_measures", relational.unpivot_measures)
 # approx_distinct (accuracy-contract oracle since r8) promoted into the
-# driver window by the r10 rotation — registered above.
+# driver window by the r10 rotation, and the whole scalar-functions family
+# (string/date/math/array/map, percentiles_by_priority) plus the source_*
+# roundtrips, remaining stream_* queries, VARIANT/LATERAL surfaces and the
+# composed ANN/SemDeDup verdicts by the r11 rotation — all registered above.
 
-from .functions import scalar  # noqa: E402
-
-register("string_functions", scalar.string_functions)
-register("date_functions", scalar.date_functions)
-register("math_functions", scalar.math_functions)
-register("percentiles_by_priority", scalar.percentiles_by_priority)
-register("array_functions", scalar.array_functions)
-register("map_functions", scalar.map_functions)
 # Sequential funnel via chained same-partition windows (one shuffle).
 register("events_funnel", relational.events_funnel)
 # Day-N cohort retention triangle (exact distinct users per cell).
@@ -354,41 +363,23 @@ register("embedding_outliers", similarity.embedding_outliers)
 # Power-of-two token-length histogram (exact integer log2 buckets).
 register("doc_length_histogram", text.doc_length_histogram)
 
-register("source_csv_roundtrip", textfiles.source_csv_roundtrip)
-register("source_orc_roundtrip", textfiles.source_orc_roundtrip)
 register("corpus_pack_sequences", curation.corpus_pack_sequences)
-register("stream_sliding_counts", streaming_windows.stream_sliding_counts)
 register("layout_compact_small_files", sources_layout.layout_compact_small_files)
 # Composite gate→scrub→dedup→split pipeline: every map stage fuses into one
 # scan; exactly two shuffles (dedup window + report agg) at any scale.
 register("curation_pipeline_report", curation.curation_pipeline_report)
-# Checkpointed exactly-once parquet file sink (availableNow trigger).
-register("stream_sink_parquet", streaming_windows.stream_sink_parquet)
 # Range-sorted write => tight per-row-group min/max => stats-based skipping.
 register("layout_sorted_skipping", sources_layout.layout_sorted_skipping)
 # Per-batch data-quality gate: one agg pass per table + key-only anti joins.
 register("dq_checks_report", curation.dq_checks_report)
-# mergeSchema over heterogeneous parquet generations (nulls for old files).
-register("source_schema_evolution", textfiles.source_schema_evolution)
 # RAG-style overlapping token chunking (chunk 16 / stride 8), zero-shuffle.
 register("text_chunk_windows", text.text_chunk_windows)
-# Spark 4 VARIANT path (parse once, typed gets) and SQL-surface LATERAL.
-register("events_variant_extract", relational.events_variant_extract)
-register("lateral_top_customers", relational.lateral_top_customers)
 # Hash-threshold mixture sampler (split-independent salt), scan-time filter.
 register("corpus_mixture_sample", curation.corpus_mixture_sample)
-# PERMISSIVE JSONL read with counted corrupt-record quarantine.
-register("source_jsonl_corrupt_quarantine", textfiles.source_jsonl_corrupt_quarantine)
-# Recall@k of both ANN paths vs exact top-k (deterministic, value-checked).
-register("ann_recall_report", similarity.ann_recall_report)
 # Exact binary-payload dedup (content-addressing; synthetic re-uploads).
 register("mm_payload_dedup", multimodal.mm_payload_dedup)
 # Two partition-pruned incremental runs merged == one-shot recompute.
 register("incremental_daily_agg", sources_layout.incremental_daily_agg)
-# Stateless stream-static broadcast enrichment (per-micro-batch dim join).
-register("stream_enrich_static", streaming_windows.stream_enrich_static)
-# SemDeDup keep/drop artifact: CC over semantic pairs + min-id reps.
-register("dedup_semantic_keep", similarity.dedup_semantic_keep)
 # Text gates AND semantic dedup joined into the final per-doc verdict.
 register("embedding_dim_stats", similarity.embedding_dim_stats)
 # Deterministic Lloyd's k-means (SemDeDup-style clustering stage): exact
@@ -426,7 +417,6 @@ register("graph_degree_stats", graph.graph_degree_stats)
 
 register("text_keyword_rake", text.text_keyword_rake)
 
-register("stream_trending_topk", streaming_windows.stream_trending_topk)
 
 register("dedup_exact_keep_best", dedup.dedup_exact_keep_best)
 
@@ -438,7 +428,6 @@ register("dedup_minhash_incremental", dedup.dedup_minhash_incremental)
 
 register("events_path_topk", relational.events_path_topk)
 
-register("source_xml_roundtrip", textfiles.source_xml_roundtrip)
 
 register("layout_zorder_skipping", sources_layout.layout_zorder_skipping)
 
@@ -507,7 +496,6 @@ register("events_ab_lift", relational.events_ab_lift)
 register("text_blocklist_filter", text.text_blocklist_filter)
 register("graph_personalized_pagerank", graph.graph_personalized_pagerank)
 register("orders_duplicate_detection", relational.orders_duplicate_detection)
-register("stream_hll_distinct", streaming_windows.stream_hll_distinct)
 register("events_autocorrelation", relational.events_autocorrelation)
 register("graph_closeness_centrality", graph.graph_closeness_centrality)
 register("graph_assortativity", graph.graph_assortativity)
