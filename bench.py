@@ -82,6 +82,7 @@ def main() -> int:
     for mod, attr in [
         (_sim, "_KMEANS_CACHE"),
         (_sim, "_SEMANTIC_KEEP_CACHE"),
+        (_sim, "_KNN_GRAPH_CACHE"),
         (_dedup, "_CLUSTERS_CACHE"),
         (_dedup, "_LSH_PAIRS_CACHE"),
         (_dedup, "_SIMHASH_PAIRS_CACHE"),

@@ -1638,20 +1638,10 @@ def embedding_hard_negatives(
 KNN_GRAPH_K = 3
 
 
-def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate kNN GRAPH over the whole corpus — the build step under
-    UMAP / HDBSCAN / kNN-classification and graph-based dedup: every
-    vector keeps its KNN_GRAPH_K nearest same-LSH-bucket neighbors, with
-    the MUTUAL flag (v in knn(u) AND u in knn(v)) that density-based
-    methods key on (mutual edges are the high-confidence backbone).
-
-    Scale shape: candidates are bucket-local (one equi-join on the
-    sign-LSH bucket — never corpus × corpus; single-probe here, the graph
-    analogue of sim_ann_lsh's query path); the per-vector top-k is a
-    bucket-partitioned window; mutuality is one self-join of the k·n-row
-    kNN edge list on the reversed pair. Cosines are exact-integer-dot
-    doubles; ranks carry the (cosine DESC, neighbor ASC) total
-    tie-break."""
+def _knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-memoized kNN-graph pipeline — plan-shape assertions point HERE
+    (the _simhash_pairs_build precedent: the memoized frame's plan is just
+    a checkpoint scan)."""
     base = lsh_buckets(quantized_embeddings(spark, sf_dir)).select(
         "vec_id", "qv", "nrm", "bucket"
     )
@@ -1692,6 +1682,47 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("m", F.lit(False)).alias("is_mutual"),
         )
     )
+
+
+# Session memo for the kNN-graph edge list (VERDICT r10 ask #4): the build
+# (bucket join + per-vector top-k window + mutuality self-join) is the
+# dominant shared cost of the graph-ANN family — sim_knn_graph itself, the
+# beam search's edge frame, and the beam-recall referee all consume it.
+# Key = (applicationId, sf_dir, checkpoint-mode); same eviction rule and
+# immutable-sf_dir contract as every session_cache_sweep memo.
+_KNN_GRAPH_CACHE: dict[tuple, DataFrame] = {}
+
+
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN GRAPH over the whole corpus — the build step under
+    UMAP / HDBSCAN / kNN-classification and graph-based dedup: every
+    vector keeps its KNN_GRAPH_K nearest same-LSH-bucket neighbors, with
+    the MUTUAL flag (v in knn(u) AND u in knn(v)) that density-based
+    methods key on (mutual edges are the high-confidence backbone).
+
+    Scale shape: candidates are bucket-local (one equi-join on the
+    sign-LSH bucket — never corpus × corpus; single-probe here, the graph
+    analogue of sim_ann_lsh's query path); the per-vector top-k is a
+    bucket-partitioned window; mutuality is one self-join of the k·n-row
+    kNN edge list on the reversed pair. Cosines are exact-integer-dot
+    doubles; ranks carry the (cosine DESC, neighbor ASC) total
+    tie-break.
+
+    MATERIALIZED once and session-memoized (the _LSH_PAIRS_CACHE
+    convention). Consumers must NOT re-truncate the result; checkpointed
+    frames lose stats, so a consumer joining this frame should rely on
+    AQE's runtime sizing or hint broadcast explicitly."""
+    from ..checkpointing import CHECKPOINT_MODE_CONF
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, spark.conf.get(CHECKPOINT_MODE_CONF, "local"))
+    _cache_sweep(_KNN_GRAPH_CACHE, app_id)
+    hit = _KNN_GRAPH_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = _knn_graph_build(spark, sf_dir).transform(truncate_lineage)
+    _KNN_GRAPH_CACHE[key] = out
+    return out
 
 
 # Hybrid retrieval fusion: RRF constant, the query vector id, and the fused
@@ -1788,10 +1819,10 @@ def sim_ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = base.where(F.col("vec_id") == GBS_QUERY_VEC).select(
         F.col("qv").alias("qq"), F.col("nrm").alias("nq")
     )
-    edges = (
-        sim_knn_graph(spark, sf_dir)
-        .select(F.col("vec_id").alias("u"), F.col("neighbor_id").alias("v"))
-        .transform(truncate_lineage)
+    # Projection off the session-memoized checkpoint — no re-truncate (the
+    # memo contract) and no rebuild across the family's consumers.
+    edges = sim_knn_graph(spark, sf_dir).select(
+        F.col("vec_id").alias("u"), F.col("neighbor_id").alias("v")
     )
     cos = int_dot(F.col("qq"), F.col("qv")).cast("double") / (
         F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("nrm").cast("double"))
