@@ -5439,3 +5439,239 @@ def events_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# Theil-Sen evaluation window: the trailing year of the series. Slopes are
+# near-unique doubles, so the median's ordered cumulative pass is a
+# single-task sort of the whole pair list — days²/2 pairs. A full-history
+# daily series (~2.4k days → 2.9M pairs) costs ~6s in that single task for
+# no statistical benefit (trend readouts are windowed in practice); 365
+# days → 66k pairs keeps the identical machinery trivial at ANY corpus
+# size. Sync-pinned to the oracle literal (test_r11_constants_in_sync).
+THEIL_SEN_TRAILING_DAYS = 365
+
+
+def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily order revenue over the trailing
+    year — the median-of-pairwise-slopes estimator (Sen 1968) that the
+    OLS trend queries can't replace: a 29.3% breakdown point makes it the
+    standard robust drift readout for revenue/volume series with outlier
+    days.
+
+    Exact evaluation on the established rails: the series is the
+    per-day exact-cents revenue aggregate (x = epoch day, y = cents
+    BIGINT) over the THEIL_SEN_TRAILING_DAYS ending at the series max;
+    every pairwise slope is ONE double division of exact integers
+    (identical on both engines), and both medians (slopes, then
+    intercept residuals y − m·x) use the order-statistic pattern — "min
+    value with 2·cumulative count ≥ N (+1)" over the per-value aggregate,
+    never a raw-row rank window. The OLS slope from exact DECIMAL(38)
+    sufficient statistics rides along as the sensitivity reference.
+
+    Scale shape: the ONLY corpus-scale work is the per-day groupBy; the
+    pair stage is window-days² (≈66k pairs), FIXED by the calendar and
+    independent of corpus row count, so the plan is unchanged at 100 TB.
+    Pairs come from a broadcast nested-loop self-join of the tiny daily
+    aggregate; the ordered cumulative window runs over the per-slope
+    aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    all_days = (
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("x"),
+            cents.alias("c"),
+        )
+        .groupBy("x")
+        .agg(F.sum("c").cast("bigint").alias("y"))
+        # ONE corpus pass: the max-x probe and the trailing filter both
+        # re-read this checkpoint, never the scan (r10 review rule)
+        .transform(truncate_lineage)
+    )
+    max_x = all_days.agg(F.max("x").alias("mx"))
+    daily = (
+        all_days.crossJoin(F.broadcast(max_x))
+        .where(F.col("x") > F.col("mx") - F.lit(THEIL_SEN_TRAILING_DAYS))
+        .select("x", "y")
+    )
+    a = daily.select(F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = daily.select(F.col("x").alias("x2"), F.col("y").alias("y2"))
+    slope = (F.col("y2") - F.col("y1")).cast("double") / (
+        F.col("x2") - F.col("x1")
+    ).cast("double")
+    pair_slopes = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("x2") > F.col("x1"))
+        .select(slope.alias("slope"))
+    )
+
+    def _median_orderstat(vals: DataFrame, col: str) -> DataFrame:
+        """(lo+hi)/2 median of a double column via the per-value
+        cumulative-count order statistic; ONE row out (global aggregates
+        only — empty input yields NULLs, never zero rows)."""
+        per_v = vals.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        wc = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        tot = per_v.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("n"))
+        cum = per_v.select(
+            col, F.sum("cnt").over(wc).alias("cum")
+        ).crossJoin(F.broadcast(tot))
+        return cum.agg(
+            F.max("n").alias("n"),
+            F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col(col))).alias("lo"),
+            F.min(F.when(2 * F.col("cum") >= F.col("n") + 1, F.col(col))).alias(
+                "hi"
+            ),
+        )
+
+    m = _median_orderstat(pair_slopes, "slope").select(
+        F.col("n").alias("n_pairs"),
+        ((F.col("lo") + F.col("hi")) / F.lit(2.0)).alias("ts_slope"),
+    )
+    resid = daily.crossJoin(F.broadcast(m)).select(
+        (
+            F.col("y").cast("double")
+            - F.col("ts_slope") * F.col("x").cast("double")
+        ).alias("r")
+    )
+    icept = _median_orderstat(resid, "r").select(
+        ((F.col("lo") + F.col("hi")) / F.lit(2.0)).alias("ts_intercept")
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    ols = (
+        daily.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum(d38("x")).alias("sx"),
+            F.sum(d38("y")).alias("sy"),
+            F.sum(d38("x") * d38("x")).alias("sxx"),
+            F.sum(d38("x") * d38("y")).alias("sxy"),
+        )
+        .select(
+            "n_days",
+            (
+                (
+                    F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+                ).cast("double")
+                / (
+                    F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+                ).cast("double")
+            ).alias("ols_slope"),
+        )
+    )
+    # No display rounding: every emitted double is a SELECTION (median) or
+    # one division/product tree of exact integers — bit-identical on both
+    # engines, and rounding would only reintroduce the half-up-vs-binary
+    # boundary class (r8) on genuinely small-rational values.
+    return (
+        ols.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(icept))
+        .select("n_days", "n_pairs", "ts_slope", "ts_intercept", "ols_slope")
+    )
+
+
+# One-way ANOVA / Tukey-HSD critical values at df -> infinity for the
+# fixture's k = 5 event-type groups (per-group df here is ~2k-20k, where
+# the infinite-df studentized-range and F quantiles are correct to 3dp).
+# Sync-pinned to the oracle literals (test_r11_constants_in_sync).
+TUKEY_Q_CRIT_05 = 3.858  # q(k=5, df=inf, alpha=0.05), studentized range
+ANOVA_F_CRIT_05 = 2.372  # F(4, inf) upper 5% point
+
+
+def events_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA + Tukey-Kramer HSD across event-type VALUE groups —
+    the multiple-comparisons readout missing beside the two-sample tests
+    (KS, Mann-Whitney, permutation): one F test for "any group differs",
+    then every pair tested against the studentized-range bound that
+    controls the FAMILY-wISE error rate (plain pairwise t-tests at
+    alpha=.05 would fire spuriously across k·(k-1)/2 comparisons).
+
+    Exact evaluation: per-group sufficient statistics (n, Σx, Σx²) in
+    exact cents DECIMAL(38,0); each group's between-term (Σx)²/n rides
+    the established float-mean rail (round to 9dp → DECIMAL(28,9) → one
+    exact sum) so no double is ever summed in nondeterministic order;
+    SSW/MSE/F/q are identical double expression trees on both engines.
+
+    Scale shape: ONE map-side-combined groupBy(event_type) over the scan
+    (k·3 numbers cross the wire), one k-row aggregate, one broadcast
+    k×k pair join — corpus touched once, everything after is O(k²)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = (
+        ev.select(F.col("event_type").alias("et"), cents.alias("c"))
+        .groupBy("et")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(d38(F.col("c"))).alias("sx"),
+            F.sum(d38(F.col("c")) * d38(F.col("c"))).alias("sxx"),
+        )
+        .transform(truncate_lineage)  # two consumers: totals + pair join
+    )
+    # between-group term (Σx)²/n per group on the 9dp-DECIMAL rail
+    bt = F.round(
+        (F.col("sx") * F.col("sx")).cast("double") / F.col("n").cast("double"), 9
+    ).cast("decimal(28,9)")
+    tot = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum("sx").alias("sx_tot"),
+        F.sum("sxx").alias("sxx_tot"),
+        F.sum(bt).alias("a_between"),
+    ).select(
+        "k",
+        "n_total",
+        # SSW = Σx²_tot − Σ_g (Σx_g)²/n_g ; SSB = Σ_g (Σx_g)²/n_g − (ΣΣx)²/N
+        (
+            F.col("sxx_tot").cast("double") - F.col("a_between").cast("double")
+        ).alias("ssw"),
+        (
+            F.col("a_between").cast("double")
+            - (F.col("sx_tot") * F.col("sx_tot")).cast("double")
+            / F.col("n_total").cast("double")
+        ).alias("ssb"),
+    )
+    stats = tot.select(
+        "k",
+        "n_total",
+        (F.col("ssb") / (F.col("k") - 1).cast("double")).alias("msb"),
+        (F.col("ssw") / (F.col("n_total") - F.col("k")).cast("double")).alias(
+            "mse"
+        ),
+    ).select(
+        "k",
+        "n_total",
+        "mse",
+        (F.col("msb") / F.col("mse")).alias("f_stat"),
+    )
+    a = g.select(
+        F.col("et").alias("type_a"), F.col("n").alias("n_a"), F.col("sx").alias("sa")
+    )
+    b = g.select(
+        F.col("et").alias("type_b"), F.col("n").alias("n_b"), F.col("sx").alias("sb")
+    )
+    mean = lambda s, n: F.col(s).cast("double") / F.col(n).cast("double")  # noqa: E731
+    se = F.sqrt(
+        (F.col("mse") / F.lit(2.0))
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    q = F.abs(mean("sa", "n_a") - mean("sb", "n_b")) / se
+    return (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("type_a") < F.col("type_b"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            mean("sa", "n_a").alias("mean_a_cents"),
+            mean("sb", "n_b").alias("mean_b_cents"),
+            q.alias("q_stat"),
+            (q > F.lit(TUKEY_Q_CRIT_05)).alias("reject_hsd_05"),
+            "f_stat",
+            (F.col("f_stat") > F.lit(ANOVA_F_CRIT_05)).alias("reject_anova_05"),
+        )
+    )

@@ -1869,3 +1869,91 @@ def sim_ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("in_exact_topk", F.lit(False)).alias("in_exact_topk"),
         )
     )
+
+
+# DBSCAN-lite parameters: cosine-similarity eps over the kNN graph and the
+# core-point neighbor minimum. Sync-pinned to the oracle literals
+# (test_r11_constants_in_sync).
+DBSCAN_EPS_COS = 0.25
+DBSCAN_MIN_NEIGHBORS = 2
+
+
+def embedding_dbscan_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based clustering (DBSCAN over the kNN graph) — the
+    cluster-shape-agnostic companion to Lloyd's k-means in the semantic
+    curation family: core points (≥ DBSCAN_MIN_NEIGHBORS graph neighbors
+    at cosine ≥ DBSCAN_EPS_COS) merge into clusters by core-core
+    reachability; non-core points adjacent to a core become border
+    members; the rest is NOISE — the outlier verdict k-means cannot give
+    (every point gets a centroid whether it belongs anywhere or not).
+
+    Graph-restricted semantics (the standard scalable relaxation, à la
+    NG-DBSCAN): neighborhoods are evaluated on the SYMMETRIZED
+    sim_knn_graph edge list rather than by exact range search, so the
+    whole operator is a composition of already-verified stages — the
+    session-memoized kNN graph, one filter + symmetrize + distinct, a
+    degree aggregate, min-label pointer-jumping connected components over
+    core-core edges (dedup's CC core), and one min-cluster assignment
+    join for borders. Deterministic: cluster ids are min core vec_id per
+    component; border ties take the smallest adjacent core cluster id.
+
+    Scale shape: every stage is key-partitioned on vec_id over the
+    k·n-row edge list (degrees bounded by 2k — no skew); CC runs
+    O(log diameter) rounds; nothing is corpus × corpus."""
+    from .dedup import connected_components
+
+    g = sim_knn_graph(spark, sf_dir)  # session-memoized checkpoint
+    fil = g.where(F.col("cosine") >= DBSCAN_EPS_COS).select(
+        F.col("vec_id").alias("u"), F.col("neighbor_id").alias("v")
+    )
+    sym = (
+        fil.unionByName(fil.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .transform(truncate_lineage)  # three consumers: degree, CC edges, border
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("eps_degree"))
+    core = (
+        deg.where(F.col("eps_degree") >= DBSCAN_MIN_NEIGHBORS)
+        .select(F.col("u").alias("node"))
+        .transform(truncate_lineage)  # consumers: CC nodes, both edge ends, border anti
+    )
+    ce = (
+        sym.join(core.select(F.col("node").alias("u")), "u")
+        .join(core.select(F.col("node").alias("v")), "v")
+        .where(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("a"), F.col("v").alias("b"))
+    )
+    comp = connected_components(
+        core.select(F.col("node").alias("doc_id")), ce, max_iter=64
+    ).select(F.col("doc_id").alias("node"), "cluster_id")
+    border = (
+        sym.join(
+            comp.select(F.col("node").alias("v"), "cluster_id"), "v"
+        )
+        .join(core.select(F.col("node").alias("u")), "u", "left_anti")
+        .groupBy("u")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+        .select(F.col("u").alias("node"), "cluster_id")
+    )
+    ids = quantized_embeddings(spark, sf_dir).select("vec_id")
+    core_lab = comp.select(
+        F.col("node").alias("vec_id"), F.col("cluster_id").alias("core_cid")
+    )
+    border_lab = border.select(
+        F.col("node").alias("vec_id"), F.col("cluster_id").alias("border_cid")
+    )
+    degree = deg.select(F.col("u").alias("vec_id"), "eps_degree")
+    return (
+        ids.join(core_lab, "vec_id", "left")
+        .join(border_lab, "vec_id", "left")
+        .join(degree, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("core_cid").isNotNull(), F.lit("core"))
+            .when(F.col("border_cid").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("core_cid", "border_cid").alias("cluster_id"),
+            F.coalesce("eps_degree", F.lit(0)).cast("bigint").alias("eps_degree"),
+        )
+    )

@@ -8322,3 +8322,181 @@ SELECT kd.n_cal,
                        / CAST(t.n_test AS DOUBLE), 6) END AS coverage
 FROM kd CROSS JOIN q CROSS JOIN t
 """
+
+# Mirrors relational.orders_theil_sen_trend: per-day exact-cents revenue,
+# pairwise slopes as one double division of exact integers, both medians
+# via the per-value cumulative order statistic (2*cum >= N / N+1), OLS
+# slope from HUGEINT sufficient statistics. No display rounding: every
+# output double is a selection or a single exact-integer expression tree.
+ORACLE_SQL["orders_theil_sen_trend"] = """
+WITH all_days AS MATERIALIZED (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+daily AS MATERIALIZED (
+  SELECT x, y FROM all_days
+  WHERE x > (SELECT MAX(x) FROM all_days) - 365
+),
+pair_slopes AS (
+  SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON b.x > a.x
+),
+sl_per AS (SELECT slope AS v, COUNT(*) AS cnt FROM pair_slopes GROUP BY 1),
+sl_tot AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n FROM sl_per),
+sl_cum AS (
+  SELECT v, SUM(cnt) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS cum, n
+  FROM sl_per CROSS JOIN sl_tot
+),
+m AS MATERIALIZED (
+  SELECT MAX(n) AS n_pairs,
+         (MIN(CASE WHEN 2 * cum >= n THEN v END)
+          + MIN(CASE WHEN 2 * cum >= n + 1 THEN v END)) / CAST(2 AS DOUBLE)
+           AS ts_slope
+  FROM sl_cum
+),
+resid AS (
+  SELECT CAST(d.y AS DOUBLE) - m.ts_slope * CAST(d.x AS DOUBLE) AS r
+  FROM daily d CROSS JOIN m
+),
+r_per AS (SELECT r AS v, COUNT(*) AS cnt FROM resid GROUP BY 1),
+r_tot AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n FROM r_per),
+r_cum AS (
+  SELECT v, SUM(cnt) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS cum, n
+  FROM r_per CROSS JOIN r_tot
+),
+icept AS (
+  SELECT (MIN(CASE WHEN 2 * cum >= n THEN v END)
+          + MIN(CASE WHEN 2 * cum >= n + 1 THEN v END)) / CAST(2 AS DOUBLE)
+           AS ts_intercept
+  FROM r_cum
+),
+ols AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(COUNT(*) * SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+              - SUM(CAST(x AS HUGEINT)) * SUM(CAST(y AS HUGEINT)) AS DOUBLE)
+           / CAST(COUNT(*) * SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                  - SUM(CAST(x AS HUGEINT)) * SUM(CAST(x AS HUGEINT))
+                  AS DOUBLE) AS ols_slope
+  FROM daily
+)
+SELECT n_days, n_pairs, ts_slope, ts_intercept, ols_slope
+FROM ols CROSS JOIN m CROSS JOIN icept
+"""
+
+# Mirrors relational.events_tukey_hsd: exact-cents sufficient statistics,
+# per-group between-terms on the 9dp-DECIMAL rail, identical double trees
+# for MSE/F/q, and the df=inf critical constants (sync-pinned).
+ORACLE_SQL["events_tukey_hsd"] = """
+WITH g AS MATERIALIZED (
+  SELECT event_type AS et,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  AS HUGEINT)) AS sx,
+         SUM(CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  AS HUGEINT)
+             * CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    AS HUGEINT)) AS sxx
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n_total,
+         SUM(sx) AS sx_tot,
+         SUM(sxx) AS sxx_tot,
+         SUM(CAST(round(CAST(sx * sx AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                  AS DECIMAL(28,9))) AS a_between
+  FROM g
+),
+stats AS (
+  SELECT k, n_total,
+         ((CAST(a_between AS DOUBLE)
+           - CAST(sx_tot * sx_tot AS DOUBLE) / CAST(n_total AS DOUBLE))
+          / CAST(k - 1 AS DOUBLE))
+         / ((CAST(sxx_tot AS DOUBLE) - CAST(a_between AS DOUBLE))
+            / CAST(n_total - k AS DOUBLE)) AS f_stat,
+         (CAST(sxx_tot AS DOUBLE) - CAST(a_between AS DOUBLE))
+           / CAST(n_total - k AS DOUBLE) AS mse
+  FROM tot
+)
+SELECT a.et AS type_a, b.et AS type_b, a.n AS n_a, b.n AS n_b,
+       CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE) AS mean_a_cents,
+       CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE) AS mean_b_cents,
+       abs(CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE)
+           - CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE))
+         / sqrt((s.mse / CAST(2 AS DOUBLE))
+                * (CAST(1 AS DOUBLE) / CAST(a.n AS DOUBLE)
+                   + CAST(1 AS DOUBLE) / CAST(b.n AS DOUBLE))) AS q_stat,
+       abs(CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE)
+           - CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE))
+         / sqrt((s.mse / CAST(2 AS DOUBLE))
+                * (CAST(1 AS DOUBLE) / CAST(a.n AS DOUBLE)
+                   + CAST(1 AS DOUBLE) / CAST(b.n AS DOUBLE)))
+         > CAST(3.858 AS DOUBLE) AS reject_hsd_05,
+       s.f_stat,
+       s.f_stat > CAST(2.372 AS DOUBLE) AS reject_anova_05
+FROM g a JOIN g b ON a.et < b.et CROSS JOIN stats s
+"""
+
+# Mirrors similarity.embedding_dbscan_lite: the sim_knn_graph CTE chain,
+# cosine-eps filter + symmetrize, degree >= min-neighbors cores, reach
+# transitive closure over core-core edges (min core id per component —
+# the graph_components oracle pattern), min-cluster border assignment.
+ORACLE_SQL["embedding_dbscan_lite"] = f"""
+WITH RECURSIVE {_QEMB_CTES},
+bkt AS (SELECT vec_id, qv, nrm, {_BUCKET_EXPR} AS bucket FROM n),
+pairs AS (
+  SELECT x.vec_id AS u, y.vec_id AS v,
+         list_dot_product(CAST(x.qv AS DOUBLE[]), CAST(y.qv AS DOUBLE[]))
+           / (sqrt(x.nrm) * sqrt(y.nrm)) AS cosine
+  FROM bkt x JOIN bkt y USING (bucket)
+  WHERE x.vec_id != y.vec_id
+),
+knn AS (
+  SELECT u, v, cosine
+  FROM (SELECT *, row_number() OVER (PARTITION BY u
+                                     ORDER BY cosine DESC, v ASC) AS rank
+        FROM pairs)
+  WHERE rank <= 3
+),
+fil AS (SELECT u, v FROM knn WHERE cosine >= CAST(0.25 AS DOUBLE)),
+sym AS MATERIALIZED (
+  SELECT DISTINCT u, v
+  FROM (SELECT u, v FROM fil UNION ALL SELECT v AS u, u AS v FROM fil)
+),
+deg AS MATERIALIZED (
+  SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS eps_degree FROM sym GROUP BY 1
+),
+core AS MATERIALIZED (SELECT node FROM deg WHERE eps_degree >= 2),
+ce AS MATERIALIZED (
+  SELECT s.u AS a, s.v AS b
+  FROM sym s JOIN core c1 ON s.u = c1.node JOIN core c2 ON s.v = c2.node
+),
+reach(a, b) AS (
+  SELECT node, node FROM core
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN ce e ON r.b = e.a
+),
+comp AS MATERIALIZED (SELECT a AS node, MIN(b) AS cluster_id FROM reach GROUP BY a),
+border AS MATERIALIZED (
+  SELECT s.u AS node, MIN(c.cluster_id) AS cluster_id
+  FROM sym s JOIN comp c ON s.v = c.node
+  WHERE s.u NOT IN (SELECT node FROM core)
+  GROUP BY s.u
+)
+SELECT e.vec_id,
+       CASE WHEN cmp.node IS NOT NULL THEN 'core'
+            WHEN bor.node IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       COALESCE(cmp.cluster_id, bor.cluster_id) AS cluster_id,
+       CAST(COALESCE(d.eps_degree, 0) AS BIGINT) AS eps_degree
+FROM (SELECT vec_id FROM q) e
+LEFT JOIN comp cmp ON e.vec_id = cmp.node
+LEFT JOIN border bor ON e.vec_id = bor.node
+LEFT JOIN deg d ON e.vec_id = d.node
+"""

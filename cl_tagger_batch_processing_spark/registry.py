@@ -540,3 +540,10 @@ register("events_user_gini", relational.events_user_gini)
 # split-conformal distribution-free prediction bound --------------------
 register("events_isotonic_calibration", relational.events_isotonic_calibration)
 register("events_conformal_interval", relational.events_conformal_interval)
+
+# --- round-11 additions (held well under the 20-slot rotation): the robust
+# trend estimator, the multiple-comparisons test family, and density-based
+# clustering composed over the session-memoized kNN graph ------------------
+register("orders_theil_sen_trend", relational.orders_theil_sen_trend)
+register("events_tukey_hsd", relational.events_tukey_hsd)
+register("embedding_dbscan_lite", similarity.embedding_dbscan_lite)

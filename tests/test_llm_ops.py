@@ -4377,3 +4377,224 @@ def test_ks_and_mw_reject_on_synthetic_shifted_distributions(spark, tmp_path):
     mw = QUERIES["events_mann_whitney"](spark, str(d)).collect()[0]
     assert mw.reject_equal_05 is True
     assert abs(mw.z) > 1.96
+
+
+def test_r11_constants_in_sync():
+    """Round-11 tuning constants pinned to their oracle literals."""
+    from cl_tagger_batch_processing_spark import oracles
+    from cl_tagger_batch_processing_spark.operators import relational, similarity
+
+    ts = oracles.ORACLE_SQL["orders_theil_sen_trend"]
+    assert relational.THEIL_SEN_TRAILING_DAYS == 365
+    assert "(SELECT MAX(x) FROM all_days) - 365" in ts
+    th = oracles.ORACLE_SQL["events_tukey_hsd"]
+    assert relational.TUKEY_Q_CRIT_05 == 3.858
+    assert "CAST(3.858 AS DOUBLE)" in th
+    assert relational.ANOVA_F_CRIT_05 == 2.372
+    assert "CAST(2.372 AS DOUBLE)" in th
+    db = oracles.ORACLE_SQL["embedding_dbscan_lite"]
+    assert similarity.DBSCAN_EPS_COS == 0.25
+    assert "cosine >= CAST(0.25 AS DOUBLE)" in db
+    assert similarity.DBSCAN_MIN_NEIGHBORS == 2
+    assert "eps_degree >= 2" in db
+    # the oracle inlines the kNN-graph chain — its k must track the builder
+    assert similarity.KNN_GRAPH_K == 3 and "rank <= 3" in db
+
+
+def test_theil_sen_matches_python_replay(spark, sf_dir):
+    """Slopes and medians recomputed by PLAIN SORT over the pair list (no
+    per-value aggregate, no cumulative window) and the OLS slope by exact
+    Fraction sufficient statistics — the different-algorithm rule for
+    operators whose oracle shares the order-statistic machinery."""
+    from fractions import Fraction
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    row = QUERIES["orders_theil_sen_trend"](spark, sf_dir).collect()[0]
+    daily = _duck_rows(
+        sf_dir,
+        """SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)),
+                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                                AS BIGINT)) AS BIGINT)
+           FROM '{sf}/orders.parquet' GROUP BY 1""",
+    )
+    cutoff = max(x for x, _ in daily) - 365
+    xs = sorted((x, y) for x, y in daily if x > cutoff)
+    n = len(xs)
+    assert row.n_days == n
+    slopes = sorted(
+        (y2 - y1) / (x2 - x1)
+        for i, (x1, y1) in enumerate(xs)
+        for (x2, y2) in xs[i + 1 :]
+    )
+    npairs = n * (n - 1) // 2
+    assert row.n_pairs == npairs
+    lo, hi = slopes[(npairs + 1) // 2 - 1], slopes[npairs // 2]
+    ts = (lo + hi) / 2.0
+    assert row.ts_slope == pytest.approx(ts, rel=1e-12)
+    resid = sorted(y - ts * x for x, y in xs)
+    ri = (resid[(n + 1) // 2 - 1] + resid[n // 2]) / 2.0
+    assert row.ts_intercept == pytest.approx(ri, rel=1e-9)
+    sx = sum(Fraction(x) for x, _ in xs)
+    sy = sum(Fraction(y) for _, y in xs)
+    sxx = sum(Fraction(x) * x for x, _ in xs)
+    sxy = sum(Fraction(x) * y for x, y in xs)
+    ols = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert row.ols_slope == pytest.approx(float(ols), rel=1e-12)
+
+
+def test_tukey_matches_python_replay(spark, sf_dir):
+    """F and every pairwise q recomputed from raw (type, cents) rows with
+    textbook sums-of-squares formulas; the 9dp between-term rail is
+    replayed with Decimal ROUND_HALF_UP (never Python's banker's round)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = QUERIES["events_tukey_hsd"](spark, sf_dir).collect()
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT event_type,
+                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+           FROM '{sf}/events.parquet'""",
+    )
+    groups: dict[str, list[int]] = {}
+    for t, c in raw:
+        groups.setdefault(t, []).append(c)
+    k = len(groups)
+    n_total = sum(len(v) for v in groups.values())
+    q9 = lambda x: Decimal(x).quantize(  # noqa: E731
+        Decimal("1e-9"), rounding=ROUND_HALF_UP
+    )
+    a_between = sum(q9(sum(v) ** 2 / len(v)) for v in groups.values())
+    sxx_tot = sum(c * c for v in groups.values() for c in v)
+    ssw = float(sxx_tot) - float(a_between)
+    grand = sum(sum(v) for v in groups.values())
+    ssb = float(a_between) - float(grand * grand) / float(n_total)
+    mse = ssw / (n_total - k)
+    f = (ssb / (k - 1)) / mse
+    by_pair = {(r.type_a, r.type_b): r for r in rows}
+    assert len(by_pair) == k * (k - 1) // 2
+    for (ta, tb), r in by_pair.items():
+        na, nb = len(groups[ta]), len(groups[tb])
+        ma, mb = sum(groups[ta]) / na, sum(groups[tb]) / nb
+        q = abs(ma - mb) / ((mse / 2.0) * (1.0 / na + 1.0 / nb)) ** 0.5
+        assert (r.n_a, r.n_b) == (na, nb)
+        assert r.mean_a_cents == pytest.approx(ma, rel=1e-12)
+        assert r.mean_b_cents == pytest.approx(mb, rel=1e-12)
+        assert r.q_stat == pytest.approx(q, rel=1e-9)
+        assert r.f_stat == pytest.approx(f, rel=1e-9)
+        assert r.reject_hsd_05 == (q > 3.858)
+        assert r.reject_anova_05 == (f > 2.372)
+
+
+def test_tukey_rejects_on_synthetic_shifted_groups(spark, tmp_path):
+    """reject_hsd_05 / reject_anova_05 are identically False on the
+    same-generator fixture at every scale (r11 ALL_FALSE triage) — the
+    TRUE path of both flags runs here on a grossly shifted synthetic
+    fixture through the full production query: one group sits 1000
+    dollars above the other two with tiny within-group spread."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "shifted_groups"
+    d.mkdir()
+    rows = []
+    eid = 0
+    # click and view share a mean exactly (q = 0 pins the keep-false path
+    # — the tiny synthetic MSE makes even a dollar-level gap "significant",
+    # so only an identical mean stays below the bound)
+    for t, base in [("view", 50.0), ("click", 50.0), ("purchase", 1050.0)]:
+        for i in range(30):
+            eid += 1
+            rows.append((eid, "2024-01-01 00:00:00", 1, t, base + (i % 5), "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "cast(ts as timestamp) ts", "user_id", "event_type",
+        "value", "props",
+    ).write.parquet(str(d / "events.parquet"))
+
+    out = {(r.type_a, r.type_b): r for r in QUERIES["events_tukey_hsd"](spark, str(d)).collect()}
+    assert len(out) == 3
+    assert all(r.reject_anova_05 is True for r in out.values())
+    assert out[("click", "purchase")].reject_hsd_05 is True
+    assert out[("purchase", "view")].reject_hsd_05 is True
+    assert out[("click", "view")].reject_hsd_05 is False  # identical means
+
+
+def test_dbscan_matches_union_find_replay(spark, sf_dir):
+    """Roles and cluster labels recomputed end-to-end with numpy
+    brute-force bucket cosines, Python top-k, and UNION-FIND (not
+    min-label propagation) — the independent-algorithm rule for the CC
+    stage, sharing only the engine constants (planes, k, eps, minPts)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from cl_tagger_batch_processing_spark.oracles import _lcg_planes
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    out = {r.vec_id: r for r in QUERIES["embedding_dbscan_lite"](spark, sf_dir).collect()}
+    raw = _duck_rows(sf_dir, "SELECT vec_id, embedding FROM '{sf}/embeddings.parquet'")
+    ids = [v for v, _ in raw]
+    q9 = lambda x: int(  # noqa: E731
+        Decimal(float(x) * 1000).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+    )
+    qv = np.array([[q9(x) for x in emb] for _, emb in raw], dtype=np.int64)
+    planes = np.array(_lcg_planes(), dtype=np.int64)
+    signs = (qv.astype(float) @ planes.T.astype(float)) > 0
+    buckets = signs @ (2 ** np.arange(planes.shape[0]))
+    nrm = np.sqrt((qv * qv).sum(axis=1).astype(float))
+    knn: dict[int, list[tuple[float, int]]] = {}
+    by_bucket: dict[int, list[int]] = {}
+    for i, b in enumerate(buckets):
+        by_bucket.setdefault(int(b), []).append(i)
+    for members in by_bucket.values():
+        for i in members:
+            cands = [
+                (float(qv[i] @ qv[j]) / (nrm[i] * nrm[j]), j)
+                for j in members
+                if j != i
+            ]
+            # cosine DESC, neighbor id ASC — the builder's total order
+            cands.sort(key=lambda t: (-t[0], ids[t[1]]))
+            knn[i] = cands[:3]
+    sym: dict[int, set[int]] = {}
+    for i, cands in knn.items():
+        for cos, j in cands:
+            if cos >= 0.25:
+                sym.setdefault(i, set()).add(j)
+                sym.setdefault(j, set()).add(i)
+    core = {i for i, nb in sym.items() if len(nb) >= 2}
+    parent = {i: i for i in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in core:
+        for j in sym[i]:
+            if j in core:
+                ra, rb = find(i), find(j)
+                if ra != rb:
+                    parent[max(ra, rb, key=lambda r: ids[r])] = min(
+                        ra, rb, key=lambda r: ids[r]
+                    )
+    label = {i: ids[min((j for j in core if find(j) == find(i)), key=lambda j: ids[j])] for i in core}
+    assert len(out) == len(ids)
+    for idx, vid in enumerate(ids):
+        r = out[vid]
+        assert r.eps_degree == len(sym.get(idx, ()))
+        if idx in core:
+            assert r.role == "core" and r.cluster_id == label[idx]
+        elif any(j in core for j in sym.get(idx, ())):
+            assert r.role == "border"
+            assert r.cluster_id == min(
+                label[j] for j in sym[idx] if j in core
+            )
+        else:
+            assert r.role == "noise" and r.cluster_id is None

@@ -121,6 +121,15 @@ ALLOWLIST: dict[tuple[str, str, str], str] = {
     ("text_gopher_flags", "ALL_FALSE", "flag_repetition"): (
         "clean-fixture honest negative; same synthetic-pathology pin"
     ),
+    ("events_tukey_hsd", "ALL_FALSE", "reject_hsd_05"): (
+        "honest negative: every event type draws values from the same "
+        "generator at every scale (the KS/MW triage); TRUE path pinned by "
+        "test_tukey_rejects_on_synthetic_shifted_groups through the full "
+        "production query"
+    ),
+    ("events_tukey_hsd", "ALL_FALSE", "reject_anova_05"): (
+        "same-generator fixture; same synthetic shifted-groups pin"
+    ),
 }
 
 
