@@ -5569,12 +5569,29 @@ def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# One-way ANOVA / Tukey-HSD critical values at df -> infinity for the
-# fixture's k = 5 event-type groups (per-group df here is ~2k-20k, where
-# the infinite-df studentized-range and F quantiles are correct to 3dp).
-# Sync-pinned to the oracle literals (test_r11_constants_in_sync).
-TUKEY_Q_CRIT_05 = 3.858  # q(k=5, df=inf, alpha=0.05), studentized range
-ANOVA_F_CRIT_05 = 2.372  # F(4, inf) upper 5% point
+# One-way ANOVA / Tukey-HSD critical values at df -> infinity, TABULATED
+# BY GROUP COUNT k (the operator computes k from the data — a fixture
+# gaining or losing an event type must move the bound, not silently keep
+# the k=5 quantile; r11 review). Within-group df is ~2k-20k on every
+# fixture, where the infinite-df quantiles are correct to 3dp. Outside
+# the tabulated range both reject flags are NULL (no bound claimed).
+# Sync-pinned to the oracle dicts (test_r11_constants_in_sync).
+TUKEY_Q_CRIT_05_BY_K = {  # q(k, df=inf, alpha=0.05), studentized range
+    2: 2.772, 3: 3.314, 4: 3.633, 5: 3.858, 6: 4.030,
+    7: 4.170, 8: 4.286, 9: 4.387, 10: 4.474,
+}
+ANOVA_F_CRIT_05_BY_DF1 = {  # F(df1, inf) upper 5% point (= chi2(df1)/df1)
+    1: 3.841, 2: 2.996, 3: 2.605, 4: 2.372, 5: 2.214,
+    6: 2.099, 7: 2.010, 8: 1.938, 9: 1.880,
+}
+
+
+def _crit_by_key(key: Column, table: dict[int, float]) -> Column:
+    """Chained-CASE lookup of a tabulated critical value; NULL off-table."""
+    out = F.lit(None).cast("double")
+    for kk in sorted(table, reverse=True):
+        out = F.when(key == F.lit(kk), F.lit(table[kk])).otherwise(out)
+    return out
 
 
 def events_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5642,6 +5659,8 @@ def events_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         "mse",
         (F.col("msb") / F.col("mse")).alias("f_stat"),
+        _crit_by_key(F.col("k"), TUKEY_Q_CRIT_05_BY_K).alias("q_crit_05"),
+        _crit_by_key(F.col("k") - 1, ANOVA_F_CRIT_05_BY_DF1).alias("f_crit_05"),
     )
     a = g.select(
         F.col("et").alias("type_a"), F.col("n").alias("n_a"), F.col("sx").alias("sa")
@@ -5670,8 +5689,10 @@ def events_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             mean("sa", "n_a").alias("mean_a_cents"),
             mean("sb", "n_b").alias("mean_b_cents"),
             q.alias("q_stat"),
-            (q > F.lit(TUKEY_Q_CRIT_05)).alias("reject_hsd_05"),
+            "q_crit_05",
+            (q > F.col("q_crit_05")).alias("reject_hsd_05"),
             "f_stat",
-            (F.col("f_stat") > F.lit(ANOVA_F_CRIT_05)).alias("reject_anova_05"),
+            "f_crit_05",
+            (F.col("f_stat") > F.col("f_crit_05")).alias("reject_anova_05"),
         )
     )

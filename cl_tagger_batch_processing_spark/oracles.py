@@ -655,6 +655,28 @@ _BUCKET_EXPR = " + ".join(
     for p, plane in enumerate(_lcg_planes())
 )
 
+# Shared kNN-graph CTE chain (sign-LSH buckets → bucket-local candidate
+# pairs → per-vector top-3 with the cosine DESC / neighbor ASC tie-break)
+# — the SINGLE source for every oracle that consumes sim_knn_graph's edge
+# list (sim_knn_graph itself, sim_ann_graph_search, embedding_dbscan_lite;
+# r11 review: three inline copies could silently diverge). Assumes
+# _QEMB_CTES precedes it in the same WITH list.
+_KNN_CTES = f"""b AS (SELECT vec_id, qv, nrm, {_BUCKET_EXPR} AS bucket FROM n),
+pairs AS (
+  SELECT x.vec_id AS u, y.vec_id AS v,
+         list_dot_product(CAST(x.qv AS DOUBLE[]), CAST(y.qv AS DOUBLE[]))
+           / (sqrt(x.nrm) * sqrt(y.nrm)) AS cosine
+  FROM b x JOIN b y USING (bucket)
+  WHERE x.vec_id != y.vec_id
+),
+knn AS (
+  SELECT u, v, cosine, CAST(rank AS BIGINT) AS rank
+  FROM (SELECT *, row_number() OVER (PARTITION BY u
+                                     ORDER BY cosine DESC, v ASC) AS rank
+        FROM pairs)
+  WHERE rank <= 3
+)"""
+
 ORACLE_SQL["sim_ann_lsh"] = f"""
 WITH {_QEMB_CTES},
 b AS (SELECT vec_id, label, qv, nrm, {_BUCKET_EXPR} AS bucket FROM n),
@@ -7092,21 +7114,7 @@ FROM flagged
 # via the reversed-pair self-join. k sync-pinned to similarity.KNN_GRAPH_K.
 ORACLE_SQL["sim_knn_graph"] = f"""
 WITH {_QEMB_CTES},
-b AS (SELECT vec_id, qv, nrm, {_BUCKET_EXPR} AS bucket FROM n),
-pairs AS (
-  SELECT x.vec_id AS u, y.vec_id AS v,
-         list_dot_product(CAST(x.qv AS DOUBLE[]), CAST(y.qv AS DOUBLE[]))
-           / (sqrt(x.nrm) * sqrt(y.nrm)) AS cosine
-  FROM b x JOIN b y USING (bucket)
-  WHERE x.vec_id != y.vec_id
-),
-knn AS (
-  SELECT u, v, cosine, CAST(rank AS BIGINT) AS rank
-  FROM (SELECT *, row_number() OVER (PARTITION BY u
-                                     ORDER BY cosine DESC, v ASC) AS rank
-        FROM pairs)
-  WHERE rank <= 3
-)
+{_KNN_CTES}
 SELECT k.u AS vec_id, k.rank, k.v AS neighbor_id, k.cosine,
        r.u IS NOT NULL AS is_mutual
 FROM knn k
@@ -8043,21 +8051,8 @@ FROM j
 # hops, query vec 1).
 ORACLE_SQL["sim_ann_graph_search"] = f"""
 WITH {_QEMB_CTES},
-b AS (SELECT vec_id, qv, nrm, {_BUCKET_EXPR} AS bucket FROM n),
-pairs AS (
-  SELECT x.vec_id AS u, y.vec_id AS v,
-         list_dot_product(CAST(x.qv AS DOUBLE[]), CAST(y.qv AS DOUBLE[]))
-           / (sqrt(x.nrm) * sqrt(y.nrm)) AS cosine
-  FROM b x JOIN b y USING (bucket)
-  WHERE x.vec_id != y.vec_id
-),
-knn AS MATERIALIZED (
-  SELECT u, v
-  FROM (SELECT *, row_number() OVER (PARTITION BY u
-                                     ORDER BY cosine DESC, v ASC) AS rank
-        FROM pairs)
-  WHERE rank <= 3
-),
+{_KNN_CTES},
+knn_m AS MATERIALIZED (SELECT u, v FROM knn),
 qv1 AS (SELECT qv AS qq, nrm AS nq FROM n WHERE vec_id = 1),
 scored_all AS MATERIALIZED (
   SELECT a.vec_id AS node,
@@ -8073,21 +8068,21 @@ beam1 AS MATERIALIZED (
   SELECT s.node, s.cosine FROM scored_all s
   WHERE s.node IN (SELECT node FROM beam0
                    UNION
-                   SELECT k.v FROM knn k JOIN beam0 b0 ON k.u = b0.node)
+                   SELECT k.v FROM knn_m k JOIN beam0 b0 ON k.u = b0.node)
   ORDER BY cosine DESC, node ASC LIMIT 8
 ),
 beam2 AS MATERIALIZED (
   SELECT s.node, s.cosine FROM scored_all s
   WHERE s.node IN (SELECT node FROM beam1
                    UNION
-                   SELECT k.v FROM knn k JOIN beam1 b1 ON k.u = b1.node)
+                   SELECT k.v FROM knn_m k JOIN beam1 b1 ON k.u = b1.node)
   ORDER BY cosine DESC, node ASC LIMIT 8
 ),
 beam3 AS MATERIALIZED (
   SELECT s.node, s.cosine FROM scored_all s
   WHERE s.node IN (SELECT node FROM beam2
                    UNION
-                   SELECT k.v FROM knn k JOIN beam2 b2 ON k.u = b2.node)
+                   SELECT k.v FROM knn_m k JOIN beam2 b2 ON k.u = b2.node)
   ORDER BY cosine DESC, node ASC LIMIT 8
 ),
 exact AS MATERIALIZED (
@@ -8389,9 +8384,29 @@ SELECT n_days, n_pairs, ts_slope, ts_intercept, ols_slope
 FROM ols CROSS JOIN m CROSS JOIN icept
 """
 
+# df=inf critical-value tables BY GROUP COUNT (r11 review: the operator
+# computes k dynamically, so the bound must move with it; NULL off-table).
+# Sync-pinned equal to the relational dicts (test_r11_constants_in_sync).
+_TUKEY_Q_BY_K = {
+    2: 2.772, 3: 3.314, 4: 3.633, 5: 3.858, 6: 4.030,
+    7: 4.170, 8: 4.286, 9: 4.387, 10: 4.474,
+}
+_ANOVA_F_BY_DF1 = {
+    1: 3.841, 2: 2.996, 3: 2.605, 4: 2.372, 5: 2.214,
+    6: 2.099, 7: 2.010, 8: 1.938, 9: 1.880,
+}
+
+
+def _crit_case_sql(key: str, table: dict[int, float]) -> str:
+    whens = " ".join(
+        f"WHEN {k} THEN CAST({v} AS DOUBLE)" for k, v in sorted(table.items())
+    )
+    return f"CASE {key} {whens} END"
+
+
 # Mirrors relational.events_tukey_hsd: exact-cents sufficient statistics,
 # per-group between-terms on the 9dp-DECIMAL rail, identical double trees
-# for MSE/F/q, and the df=inf critical constants (sync-pinned).
+# for MSE/F/q, and the k-tabulated df=inf critical values (sync-pinned).
 ORACLE_SQL["events_tukey_hsd"] = """
 WITH g AS MATERIALIZED (
   SELECT event_type AS et,
@@ -8421,7 +8436,9 @@ stats AS (
          / ((CAST(sxx_tot AS DOUBLE) - CAST(a_between AS DOUBLE))
             / CAST(n_total - k AS DOUBLE)) AS f_stat,
          (CAST(sxx_tot AS DOUBLE) - CAST(a_between AS DOUBLE))
-           / CAST(n_total - k AS DOUBLE) AS mse
+           / CAST(n_total - k AS DOUBLE) AS mse,
+         {q_crit} AS q_crit_05,
+         {f_crit} AS f_crit_05
   FROM tot
 )
 SELECT a.et AS type_a, b.et AS type_b, a.n AS n_a, b.n AS n_b,
@@ -8432,16 +8449,21 @@ SELECT a.et AS type_a, b.et AS type_b, a.n AS n_a, b.n AS n_b,
          / sqrt((s.mse / CAST(2 AS DOUBLE))
                 * (CAST(1 AS DOUBLE) / CAST(a.n AS DOUBLE)
                    + CAST(1 AS DOUBLE) / CAST(b.n AS DOUBLE))) AS q_stat,
+       s.q_crit_05,
        abs(CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE)
            - CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE))
          / sqrt((s.mse / CAST(2 AS DOUBLE))
                 * (CAST(1 AS DOUBLE) / CAST(a.n AS DOUBLE)
                    + CAST(1 AS DOUBLE) / CAST(b.n AS DOUBLE)))
-         > CAST(3.858 AS DOUBLE) AS reject_hsd_05,
+         > s.q_crit_05 AS reject_hsd_05,
        s.f_stat,
-       s.f_stat > CAST(2.372 AS DOUBLE) AS reject_anova_05
+       s.f_crit_05,
+       s.f_stat > s.f_crit_05 AS reject_anova_05
 FROM g a JOIN g b ON a.et < b.et CROSS JOIN stats s
-"""
+""".format(
+    q_crit=_crit_case_sql("k", _TUKEY_Q_BY_K),
+    f_crit=_crit_case_sql("k - 1", _ANOVA_F_BY_DF1),
+)
 
 # Mirrors similarity.embedding_dbscan_lite: the sim_knn_graph CTE chain,
 # cosine-eps filter + symmetrize, degree >= min-neighbors cores, reach
@@ -8449,21 +8471,7 @@ FROM g a JOIN g b ON a.et < b.et CROSS JOIN stats s
 # the graph_components oracle pattern), min-cluster border assignment.
 ORACLE_SQL["embedding_dbscan_lite"] = f"""
 WITH RECURSIVE {_QEMB_CTES},
-bkt AS (SELECT vec_id, qv, nrm, {_BUCKET_EXPR} AS bucket FROM n),
-pairs AS (
-  SELECT x.vec_id AS u, y.vec_id AS v,
-         list_dot_product(CAST(x.qv AS DOUBLE[]), CAST(y.qv AS DOUBLE[]))
-           / (sqrt(x.nrm) * sqrt(y.nrm)) AS cosine
-  FROM bkt x JOIN bkt y USING (bucket)
-  WHERE x.vec_id != y.vec_id
-),
-knn AS (
-  SELECT u, v, cosine
-  FROM (SELECT *, row_number() OVER (PARTITION BY u
-                                     ORDER BY cosine DESC, v ASC) AS rank
-        FROM pairs)
-  WHERE rank <= 3
-),
+{_KNN_CTES},
 fil AS (SELECT u, v FROM knn WHERE cosine >= CAST(0.25 AS DOUBLE)),
 sym AS MATERIALIZED (
   SELECT DISTINCT u, v

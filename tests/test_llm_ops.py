@@ -4388,10 +4388,16 @@ def test_r11_constants_in_sync():
     assert relational.THEIL_SEN_TRAILING_DAYS == 365
     assert "(SELECT MAX(x) FROM all_days) - 365" in ts
     th = oracles.ORACLE_SQL["events_tukey_hsd"]
-    assert relational.TUKEY_Q_CRIT_05 == 3.858
-    assert "CAST(3.858 AS DOUBLE)" in th
-    assert relational.ANOVA_F_CRIT_05 == 2.372
-    assert "CAST(2.372 AS DOUBLE)" in th
+    # critical tables are k-ADAPTIVE (r11 review): the engine dicts must be
+    # equal and every entry must appear in the oracle's generated CASE
+    assert relational.TUKEY_Q_CRIT_05_BY_K == oracles._TUKEY_Q_BY_K
+    assert relational.ANOVA_F_CRIT_05_BY_DF1 == oracles._ANOVA_F_BY_DF1
+    assert relational.TUKEY_Q_CRIT_05_BY_K[5] == 3.858
+    assert relational.ANOVA_F_CRIT_05_BY_DF1[4] == 2.372
+    for k, v in oracles._TUKEY_Q_BY_K.items():
+        assert f"WHEN {k} THEN CAST({v} AS DOUBLE)" in th
+    for k, v in oracles._ANOVA_F_BY_DF1.items():
+        assert f"WHEN {k} THEN CAST({v} AS DOUBLE)" in th
     db = oracles.ORACLE_SQL["embedding_dbscan_lite"]
     assert similarity.DBSCAN_EPS_COS == 0.25
     assert "cosine >= CAST(0.25 AS DOUBLE)" in db
@@ -4473,6 +4479,11 @@ def test_tukey_matches_python_replay(spark, sf_dir):
     ssb = float(a_between) - float(grand * grand) / float(n_total)
     mse = ssw / (n_total - k)
     f = (ssb / (k - 1)) / mse
+    # the replay's own copy of the published df=inf tables
+    q_tab = {2: 2.772, 3: 3.314, 4: 3.633, 5: 3.858, 6: 4.030,
+             7: 4.170, 8: 4.286, 9: 4.387, 10: 4.474}
+    f_tab = {1: 3.841, 2: 2.996, 3: 2.605, 4: 2.372, 5: 2.214,
+             6: 2.099, 7: 2.010, 8: 1.938, 9: 1.880}
     by_pair = {(r.type_a, r.type_b): r for r in rows}
     assert len(by_pair) == k * (k - 1) // 2
     for (ta, tb), r in by_pair.items():
@@ -4484,8 +4495,9 @@ def test_tukey_matches_python_replay(spark, sf_dir):
         assert r.mean_b_cents == pytest.approx(mb, rel=1e-12)
         assert r.q_stat == pytest.approx(q, rel=1e-9)
         assert r.f_stat == pytest.approx(f, rel=1e-9)
-        assert r.reject_hsd_05 == (q > 3.858)
-        assert r.reject_anova_05 == (f > 2.372)
+        assert r.q_crit_05 == q_tab[k] and r.f_crit_05 == f_tab[k - 1]
+        assert r.reject_hsd_05 == (q > q_tab[k])
+        assert r.reject_anova_05 == (f > f_tab[k - 1])
 
 
 def test_tukey_rejects_on_synthetic_shifted_groups(spark, tmp_path):
