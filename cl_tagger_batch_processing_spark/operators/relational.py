@@ -5696,3 +5696,197 @@ def events_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("f_stat") > F.col("f_crit_05")).alias("reject_anova_05"),
         )
     )
+
+
+# Two-sided alpha=0.05 / power=0.80 normal quantiles and the relative-MDE
+# grid for the experiment-design readout. Sync-pinned to the oracle
+# literals (test_r11_constants_in_sync).
+POWER_Z_ALPHA_2 = 1.96
+POWER_Z_BETA_80 = 0.842
+POWER_MDE_PCTS = [1, 2, 5, 10]
+
+
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size / power readout for the per-user purchase-value
+    metric — the experiment-DESIGN companion to the readout family
+    (ab_lift, CUPED, DiD): for each relative MDE on the grid, the
+    per-arm sample size required at alpha=.05 / power .80,
+
+        n = 2·s²·(z_{α/2} + z_β)² / τ²,   τ = mde%·mean_control,
+
+    against what the corpus actually has — "how small an effect could
+    this dataset even detect?" is the first question before any lift
+    number is trusted.
+
+    Exact evaluation: the control arm's mean and sample variance come
+    from exact cents sufficient statistics — the variance numerator
+    n·Σx² − (Σx)² is exact DECIMAL(38,0) and divides by n·(n−1) ONCE in
+    double, so every emitted double is a single expression tree over
+    exact integers (no float sums). The MDE grid is a 4-row literal
+    spine; n_required is one ceil of an identical double on both
+    engines.
+
+    Scale shape: one map-side-combined per-user aggregate, one 2-row arm
+    rollup, a broadcast 4-row spine join — corpus touched once."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    per_user = (
+        ev.where(F.col("event_type") == F.lit("purchase"))
+        .groupBy("user_id")
+        .agg(F.sum(cents).cast("bigint").alias("x"))
+    )
+    x38 = F.col("x").cast("decimal(38,0)")
+    arms = (
+        per_user.select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+            .otherwise(F.lit("treatment"))
+            .alias("arm"),
+            "x",
+        )
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(x38).alias("sx"),
+            F.sum(x38 * x38).alias("sxx"),
+        )
+    )
+    ctrl = arms.where(F.col("arm") == "control").select(
+        F.col("n").alias("n_control"),
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias(
+            "mean_control_cents"
+        ),
+        (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            / (F.col("n") * (F.col("n") - 1)).cast("double")
+        ).alias("var_control"),
+    )
+    treat = arms.where(F.col("arm") == "treatment").select(
+        F.col("n").alias("n_treatment")
+    )
+    spine = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in POWER_MDE_PCTS])).alias("mde_pct")
+    )
+    tau = (
+        F.col("mde_pct").cast("double")
+        / F.lit(100.0)
+        * F.col("mean_control_cents")
+    )
+    zsum = F.lit(POWER_Z_ALPHA_2) + F.lit(POWER_Z_BETA_80)
+    n_req = F.ceil(
+        F.lit(2.0) * F.col("var_control") * zsum * zsum / (tau * tau)
+    ).cast("bigint")
+    return (
+        spine.crossJoin(F.broadcast(ctrl))
+        .crossJoin(F.broadcast(treat))
+        .select(
+            "mde_pct",
+            "n_control",
+            "n_treatment",
+            "mean_control_cents",
+            "var_control",
+            tau.alias("tau_cents"),
+            n_req.alias("n_required_per_arm"),
+            (
+                F.least(F.col("n_control"), F.col("n_treatment")) >= n_req
+            ).alias("powered"),
+        )
+    )
+
+
+# Randomized-response (Warner / RAPPOR-style local DP) parameters: flip
+# probability f = 0.5 and the deterministic md5 coin salts. Sync-pinned
+# to the oracle literals (test_r11_constants_in_sync).
+RR_FLIP_PROB = 0.5
+RR_COIN_SALT = "rr-coin"
+RR_VALUE_SALT = "rr-value"
+
+
+def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local differential privacy by RANDOMIZED RESPONSE over the
+    heavy-purchaser bit — the collection-side privacy mechanism the
+    privacy family lacked (k-anonymity/l-diversity/t-closeness audit a
+    RELEASED table; DP sensitivity calibrates a CENTRAL mechanism; this
+    privatizes each user's bit BEFORE aggregation): with probability
+    1 − f the true bit is reported, otherwise a uniform coin, and the
+    collector debiases  p̂ = (mean_reported − f/2)/(1 − f).
+
+    Deterministic by construction (the Poisson-bootstrap convention):
+    both coins are md5 draws — flip if md5(rr-coin:user)/2⁶⁰ < f, noise
+    bit = md5(rr-value:user) parity — so the privatized table, the
+    estimate, and the |p̂ − p| error are reproducible facts on any
+    engine. The accuracy CONTRACT (the HLL/CMS pattern) bounds the error
+    by 3/(2·√n·(1−f)) — three Hoeffding sigmas of the debiased mean —
+    so the gate checks the estimator, not a lucky constant.
+
+    Scale shape: one map-side-combined per-user aggregate (the bit), one
+    global 1-row aggregate — corpus touched once, no shuffle wider than
+    the user rollup."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == F.lit("purchase"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            >= F.lit(AUC_LABEL_MIN_PURCHASES)
+        )
+        .cast("int")
+        .alias("b")
+    )
+    u60 = lambda salt: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        .cast("double")
+        / F.lit(1152921504606846976.0)
+    )
+    noise_bit = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(RR_VALUE_SALT + ":"), F.col("user_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    ).cast("int")
+    reported = F.when(u60(RR_COIN_SALT) < F.lit(RR_FLIP_PROB), noise_bit).otherwise(
+        F.col("b")
+    )
+    agg = per_user.select("b", reported.alias("r")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("b").cast("bigint").alias("n_true"),
+        F.sum("r").cast("bigint").alias("n_reported_true"),
+    )
+    n = F.col("n_users").cast("double")
+    p_true = F.col("n_true").cast("double") / n
+    p_rep = F.col("n_reported_true").cast("double") / n
+    f = F.lit(RR_FLIP_PROB)
+    p_hat = (p_rep - f / F.lit(2.0)) / (F.lit(1.0) - f)
+    abs_err = F.abs(p_hat - p_true)
+    bound = F.lit(3.0) / (F.lit(2.0) * F.sqrt(n) * (F.lit(1.0) - f))
+    return agg.select(
+        "n_users",
+        "n_true",
+        "n_reported_true",
+        f.alias("flip_prob"),
+        p_true.alias("p_true"),
+        p_rep.alias("p_reported"),
+        p_hat.alias("p_hat"),
+        abs_err.alias("abs_err"),
+        bound.alias("err_bound"),
+        (abs_err <= bound).alias("within_contract"),
+    )

@@ -2065,3 +2065,86 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("psum").cast("double") / F.col("n_docs").cast("double"), 6
         ).alias("mean_perplexity"),
     )
+
+
+# nDCG ranking-quality evaluation: cutoff depth, the pinned query document,
+# and the graded-relevance source (the exact-cosine semantic top-k around
+# the query's embedding). Sync-pinned to the oracle literals
+# (test_r11_constants_in_sync).
+NDCG_K = 20
+NDCG_QUERY_VEC = 0
+
+
+def text_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@20 of the BM25 lexical ranking against exact-cosine semantic
+    relevance — the standard ranking-quality readout (is keyword
+    retrieval surfacing what the embedding space says is relevant?) that
+    completes the retrieval family beside the fused RRF list: RRF
+    COMBINES the two rankings, nDCG MEASURES one against the other.
+
+    Graded relevance: rel(d) = 21 − semantic_rank for the exact top-20
+    around the query document's embedding (vec_id 0 — both rankings are
+    already oracle-backed), 0 otherwise; the evaluated list is BM25's
+    top-20 with the query document excluded and positions re-ranked
+    consecutively. DCG terms (2^rel − 1)/log2(pos+1) ride the 9dp-DECIMAL
+    sum rail (a 20-double sum must not depend on summation order); IDCG
+    evaluates the same terms over the ideal 20..1 grade spine; nDCG is
+    ONE division.
+
+    Scale shape: both inputs are top-k lists, so everything here is
+    constant-size; all corpus-scale work lives in the two underlying
+    (already-verified) rankings."""
+    from .similarity import sim_topk_cosine
+
+    lex = (
+        text_bm25_topk(spark, sf_dir)
+        .where(F.col("doc_id") != NDCG_QUERY_VEC)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.asc("rank")))
+            .cast("bigint")
+            .alias("pos"),
+        )
+    )
+    sem = (
+        sim_topk_cosine(spark, sf_dir, top_k=NDCG_K, num_queries=NDCG_QUERY_VEC + 1)
+        .where(F.col("query_id") == NDCG_QUERY_VEC)
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            (F.lit(NDCG_K + 1) - F.col("rank")).cast("bigint").alias("rel"),
+        )
+    )
+    term = lambda rel, pos: F.round(  # noqa: E731
+        (F.pow(F.lit(2.0), rel.cast("double")) - F.lit(1.0))
+        / (F.log(pos.cast("double") + F.lit(1.0)) / F.log(F.lit(2.0))),
+        9,
+    ).cast("decimal(28,9)")
+    dcg = (
+        lex.join(sem, "doc_id", "left")
+        .select(term(F.coalesce(F.col("rel"), F.lit(0)), F.col("pos")).alias("t"))
+        .agg(
+            F.sum("t").cast("double").alias("dcg"),
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        )
+    )
+    overlap = (
+        lex.join(sem, "doc_id", "inner")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    spine = spark.range(1, NDCG_K + 1).select(F.col("id").alias("i"))
+    idcg = spine.select(
+        term(F.lit(NDCG_K + 1) - F.col("i"), F.col("i")).alias("t")
+    ).agg(F.sum("t").cast("double").alias("idcg"))
+    return (
+        dcg.crossJoin(F.broadcast(overlap))
+        .crossJoin(F.broadcast(idcg))
+        .select(
+            F.lit(NDCG_K).cast("bigint").alias("k"),
+            "n_eval",
+            "n_overlap",
+            "dcg",
+            "idcg",
+            (F.col("dcg") / F.col("idcg")).alias("ndcg"),
+        )
+    )

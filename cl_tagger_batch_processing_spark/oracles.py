@@ -8508,3 +8508,155 @@ LEFT JOIN comp cmp ON e.vec_id = cmp.node
 LEFT JOIN border bor ON e.vec_id = bor.node
 LEFT JOIN deg d ON e.vec_id = d.node
 """
+
+# Mirrors relational.events_power_analysis: exact-cents per-user sums,
+# control-arm variance as one division of the exact HUGEINT numerator,
+# the 4-point MDE spine, and one ceil of an identical double per row.
+ORACLE_SQL["events_power_analysis"] = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+arms AS MATERIALIZED (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+  FROM per_user GROUP BY 1
+),
+ctrl AS (
+  SELECT n AS n_control,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_control_cents,
+         CAST(n * sxx - sx * sx AS DOUBLE)
+           / CAST(n * (n - 1) AS DOUBLE) AS var_control
+  FROM arms WHERE arm = 'control'
+),
+treat AS (SELECT n AS n_treatment FROM arms WHERE arm = 'treatment'),
+spine AS (SELECT unnest([1, 2, 5, 10]) AS mde_pct),
+calc AS (
+  SELECT mde_pct, n_control, n_treatment, mean_control_cents, var_control,
+         CAST(mde_pct AS DOUBLE) / CAST(100 AS DOUBLE)
+           * mean_control_cents AS tau_cents
+  FROM spine CROSS JOIN ctrl CROSS JOIN treat
+),
+calc2 AS (
+  SELECT *,
+         CAST(ceil(CAST(2 AS DOUBLE) * var_control
+                   * (CAST(1.96 AS DOUBLE) + CAST(0.842 AS DOUBLE))
+                   * (CAST(1.96 AS DOUBLE) + CAST(0.842 AS DOUBLE))
+                   / (tau_cents * tau_cents)) AS BIGINT) AS n_required_per_arm
+  FROM calc
+)
+SELECT mde_pct, n_control, n_treatment, mean_control_cents, var_control,
+       tau_cents, n_required_per_arm,
+       least(n_control, n_treatment) >= n_required_per_arm AS powered
+FROM calc2
+"""
+
+# Mirrors text.text_ndcg_eval: the BM25 oracle as a CTE + the RRF oracle's
+# semantic ranking chain; DCG/IDCG terms on the 9dp-DECIMAL sum rail; one
+# final division.
+ORACLE_SQL["text_ndcg_eval"] = f"""
+WITH bm AS MATERIALIZED ({ORACLE_SQL["text_bm25_topk"]}),
+lex AS MATERIALIZED (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY rank ASC) AS BIGINT) AS pos
+  FROM bm WHERE doc_id != 0
+),
+{_QEMB_CTES},
+qvec AS (SELECT qv AS qq, nrm AS nq FROM n WHERE vec_id = 0),
+sem_scored AS (
+  SELECT a.vec_id AS doc_id,
+         list_dot_product(CAST(qq AS DOUBLE[]), CAST(a.qv AS DOUBLE[]))
+           / (sqrt(nq) * sqrt(a.nrm)) AS cosine
+  FROM n a CROSS JOIN qvec WHERE a.vec_id != 0
+),
+sem AS MATERIALIZED (
+  SELECT doc_id, CAST(21 - sem_rank AS BIGINT) AS rel FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS sem_rank
+    FROM sem_scored)
+  WHERE sem_rank <= 20
+),
+dcg AS (
+  SELECT CAST(SUM(CAST(round(
+           (pow(CAST(2 AS DOUBLE), CAST(COALESCE(s.rel, 0) AS DOUBLE))
+            - CAST(1 AS DOUBLE))
+           / (ln(CAST(l.pos AS DOUBLE) + CAST(1 AS DOUBLE))
+              / ln(CAST(2 AS DOUBLE))), 9) AS DECIMAL(28,9))) AS DOUBLE)
+           AS dcg,
+         CAST(COUNT(*) AS BIGINT) AS n_eval
+  FROM lex l LEFT JOIN sem s ON l.doc_id = s.doc_id
+),
+overlap AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM lex l JOIN sem s ON l.doc_id = s.doc_id
+),
+ideal AS (SELECT unnest(generate_series(1, 20)) AS i),
+idcg AS (
+  SELECT CAST(SUM(CAST(round(
+           (pow(CAST(2 AS DOUBLE), CAST(21 - i AS DOUBLE))
+            - CAST(1 AS DOUBLE))
+           / (ln(CAST(i AS DOUBLE) + CAST(1 AS DOUBLE))
+              / ln(CAST(2 AS DOUBLE))), 9) AS DECIMAL(28,9))) AS DOUBLE)
+           AS idcg
+  FROM ideal
+)
+SELECT CAST(20 AS BIGINT) AS k, n_eval, n_overlap, dcg, idcg,
+       dcg / idcg AS ndcg
+FROM dcg CROSS JOIN overlap CROSS JOIN idcg
+"""
+
+# Mirrors relational.privacy_randomized_response: the bootstrap oracle's
+# md5-60-bit uniform coins, the f=0.5 Warner debias, and the 3-sigma
+# Hoeffding accuracy contract as identical double trees.
+ORACLE_SQL["privacy_randomized_response"] = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 10
+              AS INT) AS b
+  FROM events GROUP BY 1
+),
+priv AS (
+  SELECT b,
+         CASE WHEN CAST(CAST('0x' || substr(md5('rr-coin:'
+                                             || CAST(user_id AS VARCHAR)),
+                                  1, 15) AS BIGINT) AS DOUBLE)
+                   / 1152921504606846976.0 < CAST(0.5 AS DOUBLE)
+              THEN CAST(CAST('0x' || substr(md5('rr-value:'
+                                                || CAST(user_id AS VARCHAR)),
+                                  1, 15) AS BIGINT) % 2 AS INT)
+              ELSE b END AS r
+  FROM per_user
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(b) AS BIGINT) AS n_true,
+         CAST(SUM(r) AS BIGINT) AS n_reported_true
+  FROM priv
+)
+SELECT n_users, n_true, n_reported_true,
+       CAST(0.5 AS DOUBLE) AS flip_prob,
+       CAST(n_true AS DOUBLE) / CAST(n_users AS DOUBLE) AS p_true,
+       CAST(n_reported_true AS DOUBLE) / CAST(n_users AS DOUBLE) AS p_reported,
+       (CAST(n_reported_true AS DOUBLE) / CAST(n_users AS DOUBLE)
+        - CAST(0.5 AS DOUBLE) / CAST(2 AS DOUBLE))
+         / (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE)) AS p_hat,
+       abs((CAST(n_reported_true AS DOUBLE) / CAST(n_users AS DOUBLE)
+            - CAST(0.5 AS DOUBLE) / CAST(2 AS DOUBLE))
+             / (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE))
+           - CAST(n_true AS DOUBLE) / CAST(n_users AS DOUBLE)) AS abs_err,
+       CAST(3 AS DOUBLE)
+         / (CAST(2 AS DOUBLE) * sqrt(CAST(n_users AS DOUBLE))
+            * (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE))) AS err_bound,
+       abs((CAST(n_reported_true AS DOUBLE) / CAST(n_users AS DOUBLE)
+            - CAST(0.5 AS DOUBLE) / CAST(2 AS DOUBLE))
+             / (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE))
+           - CAST(n_true AS DOUBLE) / CAST(n_users AS DOUBLE))
+         <= CAST(3 AS DOUBLE)
+              / (CAST(2 AS DOUBLE) * sqrt(CAST(n_users AS DOUBLE))
+                 * (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE)))
+         AS within_contract
+FROM agg
+"""

@@ -547,3 +547,6 @@ register("events_conformal_interval", relational.events_conformal_interval)
 register("orders_theil_sen_trend", relational.orders_theil_sen_trend)
 register("events_tukey_hsd", relational.events_tukey_hsd)
 register("embedding_dbscan_lite", similarity.embedding_dbscan_lite)
+register("events_power_analysis", relational.events_power_analysis)
+register("text_ndcg_eval", text.text_ndcg_eval)
+register("privacy_randomized_response", relational.privacy_randomized_response)

@@ -4398,6 +4398,22 @@ def test_r11_constants_in_sync():
         assert f"WHEN {k} THEN CAST({v} AS DOUBLE)" in th
     for k, v in oracles._ANOVA_F_BY_DF1.items():
         assert f"WHEN {k} THEN CAST({v} AS DOUBLE)" in th
+    from cl_tagger_batch_processing_spark.operators import text as text_ops
+
+    nd = oracles.ORACLE_SQL["text_ndcg_eval"]
+    assert text_ops.NDCG_K == 20 and text_ops.NDCG_QUERY_VEC == 0
+    assert "generate_series(1, 20)" in nd and "sem_rank <= 20" in nd
+    assert "WHERE doc_id != 0" in nd
+    rr = oracles.ORACLE_SQL["privacy_randomized_response"]
+    assert relational.RR_FLIP_PROB == 0.5 and "< CAST(0.5 AS DOUBLE)" in rr
+    assert relational.RR_COIN_SALT == "rr-coin" and "md5('rr-coin:'" in rr
+    assert relational.RR_VALUE_SALT == "rr-value" and "md5('rr-value:'" in rr
+    assert relational.AUC_LABEL_MIN_PURCHASES == 10 and ">= 10" in rr
+    pw = oracles.ORACLE_SQL["events_power_analysis"]
+    assert relational.POWER_Z_ALPHA_2 == 1.96 and "CAST(1.96 AS DOUBLE)" in pw
+    assert relational.POWER_Z_BETA_80 == 0.842 and "CAST(0.842 AS DOUBLE)" in pw
+    assert relational.POWER_MDE_PCTS == [1, 2, 5, 10]
+    assert "unnest([1, 2, 5, 10])" in pw
     db = oracles.ORACLE_SQL["embedding_dbscan_lite"]
     assert similarity.DBSCAN_EPS_COS == 0.25
     assert "cosine >= CAST(0.25 AS DOUBLE)" in db
@@ -4610,3 +4626,109 @@ def test_dbscan_matches_union_find_replay(spark, sf_dir):
             )
         else:
             assert r.role == "noise" and r.cluster_id is None
+
+
+def test_power_analysis_matches_python_replay(spark, sf_dir):
+    """Means, variance, and every per-MDE sample size recomputed from raw
+    per-user purchase sums with textbook formulas and math.ceil."""
+    import math
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = {r.mde_pct: r for r in QUERIES["events_power_analysis"](spark, sf_dir).collect()}
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT user_id,
+                  CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                       AS BIGINT)
+           FROM '{sf}/events.parquet'
+           WHERE event_type = 'purchase' GROUP BY 1""",
+    )
+    ctrl = [x for u, x in raw if u % 2 == 0]
+    treat = [x for u, x in raw if u % 2 == 1]
+    n = len(ctrl)
+    mean = sum(ctrl) / n
+    var = (n * sum(x * x for x in ctrl) - sum(ctrl) ** 2) / (n * (n - 1))
+    assert sorted(rows) == [1, 2, 5, 10]
+    for pct, r in rows.items():
+        assert (r.n_control, r.n_treatment) == (n, len(treat))
+        assert r.mean_control_cents == pytest.approx(mean, rel=1e-12)
+        assert r.var_control == pytest.approx(var, rel=1e-12)
+        tau = pct / 100.0 * mean
+        n_req = math.ceil(2.0 * var * (1.96 + 0.842) ** 2 / (tau * tau))
+        assert r.tau_cents == pytest.approx(tau, rel=1e-12)
+        assert r.n_required_per_arm == n_req
+        assert r.powered == (min(n, len(treat)) >= n_req)
+
+
+def test_ndcg_matches_python_replay(spark, sf_dir):
+    """DCG/IDCG/nDCG recomputed with math.log2 over the two production
+    rankings (each independently oracle-backed and replayed elsewhere) —
+    the composition-replay pattern."""
+    import math
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    row = QUERIES["text_ndcg_eval"](spark, sf_dir).collect()[0]
+    lex = sorted(
+        (r.rank, r.doc_id)
+        for r in QUERIES["text_bm25_topk"](spark, sf_dir).collect()
+        if r.doc_id != 0
+    )
+    from cl_tagger_batch_processing_spark.operators.similarity import (
+        sim_topk_cosine,
+    )
+
+    sem = {
+        r.neighbor_id: 21 - r.rank
+        for r in sim_topk_cosine(spark, sf_dir, top_k=20, num_queries=1).collect()
+        if r.query_id == 0
+    }
+    dcg = sum(
+        (2 ** sem.get(doc, 0) - 1) / math.log2(pos + 1)
+        for pos, (_, doc) in enumerate(lex, start=1)
+    )
+    idcg = sum((2 ** (21 - i) - 1) / math.log2(i + 1) for i in range(1, 21))
+    assert row.n_eval == len(lex)
+    assert row.n_overlap == sum(1 for _, d in lex if d in sem)
+    assert row.dcg == pytest.approx(dcg, rel=1e-9)
+    assert row.idcg == pytest.approx(idcg, rel=1e-9)
+    assert row.ndcg == pytest.approx(dcg / idcg, rel=1e-9)
+
+
+def test_randomized_response_matches_hashlib_replay(spark, sf_dir):
+    """The privatized bits, debiased estimate, and contract replayed with
+    hashlib md5 coins over raw per-user purchase counts (the
+    resampling-replay recipe)."""
+    import hashlib
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["privacy_randomized_response"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT user_id,
+                  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           FROM '{sf}/events.parquet' GROUP BY 1""",
+    )
+    u60 = lambda s: (  # noqa: E731
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) / 2**60
+    )
+    bit = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 2  # noqa: E731
+    n = len(raw)
+    n_true = sum(1 for _, c in raw if c >= 10)
+    rep = 0
+    for uid, c in raw:
+        b = 1 if c >= 10 else 0
+        if u60(f"rr-coin:{uid}") < 0.5:
+            rep += bit(f"rr-value:{uid}")
+        else:
+            rep += b
+    assert (r.n_users, r.n_true, r.n_reported_true) == (n, n_true, rep)
+    p_true, p_rep = n_true / n, rep / n
+    p_hat = (p_rep - 0.25) / 0.5
+    assert r.p_hat == pytest.approx(p_hat, rel=1e-12)
+    assert r.abs_err == pytest.approx(abs(p_hat - p_true), rel=1e-12)
+    bound = 3.0 / (2.0 * n**0.5 * 0.5)
+    assert r.err_bound == pytest.approx(bound, rel=1e-12)
+    assert r.within_contract == (abs(p_hat - p_true) <= bound)

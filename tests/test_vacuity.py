@@ -130,6 +130,12 @@ ALLOWLIST: dict[tuple[str, str, str], str] = {
     ("events_tukey_hsd", "ALL_FALSE", "reject_anova_05"): (
         "same-generator fixture; same synthetic shifted-groups pin"
     ),
+    ("events_power_analysis", "ALL_FALSE", "powered"): (
+        "honest negative at sf0.001 (8/7 users per arm vs >=212 required "
+        "at the widest MDE); the 10%-MDE row is powered=true at sf0.1 "
+        "(750 users vs 224 required) — tiny-scale-only, the q21 triage "
+        "form"
+    ),
 }
 
 
