@@ -5890,3 +5890,74 @@ def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         bound.alias("err_bound"),
         (abs_err <= bound).alias("within_contract"),
     )
+
+
+def events_empirical_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-user conversion rates — the
+    beta-binomial smoothing every ranking/quality pipeline needs before
+    trusting small-sample rates (a 2/2 user must not outrank a 95/100
+    user): the Beta(α, β) prior is fitted to the corpus's own rate
+    distribution by method of moments,
+
+        α+β = m(1−m)/v − 1,   α = m·(α+β),
+
+    and each user's rate shrinks to (purchases + α)/(events + α + β).
+
+    Exact evaluation: per-user counts are exact integers; each raw rate
+    and squared rate rides the 9dp-DECIMAL sum rail (corpus moments must
+    not depend on float summation order); m, v, α, β and every shrunk
+    rate are identical double expression trees. The degenerate prior
+    (v = 0 or an off-support moment fit) yields NULL α/β and shrunk =
+    raw on BOTH engines.
+
+    Scale shape: one map-side-combined per-user aggregate, one 1-row
+    moment aggregate broadcast back — corpus touched once."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == F.lit("purchase"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_purchases"),
+    )
+    raw = F.col("n_purchases").cast("double") / F.col("n_events").cast("double")
+    r9 = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    moments = per_user.select(
+        raw.alias("r"), r9(raw).alias("r1"), r9(raw * raw).alias("r2")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("r1").alias("s1"),
+        F.sum("r2").alias("s2"),
+    )
+    n = F.col("n_users").cast("double")
+    m = F.col("s1").cast("double") / n
+    # sample variance from the railed moments: (Σr² − n·m²)/(n−1)
+    v = (F.col("s2").cast("double") - n * m * m) / (n - F.lit(1.0))
+    ab = m * (F.lit(1.0) - m) / v - F.lit(1.0)
+    prior = moments.select(
+        "n_users",
+        m.alias("m"),
+        v.alias("v"),
+        F.when((v > 0) & (ab > 0), m * ab).alias("alpha"),
+        F.when((v > 0) & (ab > 0), (F.lit(1.0) - m) * ab).alias("beta"),
+    )
+    shrunk = F.when(
+        F.col("alpha").isNotNull(),
+        (F.col("n_purchases").cast("double") + F.col("alpha"))
+        / (F.col("n_events").cast("double") + F.col("alpha") + F.col("beta")),
+    ).otherwise(raw)
+    return (
+        per_user.crossJoin(F.broadcast(prior))
+        .select(
+            "user_id",
+            "n_events",
+            "n_purchases",
+            raw.alias("raw_rate"),
+            shrunk.alias("shrunk_rate"),
+            "alpha",
+            "beta",
+        )
+    )

@@ -8660,3 +8660,47 @@ SELECT n_users, n_true, n_reported_true,
          AS within_contract
 FROM agg
 """
+
+# Mirrors relational.events_empirical_bayes: 9dp-railed rate moments, the
+# method-of-moments Beta prior as identical double trees, NULL prior (and
+# shrunk = raw) on the degenerate fit.
+ORACLE_SQL["events_empirical_bayes"] = """
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purchases
+  FROM events GROUP BY 1
+),
+rr AS MATERIALIZED (
+  SELECT user_id, n_events, n_purchases,
+         CAST(n_purchases AS DOUBLE) / CAST(n_events AS DOUBLE) AS r
+  FROM per_user
+),
+moments AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         SUM(CAST(round(r, 9) AS DECIMAL(28,9))) AS s1,
+         SUM(CAST(round(r * r, 9) AS DECIMAL(28,9))) AS s2
+  FROM rr
+),
+prior AS (
+  SELECT CASE WHEN v > 0 AND ab > 0 THEN m * ab END AS alpha,
+         CASE WHEN v > 0 AND ab > 0 THEN (CAST(1 AS DOUBLE) - m) * ab
+              END AS beta
+  FROM (SELECT m, v,
+               m * (CAST(1 AS DOUBLE) - m) / v - CAST(1 AS DOUBLE) AS ab
+        FROM (SELECT CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE) AS m,
+                     (CAST(s2 AS DOUBLE)
+                      - CAST(n_users AS DOUBLE)
+                        * (CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE)))
+                       / (CAST(n_users AS DOUBLE) - CAST(1 AS DOUBLE)) AS v
+              FROM moments))
+)
+SELECT user_id, n_events, n_purchases, r AS raw_rate,
+       CASE WHEN alpha IS NOT NULL
+            THEN (CAST(n_purchases AS DOUBLE) + alpha)
+                 / (CAST(n_events AS DOUBLE) + alpha + beta)
+            ELSE r END AS shrunk_rate,
+       alpha, beta
+FROM rr CROSS JOIN prior
+"""

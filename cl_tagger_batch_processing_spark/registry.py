@@ -550,3 +550,4 @@ register("embedding_dbscan_lite", similarity.embedding_dbscan_lite)
 register("events_power_analysis", relational.events_power_analysis)
 register("text_ndcg_eval", text.text_ndcg_eval)
 register("privacy_randomized_response", relational.privacy_randomized_response)
+register("events_empirical_bayes", relational.events_empirical_bayes)

@@ -4732,3 +4732,42 @@ def test_randomized_response_matches_hashlib_replay(spark, sf_dir):
     bound = 3.0 / (2.0 * n**0.5 * 0.5)
     assert r.err_bound == pytest.approx(bound, rel=1e-12)
     assert r.within_contract == (abs(p_hat - p_true) <= bound)
+
+
+def test_empirical_bayes_matches_decimal_replay(spark, sf_dir):
+    """Prior fit and every shrunk rate replayed from raw per-user counts
+    with Decimal ROUND_HALF_UP moments (never banker's round) and plain
+    float method-of-moments algebra; also pins the shrinkage DIRECTION
+    (every shrunk rate sits strictly between raw and the prior mean)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = {r.user_id: r for r in QUERIES["events_empirical_bayes"](spark, sf_dir).collect()}
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT user_id, COUNT(*),
+                  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           FROM '{sf}/events.parquet' GROUP BY 1""",
+    )
+    q9 = lambda x: Decimal(x).quantize(  # noqa: E731
+        Decimal("1e-9"), rounding=ROUND_HALF_UP
+    )
+    n = len(raw)
+    s1 = sum(q9(p / e) for _, e, p in raw)
+    s2 = sum(q9((p / e) * (p / e)) for _, e, p in raw)
+    m = float(s1) / n
+    v = (float(s2) - n * m * m) / (n - 1.0)
+    ab = m * (1.0 - m) / v - 1.0
+    assert v > 0 and ab > 0, "fixture must fit a proper prior"
+    alpha, beta = m * ab, (1.0 - m) * ab
+    assert len(rows) == n
+    for uid, e, p in raw:
+        r = rows[uid]
+        assert (r.n_events, r.n_purchases) == (e, p)
+        assert r.alpha == pytest.approx(alpha, rel=1e-9)
+        assert r.beta == pytest.approx(beta, rel=1e-9)
+        shrunk = (p + alpha) / (e + alpha + beta)
+        assert r.shrunk_rate == pytest.approx(shrunk, rel=1e-9)
+        lo, hi = sorted((p / e, m))
+        assert lo - 1e-9 <= r.shrunk_rate <= hi + 1e-9
