@@ -5961,3 +5961,154 @@ def events_empirical_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "beta",
         )
     )
+
+
+# Granger-style lagged-predictor screen: cause/effect event types and the
+# F(1, inf) critical value. Sync-pinned to the oracle literals
+# (test_r11_constants_in_sync).
+GRANGER_CAUSE_TYPE = "view"
+GRANGER_EFFECT_TYPE = "purchase"
+GRANGER_F_CRIT_05 = 3.841  # F(1, inf) upper 5% = chi2(1)
+
+
+def events_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-style causality screen: do yesterday's VIEW counts carry
+    information about today's PURCHASE counts beyond purchase history? —
+    the lead-lag readout missing beside the correlation family (ACF,
+    cross-type correlations say "move together"; this asks "does one
+    LEAD the other", the standard screen before trusting a funnel or
+    attribution story).
+
+    Full model p_t = b0 + b1·p_{t-1} + b2·v_{t-1} vs restricted
+    p_t = c0 + c1·p_{t-1}; the F test on the SSR gap (1 numerator df,
+    F(1, inf) = 3.841) is the Granger verdict. Lags join on the CALENDAR
+    day (cur.day = prev.day + 1 — the r7 calendar-spine rule, never
+    observed-row lag), so gap days drop out honestly.
+
+    Exact evaluation: both OLS fits are CLOSED FORM over exact integer
+    sufficient statistics (nine DECIMAL(38,0) sums; Cramer 3x3 /
+    normal-equation 2x2 determinants as identical double trees); the two
+    SSRs ride the 9dp-DECIMAL sum rail (per-day squared residuals round
+    to 9dp before summing). One corpus pass, a ~30-row lag join, 1-row
+    aggregates — the daily-series shape."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr("unix_micros(cast(ts as timestamp)) div 1000000 div 86400")
+            .cast("bigint")
+            .alias("day"),
+            "event_type",
+        )
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == GRANGER_EFFECT_TYPE, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("p"),
+            F.sum(
+                F.when(F.col("event_type") == GRANGER_CAUSE_TYPE, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("v"),
+        )
+    )
+    cur = daily.select(F.col("day").alias("d"), F.col("p").alias("y"))
+    prev = daily.select(
+        (F.col("day") + 1).alias("d"),
+        F.col("p").alias("pl"),
+        F.col("v").alias("vl"),
+    )
+    feat = cur.join(prev, "d").transform(truncate_lineage)  # 3 consumers
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = feat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d38(F.col("y"))).alias("sp"),
+        F.sum(d38(F.col("pl"))).alias("spl"),
+        F.sum(d38(F.col("vl"))).alias("svl"),
+        F.sum(d38(F.col("pl")) * d38(F.col("pl"))).alias("spl2"),
+        F.sum(d38(F.col("vl")) * d38(F.col("vl"))).alias("svl2"),
+        F.sum(d38(F.col("pl")) * d38(F.col("vl"))).alias("splvl"),
+        F.sum(d38(F.col("y")) * d38(F.col("pl"))).alias("sppl"),
+        F.sum(d38(F.col("y")) * d38(F.col("vl"))).alias("spvl"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    n, sp, spl, svl = dd("n"), dd("sp"), dd("spl"), dd("svl")
+    spl2, svl2, splvl, sppl, spvl = (
+        dd("spl2"), dd("svl2"), dd("splvl"), dd("sppl"), dd("spvl"),
+    )
+    det = (
+        n * (spl2 * svl2 - splvl * splvl)
+        - spl * (spl * svl2 - splvl * svl)
+        + svl * (spl * splvl - spl2 * svl)
+    )
+    det0 = (
+        sp * (spl2 * svl2 - splvl * splvl)
+        - spl * (sppl * svl2 - splvl * spvl)
+        + svl * (sppl * splvl - spl2 * spvl)
+    )
+    det1 = (
+        n * (sppl * svl2 - splvl * spvl)
+        - sp * (spl * svl2 - splvl * svl)
+        + svl * (spl * spvl - sppl * svl)
+    )
+    det2 = (
+        n * (spl2 * spvl - sppl * splvl)
+        - spl * (spl * spvl - sppl * svl)
+        + sp * (spl * splvl - spl2 * svl)
+    )
+    c1 = (n * sppl - spl * sp) / (n * spl2 - spl * spl)
+    coeffs = stats.select(
+        "n",
+        (det0 / det).alias("b0"),
+        (det1 / det).alias("b1"),
+        (det2 / det).alias("b2"),
+        ((sp - c1 * spl) / n).alias("c0"),
+        c1.alias("c1"),
+    )
+    r9 = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    y, pl, vl = (
+        F.col("y").cast("double"),
+        F.col("pl").cast("double"),
+        F.col("vl").cast("double"),
+    )
+    rf = y - (F.col("b0") + F.col("b1") * pl + F.col("b2") * vl)
+    rr = y - (F.col("c0") + F.col("c1") * pl)
+    ssr = (
+        feat.crossJoin(F.broadcast(coeffs))
+        .select(r9(rf * rf).alias("tf"), r9(rr * rr).alias("tr"), "n")
+        .agg(
+            F.max("n").alias("n_days"),
+            F.sum("tf").cast("double").alias("ssr_full"),
+            F.sum("tr").cast("double").alias("ssr_restricted"),
+        )
+    )
+    # ssr_full = 0 (the full model fits perfectly) makes the F denominator
+    # zero — ANSI Spark RAISES on the double division where DuckDB yields
+    # Infinity, so the degenerate path is guarded on both engines (the
+    # conformal NULL-bounds convention): F is NULL, and the verdict falls
+    # through to "restricted strictly worse than a perfect fit" = reject.
+    f_stat = F.when(
+        F.col("ssr_full") > 0,
+        (F.col("ssr_restricted") - F.col("ssr_full"))
+        / (F.col("ssr_full") / (F.col("n_days") - F.lit(3)).cast("double")),
+    )
+    reject = F.when(
+        F.col("ssr_full") > 0, f_stat > F.lit(GRANGER_F_CRIT_05)
+    ).when(F.col("ssr_restricted") > 0, F.lit(True))
+    return (
+        ssr.crossJoin(F.broadcast(coeffs.select("b0", "b1", "b2", "c0", "c1")))
+        .select(
+            "n_days",
+            "b0",
+            "b1",
+            "b2",
+            "c0",
+            "c1",
+            "ssr_full",
+            "ssr_restricted",
+            f_stat.alias("f_stat"),
+            reject.alias("granger_reject_05"),
+        )
+    )

@@ -8704,3 +8704,97 @@ SELECT user_id, n_events, n_purchases, r AS raw_rate,
        alpha, beta
 FROM rr CROSS JOIN prior
 """
+
+# Mirrors relational.events_granger_lite: epoch-day counts, calendar lag
+# join, nine HUGEINT sufficient statistics, Cramer / normal-equation
+# closed forms as identical double trees, 9dp-railed SSRs, F(1, inf).
+ORACLE_SQL["events_granger_lite"] = """
+WITH daily AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS day,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS p,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS v
+  FROM events GROUP BY 1
+),
+feat AS MATERIALIZED (
+  SELECT c.p AS y, pr.p AS pl, pr.v AS vl
+  FROM daily c JOIN (SELECT day + 1 AS d, p, v FROM daily) pr
+    ON c.day = pr.d
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(y AS HUGEINT)) AS sp,
+         SUM(CAST(pl AS HUGEINT)) AS spl,
+         SUM(CAST(vl AS HUGEINT)) AS svl,
+         SUM(CAST(pl AS HUGEINT) * CAST(pl AS HUGEINT)) AS spl2,
+         SUM(CAST(vl AS HUGEINT) * CAST(vl AS HUGEINT)) AS svl2,
+         SUM(CAST(pl AS HUGEINT) * CAST(vl AS HUGEINT)) AS splvl,
+         SUM(CAST(y AS HUGEINT) * CAST(pl AS HUGEINT)) AS sppl,
+         SUM(CAST(y AS HUGEINT) * CAST(vl AS HUGEINT)) AS spvl
+  FROM feat
+),
+dbl AS (
+  SELECT n,
+         CAST(n AS DOUBLE) AS nd, CAST(sp AS DOUBLE) AS sp,
+         CAST(spl AS DOUBLE) AS spl, CAST(svl AS DOUBLE) AS svl,
+         CAST(spl2 AS DOUBLE) AS spl2, CAST(svl2 AS DOUBLE) AS svl2,
+         CAST(splvl AS DOUBLE) AS splvl, CAST(sppl AS DOUBLE) AS sppl,
+         CAST(spvl AS DOUBLE) AS spvl
+  FROM stats
+),
+coeffs AS MATERIALIZED (
+  SELECT n,
+         (sp * (spl2 * svl2 - splvl * splvl)
+          - spl * (sppl * svl2 - splvl * spvl)
+          + svl * (sppl * splvl - spl2 * spvl))
+         / (nd * (spl2 * svl2 - splvl * splvl)
+            - spl * (spl * svl2 - splvl * svl)
+            + svl * (spl * splvl - spl2 * svl)) AS b0,
+         (nd * (sppl * svl2 - splvl * spvl)
+          - sp * (spl * svl2 - splvl * svl)
+          + svl * (spl * spvl - sppl * svl))
+         / (nd * (spl2 * svl2 - splvl * splvl)
+            - spl * (spl * svl2 - splvl * svl)
+            + svl * (spl * splvl - spl2 * svl)) AS b1,
+         (nd * (spl2 * spvl - sppl * splvl)
+          - spl * (spl * spvl - sppl * svl)
+          + sp * (spl * splvl - spl2 * svl))
+         / (nd * (spl2 * svl2 - splvl * splvl)
+            - spl * (spl * svl2 - splvl * svl)
+            + svl * (spl * splvl - spl2 * svl)) AS b2,
+         (sp - ((nd * sppl - spl * sp) / (nd * spl2 - spl * spl)) * spl)
+           / nd AS c0,
+         (nd * sppl - spl * sp) / (nd * spl2 - spl * spl) AS c1
+  FROM dbl
+),
+ssr AS (
+  SELECT MAX(n) AS n_days,
+         CAST(SUM(CAST(round(
+           (CAST(y AS DOUBLE) - (b0 + b1 * CAST(pl AS DOUBLE)
+                                 + b2 * CAST(vl AS DOUBLE)))
+           * (CAST(y AS DOUBLE) - (b0 + b1 * CAST(pl AS DOUBLE)
+                                   + b2 * CAST(vl AS DOUBLE))), 9)
+           AS DECIMAL(28,9))) AS DOUBLE) AS ssr_full,
+         CAST(SUM(CAST(round(
+           (CAST(y AS DOUBLE) - (c0 + c1 * CAST(pl AS DOUBLE)))
+           * (CAST(y AS DOUBLE) - (c0 + c1 * CAST(pl AS DOUBLE))), 9)
+           AS DECIMAL(28,9))) AS DOUBLE) AS ssr_restricted
+  FROM feat CROSS JOIN coeffs
+)
+SELECT n_days, b0, b1, b2, c0, c1, ssr_full, ssr_restricted,
+       -- ssr_full = 0: Spark ANSI raises on the double division where
+       -- DuckDB yields Infinity — guarded to NULL F on both engines,
+       -- with the verdict falling through to the perfect-fit branch
+       CASE WHEN ssr_full > 0 THEN
+         (ssr_restricted - ssr_full)
+           / (ssr_full / CAST(n_days - 3 AS DOUBLE))
+       END AS f_stat,
+       CASE WHEN ssr_full > 0 THEN
+         (ssr_restricted - ssr_full)
+           / (ssr_full / CAST(n_days - 3 AS DOUBLE))
+           > CAST(3.841 AS DOUBLE)
+       WHEN ssr_restricted > 0 THEN TRUE
+       END AS granger_reject_05
+FROM ssr CROSS JOIN coeffs
+"""

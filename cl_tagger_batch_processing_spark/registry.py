@@ -551,3 +551,4 @@ register("events_power_analysis", relational.events_power_analysis)
 register("text_ndcg_eval", text.text_ndcg_eval)
 register("privacy_randomized_response", relational.privacy_randomized_response)
 register("events_empirical_bayes", relational.events_empirical_bayes)
+register("events_granger_lite", relational.events_granger_lite)

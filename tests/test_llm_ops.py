@@ -4404,6 +4404,11 @@ def test_r11_constants_in_sync():
     assert text_ops.NDCG_K == 20 and text_ops.NDCG_QUERY_VEC == 0
     assert "generate_series(1, 20)" in nd and "sem_rank <= 20" in nd
     assert "WHERE doc_id != 0" in nd
+    gr = oracles.ORACLE_SQL["events_granger_lite"]
+    assert relational.GRANGER_F_CRIT_05 == 3.841
+    assert "CAST(3.841 AS DOUBLE)" in gr
+    assert relational.GRANGER_CAUSE_TYPE == "view" and "'view'" in gr
+    assert relational.GRANGER_EFFECT_TYPE == "purchase" and "'purchase'" in gr
     rr = oracles.ORACLE_SQL["privacy_randomized_response"]
     assert relational.RR_FLIP_PROB == 0.5 and "< CAST(0.5 AS DOUBLE)" in rr
     assert relational.RR_COIN_SALT == "rr-coin" and "md5('rr-coin:'" in rr
@@ -4771,3 +4776,104 @@ def test_empirical_bayes_matches_decimal_replay(spark, sf_dir):
         assert r.shrunk_rate == pytest.approx(shrunk, rel=1e-9)
         lo, hi = sorted((p / e, m))
         assert lo - 1e-9 <= r.shrunk_rate <= hi + 1e-9
+
+
+def test_granger_matches_numpy_lstsq_replay(spark, sf_dir):
+    """Both regressions re-solved with numpy.linalg.lstsq (QR — a
+    genuinely different algorithm from the production Cramer closed
+    form) from raw per-day counts, plus the F verdict."""
+    import numpy as np
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["events_granger_lite"](spark, sf_dir).collect()[0]
+    daily = dict()
+    for day, p, v in _duck_rows(
+        sf_dir,
+        """SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400,
+                  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END),
+                  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           FROM '{sf}/events.parquet' GROUP BY 1""",
+    ):
+        daily[day] = (p, v)
+    rows = [
+        (daily[d][0], daily[d - 1][0], daily[d - 1][1])
+        for d in sorted(daily)
+        if d - 1 in daily
+    ]
+    assert r.n_days == len(rows)
+    y = np.array([t[0] for t in rows], dtype=float)
+    Xf = np.array([[1.0, t[1], t[2]] for t in rows])
+    Xr = np.array([[1.0, t[1]] for t in rows])
+    bf, *_ = np.linalg.lstsq(Xf, y, rcond=None)
+    br, *_ = np.linalg.lstsq(Xr, y, rcond=None)
+    assert r.b0 == pytest.approx(bf[0], rel=1e-6)
+    assert r.b1 == pytest.approx(bf[1], rel=1e-6)
+    assert r.b2 == pytest.approx(bf[2], rel=1e-6)
+    assert r.c0 == pytest.approx(br[0], rel=1e-6)
+    assert r.c1 == pytest.approx(br[1], rel=1e-6)
+    ssr_f = float(((y - Xf @ bf) ** 2).sum())
+    ssr_r = float(((y - Xr @ br) ** 2).sum())
+    assert r.ssr_full == pytest.approx(ssr_f, rel=1e-6)
+    assert r.ssr_restricted == pytest.approx(ssr_r, rel=1e-6)
+    f = (ssr_r - ssr_f) / (ssr_f / (len(rows) - 3))
+    assert r.f_stat == pytest.approx(f, rel=1e-4)
+    assert r.granger_reject_05 == (r.f_stat > 3.841)
+
+
+def test_granger_rejects_on_synthetic_leading_series(spark, tmp_path):
+    """granger_reject_05 is identically False on the organic fixture (no
+    lead-lag structure) — the TRUE path runs here on a synthetic fixture
+    where tomorrow's purchases ARE yesterday's view spike, through the
+    full production query."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "leading"
+    d.mkdir()
+    rows = []
+    eid = 0
+    # 30 days; views spike every 3rd day; purchases echo the spike next day
+    # (plus a small constant floor so the restricted model keeps df)
+    for day in range(1, 31):
+        n_views = 9 if day % 3 == 0 else 1
+        n_purch = 9 if (day - 1) % 3 == 0 and day > 1 else 1
+        for _ in range(n_views):
+            eid += 1
+            rows.append((eid, f"2024-01-{day:02d} 12:00:00", 1, "view", 1.0, "{}"))
+        for _ in range(n_purch):
+            eid += 1
+            rows.append(
+                (eid, f"2024-01-{day:02d} 12:00:00", 1, "purchase", 1.0, "{}")
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "cast(ts as timestamp) ts", "user_id", "event_type",
+        "value", "props",
+    ).write.parquet(str(d / "events.parquet"))
+
+    r = QUERIES["events_granger_lite"](spark, str(d)).collect()[0]
+    assert r.n_days == 29
+    assert r.granger_reject_05 is True
+    assert r.b2 == pytest.approx(1.0, abs=1e-6)  # purchases echo views 1:1
+    # the echo is EXACT, so the full model fits perfectly: this fixture
+    # also exercises the guarded ssr_full = 0 branch (NULL F, reject via
+    # the perfect-fit fall-through) — the oracle must agree on it
+    assert r.ssr_full == 0.0 and r.f_stat is None
+    import duckdb
+
+    from cl_tagger_batch_processing_spark import oracles
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet/*.parquet')"
+        )
+        out = con.execute(oracles.ORACLE_SQL["events_granger_lite"]).fetchall()
+    finally:
+        con.close()
+    assert len(out) == 1
+    assert out[0][8] is None and out[0][9] is True  # f_stat NULL, reject

@@ -130,6 +130,12 @@ ALLOWLIST: dict[tuple[str, str, str], str] = {
     ("events_tukey_hsd", "ALL_FALSE", "reject_anova_05"): (
         "same-generator fixture; same synthetic shifted-groups pin"
     ),
+    ("events_granger_lite", "ALL_FALSE", "granger_reject_05"): (
+        "honest negative: the organic fixture has no lead-lag structure "
+        "(F ~ 0.02-1.0 across scales); TRUE path pinned by "
+        "test_granger_rejects_on_synthetic_leading_series through the "
+        "full production query"
+    ),
     ("events_power_analysis", "ALL_FALSE", "powered"): (
         "honest negative at sf0.001 (8/7 users per arm vs >=212 required "
         "at the widest MDE); the 10%-MDE row is powered=true at sf0.1 "
