@@ -5736,32 +5736,32 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(cents).cast("bigint").alias("x"))
     )
     x38 = F.col("x").cast("decimal(38,0)")
-    arms = (
-        per_user.select(
-            F.when(F.col("user_id") % 2 == 0, F.lit("control"))
-            .otherwise(F.lit("treatment"))
-            .alias("arm"),
-            "x",
-        )
-        .groupBy("arm")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum(x38).alias("sx"),
-            F.sum(x38 * x38).alias("sxx"),
-        )
+    is_ctrl = F.col("user_id") % 2 == 0
+    # ONE global aggregate over the per-user rollup (never a filter per
+    # arm: a missing arm must yield NULL stats on a 4-row spine, not zero
+    # rows — the bootstrap-CI collapse class; r11 review, which also
+    # flagged the two-filter shape as a double corpus scan).
+    arms = per_user.agg(
+        F.sum(F.when(is_ctrl, 1).otherwise(0)).cast("bigint").alias("nc"),
+        F.sum(F.when(is_ctrl, x38)).alias("sxc"),
+        F.sum(F.when(is_ctrl, x38 * x38)).alias("sxxc"),
+        F.sum(F.when(~is_ctrl, 1).otherwise(0)).cast("bigint").alias("nt"),
     )
-    ctrl = arms.where(F.col("arm") == "control").select(
-        F.col("n").alias("n_control"),
-        (F.col("sx").cast("double") / F.col("n").cast("double")).alias(
-            "mean_control_cents"
-        ),
-        (
-            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-            / (F.col("n") * (F.col("n") - 1)).cast("double")
+    nc = F.col("nc")
+    # n_control <= 1 zeroes the sample-variance divisor — ANSI Spark
+    # raises where DuckDB yields Infinity; NULL stats cascade to NULL
+    # requirements and a NULL powered verdict on both engines.
+    ctrl = arms.select(
+        nc.alias("n_control"),
+        F.col("nt").alias("n_treatment"),
+        F.when(
+            nc > 0, F.col("sxc").cast("double") / nc.cast("double")
+        ).alias("mean_control_cents"),
+        F.when(
+            nc > 1,
+            (nc * F.col("sxxc") - F.col("sxc") * F.col("sxc")).cast("double")
+            / (nc * (nc - 1)).cast("double"),
         ).alias("var_control"),
-    )
-    treat = arms.where(F.col("arm") == "treatment").select(
-        F.col("n").alias("n_treatment")
     )
     spine = spark.range(1).select(
         F.explode(F.array(*[F.lit(p) for p in POWER_MDE_PCTS])).alias("mde_pct")
@@ -5772,24 +5772,28 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("mean_control_cents")
     )
     zsum = F.lit(POWER_Z_ALPHA_2) + F.lit(POWER_Z_BETA_80)
-    n_req = F.ceil(
-        F.lit(2.0) * F.col("var_control") * zsum * zsum / (tau * tau)
-    ).cast("bigint")
-    return (
-        spine.crossJoin(F.broadcast(ctrl))
-        .crossJoin(F.broadcast(treat))
-        .select(
-            "mde_pct",
-            "n_control",
-            "n_treatment",
-            "mean_control_cents",
-            "var_control",
-            tau.alias("tau_cents"),
-            n_req.alias("n_required_per_arm"),
-            (
-                F.least(F.col("n_control"), F.col("n_treatment")) >= n_req
-            ).alias("powered"),
-        )
+    # tau = 0 (an all-zero control metric) would zero the divisor — same
+    # ANSI-raises guard class as the variance above.
+    n_req = F.when(
+        tau > 0,
+        F.ceil(
+            F.lit(2.0) * F.col("var_control") * zsum * zsum / (tau * tau)
+        ).cast("bigint"),
+    )
+    return spine.crossJoin(F.broadcast(ctrl)).select(
+        "mde_pct",
+        "n_control",
+        "n_treatment",
+        "mean_control_cents",
+        "var_control",
+        tau.alias("tau_cents"),
+        n_req.alias("n_required_per_arm"),
+        # least() skips NULLs asymmetrically across engines (r9 rule:
+        # decide nullability BEFORE, never through, least/greatest)
+        F.when(
+            n_req.isNotNull(),
+            F.least(F.col("n_control"), F.col("n_treatment")) >= n_req,
+        ).alias("powered"),
     )
 
 
@@ -5913,15 +5917,20 @@ def events_empirical_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one map-side-combined per-user aggregate, one 1-row
     moment aggregate broadcast back — corpus touched once."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
-    per_user = ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum(
-            F.when(F.col("event_type") == F.lit("purchase"), F.lit(1)).otherwise(
-                F.lit(0)
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == F.lit("purchase"), F.lit(1)
+                ).otherwise(F.lit(0))
             )
+            .cast("bigint")
+            .alias("n_purchases"),
         )
-        .cast("bigint")
-        .alias("n_purchases"),
+        # two consumers (moments + output) — one corpus pass (r11 review)
+        .transform(truncate_lineage)
     )
     raw = F.col("n_purchases").cast("double") / F.col("n_events").cast("double")
     r9 = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
@@ -6013,6 +6022,9 @@ def events_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("v"),
         )
+        # ONE corpus pass: both lag-join sides re-read this checkpoint,
+        # never the scan (r11 review — the _daily_event_counts precedent)
+        .transform(truncate_lineage)
     )
     cur = daily.select(F.col("day").alias("d"), F.col("p").alias("y"))
     prev = daily.select(
@@ -6058,13 +6070,19 @@ def events_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         - spl * (spl * spvl - sppl * svl)
         + sp * (spl * splvl - spl2 * svl)
     )
-    c1 = (n * sppl - spl * sp) / (n * spl2 - spl * spl)
+    # Collinear/constant lag columns make det = 0 (and a constant p-lag
+    # makes the restricted normal-equation denominator 0) — ANSI Spark
+    # raises on the double division where DuckDB yields Infinity (r11
+    # review, the same class as the ssr_full guard below). NULL
+    # coefficients cascade to NULL SSRs/F/verdict on both engines.
+    den2 = n * spl2 - spl * spl
+    c1 = F.when(den2 != 0, (n * sppl - spl * sp) / den2)
     coeffs = stats.select(
         "n",
-        (det0 / det).alias("b0"),
-        (det1 / det).alias("b1"),
-        (det2 / det).alias("b2"),
-        ((sp - c1 * spl) / n).alias("c0"),
+        F.when(det != 0, det0 / det).alias("b0"),
+        F.when(det != 0, det1 / det).alias("b1"),
+        F.when(det != 0, det2 / det).alias("b2"),
+        F.when(den2 != 0, (sp - c1 * spl) / n).alias("c0"),
         c1.alias("c1"),
     )
     r9 = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
@@ -6089,14 +6107,23 @@ def events_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Infinity, so the degenerate path is guarded on both engines (the
     # conformal NULL-bounds convention): F is NULL, and the verdict falls
     # through to "restricted strictly worse than a perfect fit" = reject.
+    # n_days <= 3 zeroes the df divisor — same ANSI-raises class; both
+    # that and the perfect-fit fall-through require the guards together.
+    testable = (F.col("ssr_full") > 0) & (F.col("n_days") > 3)
     f_stat = F.when(
-        F.col("ssr_full") > 0,
+        testable,
         (F.col("ssr_restricted") - F.col("ssr_full"))
         / (F.col("ssr_full") / (F.col("n_days") - F.lit(3)).cast("double")),
     )
-    reject = F.when(
-        F.col("ssr_full") > 0, f_stat > F.lit(GRANGER_F_CRIT_05)
-    ).when(F.col("ssr_restricted") > 0, F.lit(True))
+    # The perfect-fit fall-through also requires df > 0: a SATURATED
+    # model (n_days = 3) fits perfectly by construction and supports no
+    # verdict at all.
+    reject = F.when(testable, f_stat > F.lit(GRANGER_F_CRIT_05)).when(
+        (F.col("ssr_full") == 0)
+        & (F.col("ssr_restricted") > 0)
+        & (F.col("n_days") > 3),
+        F.lit(True),
+    )
     return (
         ssr.crossJoin(F.broadcast(coeffs.select("b0", "b1", "b2", "c0", "c1")))
         .select(

@@ -2120,25 +2120,28 @@ def text_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.log(pos.cast("double") + F.lit(1.0)) / F.log(F.lit(2.0))),
         9,
     ).cast("decimal(28,9)")
+    # ONE pass over the single left join: the overlap count is just the
+    # matched-rel count, so a second inner join would re-run both
+    # corpus-scale input rankings for a number already in hand (r11
+    # review).
     dcg = (
         lex.join(sem, "doc_id", "left")
-        .select(term(F.coalesce(F.col("rel"), F.lit(0)), F.col("pos")).alias("t"))
+        .select(
+            term(F.coalesce(F.col("rel"), F.lit(0)), F.col("pos")).alias("t"),
+            F.col("rel").isNotNull().cast("bigint").alias("hit"),
+        )
         .agg(
             F.sum("t").cast("double").alias("dcg"),
             F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.sum("hit").cast("bigint").alias("n_overlap"),
         )
-    )
-    overlap = (
-        lex.join(sem, "doc_id", "inner")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
     )
     spine = spark.range(1, NDCG_K + 1).select(F.col("id").alias("i"))
     idcg = spine.select(
         term(F.lit(NDCG_K + 1) - F.col("i"), F.col("i")).alias("t")
     ).agg(F.sum("t").cast("double").alias("idcg"))
     return (
-        dcg.crossJoin(F.broadcast(overlap))
-        .crossJoin(F.broadcast(idcg))
+        dcg.crossJoin(F.broadcast(idcg))
         .select(
             F.lit(NDCG_K).cast("bigint").alias("k"),
             "n_eval",

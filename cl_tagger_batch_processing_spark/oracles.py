@@ -8519,39 +8519,50 @@ WITH per_user AS (
               AS BIGINT) AS x
   FROM events WHERE event_type = 'purchase' GROUP BY 1
 ),
-arms AS MATERIALIZED (
-  SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm,
-         CAST(COUNT(*) AS BIGINT) AS n,
-         SUM(CAST(x AS HUGEINT)) AS sx,
-         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
-  FROM per_user GROUP BY 1
+arms AS (
+  -- ONE global aggregate, never a filter per arm: a missing arm yields
+  -- NULL stats on the 4-row spine, not zero rows (r11 review); n <= 1
+  -- and tau = 0 guards mirror the engine's ANSI-raise guards
+  SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nc,
+         SUM(CASE WHEN user_id % 2 = 0 THEN CAST(x AS HUGEINT) END) AS sxc,
+         SUM(CASE WHEN user_id % 2 = 0
+                  THEN CAST(x AS HUGEINT) * CAST(x AS HUGEINT) END) AS sxxc,
+         CAST(SUM(CASE WHEN user_id % 2 != 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nt
+  FROM per_user
 ),
 ctrl AS (
-  SELECT n AS n_control,
-         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_control_cents,
-         CAST(n * sxx - sx * sx AS DOUBLE)
-           / CAST(n * (n - 1) AS DOUBLE) AS var_control
-  FROM arms WHERE arm = 'control'
+  SELECT nc AS n_control, nt AS n_treatment,
+         CASE WHEN nc > 0 THEN CAST(sxc AS DOUBLE) / CAST(nc AS DOUBLE)
+              END AS mean_control_cents,
+         CASE WHEN nc > 1 THEN CAST(nc * sxxc - sxc * sxc AS DOUBLE)
+                                 / CAST(nc * (nc - 1) AS DOUBLE)
+              END AS var_control
+  FROM arms
 ),
-treat AS (SELECT n AS n_treatment FROM arms WHERE arm = 'treatment'),
 spine AS (SELECT unnest([1, 2, 5, 10]) AS mde_pct),
 calc AS (
   SELECT mde_pct, n_control, n_treatment, mean_control_cents, var_control,
          CAST(mde_pct AS DOUBLE) / CAST(100 AS DOUBLE)
            * mean_control_cents AS tau_cents
-  FROM spine CROSS JOIN ctrl CROSS JOIN treat
+  FROM spine CROSS JOIN ctrl
 ),
 calc2 AS (
   SELECT *,
-         CAST(ceil(CAST(2 AS DOUBLE) * var_control
-                   * (CAST(1.96 AS DOUBLE) + CAST(0.842 AS DOUBLE))
-                   * (CAST(1.96 AS DOUBLE) + CAST(0.842 AS DOUBLE))
-                   / (tau_cents * tau_cents)) AS BIGINT) AS n_required_per_arm
+         CASE WHEN tau_cents > 0 THEN
+           CAST(ceil(CAST(2 AS DOUBLE) * var_control
+                     * (CAST(1.96 AS DOUBLE) + CAST(0.842 AS DOUBLE))
+                     * (CAST(1.96 AS DOUBLE) + CAST(0.842 AS DOUBLE))
+                     / (tau_cents * tau_cents)) AS BIGINT)
+         END AS n_required_per_arm
   FROM calc
 )
 SELECT mde_pct, n_control, n_treatment, mean_control_cents, var_control,
        tau_cents, n_required_per_arm,
-       least(n_control, n_treatment) >= n_required_per_arm AS powered
+       CASE WHEN n_required_per_arm IS NOT NULL THEN
+         least(n_control, n_treatment) >= n_required_per_arm
+       END AS powered
 FROM calc2
 """
 
@@ -8580,18 +8591,18 @@ sem AS MATERIALIZED (
   WHERE sem_rank <= 20
 ),
 dcg AS (
+  -- one pass: the overlap count is the matched-rel count of the same
+  -- left join (r11 review)
   SELECT CAST(SUM(CAST(round(
            (pow(CAST(2 AS DOUBLE), CAST(COALESCE(s.rel, 0) AS DOUBLE))
             - CAST(1 AS DOUBLE))
            / (ln(CAST(l.pos AS DOUBLE) + CAST(1 AS DOUBLE))
               / ln(CAST(2 AS DOUBLE))), 9) AS DECIMAL(28,9))) AS DOUBLE)
            AS dcg,
-         CAST(COUNT(*) AS BIGINT) AS n_eval
+         CAST(COUNT(*) AS BIGINT) AS n_eval,
+         CAST(SUM(CASE WHEN s.rel IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_overlap
   FROM lex l LEFT JOIN sem s ON l.doc_id = s.doc_id
-),
-overlap AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap
-  FROM lex l JOIN sem s ON l.doc_id = s.doc_id
 ),
 ideal AS (SELECT unnest(generate_series(1, 20)) AS i),
 idcg AS (
@@ -8605,7 +8616,7 @@ idcg AS (
 )
 SELECT CAST(20 AS BIGINT) AS k, n_eval, n_overlap, dcg, idcg,
        dcg / idcg AS ndcg
-FROM dcg CROSS JOIN overlap CROSS JOIN idcg
+FROM dcg CROSS JOIN idcg
 """
 
 # Mirrors relational.privacy_randomized_response: the bootstrap oracle's
@@ -8744,29 +8755,32 @@ dbl AS (
   FROM stats
 ),
 coeffs AS MATERIALIZED (
+  -- det = 0 (collinear lags) / den2 = 0 (constant p-lag): ANSI Spark
+  -- raises on the double division where DuckDB yields Infinity — NULL
+  -- coefficients cascade to NULL SSRs/F/verdict on both engines
   SELECT n,
-         (sp * (spl2 * svl2 - splvl * splvl)
-          - spl * (sppl * svl2 - splvl * spvl)
-          + svl * (sppl * splvl - spl2 * spvl))
-         / (nd * (spl2 * svl2 - splvl * splvl)
-            - spl * (spl * svl2 - splvl * svl)
-            + svl * (spl * splvl - spl2 * svl)) AS b0,
-         (nd * (sppl * svl2 - splvl * spvl)
-          - sp * (spl * svl2 - splvl * svl)
-          + svl * (spl * spvl - sppl * svl))
-         / (nd * (spl2 * svl2 - splvl * splvl)
-            - spl * (spl * svl2 - splvl * svl)
-            + svl * (spl * splvl - spl2 * svl)) AS b1,
-         (nd * (spl2 * spvl - sppl * splvl)
-          - spl * (spl * spvl - sppl * svl)
-          + sp * (spl * splvl - spl2 * svl))
-         / (nd * (spl2 * svl2 - splvl * splvl)
-            - spl * (spl * svl2 - splvl * svl)
-            + svl * (spl * splvl - spl2 * svl)) AS b2,
-         (sp - ((nd * sppl - spl * sp) / (nd * spl2 - spl * spl)) * spl)
-           / nd AS c0,
-         (nd * sppl - spl * sp) / (nd * spl2 - spl * spl) AS c1
-  FROM dbl
+         CASE WHEN det != 0 THEN
+           (sp * (spl2 * svl2 - splvl * splvl)
+            - spl * (sppl * svl2 - splvl * spvl)
+            + svl * (sppl * splvl - spl2 * spvl)) / det END AS b0,
+         CASE WHEN det != 0 THEN
+           (nd * (sppl * svl2 - splvl * spvl)
+            - sp * (spl * svl2 - splvl * svl)
+            + svl * (spl * spvl - sppl * svl)) / det END AS b1,
+         CASE WHEN det != 0 THEN
+           (nd * (spl2 * spvl - sppl * splvl)
+            - spl * (spl * spvl - sppl * svl)
+            + sp * (spl * splvl - spl2 * svl)) / det END AS b2,
+         CASE WHEN den2 != 0 THEN
+           (sp - ((nd * sppl - spl * sp) / den2) * spl) / nd END AS c0,
+         CASE WHEN den2 != 0 THEN
+           (nd * sppl - spl * sp) / den2 END AS c1
+  FROM (SELECT *,
+               nd * (spl2 * svl2 - splvl * splvl)
+               - spl * (spl * svl2 - splvl * svl)
+               + svl * (spl * splvl - spl2 * svl) AS det,
+               nd * spl2 - spl * spl AS den2
+        FROM dbl)
 ),
 ssr AS (
   SELECT MAX(n) AS n_days,
@@ -8783,18 +8797,19 @@ ssr AS (
   FROM feat CROSS JOIN coeffs
 )
 SELECT n_days, b0, b1, b2, c0, c1, ssr_full, ssr_restricted,
-       -- ssr_full = 0: Spark ANSI raises on the double division where
-       -- DuckDB yields Infinity — guarded to NULL F on both engines,
-       -- with the verdict falling through to the perfect-fit branch
-       CASE WHEN ssr_full > 0 THEN
+       -- ssr_full = 0 (perfect fit) or n_days <= 3 (zero df): Spark ANSI
+       -- raises on the double division where DuckDB yields Infinity —
+       -- guarded to NULL F on both engines, with the verdict falling
+       -- through to the perfect-fit branch
+       CASE WHEN ssr_full > 0 AND n_days > 3 THEN
          (ssr_restricted - ssr_full)
            / (ssr_full / CAST(n_days - 3 AS DOUBLE))
        END AS f_stat,
-       CASE WHEN ssr_full > 0 THEN
+       CASE WHEN ssr_full > 0 AND n_days > 3 THEN
          (ssr_restricted - ssr_full)
            / (ssr_full / CAST(n_days - 3 AS DOUBLE))
            > CAST(3.841 AS DOUBLE)
-       WHEN ssr_restricted > 0 THEN TRUE
+       WHEN ssr_full = 0 AND ssr_restricted > 0 AND n_days > 3 THEN TRUE
        END AS granger_reject_05
 FROM ssr CROSS JOIN coeffs
 """

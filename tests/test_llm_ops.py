@@ -4877,3 +4877,102 @@ def test_granger_rejects_on_synthetic_leading_series(spark, tmp_path):
         con.close()
     assert len(out) == 1
     assert out[0][8] is None and out[0][9] is True  # f_stat NULL, reject
+
+
+def _oracle_rows_on_events_fixture(d, name):
+    import duckdb
+
+    from cl_tagger_batch_processing_spark import oracles
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet/*.parquet')"
+        )
+        return con.execute(oracles.ORACLE_SQL[name]).fetchall()
+    finally:
+        con.close()
+
+
+def _write_events(spark, d, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "cast(ts as timestamp) ts", "user_id", "event_type",
+        "value", "props",
+    ).write.parquet(str(d / "events.parquet"))
+
+
+def test_granger_degenerate_guards_match_oracle(spark, tmp_path):
+    """The r11-review guard classes, engine and oracle side by side:
+    n_days = 3 (zero df) and a constant view series (collinear design,
+    det = 0) must yield NULL F / NULL verdict rows, never a crash."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    # 4 consecutive days -> n_days = 3 -> df divisor 0
+    d = tmp_path / "fourdays"
+    d.mkdir()
+    rows, eid = [], 0
+    for day in range(1, 5):
+        for t, k in [("view", 1 + day % 2), ("purchase", 1 + (day * 7) % 3)]:
+            for _ in range(k):
+                eid += 1
+                rows.append((eid, f"2024-01-{day:02d} 12:00:00", 1, t, 1.0, "{}"))
+    _write_events(spark, d, rows)
+    r = QUERIES["events_granger_lite"](spark, str(d)).collect()[0]
+    assert r.n_days == 3
+    assert r.f_stat is None and r.granger_reject_05 is None
+    o = _oracle_rows_on_events_fixture(d, "events_granger_lite")[0]
+    assert o[8] is None and o[9] is None
+
+    # constant daily views -> vl column constant -> [1, pl, vl] collinear
+    d2 = tmp_path / "constviews"
+    d2.mkdir()
+    rows, eid = [], 0
+    for day in range(1, 11):
+        eid += 1
+        rows.append((eid, f"2024-01-{day:02d} 12:00:00", 1, "view", 1.0, "{}"))
+        for _ in range(1 + (day * 7) % 3):
+            eid += 1
+            rows.append(
+                (eid, f"2024-01-{day:02d} 12:00:00", 1, "purchase", 1.0, "{}")
+            )
+    _write_events(spark, d2, rows)
+    r = QUERIES["events_granger_lite"](spark, str(d2)).collect()[0]
+    assert r.b0 is None and r.b1 is None and r.b2 is None
+    assert r.f_stat is None and r.granger_reject_05 is None
+    o = _oracle_rows_on_events_fixture(d2, "events_granger_lite")[0]
+    assert o[1] is None and o[8] is None and o[9] is None
+
+
+def test_power_analysis_degenerate_arms_match_oracle(spark, tmp_path):
+    """One control purchaser (n = 1: zero variance divisor) must yield
+    the full 4-row MDE spine with NULL stats/requirements/verdicts on
+    BOTH engines — never zero rows (the bootstrap-CI collapse class) and
+    never an ANSI divide-by-zero crash."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "onectrl"
+    d.mkdir()
+    rows = [
+        (1, "2024-01-01 00:00:00", 2, "purchase", 10.0, "{}"),
+        (2, "2024-01-01 00:00:00", 2, "purchase", 12.0, "{}"),
+        (3, "2024-01-01 00:00:00", 3, "purchase", 11.0, "{}"),
+        (4, "2024-01-01 00:00:00", 5, "purchase", 13.0, "{}"),
+    ]
+    _write_events(spark, d, rows)
+    out = QUERIES["events_power_analysis"](spark, str(d)).collect()
+    assert len(out) == 4
+    for r in out:
+        assert (r.n_control, r.n_treatment) == (1, 2)
+        assert r.mean_control_cents is not None
+        assert r.var_control is None
+        assert r.n_required_per_arm is None and r.powered is None
+    o = _oracle_rows_on_events_fixture(d, "events_power_analysis")
+    assert len(o) == 4
+    for row in o:
+        assert (row[1], row[2]) == (1, 2)
+        assert row[4] is None and row[6] is None and row[7] is None
