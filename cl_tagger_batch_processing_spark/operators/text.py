@@ -2151,3 +2151,103 @@ def text_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dcg") / F.col("idcg")).alias("ndcg"),
         )
     )
+
+
+# Burrows's Delta function-word budget. Sync-pinned to the oracle literal
+# (test_r11_constants_in_sync).
+BURROWS_TOP_WORDS = 20
+
+
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows's Delta between corpus sources — the classic stylometric
+    distance (Burrows 2002): each source is profiled by its relative
+    frequencies of the corpus's top function words, frequencies
+    standardize to z-scores across sources, and Delta(a, b) is the mean
+    |z_a − z_b| over the word budget. The standard authorship /
+    style-drift screen, here answering the curation question "which
+    sources write alike?" beside the token-distribution JSD matrix
+    (Delta is mean-variance standardized where JSD is distributional).
+
+    Exact evaluation: ONE corpus pass builds the (source, token) count
+    relation (checkpointed — the top-word ranking, per-source totals and
+    profile counts all derive from it); relative frequencies are one
+    double division of exact counts; per-word means/stds ride the
+    9dp-DECIMAL moment rail; zero-variance words drop out of the budget
+    as NULL z on both engines (and the sample-variance guard requires
+    ≥2 sources); the pairwise mean re-rails the |Δz| terms.
+
+    Scale shape: everything after the count groupBy is
+    vocabulary × sources sized (the grid here is 20×20); the source-pair
+    join runs over #sources² × budget rows — corpus-size independent."""
+    from ..checkpointing import truncate_lineage
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        # one corpus pass; three consumers (top words, totals, profiles)
+        .transform(truncate_lineage)
+    )
+    top = (
+        counts.groupBy("token")
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(BURROWS_TOP_WORDS)
+        .select("token")
+    )
+    tot = counts.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens")
+    )
+    prof = counts.join(F.broadcast(top), "token").select("source", "token", "cnt")
+    freqs = (
+        tot.crossJoin(F.broadcast(top))
+        .join(prof, ["source", "token"], "left")
+        .select(
+            "source",
+            "token",
+            (
+                F.coalesce(F.col("cnt"), F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("f"),
+        )
+    )
+    r9 = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    stats = freqs.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns"),
+        F.sum(r9(F.col("f"))).alias("s1"),
+        F.sum(r9(F.col("f") * F.col("f"))).alias("s2"),
+    )
+    nsd = F.col("ns").cast("double")
+    mu = F.col("s1").cast("double") / nsd
+    var = (F.col("s2").cast("double") - nsd * mu * mu) / (nsd - F.lit(1.0))
+    word_stats = stats.select(
+        "token",
+        mu.alias("mu"),
+        F.when((F.col("ns") > 1) & (var > 0), F.sqrt(var)).alias("sigma"),
+    )
+    z = F.when(
+        F.col("sigma").isNotNull(), (F.col("f") - F.col("mu")) / F.col("sigma")
+    )
+    zf = freqs.join(F.broadcast(word_stats), "token").select(
+        "source", "token", z.alias("z")
+    )
+    a = zf.select(
+        F.col("source").alias("source_a"), "token", F.col("z").alias("za")
+    )
+    b = zf.select(
+        F.col("source").alias("source_b"), "token", F.col("z").alias("zb")
+    )
+    return (
+        a.join(b, "token")
+        .where(F.col("source_a") < F.col("source_b"))
+        .where(F.col("za").isNotNull() & F.col("zb").isNotNull())
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            (
+                F.sum(r9(F.abs(F.col("za") - F.col("zb")))).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("delta"),
+        )
+    )

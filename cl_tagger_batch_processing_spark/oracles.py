@@ -8813,3 +8813,60 @@ SELECT n_days, b0, b1, b2, c0, c1, ssr_full, ssr_restricted,
        END AS granger_reject_05
 FROM ssr CROSS JOIN coeffs
 """
+
+# Mirrors text.text_burrows_delta: one (source, token) count relation, the
+# top-20 function-word budget, 9dp-railed frequency moments, guarded
+# z-scores, and the re-railed pairwise mean |dz|.
+ORACLE_SQL["text_burrows_delta"] = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS MATERIALIZED (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1, 2
+),
+top AS MATERIALIZED (
+  SELECT token
+  FROM (SELECT token, SUM(cnt) AS n FROM counts GROUP BY 1)
+  ORDER BY n DESC, token ASC LIMIT 20
+),
+tot AS (
+  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM counts GROUP BY 1
+),
+freqs AS MATERIALIZED (
+  SELECT t.source, w.token,
+         CAST(COALESCE(p.cnt, 0) AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) AS f
+  FROM tot t CROSS JOIN top w
+  LEFT JOIN counts p ON p.source = t.source AND p.token = w.token
+),
+stats AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS ns,
+         SUM(CAST(round(f, 9) AS DECIMAL(28,9))) AS s1,
+         SUM(CAST(round(f * f, 9) AS DECIMAL(28,9))) AS s2
+  FROM freqs GROUP BY 1
+),
+word_stats AS MATERIALIZED (
+  SELECT token,
+         CAST(s1 AS DOUBLE) / CAST(ns AS DOUBLE) AS mu,
+         CASE WHEN ns > 1 AND var > 0 THEN sqrt(var) END AS sigma
+  FROM (SELECT *,
+               (CAST(s2 AS DOUBLE)
+                - CAST(ns AS DOUBLE)
+                  * (CAST(s1 AS DOUBLE) / CAST(ns AS DOUBLE))
+                  * (CAST(s1 AS DOUBLE) / CAST(ns AS DOUBLE)))
+                 / (CAST(ns AS DOUBLE) - CAST(1 AS DOUBLE)) AS var
+        FROM stats)
+),
+zf AS MATERIALIZED (
+  SELECT f.source, f.token,
+         CASE WHEN w.sigma IS NOT NULL THEN (f.f - w.mu) / w.sigma END AS z
+  FROM freqs f JOIN word_stats w USING (token)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(CAST(round(abs(a.z - b.z), 9) AS DECIMAL(28,9))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS delta
+FROM zf a JOIN zf b ON a.token = b.token AND a.source < b.source
+WHERE a.z IS NOT NULL AND b.z IS NOT NULL
+GROUP BY 1, 2
+"""

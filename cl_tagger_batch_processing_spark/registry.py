@@ -552,3 +552,4 @@ register("text_ndcg_eval", text.text_ndcg_eval)
 register("privacy_randomized_response", relational.privacy_randomized_response)
 register("events_empirical_bayes", relational.events_empirical_bayes)
 register("events_granger_lite", relational.events_granger_lite)
+register("text_burrows_delta", text.text_burrows_delta)

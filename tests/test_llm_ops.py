@@ -4414,6 +4414,8 @@ def test_r11_constants_in_sync():
     assert relational.RR_COIN_SALT == "rr-coin" and "md5('rr-coin:'" in rr
     assert relational.RR_VALUE_SALT == "rr-value" and "md5('rr-value:'" in rr
     assert relational.AUC_LABEL_MIN_PURCHASES == 10 and ">= 10" in rr
+    bd = oracles.ORACLE_SQL["text_burrows_delta"]
+    assert text_ops.BURROWS_TOP_WORDS == 20 and "LIMIT 20" in bd
     pw = oracles.ORACLE_SQL["events_power_analysis"]
     assert relational.POWER_Z_ALPHA_2 == 1.96 and "CAST(1.96 AS DOUBLE)" in pw
     assert relational.POWER_Z_BETA_80 == 0.842 and "CAST(0.842 AS DOUBLE)" in pw
@@ -4976,3 +4978,57 @@ def test_power_analysis_degenerate_arms_match_oracle(spark, tmp_path):
     for row in o:
         assert (row[1], row[2]) == (1, 2)
         assert row[4] is None and row[6] is None and row[7] is None
+
+
+def test_burrows_delta_matches_python_replay(spark, sf_dir):
+    """Profiles, z-scores and every pairwise Delta replayed from raw
+    (source, text) rows with Counter tokenization and Decimal
+    ROUND_HALF_UP moments; also pins symmetry-by-construction (each
+    unordered pair appears exactly once) and non-negativity."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    out = {
+        (r.source_a, r.source_b): r
+        for r in QUERIES["text_burrows_delta"](spark, sf_dir).collect()
+    }
+    raw = _duck_rows(sf_dir, "SELECT source, text FROM '{sf}/documents.parquet'")
+    per_src: dict[str, Counter] = {}
+    for src, text in raw:
+        per_src.setdefault(src, Counter()).update(text.split(" "))
+    vocab = Counter()
+    for c in per_src.values():
+        vocab.update(c)
+    top = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    words = [w for w, _ in top]
+    srcs = sorted(per_src)
+    q9 = lambda x: Decimal(x).quantize(  # noqa: E731
+        Decimal("1e-9"), rounding=ROUND_HALF_UP
+    )
+    f = {
+        (s, w): per_src[s][w] / sum(per_src[s].values())
+        for s in srcs
+        for w in words
+    }
+    z = {}
+    for w in words:
+        ns = len(srcs)
+        s1 = float(sum(q9(f[(s, w)]) for s in srcs))
+        s2 = float(sum(q9(f[(s, w)] * f[(s, w)]) for s in srcs))
+        mu = s1 / ns
+        var = (s2 - ns * mu * mu) / (ns - 1.0)
+        if ns > 1 and var > 0:
+            for s in srcs:
+                z[(s, w)] = (f[(s, w)] - mu) / var**0.5
+    assert len(out) == len(srcs) * (len(srcs) - 1) // 2
+    for (sa, sb), r in out.items():
+        terms = [
+            float(q9(abs(z[(sa, w)] - z[(sb, w)])))
+            for w in words
+            if (sa, w) in z and (sb, w) in z
+        ]
+        assert r.n_words == len(terms)
+        assert r.delta == pytest.approx(sum(terms) / len(terms), rel=1e-9)
+        assert r.delta >= 0
