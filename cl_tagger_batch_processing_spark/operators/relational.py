@@ -6139,3 +6139,89 @@ def events_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             reject.alias("granger_reject_05"),
         )
     )
+
+
+# Absorbing-Markov session-outcome parameters: success/failure absorbing
+# states and the truncated hitting horizon. Sync-pinned to the oracle
+# literals (test_r11_constants_in_sync).
+MARKOV_ABSORB_SUCCESS = "purchase"
+MARKOV_ABSORB_FAIL = "error"
+MARKOV_ABSORB_HORIZON = 8
+
+
+def events_absorption_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorbing-Markov session outcomes: from each event-type state, the
+    probability the chain hits PURCHASE before ERROR within
+    MARKOV_ABSORB_HORIZON steps — the quantitative "which states funnel
+    toward conversion vs failure" readout on top of the transition
+    matrix (transitions say where one step goes; this says where the
+    walk ENDS), with purchase/error imposed as absorbing.
+
+    Evaluation: transition counts come from the same (ts, event_id)
+    tie-safe lead window as events_markov_transitions; the k² count
+    matrix is CONSTANT-SIZE, so the 8 value-iteration rounds
+    h_{t+1}(i) = Σ_j (c_ij/tot_i)·h_t(j) run driver-side (the Lloyd's
+    centroids / PCA precedent — 8 tiny Spark jobs would be pure
+    scheduler overhead), with each product rounded to 9dp and summed in
+    Decimal so the recurrence is order-free and bit-reproducible; the
+    oracle replays the identical 8 rounds as chained MATERIALIZED CTEs.
+    A non-absorbing state with no outgoing transitions scores 0 on both
+    engines.
+
+    Scale shape: ONE corpus pass (user-keyed window + map-side-combined
+    (from, to) groupBy); everything after is k×k control-plane."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    pairs = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    rows = (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .collect()
+    )
+    cnt = {(r.from_type, r.to_type): r.c for r in rows}
+    states = sorted({k[0] for k in cnt} | {k[1] for k in cnt})
+    tot = {
+        s: sum(c for (i, _), c in cnt.items() if i == s) for s in states
+    }
+    q9 = lambda x: Decimal(x).quantize(  # noqa: E731
+        Decimal("1e-9"), rounding=ROUND_HALF_UP
+    )
+    h = {
+        s: 1.0 if s == MARKOV_ABSORB_SUCCESS else 0.0 for s in states
+    }
+    for _ in range(MARKOV_ABSORB_HORIZON):
+        nh = {}
+        for i in states:
+            if i == MARKOV_ABSORB_SUCCESS:
+                nh[i] = 1.0
+            elif i == MARKOV_ABSORB_FAIL:
+                nh[i] = 0.0
+            elif tot[i] == 0:
+                nh[i] = 0.0
+            else:
+                acc = Decimal(0)
+                for j in states:
+                    c = cnt.get((i, j), 0)
+                    if c:
+                        acc += q9((c / tot[i]) * h[j])
+                nh[i] = float(acc)
+        h = nh
+    out = [
+        (
+            s,
+            s in (MARKOV_ABSORB_SUCCESS, MARKOV_ABSORB_FAIL),
+            int(tot[s]),
+            float(h[s]),
+        )
+        for s in states
+    ]
+    return spark.createDataFrame(
+        out,
+        "state string, is_absorbing boolean, n_out_transitions bigint, "
+        "p_hit_success double",
+    )

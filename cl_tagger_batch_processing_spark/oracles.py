@@ -8870,3 +8870,66 @@ FROM zf a JOIN zf b ON a.token = b.token AND a.source < b.source
 WHERE a.z IS NOT NULL AND b.z IS NOT NULL
 GROUP BY 1, 2
 """
+
+
+def _absorption_sql(horizon: int = 8) -> str:
+    """Static chained-CTE generator for the absorbing-Markov value
+    iteration (the PCA/HMM fixed-round precedent): h_{t+1}(i) =
+    Σ_j (c_ij/tot_i)·h_t(j) with 9dp-railed terms, purchase/error
+    clamped, no-out-edge states scoring 0."""
+    rounds = []
+    for t in range(1, horizon + 1):
+        prev = f"h{t - 1}"
+        rounds.append(f"""
+h{t} AS MATERIALIZED (
+  SELECT s,
+         CASE WHEN s = 'purchase' THEN CAST(1 AS DOUBLE)
+              WHEN s = 'error' THEN CAST(0 AS DOUBLE)
+              ELSE COALESCE(agg, CAST(0 AS DOUBLE)) END AS h
+  FROM states
+  LEFT JOIN (
+    SELECT c.from_type AS fs,
+           CAST(SUM(CAST(round((CAST(c.c AS DOUBLE) / CAST(t.tot AS DOUBLE))
+                                 * p.h, 9) AS DECIMAL(28,9))) AS DOUBLE) AS agg
+    FROM counts c
+    JOIN tots t ON c.from_type = t.from_type
+    JOIN {prev} p ON c.to_type = p.s
+    GROUP BY 1
+  ) ON s = fs
+)""".strip())
+    body = ",\n".join(rounds)
+    return f"""
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS to_type
+  FROM events
+),
+counts AS MATERIALIZED (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+states AS MATERIALIZED (
+  SELECT DISTINCT s FROM (SELECT from_type AS s FROM counts
+                          UNION ALL SELECT to_type FROM counts)
+),
+tots AS MATERIALIZED (
+  SELECT from_type, CAST(SUM(c) AS BIGINT) AS tot FROM counts GROUP BY 1
+),
+h0 AS (
+  SELECT s, CASE WHEN s = 'purchase' THEN CAST(1 AS DOUBLE)
+                 ELSE CAST(0 AS DOUBLE) END AS h
+  FROM states
+),
+{body}
+SELECT st.s AS state,
+       st.s IN ('purchase', 'error') AS is_absorbing,
+       CAST(COALESCE(t.tot, 0) AS BIGINT) AS n_out_transitions,
+       hf.h AS p_hit_success
+FROM states st
+LEFT JOIN tots t ON st.s = t.from_type
+JOIN h{horizon} hf ON st.s = hf.s
+"""
+
+
+ORACLE_SQL["events_absorption_probability"] = _absorption_sql(8)

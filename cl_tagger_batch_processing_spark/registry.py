@@ -553,3 +553,4 @@ register("privacy_randomized_response", relational.privacy_randomized_response)
 register("events_empirical_bayes", relational.events_empirical_bayes)
 register("events_granger_lite", relational.events_granger_lite)
 register("text_burrows_delta", text.text_burrows_delta)
+register("events_absorption_probability", relational.events_absorption_probability)

@@ -4414,6 +4414,10 @@ def test_r11_constants_in_sync():
     assert relational.RR_COIN_SALT == "rr-coin" and "md5('rr-coin:'" in rr
     assert relational.RR_VALUE_SALT == "rr-value" and "md5('rr-value:'" in rr
     assert relational.AUC_LABEL_MIN_PURCHASES == 10 and ">= 10" in rr
+    ab = oracles.ORACLE_SQL["events_absorption_probability"]
+    assert relational.MARKOV_ABSORB_SUCCESS == "purchase" and "'purchase'" in ab
+    assert relational.MARKOV_ABSORB_FAIL == "error" and "'error'" in ab
+    assert relational.MARKOV_ABSORB_HORIZON == 8 and "JOIN h8 hf" in ab
     bd = oracles.ORACLE_SQL["text_burrows_delta"]
     assert text_ops.BURROWS_TOP_WORDS == 20 and "LIMIT 20" in bd
     pw = oracles.ORACLE_SQL["events_power_analysis"]
@@ -5032,3 +5036,52 @@ def test_burrows_delta_matches_python_replay(spark, sf_dir):
         assert r.n_words == len(terms)
         assert r.delta == pytest.approx(sum(terms) / len(terms), rel=1e-9)
         assert r.delta >= 0
+
+
+def test_absorption_matches_numpy_replay(spark, sf_dir):
+    """The 8-step hitting probabilities re-derived with a plain numpy
+    matrix power iteration (no 9dp rail — a different arithmetic path)
+    plus the structural invariants: clamped absorbing states, p in
+    [0, 1], and horizon monotonicity."""
+    import numpy as np
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    out = {r.state: r for r in QUERIES["events_absorption_probability"](spark, sf_dir).collect()}
+    raw = _duck_rows(
+        sf_dir,
+        """WITH pairs AS (
+             SELECT event_type AS f,
+                    lead(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts ASC, event_id ASC) AS t
+             FROM '{sf}/events.parquet')
+           SELECT f, t, COUNT(*) FROM pairs WHERE t IS NOT NULL GROUP BY 1, 2""",
+    )
+    states = sorted({f for f, _, _ in raw} | {t for _, t, _ in raw})
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    T = np.zeros((k, k))
+    tot = {s: 0 for s in states}
+    for f, _, c in raw:
+        tot[f] += c
+    for f, t, c in raw:
+        T[idx[f], idx[t]] = c / tot[f]
+    # impose absorption
+    for s in ("purchase", "error"):
+        T[idx[s], :] = 0.0
+        T[idx[s], idx[s]] = 1.0
+    h = np.zeros(k)
+    h[idx["purchase"]] = 1.0
+    prev = h.copy()
+    for _ in range(8):
+        prev = h.copy()
+        h = T @ h
+        h[idx["purchase"]], h[idx["error"]] = 1.0, 0.0
+    for s in states:
+        r = out[s]
+        assert r.n_out_transitions == tot.get(s, 0)
+        assert r.is_absorbing == (s in ("purchase", "error"))
+        assert 0.0 <= r.p_hit_success <= 1.0
+        assert r.p_hit_success == pytest.approx(h[idx[s]], abs=1e-6)
+        # hitting probabilities are monotone in the horizon
+        assert h[idx[s]] >= prev[idx[s]] - 1e-12
