@@ -6225,3 +6225,80 @@ def events_absorption_probability(spark: SparkSession, sf_dir: str) -> DataFrame
         "state string, is_absorbing boolean, n_out_transitions bigint, "
         "p_hit_success double",
     )
+
+
+def events_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between per-user activity (event count)
+    and spend (purchase cents) — the monotone-association readout that
+    completes the correlation family (Pearson assumes linearity; ranks
+    are robust to heavy tails and any monotone transform of spend).
+
+    Exact evaluation: tie-averaged ranks come from the Mann-Whitney
+    machinery — per-value aggregates with a cumulative window, where
+    rank(v) = prev_cum + (c+1)/2 — and DOUBLED ranks are exact integers
+    (ties average to .5 granularity), so Pearson's correlation over
+    (2·rx, 2·ry) uses DECIMAL(38,0) sufficient statistics and divides
+    ONCE in double: ρ = (n·Σxy − Σx·Σy) / √(n·Σx² − (Σx)²) /
+    √(n·Σy² − (Σy)²), identical trees on both engines. Degenerate
+    variance (a constant column) yields NULL ρ on both engines.
+
+    Scale shape: one per-user corpus aggregate; each rank pass is a
+    groupBy over DISTINCT values plus an ordered cumulative window over
+    the per-value relation (never raw rows); the final correlation is a
+    1-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == F.lit("purchase"), cents).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+        # one corpus pass; three consumers (two rank passes + the join)
+        .transform(truncate_lineage)
+    )
+
+    def ranks2(col: str) -> DataFrame:
+        """(value, doubled tie-averaged rank) for one metric column."""
+        per_v = per_user.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        wc = (
+            Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return per_v.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(wc), F.lit(0))
+                + F.col("c")
+                + F.lit(1)
+            )
+            .cast("bigint")
+            .alias(f"r2_{col}"),
+        )
+
+    ranked = per_user.join(F.broadcast(ranks2("x")), "x").join(
+        F.broadcast(ranks2("y")), "y"
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d38("r2_x")).alias("sx"),
+        F.sum(d38("r2_y")).alias("sy"),
+        F.sum(d38("r2_x") * d38("r2_x")).alias("sxx"),
+        F.sum(d38("r2_y") * d38("r2_y")).alias("syy"),
+        F.sum(d38("r2_x") * d38("r2_y")).alias("sxy"),
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return s.select(
+        "n",
+        F.when((vx > 0) & (vy > 0), num / F.sqrt(vx) / F.sqrt(vy)).alias(
+            "spearman_rho"
+        ),
+    )

@@ -8933,3 +8933,45 @@ JOIN h{horizon} hf ON st.s = hf.s
 
 
 ORACLE_SQL["events_absorption_probability"] = _absorption_sql(8)
+
+# Mirrors relational.events_spearman_corr: tie-averaged DOUBLED ranks via
+# the MW per-value/cumulative machinery (exact integers), Pearson over
+# HUGEINT sufficient statistics, guarded degenerate variance.
+ORACLE_SQL["events_spearman_corr"] = """
+WITH per_user AS MATERIALIZED (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+rx AS MATERIALIZED (
+  SELECT x, CAST(2 * COALESCE(SUM(c) OVER (ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + c + 1 AS BIGINT) AS r2_x
+  FROM (SELECT x, COUNT(*) AS c FROM per_user GROUP BY 1)
+),
+ry AS MATERIALIZED (
+  SELECT y, CAST(2 * COALESCE(SUM(c) OVER (ORDER BY y
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + c + 1 AS BIGINT) AS r2_y
+  FROM (SELECT y, COUNT(*) AS c FROM per_user GROUP BY 1)
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(r2_x AS HUGEINT)) AS sx,
+         SUM(CAST(r2_y AS HUGEINT)) AS sy,
+         SUM(CAST(r2_x AS HUGEINT) * CAST(r2_x AS HUGEINT)) AS sxx,
+         SUM(CAST(r2_y AS HUGEINT) * CAST(r2_y AS HUGEINT)) AS syy,
+         SUM(CAST(r2_x AS HUGEINT) * CAST(r2_y AS HUGEINT)) AS sxy
+  FROM per_user JOIN rx USING (x) JOIN ry USING (y)
+)
+SELECT n,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+             AND CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+           / sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+       END AS spearman_rho
+FROM s
+"""

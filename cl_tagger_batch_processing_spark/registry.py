@@ -554,3 +554,4 @@ register("events_empirical_bayes", relational.events_empirical_bayes)
 register("events_granger_lite", relational.events_granger_lite)
 register("text_burrows_delta", text.text_burrows_delta)
 register("events_absorption_probability", relational.events_absorption_probability)
+register("events_spearman_corr", relational.events_spearman_corr)

@@ -5085,3 +5085,51 @@ def test_absorption_matches_numpy_replay(spark, sf_dir):
         assert r.p_hit_success == pytest.approx(h[idx[s]], abs=1e-6)
         # hitting probabilities are monotone in the horizon
         assert h[idx[s]] >= prev[idx[s]] - 1e-12
+
+
+def test_spearman_matches_scipy_free_replay(spark, sf_dir):
+    """rho recomputed from raw per-user counts with textbook tie-averaged
+    ranks (sorted lists, no windows) and plain float Pearson; also
+    cross-checked against Pearson-on-ranks computed with Fractions."""
+    from fractions import Fraction
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["events_spearman_corr"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT COUNT(*),
+                  SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(CAST(value AS DECIMAL(12,2)) * 100
+                                     AS BIGINT) ELSE 0 END)
+           FROM '{sf}/events.parquet' GROUP BY user_id""",
+    )
+
+    def tie_ranks(vals):
+        order = sorted(vals)
+        first = {}
+        for i, v in enumerate(order):
+            first.setdefault(v, i)
+        cnt = {}
+        for v in order:
+            cnt[v] = cnt.get(v, 0) + 1
+        return {v: Fraction(2 * first[v] + cnt[v] + 1, 2) for v in cnt}
+
+    xs = [x for x, _ in raw]
+    ys = [y for _, y in raw]
+    rkx, rky = tie_ranks(xs), tie_ranks(ys)
+    n = len(raw)
+    assert r.n == n
+    rx = [rkx[x] for x in xs]
+    ry = [rky[y] for y in ys]
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(v * v for v in rx)
+    syy = sum(v * v for v in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    if vx > 0 and vy > 0:
+        rho = float(n * sxy - sx * sy) / (float(vx) ** 0.5 * float(vy) ** 0.5)
+        assert r.spearman_rho == pytest.approx(rho, rel=1e-9)
+        assert -1.0 <= r.spearman_rho <= 1.0
+    else:
+        assert r.spearman_rho is None
