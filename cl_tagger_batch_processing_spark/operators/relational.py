@@ -6302,3 +6302,224 @@ def events_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spearman_rho"
         ),
     )
+
+
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-value distribution, weekday
+    (reference) vs weekend (actual), per event type — the standard
+    production-ML drift monitor for "did this feature's distribution move
+    between two populations" (the same readout a 100 TB training-data
+    pipeline runs between ingestion snapshots).
+
+    Method: 10 equal-width buckets over the REFERENCE population's
+    [min, max] per event type (actual values clamp to the edge buckets),
+    Laplace-smoothed proportions p_b = (c_b + 1)/(n + 10) on BOTH sides so
+    empty buckets stay finite and every bucket contributes,
+    PSI = Σ_b (p_b − q_b)·ln(p_b/q_b). The ln output is explicitly rounded
+    to 7 decimals (the round(exp(...), 6) perplexity precedent) so the one
+    transcendental in the tree cannot ulp-split the engines.
+
+    Weekday/weekend is evaluated with each engine's own day-of-week
+    function under its own encoding (Spark dayofweek 1=Sun..7=Sat; DuckDB
+    0=Sun..6=Sat) — semantically identical predicates.
+
+    Scale shape: two corpus passes (one min/max aggregate over the
+    reference side, one bucket-count aggregate), both map-side combinable
+    to #event_types×10 keys; the bucket spine and edge frames broadcast.
+    No window over raw rows, no join keyed on anything bigger than
+    event_type."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+        F.dayofweek("ts").isin(1, 7).alias("is_weekend"),
+    )
+    edges = (
+        ev.filter(~F.col("is_weekend"))
+        .groupBy("event_type")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    )
+    bucketed = ev.join(F.broadcast(edges), "event_type", "left").select(
+        "event_type",
+        "is_weekend",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(9),
+                    F.floor(
+                        (F.col("v") - F.col("mn")) * 10.0 / (F.col("mx") - F.col("mn"))
+                    ).cast("int"),
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("bucket"),
+    )
+    counts = bucketed.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(~F.col("is_weekend"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_ref"),
+        F.sum(F.when(F.col("is_weekend"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_act"),
+    )
+    spine = (
+        counts.select("event_type")
+        .distinct()
+        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bucket"))
+    )
+    full = spine.join(counts, ["event_type", "bucket"], "left").na.fill(
+        {"c_ref": 0, "c_act": 0}
+    )
+    tot = full.groupBy("event_type").agg(
+        F.sum("c_ref").cast("bigint").alias("n_ref"),
+        F.sum("c_act").cast("bigint").alias("n_act"),
+    )
+    # Per-bucket term → round(9) → DECIMAL(28,9) → exact sum (the Benford
+    # float-sum rail: a raw double SUM would drift with partition order).
+    p = lambda c, n: (F.col(c).cast("double") + 1.0) / (  # noqa: E731
+        F.col(n).cast("double") + 10.0
+    )
+    term = F.round(
+        (p("c_ref", "n_ref") - p("c_act", "n_act"))
+        * F.log(p("c_ref", "n_ref") / p("c_act", "n_act")),
+        9,
+    ).cast("decimal(28,9)")
+    return (
+        full.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "n_ref", "n_act")
+        .agg(F.round(F.sum(term).cast("double"), 7).alias("psi"))
+    )
+
+
+def events_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between event type and day-of-week — the
+    categorical-×-categorical dependence readout (is traffic mix a
+    function of the day?), the complement to the numeric correlation
+    family (Pearson/Spearman) already in the registry.
+
+    χ² is evaluated over the FULL observed r×c spine (row-total ×
+    column-total cross join, observed counts left-joined in) so
+    zero-observed cells still contribute their expected mass — dropping
+    them is the classic contingency-table bug. Expected counts e = rt·ct/n
+    and the χ² fold use only IEEE +,−,×,÷ (identical trees both engines,
+    no rounding needed). V = √(χ²/(n·min(r−1, c−1))), NULL when the table
+    is degenerate (a single row or column).
+
+    Scale shape: one corpus pass map-side combined to ≤ 7·#event_types
+    cells; everything after is arithmetic over broadcast-size frames."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.dayofweek("ts") - 1).alias("dow")
+    )
+    cells = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    cells = cells.transform(truncate_lineage)  # 3 consumers below
+    rows = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    cols = cells.groupBy("dow").agg(F.sum("o").alias("ct"))
+    n = cells.agg(F.sum("o").alias("n"))
+    spine = (
+        rows.crossJoin(F.broadcast(cols))
+        .join(cells, ["event_type", "dow"], "left")
+        .na.fill({"o": 0})
+        .crossJoin(F.broadcast(n))
+    )
+    e = F.col("rt").cast("double") * F.col("ct").cast("double") / F.col(
+        "n"
+    ).cast("double")
+    # Per-cell contribution rides the Benford float-sum rail (round(9) →
+    # DECIMAL(28,9) → exact order-independent sum → double).
+    contrib = F.round(
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e, 9
+    ).cast("decimal(28,9)")
+    chi = spine.agg(
+        F.sum(contrib).cast("double").alias("chi2"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("dow").alias("c"),
+        F.max("n").alias("n"),
+    )
+    mindim = F.least(F.col("r") - 1, F.col("c") - 1)
+    return chi.select(
+        "n",
+        "chi2",
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
+        F.when(
+            (mindim >= 1) & (F.col("n") > 0),
+            F.sqrt(F.col("chi2") / (F.col("n").cast("double") * mindim.cast("double"))),
+        ).alias("cramers_v"),
+    )
+
+
+def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H test: does the event `value` distribution differ
+    across event types? The k-group rank generalization of Mann–Whitney
+    (already in the registry) — the distribution-free ANOVA a pipeline
+    runs before trusting per-source quality comparisons.
+
+    Exact rank machinery: one corpus pass to per-(event_type, value)
+    counts; GLOBAL per-value counts re-aggregate from that relation (no
+    second corpus pass); tie-averaged DOUBLED ranks via the Mann-Whitney
+    cumulative-window form (exact integers); per-group rank sums ride
+    DECIMAL(38,0). H = 3·Σ_j R2_j²/n_j / (N(N+1)) − 3(N+1) with R2_j cast
+    to double before squaring (R2² would overflow DECIMAL(38,0) at
+    N ≳ 10⁹·√2 — document-scale counts). Tie correction
+    C = 1 − Σ(t³−t)/(N³−N) rides DECIMAL(38,0) cubes (the t³ overflow
+    rule); H_corr = H/C is NULL when every value ties (C = 0).
+
+    Scale shape: the only raw-row pass is the first aggregate; rank
+    passes run over the DISTINCT-value relation with an ordered
+    cumulative window; the rank join broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    gv = (
+        ev.groupBy("event_type", F.col("value").cast("double").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .transform(truncate_lineage)  # feeds the global ranks AND the join
+    )
+    per_v = gv.groupBy("v").agg(F.sum("c").alias("cv"))
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranks = per_v.select(
+        "v",
+        (2 * F.coalesce(F.sum("cv").over(wc), F.lit(0)) + F.col("cv") + F.lit(1))
+        .cast("bigint")
+        .alias("r2"),
+        F.col("cv"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    grp = (
+        gv.join(F.broadcast(ranks.select("v", "r2")), "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_j"),
+            F.sum(d38(F.col("c")) * d38(F.col("r2"))).alias("r2_j"),
+        )
+    )
+    ties = ranks.agg(
+        F.sum(d38(F.col("cv")) * d38(F.col("cv")) * d38(F.col("cv")) - d38(F.col("cv"))).alias(
+            "t3"
+        )
+    )
+    # Per-group R2²/n term on the float-sum rail: round(9) → DECIMAL(28,9)
+    # → exact sum (bounded by 4N²/n_j ≲ 1e19 — the DECIMAL(28,9) integer
+    # range — for corpora to ~10⁹ rows; beyond that widen the scale).
+    sq_term = F.round(
+        F.col("r2_j").cast("double")
+        * F.col("r2_j").cast("double")
+        / F.col("n_j").cast("double"),
+        9,
+    ).cast("decimal(28,9)")
+    stats = grp.agg(
+        F.sum("n_j").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(sq_term).cast("double").alias("sq"),
+    ).crossJoin(F.broadcast(ties))
+    nd = F.col("n").cast("double")
+    h = F.lit(3.0) * F.col("sq") / (nd * (nd + 1.0)) - 3.0 * (nd + 1.0)
+    corr = F.lit(1.0) - F.col("t3").cast("double") / (nd * nd * nd - nd)
+    return stats.select(
+        "n",
+        "k",
+        (F.col("k") - 1).cast("bigint").alias("dof"),
+        h.alias("h_stat"),
+        F.when(corr > 0, h / corr).alias("h_corrected"),
+    )

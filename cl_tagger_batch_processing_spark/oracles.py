@@ -8975,3 +8975,132 @@ SELECT n,
        END AS spearman_rho
 FROM s
 """
+
+# Mirrors relational.events_psi_drift: weekday-reference equal-width
+# buckets (engine-native day-of-week under DuckDB's 0=Sun encoding),
+# Laplace-smoothed proportions over the full 10-bucket spine, PSI rounded
+# to 7 decimals (the one ln in the tree).
+ORACLE_SQL["events_psi_drift"] = """
+WITH ev AS MATERIALIZED (
+  SELECT event_type, CAST(value AS DOUBLE) AS v,
+         dayofweek(ts) IN (0, 6) AS is_weekend
+  FROM events
+),
+edges AS (
+  SELECT event_type, MIN(v) AS mn, MAX(v) AS mx
+  FROM ev WHERE NOT is_weekend GROUP BY 1
+),
+bucketed AS (
+  SELECT ev.event_type, ev.is_weekend,
+         CASE WHEN e.mx > e.mn THEN
+           GREATEST(0, LEAST(9, CAST(FLOOR((ev.v - e.mn) * 10.0 / (e.mx - e.mn)) AS INT)))
+         ELSE 0 END AS bucket
+  FROM ev LEFT JOIN edges e USING (event_type)
+),
+counts AS (
+  SELECT event_type, bucket,
+         CAST(SUM(CASE WHEN NOT is_weekend THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+         CAST(SUM(CASE WHEN is_weekend THEN 1 ELSE 0 END) AS BIGINT) AS c_act
+  FROM bucketed GROUP BY 1, 2
+),
+spine AS (
+  SELECT t.event_type, b.bucket,
+         COALESCE(c.c_ref, 0) AS c_ref, COALESCE(c.c_act, 0) AS c_act
+  FROM (SELECT DISTINCT event_type FROM counts) t
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 9)) AS bucket) b
+  LEFT JOIN counts c USING (event_type, bucket)
+),
+tot AS (
+  SELECT event_type, SUM(c_ref) AS n_ref, SUM(c_act) AS n_act
+  FROM spine GROUP BY 1
+)
+SELECT s.event_type, t.n_ref, t.n_act,
+       ROUND(CAST(SUM(CAST(ROUND(
+         ((CAST(s.c_ref AS DOUBLE) + 1.0) / (CAST(t.n_ref AS DOUBLE) + 10.0)
+          - (CAST(s.c_act AS DOUBLE) + 1.0) / (CAST(t.n_act AS DOUBLE) + 10.0))
+         * LN(((CAST(s.c_ref AS DOUBLE) + 1.0) / (CAST(t.n_ref AS DOUBLE) + 10.0))
+              / ((CAST(s.c_act AS DOUBLE) + 1.0) / (CAST(t.n_act AS DOUBLE) + 10.0)))
+       , 9) AS DECIMAL(28,9))) AS DOUBLE), 7) AS psi
+FROM spine s JOIN tot t USING (event_type)
+GROUP BY 1, 2, 3
+"""
+
+# Mirrors relational.events_cramers_v: full r×c spine so zero-observed
+# cells contribute expected mass; IEEE-only arithmetic, no rounding.
+ORACLE_SQL["events_cramers_v"] = """
+WITH cells AS MATERIALIZED (
+  SELECT event_type, dayofweek(ts) AS dow, CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+),
+rows_t AS (SELECT event_type, SUM(o) AS rt FROM cells GROUP BY 1),
+cols_t AS (SELECT dow, SUM(o) AS ct FROM cells GROUP BY 1),
+n_t AS (SELECT SUM(o) AS n FROM cells),
+spine AS (
+  SELECT r.event_type, c.dow, r.rt, c.ct, COALESCE(x.o, 0) AS o, n.n
+  FROM rows_t r CROSS JOIN cols_t c
+  LEFT JOIN cells x USING (event_type, dow)
+  CROSS JOIN n_t n
+),
+chi AS (
+  SELECT MAX(n) AS n,
+         CAST(SUM(CAST(ROUND(
+           (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+         , 9) AS DECIMAL(28,9))) AS DOUBLE) AS chi2,
+         COUNT(DISTINCT event_type) AS r, COUNT(DISTINCT dow) AS c
+  FROM spine
+)
+SELECT n, chi2, CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       CASE WHEN LEAST(r - 1, c - 1) >= 1 AND n > 0 THEN
+         SQRT(chi2 / (CAST(n AS DOUBLE) * CAST(LEAST(r - 1, c - 1) AS DOUBLE)))
+       END AS cramers_v
+FROM chi
+"""
+
+# Mirrors relational.events_kruskal_wallis: doubled tie-averaged ranks via
+# the MW per-value/cumulative machinery, HUGEINT rank sums and tie cubes,
+# H in double with R2 cast to double before squaring.
+ORACLE_SQL["events_kruskal_wallis"] = """
+WITH gv AS MATERIALIZED (
+  SELECT event_type, CAST(value AS DOUBLE) AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+per_v AS (SELECT v, SUM(c) AS cv FROM gv GROUP BY 1),
+ranks AS (
+  SELECT v, CAST(2 * COALESCE(SUM(cv) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + cv + 1 AS BIGINT) AS r2, cv
+  FROM per_v
+),
+grp AS (
+  SELECT g.event_type, CAST(SUM(g.c) AS BIGINT) AS n_j,
+         SUM(CAST(g.c AS HUGEINT) * CAST(r.r2 AS HUGEINT)) AS r2_j
+  FROM gv g JOIN ranks r USING (v) GROUP BY 1
+),
+ties AS (
+  SELECT SUM(CAST(cv AS HUGEINT) * CAST(cv AS HUGEINT) * CAST(cv AS HUGEINT)
+             - CAST(cv AS HUGEINT)) AS t3
+  FROM ranks
+),
+stats AS (
+  SELECT CAST(SUM(n_j) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(ROUND(
+           CAST(r2_j AS DOUBLE) * CAST(r2_j AS DOUBLE) / CAST(n_j AS DOUBLE)
+         , 9) AS DECIMAL(28,9))) AS DOUBLE) AS sq
+  FROM grp
+)
+SELECT n, k, CAST(k - 1 AS BIGINT) AS dof,
+       3.0 * sq / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+         - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h_stat,
+       CASE WHEN 1.0 - CAST(t3 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    - CAST(n AS DOUBLE)) > 0 THEN
+         (3.0 * sq / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+          - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+         / (1.0 - CAST(t3 AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 - CAST(n AS DOUBLE)))
+       END AS h_corrected
+FROM stats CROSS JOIN ties
+"""

@@ -555,3 +555,11 @@ register("events_granger_lite", relational.events_granger_lite)
 register("text_burrows_delta", text.text_burrows_delta)
 register("events_absorption_probability", relational.events_absorption_probability)
 register("events_spearman_corr", relational.events_spearman_corr)
+
+# --- round-11 continuation batch: the distribution-drift / categorical-
+# association / k-group rank-test family (PSI is the production drift
+# monitor; Cramér's V and Kruskal-Wallis complete the dependence-test
+# surface around Pearson/Spearman/Mann-Whitney) ---------------------------
+register("events_psi_drift", relational.events_psi_drift)
+register("events_cramers_v", relational.events_cramers_v)
+register("events_kruskal_wallis", relational.events_kruskal_wallis)

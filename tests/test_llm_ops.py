@@ -5133,3 +5133,128 @@ def test_spearman_matches_scipy_free_replay(spark, sf_dir):
         assert -1.0 <= r.spearman_rho <= 1.0
     else:
         assert r.spearman_rho is None
+
+
+def test_psi_drift_matches_textbook_replay(spark, sf_dir):
+    """PSI recomputed with plain Python dict counting and math.log — no
+    spine joins, no decimal rail — over an independent duckdb pull of
+    (event_type, value, weekend flag)."""
+    import math
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = {
+        r.event_type: r
+        for r in QUERIES["events_psi_drift"](spark, sf_dir).collect()
+    }
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT event_type, CAST(value AS DOUBLE),
+                  dayofweek(ts) IN (0, 6)
+           FROM '{sf}/events.parquet'""",
+    )
+    by_type: dict = {}
+    for et, v, wk in raw:
+        by_type.setdefault(et, []).append((v, wk))
+    assert set(rows) == set(by_type)
+    for et, vals in by_type.items():
+        ref = [v for v, wk in vals if not wk]
+        act = [v for v, wk in vals if wk]
+        mn, mx = (min(ref), max(ref)) if ref else (None, None)
+
+        def bucket(v):
+            if ref and mx > mn:
+                return max(0, min(9, math.floor((v - mn) * 10.0 / (mx - mn))))
+            return 0
+
+        cr = [0] * 10
+        ca = [0] * 10
+        for v in ref:
+            cr[bucket(v)] += 1
+        for v in act:
+            ca[bucket(v)] += 1
+        psi = 0.0
+        for b in range(10):
+            p = (cr[b] + 1.0) / (len(ref) + 10.0)
+            q = (ca[b] + 1.0) / (len(act) + 10.0)
+            psi += (p - q) * math.log(p / q)
+        r = rows[et]
+        assert r.n_ref == len(ref) and r.n_act == len(act)
+        assert r.psi == pytest.approx(psi, abs=2e-7)
+        assert r.psi >= 0.0  # PSI is a symmetrized-KL-style sum, ≥ 0
+
+
+def test_cramers_v_matches_textbook_replay(spark, sf_dir):
+    """Contingency table rebuilt with dict counting; chi2/V with plain
+    floats over the FULL r×c spine (zero cells included)."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["events_cramers_v"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT event_type, dayofweek(ts) FROM '{sf}/events.parquet'""",
+    )
+    obs: dict = {}
+    for et, dow in raw:
+        obs[(et, dow)] = obs.get((et, dow), 0) + 1
+    rts: dict = {}
+    cts: dict = {}
+    for (et, dow), c in obs.items():
+        rts[et] = rts.get(et, 0) + c
+        cts[dow] = cts.get(dow, 0) + c
+    n = sum(rts.values())
+    chi2 = 0.0
+    for et in rts:
+        for dow in cts:
+            e = rts[et] * cts[dow] / n
+            o = obs.get((et, dow), 0)
+            chi2 += (o - e) ** 2 / e
+    assert r.n == n
+    assert r.chi2 == pytest.approx(chi2, rel=1e-8)
+    assert r.dof == (len(rts) - 1) * (len(cts) - 1)
+    mind = min(len(rts) - 1, len(cts) - 1)
+    if mind >= 1 and n > 0:
+        v = (chi2 / (n * mind)) ** 0.5
+        assert r.cramers_v == pytest.approx(v, rel=1e-8)
+        assert 0.0 <= r.cramers_v <= 1.0 + 1e-9
+    else:
+        assert r.cramers_v is None
+
+
+def test_kruskal_wallis_matches_textbook_replay(spark, sf_dir):
+    """H recomputed with sorted-list tie-averaged ranks (Fractions — no
+    windows, no doubled-rank trick) and the textbook
+    H = 12/(N(N+1))·ΣR_j²/n_j − 3(N+1), tie-corrected."""
+    from fractions import Fraction
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["events_kruskal_wallis"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT event_type, CAST(value AS DOUBLE)
+           FROM '{sf}/events.parquet'""",
+    )
+    vals = [v for _, v in raw]
+    order = sorted(vals)
+    first: dict = {}
+    cnt: dict = {}
+    for i, v in enumerate(order):
+        first.setdefault(v, i)
+        cnt[v] = cnt.get(v, 0) + 1
+    rank = {v: Fraction(2 * first[v] + cnt[v] + 1, 2) for v in cnt}
+    groups: dict = {}
+    for et, v in raw:
+        groups.setdefault(et, []).append(v)
+    n = len(vals)
+    sq = sum(
+        float(sum(rank[v] for v in g)) ** 2 / len(g) for g in groups.values()
+    )
+    h = 12.0 / (n * (n + 1.0)) * sq - 3.0 * (n + 1.0)
+    corr = 1.0 - sum(t**3 - t for t in cnt.values()) / (n**3 - n)
+    assert r.n == n and r.k == len(groups) and r.dof == len(groups) - 1
+    assert r.h_stat == pytest.approx(h, rel=1e-7, abs=1e-7)
+    if corr > 0:
+        assert r.h_corrected == pytest.approx(h / corr, rel=1e-7, abs=1e-7)
+    else:
+        assert r.h_corrected is None
