@@ -6523,3 +6523,145 @@ def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.alias("h_stat"),
         F.when(corr > 0, h / corr).alias("h_corrected"),
     )
+
+
+def events_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-user jackknife variance of the revenue-per-event ratio
+    estimator — the resampling-free uncertainty quantifier for ratio
+    metrics (mean-per-user is biased for ratios; the jackknife SE is the
+    survey-statistics standard). Complements the Poisson-bootstrap CI
+    (r9) with an exact, randomness-free method.
+
+    The leave-one-out replicate never re-scans anything: with corpus
+    totals S = Σy, C = Σc broadcast, r_i = (S − y_i)/(C − c_i) is
+    row-local math on the per-user relation (the totals-minus-row trick —
+    n replicates for one pass, not n passes). Variance uses the
+    sum/sum-of-squares identity with both Σr and Σr² on the DECIMAL(28,9)
+    rail; SE = √((n−1)/n · (Σr² − (Σr)²/n)). Replicates where the
+    denominator hits zero (a user owning ALL events) are excluded and
+    counted; SE is NULL when fewer than 2 replicates survive.
+
+    Scale shape: one corpus pass to per-user (y, c); a 1-row totals
+    aggregate broadcast back; one more aggregate over per-user rows."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == F.lit("purchase"), cents).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("y"),
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+        )
+        .transform(truncate_lineage)  # feeds the totals AND the replicates
+    )
+    tot = per_user.agg(
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum("c").cast("bigint").alias("ctot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+    r_i = (F.col("s") - F.col("y")).cast("double") / (
+        F.col("ctot") - F.col("c")
+    ).cast("double")
+    reps = per_user.crossJoin(F.broadcast(tot)).select(
+        "s",
+        "ctot",
+        "n_users",
+        F.when(F.col("ctot") - F.col("c") > 0, r_i).alias("r"),
+    )
+    d28 = lambda x: F.round(x, 9).cast("decimal(28,9)")  # noqa: E731
+    agg = reps.groupBy("s", "ctot", "n_users").agg(
+        F.count("r").cast("bigint").alias("n_reps"),
+        F.sum(d28(F.col("r"))).cast("double").alias("sr"),
+        F.sum(d28(F.col("r") * F.col("r"))).cast("double").alias("sr2"),
+    )
+    nr = F.col("n_reps").cast("double")
+    var = (nr - 1.0) / nr * (F.col("sr2") - F.col("sr") * F.col("sr") / nr)
+    se = F.when(
+        (F.col("n_reps") >= 2) & (var >= 0), F.sqrt(var)
+    )
+    ratio = F.when(
+        F.col("ctot") > 0, F.col("s").cast("double") / F.col("ctot").cast("double")
+    )
+    return agg.select(
+        "n_users",
+        "n_reps",
+        ratio.alias("ratio_cents_per_event"),
+        se.alias("jackknife_se"),
+        (ratio - 1.96 * se).alias("ci_lo"),
+        (ratio + 1.96 * se).alias("ci_hi"),
+    )
+
+
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily event-count series: are
+    above-mean and below-mean days randomly interleaved, or does traffic
+    cluster (trend/seasonality the sampling pipeline must stratify over)?
+
+    The cutpoint comparison is EXACT integer cross-multiplication
+    (c·n_days vs total — no mean division), days equal to the mean drop
+    out per the standard convention. Runs count via lag over the per-day
+    relation ordered by day; z = (R − μ)/σ with μ = 2n₁n₂/(n₁+n₂) + 1 and
+    the textbook σ² — pure IEEE arithmetic + sqrt, no rounding needed.
+    z is NULL when either side is empty or σ = 0.
+
+    Scale shape: one corpus pass map-side combined to per-day counts;
+    the lag window and the closing aggregate run on the ~#days
+    relation."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .transform(truncate_lineage)  # totals + the ordered sign pass
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("total"),
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(tot))
+        .filter(F.col("c") * F.col("n_days") != F.col("total"))
+        .select(
+            "day",
+            "n_days",
+            (F.col("c") * F.col("n_days") > F.col("total")).alias("above"),
+        )
+    )
+    w = Window.orderBy("day")
+    flips = signed.select(
+        "n_days",
+        "above",
+        F.when(
+            F.lag("above").over(w).isNotNull()
+            & (F.lag("above").over(w) != F.col("above")),
+            1,
+        )
+        .otherwise(0)
+        .alias("flip"),
+    )
+    stats = flips.groupBy("n_days").agg(
+        F.sum(F.when(F.col("above"), 1).otherwise(0)).cast("bigint").alias("n_above"),
+        F.sum(F.when(~F.col("above"), 1).otherwise(0)).cast("bigint").alias("n_below"),
+        (F.sum("flip") + 1).cast("bigint").alias("runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    sig2 = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    return stats.select(
+        "n_days",
+        "n_above",
+        "n_below",
+        "runs",
+        F.when(
+            (F.col("n_above") > 0) & (F.col("n_below") > 0) & (sig2 > 0),
+            (F.col("runs").cast("double") - mu) / F.sqrt(sig2),
+        ).alias("z"),
+    )

@@ -2251,3 +2251,50 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("delta"),
         )
     )
+
+
+def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing / Chao1 vocabulary-coverage report per source: how much
+    token mass belongs to words the sample has NOT seen, and how large the
+    true vocabulary plausibly is — the coverage diagnostic an LLM-data
+    pipeline reads before trusting a source's token statistics (a high
+    unseen mass means the corpus slice undersamples its vocabulary).
+
+    Frequency-of-frequencies machinery: one corpus pass to the
+    (source, token) count relation; N (tokens), V (vocab), f1 (hapaxes)
+    and f2 (dis legomena) re-aggregate FROM it. Good–Turing unseen mass
+    p₀ = f1/N; bias-corrected Chao1 richness V + f1(f1−1)/(2(f2+1)) —
+    defined even at f2 = 0. Pure IEEE division (no transcendentals), so
+    no rounding is needed anywhere.
+
+    Scale shape: the only raw-row pass is the (source, token) aggregate
+    (map-side combinable); everything downstream is vocabulary-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    rep = st.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint").alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("bigint").alias("f2"),
+    )
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    return rep.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "f1",
+        "f2",
+        F.when(
+            F.col("n_tokens") > 0, f1 / F.col("n_tokens").cast("double")
+        ).alias("p_unseen"),
+        (F.col("vocab").cast("double") + f1 * (f1 - 1.0) / (2.0 * (f2 + 1.0))).alias(
+            "chao1_vocab"
+        ),
+    )

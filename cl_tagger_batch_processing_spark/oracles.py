@@ -9104,3 +9104,134 @@ SELECT n, k, CAST(k - 1 AS BIGINT) AS dof,
        END AS h_corrected
 FROM stats CROSS JOIN ties
 """
+
+# Mirrors relational.events_jackknife_ratio: totals-minus-row replicates,
+# Σr / Σr² on the DECIMAL(28,9) rail, zero-denominator replicates dropped.
+ORACLE_SQL["events_jackknife_ratio"] = """
+WITH per_user AS MATERIALIZED (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(y) AS BIGINT) AS s, CAST(SUM(c) AS BIGINT) AS ctot,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM per_user
+),
+reps AS (
+  SELECT t.s, t.ctot, t.n_users,
+         CASE WHEN t.ctot - p.c > 0 THEN
+           CAST(t.s - p.y AS DOUBLE) / CAST(t.ctot - p.c AS DOUBLE)
+         END AS r
+  FROM per_user p CROSS JOIN tot t
+),
+agg AS (
+  SELECT s, ctot, n_users,
+         CAST(COUNT(r) AS BIGINT) AS n_reps,
+         CAST(SUM(CAST(ROUND(r, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sr,
+         CAST(SUM(CAST(ROUND(r * r, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sr2
+  FROM reps GROUP BY 1, 2, 3
+)
+SELECT n_users, n_reps,
+       CASE WHEN ctot > 0 THEN CAST(s AS DOUBLE) / CAST(ctot AS DOUBLE) END
+         AS ratio_cents_per_event,
+       CASE WHEN n_reps >= 2
+             AND (CAST(n_reps AS DOUBLE) - 1.0) / CAST(n_reps AS DOUBLE)
+                 * (sr2 - sr * sr / CAST(n_reps AS DOUBLE)) >= 0 THEN
+         SQRT((CAST(n_reps AS DOUBLE) - 1.0) / CAST(n_reps AS DOUBLE)
+              * (sr2 - sr * sr / CAST(n_reps AS DOUBLE)))
+       END AS jackknife_se,
+       (CASE WHEN ctot > 0 THEN CAST(s AS DOUBLE) / CAST(ctot AS DOUBLE) END)
+         - 1.96 * (CASE WHEN n_reps >= 2
+             AND (CAST(n_reps AS DOUBLE) - 1.0) / CAST(n_reps AS DOUBLE)
+                 * (sr2 - sr * sr / CAST(n_reps AS DOUBLE)) >= 0 THEN
+           SQRT((CAST(n_reps AS DOUBLE) - 1.0) / CAST(n_reps AS DOUBLE)
+                * (sr2 - sr * sr / CAST(n_reps AS DOUBLE))) END) AS ci_lo,
+       (CASE WHEN ctot > 0 THEN CAST(s AS DOUBLE) / CAST(ctot AS DOUBLE) END)
+         + 1.96 * (CASE WHEN n_reps >= 2
+             AND (CAST(n_reps AS DOUBLE) - 1.0) / CAST(n_reps AS DOUBLE)
+                 * (sr2 - sr * sr / CAST(n_reps AS DOUBLE)) >= 0 THEN
+           SQRT((CAST(n_reps AS DOUBLE) - 1.0) / CAST(n_reps AS DOUBLE)
+                * (sr2 - sr * sr / CAST(n_reps AS DOUBLE))) END) AS ci_hi
+FROM agg
+"""
+
+# Mirrors relational.events_runs_test: exact cross-multiplied mean
+# cutpoint (mean-tied days drop), lag-flip runs count over per-day rows.
+ORACLE_SQL["events_runs_test"] = """
+WITH daily AS MATERIALIZED (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(c) AS BIGINT) AS total
+  FROM daily
+),
+signed AS (
+  SELECT d.day, t.n_days, (d.c * t.n_days > t.total) AS above
+  FROM daily d CROSS JOIN tot t
+  WHERE d.c * t.n_days != t.total
+),
+flips AS (
+  SELECT n_days, above,
+         CASE WHEN LAG(above) OVER (ORDER BY day) IS NOT NULL
+               AND LAG(above) OVER (ORDER BY day) != above THEN 1
+              ELSE 0 END AS flip
+  FROM signed
+),
+stats AS (
+  SELECT n_days,
+         CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+         CAST(SUM(CASE WHEN NOT above THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+         CAST(SUM(flip) + 1 AS BIGINT) AS runs
+  FROM flips GROUP BY 1
+)
+SELECT n_days, n_above, n_below, runs,
+       CASE WHEN n_above > 0 AND n_below > 0
+             AND 2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                 * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                    - CAST(n_above AS DOUBLE) - CAST(n_below AS DOUBLE))
+                 / ((CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+                    * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+                    * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE) - 1.0)) > 0
+       THEN
+         (CAST(runs AS DOUBLE)
+          - (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+             / (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)) + 1.0))
+         / SQRT(2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                   - CAST(n_above AS DOUBLE) - CAST(n_below AS DOUBLE))
+                / ((CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+                   * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+                   * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE) - 1.0)))
+       END AS z
+FROM stats
+"""
+
+# Mirrors text.text_good_turing: frequency-of-frequencies off the
+# (source, token) count relation; space-split token convention.
+ORACLE_SQL["text_good_turing"] = """
+WITH st AS MATERIALIZED (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY 1, 2
+),
+rep AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM st GROUP BY 1
+)
+SELECT source, n_tokens, vocab, f1, f2,
+       CASE WHEN n_tokens > 0 THEN CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) END
+         AS p_unseen,
+       CAST(vocab AS DOUBLE)
+         + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+           / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)) AS chao1_vocab
+FROM rep
+"""

@@ -563,3 +563,10 @@ register("events_spearman_corr", relational.events_spearman_corr)
 register("events_psi_drift", relational.events_psi_drift)
 register("events_cramers_v", relational.events_cramers_v)
 register("events_kruskal_wallis", relational.events_kruskal_wallis)
+
+# --- round-11 continuation batch 2: resampling-free uncertainty
+# (jackknife), sequence-randomness QA (runs test), and the vocabulary-
+# coverage diagnostic (Good-Turing/Chao1) ---------------------------------
+register("events_jackknife_ratio", relational.events_jackknife_ratio)
+register("events_runs_test", relational.events_runs_test)
+register("text_good_turing", text.text_good_turing)

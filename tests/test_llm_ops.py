@@ -5258,3 +5258,102 @@ def test_kruskal_wallis_matches_textbook_replay(spark, sf_dir):
         assert r.h_corrected == pytest.approx(h / corr, rel=1e-7, abs=1e-7)
     else:
         assert r.h_corrected is None
+
+
+def test_jackknife_ratio_matches_textbook_replay(spark, sf_dir):
+    """Replicates recomputed the naive way — an explicit leave-one-out
+    loop over per-user rows with Fractions for the ratio, then the
+    definitional (n−1)/n·Σ(r_i − r̄)² variance (no sum-of-squares
+    identity, no decimal rail)."""
+    from fractions import Fraction
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["events_jackknife_ratio"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(CAST(value AS DECIMAL(12,2)) * 100
+                                     AS BIGINT) ELSE 0 END),
+                  COUNT(*)
+           FROM '{sf}/events.parquet' GROUP BY user_id""",
+    )
+    s = sum(y for y, _ in raw)
+    ctot = sum(c for _, c in raw)
+    reps = [
+        float(Fraction(s - y, ctot - c)) for y, c in raw if ctot - c > 0
+    ]
+    assert r.n_users == len(raw)
+    assert r.n_reps == len(reps)
+    assert r.ratio_cents_per_event == pytest.approx(s / ctot, rel=1e-12)
+    if len(reps) >= 2:
+        rbar = sum(reps) / len(reps)
+        var = (len(reps) - 1) / len(reps) * sum((x - rbar) ** 2 for x in reps)
+        assert r.jackknife_se == pytest.approx(var**0.5, rel=1e-6, abs=1e-6)
+        assert r.ci_lo <= r.ratio_cents_per_event <= r.ci_hi
+    else:
+        assert r.jackknife_se is None
+
+
+def test_runs_test_matches_textbook_replay(spark, sf_dir):
+    """Runs counted by a plain Python scan over the day-ordered sign
+    list; z from the textbook Wald–Wolfowitz moments."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["events_runs_test"](spark, sf_dir).collect()[0]
+    daily = _duck_rows(
+        sf_dir,
+        """SELECT CAST(ts AS DATE), COUNT(*)
+           FROM '{sf}/events.parquet' GROUP BY 1 ORDER BY 1""",
+    )
+    n_days = len(daily)
+    total = sum(c for _, c in daily)
+    signs = [c * n_days > total for _, c in daily if c * n_days != total]
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    n1 = sum(signs)
+    n2 = len(signs) - n1
+    assert r.n_days == n_days
+    assert r.n_above == n1 and r.n_below == n2
+    assert r.runs == runs
+    if n1 > 0 and n2 > 0:
+        mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+        sig2 = (
+            2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+            / ((n1 + n2) ** 2 * (n1 + n2 - 1.0))
+        )
+        if sig2 > 0:
+            assert r.z == pytest.approx((runs - mu) / sig2**0.5, rel=1e-9)
+    else:
+        assert r.z is None
+
+
+def test_good_turing_matches_textbook_replay(spark, sf_dir):
+    """Frequency-of-frequencies rebuilt with Counter over plain
+    space-split tokens; Chao1/p₀ with plain floats. Also pins the
+    estimator invariants: chao1 ≥ vocab, 0 ≤ p_unseen ≤ 1."""
+    from collections import Counter
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = {
+        r.source: r for r in QUERIES["text_good_turing"](spark, sf_dir).collect()
+    }
+    raw = _duck_rows(
+        sf_dir, "SELECT source, text FROM '{sf}/documents.parquet'"
+    )
+    by_src: dict = {}
+    for src, text in raw:
+        by_src.setdefault(src, Counter()).update(text.split(" "))
+    assert set(rows) == set(by_src)
+    for src, cnt in by_src.items():
+        r = rows[src]
+        n = sum(cnt.values())
+        f1 = sum(1 for c in cnt.values() if c == 1)
+        f2 = sum(1 for c in cnt.values() if c == 2)
+        assert (r.n_tokens, r.vocab, r.f1, r.f2) == (n, len(cnt), f1, f2)
+        assert r.p_unseen == pytest.approx(f1 / n, rel=1e-12)
+        assert r.chao1_vocab == pytest.approx(
+            len(cnt) + f1 * (f1 - 1.0) / (2.0 * (f2 + 1.0)), rel=1e-12
+        )
+        assert r.chao1_vocab >= r.vocab
+        assert 0.0 <= r.p_unseen <= 1.0
