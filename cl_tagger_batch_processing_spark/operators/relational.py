@@ -6665,3 +6665,118 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("runs").cast("double") - mu) / F.sqrt(sig2),
         ).alias("z"),
     )
+
+
+# Zelen–Severo (A&S 26.2.17) normal-CDF tail constants, shared by both
+# engines as identical literal trees (|ε| < 7.5e-8; outputs round to 9dp
+# so the approximation error, not engine drift, is the only slack).
+_ZS_K = 0.2316419
+_ZS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_SQRT_2PI = 2.5066282746310002
+
+
+def _normal_two_sided_p(z_abs: Column) -> Column:
+    """Two-sided normal p-value 2·(1 − Φ(|z|)) via the Zelen–Severo
+    polynomial tail — Spark has no erf, so both engines evaluate this
+    exact same tree (the oracle mirrors it literally)."""
+    k = 1.0 / (1.0 + F.lit(_ZS_K) * z_abs)
+    poly = (
+        F.lit(_ZS_B[0]) * k
+        + F.lit(_ZS_B[1]) * k * k
+        + F.lit(_ZS_B[2]) * k * k * k
+        + F.lit(_ZS_B[3]) * k * k * k * k
+        + F.lit(_ZS_B[4]) * k * k * k * k * k
+    )
+    pdf = F.exp(-z_abs * z_abs / 2.0) / F.lit(_SQRT_2PI)
+    return F.least(F.lit(1.0), 2.0 * pdf * poly)
+
+
+def events_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR correction over a family of per-event-type
+    tests (weekend vs weekday mean value, Welch z) — the
+    multiple-comparisons discipline for pipeline dashboards: five
+    uncorrected 5% tests alarm ~23% of the time on pure noise; BH bounds
+    the FALSE DISCOVERY RATE across the family.
+
+    Per type: exact DECIMAL(38,0) sufficient statistics (cents sums and
+    squares), Welch z in double; two-sided p via the shared Zelen–Severo
+    normal tail (_normal_two_sided_p), rounded to 9dp BEFORE ranking so
+    the step-up order can never ulp-split the engines. BH step-up over
+    the non-degenerate tests: q_i = min_{j≥i} p_j·m/j via a reversed
+    cumulative-min window (ties get equal q by construction; both window
+    orders carry event_type tie-breaks). reject_fdr_05 = q ≤ 0.05;
+    degenerate tests (a side under 2 observations or zero variance) keep
+    NULL z/p/q.
+
+    Scale shape: one corpus pass map-side combined to #event_types
+    sufficient-statistic rows; the BH windows run over that tiny
+    relation."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    wk = F.dayofweek("ts").isin(1, 7)
+    d38 = lambda x: x.cast("decimal(38,0)")  # noqa: E731
+    g = ev.groupBy("event_type").agg(
+        F.sum(F.when(wk, 1).otherwise(0)).cast("bigint").alias("n_w"),
+        F.sum(F.when(wk, cents).otherwise(0)).cast("bigint").alias("s_w"),
+        F.sum(F.when(wk, d38(cents) * d38(cents)).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("ss_w"),
+        F.sum(F.when(~wk, 1).otherwise(0)).cast("bigint").alias("n_d"),
+        F.sum(F.when(~wk, cents).otherwise(0)).cast("bigint").alias("s_d"),
+        F.sum(F.when(~wk, d38(cents) * d38(cents)).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("ss_d"),
+    )
+
+    def welch(n, s, ss):
+        nn = F.col(n).cast("double")
+        sd = F.col(s).cast("double")
+        ssd = F.col(ss).cast("double")
+        var = (ssd - sd * sd / nn) / (nn - 1.0)
+        return sd / nn, var / nn
+
+    mw, vw = welch("n_w", "s_w", "ss_w")
+    md, vd = welch("n_d", "s_d", "ss_d")
+    se2 = vw + vd
+    z = F.when(
+        (F.col("n_w") >= 2) & (F.col("n_d") >= 2) & (se2 > 0),
+        (mw - md) / F.sqrt(se2),
+    )
+    tested = g.select(
+        "event_type",
+        F.col("n_w").alias("n_weekend"),
+        F.col("n_d").alias("n_weekday"),
+        F.round(z, 9).alias("z"),
+        F.round(_normal_two_sided_p(F.abs(z)), 9).alias("p"),
+    )
+    valid = tested.filter(F.col("p").isNotNull())
+    m = valid.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    wi = Window.orderBy("p", "event_type")
+    wrev = Window.orderBy(F.col("p").desc(), F.col("event_type").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    bh = (
+        valid.crossJoin(F.broadcast(m))
+        .withColumn("i", F.row_number().over(wi))
+        .withColumn(
+            "q",
+            F.round(
+                F.min(
+                    F.least(
+                        F.lit(1.0),
+                        F.col("p") * F.col("m").cast("double") / F.col("i").cast("double"),
+                    )
+                ).over(wrev),
+                9,
+            ),
+        )
+        .select("event_type", "q")
+    )
+    return (
+        tested.join(F.broadcast(bh), "event_type", "left")
+        .select(
+            "event_type",
+            "n_weekend",
+            "n_weekday",
+            "z",
+            "p",
+            "q",
+            F.when(F.col("q").isNotNull(), F.col("q") <= 0.05).alias("reject_fdr_05"),
+        )
+    )

@@ -2298,3 +2298,129 @@ def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chao1_vocab"
         ),
     )
+
+
+def text_quality_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa agreement between two independent document quality
+    gates — the inter-rater readout a curation pipeline uses to decide
+    whether two cheap heuristics are measuring the same thing (high kappa:
+    drop one) or complementary (low kappa: keep both). Gate A: character
+    volume (n_chars ≥ 250); gate B: token volume (≥ 45 space-split
+    tokens) — thresholds chosen so every confusion cell is populated on
+    the fixtures at all scales.
+
+    One corpus pass to the four confusion counts (both gates are
+    row-local Column math); p_o = (n11+n00)/n,
+    p_e = p_A·p_B + (1−p_A)(1−p_B), κ = (p_o − p_e)/(1 − p_e), NULL at
+    the p_e = 1 degenerate chance-agreement bound. Pure IEEE division —
+    no rounding needed."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = F.col("n_chars") >= 250
+    b = F.size(F.split(F.col("text"), " ")) >= 45
+    agg = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(a & b, 1).otherwise(0)).cast("bigint").alias("n11"),
+        F.sum(F.when(a & ~b, 1).otherwise(0)).cast("bigint").alias("n10"),
+        F.sum(F.when(~a & b, 1).otherwise(0)).cast("bigint").alias("n01"),
+        F.sum(F.when(~a & ~b, 1).otherwise(0)).cast("bigint").alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / nd
+    pa = (F.col("n11") + F.col("n10")).cast("double") / nd
+    pb = (F.col("n11") + F.col("n01")).cast("double") / nd
+    pe = pa * pb + (1.0 - pa) * (1.0 - pb)
+    return agg.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        po.alias("p_observed"),
+        pe.alias("p_chance"),
+        F.when(pe < 1.0, (po - pe) / (1.0 - pe)).alias("kappa"),
+    )
+
+
+# ln(2) as a shared literal so neither engine evaluates its own log(2).
+_LN2 = 0.6931471805599453
+
+
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between source unigram
+    distributions — the symmetric, bounded ([0, ln 2]) distance a mixing
+    pipeline reads to know which sources are interchangeable and which
+    add diversity (the corpus-level complement of the per-document
+    dedup verdicts).
+
+    Decomposition that needs only an INNER token join: with p, q the
+    per-source token probabilities, JSD = ½Σ_t p·ln(2p/(p+q)) +
+    ½Σ_t q·ln(2q/(p+q)); tokens on one side only contribute p·ln2, so
+    JSD = ½·[Σ_shared (p-term + q-term) + ln2·(1 − Σ_shared p) +
+    ln2·(1 − Σ_shared q)] — a full-outer pair join never happens. All
+    three shared sums ride the DECIMAL(28,9) rail; the final value (one
+    ln per term) rounds to 7 decimals, with ln 2 as a shared literal.
+    Disjoint-vocabulary pairs come off the pair spine with zero shared
+    mass: exactly ln 2.
+
+    Scale shape: one raw-row pass to the (source, token) count relation;
+    the token self-join's volume is Σ_t (sources-with-t choose 2) ≤
+    vocab × #sources² — corpus-size-INDEPENDENT after the first
+    aggregate; the pair spine is #sources²."""
+    from ..checkpointing import truncate_lineage
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("source", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .transform(truncate_lineage)  # totals + both join sides
+    )
+    tots = tok.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    t2 = tok.join(F.broadcast(tots), "source").select(
+        "source",
+        "token",
+        (F.col("c").cast("double") / F.col("n").cast("double")).alias("p"),
+    )
+    ta = t2.select(
+        F.col("source").alias("s1"), "token", F.col("p").alias("pa")
+    )
+    tb = t2.select(
+        F.col("source").alias("s2"), "token", F.col("p").alias("pb")
+    )
+    d28 = lambda x: F.round(x, 9).cast("decimal(28,9)")  # noqa: E731
+    pa, pb = F.col("pa"), F.col("pb")
+    shared = (
+        ta.join(tb, ["token"])
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(
+            F.sum(
+                d28(
+                    pa * F.log(2.0 * pa / (pa + pb))
+                    + pb * F.log(2.0 * pb / (pa + pb))
+                )
+            )
+            .cast("double")
+            .alias("term"),
+            F.sum(d28(pa)).cast("double").alias("sp"),
+            F.sum(d28(pb)).cast("double").alias("sq"),
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_tokens"),
+        )
+    )
+    spine = (
+        tots.select(F.col("source").alias("s1"))
+        .crossJoin(F.broadcast(tots.select(F.col("source").alias("s2"))))
+        .filter(F.col("s1") < F.col("s2"))
+    )
+    jsd_raw = 0.5 * (
+        F.coalesce(F.col("term"), F.lit(0.0))
+        + F.lit(_LN2) * (1.0 - F.coalesce(F.col("sp"), F.lit(0.0)))
+        + F.lit(_LN2) * (1.0 - F.coalesce(F.col("sq"), F.lit(0.0)))
+    )
+    return spine.join(shared, ["s1", "s2"], "left").select(
+        "s1",
+        "s2",
+        F.coalesce(F.col("n_shared_tokens"), F.lit(0)).alias("n_shared_tokens"),
+        F.round(jsd_raw, 7).alias("jsd"),
+        F.round(jsd_raw / F.lit(_LN2), 7).alias("jsd_norm"),
+    )

@@ -9235,3 +9235,144 @@ SELECT source, n_tokens, vocab, f1, f2,
            / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)) AS chao1_vocab
 FROM rep
 """
+
+# Mirrors text.text_quality_kappa: the 250-char / 45-token gates, four
+# confusion counts in one pass, IEEE-only kappa.
+ORACLE_SQL["text_quality_kappa"] = """
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN n_chars >= 250 AND len(string_split(text, ' ')) >= 45 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         CAST(SUM(CASE WHEN n_chars >= 250 AND len(string_split(text, ' ')) < 45 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         CAST(SUM(CASE WHEN n_chars < 250 AND len(string_split(text, ' ')) >= 45 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         CAST(SUM(CASE WHEN n_chars < 250 AND len(string_split(text, ' ')) < 45 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+  FROM documents
+)
+SELECT n, n11, n10, n01, n00,
+       CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS p_observed,
+       (CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+         * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+       + (1.0 - CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+         * (1.0 - CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)) AS p_chance,
+       CASE WHEN (CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+                 + (1.0 - CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (1.0 - CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)) < 1.0 THEN
+         (CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+          - ((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+             + (1.0 - CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+               * (1.0 - CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))))
+         / (1.0 - ((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+                   + (1.0 - CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (1.0 - CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))))
+       END AS kappa
+FROM agg
+"""
+
+# Mirrors text.text_js_divergence: inner shared-token join + one-sided
+# ln2 mass correction, shared sums on the DECIMAL(28,9) rail, ln 2 as the
+# same literal, final round(7).
+ORACLE_SQL["text_js_divergence"] = """
+WITH tok AS MATERIALIZED (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY 1, 2
+),
+tots AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM tok GROUP BY 1),
+t2 AS (
+  SELECT tok.source, tok.token,
+         CAST(tok.c AS DOUBLE) / CAST(tots.n AS DOUBLE) AS p
+  FROM tok JOIN tots USING (source)
+),
+shared AS (
+  SELECT a.source AS s1, b.source AS s2,
+         CAST(SUM(CAST(ROUND(
+           a.p * LN(2.0 * a.p / (a.p + b.p)) + b.p * LN(2.0 * b.p / (a.p + b.p))
+         , 9) AS DECIMAL(28,9))) AS DOUBLE) AS term,
+         CAST(SUM(CAST(ROUND(a.p, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sp,
+         CAST(SUM(CAST(ROUND(b.p, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sq,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_tokens
+  FROM t2 a JOIN t2 b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT a.source AS s1, b.source AS s2
+  FROM tots a CROSS JOIN tots b WHERE a.source < b.source
+)
+SELECT sp.s1, sp.s2,
+       COALESCE(sh.n_shared_tokens, 0) AS n_shared_tokens,
+       ROUND(0.5 * (COALESCE(sh.term, 0.0)
+              + 0.6931471805599453 * (1.0 - COALESCE(sh.sp, 0.0))
+              + 0.6931471805599453 * (1.0 - COALESCE(sh.sq, 0.0))), 7) AS jsd,
+       ROUND(0.5 * (COALESCE(sh.term, 0.0)
+              + 0.6931471805599453 * (1.0 - COALESCE(sh.sp, 0.0))
+              + 0.6931471805599453 * (1.0 - COALESCE(sh.sq, 0.0)))
+             / 0.6931471805599453, 7) AS jsd_norm
+FROM spine sp LEFT JOIN shared sh ON sp.s1 = sh.s1 AND sp.s2 = sh.s2
+"""
+
+# Mirrors relational.events_bh_fdr: exact DECIMAL sufficient statistics,
+# the identical Zelen-Severo tail tree, p rounded to 9dp BEFORE the BH
+# step-up (reversed cumulative min with event_type tie-breaks).
+ORACLE_SQL["events_bh_fdr"] = """
+WITH g AS MATERIALIZED (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_w,
+         CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6)
+                       THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS s_w,
+         SUM(CASE WHEN dayofweek(ts) IN (0, 6)
+                  THEN CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS HUGEINT)
+                       * CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS HUGEINT)
+                  ELSE 0 END) AS ss_w,
+         CAST(SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_d,
+         CAST(SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6)
+                       THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS s_d,
+         SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6)
+                  THEN CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS HUGEINT)
+                       * CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS HUGEINT)
+                  ELSE 0 END) AS ss_d
+  FROM events GROUP BY 1
+),
+zed AS (
+  SELECT event_type, n_w AS n_weekend, n_d AS n_weekday,
+         CASE WHEN n_w >= 2 AND n_d >= 2
+               AND ((CAST(ss_w AS DOUBLE) - CAST(s_w AS DOUBLE) * CAST(s_w AS DOUBLE) / CAST(n_w AS DOUBLE)) / (CAST(n_w AS DOUBLE) - 1.0)) / CAST(n_w AS DOUBLE)
+                 + ((CAST(ss_d AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE) / CAST(n_d AS DOUBLE)) / (CAST(n_d AS DOUBLE) - 1.0)) / CAST(n_d AS DOUBLE) > 0
+         THEN
+           (CAST(s_w AS DOUBLE) / CAST(n_w AS DOUBLE) - CAST(s_d AS DOUBLE) / CAST(n_d AS DOUBLE))
+           / SQRT(((CAST(ss_w AS DOUBLE) - CAST(s_w AS DOUBLE) * CAST(s_w AS DOUBLE) / CAST(n_w AS DOUBLE)) / (CAST(n_w AS DOUBLE) - 1.0)) / CAST(n_w AS DOUBLE)
+                  + ((CAST(ss_d AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE) / CAST(n_d AS DOUBLE)) / (CAST(n_d AS DOUBLE) - 1.0)) / CAST(n_d AS DOUBLE))
+         END AS z
+  FROM g
+),
+tested AS (
+  SELECT event_type, n_weekend, n_weekday, ROUND(z, 9) AS z,
+         ROUND(LEAST(1.0,
+           2.0 * (EXP(-ABS(z) * ABS(z) / 2.0) / 2.5066282746310002)
+               * (0.319381530 * (1.0 / (1.0 + 0.2316419 * ABS(z)))
+                  + (-0.356563782) * (1.0 / (1.0 + 0.2316419 * ABS(z))) * (1.0 / (1.0 + 0.2316419 * ABS(z)))
+                  + 1.781477937 * (1.0 / (1.0 + 0.2316419 * ABS(z))) * (1.0 / (1.0 + 0.2316419 * ABS(z))) * (1.0 / (1.0 + 0.2316419 * ABS(z)))
+                  + (-1.821255978) * (1.0 / (1.0 + 0.2316419 * ABS(z))) * (1.0 / (1.0 + 0.2316419 * ABS(z))) * (1.0 / (1.0 + 0.2316419 * ABS(z))) * (1.0 / (1.0 + 0.2316419 * ABS(z)))
+                  + 1.330274429 * (1.0 / (1.0 + 0.2316419 * ABS(z))) * (1.0 / (1.0 + 0.2316419 * ABS(z))) * (1.0 / (1.0 + 0.2316419 * ABS(z))) * (1.0 / (1.0 + 0.2316419 * ABS(z))) * (1.0 / (1.0 + 0.2316419 * ABS(z))))
+         ), 9) AS p
+  FROM zed
+),
+valid AS (SELECT * FROM tested WHERE p IS NOT NULL),
+m_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM valid),
+bh AS (
+  SELECT event_type,
+         ROUND(MIN(LEAST(1.0, p * CAST(m AS DOUBLE) / CAST(i AS DOUBLE)))
+               OVER (ORDER BY p DESC, event_type DESC ROWS UNBOUNDED PRECEDING), 9) AS q
+  FROM (
+    SELECT v.event_type, v.p, m.m,
+           ROW_NUMBER() OVER (ORDER BY v.p, v.event_type) AS i
+    FROM valid v CROSS JOIN m_t m
+  )
+)
+SELECT t.event_type, t.n_weekend, t.n_weekday, t.z, t.p, b.q,
+       CASE WHEN b.q IS NOT NULL THEN b.q <= 0.05 END AS reject_fdr_05
+FROM tested t LEFT JOIN bh b USING (event_type)
+"""

@@ -570,3 +570,11 @@ register("events_kruskal_wallis", relational.events_kruskal_wallis)
 register("events_jackknife_ratio", relational.events_jackknife_ratio)
 register("events_runs_test", relational.events_runs_test)
 register("text_good_turing", text.text_good_turing)
+
+# --- round-11 continuation batch 3: multiple-comparisons discipline
+# (BH-FDR over the per-type Welch family), rater-agreement QA (Cohen's
+# kappa between quality gates), and the corpus-level source-distance
+# matrix (pairwise Jensen-Shannon divergence) ------------------------------
+register("events_bh_fdr", relational.events_bh_fdr)
+register("text_quality_kappa", text.text_quality_kappa)
+register("text_js_divergence", text.text_js_divergence)

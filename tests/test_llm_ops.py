@@ -5357,3 +5357,166 @@ def test_good_turing_matches_textbook_replay(spark, sf_dir):
         )
         assert r.chao1_vocab >= r.vocab
         assert 0.0 <= r.p_unseen <= 1.0
+
+
+def test_quality_kappa_matches_textbook_replay(spark, sf_dir):
+    """Confusion counts rebuilt row-by-row in Python; kappa from the
+    definitional p_o/p_e."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["text_quality_kappa"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(
+        sf_dir, "SELECT n_chars, text FROM '{sf}/documents.parquet'"
+    )
+    cells = [0, 0, 0, 0]  # n11 n10 n01 n00
+    for n_chars, text in raw:
+        a = n_chars >= 250
+        b = len(text.split(" ")) >= 45
+        cells[(0 if a else 2) + (0 if b else 1)] += 1
+    n11, n10, n01, n00 = cells
+    n = len(raw)
+    assert (r.n, r.n11, r.n10, r.n01, r.n00) == (n, n11, n10, n01, n00)
+    assert min(n11, n10, n01, n00) > 0  # thresholds keep every cell live
+    po = (n11 + n00) / n
+    pa, pb = (n11 + n10) / n, (n11 + n01) / n
+    pe = pa * pb + (1 - pa) * (1 - pb)
+    assert r.p_observed == pytest.approx(po, rel=1e-12)
+    assert r.p_chance == pytest.approx(pe, rel=1e-12)
+    if pe < 1.0:
+        assert r.kappa == pytest.approx((po - pe) / (1 - pe), rel=1e-10)
+        assert -1.0 - 1e-9 <= r.kappa <= 1.0 + 1e-9
+    else:
+        assert r.kappa is None
+
+
+def test_js_divergence_matches_textbook_replay(spark, sf_dir):
+    """JSD recomputed the naive full-vocabulary way — union of both
+    token sets, m = (p+q)/2, plain float KL sums — no shared/one-sided
+    decomposition, no decimal rail. Also pins 0 ≤ jsd ≤ ln 2."""
+    import math
+    from collections import Counter
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = {
+        (r.s1, r.s2): r
+        for r in QUERIES["text_js_divergence"](spark, sf_dir).collect()
+    }
+    raw = _duck_rows(
+        sf_dir, "SELECT source, text FROM '{sf}/documents.parquet'"
+    )
+    dist: dict = {}
+    for src, text in raw:
+        dist.setdefault(src, Counter()).update(text.split(" "))
+    probs = {
+        s: {t: c / sum(cnt.values()) for t, c in cnt.items()}
+        for s, cnt in dist.items()
+    }
+    srcs = sorted(probs)
+    assert set(rows) == {
+        (a, b) for i, a in enumerate(srcs) for b in srcs[i + 1 :]
+    }
+    for (s1, s2), r in rows.items():
+        p, q = probs[s1], probs[s2]
+        jsd = 0.0
+        for t in set(p) | set(q):
+            pt, qt = p.get(t, 0.0), q.get(t, 0.0)
+            m = (pt + qt) / 2.0
+            if pt > 0:
+                jsd += 0.5 * pt * math.log(pt / m)
+            if qt > 0:
+                jsd += 0.5 * qt * math.log(qt / m)
+        assert r.jsd == pytest.approx(jsd, abs=5e-7)
+        assert -1e-9 <= r.jsd <= math.log(2) + 1e-9
+        assert r.jsd_norm == pytest.approx(jsd / math.log(2), abs=1e-6)
+        assert r.n_shared_tokens == len(set(p) & set(q))
+
+
+def test_bh_fdr_matches_textbook_replay(spark, sf_dir):
+    """Welch z recomputed with plain float mean/variance; p via
+    math.erfc (the REAL normal tail — pins the Zelen-Severo polynomial
+    to its documented 7.5e-8 accuracy); BH step-up replayed with a
+    Python sort. Also pins the BH monotonicity invariant q ≥ p."""
+    import math
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = {
+        r.event_type: r for r in QUERIES["events_bh_fdr"](spark, sf_dir).collect()
+    }
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT event_type, CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT),
+                  dayofweek(ts) IN (0, 6)
+           FROM '{sf}/events.parquet'""",
+    )
+    by_type: dict = {}
+    for et, cents, wk in raw:
+        by_type.setdefault(et, ([], []))[0 if wk else 1].append(cents)
+    ps = {}
+    for et, (w, d) in by_type.items():
+        r = rows[et]
+        assert (r.n_weekend, r.n_weekday) == (len(w), len(d))
+        if len(w) >= 2 and len(d) >= 2:
+            mw, md = sum(w) / len(w), sum(d) / len(d)
+            vw = sum((x - mw) ** 2 for x in w) / (len(w) - 1)
+            vd = sum((x - md) ** 2 for x in d) / (len(d) - 1)
+            se2 = vw / len(w) + vd / len(d)
+            if se2 > 0:
+                z = (mw - md) / se2**0.5
+                p = math.erfc(abs(z) / 2**0.5)
+                assert r.z == pytest.approx(z, rel=1e-6, abs=1e-9)
+                assert r.p == pytest.approx(p, abs=2e-7)
+                ps[et] = r.p  # engine p (9dp) for the exact BH replay
+                continue
+        assert r.z is None and r.p is None and r.q is None
+    order = sorted(ps, key=lambda et: (ps[et], et))
+    m = len(order)
+    qs = {}
+    running = 1.0
+    for pos in range(m - 1, -1, -1):
+        et = order[pos]
+        running = min(running, ps[et] * m / (pos + 1))
+        qs[et] = running
+    for et, q in qs.items():
+        assert rows[et].q == pytest.approx(q, abs=2e-9)
+        assert rows[et].q >= rows[et].p - 1e-9  # BH never shrinks p
+        assert rows[et].reject_fdr_05 == (rows[et].q <= 0.05)
+
+
+def test_bh_fdr_rejects_on_synthetic_weekend_shift(spark, tmp_path):
+    """reject_fdr_05 is identically False on the organic fixture (weekend
+    and weekday values draw from the same generator — ALL_FALSE vacuity
+    triage), so the TRUE path runs here on a synthetic fixture where ONE
+    type's weekend values are grossly shifted (weekday 1..50 vs weekend
+    1001..1050) while two null types stay identical across the split —
+    BH must reject exactly the shifted family member."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "wkshift"
+    d.mkdir()
+    rows = []
+    eid = 0
+    # 2024-01-01 is a Monday, 2024-01-06 a Saturday.
+    for et, wk_base in [("shifted", 1000.0), ("null_a", 0.0), ("null_b", 0.0)]:
+        for i in range(1, 51):
+            eid += 1
+            rows.append((eid, "2024-01-01 00:00:00", 1, et, float(i), "{}"))
+            eid += 1
+            rows.append(
+                (eid, "2024-01-06 00:00:00", 1, et, wk_base + float(i), "{}")
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "cast(ts as timestamp) ts", "user_id", "event_type",
+        "value", "props",
+    ).write.parquet(str(d / "events.parquet"))
+
+    out = {r.event_type: r for r in QUERIES["events_bh_fdr"](spark, str(d)).collect()}
+    assert out["shifted"].reject_fdr_05 is True
+    assert out["shifted"].q <= 0.05 and out["shifted"].p < 1e-6
+    assert out["null_a"].reject_fdr_05 is False
+    assert out["null_b"].reject_fdr_05 is False

@@ -136,6 +136,12 @@ ALLOWLIST: dict[tuple[str, str, str], str] = {
         "test_granger_rejects_on_synthetic_leading_series through the "
         "full production query"
     ),
+    ("events_bh_fdr", "ALL_FALSE", "reject_fdr_05"): (
+        "honest negative: weekend and weekday values draw from the same "
+        "generator at every scale (the KS/MW triage); TRUE path pinned by "
+        "test_bh_fdr_rejects_on_synthetic_weekend_shift through the full "
+        "production query"
+    ),
     ("events_power_analysis", "ALL_FALSE", "powered"): (
         "honest negative at sf0.001 (8/7 users per arm vs >=212 required "
         "at the widest MDE); the 10%-MDE row is powered=true at sf0.1 "
