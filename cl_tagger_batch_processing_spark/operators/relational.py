@@ -6328,6 +6328,7 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     to #event_types×10 keys; the bucket spine and edge frames broadcast.
     No window over raw rows, no join keyed on anything bigger than
     event_type."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.col("value").cast("double").alias("v"),
@@ -6356,13 +6357,19 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("bucket"),
     )
-    counts = bucketed.groupBy("event_type", "bucket").agg(
-        F.sum(F.when(~F.col("is_weekend"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("c_ref"),
-        F.sum(F.when(F.col("is_weekend"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("c_act"),
+    counts = (
+        bucketed.groupBy("event_type", "bucket")
+        .agg(
+            F.sum(F.when(~F.col("is_weekend"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("c_ref"),
+            F.sum(F.when(F.col("is_weekend"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("c_act"),
+        )
+        # types×10 rows feeding the spine, the totals AND the final join —
+        # without this the two corpus passes replicate per consumer.
+        .transform(truncate_lineage)
     )
     spine = (
         counts.select("event_type")
@@ -6409,6 +6416,7 @@ def events_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one corpus pass map-side combined to ≤ 7·#event_types
     cells; everything after is arithmetic over broadcast-size frames."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", (F.dayofweek("ts") - 1).alias("dow")
     )
@@ -6461,9 +6469,13 @@ def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts; GLOBAL per-value counts re-aggregate from that relation (no
     second corpus pass); tie-averaged DOUBLED ranks via the Mann-Whitney
     cumulative-window form (exact integers); per-group rank sums ride
-    DECIMAL(38,0). H = 3·Σ_j R2_j²/n_j / (N(N+1)) − 3(N+1) with R2_j cast
-    to double before squaring (R2² would overflow DECIMAL(38,0) at
-    N ≳ 10⁹·√2 — document-scale counts). Tie correction
+    DECIMAL(38,0). H uses the CENTERED form
+    H = 3/(N(N+1))·Σ_j n_j·(R̄2_j − (N+1))² (R̄2_j = R2_j/n_j): the
+    textbook Σ R_j²/n_j − 3(N+1) tail subtracts two O(N)-sized floats to
+    reach an O(1) statistic — catastrophic cancellation at corpus scale —
+    while the centered deviations are the statistic's own magnitude. The
+    per-group term rides DECIMAL(38,6) (worst case Σ ≈ N³/3 at full
+    separation: exact to N ≈ 10¹⁰). Tie correction
     C = 1 − Σ(t³−t)/(N³−N) rides DECIMAL(38,0) cubes (the t³ overflow
     rule); H_corr = H/C is NULL when every value ties (C = 0).
 
@@ -6499,22 +6511,29 @@ def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t3"
         )
     )
-    # Per-group R2²/n term on the float-sum rail: round(9) → DECIMAL(28,9)
-    # → exact sum (bounded by 4N²/n_j ≲ 1e19 — the DECIMAL(28,9) integer
-    # range — for corpora to ~10⁹ rows; beyond that widen the scale).
-    sq_term = F.round(
-        F.col("r2_j").cast("double")
-        * F.col("r2_j").cast("double")
-        / F.col("n_j").cast("double"),
-        9,
-    ).cast("decimal(28,9)")
-    stats = grp.agg(
+    grp = grp.transform(truncate_lineage)  # N/k totals + the centered pass
+    totals = grp.agg(
         F.sum("n_j").cast("bigint").alias("n"),
         F.count(F.lit(1)).cast("bigint").alias("k"),
-        F.sum(sq_term).cast("double").alias("sq"),
-    ).crossJoin(F.broadcast(ties))
+    )
+    # Centered per-group term n_j·(R̄2_j − (N+1))² on the float-sum rail:
+    # round(6) → DECIMAL(38,6) → exact order-independent sum (worst case
+    # Σ ≈ N³/3 needs the 10³² integer range, not DECIMAL(28,9)'s 10¹⁹).
+    dev = (
+        F.col("r2_j").cast("double") / F.col("n_j").cast("double")
+        - (F.col("n").cast("double") + 1.0)
+    )
+    sq_term = F.round(F.col("n_j").cast("double") * dev * dev, 6).cast(
+        "decimal(38,6)"
+    )
+    stats = (
+        grp.crossJoin(F.broadcast(totals))
+        .groupBy("n", "k")
+        .agg(F.sum(sq_term).cast("double").alias("sq"))
+        .crossJoin(F.broadcast(ties))
+    )
     nd = F.col("n").cast("double")
-    h = F.lit(3.0) * F.col("sq") / (nd * (nd + 1.0)) - 3.0 * (nd + 1.0)
+    h = F.lit(3.0) * F.col("sq") / (nd * (nd + 1.0))
     corr = F.lit(1.0) - F.col("t3").cast("double") / (nd * nd * nd - nd)
     return stats.select(
         "n",
@@ -6535,14 +6554,20 @@ def events_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     The leave-one-out replicate never re-scans anything: with corpus
     totals S = Σy, C = Σc broadcast, r_i = (S − y_i)/(C − c_i) is
     row-local math on the per-user relation (the totals-minus-row trick —
-    n replicates for one pass, not n passes). Variance uses the
-    sum/sum-of-squares identity with both Σr and Σr² on the DECIMAL(28,9)
-    rail; SE = √((n−1)/n · (Σr² − (Σr)²/n)). Replicates where the
-    denominator hits zero (a user owning ALL events) are excluded and
-    counted; SE is NULL when fewer than 2 replicates survive.
+    n replicates for one pass, not n passes). Variance is DEFINITIONAL
+    two-pass — r̄ from a railed Σr, then Σ(r_i − r̄)² — NOT the
+    Σr² − (Σr)²/n identity: jackknife replicates are near-identical by
+    construction (each deletes one user from a global total), so the
+    identity cancels 7+ significant digits and its error grows with
+    corpus size. The squared deviations are themselves tiny, so their
+    rail is DECIMAL(38,15) (9dp would quantize them to zero);
+    SE = √((n−1)/n · Σ(r_i − r̄)²). Replicates where the denominator
+    hits zero (a user owning ALL events) are excluded and counted; SE is
+    NULL when fewer than 2 replicates survive.
 
     Scale shape: one corpus pass to per-user (y, c); a 1-row totals
-    aggregate broadcast back; one more aggregate over per-user rows."""
+    aggregate broadcast back; two aggregates over the checkpointed
+    per-user relation (the mean pass, then the deviation pass)."""
     ev = load_table(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
     per_user = (
@@ -6557,7 +6582,7 @@ def events_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y"),
             F.count(F.lit(1)).cast("bigint").alias("c"),
         )
-        .transform(truncate_lineage)  # feeds the totals AND the replicates
+        .transform(truncate_lineage)  # totals + mean pass + deviation pass
     )
     tot = per_user.agg(
         F.sum("y").cast("bigint").alias("s"),
@@ -6567,20 +6592,39 @@ def events_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_i = (F.col("s") - F.col("y")).cast("double") / (
         F.col("ctot") - F.col("c")
     ).cast("double")
-    reps = per_user.crossJoin(F.broadcast(tot)).select(
-        "s",
-        "ctot",
-        "n_users",
-        F.when(F.col("ctot") - F.col("c") > 0, r_i).alias("r"),
+    reps = (
+        per_user.crossJoin(F.broadcast(tot))
+        .select(
+            "s",
+            "ctot",
+            "n_users",
+            F.when(F.col("ctot") - F.col("c") > 0, r_i).alias("r"),
+        )
+        # NOT checkpointed: reps is per-user-sized; both passes re-derive
+        # it with row-local math off the checkpointed per_user frame.
     )
-    d28 = lambda x: F.round(x, 9).cast("decimal(28,9)")  # noqa: E731
-    agg = reps.groupBy("s", "ctot", "n_users").agg(
+    mean_pass = reps.groupBy("s", "ctot", "n_users").agg(
         F.count("r").cast("bigint").alias("n_reps"),
-        F.sum(d28(F.col("r"))).cast("double").alias("sr"),
-        F.sum(d28(F.col("r") * F.col("r"))).cast("double").alias("sr2"),
+        F.sum(F.round(F.col("r"), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("sr"),
+    )
+    rbar = F.col("sr") / F.col("n_reps").cast("double")
+    agg = (
+        reps.join(F.broadcast(mean_pass), ["s", "ctot", "n_users"])
+        .groupBy("s", "ctot", "n_users", "n_reps")
+        .agg(
+            F.sum(
+                F.round((F.col("r") - rbar) * (F.col("r") - rbar), 15).cast(
+                    "decimal(38,15)"
+                )
+            )
+            .cast("double")
+            .alias("sdev2"),
+        )
     )
     nr = F.col("n_reps").cast("double")
-    var = (nr - 1.0) / nr * (F.col("sr2") - F.col("sr") * F.col("sr") / nr)
+    var = (nr - 1.0) / nr * F.col("sdev2")
     se = F.when(
         (F.col("n_reps") >= 2) & (var >= 0), F.sqrt(var)
     )
@@ -6609,13 +6653,13 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     the textbook σ² — pure IEEE arithmetic + sqrt, no rounding needed.
     z is NULL when either side is empty or σ = 0.
 
-    Scale shape: one corpus pass map-side combined to per-day counts;
-    the lag window and the closing aggregate run on the ~#days
-    relation."""
-    ev = load_table(spark, sf_dir, "events")
+    Scale shape: one corpus pass map-side combined to per-day counts
+    (the shared _daily_event_counts spine — UTC epoch-day integers, the
+    EWMA/CUSUM convention); the lag window and the closing aggregate run
+    on the ~#days relation."""
     daily = (
-        ev.groupBy(F.to_date("ts").alias("day"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        _daily_event_counts(spark, sf_dir)
+        .select("day", F.col("daily_count").cast("bigint").alias("c"))
         .transform(truncate_lineage)  # totals + the ordered sign pass
     )
     tot = daily.agg(
@@ -6711,6 +6755,7 @@ def events_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one corpus pass map-side combined to #event_types
     sufficient-statistic rows; the BH windows run over that tiny
     relation."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
     wk = F.dayofweek("ts").isin(1, 7)
@@ -6744,7 +6789,9 @@ def events_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_d").alias("n_weekday"),
         F.round(z, 9).alias("z"),
         F.round(_normal_two_sided_p(F.abs(z)), 9).alias("p"),
-    )
+        # #event_types rows feeding m, the BH window AND the final join —
+        # without this the corpus aggregate replicates per consumer.
+    ).transform(truncate_lineage)
     valid = tested.filter(F.col("p").isNotNull())
     m = valid.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
     wi = Window.orderBy("p", "event_type")

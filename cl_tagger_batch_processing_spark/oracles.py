@@ -9083,21 +9083,28 @@ ties AS (
              - CAST(cv AS HUGEINT)) AS t3
   FROM ranks
 ),
-stats AS (
-  SELECT CAST(SUM(n_j) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
-         CAST(SUM(CAST(ROUND(
-           CAST(r2_j AS DOUBLE) * CAST(r2_j AS DOUBLE) / CAST(n_j AS DOUBLE)
-         , 9) AS DECIMAL(28,9))) AS DOUBLE) AS sq
+totals AS (
+  SELECT CAST(SUM(n_j) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k
   FROM grp
+),
+stats AS (
+  SELECT t.n, t.k,
+         CAST(SUM(CAST(ROUND(
+           CAST(g.n_j AS DOUBLE)
+           * (CAST(g.r2_j AS DOUBLE) / CAST(g.n_j AS DOUBLE)
+              - (CAST(t.n AS DOUBLE) + 1.0))
+           * (CAST(g.r2_j AS DOUBLE) / CAST(g.n_j AS DOUBLE)
+              - (CAST(t.n AS DOUBLE) + 1.0))
+         , 6) AS DECIMAL(38,6))) AS DOUBLE) AS sq
+  FROM grp g CROSS JOIN totals t
+  GROUP BY 1, 2
 )
 SELECT n, k, CAST(k - 1 AS BIGINT) AS dof,
-       3.0 * sq / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
-         - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h_stat,
+       3.0 * sq / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) AS h_stat,
        CASE WHEN 1.0 - CAST(t3 AS DOUBLE)
                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
                     - CAST(n AS DOUBLE)) > 0 THEN
-         (3.0 * sq / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
-          - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+         (3.0 * sq / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)))
          / (1.0 - CAST(t3 AS DOUBLE)
               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
                  - CAST(n AS DOUBLE)))
@@ -9106,7 +9113,9 @@ FROM stats CROSS JOIN ties
 """
 
 # Mirrors relational.events_jackknife_ratio: totals-minus-row replicates,
-# Σr / Σr² on the DECIMAL(28,9) rail, zero-denominator replicates dropped.
+# DEFINITIONAL two-pass variance (railed mean, then DECIMAL(38,15)
+# squared deviations — the Σr²−(Σr)²/n identity cancels catastrophically
+# on near-identical replicates), zero-denominator replicates dropped.
 ORACLE_SQL["events_jackknife_ratio"] = """
 WITH per_user AS MATERIALIZED (
   SELECT user_id,
@@ -9128,42 +9137,52 @@ reps AS (
          END AS r
   FROM per_user p CROSS JOIN tot t
 ),
-agg AS (
+mean_pass AS (
   SELECT s, ctot, n_users,
          CAST(COUNT(r) AS BIGINT) AS n_reps,
-         CAST(SUM(CAST(ROUND(r, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sr,
-         CAST(SUM(CAST(ROUND(r * r, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sr2
+         CAST(SUM(CAST(ROUND(r, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sr
   FROM reps GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT m.s, m.ctot, m.n_users, m.n_reps,
+         CAST(SUM(CAST(ROUND(
+           (p.r - m.sr / CAST(m.n_reps AS DOUBLE))
+           * (p.r - m.sr / CAST(m.n_reps AS DOUBLE))
+         , 15) AS DECIMAL(38,15))) AS DOUBLE) AS sdev2
+  FROM reps p JOIN mean_pass m ON p.s = m.s AND p.ctot = m.ctot
+                              AND p.n_users = m.n_users
+  GROUP BY 1, 2, 3, 4
 )
 SELECT n_users, n_reps,
        CASE WHEN ctot > 0 THEN CAST(s AS DOUBLE) / CAST(ctot AS DOUBLE) END
          AS ratio_cents_per_event,
        CASE WHEN n_reps >= 2
              AND (CAST(n_reps AS DOUBLE) - 1.0) / CAST(n_reps AS DOUBLE)
-                 * (sr2 - sr * sr / CAST(n_reps AS DOUBLE)) >= 0 THEN
-         SQRT((CAST(n_reps AS DOUBLE) - 1.0) / CAST(n_reps AS DOUBLE)
-              * (sr2 - sr * sr / CAST(n_reps AS DOUBLE)))
+                 * sdev2 >= 0 THEN
+         SQRT((CAST(n_reps AS DOUBLE) - 1.0) / CAST(n_reps AS DOUBLE) * sdev2)
        END AS jackknife_se,
        (CASE WHEN ctot > 0 THEN CAST(s AS DOUBLE) / CAST(ctot AS DOUBLE) END)
          - 1.96 * (CASE WHEN n_reps >= 2
              AND (CAST(n_reps AS DOUBLE) - 1.0) / CAST(n_reps AS DOUBLE)
-                 * (sr2 - sr * sr / CAST(n_reps AS DOUBLE)) >= 0 THEN
+                 * sdev2 >= 0 THEN
            SQRT((CAST(n_reps AS DOUBLE) - 1.0) / CAST(n_reps AS DOUBLE)
-                * (sr2 - sr * sr / CAST(n_reps AS DOUBLE))) END) AS ci_lo,
+                * sdev2) END) AS ci_lo,
        (CASE WHEN ctot > 0 THEN CAST(s AS DOUBLE) / CAST(ctot AS DOUBLE) END)
          + 1.96 * (CASE WHEN n_reps >= 2
              AND (CAST(n_reps AS DOUBLE) - 1.0) / CAST(n_reps AS DOUBLE)
-                 * (sr2 - sr * sr / CAST(n_reps AS DOUBLE)) >= 0 THEN
+                 * sdev2 >= 0 THEN
            SQRT((CAST(n_reps AS DOUBLE) - 1.0) / CAST(n_reps AS DOUBLE)
-                * (sr2 - sr * sr / CAST(n_reps AS DOUBLE))) END) AS ci_hi
+                * sdev2) END) AS ci_hi
 FROM agg
 """
 
-# Mirrors relational.events_runs_test: exact cross-multiplied mean
+# Mirrors relational.events_runs_test: the shared UTC epoch-day spine
+# (_daily_event_counts / EWMA convention), exact cross-multiplied mean
 # cutpoint (mean-tied days drop), lag-flip runs count over per-day rows.
 ORACLE_SQL["events_runs_test"] = """
 WITH daily AS MATERIALIZED (
-  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+  SELECT CAST((epoch_us(ts) // 1000000) // 86400 AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
   FROM events GROUP BY 1
 ),
 tot AS (
