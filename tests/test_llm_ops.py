@@ -5520,3 +5520,29 @@ def test_bh_fdr_rejects_on_synthetic_weekend_shift(spark, tmp_path):
     assert out["shifted"].q <= 0.05 and out["shifted"].p < 1e-6
     assert out["null_a"].reject_fdr_05 is False
     assert out["null_b"].reject_fdr_05 is False
+
+
+def test_r11_continuation_constants_in_sync():
+    """Continuation-batch shared literals pinned to their oracle text —
+    a drift between the engine constants and the SQL mirrors would
+    surface as a subtle hash mismatch; pin it structurally instead."""
+    from cl_tagger_batch_processing_spark import oracles
+    from cl_tagger_batch_processing_spark.operators import relational
+    from cl_tagger_batch_processing_spark.operators import text as text_ops
+
+    bh = oracles.ORACLE_SQL["events_bh_fdr"]
+    assert relational._ZS_K == 0.2316419 and "0.2316419" in bh
+    assert relational._SQRT_2PI == 2.5066282746310002
+    assert "2.5066282746310002" in bh
+    for b in relational._ZS_B:
+        assert repr(abs(b)).rstrip("0") in bh or f"{abs(b):.9f}" in bh, b
+    js = oracles.ORACLE_SQL["text_js_divergence"]
+    assert text_ops._LN2 == 0.6931471805599453
+    assert js.count("0.6931471805599453") == 5  # 2×(sp,sq) + the norm divisor
+    # kappa gates: the engine thresholds must appear in the oracle
+    kp = oracles.ORACLE_SQL["text_quality_kappa"]
+    assert ">= 250" in kp and ">= 45" in kp
+    # PSI/JSD final rounding and rail scales mirrored
+    assert ", 7) AS psi" in oracles.ORACLE_SQL["events_psi_drift"]
+    assert "DECIMAL(38,6)" in oracles.ORACLE_SQL["events_kruskal_wallis"]
+    assert "DECIMAL(38,15)" in oracles.ORACLE_SQL["events_jackknife_ratio"]
