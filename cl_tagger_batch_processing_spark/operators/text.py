@@ -2417,7 +2417,8 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(_LN2) * (1.0 - F.coalesce(F.col("sp"), F.lit(0.0)))
         + F.lit(_LN2) * (1.0 - F.coalesce(F.col("sq"), F.lit(0.0)))
     )
-    return spine.join(shared, ["s1", "s2"], "left").select(
+    # the shared aggregate is pair-spine-sized (≤ #sources²) — broadcast it
+    return spine.join(F.broadcast(shared), ["s1", "s2"], "left").select(
         "s1",
         "s2",
         F.coalesce(F.col("n_shared_tokens"), F.lit(0)).alias("n_shared_tokens"),

@@ -1079,3 +1079,43 @@ def test_registry_wide_no_scale_killers(spark):
         ):
             bad.append(f"{name}: unexpected Python boundary")
     assert not bad, bad
+
+
+def test_r11_continuation_plan_shapes(spark):
+    """Pin the SCALE.md claims for the continuation-batch operators where
+    Spark exposes the shape: no SortMergeJoin anywhere (dims broadcast),
+    the single-aggregate reports carry no join at all, and the
+    kappa/good-turing corpus passes read parquet exactly once."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name in [
+        "events_psi_drift",
+        "events_cramers_v",
+        "events_kruskal_wallis",
+        "events_jackknife_ratio",
+        "events_runs_test",
+        "text_good_turing",
+        "events_bh_fdr",
+        "text_quality_kappa",
+        "text_js_divergence",
+    ]:
+        plan = inspect.executed_plan(QUERIES[name](spark, sf))
+        assert "SortMergeJoin" not in plan, name
+
+    # kappa: ONE corpus aggregate — no join, no window, one parquet scan.
+    kp = inspect.executed_plan(QUERIES["text_quality_kappa"](spark, sf))
+    assert "Join" not in kp and "Window" not in kp
+    assert kp.count("FileScan parquet") == 1
+
+    # good-turing: frequency-of-frequencies re-aggregates from the
+    # (source, token) relation — no join, one parquet scan.
+    gt = inspect.executed_plan(QUERIES["text_good_turing"](spark, sf))
+    assert "Join" not in gt
+    assert gt.count("FileScan parquet") == 1
+
+    # runs test: the sign pass and closing aggregate read the CHECKPOINTED
+    # daily spine — the corpus parquet is scanned only inside the spine
+    # build, so the final plan must not re-touch it.
+    rt = inspect.executed_plan(QUERIES["events_runs_test"](spark, sf))
+    assert rt.count("FileScan parquet") == 0
