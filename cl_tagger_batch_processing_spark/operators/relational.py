@@ -6329,10 +6329,16 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     No window over raw rows, no join keyed on anything bigger than
     event_type."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.col("value").cast("double").alias("v"),
-        F.dayofweek("ts").isin(1, 7).alias("is_weekend"),
+    # NULL values drop: greatest/least SKIP nulls, so an unguarded NULL
+    # row would silently land in bucket 9 and fake tail drift.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.col("value").cast("double").alias("v"),
+            F.dayofweek("ts").isin(1, 7).alias("is_weekend"),
+        )
     )
     edges = (
         ev.filter(~F.col("is_weekend"))
@@ -6484,7 +6490,11 @@ def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative window; the rank join broadcasts."""
     ev = load_table(spark, sf_dir, "events")
     gv = (
-        ev.groupBy("event_type", F.col("value").cast("double").alias("v"))
+        # NULL values drop (rank tests exclude missing) — and keeping them
+        # would split the engines: Spark windows order NULLS FIRST, DuckDB
+        # NULLS LAST, shifting every doubled rank (second review).
+        ev.where(F.col("value").isNotNull())
+        .groupBy("event_type", F.col("value").cast("double").alias("v"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .transform(truncate_lineage)  # feeds the global ranks AND the join
     )
@@ -6788,7 +6798,12 @@ def events_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_w").alias("n_weekend"),
         F.col("n_d").alias("n_weekday"),
         F.round(z, 9).alias("z"),
-        F.round(_normal_two_sided_p(F.abs(z)), 9).alias("p"),
+        # Guard on z: F.least SKIPS nulls, so an unguarded p would read
+        # 1.0 on degenerate arms, enter the BH family, and inflate m —
+        # corrupting every real test's q (second review).
+        F.when(
+            z.isNotNull(), F.round(_normal_two_sided_p(F.abs(z)), 9)
+        ).alias("p"),
         # #event_types rows feeding m, the BH window AND the final join —
         # without this the corpus aggregate replicates per consumer.
     ).transform(truncate_lineage)

@@ -8984,7 +8984,7 @@ ORACLE_SQL["events_psi_drift"] = """
 WITH ev AS MATERIALIZED (
   SELECT event_type, CAST(value AS DOUBLE) AS v,
          dayofweek(ts) IN (0, 6) AS is_weekend
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 edges AS (
   SELECT event_type, MIN(v) AS mn, MAX(v) AS mx
@@ -9059,12 +9059,14 @@ FROM chi
 """
 
 # Mirrors relational.events_kruskal_wallis: doubled tie-averaged ranks via
-# the MW per-value/cumulative machinery, HUGEINT rank sums and tie cubes,
-# H in double with R2 cast to double before squaring.
+# the MW per-value/cumulative machinery (NULL values dropped — engine
+# window NULL-ordering differs), HUGEINT rank sums and tie cubes, CENTERED
+# H = 3/(N(N+1))·Σ n_j·(R2_j/n_j − (N+1))² on a DECIMAL(38,6) rail (the
+# textbook tail cancels catastrophically at corpus scale).
 ORACLE_SQL["events_kruskal_wallis"] = """
 WITH gv AS MATERIALIZED (
   SELECT event_type, CAST(value AS DOUBLE) AS v, CAST(COUNT(*) AS BIGINT) AS c
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ),
 per_v AS (SELECT v, SUM(c) AS cv FROM gv GROUP BY 1),
 ranks AS (
@@ -9369,6 +9371,9 @@ zed AS (
 ),
 tested AS (
   SELECT event_type, n_weekend, n_weekday, ROUND(z, 9) AS z,
+         -- guarded on z: LEAST skips NULLs, so degenerate arms would
+         -- otherwise read p = 1.0 and inflate the BH family size m
+         CASE WHEN z IS NOT NULL THEN
          ROUND(LEAST(1.0,
            2.0 * (EXP(-ABS(z) * ABS(z) / 2.0) / 2.5066282746310002)
                * (0.319381530 * (1.0 / (1.0 + 0.2316419 * ABS(z)))
@@ -9376,7 +9381,7 @@ tested AS (
                   + 1.781477937 * (1.0 / (1.0 + 0.2316419 * ABS(z))) * (1.0 / (1.0 + 0.2316419 * ABS(z))) * (1.0 / (1.0 + 0.2316419 * ABS(z)))
                   + (-1.821255978) * (1.0 / (1.0 + 0.2316419 * ABS(z))) * (1.0 / (1.0 + 0.2316419 * ABS(z))) * (1.0 / (1.0 + 0.2316419 * ABS(z))) * (1.0 / (1.0 + 0.2316419 * ABS(z)))
                   + 1.330274429 * (1.0 / (1.0 + 0.2316419 * ABS(z))) * (1.0 / (1.0 + 0.2316419 * ABS(z))) * (1.0 / (1.0 + 0.2316419 * ABS(z))) * (1.0 / (1.0 + 0.2316419 * ABS(z))) * (1.0 / (1.0 + 0.2316419 * ABS(z))))
-         ), 9) AS p
+         ), 9) END AS p
   FROM zed
 ),
 valid AS (SELECT * FROM tested WHERE p IS NOT NULL),

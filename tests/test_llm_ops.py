@@ -5151,7 +5151,7 @@ def test_psi_drift_matches_textbook_replay(spark, sf_dir):
         sf_dir,
         """SELECT event_type, CAST(value AS DOUBLE),
                   dayofweek(ts) IN (0, 6)
-           FROM '{sf}/events.parquet'""",
+           FROM '{sf}/events.parquet' WHERE value IS NOT NULL""",
     )
     by_type: dict = {}
     for et, v, wk in raw:
@@ -5233,7 +5233,7 @@ def test_kruskal_wallis_matches_textbook_replay(spark, sf_dir):
     raw = _duck_rows(
         sf_dir,
         """SELECT event_type, CAST(value AS DOUBLE)
-           FROM '{sf}/events.parquet'""",
+           FROM '{sf}/events.parquet' WHERE value IS NOT NULL""",
     )
     vals = [v for _, v in raw]
     order = sorted(vals)
@@ -5546,3 +5546,55 @@ def test_r11_continuation_constants_in_sync():
     assert ", 7) AS psi" in oracles.ORACLE_SQL["events_psi_drift"]
     assert "DECIMAL(38,6)" in oracles.ORACLE_SQL["events_kruskal_wallis"]
     assert "DECIMAL(38,15)" in oracles.ORACLE_SQL["events_jackknife_ratio"]
+
+
+def test_null_values_and_degenerate_arms_handled(spark, tmp_path):
+    """Second-review pins: NULL event values must DROP from the
+    PSI/Kruskal-Wallis distributions (greatest/least and window
+    NULL-ordering would otherwise corrupt or engine-split them), and a
+    degenerate BH arm (one weekend row) must keep NULL p/q without
+    inflating the family size m for the real tests."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "nulls"
+    d.mkdir()
+    rows = []
+    eid = 0
+    # 40 weekday + 40 weekend clean rows for two types, plus NULL values
+    # sprinkled on both, plus a 'lone' type with a single weekend row.
+    for et in ["alpha", "beta"]:
+        for i in range(1, 41):
+            eid += 1
+            rows.append((eid, "2024-01-01 00:00:00", 1, et, float(i), "{}"))
+            eid += 1
+            rows.append((eid, "2024-01-06 00:00:00", 1, et, float(i + 3), "{}"))
+        for _ in range(5):
+            eid += 1
+            rows.append((eid, "2024-01-01 00:00:00", 1, et, None, "{}"))
+    eid += 1
+    rows.append((eid, "2024-01-06 00:00:00", 1, "lone", 7.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "cast(ts as timestamp) ts", "user_id", "event_type",
+        "value", "props",
+    ).write.parquet(str(d / "events.parquet"))
+
+    psi = {r.event_type: r for r in QUERIES["events_psi_drift"](spark, str(d)).collect()}
+    assert psi["alpha"].n_ref == 40 and psi["alpha"].n_act == 40  # NULLs dropped
+    kw = QUERIES["events_kruskal_wallis"](spark, str(d)).collect()[0]
+    assert kw.n == 161  # 2×80 clean + 1 lone; the 10 NULL rows dropped
+    bh = {r.event_type: r for r in QUERIES["events_bh_fdr"](spark, str(d)).collect()}
+    lone = bh["lone"]
+    assert lone.z is None and lone.p is None and lone.q is None
+    assert lone.reject_fdr_05 is None
+    # family size must be 2 (alpha, beta) — a p=1.0 degenerate entry
+    # would have inflated m to 3 and shifted both real q values. BH with
+    # m=2 and p1 ≤ p2: q(rank2) = p2, q(rank1) = min(2·p1, p2).
+    assert bh["alpha"].p is not None and bh["beta"].p is not None
+    p1, p2 = sorted([bh["alpha"].p, bh["beta"].p])
+    qs = sorted([bh["alpha"].q, bh["beta"].q])
+    assert qs[1] == pytest.approx(min(1.0, p2), abs=1e-9)
+    assert qs[0] == pytest.approx(min(1.0, 2 * p1, p2), abs=1e-9)

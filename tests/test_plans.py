@@ -1086,9 +1086,11 @@ def test_r11_continuation_plan_shapes(spark):
     Spark exposes the shape: no SortMergeJoin anywhere (dims broadcast),
     the single-aggregate reports carry no join at all, and the
     kappa/good-turing corpus passes read parquet exactly once."""
+    import os
+
     from cl_tagger_batch_processing_spark.registry import QUERIES
 
-    sf = "/root/testdata/sf0.001"
+    sf = os.environ.get("SPARK_GRAFT_GUARD_SF_DIR", "/root/testdata/sf0.001")
     for name in [
         "events_psi_drift",
         "events_cramers_v",
