@@ -437,6 +437,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer side); only the big lineitem⋈orders join shuffles. The pair
     filter keeps both directions (N1→N2 and N2→N1).
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     nation = load_table(spark, sf_dir, "nation").where(
         F.col("n_name").isin("NATION_1", "NATION_2")
     )
@@ -492,6 +493,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promo revenue share by ship month (conditional agg
     over a broadcast part join). Numerator and denominator are exact
     decimals; the single double division at the end is engine-portable."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
@@ -590,6 +592,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem⋈orders shuffles. Numerator/denominator in exact decimal, one
     double division at the end.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
@@ -630,6 +633,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     discounted revenue. The `contains` filter prunes part BEFORE the
     broadcast; supplier/nation broadcast too — only lineitem⋈orders
     shuffles."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     part = load_table(spark, sf_dir, "part").where(F.col("p_name").contains("widget"))
@@ -1215,6 +1219,7 @@ def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     series — lag/growth never touches row-level data, so the window stage
     costs nothing at any fact volume. Growth divides exact-decimal sums
     once in double; first year of each series is NULL growth (no prior)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     orders = load_table(spark, sf_dir, "orders")
     yearly = (
         orders.groupBy(
@@ -1650,6 +1655,7 @@ def events_daily_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation. Percentiles round at 6dp (interpolated exact quantiles are
     the same IEEE arithmetic in both engines; rounding removes the last
     ulp of doubt), and day ordinals are exact integers."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     events = load_table(spark, sf_dir, "events")
     day = F.to_date(F.col("ts"))
     per_day = events.groupBy(
@@ -2608,6 +2614,7 @@ def orders_duplicate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     All comparisons exact: integer amount bands, integer day gaps.
     Output: one row per candidate pair (each order with its in-band
     predecessor) with the gap."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
@@ -3640,6 +3647,7 @@ def orders_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     is identically zero — the r9 registry-wide vacuity audit caught the
     first cut measuring exactly that (always-0 output at every scale,
     the KM/AUC vacuous-gate class)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
@@ -3801,6 +3809,7 @@ def orders_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     period carry tier 0. The ntile windows run over the per-customer
     aggregate partitioned by period; the migration rollup is a tiny
     (5 × 5)-key groupBy; the within-row share is one exact-int ratio."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     orders = load_table(spark, sf_dir, "orders")
     rng = orders.agg(
         F.min(F.to_date("o_orderdate")).alias("dmin"),
@@ -3868,6 +3877,7 @@ def events_retention_curve_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     once in double. The fit runs over ≤ horizon-many points; everything
     upstream is map-side-combinable groupBys plus one tiny
     cohorts × days cross (both frames are date-cardinality sized)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events")
     base = ev.select(
         "user_id", F.to_date(F.expr("cast(ts as timestamp)")).alias("d")
@@ -3962,6 +3972,7 @@ def events_hmm_viterbi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage truncates every third round. Exact for series up to
     2^HMM_SCAN_ROUNDS days — the guard emits nothing rather than silently
     truncating a longer series."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date(F.expr("cast(ts as timestamp)")).alias("day")).agg(
         F.count(F.lit(1)).alias("cnt")
@@ -4236,6 +4247,7 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     day of the fixture. Stickiness divides once per row; days with no
     activity still emit via the spine join (DAU 0, stickiness NULL when
     MAU is 0)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events")
     ud = ev.select(
         "user_id", F.to_date(F.expr("cast(ts as timestamp)")).alias("day")
@@ -4353,6 +4365,7 @@ def orders_interrupted_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame
     double. Level change = post-intercept at the boundary minus the pre
     trend extrapolated to it; trend change = slope difference. Windows
     and aggregations run over the per-DAY frame only."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
@@ -4624,6 +4637,7 @@ def events_changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative window over the per-DAY aggregate; the argmax is
     TakeOrdered(1). Numerator widened to DECIMAL(38,0) before squaring
     (cents·days products overflow BIGINT at scale)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date(F.expr("cast(ts as timestamp)")).alias("day")).agg(
         F.count(F.lit(1)).alias("c"),
@@ -5204,6 +5218,7 @@ def orders_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
     the base month reads exactly 100). One (month, part) groupBy, one
     partkey equi-join against the single base month, one per-month
     rollup."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     li = load_table(spark, sf_dir, "lineitem")
     per_mp = li.groupBy(
         F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("month"),

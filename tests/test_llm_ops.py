@@ -5598,3 +5598,36 @@ def test_null_values_and_degenerate_arms_handled(spark, tmp_path):
     qs = sorted([bh["alpha"].q, bh["beta"].q])
     assert qs[1] == pytest.approx(min(1.0, p2), abs=1e-9)
     assert qs[0] == pytest.approx(min(1.0, 2 * p1, p2), abs=1e-9)
+
+
+def test_date_operators_pin_utc_session_timezone():
+    """Static audit (second-review hazard class): every operator that
+    evaluates a session-timezone-dependent date function must pin the
+    session to UTC first (or route through _daily_event_counts, which
+    does) — otherwise a caller that mutates the timezone silently shifts
+    Spark's day/week/year boundaries away from DuckDB's naive-timestamp
+    arithmetic and breaks oracle parity."""
+    import re
+
+    date_fns = [
+        "F.dayofweek", "F.to_date", "F.date_trunc", "F.hour(",
+        "F.month(", "F.year(", "F.dayofmonth", "F.weekofyear",
+        "F.date_format",
+    ]
+    offenders = []
+    for path in [
+        "cl_tagger_batch_processing_spark/operators/relational.py",
+        "cl_tagger_batch_processing_spark/operators/text.py",
+        "cl_tagger_batch_processing_spark/operators/curation.py",
+        "cl_tagger_batch_processing_spark/operators/graph.py",
+        "cl_tagger_batch_processing_spark/operators/similarity.py",
+        "cl_tagger_batch_processing_spark/operators/dedup.py",
+    ]:
+        for f in re.split(r"\ndef ", open(path).read()):
+            name = f.split("(")[0].strip()
+            if not any(k in f for k in date_fns):
+                continue
+            if "session.timeZone" in f or "_daily_event_counts" in f:
+                continue
+            offenders.append(f"{path.split('/')[-1]}:{name}")
+    assert not offenders, offenders
