@@ -5631,3 +5631,143 @@ def test_date_operators_pin_utc_session_timezone():
                 continue
             offenders.append(f"{path.split('/')[-1]}:{name}")
     assert not offenders, offenders
+
+
+# --- replay depth for pre-r11 operators that shared their algorithm with
+# the oracle (blanket parity could not catch a mirrored mistake) ----------
+
+
+def test_markov_entropy_rate_matches_textbook_replay(spark, sf_dir):
+    """Transitions rebuilt with a plain Python loop over user-ordered
+    events; conditional entropies with math.log2 — no windows, no rail."""
+    import math
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = {
+        r.from_type: r
+        for r in QUERIES["events_markov_entropy_rate"](spark, sf_dir).collect()
+    }
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT user_id, ts, event_id, event_type
+           FROM '{sf}/events.parquet' ORDER BY user_id, ts, event_id""",
+    )
+    trans: dict = {}
+    for (u1, *_, t1), (u2, *_, t2) in zip(raw, raw[1:]):
+        if u1 == u2:
+            trans.setdefault(t1, {}).setdefault(t2, 0)
+            trans[t1][t2] += 1
+    total = sum(sum(d.values()) for d in trans.values())
+    assert set(rows) == set(trans)
+    for ft, outs in trans.items():
+        n_out = sum(outs.values())
+        h = -sum(
+            (c / n_out) * math.log2(c / n_out) for c in outs.values()
+        )
+        r = rows[ft]
+        assert r.n_out == n_out
+        assert r.pi == pytest.approx(n_out / total, abs=1e-9)
+        assert r.entropy_bits == pytest.approx(h, abs=2e-7)
+        assert r.contribution_bits == pytest.approx(
+            (n_out / total) * h, abs=2e-7
+        )
+        assert 0.0 <= r.entropy_bits <= math.log2(max(len(outs), 2)) + 1e-9
+
+
+def test_max_drawdown_matches_textbook_replay(spark, sf_dir):
+    """Daily series rebuilt in Python with exact Decimal revenue, the
+    running max / trough / peak found by a plain scan."""
+    from decimal import Decimal
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["orders_max_drawdown"](spark, sf_dir).collect()[0]
+    daily = _duck_rows(
+        sf_dir,
+        """SELECT CAST(o_orderdate AS DATE) AS day,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM '{sf}/orders.parquet' GROUP BY 1 ORDER BY 1""",
+    )
+    runmax = Decimal("-Infinity")
+    best = None  # (drawdown, day, cum, runmax)
+    for day, rev in daily:
+        runmax = max(runmax, rev)
+        dd = runmax - rev
+        if best is None or dd > best[0]:
+            best = (dd, day, rev, runmax)
+    dd, trough_day, trough_cum, peak_cum = best
+    peak_day = min(d for d, rev in daily if rev == peak_cum and d <= trough_day)
+    assert str(r.trough_day) == str(trough_day)
+    assert str(r.peak_day) == str(peak_day)
+    assert r.max_drawdown == pytest.approx(float(dd), rel=1e-12)
+    assert r.peak_cum == pytest.approx(float(peak_cum), rel=1e-12)
+    assert r.trough_cum == pytest.approx(float(trough_cum), rel=1e-12)
+
+
+def test_ab_cuped_matches_textbook_replay(spark, sf_dir):
+    """θ from exact Python-int sufficient statistics, per-user adjusted
+    values and per-arm means/variances with plain floats. The CUPED
+    no-variance-added guarantee holds for the POOLED sample (θ is the
+    pooled OLS slope; a small arm's own variance can grow — observed
+    1.03 on the 7-user sf0.001 treatment arm), so the invariant is
+    checked pooled, not per arm."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = {
+        r.arm: r for r in QUERIES["events_ab_cuped"](spark, sf_dir).collect()
+    }
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT user_id, epoch_us(ts),
+                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+           FROM '{sf}/events.parquet'""",
+    )
+    lo = min(t for _, t, _ in raw)
+    hi = max(t for _, t, _ in raw)
+    mid = lo + (hi - lo) // 2
+    per: dict = {}
+    for u, t, c in raw:
+        x, y = per.get(u, (0, 0))
+        if t <= mid:
+            x += c
+        else:
+            y += c
+        per[u] = (x, y)
+    n = len(per)
+    sx = sum(x for x, _ in per.values())
+    sy = sum(y for _, y in per.values())
+    sxy = sum(x * y for x, y in per.values())
+    sxx = sum(x * x for x, _ in per.values())
+    varx = n * sxx - sx * sx
+    theta = (n * sxy - sx * sy) / varx if varx > 0 else 0.0
+    xbar = sx / n
+    arms: dict = {}
+    for u, (x, y) in per.items():
+        arm = "control" if u % 2 == 0 else "treatment"
+        yd = y / 100.0
+        ya = (y - theta * (x - xbar)) / 100.0
+        arms.setdefault(arm, []).append((yd, ya))
+    assert set(rows) == set(arms)
+    for arm, vals in arms.items():
+        r = rows[arm]
+        na = len(vals)
+        syd = sum(v for v, _ in vals)
+        sya = sum(v for _, v in vals)
+        assert r.n_users == na
+        assert r.mean_metric == pytest.approx(syd / na, abs=2e-6)
+        assert r.mean_adjusted == pytest.approx(sya / na, abs=2e-6)
+        assert r.theta == pytest.approx(theta, abs=2e-9)
+        var_raw = na * sum(v * v for v, _ in vals) - syd * syd
+        var_adj = na * sum(v * v for _, v in vals) - sya * sya
+        if var_raw > 0:
+            assert r.variance_ratio == pytest.approx(
+                var_adj / var_raw, abs=5e-6
+            )
+    pooled = [v for vals in arms.values() for v in vals]
+    np_ = len(pooled)
+    syd = sum(v for v, _ in pooled)
+    sya = sum(v for _, v in pooled)
+    pv_raw = np_ * sum(v * v for v, _ in pooled) - syd * syd
+    pv_adj = np_ * sum(v * v for _, v in pooled) - sya * sya
+    assert pv_adj <= pv_raw + 1e-6 * max(pv_raw, 1.0)
