@@ -5771,3 +5771,190 @@ def test_ab_cuped_matches_textbook_replay(spark, sf_dir):
     pv_raw = np_ * sum(v * v for v, _ in pooled) - syd * syd
     pv_adj = np_ * sum(v * v for _, v in pooled) - sya * sya
     assert pv_adj <= pv_raw + 1e-6 * max(pv_raw, 1.0)
+
+
+def test_burstiness_matches_textbook_replay(spark, sf_dir):
+    """Gaps rebuilt by sorting each (user, type) series in Python;
+    Goh-Barabási B from plain float mean/population-σ. Pins −1 ≤ B ≤ 1."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = {
+        r.event_type: r
+        for r in QUERIES["events_burstiness_by_type"](spark, sf_dir).collect()
+    }
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT user_id, event_type, epoch_us(ts)
+           FROM '{sf}/events.parquet'""",
+    )
+    series: dict = {}
+    for u, et, us in raw:
+        series.setdefault((u, et), []).append(us)
+    gaps: dict = {}
+    for (u, et), ts in series.items():
+        ts.sort()
+        gaps.setdefault(et, []).extend(b - a for a, b in zip(ts, ts[1:]))
+    for et, g in gaps.items():
+        if not g:
+            continue
+        r = rows[et]
+        n = len(g)
+        mean = sum(g) / n
+        var = (n * sum(x * x for x in g) - sum(g) ** 2) / n**2
+        sigma = var**0.5
+        assert r.n_gaps == n
+        assert r.mean_gap_us == pytest.approx(mean, rel=1e-9)
+        if n > 1 and sigma + mean > 0:
+            b = (sigma - mean) / (sigma + mean)
+            assert r.burstiness == pytest.approx(b, rel=1e-7, abs=1e-9)
+            assert -1.0 - 1e-9 <= r.burstiness <= 1.0 + 1e-9
+        else:
+            assert r.burstiness is None
+
+
+def test_order_gap_percentiles_matches_textbook_replay(spark, sf_dir):
+    """Per-customer date gaps rebuilt in Python; interpolated percentile
+    by the textbook index formula (identical to Spark percentile /
+    DuckDB quantile_cont)."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = {
+        r.c_mktsegment: r
+        for r in QUERIES["customer_order_gap_percentiles"](spark, sf_dir).collect()
+    }
+    orders = _duck_rows(
+        sf_dir,
+        """SELECT o.o_custkey, c.c_mktsegment, CAST(o.o_orderdate AS DATE)
+           FROM '{sf}/orders.parquet' o
+           JOIN '{sf}/customer.parquet' c ON o.o_custkey = c.c_custkey
+           ORDER BY o.o_custkey, 3""",
+    )
+    per_cust: dict = {}
+    seg_of: dict = {}
+    for ck, seg, d in orders:
+        per_cust.setdefault(ck, []).append(d)
+        seg_of[ck] = seg
+    by_seg: dict = {}
+    for ck, ds in per_cust.items():
+        by_seg.setdefault(seg_of[ck], []).extend(
+            (b - a).days for a, b in zip(ds, ds[1:])
+        )
+
+    def pctl(sorted_vals, q):
+        idx = q * (len(sorted_vals) - 1)
+        lo = int(idx)
+        frac = idx - lo
+        if lo + 1 < len(sorted_vals):
+            return sorted_vals[lo] + frac * (sorted_vals[lo + 1] - sorted_vals[lo])
+        return float(sorted_vals[lo])
+
+    assert set(rows) == {s for s, g in by_seg.items() if g}
+    for seg, g in by_seg.items():
+        if not g:
+            continue
+        r = rows[seg]
+        g.sort()
+        assert r.n_gaps == len(g)
+        assert (r.min_gap_days, r.max_gap_days) == (g[0], g[-1])
+        assert r.avg_gap_days == pytest.approx(sum(g) / len(g), rel=1e-12)
+        assert r.p50_gap_days == pytest.approx(pctl(g, 0.5), rel=1e-12)
+        assert r.p90_gap_days == pytest.approx(pctl(g, 0.9), rel=1e-12)
+
+
+def test_seasonal_decompose_matches_textbook_replay(spark, sf_dir):
+    """Classical 2x12 decomposition rebuilt with Fractions over the
+    exact monthly Decimal revenues (ROW-based +/-6 window like the
+    operator); residual identity revenue = trend + seasonal + residual
+    also pinned."""
+    from fractions import Fraction
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    out = {
+        r.ym: r for r in QUERIES["orders_seasonal_decompose"](spark, sf_dir).collect()
+    }
+    monthly = _duck_rows(
+        sf_dir,
+        """SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT),
+                  CAST(month(o_orderdate) AS BIGINT),
+                  SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+           FROM '{sf}/orders.parquet' GROUP BY 1, 2 ORDER BY 1""",
+    )
+    yms = [ym for ym, _, _ in monthly]
+    revs = [Fraction(rev) for _, _, rev in monthly]
+    moys = [m for _, m, _ in monthly]
+    n = len(monthly)
+    trended = {}
+    for i in range(6, n - 6):
+        num24 = 2 * sum(revs[i - 6 : i + 7]) - revs[i - 6] - revs[i + 6]
+        trended[yms[i]] = (moys[i], revs[i], num24, revs[i] * 24 - num24)
+    seas_groups: dict = {}
+    for ym, (moy, _, _, d24) in trended.items():
+        seas_groups.setdefault(moy, []).append(d24)
+    raw_seasonal = {
+        moy: float(sum(v) / len(v)) / 24.0 for moy, v in seas_groups.items()
+    }
+    grand = sum(raw_seasonal.values()) / len(raw_seasonal)
+    assert set(out) == set(trended)
+    for ym, (moy, rev, num24, _) in trended.items():
+        r = out[ym]
+        seasonal = raw_seasonal[moy] - grand
+        assert r.month_of_year == moy
+        assert r.revenue == pytest.approx(float(rev), rel=1e-12)
+        assert r.trend == pytest.approx(float(num24) / 24.0, rel=1e-12)
+        assert r.seasonal == pytest.approx(seasonal, abs=5e-7)
+        assert r.residual == pytest.approx(
+            float(rev) - float(num24) / 24.0 - seasonal, abs=5e-7
+        )
+        assert r.revenue == pytest.approx(
+            r.trend + r.seasonal + r.residual, abs=1e-6
+        )
+
+
+def test_retention_curve_fit_matches_textbook_replay(spark, sf_dir):
+    """Retention triangle rebuilt with Python sets/dicts; power-law OLS
+    with plain floats over (ln day, ln rate)."""
+    import math
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["events_retention_curve_fit"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(
+        sf_dir,
+        "SELECT user_id, CAST(ts AS DATE) FROM '{sf}/events.parquet'",
+    )
+    first: dict = {}
+    for u, d in raw:
+        if u not in first or d < first[u]:
+            first[u] = d
+    dmax = max(d for _, d in raw)
+    active = {(u, (d - first[u]).days) for u, d in raw if (d - first[u]).days >= 1}
+    retained: dict = {}
+    for _, dn in active:
+        retained[dn] = retained.get(dn, 0) + 1
+    sizes: dict = {}
+    for u, c in first.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    pts = []
+    for dn, ret in retained.items():
+        elig = sum(s for c, s in sizes.items() if (dmax - c).days >= dn)
+        if ret > 0:
+            pts.append((math.log(dn), math.log(ret / elig)))
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    assert r.n_points == n
+    if vx > 0:
+        slope = cov / vx
+        assert r.slope == pytest.approx(slope, abs=2e-6)
+        assert r.intercept == pytest.approx((sy - slope * sx) / n, abs=2e-6)
+        if vy > 0:
+            assert r.r2 == pytest.approx(cov * cov / (vx * vy), abs=2e-6)
+            assert -1e-9 <= r.r2 <= 1.0 + 1e-9
+    else:
+        assert r.slope is None
