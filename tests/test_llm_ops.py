@@ -5958,3 +5958,116 @@ def test_retention_curve_fit_matches_textbook_replay(spark, sf_dir):
             assert -1e-9 <= r.r2 <= 1.0 + 1e-9
     else:
         assert r.slope is None
+
+
+def _basket_pairs(sf_dir, min_support=2):
+    """Shared replay helper: (a, b) → n_orders for part pairs co-ordered
+    in ≥ min_support orders, rebuilt with plain Python sets."""
+    rows = _duck_rows(
+        sf_dir,
+        "SELECT DISTINCT l_orderkey, l_partkey FROM '{sf}/lineitem.parquet'",
+    )
+    baskets: dict = {}
+    for ok, pk in rows:
+        baskets.setdefault(ok, set()).add(pk)
+    pairs: dict = {}
+    for parts in baskets.values():
+        sp = sorted(parts)
+        for i, a in enumerate(sp):
+            for b in sp[i + 1 :]:
+                pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    return {p: c for p, c in pairs.items() if c >= min_support}, baskets
+
+
+def test_kcore_matches_peel_replay(spark, sf_dir):
+    """k-core rebuilt with a plain Python peel loop over an adjacency
+    dict — no per-round semi joins, no checkpoint metrics."""
+    from cl_tagger_batch_processing_spark.operators.graph import KCORE_K
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    out = {r.node: r.core_degree for r in QUERIES["graph_kcore"](spark, sf_dir).collect()}
+    pairs, _ = _basket_pairs(sf_dir)
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < KCORE_K]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    assert out == {n: len(nb) for n, nb in adj.items()}
+    assert all(d >= KCORE_K for d in out.values())
+
+
+def test_effective_diameter_matches_bfs_replay(spark, sf_dir):
+    """Hop distribution rebuilt with a textbook Python BFS from the
+    3-smallest-id seed set; the exact integer 90% rule re-derived."""
+    from collections import deque
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = {
+        r.dist: r
+        for r in QUERIES["graph_effective_diameter"](spark, sf_dir).collect()
+    }
+    pairs, _ = _basket_pairs(sf_dir)
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seeds = sorted(adj)[:3]
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        n = q.popleft()
+        for m in adj[n]:
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                q.append(m)
+    per: dict = {}
+    for d in dist.values():
+        per[d] = per.get(d, 0) + 1
+    total = len(dist)
+    assert set(rows) == set(per)
+    cum = 0
+    eff_seen = False
+    for d in sorted(per):
+        cum += per[d]
+        r = rows[d]
+        assert r.n_nodes == per[d] and r.cum_nodes == cum
+        assert r.cum_frac == pytest.approx(cum / total, abs=1e-9)
+        is_eff = (cum * 10 >= total * 9) and not eff_seen
+        if cum * 10 >= total * 9:
+            eff_seen = True
+        assert r.is_effective_diameter == is_eff
+    assert sum(1 for r in rows.values() if r.is_effective_diameter) == 1
+
+
+def test_affinity_lift_matches_textbook_replay(spark, sf_dir):
+    """Lift recomputed from plain set-built baskets/marginals; the
+    top-100 ordering re-derived with Python sort."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    out = [
+        (r.part_a, r.part_b, r.n_ab, r.n_a, r.n_b, r.lift)
+        for r in QUERIES["part_affinity_lift"](spark, sf_dir).collect()
+    ]
+    pairs, baskets = _basket_pairs(sf_dir)
+    n_baskets = len(baskets)
+    marg: dict = {}
+    for parts in baskets.values():
+        for p in parts:
+            marg[p] = marg.get(p, 0) + 1
+    rows = [
+        (a, b, nab, marg[a], marg[b], (nab * n_baskets) / (marg[a] * marg[b]))
+        for (a, b), nab in pairs.items()
+    ]
+    rows.sort(key=lambda t: (-t[5], t[0], t[1]))
+    expect = rows[:100]
+    assert len(out) == len(expect)
+    for got, exp in zip(out, expect):
+        assert got[:5] == exp[:5]
+        assert got[5] == pytest.approx(exp[5], rel=1e-12)
