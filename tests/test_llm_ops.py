@@ -6071,3 +6071,151 @@ def test_affinity_lift_matches_textbook_replay(spark, sf_dir):
     for got, exp in zip(out, expect):
         assert got[:5] == exp[:5]
         assert got[5] == pytest.approx(exp[5], rel=1e-12)
+
+
+def test_embedding_dim_stats_matches_textbook_replay(spark, sf_dir):
+    """Per-dimension stats rebuilt with Python ints over HALF_UP-quantized
+    embeddings (Decimal mirrors Spark round(double, 0) exactly)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = {
+        r.dim: r for r in QUERIES["embedding_dim_stats"](spark, sf_dir).collect()
+    }
+    raw = _duck_rows(sf_dir, "SELECT embedding FROM '{sf}/embeddings.parquet'")
+    sums: dict = {}
+    for (vec,) in raw:
+        for i, x in enumerate(vec):
+            q = int(
+                Decimal(float(x) * 1000.0).quantize(Decimal(1), ROUND_HALF_UP)
+            )
+            n, s, ss = sums.get(i + 1, (0, 0, 0))
+            sums[i + 1] = (n + 1, s + q, ss + q * q)
+    assert set(rows) == set(sums)
+    for dim, (n, s, ss) in sums.items():
+        r = rows[dim]
+        assert r.n_vecs == n
+        assert r.mean == pytest.approx(s / (n * 1000.0), rel=1e-12, abs=1e-15)
+        assert r.variance == pytest.approx(
+            (n * ss - s * s) / (n * n * 1e6), rel=1e-12, abs=1e-15
+        )
+        assert r.variance >= -1e-12
+
+
+def test_hourly_seasonality_matches_textbook_replay(spark, sf_dir):
+    """7×24 cells rebuilt with plain integer epoch arithmetic (the
+    Thursday-anchor dow formula re-derived independently via Python's
+    calendar) — shares get an exact-ratio check."""
+    import datetime
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = {
+        (r.dow, r.hour): r
+        for r in QUERIES["events_hourly_seasonality"](spark, sf_dir).collect()
+    }
+    raw = _duck_rows(sf_dir, "SELECT epoch_us(ts) FROM '{sf}/events.parquet'")
+    cells: dict = {}
+    for (us,) in raw:
+        sec = us // 1_000_000
+        dow = (sec // 86400 + 4) % 7
+        # independent derivation: Python datetime's weekday (Mon=0) →
+        # Sunday-0 encoding must agree with the epoch formula
+        dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(seconds=int(sec))
+        assert dow == (dt.weekday() + 1) % 7
+        hour = (sec % 86400) // 3600
+        assert hour == dt.hour
+        cells[(dow, hour)] = cells.get((dow, hour), 0) + 1
+    total = len(raw)
+    assert set(rows) == set(cells)
+    for key, n in cells.items():
+        r = rows[key]
+        assert r.n_events == n
+        assert r.share == pytest.approx(n / total, rel=1e-12)
+
+
+def test_daily_percentiles_matches_textbook_replay(spark, sf_dir):
+    """Per-(type, day) exact interpolated percentiles rebuilt with the
+    textbook index formula; drift re-derived with a Python lag."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = {
+        (r.event_type, str(r.day)): r
+        for r in QUERIES["events_daily_percentiles"](spark, sf_dir).collect()
+    }
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT event_type, CAST(ts AS DATE), CAST(value AS DOUBLE)
+           FROM '{sf}/events.parquet'""",
+    )
+    groups: dict = {}
+    for et, d, v in raw:
+        groups.setdefault((et, d), []).append(v)
+
+    def pctl(sorted_vals, q):
+        idx = q * (len(sorted_vals) - 1)
+        lo = int(idx)
+        frac = idx - lo
+        if lo + 1 < len(sorted_vals):
+            return sorted_vals[lo] + frac * (sorted_vals[lo + 1] - sorted_vals[lo])
+        return float(sorted_vals[lo])
+
+    assert set(rows) == {(et, str(d)) for et, d in groups}
+    p50s: dict = {}
+    for (et, d), vals in sorted(groups.items(), key=lambda kv: (kv[0][0], kv[0][1])):
+        vals.sort()
+        r = rows[(et, str(d))]
+        assert r.n_events == len(vals)
+        assert r.p50 == pytest.approx(pctl(vals, 0.5), abs=1e-6)
+        assert r.p90 == pytest.approx(pctl(vals, 0.9), abs=1e-6)
+        prev = p50s.get(et)
+        if prev is None:
+            assert r.p50_drift is None
+        else:
+            assert r.p50_drift == pytest.approx(r.p50 - prev, abs=2e-6)
+        p50s[et] = r.p50
+
+
+def test_adamic_adar_matches_textbook_replay(spark, sf_dir):
+    """AA scores rebuilt with Python dict wedges over the hub-capped
+    subgraph (cap + degree recompute + non-adjacency re-derived
+    independently); top-100 ordering re-sorted."""
+    import math
+
+    from cl_tagger_batch_processing_spark.operators.graph import CN_DEGREE_CAP
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    out = [
+        (r.rank, r.u, r.v, r.n_common, r.aa_score)
+        for r in QUERIES["graph_adamic_adar"](spark, sf_dir).collect()
+    ]
+    pairs, _ = _basket_pairs(sf_dir)
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    kept = {n for n, nb in adj.items() if len(nb) <= CN_DEGREE_CAP}
+    cadj = {n: nb & kept for n, nb in adj.items() if n in kept}
+    scores: dict = {}
+    for w, nb in cadj.items():
+        deg = len(nb)
+        if deg < 2:
+            continue
+        term = round(1.0 / math.log(deg), 9)
+        snb = sorted(nb)
+        for i, u in enumerate(snb):
+            for v in snb[i + 1 :]:
+                ncom, s = scores.get((u, v), (0, 0.0))
+                scores[(u, v)] = (ncom + 1, s + term)
+    cand = [
+        (u, v, ncom, round(s, 6))
+        for (u, v), (ncom, s) in scores.items()
+        if v not in cadj.get(u, set())
+    ]
+    cand.sort(key=lambda t: (-t[3], t[0], t[1]))
+    expect = [(i + 1, *t) for i, t in enumerate(cand[:100])]
+    assert len(out) == len(expect)
+    for got, exp in zip(out, expect):
+        assert got[:4] == exp[:4]
+        assert got[4] == pytest.approx(exp[4], abs=2e-6)
