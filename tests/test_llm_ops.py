@@ -6219,3 +6219,127 @@ def test_adamic_adar_matches_textbook_replay(spark, sf_dir):
     for got, exp in zip(out, expect):
         assert got[:4] == exp[:4]
         assert got[4] == pytest.approx(exp[4], abs=2e-6)
+
+
+def test_events_retention_matches_textbook_replay(spark, sf_dir):
+    """Cohort triangle rebuilt with Python sets (first-seen, distinct
+    active days, day offsets ≤ 7)."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = {
+        (str(r.cohort_date), r.day_offset): r.n_active
+        for r in QUERIES["events_retention"](spark, sf_dir).collect()
+    }
+    raw = _duck_rows(
+        sf_dir,
+        "SELECT DISTINCT user_id, CAST(ts AS DATE) FROM '{sf}/events.parquet'",
+    )
+    first: dict = {}
+    for u, d in raw:
+        if u not in first or d < first[u]:
+            first[u] = d
+    tri: dict = {}
+    for u, d in raw:
+        off = (d - first[u]).days
+        if off <= 7:
+            tri.setdefault((str(first[u]), off), set()).add(u)
+    assert rows == {k: len(v) for k, v in tri.items()}
+
+
+def test_trailing_revenue_matches_textbook_replay(spark, sf_dir):
+    """RANGE-frame trailing sums rebuilt with a per-customer Python scan
+    over exact Decimal prices (all same-day orders enter together)."""
+    from decimal import Decimal
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = {
+        r.o_orderkey: r
+        for r in QUERIES["customer_trailing_revenue"](spark, sf_dir).collect()
+    }
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT o_orderkey, o_custkey,
+                  datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)),
+                  CAST(o_totalprice AS DECIMAL(14,2))
+           FROM '{sf}/orders.parquet'""",
+    )
+    by_cust: dict = {}
+    for ok, ck, day, price in raw:
+        by_cust.setdefault(ck, []).append((day, ok, Decimal(price)))
+    n_checked = 0
+    for ck, orders in by_cust.items():
+        for day, ok, _ in orders:
+            in_win = [
+                (d, p) for d, _, p in orders if day - 30 <= d <= day
+            ]
+            r = rows[ok]
+            assert r.day_ord == day and r.o_custkey == ck
+            assert r.n_orders_window == len(in_win)
+            assert r.trailing_revenue == pytest.approx(
+                float(sum(p for _, p in in_win)), rel=1e-12
+            )
+            n_checked += 1
+    assert n_checked == len(rows)
+
+
+def test_rfm_migration_matches_textbook_replay(spark, sf_dir):
+    """Migration matrix rebuilt in Python: integer midpoint split, the
+    ntile(4) bucket-size formula applied to the (spend DESC, custkey)
+    sort, full-outer tier join, per-from-tier shares."""
+    from decimal import Decimal
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = {
+        (r.from_tier, r.to_tier): r
+        for r in QUERIES["orders_rfm_migration"](spark, sf_dir).collect()
+    }
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT o_custkey, CAST(o_orderdate AS DATE),
+                  CAST(o_totalprice AS DECIMAL(14,2))
+           FROM '{sf}/orders.parquet'""",
+    )
+    dmin = min(d for _, d, _ in raw)
+    dmax = max(d for _, d, _ in raw)
+    half = (dmax - dmin).days // 2
+    spend: dict = {}
+    for ck, d, p in raw:
+        period = 1 if (d - dmin).days <= half else 2
+        spend[(period, ck)] = spend.get((period, ck), Decimal(0)) + Decimal(p)
+
+    def ntile4(items):
+        # items pre-sorted; Spark ntile: first (n % 4) tiles take
+        # ceil(n/4) rows, the rest floor(n/4)
+        n = len(items)
+        base, extra = divmod(n, 4)
+        tiers = {}
+        i = 0
+        for t in range(1, 5):
+            size = base + (1 if t <= extra else 0)
+            for ck in items[i : i + size]:
+                tiers[ck] = t
+            i += size
+        return tiers
+
+    tiers = {}
+    for period in (1, 2):
+        items = sorted(
+            (ck for (p, ck) in spend if p == period),
+            key=lambda ck: (-spend[(period, ck)], ck),
+        )
+        tiers[period] = ntile4(items)
+    custs = set(tiers[1]) | set(tiers[2])
+    mig: dict = {}
+    for ck in custs:
+        key = (tiers[1].get(ck, 0), tiers[2].get(ck, 0))
+        mig[key] = mig.get(key, 0) + 1
+    assert {k: r.n_customers for k, r in rows.items()} == mig
+    from_tot: dict = {}
+    for (ft, _), n in mig.items():
+        from_tot[ft] = from_tot.get(ft, 0) + n
+    for (ft, tt), r in rows.items():
+        assert r.share_of_from_tier == pytest.approx(
+            mig[(ft, tt)] / from_tot[ft], abs=1e-9
+        )
