@@ -6343,3 +6343,98 @@ def test_rfm_migration_matches_textbook_replay(spark, sf_dir):
         assert r.share_of_from_tier == pytest.approx(
             mig[(ft, tt)] / from_tot[ft], abs=1e-9
         )
+
+
+def test_user_gini_matches_textbook_replay(spark, sf_dir):
+    """Both Gini branches rebuilt with Python ints and the rank formula
+    over an explicit ascending sort; pins 0 ≤ G < 1 for count metrics."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = {
+        r.metric: r for r in QUERIES["events_user_gini"](spark, sf_dir).collect()
+    }
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT user_id, COUNT(*),
+                  SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+           FROM '{sf}/events.parquet' GROUP BY 1""",
+    )
+    for metric, idx in [("n_events", 1), ("cents", 2)]:
+        vals = sorted((row[idx], row[0]) for row in raw)
+        n = len(vals)
+        sx = sum(x for x, _ in vals)
+        six = sum((i + 1) * x for i, (x, _) in enumerate(vals))
+        g = 2.0 * six / (n * sx) - (n + 1.0) / n
+        r = rows[metric]
+        assert r.n_users == n
+        assert r.gini == pytest.approx(g, abs=2e-9)
+        assert -1e-9 <= r.gini < 1.0
+
+
+def test_herfindahl_matches_textbook_replay(spark, sf_dir):
+    """HHI rebuilt with exact Decimal supplier revenues (the ×10⁴
+    HALF_UP integerization mirrored); pins 1/n ≤ HHI ≤ 1."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = {
+        r.n_name: r for r in QUERIES["supplier_herfindahl"](spark, sf_dir).collect()
+    }
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT n.n_name, l.l_suppkey,
+                  SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(8,4)) - CAST(l.l_discount AS DECIMAL(8,4))))
+           FROM '{sf}/lineitem.parquet' l
+           JOIN '{sf}/supplier.parquet' s ON l.l_suppkey = s.s_suppkey
+           JOIN '{sf}/nation.parquet' n ON s.s_nationkey = n.n_nationkey
+           GROUP BY 1, 2""",
+    )
+    by_nation: dict = {}
+    for nn, _, r in raw:
+        ri = int((Decimal(r) * 10000).quantize(Decimal(1), ROUND_HALF_UP))
+        by_nation.setdefault(nn, []).append(ri)
+    assert set(rows) == set(by_nation)
+    for nn, ris in by_nation.items():
+        r = rows[nn]
+        hhi = sum(x * x for x in ris) / sum(ris) ** 2
+        assert r.n_suppliers == len(ris)
+        assert r.hhi == pytest.approx(hhi, rel=1e-12)
+        assert r.effective_suppliers == pytest.approx(1.0 / hhi, rel=1e-12)
+        assert 1.0 / len(ris) - 1e-9 <= hhi <= 1.0 + 1e-9
+
+
+def test_abc_classification_matches_textbook_replay(spark, sf_dir):
+    """Cumulative-share classes rebuilt with exact Decimal revenue and an
+    explicit largest-first sort; class boundaries re-derived."""
+    from decimal import Decimal
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = {
+        r.l_partkey: r
+        for r in QUERIES["part_abc_classification"](spark, sf_dir).collect()
+    }
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT l_partkey,
+                  SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                      * (CAST(1 AS DECIMAL(14,2)) - CAST(l_discount AS DECIMAL(14,2)))
+                      AS DECIMAL(18,4))),
+                  COUNT(*)
+           FROM '{sf}/lineitem.parquet' GROUP BY 1""",
+    )
+    parts = sorted(raw, key=lambda t: (-t[1], t[0]))
+    total = sum(Decimal(r) for _, r, _ in parts)
+    cum = Decimal(0)
+    assert set(rows) == {p for p, _, _ in parts}
+    for pk, rev, nl in parts:
+        cum += Decimal(rev)
+        share = float(cum) / float(total)
+        r = rows[pk]
+        assert r.n_lines == nl
+        assert r.revenue == pytest.approx(float(rev), rel=1e-12)
+        assert r.cum_share == pytest.approx(share, abs=1e-12)
+        cls = "A" if r.cum_share <= 0.8 else ("B" if r.cum_share <= 0.95 else "C")
+        assert r.abc_class == cls
