@@ -6438,3 +6438,86 @@ def test_abc_classification_matches_textbook_replay(spark, sf_dir):
         assert r.cum_share == pytest.approx(share, abs=1e-12)
         cls = "A" if r.cum_share <= 0.8 else ("B" if r.cum_share <= 0.95 else "C")
         assert r.abc_class == cls
+
+
+def test_fertility_by_lang_matches_textbook_replay(spark, sf_dir):
+    """Per-language fertility rebuilt with plain Python counts (len of
+    space-split, len of string)."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = {
+        r.lang: r
+        for r in QUERIES["corpus_fertility_by_lang"](spark, sf_dir).collect()
+    }
+    raw = _duck_rows(sf_dir, "SELECT lang, text FROM '{sf}/documents.parquet'")
+    agg: dict = {}
+    for lang, text in raw:
+        n, t, c = agg.get(lang, (0, 0, 0))
+        agg[lang] = (n + 1, t + len(text.split(" ")), c + len(text))
+    assert set(rows) == set(agg)
+    for lang, (n, t, c) in agg.items():
+        r = rows[lang]
+        assert (r.n_docs, r.total_tokens, r.total_chars) == (n, t, c)
+        assert r.avg_tokens_per_doc == pytest.approx(t / n, rel=1e-12)
+        assert r.chars_per_token == pytest.approx(c / t, rel=1e-12)
+
+
+def test_doc_length_histogram_matches_textbook_replay(spark, sf_dir):
+    """Power-of-two buckets rebuilt with Python's int.bit_length —
+    an independent implementation of the same exact floor(log2)."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = {
+        (r.lang, r.log2_bucket): r
+        for r in QUERIES["doc_length_histogram"](spark, sf_dir).collect()
+    }
+    raw = _duck_rows(sf_dir, "SELECT lang, text FROM '{sf}/documents.parquet'")
+    agg: dict = {}
+    for lang, text in raw:
+        nt = len(text.split(" "))
+        b = nt.bit_length() - 1
+        cur = agg.get((lang, b))
+        if cur is None:
+            agg[(lang, b)] = [1, nt, nt]
+        else:
+            cur[0] += 1
+            cur[1] = min(cur[1], nt)
+            cur[2] = max(cur[2], nt)
+    assert set(rows) == set(agg)
+    for key, (n, mn, mx) in agg.items():
+        r = rows[key]
+        assert (r.n_docs, r.min_tokens, r.max_tokens) == (n, mn, mx)
+        assert 2**r.log2_bucket <= mn and mx < 2 ** (r.log2_bucket + 1)
+
+
+def test_user_hazard_curve_matches_textbook_replay(spark, sf_dir):
+    """Hazard rebuilt from Python-int lifetimes with an explicit suffix
+    count for the at-risk set; pins 0 < hazard ≤ 1 and the final-offset
+    hazard = 1 (bounded-window right-censoring)."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = {
+        r.day_offset: r
+        for r in QUERIES["events_user_hazard_curve"](spark, sf_dir).collect()
+    }
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT user_id, (epoch_us(ts) // 1000000) // 86400
+           FROM '{sf}/events.parquet'""",
+    )
+    days: dict = {}
+    for u, d in raw:
+        lo, hi = days.get(u, (d, d))
+        days[u] = (min(lo, d), max(hi, d))
+    lifetimes = [hi - lo for lo, hi in days.values()]
+    ended: dict = {}
+    for lt in lifetimes:
+        ended[lt] = ended.get(lt, 0) + 1
+    assert set(rows) == set(ended)
+    for k, n_end in ended.items():
+        at_risk = sum(n for lt, n in ended.items() if lt >= k)
+        r = rows[k]
+        assert (r.n_ended, r.n_at_risk) == (n_end, at_risk)
+        assert r.hazard == pytest.approx(n_end / at_risk, rel=1e-12)
+        assert 0.0 < r.hazard <= 1.0
+    assert rows[max(ended)].hazard == pytest.approx(1.0)
