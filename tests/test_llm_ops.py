@@ -6521,3 +6521,96 @@ def test_user_hazard_curve_matches_textbook_replay(spark, sf_dir):
         assert r.hazard == pytest.approx(n_end / at_risk, rel=1e-12)
         assert 0.0 < r.hazard <= 1.0
     assert rows[max(ended)].hazard == pytest.approx(1.0)
+
+
+def test_customer_rfm_matches_textbook_replay(spark, sf_dir):
+    """R/F/M quartiles rebuilt with the explicit ntile bucket-size
+    formula over the three deterministic tie-broken sorts."""
+    from decimal import Decimal
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = {
+        r.o_custkey: r for r in QUERIES["customer_rfm"](spark, sf_dir).collect()
+    }
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT o_custkey, CAST(o_orderdate AS DATE),
+                  CAST(o_totalprice AS DECIMAL(14,2))
+           FROM '{sf}/orders.parquet'""",
+    )
+    anchor = max(d for _, d, _ in raw)
+    per: dict = {}
+    for ck, d, p in raw:
+        last, freq, mon = per.get(ck, (d, 0, Decimal(0)))
+        per[ck] = (max(last, d), freq + 1, mon + Decimal(p))
+
+    def ntile4(keys):
+        n = len(keys)
+        base, extra = divmod(n, 4)
+        out, i = {}, 0
+        for t in range(1, 5):
+            size = base + (1 if t <= extra else 0)
+            for k in keys[i : i + size]:
+                out[k] = t
+            i += size
+        return out
+
+    r_t = ntile4(sorted(per, key=lambda c: ((anchor - per[c][0]).days, c)))
+    f_t = ntile4(sorted(per, key=lambda c: (-per[c][1], c)))
+    m_t = ntile4(sorted(per, key=lambda c: (-per[c][2], c)))
+    assert set(rows) == set(per)
+    for ck, (last, freq, mon) in per.items():
+        r = rows[ck]
+        assert r.recency_days == (anchor - last).days
+        assert r.frequency == freq
+        assert r.monetary == pytest.approx(float(mon), rel=1e-12)
+        assert (r.r_score, r.f_score, r.m_score) == (r_t[ck], f_t[ck], m_t[ck])
+
+
+def test_word_pmi_matches_textbook_replay(spark, sf_dir):
+    """PMI collocations rebuilt with Counter-built bigrams/unigrams and
+    the exact integer ratio; top-100 ordering re-sorted on the same
+    6dp-rounded key."""
+    import math
+    from collections import Counter
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    out = [
+        (r.rank, r.w1, r.w2, r.n_ab, r.pmi)
+        for r in QUERIES["text_word_pmi"](spark, sf_dir).collect()
+    ]
+    raw = _duck_rows(sf_dir, "SELECT text FROM '{sf}/documents.parquet'")
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    t_pairs = 0
+    for (text,) in raw:
+        toks = text.split(" ")
+        uni.update(toks)
+        if len(toks) >= 2:
+            bi.update(zip(toks, toks[1:]))
+            t_pairs += len(toks) - 1
+    t_tokens = sum(uni.values())
+    cand = [
+        (
+            w1,
+            w2,
+            nab,
+            round(
+                math.log(
+                    (nab * t_tokens * t_tokens) / (t_pairs * uni[w1] * uni[w2])
+                ),
+                6,
+            )
+            + 0.0,
+        )
+        for (w1, w2), nab in bi.items()
+        if nab >= 5
+    ]
+    cand.sort(key=lambda t: (-t[3], t[0], t[1]))
+    expect = [(i + 1, w1, w2, nab, pmi) for i, (w1, w2, nab, pmi) in enumerate(cand[:100])]
+    assert len(out) == len(expect)
+    for got, exp in zip(out, expect):
+        assert got[:4] == exp[:4]
+        assert got[4] == pytest.approx(exp[4], abs=2e-6)
