@@ -6614,3 +6614,84 @@ def test_word_pmi_matches_textbook_replay(spark, sf_dir):
     for got, exp in zip(out, expect):
         assert got[:4] == exp[:4]
         assert got[4] == pytest.approx(exp[4], abs=2e-6)
+
+
+def test_payload_dedup_matches_hashlib_replay(spark, sf_dir):
+    """Content-addressed dedup rebuilt with hashlib.md5 over the UTF-8
+    payload bytes and a dict grouping, including the synthesized
+    re-upload set."""
+    import hashlib
+
+    from cl_tagger_batch_processing_spark.operators.multimodal import (
+        MM_DUP_ID_OFFSET,
+    )
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = {
+        r.payload_md5: r
+        for r in QUERIES["mm_payload_dedup"](spark, sf_dir).collect()
+    }
+    raw = _duck_rows(sf_dir, "SELECT doc_id, text FROM '{sf}/documents.parquet'")
+    entries = [(d, t) for d, t in raw]
+    entries += [(d + MM_DUP_ID_OFFSET, t) for d, t in raw if d % 5 == 0]
+    agg: dict = {}
+    for d, t in entries:
+        h = hashlib.md5(t.encode("utf-8")).hexdigest()
+        cur = agg.get(h)
+        if cur is None:
+            agg[h] = [1, d, d]
+        else:
+            cur[0] += 1
+            cur[1] = min(cur[1], d)
+            cur[2] = max(cur[2], d)
+    assert set(rows) == set(agg)
+    for h, (n, lo, hi) in agg.items():
+        r = rows[h]
+        assert (r.n_copies, r.canonical_doc_id, r.latest_doc_id) == (n, lo, hi)
+    # the synthesized re-uploads must actually be duplicates
+    assert any(r.n_copies >= 2 for r in rows.values())
+
+
+def test_source_overlap_matrix_matches_textbook_replay(spark, sf_dir):
+    """Pairwise shingle Jaccard rebuilt with Python sets (3-word
+    shingles, the same document-frequency guard)."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = {
+        (r.source_a, r.source_b): r
+        for r in QUERIES["source_overlap_matrix"](spark, sf_dir).collect()
+    }
+    raw = _duck_rows(
+        sf_dir, "SELECT doc_id, source, text FROM '{sf}/documents.parquet'"
+    )
+    doc_sh: dict = {}
+    for d, src, text in raw:
+        toks = text.split(" ")
+        if len(toks) >= 3:
+            doc_sh[(d, src)] = {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+    df: dict = {}
+    for sh_set in doc_sh.values():
+        for s in sh_set:
+            df[s] = df.get(s, 0) + 1
+    keep = {s for s, c in df.items() if c <= 1000}
+    by_src: dict = {}
+    for (d, src), sh_set in doc_sh.items():
+        by_src.setdefault(src, set()).update(sh_set & keep)
+    srcs = sorted(by_src)
+    expect = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            common = by_src[a] & by_src[b]
+            if common:
+                expect[(a, b)] = (
+                    len(common),
+                    len(by_src[a]),
+                    len(by_src[b]),
+                )
+    assert set(rows) == set(expect)
+    for key, (nc, na, nb) in expect.items():
+        r = rows[key]
+        assert (r.n_common, r.n_a, r.n_b) == (nc, na, nb)
+        assert r.jaccard == pytest.approx(nc / (na + nb - nc), rel=1e-12)
