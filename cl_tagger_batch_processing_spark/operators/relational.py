@@ -40,6 +40,215 @@ def _one_plus(col: str):
     return F.lit(1).cast(_DEC_RATE) + _dec(col, _DEC_RATE)
 
 
+# --- scale-safe global ranking (r12) ----------------------------------------
+#
+# ``Window.orderBy`` with no ``partitionBy`` forces EVERY row into one task —
+# fine over bounded spines (day grids, bucket spines, top-k after LIMIT), a
+# scale defect over user/customer/value-cardinality relations (r11 verdict:
+# customer_rfm, events_user_gini, orders_rfm_migration, events_spearman_corr;
+# r11 advice: events_kruskal_wallis). The helpers below compute the SAME
+# row_number / ntile / cumulative-sum values with a bounded per-task
+# footprint — the "range-partitioned two-pass rank" made deterministic:
+#
+#   1. approx-quantile bucket boundaries of the order key (percentile_approx
+#      sketch, one map-side-combined pass), CHECKPOINTED so every consumer
+#      probes ONE pinned boundary array — boundaries affect only the
+#      partitioning, never the values (any split yields identical ranks), so
+#      sketch variation cannot ulp-split engines or reruns;
+#   2. row-local bucket id = #boundaries ≤ key (a broadcast array probe —
+#      never spark_partition_id(), whose recompute determinism a plan with
+#      two consumers of a range exchange cannot guarantee);
+#   3. per-bucket counts → cumulative offsets over the ≤RANK_BUCKETS-row
+#      bucket spine (the one remaining unpartitioned window runs over a
+#      BOUNDED relation — the MW discipline);
+#   4. per-bucket local row_number (+ broadcast offset) = global rank.
+#
+# Skew bound: buckets are equal-depth by the sketch EXCEPT ties — all rows
+# sharing one key value land in one bucket, so the max task is the largest
+# tie class (for a degenerate key distribution, salt the tie-break into the
+# bucket probe; none of the call sites needs it: their keys are per-entity
+# aggregates).
+
+RANK_BUCKETS = 32
+_RANK_PCTL_ACCURACY = 10_000
+
+
+def _bucket_boundaries(df: DataFrame, probe: str, parts: list[str]) -> DataFrame:
+    """Equal-depth bucket boundaries of ``probe`` (per ``parts`` group) as a
+    checkpointed tiny frame with one ``_bs`` array column."""
+    fr = [i / RANK_BUCKETS for i in range(1, RANK_BUCKETS)]
+    agg = F.percentile_approx(probe, fr, _RANK_PCTL_ACCURACY).alias("_bs")
+    bounds = df.groupBy(*parts).agg(agg) if parts else df.agg(agg)
+    # tiny (#groups rows); checkpointed so BOTH corpus passes below probe the
+    # same materialized boundary array (never two sketch runs)
+    return truncate_lineage(bounds)
+
+
+def _with_bucket(
+    df: DataFrame, bounds: DataFrame, probe: str, parts: list[str]
+) -> DataFrame:
+    j = (
+        df.join(F.broadcast(bounds), parts)
+        if parts
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    # bucket id = #boundaries ≤ probe: row-local array probe, deterministic
+    # for any boundary array; duplicate boundaries (heavy ties) just leave
+    # some buckets empty
+    return j.withColumn(
+        "_bkt", F.size(F.filter("_bs", lambda b: b <= F.col(probe)))
+    ).drop("_bs")
+
+
+def _bucket_offsets(sizes: DataFrame, size_col: str, parts: list[str]) -> DataFrame:
+    # the ONLY unpartitioned window in the machinery: a cumulative sum over
+    # the ≤RANK_BUCKETS-row bucket spine (bounded by construction)
+    w_off = (
+        Window.partitionBy(*parts)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return sizes.select(
+        *parts,
+        "_bkt",
+        F.coalesce(F.sum(size_col).over(w_off), F.lit(0)).alias("_boff"),
+    )
+
+
+def bucketed_rank(
+    df: DataFrame,
+    value: str,
+    tiebreak: str,
+    rank_col: str,
+    parts: list[str] | None = None,
+    probe: str | None = None,
+) -> DataFrame:
+    """``row_number() OVER ([PARTITION BY parts] ORDER BY value ASC,
+    tiebreak ASC)`` without a single-partition sort (see the block comment
+    above). ``probe`` optionally names a monotone-in-``value`` numeric
+    column to bucket on (e.g. a double shadow of an exact DECIMAL key —
+    equal probes collapsing distinct values into one bucket is harmless).
+    ``value`` must be non-NULL; ``(value, tiebreak)`` must be unique within
+    each ``parts`` group. Cost: two passes over ``df`` (sizes + the bucketed
+    sort) after the boundary sketch — checkpoint ``df`` at the call site."""
+    parts = list(parts or [])
+    probe = probe or value
+    bounds = _bucket_boundaries(df, probe, parts)
+    bk = _with_bucket(df, bounds, probe, parts)
+    sizes = bk.groupBy(*parts, "_bkt").agg(F.count(F.lit(1)).alias("_bsz"))
+    offs = _bucket_offsets(sizes, "_bsz", parts)
+    w_loc = Window.partitionBy(*parts, "_bkt").orderBy(
+        F.asc(value), F.asc(tiebreak)
+    )
+    return bk.join(F.broadcast(offs), [*parts, "_bkt"]).select(
+        *df.columns,
+        (F.col("_boff") + F.row_number().over(w_loc)).cast("bigint").alias(rank_col),
+    )
+
+
+def bucketed_ntile(
+    df: DataFrame,
+    value: str,
+    tiebreak: str,
+    n: int,
+    out_col: str,
+    parts: list[str] | None = None,
+    probe: str | None = None,
+) -> DataFrame:
+    """``ntile(n) OVER ([PARTITION BY parts] ORDER BY value ASC, tiebreak
+    ASC)`` from the bucketed two-pass rank plus NTile's exact arithmetic
+    (N rows into n buckets: the first N%n buckets hold N/n+1 rows, the rest
+    N/n — verified against F.ntile in tests), so values are bit-identical
+    to the single-partition window it replaces. Same contract/cost as
+    ``bucketed_rank``."""
+    parts = list(parts or [])
+    probe = probe or value
+    bounds = _bucket_boundaries(df, probe, parts)
+    bk = _with_bucket(df, bounds, probe, parts)
+    sizes = truncate_lineage(  # tiny; consumers: offsets AND group totals
+        bk.groupBy(*parts, "_bkt").agg(F.count(F.lit(1)).alias("_bsz"))
+    )
+    offs = _bucket_offsets(sizes, "_bsz", parts)
+    tots = (
+        sizes.groupBy(*parts).agg(F.sum("_bsz").cast("bigint").alias("_n"))
+        if parts
+        else sizes.agg(F.sum("_bsz").cast("bigint").alias("_n"))
+    )
+    w_loc = Window.partitionBy(*parts, "_bkt").orderBy(
+        F.asc(value), F.asc(tiebreak)
+    )
+    joined = bk.join(F.broadcast(offs), [*parts, "_bkt"])
+    joined = (
+        joined.join(F.broadcast(tots), parts)
+        if parts
+        else joined.crossJoin(F.broadcast(tots))
+    )
+    rank = F.col("_boff") + F.row_number().over(w_loc)
+    # floor over double division is exact for any N < 2^53 rows
+    q = F.floor(F.col("_n") / F.lit(n)).cast("bigint")
+    rem = (F.col("_n") % F.lit(n)).cast("bigint")
+    big = rem * (q + F.lit(1))  # rows covered by the (q+1)-sized buckets
+    ntile = F.when(
+        rank <= big, F.floor((rank - F.lit(1)) / (q + F.lit(1))) + F.lit(1)
+    ).otherwise(
+        # greatest() keeps ANSI division safe when q=0 (branch unreached:
+        # with q=0, big=N so every rank takes the WHEN arm)
+        rem + F.floor((rank - big - F.lit(1)) / F.greatest(q, F.lit(1))) + F.lit(1)
+    )
+    return joined.select(
+        *df.columns, ntile.cast("bigint").alias(out_col)
+    )
+
+
+def bucketed_cum_before(
+    df: DataFrame,
+    value: str,
+    weight: str | list[str],
+    out_col: str | list[str],
+    probe: str | None = None,
+) -> DataFrame:
+    """Σ ``weight`` over rows with strictly smaller ``value`` — the
+    Mann-Whitney tie-averaged-rank machinery (rank(v) = cum_before +
+    (c+1)/2) without the single-partition cumulative window. ``df`` must
+    hold ONE non-NULL row per distinct ``value``. Several weight columns
+    (e.g. the KS test's two ECDFs) ride ONE machinery pass. Weight-skew
+    note: tasks are per-bucket ROW counts (balanced by the sketch); a hot
+    value only makes its weight large, not its bucket."""
+    weights = [weight] if isinstance(weight, str) else list(weight)
+    outs = [out_col] if isinstance(out_col, str) else list(out_col)
+    probe = probe or value
+    bounds = _bucket_boundaries(df, probe, [])
+    bk = _with_bucket(df, bounds, probe, [])
+    btot = bk.groupBy("_bkt").agg(
+        *[F.sum(w).alias(f"_bw{i}") for i, w in enumerate(weights)]
+    )
+    w_off = (
+        Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )  # bounded: the ≤RANK_BUCKETS-row bucket spine
+    offs = btot.select(
+        "_bkt",
+        *[
+            F.coalesce(F.sum(f"_bw{i}").over(w_off), F.lit(0)).alias(f"_boff{i}")
+            for i in range(len(weights))
+        ],
+    )
+    w_loc = (
+        Window.partitionBy("_bkt")
+        .orderBy(value)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return bk.join(F.broadcast(offs), "_bkt").select(
+        *df.columns,
+        *[
+            (
+                F.col(f"_boff{i}")
+                + F.coalesce(F.sum(w).over(w_loc), F.lit(0))
+            ).alias(o)
+            for i, (w, o) in enumerate(zip(weights, outs))
+        ],
+    )
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-filter-aggregate with 8 aggregates.
 
@@ -1303,17 +1512,23 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency (order count), monetary (exact total spend), each scored
     into ntile(4) quartiles, combined into the classic 3-digit segment.
 
-    One aggregation pass over orders, then three ntile windows over the
-    small per-customer relation — scoring never re-touches fact rows.
-    Every window carries the unique c_custkey tie-break, so quartile
-    boundaries are deterministic (bare ntile over ties is
-    engine-dependent — the same determinism discipline as every top-k
-    here). Recency anchors to the fixture's global max order date, not
-    wall clock, so results are stable."""
+    One aggregation pass over orders, then three bucketed two-pass ntile
+    scores over the per-customer relation — scoring never re-touches fact
+    rows, and (r12, replacing three unpartitioned ntile windows = three
+    single-task global sorts over every customer) never sorts the
+    customer universe in one task: each score runs through
+    ``bucketed_ntile``'s boundary-sketch + per-bucket machinery and joins
+    back on the unique customer key. Every ordering carries the unique
+    o_custkey tie-break, so quartile assignment is deterministic (bare
+    ntile over ties is engine-dependent) and bit-identical to the window
+    form the oracle still uses. Recency anchors to the fixture's global
+    max order date, not wall clock, so results are stable."""
     orders = load_table(spark, sf_dir, "orders")
-    anchor = F.max(F.col("o_orderdate").cast("date")).over(Window.partitionBy())
+    # 1-row aggregate + broadcast, NOT max().over(Window.partitionBy()):
+    # an empty window spec funnels the whole fact table through one task
+    anchor = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("_anchor"))
     per_cust = (
-        orders.withColumn("_anchor", anchor)
+        orders.crossJoin(F.broadcast(anchor))
         .groupBy("o_custkey")
         .agg(
             F.datediff(
@@ -1326,18 +1541,34 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("monetary"),
         )
+        # per-customer frame feeds three ntile probes (two passes each
+        # plus the boundary sketch) and the final join spine
+        .transform(truncate_lineage)
     )
-    r_w = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
-    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
-    return per_cust.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(4).over(r_w).cast("bigint").alias("r_score"),
-        F.ntile(4).over(f_w).cast("bigint").alias("f_score"),
-        F.ntile(4).over(m_w).cast("bigint").alias("m_score"),
+
+    def score(metric: str, descending: bool, out: str) -> DataFrame:
+        # DESC metric == ASC negated metric (exact for bigint and for the
+        # double monetary sum — negation flips the sign bit only), with the
+        # same ASC custkey tie-break as the original window
+        key = (-F.col(metric)) if descending else F.col(metric)
+        slim = per_cust.select("o_custkey", key.alias("_k"))
+        return bucketed_ntile(slim, "_k", "o_custkey", 4, out).select(
+            "o_custkey", out
+        )
+
+    return (
+        per_cust.join(score("recency_days", False, "r_score"), "o_custkey")
+        .join(score("frequency", True, "f_score"), "o_custkey")
+        .join(score("monetary", True, "m_score"), "o_custkey")
+        .select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            "r_score",
+            "f_score",
+            "m_score",
+        )
     )
 
 
@@ -3806,9 +4037,14 @@ def orders_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     period, customers score into ntile(4) spend quartiles with the
     (spend DESC, custkey ASC) total tie-break customer_rfm established
     (bare ntile over ties is engine-dependent); customers absent from a
-    period carry tier 0. The ntile windows run over the per-customer
-    aggregate partitioned by period; the migration rollup is a tiny
-    (5 × 5)-key groupBy; the within-row share is one exact-int ratio."""
+    period carry tier 0. The tiering (r12, replacing an ntile window
+    partitioned only by period — TWO partitions each holding every
+    customer) runs through ``bucketed_ntile`` with parts=[period]:
+    per-(period, bucket) tasks, values bit-identical to the window form
+    the oracle still uses. Spend is exact DECIMAL; the bucket probe is
+    its double shadow (monotone — ties collapsing into one bucket is
+    harmless). The migration rollup is a tiny (5 × 5)-key groupBy; the
+    within-row share is one exact-int ratio."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     orders = load_table(spark, sf_dir, "orders")
     rng = orders.agg(
@@ -3830,11 +4066,18 @@ def orders_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("period", "o_custkey")
         .agg(F.sum("price").alias("spend"))
+        # feeds the boundary sketch + both bucketed-ntile passes
+        .transform(truncate_lineage)
     )
-    wq = Window.partitionBy("period").orderBy(F.desc("spend"), F.asc("o_custkey"))
-    tiers = per.select(
-        "period", "o_custkey", F.ntile(4).over(wq).cast("bigint").alias("tier")
+    slim = per.select(
+        "period",
+        "o_custkey",
+        (-F.col("spend")).alias("_negspend"),  # DESC spend == ASC −spend
+        (-F.col("spend")).cast("double").alias("_probe"),
     )
+    tiers = bucketed_ntile(
+        slim, "_negspend", "o_custkey", 4, "tier", parts=["period"], probe="_probe"
+    ).select("period", "o_custkey", "tier")
     p1 = tiers.where(F.col("period") == 1).select(
         "o_custkey", F.col("tier").alias("from_tier")
     )
@@ -4302,13 +4545,14 @@ def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         G = (2·Σᵢ i·xᵢ) / (n·Σx) − (n+1)/n,   xᵢ ascending, i = 1..n
 
     Exact integer sufficient statistics: per-user counts/cents from one
-    map-side-combined groupBy; ranks from ONE window over the per-USER
-    aggregate with the (metric ASC, user_id ASC) total tie-break (ties
-    ordered arbitrarily change Σi·xᵢ only between equal x values — the
-    tie-break pins one order so both engines agree bit-for-bit); the two
-    Gini divisions happen once in double. Σi·xᵢ is summed as
-    DECIMAL(38,0) (rank × cents overflows BIGINT at web-scale user
-    counts)."""
+    map-side-combined groupBy; ranks (r12, replacing a row_number window
+    with no partitionBy — one single-task sort over every user) from the
+    ``bucketed_rank`` boundary-sketch machinery with the (metric ASC,
+    user_id ASC) total tie-break (ties ordered arbitrarily change Σi·xᵢ
+    only between equal x values — the tie-break pins one order so both
+    engines agree bit-for-bit); the two Gini divisions happen once in
+    double. Σi·xᵢ is summed as DECIMAL(38,0) (rank × cents overflows
+    BIGINT at web-scale user counts)."""
     ev = load_table(spark, sf_dir, "events")
     # materialize ONCE: the two gini() branches share no physical plan
     # otherwise (no cross-branch CSE in Spark) and each would rescan
@@ -4325,10 +4569,8 @@ def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def gini(metric: str) -> DataFrame:
-        w = Window.orderBy(F.asc(metric), F.asc("user_id"))
-        ranked = per_user.select(
-            F.col(metric).alias("x"), F.row_number().over(w).alias("i")
-        )
+        slim = per_user.select(F.col(metric).alias("x"), "user_id")
+        ranked = bucketed_rank(slim, "x", "user_id", "i").select("x", "i")
         s = ranked.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
@@ -4444,11 +4686,14 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     c(α)·√((n+m)/(n·m)).
 
     Exact evaluation: values quantize to exact cents (the established
-    convention); both ECDFs are cumulative windows over the PER-VALUE
-    aggregate (distinct cents, not rows); |ΔF| at each support point is
+    convention); both ECDFs are cumulative sums over the PER-VALUE
+    aggregate (distinct cents, not rows) through the
+    ``bucketed_cum_before`` boundary-sketch machinery (r12, replacing an
+    unpartitioned window — distinct cents scale with the corpus; both
+    ECDFs ride ONE machinery pass); |ΔF| at each support point is
     the exact integer cross-difference |cumA·nB − cumB·nA| so the argmax
     (tie → smaller value) needs no float compare; only the final D and
-    bound are doubles. One groupBy + one bounded ordered window."""
+    bound are doubles."""
     ev = load_table(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
     per_v = (
@@ -4459,16 +4704,21 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("et") == KS_TYPE_A, 1).otherwise(0)).alias("ca"),
             F.sum(F.when(F.col("et") == KS_TYPE_B, 1).otherwise(0)).alias("cb"),
         )
+        # feeds the totals, the boundary sketch and both machinery passes
+        .transform(truncate_lineage)
     )
     tot = per_v.agg(
         F.sum("ca").alias("na"), F.sum("cb").alias("nb")
     )
-    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_v.select(
-        "v",
-        F.sum("ca").over(wc).alias("cuma"),
-        F.sum("cb").over(wc).alias("cumb"),
-    ).crossJoin(F.broadcast(tot))
+    cum = (
+        bucketed_cum_before(per_v, "v", ["ca", "cb"], ["_pa", "_pb"])
+        .select(
+            "v",
+            (F.col("_pa") + F.col("ca")).alias("cuma"),
+            (F.col("_pb") + F.col("cb")).alias("cumb"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
     # cross-products widened to DECIMAL(38,0): cum·n overflows BIGINT at
     # web-scale event counts (the events_user_gini overflow rule; r8
     # review — the oracle side is HUGEINT-exact, so a silent wrap here
@@ -4723,8 +4973,10 @@ def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the events_user_gini rule); only μ, σ and z divide in double, with
     the identical expression tree on both engines.
 
-    Shape: one groupBy(value) + one bounded ordered window over the
-    DISTINCT-value relation + a 1-row broadcast of totals — the KS-test
+    Shape: one groupBy(value), then the ``bucketed_cum_before``
+    boundary-sketch machinery over the DISTINCT-value relation (r12,
+    replacing an unpartitioned cumulative window — distinct cents scale
+    with the corpus, the events_kruskal_wallis advice) — the KS-test
     plan, corpus touched once."""
     ev = load_table(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
@@ -4736,17 +4988,12 @@ def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("et") == KS_TYPE_A, 1).otherwise(0)).alias("ca"),
             F.sum(F.when(F.col("et") == KS_TYPE_B, 1).otherwise(0)).alias("cb"),
         )
+        .withColumn("c", F.col("ca") + F.col("cb"))
+        # feeds the boundary sketch and both machinery passes
+        .transform(truncate_lineage)
     )
-    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    c = F.col("ca") + F.col("cb")
-    ranked = per_v.select(
-        "v",
-        "ca",
-        "cb",
-        c.alias("c"),
-        F.coalesce(F.sum(c).over(wc), F.lit(0)).alias("prev"),
-    )
+    ranked = bucketed_cum_before(per_v, "v", "c", "prev")
     stats = ranked.agg(
         F.sum("ca").cast("bigint").alias("na"),
         F.sum("cb").cast("bigint").alias("nb"),
@@ -5383,9 +5630,9 @@ def events_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: the rank k = ceil((n+1)*(1-alpha)) is pure integer
     arithmetic (ceil(a/b) = (a + b - 1) div b on non-negative ints); the
     order statistic is "min v with cumulative count >= k" over the
-    per-value aggregate (the KS/winsorized discipline — the window runs
-    over distinct cents, never raw rows); coverage divides two exact
-    integers once. If k > n_cal the textbook bound is +infinity — the
+    per-value aggregate (the KS/winsorized discipline — the cumulative
+    runs over distinct cents, never raw rows, via the bucketed two-pass
+    machinery); coverage divides two exact integers once. If k > n_cal the textbook bound is +infinity — the
     guarantee flag goes false and q-hat reads the max (rank n_cal).
 
     One-row contract: every stage after the per-value aggregate is a
@@ -5404,9 +5651,14 @@ def events_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.where("is_cal")
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # feeds n_cal, the boundary sketch and both machinery passes
+        .transform(truncate_lineage)
     )
-    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_v.select("v", F.sum("cnt").over(wc).alias("cum"))
+    # bucketed two-pass cumulative (r12): distinct calibration cents scale
+    # with the corpus — never a single-partition cumulative window
+    cum = bucketed_cum_before(per_v, "v", "cnt", "_cb").select(
+        "v", (F.col("_cb") + F.col("cnt")).alias("cum")
+    )
     ncal = per_v.agg(
         F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n_cal")
     )
@@ -6258,9 +6510,16 @@ def events_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     variance (a constant column) yields NULL ρ on both engines.
 
     Scale shape: one per-user corpus aggregate; each rank pass is a
-    groupBy over DISTINCT values plus an ordered cumulative window over
-    the per-value relation (never raw rows); the final correlation is a
-    1-row aggregate."""
+    groupBy over DISTINCT values plus (r12, replacing an unpartitioned
+    cumulative window — a single-task sort of a relation that for the
+    spend side grows with the user base) the ``bucketed_cum_before``
+    boundary-sketch machinery. The x-rank relation (distinct per-user
+    EVENT COUNTS — bounded by the busiest user's activity, genuinely
+    dimension-like) broadcasts; the y-rank relation (distinct spend
+    sums ≈ user cardinality) must NOT broadcast — it joins back
+    shuffle-hash on the near-unique y key (the one hot key, y=0 for
+    non-purchasers, matches a single build row, which AQE's skew split
+    duplicates for free). The final correlation is a 1-row aggregate."""
     ev = load_table(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
     per_user = (
@@ -6282,22 +6541,16 @@ def events_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ranks2(col: str) -> DataFrame:
         """(value, doubled tie-averaged rank) for one metric column."""
         per_v = per_user.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
-        wc = (
-            Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
-        )
-        return per_v.select(
+        cum = bucketed_cum_before(per_v, col, "c", "_cb")
+        return cum.select(
             col,
-            (
-                2 * F.coalesce(F.sum("c").over(wc), F.lit(0))
-                + F.col("c")
-                + F.lit(1)
-            )
+            (2 * F.col("_cb") + F.col("c") + F.lit(1))
             .cast("bigint")
             .alias(f"r2_{col}"),
         )
 
     ranked = per_user.join(F.broadcast(ranks2("x")), "x").join(
-        F.broadcast(ranks2("y")), "y"
+        ranks2("y").hint("shuffle_hash"), "y"
     )
     d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     s = ranked.agg(
@@ -6500,9 +6753,14 @@ def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     C = 1 − Σ(t³−t)/(N³−N) rides DECIMAL(38,0) cubes (the t³ overflow
     rule); H_corr = H/C is NULL when every value ties (C = 0).
 
-    Scale shape: the only raw-row pass is the first aggregate; rank
-    passes run over the DISTINCT-value relation with an ordered
-    cumulative window; the rank join broadcasts."""
+    Scale shape: the only raw-row pass is the first aggregate; the rank
+    pass runs over the DISTINCT-value relation through the
+    ``bucketed_cum_before`` boundary-sketch machinery (r12, replacing an
+    unpartitioned cumulative window — `value` is DOUBLE, so the distinct-
+    value relation scales with the corpus; r11 advice) and the rank join
+    is shuffle-hash on the distinct-value key, never a broadcast of a
+    corpus-cardinality relation (each value carries ≤ k group rows — no
+    skew)."""
     ev = load_table(spark, sf_dir, "events")
     gv = (
         # NULL values drop (rank tests exclude missing) — and keeping them
@@ -6514,24 +6772,21 @@ def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(truncate_lineage)  # feeds the global ranks AND the join
     )
     per_v = gv.groupBy("v").agg(F.sum("c").alias("cv"))
-    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    ranks = per_v.select(
+    ranks = bucketed_cum_before(per_v, "v", "cv", "_cb").select(
         "v",
-        (2 * F.coalesce(F.sum("cv").over(wc), F.lit(0)) + F.col("cv") + F.lit(1))
-        .cast("bigint")
-        .alias("r2"),
+        (2 * F.col("_cb") + F.col("cv") + F.lit(1)).cast("bigint").alias("r2"),
         F.col("cv"),
     )
     d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     grp = (
-        gv.join(F.broadcast(ranks.select("v", "r2")), "v")
+        gv.join(ranks.select("v", "r2").hint("shuffle_hash"), "v")
         .groupBy("event_type")
         .agg(
             F.sum("c").cast("bigint").alias("n_j"),
             F.sum(d38(F.col("c")) * d38(F.col("r2"))).alias("r2_j"),
         )
     )
-    ties = ranks.agg(
+    ties = per_v.agg(
         F.sum(d38(F.col("cv")) * d38(F.col("cv")) * d38(F.col("cv")) - d38(F.col("cv"))).alias(
             "t3"
         )
@@ -6781,7 +7036,12 @@ def events_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sufficient-statistic rows; the BH windows run over that tiny
     relation."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = load_table(spark, sf_dir, "events")
+    # NULL values drop (r12, r11 advice): the cents sums/squares already
+    # skip NULLs, so counting NULL rows in n_w/n_d would divide the Welch
+    # means/variances by an inflated n — and it matches the explicit
+    # NULL drops in events_psi_drift / events_kruskal_wallis. Synced in
+    # the oracle; fixtures are NULL-free, so hashes are unchanged.
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
     wk = F.dayofweek("ts").isin(1, 7)
     d38 = lambda x: x.cast("decimal(38,0)")  # noqa: E731

@@ -9355,7 +9355,9 @@ WITH g AS MATERIALIZED (
                   THEN CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS HUGEINT)
                        * CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS HUGEINT)
                   ELSE 0 END) AS ss_d
-  FROM events GROUP BY 1
+  -- NULL values drop (synced with the operator): the sums already skip
+  -- NULLs, so counting NULL rows would inflate the Welch n
+  FROM events WHERE value IS NOT NULL GROUP BY 1
 ),
 zed AS (
   SELECT event_type, n_w AS n_weekend, n_d AS n_weekday,
