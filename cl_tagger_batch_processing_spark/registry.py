@@ -112,40 +112,36 @@ register("stream_cdc_merge", streaming_windows.stream_cdc_merge)
 register("events_survival_km", relational.events_survival_km)
 register("sim_knn_graph", similarity.sim_knn_graph)
 
-# --- r10 rotation (VERDICT r9 asks #1 and #5): the 20 window slots freed by
-# the r7/r8 survivors (driver-green two-to-three consecutive rounds, moved
-# below) go to never-driver-verified names — the 12 r9 additions, the two
-# stateful-streaming queries whose applyInPandasWithState /
-# end-of-stream-flush code paths are where the local harness and the driver
-# could most plausibly disagree, approx_distinct (its only driver rows ever
-# are r1/r2 no_oracle placeholders predating its accuracy-contract oracle),
-# the slowest bench query (dedup_simhash_error_report — also freshly routed
-# through the SimHash session memo this round, so a driver row re-proves the
-# memo changed nothing), two corpus-family reports and two more streaming
-# queries.
-register("events_mann_whitney", relational.events_mann_whitney)
-register("orders_benford_test", relational.orders_benford_test)
-register("events_poisson_bootstrap_ci", relational.events_poisson_bootstrap_ci)
-register("events_winsorized_stats", relational.events_winsorized_stats)
-register("text_kneser_ney_bigram", text.text_kneser_ney_bigram)
-register("sim_hybrid_rrf", similarity.sim_hybrid_rrf)
-register("events_permutation_test", relational.events_permutation_test)
-register("dedup_rouge_verify", dedup.dedup_rouge_verify)
-register("sim_ann_graph_search", similarity.sim_ann_graph_search)
-register("corpus_ccnet_buckets", text.corpus_ccnet_buckets)
-register("events_did_estimator", relational.events_did_estimator)
-register("orders_price_index_laspeyres", relational.orders_price_index_laspeyres)
-register("stream_watchlist_cms", streaming_windows.stream_watchlist_cms)
-register("stream_session_counts", streaming_windows.stream_session_counts)
-register("approx_distinct", relational.approx_distinct)
-register("dedup_simhash_error_report", dedup.dedup_simhash_error_report)
-register("corpus_stratified_split", curation.corpus_stratified_split)
-register("corpus_health_report", curation.corpus_health_report)
-register(
-    "stream_first_touch_attribution",
-    streaming_windows.stream_first_touch_attribution,
-)
-register("stream_quantile_histogram", streaming_windows.stream_quantile_histogram)
+# --- r12 rotation (VERDICT r11 asks #1 and #2): the 20 slots freed by the
+# r10-rotation names (driver-green two consecutive rounds, moved below) go
+# to 20 FIRST-TIME never-driver-verified names — leading with the seven
+# queries whose rank machinery was REDESIGNED this round (the bucketed
+# two-pass rank fix: verification after redesign is doubly valuable), then
+# the rest of the r11-continuation statistics batch, the r11 composed-
+# machinery additions (graph-restricted DBSCAN over the kNN memo, the
+# Theil-Sen robust trend), the per-language calibration precedent the fix
+# was modeled on, and one never-verified name each from the graph-fixpoint
+# (k-core peel), corpus-planning and span-dedup families.
+register("customer_rfm", relational.customer_rfm)
+register("events_user_gini", relational.events_user_gini)
+register("orders_rfm_migration", relational.orders_rfm_migration)
+register("events_spearman_corr", relational.events_spearman_corr)
+register("events_kruskal_wallis", relational.events_kruskal_wallis)
+register("events_conformal_interval", relational.events_conformal_interval)
+register("events_bh_fdr", relational.events_bh_fdr)
+register("events_psi_drift", relational.events_psi_drift)
+register("events_cramers_v", relational.events_cramers_v)
+register("events_jackknife_ratio", relational.events_jackknife_ratio)
+register("events_runs_test", relational.events_runs_test)
+register("text_good_turing", text.text_good_turing)
+register("text_js_divergence", text.text_js_divergence)
+register("text_quality_kappa", text.text_quality_kappa)
+register("text_quality_calibration", text.text_quality_calibration)
+register("embedding_dbscan_lite", similarity.embedding_dbscan_lite)
+register("orders_theil_sen_trend", relational.orders_theil_sen_trend)
+register("graph_kcore", graph.graph_kcore)
+register("corpus_token_budget", curation.corpus_token_budget)
+register("dedup_paragraphs", text.dedup_paragraphs)
 
 from .functions import scalar  # noqa: E402
 from .sources import layout as sources_layout  # noqa: E402
@@ -188,6 +184,33 @@ register("percentiles_by_priority", scalar.percentiles_by_priority)
 # Everything below is OUTSIDE the driver's 50-entry window; each keeps its
 # local DuckDB oracle in tests/test_oracle_parity.py (or a documented
 # NO_ORACLE reason) as regression cover.
+
+# Displaced by the r12 window refresh (see above): the 20 r10-rotation
+# names were driver-green two consecutive rounds (r10-r11); all remain
+# fully oracle-backed locally.
+register("events_mann_whitney", relational.events_mann_whitney)
+register("orders_benford_test", relational.orders_benford_test)
+register("events_poisson_bootstrap_ci", relational.events_poisson_bootstrap_ci)
+register("events_winsorized_stats", relational.events_winsorized_stats)
+register("text_kneser_ney_bigram", text.text_kneser_ney_bigram)
+register("sim_hybrid_rrf", similarity.sim_hybrid_rrf)
+register("events_permutation_test", relational.events_permutation_test)
+register("dedup_rouge_verify", dedup.dedup_rouge_verify)
+register("sim_ann_graph_search", similarity.sim_ann_graph_search)
+register("corpus_ccnet_buckets", text.corpus_ccnet_buckets)
+register("events_did_estimator", relational.events_did_estimator)
+register("orders_price_index_laspeyres", relational.orders_price_index_laspeyres)
+register("stream_watchlist_cms", streaming_windows.stream_watchlist_cms)
+register("stream_session_counts", streaming_windows.stream_session_counts)
+register("approx_distinct", relational.approx_distinct)
+register("dedup_simhash_error_report", dedup.dedup_simhash_error_report)
+register("corpus_stratified_split", curation.corpus_stratified_split)
+register("corpus_health_report", curation.corpus_health_report)
+register(
+    "stream_first_touch_attribution",
+    streaming_windows.stream_first_touch_attribution,
+)
+register("stream_quantile_histogram", streaming_windows.stream_quantile_histogram)
 
 # Displaced by the r11 window refresh (see above): the eight r7 promotions
 # were driver-green four consecutive rounds (r7-r10), the twelve r9
@@ -351,7 +374,6 @@ register("part_affinity_lift", relational.part_affinity_lift)
 # Operational latency report (exact interpolated p90 over integers).
 register("order_lead_times", relational.order_lead_times)
 # RFM quartile scoring over the per-customer aggregate (unique tie-breaks).
-register("customer_rfm", relational.customer_rfm)
 # Classifier-QA confusion matrix over the langid heuristic.
 register("langid_confusion_matrix", text.langid_confusion_matrix)
 # Incremental dedup: incoming batch vs the corpus hash store (anti join).
@@ -396,7 +418,6 @@ register("embedding_label_centroids", similarity.embedding_label_centroids)
 
 # --- round-5 additions: lexical retrieval, C4-style span dedup, DSIR
 # selection, BPE merge counting, perceptual-hash payload dedup -------------
-register("dedup_paragraphs", text.dedup_paragraphs)
 register("corpus_dsir_weights", text.corpus_dsir_weights)
 register("text_bpe_pair_counts", text.text_bpe_pair_counts)
 
@@ -405,7 +426,6 @@ register("text_bpe_pair_counts", text.text_bpe_pair_counts)
 # planning ----------------------------------------------------------------
 register("events_anomaly_mad", relational.events_anomaly_mad)
 register("text_char_entropy", text.text_char_entropy)
-register("corpus_token_budget", curation.corpus_token_budget)
 register("sim_scalar_quant_recall", similarity.sim_scalar_quant_recall)
 
 # displaced from the window by the r5 refresh (local parity still covers)
@@ -420,7 +440,6 @@ register("text_keyword_rake", text.text_keyword_rake)
 
 register("dedup_exact_keep_best", dedup.dedup_exact_keep_best)
 
-register("text_quality_calibration", text.text_quality_calibration)
 
 register("events_rolling_zscore", relational.events_rolling_zscore)
 
@@ -458,7 +477,6 @@ register("text_hashing_tf", text.text_hashing_tf)
 
 # --- round-7 additions: k-core backbone, corpus novelty curve, VAD-style
 # energy segmentation ------------------------------------------------------
-register("graph_kcore", graph.graph_kcore)
 register("text_ngram_novelty", text.text_ngram_novelty)
 register("mm_audio_energy_segments", multimodal.mm_audio_energy_segments)
 register("mm_keyframe_select", multimodal.mm_keyframe_select)
@@ -518,7 +536,6 @@ register("events_burstiness_by_type", relational.events_burstiness_by_type)
 register("text_boilerplate_ngrams", text.text_boilerplate_ngrams)
 register("events_markov_entropy_rate", relational.events_markov_entropy_rate)
 register("orders_max_drawdown", relational.orders_max_drawdown)
-register("orders_rfm_migration", relational.orders_rfm_migration)
 register("dedup_cluster_keep_best", dedup.dedup_cluster_keep_best)
 register("sim_ivf_balance_report", similarity.sim_ivf_balance_report)
 register("mm_audio_silence_trim", multimodal.mm_audio_silence_trim)
@@ -528,7 +545,6 @@ register("graph_effective_diameter", graph.graph_effective_diameter)
 register("events_ab_cuped", relational.events_ab_cuped)
 register("events_dau_wau_mau", relational.events_dau_wau_mau)
 register("dedup_minhash_bbit_report", dedup.dedup_minhash_bbit_report)
-register("events_user_gini", relational.events_user_gini)
 # The 12 round-9 additions (Mann-Whitney U, Benford QA, Poisson-bootstrap
 # CI, winsorized stats, Kneser-Ney LM, RRF fusion, permutation test, ROUGE
 # verify, graph-ANN beam search, CCNet buckets, DiD, Laspeyres) plus the
@@ -539,14 +555,11 @@ register("events_user_gini", relational.events_user_gini)
 # (PAVA-equivalent minimax) calibration of score-bucket rates, and the
 # split-conformal distribution-free prediction bound --------------------
 register("events_isotonic_calibration", relational.events_isotonic_calibration)
-register("events_conformal_interval", relational.events_conformal_interval)
 
 # --- round-11 additions (held well under the 20-slot rotation): the robust
 # trend estimator, the multiple-comparisons test family, and density-based
 # clustering composed over the session-memoized kNN graph ------------------
-register("orders_theil_sen_trend", relational.orders_theil_sen_trend)
 register("events_tukey_hsd", relational.events_tukey_hsd)
-register("embedding_dbscan_lite", similarity.embedding_dbscan_lite)
 register("events_power_analysis", relational.events_power_analysis)
 register("text_ndcg_eval", text.text_ndcg_eval)
 register("privacy_randomized_response", relational.privacy_randomized_response)
@@ -554,27 +567,17 @@ register("events_empirical_bayes", relational.events_empirical_bayes)
 register("events_granger_lite", relational.events_granger_lite)
 register("text_burrows_delta", text.text_burrows_delta)
 register("events_absorption_probability", relational.events_absorption_probability)
-register("events_spearman_corr", relational.events_spearman_corr)
 
 # --- round-11 continuation batch: the distribution-drift / categorical-
 # association / k-group rank-test family (PSI is the production drift
 # monitor; Cramér's V and Kruskal-Wallis complete the dependence-test
 # surface around Pearson/Spearman/Mann-Whitney) ---------------------------
-register("events_psi_drift", relational.events_psi_drift)
-register("events_cramers_v", relational.events_cramers_v)
-register("events_kruskal_wallis", relational.events_kruskal_wallis)
 
 # --- round-11 continuation batch 2: resampling-free uncertainty
 # (jackknife), sequence-randomness QA (runs test), and the vocabulary-
 # coverage diagnostic (Good-Turing/Chao1) ---------------------------------
-register("events_jackknife_ratio", relational.events_jackknife_ratio)
-register("events_runs_test", relational.events_runs_test)
-register("text_good_turing", text.text_good_turing)
 
 # --- round-11 continuation batch 3: multiple-comparisons discipline
 # (BH-FDR over the per-type Welch family), rater-agreement QA (Cohen's
 # kappa between quality gates), and the corpus-level source-distance
 # matrix (pairwise Jensen-Shannon divergence) ------------------------------
-register("events_bh_fdr", relational.events_bh_fdr)
-register("text_quality_kappa", text.text_quality_kappa)
-register("text_js_divergence", text.text_js_divergence)

@@ -49,32 +49,34 @@ def test_driver_window_is_curated():
         "stream_cdc_merge",
         "events_survival_km",
         "sim_knn_graph",
-        # r10 rotation (VERDICT r9 asks #1 and #5): the 12 r9 additions,
-        # the stateful-streaming pair, approx_distinct (never value-checked
-        # by the driver since its oracle conversion), the slowest bench
-        # query, two corpus reports and two more streaming reports take the
-        # slots of the 20 two-to-three-round-green survivors (all displaced
-        # names keep local parity below).
-        "events_mann_whitney",
-        "orders_benford_test",
-        "events_poisson_bootstrap_ci",
-        "events_winsorized_stats",
-        "text_kneser_ney_bigram",
-        "sim_hybrid_rrf",
-        "events_permutation_test",
-        "dedup_rouge_verify",
-        "sim_ann_graph_search",
-        "corpus_ccnet_buckets",
-        "events_did_estimator",
-        "orders_price_index_laspeyres",
-        "stream_watchlist_cms",
-        "stream_session_counts",
-        "approx_distinct",
-        "dedup_simhash_error_report",
-        "corpus_stratified_split",
-        "corpus_health_report",
-        "stream_first_touch_attribution",
-        "stream_quantile_histogram",
+        # r12 rotation (VERDICT r11 asks #1 and #2): 20 FIRST-TIME
+        # never-driver-verified names — the seven queries whose rank
+        # machinery was redesigned this round (bucketed two-pass rank),
+        # the rest of the r11-continuation statistics batch, the r11
+        # composed-machinery additions, the calibration precedent, and
+        # one name each from the k-core / corpus-planning / span-dedup
+        # families — take the slots of the 20 two-round-green r10 names
+        # (all displaced names keep local parity below).
+        "customer_rfm",
+        "events_user_gini",
+        "orders_rfm_migration",
+        "events_spearman_corr",
+        "events_kruskal_wallis",
+        "events_conformal_interval",
+        "events_bh_fdr",
+        "events_psi_drift",
+        "events_cramers_v",
+        "events_jackknife_ratio",
+        "events_runs_test",
+        "text_good_turing",
+        "text_js_divergence",
+        "text_quality_kappa",
+        "text_quality_calibration",
+        "embedding_dbscan_lite",
+        "orders_theil_sen_trend",
+        "graph_kcore",
+        "corpus_token_budget",
+        "dedup_paragraphs",
         # r11 rotation (VERDICT r10 asks #1 and #3): the remaining stream_*
         # five, the source_* reader/writer roundtrips, VARIANT/LATERAL, the
         # composed ANN-recall and SemDeDup keep verdicts, and the SURVEY
