@@ -1394,3 +1394,68 @@ def graph_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ~F.coalesce(F.max("covered_90").over(w_first), F.lit(False))
         ).alias("is_effective_diameter"),
     )
+
+
+# Rich-club degree thresholds — a fixed spine, mirrored in the oracle.
+RICH_CLUB_KS = (2, 4, 8, 16)
+
+
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) over the
+    co-occurrence graph for a fixed degree-threshold spine — do the
+    high-degree "hub" nodes preferentially connect to EACH OTHER? (φ→1
+    means the hubs form a near-clique; the structural readout behind
+    hub-salting decisions and spam-ring triage, complementing
+    graph_assortativity's single global coefficient with a per-threshold
+    curve.)
+
+    Shape: degrees are one map-side-combined aggregate over the memoized
+    edge list; each edge picks up both endpoint degrees via two
+    node-keyed joins (the graph_assortativity shape — never a pair
+    materialization); the 4-row threshold spine cross-joins BROADCAST
+    against the degree-tagged edges so counting stays one aggregated
+    pass. All counts exact integers; φ is one exact-int division. N_k
+    and E_k are reported so φ's denominator is auditable."""
+    edges = cooccurrence_edges(spark, sf_dir)
+    deg = (
+        edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        # feeds the per-threshold node census AND both edge joins
+        .transform(truncate_lineage)
+    )
+    ks = F.array(*[F.lit(k).cast("bigint") for k in RICH_CLUB_KS])
+    spine = deg.sparkSession.range(1).select(F.explode(ks).alias("k"))
+    n_k = (
+        deg.crossJoin(F.broadcast(spine))
+        .where(F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )
+    tagged = (
+        edges.join(deg.select(F.col("src").alias("u"), F.col("deg").alias("du")),
+                   edges.src == F.col("u"))
+        .join(deg.select(F.col("src").alias("v"), F.col("deg").alias("dv")),
+              edges.dst == F.col("v"))
+        .select("src", "dst", "du", "dv")
+    )
+    e_k = (
+        tagged.crossJoin(F.broadcast(spine))
+        .where((F.col("du") > F.col("k")) & (F.col("dv") > F.col("k")))
+        .groupBy("k")
+        # the symmetric edge list stores each undirected edge twice
+        .agg((F.count(F.lit(1)) / F.lit(2)).cast("bigint").alias("n_edges"))
+    )
+    phi = F.when(
+        F.col("n_nodes") >= 2,
+        F.round(
+            F.lit(2.0)
+            * F.col("n_edges").cast("double")
+            / (F.col("n_nodes").cast("double") * (F.col("n_nodes").cast("double") - 1.0)),
+            9,
+        ),
+    )
+    return (
+        spine.join(n_k, "k", "left")
+        .join(e_k, "k", "left")
+        .na.fill({"n_nodes": 0, "n_edges": 0})
+        .select("k", "n_nodes", "n_edges", phi.alias("phi"))
+    )

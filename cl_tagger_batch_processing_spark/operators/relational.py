@@ -122,18 +122,23 @@ def bucketed_rank(
     rank_col: str,
     parts: list[str] | None = None,
     probe: str | None = None,
+    bounds: DataFrame | None = None,
 ) -> DataFrame:
     """``row_number() OVER ([PARTITION BY parts] ORDER BY value ASC,
     tiebreak ASC)`` without a single-partition sort (see the block comment
     above). ``probe`` optionally names a monotone-in-``value`` numeric
     column to bucket on (e.g. a double shadow of an exact DECIMAL key —
     equal probes collapsing distinct values into one bucket is harmless).
-    ``value`` must be non-NULL; ``(value, tiebreak)`` must be unique within
-    each ``parts`` group. Cost: two passes over ``df`` (sizes + the bucketed
-    sort) after the boundary sketch — checkpoint ``df`` at the call site."""
+    ``bounds`` optionally supplies a pre-checkpointed boundary frame
+    (parts + one ``_bs`` array column) so several rankings over one
+    relation share a single sketch job. ``value`` must be non-NULL;
+    ``(value, tiebreak)`` must be unique within each ``parts`` group.
+    Cost: two passes over ``df`` (sizes + the bucketed sort) after the
+    boundary sketch — checkpoint ``df`` at the call site."""
     parts = list(parts or [])
     probe = probe or value
-    bounds = _bucket_boundaries(df, probe, parts)
+    if bounds is None:
+        bounds = _bucket_boundaries(df, probe, parts)
     bk = _with_bucket(df, bounds, probe, parts)
     sizes = bk.groupBy(*parts, "_bkt").agg(F.count(F.lit(1)).alias("_bsz"))
     offs = _bucket_offsets(sizes, "_bsz", parts)
@@ -154,6 +159,7 @@ def bucketed_ntile(
     out_col: str,
     parts: list[str] | None = None,
     probe: str | None = None,
+    bounds: DataFrame | None = None,
 ) -> DataFrame:
     """``ntile(n) OVER ([PARTITION BY parts] ORDER BY value ASC, tiebreak
     ASC)`` from the bucketed two-pass rank plus NTile's exact arithmetic
@@ -163,11 +169,15 @@ def bucketed_ntile(
     ``bucketed_rank``."""
     parts = list(parts or [])
     probe = probe or value
-    bounds = _bucket_boundaries(df, probe, parts)
+    if bounds is None:
+        bounds = _bucket_boundaries(df, probe, parts)
     bk = _with_bucket(df, bounds, probe, parts)
-    sizes = truncate_lineage(  # tiny; consumers: offsets AND group totals
-        bk.groupBy(*parts, "_bkt").agg(F.count(F.lit(1)).alias("_bsz"))
-    )
+    # NOT checkpointed despite two consumers (offsets + totals): bucket
+    # counts are exact integers — order-insensitive, so two independent
+    # recomputes off the pinned bounds are value-identical, and skipping
+    # the eager checkpoint saves a blocking driver job per ntile (only the
+    # SKETCH needs pinning; its merge order is not deterministic)
+    sizes = bk.groupBy(*parts, "_bkt").agg(F.count(F.lit(1)).alias("_bsz"))
     offs = _bucket_offsets(sizes, "_bsz", parts)
     tots = (
         sizes.groupBy(*parts).agg(F.sum("_bsz").cast("bigint").alias("_n"))
@@ -1546,20 +1556,42 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(truncate_lineage)
     )
 
-    def score(metric: str, descending: bool, out: str) -> DataFrame:
-        # DESC metric == ASC negated metric (exact for bigint and for the
-        # double monetary sum — negation flips the sign bit only), with the
-        # same ASC custkey tie-break as the original window
-        key = (-F.col(metric)) if descending else F.col(metric)
-        slim = per_cust.select("o_custkey", key.alias("_k"))
-        return bucketed_ntile(slim, "_k", "o_custkey", 4, out).select(
-            "o_custkey", out
+    # DESC metric == ASC negated metric (exact for bigint and for the
+    # double monetary sum — negation flips the sign bit only), with the
+    # same ASC custkey tie-break as the original windows. All THREE
+    # boundary sketches ride ONE aggregate job over the checkpointed
+    # per-customer frame (three eager sketch jobs would triple the
+    # blocking driver round-trips for no information).
+    keys = {
+        "r_score": F.col("recency_days"),
+        "f_score": -F.col("frequency"),
+        "m_score": -F.col("monetary"),
+    }
+    fr = [i / RANK_BUCKETS for i in range(1, RANK_BUCKETS)]
+    all_bounds = truncate_lineage(
+        per_cust.agg(
+            *[
+                F.percentile_approx(k, fr, _RANK_PCTL_ACCURACY).alias(f"_bs_{o}")
+                for o, k in keys.items()
+            ]
         )
+    )
+
+    def score(out: str) -> DataFrame:
+        slim = per_cust.select("o_custkey", keys[out].alias("_k"))
+        return bucketed_ntile(
+            slim,
+            "_k",
+            "o_custkey",
+            4,
+            out,
+            bounds=all_bounds.select(F.col(f"_bs_{out}").alias("_bs")),
+        ).select("o_custkey", out)
 
     return (
-        per_cust.join(score("recency_days", False, "r_score"), "o_custkey")
-        .join(score("frequency", True, "f_score"), "o_custkey")
-        .join(score("monetary", True, "m_score"), "o_custkey")
+        per_cust.join(score("r_score"), "o_custkey")
+        .join(score("f_score"), "o_custkey")
+        .join(score("m_score"), "o_custkey")
         .select(
             "o_custkey",
             "recency_days",
@@ -7117,3 +7149,549 @@ def events_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("q").isNotNull(), F.col("q") <= 0.05).alias("reject_fdr_05"),
         )
     )
+
+
+# --- r12 additions: the paired/rank/trend test family over the new
+# bucketed machinery, plus experimentation and EVT readouts ------------------
+
+# Two-sided 5% normal critical value — shared with the Mann-Whitney flag;
+# mirrored literally in the DuckDB oracles (sync-pinned).
+WSR_Z_05 = 1.959964
+
+
+def events_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test of PAIRED per-user spend: weekend total
+    cents vs weekday total cents for the SAME user — the within-subject
+    companion of Mann-Whitney (which compares two independent samples);
+    the standard nonparametric answer to "do users spend differently on
+    weekends?" with every user serving as their own control.
+
+    Textbook evaluation on exact integers: d_u = weekend − weekday cents
+    per user (one corpus pass); zero differences drop (the standard
+    convention); |d| ranks are tie-averaged DOUBLED ranks from the
+    ``bucketed_cum_before`` machinery over the per-|d| aggregate (distinct
+    |d| values scale with the user base — never a single-partition
+    window); 2·W⁺ = Σ_v c_pos(v)·(2·prev(v) + c(v) + 1) rides
+    DECIMAL(38,0). Normal approximation with the tie correction:
+    μ = n(n+1)/4, σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48; z = (W⁺ − μ)/σ
+    divides once in double, NULL when n = 0 or σ = 0.
+
+    Scale shape: one corpus pass map-side combined to per-user cents; one
+    groupBy over distinct |d|; the bucketed cumulative; a 1-row closing
+    aggregate."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    wk = F.dayofweek("ts").isin(1, 7)
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(wk, cents).otherwise(0))
+            - F.sum(F.when(~wk, cents).otherwise(0))
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    per_abs = (
+        per_user.where(F.col("d") != 0)
+        .groupBy(F.abs(F.col("d")).alias("ad"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("c_pos"),
+        )
+        # feeds the boundary sketch, both machinery passes and the tie agg
+        .transform(truncate_lineage)
+    )
+    ranked = bucketed_cum_before(per_abs, "ad", "c", "prev")
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = ranked.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(
+            d38("c_pos") * (F.lit(2) * d38("prev") + d38("c") + F.lit(1))
+        ).alias("w2_plus"),
+        F.sum(d38("c") * d38("c") * d38("c") - d38("c")).alias("t3"),
+    )
+    nd = F.coalesce(F.col("n"), F.lit(0)).cast("double")
+    w_plus = F.col("w2_plus").cast("double") / F.lit(2.0)
+    mu = nd * (nd + 1.0) / 4.0
+    var = nd * (nd + 1.0) * (2.0 * nd + 1.0) / 24.0 - F.col("t3").cast(
+        "double"
+    ) / 48.0
+    z = F.when((F.col("n") > 0) & (var > 0), (w_plus - mu) / F.sqrt(var))
+    return s.select(
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_pairs"),
+        F.round(w_plus, 6).alias("w_plus"),
+        F.round(mu, 6).alias("mu_w"),
+        F.round(z, 9).alias("z"),
+        (F.abs(z) > F.lit(WSR_Z_05)).alias("reject_equal_05"),
+    )
+
+
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on the daily event-count series —
+    the significance test conventionally paired with the Theil-Sen slope
+    (orders_theil_sen_trend): S = Σ_{i<j} sign(y_j − y_i) over day pairs,
+    with the tie-corrected normal approximation
+    σ² = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18 and the ±1 continuity
+    correction on z.
+
+    Exactness: counts are integers, sign() is exact, S and the tie term
+    are exact integer sums (DECIMAL(38,0) — n³-sized at long calendars);
+    z divides once in double. The pair stage is the Theil-Sen shape: a
+    broadcast nested-loop self-join of the per-DAY aggregate — days²/2
+    pairs, FIXED by the calendar and independent of corpus row count."""
+    daily = _daily_event_counts(spark, sf_dir).transform(truncate_lineage)
+    a = daily.select(F.col("day").alias("d1"), F.col("daily_count").alias("y1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("daily_count").alias("y2"))
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pairs = a.crossJoin(F.broadcast(b)).where(F.col("d2") > F.col("d1"))
+    s_stat = pairs.agg(
+        F.sum(
+            F.signum((F.col("y2") - F.col("y1")).cast("double")).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("s")
+    )
+    ties = (
+        daily.groupBy("daily_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.sum(
+                d38(F.col("t"))
+                * (d38(F.col("t")) - F.lit(1))
+                * (F.lit(2) * d38(F.col("t")) + F.lit(5))
+            ).alias("tie_term")
+        )
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    out = s_stat.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(n_days))
+    nd = F.col("n").cast("double")
+    var = (
+        nd * (nd - 1.0) * (2.0 * nd + 5.0) - F.col("tie_term").cast("double")
+    ) / 18.0
+    sd = F.col("s").cast("double")
+    z = F.when(
+        (F.col("n") >= 2) & (var > 0),
+        F.when(F.col("s") > 0, (sd - 1.0) / F.sqrt(var))
+        .when(F.col("s") < 0, (sd + 1.0) / F.sqrt(var))
+        .otherwise(F.lit(0.0)),
+    )
+    return out.select(
+        F.col("n").alias("n_days"),
+        F.col("s").alias("s_stat"),
+        F.round(var, 6).alias("var_s"),
+        F.round(z, 9).alias("z"),
+        (F.abs(z) > F.lit(WSR_Z_05)).alias("trend_significant_05"),
+    )
+
+
+def events_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA of event value across event
+    types — the parametric companion of Kruskal-Wallis (which tests rank
+    distributions): unequal variances and group sizes are the norm in
+    telemetry, and classic ANOVA's pooled variance is wrong there.
+
+        F* = [Σ w_j(m_j − x̄_w)² / (k−1)] / B,  w_j = n_j/s²_j,
+        B = 1 + 2(k−2)/(k²−1) · Σ (1−w_j/W)²/(n_j−1),
+        df2 = (k²−1) / (3 Σ (1−w_j/W)²/(n_j−1))
+
+    Sufficient statistics per group are exact (cents sums and DECIMAL(38,0)
+    squares in ONE corpus pass — the events_bh_fdr Welch convention; the
+    Σx² identity is safe here because raw values vary, unlike the
+    jackknife's near-identical replicates); groups with n_j < 2 or zero
+    variance drop (reported as k_dropped). The k-row folds ride the
+    decimal rails (9dp for the weighted terms, 15dp for the ≲1/n lambda
+    terms) so group association order can never ulp-split the engines;
+    the final divisions happen once in double."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_j"),
+        F.sum(cents).cast("bigint").alias("s_j"),
+        F.sum(d38(cents) * d38(cents)).alias("ss_j"),
+    )
+    nj = F.col("n_j").cast("double")
+    mean_j = F.col("s_j").cast("double") / nj
+    # variance guarded on n_j >= 2: ANSI mode raises on the singleton
+    # group's /(n-1) = /0 even for doubles; NULL var -> ok coalesces FALSE
+    # so singletons count as dropped on both engines
+    var_j = F.when(
+        F.col("n_j") >= 2,
+        (
+            F.col("ss_j").cast("double")
+            - F.col("s_j").cast("double") * F.col("s_j").cast("double") / nj
+        )
+        / (nj - 1.0),
+    )
+    stats = g.select(
+        "event_type",
+        "n_j",
+        mean_j.alias("m"),
+        var_j.alias("v"),
+        F.coalesce(var_j > 0, F.lit(False)).alias("ok"),
+    ).transform(truncate_lineage)  # k rows; feeds both rail folds
+    kept = stats.where("ok")
+    # the 15dp/DECIMAL(38,15) rail throughout: the weights w = n/s² are
+    # ~1e-6-scale when values are cents (9dp rounding would cost 4 of
+    # their significant digits — measured as a 1e-5 relative error in df2)
+    d15 = lambda c: F.round(c, 15).cast("decimal(38,15)")  # noqa: E731
+    w = F.col("n_j").cast("double") / F.col("v")
+    tot = kept.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(d15(w)).cast("double").alias("w_sum"),
+        F.sum(d15(w * (F.col("m")))).cast("double").alias("wm_sum"),
+    )
+    dropped = stats.agg(
+        F.sum(F.when(~F.col("ok"), 1).otherwise(0)).cast("bigint").alias("k_dropped")
+    )
+    xbar = F.col("wm_sum") / F.col("w_sum")
+    folds = kept.crossJoin(F.broadcast(tot)).agg(
+        F.max("k").alias("k"),
+        F.sum(d15(w * (F.col("m") - xbar) * (F.col("m") - xbar)))
+        .cast("double")
+        .alias("num_fold"),
+        F.sum(
+            d15(
+                (F.lit(1.0) - w / F.col("w_sum"))
+                * (F.lit(1.0) - w / F.col("w_sum"))
+                / (F.col("n_j").cast("double") - 1.0)
+            )
+        )
+        .cast("double")
+        .alias("lam_fold"),
+    )
+    kd = F.col("k").cast("double")
+    a_num = F.col("num_fold") / (kd - 1.0)
+    b_den = 1.0 + (2.0 * (kd - 2.0) / (kd * kd - 1.0)) * F.col("lam_fold")
+    f_stat = F.when((F.col("k") >= 2) & (F.col("lam_fold") >= 0), a_num / b_den)
+    df2 = F.when(
+        (F.col("k") >= 2) & (F.col("lam_fold") > 0),
+        (kd * kd - 1.0) / (3.0 * F.col("lam_fold")),
+    )
+    return folds.crossJoin(F.broadcast(dropped)).select(
+        F.col("k").alias("k_groups"),
+        "k_dropped",
+        (F.col("k") - 1).cast("bigint").alias("df1"),
+        F.round(df2, 6).alias("df2"),
+        F.round(f_stat, 9).alias("f_stat"),
+    )
+
+
+# McNemar 5% chi-square(1) critical value and the repeat-purchaser
+# threshold (the fixture is dense — EVERY user has ≥1 purchase in both
+# halves at every scale, so an any-purchase flag is all-concordant and
+# the test vacuously NULL; the count threshold gives real discordance —
+# the events_auc_report AUC_LABEL_MIN_PURCHASES precedent). Both mirrored
+# in the oracle (sync-pinned).
+MCNEMAR_CHI2_05 = 3.841459
+MCNEMAR_CONV_MIN = 3
+
+
+def events_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test of PAIRED conversion: was the same user a REPEAT
+    purchaser (≥MCNEMAR_CONV_MIN purchases) in the first half of the
+    timeline vs the second half? The within-subject binary companion of
+    the Wilcoxon pair: only the DISCORDANT pairs carry information —
+    b = converted-then-lapsed, c = lapsed-then-converted — and the
+    continuity-corrected χ² = (|b−c|−1)²/(b+c) tests marginal homogeneity
+    ("is conversion drifting between periods?").
+
+    Exactness: the split day is the exact integer midpoint of the
+    epoch-day range (the orders_rfm_migration convention); b and c are
+    exact integer counts from ONE corpus pass; χ² is one double division,
+    NULL when b+c = 0 (no discordant pairs). Scale shape: per-user flags
+    map-side combine; everything after is a 1-row aggregate."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 1000000 div 86400").cast(
+        "bigint"
+    )
+    base = ev.select(
+        "user_id", day.alias("day"), (F.col("event_type") == "purchase").alias("p")
+    )
+    rng = base.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    flagged = base.crossJoin(F.broadcast(rng)).select(
+        "user_id",
+        "p",
+        (F.col("day") <= (F.col("dmin") + F.col("dmax")) / F.lit(2)).alias(
+            "first_half"
+        ),
+    )
+    per_user = flagged.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("first_half") & F.col("p"), 1).otherwise(0))
+            >= F.lit(MCNEMAR_CONV_MIN)
+        ).alias("conv1"),
+        (
+            F.sum(F.when(~F.col("first_half") & F.col("p"), 1).otherwise(0))
+            >= F.lit(MCNEMAR_CONV_MIN)
+        ).alias("conv2"),
+    )
+    s = per_user.agg(
+        F.sum(F.when(F.col("conv1") & ~F.col("conv2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when(~F.col("conv1") & F.col("conv2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+    bd, cd = F.col("b").cast("double"), F.col("c").cast("double")
+    chi2 = F.when(
+        F.col("b") + F.col("c") > 0,
+        (F.abs(bd - cd) - 1.0) * (F.abs(bd - cd) - 1.0) / (bd + cd),
+    )
+    return s.select(
+        "n_users",
+        F.col("b").alias("conv_then_lapsed"),
+        F.col("c").alias("lapsed_then_conv"),
+        F.round(chi2, 9).alias("chi2_cc"),
+        (chi2 > F.lit(MCNEMAR_CHI2_05)).alias("reject_homogeneity_05"),
+    )
+
+
+def events_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the active-user population
+    from two overlapping "captures" — weekend-active vs weekday-active
+    users: N̂ = (n₁+1)(n₂+1)/(m+1) − 1 with the standard Seber variance.
+    The coverage diagnostic for any panel/telemetry pipeline ("how many
+    users exist that NEITHER capture saw?"), reported beside the observed
+    distinct-user count so the estimator's gap is measured, not assumed.
+
+    Exactness: n₁, n₂, m, and the observed total are exact integers from
+    ONE per-user aggregate; N̂ and the Wald CI divide once in double.
+    Scale shape: per-user weekend/weekday flags map-side combine; the
+    closing aggregate is 1 row."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.dayofweek("ts").isin(1, 7)
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(wk, True).otherwise(False)).alias("in_a"),
+        F.max(F.when(~wk, True).otherwise(False)).alias("in_b"),
+    )
+    s = per_user.agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("in_b"), 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("n_observed"),
+    )
+    n1, n2, m = (F.col(c).cast("double") for c in ("n1", "n2", "m"))
+    n_hat = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+    var = (
+        (n1 + 1.0)
+        * (n2 + 1.0)
+        * (n1 - m)
+        * (n2 - m)
+        / ((m + 1.0) * (m + 1.0) * (m + 2.0))
+    )
+    half = F.lit(1.959964) * F.sqrt(var)
+    return s.select(
+        "n1",
+        "n2",
+        F.col("m").alias("n_both"),
+        "n_observed",
+        F.round(n_hat, 6).alias("n_hat_chapman"),
+        F.round(n_hat - half, 6).alias("ci_lo"),
+        F.round(n_hat + half, 6).alias("ci_hi"),
+    )
+
+
+def events_odds_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio of purchase on weekends vs weekdays with the Woolf
+    log-OR confidence interval — the effect-size readout beside the test
+    family (a significant z says "different"; the OR says HOW different):
+    OR = (a·d)/(b·c) over the 2×2 (weekend?, purchase?) event table,
+    CI = exp(ln OR ± 1.96·√(1/a+1/b+1/c+1/d)), with the Haldane-Anscombe
+    +0.5 continuity correction applied to EVERY cell when any cell is
+    zero (the standard convention, flagged in the output).
+
+    Exactness: the four cells are exact integers from ONE corpus pass;
+    ln/exp round to 7dp (the established transcendental pin) and the CI
+    arithmetic divides once in double."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.dayofweek("ts").isin(1, 7)
+    pur = F.col("event_type") == "purchase"
+    s = ev.agg(
+        F.sum(F.when(wk & pur, 1).otherwise(0)).cast("bigint").alias("a"),
+        F.sum(F.when(wk & ~pur, 1).otherwise(0)).cast("bigint").alias("b"),
+        F.sum(F.when(~wk & pur, 1).otherwise(0)).cast("bigint").alias("c"),
+        F.sum(F.when(~wk & ~pur, 1).otherwise(0)).cast("bigint").alias("d"),
+    )
+    corrected = (
+        (F.col("a") == 0) | (F.col("b") == 0) | (F.col("c") == 0) | (F.col("d") == 0)
+    )
+    cell = lambda c: F.col(c).cast("double") + F.when(  # noqa: E731
+        corrected, F.lit(0.5)
+    ).otherwise(F.lit(0.0))
+    a, b, c, d = cell("a"), cell("b"), cell("c"), cell("d")
+    ln_or = F.round(F.log(a * d / (b * c)), 7)
+    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    return s.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        corrected.alias("haldane_corrected"),
+        F.round(F.exp(ln_or), 7).alias("odds_ratio"),
+        F.round(F.exp(ln_or - F.lit(1.959964) * se), 7).alias("ci_lo"),
+        F.round(F.exp(ln_or + F.lit(1.959964) * se), 7).alias("ci_hi"),
+    )
+
+
+# Wald SPRT design constants: H0/H1 purchase shares and alpha=beta=0.05.
+# The per-event log-likelihood increments and both decision boundaries are
+# Python-computed double literals INLINED identically into the Spark plan
+# and the DuckDB oracle (no runtime transcendental to ulp-split engines).
+# Sync-pinned via the f-string oracle.
+import math as _math  # noqa: E402
+
+SPRT_P0 = 0.15
+SPRT_P1 = 0.25
+SPRT_ALPHA = 0.05
+SPRT_LLR_POS = _math.log(SPRT_P1 / SPRT_P0)
+SPRT_LLR_NEG = _math.log((1.0 - SPRT_P1) / (1.0 - SPRT_P0))
+SPRT_UPPER = _math.log((1.0 - SPRT_ALPHA) / SPRT_ALPHA)
+SPRT_LOWER = _math.log(SPRT_ALPHA / (1.0 - SPRT_ALPHA))
+
+
+def events_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability-ratio test on the daily purchase share:
+    H0 p=0.15 vs H1 p=0.25, alpha=beta=0.05 — the always-valid sequential
+    monitor that answers "could this experiment have STOPPED early, and
+    when?" (fixed-horizon z tests peek-inflate; the SPRT's boundaries are
+    crossing-safe by construction).
+
+    LLR_t = Σ_{d≤t} [x_d·ln(p1/p0) + (n_d−x_d)·ln((1−p1)/(1−p0))]
+    accumulates over the calendar-bounded day spine; the per-day exact
+    integer (x_d, n_d) pair multiplies two PINNED double literals (the
+    same Python-computed constants inlined in both engines — the only
+    transcendentals are evaluated once at build time). Reports the first
+    boundary crossing (day, direction) and the end-of-series LLR; NULL
+    crossing day when the test never decides.
+
+    Scale shape: one corpus pass map-side combined to the day spine; the
+    cumulative window and the closing aggregate run over ~#days rows."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 1000000 div 86400").cast(
+        "bigint"
+    )
+    daily = (
+        ev.select(day.alias("day"), (F.col("event_type") == "purchase").alias("p"))
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("p"), 1).otherwise(0)).cast("bigint").alias("x"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    # per-day LLR increment: exact ints × pinned literals, rounded to 9dp
+    # and summed on the decimal rail so the cumulative is order-exact
+    inc = F.round(
+        F.col("x").cast("double") * F.lit(SPRT_LLR_POS)
+        + (F.col("n") - F.col("x")).cast("double") * F.lit(SPRT_LLR_NEG),
+        9,
+    ).cast("decimal(28,9)")
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day", F.sum(inc).over(wc).cast("double").alias("llr")
+    )
+    crossed = F.when(F.col("llr") >= F.lit(SPRT_UPPER), F.lit("accept_h1")).when(
+        F.col("llr") <= F.lit(SPRT_LOWER), F.lit("accept_h0")
+    )
+    marked = cum.select("day", "llr", crossed.alias("decision"))
+    first_cross = (
+        marked.where(F.col("decision").isNotNull())
+        .orderBy(F.asc("day"))
+        .limit(1)
+        .select(
+            F.col("day").alias("decision_day"),
+            F.col("llr").alias("llr_at_decision"),
+            "decision",
+        )
+    )
+    tail = marked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max(F.struct(F.col("day"), F.col("llr")))["llr"].alias("final_llr"),
+    )
+    return tail.join(F.broadcast(first_cross), how="left").select(
+        "n_days",
+        F.round(F.col("final_llr"), 9).alias("final_llr"),
+        F.col("decision_day").cast("bigint").alias("decision_day"),
+        F.round(F.col("llr_at_decision"), 9).alias("llr_at_decision"),
+        F.coalesce(F.col("decision"), F.lit("undecided")).alias("decision"),
+    )
+
+
+# Gumbel method-of-moments constants: Euler-Mascheroni and pi/sqrt(6),
+# pinned as Python double literals in BOTH engines; return-period spine.
+GUMBEL_GAMMA = 0.5772156649015329
+GUMBEL_SQRT6_OVER_PI = _math.sqrt(6.0) / _math.pi
+GUMBEL_RETURN_PERIODS = (30, 90, 365)
+
+
+def events_gumbel_daily_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel (EV-I) fit of the daily MAXIMUM event value by the method of
+    moments, with return levels — the extreme-value answer to "what's the
+    biggest value we should expect in a month / quarter / year?", the
+    principled way to set outlier thresholds that a pipeline's anomaly
+    gates need (a 99.9th percentile says nothing about maxima).
+
+    β̂ = s·√6/π, μ̂ = m − γ·β̂ over the daily-max series (block maxima,
+    block = UTC day); return level x_T = μ̂ − β̂·ln(−ln(1−1/T)). The mean
+    and DEFINITIONAL two-pass variance ride the decimal rails over the
+    calendar-bounded day spine (daily maxima are exact cents ints); γ,
+    √6/π and the three ln(−ln(·)) factors are Python double literals
+    inlined identically in both engines. NULL fit when fewer than 2 days.
+
+    Scale shape: one corpus pass map-side combined to per-day maxima;
+    both moment passes and the 3-row return-level spine are day-bounded."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 1000000 div 86400").cast(
+        "bigint"
+    )
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    daily = (
+        ev.select(day.alias("day"), cents.alias("v"))
+        .groupBy("day")
+        .agg(F.max("v").alias("mx"))
+        .transform(truncate_lineage)  # mean pass + deviation pass
+    )
+    m1 = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("mx").cast("bigint").alias("s"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    dev = F.col("mx").cast("double") - mean
+    m2 = (
+        daily.crossJoin(F.broadcast(m1))
+        .groupBy("n", "s")
+        .agg(
+            F.sum(F.round(dev * dev, 9).cast("decimal(38,9)"))
+            .cast("double")
+            .alias("sdev2"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sd = F.sqrt(F.col("sdev2") / (nd - 1.0))
+    beta = sd * F.lit(GUMBEL_SQRT6_OVER_PI)
+    mu = mean - F.lit(GUMBEL_GAMMA) * beta
+    ok = (F.col("n") >= 2) & (F.col("sdev2") > 0)
+    cols = [
+        F.col("n").alias("n_days"),
+        F.round(F.when(ok, mu), 6).alias("mu_hat_cents"),
+        F.round(F.when(ok, beta), 6).alias("beta_hat_cents"),
+    ]
+    for t in GUMBEL_RETURN_PERIODS:
+        factor = -_math.log(-_math.log(1.0 - 1.0 / t))
+        cols.append(
+            F.round(F.when(ok, mu + beta * F.lit(factor)), 6).alias(
+                f"return_level_{t}d_cents"
+            )
+        )
+    return m2.select(*cols)

@@ -2425,3 +2425,62 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(jsd_raw, 7).alias("jsd"),
         F.round(jsd_raw / F.lit(_LN2), 7).alias("jsd_norm"),
     )
+
+
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-diversity panel: type-token ratio, Herdan's C
+    (log-log vocabulary growth — the TTR variant that is actually
+    comparable across corpus sizes), Yule's K (repeat-rate concentration,
+    K = 10⁴·(Σ_m m²·V_m − N)/N²), and Simpson's λ (probability two
+    random tokens coincide) — the corpus-QA panel that flags template/
+    boilerplate-heavy sources (high K/λ) and vocabulary-thin sources
+    (low C) before they skew a training mix.
+
+    One (source, token) corpus pass; Yule rides the frequency-of-
+    frequencies re-aggregation (the text_good_turing shape — never a
+    second corpus scan); all inputs exact integers (m²V_m in
+    DECIMAL(38,0)); ln outputs pin at 7dp before the one C division
+    (the established transcendental discipline); every ratio divides
+    once in double and rounds at 9dp."""
+    from ..checkpointing import truncate_lineage
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+    counts = (
+        tok.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # feeds the totals AND the frequency-of-frequencies re-aggregate
+        .transform(truncate_lineage)
+    )
+    d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    per_source = counts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("v_types"),
+        F.sum(d38(F.col("c")) * d38(F.col("c"))).alias("sum_c2"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    vd = F.col("v_types").cast("double")
+    ttr = vd / nd
+    herdan = F.when(
+        (F.col("n_tokens") > 1) & (F.col("v_types") > 0),
+        F.round(F.log(vd), 7) / F.round(F.log(nd), 7),
+    )
+    # Yule's K and Simpson's lambda from the same exact sufficient stats:
+    # sum_c2 = Σ m²·V_m = Σ_t c_t²
+    yule = F.when(
+        F.col("n_tokens") > 0,
+        F.lit(10_000.0) * (F.col("sum_c2").cast("double") - nd) / (nd * nd),
+    )
+    simpson = F.when(
+        F.col("n_tokens") > 1,
+        (F.col("sum_c2").cast("double") - nd) / (nd * (nd - 1.0)),
+    )
+    return per_source.select(
+        "source",
+        "n_tokens",
+        "v_types",
+        F.round(ttr, 9).alias("ttr"),
+        F.round(herdan, 9).alias("herdan_c"),
+        F.round(yule, 9).alias("yule_k"),
+        F.round(simpson, 9).alias("simpson_lambda"),
+    )

@@ -9402,3 +9402,410 @@ SELECT t.event_type, t.n_weekend, t.n_weekday, t.z, t.p, b.q,
        CASE WHEN b.q IS NOT NULL THEN b.q <= 0.05 END AS reject_fdr_05
 FROM tested t LEFT JOIN bh b USING (event_type)
 """
+
+
+# --- r12 additions -----------------------------------------------------------
+
+# Mirrors relational.events_wilcoxon_signed_rank: per-user paired weekend −
+# weekday cents, zero diffs dropped, tie-averaged DOUBLED |d| ranks via the
+# cumulative-before window (HUGEINT-exact), tie-corrected normal z.
+ORACLE_SQL["events_wilcoxon_signed_rank"] = """
+WITH pu AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6)
+                       THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       ELSE 0 END)
+            - SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6)
+                       THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS d
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+pa AS (
+  SELECT ABS(d) AS ad, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_pos
+  FROM pu WHERE d <> 0 GROUP BY 1
+),
+rk AS (
+  SELECT ad, c, c_pos,
+         COALESCE(SUM(c) OVER (ORDER BY ad
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM pa
+),
+s AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         SUM(CAST(c_pos AS HUGEINT)
+             * (2 * CAST(prev AS HUGEINT) + CAST(c AS HUGEINT) + 1)) AS w2p,
+         SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT) * CAST(c AS HUGEINT)
+             - CAST(c AS HUGEINT)) AS t3
+  FROM rk
+)
+SELECT CAST(COALESCE(n, 0) AS BIGINT) AS n_pairs,
+       ROUND(CAST(w2p AS DOUBLE) / 2.0, 6) AS w_plus,
+       ROUND(CAST(COALESCE(n, 0) AS DOUBLE) * (CAST(COALESCE(n, 0) AS DOUBLE) + 1.0) / 4.0, 6) AS mu_w,
+       ROUND(CASE WHEN n > 0
+                   AND CAST(COALESCE(n, 0) AS DOUBLE) * (CAST(COALESCE(n, 0) AS DOUBLE) + 1.0)
+                       * (2.0 * CAST(COALESCE(n, 0) AS DOUBLE) + 1.0) / 24.0
+                       - CAST(t3 AS DOUBLE) / 48.0 > 0
+             THEN (CAST(w2p AS DOUBLE) / 2.0
+                   - CAST(COALESCE(n, 0) AS DOUBLE) * (CAST(COALESCE(n, 0) AS DOUBLE) + 1.0) / 4.0)
+                  / SQRT(CAST(COALESCE(n, 0) AS DOUBLE) * (CAST(COALESCE(n, 0) AS DOUBLE) + 1.0)
+                         * (2.0 * CAST(COALESCE(n, 0) AS DOUBLE) + 1.0) / 24.0
+                         - CAST(t3 AS DOUBLE) / 48.0)
+             END, 9) AS z,
+       CASE WHEN n > 0
+             AND CAST(COALESCE(n, 0) AS DOUBLE) * (CAST(COALESCE(n, 0) AS DOUBLE) + 1.0)
+                 * (2.0 * CAST(COALESCE(n, 0) AS DOUBLE) + 1.0) / 24.0
+                 - CAST(t3 AS DOUBLE) / 48.0 > 0
+       THEN ABS((CAST(w2p AS DOUBLE) / 2.0
+                 - CAST(COALESCE(n, 0) AS DOUBLE) * (CAST(COALESCE(n, 0) AS DOUBLE) + 1.0) / 4.0)
+                / SQRT(CAST(COALESCE(n, 0) AS DOUBLE) * (CAST(COALESCE(n, 0) AS DOUBLE) + 1.0)
+                       * (2.0 * CAST(COALESCE(n, 0) AS DOUBLE) + 1.0) / 24.0
+                       - CAST(t3 AS DOUBLE) / 48.0)) > 1.959964
+       END AS reject_equal_05
+FROM s
+"""
+
+# Mirrors relational.events_mann_kendall: S over day pairs (exact integer
+# sign sum), tie-corrected variance with HUGEINT cubes, ±1 continuity z.
+ORACLE_SQL["events_mann_kendall"] = """
+WITH daily AS MATERIALIZED (
+  SELECT CAST((epoch_us(ts) // 1000000) // 86400 AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT CAST(SUM(CAST(SIGN(CAST(b.y AS DOUBLE) - CAST(a.y AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s
+  FROM daily a CROSS JOIN daily b WHERE b.day > a.day
+),
+tie AS (
+  SELECT SUM(CAST(t AS HUGEINT) * (CAST(t AS HUGEINT) - 1)
+             * (2 * CAST(t AS HUGEINT) + 5)) AS tie_term
+  FROM (SELECT COUNT(*) AS t FROM daily GROUP BY y)
+),
+n_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily)
+SELECT n AS n_days, s AS s_stat,
+       ROUND((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * (2.0 * CAST(n AS DOUBLE) + 5.0)
+              - CAST(tie_term AS DOUBLE)) / 18.0, 6) AS var_s,
+       ROUND(CASE WHEN n >= 2
+                   AND (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * (2.0 * CAST(n AS DOUBLE) + 5.0)
+                        - CAST(tie_term AS DOUBLE)) / 18.0 > 0
+             THEN CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)
+                         / SQRT((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * (2.0 * CAST(n AS DOUBLE) + 5.0)
+                                 - CAST(tie_term AS DOUBLE)) / 18.0)
+                       WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)
+                         / SQRT((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * (2.0 * CAST(n AS DOUBLE) + 5.0)
+                                 - CAST(tie_term AS DOUBLE)) / 18.0)
+                       ELSE 0.0 END
+             END, 9) AS z,
+       CASE WHEN n >= 2
+             AND (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * (2.0 * CAST(n AS DOUBLE) + 5.0)
+                  - CAST(tie_term AS DOUBLE)) / 18.0 > 0
+       THEN ABS(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)
+                       / SQRT((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * (2.0 * CAST(n AS DOUBLE) + 5.0)
+                               - CAST(tie_term AS DOUBLE)) / 18.0)
+                     WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)
+                       / SQRT((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * (2.0 * CAST(n AS DOUBLE) + 5.0)
+                               - CAST(tie_term AS DOUBLE)) / 18.0)
+                     ELSE 0.0 END) > 1.959964
+       END AS trend_significant_05
+FROM s CROSS JOIN tie CROSS JOIN n_t
+"""
+
+# Mirrors relational.events_welch_anova: exact HUGEINT sufficient
+# statistics, degenerate groups dropped, both k-row folds on the decimal
+# rails (9dp for the weighted terms, 15dp for the tiny lambda terms).
+ORACLE_SQL["events_welch_anova"] = """
+WITH g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_j,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS s_j,
+         SUM(CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS HUGEINT)
+             * CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS HUGEINT)) AS ss_j
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+stats AS MATERIALIZED (
+  SELECT event_type, n_j,
+         CAST(s_j AS DOUBLE) / CAST(n_j AS DOUBLE) AS m,
+         CASE WHEN n_j >= 2 THEN
+           (CAST(ss_j AS DOUBLE)
+            - CAST(s_j AS DOUBLE) * CAST(s_j AS DOUBLE) / CAST(n_j AS DOUBLE))
+           / (CAST(n_j AS DOUBLE) - 1.0) END AS v,
+         COALESCE(CASE WHEN n_j >= 2 THEN
+           (CAST(ss_j AS DOUBLE)
+            - CAST(s_j AS DOUBLE) * CAST(s_j AS DOUBLE) / CAST(n_j AS DOUBLE))
+           / (CAST(n_j AS DOUBLE) - 1.0) END > 0, FALSE) AS ok
+  FROM g
+),
+kept AS (SELECT * FROM stats WHERE ok),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(ROUND(CAST(n_j AS DOUBLE) / v, 15) AS DECIMAL(38,15))) AS DOUBLE) AS w_sum,
+         CAST(SUM(CAST(ROUND(CAST(n_j AS DOUBLE) / v * m, 15) AS DECIMAL(38,15))) AS DOUBLE) AS wm_sum
+  FROM kept
+),
+folds AS (
+  SELECT MAX(k) AS k,
+         CAST(SUM(CAST(ROUND(CAST(n_j AS DOUBLE) / v
+               * (m - wm_sum / w_sum) * (m - wm_sum / w_sum), 15) AS DECIMAL(38,15))) AS DOUBLE) AS num_fold,
+         CAST(SUM(CAST(ROUND((1.0 - (CAST(n_j AS DOUBLE) / v) / w_sum)
+               * (1.0 - (CAST(n_j AS DOUBLE) / v) / w_sum)
+               / (CAST(n_j AS DOUBLE) - 1.0), 15) AS DECIMAL(38,15))) AS DOUBLE) AS lam_fold
+  FROM kept CROSS JOIN tot
+),
+dropped AS (
+  SELECT CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT) AS k_dropped
+  FROM stats
+)
+SELECT k AS k_groups, k_dropped,
+       CAST(k - 1 AS BIGINT) AS df1,
+       ROUND(CASE WHEN k >= 2 AND lam_fold > 0
+             THEN (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0) / (3.0 * lam_fold) END, 6) AS df2,
+       ROUND(CASE WHEN k >= 2 AND lam_fold >= 0
+             THEN (num_fold / (CAST(k AS DOUBLE) - 1.0))
+                  / (1.0 + (2.0 * (CAST(k AS DOUBLE) - 2.0)
+                            / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)) * lam_fold)
+             END, 9) AS f_stat
+FROM folds CROSS JOIN dropped
+"""
+
+# Mirrors relational.events_mcnemar: epoch-day midpoint split, per-user
+# conversion flags per half, continuity-corrected chi-square over the
+# discordant counts.
+ORACLE_SQL["events_mcnemar"] = """
+WITH base AS (
+  SELECT user_id, CAST((epoch_us(ts) // 1000000) // 86400 AS BIGINT) AS day,
+         event_type = 'purchase' AS p
+  FROM events
+),
+rng AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM base),
+pu AS (
+  SELECT user_id,
+         SUM(CASE WHEN day <= (dmin + dmax) / 2 AND p THEN 1 ELSE 0 END) >= 3 AS conv1,
+         SUM(CASE WHEN day > (dmin + dmax) / 2 AND p THEN 1 ELSE 0 END) >= 3 AS conv2
+  FROM base CROSS JOIN rng GROUP BY 1
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN conv1 AND NOT conv2 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN NOT conv1 AND conv2 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM pu
+)
+SELECT n_users, b AS conv_then_lapsed, c AS lapsed_then_conv,
+       ROUND(CASE WHEN b + c > 0
+             THEN (ABS(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+                  * (ABS(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+                  / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) END, 9) AS chi2_cc,
+       CASE WHEN b + c > 0
+       THEN (ABS(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+            * (ABS(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+            / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) > 3.841459
+       END AS reject_homogeneity_05
+FROM s
+"""
+
+# Mirrors relational.events_capture_recapture: weekend/weekday captures,
+# Chapman estimator with the Seber variance, Wald CI.
+ORACLE_SQL["events_capture_recapture"] = """
+WITH pu AS (
+  SELECT user_id,
+         MAX(CASE WHEN dayofweek(ts) IN (0, 6) THEN TRUE ELSE FALSE END) AS in_a,
+         MAX(CASE WHEN dayofweek(ts) NOT IN (0, 6) THEN TRUE ELSE FALSE END) AS in_b
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS m,
+         CAST(COUNT(*) AS BIGINT) AS n_observed
+  FROM pu
+)
+SELECT n1, n2, m AS n_both, n_observed,
+       ROUND((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+             / (CAST(m AS DOUBLE) + 1.0) - 1.0, 6) AS n_hat_chapman,
+       ROUND((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+             / (CAST(m AS DOUBLE) + 1.0) - 1.0
+             - 1.959964 * SQRT((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+                 * (CAST(n1 AS DOUBLE) - CAST(m AS DOUBLE)) * (CAST(n2 AS DOUBLE) - CAST(m AS DOUBLE))
+                 / ((CAST(m AS DOUBLE) + 1.0) * (CAST(m AS DOUBLE) + 1.0) * (CAST(m AS DOUBLE) + 2.0))), 6) AS ci_lo,
+       ROUND((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+             / (CAST(m AS DOUBLE) + 1.0) - 1.0
+             + 1.959964 * SQRT((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+                 * (CAST(n1 AS DOUBLE) - CAST(m AS DOUBLE)) * (CAST(n2 AS DOUBLE) - CAST(m AS DOUBLE))
+                 / ((CAST(m AS DOUBLE) + 1.0) * (CAST(m AS DOUBLE) + 1.0) * (CAST(m AS DOUBLE) + 2.0))), 6) AS ci_hi
+FROM s
+"""
+
+# Mirrors relational.events_odds_ratio_ci: 2x2 weekend/purchase cells,
+# Haldane +0.5 on every cell when any is zero, Woolf log-OR CI with the
+# 7dp ln pin.
+ORACLE_SQL["events_odds_ratio_ci"] = """
+WITH s AS (
+  SELECT CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6) AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6) AND event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6) AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6) AND event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM events
+),
+cells AS (
+  SELECT a, b, c, d,
+         (a = 0 OR b = 0 OR c = 0 OR d = 0) AS corrected,
+         CAST(a AS DOUBLE) + CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN 0.5 ELSE 0.0 END AS ac,
+         CAST(b AS DOUBLE) + CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN 0.5 ELSE 0.0 END AS bc,
+         CAST(c AS DOUBLE) + CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN 0.5 ELSE 0.0 END AS cc,
+         CAST(d AS DOUBLE) + CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN 0.5 ELSE 0.0 END AS dc
+  FROM s
+)
+SELECT a, b, c, d, corrected AS haldane_corrected,
+       ROUND(EXP(ROUND(LN(ac * dc / (bc * cc)), 7)), 7) AS odds_ratio,
+       ROUND(EXP(ROUND(LN(ac * dc / (bc * cc)), 7)
+                 - 1.959964 * SQRT(1.0/ac + 1.0/bc + 1.0/cc + 1.0/dc)), 7) AS ci_lo,
+       ROUND(EXP(ROUND(LN(ac * dc / (bc * cc)), 7)
+                 + 1.959964 * SQRT(1.0/ac + 1.0/bc + 1.0/cc + 1.0/dc)), 7) AS ci_hi
+FROM cells
+"""
+
+# Mirrors relational.events_sprt_boundary: day-spine LLR accumulation with
+# the SAME Python-computed double literals inlined (no runtime ln), 9dp
+# decimal-railed increments, first boundary crossing by day.
+from .operators.relational import (  # noqa: E402
+    SPRT_LLR_NEG,
+    SPRT_LLR_POS,
+    SPRT_LOWER,
+    SPRT_UPPER,
+)
+
+ORACLE_SQL["events_sprt_boundary"] = f"""
+WITH daily AS (
+  SELECT CAST((epoch_us(ts) // 1000000) // 86400 AS BIGINT) AS day,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT day,
+         CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * ({SPRT_LLR_POS!r})
+               + CAST(n - x AS DOUBLE) * ({SPRT_LLR_NEG!r}), 9) AS DECIMAL(28,9)))
+           OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS llr
+  FROM daily
+),
+marked AS (
+  SELECT day, llr,
+         CASE WHEN llr >= {SPRT_UPPER!r} THEN 'accept_h1'
+              WHEN llr <= {SPRT_LOWER!r} THEN 'accept_h0' END AS decision
+  FROM cum
+),
+fc AS (
+  SELECT day AS decision_day, llr AS llr_at_decision, decision
+  FROM marked WHERE decision IS NOT NULL ORDER BY day LIMIT 1
+),
+tl AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         MAX_BY(llr, day) AS final_llr
+  FROM marked
+)
+SELECT n_days, ROUND(final_llr, 9) AS final_llr,
+       CAST(decision_day AS BIGINT) AS decision_day,
+       ROUND(llr_at_decision, 9) AS llr_at_decision,
+       COALESCE(decision, 'undecided') AS decision
+FROM tl LEFT JOIN fc ON TRUE
+"""
+
+# Mirrors relational.events_gumbel_daily_max: block maxima per UTC day,
+# definitional two-pass variance on the decimal rail, Gumbel moments with
+# the SAME pinned gamma / sqrt(6)/pi / ln(-ln(1-1/T)) double literals.
+from .operators.relational import (  # noqa: E402
+    GUMBEL_GAMMA,
+    GUMBEL_RETURN_PERIODS,
+    GUMBEL_SQRT6_OVER_PI,
+)
+import math as _gmath  # noqa: E402
+
+_G_RL = ",\n       ".join(
+    "ROUND(CASE WHEN n >= 2 AND sdev2 > 0 THEN CAST(s AS DOUBLE)/CAST(n AS DOUBLE)"
+    f" - ({GUMBEL_GAMMA!r}) * (SQRT(sdev2 / (CAST(n AS DOUBLE) - 1.0)) * ({GUMBEL_SQRT6_OVER_PI!r}))"
+    f" + SQRT(sdev2 / (CAST(n AS DOUBLE) - 1.0)) * ({GUMBEL_SQRT6_OVER_PI!r}) * ({-_gmath.log(-_gmath.log(1.0 - 1.0 / t))!r})"
+    f" END, 6) AS return_level_{t}d_cents"
+    for t in GUMBEL_RETURN_PERIODS
+)
+
+ORACLE_SQL["events_gumbel_daily_max"] = f"""
+WITH daily AS MATERIALIZED (
+  SELECT CAST((epoch_us(ts) // 1000000) // 86400 AS BIGINT) AS day,
+         MAX(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS mx
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+m1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(mx) AS BIGINT) AS s FROM daily),
+m2 AS (
+  SELECT n, s,
+         CAST(SUM(CAST(ROUND((CAST(mx AS DOUBLE) - CAST(s AS DOUBLE)/CAST(n AS DOUBLE))
+               * (CAST(mx AS DOUBLE) - CAST(s AS DOUBLE)/CAST(n AS DOUBLE)), 9) AS DECIMAL(38,9))) AS DOUBLE) AS sdev2
+  FROM daily CROSS JOIN m1 GROUP BY n, s
+)
+SELECT n AS n_days,
+       ROUND(CASE WHEN n >= 2 AND sdev2 > 0
+             THEN CAST(s AS DOUBLE)/CAST(n AS DOUBLE)
+                  - ({GUMBEL_GAMMA!r}) * (SQRT(sdev2 / (CAST(n AS DOUBLE) - 1.0)) * ({GUMBEL_SQRT6_OVER_PI!r}))
+             END, 6) AS mu_hat_cents,
+       ROUND(CASE WHEN n >= 2 AND sdev2 > 0
+             THEN SQRT(sdev2 / (CAST(n AS DOUBLE) - 1.0)) * ({GUMBEL_SQRT6_OVER_PI!r})
+             END, 6) AS beta_hat_cents,
+       {_G_RL}
+FROM m2
+"""
+
+# Mirrors text.text_lexical_diversity: one (source, token) pass, Yule/
+# Simpson from HUGEINT-exact sum of squared counts, Herdan from 7dp-pinned
+# lns.
+ORACLE_SQL["text_lexical_diversity"] = """
+WITH counts AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY 1, 2
+),
+ps AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS v_types,
+         SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS sum_c2
+  FROM counts GROUP BY 1
+)
+SELECT source, n_tokens, v_types,
+       ROUND(CAST(v_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) AS ttr,
+       ROUND(CASE WHEN n_tokens > 1 AND v_types > 0
+             THEN ROUND(LN(CAST(v_types AS DOUBLE)), 7)
+                  / ROUND(LN(CAST(n_tokens AS DOUBLE)), 7) END, 9) AS herdan_c,
+       ROUND(CASE WHEN n_tokens > 0
+             THEN 10000.0 * (CAST(sum_c2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+                  / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) END, 9) AS yule_k,
+       ROUND(CASE WHEN n_tokens > 1
+             THEN (CAST(sum_c2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+                  / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0)) END, 9) AS simpson_lambda
+FROM ps
+"""
+
+# Mirrors graph.graph_rich_club over the shared co-occurrence edge CTEs:
+# degree census, degree-tagged edges, fixed threshold spine, exact-int phi.
+from .operators.graph import RICH_CLUB_KS  # noqa: E402
+
+_RC_KS = ", ".join(f"({k})" for k in RICH_CLUB_KS)
+ORACLE_SQL["graph_rich_club"] = f"""
+WITH {_PR_GRAPH_CTES},
+deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+spine AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES {_RC_KS}) t(k)),
+n_k AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM deg CROSS JOIN spine WHERE deg > k GROUP BY 1
+),
+tagged AS (
+  SELECT e.src, e.dst, du.deg AS du, dv.deg AS dv
+  FROM edges e JOIN deg du ON e.src = du.src JOIN deg dv ON e.dst = dv.src
+),
+e_k AS (
+  SELECT k, CAST(COUNT(*) / 2 AS BIGINT) AS n_edges
+  FROM tagged CROSS JOIN spine WHERE du > k AND dv > k GROUP BY 1
+)
+SELECT s.k, COALESCE(n.n_nodes, 0) AS n_nodes, COALESCE(e.n_edges, 0) AS n_edges,
+       CASE WHEN COALESCE(n.n_nodes, 0) >= 2
+       THEN ROUND(2.0 * CAST(COALESCE(e.n_edges, 0) AS DOUBLE)
+                  / (CAST(n.n_nodes AS DOUBLE) * (CAST(n.n_nodes AS DOUBLE) - 1.0)), 9)
+       END AS phi
+FROM spine s LEFT JOIN n_k n USING (k) LEFT JOIN e_k e USING (k)
+"""

@@ -581,3 +581,18 @@ register("events_absorption_probability", relational.events_absorption_probabili
 # (BH-FDR over the per-type Welch family), rater-agreement QA (Cohen's
 # kappa between quality gates), and the corpus-level source-distance
 # matrix (pairwise Jensen-Shannon divergence) ------------------------------
+
+# --- round-12 additions (held under the ≤20 first-time-rotation budget):
+# the paired/rank/trend test family — several riding the new bucketed
+# two-pass rank machinery — plus experimentation effect-size and
+# population-coverage readouts --------------------------------------------
+register("events_wilcoxon_signed_rank", relational.events_wilcoxon_signed_rank)
+register("events_mann_kendall", relational.events_mann_kendall)
+register("events_welch_anova", relational.events_welch_anova)
+register("events_mcnemar", relational.events_mcnemar)
+register("events_capture_recapture", relational.events_capture_recapture)
+register("events_odds_ratio_ci", relational.events_odds_ratio_ci)
+register("events_sprt_boundary", relational.events_sprt_boundary)
+register("events_gumbel_daily_max", relational.events_gumbel_daily_max)
+register("text_lexical_diversity", text.text_lexical_diversity)
+register("graph_rich_club", graph.graph_rich_club)

@@ -6695,3 +6695,519 @@ def test_source_overlap_matrix_matches_textbook_replay(spark, sf_dir):
         r = rows[key]
         assert (r.n_common, r.n_a, r.n_b) == (nc, na, nb)
         assert r.jaccard == pytest.approx(nc / (na + nb - nc), rel=1e-12)
+
+
+# --- r12 addition replays: each addition recomputed the naive textbook way
+# off a raw duckdb parquet pull (no windows, no decimal rails, no doubled-
+# rank tricks) — independent of both engines' machinery -----------------------
+
+
+def test_wilcoxon_signed_rank_matches_textbook_replay(spark, sf_dir):
+    """W⁺ recomputed with sorted-list tie-averaged Fraction ranks over the
+    per-user paired weekend−weekday diffs; textbook mu/sigma with the tie
+    correction."""
+    from fractions import Fraction
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["events_wilcoxon_signed_rank"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT SUM(CASE WHEN dayofweek(ts) IN (0,6)
+                           THEN CAST(CAST(value AS DECIMAL(12,2))*100 AS BIGINT)
+                           ELSE 0 END)
+                - SUM(CASE WHEN dayofweek(ts) NOT IN (0,6)
+                           THEN CAST(CAST(value AS DECIMAL(12,2))*100 AS BIGINT)
+                           ELSE 0 END)
+           FROM '{sf}/events.parquet' WHERE value IS NOT NULL
+           GROUP BY user_id""",
+    )
+    diffs = [d for (d,) in raw if d != 0]
+    n = len(diffs)
+    assert r.n_pairs == n
+    order = sorted(abs(d) for d in diffs)
+    first: dict = {}
+    cnt: dict = {}
+    for i, v in enumerate(order):
+        first.setdefault(v, i)
+        cnt[v] = cnt.get(v, 0) + 1
+    rank = {v: Fraction(2 * first[v] + cnt[v] + 1, 2) for v in cnt}
+    w_plus = float(sum(rank[abs(d)] for d in diffs if d > 0))
+    assert r.w_plus == pytest.approx(w_plus, abs=1e-5)
+    mu = n * (n + 1) / 4.0
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - sum(
+        t**3 - t for t in cnt.values()
+    ) / 48.0
+    assert r.mu_w == pytest.approx(mu, abs=1e-5)
+    if n > 0 and var > 0:
+        assert r.z == pytest.approx((w_plus - mu) / var**0.5, rel=1e-7, abs=1e-7)
+    else:
+        assert r.z is None
+
+
+def test_mann_kendall_matches_textbook_replay(spark, sf_dir):
+    """S recomputed with an explicit double loop over the daily series;
+    textbook tie-corrected variance and the ±1 continuity z."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["events_mann_kendall"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT CAST((epoch_us(ts) // 1000000) // 86400 AS BIGINT),
+                  COUNT(*)
+           FROM '{sf}/events.parquet' GROUP BY 1 ORDER BY 1""",
+    )
+    ys = [y for _, y in raw]
+    n = len(ys)
+    s = sum(
+        (ys[j] > ys[i]) - (ys[j] < ys[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    cnt: dict = {}
+    for y in ys:
+        cnt[y] = cnt.get(y, 0) + 1
+    var = (
+        n * (n - 1) * (2 * n + 5) - sum(t * (t - 1) * (2 * t + 5) for t in cnt.values())
+    ) / 18.0
+    assert r.n_days == n and r.s_stat == s
+    assert r.var_s == pytest.approx(var, abs=1e-5)
+    if n >= 2 and var > 0:
+        z = (s - 1) / var**0.5 if s > 0 else ((s + 1) / var**0.5 if s < 0 else 0.0)
+        assert r.z == pytest.approx(z, rel=1e-7, abs=1e-7)
+
+
+def test_welch_anova_matches_textbook_replay(spark, sf_dir):
+    """F* recomputed with plain per-group float means/variances and the
+    Welch 1951 formulas — no sufficient-statistic identity, no rails."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["events_welch_anova"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT event_type, CAST(CAST(value AS DECIMAL(12,2))*100 AS BIGINT)
+           FROM '{sf}/events.parquet' WHERE value IS NOT NULL""",
+    )
+    groups: dict = {}
+    for et, v in raw:
+        groups.setdefault(et, []).append(v)
+    kept = {}
+    for et, xs in groups.items():
+        if len(xs) < 2:
+            continue
+        m = sum(xs) / len(xs)
+        v = sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+        if v > 0:
+            kept[et] = (len(xs), m, v)
+    k = len(kept)
+    assert r.k_groups == k and r.k_dropped == len(groups) - k
+    if k >= 2:
+        ws = {et: n / v for et, (n, m, v) in kept.items()}
+        W = sum(ws.values())
+        xbar = sum(ws[et] * kept[et][1] for et in kept) / W
+        a = sum(ws[et] * (kept[et][1] - xbar) ** 2 for et in kept) / (k - 1)
+        lam = sum(
+            (1 - ws[et] / W) ** 2 / (kept[et][0] - 1) for et in kept
+        )
+        b = 1 + 2 * (k - 2) / (k * k - 1) * lam
+        assert r.f_stat == pytest.approx(a / b, rel=1e-6, abs=1e-6)
+        assert r.df1 == k - 1
+        assert r.df2 == pytest.approx((k * k - 1) / (3 * lam), rel=1e-6)
+
+
+def test_mcnemar_matches_textbook_replay(spark, sf_dir):
+    """Discordant-pair counts recomputed with plain python sets over the
+    per-user per-half conversion flags; textbook continuity-corrected
+    chi-square."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["events_mcnemar"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT user_id, CAST((epoch_us(ts) // 1000000) // 86400 AS BIGINT),
+                  event_type = 'purchase'
+           FROM '{sf}/events.parquet'""",
+    )
+    days = [d for _, d, _ in raw]
+    mid = (min(days) + max(days)) / 2
+    users: set = set()
+    n1: dict = {}
+    n2: dict = {}
+    for u, d, p in raw:
+        users.add(u)
+        if p and d <= mid:
+            n1[u] = n1.get(u, 0) + 1
+        if p and d > mid:
+            n2[u] = n2.get(u, 0) + 1
+    conv1 = {u for u, n in n1.items() if n >= 3}
+    conv2 = {u for u, n in n2.items() if n >= 3}
+    b = len(conv1 - conv2)
+    c = len(conv2 - conv1)
+    assert r.n_users == len(users)
+    assert r.conv_then_lapsed == b and r.lapsed_then_conv == c
+    if b + c > 0:
+        assert r.chi2_cc == pytest.approx(
+            (abs(b - c) - 1) ** 2 / (b + c), rel=1e-9
+        )
+    else:
+        assert r.chi2_cc is None
+
+
+def test_capture_recapture_matches_textbook_replay(spark, sf_dir):
+    """Chapman estimate recomputed from python sets of weekend/weekday
+    users; Seber variance and Wald CI re-derived with plain floats."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["events_capture_recapture"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT user_id, dayofweek(ts) IN (0,6)
+           FROM '{sf}/events.parquet'""",
+    )
+    a = {u for u, wk in raw if wk}
+    b = {u for u, wk in raw if not wk}
+    n1, n2, m = len(a), len(b), len(a & b)
+    n_hat = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    var = (n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m) / ((m + 1) ** 2 * (m + 2))
+    assert (r.n1, r.n2, r.n_both, r.n_observed) == (n1, n2, m, len(a | b))
+    assert r.n_hat_chapman == pytest.approx(n_hat, rel=1e-9)
+    assert r.ci_lo == pytest.approx(n_hat - 1.959964 * var**0.5, abs=1e-5)
+    assert r.ci_hi == pytest.approx(n_hat + 1.959964 * var**0.5, abs=1e-5)
+    # sanity: the estimate can never fall below what we directly observed
+    # minus the CI's own width worth of noise
+    assert r.n_hat_chapman >= m
+
+
+def test_odds_ratio_matches_textbook_replay(spark, sf_dir):
+    """2×2 cells recomputed with plain counting; Woolf CI with math.log/
+    math.exp."""
+    import math
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["events_odds_ratio_ci"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT dayofweek(ts) IN (0,6), event_type = 'purchase', COUNT(*)
+           FROM '{sf}/events.parquet' GROUP BY 1, 2""",
+    )
+    cells = {(wk, p): n for wk, p, n in raw}
+    a = cells.get((True, True), 0)
+    b = cells.get((True, False), 0)
+    c = cells.get((False, True), 0)
+    d = cells.get((False, False), 0)
+    assert (r.a, r.b, r.c, r.d) == (a, b, c, d)
+    corr = 0.5 if min(a, b, c, d) == 0 else 0.0
+    assert r.haldane_corrected == (corr == 0.5)
+    aa, bb, cc, dd = a + corr, b + corr, c + corr, d + corr
+    ln_or = math.log(aa * dd / (bb * cc))
+    se = math.sqrt(1 / aa + 1 / bb + 1 / cc + 1 / dd)
+    assert r.odds_ratio == pytest.approx(math.exp(ln_or), rel=1e-6)
+    assert r.ci_lo == pytest.approx(math.exp(ln_or - 1.959964 * se), rel=1e-6)
+    assert r.ci_hi == pytest.approx(math.exp(ln_or + 1.959964 * se), rel=1e-6)
+
+
+def test_sprt_matches_textbook_replay(spark, sf_dir):
+    """The LLR walk recomputed with a plain python loop over the ordered
+    daily series and math.log-derived increments; same first crossing."""
+    import math
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["events_sprt_boundary"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT CAST((epoch_us(ts) // 1000000) // 86400 AS BIGINT) AS day,
+                  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END),
+                  COUNT(*)
+           FROM '{sf}/events.parquet' GROUP BY 1 ORDER BY 1""",
+    )
+    lp = math.log(0.25 / 0.15)
+    ln = math.log(0.75 / 0.85)
+    up = math.log(0.95 / 0.05)
+    lo = math.log(0.05 / 0.95)
+    llr = 0.0
+    crossing = None
+    for day, x, n in raw:
+        llr += x * lp + (n - x) * ln
+        if crossing is None and (llr >= up or llr <= lo):
+            crossing = (day, "accept_h1" if llr >= up else "accept_h0")
+    assert r.n_days == len(raw)
+    assert r.final_llr == pytest.approx(llr, abs=1e-5)
+    if crossing is None:
+        assert r.decision == "undecided" and r.decision_day is None
+    else:
+        assert (r.decision_day, r.decision) == crossing
+
+
+def test_gumbel_matches_textbook_replay(spark, sf_dir):
+    """Moments fit recomputed with plain float mean/std over the daily
+    maxima and the scipy-free Gumbel formulas."""
+    import math
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["events_gumbel_daily_max"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT MAX(CAST(CAST(value AS DECIMAL(12,2))*100 AS BIGINT))
+           FROM '{sf}/events.parquet' WHERE value IS NOT NULL
+           GROUP BY (epoch_us(ts) // 1000000) // 86400""",
+    )
+    xs = [x for (x,) in raw]
+    n = len(xs)
+    assert r.n_days == n
+    if n >= 2:
+        m = sum(xs) / n
+        sd = math.sqrt(sum((x - m) ** 2 for x in xs) / (n - 1))
+        beta = sd * math.sqrt(6.0) / math.pi
+        mu = m - 0.5772156649015329 * beta
+        assert r.beta_hat_cents == pytest.approx(beta, rel=1e-6)
+        assert r.mu_hat_cents == pytest.approx(mu, rel=1e-6)
+        for t, col in [(30, r.return_level_30d_cents), (365, r.return_level_365d_cents)]:
+            rl = mu - beta * math.log(-math.log(1 - 1 / t))
+            assert col == pytest.approx(rl, rel=1e-6)
+        # the monthly level must not exceed the yearly level
+        assert r.return_level_30d_cents <= r.return_level_365d_cents
+
+
+def test_lexical_diversity_matches_textbook_replay(spark, sf_dir):
+    """TTR / Herdan / Yule / Simpson recomputed with collections.Counter
+    per source and plain float formulas."""
+    import math
+    from collections import Counter
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = {
+        r.source: r
+        for r in QUERIES["text_lexical_diversity"](spark, sf_dir).collect()
+    }
+    raw = _duck_rows(sf_dir, "SELECT source, text FROM '{sf}/documents.parquet'")
+    by_source: dict = {}
+    for source, text in raw:
+        by_source.setdefault(source, Counter()).update(text.split(" "))
+    assert set(rows) == set(by_source)
+    for source, counter in by_source.items():
+        r = rows[source]
+        n = sum(counter.values())
+        v = len(counter)
+        sum_c2 = sum(c * c for c in counter.values())
+        assert (r.n_tokens, r.v_types) == (n, v)
+        assert r.ttr == pytest.approx(v / n, abs=1e-9)  # 9dp output round
+        assert r.herdan_c == pytest.approx(math.log(v) / math.log(n), rel=1e-6)
+        assert r.yule_k == pytest.approx(1e4 * (sum_c2 - n) / n**2, rel=1e-6)
+        assert r.simpson_lambda == pytest.approx(
+            (sum_c2 - n) / (n * (n - 1)), rel=1e-6
+        )
+
+
+def test_rich_club_matches_textbook_replay(spark, sf_dir):
+    """phi(k) recomputed from an explicit python edge set + degree dict."""
+    from cl_tagger_batch_processing_spark.operators.graph import (
+        cooccurrence_edges,
+    )
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = {r.k: r for r in QUERIES["graph_rich_club"](spark, sf_dir).collect()}
+    edges = {
+        (r.src, r.dst) for r in cooccurrence_edges(spark, sf_dir).collect()
+    }
+    deg: dict = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    assert set(rows) == {2, 4, 8, 16}
+    for k, r in rows.items():
+        club = {v for v, d in deg.items() if d > k}
+        e_k = sum(1 for s, d in edges if s in club and d in club) // 2
+        assert r.n_nodes == len(club) and r.n_edges == e_k
+        if len(club) >= 2:
+            assert r.phi == pytest.approx(
+                2 * e_k / (len(club) * (len(club) - 1)), abs=1e-9
+            )  # 9dp output round
+        else:
+            assert r.phi is None
+
+
+# --- r12 vacuity TRUE-path pins: each honest-negative flag exercised on a
+# synthetic fixture through the FULL production query ------------------------
+
+
+def _write_events(spark, d, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "cast(ts as timestamp) ts", "user_id", "event_type",
+        "value", "props",
+    ).write.parquet(str(d / "events.parquet"))
+
+
+def test_mann_kendall_detects_synthetic_trend(spark, tmp_path):
+    """trend_significant_05 is identically False on the stationary fixture
+    (ALL_FALSE triage) — a strictly increasing 30-day ramp must trip it."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "mk"
+    d.mkdir()
+    rows = []
+    eid = 0
+    for day in range(1, 31):
+        for i in range(day):  # day d carries d events: monotone trend
+            eid += 1
+            rows.append(
+                (eid, f"2024-01-{day:02d} 12:00:00", 1, "view", 1.0, "{}")
+            )
+    _write_events(spark, d, rows)
+    r = QUERIES["events_mann_kendall"](spark, str(d)).collect()[0]
+    assert r.n_days == 30 and r.s_stat == 30 * 29 // 2  # every pair ascends
+    assert r.trend_significant_05 is True and r.z > 5
+
+
+def test_mcnemar_counts_synthetic_discordant_users(spark, tmp_path):
+    """lapsed_then_conv is zero and the reject flag False on the organic
+    fixture (triage) — synthetic discordant repeat-purchasers in BOTH
+    directions, heavily skewed one way, must count and reject."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "mcn"
+    d.mkdir()
+    rows = []
+    eid = 0
+
+    def burst(user, day, n):
+        nonlocal eid
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (eid, f"2024-01-{day:02d} 10:00:00", user, "purchase", 5.0, "{}")
+            )
+
+    # timeline 2024-01-01..28 (midpoint day 14); 20 users convert only in
+    # the SECOND half, 2 only in the first — b=2, c=20
+    for u in range(1, 21):
+        burst(u, 20, 3)
+    for u in (101, 102):
+        burst(u, 5, 3)
+    eid += 1
+    rows.append((eid, "2024-01-01 00:00:00", 999, "view", 1.0, "{}"))
+    eid += 1
+    rows.append((eid, "2024-01-28 00:00:00", 999, "view", 1.0, "{}"))
+    _write_events(spark, d, rows)
+    r = QUERIES["events_mcnemar"](spark, str(d)).collect()[0]
+    assert r.conv_then_lapsed == 2 and r.lapsed_then_conv == 20
+    assert r.chi2_cc == pytest.approx((abs(2 - 20) - 1) ** 2 / 22, rel=1e-9)
+    assert r.reject_homogeneity_05 is True
+
+
+def test_odds_ratio_haldane_on_synthetic_zero_cell(spark, tmp_path):
+    """haldane_corrected is identically False on the organic fixture — a
+    synthetic table with NO weekend purchases (a=0) must flag the
+    correction and still produce a finite CI."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "orz"
+    d.mkdir()
+    rows = []
+    eid = 0
+    # 2024-01-06 is a Saturday, 2024-01-01 a Monday
+    for _ in range(30):
+        eid += 1
+        rows.append((eid, "2024-01-06 10:00:00", 1, "view", 1.0, "{}"))
+        eid += 1
+        rows.append((eid, "2024-01-01 10:00:00", 1, "purchase", 1.0, "{}"))
+        eid += 1
+        rows.append((eid, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"))
+    _write_events(spark, d, rows)
+    r = QUERIES["events_odds_ratio_ci"](spark, str(d)).collect()[0]
+    assert (r.a, r.b, r.c, r.d) == (0, 30, 30, 30)
+    assert r.haldane_corrected is True
+    assert 0 < r.ci_lo < r.odds_ratio < r.ci_hi < 1
+
+
+def test_welch_anova_drops_synthetic_constant_group(spark, tmp_path):
+    """k_dropped is identically zero on the organic fixture — a synthetic
+    zero-variance group must drop (and a 1-row group too) while the
+    remaining groups still produce a finite F."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "wa"
+    d.mkdir()
+    rows = []
+    eid = 0
+    for et, vals in [
+        ("varies_a", [float(i) for i in range(1, 21)]),
+        ("varies_b", [float(i) * 3 for i in range(1, 21)]),
+        ("constant", [7.0] * 20),
+        ("singleton", [5.0]),
+    ]:
+        for v in vals:
+            eid += 1
+            rows.append((eid, "2024-01-01 00:00:00", 1, et, v, "{}"))
+    _write_events(spark, d, rows)
+    r = QUERIES["events_welch_anova"](spark, str(d)).collect()[0]
+    assert r.k_groups == 2 and r.k_dropped == 2
+    assert r.f_stat is not None and r.f_stat > 0 and r.df1 == 1
+
+
+def test_wilcoxon_ranks_synthetic_weekend_spenders(spark, tmp_path):
+    """w_plus is identically zero on the organic fixture (weekends are 2/7
+    of days, every paired diff is negative — an honest extreme) — users
+    who spend MORE on weekends must produce a positive rank sum, and an
+    all-positive panel must hit the maximum W+ = n(n+1)/2."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "wsr"
+    d.mkdir()
+    rows = []
+    eid = 0
+    for u in range(1, 11):  # distinct positive diffs 10,20,..,100 cents
+        eid += 1
+        rows.append(
+            (eid, "2024-01-06 10:00:00", u, "purchase", float(u) / 10.0, "{}")
+        )
+    _write_events(spark, d, rows)
+    r = QUERIES["events_wilcoxon_signed_rank"](spark, str(d)).collect()[0]
+    assert r.n_pairs == 10
+    assert r.w_plus == pytest.approx(10 * 11 / 2)  # all diffs positive
+    assert r.z is not None and r.z > 0
+
+
+def test_r12_constants_in_sync():
+    """r12 shared literals pinned to their oracle text (the r11 pattern):
+    hand-written critical values and thresholds must appear verbatim in
+    the SQL mirrors; the SPRT/Gumbel literals are f-string-injected from
+    the SAME Python constants, so their sync is structural — assert they
+    resolved into the SQL at full repr precision."""
+    from cl_tagger_batch_processing_spark import oracles
+    from cl_tagger_batch_processing_spark.operators import graph, relational
+
+    assert relational.WSR_Z_05 == 1.959964
+    for name in [
+        "events_wilcoxon_signed_rank",
+        "events_mann_kendall",
+        "events_capture_recapture",
+        "events_odds_ratio_ci",
+    ]:
+        assert "1.959964" in oracles.ORACLE_SQL[name], name
+    assert relational.MCNEMAR_CHI2_05 == 3.841459
+    mc = oracles.ORACLE_SQL["events_mcnemar"]
+    assert "3.841459" in mc
+    assert f">= {relational.MCNEMAR_CONV_MIN}" in mc
+    sprt = oracles.ORACLE_SQL["events_sprt_boundary"]
+    for lit in [
+        relational.SPRT_LLR_POS,
+        relational.SPRT_LLR_NEG,
+        relational.SPRT_UPPER,
+        relational.SPRT_LOWER,
+    ]:
+        assert repr(lit) in sprt, lit
+    gum = oracles.ORACLE_SQL["events_gumbel_daily_max"]
+    assert repr(relational.GUMBEL_GAMMA) in gum
+    assert repr(relational.GUMBEL_SQRT6_OVER_PI) in gum
+    for t in relational.GUMBEL_RETURN_PERIODS:
+        assert f"return_level_{t}d_cents" in gum
+    rc = oracles.ORACLE_SQL["graph_rich_club"]
+    for k in graph.RICH_CLUB_KS:
+        assert f"({k})" in rc

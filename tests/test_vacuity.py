@@ -148,6 +148,47 @@ ALLOWLIST: dict[tuple[str, str, str], str] = {
         "(750 users vs 224 required) — tiny-scale-only, the q21 triage "
         "form"
     ),
+    # --- r12 addition triage -------------------------------------------
+    ("events_mann_kendall", "ALL_FALSE", "trend_significant_05"): (
+        "honest negative: the fixture's daily counts are stationary at "
+        "every scale; TRUE path pinned by "
+        "test_mann_kendall_detects_synthetic_trend through the full "
+        "production query"
+    ),
+    ("events_mcnemar", "ALL_ZERO", "lapsed_then_conv"): (
+        "honest zero at sf0.001 (1.5k events: one repeat-purchaser "
+        "lapses, none convert; both sides nonzero at sf0.01/sf0.1 — "
+        "b=17/c=15 at sf0.1); TRUE path pinned by "
+        "test_mcnemar_counts_synthetic_discordant_users"
+    ),
+    ("events_mcnemar", "ALL_ZERO", "chi2_cc"): (
+        "honest zero at sf0.001: the lone discordant pair (b=1, c=0) "
+        "yields (|1-0|-1)^2/1 = 0 under the continuity correction — the "
+        "statistic's true value; nonzero at sf0.01/sf0.1 and pinned "
+        "nonzero by test_mcnemar_counts_synthetic_discordant_users"
+    ),
+    ("events_mcnemar", "ALL_FALSE", "reject_homogeneity_05"): (
+        "honest negative: conversion is not drifting between fixture "
+        "halves at any scale; TRUE path pinned by "
+        "test_mcnemar_counts_synthetic_discordant_users"
+    ),
+    ("events_odds_ratio_ci", "ALL_FALSE", "haldane_corrected"): (
+        "honest negative: all four 2x2 cells are populated at every "
+        "scale; the zero-cell TRUE path is pinned by "
+        "test_odds_ratio_haldane_on_synthetic_zero_cell"
+    ),
+    ("events_welch_anova", "ALL_ZERO", "k_dropped"): (
+        "honest zero: every fixture event type has n>=2 and positive "
+        "variance at every scale; the degenerate-group TRUE path is "
+        "pinned by test_welch_anova_drops_synthetic_constant_group"
+    ),
+    ("events_wilcoxon_signed_rank", "ALL_ZERO", "w_plus"): (
+        "honest extreme: weekends are 2 of 7 days, so EVERY user's "
+        "weekend-minus-weekday spend diff is negative on the uniform "
+        "fixture (W+ = 0 is the true rank sum; z is strongly negative "
+        "and non-vacuous); the positive-diff TRUE path is pinned by "
+        "test_wilcoxon_ranks_synthetic_weekend_spenders"
+    ),
 }
 
 
