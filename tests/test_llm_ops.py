@@ -7211,3 +7211,373 @@ def test_r12_constants_in_sync():
     rc = oracles.ORACLE_SQL["graph_rich_club"]
     for k in graph.RICH_CLUB_KS:
         assert f"({k})" in rc
+
+
+# --- r12 replay-depth backfill: mirrored-algorithm operators whose oracle
+# replicates the SAME bespoke pipeline get independent plain-Python
+# recomputes off raw parquet / collected frames (the Kruskal-Wallis model;
+# continuing the 24-operator r11 sweep) ---------------------------------------
+
+
+def test_hits_matches_python_power_iteration(spark, sf_dir):
+    """HITS replayed with plain dict arithmetic: 4 rounds of push +
+    max-renormalization in integer floor math over the directed
+    (src < dst) co-occurrence relation — independent of the superstep
+    joins, the hub salting, and the oracle's chained CTEs."""
+    from cl_tagger_batch_processing_spark.operators.graph import (
+        HITS_ROUNDS,
+        HITS_SCALE,
+        cooccurrence_edges,
+    )
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    sym = cooccurrence_edges(spark, sf_dir).collect()
+    edges = sorted({(r.src, r.dst) for r in sym if r.src < r.dst})
+    nodes = sorted({n for e in edges for n in e})
+
+    def push(scores, edge_list):
+        s: dict = {}
+        for u, v in edge_list:
+            s[v] = s.get(v, 0) + scores[u]
+        mx = max(s.values(), default=0)
+        return {
+            n: ((s.get(n, 0) * HITS_SCALE) // mx if mx > 0 else 0) for n in nodes
+        }
+
+    h = {n: HITS_SCALE for n in nodes}
+    rev = [(v, u) for u, v in edges]
+    for _ in range(HITS_ROUNDS):
+        a = push(h, edges)
+        h = push(a, rev)
+    got = {r.node: (r.hub_scaled, r.auth_scaled)
+           for r in QUERIES["graph_hits"](spark, sf_dir).collect()}
+    assert got == {n: (h[n], a[n]) for n in nodes}
+
+
+def test_personalized_pagerank_matches_python_loop(spark, sf_dir):
+    """PPR replayed with a plain dict loop: seed-concentrated start,
+    seed-only teleport, pr div outdeg push and 85/100 floor damping —
+    bit-exact against the superstep implementation."""
+    from cl_tagger_batch_processing_spark.operators.graph import (
+        PR_DAMPING_DEN,
+        PR_DAMPING_NUM,
+        PR_N_ITER,
+        PR_SCALE,
+        SP_N_SEEDS,
+        cooccurrence_edges,
+    )
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    sym = cooccurrence_edges(spark, sf_dir).collect()
+    edges = sorted({(r.src, r.dst) for r in sym})
+    nodes = sorted({u for u, _ in edges})
+    outdeg: dict = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    seeds = set(nodes[: min(SP_N_SEEDS, len(nodes))])
+    tele = PR_SCALE * (PR_DAMPING_DEN - PR_DAMPING_NUM) // PR_DAMPING_DEN // len(seeds)
+    pr = {n: (PR_SCALE // len(seeds) if n in seeds else 0) for n in nodes}
+    for _ in range(PR_N_ITER):
+        s: dict = {}
+        for u, v in edges:
+            s[v] = s.get(v, 0) + pr[u] // outdeg[u]
+        pr = {
+            n: (tele if n in seeds else 0)
+            + s.get(n, 0) * PR_DAMPING_NUM // PR_DAMPING_DEN
+            for n in nodes
+        }
+    got = {
+        r.node: (r.is_seed, r.pr_scaled)
+        for r in QUERIES["graph_personalized_pagerank"](spark, sf_dir).collect()
+    }
+    assert got == {n: (1 if n in seeds else 0, pr[n]) for n in nodes}
+
+
+def test_minhash_lsh_matches_python_pipeline(spark, sf_dir):
+    """The full shingle → Kirsch-Mitzenmacher minhash → 4×4 banding →
+    bucket-collision pipeline replayed with hashlib + sets — the LCG
+    family and banding are mirrored in the oracle, so only an independent
+    recompute can catch a shared construction mistake."""
+    import hashlib
+
+    from cl_tagger_batch_processing_spark.operators.dedup import (
+        DEFAULT_MAX_DF,
+        MINHASH_BANDS,
+        MINHASH_MOD,
+        MINHASH_NUM_HASHES,
+        MINHASH_ROWS_PER_BAND,
+    )
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    docs = _duck_rows(sf_dir, "SELECT doc_id, text FROM '{sf}/documents.parquet'")
+    shingles: dict = {}
+    for doc_id, text in docs:
+        t = text.split(" ")
+        if len(t) >= 3:
+            shingles[doc_id] = {
+                " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+            }
+    df_count: dict = {}
+    for sh in shingles.values():
+        for s in sh:
+            df_count[s] = df_count.get(s, 0) + 1
+    sigs: dict = {}
+    for doc_id, sh in shingles.items():
+        kept = [s for s in sh if df_count[s] <= DEFAULT_MAX_DF]
+        if not kept:
+            continue
+        pairs = []
+        for s in kept:
+            hx = hashlib.md5(s.encode()).hexdigest()
+            pairs.append((int(hx[:8], 16), int(hx[8:16], 16)))
+        sigs[doc_id] = [
+            min((h1 + i * h2) % MINHASH_MOD for h1, h2 in pairs)
+            for i in range(MINHASH_NUM_HASHES)
+        ]
+    buckets: dict = {}
+    for doc_id, sig in sigs.items():
+        for band in range(MINHASH_BANDS):
+            key = (band, "|".join(
+                str(x) for x in sig[band * MINHASH_ROWS_PER_BAND:(band + 1) * MINHASH_ROWS_PER_BAND]
+            ))
+            buckets.setdefault(key, []).append(doc_id)
+    want: dict = {}
+    for members in buckets.values():
+        for i, a in enumerate(members):
+            for b in members[i + 1:]:
+                lo, hi = min(a, b), max(a, b)
+                est = sum(x == y for x, y in zip(sigs[lo], sigs[hi])) / float(
+                    MINHASH_NUM_HASHES
+                )
+                want[(lo, hi)] = est
+    got = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_markov_transitions_match_python_pairs(spark, sf_dir):
+    """Transition counts replayed from a python sort of each user's
+    (ts, event_id)-ordered stream; probabilities are exact ratios."""
+    from fractions import Fraction
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT user_id, ts, event_id, event_type
+           FROM '{sf}/events.parquet' ORDER BY user_id, ts, event_id""",
+    )
+    counts: dict = {}
+    prev_user = prev_type = None
+    for user, _, _, et in raw:
+        if user == prev_user:
+            counts[(prev_type, et)] = counts.get((prev_type, et), 0) + 1
+        prev_user, prev_type = user, et
+    from_tot: dict = {}
+    for (a, _), n in counts.items():
+        from_tot[a] = from_tot.get(a, 0) + n
+    rows = QUERIES["events_markov_transitions"](spark, sf_dir).collect()
+    got = {(r.from_type, r.to_type): (r.n_transitions, r.probability) for r in rows}
+    assert set(got) == set(counts)
+    for key, n in counts.items():
+        gn, gp = got[key]
+        assert gn == n
+        assert gp == pytest.approx(float(Fraction(n, from_tot[key[0]])), rel=1e-12)
+
+
+def test_tfidf_topk_matches_python_counter(spark, sf_dir):
+    """TF-IDF replayed with Counters and math.log; the per-doc top-5 set
+    re-ranked with the same (6dp score DESC, token ASC) key."""
+    import math
+    from collections import Counter
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    docs = _duck_rows(sf_dir, "SELECT doc_id, text FROM '{sf}/documents.parquet'")
+    tf = {d: Counter(t.split(" ")) for d, t in docs}
+    df_c: dict = {}
+    for c in tf.values():
+        for tok in c:
+            df_c[tok] = df_c.get(tok, 0) + 1
+    n_docs = len(docs)
+    want: dict = {}
+    for d, c in tf.items():
+        scored = [
+            (round(n * math.log((n_docs + 1) / (df_c[tok] + 1)), 6), tok, n)
+            for tok, n in c.items()
+        ]
+        top = sorted(scored, key=lambda x: (-x[0], x[1]))[:5]
+        want[d] = [(tok, n, df_c[tok], s) for s, tok, n in top]
+    rows = QUERIES["text_tfidf_topk"](spark, sf_dir).collect()
+    got: dict = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.rank)):
+        got.setdefault(r.doc_id, []).append((r.token, r.tf, r.df, r.tfidf))
+    assert got == want
+
+
+def test_unigram_loglik_matches_python_counter(spark, sf_dir):
+    """Per-doc average unigram log-likelihood replayed with Counters,
+    math.log and the same 9dp term / 6dp mean rounding."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    docs = _duck_rows(sf_dir, "SELECT doc_id, text FROM '{sf}/documents.parquet'")
+    lm: Counter = Counter()
+    toks = {d: t.split(" ") for d, t in docs}
+    for t in toks.values():
+        lm.update(t)
+    total = sum(lm.values())
+    rows = {r.doc_id: r for r in QUERIES["text_unigram_loglik"](spark, sf_dir).collect()}
+    assert set(rows) == set(toks)
+    for d, t in toks.items():
+        s = sum(Decimal(str(round(math.log(lm[tok] / total), 9))) for tok in t)
+        mean = round(float(s) / len(t), 6) + 0.0
+        assert rows[d].n_tokens == len(t)
+        assert rows[d].avg_loglik == pytest.approx(mean, abs=2e-6)
+
+
+def test_ewma_daily_matches_python_recurrence(spark, sf_dir):
+    """The truncated adjust=True EWMA replayed with explicit power-of-two
+    weights over the calendar (gap days cost a halving) — exact integer
+    numerator/denominator, one float division."""
+    from cl_tagger_batch_processing_spark.operators.relational import EWMA_SHIFT
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    raw = dict(
+        _duck_rows(
+            sf_dir,
+            """SELECT CAST((epoch_us(ts) // 1000000) // 86400 AS BIGINT), COUNT(*)
+               FROM '{sf}/events.parquet' GROUP BY 1""",
+        )
+    )
+    rows = {r.day: r for r in QUERIES["events_ewma_daily"](spark, sf_dir).collect()}
+    assert set(rows) == set(raw)
+    for day, cnt in raw.items():
+        num = den = 0
+        for lag in range(EWMA_SHIFT + 1):
+            w = 1 << (EWMA_SHIFT - lag)
+            src = day - lag
+            if src in raw:
+                num += raw[src] * w
+                den += w
+        assert rows[day].cnt == cnt
+        assert rows[day].ewma == pytest.approx(num / den, rel=1e-12)
+
+
+def test_ann_graph_search_matches_python_beam(spark, sf_dir):
+    """The greedy beam walk replayed in python over the COLLECTED kNN
+    edge list and quantized vectors (exact integer dots, same
+    (cosine DESC, node ASC) beam key, same exact-top-k flag)."""
+    import math
+
+    from cl_tagger_batch_processing_spark.operators.dedup import (
+        quantized_embeddings,
+    )
+    from cl_tagger_batch_processing_spark.operators.similarity import (
+        GBS_BEAM,
+        GBS_ENTRY_VEC,
+        GBS_HOPS,
+        GBS_QUERY_VEC,
+        sim_knn_graph,
+    )
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    vecs = {
+        r.vec_id: (r.qv, r.nrm)
+        for r in quantized_embeddings(spark, sf_dir).collect()
+    }
+    nbrs: dict = {}
+    for r in sim_knn_graph(spark, sf_dir).collect():
+        nbrs.setdefault(r.vec_id, []).append(r.neighbor_id)
+    qq, nq = vecs[GBS_QUERY_VEC]
+
+    def cos(node):
+        qv, nrm = vecs[node]
+        return sum(x * y for x, y in zip(qq, qv)) / (
+            math.sqrt(nq) * math.sqrt(nrm)
+        )
+
+    def topk(cands):
+        scored = [(cos(n), n) for n in cands if n != GBS_QUERY_VEC]
+        return [n for _, n in sorted(scored, key=lambda t: (-t[0], t[1]))[:GBS_BEAM]]
+
+    beam = topk({GBS_ENTRY_VEC})
+    for _ in range(GBS_HOPS):
+        cand = set(beam)
+        for n in beam:
+            cand.update(nbrs.get(n, []))
+        beam = topk(cand)
+    exact = set(topk(set(vecs)))
+    rows = sorted(
+        QUERIES["sim_ann_graph_search"](spark, sf_dir).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.neighbor_id for r in rows] == beam
+    for r in rows:
+        assert r.cosine == pytest.approx(cos(r.neighbor_id), rel=1e-12)
+        assert r.in_exact_topk == (r.neighbor_id in exact)
+
+
+def test_char_entropy_matches_python_counter(spark, sf_dir):
+    """Shannon entropy replayed with Counters, math.log and the same
+    9dp-term / 6dp-final rounding."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    docs = _duck_rows(sf_dir, "SELECT doc_id, text FROM '{sf}/documents.parquet'")
+    rows = {r.doc_id: r for r in QUERIES["text_char_entropy"](spark, sf_dir).collect()}
+    assert set(rows) == {d for d, _ in docs}
+    for d, text in docs:
+        c = Counter(text)
+        n = sum(c.values())
+        s = sum(Decimal(str(round(k * math.log(k), 9))) for k in c.values())
+        ent = round(math.log(n) - float(s) / n, 6)
+        assert rows[d].n_chars == n
+        assert rows[d].entropy == pytest.approx(ent, abs=2e-6)
+
+
+def test_source_jsd_matrix_matches_python_counter(spark, sf_dir):
+    """Pairwise source JSD replayed with Counters over the shared-union
+    vocabulary and the same 9dp-term / 6dp-final rounding (the
+    text_js_divergence replay pattern applied to its bits-based sibling)."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    docs = _duck_rows(sf_dir, "SELECT source, text FROM '{sf}/documents.parquet'")
+    dist: dict = {}
+    for src, text in docs:
+        dist.setdefault(src, Counter()).update(text.split(" "))
+    tot = {s: sum(c.values()) for s, c in dist.items()}
+    rows = {
+        (r.sa, r.sb): r
+        for r in QUERIES["source_jsd_matrix"](spark, sf_dir).collect()
+    }
+    srcs = sorted(dist)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1:]:
+            vocab = set(dist[sa]) | set(dist[sb])
+            s = Decimal(0)
+            for tok in vocab:
+                pa = dist[sa][tok] / tot[sa]
+                pb = dist[sb][tok] / tot[sb]
+                m = (pa + pb) / 2
+                term = 0.0
+                if pa > 0:
+                    term += 0.5 * pa * math.log2(pa / m)
+                if pb > 0:
+                    term += 0.5 * pb * math.log2(pb / m)
+                s += Decimal(str(round(term, 9)))
+            r = rows[(sa, sb)]
+            assert r.n_vocab_union == len(vocab)
+            assert r.jsd_bits == pytest.approx(round(float(s), 6) + 0.0, abs=2e-6)
