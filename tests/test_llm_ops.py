@@ -7581,3 +7581,229 @@ def test_source_jsd_matrix_matches_python_counter(spark, sf_dir):
             r = rows[(sa, sb)]
             assert r.n_vocab_union == len(vocab)
             assert r.jsd_bits == pytest.approx(round(float(s), 6) + 0.0, abs=2e-6)
+
+
+def test_dsir_weights_match_python_counter(spark, sf_dir):
+    """DSIR importance weights replayed with Counters: add-1 smoothed
+    target ('en') vs raw unigram LMs, 9dp-rounded per-token log-ratios
+    summed in Decimal, 6dp mean."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    docs = _duck_rows(sf_dir, "SELECT doc_id, lang, text FROM '{sf}/documents.parquet'")
+    raw: Counter = Counter()
+    tgt: Counter = Counter()
+    toks = {}
+    for d, lang, text in docs:
+        t = text.split(" ")
+        toks[d] = t
+        raw.update(t)
+        if lang == "en":
+            tgt.update(t)
+    v = len(raw)
+    nr, nt = sum(raw.values()), sum(tgt.values())
+    lr = {
+        tok: Decimal(
+            str(round(math.log((tgt[tok] + 1) / (nt + v)) - math.log((raw[tok] + 1) / (nr + v)), 9))
+        )
+        for tok in raw
+    }
+    rows = {r.doc_id: r for r in QUERIES["corpus_dsir_weights"](spark, sf_dir).collect()}
+    assert set(rows) == set(toks)
+    for d, t in toks.items():
+        mean = round(float(sum(lr[tok] for tok in t)) / len(t), 6) + 0.0
+        assert rows[d].n_tokens == len(t)
+        assert rows[d].avg_log_ratio == pytest.approx(mean, abs=2e-6)
+
+
+def test_weighted_sample_matches_python_es_keys(spark, sf_dir):
+    """The Efraimidis-Spirakis draw replayed with hashlib: 60-bit md5
+    uniform, key = -ln(u)/w rounded 12dp, same (key, doc_id) top-k."""
+    import hashlib
+    import math
+
+    from cl_tagger_batch_processing_spark.operators.curation import (
+        ES_HASH_DOMAIN,
+        ES_SAMPLE_K,
+    )
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    docs = _duck_rows(sf_dir, "SELECT doc_id, source, text FROM '{sf}/documents.parquet'")
+    keyed = []
+    for d, src, text in docs:
+        w = len(text.split(" "))
+        h = int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16)
+        key = round(-math.log((h + 1) / ES_HASH_DOMAIN) / w, 12)
+        keyed.append((key, d, src, w))
+    want = sorted(keyed)[:ES_SAMPLE_K]
+    rows = sorted(
+        QUERIES["corpus_weighted_sample"](spark, sf_dir).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [(r.es_key, r.doc_id, r.source, r.n_tokens) for r in rows] == want
+    assert [r.rank for r in rows] == list(range(1, len(want) + 1))
+
+
+def test_dau_wau_mau_matches_python_sets(spark, sf_dir):
+    """The rolling exact-distinct series replayed with per-day user
+    sets and explicit trailing-window unions."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+           FROM '{sf}/events.parquet'""",
+    )
+    by_day: dict = {}
+    for u, d in raw:
+        by_day.setdefault(d, set()).add(u)
+    days = sorted(by_day)
+    import datetime
+
+    spine = [
+        days[0] + datetime.timedelta(days=i)
+        for i in range((days[-1] - days[0]).days + 1)
+    ]
+    rows = {r.day: r for r in QUERIES["events_dau_wau_mau"](spark, sf_dir).collect()}
+    assert set(rows) == set(spine)
+    for d in spine:
+        dau = len(by_day.get(d, set()))
+        wau = len(set().union(*[by_day.get(d - datetime.timedelta(days=i), set()) for i in range(7)]))
+        mau = len(set().union(*[by_day.get(d - datetime.timedelta(days=i), set()) for i in range(30)]))
+        r = rows[d]
+        assert (r.dau, r.wau, r.mau) == (dau, wau, mau)
+        if mau > 0:
+            assert r.stickiness == pytest.approx(round(dau / mau, 9), abs=1e-9)
+
+
+def test_closeness_matches_python_bfs(spark, sf_dir):
+    """Closeness replayed with a deque BFS from the same deterministic
+    (degree DESC, node ASC) probe sources over the collected edge list."""
+    from collections import deque
+
+    from cl_tagger_batch_processing_spark.operators.graph import (
+        CLOSE_N_SOURCES,
+        cooccurrence_edges,
+    )
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    adj: dict = {}
+    deg: dict = {}
+    for r in cooccurrence_edges(spark, sf_dir).collect():
+        adj.setdefault(r.src, []).append(r.dst)
+        deg[r.src] = deg.get(r.src, 0) + 1
+    roots = sorted(deg, key=lambda n: (-deg[n], n))[:CLOSE_N_SOURCES]
+    rows = {r.root: r for r in QUERIES["graph_closeness_centrality"](spark, sf_dir).collect()}
+    assert set(rows) == set(roots)
+    for root in roots:
+        dist = {root: 0}
+        q = deque([root])
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        n_reached, sum_dist = len(dist), sum(dist.values())
+        r = rows[root]
+        assert (r.degree, r.n_reached, r.sum_dist) == (deg[root], n_reached, sum_dist)
+        if sum_dist > 0:
+            assert r.closeness == pytest.approx((n_reached - 1) / sum_dist, rel=1e-12)
+        else:
+            assert r.closeness is None
+
+
+def test_decayed_engagement_matches_python_loop(spark, sf_dir):
+    """The half-life decay replayed with math.pow over raw (us, value)
+    rows, 9dp terms in Decimal, 6dp final."""
+    from decimal import Decimal
+
+    from cl_tagger_batch_processing_spark.operators.relational import (
+        DECAY_HALF_LIFE_DAYS,
+    )
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)), CAST(value AS DOUBLE)
+           FROM '{sf}/events.parquet'""",
+    )
+    max_us = max(us for _, us, _ in raw)
+    per_user: dict = {}
+    for u, us, v in raw:
+        age = (max_us - us) / (86400.0 * 1e6)
+        term = Decimal(str(round(v * 0.5 ** (age / DECAY_HALF_LIFE_DAYS), 9)))
+        n, s, mn = per_user.get(u, (0, Decimal(0), float("inf")))
+        per_user[u] = (n + 1, s + term, min(mn, age))
+    rows = {r.user_id: r for r in QUERIES["events_decayed_engagement"](spark, sf_dir).collect()}
+    assert set(rows) == set(per_user)
+    for u, (n, s, mn) in per_user.items():
+        r = rows[u]
+        assert r.n_events == n
+        assert r.decayed_engagement == pytest.approx(round(float(s), 6) + 0.0, abs=2e-6)
+        assert r.days_since_last_event == pytest.approx(round(mn, 6), abs=2e-6)
+
+
+def test_market_basket_rules_match_python_counts(spark, sf_dir):
+    """Support/confidence/lift replayed with python set counting over the
+    distinct baskets, same min-support and confidence prune."""
+    from cl_tagger_batch_processing_spark.operators.relational import (
+        RULE_MIN_CONFIDENCE,
+        RULE_MIN_SUPPORT,
+    )
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    raw = _duck_rows(
+        sf_dir,
+        "SELECT DISTINCT l_orderkey, l_partkey FROM '{sf}/lineitem.parquet'",
+    )
+    baskets: dict = {}
+    for o, p in raw:
+        baskets.setdefault(o, set()).add(p)
+    pair_n: dict = {}
+    part_n: dict = {}
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for p in ps:
+            part_n[p] = part_n.get(p, 0) + 1
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    total = len(baskets)
+    want = {}
+    for (a, b), n in pair_n.items():
+        if n < RULE_MIN_SUPPORT:
+            continue
+        for ant, con in [(a, b), (b, a)]:
+            conf = n / part_n[ant]
+            if conf >= RULE_MIN_CONFIDENCE:
+                want[(ant, con)] = (
+                    n,
+                    part_n[ant],
+                    part_n[con],
+                    n / total,
+                    conf,
+                    n * total / (part_n[ant] * part_n[con]),
+                )
+    rows = QUERIES["orders_market_basket_rules"](spark, sf_dir).collect()
+    got = {
+        (r.antecedent, r.consequent): (
+            r.n_both,
+            r.n_antecedent,
+            r.n_consequent,
+            r.support,
+            r.confidence,
+            r.lift,
+        )
+        for r in rows
+    }
+    assert set(got) == set(want)
+    for k, (n, na, nc, sup, conf, lift) in want.items():
+        g = got[k]
+        assert g[:3] == (n, na, nc)
+        assert g[3] == pytest.approx(sup, rel=1e-12)
+        assert g[4] == pytest.approx(conf, rel=1e-12)
+        assert g[5] == pytest.approx(lift, rel=1e-12)
