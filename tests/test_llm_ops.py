@@ -7807,3 +7807,143 @@ def test_market_basket_rules_match_python_counts(spark, sf_dir):
         assert g[3] == pytest.approx(sup, rel=1e-12)
         assert g[4] == pytest.approx(conf, rel=1e-12)
         assert g[5] == pytest.approx(lift, rel=1e-12)
+
+
+def test_phash_dedup_matches_python_blocks(spark, sf_dir):
+    """The 16-block mean-hash replayed with plain byte arithmetic and the
+    same exact integer cross-multiplied bit test."""
+    from cl_tagger_batch_processing_spark.operators.multimodal import (
+        PHASH_BLOCKS,
+    )
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    docs = _duck_rows(sf_dir, "SELECT doc_id, text FROM '{sf}/documents.parquet'")
+    groups: dict = {}
+    for d, text in docs:
+        vals = [ord(c) for c in text]
+        n, total = len(vals), sum(vals)
+        ph = 0
+        for b in range(PHASH_BLOCKS):
+            s0 = b * n // PHASH_BLOCKS
+            s1 = (b + 1) * n // PHASH_BLOCKS
+            block = vals[s0:s1]
+            if sum(block) * n > total * len(block):
+                ph |= 1 << b
+        groups.setdefault(ph, []).append(d)
+    want = {
+        ph: (len(ds), min(ds), ",".join(str(x) for x in sorted(ds)))
+        for ph, ds in groups.items()
+        if len(ds) > 1
+    }
+    got = {
+        r.phash: (r.n_docs, r.keep_doc_id, r.doc_ids)
+        for r in QUERIES["mm_phash_dedup"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_shortest_paths_match_python_bfs(spark, sf_dir):
+    """Multi-source BFS distances replayed with a deque from the same
+    3-smallest-id seed set."""
+    from collections import deque
+
+    from cl_tagger_batch_processing_spark.operators.graph import (
+        SP_N_SEEDS,
+        cooccurrence_edges,
+    )
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    adj: dict = {}
+    for r in cooccurrence_edges(spark, sf_dir).collect():
+        adj.setdefault(r.src, []).append(r.dst)
+    seeds = sorted(adj)[:SP_N_SEEDS]
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    got = {r.node: r.dist for r in QUERIES["graph_shortest_paths"](spark, sf_dir).collect()}
+    assert got == dist
+
+
+def test_duplicate_detection_matches_python_scan(spark, sf_dir):
+    """Blocked consecutive-pair detection replayed with a per-(customer,
+    amount-band) python sort and explicit calendar gaps."""
+    from cl_tagger_batch_processing_spark.operators.relational import (
+        DUP_INVOICE_BAND,
+        DUP_INVOICE_WINDOW_DAYS,
+    )
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE),
+                  CAST(o_totalprice AS DOUBLE)
+           FROM '{sf}/orders.parquet'""",
+    )
+    import math
+
+    blocks: dict = {}
+    for ok, ck, od, price in raw:
+        band = math.floor(price / DUP_INVOICE_BAND)
+        blocks.setdefault((ck, band), []).append((od, ok))
+    want = set()
+    for (ck, band), rows_ in blocks.items():
+        rows_.sort()
+        for (d0, k0), (d1, k1) in zip(rows_, rows_[1:]):
+            gap = (d1 - d0).days
+            if gap <= DUP_INVOICE_WINDOW_DAYS:
+                want.add((ck, k0, k1, band, gap))
+    got = {
+        (r.o_custkey, r.orderkey_a, r.orderkey_b, r.amount_band, r.gap_days)
+        for r in QUERIES["orders_duplicate_detection"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_dsir_sample_matches_python_gumbel(spark, sf_dir):
+    """The Gumbel-top-k draw replayed end to end: Counter-built DSIR
+    weights (the replayed shape above), hashlib 52-bit uniforms, the same
+    9dp gumbel / 6dp key rounding and (key DESC, doc_id ASC) top-k."""
+    import hashlib
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from cl_tagger_batch_processing_spark.operators.text import DSIR_SAMPLE_K
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    docs = _duck_rows(sf_dir, "SELECT doc_id, lang, text FROM '{sf}/documents.parquet'")
+    raw: Counter = Counter()
+    tgt: Counter = Counter()
+    toks = {}
+    for d, lang, text in docs:
+        t = text.split(" ")
+        toks[d] = t
+        raw.update(t)
+        if lang == "en":
+            tgt.update(t)
+    v, nr, nt = len(raw), sum(raw.values()), sum(tgt.values())
+    lr = {
+        tok: Decimal(
+            str(round(math.log((tgt[tok] + 1) / (nt + v)) - math.log((raw[tok] + 1) / (nr + v)), 9))
+        )
+        for tok in raw
+    }
+    keyed = []
+    for d, t in toks.items():
+        avg = round(float(sum(lr[tok] for tok in t)) / len(t), 6) + 0.0
+        h = int(hashlib.md5(str(d).encode()).hexdigest()[:13], 16)
+        u = (h + 0.5) / float(2**52)
+        gumbel = round(-math.log(-math.log(u)), 9)
+        keyed.append((round(avg + gumbel, 6), d, avg))
+    want = sorted(keyed, key=lambda x: (-x[0], x[1]))[:DSIR_SAMPLE_K]
+    rows = sorted(
+        QUERIES["corpus_dsir_sample"](spark, sf_dir).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [(r.gumbel_key, r.doc_id, r.avg_log_ratio) for r in rows] == want
+    assert [r.rank for r in rows] == list(range(1, len(want) + 1))
