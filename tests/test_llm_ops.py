@@ -7947,3 +7947,26 @@ def test_dsir_sample_matches_python_gumbel(spark, sf_dir):
     )
     assert [(r.gumbel_key, r.doc_id, r.avg_log_ratio) for r in rows] == want
     assert [r.rank for r in rows] == list(range(1, len(want) + 1))
+
+
+def test_hashing_tf_matches_python_md5(spark, sf_dir):
+    """Feature hashing replayed with hashlib: md5-prefix bucket mod 1024
+    and plain per-(doc, bucket) counting."""
+    import hashlib
+
+    from cl_tagger_batch_processing_spark.operators.text import (
+        HASHING_TF_BUCKETS,
+    )
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    docs = _duck_rows(sf_dir, "SELECT doc_id, text FROM '{sf}/documents.parquet'")
+    want: dict = {}
+    for d, text in docs:
+        for tok in text.split(" "):
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % HASHING_TF_BUCKETS
+            want[(d, b)] = want.get((d, b), 0) + 1
+    got = {
+        (r.doc_id, r.bucket): r.tf
+        for r in QUERIES["text_hashing_tf"](spark, sf_dir).collect()
+    }
+    assert got == want
