@@ -4600,9 +4600,27 @@ def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(truncate_lineage)
     )
 
+    # both metrics' boundary sketches ride ONE aggregate job over the
+    # checkpointed per-user frame (the customer_rfm shared-bounds pattern)
+    fr = [i / RANK_BUCKETS for i in range(1, RANK_BUCKETS)]
+    all_bounds = truncate_lineage(
+        per_user.agg(
+            *[
+                F.percentile_approx(m, fr, _RANK_PCTL_ACCURACY).alias(f"_bs_{m}")
+                for m in ("n_events", "cents")
+            ]
+        )
+    )
+
     def gini(metric: str) -> DataFrame:
         slim = per_user.select(F.col(metric).alias("x"), "user_id")
-        ranked = bucketed_rank(slim, "x", "user_id", "i").select("x", "i")
+        ranked = bucketed_rank(
+            slim,
+            "x",
+            "user_id",
+            "i",
+            bounds=all_bounds.select(F.col(f"_bs_{metric}").alias("_bs")),
+        ).select("x", "i")
         s = ranked.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
