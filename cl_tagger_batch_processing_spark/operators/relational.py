@@ -7713,3 +7713,75 @@ def events_gumbel_daily_max(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return m2.select(*cols)
+
+
+# Page-Hinkley design constants: the tolerance delta (in events/day) and
+# the alarm threshold lambda. Mirrored literally in the oracle.
+PH_DELTA = 0.0
+PH_LAMBDA = 50.0
+
+
+def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley sequential change detector on daily event counts —
+    the online mean-shift alarm beside events_cusum_drift's offline
+    two-sided chart: PH_t = Σ_{i≤t} (x_i − x̄_t − δ) with x̄_t the
+    RUNNING mean, alarm when PH_t − min_{i≤t} PH_i > λ (upward drift).
+
+    This is the STREAMING form every drift library implements
+    (Hinkley 1971): each point deviates against the running mean AS OF
+    that point, PH_t = Σ_{i≤t} (x_i − x̄_i − δ) with x̄_i = S_i/i.
+    Exactness over the calendar-bounded day spine: S_i and i are exact
+    integers, each term x_i − S_i/i − δ is one double expression rounded
+    to 9dp and summed on the DECIMAL(28,9) rail, and the running minimum
+    and alarm comparison operate on railed DECIMALs — engine-identical.
+
+    Scale shape: one corpus pass map-side combined to the day spine;
+    three cumulative windows over the ~#days relation (bounded — the MW
+    discipline); the report is a 1-row aggregate (first alarm day, max
+    excursion)."""
+    daily = _daily_event_counts(spark, sf_dir).transform(truncate_lineage)
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    run = daily.select(
+        "day",
+        "daily_count",
+        F.sum("daily_count").over(wc).alias("s"),
+        F.count(F.lit(1)).over(wc).alias("t"),
+    )
+    term = F.round(
+        F.col("daily_count").cast("double")
+        - F.col("s").cast("double") / F.col("t").cast("double")
+        - F.lit(PH_DELTA),
+        9,
+    ).cast("decimal(28,9)")
+    ph = run.select(
+        "day", term.alias("term")
+    ).select(
+        "day", F.sum("term").over(wc).alias("ph")
+    )
+    marked = ph.select(
+        "day",
+        "ph",
+        (F.col("ph") - F.min("ph").over(wc)).alias("excursion"),
+    )
+    first_alarm = (
+        marked.where(F.col("excursion").cast("double") > F.lit(PH_LAMBDA))
+        .orderBy(F.asc("day"))
+        .limit(1)
+        .select(
+            F.col("day").alias("alarm_day"),
+            F.round(F.col("excursion").cast("double"), 6).alias(
+                "excursion_at_alarm"
+            ),
+        )
+    )
+    tail = marked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.max("excursion").cast("double"), 6).alias("max_excursion"),
+    )
+    return tail.join(F.broadcast(first_alarm), how="left").select(
+        "n_days",
+        "max_excursion",
+        F.col("alarm_day").cast("bigint").alias("alarm_day"),
+        "excursion_at_alarm",
+        F.col("alarm_day").isNotNull().alias("drift_detected"),
+    )

@@ -9809,3 +9809,46 @@ SELECT s.k, COALESCE(n.n_nodes, 0) AS n_nodes, COALESCE(e.n_edges, 0) AS n_edges
        END AS phi
 FROM spine s LEFT JOIN n_k n USING (k) LEFT JOIN e_k e USING (k)
 """
+
+# Mirrors relational.events_page_hinkley: running-mean deviations on the
+# 9dp decimal rail, running min over the railed cumulative, the same
+# delta/lambda literals.
+ORACLE_SQL["events_page_hinkley"] = """
+WITH daily AS MATERIALIZED (
+  SELECT CAST((epoch_us(ts) // 1000000) // 86400 AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+run AS (
+  SELECT day, c,
+         SUM(c) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+         COUNT(*) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t
+  FROM daily
+),
+ph AS (
+  SELECT day,
+         SUM(CAST(ROUND(CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(t AS DOUBLE) - 0.0, 9)
+                  AS DECIMAL(28,9)))
+           OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+  FROM run
+),
+marked AS (
+  SELECT day, ph,
+         ph - MIN(ph) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS excursion
+  FROM ph
+),
+fa AS (
+  SELECT day AS alarm_day, ROUND(CAST(excursion AS DOUBLE), 6) AS excursion_at_alarm
+  FROM marked WHERE CAST(excursion AS DOUBLE) > 50.0 ORDER BY day LIMIT 1
+),
+tl AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         ROUND(CAST(MAX(excursion) AS DOUBLE), 6) AS max_excursion
+  FROM marked
+)
+SELECT n_days, max_excursion,
+       CAST(alarm_day AS BIGINT) AS alarm_day,
+       excursion_at_alarm,
+       alarm_day IS NOT NULL AS drift_detected
+FROM tl LEFT JOIN fa ON TRUE
+"""

@@ -596,3 +596,4 @@ register("events_sprt_boundary", relational.events_sprt_boundary)
 register("events_gumbel_daily_max", relational.events_gumbel_daily_max)
 register("text_lexical_diversity", text.text_lexical_diversity)
 register("graph_rich_club", graph.graph_rich_club)
+register("events_page_hinkley", relational.events_page_hinkley)

@@ -7211,6 +7211,9 @@ def test_r12_constants_in_sync():
     rc = oracles.ORACLE_SQL["graph_rich_club"]
     for k in graph.RICH_CLUB_KS:
         assert f"({k})" in rc
+    ph = oracles.ORACLE_SQL["events_page_hinkley"]
+    assert relational.PH_DELTA == 0.0 and "- 0.0, 9)" in ph
+    assert relational.PH_LAMBDA == 50.0 and "> 50.0" in ph
 
 
 # --- r12 replay-depth backfill: mirrored-algorithm operators whose oracle
@@ -7970,3 +7973,67 @@ def test_hashing_tf_matches_python_md5(spark, sf_dir):
         for r in QUERIES["text_hashing_tf"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_page_hinkley_matches_python_scan(spark, sf_dir):
+    """The PH walk replayed with a plain python loop: running mean,
+    9dp Decimal terms, running min, same delta/lambda."""
+    from decimal import Decimal
+
+    from cl_tagger_batch_processing_spark.operators.relational import (
+        PH_DELTA,
+        PH_LAMBDA,
+    )
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT CAST((epoch_us(ts) // 1000000) // 86400 AS BIGINT), COUNT(*)
+           FROM '{sf}/events.parquet' GROUP BY 1 ORDER BY 1""",
+    )
+    s = t = 0
+    ph = Decimal(0)
+    mn = None
+    alarm = None
+    max_exc = None
+    for day, c in raw:
+        s += c
+        t += 1
+        ph += Decimal(str(round(c - s / t - PH_DELTA, 9)))
+        mn = ph if mn is None or ph < mn else mn
+        exc = ph - mn
+        max_exc = exc if max_exc is None or exc > max_exc else max_exc
+        if alarm is None and float(exc) > PH_LAMBDA:
+            alarm = (day, round(float(exc), 6))
+    r = QUERIES["events_page_hinkley"](spark, sf_dir).collect()[0]
+    assert r.n_days == len(raw)
+    assert r.max_excursion == pytest.approx(round(float(max_exc), 6), abs=1e-6)
+    if alarm is None:
+        assert r.drift_detected is False and r.alarm_day is None
+    else:
+        assert r.drift_detected is True
+        assert (r.alarm_day, r.excursion_at_alarm) == alarm
+
+
+def test_page_hinkley_alarms_on_synthetic_level_shift(spark, tmp_path):
+    """drift_detected is identically False on the stationary fixture
+    (ALL_FALSE/ALL_NULL triage) — a 10x level shift at day 16 of a
+    30-day series must alarm shortly after the shift."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "ph"
+    d.mkdir()
+    rows = []
+    eid = 0
+    for day in range(1, 31):
+        n = 5 if day <= 15 else 50
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (eid, f"2024-01-{day:02d} 12:00:00", 1, "view", 1.0, "{}")
+            )
+    _write_events(spark, d, rows)
+    r = QUERIES["events_page_hinkley"](spark, str(d)).collect()[0]
+    assert r.drift_detected is True
+    assert r.alarm_day is not None and r.excursion_at_alarm > 50.0
+    assert r.max_excursion >= r.excursion_at_alarm

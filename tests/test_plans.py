@@ -1150,6 +1150,7 @@ UNPARTITIONED_WINDOW_OK = {
     "orders_max_drawdown": "daily spine — calendar-bounded",
     "events_runs_test": "daily spine — calendar-bounded",
     "events_sprt_boundary": "daily spine — calendar-bounded",
+    "events_page_hinkley": "daily spine — calendar-bounded",
     "orders_seasonal_decompose": "month spine — calendar-bounded",
     "parts_pareto_skyline": "constant bucket grid",
     "events_quantile_sketch_report": "constant bucket grid",
@@ -1257,6 +1258,7 @@ STATIC_WINDOW_OK = {
     ("relational.py", "events_runs_test"): "daily spine",
     ("relational.py", "events_bh_fdr"): "#event_types test family",
     ("relational.py", "events_sprt_boundary"): "daily spine",
+    ("relational.py", "events_page_hinkley"): "daily spine",
     ("curation.py", "corpus_source_mix"): "#sources strata",
     ("curation.py", "corpus_token_budget"): "#source×lang strata",
     ("curation.py", "corpus_temperature_mix"): "#sources strata",

@@ -182,6 +182,19 @@ ALLOWLIST: dict[tuple[str, str, str], str] = {
         "variance at every scale; the degenerate-group TRUE path is "
         "pinned by test_welch_anova_drops_synthetic_constant_group"
     ),
+    ("events_page_hinkley", "ALL_NULL", "alarm_day"): (
+        "honest negative: the fixture's daily counts are stationary at "
+        "every scale (max excursion 26.6/44.9 at sf0.001/sf0.01, under "
+        "the lambda=50 threshold); TRUE path pinned by "
+        "test_page_hinkley_alarms_on_synthetic_level_shift through the "
+        "full production query"
+    ),
+    ("events_page_hinkley", "ALL_NULL", "excursion_at_alarm"): (
+        "same stationary-fixture triage as alarm_day; same synthetic pin"
+    ),
+    ("events_page_hinkley", "ALL_FALSE", "drift_detected"): (
+        "same stationary-fixture triage as alarm_day; same synthetic pin"
+    ),
     ("events_wilcoxon_signed_rank", "ALL_ZERO", "w_plus"): (
         "honest extreme: weekends are 2 of 7 days, so EVERY user's "
         "weekend-minus-weekday spend diff is negative on the uniform "
