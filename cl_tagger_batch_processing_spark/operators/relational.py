@@ -7304,6 +7304,12 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Magnitude guard for Welch's w-scaled decimal folds: DECIMAL(38,15) holds
+# 23 integer digits; 1e21 leaves 100× headroom for the k-row SUM (k ≲ 100
+# event types). Past it the statistic is degenerate anyway (see docstring).
+WELCH_W_RAIL_LIMIT = 1.0e21
+
+
 def events_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's heteroscedastic one-way ANOVA of event value across event
     types — the parametric companion of Kruskal-Wallis (which tests rank
@@ -7353,13 +7359,39 @@ def events_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = stats.where("ok")
     # the 15dp/DECIMAL(38,15) rail throughout: the weights w = n/s² are
     # ~1e-6-scale when values are cents (9dp rounding would cost 4 of
-    # their significant digits — measured as a 1e-5 relative error in df2)
+    # their significant digits — measured as a 1e-5 relative error in df2).
+    # DECIMAL(38,15) leaves only 23 integer digits, and the w-SCALED terms
+    # can exceed that in the LARGE direction at degenerate web scale (a
+    # 1e12-row group whose integer-cents variance is ~1/n makes w ~ n² ~
+    # 1e24, and w·m / w·dev² larger still) — so every w-scaled term is
+    # magnitude-guarded BEFORE the cast: past 1e21 (100× headroom for the
+    # k-row SUM, k ≲ 100 event types) we raise a named, actionable error
+    # instead of ANSI's opaque cast overflow. A group that trips it has
+    # near-zero variance relative to its size; Welch's F is degenerate
+    # (w→∞ means that group pins x̄_w and F→∞) and the right fix is
+    # upstream (drop or variance-floor the degenerate group), not a wider
+    # rail. The bounded λ terms ((1−w/W)²/(n−1) ≤ 1) need no guard.
     d15 = lambda c: F.round(c, 15).cast("decimal(38,15)")  # noqa: E731
+    g15 = lambda c, what: d15(  # noqa: E731
+        F.when(F.abs(c) < F.lit(WELCH_W_RAIL_LIMIT), c).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "events_welch_anova: %s term %e for group '%s' exceeds the "
+                    "DECIMAL(38,15) rail (|term| >= 1e21) — a near-zero-variance "
+                    "group this large makes Welch's F degenerate; drop or "
+                    "variance-floor it upstream",
+                    F.lit(what),
+                    c,
+                    F.col("event_type"),
+                )
+            )
+        )
+    )
     w = F.col("n_j").cast("double") / F.col("v")
     tot = kept.agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
-        F.sum(d15(w)).cast("double").alias("w_sum"),
-        F.sum(d15(w * (F.col("m")))).cast("double").alias("wm_sum"),
+        F.sum(g15(w, "w")).cast("double").alias("w_sum"),
+        F.sum(g15(w * (F.col("m")), "w*m")).cast("double").alias("wm_sum"),
     )
     dropped = stats.agg(
         F.sum(F.when(~F.col("ok"), 1).otherwise(0)).cast("bigint").alias("k_dropped")
@@ -7367,7 +7399,7 @@ def events_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     xbar = F.col("wm_sum") / F.col("w_sum")
     folds = kept.crossJoin(F.broadcast(tot)).agg(
         F.max("k").alias("k"),
-        F.sum(d15(w * (F.col("m") - xbar) * (F.col("m") - xbar)))
+        F.sum(g15(w * (F.col("m") - xbar) * (F.col("m") - xbar), "w*dev^2"))
         .cast("double")
         .alias("num_fold"),
         F.sum(
@@ -7606,6 +7638,9 @@ def events_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("p"), 1).otherwise(0)).cast("bigint").alias("x"),
             F.count(F.lit(1)).cast("bigint").alias("n"),
         )
+        # day-spine-sized, two consumers downstream (first_cross + tail both
+        # read `marked`): truncate so the corpus is scanned exactly once
+        .transform(truncate_lineage)
     )
     # per-day LLR increment: exact ints × pinned literals, rounded to 9dp
     # and summed on the decimal rail so the cumulative is order-exact

@@ -3464,7 +3464,8 @@ FROM incoming i GROUP BY i.lang
 ORACLE_SQL["corpus_temperature_mix"] = """
 WITH per_source AS (
   SELECT source, COUNT(*) AS n_docs,
-         SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS sum_tokens
+         CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+           AS sum_tokens
   FROM documents GROUP BY source
 ),
 sh AS (
@@ -4587,7 +4588,7 @@ expanded AS (
   CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) u
 ),
 cells AS (
-  SELECT j, bucket, SUM(true_count) AS cell_sum
+  SELECT j, bucket, CAST(SUM(true_count) AS BIGINT) AS cell_sum
   FROM expanded GROUP BY j, bucket
 ),
 top AS (
@@ -4882,7 +4883,8 @@ WITH closes AS (
   FROM lineitem GROUP BY l_orderkey
 ),
 deltas AS (
-  SELECT day, SUM(opened) AS n_opened, SUM(closed) AS n_closed
+  SELECT day, CAST(SUM(opened) AS BIGINT) AS n_opened,
+         CAST(SUM(closed) AS BIGINT) AS n_closed
   FROM (
     SELECT CAST(o_orderdate AS DATE) AS day,
            CAST(1 AS BIGINT) AS opened, CAST(0 AS BIGINT) AS closed
@@ -4895,7 +4897,8 @@ deltas AS (
   GROUP BY day
 )
 SELECT day, n_opened, n_closed,
-       SUM(n_opened) OVER w - SUM(n_closed) OVER w AS backlog
+       CAST(SUM(n_opened) OVER w AS BIGINT)
+         - CAST(SUM(n_closed) OVER w AS BIGINT) AS backlog
 FROM deltas
 WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
@@ -9011,7 +9014,8 @@ spine AS (
   LEFT JOIN counts c USING (event_type, bucket)
 ),
 tot AS (
-  SELECT event_type, SUM(c_ref) AS n_ref, SUM(c_act) AS n_act
+  SELECT event_type, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+         CAST(SUM(c_act) AS BIGINT) AS n_act
   FROM spine GROUP BY 1
 )
 SELECT s.event_type, t.n_ref, t.n_act,
@@ -9034,7 +9038,7 @@ WITH cells AS MATERIALIZED (
 ),
 rows_t AS (SELECT event_type, SUM(o) AS rt FROM cells GROUP BY 1),
 cols_t AS (SELECT dow, SUM(o) AS ct FROM cells GROUP BY 1),
-n_t AS (SELECT SUM(o) AS n FROM cells),
+n_t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
 spine AS (
   SELECT r.event_type, c.dow, r.rt, c.ct, COALESCE(x.o, 0) AS o, n.n
   FROM rows_t r CROSS JOIN cols_t c

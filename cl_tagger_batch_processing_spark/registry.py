@@ -94,23 +94,6 @@ from .operators import curation, graph  # noqa: E402
 from .streaming import stateful as streaming_stateful  # noqa: E402
 from .streaming import windows as streaming_windows  # noqa: E402
 
-# --- r11 window survivors from the r9 rotation: seven entries stay for a
-# third driver row — the iterative-machinery flagships whose shared
-# builders were touched by the r9/r10 memo + salting work (HITS, seeded
-# Brandes, ER connected components), the Viterbi prefix scan, the
-# foreachBatch streaming CDC merge (keeps a versioned-sink slot in the
-# window), Kaplan-Meier (the r9 vacuous-gate precedent), and sim_knn_graph
-# (its build is session-memoized THIS round — a fresh driver row re-proves
-# the memo changed nothing). The other 12 r9-rotation names and the eight
-# four-round-green r7 promotions move below the window (local parity keeps
-# covering them every commit).
-register("events_hmm_viterbi_decode", relational.events_hmm_viterbi_decode)
-register("graph_betweenness_seeded", graph.graph_betweenness_seeded)
-register("graph_hits", graph.graph_hits)
-register("er_resolution_clusters", relational.er_resolution_clusters)
-register("stream_cdc_merge", streaming_windows.stream_cdc_merge)
-register("events_survival_km", relational.events_survival_km)
-register("sim_knn_graph", similarity.sim_knn_graph)
 
 # --- r12 rotation (VERDICT r11 asks #1 and #2): the 20 slots freed by the
 # r10-rotation names (driver-green two consecutive rounds, moved below) go
@@ -147,18 +130,69 @@ from .functions import scalar  # noqa: E402
 from .sources import layout as sources_layout  # noqa: E402
 from .sources import textfiles  # noqa: E402
 
-# --- r11 rotation (VERDICT r10 asks #1 and #3): the 20 slots freed above go
-# to the never-driver-verified families whose code paths differ most from
-# plain SQL — the remaining five stream_* queries (sliding windows, the
-# checkpointed exactly-once parquet sink, stream-static broadcast
-# enrichment, windowed trending top-k, streaming HLL), the five source_*
-# reader/writer roundtrips (csv/orc/xml dialects, mergeSchema evolution,
-# PERMISSIVE corrupt-record quarantine — real reader behavior the local
-# harness shares with the driver least), the Spark 4 VARIANT and LATERAL
-# surfaces, the composed ANN-recall and SemDeDup keep verdicts, and the
-# whole SURVEY §2.7 scalar-functions family (its driver evidence was only
-# ever indirect, through the tagging queries — six slots retire that
-# permanently).
+# --- r13 rotation (VERDICT r12 asks #1 and #2): the 20 r11-rotation names
+# (driver-green two consecutive rounds, r11-r12) AND the seven r9-rotation
+# survivors (green three-plus rounds, their machinery untouched since r11)
+# move below, freeing 27 slots. The r12-rotation block above STAYS —
+# events_psi_drift / events_cramers_v were r12's two hash-fails (value-
+# identical; the defect was five DuckDB oracles emitting un-cast HUGEINT
+# SUM columns that Arrow serializes differently from BIGINT — all five
+# cast to BIGINT this round, gated forever by tests/test_oracle_types.py)
+# and MUST re-verify, and the other 18 earn their second green row. The
+# 27 freed slots go FIRST-TIME never-driver-verified names: the three
+# LATENT HUGEINT oracles just fixed (each would have failed on rotation
+# exactly as psi/cramers did), then the largest backlog families — events
+# (incl. events_page_hinkley, the r12 addition whose Page-Hinkley
+# machinery has never seen a driver row), text (incl. text_hashing_tf,
+# whose md5-bucketing replay was r12's last audit find), corpus planning
+# (DSIR weights + weighted sampling + split-leakage), graph fixpoints
+# (personalized PageRank, triangle count), and one never-verified name
+# each from the dedup-error-report, embedding-report and multimodal
+# families.
+register("corpus_temperature_mix", curation.corpus_temperature_mix)
+register("text_heavy_hitters_cms", text.text_heavy_hitters_cms)
+register("orders_backlog_timeseries", relational.orders_backlog_timeseries)
+register("events_page_hinkley", relational.events_page_hinkley)
+register("events_ab_cuped", relational.events_ab_cuped)
+register("events_ab_lift", relational.events_ab_lift)
+register("events_anomaly_mad", relational.events_anomaly_mad)
+register("events_autocorrelation", relational.events_autocorrelation)
+register("events_dau_wau_mau", relational.events_dau_wau_mau)
+register("events_ewma_daily", relational.events_ewma_daily)
+register("events_funnel", relational.events_funnel)
+register("events_markov_entropy_rate", relational.events_markov_entropy_rate)
+register("events_retention", relational.events_retention)
+register("events_tukey_hsd", relational.events_tukey_hsd)
+register("text_hashing_tf", text.text_hashing_tf)
+register("text_word_pmi", text.text_word_pmi)
+register("text_char_entropy", text.text_char_entropy)
+register("text_token_count", text.text_token_count)
+register("text_vocab_coverage_curve", text.text_vocab_coverage_curve)
+register("corpus_dsir_weights", text.corpus_dsir_weights)
+register("corpus_weighted_sample", curation.corpus_weighted_sample)
+register("corpus_split_leakage_report", curation.corpus_split_leakage_report)
+register("graph_personalized_pagerank", graph.graph_personalized_pagerank)
+register("graph_triangle_count", graph.graph_triangle_count)
+register("dedup_minhash_error_report", dedup.dedup_minhash_error_report)
+register("embedding_silhouette_report", similarity.embedding_silhouette_report)
+register("mm_payload_dedup", multimodal.mm_payload_dedup)
+
+# --------------------------- slot 51+ from here -----------------------------
+# Everything below is OUTSIDE the driver's 50-entry window; each keeps its
+# local DuckDB oracle in tests/test_oracle_parity.py (or a documented
+# NO_ORACLE reason) as regression cover.
+
+# Displaced by the r13 window refresh (see above): the seven r9-rotation
+# survivors (driver-green three-plus consecutive rounds) and the 20
+# r11-rotation names (green r11-r12); all remain fully oracle-backed
+# locally, swept at every commit.
+register("events_hmm_viterbi_decode", relational.events_hmm_viterbi_decode)
+register("graph_betweenness_seeded", graph.graph_betweenness_seeded)
+register("graph_hits", graph.graph_hits)
+register("er_resolution_clusters", relational.er_resolution_clusters)
+register("stream_cdc_merge", streaming_windows.stream_cdc_merge)
+register("events_survival_km", relational.events_survival_km)
+register("sim_knn_graph", similarity.sim_knn_graph)
 register("stream_sliding_counts", streaming_windows.stream_sliding_counts)
 register("stream_sink_parquet", streaming_windows.stream_sink_parquet)
 register("stream_enrich_static", streaming_windows.stream_enrich_static)
@@ -179,11 +213,6 @@ register("math_functions", scalar.math_functions)
 register("array_functions", scalar.array_functions)
 register("map_functions", scalar.map_functions)
 register("percentiles_by_priority", scalar.percentiles_by_priority)
-
-# --------------------------- slot 51+ from here -----------------------------
-# Everything below is OUTSIDE the driver's 50-entry window; each keeps its
-# local DuckDB oracle in tests/test_oracle_parity.py (or a documented
-# NO_ORACLE reason) as regression cover.
 
 # Displaced by the r12 window refresh (see above): the 20 r10-rotation
 # names were driver-green two consecutive rounds (r10-r11); all remain
@@ -362,9 +391,7 @@ register("unpivot_measures", relational.unpivot_measures)
 # composed ANN/SemDeDup verdicts by the r11 rotation — all registered above.
 
 # Sequential funnel via chained same-partition windows (one shuffle).
-register("events_funnel", relational.events_funnel)
 # Day-N cohort retention triangle (exact distinct users per cell).
-register("events_retention", relational.events_retention)
 # Market-basket pair counts (bounded self-join: baskets are small).
 register("part_cooccurrence", relational.part_cooccurrence)
 # Lag analytics over the aggregated series, not the fact rows.
@@ -399,7 +426,6 @@ register("text_chunk_windows", text.text_chunk_windows)
 # Hash-threshold mixture sampler (split-independent salt), scan-time filter.
 register("corpus_mixture_sample", curation.corpus_mixture_sample)
 # Exact binary-payload dedup (content-addressing; synthetic re-uploads).
-register("mm_payload_dedup", multimodal.mm_payload_dedup)
 # Two partition-pruned incremental runs merged == one-shot recompute.
 register("incremental_daily_agg", sources_layout.incremental_daily_agg)
 # Text gates AND semantic dedup joined into the final per-doc verdict.
@@ -408,7 +434,6 @@ register("embedding_dim_stats", similarity.embedding_dim_stats)
 # value oracle replaying both refinement iterations in SQL; also
 # transitively driver-verified through dedup_semantic's windowed oracle.
 
-register("text_token_count", text.text_token_count)
 register("dedup_fingerprint", text.dedup_fingerprint)
 register("text_repetition", text.text_repetition)
 register("text_vocab_topk", text.text_vocab_topk)
@@ -418,14 +443,11 @@ register("embedding_label_centroids", similarity.embedding_label_centroids)
 
 # --- round-5 additions: lexical retrieval, C4-style span dedup, DSIR
 # selection, BPE merge counting, perceptual-hash payload dedup -------------
-register("corpus_dsir_weights", text.corpus_dsir_weights)
 register("text_bpe_pair_counts", text.text_bpe_pair_counts)
 
 # --- round-5 additions, batch 2: flow/robust-stats/SCD2 analytics, shingle
 # containment, scalar-quantized ANN, audio framing, entropy QA, budget
 # planning ----------------------------------------------------------------
-register("events_anomaly_mad", relational.events_anomaly_mad)
-register("text_char_entropy", text.text_char_entropy)
 register("sim_scalar_quant_recall", similarity.sim_scalar_quant_recall)
 
 # displaced from the window by the r5 refresh (local parity still covers)
@@ -456,9 +478,6 @@ register("customer_trailing_revenue", relational.customer_trailing_revenue)
 
 register("corpus_dsir_sample", text.corpus_dsir_sample)
 
-register("dedup_minhash_error_report", dedup.dedup_minhash_error_report)
-
-register("graph_triangle_count", graph.graph_triangle_count)
 
 register("corpus_length_filter_sweep", curation.corpus_length_filter_sweep)
 
@@ -468,12 +487,10 @@ register("events_daily_percentiles", relational.events_daily_percentiles)
 
 # --- round-6 additions kept below the window (the other ten r6 additions
 # were promoted into the driver window by the r7 refresh above) -------------
-register("corpus_temperature_mix", curation.corpus_temperature_mix)
 register("token_zipf_fit", text.token_zipf_fit)
 register("dedup_exact_incremental_bucketed", sources_layout.dedup_exact_incremental_bucketed)
 register("mm_tile_grid", multimodal.mm_tile_grid)
 register("text_html_strip", text.text_html_strip)
-register("text_hashing_tf", text.text_hashing_tf)
 
 # --- round-7 additions: k-core backbone, corpus novelty curve, VAD-style
 # energy segmentation ------------------------------------------------------
@@ -487,21 +504,16 @@ register("events_decayed_engagement", relational.events_decayed_engagement)
 register("corpus_fertility_by_lang", text.corpus_fertility_by_lang)
 register("orders_market_basket_rules", relational.orders_market_basket_rules)
 register("dedup_cluster_quality_report", dedup.dedup_cluster_quality_report)
-register("text_word_pmi", text.text_word_pmi)
 register("events_hourly_seasonality", relational.events_hourly_seasonality)
 register(
     "customer_order_gap_percentiles",
     relational.customer_order_gap_percentiles,
 )
 register("brand_price_regression", relational.brand_price_regression)
-register("events_ewma_daily", relational.events_ewma_daily)
-register("text_heavy_hitters_cms", text.text_heavy_hitters_cms)
-register("corpus_weighted_sample", curation.corpus_weighted_sample)
 register("orders_seasonal_decompose", relational.orders_seasonal_decompose)
 register("events_bot_detection", relational.events_bot_detection)
 register("supplier_herfindahl", relational.supplier_herfindahl)
 register("er_blocking_pairs", relational.er_blocking_pairs)
-register("orders_backlog_timeseries", relational.orders_backlog_timeseries)
 register("corpus_perplexity_filter_sweep", text.corpus_perplexity_filter_sweep)
 # displaced from the driver window by the r7 second refresh — still
 # oracle-backed and locally parity-checked every commit
@@ -510,11 +522,8 @@ register("sim_topk_cosine", similarity.sim_topk_cosine)
 register("text_quality_score", text.text_quality_score)
 register("text_langid", text.text_langid)
 register("text_fingerprint", text.text_fingerprint)
-register("events_ab_lift", relational.events_ab_lift)
 register("text_blocklist_filter", text.text_blocklist_filter)
-register("graph_personalized_pagerank", graph.graph_personalized_pagerank)
 register("orders_duplicate_detection", relational.orders_duplicate_detection)
-register("events_autocorrelation", relational.events_autocorrelation)
 register("graph_closeness_centrality", graph.graph_closeness_centrality)
 register("graph_assortativity", graph.graph_assortativity)
 register("events_funnel_latency", relational.events_funnel_latency)
@@ -524,17 +533,13 @@ register("corpus_split_assign", curation.corpus_split_assign)
 register("events_decision_stump", relational.events_decision_stump)
 register("text_textrank_keywords", text.text_textrank_keywords)
 register("privacy_dp_sensitivity", relational.privacy_dp_sensitivity)
-register("corpus_split_leakage_report", curation.corpus_split_leakage_report)
 register("events_user_hazard_curve", relational.events_user_hazard_curve)
 register("sim_knn_label_vote", similarity.sim_knn_label_vote)
-register("embedding_silhouette_report", similarity.embedding_silhouette_report)
-register("text_vocab_coverage_curve", text.text_vocab_coverage_curve)
 register("events_burstiness_by_type", relational.events_burstiness_by_type)
 
 # --- round-8 additions: lexical retrieval ranking (BM25), HITS
 # hubs/authorities, entity-resolution clusters ------------------------------
 register("text_boilerplate_ngrams", text.text_boilerplate_ngrams)
-register("events_markov_entropy_rate", relational.events_markov_entropy_rate)
 register("orders_max_drawdown", relational.orders_max_drawdown)
 register("dedup_cluster_keep_best", dedup.dedup_cluster_keep_best)
 register("sim_ivf_balance_report", similarity.sim_ivf_balance_report)
@@ -542,8 +547,6 @@ register("mm_audio_silence_trim", multimodal.mm_audio_silence_trim)
 register("embedding_hard_negatives", similarity.embedding_hard_negatives)
 register("corpus_dedup_token_savings", dedup.corpus_dedup_token_savings)
 register("graph_effective_diameter", graph.graph_effective_diameter)
-register("events_ab_cuped", relational.events_ab_cuped)
-register("events_dau_wau_mau", relational.events_dau_wau_mau)
 register("dedup_minhash_bbit_report", dedup.dedup_minhash_bbit_report)
 # The 12 round-9 additions (Mann-Whitney U, Benford QA, Poisson-bootstrap
 # CI, winsorized stats, Kneser-Ney LM, RRF fusion, permutation test, ROUGE
@@ -559,7 +562,6 @@ register("events_isotonic_calibration", relational.events_isotonic_calibration)
 # --- round-11 additions (held well under the 20-slot rotation): the robust
 # trend estimator, the multiple-comparisons test family, and density-based
 # clustering composed over the session-memoized kNN graph ------------------
-register("events_tukey_hsd", relational.events_tukey_hsd)
 register("events_power_analysis", relational.events_power_analysis)
 register("text_ndcg_eval", text.text_ndcg_eval)
 register("privacy_randomized_response", relational.privacy_randomized_response)
@@ -596,4 +598,3 @@ register("events_sprt_boundary", relational.events_sprt_boundary)
 register("events_gumbel_daily_max", relational.events_gumbel_daily_max)
 register("text_lexical_diversity", text.text_lexical_diversity)
 register("graph_rich_club", graph.graph_rich_club)
-register("events_page_hinkley", relational.events_page_hinkley)

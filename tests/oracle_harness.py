@@ -11,11 +11,22 @@ SQL on DuckDB over the same parquet fixtures, then compare
 Strict canonicalization (no tolerance) on purpose: it flags any query whose
 output could hash-differently across engines so the query gets fixed (e.g.
 by rounding explicitly on both sides) before the driver sees it.
+
+Two driver-fidelity rules learned from the r12 psi/cramers hash fails:
+
+* DuckDB rows are fetched THROUGH ARROW, not fetchall(): fetchall()
+  silently widens HUGEINT (int128) to Python int, hiding exactly the
+  type difference the driver's Arrow-based hasher sees (HUGEINT becomes
+  decimal128(38,0) → Decimal, which hashes differently from BIGINT).
+* _canon carries a broad type tag (bool / int / float / Decimal / str /
+  bytes / temporal) so an int-on-Spark vs Decimal-on-DuckDB cell is a
+  local FAIL even when the numeric values are equal.
 """
 
 from __future__ import annotations
 
 import datetime
+import decimal
 import math
 from collections import Counter
 
@@ -34,19 +45,30 @@ def duckdb_connection(sf_dir: str):
 
 
 def _canon(v):
+    # Each scalar is tagged with its broad type class so that numerically
+    # equal cells of DIFFERENT width classes (int vs Decimal vs float)
+    # compare UNEQUAL — mirroring the driver's type-sensitive value hash.
     if v is None:
         return None
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, decimal.Decimal):
+        return ("dec", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return ("float", "NaN")
         if v == 0.0:  # IEEE -0.0 and 0.0 are numerically equal; don't let
-            return "0"  # the sign of zero fail a comparison
-        return f"{v:.9g}"
+            return ("float", "0")  # the sign of zero fail a comparison
+        return ("float", f"{v:.9g}")
     if isinstance(v, (datetime.datetime, datetime.date)):
-        return str(v)
+        return ("time", str(v))
     if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, list):
+        return ("bytes", v.hex())
+    if isinstance(v, str):
+        return ("str", v)
+    if isinstance(v, (list, tuple)):
         return tuple(_canon(x) for x in v)
     return v
 
@@ -69,9 +91,12 @@ def compare_query(spark, name: str, sf_dir: str, query_fn=None, sql: str | None 
     spark_rows = [tuple(r) for r in sdf.collect()]
 
     con = duckdb_connection(sf_dir)
-    cur = con.execute(sql)
-    duck_cols = [d[0].lower() for d in cur.description]
-    duck_rows = cur.fetchall()
+    # Arrow fetch on purpose (NOT fetchall): the driver hashes through
+    # Arrow, where DuckDB HUGEINT surfaces as decimal128 — fetchall would
+    # widen it to Python int and hide the class of r12's two driver fails.
+    tbl = con.execute(sql).fetch_arrow_table()
+    duck_cols = [c.lower() for c in tbl.column_names]
+    duck_rows = [tuple(d.values()) for d in tbl.to_pylist()]
     con.close()
 
     if sorted(spark_cols) != sorted(duck_cols):

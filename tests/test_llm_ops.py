@@ -7151,6 +7151,47 @@ def test_welch_anova_drops_synthetic_constant_group(spark, tmp_path):
     assert r.f_stat is not None and r.f_stat > 0 and r.df1 == 1
 
 
+def test_welch_anova_rail_guard_raises_past_limit(spark):
+    """The w-scaled decimal folds are magnitude-guarded: past
+    WELCH_W_RAIL_LIMIT the query must raise the NAMED degenerate-group
+    error (not ANSI's opaque DECIMAL(38,15) cast overflow), and just
+    below the limit the rail must accept the term. The limit itself is
+    untrippable from fixture-sized parquet (w ~ n²/cents-var needs ~3e10
+    rows), so the guard expression is pinned directly."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from cl_tagger_batch_processing_spark.operators.relational import (
+        WELCH_W_RAIL_LIMIT,
+    )
+
+    def guarded(c):
+        # same shape as events_welch_anova's g15 (when/raise before cast)
+        return F.round(
+            F.when(F.abs(c) < F.lit(WELCH_W_RAIL_LIMIT), c).otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "events_welch_anova: w term %e for group '%s' exceeds "
+                        "the DECIMAL(38,15) rail",
+                        c,
+                        F.col("event_type"),
+                    )
+                )
+            ),
+            15,
+        ).cast("decimal(38,15)")
+
+    df = spark.createDataFrame(
+        [("ok_small", 1.0e-6), ("ok_large", 9.0e20)], "event_type string, w double"
+    )
+    got = {r.event_type: r.t for r in df.select("event_type", guarded(F.col("w")).alias("t")).collect()}
+    assert float(got["ok_large"]) == 9.0e20 and float(got["ok_small"]) == 1.0e-6
+
+    bad = spark.createDataFrame([("degenerate", 1.0e21)], "event_type string, w double")
+    with pytest.raises(Exception, match="exceeds .*DECIMAL\\(38,15\\) rail"):
+        bad.select(guarded(F.col("w")).alias("t")).collect()
+
+
 def test_wilcoxon_ranks_synthetic_weekend_spenders(spark, tmp_path):
     """w_plus is identically zero on the organic fixture (weekends are 2/7
     of days, every paired diff is negative — an honest extreme) — users

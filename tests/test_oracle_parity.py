@@ -37,26 +37,9 @@ def test_driver_window_is_curated():
         "tag_select",
         "pipeline_score_tag",
         "scan_extension_filter",
-        # r9 rotation survivors kept a third round by the r11 refresh: the
-        # iterative-machinery flagships whose shared builders were touched
-        # by the r9-r11 memo/salting work, the streaming CDC merge, KM
-        # survival, and sim_knn_graph (session-memoized in r11 — the fresh
-        # driver row re-proves the memo changed nothing)
-        "events_hmm_viterbi_decode",
-        "graph_betweenness_seeded",
-        "graph_hits",
-        "er_resolution_clusters",
-        "stream_cdc_merge",
-        "events_survival_km",
-        "sim_knn_graph",
-        # r12 rotation (VERDICT r11 asks #1 and #2): 20 FIRST-TIME
-        # never-driver-verified names — the seven queries whose rank
-        # machinery was redesigned this round (bucketed two-pass rank),
-        # the rest of the r11-continuation statistics batch, the r11
-        # composed-machinery additions, the calibration precedent, and
-        # one name each from the k-core / corpus-planning / span-dedup
-        # families — take the slots of the 20 two-round-green r10 names
-        # (all displaced names keep local parity below).
+        # r12 rotation kept a second round by the r13 refresh: psi/cramers
+        # were r12's two hash fails (HUGEINT oracle-output class, fixed
+        # r13 — MUST re-verify), the other 18 earn their second green row.
         "customer_rfm",
         "events_user_gini",
         "orders_rfm_migration",
@@ -77,31 +60,42 @@ def test_driver_window_is_curated():
         "graph_kcore",
         "corpus_token_budget",
         "dedup_paragraphs",
-        # r11 rotation (VERDICT r10 asks #1 and #3): the remaining stream_*
-        # five, the source_* reader/writer roundtrips, VARIANT/LATERAL, the
-        # composed ANN-recall and SemDeDup keep verdicts, and the SURVEY
-        # §2.7 scalar-functions family take the slots of the 20 displaced
-        # two-to-four-round-green survivors (all keep local parity below).
-        "stream_sliding_counts",
-        "stream_sink_parquet",
-        "stream_enrich_static",
-        "stream_trending_topk",
-        "stream_hll_distinct",
-        "source_csv_roundtrip",
-        "source_orc_roundtrip",
-        "source_xml_roundtrip",
-        "source_schema_evolution",
-        "source_jsonl_corrupt_quarantine",
-        "events_variant_extract",
-        "lateral_top_customers",
-        "ann_recall_report",
-        "dedup_semantic_keep",
-        "string_functions",
-        "date_functions",
-        "math_functions",
-        "array_functions",
-        "map_functions",
-        "percentiles_by_priority",
+        # r13 rotation (VERDICT r12 asks #1 and #2): 27 FIRST-TIME
+        # never-driver-verified names into the slots freed by the seven
+        # r9-rotation survivors (three-plus rounds green) and the 20
+        # r11-rotation names (two rounds green) — the three LATENT
+        # HUGEINT-oracle queries just fixed, then the largest backlog
+        # families (events incl. the r12 Page-Hinkley addition, text incl.
+        # the md5-bucketed hashing-TF, corpus planning, graph fixpoints)
+        # plus one name each from the dedup-error-report, embedding-report
+        # and multimodal families.
+        "corpus_temperature_mix",
+        "text_heavy_hitters_cms",
+        "orders_backlog_timeseries",
+        "events_page_hinkley",
+        "events_ab_cuped",
+        "events_ab_lift",
+        "events_anomaly_mad",
+        "events_autocorrelation",
+        "events_dau_wau_mau",
+        "events_ewma_daily",
+        "events_funnel",
+        "events_markov_entropy_rate",
+        "events_retention",
+        "events_tukey_hsd",
+        "text_hashing_tf",
+        "text_word_pmi",
+        "text_char_entropy",
+        "text_token_count",
+        "text_vocab_coverage_curve",
+        "corpus_dsir_weights",
+        "corpus_weighted_sample",
+        "corpus_split_leakage_report",
+        "graph_personalized_pagerank",
+        "graph_triangle_count",
+        "dedup_minhash_error_report",
+        "embedding_silhouette_report",
+        "mm_payload_dedup",
     ]:
         assert family_member in window, f"{family_member} fell out of the window"
 
