@@ -216,26 +216,36 @@ def bucketed_cum_before(
     weight: str | list[str],
     out_col: str | list[str],
     probe: str | None = None,
+    parts: list[str] | None = None,
+    bounds: DataFrame | None = None,
 ) -> DataFrame:
-    """Σ ``weight`` over rows with strictly smaller ``value`` — the
-    Mann-Whitney tie-averaged-rank machinery (rank(v) = cum_before +
-    (c+1)/2) without the single-partition cumulative window. ``df`` must
-    hold ONE non-NULL row per distinct ``value``. Several weight columns
-    (e.g. the KS test's two ECDFs) ride ONE machinery pass. Weight-skew
-    note: tasks are per-bucket ROW counts (balanced by the sketch); a hot
-    value only makes its weight large, not its bucket."""
+    """Σ ``weight`` over rows with strictly smaller ``value`` (within each
+    ``parts`` group) — the Mann-Whitney tie-averaged-rank machinery
+    (rank(v) = cum_before + (c+1)/2) without the single-partition
+    cumulative window. ``df`` must hold ONE non-NULL row per distinct
+    (``parts``, ``value``). Several weight columns (e.g. the KS test's two
+    ECDFs) ride ONE machinery pass. Weight-skew note: tasks are per-bucket
+    ROW counts (balanced by the sketch); a hot value only makes its weight
+    large, not its bucket."""
     weights = [weight] if isinstance(weight, str) else list(weight)
     outs = [out_col] if isinstance(out_col, str) else list(out_col)
     probe = probe or value
-    bounds = _bucket_boundaries(df, probe, [])
-    bk = _with_bucket(df, bounds, probe, [])
-    btot = bk.groupBy("_bkt").agg(
+    parts = list(parts or [])
+    if bounds is None:
+        bounds = _bucket_boundaries(df, probe, parts)
+    bk = _with_bucket(df, bounds, probe, parts)
+    btot = bk.groupBy(*parts, "_bkt").agg(
         *[F.sum(w).alias(f"_bw{i}") for i, w in enumerate(weights)]
     )
     w_off = (
-        Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
-    )  # bounded: the ≤RANK_BUCKETS-row bucket spine
+        Window.partitionBy(*parts)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+        if parts
+        else Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )  # bounded: the ≤RANK_BUCKETS-row bucket spine (per parts group)
     offs = btot.select(
+        *parts,
         "_bkt",
         *[
             F.coalesce(F.sum(f"_bw{i}").over(w_off), F.lit(0)).alias(f"_boff{i}")
@@ -243,11 +253,11 @@ def bucketed_cum_before(
         ],
     )
     w_loc = (
-        Window.partitionBy("_bkt")
+        Window.partitionBy(*parts, "_bkt")
         .orderBy(value)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return bk.join(F.broadcast(offs), "_bkt").select(
+    return bk.join(F.broadcast(offs), [*parts, "_bkt"]).select(
         *df.columns,
         *[
             (
@@ -256,6 +266,45 @@ def bucketed_cum_before(
             ).alias(o)
             for i, (w, o) in enumerate(zip(weights, outs))
         ],
+    )
+
+
+def bucketed_lead(
+    df: DataFrame,
+    value: str,
+    out_col: str,
+    probe: str | None = None,
+    parts: list[str] | None = None,
+    bounds: DataFrame | None = None,
+) -> DataFrame:
+    """``lead(value) OVER ([PARTITION BY parts] ORDER BY value)`` on a
+    distinct-value relation (NULL for each group's maximum) without the
+    single-partition window — the support-gap machinery the 1-D
+    Wasserstein distance needs (Δv between consecutive distinct values).
+    Within-bucket rows take a per-bucket lead; each bucket's LAST row
+    coalesces to the next non-empty bucket's minimum, computed with one
+    bounded window over the ≤RANK_BUCKETS bucket spine. Same contract as
+    ``bucketed_cum_before``: one non-NULL row per distinct (parts, value);
+    bucket minima are deterministic integer aggregates, so nothing beyond
+    the sketch (pinned inside ``_bucket_boundaries``) needs checkpointing."""
+    probe = probe or value
+    parts = list(parts or [])
+    if bounds is None:
+        bounds = _bucket_boundaries(df, probe, parts)
+    bk = _with_bucket(df, bounds, probe, parts)
+    bmins = bk.groupBy(*parts, "_bkt").agg(F.min(value).alias("_bmn"))
+    w_nb = (
+        Window.partitionBy(*parts).orderBy("_bkt")
+        if parts
+        else Window.orderBy("_bkt")
+    )  # bounded: the ≤RANK_BUCKETS-row bucket spine (per parts group)
+    nxt = bmins.select(
+        *parts, "_bkt", F.lead("_bmn").over(w_nb).alias("_nxtmn")
+    )
+    w_loc = Window.partitionBy(*parts, "_bkt").orderBy(value)
+    return bk.join(F.broadcast(nxt), [*parts, "_bkt"]).select(
+        *df.columns,
+        F.coalesce(F.lead(value).over(w_loc), F.col("_nxtmn")).alias(out_col),
     )
 
 
@@ -7819,4 +7868,488 @@ def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("alarm_day").cast("bigint").alias("alarm_day"),
         "excursion_at_alarm",
         F.col("alarm_day").isNotNull().alias("drift_detected"),
+    )
+
+
+def events_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth-mover) distance between the weekday and
+    weekend event-value distributions — the drift metric that reports HOW
+    FAR the distribution moved in value units, completing the drift
+    family: PSI and JS score overlap, KS the maximum ECDF gap, W1 the
+    area between the ECDFs (W₁ = ∫|F_ref − F_act| dx), which is what a
+    spend/latency SLO actually cares about.
+
+    Exact evaluation on the per-cents-value aggregate: both ECDF
+    numerators ride ONE ``bucketed_cum_before`` pass and the support gaps
+    Δv come from ``bucketed_lead`` (built for this query — a lead over
+    distinct cents scales with the corpus, so it uses the same
+    boundary-sketch machinery, never a single-partition window). Each
+    support term |cum_ref·n_act − cum_act·n_ref|·Δv is an exact
+    DECIMAL(38,0) integer, so the full area accumulates exactly and the
+    ONLY division is the final 1/(n_ref·n_act·100): engines cannot
+    ulp-split. NULL values drop (the PSI rule).
+
+    Scale shape: one corpus pass map-side combined to distinct cents,
+    then two bucketed-machinery passes and a 1-row aggregate."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    per_v = (
+        ev.select(
+            cents.alias("v"),
+            F.dayofweek("ts").isin(1, 7).alias("is_weekend"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(~F.col("is_weekend"), 1).otherwise(0)).alias("c_ref"),
+            F.sum(F.when(F.col("is_weekend"), 1).otherwise(0)).alias("c_act"),
+        )
+        # feeds the totals and both machinery passes (cum + lead)
+        .transform(truncate_lineage)
+    )
+    tot = per_v.agg(
+        F.sum("c_ref").cast("bigint").alias("n_ref"),
+        F.sum("c_act").cast("bigint").alias("n_act"),
+    )
+    # ONE boundary sketch shared by both machinery passes (the r12
+    # customer_rfm shared-sketch lesson: the sketch job is the dominant
+    # fixture-scale cost of the machinery)
+    bounds = _bucket_boundaries(per_v, "v", [])
+    cum = bucketed_cum_before(
+        per_v, "v", ["c_ref", "c_act"], ["_pr", "_pa"], bounds=bounds
+    ).select(
+        "v",
+        (F.col("_pr") + F.col("c_ref")).alias("cum_ref"),
+        (F.col("_pa") + F.col("c_act")).alias("cum_act"),
+    )
+    gapped = bucketed_lead(cum, "v", "nxt", bounds=bounds).crossJoin(
+        F.broadcast(tot)
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    # exact scaled area: |F_ref−F_act|·n_ref·n_act·Δv per support segment
+    term = F.abs(
+        d38("cum_ref") * d38("n_act") - d38("cum_act") * d38("n_ref")
+    ) * (d38("nxt") - d38("v"))
+    agg = gapped.where(F.col("nxt").isNotNull()).agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_act").alias("n_act"),
+        F.sum(term).alias("area"),
+    )
+    denom = F.col("n_ref").cast("double") * F.col("n_act").cast("double")
+    w1 = F.when(denom > 0, F.col("area").cast("double") / denom / F.lit(100.0))
+    return agg.select(
+        "n_ref",
+        "n_act",
+        F.round(w1, 9).alias("wasserstein_value"),
+    )
+
+
+def events_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test of variance homogeneity across event types —
+    the robust Levene variant (deviations from the group MEDIAN, not the
+    mean) and the missing companion of events_welch_anova: Welch asks
+    "are the means equal under unequal variances", Brown-Forsythe asks
+    "are the variances equal at all", which is the test that DECIDES
+    whether classic pooled ANOVA is even admissible.
+
+    Exact evaluation: per-group medians come from the per-(type, cents)
+    aggregate through ``bucketed_cum_before`` with parts=[event_type]
+    (built this round — the per-group cumulative over distinct cents
+    scales with the corpus), carried DOUBLED (med2 = v_⌈n/2⌉ + v_⌊n/2⌋+1)
+    so even-n midpoints stay exact integers; z2 = |2v − med2| is exact,
+    and the one-way ANOVA F over z2 equals F over z (scale-invariant).
+    Between-group terms ride the DECIMAL(38,6) rail (the
+    events_kruskal_wallis convention); within-group sums are exact
+    integers in DECIMAL(38,0); the final F divides once in double.
+    Groups with n_j < 2 drop (reported as k_dropped).
+
+    Scale shape: one corpus pass to the per-(type, value) aggregate, one
+    bucketed-machinery pass, two k-row folds."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    per_gv = (
+        ev.select(F.col("event_type").alias("g"), cents.alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # feeds the machinery pass, the group totals and the z2 pass
+        .transform(truncate_lineage)
+    )
+    cum = bucketed_cum_before(per_gv, "v", "c", "prev", parts=["g"])
+    totals = per_gv.groupBy("g").agg(F.sum("c").cast("bigint").alias("n_j"))
+    k1 = (F.col("n_j") + 1) / 2  # ⌈n/2⌉ as (n+1) div 2
+    with_tot = cum.join(F.broadcast(totals), "g")
+    lo = F.floor((F.col("n_j") + F.lit(1)) / F.lit(2)).cast("bigint")
+    hi = (F.floor(F.col("n_j") / F.lit(2)) + F.lit(1)).cast("bigint")
+    contains = lambda k: (F.col("prev") < k) & (k <= F.col("prev") + F.col("c"))  # noqa: E731
+    med2 = with_tot.groupBy("g").agg(
+        F.sum(F.when(contains(lo), F.col("v")).otherwise(0)).alias("m_lo"),
+        F.sum(F.when(contains(hi), F.col("v")).otherwise(0)).alias("m_hi"),
+    ).select("g", (F.col("m_lo") + F.col("m_hi")).alias("med2"))
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    z2 = F.abs(F.lit(2) * F.col("v") - F.col("med2"))
+    stats = (
+        per_gv.join(F.broadcast(med2), "g")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_j"),
+            F.sum(d38(F.col("c")) * d38(z2)).alias("s1"),
+            F.sum(d38(F.col("c")) * d38(z2) * d38(z2)).alias("s2"),
+        )
+        .where(F.col("n_j") >= 2)
+        # k rows; feeds the grand totals and the between/within folds
+        .transform(truncate_lineage)
+    )
+    grand = stats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_j").cast("bigint").alias("n_total"),
+        F.sum("s1").alias("s1_tot"),
+    )
+    dropped = per_gv.groupBy("g").agg(F.sum("c").alias("nj")).agg(
+        F.sum(F.when(F.col("nj") < 2, 1).otherwise(0)).cast("bigint").alias("k_dropped")
+    )
+    nj = F.col("n_j").cast("double")
+    m_j = F.col("s1").cast("double") / nj
+    m_bar = F.col("s1_tot").cast("double") / F.col("n_total").cast("double")
+    # between-group fold on the DECIMAL(38,6) rail (KW convention: the
+    # magnitudes are web-scale, the 6dp granularity is far below the
+    # double-rounding already present in m_j)
+    d386 = lambda c: F.round(c, 6).cast("decimal(38,6)")  # noqa: E731
+    folds = stats.crossJoin(F.broadcast(grand)).agg(
+        F.max("k").alias("k"),
+        F.max("n_total").alias("n_total"),
+        F.sum(d386(nj * (m_j - m_bar) * (m_j - m_bar))).cast("double").alias("between"),
+        F.sum(d386(F.col("s2").cast("double") - F.col("s1").cast("double") * m_j))
+        .cast("double")
+        .alias("within"),
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("n_total").cast("double")
+    f_stat = F.when(
+        (F.col("k") >= 2) & (F.col("n_total") > F.col("k")) & (F.col("within") > 0),
+        (F.col("between") / (kd - 1.0)) / (F.col("within") / (nd - kd)),
+    )
+    return folds.crossJoin(F.broadcast(dropped)).select(
+        F.col("k").alias("k_groups"),
+        "k_dropped",
+        (F.col("k") - 1).cast("bigint").alias("df1"),
+        (F.col("n_total") - F.col("k")).cast("bigint").alias("df2"),
+        F.round(f_stat, 9).alias("f_stat"),
+    )
+
+
+# Cliff's delta magnitude thresholds (Romano, Kromrey, Coraggio & Skowronek
+# 2006): |d| < 0.147 negligible, < 0.33 small, < 0.474 medium, else large.
+# Sync-pinned via the f-string oracle.
+CLIFFS_NEGLIGIBLE = 0.147
+CLIFFS_SMALL = 0.33
+CLIFFS_MEDIUM = 0.474
+
+
+def events_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal EFFECT SIZE between the view and click value
+    distributions — the magnitude readout the Mann-Whitney z deliberately
+    is not: at corpus scale every test "rejects", so pipelines gate on
+    δ = P(A>B) − P(A<B) ∈ [−1, 1] with the Romano et al. magnitude bands.
+
+    Exact evaluation: δ relates to the tie-averaged Mann-Whitney U by
+    δ = 2U_A/(n_a·n_b) − 1, and 2·U_A is the exact integer the
+    events_mann_whitney machinery already produces (per-cents-value
+    aggregate + ``bucketed_cum_before``, 2R_A = Σ ca·(2·prev + c + 1));
+    so δ = (2U_A − n_a·n_b)/(n_a·n_b) divides exact DECIMAL(38,0)
+    integers once in double. Magnitude thresholds are pinned literals.
+
+    Scale shape: identical to events_mann_whitney — one corpus pass to
+    distinct cents, one machinery pass, a 1-row fold."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    per_v = (
+        ev.where(F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B))
+        .select(F.col("event_type").alias("et"), cents.alias("v"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("et") == KS_TYPE_A, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("et") == KS_TYPE_B, 1).otherwise(0)).alias("cb"),
+        )
+        .withColumn("c", F.col("ca") + F.col("cb"))
+        .transform(truncate_lineage)  # feeds the sketch and the fold
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    ranked = bucketed_cum_before(per_v, "v", "c", "prev")
+    stats = ranked.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.sum(d38("ca") * (F.lit(2) * d38("prev") + d38("c") + F.lit(1))).alias("r2a"),
+    )
+    u2a = F.col("r2a") - d38("na") * (d38("na") + F.lit(1))
+    nanb = F.col("na").cast("double") * F.col("nb").cast("double")
+    delta = F.when(nanb > 0, (u2a.cast("double") - nanb) / nanb)
+    mag = (
+        F.when(delta.isNull(), F.lit(None).cast("string"))
+        .when(F.abs(delta) < F.lit(CLIFFS_NEGLIGIBLE), F.lit("negligible"))
+        .when(F.abs(delta) < F.lit(CLIFFS_SMALL), F.lit("small"))
+        .when(F.abs(delta) < F.lit(CLIFFS_MEDIUM), F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    return stats.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(delta, 9).alias("cliffs_delta"),
+        mag.alias("magnitude"),
+    )
+
+
+# Cochran-Armitage two-sided 5% normal critical value — the odds-ratio CI
+# convention (1.959964). Sync-pinned via the f-string oracle.
+CA_Z_05 = 1.959964
+
+
+def events_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test of the purchase share across the ordered
+    day-of-week (scores 0=Sun..6=Sat) — the DIRECTIONAL categorical test
+    the chi-square family lacks: Cramér's V asks "is conversion associated
+    with the day at all", this asks "does it RISE (or fall) monotonically
+    through the week", one degree of freedom, far more powerful against
+    ordered alternatives.
+
+    Z = (N·Σr_i s_i − R·Σn_i s_i) / √(R(N−R)(N·Σn_i s_i² − (Σn_i s_i)²)/N)
+
+    with r_i purchases and n_i events at score s_i. Every Σ is an exact
+    integer over the 7-row day spine (DECIMAL(38,0) cross products — the
+    events_user_gini overflow rule); the radicand multiplies its exact
+    factors in double with an identical expression tree on both engines
+    (each factor alone can reach ~1e24 at web scale, their PRODUCT cannot
+    stay integral in any fixed decimal). Day-of-week uses each engine's
+    native function under its own encoding (Spark dayofweek−1 = DuckDB
+    dayofweek — the events_cramers_v convention).
+
+    Scale shape: one corpus pass map-side combined to 7 keys, then a
+    1-row fold."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    per_dow = ev.select(
+        (F.dayofweek("ts") - 1).alias("s"),
+        (F.col("event_type") == "purchase").alias("p"),
+    ).groupBy("s").agg(
+        F.sum(F.when(F.col("p"), 1).otherwise(0)).cast("bigint").alias("r"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = per_dow.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum("r").cast("bigint").alias("n_success"),
+        F.sum(d38("r") * d38("s")).alias("rs"),
+        F.sum(d38("n") * d38("s")).alias("ns"),
+        F.sum(d38("n") * d38("s") * d38("s")).alias("nss"),
+    )
+    num = (
+        d38("n_total") * F.col("rs") - d38("n_success") * F.col("ns")
+    ).cast("double")
+    nd = F.col("n_total").cast("double")
+    rd = F.col("n_success").cast("double")
+    radicand = (
+        rd
+        * (nd - rd)
+        * (
+            (d38("n_total") * F.col("nss")).cast("double")
+            - (F.col("ns") * F.col("ns")).cast("double")
+        )
+        / nd
+    )
+    z = F.when(radicand > 0, num / F.sqrt(radicand))
+    return agg.select(
+        "n_total",
+        "n_success",
+        F.round(z, 9).alias("z"),
+        (F.abs(z) > F.lit(CA_Z_05)).alias("reject_no_trend_05"),
+    )
+
+
+def events_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test of event-type intensity across matched user
+    blocks — the REPEATED-MEASURES companion of Kruskal-Wallis: KW treats
+    the per-type samples as independent, but each user contributes a count
+    to EVERY type, so the blocked design must rank WITHIN users (removing
+    the user's overall activity level) before comparing types.
+
+    With doubled tie-averaged within-user ranks (2r = 2·prev + eq + 1,
+    exact integers), the tie-adjusted statistic is exactly
+
+        Q = (k−1)·Σ_j (2R_j − n(k+1))² / (Σ_ij (2r_ij)² − n·k·(k+1)²)
+
+    — an exact-integer ratio (DECIMAL(38,0) cross products) divided once
+    in double, χ²(k−1) under H0. Blocks must be complete: users missing
+    any of the k types drop (reported as n_dropped; the fixture is dense
+    so the organic count is zero — the synthetic TRUE-path test pins the
+    drop arm). Within-user ranks use a RANGE-frame window PARTITIONED BY
+    user (≤ k = #event_types rows per partition — bounded, never the
+    single-task shape).
+
+    Scale shape: one corpus pass to the (user, type) aggregate, bounded
+    per-user windows, a k-row fold."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    k_tot = ev.select("event_type").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    per_user = counts.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types")
+    )
+    eligible = per_user.crossJoin(F.broadcast(k_tot)).select(
+        "user_id", (F.col("n_types") == F.col("k")).alias("complete")
+    )
+    dropped = eligible.agg(
+        F.sum(F.when(~F.col("complete"), 1).otherwise(0)).cast("bigint").alias("n_dropped")
+    )
+    kept = counts.join(
+        eligible.where("complete").select("user_id"), "user_id"
+    )
+    # doubled tie-averaged rank within the user's k-row block: RANGE frames
+    # over the numeric count — strictly-smaller cum + tie-class size
+    w_lt = (
+        Window.partitionBy("user_id")
+        .orderBy("c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy("user_id").orderBy("c").rangeBetween(0, 0)
+    ranked = kept.select(
+        "user_id",
+        "event_type",
+        (
+            F.lit(2) * F.coalesce(F.count(F.lit(1)).over(w_lt), F.lit(0))
+            + F.count(F.lit(1)).over(w_eq)
+            + F.lit(1)
+        ).alias("r2"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    by_type = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum("r2").cast("bigint").alias("r2_sum"),
+        F.sum(d38("r2") * d38("r2")).alias("r2_sq"),
+    ).transform(truncate_lineage)  # k rows; feeds both folds below
+    grand = by_type.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.max("n_blocks").cast("bigint").alias("n"),
+        F.sum("r2_sq").alias("sq_tot"),
+    )
+    num_fold = by_type.crossJoin(F.broadcast(grand)).agg(
+        F.max("k").alias("k"),
+        F.max("n").alias("n"),
+        F.max("sq_tot").alias("sq_tot"),
+        F.sum(
+            (d38("r2_sum") - d38("n") * (d38("k") + F.lit(1)))
+            * (d38("r2_sum") - d38("n") * (d38("k") + F.lit(1)))
+        ).alias("num"),
+    )
+    den = (
+        F.col("sq_tot")
+        - d38("n") * d38("k") * (d38("k") + F.lit(1)) * (d38("k") + F.lit(1))
+    ).cast("double")
+    q = F.when(
+        (F.col("k") >= 2) & (F.col("n") >= 1) & (den > 0),
+        (F.col("k") - F.lit(1)).cast("double") * F.col("num").cast("double") / den,
+    )
+    return num_fold.crossJoin(F.broadcast(dropped)).select(
+        F.col("n").alias("n_blocks"),
+        "n_dropped",
+        F.col("k").alias("k_treatments"),
+        (F.col("k") - 1).cast("bigint").alias("df"),
+        F.round(q, 9).alias("q_stat"),
+    )
+
+
+# Brier decomposition design constants: the score-bin cap (forecast bins =
+# min(score, CAP), so bin cardinality is a CONSTANT, not data-scaled) and
+# the user-id parity split (even = train/calibration, odd = test). The
+# heavy-purchaser label threshold is shared with events_auc_report.
+BRIER_BIN_CAP = 50
+BRIER_TRAIN_MOD = 2
+
+
+def events_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score for a held-out forecast of
+    the heavy-purchaser label — the calibration audit behind every quality
+    classifier this engine evaluates: BS = REL − RES + UNC, where
+    reliability (how far forecasts sit from observed rates) should be ~0
+    for a calibrated model, resolution (how much the bins separate) should
+    be large, and uncertainty ō(1−ō) is the data's irreducible floor.
+
+    Design: per-user activity score (view+click count, the
+    events_auc_report spine) binned at min(score, BRIER_BIN_CAP); users
+    split by id parity — the EVEN half's per-bin empirical heavy-purchaser
+    rate becomes the forecast f_b (global train rate for test-only bins),
+    the ODD half is scored. With forecasts constant within bins the
+    decomposition is EXACT: REL = Σ n_b(f_b−o_b)²/N, RES = Σ n_b(o_b−ō)²/N,
+    UNC = ō(1−ō), and BS = REL − RES + UNC identically. Per-bin terms are
+    doubles rounded to 9dp and summed on the DECIMAL(28,9) rail over the
+    ≤BRIER_BIN_CAP+1-row bin relation (order-exact); ratios divide exact
+    integers once each.
+
+    Scale shape: one corpus pass to per-user labels/scores, two bounded
+    bin aggregates (≤21 keys each), a broadcast bin join, a 1-row fold."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            >= F.lit(AUC_LABEL_MIN_PURCHASES)
+        )
+        .cast("bigint")
+        .alias("label"),
+        F.sum(F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("score"),
+    ).select(
+        "label",
+        F.least(F.col("score"), F.lit(BRIER_BIN_CAP)).alias("bin"),
+        (F.col("user_id") % BRIER_TRAIN_MOD == 0).alias("is_train"),
+    )
+    train = users.where("is_train").groupBy("bin").agg(
+        F.sum("label").cast("bigint").alias("pos_tr"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tr"),
+    )
+    train_tot = train.agg(
+        F.sum("pos_tr").cast("bigint").alias("pos_all"),
+        F.sum("n_tr").cast("bigint").alias("n_all"),
+    )
+    test = users.where(~F.col("is_train")).groupBy("bin").agg(
+        F.sum("label").cast("bigint").alias("pos_te"),
+        F.count(F.lit(1)).cast("bigint").alias("n_te"),
+    )
+    test_tot = test.agg(
+        F.sum("pos_te").cast("bigint").alias("pos_te_all"),
+        F.sum("n_te").cast("bigint").alias("n_te_all"),
+    )
+    joined = (
+        test.join(F.broadcast(train), "bin", "left")
+        .crossJoin(F.broadcast(train_tot))
+        .crossJoin(F.broadcast(test_tot))
+    )
+    f_b = F.when(
+        F.col("n_tr").isNotNull() & (F.col("n_tr") > 0),
+        F.col("pos_tr").cast("double") / F.col("n_tr").cast("double"),
+    ).otherwise(F.col("pos_all").cast("double") / F.col("n_all").cast("double"))
+    o_b = F.col("pos_te").cast("double") / F.col("n_te").cast("double")
+    o_bar = F.col("pos_te_all").cast("double") / F.col("n_te_all").cast("double")
+    n_b = F.col("n_te").cast("double")
+    rail = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    folds = joined.agg(
+        F.max("n_te_all").alias("n_test"),
+        F.max("pos_te_all").alias("pos_test"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum(rail(n_b * (f_b - o_b) * (f_b - o_b))).cast("double").alias("rel_n"),
+        F.sum(rail(n_b * (o_b - o_bar) * (o_b - o_bar))).cast("double").alias("res_n"),
+    )
+    n_te_d = F.col("n_test").cast("double")
+    o_all = F.col("pos_test").cast("double") / n_te_d
+    rel = F.when(n_te_d > 0, F.col("rel_n") / n_te_d)
+    res = F.when(n_te_d > 0, F.col("res_n") / n_te_d)
+    unc = F.when(n_te_d > 0, o_all * (F.lit(1.0) - o_all))
+    return folds.select(
+        "n_test",
+        "n_bins",
+        F.round(rel, 9).alias("reliability"),
+        F.round(res, 9).alias("resolution"),
+        F.round(unc, 9).alias("uncertainty"),
+        F.round(rel - res + unc, 9).alias("brier"),
     )

@@ -9856,3 +9856,357 @@ SELECT n_days, max_excursion,
        alarm_day IS NOT NULL AS drift_detected
 FROM tl LEFT JOIN fa ON TRUE
 """
+
+
+# Mirrors relational.events_wasserstein_drift: per-cents ECDF numerators,
+# support gaps via LEAD, exact HUGEINT area |cum_ref·n_act − cum_act·n_ref|·Δv,
+# one double division at the end.
+ORACLE_SQL["events_wasserstein_drift"] = """
+WITH per_v AS (
+  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+         SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 0 ELSE 1 END) AS c_ref,
+         SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END) AS c_act
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+         CAST(SUM(c_act) AS BIGINT) AS n_act
+  FROM per_v
+),
+cum AS (
+  SELECT v,
+         SUM(c_ref) OVER w AS cum_ref,
+         SUM(c_act) OVER w AS cum_act,
+         LEAD(v) OVER (ORDER BY v) AS nxt
+  FROM per_v
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+agg AS (
+  SELECT MAX(t.n_ref) AS n_ref, MAX(t.n_act) AS n_act,
+         SUM(ABS(CAST(cum_ref AS HUGEINT) * t.n_act
+                 - CAST(cum_act AS HUGEINT) * t.n_ref)
+             * CAST(nxt - v AS HUGEINT)) AS area
+  FROM cum CROSS JOIN tot t
+  WHERE nxt IS NOT NULL
+)
+SELECT n_ref, n_act,
+       ROUND(CASE WHEN CAST(n_ref AS DOUBLE) * CAST(n_act AS DOUBLE) > 0 THEN
+         CAST(area AS DOUBLE)
+           / (CAST(n_ref AS DOUBLE) * CAST(n_act AS DOUBLE)) / 100.0
+       END, 9) AS wasserstein_value
+FROM agg
+"""
+
+# Mirrors relational.events_brown_forsythe: per-group doubled medians from
+# the per-(type, cents) cumulative, exact-integer z2 sufficient statistics,
+# DECIMAL(38,6)-railed k-row folds, one double F division.
+ORACLE_SQL["events_brown_forsythe"] = """
+WITH per_gv AS MATERIALIZED (
+  SELECT event_type AS g,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, v, c,
+         COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM per_gv
+),
+totals AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_j FROM per_gv GROUP BY 1),
+med AS (
+  SELECT c2.g,
+         CAST(SUM(CASE WHEN c2.prev < ((t.n_j + 1) // 2)
+                        AND ((t.n_j + 1) // 2) <= c2.prev + c2.c
+                   THEN c2.v ELSE 0 END)
+              + SUM(CASE WHEN c2.prev < ((t.n_j // 2) + 1)
+                          AND ((t.n_j // 2) + 1) <= c2.prev + c2.c
+                     THEN c2.v ELSE 0 END) AS BIGINT) AS med2
+  FROM cum c2 JOIN totals t USING (g)
+  GROUP BY 1
+),
+stats AS (
+  SELECT p.g, CAST(SUM(p.c) AS BIGINT) AS n_j,
+         CAST(SUM(CAST(p.c AS HUGEINT)
+                  * CAST(ABS(2 * p.v - m.med2) AS HUGEINT)) AS HUGEINT) AS s1,
+         CAST(SUM(CAST(p.c AS HUGEINT)
+                  * CAST(ABS(2 * p.v - m.med2) AS HUGEINT)
+                  * CAST(ABS(2 * p.v - m.med2) AS HUGEINT)) AS HUGEINT) AS s2
+  FROM per_gv p JOIN med m USING (g)
+  GROUP BY 1
+  HAVING SUM(p.c) >= 2
+),
+grand AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n_j) AS BIGINT) AS n_total,
+         SUM(s1) AS s1_tot
+  FROM stats
+),
+dropped AS (
+  SELECT CAST(SUM(CASE WHEN nj < 2 THEN 1 ELSE 0 END) AS BIGINT) AS k_dropped
+  FROM (SELECT g, SUM(c) AS nj FROM per_gv GROUP BY 1)
+),
+folds AS (
+  SELECT MAX(g2.k) AS k, MAX(g2.n_total) AS n_total,
+         CAST(SUM(CAST(ROUND(CAST(s.n_j AS DOUBLE)
+           * (CAST(s.s1 AS DOUBLE) / CAST(s.n_j AS DOUBLE)
+              - CAST(g2.s1_tot AS DOUBLE) / CAST(g2.n_total AS DOUBLE))
+           * (CAST(s.s1 AS DOUBLE) / CAST(s.n_j AS DOUBLE)
+              - CAST(g2.s1_tot AS DOUBLE) / CAST(g2.n_total AS DOUBLE)), 6)
+           AS DECIMAL(38,6))) AS DOUBLE) AS between_f,
+         CAST(SUM(CAST(ROUND(CAST(s.s2 AS DOUBLE)
+           - CAST(s.s1 AS DOUBLE)
+             * (CAST(s.s1 AS DOUBLE) / CAST(s.n_j AS DOUBLE)), 6)
+           AS DECIMAL(38,6))) AS DOUBLE) AS within_f
+  FROM stats s CROSS JOIN grand g2
+)
+SELECT k AS k_groups,
+       (SELECT k_dropped FROM dropped) AS k_dropped,
+       CAST(k - 1 AS BIGINT) AS df1,
+       CAST(n_total - k AS BIGINT) AS df2,
+       ROUND(CASE WHEN k >= 2 AND n_total > k AND within_f > 0 THEN
+         (between_f / (CAST(k AS DOUBLE) - 1.0))
+           / (within_f / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE)))
+       END, 9) AS f_stat
+FROM folds
+"""
+
+# Mirrors relational.events_cliffs_delta: the Mann-Whitney exact 2·U_A over
+# the per-cents aggregate, delta = (2U_A − n_a·n_b)/(n_a·n_b), magnitude
+# bands from the SAME pinned Romano et al. literals.
+from .operators.relational import (  # noqa: E402
+    CLIFFS_MEDIUM,
+    CLIFFS_NEGLIGIBLE,
+    CLIFFS_SMALL,
+)
+
+ORACLE_SQL["events_cliffs_delta"] = f"""
+WITH per_v AS (
+  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cb
+  FROM events
+  WHERE event_type IN ('view', 'click')
+  GROUP BY 1
+),
+ranked AS (
+  SELECT v, ca, cb, ca + cb AS c,
+         COALESCE(SUM(ca + cb) OVER (
+           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prev
+  FROM per_v
+),
+stats AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+         CAST(SUM(cb) AS BIGINT) AS nb,
+         SUM(CAST(ca AS HUGEINT)
+             * (2 * CAST(prev AS HUGEINT) + CAST(c AS HUGEINT) + 1)) AS r2a
+  FROM ranked
+),
+d AS (
+  SELECT na, nb,
+         CASE WHEN CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) > 0 THEN
+           (CAST(r2a - CAST(na AS HUGEINT) * (CAST(na AS HUGEINT) + 1)
+                 AS DOUBLE)
+            - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+           / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+         END AS delta
+  FROM stats
+)
+SELECT na AS n_a, nb AS n_b,
+       ROUND(delta, 9) AS cliffs_delta,
+       CASE WHEN delta IS NULL THEN NULL
+            WHEN ABS(delta) < {CLIFFS_NEGLIGIBLE!r} THEN 'negligible'
+            WHEN ABS(delta) < {CLIFFS_SMALL!r} THEN 'small'
+            WHEN ABS(delta) < {CLIFFS_MEDIUM!r} THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM d
+"""
+
+# Mirrors relational.events_cochran_armitage: native dayofweek (DuckDB
+# 0=Sun = Spark dayofweek−1), exact HUGEINT spine sums, the radicand's
+# exact factors multiplied in double with the identical expression tree.
+from .operators.relational import CA_Z_05  # noqa: E402
+
+ORACLE_SQL["events_cochran_armitage"] = f"""
+WITH per_dow AS (
+  SELECT dayofweek(ts) AS s,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+agg AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(SUM(r) AS BIGINT) AS n_success,
+         SUM(CAST(r AS HUGEINT) * CAST(s AS HUGEINT)) AS rs,
+         SUM(CAST(n AS HUGEINT) * CAST(s AS HUGEINT)) AS ns,
+         SUM(CAST(n AS HUGEINT) * CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS nss
+  FROM per_dow
+),
+z AS (
+  SELECT n_total, n_success,
+         CASE WHEN CAST(n_success AS DOUBLE)
+                   * (CAST(n_total AS DOUBLE) - CAST(n_success AS DOUBLE))
+                   * (CAST(CAST(n_total AS HUGEINT) * nss AS DOUBLE)
+                      - CAST(ns * ns AS DOUBLE))
+                   / CAST(n_total AS DOUBLE) > 0 THEN
+           CAST(CAST(n_total AS HUGEINT) * rs
+                - CAST(n_success AS HUGEINT) * ns AS DOUBLE)
+           / SQRT(CAST(n_success AS DOUBLE)
+                  * (CAST(n_total AS DOUBLE) - CAST(n_success AS DOUBLE))
+                  * (CAST(CAST(n_total AS HUGEINT) * nss AS DOUBLE)
+                     - CAST(ns * ns AS DOUBLE))
+                  / CAST(n_total AS DOUBLE))
+         END AS zv
+  FROM agg
+)
+SELECT n_total, n_success,
+       ROUND(zv, 9) AS z,
+       ABS(zv) > {CA_Z_05!r} AS reject_no_trend_05
+FROM z
+"""
+
+# Mirrors relational.events_friedman_test: complete user blocks, doubled
+# tie-averaged within-user ranks via RANGE frames, exact HUGEINT Q ratio.
+ORACLE_SQL["events_friedman_test"] = """
+WITH counts AS MATERIALIZED (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+k_tot AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM events),
+eligible AS (
+  SELECT user_id, COUNT(*) = (SELECT k FROM k_tot) AS complete
+  FROM counts GROUP BY 1
+),
+dropped AS (
+  SELECT CAST(SUM(CASE WHEN NOT complete THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped
+  FROM eligible
+),
+ranked AS (
+  SELECT c.user_id, c.event_type,
+         2 * COALESCE(COUNT(*) OVER (PARTITION BY c.user_id ORDER BY c.c
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + COUNT(*) OVER (PARTITION BY c.user_id ORDER BY c.c
+               RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+         + 1 AS r2
+  FROM counts c JOIN eligible e USING (user_id)
+  WHERE e.complete
+),
+by_type AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(r2) AS BIGINT) AS r2_sum,
+         SUM(CAST(r2 AS HUGEINT) * CAST(r2 AS HUGEINT)) AS r2_sq
+  FROM ranked GROUP BY 1
+),
+grand AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(MAX(n_blocks) AS BIGINT) AS n,
+         SUM(r2_sq) AS sq_tot
+  FROM by_type
+),
+num_fold AS (
+  SELECT MAX(g.k) AS k, MAX(g.n) AS n, MAX(g.sq_tot) AS sq_tot,
+         SUM((CAST(b.r2_sum AS HUGEINT)
+              - CAST(g.n AS HUGEINT) * (CAST(g.k AS HUGEINT) + 1))
+             * (CAST(b.r2_sum AS HUGEINT)
+                - CAST(g.n AS HUGEINT) * (CAST(g.k AS HUGEINT) + 1))) AS num
+  FROM by_type b CROSS JOIN grand g
+)
+SELECT CAST(n AS BIGINT) AS n_blocks,
+       (SELECT n_dropped FROM dropped) AS n_dropped,
+       CAST(k AS BIGINT) AS k_treatments,
+       CAST(k - 1 AS BIGINT) AS df,
+       ROUND(CASE WHEN k >= 2 AND n >= 1
+                   AND CAST(sq_tot - CAST(n AS HUGEINT) * CAST(k AS HUGEINT)
+                            * (CAST(k AS HUGEINT) + 1)
+                            * (CAST(k AS HUGEINT) + 1) AS DOUBLE) > 0 THEN
+         CAST(k - 1 AS DOUBLE) * CAST(num AS DOUBLE)
+           / CAST(sq_tot - CAST(n AS HUGEINT) * CAST(k AS HUGEINT)
+                  * (CAST(k AS HUGEINT) + 1)
+                  * (CAST(k AS HUGEINT) + 1) AS DOUBLE)
+       END, 9) AS q_stat
+FROM num_fold
+"""
+
+# Mirrors relational.events_brier_decomposition: even-id train bins supply
+# the forecast, odd-id test bins score it; 9dp-railed ≤21-row folds; the
+# Murphy identity BS = REL − RES + UNC computed from the UNROUNDED terms.
+from .operators.relational import (  # noqa: E402
+    AUC_LABEL_MIN_PURCHASES,
+    BRIER_BIN_CAP,
+    BRIER_TRAIN_MOD,
+)
+
+ORACLE_SQL["events_brier_decomposition"] = f"""
+WITH users AS MATERIALIZED (
+  SELECT CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= {AUC_LABEL_MIN_PURCHASES} THEN 1 ELSE 0 END AS label,
+         LEAST(SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END),
+               {BRIER_BIN_CAP}) AS bin,
+         user_id % {BRIER_TRAIN_MOD} = 0 AS is_train
+  FROM events GROUP BY user_id
+),
+train AS (
+  SELECT bin, CAST(SUM(label) AS BIGINT) AS pos_tr,
+         CAST(COUNT(*) AS BIGINT) AS n_tr
+  FROM users WHERE is_train GROUP BY 1
+),
+train_tot AS (
+  SELECT CAST(SUM(pos_tr) AS BIGINT) AS pos_all,
+         CAST(SUM(n_tr) AS BIGINT) AS n_all
+  FROM train
+),
+test AS (
+  SELECT bin, CAST(SUM(label) AS BIGINT) AS pos_te,
+         CAST(COUNT(*) AS BIGINT) AS n_te
+  FROM users WHERE NOT is_train GROUP BY 1
+),
+test_tot AS (
+  SELECT CAST(SUM(pos_te) AS BIGINT) AS pos_te_all,
+         CAST(SUM(n_te) AS BIGINT) AS n_te_all
+  FROM test
+),
+terms AS (
+  SELECT t.n_te, t.pos_te, tt.pos_te_all, tt.n_te_all,
+         CASE WHEN tr.n_tr IS NOT NULL AND tr.n_tr > 0
+              THEN CAST(tr.pos_tr AS DOUBLE) / CAST(tr.n_tr AS DOUBLE)
+              ELSE CAST(a.pos_all AS DOUBLE) / CAST(a.n_all AS DOUBLE)
+         END AS f_b,
+         CAST(t.pos_te AS DOUBLE) / CAST(t.n_te AS DOUBLE) AS o_b,
+         CAST(tt.pos_te_all AS DOUBLE) / CAST(tt.n_te_all AS DOUBLE) AS o_bar
+  FROM test t
+  LEFT JOIN train tr USING (bin)
+  CROSS JOIN train_tot a
+  CROSS JOIN test_tot tt
+),
+folds AS (
+  SELECT MAX(n_te_all) AS n_test, MAX(pos_te_all) AS pos_test,
+         CAST(COUNT(*) AS BIGINT) AS n_bins,
+         CAST(SUM(CAST(ROUND(CAST(n_te AS DOUBLE) * (f_b - o_b) * (f_b - o_b), 9)
+              AS DECIMAL(28,9))) AS DOUBLE) AS rel_n,
+         CAST(SUM(CAST(ROUND(CAST(n_te AS DOUBLE) * (o_b - o_bar) * (o_b - o_bar), 9)
+              AS DECIMAL(28,9))) AS DOUBLE) AS res_n
+  FROM terms
+)
+SELECT CAST(n_test AS BIGINT) AS n_test, n_bins,
+       ROUND(CASE WHEN n_test > 0 THEN rel_n / CAST(n_test AS DOUBLE) END, 9)
+         AS reliability,
+       ROUND(CASE WHEN n_test > 0 THEN res_n / CAST(n_test AS DOUBLE) END, 9)
+         AS resolution,
+       ROUND(CASE WHEN n_test > 0 THEN
+         (CAST(pos_test AS DOUBLE) / CAST(n_test AS DOUBLE))
+         * (1.0 - CAST(pos_test AS DOUBLE) / CAST(n_test AS DOUBLE)) END, 9)
+         AS uncertainty,
+       ROUND(CASE WHEN n_test > 0 THEN
+         rel_n / CAST(n_test AS DOUBLE)
+         - res_n / CAST(n_test AS DOUBLE)
+         + (CAST(pos_test AS DOUBLE) / CAST(n_test AS DOUBLE))
+           * (1.0 - CAST(pos_test AS DOUBLE) / CAST(n_test AS DOUBLE)) END, 9)
+         AS brier
+FROM folds
+"""

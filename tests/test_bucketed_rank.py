@@ -168,3 +168,111 @@ def test_bucketed_rank_plan_data_window_is_partitioned(spark):
     )
     # exactly the one bounded spine pass funnels to a single partition
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_bucketed_cum_before_partitioned_matches(spark):
+    # r13: parts support (the Brown-Forsythe per-group median shape) —
+    # one row per distinct (g, v), cum strictly-before within each group
+    per_gv = (
+        _synth(spark, 300, 23)
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wc = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        (r["g"], r["v"], r["p"])
+        for r in per_gv.select(
+            "g", "v", F.coalesce(F.sum("c").over(wc), F.lit(0)).alias("p")
+        ).collect()
+    }
+    got = {
+        (r["g"], r["v"], r["p"])
+        for r in bucketed_cum_before(per_gv, "v", "c", "p", parts=["g"])
+        .select("g", "v", "p")
+        .collect()
+    }
+    assert got == want
+
+
+def test_bucketed_lead_matches_lead(spark):
+    from cl_tagger_batch_processing_spark.operators.relational import (
+        bucketed_lead,
+    )
+
+    # one row per distinct value; every group size class incl. singleton
+    # (lead of the max must be NULL) and N < RANK_BUCKETS
+    for n in [1, 2, 31, 400]:
+        per_v = (
+            _synth(spark, n, max(n, 1))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.orderBy("v")
+        want = {
+            (r["v"], r["nxt"])
+            for r in per_v.select(
+                "v", F.lead("v").over(w).alias("nxt")
+            ).collect()
+        }
+        got = {
+            (r["v"], r["nxt"])
+            for r in bucketed_lead(per_v, "v", "nxt")
+            .select("v", "nxt")
+            .collect()
+        }
+        assert got == want, n
+
+
+def test_bucketed_lead_partitioned_matches(spark):
+    from cl_tagger_batch_processing_spark.operators.relational import (
+        bucketed_lead,
+    )
+
+    per_gv = (
+        _synth(spark, 250, 19)
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("g").orderBy("v")
+    want = {
+        (r["g"], r["v"], r["nxt"])
+        for r in per_gv.select(
+            "g", "v", F.lead("v").over(w).alias("nxt")
+        ).collect()
+    }
+    got = {
+        (r["g"], r["v"], r["nxt"])
+        for r in bucketed_lead(per_gv, "v", "nxt", parts=["g"])
+        .select("g", "v", "nxt")
+        .collect()
+    }
+    assert got == want
+
+
+def test_bucketed_lead_plan_data_window_is_partitioned(spark):
+    # same discipline as bucketed_rank: the lead over DATA rows runs
+    # per-bucket; only the bucket-min spine crosses a single partition
+    import re
+
+    from cl_tagger_batch_processing_spark.operators.relational import (
+        bucketed_lead,
+    )
+    from cl_tagger_batch_processing_spark.plans import inspect
+
+    per_v = (
+        _synth(spark, 5000, 997)
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    plan = inspect.executed_plan(bucketed_lead(per_v, "v", "nxt"))
+    lead_specs = re.findall(
+        r"lead\(v#\d+L?, 1, null\) windowspecdefinition\(([^,]*)", plan
+    )
+    assert lead_specs and all(
+        s.strip().startswith("_bkt#") for s in lead_specs
+    ), lead_specs
+    assert plan.count("Exchange SinglePartition") <= 1

@@ -8078,3 +8078,362 @@ def test_page_hinkley_alarms_on_synthetic_level_shift(spark, tmp_path):
     assert r.drift_detected is True
     assert r.alarm_day is not None and r.excursion_at_alarm > 50.0
     assert r.max_excursion >= r.excursion_at_alarm
+
+
+# --------------------------- r13 addition replays ---------------------------
+
+
+def test_wasserstein_matches_textbook_replay(spark, sf_dir):
+    """W1 recomputed the textbook way: sort both samples' cents, build the
+    two ECDFs over the merged support and integrate |F_ref − F_act| dx
+    with plain python floats — no exact-integer identity, no machinery."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["events_wasserstein_drift"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT CAST(CAST(value AS DECIMAL(12,2))*100 AS BIGINT),
+                  dayofweek(ts) IN (0, 6)
+           FROM '{sf}/events.parquet' WHERE value IS NOT NULL""",
+    )
+    ref = sorted(v for v, wk in raw if not wk)
+    act = sorted(v for v, wk in raw if wk)
+    assert r.n_ref == len(ref) and r.n_act == len(act)
+    support = sorted(set(ref) | set(act))
+    import bisect
+
+    w1 = 0.0
+    for a, b in zip(support, support[1:]):
+        fr = bisect.bisect_right(ref, a) / len(ref)
+        fa = bisect.bisect_right(act, a) / len(act)
+        w1 += abs(fr - fa) * (b - a)
+    assert r.wasserstein_value == pytest.approx(w1 / 100.0, rel=1e-9, abs=1e-9)
+
+
+def test_brown_forsythe_matches_textbook_replay(spark, sf_dir):
+    """Brown-Forsythe 1974 recomputed directly: python statistics.median
+    per group, z = |x − med|, plain one-way ANOVA F over z with float
+    means — no doubled medians, no rails, no machinery."""
+    import statistics
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["events_brown_forsythe"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT event_type, CAST(CAST(value AS DECIMAL(12,2))*100 AS BIGINT)
+           FROM '{sf}/events.parquet' WHERE value IS NOT NULL""",
+    )
+    groups: dict = {}
+    for g, v in raw:
+        groups.setdefault(g, []).append(v)
+    kept = {g: xs for g, xs in groups.items() if len(xs) >= 2}
+    assert r.k_groups == len(kept)
+    assert r.k_dropped == len(groups) - len(kept)
+    zs = {
+        g: [abs(x - statistics.median(xs)) for x in xs] for g, xs in kept.items()
+    }
+    k = len(zs)
+    n = sum(len(z) for z in zs.values())
+    means = {g: sum(z) / len(z) for g, z in zs.items()}
+    grand = sum(sum(z) for z in zs.values()) / n
+    between = sum(len(zs[g]) * (means[g] - grand) ** 2 for g in zs) / (k - 1)
+    within = sum(
+        sum((x - means[g]) ** 2 for x in zs[g]) for g in zs
+    ) / (n - k)
+    assert r.df1 == k - 1 and r.df2 == n - k
+    assert r.f_stat == pytest.approx(between / within, rel=1e-6)
+
+
+def test_cliffs_delta_matches_bruteforce_pairs(spark, sf_dir):
+    """δ recomputed as the literal definition P(A>B) − P(A<B) by counting
+    pairs over the per-value histograms (the O(|A|·|B|) double loop runs
+    on distinct cents, feasible at fixture scale)."""
+    from collections import Counter
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["events_cliffs_delta"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT event_type, CAST(CAST(value AS DECIMAL(12,2))*100 AS BIGINT)
+           FROM '{sf}/events.parquet' WHERE event_type IN ('view','click')""",
+    )
+    ca = Counter(v for et, v in raw if et == "view")
+    cb = Counter(v for et, v in raw if et == "click")
+    na, nb = sum(ca.values()), sum(cb.values())
+    assert (r.n_a, r.n_b) == (na, nb)
+    gt = sum(m * n for a, m in ca.items() for b, n in cb.items() if a > b)
+    lt = sum(m * n for a, m in ca.items() for b, n in cb.items() if a < b)
+    delta = (gt - lt) / (na * nb)
+    assert r.cliffs_delta == pytest.approx(delta, rel=1e-9, abs=1e-9)
+    expect = (
+        "negligible"
+        if abs(delta) < 0.147
+        else "small" if abs(delta) < 0.33 else "medium" if abs(delta) < 0.474 else "large"
+    )
+    assert r.magnitude == expect
+
+
+def test_cochran_armitage_matches_textbook_replay(spark, sf_dir):
+    """Z recomputed from the Armitage 1955 formula with plain python
+    floats: T = Σr_i s_i − p̄Σn_i s_i over the 7 day-of-week cells."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["events_cochran_armitage"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT dayofweek(ts), event_type = 'purchase'
+           FROM '{sf}/events.parquet'""",
+    )
+    cells: dict = {}
+    for s, p in raw:
+        n, rr = cells.get(s, (0, 0))
+        cells[s] = (n + 1, rr + (1 if p else 0))
+    N = sum(n for n, _ in cells.values())
+    R = sum(rr for _, rr in cells.values())
+    assert (r.n_total, r.n_success) == (N, R)
+    pbar = R / N
+    t = sum(rr * s for s, (n, rr) in cells.items()) - pbar * sum(
+        n * s for s, (n, _) in cells.items()
+    )
+    sbar = sum(n * s for s, (n, _) in cells.items()) / N
+    var = pbar * (1 - pbar) * sum(
+        n * (s - sbar) ** 2 for s, (n, _) in cells.items()
+    )
+    assert r.z == pytest.approx(t / var**0.5, rel=1e-6)
+    assert r.reject_no_trend_05 == (abs(t / var**0.5) > 1.959964)
+
+
+def test_friedman_matches_scipy_style_replay(spark, sf_dir):
+    """Q recomputed the rank-matrix way: per complete user, tie-averaged
+    float ranks of the k counts; tie-adjusted statistic via the standard
+    Σr²-denominator form (the scipy.friedmanchisquare formulation)."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["events_friedman_test"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT user_id, event_type, COUNT(*)
+           FROM '{sf}/events.parquet' GROUP BY 1, 2""",
+    )
+    types = sorted({et for _, et, _ in raw})
+    k = len(types)
+    by_user: dict = {}
+    for u, et, c in raw:
+        by_user.setdefault(u, {})[et] = c
+    complete = {u: d for u, d in by_user.items() if len(d) == k}
+    assert r.n_blocks == len(complete)
+    assert r.n_dropped == len(by_user) - len(complete)
+    assert r.k_treatments == k and r.df == k - 1
+    rank_sums = {et: 0.0 for et in types}
+    sq = 0.0
+    for d in complete.values():
+        vals = sorted(d.values())
+        for et, c in d.items():
+            import bisect
+
+            lo = bisect.bisect_left(vals, c)
+            hi = bisect.bisect_right(vals, c)
+            rnk = (lo + 1 + hi) / 2  # tie-averaged rank
+            rank_sums[et] += rnk
+            sq += rnk * rnk
+    n = len(complete)
+    num = sum((rs - n * (k + 1) / 2) ** 2 for rs in rank_sums.values())
+    den = sq - n * k * (k + 1) ** 2 / 4
+    assert r.q_stat == pytest.approx((k - 1) * num / den, rel=1e-9)
+
+
+def test_brier_decomposition_matches_textbook_replay(spark, sf_dir):
+    """Murphy 1973 decomposition recomputed row-wise: per-user labels and
+    capped score bins in plain python dicts, train-half forecasts, and the
+    DIRECT Brier score (1/N)Σ(f_i − y_i)² — asserting both the reported
+    components and the exactness of BS = REL − RES + UNC."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["events_brier_decomposition"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT user_id,
+                  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END),
+                  SUM(CASE WHEN event_type IN ('view','click') THEN 1 ELSE 0 END)
+           FROM '{sf}/events.parquet' GROUP BY 1""",
+    )
+    train: dict = {}
+    test: dict = {}
+    for u, pur, sc in raw:
+        label = 1 if pur >= 10 else 0
+        from cl_tagger_batch_processing_spark.operators.relational import (
+            BRIER_BIN_CAP,
+        )
+
+        b = min(sc, BRIER_BIN_CAP)
+        side = train if u % 2 == 0 else test
+        pos, n = side.get(b, (0, 0))
+        side[b] = (pos + label, n + 1)
+    p_all = sum(p for p, _ in train.values()) / sum(n for _, n in train.values())
+    n_test = sum(n for _, n in test.values())
+    o_bar = sum(p for p, _ in test.values()) / n_test
+    assert r.n_test == n_test and r.n_bins == len(test)
+    rel = res = bs = 0.0
+    for b, (pos, n) in test.items():
+        f = (train[b][0] / train[b][1]) if train.get(b, (0, 0))[1] > 0 else p_all
+        o = pos / n
+        rel += n * (f - o) ** 2
+        res += n * (o - o_bar) ** 2
+        bs += pos * (f - 1) ** 2 + (n - pos) * f * f
+    unc = o_bar * (1 - o_bar)
+    assert r.reliability == pytest.approx(rel / n_test, abs=1e-8)
+    assert r.resolution == pytest.approx(res / n_test, abs=1e-8)
+    assert r.uncertainty == pytest.approx(unc, abs=1e-9)
+    assert r.brier == pytest.approx(bs / n_test, abs=1e-8)  # Murphy identity
+
+
+def test_r13_constants_in_sync():
+    """r13 shared literals pinned to their oracle text (the r11/r12
+    pattern): the Cliff's-delta magnitude bands and Cochran-Armitage
+    critical value are f-string-injected from the SAME Python constants;
+    the Brier bin cap / split modulus and the shared heavy-purchaser
+    threshold must appear verbatim in the SQL mirror."""
+    from cl_tagger_batch_processing_spark import oracles
+    from cl_tagger_batch_processing_spark.operators import relational
+
+    assert (
+        relational.CLIFFS_NEGLIGIBLE,
+        relational.CLIFFS_SMALL,
+        relational.CLIFFS_MEDIUM,
+    ) == (0.147, 0.33, 0.474)
+    cd = oracles.ORACLE_SQL["events_cliffs_delta"]
+    for lit in [
+        relational.CLIFFS_NEGLIGIBLE,
+        relational.CLIFFS_SMALL,
+        relational.CLIFFS_MEDIUM,
+    ]:
+        assert repr(lit) in cd, lit
+    assert relational.CA_Z_05 == 1.959964
+    assert repr(relational.CA_Z_05) in oracles.ORACLE_SQL["events_cochran_armitage"]
+    br = oracles.ORACLE_SQL["events_brier_decomposition"]
+    assert f"{relational.BRIER_BIN_CAP})" in br
+    assert f"% {relational.BRIER_TRAIN_MOD} = 0" in br
+    assert f">= {relational.AUC_LABEL_MIN_PURCHASES} THEN 1" in br
+    assert relational.WELCH_W_RAIL_LIMIT == 1.0e21
+
+
+def test_wasserstein_pure_shift_synthetic(spark, tmp_path):
+    """A pure +Δ location shift between weekday and weekend with identical
+    shapes must report W1 = Δ exactly (the defining property of the
+    earth-mover distance) — and the degenerate one-sided panel NULLs."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "w1"
+    d.mkdir()
+    rows = []
+    eid = 0
+    # Mon 2024-01-01 (weekday) and Sat 2024-01-06 (weekend): same 20-value
+    # shape, weekend shifted +7.25
+    for i in range(20):
+        eid += 1
+        rows.append((eid, "2024-01-01 10:00:00", 1, "view", 10.0 + i, "{}"))
+        eid += 1
+        rows.append((eid, "2024-01-06 10:00:00", 1, "view", 17.25 + i, "{}"))
+    _write_events(spark, d, rows)
+    r = QUERIES["events_wasserstein_drift"](spark, str(d)).collect()[0]
+    assert (r.n_ref, r.n_act) == (20, 20)
+    assert r.wasserstein_value == pytest.approx(7.25, abs=1e-9)
+
+
+def test_brown_forsythe_detects_synthetic_variance_gap(spark, tmp_path):
+    """A tight group vs a wide group of equal size and equal median must
+    produce a LARGE F (the test's TRUE path); a singleton group drops."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "bf"
+    d.mkdir()
+    rows = []
+    eid = 0
+    for i in range(30):
+        eid += 1
+        rows.append((eid, "2024-01-01 00:00:00", 1, "tight", 100.0 + (i % 3), "{}"))
+        eid += 1
+        rows.append((eid, "2024-01-01 00:00:00", 1, "wide", 100.0 + 10.0 * (i % 7), "{}"))
+    eid += 1
+    rows.append((eid, "2024-01-01 00:00:00", 1, "singleton", 5.0, "{}"))
+    _write_events(spark, d, rows)
+    r = QUERIES["events_brown_forsythe"](spark, str(d)).collect()[0]
+    assert r.k_groups == 2 and r.k_dropped == 1
+    assert r.df1 == 1 and r.df2 == 58
+    assert r.f_stat is not None and r.f_stat > 10
+
+
+def test_cliffs_delta_total_dominance_synthetic(spark, tmp_path):
+    """All view values above all click values must hit δ = +1 exactly and
+    the 'large' magnitude band."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "cd"
+    d.mkdir()
+    rows = []
+    eid = 0
+    for i in range(15):
+        eid += 1
+        rows.append((eid, "2024-01-01 00:00:00", 1, "view", 1000.0 + i, "{}"))
+        eid += 1
+        rows.append((eid, "2024-01-01 00:00:00", 1, "click", 10.0 + i, "{}"))
+    _write_events(spark, d, rows)
+    r = QUERIES["events_cliffs_delta"](spark, str(d)).collect()[0]
+    assert (r.n_a, r.n_b) == (15, 15)
+    assert r.cliffs_delta == pytest.approx(1.0, abs=1e-12)
+    assert r.magnitude == "large"
+
+
+def test_cochran_armitage_detects_synthetic_trend(spark, tmp_path):
+    """Purchase share rising monotonically through the week must reject
+    (the TRUE path of reject_no_trend_05, organically all-false on a
+    no-trend fixture)."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "ca"
+    d.mkdir()
+    # 2024-01-07 is a Sunday (dow 0) .. 2024-01-13 Saturday (dow 6)
+    rows = []
+    eid = 0
+    for dow in range(7):
+        day = f"2024-01-{7 + dow:02d}"
+        for i in range(40):
+            eid += 1
+            et = "purchase" if i < 2 + 5 * dow else "view"
+            rows.append((eid, f"{day} 12:00:00", 1, et, 1.0, "{}"))
+    _write_events(spark, d, rows)
+    r = QUERIES["events_cochran_armitage"](spark, str(d)).collect()[0]
+    assert r.n_total == 280 and r.n_success == sum(2 + 5 * d for d in range(7))
+    assert r.z is not None and r.z > 1.959964
+    assert bool(r.reject_no_trend_05) is True
+
+
+def test_friedman_drops_synthetic_incomplete_block(spark, tmp_path):
+    """A user missing one event type must drop (n_dropped TRUE path —
+    organically zero on the dense fixture) while the complete blocks
+    still produce a finite Q; a consistent type ordering across users
+    must push Q up."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "fr"
+    d.mkdir()
+    rows = []
+    eid = 0
+    # 8 complete users: type_a < type_b < type_c counts in EVERY block
+    for u in range(1, 9):
+        for et, reps in [("type_a", 1), ("type_b", 2 + u % 2), ("type_c", 5 + u)]:
+            for _ in range(reps):
+                eid += 1
+                rows.append((eid, "2024-01-01 00:00:00", u, et, 1.0, "{}"))
+    # one incomplete user: only two of the three types
+    for et in ["type_a", "type_b"]:
+        eid += 1
+        rows.append((eid, "2024-01-01 00:00:00", 99, et, 1.0, "{}"))
+    _write_events(spark, d, rows)
+    r = QUERIES["events_friedman_test"](spark, str(d)).collect()[0]
+    assert r.n_blocks == 8 and r.n_dropped == 1
+    assert r.k_treatments == 3 and r.df == 2
+    # perfectly consistent ordering: Q = n(k-1) = 16 with no ties
+    assert r.q_stat == pytest.approx(16.0, abs=1e-9)

@@ -1238,6 +1238,7 @@ def test_registry_wide_unpartitioned_window_allowlist(spark):
 STATIC_WINDOW_OK = {
     ("relational.py", "_bucket_offsets"): "bucketed-rank spine ≤RANK_BUCKETS",
     ("relational.py", "bucketed_cum_before"): "bucketed-rank spine ≤RANK_BUCKETS",
+    ("relational.py", "bucketed_lead"): "bucketed-rank spine ≤RANK_BUCKETS",
     ("relational.py", "events_path_topk"): "rank window AFTER .limit(k)",
     ("relational.py", "part_abc_classification"): "parts-dimension relation",
     ("relational.py", "events_cusum_drift"): "daily spine",

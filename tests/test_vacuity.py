@@ -182,6 +182,22 @@ ALLOWLIST: dict[tuple[str, str, str], str] = {
         "variance at every scale; the degenerate-group TRUE path is "
         "pinned by test_welch_anova_drops_synthetic_constant_group"
     ),
+    ("events_brown_forsythe", "ALL_ZERO", "k_dropped"): (
+        "honest zero: every fixture event type has n>=2 at every scale; "
+        "the singleton-drop TRUE path is pinned by "
+        "test_brown_forsythe_detects_synthetic_variance_gap"
+    ),
+    ("events_cochran_armitage", "ALL_FALSE", "reject_no_trend_05"): (
+        "honest negative: the fixture's purchase share has no day-of-week "
+        "trend by construction (z = -0.54/-0.94 at sf0.001/sf0.01); the "
+        "monotone-trend TRUE path is pinned by "
+        "test_cochran_armitage_detects_synthetic_trend"
+    ),
+    ("events_friedman_test", "ALL_ZERO", "n_dropped"): (
+        "honest zero: the fixture is dense (every user has every event "
+        "type at every scale — the KM/AUC lesson); the incomplete-block "
+        "TRUE path is pinned by test_friedman_drops_synthetic_incomplete_block"
+    ),
     ("events_page_hinkley", "ALL_NULL", "alarm_day"): (
         "honest negative: the fixture's daily counts are stationary at "
         "every scale (max excursion 26.6/44.9 at sf0.001/sf0.01, under "
