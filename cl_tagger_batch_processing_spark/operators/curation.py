@@ -1015,3 +1015,70 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+def corpus_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration report of the corpus's TOKEN mass across sources —
+    the mixture-governance readout corpus_source_mix's raw shares feed:
+    HHI (Σ share², the antitrust-style concentration index), the Gini
+    coefficient over per-source token totals, and the top-1/top-3 shares.
+    A pre-training mix that drifts toward one domain shows up here before
+    it shows up in eval loss.
+
+    Exactness: per-source token sums are exact integers; the Gini uses
+    the sorted-rank identity G = Σ(2i − k − 1)·x₍i₎ / (k·Σx) with exact
+    DECIMAL(38,0) cross products and ONE double division; HHI terms are
+    9dp-rounded doubles summed on the DECIMAL(28,9) rail over the
+    #sources-row relation. Ranks/top-k come from windows over the
+    per-source aggregate (#sources strata — the corpus_source_mix
+    boundedness class).
+
+    Scale shape: one corpus pass map-side combined to #sources keys;
+    everything after operates on the bounded source spine."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.select("source", F.size(F.split("text", " ")).cast("bigint").alias("t"))
+        .groupBy("source")
+        .agg(F.sum("t").cast("bigint").alias("tokens"))
+    )
+    w_rank = Window.orderBy(F.asc("tokens"), F.asc("source"))
+    ranked = per_source.select(
+        "source",
+        "tokens",
+        F.row_number().over(w_rank).cast("bigint").alias("i"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    rail = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("tokens").cast("bigint").alias("t_all"),
+    )
+    share = F.col("tokens").cast("double") / F.col("t_all").cast("double")
+    agg = ranked.crossJoin(F.broadcast(tot)).agg(
+        F.max("k").alias("n_sources"),
+        F.max("t_all").alias("total_tokens"),
+        F.sum(
+            (F.lit(2) * d38("i") - d38("k") - F.lit(1)) * d38("tokens")
+        ).alias("gini_num"),
+        F.sum(rail(share * share)).cast("double").alias("hhi"),
+        F.sum(F.when(F.col("i") == F.col("k"), F.col("tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("top1"),
+        F.sum(F.when(F.col("i") > F.col("k") - 3, F.col("tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("top3"),
+    )
+    gini = F.when(
+        (F.col("n_sources") >= 1) & (F.col("total_tokens") > 0),
+        F.col("gini_num").cast("double")
+        / (F.col("n_sources").cast("double") * F.col("total_tokens").cast("double")),
+    )
+    td = F.col("total_tokens").cast("double")
+    return agg.select(
+        "n_sources",
+        "total_tokens",
+        F.round(F.col("hhi"), 9).alias("hhi"),
+        F.round(gini, 9).alias("gini"),
+        F.round(F.col("top1").cast("double") / td, 9).alias("top1_share"),
+        F.round(F.col("top3").cast("double") / td, 9).alias("top3_share"),
+    )

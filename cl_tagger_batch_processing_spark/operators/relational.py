@@ -8353,3 +8353,67 @@ def events_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(unc, 9).alias("uncertainty"),
         F.round(rel - res + unc, 9).alias("brier"),
     )
+
+
+# Median-CI normal-approximation critical value (two-sided 95%, the
+# odds-ratio/CA convention). Sync-pinned via the f-string oracle.
+MEDIAN_CI_Z_05 = 1.959964
+
+
+def events_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the MEDIAN event
+    value via order statistics — the uncertainty readout every
+    median-based SLO/report needs and bootstrap does approximately: the
+    binomial argument gives ranks l = ⌊(n − z√n)/2⌋ and u = n + 1 − l
+    (normal approximation, z = 1.959964) such that
+    P(X₍l₎ ≤ median ≤ X₍u₎) ≈ 0.95 with NO distributional assumption.
+
+    Exact evaluation: the median is carried DOUBLED (med2 = v_⌈n/2⌉ +
+    v_⌊n/2⌋₊₁ — even-n midpoints stay exact integer cents, the
+    Brown-Forsythe convention) and all three order statistics (l, u and
+    both middle ranks) are selected in ONE ``bucketed_cum_before`` pass
+    over the per-cents aggregate: a row holds rank k iff
+    prev < k ≤ prev + c. The rank formulas evaluate floor on the same
+    double expression in both engines; clamping to [1, n] keeps tiny
+    panels valid. Division to dollars happens once at the end.
+
+    Scale shape: one corpus pass to distinct cents, one machinery pass,
+    a 1-row fold."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    per_v = (
+        ev.select(cents.alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .transform(truncate_lineage)  # feeds the total, sketch + fold
+    )
+    tot = per_v.agg(F.sum("c").cast("bigint").alias("n"))
+    cum = bucketed_cum_before(per_v, "v", "c", "prev").crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    l_rank = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.floor((nd - F.lit(MEDIAN_CI_Z_05) * F.sqrt(nd)) / F.lit(2.0)).cast(
+            "bigint"
+        ),
+    )
+    u_rank = F.least(F.col("n"), F.col("n") + F.lit(1) - l_rank)
+    m_lo = F.floor((F.col("n") + F.lit(1)) / F.lit(2)).cast("bigint")
+    m_hi = (F.floor(F.col("n") / F.lit(2)) + F.lit(1)).cast("bigint")
+    contains = lambda k: (F.col("prev") < k) & (k <= F.col("prev") + F.col("c"))  # noqa: E731
+    sel = lambda k: F.sum(F.when(contains(k), F.col("v")).otherwise(0))  # noqa: E731
+    agg = cum.agg(
+        F.max("n").alias("n"),
+        F.max(l_rank).alias("rank_lo"),
+        F.max(u_rank).alias("rank_hi"),
+        (sel(m_lo) + sel(m_hi)).alias("med2"),
+        sel(l_rank).alias("v_lo"),
+        sel(u_rank).alias("v_hi"),
+    )
+    return agg.select(
+        "n",
+        F.round(F.col("med2").cast("double") / F.lit(200.0), 9).alias("median"),
+        (F.col("v_lo").cast("double") / F.lit(100.0)).alias("ci_lo"),
+        (F.col("v_hi").cast("double") / F.lit(100.0)).alias("ci_hi"),
+        F.col("rank_lo").cast("bigint").alias("rank_lo"),
+        F.col("rank_hi").cast("bigint").alias("rank_hi"),
+    )

@@ -10210,3 +10210,105 @@ SELECT CAST(n_test AS BIGINT) AS n_test, n_bins,
          AS brier
 FROM folds
 """
+
+
+# Mirrors relational.events_median_ci: one cumulative pass selects the
+# doubled median and both order-statistic CI ranks; rank formulas evaluate
+# the identical floor-of-double expression; one division to dollars.
+from .operators.relational import MEDIAN_CI_Z_05  # noqa: E402
+
+ORACLE_SQL["events_median_ci"] = f"""
+WITH per_v AS (
+  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM per_v),
+cum AS (
+  SELECT v, c,
+         COALESCE(SUM(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev,
+         t.n
+  FROM per_v CROSS JOIN tot t
+),
+ranks AS (
+  SELECT n,
+         GREATEST(CAST(1 AS BIGINT),
+           CAST(FLOOR((CAST(n AS DOUBLE)
+                       - {MEDIAN_CI_Z_05!r} * SQRT(CAST(n AS DOUBLE))) / 2.0)
+                AS BIGINT)) AS rank_lo
+  FROM tot
+),
+agg AS (
+  SELECT MAX(c2.n) AS n,
+         MAX(r.rank_lo) AS rank_lo,
+         MAX(LEAST(c2.n, c2.n + 1 - r.rank_lo)) AS rank_hi,
+         CAST(SUM(CASE WHEN c2.prev < ((c2.n + 1) // 2)
+                        AND ((c2.n + 1) // 2) <= c2.prev + c2.c
+                   THEN c2.v ELSE 0 END)
+              + SUM(CASE WHEN c2.prev < ((c2.n // 2) + 1)
+                          AND ((c2.n // 2) + 1) <= c2.prev + c2.c
+                     THEN c2.v ELSE 0 END) AS BIGINT) AS med2,
+         CAST(SUM(CASE WHEN c2.prev < r.rank_lo
+                        AND r.rank_lo <= c2.prev + c2.c
+                   THEN c2.v ELSE 0 END) AS BIGINT) AS v_lo,
+         CAST(SUM(CASE WHEN c2.prev < LEAST(c2.n, c2.n + 1 - r.rank_lo)
+                        AND LEAST(c2.n, c2.n + 1 - r.rank_lo) <= c2.prev + c2.c
+                   THEN c2.v ELSE 0 END) AS BIGINT) AS v_hi
+  FROM cum c2 CROSS JOIN ranks r
+)
+SELECT n,
+       ROUND(CAST(med2 AS DOUBLE) / 200.0, 9) AS median,
+       CAST(v_lo AS DOUBLE) / 100.0 AS ci_lo,
+       CAST(v_hi AS DOUBLE) / 100.0 AS ci_hi,
+       CAST(rank_lo AS BIGINT) AS rank_lo,
+       CAST(rank_hi AS BIGINT) AS rank_hi
+FROM agg
+"""
+
+# Mirrors curation.corpus_source_concentration: sorted-rank Gini identity
+# with exact HUGEINT cross products, 9dp-railed HHI fold, top-k shares.
+ORACLE_SQL["corpus_source_concentration"] = """
+WITH per_source AS (
+  SELECT source,
+         CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+           AS tokens
+  FROM documents GROUP BY 1
+),
+ranked AS (
+  SELECT source, tokens,
+         CAST(row_number() OVER (ORDER BY tokens ASC, source ASC) AS BIGINT) AS i
+  FROM per_source
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(tokens) AS BIGINT) AS t_all
+  FROM ranked
+),
+agg AS (
+  SELECT MAX(t.k) AS n_sources,
+         MAX(t.t_all) AS total_tokens,
+         SUM((2 * CAST(r.i AS HUGEINT) - CAST(t.k AS HUGEINT) - 1)
+             * CAST(r.tokens AS HUGEINT)) AS gini_num,
+         CAST(SUM(CAST(ROUND(
+           (CAST(r.tokens AS DOUBLE) / CAST(t.t_all AS DOUBLE))
+           * (CAST(r.tokens AS DOUBLE) / CAST(t.t_all AS DOUBLE)), 9)
+           AS DECIMAL(28,9))) AS DOUBLE) AS hhi,
+         CAST(SUM(CASE WHEN r.i = t.k THEN r.tokens ELSE 0 END) AS BIGINT)
+           AS top1,
+         CAST(SUM(CASE WHEN r.i > t.k - 3 THEN r.tokens ELSE 0 END) AS BIGINT)
+           AS top3
+  FROM ranked r CROSS JOIN tot t
+)
+SELECT n_sources, total_tokens,
+       ROUND(hhi, 9) AS hhi,
+       ROUND(CASE WHEN n_sources >= 1 AND total_tokens > 0 THEN
+         CAST(gini_num AS DOUBLE)
+           / (CAST(n_sources AS DOUBLE) * CAST(total_tokens AS DOUBLE))
+       END, 9) AS gini,
+       ROUND(CAST(top1 AS DOUBLE) / CAST(total_tokens AS DOUBLE), 9)
+         AS top1_share,
+       ROUND(CAST(top3 AS DOUBLE) / CAST(total_tokens AS DOUBLE), 9)
+         AS top3_share
+FROM agg
+"""

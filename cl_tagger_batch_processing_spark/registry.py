@@ -599,14 +599,17 @@ register("events_gumbel_daily_max", relational.events_gumbel_daily_max)
 register("text_lexical_diversity", text.text_lexical_diversity)
 register("graph_rich_club", graph.graph_rich_club)
 
-# r13 additions (6 ≤ the 27 first-time rotations): the drift metric that
+# r13 additions (8 ≤ the 27 first-time rotations): the drift metric that
 # reports distance in value units (1-D Wasserstein over the new
 # bucketed_lead machinery), the variance-homogeneity gate Welch ANOVA
 # presupposes (Brown-Forsythe on per-group bucketed medians), the ordinal
 # effect size the MW z is not (Cliff's delta), the one-df directional
 # categorical test (Cochran-Armitage trend), the repeated-measures rank
 # test over matched user blocks (Friedman), and the calibration audit
-# (Murphy's Brier decomposition on a held-out parity split). Each is
+# (Murphy's Brier decomposition on a held-out parity split), the
+# distribution-free order-statistic CI for the median (one cum-machinery
+# pass selects all three order statistics), and the source-concentration
+# report (HHI/Gini/top-k token shares — mixture governance). Each is
 # oracle-backed, textbook-replayed, SCALE/COVERAGE-rowed and
 # vacuity-triaged (house additions discipline).
 register("events_wasserstein_drift", relational.events_wasserstein_drift)
@@ -615,3 +618,5 @@ register("events_cliffs_delta", relational.events_cliffs_delta)
 register("events_cochran_armitage", relational.events_cochran_armitage)
 register("events_friedman_test", relational.events_friedman_test)
 register("events_brier_decomposition", relational.events_brier_decomposition)
+register("events_median_ci", relational.events_median_ci)
+register("corpus_source_concentration", curation.corpus_source_concentration)

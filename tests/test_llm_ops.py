@@ -8316,6 +8316,8 @@ def test_r13_constants_in_sync():
     assert f"{relational.BRIER_BIN_CAP})" in br
     assert f"% {relational.BRIER_TRAIN_MOD} = 0" in br
     assert f">= {relational.AUC_LABEL_MIN_PURCHASES} THEN 1" in br
+    assert relational.MEDIAN_CI_Z_05 == 1.959964
+    assert repr(relational.MEDIAN_CI_Z_05) in oracles.ORACLE_SQL["events_median_ci"]
     assert relational.WELCH_W_RAIL_LIMIT == 1.0e21
 
 
@@ -8437,3 +8439,92 @@ def test_friedman_drops_synthetic_incomplete_block(spark, tmp_path):
     assert r.k_treatments == 3 and r.df == 2
     # perfectly consistent ordering: Q = n(k-1) = 16 with no ties
     assert r.q_stat == pytest.approx(16.0, abs=1e-9)
+
+
+def test_median_ci_matches_textbook_replay(spark, sf_dir):
+    """Median + order-statistic CI recomputed by literally sorting the
+    cents list and indexing: med = (s[(n−1)//2] + s[n//2])/2,
+    l = max(1, ⌊(n − z√n)/2⌋), u = n + 1 − l."""
+    import math
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["events_median_ci"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT CAST(CAST(value AS DECIMAL(12,2))*100 AS BIGINT)
+           FROM '{sf}/events.parquet' WHERE value IS NOT NULL""",
+    )
+    s = sorted(v for (v,) in raw)
+    n = len(s)
+    assert r.n == n
+    med = (s[(n - 1) // 2] + s[n // 2]) / 2
+    assert r.median == pytest.approx(med / 100.0, abs=1e-9)
+    lo = max(1, math.floor((n - 1.959964 * math.sqrt(n)) / 2))
+    hi = min(n, n + 1 - lo)
+    assert (r.rank_lo, r.rank_hi) == (lo, hi)
+    assert r.ci_lo == pytest.approx(s[lo - 1] / 100.0, abs=1e-12)
+    assert r.ci_hi == pytest.approx(s[hi - 1] / 100.0, abs=1e-12)
+    assert r.ci_lo <= r.median <= r.ci_hi
+
+
+def test_median_ci_known_panel_synthetic(spark, tmp_path):
+    """1..100 cents: median 0.505, l = ⌊80.4/2⌋ = 40, u = 61 —
+    the CI is exactly [0.40, 0.61]."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "mci"
+    d.mkdir()
+    rows = [
+        (i, "2024-01-01 00:00:00", 1, "view", i / 100.0, "{}")
+        for i in range(1, 101)
+    ]
+    _write_events(spark, d, rows)
+    r = QUERIES["events_median_ci"](spark, str(d)).collect()[0]
+    assert r.n == 100
+    assert r.median == pytest.approx(0.505, abs=1e-12)
+    assert (r.rank_lo, r.rank_hi) == (40, 61)
+    assert r.ci_lo == pytest.approx(0.40, abs=1e-12)
+    assert r.ci_hi == pytest.approx(0.61, abs=1e-12)
+
+
+def test_source_concentration_matches_textbook_replay(spark, sf_dir):
+    """HHI/Gini/top-k recomputed with plain python over per-source token
+    sums (sorted-list Gini, direct share squares)."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["corpus_source_concentration"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(
+        sf_dir,
+        "SELECT source, text FROM '{sf}/documents.parquet'",
+    )
+    toks: dict = {}
+    for src, text in raw:
+        toks[src] = toks.get(src, 0) + len(text.split(" "))
+    xs = sorted(toks.values())
+    k, t = len(xs), sum(xs)
+    assert (r.n_sources, r.total_tokens) == (k, t)
+    assert r.hhi == pytest.approx(sum((x / t) ** 2 for x in xs), abs=1e-8)
+    gini = sum((2 * (i + 1) - k - 1) * x for i, x in enumerate(xs)) / (k * t)
+    assert r.gini == pytest.approx(gini, abs=1e-9)
+    assert r.top1_share == pytest.approx(xs[-1] / t, abs=1e-9)
+    assert r.top3_share == pytest.approx(sum(xs[-3:]) / t, abs=1e-9)
+
+
+def test_source_concentration_single_source_synthetic(spark, tmp_path):
+    """A one-source corpus is maximal concentration: HHI = 1, Gini = 0,
+    top-1 = top-3 = 1."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "conc"
+    d.mkdir()
+    spark.createDataFrame(
+        [(i, "alpha beta gamma", "en", "only_source", 16) for i in range(10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(d / "documents.parquet"))
+    r = QUERIES["corpus_source_concentration"](spark, str(d)).collect()[0]
+    assert (r.n_sources, r.total_tokens) == (1, 30)
+    assert r.hhi == pytest.approx(1.0, abs=1e-12)
+    assert r.gini == pytest.approx(0.0, abs=1e-12)
+    assert r.top1_share == pytest.approx(1.0, abs=1e-12)
+    assert r.top3_share == pytest.approx(1.0, abs=1e-12)

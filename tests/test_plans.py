@@ -1170,6 +1170,7 @@ UNPARTITIONED_WINDOW_OK = {
     "events_auc_report": "distinct activity counts — bounded by busiest user",
     "corpus_source_mix": "#sources strata",
     "corpus_temperature_mix": "#sources strata",
+    "corpus_source_concentration": "#sources strata",
     "corpus_token_budget": "#source×lang strata",
     "part_abc_classification": "parts-dimension relation (docstring)",
     "text_textrank_keywords": "vocab-cardinality — sublinear; SCALE.md row",
@@ -1263,6 +1264,7 @@ STATIC_WINDOW_OK = {
     ("curation.py", "corpus_source_mix"): "#sources strata",
     ("curation.py", "corpus_token_budget"): "#source×lang strata",
     ("curation.py", "corpus_temperature_mix"): "#sources strata",
+    ("curation.py", "corpus_source_concentration"): "#sources strata",
     ("curation.py", "corpus_weighted_sample"): "rank window AFTER .limit(k)",
     ("graph.py", "graph_common_neighbors"): "rank window AFTER .limit(k)",
     ("graph.py", "graph_adamic_adar"): "rank window AFTER .limit(k)",
