@@ -2038,7 +2038,9 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             (F.col("cohort_ym") / 12).cast("int").alias("cohort_year"),
             (F.col("cohort_ym") % 12 + 1).cast("int").alias("cohort_month"),
-            "month_offset",
+            # BIGINT to match the oracle's int64 (the r13 width-audit rule:
+            # cross-engine int-width splits hash-differ under Arrow)
+            F.col("month_offset").cast("bigint").alias("month_offset"),
             "cohort_customers",
             "n_orders",
             F.col("rev").cast("double").alias("revenue"),

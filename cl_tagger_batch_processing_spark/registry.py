@@ -44,11 +44,22 @@ def _tag_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tag_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tagging.top1_per_category(_tag_scored(spark, sf_dir))
+    from pyspark.sql import functions as F
+
+    # tag_idx widened to BIGINT: the oracle emits int64 and the driver
+    # hashes through Arrow, where an int32-vs-int64 width split is the
+    # same failure class as r12's HUGEINT fails (see tests/test_oracle_types)
+    return tagging.top1_per_category(_tag_scored(spark, sf_dir)).withColumn(
+        "tag_idx", F.col("tag_idx").cast("bigint")
+    )
 
 
 def _tag_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tagging.threshold_select(_tag_scored(spark, sf_dir))
+    from pyspark.sql import functions as F
+
+    return tagging.threshold_select(_tag_scored(spark, sf_dir)).withColumn(
+        "tag_idx", F.col("tag_idx").cast("bigint")
+    )
 
 
 # r8 window refresh: tag_top1_rating_quality / tag_threshold_filter were

@@ -78,6 +78,48 @@ def _rows_multiset(columns, rows):
     return Counter(tuple(_canon(r[i]) for i in order) for r in rows)
 
 
+def _spark_width(dt) -> str:
+    """Broad (kind, width) class of a Spark output type — the granularity
+    the driver's Arrow hasher distinguishes."""
+    s = dt.simpleString()
+    return {
+        "tinyint": "int8", "smallint": "int16", "int": "int32",
+        "bigint": "int64", "float": "float32", "double": "float64",
+        "boolean": "bool", "string": "str", "binary": "bytes",
+        "date": "date", "timestamp": "ts", "timestamp_ntz": "ts",
+    }.get(s, "decimal" if s.startswith("decimal") else s)
+
+
+def _arrow_width(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_int8(t) or pa.types.is_uint8(t):
+        return "int8"
+    if pa.types.is_int16(t) or pa.types.is_uint16(t):
+        return "int16"
+    if pa.types.is_int32(t) or pa.types.is_uint32(t):
+        return "int32"
+    if pa.types.is_int64(t) or pa.types.is_uint64(t):
+        return "int64"
+    if pa.types.is_float32(t):
+        return "float32"
+    if pa.types.is_float64(t):
+        return "float64"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bytes"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    return str(t)
+
+
 def compare_query(spark, name: str, sf_dir: str, query_fn=None, sql: str | None = None):
     """Returns (ok, message)."""
     from cl_tagger_batch_processing_spark.oracles import ORACLE_SQL
@@ -101,6 +143,21 @@ def compare_query(spark, name: str, sf_dir: str, query_fn=None, sql: str | None 
 
     if sorted(spark_cols) != sorted(duck_cols):
         return False, f"schema mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    # Cross-engine WIDTH audit (r13): an int32-on-one-side vs int64-on-the-
+    # other column hashes differently under the driver's Arrow serialization
+    # even when every value matches — the same class as r12's HUGEINT fails.
+    # Zero extra jobs: both schemas are already in hand.
+    sw = {f.name.lower(): _spark_width(f.dataType) for f in sdf.schema.fields}
+    dw = {n.lower(): _arrow_width(f.type) for n, f in zip(tbl.column_names, tbl.schema)}
+    width_bad = {
+        c: (sw[c], dw[c])
+        for c in sw
+        if c in dw and sw[c] != dw[c]
+        # date32 vs date64 never occurs; int-vs-decimal/float and int-width
+        # splits are exactly what we must flag
+    }
+    if width_bad:
+        return False, f"output type-width mismatch (Arrow hash-splits): {width_bad}"
     if len(spark_rows) != len(duck_rows):
         return False, f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
     sm = _rows_multiset(spark_cols, spark_rows)

@@ -80,10 +80,39 @@ def test_harness_reproduces_hugeint_fail(spark):
 
     uncast = "SELECT SUM(r_regionkey) AS n FROM region"
     ok, msg = compare_query(spark, "hugeint_regression", GUARD_SF_DIR, query_fn=q, sql=uncast)
-    assert not ok and "value mismatch" in msg, (
+    # caught by the r13 width audit before the value compare even runs
+    # (int64 vs decimal128); the type-tagged _canon would catch it anyway
+    assert not ok and ("type-width mismatch" in msg or "value mismatch" in msg), (
         f"harness failed to flag the HUGEINT width difference: ok={ok} msg={msg}"
     )
 
     cast = "SELECT CAST(SUM(r_regionkey) AS BIGINT) AS n FROM region"
     ok, msg = compare_query(spark, "hugeint_regression", GUARD_SF_DIR, query_fn=q, sql=cast)
     assert ok, f"cast form should match: {msg}"
+
+
+def test_harness_flags_int_width_split(spark):
+    # r13 width-audit rule: value-identical outputs that differ only in
+    # integer WIDTH across engines (Spark int32 vs DuckDB int64) must fail
+    # the local compare — three such latent splits were found and widened
+    # this round (tag_top1/tag_threshold tag_idx, orders_cohort_ltv
+    # month_offset).
+    import pyspark.sql.functions as F
+
+    def q32(spark, sf_dir):
+        return (
+            spark.read.parquet(f"{sf_dir}/region.parquet")
+            .agg(F.count(F.lit(1)).cast("int").alias("n"))
+        )
+
+    def q64(spark, sf_dir):
+        return (
+            spark.read.parquet(f"{sf_dir}/region.parquet")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+
+    sql64 = "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM region"
+    ok, msg = compare_query(spark, "w", GUARD_SF_DIR, query_fn=q32, sql=sql64)
+    assert not ok and "type-width mismatch" in msg, (ok, msg)
+    ok, msg = compare_query(spark, "w", GUARD_SF_DIR, query_fn=q64, sql=sql64)
+    assert ok, msg
