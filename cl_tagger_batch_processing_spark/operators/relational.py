@@ -8419,3 +8419,166 @@ def events_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank_lo").cast("bigint").alias("rank_lo"),
         F.col("rank_hi").cast("bigint").alias("rank_hi"),
     )
+
+
+# Cohen's d conventional magnitude bands (Cohen 1988) and the two-sided
+# 95% normal critical value for the d CI. Sync-pinned via the f-string
+# oracle (test_r13b_constants_in_sync).
+COHEN_D_SMALL = 0.2
+COHEN_D_MEDIUM = 0.5
+COHEN_D_LARGE = 0.8
+COHEN_D_Z_05 = 1.959964
+
+
+def _view_click_sufficient_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One corpus pass to the 1-row (n, Σcents, Σcents²) sufficient
+    statistics of the view and click value distributions — shared by the
+    parametric two-sample family (Cohen's d, TOST). Squared sums ride
+    DECIMAL(38,0) (exact at any scale: 1e12 rows × 1e8 cents² ≈ 1e20);
+    the Σx² identity is safe because raw values vary (the
+    events_welch_anova convention, NOT the jackknife's near-identical
+    replicates)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    is_a = F.col("event_type") == KS_TYPE_A
+    is_b = F.col("event_type") == KS_TYPE_B
+    return ev.where(F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("bigint").alias("na"),
+        F.sum(F.when(is_b, 1).otherwise(0)).cast("bigint").alias("nb"),
+        F.sum(F.when(is_a, cents).otherwise(0)).cast("bigint").alias("sa"),
+        F.sum(F.when(is_b, cents).otherwise(0)).cast("bigint").alias("sb"),
+        F.sum(F.when(is_a, d38(cents) * d38(cents)).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("ssa"),
+        F.sum(F.when(is_b, d38(cents) * d38(cents)).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("ssb"),
+    )
+
+
+def events_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d standardized mean difference between the view and click
+    value distributions, with the small-sample Hedges' g correction and a
+    normal-approximation 95% CI — the PARAMETRIC effect-size companion to
+    events_cliffs_delta (which is ordinal): pipelines gate on magnitude,
+    not p-values, because at corpus scale every test "rejects".
+
+        d = (m̄_a − m̄_b) / s_p,  s_p² = [(n_a−1)s_a² + (n_b−1)s_b²] / (n_a+n_b−2)
+        g = d·J,  J = 1 − 3/(4(n_a+n_b) − 9)     (Hedges & Olkin 1985)
+        SE(d) = √[(n_a+n_b)/(n_a·n_b) + d²/(2(n_a+n_b−2))]
+
+    Sufficient statistics are exact integers in ONE corpus pass
+    (``_view_click_sufficient_stats``); every division/sqrt happens once
+    in double with the identical expression tree on both engines; the
+    unit (cents vs dollars) cancels inside d. Degenerate inputs (either
+    n < 2, or zero pooled variance) yield NULL d/g/CI on both engines.
+    Magnitude bands are the pinned Cohen (1988) literals.
+
+    Scale shape: one map-side-combined corpus pass to a 1-row fold."""
+    stats = _view_click_sufficient_stats(spark, sf_dir)
+    nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
+    # each mean/variance guarded on its n (ANSI raises on /0 even for
+    # doubles — the events_welch_anova singleton lesson); NULL propagates
+    # identically on both engines
+    ma = F.when(F.col("na") > 0, F.col("sa").cast("double") / nad)
+    mb = F.when(F.col("nb") > 0, F.col("sb").cast("double") / nbd)
+    va = F.when(
+        F.col("na") >= 2,
+        (
+            F.col("ssa").cast("double")
+            - F.col("sa").cast("double") * F.col("sa").cast("double") / nad
+        )
+        / (nad - F.lit(1.0)),
+    )
+    vb = F.when(
+        F.col("nb") >= 2,
+        (
+            F.col("ssb").cast("double")
+            - F.col("sb").cast("double") * F.col("sb").cast("double") / nbd
+        )
+        / (nbd - F.lit(1.0)),
+    )
+    df = nad + nbd - F.lit(2.0)
+    sp = F.sqrt(((nad - F.lit(1.0)) * va + (nbd - F.lit(1.0)) * vb) / df)
+    valid = (F.col("na") >= 2) & (F.col("nb") >= 2)
+    d = F.when(valid & (sp > 0), (ma - mb) / sp)
+    j = F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (nad + nbd) - F.lit(9.0))
+    # guarded like d: n_a·n_b = 0 would be an ANSI double /0
+    se = F.when(
+        valid, F.sqrt((nad + nbd) / (nad * nbd) + d * d / (F.lit(2.0) * df))
+    )
+    mag = (
+        F.when(d.isNull(), F.lit(None).cast("string"))
+        .when(F.abs(d) < F.lit(COHEN_D_SMALL), F.lit("negligible"))
+        .when(F.abs(d) < F.lit(COHEN_D_MEDIUM), F.lit("small"))
+        .when(F.abs(d) < F.lit(COHEN_D_LARGE), F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    return stats.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(F.when(F.col("na") > 0, ma / F.lit(100.0)), 9).alias("mean_a"),
+        F.round(F.when(F.col("nb") > 0, mb / F.lit(100.0)), 9).alias("mean_b"),
+        F.round(F.when(valid, sp / F.lit(100.0)), 9).alias("pooled_sd"),
+        F.round(d, 9).alias("cohens_d"),
+        F.round(d * j, 9).alias("hedges_g"),
+        F.round(d - F.lit(COHEN_D_Z_05) * se, 9).alias("ci_lo"),
+        F.round(d + F.lit(COHEN_D_Z_05) * se, 9).alias("ci_hi"),
+        mag.alias("magnitude"),
+    )
+
+
+# TOST equivalence margin (cents — $10 on the ~$50-mean fixture values)
+# and the one-sided 5% normal critical value. Sync-pinned via the
+# f-string oracle (test_r13b_constants_in_sync).
+TOST_MARGIN_CENTS = 1000
+TOST_Z_05 = 1.644854
+
+
+def events_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-one-sided-tests (TOST) EQUIVALENCE of the view and click mean
+    values within a ±$10 margin — the inverted question every other test
+    in the family cannot ask: "are these two segments the SAME to within
+    a stated tolerance?" (failing to reject a difference test is NOT
+    evidence of equivalence; TOST is the standard fix — Schuirmann 1987).
+
+        z_lower = (Δ + δ)/SE_w   must exceed  +z_{0.05}
+        z_upper = (Δ − δ)/SE_w   must fall below −z_{0.05}
+
+    with Δ = m̄_a − m̄_b and the Welch standard error
+    SE_w = √(s_a²/n_a + s_b²/n_b) (large-sample normal form — at corpus
+    scale the t/z distinction is below double precision). Sufficient
+    statistics are the same exact-integer one-pass fold Cohen's d uses;
+    both z's divide once in double with identical trees. Degenerate
+    inputs (either n < 2 or zero SE) yield NULL z's and NULL verdict.
+
+    Scale shape: one map-side-combined corpus pass to a 1-row fold."""
+    stats = _view_click_sufficient_stats(spark, sf_dir)
+    nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
+    ma = F.col("sa").cast("double") / nad
+    mb = F.col("sb").cast("double") / nbd
+    va = (
+        F.col("ssa").cast("double")
+        - F.col("sa").cast("double") * F.col("sa").cast("double") / nad
+    ) / (nad - F.lit(1.0))
+    vb = (
+        F.col("ssb").cast("double")
+        - F.col("sb").cast("double") * F.col("sb").cast("double") / nbd
+    ) / (nbd - F.lit(1.0))
+    se = F.sqrt(va / nad + vb / nbd)
+    valid = (F.col("na") >= 2) & (F.col("nb") >= 2)
+    diff = ma - mb
+    margin = F.lit(float(TOST_MARGIN_CENTS))
+    z_lo = F.when(valid & (se > 0), (diff + margin) / se)
+    z_hi = F.when(valid & (se > 0), (diff - margin) / se)
+    verdict = F.when(
+        z_lo.isNotNull(),
+        (z_lo > F.lit(TOST_Z_05)) & (z_hi < -F.lit(TOST_Z_05)),
+    )
+    return stats.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(F.when(valid, diff / F.lit(100.0)), 9).alias("mean_diff"),
+        F.round(F.when(valid & (se > 0), se / F.lit(100.0)), 9).alias("se_welch"),
+        (margin / F.lit(100.0)).alias("margin"),
+        F.round(z_lo, 9).alias("z_lower"),
+        F.round(z_hi, 9).alias("z_upper"),
+        verdict.alias("equivalent_05"),
+    )

@@ -10312,3 +10312,143 @@ SELECT n_sources, total_tokens,
          AS top3_share
 FROM agg
 """
+
+# Mirrors relational.events_cohens_d: exact one-pass sufficient statistics
+# (HUGEINT squares internal, BIGINT outputs), identical double expression
+# trees for the pooled sd / d / Hedges J / SE, magnitude bands f-string
+# pinned from the SAME Cohen (1988) literals.
+from .operators.relational import (  # noqa: E402
+    COHEN_D_LARGE,
+    COHEN_D_MEDIUM,
+    COHEN_D_SMALL,
+    COHEN_D_Z_05,
+    TOST_MARGIN_CENTS,
+    TOST_Z_05,
+)
+
+_VC_STATS_SQL = """
+  SELECT CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(SUM(CASE WHEN event_type = 'view'
+                  THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS sa,
+         CAST(SUM(CASE WHEN event_type = 'click'
+                  THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS sb,
+         SUM(CASE WHEN event_type = 'view'
+             THEN CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS HUGEINT)
+                  * CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS HUGEINT)
+             ELSE 0 END) AS ssa,
+         SUM(CASE WHEN event_type = 'click'
+             THEN CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS HUGEINT)
+                  * CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS HUGEINT)
+             ELSE 0 END) AS ssb
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('view', 'click')
+"""
+
+ORACLE_SQL["events_cohens_d"] = f"""
+WITH stats AS ({_VC_STATS_SQL}),
+terms AS (
+  SELECT na, nb,
+         CASE WHEN na > 0
+              THEN CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) END AS ma,
+         CASE WHEN nb > 0
+              THEN CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) END AS mb,
+         CASE WHEN na >= 2 THEN
+           (CAST(ssa AS DOUBLE)
+            - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+             / (CAST(na AS DOUBLE) - 1.0) END AS va,
+         CASE WHEN nb >= 2 THEN
+           (CAST(ssb AS DOUBLE)
+            - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+             / (CAST(nb AS DOUBLE) - 1.0) END AS vb,
+         CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0 AS df,
+         na >= 2 AND nb >= 2 AS valid
+  FROM stats
+),
+folds AS (
+  SELECT na, nb, ma, mb, valid, df,
+         SQRT(((CAST(na AS DOUBLE) - 1.0) * va
+               + (CAST(nb AS DOUBLE) - 1.0) * vb) / df) AS sp
+  FROM terms
+),
+d AS (
+  SELECT na, nb, ma, mb, valid, df, sp,
+         CASE WHEN valid AND sp > 0 THEN (ma - mb) / sp END AS dd
+  FROM folds
+),
+ci AS (
+  SELECT *,
+         1.0 - 3.0 / (4.0 * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) - 9.0)
+           AS j,
+         CASE WHEN valid THEN
+           SQRT((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                + dd * dd / (2.0 * df)) END AS se
+  FROM d
+)
+SELECT na AS n_a, nb AS n_b,
+       ROUND(CASE WHEN na > 0 THEN ma / 100.0 END, 9) AS mean_a,
+       ROUND(CASE WHEN nb > 0 THEN mb / 100.0 END, 9) AS mean_b,
+       ROUND(CASE WHEN valid THEN sp / 100.0 END, 9) AS pooled_sd,
+       ROUND(dd, 9) AS cohens_d,
+       ROUND(dd * j, 9) AS hedges_g,
+       ROUND(dd - {COHEN_D_Z_05!r} * se, 9) AS ci_lo,
+       ROUND(dd + {COHEN_D_Z_05!r} * se, 9) AS ci_hi,
+       CASE WHEN dd IS NULL THEN NULL
+            WHEN ABS(dd) < {COHEN_D_SMALL!r} THEN 'negligible'
+            WHEN ABS(dd) < {COHEN_D_MEDIUM!r} THEN 'small'
+            WHEN ABS(dd) < {COHEN_D_LARGE!r} THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM ci
+"""
+
+# Mirrors relational.events_tost_equivalence: the same exact sufficient
+# statistics, Welch SE and both one-sided z's with identical double
+# trees; margin and critical value f-string pinned.
+ORACLE_SQL["events_tost_equivalence"] = f"""
+WITH stats AS ({_VC_STATS_SQL}),
+terms AS (
+  SELECT na, nb,
+         CASE WHEN na > 0
+              THEN CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) END AS ma,
+         CASE WHEN nb > 0
+              THEN CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) END AS mb,
+         CASE WHEN na >= 2 THEN
+           (CAST(ssa AS DOUBLE)
+            - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+             / (CAST(na AS DOUBLE) - 1.0) END AS va,
+         CASE WHEN nb >= 2 THEN
+           (CAST(ssb AS DOUBLE)
+            - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+             / (CAST(nb AS DOUBLE) - 1.0) END AS vb,
+         na >= 2 AND nb >= 2 AS valid
+  FROM stats
+),
+folds AS (
+  SELECT na, nb, ma, mb, valid,
+         SQRT(va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE)) AS se
+  FROM terms
+),
+zs AS (
+  SELECT na, nb, ma, mb, valid, se,
+         CASE WHEN valid AND se > 0
+              THEN ((ma - mb) + CAST({TOST_MARGIN_CENTS} AS DOUBLE)) / se
+         END AS z_lo,
+         CASE WHEN valid AND se > 0
+              THEN ((ma - mb) - CAST({TOST_MARGIN_CENTS} AS DOUBLE)) / se
+         END AS z_hi
+  FROM folds
+)
+SELECT na AS n_a, nb AS n_b,
+       ROUND(CASE WHEN valid THEN ma - mb END / 100.0, 9) AS mean_diff,
+       ROUND(CASE WHEN valid AND se > 0 THEN se END / 100.0, 9) AS se_welch,
+       CAST({TOST_MARGIN_CENTS} AS DOUBLE) / 100.0 AS margin,
+       ROUND(z_lo, 9) AS z_lower,
+       ROUND(z_hi, 9) AS z_upper,
+       CASE WHEN z_lo IS NOT NULL
+            THEN z_lo > {TOST_Z_05!r} AND z_hi < -{TOST_Z_05!r}
+       END AS equivalent_05
+FROM zs
+"""

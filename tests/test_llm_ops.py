@@ -8528,3 +8528,147 @@ def test_source_concentration_single_source_synthetic(spark, tmp_path):
     assert r.gini == pytest.approx(0.0, abs=1e-12)
     assert r.top1_share == pytest.approx(1.0, abs=1e-12)
     assert r.top3_share == pytest.approx(1.0, abs=1e-12)
+
+
+def test_cohens_d_matches_textbook_replay(spark, sf_dir):
+    """d, g, CI recomputed from raw cents with the plain textbook formulas
+    (statistics.mean/variance — no sufficient-statistic identity)."""
+    import statistics
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["events_cohens_d"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT event_type, CAST(CAST(value AS DECIMAL(12,2))*100 AS BIGINT)
+           FROM '{sf}/events.parquet'
+           WHERE value IS NOT NULL AND event_type IN ('view','click')""",
+    )
+    a = [v for et, v in raw if et == "view"]
+    b = [v for et, v in raw if et == "click"]
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    ma, mb = statistics.mean(a), statistics.mean(b)
+    va, vb = statistics.variance(a), statistics.variance(b)
+    df = len(a) + len(b) - 2
+    sp = (((len(a) - 1) * va + (len(b) - 1) * vb) / df) ** 0.5
+    d = (ma - mb) / sp
+    assert r.mean_a == pytest.approx(ma / 100.0, rel=1e-9)
+    assert r.mean_b == pytest.approx(mb / 100.0, rel=1e-9)
+    assert r.pooled_sd == pytest.approx(sp / 100.0, rel=1e-9)
+    assert r.cohens_d == pytest.approx(d, rel=1e-7, abs=1e-9)
+    j = 1.0 - 3.0 / (4.0 * (len(a) + len(b)) - 9.0)
+    assert r.hedges_g == pytest.approx(d * j, rel=1e-7, abs=1e-9)
+    se = ((len(a) + len(b)) / (len(a) * len(b)) + d * d / (2.0 * df)) ** 0.5
+    assert r.ci_lo == pytest.approx(d - 1.959964 * se, rel=1e-7, abs=1e-9)
+    assert r.ci_hi == pytest.approx(d + 1.959964 * se, rel=1e-7, abs=1e-9)
+    assert r.magnitude == (
+        "negligible" if abs(d) < 0.2
+        else "small" if abs(d) < 0.5 else "medium" if abs(d) < 0.8 else "large"
+    )
+
+
+def test_tost_equivalence_matches_textbook_replay(spark, sf_dir):
+    """Both one-sided Schuirmann z's recomputed with plain float Welch SE;
+    the fixture's ~$50-mean segments must conclude equivalence within the
+    $10 margin (the operator's organic TRUE path)."""
+    import statistics
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["events_tost_equivalence"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT event_type, CAST(CAST(value AS DECIMAL(12,2))*100 AS BIGINT)
+           FROM '{sf}/events.parquet'
+           WHERE value IS NOT NULL AND event_type IN ('view','click')""",
+    )
+    a = [v for et, v in raw if et == "view"]
+    b = [v for et, v in raw if et == "click"]
+    diff = statistics.mean(a) - statistics.mean(b)
+    se = (statistics.variance(a) / len(a) + statistics.variance(b) / len(b)) ** 0.5
+    assert r.mean_diff == pytest.approx(diff / 100.0, rel=1e-9)
+    assert r.se_welch == pytest.approx(se / 100.0, rel=1e-9)
+    assert r.margin == 10.0
+    z_lo, z_hi = (diff + 1000.0) / se, (diff - 1000.0) / se
+    assert r.z_lower == pytest.approx(z_lo, rel=1e-7)
+    assert r.z_upper == pytest.approx(z_hi, rel=1e-7)
+    assert r.equivalent_05 == (z_lo > 1.644854 and z_hi < -1.644854)
+    assert r.equivalent_05 is True  # organic TRUE path on every fixture
+
+
+def test_cohens_d_synthetic_large_effect(spark, tmp_path):
+    """Two unit-variance groups a full pooled-sd*2 apart must land d ≈ 2
+    in the 'large' band with a CI excluding zero."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "cd2"
+    d.mkdir()
+    rows = []
+    eid = 0
+    for i in range(40):
+        eid += 1
+        rows.append((eid, "2024-01-01 00:00:00", 1, "view", 30.0 + (i % 5), "{}"))
+        eid += 1
+        rows.append((eid, "2024-01-01 00:00:00", 1, "click", 10.0 + (i % 5), "{}"))
+    _write_events(spark, d, rows)
+    r = QUERIES["events_cohens_d"](spark, str(d)).collect()[0]
+    assert (r.n_a, r.n_b) == (40, 40)
+    assert r.mean_a == pytest.approx(32.0)
+    assert r.mean_b == pytest.approx(12.0)
+    assert r.magnitude == "large"
+    assert r.ci_lo > 0  # the separation is real, CI excludes zero
+    # textbook check: sd of (i%5)+const is sqrt(2), d = 2000/sqrt(2)/100... in cents
+    import statistics
+
+    sd = statistics.variance([(i % 5) * 100 for i in range(40)]) ** 0.5
+    assert r.cohens_d == pytest.approx(2000.0 / sd, rel=1e-9)
+
+
+def test_tost_rejects_synthetic_inequivalence(spark, tmp_path):
+    """Means $20 apart can never be equivalent within ±$10 — the FALSE
+    path of equivalent_05 (organically TRUE on the fixtures)."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "tost"
+    d.mkdir()
+    rows = []
+    eid = 0
+    for i in range(40):
+        eid += 1
+        rows.append((eid, "2024-01-01 00:00:00", 1, "view", 30.0 + (i % 5), "{}"))
+        eid += 1
+        rows.append((eid, "2024-01-01 00:00:00", 1, "click", 10.0 + (i % 5), "{}"))
+    _write_events(spark, d, rows)
+    r = QUERIES["events_tost_equivalence"](spark, str(d)).collect()[0]
+    assert r.mean_diff == pytest.approx(20.0)
+    assert r.equivalent_05 is False
+    assert r.z_upper > 0  # diff sits ABOVE the upper margin, not inside
+
+
+def test_r13b_constants_in_sync():
+    """r13-continuation shared literals pinned to their oracle text: the
+    Cohen (1988) magnitude bands, the d-CI critical value, the TOST
+    margin and one-sided critical value are f-string-injected from the
+    SAME Python constants."""
+    from cl_tagger_batch_processing_spark import oracles
+    from cl_tagger_batch_processing_spark.operators import relational
+
+    assert (
+        relational.COHEN_D_SMALL,
+        relational.COHEN_D_MEDIUM,
+        relational.COHEN_D_LARGE,
+    ) == (0.2, 0.5, 0.8)
+    cd = oracles.ORACLE_SQL["events_cohens_d"]
+    for lit in [
+        relational.COHEN_D_SMALL,
+        relational.COHEN_D_MEDIUM,
+        relational.COHEN_D_LARGE,
+        relational.COHEN_D_Z_05,
+    ]:
+        assert repr(lit) in cd, lit
+    assert relational.COHEN_D_Z_05 == 1.959964
+    ts = oracles.ORACLE_SQL["events_tost_equivalence"]
+    assert relational.TOST_MARGIN_CENTS == 1000
+    assert f"CAST({relational.TOST_MARGIN_CENTS} AS DOUBLE)" in ts
+    assert relational.TOST_Z_05 == 1.644854
+    assert repr(relational.TOST_Z_05) in ts
