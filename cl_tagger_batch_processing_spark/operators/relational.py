@@ -8582,3 +8582,173 @@ def events_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z_hi, 9).alias("z_upper"),
         verdict.alias("equivalent_05"),
     )
+
+
+def events_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across event types — the k-group location test
+    with the WEAKEST assumptions in the family (Kruskal-Wallis compares
+    rank distributions, Welch/BF compare moments; this one only asks "do
+    the groups straddle the grand median the same way?"), so it is the
+    robust first gate when value distributions are wild.
+
+    The grand median is carried DOUBLED (med2 = v_⌈n/2⌉ + v_⌊n/2⌋₊₁, the
+    events_median_ci selection — both order statistics picked in ONE
+    ``bucketed_cum_before`` pass via the prev<k≤prev+c containment test),
+    so the above/below split (2v > med2, SciPy's ties='below') is exact
+    integer arithmetic. The 2×k chi-square folds k per-type terms
+    (O−E)²/E on the 9dp/DECIMAL(28,9) rail; degenerate splits (all
+    values equal — either margin empty) yield NULL chi2 on both engines.
+
+    Scale shape: one corpus pass to per-(type, cents) counts (the k·|V|
+    relation, checkpointed — feeds the median machinery AND the group
+    fold), one machinery pass, a k-row fold."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    per_tv = (
+        ev.select(F.col("event_type").alias("et"), cents.alias("v"))
+        .groupBy("et", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .transform(truncate_lineage)  # feeds the per-v median AND group agg
+    )
+    per_v = (
+        per_tv.groupBy("v").agg(F.sum("c").cast("bigint").alias("c"))
+        .transform(truncate_lineage)  # feeds the sketch and the fold
+    )
+    tot = per_v.agg(F.sum("c").cast("bigint").alias("n"))
+    cum = bucketed_cum_before(per_v, "v", "c", "prev").crossJoin(F.broadcast(tot))
+    m_lo = F.floor((F.col("n") + F.lit(1)) / F.lit(2)).cast("bigint")
+    m_hi = (F.floor(F.col("n") / F.lit(2)) + F.lit(1)).cast("bigint")
+    contains = lambda k: (F.col("prev") < k) & (k <= F.col("prev") + F.col("c"))  # noqa: E731
+    sel = lambda k: F.sum(F.when(contains(k), F.col("v")).otherwise(0))  # noqa: E731
+    med = cum.agg(
+        F.max("n").alias("n"), (sel(m_lo) + sel(m_hi)).cast("bigint").alias("med2")
+    )
+    groups = (
+        per_tv.crossJoin(F.broadcast(med))
+        .groupBy("et")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_g"),
+            F.sum(F.when(F.lit(2) * F.col("v") > F.col("med2"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("a_g"),
+            F.max("n").alias("n"),
+            F.max("med2").alias("med2"),
+        )
+        .transform(truncate_lineage)  # k rows; feeds the margin AND the fold
+    )
+    margins = groups.agg(
+        F.max("n").alias("n"),
+        F.max("med2").alias("med2"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("a_g").cast("bigint").alias("a_tot"),
+    )
+    j = groups.crossJoin(F.broadcast(margins.drop("n", "med2")))
+    nd = F.col("n_g").cast("double")
+    ad, btd = F.col("a_tot").cast("double"), (F.col("n") - F.col("a_tot")).cast("double")
+    ntd = F.col("n").cast("double")
+    e_a = nd * ad / ntd
+    e_b = nd * btd / ntd
+    oa = F.col("a_g").cast("double")
+    ob = (F.col("n_g") - F.col("a_g")).cast("double")
+    ok = (F.col("a_tot") > 0) & (F.col("a_tot") < F.col("n")) & (F.col("k") >= 2)
+    term = F.when(ok, (oa - e_a) * (oa - e_a) / e_a + (ob - e_b) * (ob - e_b) / e_b)
+    rail = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    folds = j.agg(
+        F.max("n").alias("n_total"),
+        F.max("k").alias("k_groups"),
+        F.max("med2").alias("med2"),
+        F.max("a_tot").alias("n_above"),
+        F.sum(rail(term)).cast("double").alias("chi2_n"),
+    )
+    return folds.select(
+        "n_total",
+        "k_groups",
+        F.round(F.col("med2").cast("double") / F.lit(200.0), 9).alias("grand_median"),
+        F.col("n_above").cast("bigint").alias("n_above"),
+        (F.col("k_groups") - F.lit(1)).cast("bigint").alias("df"),
+        F.round("chi2_n", 9).alias("chi2"),
+    )
+
+
+# Overdispersion two-sided 5% normal critical value (the house z
+# convention). Sync-pinned via the f-string oracle.
+OVERDISP_Z_05 = 1.959964
+
+
+def events_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Poisson overdispersion audit of the DAILY count series —
+    the data-quality readout behind every rate alarm in the family
+    (CUSUM/EWMA/Page-Hinkley assume a stable mean; a dispersion index
+    ≫ 1 says the day-to-day variance is NOT Poisson and those alarms
+    will false-fire): D = s²/m̄ with the chi-square dispersion test
+    z = √(2X) − √(2df−1), X = (n−1)·D (Fisher's approximation).
+
+    Zero days COUNT: the per-type series rides the full calendar spine
+    (global min..max epoch day, the absent-day convention of the daily
+    family). Exactness: the sample variance's numerator n·Σc² − (Σc)²
+    is an exact DECIMAL(38,0) integer, so the dispersion index
+    [n·Σc² − (Σc)²] / ((n−1)·Σc) divides exact integers ONCE in double
+    — no cancellation, no rail needed. Verdict bands use the pinned
+    two-sided 5% z.
+
+    Scale shape: one corpus pass map-side combined to (type, day) keys,
+    a calendar-bounded spine join, a #types-row fold."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    day = (
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000 div 86400")
+        .cast("bigint")
+        .alias("day")
+    )
+    per_td = (
+        ev.select(F.col("event_type").alias("et"), day)
+        .groupBy("et", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .transform(truncate_lineage)  # feeds the range agg AND the spine join
+    )
+    rng = per_td.agg(
+        F.min("day").alias("dmin"), F.max("day").alias("dmax")
+    )
+    types = per_td.select("et").distinct()
+    spine = types.crossJoin(F.broadcast(rng)).select(
+        "et", F.explode(F.sequence(F.col("dmin"), F.col("dmax"))).alias("day")
+    )
+    filled = spine.join(per_td, ["et", "day"], "left").select(
+        "et", F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c")
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = filled.groupBy("et").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(d38(F.col("c")) * d38(F.col("c"))).alias("ss"),
+    )
+    ndd = F.col("n_days").cast("double")
+    num = d38(F.col("n_days")) * F.col("ss") - d38(F.col("s")) * d38(F.col("s"))
+    ok = (F.col("n_days") >= 2) & (F.col("s") > 0)
+    mean = F.when(F.col("n_days") > 0, F.col("s").cast("double") / ndd)
+    var = F.when(
+        F.col("n_days") >= 2,
+        num.cast("double") / (ndd * (ndd - F.lit(1.0))),
+    )
+    disp = F.when(
+        ok,
+        num.cast("double") / ((ndd - F.lit(1.0)) * F.col("s").cast("double")),
+    )
+    x = (ndd - F.lit(1.0)) * disp
+    z = F.sqrt(F.lit(2.0) * x) - F.sqrt(F.lit(2.0) * (ndd - F.lit(1.0)) - F.lit(1.0))
+    verdict = (
+        F.when(z.isNull(), F.lit(None).cast("string"))
+        .when(z > F.lit(OVERDISP_Z_05), F.lit("overdispersed"))
+        .when(z < -F.lit(OVERDISP_Z_05), F.lit("underdispersed"))
+        .otherwise(F.lit("poisson-consistent"))
+    )
+    return g.select(
+        F.col("et").alias("event_type"),
+        "n_days",
+        F.col("s").alias("n_events"),
+        F.round(mean, 9).alias("mean_daily"),
+        F.round(var, 9).alias("var_daily"),
+        F.round(disp, 9).alias("dispersion_index"),
+        F.round(z, 9).alias("z_dispersion"),
+        verdict.alias("verdict"),
+    )

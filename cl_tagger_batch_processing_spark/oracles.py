@@ -10452,3 +10452,160 @@ SELECT na AS n_a, nb AS n_b,
        END AS equivalent_05
 FROM zs
 """
+
+# Mirrors relational.events_mood_median_test: the doubled grand-median
+# selection (the events_median_ci containment idiom), exact integer 2×k
+# margins, chi-square terms on the 9dp/DECIMAL(28,9) rail with identical
+# double expression trees.
+ORACLE_SQL["events_mood_median_test"] = """
+WITH per_tv AS (
+  SELECT event_type AS et,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+per_v AS (SELECT v, CAST(SUM(c) AS BIGINT) AS c FROM per_tv GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM per_v),
+cum AS (
+  SELECT v, c,
+         COALESCE(SUM(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev,
+         t.n
+  FROM per_v CROSS JOIN tot t
+),
+med AS (
+  SELECT MAX(n) AS n,
+         CAST(SUM(CASE WHEN prev < ((n + 1) // 2)
+                        AND ((n + 1) // 2) <= prev + c
+                   THEN v ELSE 0 END)
+              + SUM(CASE WHEN prev < ((n // 2) + 1)
+                          AND ((n // 2) + 1) <= prev + c
+                     THEN v ELSE 0 END) AS BIGINT) AS med2
+  FROM cum
+),
+groups AS (
+  SELECT p.et,
+         CAST(SUM(p.c) AS BIGINT) AS n_g,
+         CAST(SUM(CASE WHEN 2 * p.v > m.med2 THEN p.c ELSE 0 END) AS BIGINT)
+           AS a_g,
+         MAX(m.n) AS n, MAX(m.med2) AS med2
+  FROM per_tv p CROSS JOIN med m
+  GROUP BY 1
+),
+margins AS (
+  SELECT MAX(n) AS n, MAX(med2) AS med2,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(a_g) AS BIGINT) AS a_tot
+  FROM groups
+),
+j AS (
+  SELECT g.et, g.n_g, g.a_g, g.n, g.med2, m.k, m.a_tot
+  FROM groups g CROSS JOIN margins m
+),
+terms AS (
+  SELECT n, med2, k, a_tot,
+         CASE WHEN a_tot > 0 AND a_tot < n AND k >= 2 THEN
+           (CAST(a_g AS DOUBLE)
+            - CAST(n_g AS DOUBLE) * CAST(a_tot AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(a_g AS DOUBLE)
+              - CAST(n_g AS DOUBLE) * CAST(a_tot AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(n_g AS DOUBLE) * CAST(a_tot AS DOUBLE) / CAST(n AS DOUBLE))
+           + (CAST(n_g - a_g AS DOUBLE)
+              - CAST(n_g AS DOUBLE) * CAST(n - a_tot AS DOUBLE)
+                / CAST(n AS DOUBLE))
+             * (CAST(n_g - a_g AS DOUBLE)
+                - CAST(n_g AS DOUBLE) * CAST(n - a_tot AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+             / (CAST(n_g AS DOUBLE) * CAST(n - a_tot AS DOUBLE)
+                / CAST(n AS DOUBLE))
+         END AS term
+  FROM j
+),
+folds AS (
+  SELECT MAX(n) AS n_total, MAX(k) AS k_groups, MAX(med2) AS med2,
+         MAX(a_tot) AS n_above,
+         CAST(SUM(CAST(ROUND(term, 9) AS DECIMAL(28,9))) AS DOUBLE) AS chi2_n
+  FROM terms
+)
+SELECT n_total, k_groups,
+       ROUND(CAST(med2 AS DOUBLE) / 200.0, 9) AS grand_median,
+       CAST(n_above AS BIGINT) AS n_above,
+       CAST(k_groups - 1 AS BIGINT) AS df,
+       ROUND(chi2_n, 9) AS chi2
+FROM folds
+"""
+
+# Mirrors relational.events_overdispersion: full-calendar per-type day
+# spine (zero days count), exact HUGEINT variance numerator n·Σc² − (Σc)²,
+# one double division for the dispersion index, Fisher's √(2X) − √(2df−1)
+# approximation with the pinned two-sided z.
+from .operators.relational import OVERDISP_Z_05  # noqa: E402
+
+ORACLE_SQL["events_overdispersion"] = f"""
+WITH per_td AS (
+  SELECT event_type AS et,
+         CAST((epoch_us(ts) // 1000000) // 86400 AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+rng AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM per_td),
+days AS (
+  SELECT UNNEST(generate_series((SELECT dmin FROM rng),
+                                (SELECT dmax FROM rng))) AS day
+),
+spine AS (
+  SELECT t.et, d.day
+  FROM (SELECT DISTINCT et FROM per_td) t CROSS JOIN days d
+),
+filled AS (
+  SELECT s.et, COALESCE(p.c, 0) AS c
+  FROM spine s LEFT JOIN per_td p ON s.et = p.et AND s.day = p.day
+),
+g AS (
+  SELECT et,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(c) AS BIGINT) AS s,
+         SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS ss
+  FROM filled GROUP BY 1
+),
+terms AS (
+  SELECT et, n_days, s,
+         CAST(n_days AS HUGEINT) * ss
+           - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS num,
+         n_days >= 2 AND s > 0 AS ok
+  FROM g
+),
+folds AS (
+  SELECT et, n_days, s, ok,
+         CASE WHEN n_days > 0
+              THEN CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) END AS mean,
+         CASE WHEN n_days >= 2 THEN
+           CAST(num AS DOUBLE)
+             / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0))
+         END AS var,
+         CASE WHEN ok THEN
+           CAST(num AS DOUBLE)
+             / ((CAST(n_days AS DOUBLE) - 1.0) * CAST(s AS DOUBLE))
+         END AS disp
+  FROM terms
+),
+zs AS (
+  SELECT *,
+         CASE WHEN ok THEN
+           SQRT(2.0 * ((CAST(n_days AS DOUBLE) - 1.0) * disp))
+             - SQRT(2.0 * (CAST(n_days AS DOUBLE) - 1.0) - 1.0)
+         END AS z
+  FROM folds
+)
+SELECT et AS event_type, n_days, s AS n_events,
+       ROUND(mean, 9) AS mean_daily,
+       ROUND(var, 9) AS var_daily,
+       ROUND(disp, 9) AS dispersion_index,
+       ROUND(z, 9) AS z_dispersion,
+       CASE WHEN z IS NULL THEN NULL
+            WHEN z > {OVERDISP_Z_05!r} THEN 'overdispersed'
+            WHEN z < -{OVERDISP_Z_05!r} THEN 'underdispersed'
+            ELSE 'poisson-consistent' END AS verdict
+FROM zs
+"""

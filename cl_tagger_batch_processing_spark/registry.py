@@ -640,3 +640,9 @@ register("corpus_source_concentration", curation.corpus_source_concentration)
 # vacuity-triaged, constants sync-pinned.
 register("events_cohens_d", relational.events_cohens_d)
 register("events_tost_equivalence", relational.events_tost_equivalence)
+# Mood's median test (the weakest-assumption k-group location gate; the
+# median_ci doubled-order-statistic selection feeds an exact 2×k table)
+# and the per-type Poisson overdispersion audit of the daily series
+# (zero days on the calendar spine; exact integer dispersion numerator).
+register("events_mood_median_test", relational.events_mood_median_test)
+register("events_overdispersion", relational.events_overdispersion)

@@ -8672,3 +8672,137 @@ def test_r13b_constants_in_sync():
     assert f"CAST({relational.TOST_MARGIN_CENTS} AS DOUBLE)" in ts
     assert relational.TOST_Z_05 == 1.644854
     assert repr(relational.TOST_Z_05) in ts
+    assert relational.OVERDISP_Z_05 == 1.959964
+    assert (
+        repr(relational.OVERDISP_Z_05)
+        in oracles.ORACLE_SQL["events_overdispersion"]
+    )
+
+
+def test_mood_median_matches_textbook_replay(spark, sf_dir):
+    """Grand median and the 2×k chi-square recomputed from raw cents with
+    plain python (sorted-list median, ties='below' split, direct
+    Σ(O−E)²/E) — no order-statistic machinery."""
+    from collections import defaultdict
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["events_mood_median_test"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT event_type, CAST(CAST(value AS DECIMAL(12,2))*100 AS BIGINT)
+           FROM '{sf}/events.parquet' WHERE value IS NOT NULL""",
+    )
+    allv = sorted(v for _, v in raw)
+    n = len(allv)
+    med2 = allv[(n - 1) // 2] + allv[n // 2]
+    assert r.n_total == n
+    assert r.grand_median == pytest.approx(med2 / 200.0, abs=1e-9)
+    groups = defaultdict(lambda: [0, 0])  # [n_g, a_g]
+    for et, v in raw:
+        groups[et][0] += 1
+        groups[et][1] += 1 if 2 * v > med2 else 0
+    k = len(groups)
+    a_tot = sum(a for _, a in groups.values())
+    assert (r.k_groups, r.n_above, r.df) == (k, a_tot, k - 1)
+    chi2 = 0.0
+    for ng, ag in groups.values():
+        ea, eb = ng * a_tot / n, ng * (n - a_tot) / n
+        chi2 += (ag - ea) ** 2 / ea + ((ng - ag) - eb) ** 2 / eb
+    assert r.chi2 == pytest.approx(chi2, rel=1e-7, abs=1e-9)
+
+
+def test_overdispersion_matches_textbook_replay(spark, sf_dir):
+    """Per-type dispersion index recomputed with statistics.variance over
+    the zero-filled daily series; Fisher z and verdict recomputed with
+    plain floats."""
+    import statistics
+    from collections import defaultdict
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    rows = {
+        r.event_type: r
+        for r in QUERIES["events_overdispersion"](spark, sf_dir).collect()
+    }
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT event_type,
+                  CAST((epoch_us(ts) // 1000000) // 86400 AS BIGINT), COUNT(*)
+           FROM '{sf}/events.parquet' GROUP BY 1, 2""",
+    )
+    dmin = min(d for _, d, _ in raw)
+    dmax = max(d for _, d, _ in raw)
+    per = defaultdict(dict)
+    for et, d, c in raw:
+        per[et][d] = c
+    assert set(rows) == set(per)
+    for et, daymap in per.items():
+        series = [daymap.get(d, 0) for d in range(dmin, dmax + 1)]
+        r = rows[et]
+        assert r.n_days == len(series)
+        assert r.n_events == sum(series)
+        m = statistics.mean(series)
+        v = statistics.variance(series)
+        assert r.mean_daily == pytest.approx(m, rel=1e-9)
+        assert r.var_daily == pytest.approx(v, rel=1e-7)
+        disp = v / m
+        assert r.dispersion_index == pytest.approx(disp, rel=1e-7)
+        x = (len(series) - 1) * disp
+        z = (2 * x) ** 0.5 - (2 * (len(series) - 1) - 1) ** 0.5
+        assert r.z_dispersion == pytest.approx(z, rel=1e-6, abs=1e-9)
+        expect = (
+            "overdispersed" if z > 1.959964
+            else "underdispersed" if z < -1.959964 else "poisson-consistent"
+        )
+        assert r.verdict == expect
+
+
+def test_mood_median_synthetic_separation(spark, tmp_path):
+    """Two groups on opposite sides of the grand median must produce the
+    maximal 2×2 chi-square (= n when the split is perfect)."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "mood"
+    d.mkdir()
+    rows = []
+    eid = 0
+    for i in range(30):
+        eid += 1
+        rows.append((eid, "2024-01-01 00:00:00", 1, "low", 10.0 + i * 0.01, "{}"))
+        eid += 1
+        rows.append((eid, "2024-01-01 00:00:00", 1, "high", 90.0 + i * 0.01, "{}"))
+    _write_events(spark, d, rows)
+    r = QUERIES["events_mood_median_test"](spark, str(d)).collect()[0]
+    assert (r.n_total, r.k_groups, r.df) == (60, 2, 1)
+    assert r.n_above == 30  # exactly the 'high' group sits above
+    assert 10.0 < r.grand_median < 90.0
+    assert r.chi2 == pytest.approx(60.0, abs=1e-9)  # perfect split: chi2 = n
+
+
+def test_overdispersion_synthetic_burst_and_constant(spark, tmp_path):
+    """A type with all events on ONE day of a 10-day calendar must flag
+    overdispersed; a perfectly constant one-per-day type must flag
+    underdispersed (variance 0 ≪ mean)."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "od"
+    d.mkdir()
+    rows = []
+    eid = 0
+    for i in range(10):  # constant: one event every day
+        eid += 1
+        rows.append((eid, f"2024-01-{i+1:02d} 12:00:00", 1, "steady", 1.0, "{}"))
+    for _ in range(200):  # burst: 200 events on day 1 only
+        eid += 1
+        rows.append((eid, "2024-01-01 00:00:00", 1, "bursty", 1.0, "{}"))
+    _write_events(spark, d, rows)
+    rows_out = {
+        r.event_type: r
+        for r in QUERIES["events_overdispersion"](spark, str(d)).collect()
+    }
+    assert rows_out["steady"].n_days == 10
+    assert rows_out["steady"].var_daily == pytest.approx(0.0, abs=1e-12)
+    assert rows_out["steady"].verdict == "underdispersed"
+    assert rows_out["bursty"].dispersion_index > 100
+    assert rows_out["bursty"].verdict == "overdispersed"
