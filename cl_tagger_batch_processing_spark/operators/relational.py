@@ -8752,3 +8752,142 @@ def events_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 9).alias("z_dispersion"),
         verdict.alias("verdict"),
     )
+
+
+# Jonckheere-Terpstra one-sided 5% normal critical value (the ordered
+# alternative is directional). Sync-pinned via the f-string oracle.
+JT_Z_05 = 1.644854
+
+
+def events_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra test of an ORDERED shift in the event-value
+    distribution across the week (groups = day-of-week scores 0=Sun..6=Sat)
+    — the continuous-response counterpart of events_cochran_armitage
+    (binary trend) and the ordered-alternative upgrade of Kruskal-Wallis
+    (which wastes the known ordering): JT = Σ_{g<h} U_gh, far more
+    powerful when the alternative is monotone.
+
+    Exact evaluation: per-(dow, cents) counts pivot into SEVEN weight
+    columns that ride ONE ``bucketed_cum_before`` machinery pass
+    (prev_g = #rows of group g strictly below v), and
+
+        2·U_gh = Σ_v c_h(v) · (2·prev_g(v) + c_g(v))
+
+    is an exact DECIMAL(38,0) integer — the events_cliffs_delta identity
+    summed over the 21 ordered pairs. The tie-corrected null variance
+    (Hollander & Wolfe 6.19) needs Σ t(t−1)(2t+5) / t(t−1)(t−2) / t(t−1)
+    over tied values and the same folds over the 7 group totals — all
+    exact DECIMAL(38,0) (n³-sized, the events_mann_kendall class); the
+    three variance terms multiply their exact factors in DOUBLE (each
+    factor alone can reach ~1e36 — no fixed decimal holds a product,
+    the events_cochran_armitage convention) with identical trees. The z
+    numerator 2·(2JT) − (N² − Σn_g²) stays one exact decimal integer.
+
+    Scale shape: one corpus pass map-side combined to (dow, cents) and
+    pivoted to per-cents rows, one machinery pass, a 1-row fold."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    K = 7
+    per_v = (
+        ev.select((F.dayofweek("ts") - 1).alias("g"), cents.alias("v"))
+        .groupBy("v")
+        .agg(
+            *[
+                F.sum(F.when(F.col("g") == gi, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"c{gi}")
+                for gi in range(K)
+            ]
+        )
+        .transform(truncate_lineage)  # feeds the sketch and the fold
+    )
+    cum = bucketed_cum_before(
+        per_v,
+        "v",
+        [f"c{gi}" for gi in range(K)],
+        [f"p{gi}" for gi in range(K)],
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    two = F.lit(2).cast("decimal(38,0)")
+    # 2·JT: Σ over the 21 ordered (g<h) pairs of c_h·(2·prev_g + c_g)
+    jt_terms = None
+    for h in range(1, K):
+        for g in range(h):
+            t = d38(F.col(f"c{h}")) * (
+                two * d38(F.col(f"p{g}")) + d38(F.col(f"c{g}"))
+            )
+            jt_terms = t if jt_terms is None else jt_terms + t
+    tie_t = None
+    for gi in range(K):
+        c = d38(F.col(f"c{gi}"))
+        tie_t = c if tie_t is None else tie_t + c
+    agg = cum.agg(
+        F.sum(jt_terms).alias("jt2"),
+        F.sum(tie_t * (tie_t - F.lit(1)) * (two * tie_t + F.lit(5))).alias("tt1"),
+        F.sum(tie_t * (tie_t - F.lit(1)) * (tie_t - F.lit(2))).alias("tt2"),
+        F.sum(tie_t * (tie_t - F.lit(1))).alias("tt3"),
+        *[F.sum(f"c{gi}").cast("bigint").alias(f"ng{gi}") for gi in range(K)],
+    )
+    ngs = [d38(F.col(f"ng{gi}")) for gi in range(K)]
+    n_tot = sum(ngs[1:], ngs[0])
+    sumsq = sum((g * g for g in ngs[1:]), ngs[0] * ngs[0])
+    gg1 = sum(
+        (g * (g - F.lit(1)) * (two * g + F.lit(5)) for g in ngs[1:]),
+        ngs[0] * (ngs[0] - F.lit(1)) * (two * ngs[0] + F.lit(5)),
+    )
+    gg2 = sum(
+        (g * (g - F.lit(1)) * (g - F.lit(2)) for g in ngs[1:]),
+        ngs[0] * (ngs[0] - F.lit(1)) * (ngs[0] - F.lit(2)),
+    )
+    gg3 = sum(
+        (g * (g - F.lit(1)) for g in ngs[1:]), ngs[0] * (ngs[0] - F.lit(1))
+    )
+    k_groups = sum(
+        (F.when(F.col(f"ng{gi}") > 0, 1).otherwise(0) for gi in range(1, K)),
+        F.when(F.col("ng0") > 0, 1).otherwise(0),
+    )
+    folds = agg.select(
+        "jt2",
+        "tt1",
+        "tt2",
+        "tt3",
+        n_tot.cast("bigint").alias("n_total"),
+        k_groups.cast("bigint").alias("k_groups"),
+        (n_tot * n_tot - sumsq).alias("m2x2"),  # 2·(2·mean) = N² − Σn_g²
+        (n_tot * (n_tot - F.lit(1)) * (two * n_tot + F.lit(5)) - F.col("tt1"))
+        .alias("a_term"),
+        gg1.alias("gg1"),
+        gg2.alias("gg2"),
+        gg3.alias("gg3"),
+    ).select(
+        "*",
+        (F.col("a_term") - F.col("gg1")).alias("a_full"),
+    )
+    nd = F.col("n_total").cast("double")
+    var = (
+        F.col("a_full").cast("double") / F.lit(72.0)
+        + F.col("gg2").cast("double")
+        * F.col("tt2").cast("double")
+        / (F.lit(36.0) * (nd * (nd - F.lit(1.0)) * (nd - F.lit(2.0))))
+        + F.col("gg3").cast("double")
+        * F.col("tt3").cast("double")
+        / (F.lit(8.0) * (nd * (nd - F.lit(1.0))))
+    )
+    # var guarded on N ≥ 3 (the middle term divides by N(N−1)(N−2); ANSI
+    # raises on /0) — CaseWhen branches evaluate lazily, so the division
+    # never runs on tiny panels; NULL var propagates to NULL z
+    var_g = F.when(F.col("n_total") >= 3, var)
+    z = F.when(
+        var_g > 0,
+        (two * F.col("jt2") - F.col("m2x2")).cast("double")
+        / (F.lit(4.0) * F.sqrt(var_g)),
+    )
+    return folds.select(
+        "n_total",
+        "k_groups",
+        F.col("jt2").cast("double").alias("jt_u2"),
+        (F.col("m2x2").cast("double") / F.lit(2.0)).alias("mean_u2"),
+        F.round(z, 9).alias("z_jt"),
+        F.when(z.isNotNull(), z > F.lit(JT_Z_05)).alias("reject_increasing_05"),
+    )

@@ -10609,3 +10609,115 @@ SELECT et AS event_type, n_days, s AS n_events,
             ELSE 'poisson-consistent' END AS verdict
 FROM zs
 """
+
+# Mirrors relational.events_jonckheere_terpstra: the seven per-dow weight
+# columns ride plain cumulative windows; 2·JT and every variance fold are
+# exact HUGEINT integers (internal only — outputs cast); the three
+# Hollander-Wolfe variance terms multiply exact factors in double with
+# identical trees; one-sided critical value f-string pinned.
+from .operators.relational import JT_Z_05  # noqa: E402
+
+_JT_K = 7
+_JT_CG = ",\n         ".join(
+    f"CAST(SUM(CASE WHEN g = {gi} THEN 1 ELSE 0 END) AS BIGINT) AS c{gi}"
+    for gi in range(_JT_K)
+)
+_JT_PREV = ",\n         ".join(
+    f"COALESCE(SUM(c{gi}) OVER (ORDER BY v "
+    f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p{gi}"
+    for gi in range(_JT_K)
+)
+_JT_TERMS = "\n           + ".join(
+    f"CAST(c{h} AS HUGEINT) * (2 * CAST(p{g} AS HUGEINT) + CAST(c{g} AS HUGEINT))"
+    for h in range(1, _JT_K)
+    for g in range(h)
+)
+_JT_TIE = " + ".join(f"CAST(c{gi} AS HUGEINT)" for gi in range(_JT_K))
+_JT_NG = ",\n         ".join(
+    f"CAST(SUM(c{gi}) AS BIGINT) AS ng{gi}" for gi in range(_JT_K)
+)
+_JT_NTOT = " + ".join(f"CAST(ng{gi} AS HUGEINT)" for gi in range(_JT_K))
+_JT_SUMSQ = " + ".join(
+    f"CAST(ng{gi} AS HUGEINT) * CAST(ng{gi} AS HUGEINT)" for gi in range(_JT_K)
+)
+_JT_GG1 = "\n           + ".join(
+    f"CAST(ng{gi} AS HUGEINT) * (CAST(ng{gi} AS HUGEINT) - 1)"
+    f" * (2 * CAST(ng{gi} AS HUGEINT) + 5)"
+    for gi in range(_JT_K)
+)
+_JT_GG2 = "\n           + ".join(
+    f"CAST(ng{gi} AS HUGEINT) * (CAST(ng{gi} AS HUGEINT) - 1)"
+    f" * (CAST(ng{gi} AS HUGEINT) - 2)"
+    for gi in range(_JT_K)
+)
+_JT_GG3 = " + ".join(
+    f"CAST(ng{gi} AS HUGEINT) * (CAST(ng{gi} AS HUGEINT) - 1)"
+    for gi in range(_JT_K)
+)
+_JT_KG = " + ".join(
+    f"CASE WHEN ng{gi} > 0 THEN 1 ELSE 0 END" for gi in range(_JT_K)
+)
+
+ORACLE_SQL["events_jonckheere_terpstra"] = f"""
+WITH base AS (
+  SELECT dayofweek(ts) AS g,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+per_v AS (
+  SELECT v,
+         {_JT_CG}
+  FROM base GROUP BY 1
+),
+cum AS (
+  SELECT *,
+         {_JT_PREV}
+  FROM per_v
+),
+tied AS (SELECT *, {_JT_TIE} AS t FROM cum),
+agg AS (
+  SELECT SUM({_JT_TERMS}) AS jt2,
+         SUM(t * (t - 1) * (2 * t + 5)) AS tt1,
+         SUM(t * (t - 1) * (t - 2)) AS tt2,
+         SUM(t * (t - 1)) AS tt3,
+         {_JT_NG}
+  FROM tied
+),
+folds AS (
+  SELECT jt2, tt1, tt2, tt3,
+         CAST({_JT_NTOT} AS BIGINT) AS n_total,
+         CAST({_JT_KG} AS BIGINT) AS k_groups,
+         ({_JT_NTOT}) * ({_JT_NTOT}) - ({_JT_SUMSQ}) AS m2x2,
+         ({_JT_NTOT}) * (({_JT_NTOT}) - 1) * (2 * ({_JT_NTOT}) + 5) - tt1
+           - ({_JT_GG1}) AS a_full,
+         {_JT_GG2} AS gg2,
+         {_JT_GG3} AS gg3
+  FROM agg
+),
+vz AS (
+  SELECT *,
+         CASE WHEN n_total >= 3 THEN
+           CAST(a_full AS DOUBLE) / 72.0
+           + CAST(gg2 AS DOUBLE) * CAST(tt2 AS DOUBLE)
+             / (36.0 * (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) - 1.0)
+                        * (CAST(n_total AS DOUBLE) - 2.0)))
+           + CAST(gg3 AS DOUBLE) * CAST(tt3 AS DOUBLE)
+             / (8.0 * (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) - 1.0)))
+         END AS var_g
+  FROM folds
+),
+zs AS (
+  SELECT *,
+         CASE WHEN var_g > 0 THEN
+           CAST(2 * jt2 - m2x2 AS DOUBLE) / (4.0 * SQRT(var_g))
+         END AS z
+  FROM vz
+)
+SELECT n_total, k_groups,
+       CAST(jt2 AS DOUBLE) AS jt_u2,
+       CAST(m2x2 AS DOUBLE) / 2.0 AS mean_u2,
+       ROUND(z, 9) AS z_jt,
+       CASE WHEN z IS NOT NULL THEN z > {JT_Z_05!r} END
+         AS reject_increasing_05
+FROM zs
+"""

@@ -646,3 +646,8 @@ register("events_tost_equivalence", relational.events_tost_equivalence)
 # (zero days on the calendar spine; exact integer dispersion numerator).
 register("events_mood_median_test", relational.events_mood_median_test)
 register("events_overdispersion", relational.events_overdispersion)
+# Jonckheere-Terpstra ordered-alternative test (the continuous-response
+# counterpart of Cochran-Armitage; seven dow weight columns ride ONE
+# bucketed_cum_before machinery pass; tie-corrected Hollander-Wolfe null
+# variance from exact DECIMAL(38,0) folds).
+register("events_jonckheere_terpstra", relational.events_jonckheere_terpstra)

@@ -8677,6 +8677,11 @@ def test_r13b_constants_in_sync():
         repr(relational.OVERDISP_Z_05)
         in oracles.ORACLE_SQL["events_overdispersion"]
     )
+    assert relational.JT_Z_05 == 1.644854
+    assert (
+        repr(relational.JT_Z_05)
+        in oracles.ORACLE_SQL["events_jonckheere_terpstra"]
+    )
 
 
 def test_mood_median_matches_textbook_replay(spark, sf_dir):
@@ -8806,3 +8811,85 @@ def test_overdispersion_synthetic_burst_and_constant(spark, tmp_path):
     assert rows_out["steady"].verdict == "underdispersed"
     assert rows_out["bursty"].dispersion_index > 100
     assert rows_out["bursty"].verdict == "overdispersed"
+
+
+def test_jonckheere_terpstra_matches_bruteforce(spark, sf_dir):
+    """2·JT recomputed as the literal pairwise definition over (dow, cents)
+    cells (Σ_{g<h} counts of strictly-less plus half the ties), and the
+    Hollander-Wolfe tie-corrected variance from plain python ints."""
+    from collections import Counter
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["events_jonckheere_terpstra"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT dayofweek(ts), CAST(CAST(value AS DECIMAL(12,2))*100 AS BIGINT)
+           FROM '{sf}/events.parquet' WHERE value IS NOT NULL""",
+    )
+    cells = Counter(raw)  # (g, v) -> count
+    jt2 = 0
+    for (g1, v1), c1 in cells.items():
+        for (g2, v2), c2 in cells.items():
+            if g1 < g2:
+                if v1 < v2:
+                    jt2 += 2 * c1 * c2
+                elif v1 == v2:
+                    jt2 += c1 * c2
+    assert r.jt_u2 == jt2
+    ng = Counter()
+    tv = Counter()
+    for (g, v), c in cells.items():
+        ng[g] += c
+        tv[v] += c
+    n = sum(ng.values())
+    assert r.n_total == n
+    assert r.k_groups == len(ng)
+    assert r.mean_u2 == (n * n - sum(x * x for x in ng.values())) / 2
+    tt1 = sum(t * (t - 1) * (2 * t + 5) for t in tv.values())
+    tt2 = sum(t * (t - 1) * (t - 2) for t in tv.values())
+    tt3 = sum(t * (t - 1) for t in tv.values())
+    gg1 = sum(x * (x - 1) * (2 * x + 5) for x in ng.values())
+    gg2 = sum(x * (x - 1) * (x - 2) for x in ng.values())
+    gg3 = sum(x * (x - 1) for x in ng.values())
+    var = (
+        (n * (n - 1) * (2 * n + 5) - gg1 - tt1) / 72.0
+        + gg2 * tt2 / (36.0 * n * (n - 1) * (n - 2))
+        + gg3 * tt3 / (8.0 * n * (n - 1))
+    )
+    z = (2 * jt2 - (n * n - sum(x * x for x in ng.values()))) / (4.0 * var**0.5)
+    assert r.z_jt == pytest.approx(z, rel=1e-7, abs=1e-9)
+    assert r.reject_increasing_05 == (z > 1.644854)
+
+
+def test_jonckheere_detects_synthetic_ordered_shift(spark, tmp_path):
+    """Values rising strictly with day-of-week must reject the no-trend
+    null one-sided (the TRUE path of reject_increasing_05, organically
+    all-false on the no-trend fixture)."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "jt"
+    d.mkdir()
+    # 2024-01-07 is a Sunday (dow score 0) .. 2024-01-13 Saturday (6)
+    rows = []
+    eid = 0
+    for dow in range(7):
+        for i in range(12):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    f"2024-01-{7+dow:02d} 10:00:00",
+                    1,
+                    "view",
+                    10.0 * (dow + 1) + i * 0.25,
+                    "{}",
+                )
+            )
+    _write_events(spark, d, rows)
+    r = QUERIES["events_jonckheere_terpstra"](spark, str(d)).collect()[0]
+    assert (r.n_total, r.k_groups) == (84, 7)
+    # perfectly ordered: every cross-group pair concordant, 2JT = 2*max
+    assert r.jt_u2 == 2 * sum(12 * 12 for h in range(1, 7) for g in range(h))
+    assert r.z_jt > 5
+    assert r.reject_increasing_05 is True

@@ -193,6 +193,12 @@ ALLOWLIST: dict[tuple[str, str, str], str] = {
         "monotone-trend TRUE path is pinned by "
         "test_cochran_armitage_detects_synthetic_trend"
     ),
+    ("events_jonckheere_terpstra", "ALL_FALSE", "reject_increasing_05"): (
+        "honest negative: the fixture's value distribution has no "
+        "day-of-week ordering by construction (z = +0.37 at sf0.01); the "
+        "ordered-shift TRUE path is pinned by "
+        "test_jonckheere_detects_synthetic_ordered_shift"
+    ),
     ("events_friedman_test", "ALL_ZERO", "n_dropped"): (
         "honest zero: the fixture is dense (every user has every event "
         "type at every scale — the KM/AUC lesson); the incomplete-block "
