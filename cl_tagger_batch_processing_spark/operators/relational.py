@@ -8891,3 +8891,178 @@ def events_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 9).alias("z_jt"),
         F.when(z.isNotNull(), z > F.lit(JT_Z_05)).alias("reject_increasing_05"),
     )
+
+
+# Bland-Altman limits-of-agreement multiplier (two-sided 95%, the house
+# z convention). Sync-pinned via the f-string oracle.
+BLAND_ALTMAN_Z_05 = 1.959964
+
+
+def _daily_view_click_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled (day, n_view, n_click) over the FULL event calendar
+    (global min..max epoch day across ALL event types — the observation
+    window, matching events_overdispersion's absent-day convention).
+    Shared by the paired-daily-series family (Bland-Altman, Kendall
+    tau-b). One map-side-combined corpus pass + a calendar-bounded spine."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    day = (
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000 div 86400")
+        .cast("bigint")
+        .alias("day")
+    )
+    per_d = (
+        ev.select(day, "event_type")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0))
+            .cast("bigint")
+            .alias("nv"),
+            F.sum(F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0))
+            .cast("bigint")
+            .alias("nc"),
+        )
+        .transform(truncate_lineage)  # feeds the range agg AND the spine join
+    )
+    rng = per_d.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    spine = rng.select(
+        F.explode(F.sequence(F.col("dmin"), F.col("dmax"))).alias("day")
+    )
+    return spine.join(per_d, "day", "left").select(
+        "day",
+        F.coalesce(F.col("nv"), F.lit(0)).cast("bigint").alias("nv"),
+        F.coalesce(F.col("nc"), F.lit(0)).cast("bigint").alias("nc"),
+    )
+
+
+def events_bland_altman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bland-Altman agreement analysis between the daily view and click
+    count series — the method-comparison readout correlation deliberately
+    is not (two instruments can correlate at 0.99 and still disagree by a
+    constant bias): bias = mean(d_t), limits of agreement bias ± 1.96·sd,
+    and the share of days OUTSIDE the limits.
+
+    Exactness: d_t = views_t − clicks_t is an exact integer on the
+    zero-filled calendar spine; the sd numerator n·Σd² − (Σd)² is an
+    exact DECIMAL(38,0) integer (the events_overdispersion identity — no
+    cancellation, no rail); bias/sd/limits divide once in double, and
+    the outside-count compares each day against the broadcast 1-row
+    stats in exact-vs-double form identically on both engines.
+
+    Scale shape: one corpus pass, a calendar-bounded spine, a 1-row
+    stats fold broadcast back over the day spine, a 1-row fold."""
+    daily = _daily_view_click_counts(spark, sf_dir).select(
+        "day", (F.col("nv") - F.col("nc")).alias("d")
+    ).transform(truncate_lineage)  # feeds the stats fold AND the outside scan
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("d").cast("bigint").alias("sd_sum"),
+        F.sum(d38(F.col("d")) * d38(F.col("d"))).alias("ssd"),
+    )
+    ndd = F.col("n_days").cast("double")
+    num = d38(F.col("n_days")) * F.col("ssd") - d38(F.col("sd_sum")) * d38(
+        F.col("sd_sum")
+    )
+    bias = F.when(F.col("n_days") > 0, F.col("sd_sum").cast("double") / ndd)
+    sd = F.when(
+        F.col("n_days") >= 2,
+        F.sqrt(num.cast("double") / (ndd * (ndd - F.lit(1.0)))),
+    )
+    z = F.lit(BLAND_ALTMAN_Z_05)
+    enriched = stats.select(
+        "n_days",
+        bias.alias("bias"),
+        sd.alias("sd"),
+        (bias - z * sd).alias("lo"),
+        (bias + z * sd).alias("hi"),
+    )
+    outside = (
+        daily.crossJoin(F.broadcast(enriched))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("d").cast("double") < F.col("lo"))
+                    | (F.col("d").cast("double") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outside"),
+            F.max("n_days").alias("n_days"),
+            F.max("bias").alias("bias"),
+            F.max("sd").alias("sd"),
+            F.max("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+        )
+    )
+    return outside.select(
+        "n_days",
+        F.round("bias", 9).alias("bias"),
+        F.round("sd", 9).alias("sd_diff"),
+        F.round("lo", 9).alias("loa_lo"),
+        F.round("hi", 9).alias("loa_hi"),
+        "n_outside",
+        F.round(
+            F.when(
+                F.col("n_days") > 0,
+                F.col("n_outside").cast("double") / F.col("n_days").cast("double"),
+            ),
+            9,
+        ).alias("pct_outside"),
+    )
+
+
+def events_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b rank correlation between the daily view and click
+    count series — the pairwise-concordance association readout beside
+    events_spearman_corr (per-user, rank-Pearson) and events_mann_kendall
+    (one series vs time): tau-b tie-corrects BOTH margins,
+
+        τ_b = S / √[(P − T_x)(P − T_y)],  S = Σ_{i<j} sgn(Δv)·sgn(Δc)
+
+    Exactness: S, the pair count P = n(n−1)/2 and both tie counts are
+    exact integer sums over the day-pair frame; τ divides once in double
+    with the identical √·√ tree on both engines. Degenerate margins (a
+    constant series — P = T) yield NULL τ.
+
+    Scale shape: the events_mann_kendall pair stage — a broadcast
+    nested-loop self-join of the per-DAY aggregate, days²/2 pairs, FIXED
+    by the calendar and independent of corpus row count."""
+    daily = _daily_view_click_counts(spark, sf_dir).transform(truncate_lineage)
+    a = daily.select(
+        F.col("day").alias("d1"), F.col("nv").alias("v1"), F.col("nc").alias("c1")
+    )
+    b = daily.select(
+        F.col("day").alias("d2"), F.col("nv").alias("v2"), F.col("nc").alias("c2")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).where(F.col("d2") > F.col("d1"))
+    agg = pairs.agg(
+        F.sum(
+            (
+                F.signum((F.col("v2") - F.col("v1")).cast("double"))
+                * F.signum((F.col("c2") - F.col("c1")).cast("double"))
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("v1") == F.col("v2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ties_x"),
+        F.sum(F.when(F.col("c1") == F.col("c2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ties_y"),
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    j = agg.crossJoin(F.broadcast(n_days))
+    px = (F.col("n_pairs") - F.col("ties_x")).cast("double")
+    py = (F.col("n_pairs") - F.col("ties_y")).cast("double")
+    tau = F.when(
+        (F.col("n_pairs") > F.col("ties_x")) & (F.col("n_pairs") > F.col("ties_y")),
+        F.col("s").cast("double") / (F.sqrt(px) * F.sqrt(py)),
+    )
+    return j.select(
+        "n_days", "n_pairs", "s", "ties_x", "ties_y",
+        F.round(tau, 9).alias("tau_b"),
+    )

@@ -10721,3 +10721,104 @@ SELECT n_total, k_groups,
          AS reject_increasing_05
 FROM zs
 """
+
+# Mirrors relational._daily_view_click_counts consumers: zero-filled
+# view/click daily series on the full event calendar; Bland-Altman stats
+# from the exact HUGEINT variance numerator; Kendall tau-b over the
+# day-pair frame with identical double trees.
+from .operators.relational import BLAND_ALTMAN_Z_05  # noqa: E402
+
+_DAILY_VC_SQL = """
+per_d AS (
+  SELECT CAST((epoch_us(ts) // 1000000) // 86400 AS BIGINT) AS day,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+           AS nv,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+           AS nc
+  FROM events GROUP BY 1
+),
+rng AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM per_d),
+spine AS (
+  SELECT UNNEST(generate_series((SELECT dmin FROM rng),
+                                (SELECT dmax FROM rng))) AS day
+),
+daily AS (
+  SELECT s.day,
+         COALESCE(p.nv, 0) AS nv,
+         COALESCE(p.nc, 0) AS nc
+  FROM spine s LEFT JOIN per_d p ON s.day = p.day
+)
+"""
+
+ORACLE_SQL["events_bland_altman_daily"] = f"""
+WITH {_DAILY_VC_SQL},
+diffs AS (SELECT day, nv - nc AS d FROM daily),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(d) AS BIGINT) AS sd_sum,
+         SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS ssd
+  FROM diffs
+),
+enriched AS (
+  SELECT n_days,
+         CASE WHEN n_days > 0
+              THEN CAST(sd_sum AS DOUBLE) / CAST(n_days AS DOUBLE) END AS bias,
+         CASE WHEN n_days >= 2 THEN
+           SQRT(CAST(CAST(n_days AS HUGEINT) * ssd
+                     - CAST(sd_sum AS HUGEINT) * CAST(sd_sum AS HUGEINT)
+                     AS DOUBLE)
+                / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)))
+         END AS sd
+  FROM stats
+),
+lims AS (
+  SELECT n_days, bias, sd,
+         bias - {BLAND_ALTMAN_Z_05!r} * sd AS lo,
+         bias + {BLAND_ALTMAN_Z_05!r} * sd AS hi
+  FROM enriched
+),
+outside AS (
+  SELECT CAST(SUM(CASE WHEN CAST(d.d AS DOUBLE) < l.lo
+                         OR CAST(d.d AS DOUBLE) > l.hi
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_outside,
+         MAX(l.n_days) AS n_days, MAX(l.bias) AS bias, MAX(l.sd) AS sd,
+         MAX(l.lo) AS lo, MAX(l.hi) AS hi
+  FROM diffs d CROSS JOIN lims l
+)
+SELECT n_days,
+       ROUND(bias, 9) AS bias,
+       ROUND(sd, 9) AS sd_diff,
+       ROUND(lo, 9) AS loa_lo,
+       ROUND(hi, 9) AS loa_hi,
+       n_outside,
+       ROUND(CASE WHEN n_days > 0
+             THEN CAST(n_outside AS DOUBLE) / CAST(n_days AS DOUBLE) END, 9)
+         AS pct_outside
+FROM outside
+"""
+
+ORACLE_SQL["events_kendall_tau_daily"] = f"""
+WITH {_DAILY_VC_SQL},
+pairs AS (
+  SELECT a.nv AS v1, a.nc AS c1, b.nv AS v2, b.nc AS c2
+  FROM daily a JOIN daily b ON b.day > a.day
+),
+agg AS (
+  SELECT CAST(SUM(CAST(SIGN(CAST(v2 - v1 AS DOUBLE))
+                       * SIGN(CAST(c2 - c1 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+           AS s,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN v1 = v2 THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+         CAST(SUM(CASE WHEN c1 = c2 THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
+  FROM pairs
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+j AS (SELECT a.*, n.n_days FROM agg a CROSS JOIN nd n)
+SELECT n_days, n_pairs, s, ties_x, ties_y,
+       ROUND(CASE WHEN n_pairs > ties_x AND n_pairs > ties_y THEN
+         CAST(s AS DOUBLE)
+           / (SQRT(CAST(n_pairs - ties_x AS DOUBLE))
+              * SQRT(CAST(n_pairs - ties_y AS DOUBLE)))
+       END, 9) AS tau_b
+FROM j
+"""

@@ -651,3 +651,8 @@ register("events_overdispersion", relational.events_overdispersion)
 # bucketed_cum_before machinery pass; tie-corrected Hollander-Wolfe null
 # variance from exact DECIMAL(38,0) folds).
 register("events_jonckheere_terpstra", relational.events_jonckheere_terpstra)
+# The paired-daily-series family on the shared zero-filled view/click
+# spine: Bland-Altman agreement (bias, limits, outside share) and
+# Kendall's tau-b (tie-corrected pairwise concordance on BOTH margins).
+register("events_bland_altman_daily", relational.events_bland_altman_daily)
+register("events_kendall_tau_daily", relational.events_kendall_tau_daily)

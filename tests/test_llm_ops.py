@@ -8682,6 +8682,11 @@ def test_r13b_constants_in_sync():
         repr(relational.JT_Z_05)
         in oracles.ORACLE_SQL["events_jonckheere_terpstra"]
     )
+    assert relational.BLAND_ALTMAN_Z_05 == 1.959964
+    assert (
+        repr(relational.BLAND_ALTMAN_Z_05)
+        in oracles.ORACLE_SQL["events_bland_altman_daily"]
+    )
 
 
 def test_mood_median_matches_textbook_replay(spark, sf_dir):
@@ -8893,3 +8898,109 @@ def test_jonckheere_detects_synthetic_ordered_shift(spark, tmp_path):
     assert r.jt_u2 == 2 * sum(12 * 12 for h in range(1, 7) for g in range(h))
     assert r.z_jt > 5
     assert r.reject_increasing_05 is True
+
+
+def _daily_vc_replay(sf_dir):
+    rows = _duck_rows(
+        sf_dir,
+        """SELECT CAST((epoch_us(ts)//1000000)//86400 AS BIGINT),
+                  SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END),
+                  SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END)
+           FROM '{sf}/events.parquet' GROUP BY 1""",
+    )
+    bymap = {d: (v, c) for d, v, c in rows}
+    dmin, dmax = min(bymap), max(bymap)
+    return [bymap.get(d, (0, 0)) for d in range(dmin, dmax + 1)]
+
+
+def test_bland_altman_matches_textbook_replay(spark, sf_dir):
+    """bias/sd/limits/outside-share recomputed with statistics.mean/stdev
+    over the zero-filled daily differences."""
+    import statistics
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["events_bland_altman_daily"](spark, sf_dir).collect()[0]
+    series = _daily_vc_replay(sf_dir)
+    d = [v - c for v, c in series]
+    assert r.n_days == len(d)
+    bias, sd = statistics.mean(d), statistics.stdev(d)
+    assert r.bias == pytest.approx(bias, rel=1e-9)
+    assert r.sd_diff == pytest.approx(sd, rel=1e-9)
+    lo, hi = bias - 1.959964 * sd, bias + 1.959964 * sd
+    assert r.loa_lo == pytest.approx(lo, rel=1e-9)
+    assert r.loa_hi == pytest.approx(hi, rel=1e-9)
+    n_out = sum(1 for x in d if x < lo or x > hi)
+    assert r.n_outside == n_out
+    assert r.pct_outside == pytest.approx(n_out / len(d), abs=1e-9)
+
+
+def test_kendall_tau_daily_matches_bruteforce(spark, sf_dir):
+    """tau-b recomputed as the literal O(n²) pairwise definition."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["events_kendall_tau_daily"](spark, sf_dir).collect()[0]
+    series = _daily_vc_replay(sf_dir)
+    n = len(series)
+    assert (r.n_days, r.n_pairs) == (n, n * (n - 1) // 2)
+    s = tx = ty = 0
+    for i in range(n):
+        for k in range(i + 1, n):
+            dv = series[k][0] - series[i][0]
+            dc = series[k][1] - series[i][1]
+            sv = (dv > 0) - (dv < 0)
+            sc = (dc > 0) - (dc < 0)
+            s += sv * sc
+            tx += dv == 0
+            ty += dc == 0
+    assert (r.s, r.ties_x, r.ties_y) == (s, tx, ty)
+    npairs = n * (n - 1) // 2
+    tau = s / (((npairs - tx) ** 0.5) * ((npairs - ty) ** 0.5))
+    assert r.tau_b == pytest.approx(tau, abs=1e-9)  # output is 9dp-rounded
+
+
+def test_bland_altman_perfect_agreement_synthetic(spark, tmp_path):
+    """A constant daily difference is PERFECT agreement: sd = 0, limits
+    collapse onto the bias, zero days outside."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "ba"
+    d.mkdir()
+    rows = []
+    eid = 0
+    for day in range(1, 11):  # every day: 3 views, 1 click -> d = 2
+        for _ in range(3):
+            eid += 1
+            rows.append((eid, f"2024-01-{day:02d} 08:00:00", 1, "view", 1.0, "{}"))
+        eid += 1
+        rows.append((eid, f"2024-01-{day:02d} 09:00:00", 1, "click", 1.0, "{}"))
+    _write_events(spark, d, rows)
+    r = QUERIES["events_bland_altman_daily"](spark, str(d)).collect()[0]
+    assert r.n_days == 10
+    assert r.bias == pytest.approx(2.0, abs=1e-12)
+    assert r.sd_diff == pytest.approx(0.0, abs=1e-12)
+    assert r.loa_lo == pytest.approx(2.0, abs=1e-12)
+    assert r.loa_hi == pytest.approx(2.0, abs=1e-12)
+    assert (r.n_outside, r.pct_outside) == (0, 0.0)
+
+
+def test_kendall_tau_perfectly_concordant_synthetic(spark, tmp_path):
+    """Strictly co-monotone tie-free daily series must hit tau_b = +1."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "kt"
+    d.mkdir()
+    rows = []
+    eid = 0
+    for day in range(1, 9):  # day k: k views, 2k clicks -> both strictly rise
+        for _ in range(day):
+            eid += 1
+            rows.append((eid, f"2024-01-{day:02d} 08:00:00", 1, "view", 1.0, "{}"))
+        for _ in range(2 * day):
+            eid += 1
+            rows.append((eid, f"2024-01-{day:02d} 09:00:00", 1, "click", 1.0, "{}"))
+    _write_events(spark, d, rows)
+    r = QUERIES["events_kendall_tau_daily"](spark, str(d)).collect()[0]
+    assert (r.n_days, r.ties_x, r.ties_y) == (8, 0, 0)
+    assert r.s == 28  # all C(8,2) pairs concordant
+    assert r.tau_b == pytest.approx(1.0, abs=1e-12)
