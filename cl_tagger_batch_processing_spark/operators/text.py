@@ -2484,3 +2484,194 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(yule, 9).alias("yule_k"),
         F.round(simpson, 9).alias("simpson_lambda"),
     )
+
+
+# Heaps-law checkpoint count: the doc axis splits into this many equal
+# doc-id prefixes; the log-log OLS runs over ≤ this many points.
+# Mirrored literally in the DuckDB oracle — sync-pinned.
+HEAPS_CHECKPOINTS = 12
+
+
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps/Herdan vocabulary-growth fit V(N) = K·N^β over doc-id-prefix
+    checkpoints — the corpus-QA readout that says whether vocabulary is
+    still growing (β ≈ 0.4-0.6 for natural text) or has SATURATED
+    (β ≈ 0 — template/boilerplate corpora, or a closed synthetic
+    vocabulary like this fixture's): the scale-planning companion to
+    token_zipf_fit (frequency law) and text_vocab_coverage_curve
+    (coverage at a fixed N).
+
+    Exact evaluation: docs bucket into HEAPS_CHECKPOINTS equal doc-id
+    prefixes by pure integer arithmetic ((doc_id − dmin)·B // (span+1)
+    + 1 — identical on both engines); each token contributes its FIRST
+    bucket (min doc_id — one corpus pass); prefix totals N_k / V_k are
+    exact cumulative integers over the ≤B-row bucket spine. The log-log
+    OLS pins ln at 7dp into DECIMAL(18,7), so every sufficient sum
+    (Σx, Σy, Σxy, Σx², Σy² over ≤B points) is an EXACT decimal — slope,
+    intercept and r² divide once in double. Degenerate panels (fewer
+    than 2 populated checkpoints, zero x-variance, zero y-variance for
+    r²) yield NULLs on both engines.
+
+    Scale shape: two corpus passes (per-doc token counts; per-token
+    first doc), both map-side combined; everything after is the ≤B-row
+    checkpoint spine."""
+    from ..checkpointing import truncate_lineage
+
+    docs = load_table(spark, sf_dir, "documents")
+    b_lit = F.lit(HEAPS_CHECKPOINTS)
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).transform(truncate_lineage)  # feeds the per-doc AND per-token passes
+    rng = tok.agg(
+        F.min("doc_id").alias("dmin"), F.max("doc_id").alias("dmax")
+    )
+    # TRUE integer division via a − a%b (the quotient ≤ B is tiny, so the
+    # one double division is exact) — Spark's `/` is double and DuckDB's
+    # CAST(double AS BIGINT) ROUNDS, so a naive mirror would off-by-one on
+    # bucket boundaries; a//b is identical on both engines
+    def bucket_of(c):
+        a = (c - F.col("dmin")) * b_lit
+        b = F.col("dmax") - F.col("dmin") + F.lit(1)
+        return ((a - F.pmod(a, b)) / b).cast("bigint") + F.lit(1)
+    per_doc = (
+        tok.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+        .crossJoin(F.broadcast(rng))
+        .groupBy(bucket_of(F.col("doc_id")).alias("bkt"))
+        .agg(F.sum("nt").cast("bigint").alias("toks"))
+    )
+    first_doc = (
+        tok.groupBy("token")
+        .agg(F.min("doc_id").alias("fd"))
+        .crossJoin(F.broadcast(rng))
+        .groupBy(bucket_of(F.col("fd")).alias("bkt"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_types"))
+    )
+    spine = spark.range(1, HEAPS_CHECKPOINTS + 1).select(
+        F.col("id").cast("bigint").alias("bkt")
+    )
+    merged = (
+        spine.join(per_doc, "bkt", "left")
+        .join(first_doc, "bkt", "left")
+        .select(
+            "bkt",
+            F.coalesce("toks", F.lit(0)).alias("toks"),
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+        )
+    )
+    w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)
+    # bounded: the ≤HEAPS_CHECKPOINTS-row checkpoint spine
+    points = merged.select(
+        "bkt",
+        F.sum("toks").over(w).cast("bigint").alias("n_k"),
+        F.sum("new_types").over(w).cast("bigint").alias("v_k"),
+    ).where((F.col("n_k") > 0) & (F.col("v_k") > 0))
+    d7 = lambda c: F.round(c, 7).cast("decimal(18,7)")  # noqa: E731
+    xy = points.select(
+        d7(F.log(F.col("n_k").cast("double"))).alias("x"),
+        d7(F.log(F.col("v_k").cast("double"))).alias("y"),
+        F.col("n_k").alias("n_k"),
+        F.col("v_k").alias("v_k"),
+    )
+    sums = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.max("n_k").alias("n_tokens"),
+        F.max("v_k").alias("vocab"),
+    )
+    md = F.col("m").cast("double")
+    dx = md * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    dy = md * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    num = md * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    beta = F.when((F.col("m") >= 2) & (dx > 0), num / dx)
+    intercept = (F.col("sy").cast("double") - beta * F.col("sx").cast("double")) / md
+    r2 = F.when(beta.isNotNull() & (dy > 0), num * num / (dx * dy))
+    return sums.select(
+        F.col("m").alias("n_checkpoints"),
+        "n_tokens",
+        "vocab",
+        F.round(beta, 9).alias("heaps_beta"),
+        F.round(F.exp(intercept), 6).alias("heaps_k"),
+        F.round(r2, 9).alias("r2"),
+    )
+
+
+# Token-dispersion report size (top tokens by corpus frequency with the
+# vocab_topk tie-break). Mirrored literally in the oracle — sync-pinned.
+DISPERSION_TOPK = 20
+
+
+def text_token_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gries' deviation-of-proportions DP for the corpus's top tokens
+    across sources — the corpus-linguistics dispersion readout beside
+    raw frequency: DP = ½·Σ_s |v_s − s_s| (v_s = the token's share of
+    its own occurrences in source s; s_s = source s's share of all
+    tokens) is 0 when a token distributes exactly like the corpus and
+    → 1 when it concentrates in one source — the signal that separates
+    general vocabulary from source-specific boilerplate at any corpus
+    size.
+
+    Exact evaluation: all frequencies are exact integers from ONE
+    (token, source) corpus pass; the top-K selection is the vocab_topk
+    distributed TakeOrdered idiom (count DESC, token ASC tie-break);
+    absent (token, source) cells materialize as zeros via the bounded
+    top-K × sources spine; each |v − s| evaluates once in double and
+    the ≤#sources-row fold rides the 9dp/DECIMAL(28,9) rail.
+
+    Scale shape: one corpus pass map-side combined to (token, source),
+    a re-aggregate to token totals, TakeOrdered top-K, then bounded
+    K × #sources spine joins — broadcast throughout."""
+    from ..checkpointing import truncate_lineage
+
+    docs = load_table(spark, sf_dir, "documents")
+    ts = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+        .transform(truncate_lineage)  # feeds token totals, source totals, cells
+    )
+    tok_tot = ts.groupBy("token").agg(F.sum("f").cast("bigint").alias("f_tok"))
+    top = tok_tot.orderBy(F.desc("f_tok"), F.asc("token")).limit(DISPERSION_TOPK)
+    src_tot = ts.groupBy("source").agg(F.sum("f").cast("bigint").alias("f_src"))
+    corpus = src_tot.agg(F.sum("f_src").cast("bigint").alias("n_all"))
+    cells = (
+        top.crossJoin(F.broadcast(src_tot))
+        .join(ts, ["token", "source"], "left")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "token",
+            "f_tok",
+            "f_src",
+            "n_all",
+            F.coalesce("f", F.lit(0)).cast("bigint").alias("f_cell"),
+        )
+    )
+    v = F.col("f_cell").cast("double") / F.col("f_tok").cast("double")
+    s = F.col("f_src").cast("double") / F.col("n_all").cast("double")
+    rail = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    return (
+        cells.groupBy("token")
+        .agg(
+            F.max("f_tok").alias("n_occurrences"),
+            F.sum(F.when(F.col("f_cell") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sources_present"),
+            (F.sum(rail(F.abs(v - s))).cast("double") / F.lit(2.0)).alias("dp_n"),
+        )
+        .select(
+            "token",
+            "n_occurrences",
+            "n_sources_present",
+            F.round("dp_n", 9).alias("dispersion_dp"),
+        )
+    )

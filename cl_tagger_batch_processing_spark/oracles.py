@@ -10822,3 +10822,122 @@ SELECT n_days, n_pairs, s, ties_x, ties_y,
        END, 9) AS tau_b
 FROM j
 """
+
+# Mirrors text.text_heaps_law_fit: integer-arithmetic prefix buckets
+# (DuckDB // = Spark's a − a%b form for non-negative ids), exact
+# cumulative checkpoint totals, ln pinned at 7dp into DECIMAL(18,7) so
+# every OLS sufficient sum is exact; slope/intercept/r² divide once.
+from .operators.text import DISPERSION_TOPK, HEAPS_CHECKPOINTS  # noqa: E402
+
+ORACLE_SQL["text_heaps_law_fit"] = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+rng AS (SELECT MIN(doc_id) AS dmin, MAX(doc_id) AS dmax FROM tok),
+per_doc AS (
+  SELECT ((t.doc_id - r.dmin) * {HEAPS_CHECKPOINTS})
+           // (r.dmax - r.dmin + 1) + 1 AS bkt,
+         CAST(COUNT(*) AS BIGINT) AS toks
+  FROM tok t CROSS JOIN rng r
+  GROUP BY 1
+),
+first_doc AS (
+  SELECT ((fd - r.dmin) * {HEAPS_CHECKPOINTS}) // (r.dmax - r.dmin + 1) + 1
+           AS bkt,
+         CAST(COUNT(*) AS BIGINT) AS new_types
+  FROM (SELECT token, MIN(doc_id) AS fd FROM tok GROUP BY 1) f
+  CROSS JOIN rng r
+  GROUP BY 1
+),
+spine AS (
+  SELECT UNNEST(generate_series(1, {HEAPS_CHECKPOINTS})) AS bkt
+),
+merged AS (
+  SELECT s.bkt,
+         COALESCE(p.toks, 0) AS toks,
+         COALESCE(f.new_types, 0) AS new_types
+  FROM spine s
+  LEFT JOIN per_doc p ON s.bkt = p.bkt
+  LEFT JOIN first_doc f ON s.bkt = f.bkt
+),
+points AS (
+  SELECT bkt,
+         CAST(SUM(toks) OVER (ORDER BY bkt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_k,
+         CAST(SUM(new_types) OVER (ORDER BY bkt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS v_k
+  FROM merged
+),
+xy AS (
+  SELECT CAST(ROUND(LN(CAST(n_k AS DOUBLE)), 7) AS DECIMAL(18,7)) AS x,
+         CAST(ROUND(LN(CAST(v_k AS DOUBLE)), 7) AS DECIMAL(18,7)) AS y,
+         n_k, v_k
+  FROM points WHERE n_k > 0 AND v_k > 0
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy,
+         MAX(n_k) AS n_tokens, MAX(v_k) AS vocab
+  FROM xy
+),
+fit AS (
+  SELECT m, n_tokens, vocab,
+         CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+         CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy,
+         CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM sums
+),
+coef AS (
+  SELECT m, n_tokens, vocab, dx, dy, num, sxd, syd,
+         CASE WHEN m >= 2 AND dx > 0 THEN num / dx END AS beta
+  FROM fit
+)
+SELECT m AS n_checkpoints, n_tokens, vocab,
+       ROUND(beta, 9) AS heaps_beta,
+       ROUND(EXP((syd - beta * sxd) / CAST(m AS DOUBLE)), 6) AS heaps_k,
+       ROUND(CASE WHEN beta IS NOT NULL AND dy > 0
+             THEN num * num / (dx * dy) END, 9) AS r2
+FROM coef
+"""
+
+# Mirrors text.text_token_dispersion: exact integer (token, source)
+# frequencies, vocab_topk tie-break top-K, zero-filled K × sources spine,
+# |v − s| folds on the 9dp/DECIMAL(28,9) rail.
+ORACLE_SQL["text_token_dispersion"] = f"""
+WITH ts AS (
+  SELECT token, source, CAST(COUNT(*) AS BIGINT) AS f
+  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS token
+        FROM documents)
+  GROUP BY 1, 2
+),
+tok_tot AS (SELECT token, CAST(SUM(f) AS BIGINT) AS f_tok FROM ts GROUP BY 1),
+top AS (
+  SELECT token, f_tok FROM tok_tot
+  ORDER BY f_tok DESC, token ASC LIMIT {DISPERSION_TOPK}
+),
+src_tot AS (SELECT source, CAST(SUM(f) AS BIGINT) AS f_src FROM ts GROUP BY 1),
+corpus AS (SELECT CAST(SUM(f_src) AS BIGINT) AS n_all FROM src_tot),
+cells AS (
+  SELECT t.token, t.f_tok, s.f_src, c.n_all,
+         COALESCE(x.f, 0) AS f_cell
+  FROM top t
+  CROSS JOIN src_tot s
+  LEFT JOIN ts x ON t.token = x.token AND s.source = x.source
+  CROSS JOIN corpus c
+)
+SELECT token,
+       MAX(f_tok) AS n_occurrences,
+       CAST(SUM(CASE WHEN f_cell > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sources_present,
+       ROUND(CAST(SUM(CAST(ROUND(
+         ABS(CAST(f_cell AS DOUBLE) / CAST(f_tok AS DOUBLE)
+             - CAST(f_src AS DOUBLE) / CAST(n_all AS DOUBLE)), 9)
+         AS DECIMAL(28,9))) AS DOUBLE) / 2.0, 9) AS dispersion_dp
+FROM cells
+GROUP BY 1
+"""

@@ -656,3 +656,8 @@ register("events_jonckheere_terpstra", relational.events_jonckheere_terpstra)
 # Kendall's tau-b (tie-corrected pairwise concordance on BOTH margins).
 register("events_bland_altman_daily", relational.events_bland_altman_daily)
 register("events_kendall_tau_daily", relational.events_kendall_tau_daily)
+# Vocabulary-growth law fit (Heaps β/K over integer-arithmetic doc-prefix
+# checkpoints; exact decimal OLS sums) and Gries' DP token dispersion
+# across sources (the boilerplate-vs-general-vocabulary signal).
+register("text_heaps_law_fit", text.text_heaps_law_fit)
+register("text_token_dispersion", text.text_token_dispersion)

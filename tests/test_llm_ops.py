@@ -8687,6 +8687,18 @@ def test_r13b_constants_in_sync():
         repr(relational.BLAND_ALTMAN_Z_05)
         in oracles.ORACLE_SQL["events_bland_altman_daily"]
     )
+    from cl_tagger_batch_processing_spark.operators import text as text_ops
+
+    assert text_ops.HEAPS_CHECKPOINTS == 12
+    assert (
+        f"* {text_ops.HEAPS_CHECKPOINTS})"
+        in oracles.ORACLE_SQL["text_heaps_law_fit"]
+    )
+    assert text_ops.DISPERSION_TOPK == 20
+    assert (
+        f"LIMIT {text_ops.DISPERSION_TOPK}"
+        in oracles.ORACLE_SQL["text_token_dispersion"]
+    )
 
 
 def test_mood_median_matches_textbook_replay(spark, sf_dir):
@@ -9004,3 +9016,159 @@ def test_kendall_tau_perfectly_concordant_synthetic(spark, tmp_path):
     assert (r.n_days, r.ties_x, r.ties_y) == (8, 0, 0)
     assert r.s == 28  # all C(8,2) pairs concordant
     assert r.tau_b == pytest.approx(1.0, abs=1e-12)
+
+
+def test_heaps_fit_matches_textbook_replay(spark, sf_dir):
+    """Checkpoint totals and the log-log OLS recomputed in plain python
+    (integer prefix buckets, math.log, direct normal-equation slope)."""
+    import math
+    from collections import defaultdict
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["text_heaps_law_fit"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT doc_id, string_split(text, ' ')
+           FROM '{sf}/documents.parquet'""",
+    )
+    dmin = min(d for d, _ in raw)
+    dmax = max(d for d, _ in raw)
+    B = 12
+    toks = defaultdict(int)
+    first = {}
+    for d, words in raw:
+        bkt = (d - dmin) * B // (dmax - dmin + 1) + 1
+        toks[bkt] += len(words)
+        for w in words:
+            if w not in first or d < first[w]:
+                first[w] = d
+    news = defaultdict(int)
+    for w, d in first.items():
+        news[(d - dmin) * B // (dmax - dmin + 1) + 1] += 1
+    pts = []
+    cn = cv = 0
+    for b in range(1, B + 1):
+        cn += toks.get(b, 0)
+        cv += news.get(b, 0)
+        if cn > 0 and cv > 0:
+            # integer-scaled 7dp lns: the engines sum EXACT decimals, so a
+            # float replay would see dy ~ 1e-10 where they see exactly 0
+            pts.append(
+                (round(round(math.log(cn), 7) * 10**7),
+                 round(round(math.log(cv), 7) * 10**7))
+            )
+    assert r.n_checkpoints == len(pts)
+    assert r.n_tokens == cn and r.vocab == cv
+    m = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    dx = m * sxx - sx * sx          # exact ints at 1e14 scale
+    dy = m * syy - sy * sy
+    num = m * sxy - sx * sy
+    if m >= 2 and dx > 0:
+        beta = num / dx             # scale cancels in the slope
+        assert r.heaps_beta == pytest.approx(beta, abs=1e-9)
+        assert r.heaps_k == pytest.approx(
+            math.exp((sy / 10**7 - beta * sx / 10**7) / m), abs=1e-6
+        )
+        if dy > 0:
+            assert r.r2 == pytest.approx(num * num / (dx * dy), abs=1e-9)
+        else:
+            assert r.r2 is None
+    else:
+        assert r.heaps_beta is None
+
+
+def test_heaps_fit_recovers_synthetic_growth(spark, tmp_path):
+    """A corpus whose every doc introduces exactly its own 3 fresh tokens
+    has V(N) = N/3 exactly: β = 1, K = 1/3, r² = 1 — the growing-
+    vocabulary TRUE path (the fixture's closed vocabulary is organically
+    flat: β = 0, r² NULL)."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "heaps"
+    d.mkdir()
+    spark.createDataFrame(
+        [
+            (i, f"w{3*i} w{3*i+1} w{3*i+2}", "en", "s0", 20)
+            for i in range(120)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(d / "documents.parquet"))
+    r = QUERIES["text_heaps_law_fit"](spark, str(d)).collect()[0]
+    assert r.n_checkpoints == 12
+    assert (r.n_tokens, r.vocab) == (360, 360)
+    assert r.heaps_beta == pytest.approx(1.0, abs=1e-6)
+    assert r.heaps_k == pytest.approx(1.0, abs=1e-5)
+    assert r.r2 == pytest.approx(1.0, abs=1e-9)
+
+
+def test_token_dispersion_matches_textbook_replay(spark, sf_dir):
+    """DP recomputed from raw (token, source) counts with the literal
+    Gries formula over the full zero-filled cell grid."""
+    from collections import Counter, defaultdict
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    out = {
+        r.token: r
+        for r in QUERIES["text_token_dispersion"](spark, sf_dir).collect()
+    }
+    assert len(out) == 20
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT source, UNNEST(string_split(text, ' '))
+           FROM '{sf}/documents.parquet'""",
+    )
+    cells = Counter(raw)  # (source, token) -> f
+    tok_tot = Counter()
+    src_tot = Counter()
+    for (s, t), f in cells.items():
+        tok_tot[t] += f
+        src_tot[s] += f
+    n_all = sum(src_tot.values())
+    top = sorted(tok_tot.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert set(out) == {t for t, _ in top}
+    for t, f_tok in top:
+        # each |v − s| rides the engines' 9dp rail before the fold —
+        # mirror it, or ~20 sources of rounding drift exceed 1e-9
+        dp = 0.5 * sum(
+            round(abs(cells.get((s, t), 0) / f_tok - src_tot[s] / n_all), 9)
+            for s in src_tot
+        )
+        r = out[t]
+        assert r.n_occurrences == f_tok
+        assert r.n_sources_present == sum(
+            1 for s in src_tot if cells.get((s, t), 0) > 0
+        )
+        assert r.dispersion_dp == pytest.approx(dp, abs=1e-9)
+
+
+def test_token_dispersion_concentrated_synthetic(spark, tmp_path):
+    """A token exclusive to one of two equal-mass sources must score
+    DP = 1 − s_source = 0.5; a perfectly proportional token scores 0."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "disp"
+    d.mkdir()
+    rows = []
+    # 10 docs per source, 10 tokens each: 'common' everywhere (uniform),
+    # 'special' only in source a (replacing 'common' half the time)
+    for i in range(10):
+        rows.append((i, " ".join(["special"] * 5 + ["common"] * 5), "en", "a", 60))
+        rows.append((100 + i, " ".join(["common"] * 10), "en", "b", 60))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(d / "documents.parquet"))
+    out = {
+        r.token: r for r in QUERIES["text_token_dispersion"](spark, str(d)).collect()
+    }
+    assert out["special"].n_sources_present == 1
+    assert out["special"].dispersion_dp == pytest.approx(0.5, abs=1e-9)
+    # 'common': 50/150 in a vs s_a = 0.5 -> DP = |1/3-1/2| = 1/6
+    assert out["common"].dispersion_dp == pytest.approx(1.0 / 6.0, abs=1e-9)

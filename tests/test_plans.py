@@ -1180,6 +1180,7 @@ UNPARTITIONED_WINDOW_OK = {
     "orders_theil_sen_trend": "calendar-bounded trailing-year pair stage",
     "events_bh_fdr": "#event_types test family",
     "text_ndcg_eval": "two bounded top-k rankings",
+    "text_heaps_law_fit": "constant checkpoint spine — ≤ HEAPS_CHECKPOINTS rows",
 }
 
 
@@ -1277,6 +1278,7 @@ STATIC_WINDOW_OK = {
     ("text.py", "token_zipf_fit"): "rank window AFTER .limit(k)",
     ("text.py", "text_ngram_novelty"): "constant bucket grid",
     ("text.py", "text_word_pmi"): "rank window AFTER .limit(k)",
+    ("text.py", "text_heaps_law_fit"): "constant checkpoint spine ≤ HEAPS_CHECKPOINTS",
     ("text.py", "text_heavy_hitters_cms"): "CMS heavy hitters — bounded",
     ("text.py", "text_textrank_keywords"): "vocab-cardinality; SCALE.md row",
     ("text.py", "text_vocab_coverage_curve"): "vocab-cardinality; SCALE.md row",

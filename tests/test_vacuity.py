@@ -199,6 +199,19 @@ ALLOWLIST: dict[tuple[str, str, str], str] = {
         "ordered-shift TRUE path is pinned by "
         "test_jonckheere_detects_synthetic_ordered_shift"
     ),
+    ("text_heaps_law_fit", "ALL_ZERO", "heaps_beta"): (
+        "honest zero: the synthetic fixture vocabulary is CLOSED (~31-40 "
+        "types, fully seen in the first checkpoint at every scale), so "
+        "vocabulary growth is exactly flat; the growing-vocabulary TRUE "
+        "path (beta = 1, r2 = 1) is pinned by "
+        "test_heaps_fit_recovers_synthetic_growth"
+    ),
+    ("text_heaps_law_fit", "ALL_NULL", "r2"): (
+        "honest NULL: with the closed fixture vocabulary the y-variance "
+        "is exactly zero (V_k constant), so r2 is 0/0 and both engines "
+        "guard it to NULL; the defined-r2 path is pinned by "
+        "test_heaps_fit_recovers_synthetic_growth"
+    ),
     ("events_friedman_test", "ALL_ZERO", "n_dropped"): (
         "honest zero: the fixture is dense (every user has every event "
         "type at every scale — the KM/AUC lesson); the incomplete-block "
