@@ -1957,3 +1957,160 @@ def embedding_dbscan_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("eps_degree", F.lit(0)).cast("bigint").alias("eps_degree"),
         )
     )
+
+
+def embedding_isotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotropy audit of the embedding space — the representation-QA
+    readout behind the "narrow cone" pathology (Ethayarajh 2019):
+    contextual/poorly-trained embeddings concentrate in a tight cone, so
+    every pair looks similar and retrieval contrast collapses. Reports
+    the mean pairwise cosine (≈0 for isotropic spaces, →1 for a cone)
+    WITHOUT a pair join via the resultant-vector identity
+
+        Σ_{i≠j} cos(x_i, x_j) = ‖Σ u_i‖² − Σ‖u_i‖²,  u_i = x_i/‖x_i‖
+
+    plus the mean resultant length ‖Σu‖/n (directional-statistics
+    concentration) and the cosine of each vector to the MEAN direction.
+
+    Exactness: unit components are row-local doubles ROUNDED at 9dp into
+    DECIMAL(19,9), so the d per-dim sums are EXACT decimals in any
+    partition order (the float-sum rail); ‖u_i‖² of the rounded
+    components is likewise an exact row-local decimal. Zero-norm vectors
+    drop (reported). Every division happens once in double.
+
+    Scale shape: one corpus pass posexploding to (dim, component) with
+    map-side partial sums — the exchange carries one row per
+    (partition, dim), the embedding_dim_stats shape; a d-row fold."""
+    base = quantized_embeddings(spark, sf_dir).where(F.col("nrm") > 0)
+    counted = base.transform(truncate_lineage)  # feeds n AND the dim sums
+    d9 = lambda c: F.round(c, 9).cast("decimal(19,9)")  # noqa: E731
+    unit = F.transform(
+        F.col("qv"),
+        lambda x: d9(x.cast("double") / F.sqrt(F.col("nrm").cast("double"))),
+    )
+    per_row = counted.select(
+        unit.alias("u"),
+        F.aggregate(
+            F.transform(
+                F.transform(
+                    F.col("qv"),
+                    lambda x: d9(
+                        x.cast("double") / F.sqrt(F.col("nrm").cast("double"))
+                    ),
+                ),
+                lambda ux: ux * ux,
+            ),
+            F.lit(0).cast("decimal(38,18)"),
+            # decimal add widens (38,18)+(38,18) → (38,16); cast back —
+            # the running value is ≤ 64, lossless at scale 18
+            lambda acc, x: (acc + x).cast("decimal(38,18)"),
+        ).alias("u2"),
+    ).transform(truncate_lineage)  # feeds the dim sums AND the u2 fold
+    dims = per_row.select(
+        F.posexplode("u").alias("dim0", "ux")
+    ).groupBy((F.col("dim0") + 1).cast("bigint").alias("dim")).agg(
+        F.sum("ux").alias("sx")
+    )
+    tot = per_row.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum("u2").alias("sum_u2"),
+    )
+    n_all = quantized_embeddings(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    rail = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    folds = (
+        dims.agg(
+            F.sum(rail(F.col("sx").cast("double") * F.col("sx").cast("double")))
+            .cast("double")
+            .alias("r2"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n_all))
+    )
+    nd = F.col("n_vectors").cast("double")
+    mean_cos = F.when(
+        F.col("n_vectors") >= 2,
+        (F.col("r2") - F.col("sum_u2").cast("double")) / (nd * (nd - F.lit(1.0))),
+    )
+    resultant = F.when(F.col("n_vectors") >= 1, F.sqrt(F.col("r2")) / nd)
+    return folds.select(
+        "n_dims",
+        "n_vectors",
+        (F.col("n_total") - F.col("n_vectors")).cast("bigint").alias("n_zero_norm"),
+        F.round(mean_cos, 9).alias("mean_pairwise_cosine"),
+        F.round(resultant, 9).alias("mean_resultant_length"),
+    )
+
+
+def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017) — the
+    representation-QA readout that says how many degrees of freedom the
+    embeddings ACTUALLY use (data on a low-dimensional manifold inside
+    the 64-dim ambient space needs only that many PQ/IVF cells): the MLE
+
+        d̂ = n / Σ_i ln(r2_i / r1_i) = 2n / Σ_i ln(r2²_i / r1²_i)
+
+    over each point's two nearest-neighbor distances.
+
+    Exactness: squared distances r² = ‖a‖² + ‖b‖² − 2·a·b are EXACT
+    integers on the quantized vectors (the dedup_embedding_cosine
+    convention), selected per point by a PARTITIONED (vec_id) rank
+    window; each ln ratio evaluates once in double and rides the
+    9dp/DECIMAL(28,9) rail into the fold. Duplicate-vector points
+    (r1 = 0) drop and are reported.
+
+    Scale shape: the exact all-pairs stage is the sim_topk_cosine
+    fixture-scale referee class (documented boundary — the broadcast
+    side is the full vector set); at corpus scale the same selection
+    rides the LSH/IVF candidate machinery (sim_ann_lsh / sim_topk_ivf)
+    with identical downstream folds — a mechanical swap."""
+    base = quantized_embeddings(spark, sf_dir).transform(truncate_lineage)
+    other = base.select(
+        F.col("vec_id").alias("oid"),
+        F.col("qv").alias("ov"),
+        F.col("nrm").alias("onrm"),
+    )
+    d2 = (
+        F.col("nrm") + F.col("onrm") - F.lit(2) * int_dot(F.col("qv"), F.col("ov"))
+    ).alias("d2")
+    pairs = (
+        base.crossJoin(F.broadcast(other))
+        .where(F.col("vec_id") != F.col("oid"))
+        .select("vec_id", d2, "oid")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("oid"))
+    two_nn = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("d2"))).alias("r1sq"),
+            F.min(F.when(F.col("rn") == 2, F.col("d2"))).alias("r2sq"),
+        )
+    )
+    rail = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    term = F.log(F.col("r2sq").cast("double") / F.col("r1sq").cast("double"))
+    # a point contributes iff it has a non-degenerate r1 AND a second
+    # neighbor at all (n = 2 corpora have no r2) — guarded BEFORE the ln
+    # so ANSI never sees the /0
+    usable = (F.col("r1sq") > 0) & F.col("r2sq").isNotNull()
+    folds = two_nn.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum(F.when(usable, 1).otherwise(0)).cast("bigint").alias("n_used"),
+        F.sum(F.when(usable, rail(term)).otherwise(F.lit(None)))
+        .cast("double")
+        .alias("sum_ln"),
+    )
+    mu = F.when(
+        (F.col("n_used") > 0) & (F.col("sum_ln") > 0),
+        F.lit(2.0) * F.col("n_used").cast("double") / F.col("sum_ln"),
+    )
+    return folds.select(
+        "n_vectors",
+        "n_used",
+        (F.col("n_vectors") - F.col("n_used")).cast("bigint").alias("n_degenerate"),
+        F.round(F.col("sum_ln"), 9).alias("sum_log_ratio"),
+        F.round(mu, 6).alias("intrinsic_dim"),
+    )

@@ -10941,3 +10941,89 @@ SELECT token,
 FROM cells
 GROUP BY 1
 """
+
+# Mirrors similarity.embedding_isotropy_report: 9dp-rounded unit
+# components into DECIMAL(19,9) (exact per-dim sums in any order), the
+# resultant-vector identity for the mean pairwise cosine, railed dim fold.
+ORACLE_SQL["embedding_isotropy_report"] = f"""
+WITH {_QEMB_CTES},
+filtered AS (SELECT vec_id, qv, nrm FROM n WHERE nrm > 0),
+unit AS (
+  SELECT vec_id,
+         list_transform(qv,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) / SQRT(CAST(nrm AS DOUBLE)), 9)
+                AS DECIMAL(19,9))) AS u
+  FROM filtered
+),
+cells AS (
+  SELECT vec_id, generate_subscripts(u, 1) AS dim, UNNEST(u) AS ux FROM unit
+),
+dims AS (
+  SELECT CAST(dim AS BIGINT) AS dim, SUM(ux) AS sx FROM cells GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vectors,
+         SUM(ux * ux) AS sum_u2
+  FROM cells
+),
+n_all AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM n),
+folds AS (
+  SELECT CAST(SUM(CAST(ROUND(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 9)
+                  AS DECIMAL(28,9))) AS DOUBLE) AS r2,
+         CAST(COUNT(*) AS BIGINT) AS n_dims
+  FROM dims
+)
+SELECT f.n_dims, t.n_vectors,
+       CAST(a.n_total - t.n_vectors AS BIGINT) AS n_zero_norm,
+       ROUND(CASE WHEN t.n_vectors >= 2 THEN
+         (f.r2 - CAST(t.sum_u2 AS DOUBLE))
+           / (CAST(t.n_vectors AS DOUBLE) * (CAST(t.n_vectors AS DOUBLE) - 1.0))
+       END, 9) AS mean_pairwise_cosine,
+       ROUND(CASE WHEN t.n_vectors >= 1
+             THEN SQRT(f.r2) / CAST(t.n_vectors AS DOUBLE) END, 9)
+         AS mean_resultant_length
+FROM folds f CROSS JOIN tot t CROSS JOIN n_all a
+"""
+
+# Mirrors similarity.embedding_intrinsic_dim: exact integer squared
+# distances (the dedup_embedding_cosine convention), partitioned 2-NN
+# rank window, railed ln-ratio fold, MLE divided once in double.
+ORACLE_SQL["embedding_intrinsic_dim"] = f"""
+WITH {_QEMB_CTES},
+pairs AS (
+  SELECT a.vec_id,
+         CAST(a.nrm + b.nrm
+              - 2 * list_dot_product(CAST(a.qv AS DOUBLE[]),
+                                     CAST(b.qv AS DOUBLE[])) AS BIGINT) AS d2,
+         b.vec_id AS oid
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, oid ASC)
+           AS rn
+  FROM pairs
+),
+two_nn AS (
+  SELECT vec_id,
+         MIN(CASE WHEN rn = 1 THEN d2 END) AS r1sq,
+         MIN(CASE WHEN rn = 2 THEN d2 END) AS r2sq
+  FROM ranked WHERE rn <= 2 GROUP BY 1
+),
+folds AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         CAST(SUM(CASE WHEN r1sq > 0 AND r2sq IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_used,
+         CAST(SUM(CASE WHEN r1sq > 0 AND r2sq IS NOT NULL THEN
+           CAST(ROUND(LN(CAST(r2sq AS DOUBLE) / CAST(r1sq AS DOUBLE)), 9)
+                AS DECIMAL(28,9)) END) AS DOUBLE) AS sum_ln
+  FROM two_nn
+)
+SELECT n_vectors, n_used,
+       CAST(n_vectors - n_used AS BIGINT) AS n_degenerate,
+       ROUND(sum_ln, 9) AS sum_log_ratio,
+       ROUND(CASE WHEN n_used > 0 AND sum_ln > 0
+             THEN 2.0 * CAST(n_used AS DOUBLE) / sum_ln END, 6)
+         AS intrinsic_dim
+FROM folds
+"""

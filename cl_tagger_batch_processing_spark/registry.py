@@ -661,3 +661,9 @@ register("events_kendall_tau_daily", relational.events_kendall_tau_daily)
 # across sources (the boilerplate-vs-general-vocabulary signal).
 register("text_heaps_law_fit", text.text_heaps_law_fit)
 register("text_token_dispersion", text.text_token_dispersion)
+# Embedding representation-QA: isotropy (mean pairwise cosine via the
+# resultant-vector identity — NO pair join) and the TwoNN intrinsic-
+# dimension MLE (exact integer 2-NN distances; all-pairs stage documented
+# as the sim_topk_cosine fixture-scale referee class).
+register("embedding_isotropy_report", similarity.embedding_isotropy_report)
+register("embedding_intrinsic_dim", similarity.embedding_intrinsic_dim)

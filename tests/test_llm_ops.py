@@ -9172,3 +9172,107 @@ def test_token_dispersion_concentrated_synthetic(spark, tmp_path):
     assert out["special"].dispersion_dp == pytest.approx(0.5, abs=1e-9)
     # 'common': 50/150 in a vs s_a = 0.5 -> DP = |1/3-1/2| = 1/6
     assert out["common"].dispersion_dp == pytest.approx(1.0 / 6.0, abs=1e-9)
+
+
+def _write_embeddings(spark, d, rows):
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(d / "embeddings.parquet"))
+
+
+def test_isotropy_matches_pairwise_definition(spark, sf_dir):
+    """The resultant-vector identity checked against the LITERAL mean of
+    all n(n−1) pairwise cosines (numpy brute force over the quantized,
+    9dp-rounded unit vectors the engines use)."""
+    import numpy as np
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["embedding_isotropy_report"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(sf_dir, "SELECT embedding FROM '{sf}/embeddings.parquet'")
+    q = np.round(np.array([e for (e,) in raw], dtype=np.float64) * 1000.0)
+    nrm = (q * q).sum(axis=1)
+    keep = nrm > 0
+    u = np.round(q[keep] / np.sqrt(nrm[keep])[:, None], 9)
+    n = u.shape[0]
+    assert (r.n_vectors, r.n_zero_norm) == (n, int((~keep).sum()))
+    assert r.n_dims == u.shape[1]
+    g = u @ u.T
+    mean_cos = (g.sum() - np.trace(g)) / (n * (n - 1))
+    assert r.mean_pairwise_cosine == pytest.approx(mean_cos, abs=1e-7)
+    assert r.mean_resultant_length == pytest.approx(
+        float(np.linalg.norm(u.sum(axis=0))) / n, abs=1e-7
+    )
+
+
+def test_isotropy_cone_and_zero_norm_synthetic(spark, tmp_path):
+    """All-identical vectors are the degenerate cone: mean pairwise
+    cosine = 1 and resultant length = 1; a zero vector drops and is
+    counted (the n_zero_norm TRUE path, organically zero on the
+    fixture)."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "iso"
+    d.mkdir()
+    vec = [1.0, 2.0, 2.0] + [0.0] * 61
+    rows = [(i, vec, 0) for i in range(12)]
+    rows.append((99, [0.0] * 64, 0))
+    _write_embeddings(spark, d, rows)
+    r = QUERIES["embedding_isotropy_report"](spark, str(d)).collect()[0]
+    assert (r.n_vectors, r.n_zero_norm) == (12, 1)
+    assert r.mean_pairwise_cosine == pytest.approx(1.0, abs=1e-6)
+    assert r.mean_resultant_length == pytest.approx(1.0, abs=1e-6)
+
+
+def test_intrinsic_dim_matches_bruteforce(spark, sf_dir):
+    """TwoNN recomputed with numpy brute-force exact integer distances
+    and the same railed ln-ratio fold."""
+    import numpy as np
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["embedding_intrinsic_dim"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(sf_dir, "SELECT embedding FROM '{sf}/embeddings.parquet'")
+    q = np.round(np.array([e for (e,) in raw], dtype=np.float64) * 1000.0)
+    n = q.shape[0]
+    assert r.n_vectors == n
+    d2 = ((q[:, None, :] - q[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d2, np.inf)
+    part = np.sort(d2, axis=1)[:, :2]
+    usable = part[:, 0] > 0
+    terms = [round(float(np.log(b / a)), 9) for a, b in part[usable]]
+    assert r.n_used == int(usable.sum())
+    assert r.n_degenerate == n - int(usable.sum())
+    assert r.sum_log_ratio == pytest.approx(sum(terms), abs=1e-8)
+    assert r.intrinsic_dim == pytest.approx(
+        2.0 * int(usable.sum()) / sum(terms), abs=1e-5
+    )
+
+
+def test_intrinsic_dim_duplicates_synthetic(spark, tmp_path):
+    """Exact duplicate vectors have r1 = 0 and must DROP into
+    n_degenerate (organically zero on the fixture); the survivors' MLE
+    matches the hand-computed geometric-line value."""
+    import math
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "twonn"
+    d.mkdir()
+    # 6 points on a geometric line x = 2^i, plus 2 exact duplicates
+    rows = []
+    for i in range(6):
+        rows.append((i, [float(2**i)] + [0.0] * 63, 0))
+    rows.append((100, [1024.0] + [0.0] * 63, 0))
+    rows.append((101, [1024.0] + [0.0] * 63, 0))
+    _write_embeddings(spark, d, rows)
+    r = QUERIES["embedding_intrinsic_dim"](spark, str(d)).collect()[0]
+    assert (r.n_vectors, r.n_used, r.n_degenerate) == (8, 6, 2)
+    # hand-computed two-NN squared ratios on x = 1,2,4,8,16,32 (+1024 dup)
+    xs = [1, 2, 4, 8, 16, 32]
+    total = 0.0
+    for i, x in enumerate(xs):
+        ds = sorted((x - y) ** 2 for j, y in enumerate(xs + [1024]) if j != i)
+        total += round(math.log((ds[1] * 1000**2) / (ds[0] * 1000**2)), 9)
+    assert r.sum_log_ratio == pytest.approx(total, abs=1e-8)
+    assert r.intrinsic_dim == pytest.approx(12.0 / total, abs=1e-5)

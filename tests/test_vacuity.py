@@ -212,6 +212,16 @@ ALLOWLIST: dict[tuple[str, str, str], str] = {
         "guard it to NULL; the defined-r2 path is pinned by "
         "test_heaps_fit_recovers_synthetic_growth"
     ),
+    ("embedding_isotropy_report", "ALL_ZERO", "n_zero_norm"): (
+        "honest zero: every fixture embedding has a nonzero quantized "
+        "norm at every scale; the zero-vector drop TRUE path is pinned "
+        "by test_isotropy_cone_and_zero_norm_synthetic"
+    ),
+    ("embedding_intrinsic_dim", "ALL_ZERO", "n_degenerate"): (
+        "honest zero: the fixture has no exact duplicate embeddings at "
+        "any scale (r1 > 0 everywhere); the duplicate-drop TRUE path is "
+        "pinned by test_intrinsic_dim_duplicates_synthetic"
+    ),
     ("events_friedman_test", "ALL_ZERO", "n_dropped"): (
         "honest zero: the fixture is dense (every user has every event "
         "type at every scale — the KM/AUC lesson); the incomplete-block "
