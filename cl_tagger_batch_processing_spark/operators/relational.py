@@ -9066,3 +9066,170 @@ def events_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days", "n_pairs", "s", "ties_x", "ties_y",
         F.round(tau, 9).alias("tau_b"),
     )
+
+
+# Hurst R/S dyadic block sizes (complete blocks only; sizes longer than
+# the calendar drop out). Mirrored literally in the oracle — sync-pinned.
+HURST_BLOCK_SIZES = [4, 8, 16, 32, 64, 128, 256]
+
+
+def events_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily event-count series by classical
+    rescaled-range (R/S) analysis — the long-range-dependence readout the
+    rest of the time-series family assumes away: H ≈ 0.5 for independent
+    increments (Poisson-like load), H → 1 for trending/persistent
+    series, H < 0.5 for mean-reverting ones; alarms tuned on H = 0.5
+    noise false-fire on persistent traffic.
+
+    Exact evaluation: on the zero-filled calendar spine, every block
+    statistic is carried SCALED BY the block size n so it stays an exact
+    DECIMAL(38,0) integer: n·Z_k = n·Σ_{j≤k}y_j − k·Σy (cumulative
+    deviations), n·R = max − min of those, and (n·S)² = n·Σy² − (Σy)²
+    (population sd — the overdispersion identity); R/S = n·R / √((n·S)²)
+    divides exact integers once in double per block. Per-size means ride
+    the 9dp/DECIMAL(28,9) rail; the log-log OLS over the ≤7 dyadic sizes
+    reuses the text_heaps_law_fit exact-decimal sufficient-sum rails
+    (7dp-pinned lns into DECIMAL(18,7)). Constant blocks (S = 0) drop
+    and are reported; fewer than 2 usable sizes yields NULL H.
+
+    Scale shape: one corpus pass to the day spine, a ×|sizes| bounded
+    fan-out, windows PARTITIONED by (size, block) (≤ max block size
+    rows each), a ≤7-point fold."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    day = (
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000 div 86400")
+        .cast("bigint")
+        .alias("day")
+    )
+    per_d = (
+        ev.select(day)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        .transform(truncate_lineage)  # feeds the range agg AND the spine join
+    )
+    rng = per_d.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    spine = rng.select(
+        F.explode(F.sequence(F.col("dmin"), F.col("dmax"))).alias("day"),
+        F.col("dmin"),
+    )
+    daily = (
+        spine.join(per_d, "day", "left")
+        .select(
+            (F.col("day") - F.col("dmin")).cast("bigint").alias("t"),
+            F.coalesce(F.col("y"), F.lit(0)).cast("bigint").alias("y"),
+        )
+        .transform(truncate_lineage)  # feeds the count AND the block frames
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    framed = (
+        daily.select(
+            "t",
+            "y",
+            F.explode(
+                F.array(*[F.lit(s).cast("bigint") for s in HURST_BLOCK_SIZES])
+            ).alias("bs"),
+        )
+        .crossJoin(F.broadcast(nd))
+        # complete blocks only: blk and the per-size block count via exact
+        # integer division (a − a%b over tiny quotients)
+        .withColumn(
+            "blk",
+            (
+                (F.col("t") - F.pmod(F.col("t"), F.col("bs"))) / F.col("bs")
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "nblk",
+            (
+                (F.col("n_days") - F.pmod(F.col("n_days"), F.col("bs")))
+                / F.col("bs")
+            ).cast("bigint"),
+        )
+        .where(F.col("blk") < F.col("nblk"))
+        .transform(truncate_lineage)  # feeds the block stats AND the cum pass
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = framed.groupBy("bs", "blk").agg(
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(d38(F.col("y")) * d38(F.col("y"))).alias("ss"),
+    )
+    w = Window.partitionBy("bs", "blk").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = framed.select(
+        "bs",
+        "blk",
+        "t",
+        F.sum("y").over(w).cast("bigint").alias("cy"),
+        (F.pmod(F.col("t"), F.col("bs")) + F.lit(1)).cast("bigint").alias("k"),
+    )
+    blocks = (
+        cum.join(stats, ["bs", "blk"])
+        .select(
+            "bs",
+            "blk",
+            "s",
+            "ss",
+            (d38(F.col("bs")) * d38(F.col("cy")) - d38(F.col("k")) * d38(F.col("s")))
+            .alias("zn"),
+        )
+        .groupBy("bs", "blk")
+        .agg(
+            (F.max("zn") - F.min("zn")).alias("rn"),
+            (
+                d38(F.max("bs")) * F.max("ss") - d38(F.max("s")) * d38(F.max("s"))
+            ).alias("s2n"),
+        )
+    )
+    rail = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    rs = F.when(
+        F.col("s2n") > 0,
+        F.col("rn").cast("double") / F.sqrt(F.col("s2n").cast("double")),
+    )
+    per_size = blocks.groupBy("bs").agg(
+        F.sum(F.when(F.col("s2n") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+        F.count(F.lit(1)).cast("bigint").alias("nb_all"),
+        F.sum(F.when(F.col("s2n") > 0, rail(rs)).otherwise(F.lit(None)))
+        .cast("double")
+        .alias("rs_sum"),
+    )
+    d7 = lambda c: F.round(c, 7).cast("decimal(18,7)")  # noqa: E731
+    pts = per_size.where(F.col("nb") > 0).select(
+        "nb",
+        "nb_all",
+        d7(F.log(F.col("bs").cast("double"))).alias("x"),
+        d7(F.log(F.col("rs_sum") / F.col("nb").cast("double"))).alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum("nb").cast("bigint").alias("n_blocks_used"),
+        (F.sum("nb_all") - F.sum("nb")).cast("bigint").alias("n_blocks_skipped"),
+    ).crossJoin(F.broadcast(nd))
+    md = F.col("m").cast("double")
+    dx = md * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    dy = md * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    num = md * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    h = F.when((F.col("m") >= 2) & (dx > 0), num / dx)
+    r2 = F.when(h.isNotNull() & (dy > 0), num * num / (dx * dy))
+    return sums.select(
+        "n_days",
+        F.col("m").alias("n_sizes"),
+        "n_blocks_used",
+        "n_blocks_skipped",
+        F.round(h, 9).alias("hurst_h"),
+        F.round(r2, 9).alias("r2"),
+    )

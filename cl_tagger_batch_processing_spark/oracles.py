@@ -11027,3 +11027,101 @@ SELECT n_vectors, n_used,
          AS intrinsic_dim
 FROM folds
 """
+
+# Mirrors relational.events_hurst_exponent: size-scaled exact integer
+# block statistics (n·Z_k, n·R, (n·S)² all HUGEINT), one double division
+# per block, railed per-size means, the heaps-fit exact-decimal OLS.
+from .operators.relational import HURST_BLOCK_SIZES  # noqa: E402
+
+_HURST_SIZES_SQL = ", ".join(str(s) for s in HURST_BLOCK_SIZES)
+
+ORACLE_SQL["events_hurst_exponent"] = f"""
+WITH per_d AS (
+  SELECT CAST((epoch_us(ts) // 1000000) // 86400 AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+rng AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM per_d),
+spine AS (
+  SELECT UNNEST(generate_series((SELECT dmin FROM rng),
+                                (SELECT dmax FROM rng))) AS day
+),
+daily AS (
+  SELECT CAST(s.day - (SELECT dmin FROM rng) AS BIGINT) AS t,
+         COALESCE(p.y, 0) AS y
+  FROM spine s LEFT JOIN per_d p ON s.day = p.day
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+framed AS (
+  SELECT d.t, d.y, z.bs, d.t // z.bs AS blk
+  FROM daily d
+  CROSS JOIN (SELECT UNNEST([{_HURST_SIZES_SQL}]) AS bs) z
+  CROSS JOIN nd
+  WHERE d.t // z.bs < nd.n_days // z.bs
+),
+stats AS (
+  SELECT bs, blk, CAST(SUM(y) AS BIGINT) AS s,
+         SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS ss
+  FROM framed GROUP BY 1, 2
+),
+cum AS (
+  SELECT bs, blk, t,
+         CAST(SUM(y) OVER (PARTITION BY bs, blk ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cy,
+         CAST(t % bs + 1 AS BIGINT) AS k
+  FROM framed
+),
+blocks AS (
+  SELECT c.bs, c.blk,
+         MAX(CAST(c.bs AS HUGEINT) * CAST(c.cy AS HUGEINT)
+             - CAST(c.k AS HUGEINT) * CAST(st.s AS HUGEINT))
+           - MIN(CAST(c.bs AS HUGEINT) * CAST(c.cy AS HUGEINT)
+                 - CAST(c.k AS HUGEINT) * CAST(st.s AS HUGEINT)) AS rn,
+         CAST(MAX(c.bs) AS HUGEINT) * MAX(st.ss)
+           - CAST(MAX(st.s) AS HUGEINT) * CAST(MAX(st.s) AS HUGEINT) AS s2n
+  FROM cum c JOIN stats st ON c.bs = st.bs AND c.blk = st.blk
+  GROUP BY 1, 2
+),
+per_size AS (
+  SELECT bs,
+         CAST(SUM(CASE WHEN s2n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(COUNT(*) AS BIGINT) AS nb_all,
+         CAST(SUM(CASE WHEN s2n > 0 THEN
+           CAST(ROUND(CAST(rn AS DOUBLE) / SQRT(CAST(s2n AS DOUBLE)), 9)
+                AS DECIMAL(28,9)) END) AS DOUBLE) AS rs_sum
+  FROM blocks GROUP BY 1
+),
+pts AS (
+  SELECT nb, nb_all,
+         CAST(ROUND(LN(CAST(bs AS DOUBLE)), 7) AS DECIMAL(18,7)) AS x,
+         CAST(ROUND(LN(rs_sum / CAST(nb AS DOUBLE)), 7) AS DECIMAL(18,7)) AS y
+  FROM per_size WHERE nb > 0
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy,
+         CAST(SUM(nb) AS BIGINT) AS n_blocks_used,
+         CAST(SUM(nb_all) - SUM(nb) AS BIGINT) AS n_blocks_skipped
+  FROM pts
+),
+fit AS (
+  SELECT m, n_blocks_used, n_blocks_skipped,
+         CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+         CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy,
+         CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num
+  FROM sums
+),
+coef AS (
+  SELECT *, CASE WHEN m >= 2 AND dx > 0 THEN num / dx END AS h FROM fit
+)
+SELECT (SELECT n_days FROM nd) AS n_days,
+       m AS n_sizes, n_blocks_used, n_blocks_skipped,
+       ROUND(h, 9) AS hurst_h,
+       ROUND(CASE WHEN h IS NOT NULL AND dy > 0
+             THEN num * num / (dx * dy) END, 9) AS r2
+FROM coef
+"""

@@ -667,3 +667,7 @@ register("text_token_dispersion", text.text_token_dispersion)
 # as the sim_topk_cosine fixture-scale referee class).
 register("embedding_isotropy_report", similarity.embedding_isotropy_report)
 register("embedding_intrinsic_dim", similarity.embedding_intrinsic_dim)
+# Hurst R/S long-range-dependence exponent of the daily series (exact
+# size-scaled integer block statistics; railed per-size means; the
+# heaps-fit exact-decimal log-log OLS).
+register("events_hurst_exponent", relational.events_hurst_exponent)

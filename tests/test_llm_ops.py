@@ -8699,6 +8699,9 @@ def test_r13b_constants_in_sync():
         f"LIMIT {text_ops.DISPERSION_TOPK}"
         in oracles.ORACLE_SQL["text_token_dispersion"]
     )
+    assert relational.HURST_BLOCK_SIZES == [4, 8, 16, 32, 64, 128, 256]
+    sizes_sql = ", ".join(str(s) for s in relational.HURST_BLOCK_SIZES)
+    assert f"[{sizes_sql}]" in oracles.ORACLE_SQL["events_hurst_exponent"]
 
 
 def test_mood_median_matches_textbook_replay(spark, sf_dir):
@@ -9276,3 +9279,92 @@ def test_intrinsic_dim_duplicates_synthetic(spark, tmp_path):
         total += round(math.log((ds[1] * 1000**2) / (ds[0] * 1000**2)), 9)
     assert r.sum_log_ratio == pytest.approx(total, abs=1e-8)
     assert r.intrinsic_dim == pytest.approx(12.0 / total, abs=1e-5)
+
+
+def test_hurst_matches_textbook_replay(spark, sf_dir):
+    """R/S per block and the log-log OLS recomputed in plain python with
+    the same size-scaled exact-integer statistics and rails."""
+    import math
+    from collections import defaultdict
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["events_hurst_exponent"](spark, sf_dir).collect()[0]
+    raw = _duck_rows(
+        sf_dir,
+        """SELECT CAST((epoch_us(ts)//1000000)//86400 AS BIGINT), COUNT(*)
+           FROM '{sf}/events.parquet' GROUP BY 1""",
+    )
+    bymap = dict(raw)
+    dmin, dmax = min(bymap), max(bymap)
+    y = [bymap.get(d, 0) for d in range(dmin, dmax + 1)]
+    n_days = len(y)
+    assert r.n_days == n_days
+    used = skipped = 0
+    pts = []
+    for bs in [4, 8, 16, 32, 64, 128, 256]:
+        rs_vals = []
+        for blk in range(n_days // bs):
+            chunk = y[blk * bs:(blk + 1) * bs]
+            s = sum(chunk)
+            ss = sum(v * v for v in chunk)
+            s2n = bs * ss - s * s
+            if s2n <= 0:
+                skipped += 1
+                continue
+            used += 1
+            zn = []
+            cy = 0
+            for k, v in enumerate(chunk, start=1):
+                cy += v
+                zn.append(bs * cy - k * s)
+            rs_vals.append(round((max(zn) - min(zn)) / math.sqrt(s2n), 9))
+        if rs_vals:
+            pts.append(
+                (round(round(math.log(bs), 7) * 10**7),
+                 round(round(math.log(sum(rs_vals) / len(rs_vals)), 7) * 10**7))
+            )
+    assert (r.n_blocks_used, r.n_blocks_skipped) == (used, skipped)
+    assert r.n_sizes == len(pts)
+    m = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(v for _, v in pts)
+    sxy = sum(x * v for x, v in pts)
+    sxx = sum(x * x for x, _ in pts)
+    syy = sum(v * v for _, v in pts)
+    dx, dy = m * sxx - sx * sx, m * syy - sy * sy
+    num = m * sxy - sx * sy
+    if m >= 2 and dx > 0:
+        assert r.hurst_h == pytest.approx(num / dx, abs=1e-7)
+        if dy > 0:
+            assert r.r2 == pytest.approx(num * num / (dx * dy), abs=1e-7)
+    else:
+        assert r.hurst_h is None
+
+
+def test_hurst_trend_and_constant_block_synthetic(spark, tmp_path):
+    """A strongly trending series must report H near 1 (persistent), and
+    a constant 4-day block must DROP into n_blocks_skipped (organically
+    zero on the fixture)."""
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "hurst"
+    d.mkdir()
+    import datetime
+
+    rows = []
+    eid = 0
+    # days 1-4: constant 3 events/day (one skipped bs=4 block);
+    # days 5-32: strictly rising load 5, 10, 15, ...
+    d0 = datetime.date(2024, 1, 1)
+    for day in range(1, 33):
+        cnt = 3 if day <= 4 else 5 * (day - 4)
+        stamp = (d0 + datetime.timedelta(days=day - 1)).isoformat()
+        for _ in range(cnt):
+            eid += 1
+            rows.append((eid, f"{stamp} 10:00:00", 1, "view", 1.0, "{}"))
+    _write_events(spark, d, rows)
+    r = QUERIES["events_hurst_exponent"](spark, str(d)).collect()[0]
+    assert r.n_days == 32
+    assert r.n_blocks_skipped >= 1  # the constant first block
+    assert r.hurst_h is not None and r.hurst_h > 0.9  # trending: persistent

@@ -222,6 +222,12 @@ ALLOWLIST: dict[tuple[str, str, str], str] = {
         "any scale (r1 > 0 everywhere); the duplicate-drop TRUE path is "
         "pinned by test_intrinsic_dim_duplicates_synthetic"
     ),
+    ("events_hurst_exponent", "ALL_ZERO", "n_blocks_skipped"): (
+        "honest zero: no 4..256-day window of the fixture calendar has a "
+        "perfectly constant daily count at any scale; the constant-block "
+        "drop TRUE path is pinned by "
+        "test_hurst_trend_and_constant_block_synthetic"
+    ),
     ("events_friedman_test", "ALL_ZERO", "n_dropped"): (
         "honest zero: the fixture is dense (every user has every event "
         "type at every scale — the KM/AUC lesson); the incomplete-block "
