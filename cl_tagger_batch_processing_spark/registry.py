@@ -632,12 +632,12 @@ register("events_brier_decomposition", relational.events_brier_decomposition)
 register("events_median_ci", relational.events_median_ci)
 register("corpus_source_concentration", curation.corpus_source_concentration)
 
-# r13 continuation additions (still ≤ the 27 first-time rotations): the
-# parametric effect-size companion to Cliff's delta (Cohen's d with
-# Hedges' g and a normal CI) and the inverted question no difference test
-# can ask (TOST equivalence within a stated margin). Same additions
-# discipline: oracle-backed, textbook-replayed, SCALE/COVERAGE-rowed,
-# vacuity-triaged, constants sync-pinned.
+# r13 continuation additions (12 more — r13 total 20 ≤ the 27 first-time
+# rotations): the parametric effect-size companion to Cliff's delta
+# (Cohen's d with Hedges' g and a normal CI) and the inverted question no
+# difference test can ask (TOST equivalence within a stated margin). Same
+# additions discipline: oracle-backed, textbook-replayed,
+# SCALE/COVERAGE-rowed, vacuity-triaged, constants sync-pinned.
 register("events_cohens_d", relational.events_cohens_d)
 register("events_tost_equivalence", relational.events_tost_equivalence)
 # Mood's median test (the weakest-assumption k-group location gate; the
