@@ -1978,57 +1978,41 @@ def embedding_isotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     components is likewise an exact row-local decimal. Zero-norm vectors
     drop (reported). Every division happens once in double.
 
-    Scale shape: one corpus pass posexploding to (dim, component) with
-    map-side partial sums — the exchange carries one row per
-    (partition, dim), the embedding_dim_stats shape; a d-row fold."""
-    base = quantized_embeddings(spark, sf_dir).where(F.col("nrm") > 0)
-    counted = base.transform(truncate_lineage)  # feeds n AND the dim sums
+    Scale shape: two corpus passes, NO corpus-sized checkpoint (the
+    house discipline — both re-derive from the scan): one cheap counts
+    fold, and one posexplode to (dim, component) with map-side partial
+    sums — the exchange carries one row per (partition, dim), the
+    embedding_dim_stats shape; Σ‖u‖² rides the SAME per-dim aggregate
+    (Σ_i‖u_i‖² = Σ_dim Σ_i u²_{i,dim} — decimal sums are exactly
+    associative); a d-row fold."""
+    base = quantized_embeddings(spark, sf_dir)
+    counts = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("nrm") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_vectors"),
+    )
     d9 = lambda c: F.round(c, 9).cast("decimal(19,9)")  # noqa: E731
-    unit = F.transform(
-        F.col("qv"),
-        lambda x: d9(x.cast("double") / F.sqrt(F.col("nrm").cast("double"))),
+    cells = base.where(F.col("nrm") > 0).select(
+        F.posexplode("qv").alias("dim0", "x"), "nrm"
+    ).select(
+        (F.col("dim0") + 1).cast("bigint").alias("dim"),
+        d9(
+            F.col("x").cast("double") / F.sqrt(F.col("nrm").cast("double"))
+        ).alias("ux"),
     )
-    per_row = counted.select(
-        unit.alias("u"),
-        F.aggregate(
-            F.transform(
-                F.transform(
-                    F.col("qv"),
-                    lambda x: d9(
-                        x.cast("double") / F.sqrt(F.col("nrm").cast("double"))
-                    ),
-                ),
-                lambda ux: ux * ux,
-            ),
-            F.lit(0).cast("decimal(38,18)"),
-            # decimal add widens (38,18)+(38,18) → (38,16); cast back —
-            # the running value is ≤ 64, lossless at scale 18
-            lambda acc, x: (acc + x).cast("decimal(38,18)"),
-        ).alias("u2"),
-    ).transform(truncate_lineage)  # feeds the dim sums AND the u2 fold
-    dims = per_row.select(
-        F.posexplode("u").alias("dim0", "ux")
-    ).groupBy((F.col("dim0") + 1).cast("bigint").alias("dim")).agg(
-        F.sum("ux").alias("sx")
-    )
-    tot = per_row.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
-        F.sum("u2").alias("sum_u2"),
-    )
-    n_all = quantized_embeddings(spark, sf_dir).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    dims = cells.groupBy("dim").agg(
+        F.sum("ux").alias("sx"),
+        F.sum((F.col("ux") * F.col("ux")).cast("decimal(38,18)")).alias("sux2"),
     )
     rail = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
-    folds = (
-        dims.agg(
-            F.sum(rail(F.col("sx").cast("double") * F.col("sx").cast("double")))
-            .cast("double")
-            .alias("r2"),
-            F.count(F.lit(1)).cast("bigint").alias("n_dims"),
-        )
-        .crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(n_all))
-    )
+    folds = dims.agg(
+        F.sum(rail(F.col("sx").cast("double") * F.col("sx").cast("double")))
+        .cast("double")
+        .alias("r2"),
+        F.sum("sux2").alias("sum_u2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+    ).crossJoin(F.broadcast(counts))
     nd = F.col("n_vectors").cast("double")
     mean_cos = F.when(
         F.col("n_vectors") >= 2,
@@ -2066,7 +2050,9 @@ def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is the full vector set); at corpus scale the same selection
     rides the LSH/IVF candidate machinery (sim_ann_lsh / sim_topk_ivf)
     with identical downstream folds — a mechanical swap."""
-    base = quantized_embeddings(spark, sf_dir).transform(truncate_lineage)
+    # NO corpus-sized checkpoint (house discipline): both sides of the
+    # pair stage re-derive from the cheap quantization scan
+    base = quantized_embeddings(spark, sf_dir)
     other = base.select(
         F.col("vec_id").alias("oid"),
         F.col("qv").alias("ov"),

@@ -2515,14 +2515,15 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two corpus passes (per-doc token counts; per-token
     first doc), both map-side combined; everything after is the ≤B-row
     checkpoint spine."""
-    from ..checkpointing import truncate_lineage
-
     docs = load_table(spark, sf_dir, "documents")
     b_lit = F.lit(HEAPS_CHECKPOINTS)
-    tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    ).transform(truncate_lineage)  # feeds the per-doc AND per-token passes
-    rng = tok.agg(
+    # NO checkpoint: the exploded token frame is corpus-sized (the house
+    # never-checkpoint-corpus-frames rule) — each consumer re-derives it
+    # from the documents scan
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    # range from the un-exploded docs scan (identical: split() yields ≥1
+    # token per doc, so every doc_id appears in tok)
+    rng = docs.agg(
         F.min("doc_id").alias("dmin"), F.max("doc_id").alias("dmax")
     )
     # TRUE integer division via a − a%b (the quotient ≤ B is tiny, so the
