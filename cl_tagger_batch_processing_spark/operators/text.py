@@ -2520,12 +2520,16 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NO checkpoint: the exploded token frame is corpus-sized (the house
     # never-checkpoint-corpus-frames rule) — each consumer re-derives it
     # from the documents scan
+    from ..checkpointing import truncate_lineage
+
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     # range from the un-exploded docs scan (identical: split() yields ≥1
-    # token per doc, so every doc_id appears in tok)
+    # token per doc, so every doc_id appears in tok); 1-row frame with
+    # THREE consumers (both bucket passes + the spine) — checkpointed so
+    # each broadcast replica doesn't re-scan the corpus
     rng = docs.agg(
         F.min("doc_id").alias("dmin"), F.max("doc_id").alias("dmax")
-    )
+    ).transform(truncate_lineage)
     # TRUE integer division via a − a%b (the quotient ≤ B is tiny, so the
     # one double division is exact) — Spark's `/` is double and DuckDB's
     # CAST(double AS BIGINT) ROUNDS, so a naive mirror would off-by-one on
