@@ -2028,6 +2028,13 @@ def embedding_isotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TwoNN query cap: the MLE averages per-point terms, so the smallest-
+# vec_id sample estimates it at a quarter of the sf0.1 pair work while
+# staying inactive at the 500-vector parity fixtures. Mirrored literally
+# in the DuckDB oracle — sync-pinned.
+INTRINSIC_DIM_QUERY_CAP = 500
+
+
 def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TwoNN intrinsic-dimension estimate (Facco et al. 2017) — the
     representation-QA readout that says how many degrees of freedom the
@@ -2036,23 +2043,30 @@ def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         d̂ = n / Σ_i ln(r2_i / r1_i) = 2n / Σ_i ln(r2²_i / r1²_i)
 
-    over each point's two nearest-neighbor distances.
+    over each point's two nearest-neighbor distances — the MLE is an
+    AVERAGE of per-point terms, so a deterministic query sample
+    estimates it: queries are capped at the INTRINSIC_DIM_QUERY_CAP
+    smallest vec_ids (the sim_topk_cosine `vec_id < num_queries`
+    convention — inactive at the 500-vector parity fixtures, ¼ of the
+    pair work at sf0.1) while EVERY vector stays a candidate.
 
     Exactness: squared distances r² = ‖a‖² + ‖b‖² − 2·a·b are EXACT
     integers on the quantized vectors (the dedup_embedding_cosine
-    convention), selected per point by a PARTITIONED (vec_id) rank
+    convention), selected per query by a PARTITIONED (vec_id) rank
     window; each ln ratio evaluates once in double and rides the
-    9dp/DECIMAL(28,9) rail into the fold. Duplicate-vector points
+    9dp/DECIMAL(28,9) rail into the fold. Duplicate-vector queries
     (r1 = 0) drop and are reported.
 
-    Scale shape: the exact all-pairs stage is the sim_topk_cosine
-    fixture-scale referee class (documented boundary — the broadcast
-    side is the full vector set); at corpus scale the same selection
-    rides the LSH/IVF candidate machinery (sim_ann_lsh / sim_topk_ivf)
-    with identical downstream folds — a mechanical swap."""
+    Scale shape: the exact queries×all pair stage is the
+    sim_topk_cosine fixture-scale referee class (documented boundary —
+    the broadcast side is the full vector set); at corpus scale the
+    same selection rides the LSH/IVF candidate machinery (sim_ann_lsh /
+    sim_topk_ivf) with identical downstream folds — a mechanical
+    swap."""
     # NO corpus-sized checkpoint (house discipline): both sides of the
     # pair stage re-derive from the cheap quantization scan
     base = quantized_embeddings(spark, sf_dir)
+    n_all = base.agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
     other = base.select(
         F.col("vec_id").alias("oid"),
         F.col("qv").alias("ov"),
@@ -2062,7 +2076,8 @@ def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm") + F.col("onrm") - F.lit(2) * int_dot(F.col("qv"), F.col("ov"))
     ).alias("d2")
     pairs = (
-        base.crossJoin(F.broadcast(other))
+        base.where(F.col("vec_id") < INTRINSIC_DIM_QUERY_CAP)
+        .crossJoin(F.broadcast(other))
         .where(F.col("vec_id") != F.col("oid"))
         .select("vec_id", d2, "oid")
     )
@@ -2083,20 +2098,21 @@ def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so ANSI never sees the /0
     usable = (F.col("r1sq") > 0) & F.col("r2sq").isNotNull()
     folds = two_nn.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
         F.sum(F.when(usable, 1).otherwise(0)).cast("bigint").alias("n_used"),
         F.sum(F.when(usable, rail(term)).otherwise(F.lit(None)))
         .cast("double")
         .alias("sum_ln"),
-    )
+    ).crossJoin(F.broadcast(n_all))
     mu = F.when(
         (F.col("n_used") > 0) & (F.col("sum_ln") > 0),
         F.lit(2.0) * F.col("n_used").cast("double") / F.col("sum_ln"),
     )
     return folds.select(
         "n_vectors",
+        "n_queries",
         "n_used",
-        (F.col("n_vectors") - F.col("n_used")).cast("bigint").alias("n_degenerate"),
+        (F.col("n_queries") - F.col("n_used")).cast("bigint").alias("n_degenerate"),
         F.round(F.col("sum_ln"), 9).alias("sum_log_ratio"),
         F.round(mu, 6).alias("intrinsic_dim"),
     )

@@ -10986,10 +10986,14 @@ FROM folds f CROSS JOIN tot t CROSS JOIN n_all a
 """
 
 # Mirrors similarity.embedding_intrinsic_dim: exact integer squared
-# distances (the dedup_embedding_cosine convention), partitioned 2-NN
-# rank window, railed ln-ratio fold, MLE divided once in double.
+# distances (the dedup_embedding_cosine convention), the pinned smallest-
+# vec_id query cap, partitioned 2-NN rank window, railed ln-ratio fold,
+# MLE divided once in double.
+from .operators.similarity import INTRINSIC_DIM_QUERY_CAP  # noqa: E402
+
 ORACLE_SQL["embedding_intrinsic_dim"] = f"""
 WITH {_QEMB_CTES},
+n_all AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors FROM n),
 pairs AS (
   SELECT a.vec_id,
          CAST(a.nrm + b.nrm
@@ -10997,6 +11001,7 @@ pairs AS (
                                      CAST(b.qv AS DOUBLE[])) AS BIGINT) AS d2,
          b.vec_id AS oid
   FROM n a JOIN n b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < {INTRINSIC_DIM_QUERY_CAP}
 ),
 ranked AS (
   SELECT vec_id, d2,
@@ -11011,7 +11016,7 @@ two_nn AS (
   FROM ranked WHERE rn <= 2 GROUP BY 1
 ),
 folds AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
          CAST(SUM(CASE WHEN r1sq > 0 AND r2sq IS NOT NULL THEN 1 ELSE 0 END)
               AS BIGINT) AS n_used,
          CAST(SUM(CASE WHEN r1sq > 0 AND r2sq IS NOT NULL THEN
@@ -11019,13 +11024,13 @@ folds AS (
                 AS DECIMAL(28,9)) END) AS DOUBLE) AS sum_ln
   FROM two_nn
 )
-SELECT n_vectors, n_used,
-       CAST(n_vectors - n_used AS BIGINT) AS n_degenerate,
-       ROUND(sum_ln, 9) AS sum_log_ratio,
-       ROUND(CASE WHEN n_used > 0 AND sum_ln > 0
-             THEN 2.0 * CAST(n_used AS DOUBLE) / sum_ln END, 6)
+SELECT a.n_vectors, f.n_queries, f.n_used,
+       CAST(f.n_queries - f.n_used AS BIGINT) AS n_degenerate,
+       ROUND(f.sum_ln, 9) AS sum_log_ratio,
+       ROUND(CASE WHEN f.n_used > 0 AND f.sum_ln > 0
+             THEN 2.0 * CAST(f.n_used AS DOUBLE) / f.sum_ln END, 6)
          AS intrinsic_dim
-FROM folds
+FROM folds f CROSS JOIN n_all a
 """
 
 # Mirrors relational.events_hurst_exponent: size-scaled exact integer

@@ -8702,6 +8702,13 @@ def test_r13b_constants_in_sync():
     assert relational.HURST_BLOCK_SIZES == [4, 8, 16, 32, 64, 128, 256]
     sizes_sql = ", ".join(str(s) for s in relational.HURST_BLOCK_SIZES)
     assert f"[{sizes_sql}]" in oracles.ORACLE_SQL["events_hurst_exponent"]
+    from cl_tagger_batch_processing_spark.operators import similarity as sim_ops
+
+    assert sim_ops.INTRINSIC_DIM_QUERY_CAP == 500
+    assert (
+        f"a.vec_id < {sim_ops.INTRINSIC_DIM_QUERY_CAP}"
+        in oracles.ORACLE_SQL["embedding_intrinsic_dim"]
+    )
 
 
 def test_mood_median_matches_textbook_replay(spark, sf_dir):
@@ -9235,17 +9242,20 @@ def test_intrinsic_dim_matches_bruteforce(spark, sf_dir):
     from cl_tagger_batch_processing_spark.registry import QUERIES
 
     r = QUERIES["embedding_intrinsic_dim"](spark, sf_dir).collect()[0]
-    raw = _duck_rows(sf_dir, "SELECT embedding FROM '{sf}/embeddings.parquet'")
+    raw = _duck_rows(
+        sf_dir, "SELECT embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id"
+    )
     q = np.round(np.array([e for (e,) in raw], dtype=np.float64) * 1000.0)
     n = q.shape[0]
     assert r.n_vectors == n
+    assert r.n_queries == min(n, 500)  # cap inactive on the 500-row fixture
     d2 = ((q[:, None, :] - q[None, :, :]) ** 2).sum(axis=2)
     np.fill_diagonal(d2, np.inf)
-    part = np.sort(d2, axis=1)[:, :2]
+    part = np.sort(d2, axis=1)[:min(n, 500), :2]
     usable = part[:, 0] > 0
     terms = [round(float(np.log(b / a)), 9) for a, b in part[usable]]
     assert r.n_used == int(usable.sum())
-    assert r.n_degenerate == n - int(usable.sum())
+    assert r.n_degenerate == r.n_queries - int(usable.sum())
     assert r.sum_log_ratio == pytest.approx(sum(terms), abs=1e-8)
     assert r.intrinsic_dim == pytest.approx(
         2.0 * int(usable.sum()) / sum(terms), abs=1e-5
@@ -9270,7 +9280,7 @@ def test_intrinsic_dim_duplicates_synthetic(spark, tmp_path):
     rows.append((101, [1024.0] + [0.0] * 63, 0))
     _write_embeddings(spark, d, rows)
     r = QUERIES["embedding_intrinsic_dim"](spark, str(d)).collect()[0]
-    assert (r.n_vectors, r.n_used, r.n_degenerate) == (8, 6, 2)
+    assert (r.n_vectors, r.n_queries, r.n_used, r.n_degenerate) == (8, 8, 6, 2)
     # hand-computed two-NN squared ratios on x = 1,2,4,8,16,32 (+1024 dup)
     xs = [1, 2, 4, 8, 16, 32]
     total = 0.0
@@ -9368,3 +9378,35 @@ def test_hurst_trend_and_constant_block_synthetic(spark, tmp_path):
     assert r.n_days == 32
     assert r.n_blocks_skipped >= 1  # the constant first block
     assert r.hurst_h is not None and r.hurst_h > 0.9  # trending: persistent
+
+
+def test_intrinsic_dim_query_cap_active(spark, tmp_path):
+    """Above INTRINSIC_DIM_QUERY_CAP vectors, only the smallest-vec_id
+    sample queries (every vector stays a candidate) — numpy replays the
+    capped MLE exactly."""
+    import numpy as np
+
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    d = tmp_path / "cap"
+    d.mkdir()
+    n = 520
+    vecs = [
+        [float((i * 13) % 97), float((i * 29) % 89), float(i % 7)] + [0.0] * 61
+        for i in range(n)
+    ]
+    _write_embeddings(spark, d, [(i, vecs[i], 0) for i in range(n)])
+    r = QUERIES["embedding_intrinsic_dim"](spark, str(d)).collect()[0]
+    assert (r.n_vectors, r.n_queries) == (520, 500)
+    q = np.round(np.array(vecs, dtype=np.float64) * 1000.0)
+    d2 = ((q[:, None, :] - q[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d2, np.inf)
+    part = np.sort(d2, axis=1)[:500, :2]  # queries = smallest 500 vec_ids
+    usable = part[:, 0] > 0
+    terms = [round(float(np.log(b / a)), 9) for a, b in part[usable]]
+    assert r.n_used == int(usable.sum())
+    assert r.sum_log_ratio == pytest.approx(sum(terms), abs=1e-8)
+    if sum(terms) > 0:
+        assert r.intrinsic_dim == pytest.approx(
+            2.0 * int(usable.sum()) / sum(terms), abs=1e-5
+        )
