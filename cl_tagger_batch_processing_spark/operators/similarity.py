@@ -1116,35 +1116,76 @@ def outer_product_stats(base: DataFrame) -> DataFrame:
     """Upper-triangle (dim_i ≤ dim_j, 1-based) sufficient statistics of the
     quantized embedding matrix in ONE corpus pass with ZERO joins.
 
-    The d·(d+1)/2 outer-product terms are emitted ROW-LOCALLY from the
-    array column (nested ``transform`` over the vector and its tail slice,
-    flattened, one ``explode``), then a single map-side-combinable
-    groupBy(dim_i, dim_j) collapses them: the only exchange carries
-    d²/2 keys × partitions — independent of corpus size. This replaces the
-    r7 shape (posexplode + self-join on vec_id) that shuffled n·d exploded
-    rows through a join no algebra required (VERDICT r7 ask #2). All sums
-    are exact BIGINTs (any summation order — engine-portable)."""
-    terms = base.select(
-        F.explode(
-            F.expr(
-                """
-                flatten(transform(qv, (xi, i) ->
-                    transform(slice(qv, i + 1, size(qv) - i), (xj, j) ->
-                        named_struct(
-                            'dim_i', CAST(i + 1 AS BIGINT),
-                            'dim_j', CAST(i + j + 1 AS BIGINT),
-                            'xi', xi, 'xj', xj))))
-                """
+    Per Arrow batch, the kernel computes the d×d Gram matrix Xᵀ·X as ONE
+    exact int64 matrix product and emits d·(d+1)/2 PARTIAL rows
+    (count, Σx, Σx², Σxᵢxⱼ); the single map-side-combinable
+    groupBy(dim_i, dim_j) then sums partials: the only exchange carries
+    d²/2 keys × partitions — independent of corpus size, exactly the
+    shape of the former nested-``transform``+``explode`` form, minus the
+    n·d²/2 interpreted per-term rows it materialized (r13 optimization,
+    the _simhash_majority precedent; before that, the r7 posexplode +
+    self-join shuffled n·d rows through a join no algebra required —
+    VERDICT r7 ask #2). All sums are exact BIGINTs in any summation
+    order and any batch split — engine-portable, value-identical."""
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = (
+        "dim_i bigint, dim_j bigint, pn bigint, psx bigint, psy bigint, "
+        "psxx bigint, psyy bigint, psxy bigint"
+    )
+
+    def _partials(batches):
+        for batch in batches:
+            col = batch.column(0)
+            if isinstance(col, pa.ChunkedArray):  # pragma: no cover
+                col = col.combine_chunks()
+            valid = col.drop_null()
+            if len(valid) == 0:
+                continue
+            offsets = valid.offsets.to_numpy(zero_copy_only=False)
+            values = valid.values.to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
             )
-        ).alias("t")
-    ).select("t.dim_i", "t.dim_j", "t.xi", "t.xj")
-    return terms.groupBy("dim_i", "dim_j").agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.sum("xi").alias("sx"),
-        F.sum("xj").alias("sy"),
-        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
-        F.sum(F.col("xj") * F.col("xj")).alias("syy"),
-        F.sum(F.col("xi") * F.col("xj")).alias("sxy"),
+            lens = np.diff(offsets)
+            # one partial set per distinct vector length (uniform-d corpora
+            # take the single-pass fast path; ragged rows only combine
+            # with rows of the same length, mirroring the per-row
+            # upper-triangle emission of the expression form)
+            for d in np.unique(lens):
+                idx = np.nonzero(lens == d)[0]
+                starts = offsets[idx]
+                gather = starts[:, None] + np.arange(d)[None, :]
+                x = values[gather]
+                gram = x.T @ x
+                sx = x.sum(axis=0)
+                iu, ju = np.triu_indices(int(d))
+                n = np.full(iu.size, len(idx), dtype=np.int64)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(iu + 1, type=pa.int64()),
+                        pa.array(ju + 1, type=pa.int64()),
+                        pa.array(n, type=pa.int64()),
+                        pa.array(sx[iu], type=pa.int64()),
+                        pa.array(sx[ju], type=pa.int64()),
+                        pa.array(gram[iu, iu], type=pa.int64()),
+                        pa.array(gram[ju, ju], type=pa.int64()),
+                        pa.array(gram[iu, ju], type=pa.int64()),
+                    ],
+                    names=[
+                        "dim_i", "dim_j", "pn", "psx", "psy",
+                        "psxx", "psyy", "psxy",
+                    ],
+                )
+
+    partials = base.select("qv").mapInArrow(_partials, out_schema)
+    return partials.groupBy("dim_i", "dim_j").agg(
+        F.sum("pn").alias("n_vecs"),
+        F.sum("psx").alias("sx"),
+        F.sum("psy").alias("sy"),
+        F.sum("psxx").alias("sxx"),
+        F.sum("psyy").alias("syy"),
+        F.sum("psxy").alias("sxy"),
     )
 
 
@@ -2052,44 +2093,74 @@ def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: squared distances r² = ‖a‖² + ‖b‖² − 2·a·b are EXACT
     integers on the quantized vectors (the dedup_embedding_cosine
-    convention), selected per query by a PARTITIONED (vec_id) rank
-    window; each ln ratio evaluates once in double and rides the
-    9dp/DECIMAL(28,9) rail into the fold. Duplicate-vector queries
-    (r1 = 0) drop and are reported.
+    convention), computed as one int64 matrix product per Arrow batch
+    in the vectorized 2-NN kernel below; each ln ratio evaluates once
+    in double and rides the 9dp/DECIMAL(28,9) rail into the fold.
+    Duplicate-vector queries (r1 = 0) drop and are reported.
 
-    Scale shape: the exact queries×all pair stage is the
+    Scale shape: the exact queries×all candidate stage is the
     sim_topk_cosine fixture-scale referee class (documented boundary —
-    the broadcast side is the full vector set); at corpus scale the
-    same selection rides the LSH/IVF candidate machinery (sim_ann_lsh /
-    sim_topk_ivf) with identical downstream folds — a mechanical
-    swap."""
+    the candidate side crosses the driver whole, exactly as the former
+    crossJoin(broadcast(other))'s BroadcastExchange did); at corpus
+    scale the same selection rides the LSH/IVF candidate machinery
+    (sim_ann_lsh / sim_topk_ivf) with identical downstream folds — a
+    mechanical swap."""
     # NO corpus-sized checkpoint (house discipline): both sides of the
     # pair stage re-derive from the cheap quantization scan
     base = quantized_embeddings(spark, sf_dir)
     n_all = base.agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
-    other = base.select(
-        F.col("vec_id").alias("oid"),
-        F.col("qv").alias("ov"),
-        F.col("nrm").alias("onrm"),
+    # Candidate matrix: the SAME rows the former crossJoin(broadcast(other))
+    # shipped to every executor via BroadcastExchange (a driver collect in
+    # the JVM), now collected once as exact int64 NumPy arrays. Same
+    # fixture-scale-referee boundary, same bytes through the driver — but
+    # the per-pair d² = ‖a‖² + ‖b‖² − 2·a·b fold runs as ONE exact int64
+    # matrix product per Arrow batch instead of queries×candidates
+    # interpreted HOF dot products (the _simhash_majority precedent:
+    # replace an interpreted per-element expression fold with a vectorized
+    # kernel, values bit-identical, oracle-pinned). The partitioned top-2
+    # window dissolves into a row-local partition-select: r1²/r2² are the
+    # two smallest d² values per query — a multiset property, invariant to
+    # the old (d2, oid) tie-break.
+    import numpy as np
+    import pandas as pd
+
+    cand = base.select("vec_id", "qv", "nrm").toPandas()
+    cand_ids = cand["vec_id"].to_numpy(dtype=np.int64)
+    cand_mat = (
+        np.array(cand["qv"].tolist(), dtype=np.int64)
+        if len(cand)
+        else np.zeros((0, 0), dtype=np.int64)
     )
-    d2 = (
-        F.col("nrm") + F.col("onrm") - F.lit(2) * int_dot(F.col("qv"), F.col("ov"))
-    ).alias("d2")
-    pairs = (
-        base.where(F.col("vec_id") < INTRINSIC_DIM_QUERY_CAP)
-        .crossJoin(F.broadcast(other))
-        .where(F.col("vec_id") != F.col("oid"))
-        .select("vec_id", d2, "oid")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("oid"))
-    two_nn = (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 2)
-        .groupBy("vec_id")
-        .agg(
-            F.min(F.when(F.col("rn") == 1, F.col("d2"))).alias("r1sq"),
-            F.min(F.when(F.col("rn") == 2, F.col("d2"))).alias("r2sq"),
+    cand_nrm = cand["nrm"].to_numpy(dtype=np.int64)
+    sentinel = np.iinfo(np.int64).max
+
+    def _twonn_batch(vec_id, qv, nrm):
+        ids = vec_id.to_numpy(dtype=np.int64)
+        q_mat = np.array(qv.tolist(), dtype=np.int64)
+        q_nrm = nrm.to_numpy(dtype=np.int64)
+        d2 = q_nrm[:, None] + cand_nrm[None, :] - 2 * (q_mat @ cand_mat.T)
+        # self-exclusion: vec_id is unique, so each query masks at most one
+        # candidate column; the sentinel is far above any real d² (bounded
+        # by 2·64·(scale·‖x‖∞)² ≪ 2⁶³)
+        d2[ids[:, None] == cand_ids[None, :]] = sentinel
+        n_real = len(cand_ids) - np.isin(ids, cand_ids).astype(np.int64)
+        k2 = np.partition(d2, 1, axis=1)[:, :2] if d2.shape[1] >= 2 else d2
+        r1 = pd.array(
+            np.where(n_real >= 1, k2[:, 0], 0), dtype="Int64"
         )
+        r2 = pd.array(
+            np.where(n_real >= 2, k2[:, -1], 0), dtype="Int64"
+        )
+        r1[np.asarray(n_real < 1)] = pd.NA
+        r2[np.asarray(n_real < 2)] = pd.NA
+        return pd.DataFrame({"r1sq": r1, "r2sq": r2})
+
+    twonn = F.pandas_udf(_twonn_batch, "struct<r1sq:bigint,r2sq:bigint>")
+    two_nn = (
+        base.where(F.col("vec_id") < INTRINSIC_DIM_QUERY_CAP)
+        .select("vec_id", twonn("vec_id", "qv", "nrm").alias("s"))
+        .select("vec_id", F.col("s.r1sq").alias("r1sq"), F.col("s.r2sq").alias("r2sq"))
+        .where(F.col("r1sq").isNotNull())
     )
     rail = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
     term = F.log(F.col("r2sq").cast("double") / F.col("r1sq").cast("double"))

@@ -29,9 +29,20 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = cpus
+    # Local mode runs every task inside the driver JVM, so the driver heap
+    # IS the executor heap: Spark's 1g default leaves ~300 MB of
+    # execution+storage memory shared by `cpus` concurrent tasks (~10 MB
+    # per task at 32 cores) — sort/aggregate/join buffers spill and GC
+    # churns long before the machine is used (guide §5/§9: size memory to
+    # the workers, not the default). Parameterised, not hard-coded: env
+    # override for the bench/driver, and a cluster submit's explicit
+    # spark.driver.memory / spark.executor.memory win because a JVM that
+    # is already running ignores this builder setting.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -852,6 +852,8 @@ def test_covariance_zero_join_stats(spark, sf_dir):
                "ArrowEvalPython", "MapInPandas"]:
         assert op not in plan, op
     assert plan.count("FileScan") == 1
+    # r13: the per-batch Gram-matrix kernel is the documented Arrow path
+    assert plan.count("MapInArrow") == 1
 
 
 def test_pca_stats_stage_zero_join(spark, sf_dir):
@@ -874,6 +876,8 @@ def test_pca_stats_stage_zero_join(spark, sf_dir):
                "ArrowEvalPython", "MapInPandas"]:
         assert op not in plan, op
     assert plan.count("FileScan") == 1
+    # r13: the per-batch Gram-matrix kernel is the documented Arrow path
+    assert plan.count("MapInArrow") == 1
 
 
 def test_pagerank_salted_strategy_agrees(spark, sf_dir):
@@ -1064,7 +1068,22 @@ def test_registry_wide_no_scale_killers(spark):
     from cl_tagger_batch_processing_spark.registry import QUERIES as _Q
 
     guard_sf = os.environ.get("SPARK_GRAFT_GUARD_SF_DIR", "/root/testdata/sf0.001")
-    arrow_allowed = {"mm_frame_sample", "text_simhash", "mm_byte_histogram"}
+    arrow_allowed = {
+        "mm_frame_sample",
+        "text_simhash",
+        "mm_byte_histogram",
+        # r13 optimization: the TwoNN pair stage's exact int64 d² matrix
+        # product (one BLAS-shaped kernel per Arrow batch) replaced
+        # queries×candidates interpreted HOF dot products — the
+        # _simhash_majority precedent; values bit-identical, oracle-pinned.
+        "embedding_intrinsic_dim",
+        # r13 optimization: outer_product_stats' per-batch Gram-matrix
+        # kernel (exact int64 partial sufficient statistics) replaced the
+        # n·d²/2 interpreted HOF term explosion; same single
+        # map-side-combined groupBy above it.
+        "embedding_covariance",
+        "embedding_pca_power_iteration",
+    }
     bad: list[str] = []
     for name, fn in _Q.items():
         if name.startswith("stream_"):
@@ -1075,7 +1094,9 @@ def test_registry_wide_no_scale_killers(spark):
         if "BatchEvalPython" in plan:
             bad.append(f"{name}: row-at-a-time Python")
         if name not in arrow_allowed and (
-            "ArrowEvalPython" in plan or "MapInPandas" in plan
+            "ArrowEvalPython" in plan
+            or "MapInPandas" in plan
+            or "MapInArrow" in plan
         ):
             bad.append(f"{name}: unexpected Python boundary")
     assert not bad, bad
