@@ -86,6 +86,7 @@ def main() -> int:
         (_dedup, "_CLUSTERS_CACHE"),
         (_dedup, "_LSH_PAIRS_CACHE"),
         (_dedup, "_SIMHASH_PAIRS_CACHE"),
+        (_dedup, "_SIG_CACHE"),
         (_graph, "_EDGES_CACHE"),
     ]:
         cache = _CountingCache()

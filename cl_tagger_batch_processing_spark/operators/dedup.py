@@ -279,17 +279,49 @@ def banded_candidate_stream(banded: DataFrame) -> DataFrame:
     )
 
 
+_SIG_CACHE: dict[tuple, DataFrame] = {}
+
+
+def minhash_signature_table(
+    spark: SparkSession, sf_dir: str, max_df: int | None = DEFAULT_MAX_DF
+) -> DataFrame:
+    """(doc_id, sig array) — THE materialized 16-hash signature table,
+    memoized per (application, sf_dir, max_df, checkpoint-mode), the
+    dedup_minhash_lsh/cooccurrence_edges convention. The shingle→md5→
+    16-min groupBy pipeline under it is the dominant shared cost of the
+    whole MinHash family, and THREE consumers used to rebuild it from the
+    corpus per query (the shipped 4×4 candidates, the band sweep, the
+    b-bit report): whichever runs first pays the build, the rest read
+    O(n_docs × 16 bigints) checkpoint blocks — far below the corpus-sized
+    frames the memo contract excludes (r13 optimization)."""
+    from ..checkpointing import CHECKPOINT_MODE_CONF, session_cache_sweep
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, max_df, spark.conf.get(CHECKPOINT_MODE_CONF, "local"))
+    session_cache_sweep(_SIG_CACHE, app_id)
+    hit = _SIG_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = load_table(spark, sf_dir, "documents")
+    out = (
+        minhash_signatures(word_shingles(docs, k=3, max_df=max_df, distinct=False))
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"h{i}") for i in range(MINHASH_NUM_HASHES)]).alias("sig"),
+        )
+        .transform(truncate_lineage)
+    )
+    _SIG_CACHE[key] = out
+    return out
+
+
 def minhash_candidates(
     spark: SparkSession, sf_dir: str, max_df: int | None = DEFAULT_MAX_DF
 ) -> DataFrame:
     """Banded-join candidate pairs (doc_a, doc_b, est) BEFORE deduplication —
     the relation whose row count must stay O(n); tests pin a bound on it.
     One row per shared (band, band-key) bucket collision."""
-    docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(word_shingles(docs, k=3, max_df=max_df, distinct=False)).select(
-        "doc_id",
-        F.array(*[F.col(f"h{i}") for i in range(MINHASH_NUM_HASHES)]).alias("sig"),
-    )
+    sig = minhash_signature_table(spark, sf_dir, max_df=max_df)
     return banded_candidate_stream(banded_signature_rows(sig))
 
 
@@ -1333,15 +1365,10 @@ def dedup_minhash_band_sweep(
     branch costs one small self-join, never a new corpus scan. Per config:
     distinct candidate pairs, pairs whose signature estimate clears the
     0.5 admission threshold, and the 9dp-decimal mean estimate."""
-    docs = load_table(spark, sf_dir, "documents")
-    sig = (
-        minhash_signatures(word_shingles(docs, k=3, max_df=max_df, distinct=False))
-        .select(
-            "doc_id",
-            F.array(*[F.col(f"h{i}") for i in range(MINHASH_NUM_HASHES)]).alias("sig"),
-        )
-        .transform(truncate_lineage)
-    )
+    # the memoized signature table (already materialized): the sweep's
+    # three bandings re-slice it row-locally, and a prior/later MinHash
+    # query in the same session shares the build
+    sig = minhash_signature_table(spark, sf_dir, max_df=max_df)
     parts = []
     for n_bands, rows_per_band in BAND_SWEEP:
         # the SAME banding/collision implementation minhash_candidates
@@ -1772,13 +1799,7 @@ def dedup_minhash_bbit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     9dp-DECIMAL rail). The b-bit estimate can go negative on disagreeing
     pairs (the debias subtracts the collision baseline) — reported raw,
     as the estimator is defined."""
-    docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(
-        word_shingles(docs, k=3, max_df=DEFAULT_MAX_DF, distinct=False)
-    ).select(
-        "doc_id",
-        F.array(*[F.col(f"h{i}") for i in range(MINHASH_NUM_HASHES)]).alias("sig"),
-    )
+    sig = minhash_signature_table(spark, sf_dir)  # memoized + materialized
     banded = banded_signature_rows(sig).transform(truncate_lineage)
     a, b = banded.alias("a"), banded.alias("b")
     n_eq = lambda expr: F.size(  # noqa: E731

@@ -4358,11 +4358,21 @@ def events_hmm_viterbi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("m11"),
     ).transform(truncate_lineage)
 
+    # Rounds with step 2^k ≥ n_days are IDENTITY passes: no row has a
+    # partner that far away, the left join matches nothing, every row
+    # keeps its matrices. n_days is already on the driver (the horizon
+    # guard above), so skip them — bit-identical to running all
+    # HMM_SCAN_ROUNDS (the oracle's fixed-round replay computes the same
+    # no-ops), minus ⌈log₂⌉-to-9 join rounds and their checkpoints.
+    rounds_live = next(
+        k for k in range(HMM_SCAN_ROUNDS + 1) if (1 << k) >= n_days_val
+    )
+
     def scan(frame: DataFrame, direction: int) -> DataFrame:
         """Hillis-Steele max-plus scan; direction=+1 prefix, −1 suffix.
         Prefix combines EARLIER⊗current, suffix current⊗LATER."""
         out = frame
-        for k in range(HMM_SCAN_ROUNDS):
+        for k in range(rounds_live):
             step = (1 << k) * direction
             other = out.select(
                 (F.col("idx") + step).alias("oidx"),
@@ -5411,9 +5421,22 @@ def events_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sa").cast("double") / F.col("na").cast("double")
         - F.col("sb").cast("double") / F.col("nb").cast("double")
     ) / F.lit(100.0)
+    # 1-row frame with THREE consumers (the replicate pass's cut broadcast,
+    # the tail's diff_obs broadcast, the final select): checkpoint it so the
+    # corpus aggregate runs once, not once per consumer (the multi-consumer
+    # truncate_lineage discipline; same fix class as events_sprt_boundary)
     obs = tot.select(
-        "na", "nb", F.round(mean_gap, 9).alias("diff_obs")
-    )
+        "na",
+        "nb",
+        F.round(mean_gap, 9).alias("diff_obs"),
+        # replicate-side complements (exact integers): each replicate's
+        # B-side is derived as cb = n_all − ca, pb_s = s_all − pa_s below,
+        # halving the per-row aggregate work of the 2.6M-row replicate
+        # pass while producing bit-identical values (A ∪ B partitions the
+        # rows, so the sums/counts are exact complements)
+        (F.col("na") + F.col("nb")).alias("n_all"),
+        (F.col("sa") + F.col("sb")).alias("s_all"),
+    ).transform(truncate_lineage)
     b = F.explode(F.sequence(F.lit(0), F.lit(PERM_B - 1))).alias("b")
     u = (
         F.conv(
@@ -5425,7 +5448,10 @@ def events_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             16,
             10,
         )
-        .cast("decimal(38,0)")
+        # 60-bit value: BIGINT holds it exactly, and bigint→double is the
+        # same nearest-double as the former decimal(38,0)→double (verified
+        # value-identical) — skips a per-row BigDecimal parse
+        .cast("bigint")
         .cast("double")
         / F.lit(float(1 << 60))
     )
@@ -5433,31 +5459,31 @@ def events_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na").cast("double") + F.col("nb").cast("double")
     )
     rep = (
-        rows.crossJoin(F.broadcast(tot.select("na", "nb")))
+        rows.crossJoin(F.broadcast(obs.select("na", "nb")))
         .select("eid", "cv", "na", "nb", b)
         .select(F.col("b"), (u < cut).alias("pa"), F.col("cv"))
         .groupBy("b")
         .agg(
             F.sum(F.when(F.col("pa"), 1).otherwise(0)).alias("ca"),
-            F.sum(F.when(~F.col("pa"), 1).otherwise(0)).alias("cb"),
             F.sum(
                 F.when(F.col("pa"), F.col("cv")).otherwise(F.lit(0)).cast("decimal(38,0)")
             ).alias("pa_s"),
-            F.sum(
-                F.when(~F.col("pa"), F.col("cv")).otherwise(F.lit(0)).cast("decimal(38,0)")
-            ).alias("pb_s"),
         )
     )
+    cb = F.col("n_all") - F.col("ca")
+    pb_s = F.col("s_all") - F.col("pa_s")
     diff_b = F.round(
         (
             F.col("pa_s").cast("double") / F.col("ca").cast("double")
-            - F.col("pb_s").cast("double") / F.col("cb").cast("double")
+            - pb_s.cast("double") / cb.cast("double")
         )
         / F.lit(100.0),
         9,
     )
-    valid = rep.where((F.col("ca") > 0) & (F.col("cb") > 0)).select(
-        "b", diff_b.alias("diff_b")
+    valid = (
+        rep.crossJoin(F.broadcast(obs.select("n_all", "s_all")))
+        .where((F.col("ca") > 0) & (cb > 0))
+        .select("b", diff_b.alias("diff_b"))
     )
     tail = valid.crossJoin(F.broadcast(obs)).agg(
         F.count(F.lit(1)).alias("n_perms"),
