@@ -76,10 +76,13 @@ def main() -> int:
 
     from cl_tagger_batch_processing_spark.operators import dedup as _dedup
     from cl_tagger_batch_processing_spark.operators import graph as _graph
+    from cl_tagger_batch_processing_spark.operators import relational as _rel
     from cl_tagger_batch_processing_spark.operators import similarity as _sim
 
     memo_caches: list[_CountingCache] = []
     for mod, attr in [
+        (_rel, "_PART_PAIRS_CACHE"),
+        (_sim, "_TOPK_COSINE_CACHE"),
         (_sim, "_KMEANS_CACHE"),
         (_sim, "_SEMANTIC_KEEP_CACHE"),
         (_sim, "_KNN_GRAPH_CACHE"),

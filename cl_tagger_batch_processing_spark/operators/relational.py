@@ -1437,6 +1437,9 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PART_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+
+
 def counted_part_pairs(
     spark: SparkSession, sf_dir: str, min_support: int = 2
 ) -> DataFrame:
@@ -1444,7 +1447,11 @@ def counted_part_pairs(
     basket pair generator behind part_cooccurrence, part_affinity_lift,
     orders_market_basket_rules, and graph.cooccurrence_edges — any change
     to basket semantics (distinctness, support definition) lands in all
-    four at once.
+    four at once. MATERIALIZED once and memoized per (application,
+    sf_dir, min_support, checkpoint-mode) — the dedup_minhash_lsh
+    convention: four consumers used to re-run the basket self-join from
+    the fact table each, and the memoized frame is the support-filtered
+    pair relation, bounded well below the corpus (r13 optimization).
 
     The self-join on the order key is SAFE pair generation: baskets are
     small (TPC-H orders hold ≤ 7 lines), so pairs per order are bounded by
@@ -1453,17 +1460,33 @@ def counted_part_pairs(
     by the data model rather than a guard. Distinct parts first (a part
     twice in one order is one basket membership), pair key ordered
     (a < b) so each pair counts once."""
+    from ..checkpointing import CHECKPOINT_MODE_CONF, session_cache_sweep
+
+    app_id = spark.sparkContext.applicationId
+    key = (
+        app_id,
+        sf_dir,
+        min_support,
+        spark.conf.get(CHECKPOINT_MODE_CONF, "local"),
+    )
+    session_cache_sweep(_PART_PAIRS_CACHE, app_id)
+    hit = _PART_PAIRS_CACHE.get(key)
+    if hit is not None:
+        return hit
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     basket = li.distinct()
     a = basket.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
     b = basket.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
-    return (
+    out = (
         a.join(b, "l_orderkey")
         .where(F.col("part_a") < F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("n_orders") >= min_support)
+        .transform(truncate_lineage)
     )
+    _PART_PAIRS_CACHE[key] = out
+    return out
 
 
 def part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1521,7 +1544,10 @@ def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-100 stable."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     basket = li.distinct()
-    n_total = basket.select(F.count_distinct("l_orderkey").alias("n_baskets"))
+    # distinct-order total straight off the fact projection: same value as
+    # counting over the (order, part)-distinct basket, without re-running
+    # the basket dedup shuffle for a 1-row scalar
+    n_total = li.agg(F.count_distinct("l_orderkey").alias("n_baskets"))
     marg = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
     pairs = counted_part_pairs(spark, sf_dir).withColumnRenamed("n_orders", "n_ab")
     ma = marg.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a"))
@@ -2123,9 +2149,9 @@ def orders_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     part_orders = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
-    total = basket.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).alias("n_total_orders")
-    )
+    # same value as distinct-counting the basket's order keys, without
+    # re-running the (order, part) dedup shuffle for a 1-row scalar
+    total = li.agg(F.count_distinct("l_orderkey").alias("n_total_orders"))
     na = part_orders.select(
         F.col("l_partkey").alias("antecedent"), F.col("n_orders").alias("n_antecedent")
     )
@@ -3739,9 +3765,13 @@ def er_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import connected_components, sorted_ids_csv
 
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    # THREE consumers (both endpoint-union sides + the CC loop's edge
+    # relation): materialize the match edges once — they are blocking-cap
+    # bounded (tiny vs the corpus), while re-deriving them re-runs the
+    # whole blocking + scoring pipeline per consumer
     edges = er_blocking_pairs(spark, sf_dir).select(
         F.col("part_a").alias("a"), F.col("part_b").alias("b")
-    )
+    ).transform(truncate_lineage)
     # CC nodes = match-edge ENDPOINTS only: singletons are discarded by the
     # n_records >= 2 filter anyway, so welding every part in as its own
     # cluster would shuffle + csv-aggregate the whole relation for zero

@@ -48,6 +48,9 @@ def _lcg_plane_weights(num_planes: int = LSH_NUM_PLANES, dim: int = EMBED_DIM) -
     return planes
 
 
+_TOPK_COSINE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def sim_topk_cosine(
     spark: SparkSession,
     sf_dir: str,
@@ -56,7 +59,29 @@ def sim_topk_cosine(
 ) -> DataFrame:
     """Exact cosine top-k: for each query vector (vec_id < num_queries) the
     top_k nearest corpus vectors. Broadcast the query side; unique vec_id
-    tie-break keeps the top-k set deterministic."""
+    tie-break keeps the top-k set deterministic.
+
+    MATERIALIZED once and memoized per (application, sf_dir, top_k,
+    num_queries, checkpoint-mode) — the dedup_minhash_lsh convention:
+    this exact referee is the ground truth of FIVE recall/eval consumers
+    (ann_recall_report, the IVF probe sweep, scalar-quant and PQ recall,
+    nDCG), each of which used to re-run the brute-force queries×corpus
+    pass; the memoized frame is ≤ top_k × num_queries rows (r13
+    optimization)."""
+    from ..checkpointing import CHECKPOINT_MODE_CONF, session_cache_sweep
+
+    app_id = spark.sparkContext.applicationId
+    key = (
+        app_id,
+        sf_dir,
+        top_k,
+        num_queries,
+        spark.conf.get(CHECKPOINT_MODE_CONF, "local"),
+    )
+    session_cache_sweep(_TOPK_COSINE_CACHE, app_id)
+    hit = _TOPK_COSINE_CACHE.get(key)
+    if hit is not None:
+        return hit
     base = quantized_embeddings(spark, sf_dir)
     queries = base.where(F.col("vec_id") < num_queries).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qq"), F.col("nrm").alias("nq")
@@ -70,10 +95,13 @@ def sim_topk_cosine(
         .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= top_k)
+        .transform(truncate_lineage)
     )
+    _TOPK_COSINE_CACHE[key] = out
+    return out
 
 
 def lsh_buckets(base: DataFrame) -> DataFrame:
@@ -177,6 +205,60 @@ def ivf_assign(base: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def _ivf_centroids(base: DataFrame) -> DataFrame:
+    """First-IVF_NUM_CELLS coarse codebook (the deterministic stand-in for
+    a k-means training step)."""
+    return base.where(F.col("vec_id") < IVF_NUM_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("qv").alias("cv"), F.col("nrm").alias("cn")
+    )
+
+
+def _ivf_query_cells(base: DataFrame, centroids: DataFrame, num_queries: int) -> DataFrame:
+    """Every query × cell, ranked by (cosine DESC, cell_id ASC) — the
+    probe schedule. A branch probing ``nprobe`` cells is ``rn <= nprobe``
+    over this ONE relation, so a probe sweep shares a single build."""
+    qcos = int_dot(F.col("cv"), F.col("qv")).cast("double") / (
+        F.sqrt(F.col("cn").cast("double")) * F.sqrt(F.col("nrm").cast("double"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell_id"))
+    return (
+        base.where(F.col("vec_id") < num_queries)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qv").alias("qq"),
+            F.col("nrm").alias("nq"),
+            "cell_id",
+            qcos.alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+    )
+
+
+def _ivf_topk_on_index(
+    assigned: DataFrame, qcells: DataFrame, top_k: int, nprobe: int
+) -> DataFrame:
+    """Exact re-rank of the ``nprobe``-probed candidate set over a prebuilt
+    (assignment, probe-schedule) pair — the shared tail of sim_topk_ivf
+    and the probe sweep."""
+    probed = qcells.where(F.col("rn") <= nprobe).select(
+        "query_id", "qq", "nq", "cell_id"
+    )
+    cos = int_dot(F.col("qq"), F.col("qv")).cast("double") / (
+        F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("nrm").cast("double"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probed), "cell_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= top_k)
+    )
+
+
 def sim_topk_ivf(
     spark: SparkSession,
     sf_dir: str,
@@ -195,44 +277,10 @@ def sim_topk_ivf(
     exercises); approximate by construction → rows-only check.
     """
     base = quantized_embeddings(spark, sf_dir)
-    centroids = base.where(F.col("vec_id") < IVF_NUM_CELLS).select(
-        F.col("vec_id").alias("cell_id"), F.col("qv").alias("cv"), F.col("nrm").alias("cn")
-    )
+    centroids = _ivf_centroids(base)
     assigned = ivf_assign(base, centroids)
-
-    # Queries probe their nprobe nearest cells.
-    queries = base.where(F.col("vec_id") < num_queries)
-    qcos = int_dot(F.col("cv"), F.col("qv")).cast("double") / (
-        F.sqrt(F.col("cn").cast("double")) * F.sqrt(F.col("nrm").cast("double"))
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell_id"))
-    probed = (
-        queries.crossJoin(F.broadcast(centroids))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("qv").alias("qq"),
-            F.col("nrm").alias("nq"),
-            "cell_id",
-            qcos.alias("sim"),
-        )
-        .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= nprobe)
-        .select("query_id", "qq", "nq", "cell_id")
-    )
-
-    cos = int_dot(F.col("qq"), F.col("qv")).cast("double") / (
-        F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("nrm").cast("double"))
-    )
-    scored = (
-        assigned.join(F.broadcast(probed), "cell_id")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= top_k)
-    )
+    qcells = _ivf_query_cells(base, centroids, num_queries)
+    return _ivf_topk_on_index(assigned, qcells, top_k, nprobe)
 
 
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -911,9 +959,14 @@ def sim_pq_adc_recall(
     )
     dq1 = _pq_l2("q1", "b1")
     dq2 = _pq_l2("q2", "b2")
+    # TWO consumers (the per-subspace lookup tables t1/t2): materialize the
+    # queries × codebook ADC distance table once — it is
+    # num_queries × PQ_CODEBOOK_SIZE rows, and each row costs three exact
+    # int_dot folds that would otherwise run twice
     dtab = (
         queries.crossJoin(F.broadcast(book))
         .select("query_id", "code_id", dq1.alias("dq1"), dq2.alias("dq2"))
+        .transform(truncate_lineage)
     )
     t1 = dtab.select("query_id", F.col("code_id").alias("c1"), "dq1")
     t2 = dtab.select("query_id", F.col("code_id").alias("c2"), "dq2")
@@ -953,21 +1006,32 @@ def sim_ivf_probe_sweep(
     buy"). nprobe = #cells means exhaustive search, so the curve must end
     at recall 1.0 — pinned by the unit test.
 
-    Shape: one aggregate row per probe setting, each branch an independent
-    IVF plan over the same assignment structure (a diagnostic run-once
-    query; a production sweep would stage the assignment table — here
-    each branch is O(corpus/cells × nprobe × queries) like sim_topk_ivf).
-    The exact top-k is materialized ONCE and fans out to every branch.
-    Recall is one exact-int division, 6dp-rounded."""
-    exact = (
-        sim_topk_cosine(spark, sf_dir, top_k=top_k, num_queries=num_queries)
-        .select("query_id", "neighbor_id")
-        .transform(truncate_lineage)
+    Shape: one aggregate row per probe setting, every branch an
+    ``rn <= nprobe`` cut of ONE staged (assignment, probe-schedule) pair —
+    the staged-assignment-table layout the docstring used to defer to
+    production (r13 optimization: the former per-branch sim_topk_ivf
+    calls re-derived the assignment window and the centroid joins
+    len(probes) times from the corpus — 16 corpus scans at 4 probe
+    settings, now 2 staged builds; each branch remains
+    O(corpus/cells × nprobe × queries)). The exact top-k is materialized
+    ONCE and fans out to every branch. Recall is one exact-int division,
+    6dp-rounded."""
+    exact = sim_topk_cosine(spark, sf_dir, top_k=top_k, num_queries=num_queries).select(
+        "query_id", "neighbor_id"
+    )  # memoized + already materialized
+    base = quantized_embeddings(spark, sf_dir)
+    centroids = _ivf_centroids(base)
+    # transient per-query staging (the documented production layout); the
+    # probe schedule is queries × cells — tiny; the assignment is one row
+    # per corpus vector
+    assigned = ivf_assign(base, centroids).transform(truncate_lineage)
+    qcells = _ivf_query_cells(base, centroids, num_queries).transform(
+        truncate_lineage
     )
     parts = []
     for p in probes:
         approx = (
-            sim_topk_ivf(spark, sf_dir, top_k=top_k, num_queries=num_queries, nprobe=p)
+            _ivf_topk_on_index(assigned, qcells, top_k, p)
             .select("query_id", "neighbor_id")
             .withColumn("hit", F.lit(1))
         )
@@ -1074,10 +1138,15 @@ def embedding_margin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_a") < F.col("vec_b"))
         .select(F.col("label_a").alias("label"), cos.alias("cosine"))
     )
+    # TWO consumers (each endpoint label's side of the union): materialize
+    # the sampled inter-pair relation once — re-deriving it re-runs the
+    # bucket join and every pair's cosine fold per side; the frame is the
+    # 1/B pair sample (bounded by construction), 3 scalar columns wide
     inter_pairs = (
         a.join(b, "bucket")
         .where((F.col("vec_a") < F.col("vec_b")) & (F.col("label_a") != F.col("label_b")))
         .select("label_a", "label_b", cos.alias("cosine"))
+        .transform(truncate_lineage)
     )
     inter = inter_pairs.select(F.col("label_a").alias("label"), "cosine").unionByName(
         inter_pairs.select(F.col("label_b").alias("label"), "cosine")

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..checkpointing import truncate_lineage
 from ..sources.tables import load_table
 from .dedup import DEFAULT_MAX_DF, sorted_ids_csv, word_shingles
 # STOPWORDS' canonical home is operators/quality.py; re-exported here for
@@ -411,11 +412,17 @@ def source_overlap_matrix(
     replays the identical df filter, so the guarded values hash-match.
     All three Jaccard terms are exact integers; one double division."""
     docs = load_table(spark, sf_dir, "documents")
+    # THREE consumers (per-source sizes + both self-join sides) of the
+    # source-distinct shingle relation — materialize it once instead of
+    # re-running the shingle explode + df-guard + distinct per consumer
+    # (it is tiny relative to the corpus: one row per distinct
+    # (source, shingle))
     sh = (
         word_shingles(docs, k=3, max_df=max_df)
         .join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "shingle")
         .distinct()
+        .transform(truncate_lineage)
     )
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("source").alias("source_a"), "shingle")
@@ -1128,10 +1135,15 @@ def text_ngram_novelty(
     # `//` for non-negative ints (a double ratio + floor could disagree at
     # exact-multiple boundaries)
     bucket_expr = F.expr(f"(doc_id * {n_buckets}) div (max_id + 1)").cast("bigint")
+    # TWO consumers (per-bucket distinct counts + the first-seen novelty
+    # groupBy): materialize the distinct (bucket, shingle) projection once
+    # instead of re-running the shingle explode + dedup per consumer (the
+    # dedup_ngram_jaccard convention for shingle relations)
     bucketed = (
         sh.crossJoin(F.broadcast(bound))
         .select(bucket_expr.alias("bucket"), "shingle")
         .distinct()
+        .transform(truncate_lineage)
     )
     per_bucket = bucketed.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_distinct_shingles")
@@ -1671,13 +1683,24 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ELSE CAST(array() AS ARRAY<STRING>) END
         """
     )
-    sh = docs.select(
-        "source", "doc_id", F.split("text", " ").alias("t")
-    ).select("source", "doc_id", F.explode(sh_arr).alias("sh")).distinct()
+    # TWO consumers of the distinct doc-shingle relation (the per-source
+    # doc counts and the df aggregate), and THREE of the df aggregate
+    # (repeated-set filter, totals, top-shingle window): materialize each
+    # once — the former plan re-ran the explode+distinct per consumer
+    sh = (
+        docs.select("source", "doc_id", F.split("text", " ").alias("t"))
+        .select("source", "doc_id", F.explode(sh_arr).alias("sh"))
+        .distinct()
+        .transform(truncate_lineage)
+    )
     nd = sh.groupBy("source").agg(
         F.countDistinct("doc_id").alias("n_docs"),
     )
-    df_ = sh.groupBy("source", "sh").agg(F.count(F.lit(1)).alias("df"))
+    df_ = (
+        sh.groupBy("source", "sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .transform(truncate_lineage)
+    )
     rep = df_.where(F.col("df") >= F.lit(BOILERPLATE_MIN_DF))
     totals = df_.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_shingles"),
@@ -2015,10 +2038,14 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.size(F.split("text", " ")).cast("bigint").alias("ntok")
     )
     j = pp.join(docs, "doc_id")
+    # TWO consumers (the per-lang totals and the cumulative window) of the
+    # per-(lang, perplexity) aggregate: materialize it once — without this
+    # the whole perplexity pipeline under it executes per consumer. The
+    # frame is distinct-value-sized, far below the corpus.
     per_v = j.groupBy("lang", "perplexity").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("ntok").alias("ntok"),
-    )
+    ).transform(truncate_lineage)
     wc = (
         Window.partitionBy("lang")
         .orderBy("perplexity")
