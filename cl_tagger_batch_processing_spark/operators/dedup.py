@@ -1315,6 +1315,12 @@ def dedup_exact_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame
     pinned by tests/test_llm_ops.py and by both queries' driver oracles."""
     docs = load_table(spark, sf_dir, "documents")
     existing, incoming, in_unique = incremental_split(docs)
+    # FOUR consumers of the batch-deduped incoming frame (bit probes, the
+    # maybe semi-join, the definite-new anti-join, the report count):
+    # materialize it once — it is batch-sized by design (the small side of
+    # every incremental variant), while re-deriving it re-hashes the batch
+    # per consumer
+    in_unique = in_unique.transform(truncate_lineage)
     store_bits = (
         existing.select(
             F.explode(_bloom_positions(F.col("content_hash"))).alias("bit")
@@ -1330,7 +1336,12 @@ def dedup_exact_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("doc_id")
         .agg(F.sum(F.coalesce("in_store", F.lit(0))).alias("n_hits"))
     )
-    maybe_ids = hits.where(F.col("n_hits") == BLOOM_HASHES).select("doc_id")
+    # two consumers (semi- and anti-join sides); id-only and residue-sized
+    maybe_ids = (
+        hits.where(F.col("n_hits") == BLOOM_HASHES)
+        .select("doc_id")
+        .transform(truncate_lineage)
+    )
     maybe = in_unique.join(maybe_ids, "doc_id", "left_semi")
     definite_new = in_unique.join(maybe_ids, "doc_id", "left_anti")
     accepted = definite_new.unionByName(

@@ -4615,9 +4615,13 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAU is 0)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events")
+    # FOUR consumers (the spine range, DAU, and both rolling fan-outs) of
+    # the distinct (user, day) activity relation: materialize it once —
+    # it is activity-relation-sized (≤ users × days, far below the event
+    # stream), and re-deriving it re-runs the corpus distinct per consumer
     ud = ev.select(
         "user_id", F.to_date(F.expr("cast(ts as timestamp)")).alias("day")
-    ).distinct()
+    ).distinct().transform(truncate_lineage)
     rng = ud.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
     spine = rng.select(
         F.explode(F.expr("sequence(dmin, dmax, interval 1 day)")).alias("day")

@@ -981,7 +981,13 @@ def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     train = bigrams.where(F.col("doc_id") % 2 == 0)
     test = bigrams.where(F.col("doc_id") % 2 == 1)
-    c2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # TWO consumers (prefix totals + the score join) of the bigram-count
+    # model relation: materialize once (bigram-type-sized — the model)
+    c2 = (
+        train.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .transform(truncate_lineage)
+    )
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = (
         toks.where(F.col("doc_id") % 2 == 0)
@@ -1958,7 +1964,15 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     train = bigrams.where(F.col("doc_id") % 2 == 0)
     test = bigrams.where(F.col("doc_id") % 2 == 1)
-    c2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # FOUR consumers (prefix totals, fan-in types, the type-count scalar,
+    # the score join) of the bigram-count model relation: materialize it
+    # once — it is bigram-TYPE-sized (the model, not the corpus), and
+    # re-deriving it re-runs the train-side explode+groupBy per consumer
+    c2 = (
+        train.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .transform(truncate_lineage)
+    )
     # prefix totals + fan-out type counts share the w1 key: one relation
     c1 = c2.groupBy("w1").agg(
         F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("fanout")
