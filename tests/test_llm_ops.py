@@ -9410,3 +9410,51 @@ def test_intrinsic_dim_query_cap_active(spark, tmp_path):
         assert r.intrinsic_dim == pytest.approx(
             2.0 * int(usable.sum()) / sum(terms), abs=1e-5
         )
+
+
+def test_intrinsic_dim_two_vector_corpus(spark, tmp_path):
+    """n = 2 corpus: each query's single candidate gives r1 but NO r2 —
+    the kernel must emit a NULL r2 (not a sentinel), so every query is
+    degenerate-by-missing-r2 and the MLE is NULL (the pre-kernel window
+    form's semantics, pinned here as the r13 Arrow-kernel edge case)."""
+    d = tmp_path / "twonn2"
+    d.mkdir()
+    _write_embeddings(
+        spark,
+        d,
+        [
+            (0, [1.0] + [0.0] * 63, 0),
+            (1, [5.0] + [0.0] * 63, 0),
+        ],
+    )
+    from cl_tagger_batch_processing_spark.registry import QUERIES
+
+    r = QUERIES["embedding_intrinsic_dim"](spark, str(d)).collect()[0]
+    assert (r.n_vectors, r.n_queries, r.n_used, r.n_degenerate) == (2, 2, 0, 2)
+    assert r.intrinsic_dim is None
+
+
+def test_r13_session_memos_return_same_frame(spark, sf_dir):
+    """The r13 memos (MinHash signature table, basket pair relation,
+    exact top-k referee) follow the dedup_minhash_lsh contract: same
+    session + same key returns the SAME materialized DataFrame object,
+    so no consumer can re-run the build."""
+    from cl_tagger_batch_processing_spark.operators.dedup import (
+        minhash_signature_table,
+    )
+    from cl_tagger_batch_processing_spark.operators.relational import (
+        counted_part_pairs,
+    )
+    from cl_tagger_batch_processing_spark.operators.similarity import (
+        sim_topk_cosine,
+    )
+
+    assert minhash_signature_table(spark, sf_dir) is minhash_signature_table(
+        spark, sf_dir
+    )
+    assert counted_part_pairs(spark, sf_dir) is counted_part_pairs(spark, sf_dir)
+    assert sim_topk_cosine(spark, sf_dir) is sim_topk_cosine(spark, sf_dir)
+    # distinct parameters are distinct entries, not collisions
+    assert sim_topk_cosine(spark, sf_dir, top_k=3) is not sim_topk_cosine(
+        spark, sf_dir
+    )
