@@ -40,18 +40,29 @@ CHECKPOINT_DIR_CONF = "spark.cl_tagger.checkpoint.dir"
 _MODES = ("local", "reliable")
 
 
-def truncate_lineage(df: DataFrame) -> DataFrame:
-    """EAGERLY checkpoint ``df`` per the session's configured durability
-    mode.
+def truncate_lineage(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Checkpoint ``df`` per the session's configured durability mode.
 
-    Drop-in replacement for ``df.localCheckpoint(eager=True)`` at every
-    iterative/multi-consumer site; semantics (a materialized frame with
+    Drop-in replacement for ``df.localCheckpoint()`` at every
+    iterative/multi-consumer site; semantics (a compute-once frame with
     truncated lineage) are identical in both modes — proven by
     ``tests/test_checkpointing.py`` running PageRank and the CC loop in
-    reliable mode against unchanged oracle hashes. Always eager by design:
-    a lazy variant would have to hold the reliable-mode persist alive until
-    some unknowable materialization point (a session-lifetime cache leak),
-    and every engine call site wants the blocking materialization anyway.
+    reliable mode against unchanged oracle hashes.
+
+    Local mode checkpoints LAZILY by default (r14, guide §1.2/§5): the
+    blocks are stored when the first consumer's action computes them, so
+    every call site sheds one blocking driver round-trip (the final-stage
+    materialization job) while keeping exactly what the checkpoint is for —
+    a truncated Catalyst plan at build time and compute-once blocks for
+    every consumer. Values are unchanged by construction: same plan, same
+    RDD, same blocks — only WHICH job stores them moves. Callers that need
+    the materialization NOW (convergence loops reading an Observation
+    scalar — ``checkpoint_with_metric``) pass ``eager=True``.
+
+    Reliable mode stays eager always: its persist/checkpoint/unpersist
+    lifecycle needs a known materialization point (a lazy variant would
+    hold the persist alive until some unknowable action — a
+    session-lifetime cache leak).
     """
     spark = df.sparkSession
     mode = spark.conf.get(CHECKPOINT_MODE_CONF, "local")
@@ -60,7 +71,7 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
             f"{CHECKPOINT_MODE_CONF}={mode!r}: expected one of {_MODES}"
         )
     if mode == "local":
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=eager)
     sc = spark.sparkContext
     if sc.getCheckpointDir() is None:
         ckpt_dir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
@@ -101,7 +112,7 @@ def checkpoint_with_metric(df: DataFrame, metric):
     from pyspark.sql import Observation
 
     obs = Observation()
-    ck = truncate_lineage(df.observe(obs, metric))
+    ck = truncate_lineage(df.observe(obs, metric), eager=True)
     return ck, next(iter(obs.get.values()))
 
 
