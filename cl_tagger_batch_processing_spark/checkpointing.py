@@ -97,6 +97,20 @@ def truncate_lineage(df: DataFrame, eager: bool = False) -> DataFrame:
     return out
 
 
+def truncate_lineage_eager(df: DataFrame) -> DataFrame:
+    """``truncate_lineage`` with ``eager=True`` — for frames whose FIRST
+    consuming action scans them MORE THAN ONCE (self-unions, wedge joins,
+    multi-branch rollups) and for memoized family-shared frames (whose
+    first consumer's shape is unknowable at build time). A lazy checkpoint
+    would let the branches of that first action race to compute the
+    subtree concurrently before any block exists, duplicating exactly the
+    upstream work the checkpoint is there to avoid (measured r14:
+    graph_components 4.1→7.6s when its self-unioned edge frame went lazy).
+    Frames consumed once-then-reused-across-jobs stay on the lazy default.
+    """
+    return truncate_lineage(df, eager=True)
+
+
 def checkpoint_with_metric(df: DataFrame, metric):
     """Checkpoint ``df`` (per the session durability mode) with ``metric``
     observed on the SAME materializing job, and return

@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..checkpointing import truncate_lineage
+from ..checkpointing import truncate_lineage, truncate_lineage_eager
 from ..sources.tables import load_table
 from .quality import quality_components
 
@@ -189,7 +189,7 @@ def dedup_ngram_jaccard(
     # the per-doc sizes); materialize it once instead of re-running the
     # explode+distinct per consumer. At larger scale this would be a staged
     # parquet write rather than executor-local checkpoint blocks.
-    sh = word_shingles(docs, k=k, max_df=max_df).transform(truncate_lineage)
+    sh = word_shingles(docs, k=k, max_df=max_df).transform(truncate_lineage_eager)
     jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
         shingle_pair_overlap(sh)
@@ -309,7 +309,7 @@ def minhash_signature_table(
             "doc_id",
             F.array(*[F.col(f"h{i}") for i in range(MINHASH_NUM_HASHES)]).alias("sig"),
         )
-        .transform(truncate_lineage)
+        .transform(truncate_lineage_eager)  # memoized family-shared frame
     )
     _SIG_CACHE[key] = out
     return out
@@ -360,7 +360,7 @@ def dedup_minhash_lsh(
         minhash_candidates(spark, sf_dir, max_df=max_df)
         .groupBy("doc_a", "doc_b")
         .agg(F.max("est").alias("est_jaccard"))
-        .transform(truncate_lineage)
+        .transform(truncate_lineage_eager)  # memoized family-shared frame
     )
     _LSH_PAIRS_CACHE[key] = out
     return out
@@ -569,7 +569,7 @@ def dedup_simhash(
     if hit is not None:
         return hit
     out = _simhash_pairs_build(spark, sf_dir, hamming_threshold, strategy).transform(
-        truncate_lineage
+        truncate_lineage_eager  # memoized family-shared frame
     )
     _SIMHASH_PAIRS_CACHE[key] = out
     return out
@@ -601,7 +601,7 @@ def _simhash_pairs_build(
     sig = (
         simhash_signatures(spark, sf_dir)
         .repartition(spark.sparkContext.defaultParallelism)
-        .transform(truncate_lineage)
+        .transform(truncate_lineage_eager)  # probe+build scan it in one plan
     )
     if strategy == "auto" and sig.count() > SIMHASH_BROADCAST_MAX_DOCS:
         return (
@@ -687,7 +687,7 @@ def connected_components(
     # re-execute it again (for dedup_clusters that pipeline is the full
     # MinHash-LSH candidate generation — at 100 TB that would be
     # catastrophic; even at sf0.1 it dominated the runtime).
-    e = edges.selectExpr("a", "b").transform(truncate_lineage)
+    e = edges.selectExpr("a", "b").transform(truncate_lineage_eager)  # self-union scans it 2x in one job
     both = e.union(e.selectExpr("b AS a", "a AS b"))
     # Only edge-incident nodes can ever change label: a node in no edge IS
     # its own singleton cluster by construction. Iterating over just the
@@ -800,7 +800,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     )
     out = connected_components(docs.select("doc_id"), pairs).transform(
-        truncate_lineage
+        truncate_lineage_eager  # memoized family-shared frame
     )
     _CLUSTERS_CACHE[key] = out
     return out
@@ -939,7 +939,7 @@ def dedup_containment(
     caps the quadratic term. All three quantities are exact integers; the
     single double division is bit-identical across engines."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, k=k, max_df=max_df).transform(truncate_lineage)
+    sh = word_shingles(docs, k=k, max_df=max_df).transform(truncate_lineage_eager)
     cont = F.col("c").cast("double") / F.least("na", "nb").cast("double")
     return (
         shingle_pair_overlap(sh)
@@ -1076,7 +1076,7 @@ def dedup_minhash_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the final left join
     est = dedup_minhash_lsh(spark, sf_dir)  # memoized + already materialized
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, k=3, max_df=DEFAULT_MAX_DF).transform(truncate_lineage)
+    sh = word_shingles(docs, k=3, max_df=DEFAULT_MAX_DF).transform(truncate_lineage_eager)
     exact = shingle_pair_overlap(sh, restrict_pairs=est).select(
         "doc_a",
         "doc_b",

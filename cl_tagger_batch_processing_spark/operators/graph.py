@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..checkpointing import truncate_lineage
+from ..checkpointing import truncate_lineage, truncate_lineage_eager
 from ..sources.tables import load_table
 
 PR_SCALE = 10**15  # rank unit: 1e-15 (bigint-exact; total mass 1e15 ≪ 2^63)
@@ -86,7 +86,7 @@ def cooccurrence_edges(
     pairs = counted_part_pairs(spark, sf_dir, min_support=min_support)
     fwd = pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
     rev = pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
-    out = fwd.unionByName(rev).transform(truncate_lineage)
+    out = fwd.unionByName(rev).transform(truncate_lineage_eager)
     _EDGES_CACHE[key] = out
     return out
 
@@ -126,14 +126,28 @@ def _prepare_superstep_edges(
     column (pmod(xxhash64(dst), n_salts) on hub rows, 0 elsewhere) and the
     broadcast-sized hot-node frame the superstep uses to replicate hub
     rank rows. Salt never enters arithmetic — bit-identical either way."""
+    from ..checkpointing import checkpoint_with_metric
+
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    hot = outdeg.where(F.col("outdeg") >= hot_outdeg).select(
-        F.col("src").alias("node")
+    # Census FUSED with the materialization (r14, guide §1.2): the hub
+    # census used to be its own full count() job over the outdeg aggregate,
+    # followed by a second job materializing (src, dst, outdeg) — the same
+    # aggregate computed twice, two driver round-trips. One eager
+    # checkpoint now materializes the per-superstep edge relation AND
+    # observes max(outdeg) on that same job; the max is all the census
+    # needs (any hub ⇔ max ≥ hot_outdeg). No-hub graphs — every fixture,
+    # and any hub-capped production graph — pay exactly one job here.
+    base_deg, max_outdeg = checkpoint_with_metric(
+        edges.join(outdeg, "src"), F.max("outdeg").alias("m")
     )
-    n_hot = hot.count()  # 1 scalar to the driver (hub census, control plane)
-    base_deg = edges.join(outdeg, "src")
-    if n_hot:
-        hot = hot.transform(truncate_lineage)
+    if max_outdeg is not None and max_outdeg >= hot_outdeg:
+        # Hub path: derive the hot set from the ALREADY-materialized
+        # relation (reads checkpoint blocks, not the aggregate again).
+        hot = truncate_lineage(
+            base_deg.where(F.col("outdeg") >= hot_outdeg)
+            .select(F.col("src").alias("node"))
+            .distinct()
+        )
         edges_deg = (
             base_deg.join(
                 F.broadcast(
@@ -156,8 +170,8 @@ def _prepare_superstep_edges(
             .transform(truncate_lineage)
         )
         return edges_deg, hot
-    # (src, dst, outdeg) — reused every superstep, so materialize once.
-    return base_deg.transform(truncate_lineage), None
+    # (src, dst, outdeg) — reused every superstep, materialized above.
+    return base_deg, None
 
 
 def pagerank_on_edges(
@@ -349,7 +363,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("hi"),
         F.when(fwd, F.col("ds")).otherwise(F.col("dt")).alias("dlo"),
         F.when(fwd, F.col("dt")).otherwise(F.col("ds")).alias("dhi"),
-    ).transform(truncate_lineage)  # three consumers: both wedge sides + closing edges
+    ).transform(truncate_lineage_eager)  # 3 scans in ONE plan: wedge sides + closing
     # wedges at a: two out-neighbors (b, c) of a, ordered by the same
     # (deg, id) key so the closing edge, if present, is oriented b → c
     w1 = oriented.select(
@@ -527,13 +541,13 @@ def _capped_wedge_relation(
     edges = cooccurrence_edges(spark, sf_dir, min_support=min_support)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     kept = deg.where(F.col("deg") <= CN_DEGREE_CAP).select("src").transform(
-        truncate_lineage
+        truncate_lineage_eager  # both semi-joins of e's one materialization
     )
     e = (
         edges.join(kept, "src", "left_semi")
         .join(kept.select(F.col("src").alias("dst")), "dst", "left_semi")
         .select("src", "dst")
-        .transform(truncate_lineage)
+        .transform(truncate_lineage_eager)  # wedge join scans e 2-4x in one plan
     )
     capped_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     return e, capped_deg
@@ -785,7 +799,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("cs") == F.col("cd"), 1).otherwise(0))
         .cast("bigint")
         .alias("internal_deg"),
-    ).transform(truncate_lineage)
+    ).transform(truncate_lineage_eager)
     nn = lab.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
@@ -803,7 +817,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dec("internal_deg") * dec("e2") - dec("degree_sum") * dec("degree_sum"))
             .alias("num"),
         )
-        .transform(truncate_lineage)  # two consumers: the Q total + the output
+        .transform(truncate_lineage_eager)  # 2 scans in one plan: Q total + output
     )
     glob = enriched.agg(F.sum("num").alias("qnum"))
     e2d = F.col("e2").cast("double") * F.col("e2").cast("double")
@@ -855,7 +869,7 @@ def graph_personalized_pagerank(
     )
     flagged = nodes.join(F.broadcast(seeds), "node", "left").select(
         "node", F.coalesce("is_seed", F.lit(0)).cast("bigint").alias("is_seed")
-    ).transform(truncate_lineage)
+    ).transform(truncate_lineage_eager)  # re-joined every superstep in one action
     teleport_seed = (PR_SCALE * (PR_DAMPING_DEN - PR_DAMPING_NUM)) // PR_DAMPING_DEN // n_seeds
     pr = flagged.select(
         "node",
@@ -1005,7 +1019,7 @@ def graph_assortativity(
     per consumer)."""
     edges = cooccurrence_edges(spark, sf_dir, min_support=min_support)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).transform(
-        truncate_lineage
+        truncate_lineage_eager  # both endpoint joins scan it in one plan
     )
     pairs = (
         edges.join(deg.select(F.col("src").alias("_a"), F.col("deg").alias("dx")),
@@ -1131,10 +1145,19 @@ def graph_hits(
     edges = sym.where(F.col("src") < F.col("dst"))
     # per-direction superstep preparation: the h-push travels src→dst, the
     # a-push dst→src; _prepare_superstep_edges runs its hub census on the
-    # push key of each orientation
-    fwd_deg, fwd_hot = _prepare_superstep_edges(edges, hot_outdeg, n_salts)
+    # push key of each orientation. The two preparations are independent
+    # eager materializations of the same memoized sym blocks, so they run
+    # CONCURRENTLY (guide §2.6 — actions are only sequential because the
+    # driver calls them sequentially); values are per-direction frames, so
+    # overlap cannot reorder anything arithmetic.
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    rev_deg, rev_hot = _prepare_superstep_edges(rev, hot_outdeg, n_salts)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fwd_f = pool.submit(_prepare_superstep_edges, edges, hot_outdeg, n_salts)
+        rev_f = pool.submit(_prepare_superstep_edges, rev, hot_outdeg, n_salts)
+        fwd_deg, fwd_hot = fwd_f.result()
+        rev_deg, rev_hot = rev_f.result()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -1156,16 +1179,15 @@ def graph_hits(
         if i % 2 == 1 and i < n_rounds - 1:
             a = a.transform(truncate_lineage)
             h = h.transform(truncate_lineage)
-    return (
-        nodes.join(h, "node")
-        .join(a, "node")
-        .select(
-            "node",
-            F.col("h").alias("hub_scaled"),
-            F.col("a").alias("auth_scaled"),
-            (F.col("h").cast("double") / F.lit(float(HITS_SCALE))).alias("hub"),
-            (F.col("a").cast("double") / F.lit(float(HITS_SCALE))).alias("auth"),
-        )
+    # h and a are each node-COMPLETE by construction (every push left-joins
+    # from `nodes`, emitting exactly one row per node), so the former
+    # nodes⋈h⋈a triple join re-checked a set identity — one join suffices.
+    return h.join(a, "node").select(
+        "node",
+        F.col("h").alias("hub_scaled"),
+        F.col("a").alias("auth_scaled"),
+        (F.col("h").cast("double") / F.lit(float(HITS_SCALE))).alias("hub"),
+        (F.col("a").cast("double") / F.lit(float(HITS_SCALE))).alias("auth"),
     )
 
 
@@ -1343,7 +1365,7 @@ def graph_betweenness_seeded(
                 "node",
                 F.coalesce("delta", F.lit(0)).cast("bigint").alias("delta"),
             )
-            .transform(truncate_lineage)
+            .transform(truncate_lineage_eager)  # consumers: next dw + acc union
         )
         acc = acc.unionByName(delta).transform(truncate_lineage)
     return (
@@ -1419,8 +1441,8 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = cooccurrence_edges(spark, sf_dir)
     deg = (
         edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-        # feeds the per-threshold node census AND both edge joins
-        .transform(truncate_lineage)
+        # feeds the per-threshold node census AND both edge joins (one plan)
+        .transform(truncate_lineage_eager)
     )
     ks = F.array(*[F.lit(k).cast("bigint") for k in RICH_CLUB_KS])
     spine = deg.sparkSession.range(1).select(F.explode(ks).alias("k"))

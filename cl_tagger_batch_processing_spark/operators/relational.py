@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..checkpointing import truncate_lineage
+from ..checkpointing import truncate_lineage, truncate_lineage_eager
 from ..sources.tables import load_table
 
 # Exact-decimal casts for the 2-decimal fixture money columns.
@@ -1483,7 +1483,7 @@ def counted_part_pairs(
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("n_orders") >= min_support)
-        .transform(truncate_lineage)
+        .transform(truncate_lineage_eager)  # memoized family-shared frame
     )
     _PART_PAIRS_CACHE[key] = out
     return out
@@ -3330,18 +3330,35 @@ def events_logistic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     LR_STEPS iterates are bit-identical. The feature is value/LR_X_SCALE
     (fixed literal — no data-dependent standardization pass).
 
-    Scale: the (x, y) projection is materialized once; each of the
-    LR_STEPS+1 passes (gradients, final metrics) reads the checkpointed
-    projection, not the corpus. Output: one row — n, the fitted
-    intercept/coefficient, mean log-loss, and accuracy at 0.5."""
+    Scale (r14, the distributed-histogram shape events_decision_stump
+    already uses): every per-row term — gradient, log-loss, accuracy —
+    depends on the row ONLY through (x, y), so rows are grouped to
+    (x, y, cnt) in ONE map-side-combinable pass, and all LR_STEPS+1
+    passes run over that histogram (cardinality = distinct feature
+    values, corpus-independent for fixed-precision features) instead of
+    the corpus. Exactly value-preserving by algebra: identical rows have
+    identical 9dp-rounded decimal terms, and Σ_rows term = Σ_groups
+    cnt·term with the cnt multiplication exact in decimal — same sums,
+    bit for bit. Output: one row — n, the fitted intercept/coefficient,
+    mean log-loss, and accuracy at 0.5."""
     ev = load_table(spark, sf_dir, "events")
-    feats = ev.select(
-        (F.col("value") / F.lit(LR_X_SCALE)).alias("x"),
-        F.when(F.col("event_type") == "purchase", F.lit(1.0))
-        .otherwise(F.lit(0.0))
-        .alias("y"),
-    ).transform(truncate_lineage)
-    d9 = lambda c: F.round(c, 9).cast("decimal(38,9)")  # noqa: E731
+    feats = (
+        ev.select(
+            (F.col("value") / F.lit(LR_X_SCALE)).alias("x"),
+            F.when(F.col("event_type") == "purchase", F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .transform(truncate_lineage)
+    )
+    # (15,0) × (22,9) → decimal(38,9): inside the 38-digit cap, so the
+    # product is EXACT (no allowPrecisionLoss scale truncation — a
+    # (38,0)×(38,9) product would silently round to 6dp). Headroom: terms
+    # |err|, |err·x|, loss ≤ ~1e3 ≪ 1e13; cnt per (x, y) group ≤ 1e15.
+    d9 = lambda c: F.round(c, 9).cast("decimal(22,9)")  # noqa: E731
+    cnt_dec = F.col("cnt").cast("decimal(15,0)")
 
     def sigmoid(z):
         zc = F.greatest(F.least(z, F.lit(30.0)), F.lit(-30.0))
@@ -3352,9 +3369,9 @@ def events_logistic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         p = sigmoid(F.lit(a) + F.lit(b) * F.col("x"))
         err = p - F.col("y")
         row = feats.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(d9(err)).alias("g0"),
-            F.sum(d9(err * F.col("x"))).alias("g1"),
+            F.sum("cnt").alias("n"),
+            F.sum(cnt_dec * d9(err)).alias("g0"),
+            F.sum(cnt_dec * d9(err * F.col("x"))).alias("g1"),
         ).collect()[0]
         n = row.n
         # identical double tree to the oracle: w − η·(Σterms / n)
@@ -3365,15 +3382,15 @@ def events_logistic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y") * F.log(p) + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p)
     )
     correct = F.when(
-        (p >= F.lit(0.5)) == (F.col("y") == F.lit(1.0)), F.lit(1)
+        (p >= F.lit(0.5)) == (F.col("y") == F.lit(1.0)), F.col("cnt")
     ).otherwise(F.lit(0))
     return (
         feats.agg(
-            F.count(F.lit(1)).alias("n"),
-            (F.sum(d9(loss_term)).cast("double") / F.count(F.lit(1))).alias(
+            F.sum("cnt").alias("n"),
+            (F.sum(cnt_dec * d9(loss_term)).cast("double") / F.sum("cnt")).alias(
                 "log_loss"
             ),
-            (F.sum(correct).cast("double") / F.count(F.lit(1))).alias("accuracy"),
+            (F.sum(correct).cast("double") / F.sum("cnt")).alias("accuracy"),
         )
         .select(
             "n",

@@ -25,7 +25,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..checkpointing import truncate_lineage
+from ..checkpointing import truncate_lineage, truncate_lineage_eager
 from .dedup import int_dot, quantized_embeddings
 
 DEFAULT_TOP_K = 10
@@ -98,7 +98,7 @@ def sim_topk_cosine(
     out = (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= top_k)
-        .transform(truncate_lineage)
+        .transform(truncate_lineage_eager)  # memoized family-shared frame
     )
     _TOPK_COSINE_CACHE[key] = out
     return out
@@ -554,7 +554,7 @@ def _kmeans_assign_full(
         quantized_embeddings(spark, sf_dir)
         .select("vec_id", "qv", "nrm")
         .repartition(spark.sparkContext.defaultParallelism)
-        .transform(truncate_lineage)
+        .transform(truncate_lineage_eager)  # memoized family-shared frame
     )
     if k is None:
         # count() on the materialized checkpoint is a metadata-cheap pass;
@@ -702,7 +702,7 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("vec_id"),
         F.col("cluster_id").alias("dup_group"),
         (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
-    ).transform(truncate_lineage)
+    ).transform(truncate_lineage_eager)  # memoized family-shared frame
     _SEMANTIC_KEEP_CACHE[key] = out
     return out
 
@@ -1212,6 +1212,16 @@ def outer_product_stats(base: DataFrame) -> DataFrame:
             valid = col.drop_null()
             if len(valid) == 0:
                 continue
+            if valid.values.null_count:
+                # NULL inside a qv array would convert to float NaN and
+                # then to garbage int64 — fail loudly instead (the old
+                # expression form null-skipped in SUM; no fixture or
+                # quantizer output contains element nulls, so this is a
+                # data-contract assert, not a behavior branch).
+                raise ValueError(
+                    "outer_product_stats: qv arrays must not contain null "
+                    "elements"
+                )
             offsets = valid.offsets.to_numpy(zero_copy_only=False)
             values = valid.values.to_numpy(zero_copy_only=False).astype(
                 np.int64, copy=False
@@ -1830,7 +1840,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _KNN_GRAPH_CACHE.get(key)
     if hit is not None:
         return hit
-    out = _knn_graph_build(spark, sf_dir).transform(truncate_lineage)
+    out = _knn_graph_build(spark, sf_dir).transform(truncate_lineage_eager)  # memoized family-shared frame
     _KNN_GRAPH_CACHE[key] = out
     return out
 
@@ -2019,13 +2029,13 @@ def embedding_dbscan_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = (
         fil.unionByName(fil.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .transform(truncate_lineage)  # three consumers: degree, CC edges, border
+        .transform(truncate_lineage_eager)  # 3 consumers incl. one-plan double scans
     )
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("eps_degree"))
     core = (
         deg.where(F.col("eps_degree") >= DBSCAN_MIN_NEIGHBORS)
         .select(F.col("u").alias("node"))
-        .transform(truncate_lineage)  # consumers: CC nodes, both edge ends, border anti
+        .transform(truncate_lineage_eager)  # both edge-end semi-joins in one plan
     )
     ce = (
         sym.join(core.select(F.col("node").alias("u")), "u")
@@ -2143,6 +2153,20 @@ def embedding_isotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # staying inactive at the 500-vector parity fixtures. Mirrored literally
 # in the DuckDB oracle — sync-pinned.
 INTRINSIC_DIM_QUERY_CAP = 500
+# Loud boundary for the exact-referee candidate collect (r13 VERDICT ask):
+# ~1M rows × (64 int64 dims + id + norm) ≈ 0.5 GB through the driver is the
+# ceiling of the documented fixture-scale referee; a corpus past it must
+# take the LSH/IVF candidate machinery (sim_ann_lsh / sim_topk_ivf — the
+# mechanical swap named in embedding_intrinsic_dim's docstring) instead of
+# silently OOMing the driver.
+INTRINSIC_DIM_MAX_CANDIDATES = 1_000_000
+
+# Candidate-matrix memo (r13 ADVICE): embedding_intrinsic_dim used to run
+# its driver-side candidate collect EVERY time the query was merely
+# CONSTRUCTED (plan dumps, scale-killer gates, repeated bench runs). The
+# collected NumPy arrays are immutable fixture data — memoized per
+# (applicationId, sf_dir) and swept like every other session memo.
+_INTRINSIC_CAND_CACHE: dict = {}
 
 
 def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2193,17 +2217,38 @@ def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    cand = base.select("vec_id", "qv", "nrm").toPandas()
-    cand_ids = cand["vec_id"].to_numpy(dtype=np.int64)
-    cand_mat = (
-        np.array(cand["qv"].tolist(), dtype=np.int64)
-        if len(cand)
-        else np.zeros((0, 0), dtype=np.int64)
-    )
-    cand_nrm = cand["nrm"].to_numpy(dtype=np.int64)
+    from ..checkpointing import session_cache_sweep
+
+    app_id = spark.sparkContext.applicationId
+    memo_key = (app_id, sf_dir)
+    session_cache_sweep(_INTRINSIC_CAND_CACHE, app_id)
+    cached = _INTRINSIC_CAND_CACHE.get(memo_key)
+    if cached is None:
+        cand = base.select("vec_id", "qv", "nrm").toPandas()
+        if len(cand) > INTRINSIC_DIM_MAX_CANDIDATES:
+            raise RuntimeError(
+                f"embedding_intrinsic_dim: {len(cand)} candidate vectors "
+                f"exceed the exact-referee driver boundary "
+                f"({INTRINSIC_DIM_MAX_CANDIDATES}); use the LSH/IVF "
+                "candidate machinery (sim_ann_lsh / sim_topk_ivf) at this "
+                "scale"
+            )
+        cand_ids = cand["vec_id"].to_numpy(dtype=np.int64)
+        cand_mat = (
+            np.array(cand["qv"].tolist(), dtype=np.int64)
+            if len(cand)
+            else np.zeros((0, 0), dtype=np.int64)
+        )
+        cand_nrm = cand["nrm"].to_numpy(dtype=np.int64)
+        # One broadcast instead of re-pickling the matrix into every task
+        # closure; executors fetch the blocks once per JVM.
+        cached = spark.sparkContext.broadcast((cand_ids, cand_mat, cand_nrm))
+        _INTRINSIC_CAND_CACHE[memo_key] = cached
+    cand_bc = cached
     sentinel = np.iinfo(np.int64).max
 
     def _twonn_batch(vec_id, qv, nrm):
+        cand_ids, cand_mat, cand_nrm = cand_bc.value
         ids = vec_id.to_numpy(dtype=np.int64)
         q_mat = np.array(qv.tolist(), dtype=np.int64)
         q_nrm = nrm.to_numpy(dtype=np.int64)

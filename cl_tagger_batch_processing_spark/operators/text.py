@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..checkpointing import truncate_lineage
+from ..checkpointing import truncate_lineage, truncate_lineage_eager
 from ..sources.tables import load_table
 from .dedup import DEFAULT_MAX_DF, sorted_ids_csv, word_shingles
 # STOPWORDS' canonical home is operators/quality.py; re-exported here for
@@ -1697,7 +1697,7 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", "doc_id", F.split("text", " ").alias("t"))
         .select("source", "doc_id", F.explode(sh_arr).alias("sh"))
         .distinct()
-        .transform(truncate_lineage)
+        .transform(truncate_lineage_eager)  # consumers land in one plan
     )
     nd = sh.groupBy("source").agg(
         F.countDistinct("doc_id").alias("n_docs"),
@@ -1705,7 +1705,7 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = (
         sh.groupBy("source", "sh")
         .agg(F.count(F.lit(1)).alias("df"))
-        .transform(truncate_lineage)
+        .transform(truncate_lineage_eager)  # 3 consumers land in one plan
     )
     rep = df_.where(F.col("df") >= F.lit(BOILERPLATE_MIN_DF))
     totals = df_.groupBy("source").agg(
@@ -2414,7 +2414,7 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", F.explode(F.split(F.col("text"), " ")).alias("token"))
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .transform(truncate_lineage)  # totals + both join sides
+        .transform(truncate_lineage_eager)  # totals + both join sides, one plan
     )
     tots = tok.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
     t2 = tok.join(F.broadcast(tots), "source").select(
