@@ -111,23 +111,30 @@ def truncate_lineage_eager(df: DataFrame) -> DataFrame:
     return truncate_lineage(df, eager=True)
 
 
-def checkpoint_with_metric(df: DataFrame, metric):
+def checkpoint_with_metric(df: DataFrame, metric, *extra_metrics):
     """Checkpoint ``df`` (per the session durability mode) with ``metric``
     observed on the SAME materializing job, and return
-    ``(checkpointed_df, metric_value)``.
+    ``(checkpointed_df, metric_value)`` — or, with ``extra_metrics``, a
+    dict of every observed alias.
 
     This is the zero-extra-pass convergence pattern every iterative
     operator shares (connected components' label sum, k-core's edge
     count): the driver reads ONE scalar per round and it rides the job the
     checkpoint runs anyway — a separate ``.agg().collect()`` per round
     would re-execute or re-read the frame. ``metric`` must be a single
-    aggregate Column (e.g. ``F.sum(...).alias("s")``).
+    aggregate Column (e.g. ``F.sum(...).alias("s")``); ``extra_metrics``
+    ride the same Observation and come back as a dict by alias (the r14
+    broadcast-strategy censuses — e.g. a row count deciding whether the
+    loop's per-round joins may broadcast the frame).
     """
     from pyspark.sql import Observation
 
     obs = Observation()
-    ck = truncate_lineage(df.observe(obs, metric), eager=True)
-    return ck, next(iter(obs.get.values()))
+    ck = truncate_lineage(df.observe(obs, metric, *extra_metrics), eager=True)
+    vals = obs.get
+    if not extra_metrics:
+        return ck, next(iter(vals.values()))
+    return ck, vals
 
 
 def session_cache_sweep(cache: dict, app_id: str) -> None:

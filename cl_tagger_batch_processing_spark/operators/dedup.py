@@ -709,7 +709,17 @@ def connected_components(
 
     label_sum = F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("label_sum")
 
-    labels, prev_sum = checkpoint_with_metric(labels, label_sum)
+    labels, init = checkpoint_with_metric(
+        labels, label_sum, F.count(F.lit(1)).alias("n_labels")
+    )
+    prev_sum = init["label_sum"]
+    # Broadcast-strategy census (guide §3.1, the graph.PR_BROADCAST_MAX_NODES
+    # convention): the label frame is edge-incident-node-sized and constant
+    # across rounds; under the threshold it broadcasts into the propagation
+    # and pointer-jump joins, leaving the edge side unshuffled. Past the
+    # threshold the plan is exactly the pre-r14 shuffle shape. The count
+    # rides the initial checkpoint job — zero extra passes.
+    bcast = init["n_labels"] <= (1 << 23)
     converged = False
     # max_iter + 1 total rounds: convergence DETECTION needs one no-change
     # round after the last change, so a graph needing exactly max_iter
@@ -718,18 +728,20 @@ def connected_components(
     for _ in range(max_iter + 1):
         if round_counter is not None:
             round_counter.append(1)
+        lab_side = F.broadcast(labels) if bcast else labels
         prop = (
-            labels.join(both, labels.doc_id == both.a)
+            lab_side.join(both, labels.doc_id == both.a)
             .select(F.col("b").alias("doc_id"), "cluster_id")
         )
         # Pointer jumping: l(l(u)). Label VALUES are themselves doc_ids of
         # edge-incident nodes (they start as the node ids and only ever copy
         # existing values), so the inner lookup always hits. The self-join
         # reads the round's checkpointed label table twice — no recompute.
+        ly = labels.alias("ly")
         shortcut = (
             labels.alias("lx")
             .join(
-                labels.alias("ly"),
+                F.broadcast(ly) if bcast else ly,
                 F.col("lx.cluster_id") == F.col("ly.doc_id"),
             )
             .select(

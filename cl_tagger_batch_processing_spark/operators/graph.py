@@ -52,6 +52,15 @@ PR_CHECKPOINT_EVERY = 3
 # bit-identical either way (pinned by test_pagerank_salted_strategy_agrees).
 PR_HOT_OUTDEG = 1 << 14
 PR_SALTS = 16
+# Broadcast-strategy census (r14, guide §3.1): node-sized score/label
+# frames re-join the edge relation every superstep; below this node count
+# they are BROADCAST into those joins (≈8M nodes × ~24 B ≈ 200 MB built
+# relation — inside the guide's "few hundred MB is usually fine" and far
+# under the 8 GB hard cap), which removes the per-superstep shuffle of the
+# score frame AND of the edge side. The node count is the control-plane
+# scalar the loops already hold; past the threshold the shuffle path is
+# exactly the pre-r14 plan. Join strategy never changes values.
+PR_BROADCAST_MAX_NODES = 1 << 23
 
 
 _EDGES_CACHE: dict = {}
@@ -212,6 +221,7 @@ def pagerank_on_edges(
         n_iter,
         hot_nodes=hot_nodes,
         n_salts=n_salts,
+        broadcast_nodes=n <= PR_BROADCAST_MAX_NODES,
     )
     return pr.select(
         "node",
@@ -226,6 +236,7 @@ def _superstep_scores_join(
     edges_deg: DataFrame,
     hot_nodes: DataFrame | None,
     n_salts: int = PR_SALTS,
+    broadcast_scores: bool = False,
 ) -> DataFrame:
     """``scores(node, *score_cols) ⋈ edges_deg`` on the push key — THE
     Pregel-superstep join, shared by the PageRank family AND HITS so the
@@ -239,6 +250,10 @@ def _superstep_scores_join(
     n_salts tasks instead of one. Salt never enters arithmetic, so results
     are bit-identical either way."""
     if hot_nodes is None:
+        if broadcast_scores:
+            # node census ≤ PR_BROADCAST_MAX_NODES: ship the score frame,
+            # leave the (possibly enormous) edge side unshuffled
+            return F.broadcast(scores).join(edges_deg, scores.node == edges_deg.src)
         return scores.join(edges_deg, scores.node == edges_deg.src)
     salts_arr = F.array(*[F.lit(i).cast("int") for i in range(n_salts)])
     scores_s = (
@@ -274,6 +289,7 @@ def _pagerank_supersteps(
     carry: tuple = (),
     hot_nodes: DataFrame | None = None,
     n_salts: int = PR_SALTS,
+    broadcast_nodes: bool = False,
 ) -> DataFrame:
     """The ONE scaled-integer PageRank superstep loop — shared by the
     global and personalized variants so the bit-exactness discipline
@@ -291,7 +307,9 @@ def _pagerank_supersteps(
     per-step checkpoint was the dominant cost, not the joins. The final
     iteration never checkpoints (the caller's action materializes it)."""
     for i in range(n_iter):
-        joined = _superstep_scores_join(pr, ["pr"], edges_deg, hot_nodes, n_salts)
+        joined = _superstep_scores_join(
+            pr, ["pr"], edges_deg, hot_nodes, n_salts, broadcast_scores=broadcast_nodes
+        )
         contrib = (
             joined.select(
                 F.col("dst").alias("node"), F.expr("pr div outdeg").alias("c")
@@ -299,7 +317,10 @@ def _pagerank_supersteps(
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        pr = base.join(contrib, "node", "left").select(
+        # contrib is node-sized too — under the census, broadcasting it into
+        # the left join keeps base unshuffled (BuildRight on a LeftOuter)
+        contrib_side = F.broadcast(contrib) if broadcast_nodes else contrib
+        pr = base.join(contrib_side, "node", "left").select(
             "node",
             *carry,
             (
@@ -665,6 +686,7 @@ def bfs_distances(
         F.col(seed_col).alias("node"), F.lit(0).cast("bigint").alias("dist")
     )
     dist, layer_size = checkpoint_with_metric(dist, n_rows)
+    labeled_n = layer_size
     frontier = dist
     converged = False
     # range is budget+1: proving the layer at dist == max_rounds is the
@@ -679,14 +701,26 @@ def bfs_distances(
         # frontier ⋈ edges on node=src: candidate next layer, min-dedup'd
         # (a node can be adjacent to many frontier nodes), then anti-join
         # against the labeled set so each node is labeled exactly once.
+        # Broadcast strategy (guide §3.1): the frontier/labeled sizes are
+        # the convergence scalars the loop already reads — under the node
+        # threshold they broadcast, leaving the edge side unshuffled.
+        fr = (
+            F.broadcast(frontier)
+            if layer_size <= PR_BROADCAST_MAX_NODES
+            else frontier
+        )
+        seen = dist.select("node")
+        if labeled_n <= PR_BROADCAST_MAX_NODES:
+            seen = F.broadcast(seen)
         cand = (
-            frontier.join(edges, frontier.node == edges.src)
+            fr.join(edges, frontier.node == edges.src)
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(dist.select("node"), "node", "left_anti")
+            .join(seen, "node", "left_anti")
             .select("node", F.lit(hop).cast("bigint").alias("dist"))
         )
         fresh, layer_size = checkpoint_with_metric(cand, n_rows)
+        labeled_n += layer_size
         dist = truncate_lineage(dist.unionByName(fresh))
         frontier = fresh
     # the layer computed by the FINAL budgeted hop may itself be empty —
@@ -752,12 +786,18 @@ def _lpa_labels(
     edge frame too so modularity scores the SAME graph the labels came
     from without rebuilding it)."""
     edges = cooccurrence_edges(spark, sf_dir, min_support=min_support)
-    labels = edges.select("src").distinct().select(
-        F.col("src").alias("node"), F.col("src").cast("bigint").alias("label")
+    labels = truncate_lineage(
+        edges.select("src").distinct().select(
+            F.col("src").alias("node"), F.col("src").cast("bigint").alias("label")
+        )
     )
+    # node census doubles as the lazy checkpoint's materializing action and
+    # drives the per-round broadcast strategy (PR_BROADCAST_MAX_NODES)
+    bcast = labels.count() <= PR_BROADCAST_MAX_NODES
     for _ in range(rounds):
+        lab_side = F.broadcast(labels) if bcast else labels
         votes = (
-            labels.join(edges, labels.node == edges.src)
+            lab_side.join(edges, labels.node == edges.src)
             .groupBy(F.col("dst").alias("n2"), "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
@@ -887,6 +927,7 @@ def graph_personalized_pagerank(
         n_iter,
         carry=("is_seed",),
         hot_nodes=hot_nodes,
+        broadcast_nodes=n <= PR_BROADCAST_MAX_NODES,
     )
     return pr.select(
         "node",
@@ -946,6 +987,7 @@ def graph_closeness_centrality(
         F.lit(0).cast("bigint").alias("dist"),
     )
     dist, layer_size = checkpoint_with_metric(dist, n_rows)
+    labeled_n = layer_size
     frontier = dist
     converged = False
     # budget + 1 probe round proves the dist == budget layer is the last
@@ -956,14 +998,23 @@ def graph_closeness_centrality(
         if layer_size == 0:
             converged = True
             break
+        fr = (
+            F.broadcast(frontier)
+            if layer_size <= PR_BROADCAST_MAX_NODES
+            else frontier
+        )
+        seen = dist.select("root", "node")
+        if labeled_n <= PR_BROADCAST_MAX_NODES:
+            seen = F.broadcast(seen)
         cand = (
-            frontier.join(edges, frontier.node == edges.src)
+            fr.join(edges, frontier.node == edges.src)
             .select("root", F.col("dst").alias("node"))
             .distinct()
-            .join(dist.select("root", "node"), ["root", "node"], "left_anti")
+            .join(seen, ["root", "node"], "left_anti")
             .select("root", "node", F.lit(hop).cast("bigint").alias("dist"))
         )
         fresh, layer_size = checkpoint_with_metric(cand, n_rows)
+        labeled_n += layer_size
         dist = truncate_lineage(dist.unionByName(fresh))
         frontier = fresh
     if layer_size == 0:
@@ -1068,6 +1119,7 @@ def _hits_push(
     hot_nodes: DataFrame | None,
     nodes: DataFrame,
     n_salts: int = PR_SALTS,
+    broadcast_nodes: bool = False,
 ) -> DataFrame:
     """One HITS half-round: push ``score_col`` along the prepared
     (src → dst) edge relation via the SHARED hub-salted superstep join
@@ -1078,13 +1130,17 @@ def _hits_push(
     Nodes the push never reaches keep an explicit 0 via the left join.
     Callers pass a pre-swapped edge frame for the reverse direction."""
     raw = (
-        _superstep_scores_join(scores, [score_col], edges_deg, hot_nodes, n_salts)
+        _superstep_scores_join(
+            scores, [score_col], edges_deg, hot_nodes, n_salts,
+            broadcast_scores=broadcast_nodes,
+        )
         .groupBy(F.col("dst").alias("node"))
         .agg(F.sum(score_col).alias("s"))
     )
     mx = raw.agg(F.max("s").alias("m"))
+    raw_side = F.broadcast(raw) if broadcast_nodes else raw
     return (
-        nodes.join(raw, "node", "left")
+        nodes.join(raw_side, "node", "left")
         .crossJoin(F.broadcast(mx))
         .select(
             "node",
@@ -1164,14 +1220,17 @@ def graph_hits(
         .distinct()
         .transform(truncate_lineage)
     )
+    # node census: the count doubles as the lazy checkpoint's materializing
+    # action (the pagerank convention) and drives the broadcast strategy
+    bcast = nodes.count() <= PR_BROADCAST_MAX_NODES
     h = nodes.withColumn("h", F.lit(HITS_SCALE).cast("bigint"))
     for i in range(n_rounds):
-        a = _hits_push(h, "h", fwd_deg, fwd_hot, nodes, n_salts).withColumnRenamed(
-            "h", "a"
-        )
-        h = _hits_push(a, "a", rev_deg, rev_hot, nodes, n_salts).withColumnRenamed(
-            "a", "h"
-        )
+        a = _hits_push(
+            h, "h", fwd_deg, fwd_hot, nodes, n_salts, broadcast_nodes=bcast
+        ).withColumnRenamed("h", "a")
+        h = _hits_push(
+            a, "a", rev_deg, rev_hot, nodes, n_salts, broadcast_nodes=bcast
+        ).withColumnRenamed("a", "h")
         # truncate every SECOND round, not every round: each eager
         # checkpoint is a blocking materialization, and a 2-round chain of
         # node-sized joins is still a small plan (the PR_CHECKPOINT_EVERY
@@ -1291,15 +1350,25 @@ def graph_betweenness_seeded(
         F.lit(1).cast("bigint").alias("sigma"),
     )
     state, layer_size = checkpoint_with_metric(state, n_rows)
+    layer_sizes = {0: layer_size}
+    labeled_n = layer_size
     frontier = state
     max_d = 0
     for d in range(1, BC_MAX_DEPTH + 1):
         if layer_size == 0:
             break
+        fr = (
+            F.broadcast(frontier)
+            if layer_size <= PR_BROADCAST_MAX_NODES
+            else frontier
+        )
+        seen = state.select("seed", "node")
+        if labeled_n <= PR_BROADCAST_MAX_NODES:
+            seen = F.broadcast(seen)
         cand = (
-            frontier.join(edges, frontier.node == edges.src)
+            fr.join(edges, frontier.node == edges.src)
             .select("seed", F.col("dst").alias("node"), "sigma")
-            .join(state.select("seed", "node"), ["seed", "node"], "left_anti")
+            .join(seen, ["seed", "node"], "left_anti")
             .groupBy("seed", "node")
             .agg(F.sum("sigma").alias("sigma"))
             .select(
@@ -1309,6 +1378,8 @@ def graph_betweenness_seeded(
         cand, layer_size = checkpoint_with_metric(cand, n_rows)
         if layer_size == 0:
             break
+        layer_sizes[d] = layer_size
+        labeled_n += layer_size
         max_d = d
         frontier = cand
         state = state.unionByName(cand).transform(truncate_lineage)
@@ -1338,6 +1409,12 @@ def graph_betweenness_seeded(
             F.col("node").alias("dnode"),
             F.col("delta").alias("wdelta"),
         )
+        # per-layer frames have KNOWN sizes (observed on the forward pass);
+        # under the node threshold they broadcast into the dependency join,
+        # leaving the edge side unshuffled (guide §3.1, value-identical)
+        if layer_sizes.get(d + 1, 0) <= PR_BROADCAST_MAX_NODES:
+            sw = F.broadcast(sw)
+            dw = F.broadcast(dw)
         term = F.expr(
             "(CAST(sigma AS DECIMAL(38,0))"
             " * CAST(1000000000 + wdelta AS DECIMAL(38,0)))"

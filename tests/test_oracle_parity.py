@@ -1,8 +1,13 @@
-"""Mirror of the driver's t2 correctness gate: every registry query with an
-oracle must hash-match DuckDB on the sf0.001 fixtures (fast); run with
-SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 for the driver-scale check."""
+"""Mirror of the driver's t2 correctness gate: registry queries must
+hash-match DuckDB on the sf0.001 fixtures. The DEFAULT run value-checks the
+driver window + every optimization-touched operator (fits the verification
+driver's pytest budget); SPARK_GRAFT_FULL_PARITY=1 sweeps every
+oracle-backed registration. SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01
+runs either set at the driver-scale fixtures."""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
@@ -100,7 +105,81 @@ def test_driver_window_is_curated():
         assert family_member in window, f"{family_member} fell out of the window"
 
 
-@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
+# The FULL value-level sweep (every oracle-backed registration) pushed the
+# default suite past the verification driver's pytest budget (r13: the run
+# was cut off at ~94% with zero failures — VERDICT r13 ask #2). Default =
+# the driver's own 50-query window plus every operator family the two
+# optimization rounds restructured (the names value-drift is most likely
+# to hit); the complete sweep stays one env var away and is what the
+# release gate runs:
+#
+#     SPARK_GRAFT_FULL_PARITY=1 python -m pytest tests/test_oracle_parity.py
+#
+FULL_PARITY = os.environ.get("SPARK_GRAFT_FULL_PARITY") == "1"
+
+# Operator paths restructured by the r13/r14 optimization rounds —
+# always value-checked even in the fast default run.
+OPTIMIZATION_TOUCHED = [
+    "embedding_intrinsic_dim",
+    "embedding_covariance",
+    "embedding_pca_power_iteration",
+    "embedding_dbscan_lite",
+    "embedding_margin_report",
+    "events_permutation_test",
+    "events_hmm_viterbi_decode",
+    "events_logistic_regression",
+    "events_dau_wau_mau",
+    "sim_ivf_probe_sweep",
+    "sim_pq_adc_recall",
+    "ann_recall_report",
+    "er_resolution_clusters",
+    "dedup_minhash_band_sweep",
+    "dedup_minhash_bbit_report",
+    "dedup_minhash_error_report",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_exact_incremental_bloom",
+    "source_overlap_matrix",
+    "corpus_ccnet_buckets",
+    "corpus_perplexity_filter_sweep",
+    "orders_market_basket_rules",
+    "part_affinity_lift",
+    "part_cooccurrence",
+    "text_ngram_novelty",
+    "text_boilerplate_ngrams",
+    "text_kneser_ney_bigram",
+    "text_bigram_lm_perplexity",
+    "graph_pagerank",
+    "graph_personalized_pagerank",
+    "graph_hits",
+    "graph_components",
+    "graph_betweenness_seeded",
+    "graph_modularity",
+    "graph_assortativity",
+    "graph_rich_club",
+    "graph_triangle_count",
+    "graph_common_neighbors",
+    "graph_adamic_adar",
+    "graph_lpa_communities",
+]
+
+
+def test_optimization_touched_names_exist():
+    gone = [n for n in OPTIMIZATION_TOUCHED if n not in QUERIES]
+    assert not gone, f"touched-list names no longer registered: {gone}"
+
+
+PARITY_NAMES = (
+    sorted(ORACLE_SQL)
+    if FULL_PARITY
+    else sorted(
+        (set(list(QUERIES)[:DRIVER_WINDOW]) | set(OPTIMIZATION_TOUCHED))
+        & set(ORACLE_SQL)
+    )
+)
+
+
+@pytest.mark.parametrize("name", PARITY_NAMES)
 def test_oracle_parity(spark, sf_dir, name):
     ok, msg = compare_query(spark, name, sf_dir)
     assert ok, f"{name}: {msg}"
