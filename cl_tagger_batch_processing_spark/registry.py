@@ -105,17 +105,81 @@ from .operators import curation, graph  # noqa: E402
 from .streaming import stateful as streaming_stateful  # noqa: E402
 from .streaming import windows as streaming_windows  # noqa: E402
 
+# --- r14 rotation (VERDICT r13 ask #3): the optimization rounds r13-r14
+# RESTRUCTURED the compute of ~45 operator paths (Arrow kernels, complement
+# algebra, the (x,y,cnt) GD histogram, census-fused superstep preparation,
+# size-switched broadcast supersteps, eager-vs-lazy checkpoint placement,
+# session memos). Almost none of them had a driver correctness row when the
+# restructuring happened — exactly the highest-hash-risk set — so the 47
+# non-permanent window slots now hold them: the whole graph iterative
+# family + its CC riders, the dedup shingle/MinHash family, the
+# statistics/ML loops, the embedding kernels, the ANN referees, the
+# market-basket memo riders, the text/LM multi-consumer checkpoints, and
+# the concurrent-stream CMS query. Displaced: the r12/r13 rotation blocks
+# (driver-green one to two rounds each, machinery untouched since —
+# including events_psi_drift / events_cramers_v, whose HUGEINT-cast fix is
+# pinned forever by tests/test_oracle_types.py); all remain oracle-backed
+# locally below slot 50.
+register("graph_pagerank", graph.graph_pagerank)
+register("graph_personalized_pagerank", graph.graph_personalized_pagerank)
+register("graph_hits", graph.graph_hits)
+register("graph_components", graph.graph_components)
+register("graph_betweenness_seeded", graph.graph_betweenness_seeded)
+register("graph_closeness_centrality", graph.graph_closeness_centrality)
+register("graph_shortest_paths", graph.graph_shortest_paths)
+register("graph_lpa_communities", graph.graph_lpa_communities)
+register("graph_modularity", graph.graph_modularity)
+register("graph_assortativity", graph.graph_assortativity)
+register("graph_rich_club", graph.graph_rich_club)
+register("graph_triangle_count", graph.graph_triangle_count)
+register("graph_common_neighbors", graph.graph_common_neighbors)
+register("graph_adamic_adar", graph.graph_adamic_adar)
+register("text_textrank_keywords", text.text_textrank_keywords)
+register("graph_effective_diameter", graph.graph_effective_diameter)
+register("dedup_clusters", dedup.dedup_clusters)
+register("er_resolution_clusters", relational.er_resolution_clusters)
+register("embedding_dbscan_lite", similarity.embedding_dbscan_lite)
+register("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard)
+register("dedup_containment", dedup.dedup_containment)
+register("dedup_minhash_error_report", dedup.dedup_minhash_error_report)
+register("dedup_minhash_band_sweep", dedup.dedup_minhash_band_sweep)
+register("dedup_minhash_bbit_report", dedup.dedup_minhash_bbit_report)
+register("dedup_exact_incremental_bloom", dedup.dedup_exact_incremental_bloom)
+register("events_logistic_regression", relational.events_logistic_regression)
+register("events_permutation_test", relational.events_permutation_test)
+register("events_hmm_viterbi_decode", relational.events_hmm_viterbi_decode)
+register("events_dau_wau_mau", relational.events_dau_wau_mau)
+register("embedding_intrinsic_dim", similarity.embedding_intrinsic_dim)
+register("embedding_covariance", similarity.embedding_covariance)
+register("embedding_pca_power_iteration", similarity.embedding_pca_power_iteration)
+register("embedding_margin_report", similarity.embedding_margin_report)
+register("sim_ivf_probe_sweep", similarity.sim_ivf_probe_sweep)
+register("sim_pq_adc_recall", similarity.sim_pq_adc_recall)
+register("ann_recall_report", similarity.ann_recall_report)
+register("orders_market_basket_rules", relational.orders_market_basket_rules)
+register("part_affinity_lift", relational.part_affinity_lift)
+register("part_cooccurrence", relational.part_cooccurrence)
+register("source_overlap_matrix", text.source_overlap_matrix)
+register("corpus_ccnet_buckets", text.corpus_ccnet_buckets)
+register("corpus_perplexity_filter_sweep", text.corpus_perplexity_filter_sweep)
+register("text_ngram_novelty", text.text_ngram_novelty)
+register("text_boilerplate_ngrams", text.text_boilerplate_ngrams)
+register("text_kneser_ney_bigram", text.text_kneser_ney_bigram)
+register("text_bigram_lm_perplexity", text.text_bigram_lm_perplexity)
+register("stream_watchlist_cms", streaming_windows.stream_watchlist_cms)
 
-# --- r12 rotation (VERDICT r11 asks #1 and #2): the 20 slots freed by the
-# r10-rotation names (driver-green two consecutive rounds, moved below) go
-# to 20 FIRST-TIME never-driver-verified names — leading with the seven
-# queries whose rank machinery was REDESIGNED this round (the bucketed
-# two-pass rank fix: verification after redesign is doubly valuable), then
-# the rest of the r11-continuation statistics batch, the r11 composed-
-# machinery additions (graph-restricted DBSCAN over the kNN memo, the
-# Theil-Sen robust trend), the per-language calibration precedent the fix
-# was modeled on, and one never-verified name each from the graph-fixpoint
-# (k-core peel), corpus-planning and span-dedup families.
+
+from .functions import scalar  # noqa: E402
+from .sources import layout as sources_layout  # noqa: E402
+from .sources import textfiles  # noqa: E402
+
+# --------------------------- slot 51+ from here -----------------------------
+# Everything below is OUTSIDE the driver's 50-entry window; each keeps its
+# local DuckDB oracle in tests/test_oracle_parity.py (or a documented
+# NO_ORACLE reason) as regression cover.
+
+# Displaced by the r14 window refresh (see above): the r12/r13 rotation
+# names, all driver-green and oracle-backed locally.
 register("customer_rfm", relational.customer_rfm)
 register("events_user_gini", relational.events_user_gini)
 register("orders_rfm_migration", relational.orders_rfm_migration)
@@ -131,35 +195,10 @@ register("text_good_turing", text.text_good_turing)
 register("text_js_divergence", text.text_js_divergence)
 register("text_quality_kappa", text.text_quality_kappa)
 register("text_quality_calibration", text.text_quality_calibration)
-register("embedding_dbscan_lite", similarity.embedding_dbscan_lite)
 register("orders_theil_sen_trend", relational.orders_theil_sen_trend)
 register("graph_kcore", graph.graph_kcore)
 register("corpus_token_budget", curation.corpus_token_budget)
 register("dedup_paragraphs", text.dedup_paragraphs)
-
-from .functions import scalar  # noqa: E402
-from .sources import layout as sources_layout  # noqa: E402
-from .sources import textfiles  # noqa: E402
-
-# --- r13 rotation (VERDICT r12 asks #1 and #2): the 20 r11-rotation names
-# (driver-green two consecutive rounds, r11-r12) AND the seven r9-rotation
-# survivors (green three-plus rounds, their machinery untouched since r11)
-# move below, freeing 27 slots. The r12-rotation block above STAYS —
-# events_psi_drift / events_cramers_v were r12's two hash-fails (value-
-# identical; the defect was five DuckDB oracles emitting un-cast HUGEINT
-# SUM columns that Arrow serializes differently from BIGINT — all five
-# cast to BIGINT this round, gated forever by tests/test_oracle_types.py)
-# and MUST re-verify, and the other 18 earn their second green row. The
-# 27 freed slots go FIRST-TIME never-driver-verified names: the three
-# LATENT HUGEINT oracles just fixed (each would have failed on rotation
-# exactly as psi/cramers did), then the largest backlog families — events
-# (incl. events_page_hinkley, the r12 addition whose Page-Hinkley
-# machinery has never seen a driver row), text (incl. text_hashing_tf,
-# whose md5-bucketing replay was r12's last audit find), corpus planning
-# (DSIR weights + weighted sampling + split-leakage), graph fixpoints
-# (personalized PageRank, triangle count), and one never-verified name
-# each from the dedup-error-report, embedding-report and multimodal
-# families.
 register("corpus_temperature_mix", curation.corpus_temperature_mix)
 register("text_heavy_hitters_cms", text.text_heavy_hitters_cms)
 register("orders_backlog_timeseries", relational.orders_backlog_timeseries)
@@ -168,7 +207,6 @@ register("events_ab_cuped", relational.events_ab_cuped)
 register("events_ab_lift", relational.events_ab_lift)
 register("events_anomaly_mad", relational.events_anomaly_mad)
 register("events_autocorrelation", relational.events_autocorrelation)
-register("events_dau_wau_mau", relational.events_dau_wau_mau)
 register("events_ewma_daily", relational.events_ewma_daily)
 register("events_funnel", relational.events_funnel)
 register("events_markov_entropy_rate", relational.events_markov_entropy_rate)
@@ -182,25 +220,14 @@ register("text_vocab_coverage_curve", text.text_vocab_coverage_curve)
 register("corpus_dsir_weights", text.corpus_dsir_weights)
 register("corpus_weighted_sample", curation.corpus_weighted_sample)
 register("corpus_split_leakage_report", curation.corpus_split_leakage_report)
-register("graph_personalized_pagerank", graph.graph_personalized_pagerank)
-register("graph_triangle_count", graph.graph_triangle_count)
-register("dedup_minhash_error_report", dedup.dedup_minhash_error_report)
 register("embedding_silhouette_report", similarity.embedding_silhouette_report)
 register("mm_payload_dedup", multimodal.mm_payload_dedup)
 
-# --------------------------- slot 51+ from here -----------------------------
-# Everything below is OUTSIDE the driver's 50-entry window; each keeps its
-# local DuckDB oracle in tests/test_oracle_parity.py (or a documented
-# NO_ORACLE reason) as regression cover.
 
 # Displaced by the r13 window refresh (see above): the seven r9-rotation
 # survivors (driver-green three-plus consecutive rounds) and the 20
 # r11-rotation names (green r11-r12); all remain fully oracle-backed
 # locally, swept at every commit.
-register("events_hmm_viterbi_decode", relational.events_hmm_viterbi_decode)
-register("graph_betweenness_seeded", graph.graph_betweenness_seeded)
-register("graph_hits", graph.graph_hits)
-register("er_resolution_clusters", relational.er_resolution_clusters)
 register("stream_cdc_merge", streaming_windows.stream_cdc_merge)
 register("events_survival_km", relational.events_survival_km)
 register("sim_knn_graph", similarity.sim_knn_graph)
@@ -216,7 +243,6 @@ register("source_schema_evolution", textfiles.source_schema_evolution)
 register("source_jsonl_corrupt_quarantine", textfiles.source_jsonl_corrupt_quarantine)
 register("events_variant_extract", relational.events_variant_extract)
 register("lateral_top_customers", relational.lateral_top_customers)
-register("ann_recall_report", similarity.ann_recall_report)
 register("dedup_semantic_keep", similarity.dedup_semantic_keep)
 register("string_functions", scalar.string_functions)
 register("date_functions", scalar.date_functions)
@@ -232,15 +258,11 @@ register("events_mann_whitney", relational.events_mann_whitney)
 register("orders_benford_test", relational.orders_benford_test)
 register("events_poisson_bootstrap_ci", relational.events_poisson_bootstrap_ci)
 register("events_winsorized_stats", relational.events_winsorized_stats)
-register("text_kneser_ney_bigram", text.text_kneser_ney_bigram)
 register("sim_hybrid_rrf", similarity.sim_hybrid_rrf)
-register("events_permutation_test", relational.events_permutation_test)
 register("dedup_rouge_verify", dedup.dedup_rouge_verify)
 register("sim_ann_graph_search", similarity.sim_ann_graph_search)
-register("corpus_ccnet_buckets", text.corpus_ccnet_buckets)
 register("events_did_estimator", relational.events_did_estimator)
 register("orders_price_index_laspeyres", relational.orders_price_index_laspeyres)
-register("stream_watchlist_cms", streaming_windows.stream_watchlist_cms)
 register("stream_session_counts", streaming_windows.stream_session_counts)
 register("approx_distinct", relational.approx_distinct)
 register("dedup_simhash_error_report", dedup.dedup_simhash_error_report)
@@ -256,10 +278,8 @@ register("stream_quantile_histogram", streaming_windows.stream_quantile_histogra
 # were driver-green four consecutive rounds (r7-r10), the twelve r9
 # promotions two (r9-r10); all remain fully oracle-backed locally.
 register("dedup_minhash_lev_verify", dedup.dedup_minhash_lev_verify)
-register("embedding_pca_power_iteration", similarity.embedding_pca_power_iteration)
 register("orders_forecast_backtest", relational.orders_forecast_backtest)
 register("approx_distinct_hll", relational.approx_distinct_hll)
-register("graph_shortest_paths", graph.graph_shortest_paths)
 register("events_cusum_drift", relational.events_cusum_drift)
 register("sim_mmr_diversify", similarity.sim_mmr_diversify)
 register("privacy_t_closeness", relational.privacy_t_closeness)
@@ -273,7 +293,6 @@ register("text_bm25_topk", text.text_bm25_topk)
 register("events_auc_report", relational.events_auc_report)
 register("orders_interrupted_timeseries", relational.orders_interrupted_timeseries)
 register("privacy_generalization_sweep", curation.privacy_generalization_sweep)
-register("graph_adamic_adar", graph.graph_adamic_adar)
 register("events_retention_curve_fit", relational.events_retention_curve_fit)
 
 # Displaced by the r10 window refresh (see above): the ten r7-survivors were
@@ -281,30 +300,20 @@ register("events_retention_curve_fit", relational.events_retention_curve_fit)
 # (r8-r9); all remain fully oracle-backed locally.
 register("dedup_substring_spans", dedup.dedup_substring_spans)
 register("dedup_url_canonical", dedup.dedup_url_canonical)
-register("dedup_exact_incremental_bloom", dedup.dedup_exact_incremental_bloom)
 register("corpus_dedup_funnel", dedup.corpus_dedup_funnel)
-register("dedup_minhash_band_sweep", dedup.dedup_minhash_band_sweep)
-register("sim_ivf_probe_sweep", similarity.sim_ivf_probe_sweep)
 register("sim_range_search", similarity.sim_range_search)
-register("text_bigram_lm_perplexity", text.text_bigram_lm_perplexity)
 register("mm_scene_cuts", multimodal.mm_scene_cuts)
 register("orders_cohort_ltv", relational.orders_cohort_ltv)
 register("crossmodal_curation_verdict", curation.crossmodal_curation_verdict)
 register("embedding_kmeans", similarity.embedding_kmeans)
-register("graph_components", graph.graph_components)
-register("graph_modularity", graph.graph_modularity)
-register("graph_lpa_communities", graph.graph_lpa_communities)
-register("events_logistic_regression", relational.events_logistic_regression)
 register("events_quantile_sketch_report", relational.events_quantile_sketch_report)
 register("privacy_k_anonymity", curation.privacy_k_anonymity)
 register("privacy_l_diversity", relational.privacy_l_diversity)
-register("embedding_covariance", similarity.embedding_covariance)
 
 # Displaced by the r9 window refresh (see above): all 19 were driver-green
 # three-to-eight consecutive rounds and remain fully oracle-backed locally.
 register("dedup_minhash_lsh", dedup.dedup_minhash_lsh)
 register("dedup_simhash", dedup.dedup_simhash)
-register("dedup_clusters", dedup.dedup_clusters)
 register("stream_tumbling_counts", streaming_windows.stream_tumbling_counts)
 register("sim_ann_lsh", similarity.sim_ann_lsh)
 register("dedup_semantic", similarity.dedup_semantic)
@@ -327,7 +336,6 @@ register("mm_phash_dedup", multimodal.mm_phash_dedup)
 register("tag_top1_rating_quality", _tag_top1)
 register("tag_threshold_filter", _tag_threshold)
 register("dedup_exact", dedup.dedup_exact)
-register("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard)
 register("dedup_embedding_cosine", dedup.dedup_embedding_cosine)
 register("sessionize", streaming_windows.sessionize)
 register("stream_dedup_counts", streaming_windows.stream_dedup_counts)
@@ -342,9 +350,6 @@ from .operators import skew  # noqa: E402
 
 register("asof_join_purchase_click", relational.asof_join_purchase_click)
 register("range_join_events", relational.range_join_events)
-register("graph_pagerank", graph.graph_pagerank)
-register("sim_pq_adc_recall", similarity.sim_pq_adc_recall)
-register("dedup_containment", dedup.dedup_containment)
 register("skew_salted_join", skew.skew_salted_join)
 register("mm_metadata", multimodal.mm_metadata)
 register("mm_frame_sample", multimodal.mm_frame_sample)
@@ -404,11 +409,9 @@ register("unpivot_measures", relational.unpivot_measures)
 # Sequential funnel via chained same-partition windows (one shuffle).
 # Day-N cohort retention triangle (exact distinct users per cell).
 # Market-basket pair counts (bounded self-join: baskets are small).
-register("part_cooccurrence", relational.part_cooccurrence)
 # Lag analytics over the aggregated series, not the fact rows.
 register("yoy_revenue_growth", relational.yoy_revenue_growth)
 # Lift-normalized affinity (broadcast marginals + 1-row scalar total).
-register("part_affinity_lift", relational.part_affinity_lift)
 # Operational latency report (exact interpolated p90 over integers).
 register("order_lead_times", relational.order_lead_times)
 # RFM quartile scoring over the per-customer aggregate (unique tie-breaks).
@@ -417,7 +420,6 @@ register("langid_confusion_matrix", text.langid_confusion_matrix)
 # Incremental dedup: incoming batch vs the corpus hash store (anti join).
 register("dedup_exact_incremental", dedup.dedup_exact_incremental)
 # Source-pair shingle Jaccard (mixture-design diagnostics).
-register("source_overlap_matrix", text.source_overlap_matrix)
 # Per-cluster distance-outlier QA over the k-means assignment.
 register("embedding_outliers", similarity.embedding_outliers)
 # Power-of-two token-length histogram (exact integer log2 buckets).
@@ -505,15 +507,11 @@ register("text_html_strip", text.text_html_strip)
 
 # --- round-7 additions: k-core backbone, corpus novelty curve, VAD-style
 # energy segmentation ------------------------------------------------------
-register("text_ngram_novelty", text.text_ngram_novelty)
 register("mm_audio_energy_segments", multimodal.mm_audio_energy_segments)
 register("mm_keyframe_select", multimodal.mm_keyframe_select)
 register("corpus_near_dup_rate_by_source", dedup.corpus_near_dup_rate_by_source)
-register("embedding_margin_report", similarity.embedding_margin_report)
-register("graph_common_neighbors", graph.graph_common_neighbors)
 register("events_decayed_engagement", relational.events_decayed_engagement)
 register("corpus_fertility_by_lang", text.corpus_fertility_by_lang)
-register("orders_market_basket_rules", relational.orders_market_basket_rules)
 register("dedup_cluster_quality_report", dedup.dedup_cluster_quality_report)
 register("events_hourly_seasonality", relational.events_hourly_seasonality)
 register(
@@ -525,7 +523,6 @@ register("orders_seasonal_decompose", relational.orders_seasonal_decompose)
 register("events_bot_detection", relational.events_bot_detection)
 register("supplier_herfindahl", relational.supplier_herfindahl)
 register("er_blocking_pairs", relational.er_blocking_pairs)
-register("corpus_perplexity_filter_sweep", text.corpus_perplexity_filter_sweep)
 # displaced from the driver window by the r7 second refresh — still
 # oracle-backed and locally parity-checked every commit
 register("text_simhash", dedup.simhash_signatures)
@@ -535,14 +532,11 @@ register("text_langid", text.text_langid)
 register("text_fingerprint", text.text_fingerprint)
 register("text_blocklist_filter", text.text_blocklist_filter)
 register("orders_duplicate_detection", relational.orders_duplicate_detection)
-register("graph_closeness_centrality", graph.graph_closeness_centrality)
-register("graph_assortativity", graph.graph_assortativity)
 register("events_funnel_latency", relational.events_funnel_latency)
 register("text_stats", text.text_stats)
 register("mm_byte_histogram", multimodal.mm_byte_histogram)
 register("corpus_split_assign", curation.corpus_split_assign)
 register("events_decision_stump", relational.events_decision_stump)
-register("text_textrank_keywords", text.text_textrank_keywords)
 register("privacy_dp_sensitivity", relational.privacy_dp_sensitivity)
 register("events_user_hazard_curve", relational.events_user_hazard_curve)
 register("sim_knn_label_vote", similarity.sim_knn_label_vote)
@@ -550,15 +544,12 @@ register("events_burstiness_by_type", relational.events_burstiness_by_type)
 
 # --- round-8 additions: lexical retrieval ranking (BM25), HITS
 # hubs/authorities, entity-resolution clusters ------------------------------
-register("text_boilerplate_ngrams", text.text_boilerplate_ngrams)
 register("orders_max_drawdown", relational.orders_max_drawdown)
 register("dedup_cluster_keep_best", dedup.dedup_cluster_keep_best)
 register("sim_ivf_balance_report", similarity.sim_ivf_balance_report)
 register("mm_audio_silence_trim", multimodal.mm_audio_silence_trim)
 register("embedding_hard_negatives", similarity.embedding_hard_negatives)
 register("corpus_dedup_token_savings", dedup.corpus_dedup_token_savings)
-register("graph_effective_diameter", graph.graph_effective_diameter)
-register("dedup_minhash_bbit_report", dedup.dedup_minhash_bbit_report)
 # The 12 round-9 additions (Mann-Whitney U, Benford QA, Poisson-bootstrap
 # CI, winsorized stats, Kneser-Ney LM, RRF fusion, permutation test, ROUGE
 # verify, graph-ANN beam search, CCNet buckets, DiD, Laspeyres) plus the
@@ -608,7 +599,6 @@ register("events_odds_ratio_ci", relational.events_odds_ratio_ci)
 register("events_sprt_boundary", relational.events_sprt_boundary)
 register("events_gumbel_daily_max", relational.events_gumbel_daily_max)
 register("text_lexical_diversity", text.text_lexical_diversity)
-register("graph_rich_club", graph.graph_rich_club)
 
 # r13 additions (8 ≤ the 27 first-time rotations): the drift metric that
 # reports distance in value units (1-D Wasserstein over the new
@@ -666,7 +656,6 @@ register("text_token_dispersion", text.text_token_dispersion)
 # dimension MLE (exact integer 2-NN distances; all-pairs stage documented
 # as the sim_topk_cosine fixture-scale referee class).
 register("embedding_isotropy_report", similarity.embedding_isotropy_report)
-register("embedding_intrinsic_dim", similarity.embedding_intrinsic_dim)
 # Hurst R/S long-range-dependence exponent of the daily series (exact
 # size-scaled integer block statistics; railed per-size means; the
 # heaps-fit exact-decimal log-log OLS).

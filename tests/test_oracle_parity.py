@@ -42,65 +42,58 @@ def test_driver_window_is_curated():
         "tag_select",
         "pipeline_score_tag",
         "scan_extension_filter",
-        # r12 rotation kept a second round by the r13 refresh: psi/cramers
-        # were r12's two hash fails (HUGEINT oracle-output class, fixed
-        # r13 — MUST re-verify), the other 18 earn their second green row.
-        "customer_rfm",
-        "events_user_gini",
-        "orders_rfm_migration",
-        "events_spearman_corr",
-        "events_kruskal_wallis",
-        "events_conformal_interval",
-        "events_bh_fdr",
-        "events_psi_drift",
-        "events_cramers_v",
-        "events_jackknife_ratio",
-        "events_runs_test",
-        "text_good_turing",
-        "text_js_divergence",
-        "text_quality_kappa",
-        "text_quality_calibration",
-        "embedding_dbscan_lite",
-        "orders_theil_sen_trend",
-        "graph_kcore",
-        "corpus_token_budget",
-        "dedup_paragraphs",
-        # r13 rotation (VERDICT r12 asks #1 and #2): 27 FIRST-TIME
-        # never-driver-verified names into the slots freed by the seven
-        # r9-rotation survivors (three-plus rounds green) and the 20
-        # r11-rotation names (two rounds green) — the three LATENT
-        # HUGEINT-oracle queries just fixed, then the largest backlog
-        # families (events incl. the r12 Page-Hinkley addition, text incl.
-        # the md5-bucketed hashing-TF, corpus planning, graph fixpoints)
-        # plus one name each from the dedup-error-report, embedding-report
-        # and multimodal families.
-        "corpus_temperature_mix",
-        "text_heavy_hitters_cms",
-        "orders_backlog_timeseries",
-        "events_page_hinkley",
-        "events_ab_cuped",
-        "events_ab_lift",
-        "events_anomaly_mad",
-        "events_autocorrelation",
-        "events_dau_wau_mau",
-        "events_ewma_daily",
-        "events_funnel",
-        "events_markov_entropy_rate",
-        "events_retention",
-        "events_tukey_hsd",
-        "text_hashing_tf",
-        "text_word_pmi",
-        "text_char_entropy",
-        "text_token_count",
-        "text_vocab_coverage_curve",
-        "corpus_dsir_weights",
-        "corpus_weighted_sample",
-        "corpus_split_leakage_report",
+        # r14 rotation (VERDICT r13 ask #3): the operator paths the two
+        # optimization rounds RESTRUCTURED — graph iterative family + CC
+        # riders, dedup shingle/MinHash, statistics/ML loops, embedding
+        # kernels, ANN referees, basket memo riders, text/LM checkpoints,
+        # the concurrent-stream CMS. See registry.py for the full rationale.
+        "graph_pagerank",
         "graph_personalized_pagerank",
+        "graph_hits",
+        "graph_components",
+        "graph_betweenness_seeded",
+        "graph_closeness_centrality",
+        "graph_shortest_paths",
+        "graph_lpa_communities",
+        "graph_modularity",
+        "graph_assortativity",
+        "graph_rich_club",
         "graph_triangle_count",
+        "graph_common_neighbors",
+        "graph_adamic_adar",
+        "text_textrank_keywords",
+        "graph_effective_diameter",
+        "dedup_clusters",
+        "er_resolution_clusters",
+        "embedding_dbscan_lite",
+        "dedup_ngram_jaccard",
+        "dedup_containment",
         "dedup_minhash_error_report",
-        "embedding_silhouette_report",
-        "mm_payload_dedup",
+        "dedup_minhash_band_sweep",
+        "dedup_minhash_bbit_report",
+        "dedup_exact_incremental_bloom",
+        "events_logistic_regression",
+        "events_permutation_test",
+        "events_hmm_viterbi_decode",
+        "events_dau_wau_mau",
+        "embedding_intrinsic_dim",
+        "embedding_covariance",
+        "embedding_pca_power_iteration",
+        "embedding_margin_report",
+        "sim_ivf_probe_sweep",
+        "sim_pq_adc_recall",
+        "ann_recall_report",
+        "orders_market_basket_rules",
+        "part_affinity_lift",
+        "part_cooccurrence",
+        "source_overlap_matrix",
+        "corpus_ccnet_buckets",
+        "corpus_perplexity_filter_sweep",
+        "text_ngram_novelty",
+        "text_boilerplate_ngrams",
+        "text_kneser_ney_bigram",
+        "text_bigram_lm_perplexity",
+        "stream_watchlist_cms",
     ]:
         assert family_member in window, f"{family_member} fell out of the window"
 
