@@ -1128,38 +1128,43 @@ def _hits_push(
     sum per target, then max-renormalize back to HITS_SCALE with nonneg
     floor division (identical on both engines for nonnegative operands).
     Nodes the push never reaches keep an explicit 0 via the left join.
-    Callers pass a pre-swapped edge frame for the reverse direction."""
-    raw = (
+    Callers pass a pre-swapped edge frame for the reverse direction.
+
+    The push aggregate is checkpointed with max(s) riding the SAME job as
+    an Observation (r14): the former ``raw.agg(max)`` + crossJoin-broadcast
+    shape evaluated the push subtree TWICE per half-round (the agg branch
+    and the output branch are different exchange shapes, so ReuseExchange
+    cannot dedupe them) — two edge passes where one suffices. The max is
+    one scalar on the driver (the hub-census/label-sum control-plane
+    convention) and re-enters the renormalization as a literal: same
+    integer, same floor division, bit-identical output."""
+    from ..checkpointing import checkpoint_with_metric
+
+    raw, mx = checkpoint_with_metric(
         _superstep_scores_join(
             scores, [score_col], edges_deg, hot_nodes, n_salts,
             broadcast_scores=broadcast_nodes,
         )
         .groupBy(F.col("dst").alias("node"))
-        .agg(F.sum(score_col).alias("s"))
+        .agg(F.sum(score_col).alias("s")),
+        F.max("s").alias("m"),
     )
-    mx = raw.agg(F.max("s").alias("m"))
-    raw_side = F.broadcast(raw) if broadcast_nodes else raw
-    return (
-        nodes.join(raw_side, "node", "left")
-        .crossJoin(F.broadcast(mx))
-        .select(
-            "node",
-            F.when(
-                F.col("m") > 0,
-                # widen BEFORE the ×scale: s is bounded by indeg·HITS_SCALE,
-                # so s·HITS_SCALE wraps BIGINT at hub in-degree ≳ 9.2e6 —
-                # exactly the hub regime the salted join exists for; the
-                # oracle's HUGEINT sum is exact, so a silent wrap here is
-                # also a parity divergence (r9 review)
-                F.expr(
-                    f"(cast(coalesce(s, 0L) as decimal(38,0)) * {HITS_SCALE})"
-                    " div m"
-                ),
-            )
-            .otherwise(F.lit(0))
-            .cast("bigint")
-            .alias(score_col),
+    if mx is not None and mx > 0:
+        # widen BEFORE the ×scale: s is bounded by indeg·HITS_SCALE,
+        # so s·HITS_SCALE wraps BIGINT at hub in-degree ≳ 9.2e6 —
+        # exactly the hub regime the salted join exists for; the
+        # oracle's HUGEINT sum is exact, so a silent wrap here is
+        # also a parity divergence (r9 review)
+        renorm = F.expr(
+            f"(cast(coalesce(s, 0L) as decimal(38,0)) * {HITS_SCALE})"
+            f" div {int(mx)}"
         )
+    else:
+        renorm = F.lit(0)
+    raw_side = F.broadcast(raw) if broadcast_nodes else raw
+    return nodes.join(raw_side, "node", "left").select(
+        "node",
+        renorm.cast("bigint").alias(score_col),
     )
 
 
@@ -1184,10 +1189,11 @@ def graph_hits(
 
     Same bit-exactness discipline as pagerank_on_edges: scores are bigint
     multiples of 1e-6; each half-round is one equi-join push + one
-    map-side-combined groupBy + a max-renormalization whose scalar rides a
-    broadcast-back cross join (never a driver collect); floor division on
-    nonnegative values is engine-identical, so 4 rounds are bit-exact
-    against the oracle's chained MATERIALIZED CTEs.
+    map-side-combined groupBy, with max(s) observed on the checkpoint job
+    (one control-plane scalar, the hub-census convention) and re-entering
+    the renormalization as a literal; floor division on nonnegative values
+    is engine-identical, so 4 rounds are bit-exact against the oracle's
+    chained MATERIALIZED CTEs.
 
     Scale shape per half-round: scores⋈edges on the push key then groupBy
     on the receive key — the Pregel shape shared with PageRank, now
@@ -1231,13 +1237,9 @@ def graph_hits(
         h = _hits_push(
             a, "a", rev_deg, rev_hot, nodes, n_salts, broadcast_nodes=bcast
         ).withColumnRenamed("a", "h")
-        # truncate every SECOND round, not every round: each eager
-        # checkpoint is a blocking materialization, and a 2-round chain of
-        # node-sized joins is still a small plan (the PR_CHECKPOINT_EVERY
-        # lesson — per-step checkpoints dominated cost, not the joins)
-        if i % 2 == 1 and i < n_rounds - 1:
-            a = a.transform(truncate_lineage)
-            h = h.transform(truncate_lineage)
+        # no per-k-round truncation needed anymore: every push checkpoints
+        # its aggregate (the max-Observation job), so each plan roots at
+        # the previous push's blocks — constant plan size by construction
     # h and a are each node-COMPLETE by construction (every push left-joins
     # from `nodes`, emitting exactly one row per node), so the former
     # nodes⋈h⋈a triple join re-checked a set identity — one join suffices.

@@ -921,9 +921,32 @@ def test_hits_salted_strategy_agrees(spark, sf_dir):
     assert plain.count() == salted.count()
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
-    assert "salt" in inspect.executed_plan(salted)
-    plan = inspect.executed_plan(QUERIES["graph_hits"](spark, sf_dir))
-    assert "salt" not in plan  # no hub at fixture scale: plain strategy
+    # Each half-round now checkpoints its push aggregate (r14: the max
+    # rides the checkpoint job as an Observation), so the query's FINAL
+    # plan roots at checkpoint blocks and the salt machinery executes
+    # inside the per-push jobs — assert the strategy on the superstep
+    # join component itself, where the plan is still visible.
+    from pyspark.sql import functions as F
+
+    from cl_tagger_batch_processing_spark.operators.graph import (
+        _prepare_superstep_edges,
+        _superstep_scores_join,
+        cooccurrence_edges,
+    )
+
+    sym = cooccurrence_edges(spark, sf_dir)
+    edges = sym.where(F.col("src") < F.col("dst"))
+    deg_salted, hot = _prepare_superstep_edges(edges, hot_outdeg=1, n_salts=4)
+    assert hot is not None
+    scores = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "h", F.lit(1).cast("bigint")
+    )
+    joined = _superstep_scores_join(scores, ["h"], deg_salted, hot, 4)
+    assert "salt" in inspect.executed_plan(joined)
+    deg_plain, hot_plain = _prepare_superstep_edges(edges)
+    assert hot_plain is None  # no hub at fixture scale: plain strategy
+    plain_join = _superstep_scores_join(scores, ["h"], deg_plain, None)
+    assert "salt" not in inspect.executed_plan(plain_join)
 
 
 def test_source_pair_frames_broadcast(spark, sf_dir):
